@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship changefeed pipeline on sf0.001;
+``queries()`` / ``oracle_sql()`` expose each implemented operator from
+SURVEY.md §2 with its DuckDB oracle (see ticdc_spark/queries.py).
 """
 
 from __future__ import annotations
@@ -13,26 +11,34 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ticdc_spark.pipeline import ChangefeedConfig, build_pipeline
+from ticdc_spark.queries import ORACLES, QUERIES
+from ticdc_spark.sources.changelog import events_changelog
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full changefeed pipeline (filter → expr-filter →
+    update-split → route → canal-json encode) on /root/testdata/sf0.001."""
+    cl = events_changelog(spark, "/root/testdata/sf0.001")
+    cfg = ChangefeedConfig(
+        filter_rules=["*.*", "!test.tp_view"],
+        event_filters=[{"matcher": ["test.tp_click"], "ignore-event": ["update"]}],
+        expr_filter={"matcher": ["test.tp_*"], "ignore-insert-value-expr": "val > 195.0"},
+        dispatchers=[
+            {"matcher": ["test.tp_*"], "partition": "index-value",
+             "topic": "cdc_{schema}_{table}"}
+        ],
+        protocol="canal-json",
+    )
+    return build_pipeline(cl, cfg).select(
+        "schema_name", "table_name", "op", "commit_ts", "seq", "topic",
+        "partition", "value",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

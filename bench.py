@@ -1,0 +1,70 @@
+"""Benchmark harness — end-to-end changelog throughput + per-query times.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ticdc_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("ticdc_spark_bench")
+
+    from ticdc_spark.pipeline import ChangefeedConfig, build_pipeline
+    from ticdc_spark.queries import QUERIES
+    from ticdc_spark.sources.changelog import events_changelog
+
+    timings: dict[str, float] = {}
+
+    # Headline: the full changefeed pipeline (source → filters → split →
+    # route → canal-json encode), forced end-to-end with a count.
+    def full_pipeline():
+        cl = events_changelog(spark, sf_dir)
+        cfg = ChangefeedConfig(
+            filter_rules=["*.*"],
+            expr_filter={"matcher": ["test.tp_*"],
+                         "ignore-insert-value-expr": "val > 195.0"},
+            dispatchers=[{"matcher": ["test.tp_*"], "partition": "index-value",
+                          "topic": "cdc_{schema}_{table}"}],
+            protocol="canal-json",
+        )
+        out = build_pipeline(cl, cfg)
+        return out.selectExpr("sum(length(value))").collect()
+
+    # Warm the JVM/session once (exclude startup from per-query numbers).
+    events_changelog(spark, sf_dir).count()
+
+    t0 = time.perf_counter()
+    full_pipeline()
+    timings["pipeline_canal_json"] = round(time.perf_counter() - t0, 3)
+
+    for name, fn in sorted(QUERIES.items()):
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "changefeed pipeline + operator suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()

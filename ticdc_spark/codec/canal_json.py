@@ -1,0 +1,86 @@
+"""canal-json encoder (SURVEY §2.11).
+
+Reference message shape: `pkg/sink/codec/canal/canal_json_message.go:40-61`
+(Alibaba FlatMessage): ``id, database, table, pkNames, isDdl, type, es,
+ts, sql, sqlType, mysqlType, data, old``; values rendered as JSON strings
+per the Java type map (`pkg/sink/codec/common/java.go:70-146`).
+
+Spark-first: the message is ONE string column assembled by ``concat`` of
+literals and canonically-rendered fields — fixed field order, fixed float
+format — so the bytes are deterministic (reproducible by the DuckDB
+oracle) and the whole encode stays inside whole-stage codegen. ``ts``
+(processing time) is emitted as 0 for determinism; ``es`` is the commit
+ts in milliseconds as in the reference.
+
+Java SQL types (java.go): BIGINT → -5, DOUBLE → 8.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ticdc_spark.functions.render import json_string_or_null
+
+_JAVA_TYPE = {"long": -5, "bigint": -5, "double": 8, "string": 12}
+_MYSQL_TYPE = {"long": "bigint", "bigint": "bigint", "double": "double", "string": "varchar"}
+
+
+def _image_json(image: str, schema: StructType) -> Column:
+    """``[{"col": "v", ...}]`` — single-row array, canal data/old shape."""
+    parts: list[Column] = [F.lit("[{")]
+    for i, f in enumerate(schema.fields):
+        if i:
+            parts.append(F.lit(","))
+        parts.append(F.lit(f'"{f.name}":'))
+        parts.append(json_string_or_null(F.col(f"{image}.{f.name}"), f.dataType))
+    parts.append(F.lit("}]"))
+    return F.when(F.col(image).isNotNull(), F.concat(*parts)).otherwise(F.lit("null"))
+
+
+def _type_maps(schema: StructType) -> tuple[str, str]:
+    sql_t = ",".join(
+        f'"{f.name}":{_JAVA_TYPE[f.dataType.simpleString()]}' for f in schema.fields
+    )
+    mysql_t = ",".join(
+        f'"{f.name}":"{_MYSQL_TYPE[f.dataType.simpleString()]}"' for f in schema.fields
+    )
+    return "{" + sql_t + "}", "{" + mysql_t + "}"
+
+
+def encode_canal_json(cl: DataFrame, pk_names: tuple[str, ...] = ("id",)) -> DataFrame:
+    """Append a ``value`` column holding the canal-json message."""
+    schema: StructType = cl.schema["after"].dataType
+    sql_types, mysql_types = _type_maps(schema)
+    canal_type = (
+        F.when(F.col("op") == "I", F.lit("INSERT"))
+        .when(F.col("op") == "U", F.lit("UPDATE"))
+        .otherwise(F.lit("DELETE"))
+    )
+    pk_json = "[" + ",".join(f'"{p}"' for p in pk_names) + "]"
+    # DELETE carries the before image in `data` (canal semantics); UPDATE
+    # carries after in `data` and before in `old`; INSERT has old = null.
+    data_json = (
+        F.when(F.col("op") == "D", _image_json("before", schema))
+        .otherwise(_image_json("after", schema))
+    )
+    old_json = F.when(F.col("op") == "U", _image_json("before", schema)).otherwise(
+        F.lit("null")
+    )
+    value = F.concat(
+        F.lit('{"id":0,"database":"'),
+        F.col("schema_name"),
+        F.lit('","table":"'),
+        F.col("table_name"),
+        F.lit('","pkNames":' + pk_json + ',"isDdl":false,"type":"'),
+        canal_type,
+        F.lit('","es":'),
+        (F.col("commit_ts") / 1000).cast("long").cast("string"),
+        F.lit(',"ts":0,"sql":"","sqlType":' + sql_types + ',"mysqlType":' + mysql_types + ',"data":'),
+        data_json,
+        F.lit(',"old":'),
+        old_json,
+        F.lit("}"),
+    )
+    return cl.withColumn("value", value)

@@ -1,0 +1,56 @@
+"""open-protocol encoder (SURVEY §2.11).
+
+Reference: `pkg/sink/codec/open/message.go:28-40` — separate key and
+value. Key: ``{"ts": commitTs, "scm": schema, "tbl": table, "t": 1}``
+(type 1 = row change). Value: ``{"u": {col: {"t": type, "v": val}}}`` for
+upsert images, ``"d"`` for delete images; per-column objects carry the
+MySQL type byte.
+
+Emitted as two string columns ``key`` and ``value`` via deterministic
+concat (same rationale as canal_json.py).
+
+MySQL type bytes (tidb mysql.Type*): LONGLONG=8, DOUBLE=5, VARCHAR=15.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ticdc_spark.functions.render import json_string_or_null
+
+_MYSQL_TYPE_BYTE = {"long": 8, "bigint": 8, "double": 5, "string": 15}
+
+
+def _image_obj(image: str, schema: StructType) -> Column:
+    parts: list[Column] = [F.lit("{")]
+    for i, f in enumerate(schema.fields):
+        if i:
+            parts.append(F.lit(","))
+        tbyte = _MYSQL_TYPE_BYTE[f.dataType.simpleString()]
+        parts.append(F.lit(f'"{f.name}":{{"t":{tbyte},"v":'))
+        parts.append(json_string_or_null(F.col(f"{image}.{f.name}"), f.dataType))
+        parts.append(F.lit("}"))
+    parts.append(F.lit("}"))
+    return F.when(F.col(image).isNotNull(), F.concat(*parts))
+
+
+def encode_open_protocol(cl: DataFrame) -> DataFrame:
+    schema: StructType = cl.schema["after"].dataType
+    key = F.concat(
+        F.lit('{"ts":'),
+        F.col("commit_ts").cast("string"),
+        F.lit(',"scm":"'),
+        F.col("schema_name"),
+        F.lit('","tbl":"'),
+        F.col("table_name"),
+        F.lit('","t":1}'),
+    )
+    upsert = _image_obj("after", schema)
+    delete = _image_obj("before", schema)
+    value = (
+        F.when(F.col("op") == "D", F.concat(F.lit('{"d":'), delete, F.lit("}")))
+        .otherwise(F.concat(F.lit('{"u":'), upsert, F.lit("}")))
+    )
+    return cl.withColumn("key", key).withColumn("value", value)

@@ -1,0 +1,60 @@
+"""A1 — changelog compaction (the 6-case batch fold).
+
+Reference: `pkg/sink/mysql/mysql_writer_dml_batch.go:27-190`. Within a
+flush batch, events for the same primary key fold to a net effect:
+
+    first=I, last=D  → nothing (row created and destroyed in-batch)
+    first=I, last∈{I,U} → INSERT with the last after-image
+    first∈{U,D}, last=D → DELETE with the first before-image
+    otherwise (U/D then I/U) → UPDATE(first.before → last.after)
+
+Spark-first: ``groupBy(table, pk).agg(min_by/max_by)`` — ONE shuffle with
+map-side partial aggregation (far cheaper at 100 TB than a window
+row_number, which must fully sort every partition). ``commit_ts`` is the
+total order within a key (unique per event by construction; the reference
+orders by (commitTs, startTs, DMLOrder) — `eventstore/format.go:33-56`).
+
+NULL discipline: the first/last images extracted by min_by/max_by are
+only exposed when the net op actually uses them (net I → after only,
+net D → before only, net U → both); by the fold's case analysis those
+rows are guaranteed to carry non-null images, which also makes the result
+portable across engines whose arg_min/arg_max differ on NULL handling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def compact_changelog(cl: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    keys = keys or ["schema_name", "table_name", "table_id", "pk"]
+    dml = cl.filter(F.col("op").isin("I", "U", "D"))
+    g = dml.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("commit_ts").alias("first_ts"),
+        F.max("commit_ts").alias("last_ts"),
+        F.min_by("op", "commit_ts").alias("first_op"),
+        F.max_by("op", "commit_ts").alias("last_op"),
+        F.min_by("before", "commit_ts").alias("first_before"),
+        F.max_by("after", "commit_ts").alias("last_after"),
+    )
+    net_op = (
+        F.when((F.col("first_op") == "I") & (F.col("last_op") == "D"), F.lit(None))
+        .when(F.col("first_op") == "I", F.lit("I"))
+        .when(F.col("last_op") == "D", F.lit("D"))
+        .otherwise(F.lit("U"))
+    )
+    out = (
+        g.withColumn("net_op", net_op)
+        .filter(F.col("net_op").isNotNull())
+        .select(
+            *keys,
+            "net_op",
+            "n_events",
+            F.col("last_ts").alias("commit_ts"),
+            F.when(F.col("net_op").isin("U", "D"), F.col("first_before")).alias("before"),
+            F.when(F.col("net_op").isin("I", "U"), F.col("last_after")).alias("after"),
+        )
+    )
+    return out

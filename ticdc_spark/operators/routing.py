@@ -1,0 +1,111 @@
+"""R1-R6 — event router: topic templating + partitioners.
+
+Reference: `downstreamadapter/sink/eventrouter/event_router.go:28-158` —
+first-match dispatch rules `{Matcher, PartitionRule, TopicRule,
+TargetSchema, TargetTable}` (`pkg/config/sink.go:409-429`); topic grammar
+``[prefix]{schema}[mid]{table}[suffix]``
+(`eventrouter/topic/expression.go:27-104`); partitioners:
+``default``/``table`` (hash of schema.table, `partition/table.go:25-38`),
+``ts`` (`partition/ts.go:24-31`), ``index-value`` (hash of handle values,
+`partition/index_value.go:28-42`), ``columns`` (`partition/columns.go:29-44`),
+``rowid``/``key`` (`partition/key.go:21-31`).
+
+Spark-first: routing is two derived columns (``topic``,``partition``) —
+metadata-only column algebra. ``index-value`` preserves per-key ordering
+because equal keys map to equal partitions (the ordering-critical
+property called out in the reference).
+
+Portability note: hash-based partitioners use a 32-bit FNV-1a over the
+rendered key string, implemented in portable integer column algebra —
+identical results in Spark and any ANSI engine (the oracle), unlike
+murmur3 ``F.hash`` which is Spark-private.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ticdc_spark.operators.table_filter import table_filter_predicate
+
+_FNV_OFFSET = 2166136261
+_FNV_PRIME = 16777619
+_M32 = 4294967296  # 2^32
+
+
+def fnv1a32(col: Column, max_len: int = 64) -> Column:
+    """32-bit FNV-1a over a string column, unrolled to ``max_len`` chars.
+
+    Pure column algebra (aggregate over a char array) — stays JVM-side and
+    is expressible verbatim in the DuckDB oracle. Strings longer than
+    ``max_len`` hash their prefix (keys here are short identifiers).
+    """
+    chars = F.slice(F.split(col, ""), 1, max_len)
+    return F.aggregate(
+        chars,
+        F.lit(_FNV_OFFSET).cast("long"),
+        lambda acc, ch: ((acc.bitwiseXOR(F.ascii(ch))) * _FNV_PRIME) % _M32,
+    )
+
+
+def topic_expr(template: str, default_schema_col: str = "schema_name") -> Column:
+    """Render ``{schema}``/``{table}`` templates, e.g. ``cdc_{schema}_{table}``."""
+    parts: list[Column] = []
+    buf = ""
+    i = 0
+    while i < len(template):
+        if template.startswith("{schema}", i):
+            if buf:
+                parts.append(F.lit(buf)); buf = ""
+            parts.append(F.col(default_schema_col))
+            i += len("{schema}")
+        elif template.startswith("{table}", i):
+            if buf:
+                parts.append(F.lit(buf)); buf = ""
+            parts.append(F.col("table_name"))
+            i += len("{table}")
+        else:
+            buf += template[i]; i += 1
+    if buf:
+        parts.append(F.lit(buf))
+    return F.concat(*parts)
+
+
+def _partition_expr(rule: str, n: int, columns: list[str] | None = None) -> Column:
+    key: Column
+    if rule in ("default", "table"):
+        key = fnv1a32(F.concat_ws(".", F.col("schema_name"), F.col("table_name")))
+    elif rule == "ts":
+        return (F.col("commit_ts") % n).cast("int")
+    elif rule == "index-value":
+        key = fnv1a32(F.concat_ws(
+            ",", F.coalesce(F.col("after.id"), F.col("before.id")).cast("string")
+        ))
+    elif rule == "columns":
+        cols = [F.coalesce(F.col(f"after.{c}"), F.col(f"before.{c}")).cast("string")
+                for c in (columns or [])]
+        key = fnv1a32(F.concat_ws(",", *cols))
+    elif rule in ("rowid", "key"):
+        key = fnv1a32(F.col("pk").cast("string"))
+    else:
+        raise ValueError(f"unknown partition rule: {rule}")
+    return (key % n).cast("int")
+
+
+PARTITIONERS = ("default", "table", "ts", "index-value", "columns", "rowid", "key")
+
+
+def route(cl: DataFrame, dispatchers: list[dict], n_partitions: int = 16) -> DataFrame:
+    """dispatchers: [{"matcher": [...], "partition": rule, "topic": tmpl,
+    "columns": [...]}] — first match wins (event_router.go:28-158)."""
+    topic: Column = F.concat_ws(".", F.col("schema_name"), F.col("table_name"))
+    part: Column = _partition_expr("default", n_partitions)
+    for d in reversed(dispatchers):  # fold so the first matching rule wins
+        cond = table_filter_predicate(d.get("matcher", ["*.*"]))
+        if d.get("topic"):
+            topic = F.when(cond, topic_expr(d["topic"])).otherwise(topic)
+        if d.get("partition"):
+            part = F.when(
+                cond, _partition_expr(d["partition"], n_partitions, d.get("columns"))
+            ).otherwise(part)
+    return cl.withColumn("topic", topic).withColumn("partition", part)

@@ -1,0 +1,92 @@
+"""Changefeed pipeline compiler (SURVEY §3.2's hot path, Spark-first).
+
+A changefeed config (same field names as the reference's ReplicaConfig,
+`pkg/config/replica_config.go:151` / `pkg/config/sink.go:139`) compiles
+into one declarative DataFrame transform:
+
+    source → F1 table filter → F2/F4 event filters → F3 expr filter →
+    P1 column selector → P2 update split → (A1 compaction) →
+    P3/P4 projections → R1-R6 routing → encoder → sink
+
+Filters are applied BEFORE any wide operation so Catalyst pushes them
+toward the scan (the reference applies its filters at scan time too —
+`schema_store.go:62`, skip-decode accounting `event_store.go:58-59`).
+The only shuffle in the whole pipeline is the compaction groupBy (and it
+uses map-side partial aggregation); at 100 TB that is the minimum
+possible: one exchange keyed by (table, pk).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from ticdc_spark.codec import (
+    encode_canal_json,
+    encode_csv,
+    encode_debezium,
+    encode_open_protocol,
+)
+from ticdc_spark.operators import (
+    apply_event_filters,
+    apply_expr_filter,
+    apply_table_filter,
+    compact_changelog,
+    delete_handle_key_only,
+    only_updated_columns,
+    route,
+    select_columns,
+    split_updates,
+)
+
+ENCODERS = {
+    "canal-json": encode_canal_json,
+    "csv": encode_csv,
+    "open-protocol": encode_open_protocol,
+    "debezium": encode_debezium,
+}
+
+
+@dataclass
+class ChangefeedConfig:
+    """Subset of the reference ReplicaConfig surface, same names."""
+
+    filter_rules: list[str] = field(default_factory=lambda: ["*.*"])
+    event_filters: list[dict] = field(default_factory=list)
+    expr_filter: dict | None = None  # {"matcher": [...], "ignore-insert-value-expr": ...}
+    column_selectors: list[dict] = field(default_factory=list)
+    dispatchers: list[dict] = field(default_factory=list)
+    protocol: str = "canal-json"
+    split_updates: bool = True
+    compact: bool = False
+    only_output_updated_columns: bool = False
+    delete_only_output_handle_key: bool = False
+    n_partitions: int = 16
+
+
+def build_pipeline(cl: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
+    payload_fields = [f.name for f in cl.schema["after"].dataType.fields]
+    df = apply_table_filter(cl, cfg.filter_rules)
+    if cfg.event_filters:
+        df = apply_event_filters(df, cfg.event_filters)
+    if cfg.expr_filter:
+        ef = dict(cfg.expr_filter)
+        matcher = ef.pop("matcher", ["*.*"])
+        kwargs = {k.replace("-", "_"): v for k, v in ef.items()}
+        df = apply_expr_filter(df, matcher, payload_fields, **kwargs)
+    if cfg.column_selectors:
+        df = select_columns(df, cfg.column_selectors)
+    if cfg.split_updates:
+        df = split_updates(df)
+    if cfg.compact:
+        df = compact_changelog(df)
+        return df  # compacted output feeds the mysql sink path, not MQ
+    if cfg.only_output_updated_columns:
+        df = only_updated_columns(df)
+    if cfg.delete_only_output_handle_key:
+        df = delete_handle_key_only(df)
+    if cfg.dispatchers:
+        df = route(df, cfg.dispatchers, cfg.n_partitions)
+    encoder = ENCODERS[cfg.protocol]
+    return encoder(df)

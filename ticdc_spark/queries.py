@@ -1,0 +1,441 @@
+"""Query registry — every implemented operator exposed as a
+(spark_fn, oracle_sql) pair for the driver's correctness gate.
+
+Spark side composes the real operators from ``ticdc_spark.operators`` on
+the canonical changelog (``sources/changelog.py``); the oracle side is
+the same computation in ANSI SQL over the DuckDB views, sharing the
+``CHANGELOG_SQL`` CTE so both derive from identical inputs. Column names
+are aliased identically on both sides (driver hashes sorted-by-name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ticdc_spark.operators import (
+    apply_event_filters,
+    apply_expr_filter,
+    apply_table_filter,
+    compact_changelog,
+    delete_handle_key_only,
+    only_updated_columns,
+    route,
+    select_columns,
+    split_updates,
+    with_row_checksum,
+)
+from ticdc_spark.operators.table_filter import oracle_predicate_sql
+from ticdc_spark.sources.changelog import (
+    CHANGELOG_SQL,
+    events_changelog,
+    flat_changelog,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+FLAT_COLS = [
+    "schema_name", "table_name", "table_id", "op", "commit_ts", "start_ts",
+    "seq", "dml_order", "pk", "before_id", "before_val", "before_k",
+    "after_id", "after_val", "after_k",
+]
+
+_FLAT_SELECT = ", ".join(FLAT_COLS)
+
+
+def _flatten(cl: DataFrame, extra: list | None = None) -> DataFrame:
+    cols = [
+        "schema_name", "table_name", "table_id", "op", "commit_ts",
+        "start_ts", "seq", "dml_order", "pk",
+        F.col("before.id").alias("before_id"),
+        F.col("before.val").alias("before_val"),
+        F.col("before.k").alias("before_k"),
+        F.col("after.id").alias("after_id"),
+        F.col("after.val").alias("after_val"),
+        F.col("after.k").alias("after_k"),
+    ]
+    return cl.select(*(cols + (extra or [])))
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# S6/S7 — mount: the changelog derivation itself
+# ---------------------------------------------------------------------------
+@register(
+    "changelog_mount",
+    f"WITH {CHANGELOG_SQL} SELECT {_FLAT_SELECT} FROM changelog",
+)
+def q_changelog_mount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return flat_changelog(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# F1 — wildcard table filter (last match wins)
+# ---------------------------------------------------------------------------
+_F1_RULES = ["*.*", "!test.tp_view", "!test.tp_c*", "test.tp_click"]
+
+
+@register(
+    "table_filter",
+    f"WITH {CHANGELOG_SQL} SELECT {_FLAT_SELECT} FROM changelog "
+    f"WHERE {oracle_predicate_sql(_F1_RULES)}",
+)
+def q_table_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return apply_table_filter(flat_changelog(spark, sf_dir), _F1_RULES)
+
+
+# ---------------------------------------------------------------------------
+# F2/F4 — event-type filter scoped by matcher
+# ---------------------------------------------------------------------------
+_F2_RULES = [
+    {"matcher": ["test.tp_*"], "ignore-event": ["delete"]},
+    {"matcher": ["test.tp_click"], "ignore-event": ["update"]},
+]
+
+
+def _f2_oracle() -> str:
+    drops = []
+    for r in _F2_RULES:
+        scope = oracle_predicate_sql(r["matcher"])
+        ops = {"insert": "I", "update": "U", "delete": "D"}
+        lst = ", ".join(f"'{ops[e]}'" for e in r["ignore-event"])
+        drops.append(f"(({scope}) AND op IN ({lst}))")
+    return (
+        f"WITH {CHANGELOG_SQL} SELECT {_FLAT_SELECT} FROM changelog "
+        f"WHERE NOT ({' OR '.join(drops)})"
+    )
+
+
+ORACLES["event_type_filter"] = _f2_oracle()
+
+
+@register("event_type_filter", None)
+def q_event_type_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return apply_event_filters(flat_changelog(spark, sf_dir), _F2_RULES)
+
+
+# ---------------------------------------------------------------------------
+# F3 — SQL expression filter (F.expr = Catalyst as the expression engine)
+# ---------------------------------------------------------------------------
+_F3_SCOPE = oracle_predicate_sql(["test.tp_*"])
+
+
+@register(
+    "expr_filter",
+    f"WITH {CHANGELOG_SQL} SELECT {_FLAT_SELECT} FROM changelog "
+    f"WHERE NOT (({_F3_SCOPE}) AND ((op = 'I' AND after_val > 150.0) "
+    f"OR (op = 'U' AND before_k < 10)))",
+)
+def q_expr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = events_changelog(spark, sf_dir)
+    out = apply_expr_filter(
+        cl,
+        ["test.tp_*"],
+        ["id", "val", "k"],
+        ignore_insert_value_expr="val > 150.0",
+        ignore_update_old_value_expr="k < 10",
+    )
+    return _flatten(out)
+
+
+# ---------------------------------------------------------------------------
+# P2 — update split on handle-key change
+# ---------------------------------------------------------------------------
+_P2_ORACLE = f"""
+WITH {CHANGELOG_SQL},
+split AS (
+    SELECT schema_name, table_name, table_id, op, commit_ts, start_ts, seq,
+           dml_order, pk, before_id, before_val, before_k,
+           after_id, after_val, after_k
+    FROM changelog
+    WHERE NOT (op = 'U' AND before_id <> after_id)
+    UNION ALL
+    SELECT schema_name, table_name, table_id, 'D', commit_ts, start_ts, seq,
+           1, pk, before_id, before_val, before_k,
+           NULL, NULL, NULL
+    FROM changelog WHERE op = 'U' AND before_id <> after_id
+    UNION ALL
+    SELECT schema_name, table_name, table_id, 'I', commit_ts, start_ts, seq,
+           3, pk, NULL, NULL, NULL,
+           after_id, after_val, after_k
+    FROM changelog WHERE op = 'U' AND before_id <> after_id
+)
+SELECT {_FLAT_SELECT} FROM split
+"""
+
+
+@register("update_split", _P2_ORACLE)
+def q_update_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _flatten(split_updates(events_changelog(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# A1 — changelog compaction (6-case fold)
+# ---------------------------------------------------------------------------
+_A1_ORACLE = f"""
+WITH {CHANGELOG_SQL},
+g AS (
+    SELECT schema_name, table_name, table_id, pk,
+           count(*) AS n_events,
+           max(commit_ts) AS last_ts,
+           arg_min(op, commit_ts) AS first_op,
+           arg_max(op, commit_ts) AS last_op,
+           arg_min(before_id, commit_ts) AS fb_id,
+           arg_min(before_val, commit_ts) AS fb_val,
+           arg_min(before_k, commit_ts) AS fb_k,
+           arg_max(after_id, commit_ts) AS la_id,
+           arg_max(after_val, commit_ts) AS la_val,
+           arg_max(after_k, commit_ts) AS la_k
+    FROM changelog WHERE op IN ('I', 'U', 'D')
+    GROUP BY 1, 2, 3, 4
+),
+n AS (
+    SELECT *,
+           CASE WHEN first_op = 'I' AND last_op = 'D' THEN NULL
+                WHEN first_op = 'I' THEN 'I'
+                WHEN last_op = 'D' THEN 'D'
+                ELSE 'U' END AS net_op
+    FROM g
+)
+SELECT schema_name, table_name, table_id, pk, net_op, n_events,
+       last_ts AS commit_ts,
+       CASE WHEN net_op IN ('U', 'D') THEN fb_id END AS before_id,
+       CASE WHEN net_op IN ('U', 'D') THEN fb_val END AS before_val,
+       CASE WHEN net_op IN ('U', 'D') THEN fb_k END AS before_k,
+       CASE WHEN net_op IN ('I', 'U') THEN la_id END AS after_id,
+       CASE WHEN net_op IN ('I', 'U') THEN la_val END AS after_val,
+       CASE WHEN net_op IN ('I', 'U') THEN la_k END AS after_k
+FROM n WHERE net_op IS NOT NULL
+"""
+
+
+@register("compaction", _A1_ORACLE)
+def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = compact_changelog(events_changelog(spark, sf_dir))
+    return out.select(
+        "schema_name", "table_name", "table_id", "pk", "net_op", "n_events",
+        "commit_ts",
+        F.col("before.id").alias("before_id"),
+        F.col("before.val").alias("before_val"),
+        F.col("before.k").alias("before_k"),
+        F.col("after.id").alias("after_id"),
+        F.col("after.val").alias("after_val"),
+        F.col("after.k").alias("after_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1/O2 — replay ordering (rank column)
+# ---------------------------------------------------------------------------
+@register(
+    "ordering",
+    f"WITH {CHANGELOG_SQL} SELECT table_id, seq, commit_ts, "
+    "row_number() OVER (PARTITION BY table_id "
+    "ORDER BY commit_ts, start_ts, dml_order, seq) AS sort_rank "
+    "FROM changelog",
+)
+def q_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = flat_changelog(spark, sf_dir)
+    w = Window.partitionBy("table_id").orderBy("commit_ts", "start_ts", "dml_order", "seq")
+    return cl.select(
+        "table_id", "seq", "commit_ts",
+        F.row_number().over(w).cast("long").alias("sort_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — checkpoint/resolved-ts aggregation (min over dispatcher watermarks)
+# ---------------------------------------------------------------------------
+@register(
+    "checkpoint_ts",
+    f"WITH {CHANGELOG_SQL} SELECT table_name, "
+    "min(commit_ts) AS min_commit_ts, max(commit_ts) AS resolved_ts, "
+    "count(*) AS n_rows FROM changelog GROUP BY table_name",
+)
+def q_checkpoint_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        flat_changelog(spark, sf_dir)
+        .groupBy("table_name")
+        .agg(
+            F.min("commit_ts").alias("min_commit_ts"),
+            F.max("commit_ts").alias("resolved_ts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2 — syncpoint (tumbling alignment every interval, rounded UP like
+# CalculateStartSyncPointTs, syncpoint.go:28-39)
+# ---------------------------------------------------------------------------
+_SYNC_INTERVAL = 3_600_000_000  # 1h in µs
+
+
+@register(
+    "syncpoint",
+    f"WITH {CHANGELOG_SQL} SELECT table_name, "
+    f"(commit_ts - commit_ts % {_SYNC_INTERVAL}) + {_SYNC_INTERVAL} AS syncpoint_ts, "
+    "count(*) AS n_rows, max(commit_ts) AS max_commit_ts "
+    "FROM changelog GROUP BY 1, 2",
+)
+def q_syncpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = flat_changelog(spark, sf_dir)
+    sp = (F.col("commit_ts") - F.col("commit_ts") % _SYNC_INTERVAL) + _SYNC_INTERVAL
+    return (
+        cl.withColumn("syncpoint_ts", sp)
+        .groupBy("table_name", "syncpoint_ts")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.max("commit_ts").alias("max_commit_ts"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1 — column selector (drop k on tp_click; unified-schema semantics:
+# dropped field renders NULL)
+# ---------------------------------------------------------------------------
+_P1_SCOPE = oracle_predicate_sql(["test.tp_click"])
+
+
+@register(
+    "column_selector",
+    f"WITH {CHANGELOG_SQL} SELECT schema_name, table_name, op, seq, pk, "
+    "before_id, after_id, before_val, after_val, "
+    f"CASE WHEN ({_P1_SCOPE}) THEN NULL ELSE before_k END AS before_k, "
+    f"CASE WHEN ({_P1_SCOPE}) THEN NULL ELSE after_k END AS after_k "
+    "FROM changelog",
+)
+def q_column_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = events_changelog(spark, sf_dir)
+    out = select_columns(cl, [{"matcher": ["test.tp_click"], "columns": ["id", "val"]}])
+    return out.select(
+        "schema_name", "table_name", "op", "seq", "pk",
+        F.col("before.id").alias("before_id"),
+        F.col("after.id").alias("after_id"),
+        F.col("before.val").alias("before_val"),
+        F.col("after.val").alias("after_val"),
+        F.col("before.k").alias("before_k"),
+        F.col("after.k").alias("after_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P3 — only-output-updated-columns (null unchanged before-fields on U)
+# ---------------------------------------------------------------------------
+@register(
+    "updated_columns_projection",
+    f"WITH {CHANGELOG_SQL} SELECT schema_name, table_name, op, seq, pk, "
+    "CASE WHEN op = 'U' AND before_id IS NOT DISTINCT FROM after_id "
+    "THEN NULL ELSE before_id END AS before_id, "
+    "CASE WHEN op = 'U' AND before_val IS NOT DISTINCT FROM after_val "
+    "THEN NULL ELSE before_val END AS before_val, "
+    "CASE WHEN op = 'U' AND before_k IS NOT DISTINCT FROM after_k "
+    "THEN NULL ELSE before_k END AS before_k, "
+    "after_id, after_val, after_k FROM changelog",
+)
+def q_updated_columns_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = only_updated_columns(events_changelog(spark, sf_dir))
+    return cl.select(
+        "schema_name", "table_name", "op", "seq", "pk",
+        F.col("before.id").alias("before_id"),
+        F.col("before.val").alias("before_val"),
+        F.col("before.k").alias("before_k"),
+        F.col("after.id").alias("after_id"),
+        F.col("after.val").alias("after_val"),
+        F.col("after.k").alias("after_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4 — delete-only-output-handle-key
+# ---------------------------------------------------------------------------
+@register(
+    "delete_handle_key_only",
+    f"WITH {CHANGELOG_SQL} SELECT schema_name, table_name, op, seq, pk, "
+    "before_id, "
+    "CASE WHEN op = 'D' THEN NULL ELSE before_val END AS before_val, "
+    "CASE WHEN op = 'D' THEN NULL ELSE before_k END AS before_k, "
+    "after_id, after_val, after_k FROM changelog",
+)
+def q_delete_handle_key_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = delete_handle_key_only(events_changelog(spark, sf_dir))
+    return cl.select(
+        "schema_name", "table_name", "op", "seq", "pk",
+        F.col("before.id").alias("before_id"),
+        F.col("before.val").alias("before_val"),
+        F.col("before.k").alias("before_k"),
+        F.col("after.id").alias("after_id"),
+        F.col("after.val").alias("after_val"),
+        F.col("after.k").alias("after_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R1-R6 — routing: topic template + ts / index-value partitioners
+# ---------------------------------------------------------------------------
+_FNV_SQL = (
+    "list_reduce(list_prepend(2166136261::BIGINT, "
+    "[ascii(c) for c in split({key}, '')]), "
+    "(acc, x) -> (xor(acc, x) * 16777619) % 4294967296)"
+)
+_R_SCOPE_SIGNUP = oracle_predicate_sql(["test.tp_signup"])
+_R_KEY = "coalesce(after_id, before_id)::VARCHAR"
+
+
+@register(
+    "routing",
+    f"WITH {CHANGELOG_SQL} SELECT seq, table_name, "
+    f"CASE WHEN ({_R_SCOPE_SIGNUP}) THEN 'signup_topic' "
+    "ELSE 'cdc_' || schema_name || '_' || table_name END AS topic, "
+    f"CAST(CASE WHEN ({_R_SCOPE_SIGNUP}) THEN commit_ts % 16 "
+    f"ELSE {_FNV_SQL.format(key=_R_KEY)} % 16 END AS INTEGER) AS partition "
+    "FROM changelog",
+)
+def q_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = events_changelog(spark, sf_dir)
+    out = route(
+        cl,
+        [
+            {"matcher": ["test.tp_signup"], "partition": "ts", "topic": "signup_topic"},
+            {"matcher": ["test.tp_*"], "partition": "index-value",
+             "topic": "cdc_{schema}_{table}"},
+        ],
+        n_partitions=16,
+    )
+    return out.select("seq", "table_name", "topic", "partition")
+
+
+# ---------------------------------------------------------------------------
+# P5 — integrity row checksum
+# ---------------------------------------------------------------------------
+_CK_AFTER = (
+    "coalesce(after_id::VARCHAR, '\\N') || '|' || "
+    "coalesce(printf('%.6f', after_val), '\\N') || '|' || "
+    "coalesce(after_k::VARCHAR, '\\N')"
+)
+_CK_BEFORE = (
+    "coalesce(before_id::VARCHAR, '\\N') || '|' || "
+    "coalesce(printf('%.6f', before_val), '\\N') || '|' || "
+    "coalesce(before_k::VARCHAR, '\\N')"
+)
+
+
+@register(
+    "row_checksum",
+    f"WITH {CHANGELOG_SQL} SELECT seq, op, "
+    f"md5(CASE WHEN op <> 'D' THEN {_CK_AFTER} ELSE {_CK_BEFORE} END) AS checksum "
+    "FROM changelog",
+)
+def q_row_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = with_row_checksum(events_changelog(spark, sf_dir))
+    return cl.select("seq", "op", "checksum")

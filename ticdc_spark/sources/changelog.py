@@ -1,0 +1,208 @@
+"""Changelog source (SURVEY §2.1 S1/S6/S7).
+
+The reference's raw source is a TiKV gRPC change-log subscription
+(`logservice/logpuller/subscription_client.go`) whose entries are mounted
+(`pkg/common/event/mounter.go:44-151`) into row-change events with
+``before``/``after`` images (`pkg/common/event/row_change.go:24-51`:
+delete = before only, insert = after only, update = both).
+
+Here the source is the driver's deterministic ``events`` parquet table
+(TESTDATA.md), mounted into the engine-facing changelog shape of
+FIXTURES.md §1. The derivation is pure column algebra — it is expressed
+once in DataFrame API (Spark side) and once as a SQL CTE (DuckDB oracle
+side, ``CHANGELOG_SQL``); both must stay in lockstep.
+
+Derivation spec (deterministic, engine-portable):
+
+- ``op``:       error → D, click/purchase → U, signup/view → I
+- ``table_name``: ``'tp_' || event_type``; ``schema_name`` = 'test'
+- ``table_id``: alphabetical rank of event_type (click=1 … view=5)
+- ``commit_ts``: epoch microseconds of ``ts``  (unique at every SF — the
+  total order key, mirroring TiCDC's CommitTs)
+- ``start_ts``: ``commit_ts - (event_id % 997) - 1``
+- ``seq``:      ``event_id`` (row sequence within txn)
+- ``dml_order``: D=1, U=2, I=3 (`logservice/eventstore/format.go:17-25`)
+- ``pk``:       ``user_id`` (handle key)
+- payload:      ``val`` (events.value), ``k`` (props JSON field ``k``)
+  - after image  present for I/U: id = pk + pk_shift, val = value, k
+  - before image present for U/D: id = pk, val = value + 1.0 (fake
+    deterministic pre-image), k
+  - ``pk_shift`` = 1000 when op='U' and event_id % 10 == 0 — models a
+    handle-key-changing update (exercises update-split,
+    `pkg/common/kv_entry.go:107-131`)
+
+At 100 TB the source would be ``readStream.format("kafka"/"parquet")``
+with the same mount expressions; all derivation is JVM-side column
+algebra inside whole-stage codegen (no Python on the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+# Event-type → (op, table_id). Alphabetical ids.
+_EVENT_MAP = {
+    "click": ("U", 1),
+    "error": ("D", 2),
+    "purchase": ("U", 3),
+    "signup": ("I", 4),
+    "view": ("I", 5),
+}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan — Catalyst pushes filters/projections into the scan.
+
+    The testdata parquet stores TIMESTAMP(NANOS), which Spark only reads
+    as LongType nanos under the legacy flag — set it here so the engine
+    works inside any caller-provided session (the driver's included).
+    Timestamp columns therefore surface as nanosecond longs; use
+    ``micros(col)`` / ``as_timestamp(col)`` to interpret them.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def micros(col_name: str) -> "F.Column":
+    """Nanosecond-long column → epoch microseconds (matches DuckDB's
+    truncating read of TIMESTAMP(NANOS) + ``epoch_us``)."""
+    return F.expr(f"{col_name} div 1000")
+
+
+def as_timestamp(col_name: str):
+    """Nanosecond-long column → TimestampType (micros precision)."""
+    return F.timestamp_micros(F.expr(f"{col_name} div 1000"))
+
+
+def _mount(events: DataFrame) -> DataFrame:
+    """Mount raw events into the changelog shape (S7 mounter analog)."""
+    op = (
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .when(F.col("event_type").isin("click", "purchase"), F.lit("U"))
+        .otherwise(F.lit("I"))
+    )
+    table_id = (
+        F.when(F.col("event_type") == "click", F.lit(1))
+        .when(F.col("event_type") == "error", F.lit(2))
+        .when(F.col("event_type") == "purchase", F.lit(3))
+        .when(F.col("event_type") == "signup", F.lit(4))
+        .otherwise(F.lit(5))
+    ).cast("long")
+    commit_ts = F.expr("ts div 1000")  # nanos → micros (see read_table)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    pk_shift = F.when(
+        (op == "U") & (F.col("event_id") % 10 == 0), F.lit(1000)
+    ).otherwise(F.lit(0)).cast("long")
+
+    df = events.select(
+        F.lit("test").alias("schema_name"),
+        F.concat(F.lit("tp_"), F.col("event_type")).alias("table_name"),
+        table_id.alias("table_id"),
+        op.alias("op"),
+        commit_ts.alias("commit_ts"),
+        (commit_ts - (F.col("event_id") % 997) - 1).alias("start_ts"),
+        F.col("event_id").cast("long").alias("seq"),
+        F.when(op == "D", 1).when(op == "U", 2).otherwise(3).alias("dml_order"),
+        F.col("user_id").cast("long").alias("pk"),
+        F.when(
+            op.isin("U", "D"),
+            F.struct(
+                F.col("user_id").cast("long").alias("id"),
+                (F.col("value") + F.lit(1.0)).alias("val"),
+                k.alias("k"),
+            ),
+        ).alias("before"),
+        F.when(
+            op.isin("I", "U"),
+            F.struct(
+                (F.col("user_id") + pk_shift).cast("long").alias("id"),
+                F.col("value").alias("val"),
+                k.alias("k"),
+            ),
+        ).alias("after"),
+    )
+    return df
+
+
+def events_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch changelog: the engine's canonical input DataFrame."""
+    return _mount(read_table(spark, sf_dir, "events"))
+
+
+def stream_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming changelog over the same parquet (availableNow-compatible).
+
+    Mirrors the reference's log subscription (S1): a readStream that feeds
+    the identical mount expressions — the batch and stream plans share all
+    operator code downstream.
+    """
+    schema = read_table(spark, sf_dir, "events").schema
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(sf_dir)
+    )
+    # The directory holds all tables; keep only events columns (the parquet
+    # source reads per-file schemas — for tests we point at events.parquet
+    # via a glob filter instead).
+    return _mount(raw)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle side of the identical derivation. Any change above MUST be
+# mirrored here. Used as a CTE prelude by every oracle SQL in queries.py.
+# ---------------------------------------------------------------------------
+CHANGELOG_SQL = """
+changelog AS (
+    SELECT
+        'test' AS schema_name,
+        'tp_' || event_type AS table_name,
+        CAST(CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+             WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 ELSE 5 END AS BIGINT) AS table_id,
+        CASE WHEN event_type = 'error' THEN 'D'
+             WHEN event_type IN ('click', 'purchase') THEN 'U'
+             ELSE 'I' END AS op,
+        epoch_us(ts) AS commit_ts,
+        epoch_us(ts) - (event_id % 997) - 1 AS start_ts,
+        CAST(event_id AS BIGINT) AS seq,
+        CASE WHEN event_type = 'error' THEN 1
+             WHEN event_type IN ('click', 'purchase') THEN 2
+             ELSE 3 END AS dml_order,
+        CAST(user_id AS BIGINT) AS pk,
+        CASE WHEN event_type IN ('click', 'purchase', 'error')
+             THEN CAST(user_id AS BIGINT) END AS before_id,
+        CASE WHEN event_type IN ('click', 'purchase', 'error')
+             THEN value + 1.0 END AS before_val,
+        CASE WHEN event_type IN ('click', 'purchase', 'error')
+             THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS before_k,
+        CASE WHEN event_type <> 'error'
+             THEN CAST(user_id AS BIGINT)
+                  + CASE WHEN event_type IN ('click', 'purchase') AND event_id % 10 = 0
+                         THEN 1000 ELSE 0 END END AS after_id,
+        CASE WHEN event_type <> 'error' THEN value END AS after_val,
+        CASE WHEN event_type <> 'error'
+             THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS after_k
+    FROM events
+)
+"""
+
+
+def flat_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog with before/after structs flattened to scalar columns —
+    the shape oracle SQL sees (struct columns don't hash portably)."""
+    cl = events_changelog(spark, sf_dir)
+    return cl.select(
+        "schema_name", "table_name", "table_id", "op", "commit_ts",
+        "start_ts", "seq", "dml_order", "pk",
+        F.col("before.id").alias("before_id"),
+        F.col("before.val").alias("before_val"),
+        F.col("before.k").alias("before_k"),
+        F.col("after.id").alias("after_id"),
+        F.col("after.val").alias("after_val"),
+        F.col("after.k").alias("after_k"),
+    )
