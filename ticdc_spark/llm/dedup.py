@@ -1,0 +1,164 @@
+"""Deduplication operators (beyond-reference, SURVEY §7.2 phase 7).
+
+Four dedup families over ``documents``:
+
+- **exact**: content-hash groupBy — one shuffle on the digest.
+- **n-gram Jaccard**: inverted-index self-join on shingles (NOT a cross
+  join): explode shingles → join on shingle → count intersections →
+  |A∪B| = |A|+|B|−|∩|. At 100 TB the shingle join is the scalable
+  candidate generator; hot shingles are the skew risk (AQE skew-join
+  handles, or drop top-frequency shingles as stopwords).
+- **MinHash + LSH**: per-doc signature = array_min over md5-salted
+  shingle hashes (map-only, no shuffle); band buckets → equi-join on
+  (band, bucket) generates candidates in O(collisions), then exact
+  Jaccard verifies. The classic sub-quadratic near-dup pipe.
+- **SimHash**: 16-bit signature from per-token FNV-1a hashes, bitwise
+  majority vote — map-only column algebra.
+
+Everything is deterministic (md5 / FNV-1a) so the DuckDB oracle can
+reproduce results exactly; no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ticdc_spark.llm.text import shingles_col, tokens_col
+from ticdc_spark.operators.routing import fnv1a32
+
+NUM_PERM = 8       # minhash permutations
+BAND_SIZE = 2      # rows per LSH band
+N_BANDS = NUM_PERM // BAND_SIZE
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup: groups + canonical (min) doc id."""
+    h = F.md5(F.col("text"))
+    return (
+        docs.select(F.col("doc_id"), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", shingles_col(3).alias("shingles"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard ≥ threshold."""
+    sh = _doc_shingles(docs).cache()
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("n_b"))
+    j = (
+        inter.join(sa, "a_id").join(sb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "n_inter", "jaccard")
+    )
+    return j
+
+
+def minhash_signature(docs: DataFrame) -> DataFrame:
+    """Per-doc minhash signature columns mh0..mh{NUM_PERM-1} + LSH band
+    bucket hashes band0..band{N_BANDS-1} — all map-side."""
+    sh = _doc_shingles(docs)
+    cols = [F.col("doc_id")]
+    mh = []
+
+    def salted(seed: int):
+        # NB: must stay a 1-arg lambda — a second (even defaulted) param
+        # makes pyspark pass the array index as the extra argument.
+        return lambda x: F.md5(F.concat(F.lit(f"{seed}:"), x))
+
+    for s in range(NUM_PERM):
+        m = F.array_min(F.transform(F.col("shingles"), salted(s)))
+        mh.append(m)
+        cols.append(m.alias(f"mh{s}"))
+    for b in range(N_BANDS):
+        band = F.md5(F.concat_ws("|", *mh[b * BAND_SIZE:(b + 1) * BAND_SIZE]))
+        cols.append(band.alias(f"band{b}"))
+    return sh.select(*cols)
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Candidate pairs via LSH band-bucket equi-join, verified with exact
+    Jaccard. Output identical shape to ngram_jaccard_pairs (the LSH is a
+    recall-optimizing candidate generator, not a different metric)."""
+    sig = minhash_signature(docs)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
+                for b in range(N_BANDS)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    sh = _doc_shingles(docs)
+    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cand.join(sa, "a_id").join(sb, "b_id")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "n_inter", "jaccard")
+    )
+    return verified
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """Per-doc SimHash: majority vote over token FNV-1a hash bits."""
+    # Materialize token hashes once; the 16 per-bit votes then share the
+    # projected array instead of re-hashing (subexpr elimination aside).
+    with_h = docs.withColumn(
+        "_hashes", F.transform(tokens_col(), lambda t: fnv1a32(t))
+    )
+    sim = F.lit(0).cast("long")
+
+    def bit_vote(mask: int):
+        # 2-arg merge lambda only — see salted() note on pyspark arity.
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(mask)) != 0, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    for i in range(bits):
+        vote = F.aggregate(F.col("_hashes"), F.lit(0).cast("long"), bit_vote(1 << i))
+        sim = sim + F.when(vote > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return with_h.select("doc_id", sim.alias("simhash"))

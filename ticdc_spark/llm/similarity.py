@@ -1,0 +1,121 @@
+"""Similarity search over embeddings (beyond-reference, SURVEY §7.2
+phase 7; the reference's VECTOR column type, `csv_message.go:323` /
+`avro/arvo.go:601`, is the data-model hook).
+
+- **brute_force_knn**: exact cosine top-k — query set × corpus. The
+  correctness baseline; cross-join cost is |Q|·|C|, acceptable for
+  small query batches even at large corpus scale because the corpus
+  side streams (no shuffle: corpus is scanned once per query-batch
+  broadcast).
+- **lsh_buckets / lsh_knn**: random-hyperplane LSH — the scale path.
+  Hyperplane components are derived deterministically from md5 (shared
+  python constant, embedded as literals in both Spark and oracle SQL),
+  bucket = sign-bit string; candidates = bucket equi-join, then exact
+  cosine re-rank. At 100 TB: bucketing is map-only; the join is an
+  equi-join on (bucket), i.e. O(collisions) not O(n²).
+
+Dot products run as ``F.aggregate`` over ``zip_with`` — sequential
+left-to-right double summation, reproduced exactly by the oracle's
+``list_sum(list_transform(list_zip(...)))`` (same order), then rounded
+to 6 decimals.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+EMB_DIM = 64
+N_PLANES = 8
+
+
+def hyperplanes(dim: int = EMB_DIM, n_planes: int = N_PLANES) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1): component
+    (p, d) = md5("plane:p:d") first 8 hex digits → uniform int → float."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[:8], 16)
+            row.append(round(h / 2**31 - 1.0, 6))
+        planes.append(row)
+    return planes
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
+
+
+def brute_force_knn(
+    emb: DataFrame, n_queries: int = 20, k: int = 10
+) -> DataFrame:
+    """Exact top-k cosine neighbors for vec_id < n_queries."""
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("cos_sim", cosine(F.col("q_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cos_sim", "rank")
+    )
+
+
+def lsh_bucket_col(emb_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket string, e.g. '10110010'."""
+    bits = []
+    for row in planes:
+        lit_plane = F.array(*[F.lit(v) for v in row])
+        bits.append(F.when(_dot(emb_col, lit_plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_buckets(emb: DataFrame) -> DataFrame:
+    planes = hyperplanes()
+    return emb.select(
+        "vec_id", lsh_bucket_col(F.col("embedding"), planes).alias("bucket")
+    )
+
+
+def lsh_knn(emb: DataFrame, n_queries: int = 20, k: int = 3) -> DataFrame:
+    """ANN: candidates share the LSH bucket; exact cosine re-rank inside."""
+    planes = hyperplanes()
+    with_b = emb.withColumn("bucket", lsh_bucket_col(F.col("embedding"), planes))
+    q = with_b.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    c = with_b.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), "bucket"
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("cos_sim", cosine(F.col("q_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cos_sim", "rank")
+    )

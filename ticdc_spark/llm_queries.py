@@ -1,0 +1,338 @@
+"""LLM-data-pipeline queries + DuckDB oracles (registered into the main
+query registry). Shared constants (marker sets, hyperplanes, minhash
+parameters) come from the operator modules so both sides stay in
+lockstep."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ticdc_spark.llm.dedup import (
+    BAND_SIZE,
+    N_BANDS,
+    NUM_PERM,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ticdc_spark.llm.multimodal import extract_features
+from ticdc_spark.llm.similarity import brute_force_knn, hyperplanes, lsh_knn
+from ticdc_spark.llm.text import (
+    MARKERS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+from ticdc_spark.queries import register
+from ticdc_spark.sources.changelog import read_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "embeddings")
+
+
+# -- shared SQL fragments ----------------------------------------------------
+_TOKS = "string_split(text, ' ')"
+_SHINGLES_CTE = f"""
+docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 3
+                THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+                                    for i in generate_series(1, len(toks)-2)])
+                ELSE [] END AS shingles
+    FROM docs
+)
+"""
+
+_FNV = (
+    "list_reduce(list_prepend(2166136261::BIGINT, "
+    "[ascii(c) for c in split({s}, '')]), "
+    "(acc, x) -> (xor(acc, x) * 16777619) % 4294967296)"
+)
+
+
+def _marker_ratio_sql(markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(toks, t -> t IN ({lst})))::DOUBLE / len(toks)"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    "SELECT md5(text) AS content_hash, count(*) AS n_dups, "
+    "min(doc_id) AS keep_doc_id FROM documents GROUP BY 1",
+)
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (inverted-index join)
+# ---------------------------------------------------------------------------
+_JACCARD_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+inter AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+    FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, len(shingles) AS n_sh FROM sh)
+SELECT a_id, b_id, n_inter,
+       round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sz sa ON a_id = sa.doc_id
+JOIN sz sb ON b_id = sb.doc_id
+WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8
+"""
+
+
+@register("dedup_ngram_jaccard", _JACCARD_ORACLE)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH near-dup pairs
+# ---------------------------------------------------------------------------
+_MH_COLS = ",\n       ".join(
+    f"list_min(list_transform(shingles, x -> md5('{s}:' || x))) AS mh{s}"
+    for s in range(NUM_PERM)
+)
+_BAND_COLS = ",\n       ".join(
+    "md5(" + " || '|' || ".join(f"mh{b * BAND_SIZE + r}" for r in range(BAND_SIZE))
+    + f") AS band{b}"
+    for b in range(N_BANDS)
+)
+_MINHASH_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+mh AS (
+    SELECT doc_id,
+       {_MH_COLS}
+    FROM sh
+)
+SELECT doc_id, {', '.join(f'mh{s}' for s in range(NUM_PERM))},
+       {_BAND_COLS}
+FROM mh
+"""
+
+
+@register("dedup_minhash_signature", _MINHASH_ORACLE)
+def q_dedup_minhash_signature(spark, sf_dir):
+    return minhash_signature(_docs(spark, sf_dir))
+
+
+_LSH_PAIRS_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+mh AS (
+    SELECT doc_id,
+       {_MH_COLS}
+    FROM sh
+),
+bands AS (
+    SELECT doc_id, band, bucket FROM (
+        SELECT doc_id,
+           {_BAND_COLS}
+        FROM mh
+    ) UNPIVOT (bucket FOR band IN ({', '.join(f'band{b}' for b in range(N_BANDS))}))
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+verified AS (
+    SELECT a_id, b_id,
+           len(list_intersect(sa.shingles, sb.shingles)) AS n_inter,
+           round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+                 (len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+    FROM cand
+    JOIN sh sa ON a_id = sa.doc_id
+    JOIN sh sb ON b_id = sb.doc_id
+)
+SELECT * FROM verified WHERE jaccard >= 0.8
+"""
+
+
+@register("dedup_minhash_lsh", _LSH_PAIRS_ORACLE)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+_BIT_VOTES = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(hashes, h -> "
+    f"CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+    f"THEN {1 << i} ELSE 0 END)"
+    for i in range(16)
+)
+_SIMHASH_ORACLE = f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+h AS (SELECT doc_id, list_transform(toks, t -> {_FNV.format(s='t')}) AS hashes
+      FROM docs)
+SELECT doc_id, CAST({_BIT_VOTES} AS BIGINT) AS simhash FROM h
+"""
+
+
+@register("dedup_simhash", _SIMHASH_ORACLE)
+def q_dedup_simhash(spark, sf_dir):
+    return simhash(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+@register(
+    "lang_id",
+    "WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents) "
+    "SELECT doc_id, lang AS labeled_lang, "
+    f"round({_marker_ratio_sql(MARKERS['en'])}, 6) AS r_en, "
+    f"round({_marker_ratio_sql(MARKERS['de'])}, 6) AS r_de, "
+    f"round({_marker_ratio_sql(MARKERS['fr'])}, 6) AS r_fr, "
+    "CASE WHEN "
+    f"{_marker_ratio_sql(MARKERS['en'])} >= {_marker_ratio_sql(MARKERS['de'])} AND "
+    f"{_marker_ratio_sql(MARKERS['en'])} >= {_marker_ratio_sql(MARKERS['fr'])} AND "
+    f"{_marker_ratio_sql(MARKERS['en'])} > 0 THEN 'en' WHEN "
+    f"{_marker_ratio_sql(MARKERS['de'])} >= {_marker_ratio_sql(MARKERS['fr'])} AND "
+    f"{_marker_ratio_sql(MARKERS['de'])} > 0 THEN 'de' WHEN "
+    f"{_marker_ratio_sql(MARKERS['fr'])} > 0 THEN 'fr' ELSE 'unknown' END "
+    "AS predicted_lang FROM t",
+)
+def q_lang_id(spark, sf_dir):
+    return lang_id(_docs(spark, sf_dir))
+
+
+_ALL_MARKERS = MARKERS["en"] + MARKERS["de"] + MARKERS["fr"]
+
+
+@register(
+    "text_quality",
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) "
+    "SELECT doc_id, len(toks) AS n_tokens, "
+    f"round({_marker_ratio_sql(_ALL_MARKERS)}, 6) AS marker_ratio, "
+    "round(len(list_distinct(toks))::DOUBLE / len(toks), 6) AS diversity, "
+    "round(0.3 * least(len(toks)::DOUBLE / 100.0, 1.0) "
+    f"+ 0.4 * ({_marker_ratio_sql(_ALL_MARKERS)}) "
+    "+ 0.3 * (len(list_distinct(toks))::DOUBLE / len(toks)), 6) AS quality FROM t",
+)
+def q_text_quality(spark, sf_dir):
+    return quality_score(_docs(spark, sf_dir))
+
+
+@register(
+    "token_stats",
+    "WITH t AS (SELECT doc_id, n_chars, length(text) AS measured_chars, "
+    "string_split(text, ' ') AS toks FROM documents) "
+    "SELECT doc_id, n_chars, measured_chars, len(toks)::BIGINT AS n_tokens, "
+    "list_sum(list_transform(toks, x -> ceil(length(x) / 4.0)::BIGINT))::BIGINT "
+    "AS n_subwords_est FROM t",
+)
+def q_token_stats(spark, sf_dir):
+    return token_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "doc_fingerprint",
+    "WITH t AS (SELECT doc_id, "
+    "regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS norm FROM documents) "
+    "SELECT doc_id, md5(norm) AS content_fp, "
+    "md5(substring(norm, 1, 64)) AS prefix_fp FROM t",
+)
+def q_doc_fingerprint(spark, sf_dir):
+    return fingerprint(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), p -> "
+    "p[1]::DOUBLE * p[2]::DOUBLE))"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"round({_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)})), 6)"
+    )
+
+
+_KNN_ORACLE = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+scored AS (
+    SELECT q_id, c_id, {_cos_sql('q_emb', 'c_emb')} AS cos_sim
+    FROM q CROSS JOIN c WHERE q_id <> c_id
+),
+ranked AS (
+    SELECT q_id, c_id, cos_sim,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rank
+    FROM scored
+)
+SELECT q_id, c_id, cos_sim, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@register("similarity_knn", _KNN_ORACLE)
+def q_similarity_knn(spark, sf_dir):
+    return brute_force_knn(_emb(spark, sf_dir), n_queries=20, k=10)
+
+
+def _plane_sql(row: list[float]) -> str:
+    return "[" + ", ".join(f"{v}::DOUBLE" for v in row) + "]"
+
+
+_PLANES = hyperplanes()
+_BUCKET_SQL = " || ".join(
+    f"(CASE WHEN {_DOT.format(a='embedding', b=_plane_sql(row))} >= 0 "
+    "THEN '1' ELSE '0' END)"
+    for row in _PLANES
+)
+_LSH_KNN_ORACLE = f"""
+WITH b AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM b WHERE vec_id < 20),
+c AS (SELECT vec_id AS c_id, embedding AS c_emb, bucket FROM b),
+scored AS (
+    SELECT q_id, c_id, {_cos_sql('q_emb', 'c_emb')} AS cos_sim
+    FROM q JOIN c USING (bucket) WHERE q_id <> c_id
+),
+ranked AS (
+    SELECT q_id, c_id, cos_sim,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rank
+    FROM scored
+)
+SELECT q_id, c_id, cos_sim, rank FROM ranked WHERE rank <= 3
+"""
+
+
+@register("similarity_lsh_knn", _LSH_KNN_ORACLE)
+def q_similarity_lsh_knn(spark, sf_dir):
+    return lsh_knn(_emb(spark, sf_dir), n_queries=20, k=3)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (Pandas-UDF path, still oracle-checked)
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_features",
+    "SELECT doc_id, length(text)::BIGINT AS payload_len, md5(text) AS payload_md5, "
+    "16 + (ascii(substring(text, 1, 1)) % 64)::BIGINT AS fake_width, "
+    "16 + (ascii(substring(text, 2, 1)) % 64)::BIGINT AS fake_height "
+    "FROM documents",
+)
+def q_multimodal_features(spark, sf_dir):
+    return extract_features(_docs(spark, sf_dir))

@@ -439,3 +439,8 @@ _CK_BEFORE = (
 def q_row_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     cl = with_row_checksum(events_changelog(spark, sf_dir))
     return cl.select("seq", "op", "checksum")
+
+
+# Extension registries (import at bottom so `register` exists; they add
+# themselves to QUERIES/ORACLES).
+from ticdc_spark import llm_queries  # noqa: E402,F401  isort:skip

@@ -145,11 +145,9 @@ def stream_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.format("parquet")
         .schema(schema)
         .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    # The directory holds all tables; keep only events columns (the parquet
-    # source reads per-file schemas — for tests we point at events.parquet
-    # via a glob filter instead).
     return _mount(raw)
 
 

@@ -1,0 +1,117 @@
+"""Changefeed lifecycle on Structured Streaming (SURVEY §3.1/§3.2).
+
+The reference's changefeed is a named, restartable pipeline
+(`pkg/config/changefeed.go:252-281`) scheduled by a
+coordinator/maintainer over many nodes; here the whole control plane
+collapses into one ``StreamingQuery``:
+
+- create   = build DataFrame DAG + ``writeStream.start()``
+- pause    = ``query.stop()`` (checkpoint keeps offsets)
+- resume   = ``start()`` with the same checkpoint dir
+- remove   = stop + delete checkpoint
+- checkpointTs (A2: min over dispatcher watermarks,
+  `maintainer/maintainer.go:83-88`) = per-batch max commit_ts recorded in
+  the progress log written by foreachBatch
+
+The data plane transform is EXACTLY the batch pipeline
+(`pipeline.build_pipeline``) applied inside the micro-batch — batch and
+streaming share one operator implementation, the core Spark-first win.
+At scale the source swaps for Kafka and sinks write per-partition; the
+foreachBatch body already routes/partitions accordingly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ticdc_spark.pipeline import ChangefeedConfig, build_pipeline
+from ticdc_spark.sources.changelog import stream_changelog
+
+
+class Changefeed:
+    """One changefeed = one Structured Streaming query + checkpoint dir."""
+
+    def __init__(
+        self,
+        changefeed_id: str,
+        cfg: ChangefeedConfig,
+        work_dir: str,
+    ) -> None:
+        self.changefeed_id = changefeed_id
+        self.cfg = cfg
+        self.work_dir = work_dir
+        self.checkpoint_dir = os.path.join(work_dir, "checkpoint", changefeed_id)
+        self.sink_dir = os.path.join(work_dir, "sink", changefeed_id)
+        self.progress_path = os.path.join(work_dir, "progress", f"{changefeed_id}.jsonl")
+        self.query = None
+
+    # -- sink --------------------------------------------------------------
+    def _foreach_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """Ordered sink write + resolved-ts bookkeeping (W1/A2).
+
+        Rows are clustered by topic/partition and written sorted on the
+        replay key, mirroring the reference's per-dispatcher ordered flush;
+        the per-batch watermark (max commit_ts) is appended to the progress
+        log — the changefeed's checkpointTs.
+        """
+        if batch_df.isEmpty():
+            return
+        out_cols = [c for c in ("topic", "partition", "value") if c in batch_df.columns]
+        (
+            batch_df.sortWithinPartitions("commit_ts", "start_ts", "dml_order", "seq")
+            .select(*(out_cols or ["value"]))
+            .write.mode("append")
+            .partitionBy(*[c for c in ("topic",) if c in out_cols])
+            .format("json")
+            .save(os.path.join(self.sink_dir, f"epoch={epoch_id}"))
+        )
+        stats = batch_df.agg(
+            F.max("commit_ts").alias("resolved_ts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ).collect()[0]
+        os.makedirs(os.path.dirname(self.progress_path), exist_ok=True)
+        with open(self.progress_path, "a") as f:
+            f.write(json.dumps({
+                "changefeed": self.changefeed_id,
+                "epoch": epoch_id,
+                "resolved_ts": stats["resolved_ts"],
+                "rows": stats["n_rows"],
+                "wall_ts": time.time(),
+            }) + "\n")
+
+    # -- lifecycle ---------------------------------------------------------
+    def start(self, spark: SparkSession, sf_dir: str, available_now: bool = True):
+        cl = stream_changelog(spark, sf_dir)
+        out = build_pipeline(cl, self.cfg)
+        writer = (
+            out.writeStream.foreachBatch(self._foreach_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .queryName(f"changefeed_{self.changefeed_id}")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        self.query = writer.start()
+        return self.query
+
+    def wait(self, timeout_s: float = 300.0) -> None:
+        assert self.query is not None
+        self.query.awaitTermination(timeout_s)
+
+    def stop(self) -> None:
+        if self.query is not None and self.query.isActive:
+            self.query.stop()
+
+    def checkpoint_ts(self) -> int | None:
+        """Latest resolved ts from the progress log (A2)."""
+        if not os.path.exists(self.progress_path):
+            return None
+        last = None
+        with open(self.progress_path) as f:
+            for line in f:
+                last = json.loads(line)
+        return last["resolved_ts"] if last else None
