@@ -43,14 +43,29 @@ def main() -> None:
         out = build_pipeline(cl, cfg)
         return out.selectExpr("sum(length(value))").collect()
 
-    # Warm the JVM/session once (exclude startup from per-query numbers).
+    # Warm the JVM + Python workers once (exclude process startup from
+    # per-query numbers; steady-state throughput is what's measured).
     events_changelog(spark, sf_dir).count()
+    spark.range(10000).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     t0 = time.perf_counter()
     full_pipeline()
     timings["pipeline_canal_json"] = round(time.perf_counter() - t0, 3)
 
-    for name, fn in sorted(QUERIES.items()):
+    # Headline operator subset (full registry runs in the correctness gate;
+    # bench measures the representative heavy/typical paths).
+    headline = [
+        "changelog_mount", "compaction", "materialize_state", "update_split",
+        "ordering", "routing", "codec_canal_json", "codec_csv",
+        "mysql_sql_gen", "kafka_messages",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "dedup_simhash", "similarity_knn", "similarity_lsh_knn",
+        "text_quality", "token_stats", "multimodal_features",
+    ]
+    for name in headline:
+        fn = QUERIES[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()

@@ -76,7 +76,7 @@ def encode_canal_json(cl: DataFrame, pk_names: tuple[str, ...] = ("id",)) -> Dat
         F.lit('","pkNames":' + pk_json + ',"isDdl":false,"type":"'),
         canal_type,
         F.lit('","es":'),
-        (F.col("commit_ts") / 1000).cast("long").cast("string"),
+        F.expr("commit_ts div 1000").cast("string"),
         F.lit(',"ts":0,"sql":"","sqlType":' + sql_types + ',"mysqlType":' + mysql_types + ',"data":'),
         data_json,
         F.lit(',"old":'),

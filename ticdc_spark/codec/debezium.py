@@ -62,7 +62,7 @@ def encode_debezium(cl: DataFrame, connector: str = "ticdc-spark") -> DataFrame:
         F.lit(',"op":"'),
         dbz_op,
         F.lit('","ts_ms":'),
-        (F.col("commit_ts") / 1000).cast("long").cast("string"),
+        F.expr("commit_ts div 1000").cast("string"),
         F.lit("}"),
     )
     return cl.withColumn("value", value)

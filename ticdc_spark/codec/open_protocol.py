@@ -36,9 +36,10 @@ def _image_obj(image: str, schema: StructType) -> Column:
     return F.when(F.col(image).isNotNull(), F.concat(*parts))
 
 
-def encode_open_protocol(cl: DataFrame) -> DataFrame:
-    schema: StructType = cl.schema["after"].dataType
-    key = F.concat(
+def open_protocol_key() -> Column:
+    """The open-protocol message key (`open/message.go:28-40`) — also used
+    as the kafka message key for other protocols."""
+    return F.concat(
         F.lit('{"ts":'),
         F.col("commit_ts").cast("string"),
         F.lit(',"scm":"'),
@@ -47,6 +48,11 @@ def encode_open_protocol(cl: DataFrame) -> DataFrame:
         F.col("table_name"),
         F.lit('","t":1}'),
     )
+
+
+def encode_open_protocol(cl: DataFrame) -> DataFrame:
+    schema: StructType = cl.schema["after"].dataType
+    key = open_protocol_key()
     upsert = _image_obj("after", schema)
     delete = _image_obj("before", schema)
     value = (

@@ -69,7 +69,12 @@ def extract_features(docs: DataFrame) -> DataFrame:
                 ),
             })
 
-    return with_binary_payload(docs).mapInPandas(decode_batch, FEATURE_SCHEMA)
+    # A single parquet file arrives as one partition; spread across
+    # workers so the Python decode runs in parallel (at 100 TB the scan
+    # is already many splits and this repartition is a no-op to remove).
+    payloads = with_binary_payload(docs)
+    parallelism = payloads.sparkSession.sparkContext.defaultParallelism
+    return payloads.repartition(parallelism).mapInPandas(decode_batch, FEATURE_SCHEMA)
 
 
 def decode_image(payload: bytes):  # pragma: no cover - real decoder absent

@@ -63,16 +63,31 @@ def cosine(a: Column, b: Column) -> Column:
 def brute_force_knn(
     emb: DataFrame, n_queries: int = 20, k: int = 10
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for vec_id < n_queries."""
+    """Exact top-k cosine neighbors for vec_id < n_queries.
+
+    Norms are hoisted per vector (computed once per side, not per pair) —
+    the pair stage does a single dot product. Same arithmetic as the
+    inline form, so oracle parity holds."""
     q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"),
     )
-    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    c = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_norm"),
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("q_id") != F.col("c_id"))
-        .withColumn("cos_sim", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
     return (
@@ -103,15 +118,24 @@ def lsh_knn(emb: DataFrame, n_queries: int = 20, k: int = 3) -> DataFrame:
     planes = hyperplanes()
     with_b = emb.withColumn("bucket", lsh_bucket_col(F.col("embedding"), planes))
     q = with_b.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "bucket"
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"), "bucket",
     )
     c = with_b.select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), "bucket"
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_norm"), "bucket",
     )
     scored = (
         q.join(c, "bucket")
         .filter(F.col("q_id") != F.col("c_id"))
-        .withColumn("cos_sim", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
     return (

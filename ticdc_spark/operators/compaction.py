@@ -29,15 +29,37 @@ from pyspark.sql import functions as F
 
 def compact_changelog(cl: DataFrame, keys: list[str] | None = None) -> DataFrame:
     keys = keys or ["schema_name", "table_name", "table_id", "pk"]
+    payload_fields = [f.name for f in cl.schema["after"].dataType.fields]
     dml = cl.filter(F.col("op").isin("I", "U", "D"))
+    # Scalar (per-field) min_by/max_by instead of struct-valued ones:
+    # struct aggregates force ObjectHashAggregate (no codegen, spill-prone);
+    # per-field extraction at the extremum row is semantically identical
+    # because an image struct is NULL iff all its fields are.
     g = dml.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("commit_ts").alias("first_ts"),
         F.max("commit_ts").alias("last_ts"),
         F.min_by("op", "commit_ts").alias("first_op"),
         F.max_by("op", "commit_ts").alias("last_op"),
-        F.min_by("before", "commit_ts").alias("first_before"),
-        F.max_by("after", "commit_ts").alias("last_after"),
+        *[F.min_by(f"before.{f}", "commit_ts").alias(f"_fb_{f}") for f in payload_fields],
+        *[F.max_by(f"after.{f}", "commit_ts").alias(f"_la_{f}") for f in payload_fields],
+    )
+    import functools
+    import operator as _op
+
+    def any_nonnull(prefix: str):
+        return functools.reduce(
+            _op.or_, [F.col(f"{prefix}{f}").isNotNull() for f in payload_fields]
+        )
+
+    g = g.withColumn(
+        "first_before",
+        F.when(any_nonnull("_fb_"),
+               F.struct(*[F.col(f"_fb_{f}").alias(f) for f in payload_fields])),
+    ).withColumn(
+        "last_after",
+        F.when(any_nonnull("_la_"),
+               F.struct(*[F.col(f"_la_{f}").alias(f) for f in payload_fields])),
     )
     net_op = (
         F.when((F.col("first_op") == "I") & (F.col("last_op") == "D"), F.lit(None))

@@ -1,0 +1,336 @@
+"""Sink & codec queries + DuckDB oracles (registered into the registry).
+
+The encoder oracles rebuild the exact message bytes with SQL string
+concatenation — byte-for-byte parity is the point (the reference's MQ
+tests treat codec round-trips as the oracle, SURVEY §5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ticdc_spark.codec import encode_canal_json, encode_csv, encode_open_protocol
+from ticdc_spark.operators import split_updates
+from ticdc_spark.queries import register
+from ticdc_spark.sinks.kafka import kafka_messages
+from ticdc_spark.sinks.mysql import materialize_state, sql_for_rows
+from ticdc_spark.sinks.storage import storage_paths
+from ticdc_spark.sources.changelog import CHANGELOG_SQL, events_changelog
+
+# -- shared SQL fragments ----------------------------------------------------
+# JSON string-or-null rendering of payload fields (matches
+# functions/render.py: ints cast, doubles %.2f, null → JSON null).
+_J_ID = "coalesce('\"' || {img}_id::VARCHAR || '\"', 'null')"
+_J_VAL = "coalesce('\"' || printf('%.2f', {img}_val) || '\"', 'null')"
+_J_K = "coalesce('\"' || {img}_k::VARCHAR || '\"', 'null')"
+
+
+def _image_json_sql(img: str) -> str:
+    """canal data/old single-row array for one image, NULL image → 'null'."""
+    obj = (
+        "'[{{\"id\":' || " + _J_ID + " || ',\"val\":' || " + _J_VAL
+        + " || ',\"k\":' || " + _J_K + " || '}}]'"
+    ).format(img=img)
+    return f"CASE WHEN {img}_id IS NULL THEN 'null' ELSE {obj} END"
+
+
+_SQLTYPE = '{"id":-5,"val":8,"k":-5}'
+_MYSQLTYPE = '{"id":"bigint","val":"double","k":"bigint"}'
+
+_CANAL_SQL = f"""
+'{{"id":0,"database":"' || schema_name || '","table":"' || table_name ||
+'","pkNames":["id"],"isDdl":false,"type":"' ||
+CASE op WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE' ELSE 'DELETE' END ||
+'","es":' || (commit_ts // 1000)::VARCHAR ||
+',"ts":0,"sql":"","sqlType":{_SQLTYPE},"mysqlType":{_MYSQLTYPE},"data":' ||
+CASE WHEN op = 'D' THEN {_image_json_sql('before')}
+     ELSE {_image_json_sql('after')} END ||
+',"old":' ||
+CASE WHEN op = 'U' THEN {_image_json_sql('before')} ELSE 'null' END || '}}'
+"""
+
+
+@register(
+    "codec_canal_json",
+    f"WITH {CHANGELOG_SQL} SELECT seq, {_CANAL_SQL} AS value FROM changelog",
+)
+def q_codec_canal_json(spark, sf_dir):
+    return encode_canal_json(events_changelog(spark, sf_dir)).select("seq", "value")
+
+
+# csv line: quoted strings, bare numbers (%.2f doubles), \N nulls
+_CSV_IMG = (
+    "coalesce({img}_id::VARCHAR, '\\N') || ',' || "
+    "coalesce(printf('%.2f', {img}_val), '\\N') || ',' || "
+    "coalesce({img}_k::VARCHAR, '\\N')"
+)
+_CSV_SQL = (
+    "'\"' || op || '\",\"' || schema_name || '\",\"' || table_name || '\",' "
+    "|| commit_ts::VARCHAR || ',' || "
+    "CASE WHEN op = 'D' THEN " + _CSV_IMG.format(img="before")
+    + " ELSE " + _CSV_IMG.format(img="after") + " END"
+)
+
+
+@register(
+    "codec_csv",
+    f"WITH {CHANGELOG_SQL} SELECT seq, {_CSV_SQL} AS value FROM changelog",
+)
+def q_codec_csv(spark, sf_dir):
+    return encode_csv(events_changelog(spark, sf_dir)).select("seq", "value")
+
+
+_OP_IMG = (
+    "'{{\"id\":{{\"t\":8,\"v\":' || " + _J_ID
+    + " || '}},\"val\":{{\"t\":5,\"v\":' || " + _J_VAL
+    + " || '}},\"k\":{{\"t\":8,\"v\":' || " + _J_K + " || '}}}}'"
+)
+_OPEN_KEY_SQL = (
+    "'{\"ts\":' || commit_ts::VARCHAR || ',\"scm\":\"' || schema_name || "
+    "'\",\"tbl\":\"' || table_name || '\",\"t\":1}'"
+)
+_OPEN_VALUE_SQL = (
+    "CASE WHEN op = 'D' THEN '{\"d\":' || " + _OP_IMG.format(img="before")
+    + " || '}' ELSE '{\"u\":' || " + _OP_IMG.format(img="after") + " || '}' END"
+)
+
+
+@register(
+    "codec_open_protocol",
+    f"WITH {CHANGELOG_SQL} SELECT seq, {_OPEN_KEY_SQL} AS key, "
+    f"{_OPEN_VALUE_SQL} AS value FROM changelog",
+)
+def q_codec_open_protocol(spark, sf_dir):
+    return encode_open_protocol(events_changelog(spark, sf_dir)).select(
+        "seq", "key", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# K1 — MySQL SQL generation (normal + safe mode)
+# ---------------------------------------------------------------------------
+_V_ID = "coalesce({img}_id::VARCHAR, 'NULL')"
+_V_VAL = "coalesce(printf('%.2f', {img}_val), 'NULL')"
+_V_K = "coalesce({img}_k::VARCHAR, 'NULL')"
+_VALUES = ("{v_id} || ', ' || {v_val} || ', ' || {v_k}").format(
+    v_id=_V_ID, v_val=_V_VAL, v_k=_V_K
+)
+_TBL = "'`' || schema_name || '`.`' || table_name || '`'"
+
+
+def _mysql_oracle(safe_mode: bool) -> str:
+    insert_kw = "REPLACE" if safe_mode else "INSERT"
+    ins = (
+        f"'{insert_kw} INTO ' || {_TBL} || ' (`id`, `val`, `k`) VALUES (' || "
+        + _VALUES.format(img="after") + " || ')'"
+    )
+    upd = (
+        ins
+        if safe_mode
+        else (
+            f"'UPDATE ' || {_TBL} || ' SET `id` = ' || " + _V_ID.format(img="after")
+            + " || ', `val` = ' || " + _V_VAL.format(img="after")
+            + " || ', `k` = ' || " + _V_K.format(img="after")
+            + " || ' WHERE `id` = ' || " + _V_ID.format(img="before")
+        )
+    )
+    dele = (
+        f"'DELETE FROM ' || {_TBL} || ' WHERE `id` = ' || "
+        + _V_ID.format(img="before")
+    )
+    return (
+        f"WITH {CHANGELOG_SQL} SELECT seq, op, "
+        f"CASE WHEN op = 'I' THEN {ins} WHEN op = 'U' THEN {upd} "
+        f"ELSE {dele} END AS stmt FROM changelog"
+    )
+
+
+@register("mysql_sql_gen", _mysql_oracle(safe_mode=False))
+def q_mysql_sql_gen(spark, sf_dir):
+    out = sql_for_rows(events_changelog(spark, sf_dir), safe_mode=False)
+    return out.select("seq", "op", "stmt")
+
+
+@register("mysql_sql_gen_safe_mode", _mysql_oracle(safe_mode=True))
+def q_mysql_sql_gen_safe_mode(spark, sf_dir):
+    out = sql_for_rows(events_changelog(spark, sf_dir), safe_mode=True)
+    return out.select("seq", "op", "stmt")
+
+
+# ---------------------------------------------------------------------------
+# Materialize: apply changelog → final table state (sync-diff oracle)
+# ---------------------------------------------------------------------------
+_SPLIT_CTE = """
+split AS (
+    SELECT schema_name, table_name, op, commit_ts, dml_order,
+           before_id, after_id, after_val, after_k
+    FROM changelog WHERE NOT (op = 'U' AND before_id <> after_id)
+    UNION ALL
+    SELECT schema_name, table_name, 'D', commit_ts, 1,
+           before_id, NULL, NULL, NULL
+    FROM changelog WHERE op = 'U' AND before_id <> after_id
+    UNION ALL
+    SELECT schema_name, table_name, 'I', commit_ts, 3,
+           NULL, after_id, after_val, after_k
+    FROM changelog WHERE op = 'U' AND before_id <> after_id
+)
+"""
+_MATERIALIZE_ORACLE = f"""
+WITH {CHANGELOG_SQL},
+{_SPLIT_CTE},
+keyed AS (
+    SELECT *, coalesce(after_id, before_id) AS k_id,
+           commit_ts * 4 + dml_order AS ord
+    FROM split
+),
+g AS (
+    SELECT schema_name, table_name, k_id,
+           arg_max(op, ord) AS last_op,
+           arg_max(after_val, ord) AS last_val,
+           arg_max(after_k, ord) AS last_k,
+           max(commit_ts) AS last_commit_ts,
+           count(*) AS n_changes
+    FROM keyed GROUP BY 1, 2, 3
+)
+SELECT schema_name, table_name, k_id AS id,
+       last_val AS val, last_k AS k, last_commit_ts, n_changes
+FROM g WHERE last_op <> 'D'
+"""
+
+
+@register("materialize_state", _MATERIALIZE_ORACLE)
+def q_materialize_state(spark, sf_dir):
+    return materialize_state(split_updates(events_changelog(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# K4 — storage sink path layout
+# ---------------------------------------------------------------------------
+@register(
+    "storage_paths",
+    f"WITH {CHANGELOG_SQL} SELECT seq, "
+    "schema_name || '/' || table_name || '/1/' || "
+    "strftime(make_timestamp(commit_ts), '%Y-%m-%d') AS path, "
+    "'CDC' || lpad((((row_number() OVER (PARTITION BY schema_name, table_name, "
+    "strftime(make_timestamp(commit_ts), '%Y-%m-%d') "
+    "ORDER BY commit_ts, seq) - 1) // 4096) + 1)::VARCHAR, 6, '0') || '.csv' "
+    "AS file_name FROM changelog",
+)
+def q_storage_paths(spark, sf_dir):
+    out = storage_paths(events_changelog(spark, sf_dir))
+    return out.select("seq", "path", "file_name")
+
+
+# ---------------------------------------------------------------------------
+# K2 — kafka message frame (topic/partition/key/value)
+# ---------------------------------------------------------------------------
+_FNV_SQL = (
+    "list_reduce(list_prepend(2166136261::BIGINT, "
+    "[ascii(c) for c in split(coalesce(after_id, before_id)::VARCHAR, '')]), "
+    "(acc, x) -> (xor(acc, x) * 16777619) % 4294967296)"
+)
+
+
+@register(
+    "kafka_messages",
+    f"WITH {CHANGELOG_SQL} SELECT "
+    "'cdc_' || schema_name || '_' || table_name AS topic, "
+    f"CAST({_FNV_SQL} % 16 AS INTEGER) AS partition, "
+    f"{_OPEN_KEY_SQL} AS key, {_CANAL_SQL} AS value FROM changelog",
+)
+def q_kafka_messages(spark, sf_dir):
+    return kafka_messages(
+        events_changelog(spark, sf_dir),
+        [{"matcher": ["test.tp_*"], "partition": "index-value",
+          "topic": "cdc_{schema}_{table}"}],
+        protocol="canal-json",
+        n_partitions=16,
+    )
+
+
+# ---------------------------------------------------------------------------
+# simple protocol + watermark messages (W1)
+# ---------------------------------------------------------------------------
+from ticdc_spark.codec.simple_protocol import encode_simple, watermark_messages  # noqa: E402
+
+
+def _simple_img_sql(img: str) -> str:
+    obj = (
+        "'{{\"id\":' || " + _J_ID + " || ',\"val\":' || " + _J_VAL
+        + " || ',\"k\":' || " + _J_K + " || '}}'"
+    ).format(img=img)
+    return f"CASE WHEN {img}_id IS NULL THEN 'null' ELSE {obj} END"
+
+
+_SIMPLE_SQL = f"""
+'{{"version":1,"type":"' ||
+CASE op WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE' ELSE 'DELETE' END ||
+'","commitTs":' || commit_ts::VARCHAR ||
+',"buildTs":0,"schema":"' || schema_name || '","table":"' || table_name ||
+'","data":' ||
+CASE WHEN op = 'D' THEN 'null' ELSE {_simple_img_sql('after')} END ||
+',"old":' ||
+CASE WHEN op = 'I' THEN 'null' ELSE {_simple_img_sql('before')} END || '}}'
+"""
+
+
+@register(
+    "codec_simple",
+    f"WITH {CHANGELOG_SQL} SELECT seq, {_SIMPLE_SQL} AS value FROM changelog",
+)
+def q_codec_simple(spark, sf_dir):
+    return encode_simple(events_changelog(spark, sf_dir)).select("seq", "value")
+
+
+_WM_INTERVAL = 3_600_000_000
+
+
+@register(
+    "watermark_messages",
+    f"WITH {CHANGELOG_SQL}, "
+    f"wm AS (SELECT schema_name, table_name, "
+    f"(commit_ts - commit_ts % {_WM_INTERVAL}) + {_WM_INTERVAL} AS boundary_ts, "
+    "max(commit_ts) AS resolved_ts FROM changelog GROUP BY 1, 2, 3) "
+    "SELECT schema_name, table_name, boundary_ts, resolved_ts, "
+    "'{\"version\":1,\"type\":\"WATERMARK\",\"commitTs\":' || resolved_ts::VARCHAR || "
+    "',\"buildTs\":0,\"schema\":\"' || schema_name || '\",\"table\":\"' || "
+    "table_name || '\"}' AS value FROM wm",
+)
+def q_watermark_messages(spark, sf_dir):
+    return watermark_messages(events_changelog(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# J1/S5 — as-of schema version binding
+# ---------------------------------------------------------------------------
+from ticdc_spark.plans.schema_registry import SCHEMA_VERSIONS, asof_bind_schema  # noqa: E402
+
+_V2_TS = SCHEMA_VERSIONS[1][1]
+_V3_TS = SCHEMA_VERSIONS[2][1]
+
+
+@register(
+    "schema_asof_binding",
+    f"WITH {CHANGELOG_SQL} SELECT seq, table_id, commit_ts, "
+    f"CASE WHEN commit_ts >= {_V3_TS} THEN 3 "
+    f"WHEN commit_ts >= {_V2_TS} THEN 2 ELSE 1 END AS schema_version "
+    "FROM changelog",
+)
+def q_schema_asof_binding(spark, sf_dir):
+    out = asof_bind_schema(events_changelog(spark, sf_dir))
+    return out.select("seq", "table_id", "commit_ts", "schema_version")
+
+
+# ---------------------------------------------------------------------------
+# A4 — conflict slot assignment
+# ---------------------------------------------------------------------------
+from ticdc_spark.operators.conflict import with_conflict_slots  # noqa: E402
+
+
+@register(
+    "conflict_slots",
+    f"WITH {CHANGELOG_SQL} SELECT seq, "
+    f"CAST({_FNV_SQL} % 16 AS INTEGER) AS slot FROM changelog",
+)
+def q_conflict_slots(spark, sf_dir):
+    return with_conflict_slots(events_changelog(spark, sf_dir), 16).select("seq", "slot")

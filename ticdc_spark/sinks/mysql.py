@@ -1,0 +1,135 @@
+"""K1 — MySQL/TiDB sink: SQL generation, safe mode, and state
+materialization (SURVEY §2.11).
+
+Reference: single-row builders `pkg/sink/mysql/sql_builder.go:155-258`
+(INSERT / REPLACE / UPDATE / DELETE), multi-row batching
+`pkg/sink/sqlmodel/multi_row.go:49-147`, safe-mode REPLACE upserts when
+``commitTs < replicatingTs`` (`basic_dispatcher.go:156-161`), per-PK
+write serialization via conflict slots
+(`downstreamadapter/sink/mysql/causality/conflict_detector.go:30-141`).
+
+Spark-first:
+
+- ``sql_for_rows`` renders the dialect SQL as a string column — pure
+  concat, oracle-reproducible, and exactly what a foreachBatch JDBC
+  writer would executemany.
+- ``materialize_state`` IS the differential-replication oracle: apply
+  the changelog (post update-split) per sink key and keep the last
+  surviving image. One shuffle (groupBy key, map-side partials) — the
+  compaction fold specialized to "last write wins + delete kills".
+- Conflict-slot parallelism (A4) falls out of ``repartition(hash(key))``
+  before the write: per-partition serial, cross-partition parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ticdc_spark.functions.render import render_scalar
+
+
+def _sql_value(col: Column, dtype) -> Column:
+    """Render one SQL literal: numbers bare, strings quoted('' doubling),
+    NULL literal."""
+    from pyspark.sql.types import StringType
+
+    rendered = render_scalar(col, dtype)
+    if isinstance(dtype, StringType):
+        rendered = F.concat(
+            F.lit("'"), F.replace(rendered, F.lit("'"), F.lit("''")), F.lit("'")
+        )
+    return F.coalesce(rendered, F.lit("NULL"))
+
+
+def sql_for_rows(cl: DataFrame, safe_mode: bool = False,
+                 pk_fields: tuple[str, ...] = ("id",)) -> DataFrame:
+    """Append a ``stmt`` column with the per-row dialect SQL
+    (sql_builder.go:155-258; safe-mode REPLACE per
+    basic_dispatcher.go:156-161)."""
+    schema = cl.schema["after"].dataType
+    fields = [f.name for f in schema.fields]
+    tbl = F.concat(F.lit("`"), F.col("schema_name"), F.lit("`.`"),
+                   F.col("table_name"), F.lit("`"))
+    col_list = ", ".join(f"`{f}`" for f in fields)
+
+    def values(image: str) -> Column:
+        parts: list[Column] = []
+        for i, f in enumerate(schema.fields):
+            if i:
+                parts.append(F.lit(", "))
+            parts.append(_sql_value(F.col(f"{image}.{f.name}"), f.dataType))
+        return F.concat(*parts)
+
+    def where(image: str) -> Column:
+        parts: list[Column] = []
+        for i, k in enumerate(pk_fields):
+            if i:
+                parts.append(F.lit(" AND "))
+            parts.append(F.lit(f"`{k}` = "))
+            parts.append(_sql_value(F.col(f"{image}.{k}"), schema[k].dataType))
+        return F.concat(*parts)
+
+    def set_clause() -> Column:
+        parts: list[Column] = []
+        for i, f in enumerate(schema.fields):
+            if i:
+                parts.append(F.lit(", "))
+            parts.append(F.lit(f"`{f.name}` = "))
+            parts.append(_sql_value(F.col(f"after.{f.name}"), schema[f.name].dataType))
+        return F.concat(*parts)
+
+    insert_kw = "REPLACE" if safe_mode else "INSERT"
+    insert_stmt = F.concat(
+        F.lit(f"{insert_kw} INTO "), tbl, F.lit(f" ({col_list}) VALUES ("),
+        values("after"), F.lit(")"),
+    )
+    update_stmt = (
+        insert_stmt  # safe mode applies updates as REPLACE too
+        if safe_mode
+        else F.concat(F.lit("UPDATE "), tbl, F.lit(" SET "), set_clause(),
+                      F.lit(" WHERE "), where("before"))
+    )
+    delete_stmt = F.concat(F.lit("DELETE FROM "), tbl, F.lit(" WHERE "), where("before"))
+    stmt = (
+        F.when(F.col("op") == "I", insert_stmt)
+        .when(F.col("op") == "U", update_stmt)
+        .otherwise(delete_stmt)
+    )
+    return cl.withColumn("stmt", stmt)
+
+
+def sink_key() -> Column:
+    """Physical row key downstream: after image's handle for I/U, before
+    image's for D (valid post update-split, where U never changes it)."""
+    return F.coalesce(F.col("after.id"), F.col("before.id"))
+
+
+def materialize_state(cl_split: DataFrame) -> DataFrame:
+    """Final downstream table state after applying the (post-split)
+    changelog — the sync-diff oracle. Last write per key wins; a last
+    DELETE removes the row. Intra-commit-ts tiebreak via dml_order
+    (D=1 < I=3, the split pieces' order)."""
+    keyed = cl_split.withColumn("_key", sink_key()).withColumn(
+        # commit_ts µs * 4 stays far below int64; dml_order ∈ {1,2,3}
+        "_ord", F.col("commit_ts") * 4 + F.col("dml_order")
+    )
+    # Scalar max_by per field (codegen'd HashAggregate; struct-valued
+    # max_by would fall back to ObjectHashAggregate — see compaction.py).
+    g = keyed.groupBy("schema_name", "table_name", "_key").agg(
+        F.max_by("op", "_ord").alias("last_op"),
+        F.max_by("after.val", "_ord").alias("last_val"),
+        F.max_by("after.k", "_ord").alias("last_k"),
+        F.max("commit_ts").alias("last_commit_ts"),
+        F.count(F.lit(1)).alias("n_changes"),
+    )
+    return (
+        g.filter(F.col("last_op") != "D")
+        .select(
+            "schema_name", "table_name",
+            F.col("_key").alias("id"),
+            F.col("last_val").alias("val"),
+            F.col("last_k").alias("k"),
+            "last_commit_ts", "n_changes",
+        )
+    )

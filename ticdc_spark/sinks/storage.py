@@ -1,0 +1,75 @@
+"""K4 — cloud-storage sink: path layout + schema sidecars (SURVEY §2.11).
+
+Reference: data files at
+``<schema>/<table>/<tableVersion>/[partition]/[date]/CDC_<dispatcher>_<index>.<ext>``
+(`pkg/cloudstorage/generator.go:126-128,186`), index ≥ 6 digits
+(``CDC000001.csv``, `generator.go:43`), date-separator none/year/month/day
+(`pkg/config/sink.go:154-155`), schema sidecars
+``schema_{version}_{checksum}.json`` (`generator.go:51-102`).
+
+Spark-first: the path is a derived column; the physical write is
+``partitionBy`` on it (or foreachBatch for exact file naming). File
+*index* assignment is a per-(table,date) row_number over flush order —
+a window, only used at actual write time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def storage_paths(
+    cl: DataFrame,
+    table_version: int = 1,
+    date_separator: str = "day",
+    extension: str = "csv",
+    rows_per_file: int = 4096,
+) -> DataFrame:
+    """Append ``path`` (directory) and ``file_name`` columns."""
+    if date_separator == "day":
+        date_fmt = "yyyy-MM-dd"
+    elif date_separator == "month":
+        date_fmt = "yyyy-MM"
+    elif date_separator == "year":
+        date_fmt = "yyyy"
+    else:
+        date_fmt = None
+    parts = [
+        F.col("schema_name"), F.lit("/"), F.col("table_name"),
+        F.lit(f"/{table_version}"),
+    ]
+    if date_fmt:
+        parts += [
+            F.lit("/"),
+            F.date_format(F.timestamp_micros(F.col("commit_ts")), date_fmt),
+        ]
+    path = F.concat(*parts)
+    # File index: flush order within (path) in rows_per_file chunks.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(path).orderBy("commit_ts", "seq")
+    idx = ((F.row_number().over(w) - 1) / rows_per_file).cast("long") + 1
+    file_name = F.concat(
+        F.lit("CDC"), F.lpad(idx.cast("string"), 6, "0"), F.lit(f".{extension}")
+    )
+    return cl.withColumn("path", path).withColumn("file_name", file_name)
+
+
+def schema_sidecar(schema_name: str, table_name: str, payload_fields: list[tuple[str, str]],
+                   table_version: int = 1) -> dict:
+    """``schema_{version}_{checksum}.json`` content (generator.go:51-102)."""
+    import hashlib
+    import json
+
+    cols = [{"name": n, "type": t} for n, t in payload_fields]
+    body = {
+        "schema": schema_name,
+        "table": table_name,
+        "version": table_version,
+        "columns": cols,
+    }
+    checksum = hashlib.md5(
+        json.dumps(body, sort_keys=True).encode()
+    ).hexdigest()[:8]
+    return {"file": f"schema_{table_version}_{checksum}.json", "body": body}
