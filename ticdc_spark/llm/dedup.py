@@ -46,7 +46,13 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def _doc_shingles(docs: DataFrame) -> DataFrame:
-    return docs.select("doc_id", shingles_col(3).alias("shingles"))
+    # Single-file test inputs arrive as one partition; spread the
+    # per-doc shingle/hash compute across cores. At real scale the scan
+    # already has many splits and this becomes a cheap rebalance.
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(parallelism).select(
+        "doc_id", shingles_col(3).alias("shingles")
+    )
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
@@ -147,7 +153,8 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """Per-doc SimHash: majority vote over token FNV-1a hash bits."""
     # Materialize token hashes once; the 16 per-bit votes then share the
     # projected array instead of re-hashing (subexpr elimination aside).
-    with_h = docs.withColumn(
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    with_h = docs.repartition(parallelism).withColumn(
         "_hashes", F.transform(tokens_col(), lambda t: fnv1a32(t))
     )
     sim = F.lit(0).cast("long")

@@ -72,7 +72,11 @@ def brute_force_knn(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
         _norm(F.col("embedding")).alias("q_norm"),
     )
-    c = emb.select(
+    # Corpus side drives parallelism (broadcast-q × streamed-c); a
+    # single-file test input would otherwise run the whole cross join on
+    # one core.
+    parallelism = emb.sparkSession.sparkContext.defaultParallelism
+    c = emb.repartition(parallelism).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"),
         _norm(F.col("embedding")).alias("c_norm"),
     )

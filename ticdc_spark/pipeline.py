@@ -79,6 +79,11 @@ def build_pipeline(cl: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
         df = select_columns(df, cfg.column_selectors)
     if cfg.split_updates:
         df = split_updates(df)
+    # filters are done — rebalance single-split inputs before the
+    # per-row-heavy encode/route stages (see sources.changelog.scale_out)
+    from ticdc_spark.sources.changelog import scale_out
+
+    df = scale_out(df)
     if cfg.compact:
         df = compact_changelog(df)
         return df  # compacted output feeds the mysql sink path, not MQ

@@ -32,6 +32,7 @@ from ticdc_spark.sources.changelog import (
     CHANGELOG_SQL,
     events_changelog,
     flat_changelog,
+    scale_out,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -437,7 +438,7 @@ _CK_BEFORE = (
     "FROM changelog",
 )
 def q_row_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cl = with_row_checksum(events_changelog(spark, sf_dir))
+    cl = with_row_checksum(scale_out(events_changelog(spark, sf_dir)))
     return cl.select("seq", "op", "checksum")
 
 

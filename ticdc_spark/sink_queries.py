@@ -15,7 +15,7 @@ from ticdc_spark.queries import register
 from ticdc_spark.sinks.kafka import kafka_messages
 from ticdc_spark.sinks.mysql import materialize_state, sql_for_rows
 from ticdc_spark.sinks.storage import storage_paths
-from ticdc_spark.sources.changelog import CHANGELOG_SQL, events_changelog
+from ticdc_spark.sources.changelog import CHANGELOG_SQL, events_changelog, scale_out
 
 # -- shared SQL fragments ----------------------------------------------------
 # JSON string-or-null rendering of payload fields (matches
@@ -55,7 +55,7 @@ CASE WHEN op = 'U' THEN {_image_json_sql('before')} ELSE 'null' END || '}}'
     f"WITH {CHANGELOG_SQL} SELECT seq, {_CANAL_SQL} AS value FROM changelog",
 )
 def q_codec_canal_json(spark, sf_dir):
-    return encode_canal_json(events_changelog(spark, sf_dir)).select("seq", "value")
+    return encode_canal_json(scale_out(events_changelog(spark, sf_dir))).select("seq", "value")
 
 
 # csv line: quoted strings, bare numbers (%.2f doubles), \N nulls
@@ -77,7 +77,7 @@ _CSV_SQL = (
     f"WITH {CHANGELOG_SQL} SELECT seq, {_CSV_SQL} AS value FROM changelog",
 )
 def q_codec_csv(spark, sf_dir):
-    return encode_csv(events_changelog(spark, sf_dir)).select("seq", "value")
+    return encode_csv(scale_out(events_changelog(spark, sf_dir))).select("seq", "value")
 
 
 _OP_IMG = (
@@ -101,7 +101,7 @@ _OPEN_VALUE_SQL = (
     f"{_OPEN_VALUE_SQL} AS value FROM changelog",
 )
 def q_codec_open_protocol(spark, sf_dir):
-    return encode_open_protocol(events_changelog(spark, sf_dir)).select(
+    return encode_open_protocol(scale_out(events_changelog(spark, sf_dir))).select(
         "seq", "key", "value"
     )
 
@@ -147,13 +147,13 @@ def _mysql_oracle(safe_mode: bool) -> str:
 
 @register("mysql_sql_gen", _mysql_oracle(safe_mode=False))
 def q_mysql_sql_gen(spark, sf_dir):
-    out = sql_for_rows(events_changelog(spark, sf_dir), safe_mode=False)
+    out = sql_for_rows(scale_out(events_changelog(spark, sf_dir)), safe_mode=False)
     return out.select("seq", "op", "stmt")
 
 
 @register("mysql_sql_gen_safe_mode", _mysql_oracle(safe_mode=True))
 def q_mysql_sql_gen_safe_mode(spark, sf_dir):
-    out = sql_for_rows(events_changelog(spark, sf_dir), safe_mode=True)
+    out = sql_for_rows(scale_out(events_changelog(spark, sf_dir)), safe_mode=True)
     return out.select("seq", "op", "stmt")
 
 
@@ -240,7 +240,7 @@ _FNV_SQL = (
 )
 def q_kafka_messages(spark, sf_dir):
     return kafka_messages(
-        events_changelog(spark, sf_dir),
+        scale_out(events_changelog(spark, sf_dir)),
         [{"matcher": ["test.tp_*"], "partition": "index-value",
           "topic": "cdc_{schema}_{table}"}],
         protocol="canal-json",
@@ -279,7 +279,7 @@ CASE WHEN op = 'I' THEN 'null' ELSE {_simple_img_sql('before')} END || '}}'
     f"WITH {CHANGELOG_SQL} SELECT seq, {_SIMPLE_SQL} AS value FROM changelog",
 )
 def q_codec_simple(spark, sf_dir):
-    return encode_simple(events_changelog(spark, sf_dir)).select("seq", "value")
+    return encode_simple(scale_out(events_changelog(spark, sf_dir))).select("seq", "value")
 
 
 _WM_INTERVAL = 3_600_000_000
@@ -334,3 +334,147 @@ from ticdc_spark.operators.conflict import with_conflict_slots  # noqa: E402
 )
 def q_conflict_slots(spark, sf_dir):
     return with_conflict_slots(events_changelog(spark, sf_dir), 16).select("seq", "slot")
+
+
+# ---------------------------------------------------------------------------
+# F5 — update-only-columns filter
+# ---------------------------------------------------------------------------
+from ticdc_spark.operators.update_only_filter import apply_update_only_columns_filter  # noqa: E402
+
+
+@register(
+    "update_only_columns_filter",
+    f"WITH {CHANGELOG_SQL} SELECT seq, op, before_id, after_id FROM changelog "
+    "WHERE NOT ("
+    "(schema_name LIKE 'test' ESCAPE '\\' AND table_name LIKE '%' ESCAPE '\\') "
+    "AND op = 'U' "
+    "AND before_id IS NOT DISTINCT FROM after_id "
+    "AND before_k IS NOT DISTINCT FROM after_k)",
+)
+def q_update_only_columns_filter(spark, sf_dir):
+    out = apply_update_only_columns_filter(
+        events_changelog(spark, sf_dir), ["test.*"], ["val"]
+    )
+    return out.select(
+        "seq", "op",
+        F.col("before.id").alias("before_id"),
+        F.col("after.id").alias("after_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 — prewrite/commit transaction matching
+# ---------------------------------------------------------------------------
+from ticdc_spark.operators.txn_matcher import match_transactions, split_prewrite_commit  # noqa: E402
+
+
+@register(
+    "txn_matching",
+    f"WITH {CHANGELOG_SQL}, "
+    "prewrites AS (SELECT start_ts, pk, op, seq FROM changelog), "
+    "commits AS (SELECT start_ts, pk, commit_ts FROM changelog) "
+    "SELECT p.start_ts, p.pk, p.op, p.seq, c.commit_ts "
+    "FROM prewrites p JOIN commits c ON p.start_ts = c.start_ts AND p.pk = c.pk",
+)
+def q_txn_matching(spark, sf_dir):
+    cl = events_changelog(spark, sf_dir)
+    prewrites, commits = split_prewrite_commit(cl)
+    matched = match_transactions(
+        prewrites.select("start_ts", "pk", "op", "seq"), commits
+    )
+    return matched.select("start_ts", "pk", "op", "seq", "commit_ts")
+
+
+# ---------------------------------------------------------------------------
+# F6/F7 — DDL classification + allow-list (DDL stream synthesized
+# deterministically from the changelog: every 20th event becomes a DDL)
+# ---------------------------------------------------------------------------
+from ticdc_spark.operators.ddl_filter import apply_ddl_filter  # noqa: E402
+
+_DDL_KINDS = [
+    "CREATE TABLE {t} (id BIGINT)",
+    "ALTER TABLE {t} ADD COLUMN c INT",
+    "DROP TABLE {t}",
+    "ALTER TABLE {t} DROP COLUMN c",
+    "TRUNCATE TABLE {t}",
+]
+
+
+def _ddl_stream(spark, sf_dir):
+    cl = events_changelog(spark, sf_dir).filter(F.col("seq") % 20 == 0)
+    kind = (F.col("seq") / 20 % len(_DDL_KINDS)).cast("int")
+    tname = F.concat(F.col("schema_name"), F.lit("."), F.col("table_name"))
+    query = F.lit(None).cast("string")
+    for i, tpl in enumerate(_DDL_KINDS):
+        pre, post = tpl.split("{t}")
+        rendered = F.concat(F.lit(pre), tname, F.lit(post))
+        query = F.when(kind == i, rendered).otherwise(query)
+    return cl.select("seq", "commit_ts", query.alias("query"))
+
+
+_DDL_ORACLE = f"""
+WITH {CHANGELOG_SQL},
+ddl AS (
+    SELECT seq, commit_ts,
+           CASE CAST((seq // 20) % 5 AS INTEGER)
+             WHEN 0 THEN 'CREATE TABLE ' || schema_name || '.' || table_name || ' (id BIGINT)'
+             WHEN 1 THEN 'ALTER TABLE ' || schema_name || '.' || table_name || ' ADD COLUMN c INT'
+             WHEN 2 THEN 'DROP TABLE ' || schema_name || '.' || table_name
+             WHEN 3 THEN 'ALTER TABLE ' || schema_name || '.' || table_name || ' DROP COLUMN c'
+             ELSE 'TRUNCATE TABLE ' || schema_name || '.' || table_name
+           END AS query
+    FROM changelog WHERE seq % 20 = 0
+),
+classified AS (
+    SELECT *,
+           CASE WHEN lower(query) LIKE '%create table%' THEN 'create-table'
+                WHEN lower(query) LIKE '%drop table%' THEN 'drop-table'
+                WHEN lower(query) LIKE '%truncate table%' THEN 'truncate-table'
+                WHEN lower(query) LIKE '%add column%' THEN 'add-column'
+                WHEN lower(query) LIKE '%drop column%' THEN 'drop-column'
+                WHEN lower(query) LIKE '%alter table%' THEN 'alter-table'
+                ELSE 'other' END AS ddl_type
+    FROM ddl
+)
+SELECT seq, commit_ts, query, ddl_type FROM classified
+WHERE ddl_type IN ('add-column', 'add-index', 'alter-table', 'create-table',
+                   'drop-column', 'drop-index', 'truncate-table')
+  AND NOT regexp_matches(query, 'tp_error')
+"""
+
+
+@register("ddl_filter", _DDL_ORACLE)
+def q_ddl_filter(spark, sf_dir):
+    out = apply_ddl_filter(_ddl_stream(spark, sf_dir), ignore_sql=["tp_error"])
+    return out.select("seq", "commit_ts", "query", "ddl_type")
+
+
+# ---------------------------------------------------------------------------
+# avro (JSON encoding; binary path gated on the spark-avro jar)
+# ---------------------------------------------------------------------------
+from ticdc_spark.codec.avro_codec import encode_avro_json  # noqa: E402
+
+_AVRO_UNION_ID = "coalesce('{{\"long\":' || {img}_id::VARCHAR || '}}', 'null')"
+_AVRO_UNION_VAL = (
+    "coalesce('{{\"double\":' || printf('%.2f', {img}_val) || '}}', 'null')"
+)
+_AVRO_UNION_K = "coalesce('{{\"long\":' || {img}_k::VARCHAR || '}}', 'null')"
+
+
+def _avro_img_sql(img: str) -> str:
+    obj = (
+        "'{{\"id\":' || " + _AVRO_UNION_ID + " || ',\"val\":' || "
+        + _AVRO_UNION_VAL + " || ',\"k\":' || " + _AVRO_UNION_K + " || '}}'"
+    ).format(img=img)
+    return f"CASE WHEN {img}_id IS NULL THEN 'null' ELSE {obj} END"
+
+
+@register(
+    "codec_avro_json",
+    f"WITH {CHANGELOG_SQL} SELECT seq, "
+    "'{\"op\":\"' || op || '\",\"commitTs\":' || commit_ts::VARCHAR || "
+    f"',\"before\":' || {_avro_img_sql('before')} || "
+    f"',\"after\":' || {_avro_img_sql('after')} || '}}' AS value FROM changelog",
+)
+def q_codec_avro_json(spark, sf_dir):
+    return encode_avro_json(scale_out(events_changelog(spark, sf_dir))).select("seq", "value")

@@ -133,6 +133,16 @@ def events_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mount(read_table(spark, sf_dir, "events"))
 
 
+def scale_out(df: DataFrame) -> DataFrame:
+    """Rebalance a narrow single-split input across cores before per-row
+    heavy stages (encoders, hashing). The testdata parquet has ONE row
+    group, so scans are single-task; one cheap round-robin shuffle
+    unlocks full parallelism. On a real multi-split 100 TB scan this is
+    dropped (the scan already parallelizes) — keep it after filters so
+    pushdown still reaches the scan."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def stream_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming changelog over the same parquet (availableNow-compatible).
 
