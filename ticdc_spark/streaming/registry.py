@@ -1,0 +1,88 @@
+"""Changefeed control plane (SURVEY §3.1): the API surface of
+`api/v2/api.go:61-81` (create / list / get / pause / resume / remove)
+collapsed onto one process.
+
+Reference lifecycle states from `pkg/config/changefeed.go:252-281`
+(ChangeFeedInfo.State: normal/stopped/failed…). Persistence = a JSON
+registry file next to the checkpoints (the reference uses etcd); resume
+reuses the Structured Streaming checkpoint, so a resumed changefeed
+continues from its last committed offset (verified by the resume test).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import SparkSession
+
+from ticdc_spark.config import parse_changefeed_config
+from ticdc_spark.pipeline import ChangefeedConfig
+from ticdc_spark.streaming.changefeed import Changefeed
+
+
+class ChangefeedRegistry:
+    def __init__(self, work_dir: str) -> None:
+        self.work_dir = work_dir
+        self.path = os.path.join(work_dir, "changefeeds.json")
+        self._live: dict[str, Changefeed] = {}
+
+    # -- persistence -------------------------------------------------------
+    def _load(self) -> dict:
+        if not os.path.exists(self.path):
+            return {}
+        with open(self.path) as f:
+            return json.load(f)
+
+    def _save(self, state: dict) -> None:
+        os.makedirs(self.work_dir, exist_ok=True)
+        with open(self.path, "w") as f:
+            json.dump(state, f, indent=2)
+
+    # -- API (api/v2 equivalents) -----------------------------------------
+    def create(self, changefeed_id: str, config_toml: str) -> Changefeed:
+        state = self._load()
+        if changefeed_id in state and state[changefeed_id]["state"] != "removed":
+            raise ValueError(f"changefeed {changefeed_id} already exists")
+        cfg = parse_changefeed_config(config_toml)
+        state[changefeed_id] = {"state": "normal", "config_toml": config_toml}
+        self._save(state)
+        cf = Changefeed(changefeed_id, cfg, self.work_dir)
+        self._live[changefeed_id] = cf
+        return cf
+
+    def list(self) -> dict[str, str]:
+        return {k: v["state"] for k, v in self._load().items()}
+
+    def get(self, changefeed_id: str) -> Changefeed:
+        state = self._load()
+        if changefeed_id not in state:
+            raise KeyError(changefeed_id)
+        if changefeed_id not in self._live:
+            cfg = parse_changefeed_config(state[changefeed_id]["config_toml"])
+            self._live[changefeed_id] = Changefeed(changefeed_id, cfg, self.work_dir)
+        return self._live[changefeed_id]
+
+    def run(self, changefeed_id: str, spark: SparkSession, sf_dir: str,
+            timeout_s: float = 300.0) -> None:
+        cf = self.get(changefeed_id)
+        cf.start(spark, sf_dir, available_now=True)
+        cf.wait(timeout_s)
+
+    def pause(self, changefeed_id: str) -> None:
+        self.get(changefeed_id).stop()
+        self._set_state(changefeed_id, "stopped")
+
+    def resume(self, changefeed_id: str) -> None:
+        self._set_state(changefeed_id, "normal")
+
+    def remove(self, changefeed_id: str) -> None:
+        cf = self.get(changefeed_id)
+        cf.stop()
+        self._set_state(changefeed_id, "removed")
+        self._live.pop(changefeed_id, None)
+
+    def _set_state(self, changefeed_id: str, value: str) -> None:
+        state = self._load()
+        state[changefeed_id]["state"] = value
+        self._save(state)
