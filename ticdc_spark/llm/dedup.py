@@ -82,10 +82,10 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     return j
 
 
-def minhash_signature(docs: DataFrame) -> DataFrame:
+def minhash_signature(docs: DataFrame, _shingles: DataFrame | None = None) -> DataFrame:
     """Per-doc minhash signature columns mh0..mh{NUM_PERM-1} + LSH band
     bucket hashes band0..band{N_BANDS-1} — all map-side."""
-    sh = _doc_shingles(docs)
+    sh = _shingles if _shingles is not None else _doc_shingles(docs)
     cols = [F.col("doc_id")]
     mh = []
 
@@ -107,8 +107,12 @@ def minhash_signature(docs: DataFrame) -> DataFrame:
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     """Candidate pairs via LSH band-bucket equi-join, verified with exact
     Jaccard. Output identical shape to ngram_jaccard_pairs (the LSH is a
-    recall-optimizing candidate generator, not a different metric)."""
-    sig = minhash_signature(docs)
+    recall-optimizing candidate generator, not a different metric).
+
+    The shingle table feeds three subtrees (signatures + both sides of
+    the verify join) — cache it so the split/slice work runs once."""
+    sh_cached = _doc_shingles(docs).cache()
+    sig = minhash_signature(docs, _shingles=sh_cached)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -129,9 +133,8 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    sh = _doc_shingles(docs)
-    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sh_b"))
+    sa = sh_cached.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sh_a"))
+    sb = sh_cached.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sh_b"))
     verified = (
         cand.join(sa, "a_id").join(sb, "b_id")
         .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))

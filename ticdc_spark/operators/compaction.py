@@ -35,15 +35,24 @@ def compact_changelog(cl: DataFrame, keys: list[str] | None = None) -> DataFrame
     # struct aggregates force ObjectHashAggregate (no codegen, spill-prone);
     # per-field extraction at the extremum row is semantically identical
     # because an image struct is NULL iff all its fields are.
+    # Aggregate the numeric op code (dml_order: D=1,U=2,I=3) instead of the
+    # op string: string-valued min_by buffers force SortAggregate (per-
+    # partition sort); all-numeric buffers keep the plan in HashAggregate.
     g = dml.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("commit_ts").alias("first_ts"),
         F.max("commit_ts").alias("last_ts"),
-        F.min_by("op", "commit_ts").alias("first_op"),
-        F.max_by("op", "commit_ts").alias("last_op"),
+        F.min_by("dml_order", "commit_ts").alias("_first_code"),
+        F.max_by("dml_order", "commit_ts").alias("_last_code"),
         *[F.min_by(f"before.{f}", "commit_ts").alias(f"_fb_{f}") for f in payload_fields],
         *[F.max_by(f"after.{f}", "commit_ts").alias(f"_la_{f}") for f in payload_fields],
     )
+    code_to_op = {1: "D", 2: "U", 3: "I"}
+    for src, dst in (("_first_code", "first_op"), ("_last_code", "last_op")):
+        expr = F.lit(None).cast("string")
+        for code, op in code_to_op.items():
+            expr = F.when(F.col(src) == code, F.lit(op)).otherwise(expr)
+        g = g.withColumn(dst, expr)
     import functools
     import operator as _op
 

@@ -16,12 +16,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ticdc_spark.operators.routing import fnv1a32
+from ticdc_spark.operators.routing import hash32_md5
 
 
 def slot_col(n_slots: int = 16) -> Column:
     key = F.coalesce(F.col("after.id"), F.col("before.id")).cast("string")
-    return (fnv1a32(key) % n_slots).cast("int")
+    return (hash32_md5(key) % n_slots).cast("int")
 
 
 def with_conflict_slots(cl: DataFrame, n_slots: int = 16) -> DataFrame:

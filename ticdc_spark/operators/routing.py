@@ -16,7 +16,7 @@ because equal keys map to equal partitions (the ordering-critical
 property called out in the reference).
 
 Portability note: hash-based partitioners use a 32-bit FNV-1a over the
-rendered key string, implemented in portable integer column algebra —
+rendered key string (md5-derived, see hash32_md5), implemented portably —
 identical results in Spark and any ANSI engine (the oracle), unlike
 murmur3 ``F.hash`` which is Spark-private.
 """
@@ -34,11 +34,11 @@ _M32 = 4294967296  # 2^32
 
 
 def fnv1a32(col: Column, max_len: int = 64) -> Column:
-    """32-bit FNV-1a over a string column, unrolled to ``max_len`` chars.
+    """32-bit FNV-1a over a string column (higher-order fold).
 
-    Pure column algebra (aggregate over a char array) — stays JVM-side and
-    is expressible verbatim in the DuckDB oracle. Strings longer than
-    ``max_len`` hash their prefix (keys here are short identifiers).
+    NOTE: ``F.aggregate`` is CodegenFallback — fine inside already-
+    interpreted stages (simhash), but hot routing paths use
+    ``hash32_md5`` below, which stays in whole-stage codegen.
     """
     chars = F.slice(F.split(col, ""), 1, max_len)
     return F.aggregate(
@@ -46,6 +46,14 @@ def fnv1a32(col: Column, max_len: int = 64) -> Column:
         F.lit(_FNV_OFFSET).cast("long"),
         lambda acc, ch: ((acc.bitwiseXOR(F.ascii(ch))) * _FNV_PRIME) % _M32,
     )
+
+
+def hash32_md5(col: Column) -> Column:
+    """Portable 32-bit hash: first 8 hex digits of md5. Natively
+    codegen'd in Spark (conv+md5); DuckDB: ``('0x'||substr(md5(x),1,8))::
+    BIGINT``. Used by every hash partitioner/slot so the routing+encode
+    Project stays inside whole-stage codegen."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
 def topic_expr(template: str, default_schema_col: str = "schema_name") -> Column:
@@ -74,19 +82,19 @@ def topic_expr(template: str, default_schema_col: str = "schema_name") -> Column
 def _partition_expr(rule: str, n: int, columns: list[str] | None = None) -> Column:
     key: Column
     if rule in ("default", "table"):
-        key = fnv1a32(F.concat_ws(".", F.col("schema_name"), F.col("table_name")))
+        key = hash32_md5(F.concat_ws(".", F.col("schema_name"), F.col("table_name")))
     elif rule == "ts":
         return (F.col("commit_ts") % n).cast("int")
     elif rule == "index-value":
-        key = fnv1a32(F.concat_ws(
-            ",", F.coalesce(F.col("after.id"), F.col("before.id")).cast("string")
-        ))
+        key = hash32_md5(
+            F.coalesce(F.col("after.id"), F.col("before.id")).cast("string")
+        )
     elif rule == "columns":
         cols = [F.coalesce(F.col(f"after.{c}"), F.col(f"before.{c}")).cast("string")
                 for c in (columns or [])]
-        key = fnv1a32(F.concat_ws(",", *cols))
+        key = hash32_md5(F.concat_ws(",", *cols))
     elif rule in ("rowid", "key"):
-        key = fnv1a32(F.col("pk").cast("string"))
+        key = hash32_md5(F.col("pk").cast("string"))
     else:
         raise ValueError(f"unknown partition rule: {rule}")
     return (key % n).cast("int")

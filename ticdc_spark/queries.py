@@ -384,11 +384,7 @@ def q_delete_handle_key_only(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # R1-R6 — routing: topic template + ts / index-value partitioners
 # ---------------------------------------------------------------------------
-_FNV_SQL = (
-    "list_reduce(list_prepend(2166136261::BIGINT, "
-    "[ascii(c) for c in split({key}, '')]), "
-    "(acc, x) -> (xor(acc, x) * 16777619) % 4294967296)"
-)
+_MD5_32_SQL = "(('0x' || substr(md5({key}), 1, 8))::BIGINT)"
 _R_SCOPE_SIGNUP = oracle_predicate_sql(["test.tp_signup"])
 _R_KEY = "coalesce(after_id, before_id)::VARCHAR"
 
@@ -399,7 +395,7 @@ _R_KEY = "coalesce(after_id, before_id)::VARCHAR"
     f"CASE WHEN ({_R_SCOPE_SIGNUP}) THEN 'signup_topic' "
     "ELSE 'cdc_' || schema_name || '_' || table_name END AS topic, "
     f"CAST(CASE WHEN ({_R_SCOPE_SIGNUP}) THEN commit_ts % 16 "
-    f"ELSE {_FNV_SQL.format(key=_R_KEY)} % 16 END AS INTEGER) AS partition "
+    f"ELSE {_MD5_32_SQL.format(key=_R_KEY)} % 16 END AS INTEGER) AS partition "
     "FROM changelog",
 )
 def q_routing(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -224,18 +224,14 @@ def q_storage_paths(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # K2 — kafka message frame (topic/partition/key/value)
 # ---------------------------------------------------------------------------
-_FNV_SQL = (
-    "list_reduce(list_prepend(2166136261::BIGINT, "
-    "[ascii(c) for c in split(coalesce(after_id, before_id)::VARCHAR, '')]), "
-    "(acc, x) -> (xor(acc, x) * 16777619) % 4294967296)"
-)
+_MD5_32_SQL = "(('0x' || substr(md5(coalesce(after_id, before_id)::VARCHAR), 1, 8))::BIGINT)"
 
 
 @register(
     "kafka_messages",
     f"WITH {CHANGELOG_SQL} SELECT "
     "'cdc_' || schema_name || '_' || table_name AS topic, "
-    f"CAST({_FNV_SQL} % 16 AS INTEGER) AS partition, "
+    f"CAST({_MD5_32_SQL} % 16 AS INTEGER) AS partition, "
     f"{_OPEN_KEY_SQL} AS key, {_CANAL_SQL} AS value FROM changelog",
 )
 def q_kafka_messages(spark, sf_dir):
@@ -330,7 +326,7 @@ from ticdc_spark.operators.conflict import with_conflict_slots  # noqa: E402
 @register(
     "conflict_slots",
     f"WITH {CHANGELOG_SQL} SELECT seq, "
-    f"CAST({_FNV_SQL} % 16 AS INTEGER) AS slot FROM changelog",
+    f"CAST({_MD5_32_SQL} % 16 AS INTEGER) AS slot FROM changelog",
 )
 def q_conflict_slots(spark, sf_dir):
     return with_conflict_slots(events_changelog(spark, sf_dir), 16).select("seq", "slot")

@@ -114,17 +114,18 @@ def materialize_state(cl_split: DataFrame) -> DataFrame:
         # commit_ts µs * 4 stays far below int64; dml_order ∈ {1,2,3}
         "_ord", F.col("commit_ts") * 4 + F.col("dml_order")
     )
-    # Scalar max_by per field (codegen'd HashAggregate; struct-valued
-    # max_by would fall back to ObjectHashAggregate — see compaction.py).
+    # Scalar, all-numeric max_by buffers keep the fold in HashAggregate
+    # (string/struct buffers would force SortAggregate — see compaction.py);
+    # the op survives as its dml_order code (D=1).
     g = keyed.groupBy("schema_name", "table_name", "_key").agg(
-        F.max_by("op", "_ord").alias("last_op"),
+        F.max_by("dml_order", "_ord").alias("_last_code"),
         F.max_by("after.val", "_ord").alias("last_val"),
         F.max_by("after.k", "_ord").alias("last_k"),
         F.max("commit_ts").alias("last_commit_ts"),
         F.count(F.lit(1)).alias("n_changes"),
     )
     return (
-        g.filter(F.col("last_op") != "D")
+        g.filter(F.col("_last_code") != 1)
         .select(
             "schema_name", "table_name",
             F.col("_key").alias("id"),
