@@ -50,9 +50,11 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    n_rows = events_changelog(spark, sf_dir).count()
     t0 = time.perf_counter()
     full_pipeline()
     timings["pipeline_canal_json"] = round(time.perf_counter() - t0, 3)
+    pipeline_rows_per_s = round(n_rows / timings["pipeline_canal_json"], 1)
 
     # Headline operator subset (full registry runs in the correctness gate;
     # bench measures the representative heavy/typical paths).
@@ -78,6 +80,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "pipeline_rows_per_s": pipeline_rows_per_s,
+        "changelog_rows": n_rows,
     }))
 
 

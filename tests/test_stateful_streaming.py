@@ -1,0 +1,92 @@
+"""Stateful streaming: txn matcher with applyInPandasWithState; syncpoint
+as a watermarked windowed aggregation."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from ticdc_spark.sources.changelog import events_changelog
+from ticdc_spark.streaming.stateful import streaming_txn_match
+
+
+def _txn_event_stream(spark, sf_dir, with_commits: bool):
+    """Rate-limited memory stream shaped like the matcher input."""
+    cl = events_changelog(spark, sf_dir).limit(100)
+    prewrites = cl.select(
+        "start_ts", "pk", "op", "seq",
+        F.lit(None).cast("long").alias("commit_ts"),
+        F.lit("P").alias("kind"),
+    )
+    commits = cl.select(
+        "start_ts", "pk",
+        F.lit(None).cast("string").alias("op"),
+        F.lit(None).cast("long").alias("seq"),
+        "commit_ts",
+        F.lit("C").alias("kind"),
+    )
+    return prewrites.unionByName(commits) if with_commits else prewrites
+
+
+def test_streaming_txn_match(spark, sf_dir, tmp_path):
+    src_dir = str(tmp_path / "src")
+    _txn_event_stream(spark, sf_dir, with_commits=True).write.parquet(src_dir)
+    static = spark.read.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(static.schema).parquet(src_dir)
+    )
+    matched = streaming_txn_match(stream)
+    q = (
+        matched.writeStream.format("memory").queryName("txn_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    out = spark.sql("SELECT * FROM txn_out WHERE start_ts IS NOT NULL")
+    n_out = out.count()
+    n_expected = 100  # every prewrite has a commit in the fixture
+    assert n_out == n_expected
+    # every matched row carries the commit ts of its txn
+    assert out.filter(F.col("commit_ts").isNull()).count() == 0
+
+
+def test_streaming_syncpoint_window(spark, sf_dir, tmp_path):
+    """W2 as a real streaming query: watermark + tumbling window counts
+    match the batch syncpoint aggregation."""
+    cl = events_changelog(spark, sf_dir)
+    src_dir = str(tmp_path / "wsrc")
+    cl.select(
+        "table_name", F.timestamp_micros(F.col("commit_ts")).alias("commit_time")
+    ).write.parquet(src_dir)
+    static = spark.read.parquet(src_dir)
+    stream = spark.readStream.schema(static.schema).parquet(src_dir)
+    agg = (
+        stream.withWatermark("commit_time", "1 hour")
+        .groupBy(F.window("commit_time", "1 hour"), F.col("table_name"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("sync_out")
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    streamed = spark.sql(
+        "SELECT table_name, window.end AS wend, n_rows FROM sync_out"
+    )
+    batch = (
+        static.groupBy(F.window("commit_time", "1 hour"), "table_name")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select("table_name", F.col("window.end").alias("wend"), "n_rows")
+    )
+    # append-mode emits only watermark-closed windows; every emitted row
+    # must match the batch aggregation exactly
+    s = {(r["table_name"], r["wend"], r["n_rows"]) for r in streamed.collect()}
+    b = {(r["table_name"], r["wend"], r["n_rows"]) for r in batch.collect()}
+    assert s, "no windows closed"
+    assert s <= b

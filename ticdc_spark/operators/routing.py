@@ -56,6 +56,12 @@ def hash32_md5(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def sanitize_topic(col: Column) -> Column:
+    """Kafka topic charset sanitization: anything outside [a-zA-Z0-9._-]
+    becomes '_' (`eventrouter/topic/expression.go:27-104`)."""
+    return F.regexp_replace(col, "[^a-zA-Z0-9._-]", "_")
+
+
 def topic_expr(template: str, default_schema_col: str = "schema_name") -> Column:
     """Render ``{schema}``/``{table}`` templates, e.g. ``cdc_{schema}_{table}``."""
     parts: list[Column] = []
