@@ -1,0 +1,56 @@
+"""Codec round-trip oracle (the reference's §5 MQ-path strategy):
+changelog → canal-json encode → decode (consumer) → apply →
+must equal state from applying the original changelog directly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ticdc_spark.codec import encode_canal_json
+from ticdc_spark.operators import split_updates
+from ticdc_spark.pipeline import ChangefeedConfig
+from ticdc_spark.sinks.consumer import decode_canal_json, replay_sink_dir, replay_to_state
+from ticdc_spark.sinks.mysql import materialize_state
+from ticdc_spark.sources.changelog import events_changelog
+from ticdc_spark.streaming import Changefeed
+
+
+def _state_key(df):
+    return {
+        (r["schema_name"], r["table_name"], r["id"]): (r["val"], r["k"])
+        for r in df.collect()
+    }
+
+
+def test_canal_roundtrip_state_equality(spark, sf_dir):
+    cl = split_updates(events_changelog(spark, sf_dir))
+    direct = materialize_state(cl).select(
+        "schema_name", "table_name", "id", "val", "k"
+    )
+
+    encoded = encode_canal_json(cl).select("value")
+    decoded = decode_canal_json(encoded)
+    # millisecond es collisions would break ordering — assert the fixture
+    # is collision-free per key before trusting the comparison
+    dup = (
+        decoded.groupBy("schema_name", "table_name", "commit_ts_ms",
+                        F.coalesce("after_id", "before_id"))
+        .count().filter("count > 2")
+    )
+    assert dup.count() == 0
+    replayed = replay_to_state(decoded)
+
+    assert _state_key(direct) == _state_key(replayed)
+
+
+def test_streaming_sink_replay(spark, sf_dir, tmp_path):
+    """K6: rebuild state from a changefeed's sink files (redo replay)."""
+    cfg = ChangefeedConfig(protocol="canal-json")
+    cf = Changefeed("cf_replay", cfg, str(tmp_path))
+    cf.start(spark, sf_dir, available_now=True)
+    cf.wait(240)
+    replayed = replay_sink_dir(spark, cf.sink_dir)
+    direct = materialize_state(
+        split_updates(events_changelog(spark, sf_dir))
+    ).select("schema_name", "table_name", "id", "val", "k")
+    assert _state_key(replayed) == _state_key(direct)

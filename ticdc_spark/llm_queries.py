@@ -336,3 +336,117 @@ def q_similarity_lsh_knn(spark, sf_dir):
 )
 def q_multimodal_features(spark, sf_dir):
     return extract_features(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicate pairs (dedup family #5): LSH-bucketed
+# candidate join + exact cosine threshold
+# ---------------------------------------------------------------------------
+from pyspark.sql import functions as F  # noqa: E402
+
+from ticdc_spark.llm.similarity import _dot, _norm, lsh_bucket_col  # noqa: E402
+
+_EMB_DUP_THRESHOLD = 0.9
+
+
+def _emb_near_dup(emb):
+    planes = hyperplanes()
+    with_b = emb.select(
+        "vec_id", "embedding",
+        lsh_bucket_col(F.col("embedding"), planes).alias("bucket"),
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    a = with_b.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"),
+                      F.col("nrm").alias("a_nrm"), "bucket")
+    b = with_b.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"),
+                      F.col("nrm").alias("b_nrm"), "bucket")
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(_dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_nrm") * F.col("b_nrm")), 6),
+        )
+        .filter(F.col("cos_sim") >= _EMB_DUP_THRESHOLD)
+        .select("a_id", "b_id", "cos_sim")
+        .distinct()
+    )
+    return pairs
+
+
+_EMB_DUP_ORACLE = f"""
+WITH b AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings),
+a AS (SELECT vec_id AS a_id, embedding AS a_emb, bucket FROM b),
+c AS (SELECT vec_id AS b_id, embedding AS b_emb, bucket FROM b),
+pairs AS (
+    SELECT DISTINCT a_id, b_id, {_cos_sql('a_emb', 'b_emb')} AS cos_sim
+    FROM a JOIN c USING (bucket) WHERE a_id < b_id
+)
+SELECT a_id, b_id, cos_sim FROM pairs WHERE cos_sim >= {_EMB_DUP_THRESHOLD}
+"""
+
+
+@register("dedup_embedding_cosine", _EMB_DUP_ORACLE)
+def q_dedup_embedding_cosine(spark, sf_dir):
+    return _emb_near_dup(_emb(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# sessionization over the events stream (lag + gap cumsum — the batch
+# equivalent of session_window, oracle-expressible)
+# ---------------------------------------------------------------------------
+_SESSION_GAP_US = 1_800_000_000  # 30 min
+
+_SESSION_ORACLE = f"""
+WITH ev AS (
+    SELECT user_id, epoch_us(ts) AS t, event_id
+    FROM events
+),
+lagged AS (
+    SELECT *, lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev_t
+    FROM ev
+),
+marked AS (
+    SELECT *, CASE WHEN prev_t IS NULL OR t - prev_t > {_SESSION_GAP_US}
+                   THEN 1 ELSE 0 END AS is_start
+    FROM lagged
+),
+sessions AS (
+    SELECT *, sum(is_start) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM marked
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(t) AS session_start, max(t) AS session_end,
+       max(t) - min(t) AS duration_us
+FROM sessions GROUP BY 1, 2
+"""
+
+
+@register("sessionization", _SESSION_ORACLE)
+def q_sessionization(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000").alias("t"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    lagged = ev.withColumn("prev_t", F.lag("t").over(w))
+    marked = lagged.withColumn(
+        "is_start",
+        F.when(
+            F.col("prev_t").isNull()
+            | (F.col("t") - F.col("prev_t") > _SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("t").alias("session_start"),
+        F.max("t").alias("session_end"),
+        (F.max("t") - F.min("t")).alias("duration_us"),
+    )

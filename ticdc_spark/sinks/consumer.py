@@ -1,0 +1,93 @@
+"""Consumer / redo-replay path (SURVEY §2.11 K6 + §5 test strategy).
+
+The reference's MQ correctness oracle is a real consumer
+(`cmd/kafka-consumer/writer.go:88-147`) that decodes protocol messages
+and applies them to a downstream DB, then diffs. This module is that
+consumer for the canal-json path: parse messages back into changelog
+rows (``from_json`` with the canal schema), then materialize. The
+round-trip (encode → decode → apply) must produce the same final state
+as applying the original changelog — proven in tests.
+
+Also serves as the redo-log replay tool (K6): point it at a changefeed's
+sink directory and it rebuilds table state from the WAL-like message
+files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CANAL_SCHEMA = T.StructType([
+    T.StructField("database", T.StringType()),
+    T.StructField("table", T.StringType()),
+    T.StructField("type", T.StringType()),
+    T.StructField("es", T.LongType()),
+    T.StructField("data", T.ArrayType(T.MapType(T.StringType(), T.StringType()))),
+    T.StructField("old", T.ArrayType(T.MapType(T.StringType(), T.StringType()))),
+])
+
+
+def decode_canal_json(messages: DataFrame, value_col: str = "value") -> DataFrame:
+    """canal-json messages → changelog-shaped rows (decoded images as
+    typed columns). Inverse of codec/canal_json.py for the test payload."""
+    parsed = messages.withColumn("_m", F.from_json(F.col(value_col), CANAL_SCHEMA))
+    img = F.col("_m.data").getItem(0)
+    old = F.col("_m.old").getItem(0)
+
+    def field(m, name, dtype):
+        return m.getItem(name).cast(dtype)
+
+    op = (
+        F.when(F.col("_m.type") == "INSERT", F.lit("I"))
+        .when(F.col("_m.type") == "UPDATE", F.lit("U"))
+        .otherwise(F.lit("D"))
+    )
+    # canal: data carries after for I/U, before for D; old carries before
+    # for U only.
+    return parsed.select(
+        F.col("_m.database").alias("schema_name"),
+        F.col("_m.table").alias("table_name"),
+        op.alias("op"),
+        F.col("_m.es").alias("commit_ts_ms"),
+        F.when(op == "D", field(img, "id", "long"))
+        .otherwise(field(old, "id", "long")).alias("before_id"),
+        F.when(op == "D", field(img, "val", "double"))
+        .otherwise(field(old, "val", "double")).alias("before_val"),
+        F.when(op == "D", field(img, "k", "long"))
+        .otherwise(field(old, "k", "long")).alias("before_k"),
+        F.when(op != "D", field(img, "id", "long")).alias("after_id"),
+        F.when(op != "D", field(img, "val", "double")).alias("after_val"),
+        F.when(op != "D", field(img, "k", "long")).alias("after_k"),
+    )
+
+
+def replay_to_state(decoded: DataFrame, order_col: str = "commit_ts_ms") -> DataFrame:
+    """Apply decoded changelog rows → final table state (last write per
+    key wins, delete kills) — consumer-side counterpart of
+    sinks.mysql.materialize_state."""
+    keyed = decoded.withColumn(
+        "_key", F.coalesce(F.col("after_id"), F.col("before_id"))
+    ).withColumn(
+        "_ord",
+        F.col(order_col) * 4
+        + F.when(F.col("op") == "D", 1).when(F.col("op") == "U", 2).otherwise(3),
+    )
+    g = keyed.groupBy("schema_name", "table_name", "_key").agg(
+        F.max_by(
+            F.when(F.col("op") == "D", 1).when(F.col("op") == "U", 2).otherwise(3),
+            "_ord",
+        ).alias("_last_code"),
+        F.max_by("after_val", "_ord").alias("val"),
+        F.max_by("after_k", "_ord").alias("k"),
+    )
+    return g.filter(F.col("_last_code") != 1).select(
+        "schema_name", "table_name", F.col("_key").alias("id"), "val", "k"
+    )
+
+
+def replay_sink_dir(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """K6 replay: rebuild state from a changefeed's message files."""
+    msgs = spark.read.json(f"{sink_dir}/epoch=*")
+    return replay_to_state(decode_canal_json(msgs))
