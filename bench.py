@@ -62,6 +62,7 @@ def main() -> None:
         "changelog_mount", "compaction", "materialize_state", "update_split",
         "ordering", "routing", "codec_canal_json", "codec_csv",
         "mysql_sql_gen", "kafka_messages",
+        "compaction_salted", "lineitem_changelog_stats", "codec_canal_lineitem",
         "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
         "dedup_simhash", "similarity_knn", "similarity_lsh_knn",
         "text_quality", "token_stats", "multimodal_features",

@@ -474,3 +474,115 @@ def _avro_img_sql(img: str) -> str:
 )
 def q_codec_avro_json(spark, sf_dir):
     return encode_avro_json(scale_out(events_changelog(spark, sf_dir))).select("seq", "value")
+
+
+# ---------------------------------------------------------------------------
+# R7 — skew-resistant salted compaction (same oracle as `compaction`:
+# the two-phase fold must produce identical rows)
+# ---------------------------------------------------------------------------
+from ticdc_spark.operators.compaction import compact_changelog_salted  # noqa: E402
+from ticdc_spark.queries import ORACLES as _ORACLES  # noqa: E402
+
+
+@register("compaction_salted", _ORACLES["compaction"])
+def q_compaction_salted(spark, sf_dir):
+    out = compact_changelog_salted(events_changelog(spark, sf_dir))
+    return out.select(
+        "schema_name", "table_name", "table_id", "pk", "net_op", "n_events",
+        "commit_ts",
+        F.col("before.id").alias("before_id"),
+        F.col("before.val").alias("before_val"),
+        F.col("before.k").alias("before_k"),
+        F.col("after.id").alias("after_id"),
+        F.col("after.val").alias("after_val"),
+        F.col("after.k").alias("after_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scale workload: changelog derived from lineitem (6x the events volume) —
+# agg + encode paths at 600k rows/sf0.1
+# ---------------------------------------------------------------------------
+from ticdc_spark.sources.changelog import epoch_us, read_table  # noqa: E402
+
+_LI_CTE = """
+li_changelog AS (
+    SELECT
+        'tpch' AS schema_name,
+        'lineitem' AS table_name,
+        CASE l_returnflag WHEN 'N' THEN 'I' WHEN 'A' THEN 'U' ELSE 'D' END AS op,
+        epoch_us(l_shipdate) AS commit_ts,
+        CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS pk,
+        l_extendedprice AS val,
+        CAST(l_quantity AS BIGINT) AS k
+    FROM lineitem
+)
+"""
+
+
+def _lineitem_changelog(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    op = (
+        F.when(F.col("l_returnflag") == "N", F.lit("I"))
+        .when(F.col("l_returnflag") == "A", F.lit("U"))
+        .otherwise(F.lit("D"))
+    )
+    return li.select(
+        F.lit("tpch").alias("schema_name"),
+        F.lit("lineitem").alias("table_name"),
+        op.alias("op"),
+        epoch_us(li, "l_shipdate").alias("commit_ts"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias("pk"),
+        F.col("l_extendedprice").alias("val"),
+        F.col("l_quantity").cast("long").alias("k"),
+    )
+
+
+@register(
+    "lineitem_changelog_stats",
+    f"WITH {_LI_CTE} SELECT op, count(*) AS n_rows, "
+    "count(DISTINCT pk) AS n_keys, "
+    "CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS sum_val, "
+    "min(commit_ts) AS min_ts, max(commit_ts) AS max_ts "
+    "FROM li_changelog GROUP BY op",
+)
+def q_lineitem_changelog_stats(spark, sf_dir):
+    cl = _lineitem_changelog(spark, sf_dir)
+    return cl.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("pk").alias("n_keys"),
+        F.sum(F.col("val").cast("decimal(18,2)")).cast("double").alias("sum_val"),
+        F.min("commit_ts").alias("min_ts"),
+        F.max("commit_ts").alias("max_ts"),
+    )
+
+
+_LI_CANAL = """
+'{"id":0,"database":"' || schema_name || '","table":"' || table_name ||
+'","pkNames":["id"],"isDdl":false,"type":"' ||
+CASE op WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE' ELSE 'DELETE' END ||
+'","es":' || (commit_ts // 1000)::VARCHAR ||
+',"ts":0,"data":[{"id":"' || pk::VARCHAR || '","val":"' ||
+printf('%.2f', val) || '","k":"' || k::VARCHAR || '"}]}'
+"""
+
+
+@register(
+    "codec_canal_lineitem",
+    f"WITH {_LI_CTE} SELECT pk, commit_ts, {_LI_CANAL} AS value FROM li_changelog",
+)
+def q_codec_canal_lineitem(spark, sf_dir):
+    cl = scale_out(_lineitem_changelog(spark, sf_dir))
+    value = F.concat(
+        F.lit('{"id":0,"database":"'), F.col("schema_name"),
+        F.lit('","table":"'), F.col("table_name"),
+        F.lit('","pkNames":["id"],"isDdl":false,"type":"'),
+        F.when(F.col("op") == "I", F.lit("INSERT"))
+        .when(F.col("op") == "U", F.lit("UPDATE")).otherwise(F.lit("DELETE")),
+        F.lit('","es":'), F.expr("commit_ts div 1000").cast("string"),
+        F.lit(',"ts":0,"data":[{"id":"'), F.col("pk").cast("string"),
+        F.lit('","val":"'), F.format_string("%.2f", F.col("val")),
+        F.lit('","k":"'), F.col("k").cast("string"),
+        F.lit('"}]}'),
+    )
+    return cl.select("pk", "commit_ts", value.alias("value"))

@@ -78,6 +78,19 @@ def as_timestamp(col_name: str):
     return F.timestamp_micros(F.expr(f"{col_name} div 1000"))
 
 
+def epoch_us(df: DataFrame, col_name: str):
+    """Epoch-microseconds from a timestamp column regardless of how the
+    parquet stored it: TIMESTAMP(NANOS) arrives as LongType nanos (the
+    legacy flag), TIMESTAMP(MICROS) as TimestampNTZ. Matches DuckDB's
+    ``epoch_us`` for both (session TZ is UTC)."""
+    from pyspark.sql.types import LongType
+
+    dtype = df.schema[col_name].dataType
+    if isinstance(dtype, LongType):
+        return F.expr(f"{col_name} div 1000")
+    return F.unix_micros(F.col(col_name).cast("timestamp"))
+
+
 def _mount(events: DataFrame) -> DataFrame:
     """Mount raw events into the changelog shape (S7 mounter analog)."""
     op = (
