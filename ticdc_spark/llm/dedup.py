@@ -154,21 +154,36 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
 
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """Per-doc SimHash: majority vote over token FNV-1a hash bits."""
-    # Materialize token hashes once; the 16 per-bit votes then share the
-    # projected array instead of re-hashing (subexpr elimination aside).
+    # Single pass: one aggregate accumulating the per-bit vote vector
+    # (array<long> of length `bits`) instead of `bits` separate
+    # aggregates each re-walking the hash array.
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
     with_h = docs.repartition(parallelism).withColumn(
         "_hashes", F.transform(tokens_col(), lambda t: fnv1a32(t))
     )
-    sim = F.lit(0).cast("long")
+    zero = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
+    bit_positions = F.array(*[F.lit(i) for i in range(bits)])
 
-    def bit_vote(mask: int):
-        # 2-arg merge lambda only — see salted() note on pyspark arity.
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(F.lit(mask)) != 0, F.lit(1)
-        ).otherwise(F.lit(-1))
+    def step(acc, h):
+        # shiftright needs a literal shift amount, so derive the bit via
+        # exact double arithmetic: floor(h / 2^i) % 2 (h < 2^32 « 2^53).
+        return F.zip_with(
+            acc,
+            bit_positions,
+            lambda a, i: a
+            + F.when(
+                F.floor(h / F.pow(F.lit(2.0), i)).cast("long") % 2 == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
 
-    for i in range(bits):
-        vote = F.aggregate(F.col("_hashes"), F.lit(0).cast("long"), bit_vote(1 << i))
-        sim = sim + F.when(vote > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    votes = F.aggregate(F.col("_hashes"), zero, step)
+    sim = F.aggregate(
+        F.zip_with(
+            votes,
+            F.array(*[F.lit(1 << i).cast("long") for i in range(bits)]),
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return with_h.select("doc_id", sim.alias("simhash"))

@@ -586,3 +586,48 @@ def q_codec_canal_lineitem(spark, sf_dir):
         F.lit('"}]}'),
     )
     return cl.select("pk", "commit_ts", value.alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# topic sanitization (§2.9, eventrouter/topic/expression.go charset rules)
+# — demonstrated on a template containing a charset-hostile piece
+# ---------------------------------------------------------------------------
+from ticdc_spark.operators.routing import sanitize_topic, topic_expr  # noqa: E402
+
+
+@register(
+    "topic_sanitization",
+    f"WITH {CHANGELOG_SQL} SELECT DISTINCT table_name, "
+    "regexp_replace('cdc$topic!' || schema_name || '/' || table_name, "
+    "'[^a-zA-Z0-9._-]', '_', 'g') AS topic FROM changelog",
+)
+def q_topic_sanitization(spark, sf_dir):
+    cl = events_changelog(spark, sf_dir)
+    raw = topic_expr("cdc$topic!{schema}/{table}")
+    return cl.select(
+        "table_name", sanitize_topic(raw).alias("topic")
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# simple-protocol BOOTSTRAP messages (periodic schema rows,
+# pkg/config/sink.go:190-201 + simple/message.go BOOTSTRAP type)
+# ---------------------------------------------------------------------------
+@register(
+    "bootstrap_messages",
+    f"WITH {CHANGELOG_SQL} SELECT DISTINCT schema_name, table_name, "
+    "'{\"version\":1,\"type\":\"BOOTSTRAP\",\"buildTs\":0,\"schema\":\"' || "
+    "schema_name || '\",\"table\":\"' || table_name || "
+    "'\",\"tableSchema\":{\"columns\":[\"id\",\"val\",\"k\"],\"pk\":[\"id\"]}}' "
+    "AS value FROM changelog",
+)
+def q_bootstrap_messages(spark, sf_dir):
+    cl = events_changelog(spark, sf_dir)
+    value = F.concat(
+        F.lit('{"version":1,"type":"BOOTSTRAP","buildTs":0,"schema":"'),
+        F.col("schema_name"),
+        F.lit('","table":"'),
+        F.col("table_name"),
+        F.lit('","tableSchema":{"columns":["id","val","k"],"pk":["id"]}}'),
+    )
+    return cl.select("schema_name", "table_name", value.alias("value")).distinct()
