@@ -37,6 +37,19 @@ def image_digest(image: str, schema) -> Column:
     return F.md5(F.concat_ws("|", *rendered))
 
 
+def verify_checksums(cl: DataFrame, checksum_col: str = "checksum") -> DataFrame:
+    """The mounter-side verification (`mounter.go:100-112`): recompute the
+    digest from the images and flag rows whose carried checksum differs
+    (corruption between capture and sink). Returns the frame with a
+    ``checksum_ok`` column; callers route failures to a dead-letter sink
+    or raise, per integrity level (none/correctness)."""
+    schema = cl.schema["after"].dataType
+    recomputed = F.when(
+        F.col("after").isNotNull(), image_digest("after", schema)
+    ).otherwise(image_digest("before", schema))
+    return cl.withColumn("checksum_ok", F.col(checksum_col) == recomputed)
+
+
 def with_row_checksum(cl: DataFrame) -> DataFrame:
     schema = cl.schema["after"].dataType
     return cl.withColumn(

@@ -64,6 +64,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``micros(col)`` / ``as_timestamp(col)`` to interpret them.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # TZ-sensitive renderings (storage path dates) must agree with the
+    # DuckDB oracle's naive-UTC timestamps regardless of the caller's
+    # session default.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

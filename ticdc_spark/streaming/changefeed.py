@@ -41,10 +41,12 @@ class Changefeed:
         changefeed_id: str,
         cfg: ChangefeedConfig,
         work_dir: str,
+        compression: str | None = None,
     ) -> None:
         self.changefeed_id = changefeed_id
         self.cfg = cfg
         self.work_dir = work_dir
+        self.compression = compression
         self.checkpoint_dir = os.path.join(work_dir, "checkpoint", changefeed_id)
         self.sink_dir = os.path.join(work_dir, "sink", changefeed_id)
         self.progress_path = os.path.join(work_dir, "progress", f"{changefeed_id}.jsonl")
@@ -62,14 +64,16 @@ class Changefeed:
         if batch_df.isEmpty():
             return
         out_cols = [c for c in ("topic", "partition", "value") if c in batch_df.columns]
-        (
+        writer = (
             batch_df.sortWithinPartitions("commit_ts", "start_ts", "dml_order", "seq")
             .select(*(out_cols or ["value"]))
             .write.mode("append")
             .partitionBy(*[c for c in ("topic",) if c in out_cols])
             .format("json")
-            .save(os.path.join(self.sink_dir, f"epoch={epoch_id}"))
         )
+        if self.compression:  # lz4/snappy/zstd analog (pkg/compression)
+            writer = writer.option("compression", self.compression)
+        writer.save(os.path.join(self.sink_dir, f"epoch={epoch_id}"))
         stats = batch_df.agg(
             F.max("commit_ts").alias("resolved_ts"),
             F.count(F.lit(1)).alias("n_rows"),
