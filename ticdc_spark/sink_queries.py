@@ -631,3 +631,60 @@ def q_bootstrap_messages(spark, sf_dir):
         F.lit('","tableSchema":{"columns":["id","val","k"],"pk":["id"]}}'),
     )
     return cl.select("schema_name", "table_name", value.alias("value")).distinct()
+
+
+# ---------------------------------------------------------------------------
+# debezium envelope (the last unchecked encoder)
+# ---------------------------------------------------------------------------
+from ticdc_spark.codec import encode_debezium  # noqa: E402
+
+_DBZ_IMG = (
+    "'{{\"id\":' || coalesce({img}_id::VARCHAR, 'null')"
+    " || ',\"val\":' || coalesce(round({img}_val, 2)::VARCHAR, 'null')"
+    " || ',\"k\":' || coalesce({img}_k::VARCHAR, 'null') || '}}'"
+)
+
+
+def _dbz_img_sql(img: str) -> str:
+    return (
+        f"CASE WHEN {img}_id IS NULL THEN 'null' ELSE "
+        + _DBZ_IMG.format(img=img) + " END"
+    )
+
+
+@register(
+    "codec_debezium",
+    f"WITH {CHANGELOG_SQL} SELECT seq, "
+    "'{\"before\":' || " + _dbz_img_sql("before") + " || "
+    "',\"after\":' || " + _dbz_img_sql("after") + " || "
+    "',\"source\":{\"connector\":\"ticdc-spark\",\"db\":\"' || schema_name || "
+    "'\",\"table\":\"' || table_name || '\",\"commit_ts\":' || commit_ts::VARCHAR || "
+    "'},\"op\":\"' || CASE op WHEN 'I' THEN 'c' WHEN 'U' THEN 'u' ELSE 'd' END || "
+    "'\",\"ts_ms\":' || (commit_ts // 1000)::VARCHAR || '}' AS value FROM changelog",
+)
+def q_codec_debezium(spark, sf_dir):
+    return encode_debezium(scale_out(events_changelog(spark, sf_dir))).select(
+        "seq", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5/§2.12 — transaction boundaries (transaction-atomicity accounting:
+# rows grouped into their txns, per-txn flush metadata)
+# ---------------------------------------------------------------------------
+@register(
+    "txn_boundaries",
+    f"WITH {CHANGELOG_SQL} SELECT start_ts, count(*) AS n_rows, "
+    "min(seq) AS first_seq, max(seq) AS last_seq, "
+    "max(commit_ts) AS commit_ts, count(DISTINCT table_id) AS n_tables "
+    "FROM changelog GROUP BY start_ts",
+)
+def q_txn_boundaries(spark, sf_dir):
+    cl = events_changelog(spark, sf_dir)
+    return cl.groupBy("start_ts").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("seq").alias("first_seq"),
+        F.max("seq").alias("last_seq"),
+        F.max("commit_ts").alias("commit_ts"),
+        F.countDistinct("table_id").alias("n_tables"),
+    )
