@@ -688,3 +688,126 @@ def q_txn_boundaries(spark, sf_dir):
         F.max("commit_ts").alias("commit_ts"),
         F.countDistinct("table_id").alias("n_tables"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema-generic proof: a string-payload changelog (documents) through the
+# SAME operator/encoder code — operators read payload schemas dynamically
+# ---------------------------------------------------------------------------
+_DOCS_CTE = """
+doc_changelog AS (
+    SELECT
+        'docs' AS schema_name,
+        'doc_' || lang AS table_name,
+        CASE CAST(n_chars % 3 AS INTEGER) WHEN 0 THEN 'I' WHEN 1 THEN 'U'
+             ELSE 'D' END AS op,
+        1704067200000000 + doc_id * 1000 AS commit_ts,
+        CAST(doc_id AS BIGINT) AS seq,
+        CAST(doc_id AS BIGINT) AS pk,
+        CASE WHEN n_chars % 3 <> 0 THEN CAST(doc_id AS BIGINT) END AS before_id,
+        CASE WHEN n_chars % 3 <> 0 THEN upper(substring(text, 1, 20)) END AS before_text,
+        CASE WHEN n_chars % 3 <> 0 THEN source END AS before_src,
+        CASE WHEN n_chars % 3 <> 2 THEN CAST(doc_id AS BIGINT) END AS after_id,
+        CASE WHEN n_chars % 3 <> 2 THEN substring(text, 1, 40) END AS after_text,
+        CASE WHEN n_chars % 3 <> 2 THEN source END AS after_src
+    FROM documents
+)
+"""
+
+
+def _documents_changelog(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    op = (
+        F.when(F.col("n_chars") % 3 == 0, F.lit("I"))
+        .when(F.col("n_chars") % 3 == 1, F.lit("U"))
+        .otherwise(F.lit("D"))
+    )
+    before = F.when(
+        F.col("n_chars") % 3 != 0,
+        F.struct(
+            F.col("doc_id").cast("long").alias("id"),
+            F.upper(F.substring("text", 1, 20)).alias("text"),
+            F.col("source").alias("src"),
+        ),
+    )
+    after = F.when(
+        F.col("n_chars") % 3 != 2,
+        F.struct(
+            F.col("doc_id").cast("long").alias("id"),
+            F.substring("text", 1, 40).alias("text"),
+            F.col("source").alias("src"),
+        ),
+    )
+    return d.select(
+        F.lit("docs").alias("schema_name"),
+        F.concat(F.lit("doc_"), F.col("lang")).alias("table_name"),
+        op.alias("op"),
+        (F.lit(1704067200000000) + F.col("doc_id") * 1000).alias("commit_ts"),
+        F.col("doc_id").cast("long").alias("seq"),
+        F.col("doc_id").cast("long").alias("pk"),
+        F.when(op == "D", 1).when(op == "U", 2).otherwise(3).alias("dml_order"),
+        ((F.lit(1704067200000000) + F.col("doc_id") * 1000) - 1).alias("start_ts"),
+        before.alias("before"),
+        after.alias("after"),
+    )
+
+
+def _doc_json_field(img: str, name: str) -> str:
+    esc = (
+        f"replace(replace({img}_{name}, '\\', '\\\\'), '\"', '\\\"')"
+    )
+    return f"coalesce('\"' || {esc} || '\"', 'null')"
+
+
+_DOC_IMG = (
+    "'[{{\"id\":' || coalesce('\"' || {img}_id::VARCHAR || '\"', 'null')"
+    " || ',\"text\":' || " + "{text}"
+    " || ',\"src\":' || " + "{src}" + " || '}}]'"
+)
+
+
+def _doc_img_sql(img: str) -> str:
+    obj = _DOC_IMG.format(
+        img=img,
+        text=_doc_json_field(img, "text"),
+        src=_doc_json_field(img, "src"),
+    )
+    return f"CASE WHEN {img}_id IS NULL THEN 'null' ELSE {obj} END"
+
+
+_DOC_SQLTYPE = '{"id":-5,"text":12,"src":12}'
+_DOC_MYSQLTYPE = '{"id":"bigint","text":"varchar","src":"varchar"}'
+
+
+@register(
+    "documents_changelog_encode",
+    f"WITH {_DOCS_CTE} SELECT seq, "
+    "'{\"id\":0,\"database\":\"' || schema_name || '\",\"table\":\"' || table_name || "
+    "'\",\"pkNames\":[\"id\"],\"isDdl\":false,\"type\":\"' || "
+    "CASE op WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE' ELSE 'DELETE' END || "
+    "'\",\"es\":' || (commit_ts // 1000)::VARCHAR || "
+    f"',\"ts\":0,\"sql\":\"\",\"sqlType\":{_DOC_SQLTYPE},"
+    f"\"mysqlType\":{_DOC_MYSQLTYPE},\"data\":' || "
+    f"CASE WHEN op = 'D' THEN {_doc_img_sql('before')} "
+    f"ELSE {_doc_img_sql('after')} END || "
+    f"',\"old\":' || CASE WHEN op = 'U' THEN {_doc_img_sql('before')} "
+    "ELSE 'null' END || '}' AS value FROM doc_changelog",
+)
+def q_documents_changelog_encode(spark, sf_dir):
+    cl = _documents_changelog(spark, sf_dir)
+    return encode_canal_json(cl).select("seq", "value")
+
+
+@register(
+    "documents_changelog_compact",
+    f"WITH {_DOCS_CTE} SELECT table_name, op, count(*) AS n_rows, "
+    "min(commit_ts) AS min_ts, max(commit_ts) AS max_ts "
+    "FROM doc_changelog GROUP BY 1, 2",
+)
+def q_documents_changelog_compact(spark, sf_dir):
+    cl = _documents_changelog(spark, sf_dir)
+    return cl.groupBy("table_name", "op").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("commit_ts").alias("min_ts"),
+        F.max("commit_ts").alias("max_ts"),
+    )
