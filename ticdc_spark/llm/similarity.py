@@ -147,3 +147,75 @@ def lsh_knn(emb: DataFrame, n_queries: int = 20, k: int = 3) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-flat with a fixed deterministic coarse quantizer (the scale path
+# alternative to LSH): assign every vector to its nearest of K fixed
+# centroids (md5-derived, shared with the oracle as literals); queries
+# search their own cell (nprobe=1), exact cosine re-rank inside.
+# ---------------------------------------------------------------------------
+N_CENTROIDS = 8
+
+
+def ivf_centroids(dim: int = EMB_DIM, k: int = N_CENTROIDS) -> list[list[float]]:
+    cents = []
+    for c in range(k):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"centroid:{c}:{d}".encode()).hexdigest()[:8], 16)
+            row.append(round(h / 2**31 - 1.0, 6))
+        cents.append(row)
+    return cents
+
+
+def _dist2(a: Column, cent: list[float]) -> Column:
+    lit = F.array(*[F.lit(v) for v in cent])
+    return F.aggregate(
+        F.zip_with(a, lit, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_cell_col(emb_col: Column, cents: list[list[float]]) -> Column:
+    """argmin over centroid distances; ties keep the lowest index (the
+    oracle mirrors the identical fold)."""
+    dists = [_dist2(emb_col, c) for c in cents]
+    idx: Column = F.lit(0)
+    best: Column = dists[0]
+    for i in range(1, len(cents)):
+        idx = F.when(dists[i] < best, F.lit(i)).otherwise(idx)
+        best = F.least(dists[i], best)
+    return idx
+
+
+def ivf_knn(emb: DataFrame, n_queries: int = 20, k: int = 3) -> DataFrame:
+    cents = ivf_centroids()
+    with_cell = emb.withColumn("cell", ivf_cell_col(F.col("embedding"), cents))
+    q = with_cell.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"), "cell",
+    )
+    c = with_cell.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_norm"), "cell",
+    )
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cos_sim", "rank")
+    )

@@ -450,3 +450,48 @@ def q_sessionization(spark, sf_dir):
         F.max("t").alias("session_end"),
         (F.max("t") - F.min("t")).alias("duration_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-flat ANN (fixed coarse quantizer) — scale-path alternative to LSH
+# ---------------------------------------------------------------------------
+from ticdc_spark.llm.similarity import ivf_centroids, ivf_knn  # noqa: E402
+
+_CENTS = ivf_centroids()
+
+
+def _cent_sql(row):
+    return "[" + ", ".join(f"{v}::DOUBLE" for v in row) + "]"
+
+
+_D2 = (
+    "list_sum(list_transform(list_zip(embedding, {c}), p -> "
+    "(p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)))"
+)
+_DISTS = [_D2.format(c=_cent_sql(c)) for c in _CENTS]
+_IDX_EXPR = "0"
+_BEST_EXPR = f"({_DISTS[0]})"
+for _i in range(1, len(_CENTS)):
+    _IDX_EXPR = f"CASE WHEN ({_DISTS[_i]}) < {_BEST_EXPR} THEN {_i} ELSE ({_IDX_EXPR}) END"
+    _BEST_EXPR = f"least(({_DISTS[_i]}), {_BEST_EXPR})"
+
+_IVF_ORACLE = f"""
+WITH cells AS (SELECT vec_id, embedding, ({_IDX_EXPR}) AS cell FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb, cell FROM cells WHERE vec_id < 20),
+c AS (SELECT vec_id AS c_id, embedding AS c_emb, cell FROM cells),
+scored AS (
+    SELECT q_id, c_id, {_cos_sql('q_emb', 'c_emb')} AS cos_sim
+    FROM q JOIN c USING (cell) WHERE q_id <> c_id
+),
+ranked AS (
+    SELECT q_id, c_id, cos_sim,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rank
+    FROM scored
+)
+SELECT q_id, c_id, cos_sim, rank FROM ranked WHERE rank <= 3
+"""
+
+
+@register("similarity_ivf_knn", _IVF_ORACLE)
+def q_similarity_ivf_knn(spark, sf_dir):
+    return ivf_knn(_emb(spark, sf_dir), n_queries=20, k=3)
