@@ -22,6 +22,45 @@ from pyspark.sql import functions as F
 from ticdc_spark.operators.table_filter import table_filter_predicate
 
 
+def select_columns_physical(
+    cl: DataFrame,
+    columns: list[str],
+    pk_fields: tuple[str, ...] = ("id",),
+) -> DataFrame:
+    """Physical column drop for a single-table (typed-payload) changelog:
+    the before/after structs are rebuilt with ONLY the selected fields, so
+    the output schema no longer contains dropped columns at all — exactly
+    the reference's behavior (`column_selector.go:29-162`), and the form
+    that lets Catalyst prune dropped columns out of the parquet scan
+    (``ReadSchema`` shrinks, not just NULLs).
+
+    Use this when the frame carries one table (per-table typed payloads);
+    ``select_columns`` remains for multi-table unified frames where rules
+    differ per table and the schema must stay the union.
+    """
+    missing = [k for k in pk_fields if k not in columns]
+    if missing:
+        raise ValueError(
+            f"column selector drops handle-key column(s) {missing}; "
+            "a usable unique index must survive (columnselector.go:162)"
+        )
+    payload_fields = [f.name for f in cl.schema["after"].dataType.fields]
+    unknown = [c for c in columns if c not in payload_fields]
+    if unknown:
+        raise ValueError(f"column selector references unknown column(s) {unknown}")
+    kept = [f for f in payload_fields if f in columns]  # keep schema order
+    out = cl
+    for image in ("before", "after"):
+        out = out.withColumn(
+            image,
+            F.when(
+                F.col(image).isNotNull(),
+                F.struct(*[F.col(f"{image}.{f}").alias(f) for f in kept]),
+            ),
+        )
+    return out
+
+
 def select_columns(
     cl: DataFrame,
     rules: list[dict],

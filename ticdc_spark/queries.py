@@ -442,3 +442,4 @@ def q_row_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # themselves to QUERIES/ORACLES).
 from ticdc_spark import llm_queries  # noqa: E402,F401  isort:skip
 from ticdc_spark import sink_queries  # noqa: E402,F401  isort:skip
+from ticdc_spark import typed_queries  # noqa: E402,F401  isort:skip

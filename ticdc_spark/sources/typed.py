@@ -1,0 +1,197 @@
+"""Per-table TYPED changelog — real per-table schemas bound through the
+versioned schema registry (closes the round-1 "unified payload" gap).
+
+The reference mounts every table with its OWN TableInfo columns
+(`pkg/common/event/mounter.go:44-151`; `pkg/common/table_info.go:79-117`),
+and every DML binds to the schema version with largest ``version_ts <=
+commit_ts`` (`logservice/schemastore/schema_store.go:50-54`). Columns
+added by a later DDL simply do not exist in rows mounted at an earlier
+version — this module reproduces exactly that: the ``orders`` table gets
+a typed payload struct (bigint/bigint/double/varchar/varchar/date-string)
+whose ``status`` column exists from schema v2 and ``priority`` from v3
+(`SCHEMA_VERSIONS` in plans/schema_registry.py).
+
+Event derivation (deterministic, mirrored in ``ORDERS_CL_SQL``):
+
+- every order row yields an INSERT at ``ts0 = 2024-01-01 + okey*4000s``
+  (µs); keys spread ~69 days at sf0.001 and ~694 days at sf0.01+, so
+  commit timestamps genuinely straddle both DDL activation instants.
+- keys with ``okey % 3 == 1`` additionally yield an UPDATE at
+  ``ts0 + 2000s`` (price += 10.00); keys with ``okey % 3 == 2`` a DELETE
+  — multi-event per-key lifecycles that exercise the 6-case fold on a
+  typed payload.
+- each event binds its schema version at ITS OWN commit_ts (an event
+  pair can straddle a DDL boundary: the insert lacks a column its own
+  update carries — the reference behaves identically).
+
+All derivation is JVM column algebra (whole-stage codegen); at 100 TB the
+same mount expressions run inside ``readStream`` with the registry
+broadcast (see plans/schema_registry.py for the as-of strategies).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ticdc_spark.plans.schema_registry import SCHEMA_VERSIONS
+from ticdc_spark.sources.changelog import epoch_us, read_table
+
+_BASE_TS = 1_704_067_200_000_000  # 2024-01-01 UTC (µs)
+_KEY_STEP = 4_000_000_000         # 4000 s per orderkey
+_UPD_DELTA = 2_000_000_000        # update/delete trails insert by 2000 s
+
+ORDERS_TABLE_ID = 100
+ORDERS_PK = ("okey",)
+
+
+def _schema_version(commit_ts: F.Column) -> F.Column:
+    """Map-side as-of bind (S5/J1): largest version with version_ts <= ts."""
+    expr = F.lit(None).cast("int")
+    for v, ts in sorted(SCHEMA_VERSIONS, key=lambda p: p[1]):
+        expr = F.when(commit_ts >= F.lit(ts), F.lit(v)).otherwise(expr)
+    return expr
+
+
+def _payload(price: F.Column, version: F.Column) -> F.Column:
+    """Typed orders payload at a given schema version: columns that do
+    not exist yet at that version are NULL (the mounter cannot decode a
+    column the schema doesn't have)."""
+    return F.struct(
+        F.col("okey").alias("okey"),
+        F.col("cust").alias("cust"),
+        price.alias("price"),
+        F.when(version >= 2, F.col("status")).alias("status"),
+        F.when(version >= 3, F.col("priority")).alias("priority"),
+        F.col("odate").alias("odate"),
+    )
+
+
+def orders_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed per-table changelog over the ``orders`` parquet table."""
+    o = read_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("cust"),
+        F.col("o_totalprice").alias("price0"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format(
+            F.timestamp_micros(epoch_us(o, "o_orderdate")), "yyyy-MM-dd"
+        ).alias("odate"),
+        (F.lit(_BASE_TS) + F.col("o_orderkey") * F.lit(_KEY_STEP)).alias("ts0"),
+    )
+
+    ins = base.select(
+        "okey", "cust", "status", "priority", "odate",
+        F.col("price0").alias("price"),
+        F.col("ts0").alias("commit_ts"),
+        F.lit("I").alias("op"),
+        (F.col("okey") * 2).cast("long").alias("seq"),
+    )
+    tail = base.filter(F.col("okey") % 3 != 0).select(
+        "okey", "cust", "status", "priority", "odate",
+        F.col("price0").alias("price"),
+        (F.col("ts0") + F.lit(_UPD_DELTA)).alias("commit_ts"),
+        F.when(F.col("okey") % 3 == 1, F.lit("U")).otherwise(F.lit("D")).alias("op"),
+        (F.col("okey") * 2 + 1).cast("long").alias("seq"),
+    )
+    ev = ins.unionByName(tail)
+
+    version = _schema_version(F.col("commit_ts"))
+    before = F.when(
+        F.col("op").isin("U", "D"), _payload(F.col("price"), version)
+    )
+    after = F.when(
+        F.col("op") == "I", _payload(F.col("price"), version)
+    ).when(
+        F.col("op") == "U", _payload(F.col("price") + F.lit(10.0), version)
+    )
+    return ev.select(
+        F.lit("tpch").alias("schema_name"),
+        F.lit("orders").alias("table_name"),
+        F.lit(ORDERS_TABLE_ID).cast("long").alias("table_id"),
+        "op",
+        "commit_ts",
+        (F.col("commit_ts") - 1).alias("start_ts"),
+        "seq",
+        F.when(F.col("op") == "D", 1)
+        .when(F.col("op") == "U", 2)
+        .otherwise(3)
+        .alias("dml_order"),
+        F.col("okey").cast("long").alias("pk"),
+        version.alias("schema_version"),
+        before.alias("before"),
+        after.alias("after"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle side — identical derivation (any change above MUST be
+# mirrored here). v2/v3 activation instants from SCHEMA_VERSIONS.
+# ---------------------------------------------------------------------------
+_V2_TS = dict(SCHEMA_VERSIONS)[2]
+_V3_TS = dict(SCHEMA_VERSIONS)[3]
+
+ORDERS_CL_SQL = f"""
+orders_base AS (
+    SELECT o_orderkey AS okey, o_custkey AS cust, o_totalprice AS price0,
+           o_orderstatus AS status, o_orderpriority AS priority,
+           strftime(o_orderdate, '%Y-%m-%d') AS odate,
+           {_BASE_TS} + o_orderkey * {_KEY_STEP} AS ts0
+    FROM orders
+),
+orders_ev AS (
+    SELECT okey, cust, status, priority, odate, price0 AS price,
+           ts0 AS commit_ts, 'I' AS op, CAST(okey * 2 AS BIGINT) AS seq
+    FROM orders_base
+    UNION ALL
+    SELECT okey, cust, status, priority, odate, price0,
+           ts0 + {_UPD_DELTA},
+           CASE WHEN okey % 3 = 1 THEN 'U' ELSE 'D' END,
+           CAST(okey * 2 + 1 AS BIGINT)
+    FROM orders_base WHERE okey % 3 <> 0
+),
+orders_cl AS (
+    SELECT 'tpch' AS schema_name, 'orders' AS table_name,
+           CAST({ORDERS_TABLE_ID} AS BIGINT) AS table_id,
+           op, commit_ts, commit_ts - 1 AS start_ts, seq,
+           CASE op WHEN 'D' THEN 1 WHEN 'U' THEN 2 ELSE 3 END AS dml_order,
+           CAST(okey AS BIGINT) AS pk,
+           CASE WHEN commit_ts >= {_V3_TS} THEN 3
+                WHEN commit_ts >= {_V2_TS} THEN 2 ELSE 1 END AS schema_version,
+           CASE WHEN op IN ('U', 'D') THEN okey END AS before_okey,
+           CASE WHEN op IN ('U', 'D') THEN cust END AS before_cust,
+           CASE WHEN op IN ('U', 'D') THEN price END AS before_price,
+           CASE WHEN op IN ('U', 'D') AND commit_ts >= {_V2_TS}
+                THEN status END AS before_status,
+           CASE WHEN op IN ('U', 'D') AND commit_ts >= {_V3_TS}
+                THEN priority END AS before_priority,
+           CASE WHEN op IN ('U', 'D') THEN odate END AS before_odate,
+           CASE WHEN op IN ('I', 'U') THEN okey END AS after_okey,
+           CASE WHEN op IN ('I', 'U') THEN cust END AS after_cust,
+           CASE WHEN op = 'I' THEN price
+                WHEN op = 'U' THEN price + 10.0 END AS after_price,
+           CASE WHEN op IN ('I', 'U') AND commit_ts >= {_V2_TS}
+                THEN status END AS after_status,
+           CASE WHEN op IN ('I', 'U') AND commit_ts >= {_V3_TS}
+                THEN priority END AS after_priority,
+           CASE WHEN op IN ('I', 'U') THEN odate END AS after_odate
+    FROM orders_ev
+)
+"""
+
+ORDERS_PAYLOAD_FIELDS = ["okey", "cust", "price", "status", "priority", "odate"]
+
+
+def flat_orders_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = orders_changelog(spark, sf_dir)
+    cols = [
+        "schema_name", "table_name", "table_id", "op", "commit_ts",
+        "start_ts", "seq", "dml_order", "pk", "schema_version",
+    ]
+    for img in ("before", "after"):
+        cols += [
+            F.col(f"{img}.{f}").alias(f"{img}_{f}") for f in ORDERS_PAYLOAD_FIELDS
+        ]
+    return cl.select(*cols)

@@ -1,0 +1,162 @@
+"""Typed per-table payload queries + DuckDB oracles.
+
+Proves the engine is schema-generic end-to-end on a REAL per-table
+schema (orders: bigint/bigint/double/varchar/varchar/date) with schema
+evolution: every event binds the registry version at its own commit_ts
+(S5/J1), later-DDL columns are absent (NULL) below their activation
+version, the 6-case fold (A1) and the canal-json encoder run unchanged
+on the typed struct, and the column selector (P1) physically drops
+columns from the schema (not just the wire bytes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ticdc_spark.codec import encode_canal_json
+from ticdc_spark.operators import compact_changelog
+from ticdc_spark.operators.column_selector import select_columns_physical
+from ticdc_spark.queries import register
+from ticdc_spark.sources.changelog import scale_out
+from ticdc_spark.sources.typed import (
+    ORDERS_CL_SQL,
+    ORDERS_PAYLOAD_FIELDS,
+    flat_orders_changelog,
+    orders_changelog,
+)
+
+# ---------------------------------------------------------------------------
+# shared oracle fragments — JSON rendering identical to functions/render.py
+# (ints/strings cast, doubles %.2f, NULL → JSON null)
+# ---------------------------------------------------------------------------
+_RENDER = {
+    "okey": "{img}_okey::VARCHAR",
+    "cust": "{img}_cust::VARCHAR",
+    "price": "printf('%.2f', {img}_price)",
+    "status": "{img}_status",
+    "priority": "{img}_priority",
+    "odate": "{img}_odate",
+}
+
+
+def _img_json_sql(img: str, fields: list[str]) -> str:
+    parts = []
+    for f in fields:
+        r = _RENDER[f].format(img=img)
+        parts.append(f"'\"{f}\":' || coalesce('\"' || {r} || '\"', 'null')")
+    obj = "'[{' || " + " || ',' || ".join(parts) + " || '}]'"
+    return f"CASE WHEN {img}_okey IS NULL THEN 'null' ELSE {obj} END"
+
+
+_JAVA = {"okey": -5, "cust": -5, "price": 8, "status": 12, "priority": 12,
+         "odate": 12}
+_MYSQL = {"okey": "bigint", "cust": "bigint", "price": "double",
+          "status": "varchar", "priority": "varchar", "odate": "varchar"}
+
+
+def _canal_sql(fields: list[str]) -> str:
+    sql_t = "{" + ",".join(f'"{f}":{_JAVA[f]}' for f in fields) + "}"
+    mysql_t = "{" + ",".join(f'"{f}":"{_MYSQL[f]}"' for f in fields) + "}"
+    return (
+        "'{\"id\":0,\"database\":\"' || schema_name || '\",\"table\":\"' || "
+        "table_name || '\",\"pkNames\":[\"okey\"],\"isDdl\":false,\"type\":\"' || "
+        "CASE op WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE' ELSE 'DELETE' END || "
+        "'\",\"es\":' || (commit_ts // 1000)::VARCHAR || "
+        f"',\"ts\":0,\"sql\":\"\",\"sqlType\":{sql_t},\"mysqlType\":{mysql_t},"
+        "\"data\":' || "
+        f"CASE WHEN op = 'D' THEN {_img_json_sql('before', fields)} "
+        f"ELSE {_img_json_sql('after', fields)} END || "
+        f"',\"old\":' || CASE WHEN op = 'U' THEN {_img_json_sql('before', fields)} "
+        "ELSE 'null' END || '}'"
+    )
+
+
+_FLAT_TYPED = ", ".join(
+    ["schema_name", "table_name", "table_id", "op", "commit_ts", "start_ts",
+     "seq", "dml_order", "pk", "schema_version"]
+    + [f"{img}_{f}" for img in ("before", "after") for f in ORDERS_PAYLOAD_FIELDS]
+)
+
+
+# ---------------------------------------------------------------------------
+# typed mount + as-of schema-version binding (S5/J1 on a real table)
+# ---------------------------------------------------------------------------
+@register(
+    "orders_changelog_typed",
+    f"WITH {ORDERS_CL_SQL} SELECT {_FLAT_TYPED} FROM orders_cl",
+)
+def q_orders_changelog_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return flat_orders_changelog(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# canal-json over the typed payload (encoder is schema-generic)
+# ---------------------------------------------------------------------------
+@register(
+    "orders_canal_encode",
+    f"WITH {ORDERS_CL_SQL} SELECT seq, {_canal_sql(ORDERS_PAYLOAD_FIELDS)} AS value "
+    "FROM orders_cl",
+)
+def q_orders_canal_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = scale_out(orders_changelog(spark, sf_dir))
+    return encode_canal_json(cl, pk_names=("okey",)).select("seq", "value")
+
+
+# ---------------------------------------------------------------------------
+# P1 physical column drop: schema shrinks, wire bytes shrink
+# ---------------------------------------------------------------------------
+_KEPT = ["okey", "price", "odate"]
+
+
+@register(
+    "orders_column_selector_physical",
+    f"WITH {ORDERS_CL_SQL} SELECT seq, {_canal_sql(_KEPT)} AS value FROM orders_cl",
+)
+def q_orders_column_selector_physical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = scale_out(orders_changelog(spark, sf_dir))
+    cl = select_columns_physical(cl, _KEPT, pk_fields=("okey",))
+    return encode_canal_json(cl, pk_names=("okey",)).select("seq", "value")
+
+
+# ---------------------------------------------------------------------------
+# A1 fold on the typed payload (multi-event lifecycles: I, I+U, I+D)
+# ---------------------------------------------------------------------------
+_TYPED_COMPACT_ORACLE = f"""
+WITH {ORDERS_CL_SQL},
+g AS (
+    SELECT schema_name, table_name, table_id, pk,
+           count(*) AS n_events,
+           max(commit_ts) AS last_ts,
+           arg_min(op, commit_ts) AS first_op,
+           arg_max(op, commit_ts) AS last_op,
+           {", ".join(f"arg_min(before_{f}, commit_ts) AS fb_{f}" for f in ORDERS_PAYLOAD_FIELDS)},
+           {", ".join(f"arg_max(after_{f}, commit_ts) AS la_{f}" for f in ORDERS_PAYLOAD_FIELDS)}
+    FROM orders_cl WHERE op IN ('I', 'U', 'D')
+    GROUP BY 1, 2, 3, 4
+),
+n AS (
+    SELECT *,
+           CASE WHEN first_op = 'I' AND last_op = 'D' THEN NULL
+                WHEN first_op = 'I' THEN 'I'
+                WHEN last_op = 'D' THEN 'D'
+                ELSE 'U' END AS net_op
+    FROM g
+)
+SELECT schema_name, table_name, table_id, pk, net_op, n_events,
+       last_ts AS commit_ts,
+       {", ".join(f"CASE WHEN net_op IN ('U', 'D') THEN fb_{f} END AS before_{f}" for f in ORDERS_PAYLOAD_FIELDS)},
+       {", ".join(f"CASE WHEN net_op IN ('I', 'U') THEN la_{f} END AS after_{f}" for f in ORDERS_PAYLOAD_FIELDS)}
+FROM n WHERE net_op IS NOT NULL
+"""
+
+
+@register("orders_compact_typed", _TYPED_COMPACT_ORACLE)
+def q_orders_compact_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = compact_changelog(orders_changelog(spark, sf_dir))
+    cols = ["schema_name", "table_name", "table_id", "pk", "net_op",
+            "n_events", "commit_ts"]
+    for img in ("before", "after"):
+        cols += [F.col(f"{img}.{f}").alias(f"{img}_{f}")
+                 for f in ORDERS_PAYLOAD_FIELDS]
+    return out.select(*cols)
