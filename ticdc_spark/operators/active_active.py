@@ -37,9 +37,13 @@ def deletes_to_soft_deletes(cl: DataFrame, origin: str = "spark-cdc") -> DataFra
 
 def soft_deletes_to_deletes(cl: DataFrame, mark_col: str = "soft_delete") -> DataFrame:
     """Inverse: updates flagged with the deletion mark become DELETEs."""
-    marked = F.col(mark_col) & (F.col("op") == "U")
+    # Materialize the mark BEFORE rewriting op: withColumn chains see the
+    # updated op, so testing `op == 'U'` after the rewrite would never
+    # match (the after-image would silently survive the delete).
+    marked = F.col("_aa_marked")
     return (
-        cl.withColumn(
+        cl.withColumn("_aa_marked", F.col(mark_col) & (F.col("op") == "U"))
+        .withColumn(
             "op", F.when(marked, F.lit("D")).otherwise(F.col("op"))
         )
         .withColumn(
@@ -54,4 +58,5 @@ def soft_deletes_to_deletes(cl: DataFrame, mark_col: str = "soft_delete") -> Dat
                 F.col("after")
             ),
         )
+        .drop("_aa_marked")
     )

@@ -811,3 +811,159 @@ def q_documents_changelog_compact(spark, sf_dir):
         F.min("commit_ts").alias("min_ts"),
         F.max("commit_ts").alias("max_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K3 — pulsar message frame (kafka frame minus partition, prefixed topic)
+# ---------------------------------------------------------------------------
+from ticdc_spark.sinks.pulsar import pulsar_messages  # noqa: E402
+
+
+@register(
+    "pulsar_messages",
+    f"WITH {CHANGELOG_SQL} SELECT "
+    "'persistent://public/default/cdc_' || schema_name || '_' || table_name "
+    f"AS topic, {_OPEN_KEY_SQL} AS key, {_CANAL_SQL} AS value FROM changelog",
+)
+def q_pulsar_messages(spark, sf_dir):
+    return pulsar_messages(
+        scale_out(events_changelog(spark, sf_dir)),
+        [{"matcher": ["test.tp_*"], "partition": "index-value",
+          "topic": "cdc_{schema}_{table}"}],
+        protocol="canal-json",
+    )
+
+
+# ---------------------------------------------------------------------------
+# P6 — active-active soft-delete rewriting (+ lossless round-trip)
+# ---------------------------------------------------------------------------
+from ticdc_spark.operators.active_active import (  # noqa: E402
+    deletes_to_soft_deletes,
+    soft_deletes_to_deletes,
+)
+
+_AA_FLAT = (
+    "schema_name, table_name, table_id, commit_ts, start_ts, seq, "
+    "dml_order, pk"
+)
+
+
+@register(
+    "active_active_soft_delete",
+    f"WITH {CHANGELOG_SQL} SELECT {_AA_FLAT}, "
+    "CASE WHEN op = 'D' THEN 'U' ELSE op END AS op, "
+    "op = 'D' AS soft_delete, 'spark-cdc' AS origin, "
+    "before_id, before_val, before_k, "
+    "CASE WHEN op = 'D' THEN before_id ELSE after_id END AS after_id, "
+    "CASE WHEN op = 'D' THEN before_val ELSE after_val END AS after_val, "
+    "CASE WHEN op = 'D' THEN before_k ELSE after_k END AS after_k "
+    "FROM changelog",
+)
+def q_active_active_soft_delete(spark, sf_dir):
+    soft = deletes_to_soft_deletes(events_changelog(spark, sf_dir))
+    return soft.select(
+        "schema_name", "table_name", "table_id", "commit_ts", "start_ts",
+        "seq", "dml_order", "pk", "op", "soft_delete", "origin",
+        F.col("before.id").alias("before_id"),
+        F.col("before.val").alias("before_val"),
+        F.col("before.k").alias("before_k"),
+        F.col("after.id").alias("after_id"),
+        F.col("after.val").alias("after_val"),
+        F.col("after.k").alias("after_k"),
+    )
+
+
+@register(
+    "active_active_roundtrip",
+    f"WITH {CHANGELOG_SQL} SELECT {_AA_FLAT}, op, "
+    "before_id, before_val, before_k, after_id, after_val, after_k "
+    "FROM changelog",
+)
+def q_active_active_roundtrip(spark, sf_dir):
+    """soft-delete rewrite then its inverse restores the changelog exactly
+    (the reference's BDR ping-pong-avoidance must be lossless)."""
+    cl = events_changelog(spark, sf_dir)
+    back = soft_deletes_to_deletes(deletes_to_soft_deletes(cl))
+    return back.select(
+        "schema_name", "table_name", "table_id", "commit_ts", "start_ts",
+        "seq", "dml_order", "pk", "op",
+        F.col("before.id").alias("before_id"),
+        F.col("before.val").alias("before_val"),
+        F.col("before.k").alias("before_k"),
+        F.col("after.id").alias("after_id"),
+        F.col("after.val").alias("after_val"),
+        F.col("after.k").alias("after_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# large-message handling: handle-key-only + claim-check (map-side, no join)
+# ---------------------------------------------------------------------------
+from ticdc_spark.operators.column_selector import select_columns_physical  # noqa: E402
+from ticdc_spark.operators.large_message import with_claim_check  # noqa: E402
+
+_LM_MAX = 280  # canal messages at sf0.01 span 270..313 bytes — both branches hit
+
+_HK_SQLTYPE = '{"id":-5}'
+_HK_MYSQLTYPE = '{"id":"bigint"}'
+_HK_IMG_B = ("CASE WHEN before_id IS NULL THEN 'null' ELSE "
+             "'[{\"id\":' || " + _J_ID.format(img="before") + " || '}]' END")
+_HK_IMG_A = ("CASE WHEN after_id IS NULL THEN 'null' ELSE "
+             "'[{\"id\":' || " + _J_ID.format(img="after") + " || '}]' END")
+_HK_CANAL_SQL = f"""
+'{{"id":0,"database":"' || schema_name || '","table":"' || table_name ||
+'","pkNames":["id"],"isDdl":false,"type":"' ||
+CASE op WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE' ELSE 'DELETE' END ||
+'","es":' || (commit_ts // 1000)::VARCHAR ||
+',"ts":0,"sql":"","sqlType":{_HK_SQLTYPE},"mysqlType":{_HK_MYSQLTYPE},"data":' ||
+CASE WHEN op = 'D' THEN {_HK_IMG_B} ELSE {_HK_IMG_A} END ||
+',"old":' ||
+CASE WHEN op = 'U' THEN {_HK_IMG_B} ELSE 'null' END || '}}'
+"""
+
+
+@register(
+    "large_message_handle_key_only",
+    f"WITH {CHANGELOG_SQL} SELECT seq, "
+    f"length({_CANAL_SQL}) > {_LM_MAX} AS is_large, "
+    f"CASE WHEN length({_CANAL_SQL}) > {_LM_MAX} THEN {_HK_CANAL_SQL} "
+    f"ELSE {_CANAL_SQL} END AS value FROM changelog",
+)
+def q_large_message_handle_key_only(spark, sf_dir):
+    """Oversized messages re-encode to handle-key columns only — computed
+    inline on the same frame (two encodes, one `when`), NOT a self-join:
+    at 100 TB an extra shuffle per sink message would dominate."""
+    cl = scale_out(events_changelog(spark, sf_dir))
+    full = encode_canal_json(cl).withColumnRenamed("value", "_value_full")
+    small = encode_canal_json(
+        select_columns_physical(full, ["id"], pk_fields=("id",))
+    )
+    return small.select(
+        "seq",
+        (F.length("_value_full") > _LM_MAX).alias("is_large"),
+        F.when(F.length("_value_full") > _LM_MAX, F.col("value"))
+        .otherwise(F.col("_value_full")).alias("value"),
+    )
+
+
+_CLAIM_LOC = (
+    "'s3://claims/' || schema_name || '/' || table_name || '/' || "
+    "commit_ts::VARCHAR || '-' || seq::VARCHAR || '.json'"
+)
+
+
+@register(
+    "large_message_claim_check",
+    f"WITH {CHANGELOG_SQL} SELECT seq, "
+    f"length({_CANAL_SQL}) > {_LM_MAX} AS is_large, "
+    f"CASE WHEN length({_CANAL_SQL}) > {_LM_MAX} THEN {_CLAIM_LOC} END "
+    "AS claim_location, "
+    f"CASE WHEN length({_CANAL_SQL}) > {_LM_MAX} "
+    f"THEN '{{\"claimCheckLocation\":\"' || {_CLAIM_LOC} || '\"}}' "
+    f"ELSE {_CANAL_SQL} END AS value FROM changelog",
+)
+def q_large_message_claim_check(spark, sf_dir):
+    cl = encode_canal_json(scale_out(events_changelog(spark, sf_dir)))
+    return with_claim_check(cl, max_bytes=_LM_MAX).select(
+        "seq", "is_large", "claim_location", "value"
+    )
