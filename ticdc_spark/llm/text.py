@@ -102,6 +102,61 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+def chunk_documents(
+    docs: DataFrame, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Fixed-size token chunking with overlap (size − stride tokens) — the
+    standard training-data windowing op. Map-side: sequence of chunk
+    starts → posexplode → slice; no shuffle, scales linearly over splits.
+    Output: one row per (doc, chunk) with the chunk text, its token
+    count, and a content digest for chunk-level dedup."""
+    toks = tokens_col()
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride))
+    ex = docs.select(
+        "doc_id",
+        toks.alias("_t"),
+        F.posexplode(starts).alias("chunk_idx", "start"),
+    )
+    chunk_text = F.array_join(F.slice("_t", F.col("start"), size), " ")
+    return ex.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.least(F.lit(size), F.size("_t") - F.col("start") + 1)
+        .cast("long").alias("n_chunk_tokens"),
+        chunk_text.alias("chunk_text"),
+        F.md5(chunk_text).alias("chunk_fp"),
+    )
+
+
+# PII patterns kept to constructs with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): char classes, bounded reps, no lookaround.
+PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def redact_pii(docs: DataFrame, text: Column = None) -> DataFrame:
+    """PII scrubbing: replace emails/phone numbers with typed placeholder
+    tokens and count the redactions — pure regexp column algebra (at
+    100 TB this is a map-only pass; counts feed the pipeline's PII
+    telemetry)."""
+    t = F.col("text") if text is None else text
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        redacted.alias("redacted_text"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprints: full-content digest + 64-char prefix digest
     (rolling-hash analog for prefix dedup)."""

@@ -495,3 +495,79 @@ SELECT q_id, c_id, cos_sim, rank FROM ranked WHERE rank <= 3
 @register("similarity_ivf_knn", _IVF_ORACLE)
 def q_similarity_ivf_knn(spark, sf_dir):
     return ivf_knn(_emb(spark, sf_dir), n_queries=20, k=3)
+
+
+# ---------------------------------------------------------------------------
+# document chunking (fixed-size token windows with overlap)
+# ---------------------------------------------------------------------------
+from ticdc_spark.llm.text import CHUNK_SIZE, CHUNK_STRIDE, chunk_documents  # noqa: E402
+
+_CHUNK_ORACLE = f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+st AS (SELECT doc_id, t,
+              unnest(generate_series(1, greatest(len(t), 1), {CHUNK_STRIDE})) AS start
+       FROM tk)
+SELECT doc_id,
+       CAST((start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(least({CHUNK_SIZE}, len(t) - start + 1) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(t[start:start+{CHUNK_SIZE - 1}], ' ') AS chunk_text,
+       md5(array_to_string(t[start:start+{CHUNK_SIZE - 1}], ' ')) AS chunk_fp
+FROM st
+"""
+
+
+@register("doc_chunking", _CHUNK_ORACLE)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_documents(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (emails/phones → typed placeholders, with counts)
+# ---------------------------------------------------------------------------
+from pyspark.sql import functions as F  # noqa: E402
+
+from ticdc_spark.llm.text import PII_EMAIL, PII_PHONE, redact_pii  # noqa: E402
+
+# The synthetic corpus carries no PII; inject deterministic emails/phones
+# (same expression both engines) so the redaction path is actually hit.
+_PII_AUG_SQL = """
+aug AS (
+    SELECT doc_id,
+           text || CASE doc_id % 3
+               WHEN 0 THEN ' contact u' || doc_id || '@mail.com ok'
+               WHEN 1 THEN ' call 555-123-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' now'
+               ELSE '' END AS text
+    FROM documents
+)
+"""
+
+_PII_RED_SQL = (
+    f"regexp_replace(regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'), "
+    f"'{PII_PHONE}', '<PHONE>', 'g')"
+)
+
+
+@register(
+    "pii_redaction",
+    f"WITH {_PII_AUG_SQL} SELECT doc_id, "
+    f"CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails, "
+    f"CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT) AS n_phones, "
+    f"{_PII_RED_SQL} AS redacted_text, "
+    f"md5({_PII_RED_SQL}) AS redacted_fp FROM aug",
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact u"), F.col("doc_id").cast("string"),
+                     F.lit("@mail.com ok")),
+        ).when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit(" call 555-123-"),
+                     F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                     F.lit(" now")),
+        ).otherwise(F.lit("")),
+    )
+    return redact_pii(docs.withColumn("text", aug))

@@ -153,6 +153,13 @@ FROM n WHERE net_op IS NOT NULL
 
 @register("orders_compact_typed", _TYPED_COMPACT_ORACLE)
 def q_orders_compact_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan note: string payload fields (status/priority/odate) put
+    min_by/max_by string values in the agg buffer, so Spark picks
+    SortAggregate here (HashAggregate needs mutable fixed-width buffer
+    types). Still ONE exchange; the sort is per-partition by group key.
+    The all-numeric unified-payload fold (`compaction`) keeps
+    HashAggregate — that trade is inherent to typed payloads, not a
+    plan regression."""
     out = compact_changelog(orders_changelog(spark, sf_dir))
     cols = ["schema_name", "table_name", "table_id", "pk", "net_op",
             "n_events", "commit_ts"]
