@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType, StructType
+from pyspark.sql.types import BinaryType, StringType, StructType
 
 from ticdc_spark.functions.render import render_scalar
 
@@ -22,8 +22,19 @@ NULL_TOKEN = "\\N"
 _DELIM = ","
 _QUOTE = '"'
 
+BINARY_ENCODING_METHODS = ("base64", "hex")
 
-def _csv_field(col: Column, dtype) -> Column:
+
+def _csv_field(col: Column, dtype, binary_encoding: str = "base64") -> Column:
+    if isinstance(dtype, BinaryType):
+        # binary-encoding-method per `pkg/config/sink.go:283` /
+        # `csv_message.go:276-323`: base64 or hex text rendering.
+        if binary_encoding not in BINARY_ENCODING_METHODS:
+            raise ValueError(f"unknown binary-encoding-method: {binary_encoding}")
+        rendered = (
+            F.base64(col) if binary_encoding == "base64" else F.hex(col)
+        )
+        return F.coalesce(rendered, F.lit(NULL_TOKEN))
     rendered = render_scalar(col, dtype)
     if isinstance(dtype, StringType):
         quoted = F.concat(
@@ -35,7 +46,11 @@ def _csv_field(col: Column, dtype) -> Column:
     return F.coalesce(rendered, F.lit(NULL_TOKEN))
 
 
-def encode_csv(cl: DataFrame, include_commit_ts: bool = True) -> DataFrame:
+def encode_csv(
+    cl: DataFrame,
+    include_commit_ts: bool = True,
+    binary_encoding: str = "base64",
+) -> DataFrame:
     """Append a ``value`` column holding one csv line (no trailing newline)."""
     schema: StructType = cl.schema["after"].dataType
     image = F.when(F.col("op") == "D", F.col("before")).otherwise(F.col("after"))
@@ -47,5 +62,8 @@ def encode_csv(cl: DataFrame, include_commit_ts: bool = True) -> DataFrame:
     ]
     if include_commit_ts:
         fields.append(F.col("commit_ts").cast("string"))
-    fields += [_csv_field(F.col(f"_img.{f.name}"), f.dataType) for f in schema.fields]
+    fields += [
+        _csv_field(F.col(f"_img.{f.name}"), f.dataType, binary_encoding)
+        for f in schema.fields
+    ]
     return tmp.withColumn("value", F.concat_ws(_DELIM, *fields)).drop("_img")

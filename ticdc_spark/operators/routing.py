@@ -109,6 +109,43 @@ def _partition_expr(rule: str, n: int, columns: list[str] | None = None) -> Colu
 PARTITIONERS = ("default", "table", "ts", "index-value", "columns", "rowid", "key")
 
 
+_ROUTING_EXPR_RE = __import__("re").compile(r"^(?:[^{}]|\{schema\}|\{table\})*$")
+
+
+def validate_routing_expression(field: str, expr: str) -> None:
+    """Mirror of `pkg/config/sink.go:1177-1188`: target expressions may
+    contain only literal text, {schema}, and {table}."""
+    if expr and not _ROUTING_EXPR_RE.match(expr):
+        raise ValueError(
+            f"{field} {expr!r} must contain only literal text, "
+            "{schema}, and {table}"
+        )
+
+
+def apply_table_route(cl: DataFrame, rules: list[dict]) -> DataFrame:
+    """Table routing (R1 rename): rewrite schema_name/table_name per
+    first-matching rule's ``target-schema``/``target-table`` templates
+    (`pkg/config/sink.go:408-440`). Matchers test the UPSTREAM names;
+    both templates render from the upstream names too — so the rewrite
+    is a single ``select`` (a withColumn chain would leak the renamed
+    schema into the table template)."""
+    for r in rules:
+        validate_routing_expression("target-schema", r.get("target-schema", ""))
+        validate_routing_expression("target-table", r.get("target-table", ""))
+    new_schema: Column = F.col("schema_name")
+    new_table: Column = F.col("table_name")
+    for r in reversed(rules):  # fold so the first matching rule wins
+        cond = table_filter_predicate(r.get("matcher", ["*.*"]))
+        if r.get("target-schema"):
+            new_schema = F.when(cond, topic_expr(r["target-schema"])).otherwise(new_schema)
+        if r.get("target-table"):
+            new_table = F.when(cond, topic_expr(r["target-table"])).otherwise(new_table)
+    others = [c for c in cl.columns if c not in ("schema_name", "table_name")]
+    return cl.select(
+        new_schema.alias("schema_name"), new_table.alias("table_name"), *others
+    )
+
+
 def route(cl: DataFrame, dispatchers: list[dict], n_partitions: int = 16) -> DataFrame:
     """dispatchers: [{"matcher": [...], "partition": rule, "topic": tmpl,
     "columns": [...]}] — first match wins (event_router.go:28-158)."""

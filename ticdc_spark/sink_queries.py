@@ -967,3 +967,83 @@ def q_large_message_claim_check(spark, sf_dir):
     return with_claim_check(cl, max_bytes=_LM_MAX).select(
         "seq", "is_large", "claim_location", "value"
     )
+
+
+# ---------------------------------------------------------------------------
+# R1 — table routing (rename): target-schema/target-table templates
+# ---------------------------------------------------------------------------
+from ticdc_spark.operators.routing import apply_table_route  # noqa: E402
+from ticdc_spark.operators.table_filter import oracle_predicate_sql  # noqa: E402
+
+_ROUTE_RULES = [
+    {"matcher": ["test.tp_c*"], "target-schema": "sink",
+     "target-table": "{schema}_{table}_routed"},
+    {"matcher": ["*.*"], "target-schema": "mirror_{schema}"},
+]
+_PRED_C = oracle_predicate_sql(["test.tp_c*"])
+
+
+@register(
+    "table_rename_routing",
+    f"WITH {CHANGELOG_SQL} SELECT seq, op, commit_ts, "
+    f"CASE WHEN {_PRED_C} THEN 'sink' "
+    "ELSE 'mirror_' || schema_name END AS schema_name, "
+    f"CASE WHEN {_PRED_C} THEN schema_name || '_' || table_name || '_routed' "
+    "ELSE table_name END AS table_name FROM changelog",
+)
+def q_table_rename_routing(spark, sf_dir):
+    cl = apply_table_route(events_changelog(spark, sf_dir), _ROUTE_RULES)
+    return cl.select("seq", "op", "commit_ts", "schema_name", "table_name")
+
+
+# ---------------------------------------------------------------------------
+# csv binary-encoding-method: base64 / hex rendering of BINARY columns
+# ---------------------------------------------------------------------------
+from ticdc_spark.sources.changelog import read_table  # noqa: E402
+
+_BLOB_TS0 = 1_704_067_200_000_000
+
+
+def _blob_changelog(spark, sf_dir):
+    """Binary-column changelog synthesized from documents (the testdata
+    has no native BLOB column): payload = (id BIGINT, data BINARY), with
+    a NULL blob every 7th row to exercise the \\N path."""
+    d = read_table(spark, sf_dir, "documents")
+    blob = F.when(
+        F.col("doc_id") % 7 != 0, F.substring("text", 1, 24).cast("binary")
+    )
+    after = F.struct(F.col("doc_id").cast("long").alias("id"), blob.alias("data"))
+    return d.select(
+        F.lit("test").alias("schema_name"),
+        F.lit("tp_blob").alias("table_name"),
+        F.lit("I").alias("op"),
+        (F.lit(_BLOB_TS0) + F.col("doc_id")).alias("commit_ts"),
+        F.col("doc_id").cast("long").alias("seq"),
+        F.col("doc_id").cast("long").alias("pk"),
+        F.lit(None).cast("struct<id:bigint,data:binary>").alias("before"),
+        after.alias("after"),
+    )
+
+
+_BLOB_SQL = "encode(substr(text, 1, 24))"
+_BLOB_CASE = f"CASE WHEN doc_id % 7 <> 0 THEN {_BLOB_SQL} END"
+
+
+@register(
+    "codec_csv_binary",
+    "SELECT CAST(doc_id AS BIGINT) AS seq, "
+    f"'\"I\",\"test\",\"tp_blob\",' || ({_BLOB_TS0} + doc_id)::VARCHAR || ',' || "
+    "doc_id::VARCHAR || ',' || "
+    f"coalesce(to_base64({_BLOB_CASE}), '\\N') AS value_base64, "
+    f"'\"I\",\"test\",\"tp_blob\",' || ({_BLOB_TS0} + doc_id)::VARCHAR || ',' || "
+    "doc_id::VARCHAR || ',' || "
+    f"coalesce(hex({_BLOB_CASE}), '\\N') AS value_hex "
+    "FROM documents",
+)
+def q_codec_csv_binary(spark, sf_dir):
+    cl = _blob_changelog(spark, sf_dir)
+    b64 = encode_csv(cl, binary_encoding="base64").withColumnRenamed(
+        "value", "value_base64"
+    )
+    hx = encode_csv(b64, binary_encoding="hex")
+    return hx.select("seq", "value_base64", F.col("value").alias("value_hex"))
