@@ -1,0 +1,162 @@
+"""SchemaStore (S4/S5): DDL handlers + multi-version as-of lookups.
+
+Mirrors the reference's schema-store behaviors: as-of = largest version
+<= ts (`schema_store.go:50-54`), truncate assigns a new physical id,
+renames keep the id, drops end visibility, multi-schema-change is
+atomic, and the exported registry feeds the broadcast as-of join.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ticdc_spark.plans.schema_store import DDLError, SchemaStore
+
+
+def _mk_store() -> SchemaStore:
+    st = SchemaStore()
+    st.apply_ddl({"type": "create-schema", "schema": "test", "commit_ts": 10})
+    st.apply_ddl({
+        "type": "create-table", "schema": "test", "table": "t1",
+        "table_id": 100, "commit_ts": 20,
+        "columns": [
+            {"name": "id", "spark_type": "bigint", "nullable": False,
+             "primary_key": True},
+            {"name": "val", "spark_type": "double"},
+        ],
+    })
+    return st
+
+
+def test_asof_add_drop_column():
+    st = _mk_store()
+    st.apply_ddl({"type": "add-column", "schema": "test", "table": "t1",
+                  "commit_ts": 30, "column": {"name": "k", "spark_type": "bigint"}})
+    st.apply_ddl({"type": "drop-column", "schema": "test", "table": "t1",
+                  "commit_ts": 40, "column_name": "val"})
+    assert st.get_table_info(100, 25).column_names() == ["id", "val"]
+    assert st.get_table_info(100, 35).column_names() == ["id", "val", "k"]
+    assert st.get_table_info(100, 45).column_names() == ["id", "k"]
+    # before the table existed
+    with pytest.raises(DDLError):
+        st.get_table_info(100, 15)
+
+
+def test_truncate_new_physical_id():
+    st = _mk_store()
+    st.apply_ddl({"type": "truncate-table", "schema": "test", "table": "t1",
+                  "commit_ts": 50})
+    tables = st.get_all_physical_tables(55)
+    assert len(tables) == 1 and tables[0].table_id != 100
+    # the old id is dropped as of the truncate, alive before it
+    assert st.get_table_info(100, 45).table_name == "t1"
+    with pytest.raises(DDLError):
+        st.get_table_info(100, 55)
+
+
+def test_rename_keeps_id_and_history():
+    st = _mk_store()
+    st.apply_ddl({"type": "rename-table", "schema": "test", "table": "t1",
+                  "to_table": "t1_new", "commit_ts": 60})
+    assert st.get_table_info(100, 65).table_name == "t1_new"
+    assert st.get_table_info(100, 25).table_name == "t1"
+    # old name is free again
+    st.apply_ddl({"type": "create-table", "schema": "test", "table": "t1",
+                  "commit_ts": 70,
+                  "columns": [{"name": "id", "spark_type": "bigint",
+                               "nullable": False, "primary_key": True}]})
+    assert len(st.get_all_physical_tables(75)) == 2
+
+
+def test_multi_schema_change_atomic():
+    st = _mk_store()
+    st.apply_ddl({
+        "type": "multi-schema-change", "schema": "test", "table": "t1",
+        "commit_ts": 80,
+        "actions": [
+            {"type": "add-column", "schema": "test", "table": "t1",
+             "column": {"name": "a", "spark_type": "string"}},
+            {"type": "rename-column", "schema": "test", "table": "t1",
+             "from_name": "val", "to_name": "v2"},
+        ],
+    })
+    assert st.get_table_info(100, 85).column_names() == ["id", "v2", "a"]
+    assert st.get_table_info(100, 79).column_names() == ["id", "val"]
+
+
+def test_exchange_partition_swaps_bindings():
+    st = _mk_store()
+    st.apply_ddl({"type": "create-table", "schema": "test", "table": "t1_p0",
+                  "table_id": 200, "commit_ts": 25,
+                  "columns": [{"name": "id", "spark_type": "bigint",
+                               "nullable": False, "primary_key": True},
+                              {"name": "val", "spark_type": "double"}]})
+    st.apply_ddl({"type": "exchange-partition", "schema": "test", "table": "t1",
+                  "with_schema": "test", "with_table": "t1_p0", "commit_ts": 90})
+    assert st.get_table_info(100, 95).table_name == "t1_p0"
+    assert st.get_table_info(200, 95).table_name == "t1"
+
+
+def test_guards():
+    st = _mk_store()
+    with pytest.raises(DDLError):
+        st.apply_ddl({"type": "drop-column", "schema": "test", "table": "t1",
+                      "commit_ts": 30, "column_name": "id"})
+    with pytest.raises(DDLError):
+        st.apply_ddl({"type": "create-table", "schema": "test", "table": "t1",
+                      "commit_ts": 30, "columns": []})
+    with pytest.raises(DDLError):
+        st.apply_ddl({"type": "alter-nonsense", "schema": "test",
+                      "table": "t1", "commit_ts": 31})
+    # commit_ts must not regress for one table's versions
+    with pytest.raises(DDLError):
+        st.apply_ddl({"type": "add-column", "schema": "test", "table": "t1",
+                      "commit_ts": 5, "column": {"name": "x", "spark_type": "int"}})
+    assert st.get_table_info(100, 99).has_pk_or_not_null_uk
+
+
+def test_ddl_log_fetch_and_registry_rows():
+    st = _mk_store()
+    st.apply_ddl({"type": "add-column", "schema": "test", "table": "t1",
+                  "table_id": 100, "commit_ts": 30,
+                  "column": {"name": "k", "spark_type": "bigint"}})
+    evs = st.fetch_table_ddl_events(100, 20, 30)  # (start, end]
+    assert [e["commit_ts"] for e in evs] == [30]
+    rows = st.registry_rows()
+    assert (100, 20, "test", "t1", "id bigint, val double") in rows
+    assert (100, 30, "test", "t1", "id bigint, val double, k bigint") in rows
+
+
+def test_drop_schema_drops_tables():
+    st = _mk_store()
+    st.apply_ddl({"type": "drop-schema", "schema": "test", "commit_ts": 95})
+    assert st.get_all_physical_tables(99) == []
+    assert st.get_table_info(100, 90).table_name == "t1"
+
+
+def test_registry_df_asof_join(spark):
+    """The exported registry drives the broadcast as-of join on a real
+    changelog frame (J1 general form)."""
+    from pyspark.sql import functions as F
+
+    st = _mk_store()
+    st.apply_ddl({"type": "add-column", "schema": "test", "table": "t1",
+                  "commit_ts": 30, "column": {"name": "k", "spark_type": "bigint"}})
+    reg = spark.createDataFrame(
+        st.registry_rows(),
+        "table_id long, version_ts long, schema_name string, "
+        "table_name string, columns_ddl string",
+    )
+    facts = spark.createDataFrame(
+        [(100, 25, 1), (100, 35, 2)], "table_id long, commit_ts long, seq long"
+    )
+    j = (
+        facts.join(F.broadcast(reg.select("table_id", "version_ts", "columns_ddl")),
+                   "table_id")
+        .filter(F.col("version_ts") <= F.col("commit_ts"))
+        .groupBy("table_id", "commit_ts", "seq")
+        .agg(F.max_by("columns_ddl", "version_ts").alias("columns_ddl"))
+    )
+    got = {r["seq"]: r["columns_ddl"] for r in j.collect()}
+    assert got[1] == "id bigint, val double"
+    assert got[2] == "id bigint, val double, k bigint"
