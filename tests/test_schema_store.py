@@ -160,3 +160,57 @@ def test_registry_df_asof_join(spark):
     got = {r["seq"]: r["columns_ddl"] for r in j.collect()}
     assert got[1] == "id bigint, val double"
     assert got[2] == "id bigint, val double, k bigint"
+
+
+def test_barrier_applies_ddl_live(spark, sf_dir):
+    """W3 + S5 integration: a mid-stream ADD COLUMN applies to the live
+    SchemaStore exactly once at the barrier; segments before the DDL
+    encode the old shape, segments after encode the new column — the
+    reference's split-at-ddl_ts semantics (`maintainer/barrier.go:31-41`,
+    `basic_dispatcher.go:1000`)."""
+    from ticdc_spark.codec import encode_canal_json
+    from ticdc_spark.operators.column_selector import select_columns_physical
+    from ticdc_spark.sources.typed import orders_changelog
+    from ticdc_spark.streaming.barrier import split_batch_at_ddl
+
+    cl = orders_changelog(spark, sf_dir)
+    ts_sorted = [r[0] for r in cl.select("commit_ts").orderBy("commit_ts").collect()]
+    ddl_ts = ts_sorted[len(ts_sorted) // 2]
+
+    store = SchemaStore()
+    store.apply_ddl({
+        "type": "create-table", "schema": "tpch", "table": "orders",
+        "table_id": 100, "commit_ts": 0,
+        "columns": [
+            {"name": "okey", "spark_type": "bigint", "nullable": False,
+             "primary_key": True},
+            {"name": "cust", "spark_type": "bigint"},
+            {"name": "price", "spark_type": "double"},
+        ],
+    })
+    pending_ddl = {
+        "type": "add-column", "schema": "tpch", "table": "orders",
+        "commit_ts": ddl_ts,
+        "column": {"name": "odate", "spark_type": "string"},
+    }
+
+    seg_samples: list[tuple[int, str, int]] = []
+
+    def flush(df, seg):
+        info = store.get_table_info(100, ddl_ts + seg)  # current version
+        enc = encode_canal_json(
+            select_columns_physical(df, info.column_names(), pk_fields=("okey",)),
+            pk_names=("okey",),
+        )
+        row = enc.select("value").first()
+        seg_samples.append((seg, row["value"] if row else "", df.count()))
+
+    applied: list[int] = []
+    split_batch_at_ddl(cl, [ddl_ts], flush, lambda ts: (
+        store.apply_ddl(pending_ddl), applied.append(ts)))
+
+    assert applied == [ddl_ts]
+    assert len(seg_samples) == 2
+    assert '"odate":' not in seg_samples[0][1]
+    assert '"odate":' in seg_samples[1][1]
+    assert seg_samples[0][2] + seg_samples[1][2] == len(ts_sorted)
