@@ -15,13 +15,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def split_updates(cl: DataFrame) -> DataFrame:
-    """cl: canonical changelog with before/after structs (changelog.py)."""
+def split_updates(cl: DataFrame, key_fields: tuple[str, ...] = ("id",)) -> DataFrame:
+    """cl: canonical changelog with before/after structs (changelog.py).
+
+    ``key_fields``: the handle-key columns inside the image structs — a
+    composite key splits when ANY component changed (the reference
+    compares the whole handle value, `kv_entry.go:107-131`)."""
+    import functools
+    import operator as _op
+
+    key_changed = functools.reduce(
+        _op.or_,
+        [F.col(f"before.{f}") != F.col(f"after.{f}") for f in key_fields],
+    )
     needs_split = (
         (F.col("op") == "U")
         & F.col("before").isNotNull()
         & F.col("after").isNotNull()
-        & (F.col("before.id") != F.col("after.id"))
+        & key_changed
     )
 
     def piece(op: str, dml_order: int, before, after):

@@ -195,3 +195,99 @@ def flat_orders_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"{img}.{f}").alias(f"{img}_{f}") for f in ORDERS_PAYLOAD_FIELDS
         ]
     return cl.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Composite handle key: lineitem keyed by (okey, line) — exercises the
+# multi-column forms of update-split (P2), the columns partitioner (R5),
+# and multi-name pkNames in encoders.
+# ---------------------------------------------------------------------------
+LINEITEM_TABLE_ID = 7
+LINEITEM_PK = ("okey", "line")
+LINEITEM_PAYLOAD_FIELDS = ["okey", "line", "qty", "price"]
+
+
+def lineitem_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed changelog over lineitem with a composite handle key.
+
+    Derivation (mirrored in ``LINEITEM_CL_SQL``): op from l_returnflag
+    (N→I, A→U, R→D); updates on line 1 shift the line number by +100 — a
+    handle-key-CHANGING update on one component of the composite key
+    (split required, `pkg/common/kv_entry.go:107-131`); before images
+    carry qty+1 / price+1.00 as the deterministic pre-image.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    op = (
+        F.when(F.col("l_returnflag") == "N", F.lit("I"))
+        .when(F.col("l_returnflag") == "A", F.lit("U"))
+        .otherwise(F.lit("D"))
+    )
+    line = F.col("l_linenumber").cast("long")
+    line_shift = F.when(
+        (op == "U") & (F.col("l_linenumber") == 1), F.lit(100)
+    ).otherwise(F.lit(0)).cast("long")
+    commit_ts = epoch_us(li, "l_shipdate")
+    before = F.when(
+        op.isin("U", "D"),
+        F.struct(
+            F.col("l_orderkey").cast("long").alias("okey"),
+            line.alias("line"),
+            (F.col("l_quantity") + F.lit(1.0)).alias("qty"),
+            (F.col("l_extendedprice") + F.lit(1.0)).alias("price"),
+        ),
+    )
+    after = F.when(
+        op.isin("I", "U"),
+        F.struct(
+            F.col("l_orderkey").cast("long").alias("okey"),
+            (line + line_shift).alias("line"),
+            F.col("l_quantity").alias("qty"),
+            F.col("l_extendedprice").alias("price"),
+        ),
+    )
+    return li.select(
+        F.lit("tpch").alias("schema_name"),
+        F.lit("lineitem").alias("table_name"),
+        F.lit(LINEITEM_TABLE_ID).cast("long").alias("table_id"),
+        op.alias("op"),
+        commit_ts.alias("commit_ts"),
+        (commit_ts - 1).alias("start_ts"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias("seq"),
+        F.when(op == "D", 1).when(op == "U", 2).otherwise(3).alias("dml_order"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias("pk"),
+        before.alias("before"),
+        after.alias("after"),
+    )
+
+
+LINEITEM_CL_SQL = f"""
+li_cl AS (
+    SELECT 'tpch' AS schema_name, 'lineitem' AS table_name,
+           CAST({LINEITEM_TABLE_ID} AS BIGINT) AS table_id,
+           CASE l_returnflag WHEN 'N' THEN 'I' WHEN 'A' THEN 'U'
+                ELSE 'D' END AS op,
+           epoch_us(l_shipdate) AS commit_ts,
+           epoch_us(l_shipdate) - 1 AS start_ts,
+           CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS seq,
+           CASE l_returnflag WHEN 'R' THEN 1 WHEN 'A' THEN 2 ELSE 3 END AS dml_order,
+           CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS pk,
+           CASE WHEN l_returnflag IN ('A', 'R')
+                THEN CAST(l_orderkey AS BIGINT) END AS before_okey,
+           CASE WHEN l_returnflag IN ('A', 'R')
+                THEN CAST(l_linenumber AS BIGINT) END AS before_line,
+           CASE WHEN l_returnflag IN ('A', 'R')
+                THEN l_quantity + 1.0 END AS before_qty,
+           CASE WHEN l_returnflag IN ('A', 'R')
+                THEN l_extendedprice + 1.0 END AS before_price,
+           CASE WHEN l_returnflag IN ('N', 'A')
+                THEN CAST(l_orderkey AS BIGINT) END AS after_okey,
+           CASE WHEN l_returnflag IN ('N', 'A')
+                THEN CAST(l_linenumber AS BIGINT)
+                     + CASE WHEN l_returnflag = 'A' AND l_linenumber = 1
+                            THEN 100 ELSE 0 END END AS after_line,
+           CASE WHEN l_returnflag IN ('N', 'A') THEN l_quantity END AS after_qty,
+           CASE WHEN l_returnflag IN ('N', 'A')
+                THEN l_extendedprice END AS after_price
+    FROM lineitem
+)
+"""

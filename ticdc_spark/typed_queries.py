@@ -167,3 +167,120 @@ def q_orders_compact_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols += [F.col(f"{img}.{f}").alias(f"{img}_{f}")
                  for f in ORDERS_PAYLOAD_FIELDS]
     return out.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Composite handle key (lineitem): P2 split on any key component, R5
+# columns partitioner, multi-name pkNames encode
+# ---------------------------------------------------------------------------
+from ticdc_spark.operators import split_updates  # noqa: E402
+from ticdc_spark.operators.routing import route  # noqa: E402
+from ticdc_spark.sources.typed import (  # noqa: E402
+    LINEITEM_CL_SQL,
+    LINEITEM_PAYLOAD_FIELDS,
+    lineitem_changelog,
+)
+
+_LI_META = ("schema_name, table_name, table_id, commit_ts, start_ts, seq, pk")
+_LI_B = ", ".join(f"before_{f}" for f in LINEITEM_PAYLOAD_FIELDS)
+_LI_A = ", ".join(f"after_{f}" for f in LINEITEM_PAYLOAD_FIELDS)
+_LI_NULL_B = ", ".join(f"NULL AS before_{f}" for f in LINEITEM_PAYLOAD_FIELDS)
+_LI_NULL_A = ", ".join(f"NULL AS after_{f}" for f in LINEITEM_PAYLOAD_FIELDS)
+_LI_KEY_CHANGED = (
+    "(op = 'U' AND (before_okey <> after_okey OR before_line <> after_line))"
+)
+
+_LI_SPLIT_ORACLE = f"""
+WITH {LINEITEM_CL_SQL}
+SELECT {_LI_META}, op, dml_order, {_LI_B}, {_LI_A}
+FROM li_cl WHERE NOT {_LI_KEY_CHANGED}
+UNION ALL
+SELECT {_LI_META}, 'D' AS op, 1 AS dml_order, {_LI_B}, {_LI_NULL_A}
+FROM li_cl WHERE {_LI_KEY_CHANGED}
+UNION ALL
+SELECT {_LI_META}, 'I' AS op, 3 AS dml_order, {_LI_NULL_B}, {_LI_A}
+FROM li_cl WHERE {_LI_KEY_CHANGED}
+"""
+
+
+def _flatten_li(cl: DataFrame) -> DataFrame:
+    cols = ["schema_name", "table_name", "table_id", "commit_ts", "start_ts",
+            "seq", "pk", "op", "dml_order"]
+    for img in ("before", "after"):
+        cols += [F.col(f"{img}.{f}").alias(f"{img}_{f}")
+                 for f in LINEITEM_PAYLOAD_FIELDS]
+    return cl.select(*cols)
+
+
+@register("lineitem_composite_split", _LI_SPLIT_ORACLE)
+def q_lineitem_composite_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = split_updates(lineitem_changelog(spark, sf_dir),
+                       key_fields=("okey", "line"))
+    return _flatten_li(cl)
+
+
+_LI_PART_KEY = (
+    "coalesce(after_okey, before_okey)::VARCHAR || ',' || "
+    "coalesce(after_line, before_line)::VARCHAR"
+)
+_LI_PART = f"CAST((('0x' || substr(md5({_LI_PART_KEY}), 1, 8))::BIGINT % 16) AS INTEGER)"
+
+
+@register(
+    "lineitem_composite_route",
+    f"WITH {LINEITEM_CL_SQL} SELECT seq, op, "
+    "'cdc_' || schema_name || '_' || table_name AS topic, "
+    f"{_LI_PART} AS partition FROM li_cl",
+)
+def q_lineitem_composite_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = route(
+        lineitem_changelog(spark, sf_dir),
+        [{"matcher": ["tpch.*"], "partition": "columns",
+          "columns": ["okey", "line"], "topic": "cdc_{schema}_{table}"}],
+        n_partitions=16,
+    )
+    return cl.select("seq", "op", "topic", "partition")
+
+
+_LI_RENDER = {
+    "okey": "{img}_okey::VARCHAR",
+    "line": "{img}_line::VARCHAR",
+    "qty": "printf('%.2f', {img}_qty)",
+    "price": "printf('%.2f', {img}_price)",
+}
+_LI_JAVA = {"okey": -5, "line": -5, "qty": 8, "price": 8}
+_LI_MYSQL = {"okey": "bigint", "line": "bigint", "qty": "double",
+             "price": "double"}
+
+
+def _li_img_json_sql(img: str) -> str:
+    parts = []
+    for f in LINEITEM_PAYLOAD_FIELDS:
+        r = _LI_RENDER[f].format(img=img)
+        parts.append(f"'\"{f}\":' || coalesce('\"' || {r} || '\"', 'null')")
+    obj = "'[{' || " + " || ',' || ".join(parts) + " || '}]'"
+    return f"CASE WHEN {img}_okey IS NULL THEN 'null' ELSE {obj} END"
+
+
+_LI_SQLT = "{" + ",".join(f'"{f}":{_LI_JAVA[f]}' for f in LINEITEM_PAYLOAD_FIELDS) + "}"
+_LI_MYT = "{" + ",".join(f'"{f}":"{_LI_MYSQL[f]}"' for f in LINEITEM_PAYLOAD_FIELDS) + "}"
+
+
+@register(
+    "lineitem_composite_encode",
+    f"WITH {LINEITEM_CL_SQL} SELECT seq, "
+    "'{\"id\":0,\"database\":\"' || schema_name || '\",\"table\":\"' || "
+    "table_name || '\",\"pkNames\":[\"okey\",\"line\"],\"isDdl\":false,"
+    "\"type\":\"' || "
+    "CASE op WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE' ELSE 'DELETE' END || "
+    "'\",\"es\":' || (commit_ts // 1000)::VARCHAR || "
+    f"',\"ts\":0,\"sql\":\"\",\"sqlType\":{_LI_SQLT},\"mysqlType\":{_LI_MYT},"
+    "\"data\":' || "
+    f"CASE WHEN op = 'D' THEN {_li_img_json_sql('before')} "
+    f"ELSE {_li_img_json_sql('after')} END || "
+    f"',\"old\":' || CASE WHEN op = 'U' THEN {_li_img_json_sql('before')} "
+    "ELSE 'null' END || '}' AS value FROM li_cl",
+)
+def q_lineitem_composite_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = scale_out(lineitem_changelog(spark, sf_dir))
+    return encode_canal_json(cl, pk_names=("okey", "line")).select("seq", "value")
