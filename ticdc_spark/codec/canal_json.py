@@ -49,8 +49,17 @@ def _type_maps(schema: StructType) -> tuple[str, str]:
     return "{" + sql_t + "}", "{" + mysql_t + "}"
 
 
-def encode_canal_json(cl: DataFrame, pk_names: tuple[str, ...] = ("id",)) -> DataFrame:
-    """Append a ``value`` column holding the canal-json message."""
+def encode_canal_json(
+    cl: DataFrame,
+    pk_names: tuple[str, ...] = ("id",),
+    tidb_extension: bool = False,
+) -> DataFrame:
+    """Append a ``value`` column holding the canal-json message.
+
+    ``tidb_extension``: the reference's ``enable-tidb-extension`` option
+    appends ``"_tidb":{"commitTs":<ts>}`` so consumers see the exact
+    TiDB commit timestamp (canal's ``es`` is only milliseconds).
+    """
     schema: StructType = cl.schema["after"].dataType
     sql_types, mysql_types = _type_maps(schema)
     canal_type = (
@@ -68,6 +77,12 @@ def encode_canal_json(cl: DataFrame, pk_names: tuple[str, ...] = ("id",)) -> Dat
     old_json = F.when(F.col("op") == "U", _image_json("before", schema)).otherwise(
         F.lit("null")
     )
+    ext = (
+        [F.lit(',"_tidb":{"commitTs":'), F.col("commit_ts").cast("string"),
+         F.lit("}")]
+        if tidb_extension
+        else []
+    )
     value = F.concat(
         F.lit('{"id":0,"database":"'),
         F.col("schema_name"),
@@ -81,6 +96,7 @@ def encode_canal_json(cl: DataFrame, pk_names: tuple[str, ...] = ("id",)) -> Dat
         data_json,
         F.lit(',"old":'),
         old_json,
+        *ext,
         F.lit("}"),
     )
     return cl.withColumn("value", value)

@@ -60,3 +60,35 @@ def encode_open_protocol(cl: DataFrame) -> DataFrame:
         .otherwise(F.concat(F.lit('{"u":'), upsert, F.lit("}")))
     )
     return cl.withColumn("key", key).withColumn("value", value)
+
+
+def encode_open_protocol_batch(cl_routed: DataFrame) -> DataFrame:
+    """Batched open-protocol (``IsBatchEncode``,
+    `pkg/config/sink_protocol.go:48-50`): all messages for one
+    (topic, partition) frame into ONE batch payload, ordered by
+    (commit_ts, seq) — the order the consumer must replay.
+
+    The reference frames each message with binary uint64-BE length
+    headers (`open/message.go`); here the framing is decimal netstring
+    (``len:key len:value``) so the bytes are reproducible in the SQL
+    oracle — grouping, ordering, and framing structure are identical.
+    ``max-batch-size`` capping happens at the sink flush (foreachBatch
+    chunks). One shuffle on (topic, partition) — the same exchange the
+    kafka write needs anyway, so batching is free at scale.
+    """
+    enc = encode_open_protocol(cl_routed)
+    frame = F.concat(
+        F.length("key").cast("string"), F.lit(":"), F.col("key"),
+        F.length("value").cast("string"), F.lit(":"), F.col("value"),
+    )
+    rows = enc.select(
+        "topic", "partition",
+        F.struct("commit_ts", "seq", frame.alias("frame")).alias("_r"),
+    )
+    return rows.groupBy("topic", "partition").agg(
+        F.count(F.lit(1)).alias("n_messages"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("_r")), lambda s: s["frame"]),
+            "",
+        ).alias("batch"),
+    )

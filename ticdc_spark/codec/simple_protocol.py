@@ -57,6 +57,26 @@ def encode_simple(cl: DataFrame) -> DataFrame:
     return cl.withColumn("value", value)
 
 
+def encode_simple_ddl(ddl: DataFrame) -> DataFrame:
+    """simple-protocol DDL message (`simple/message.go:38-273`, type DDL
+    with the post-DDL TableSchema embedded): input frame carries
+    (schema_name, table_name, commit_ts, query, table_schema_json)."""
+    value = F.concat(
+        F.lit('{"version":1,"type":"DDL","commitTs":'),
+        F.col("commit_ts").cast("string"),
+        F.lit(',"buildTs":0,"schema":"'),
+        F.col("schema_name"),
+        F.lit('","table":"'),
+        F.col("table_name"),
+        F.lit('","sql":"'),
+        F.col("query"),
+        F.lit('","tableSchema":'),
+        F.col("table_schema_json"),
+        F.lit("}"),
+    )
+    return ddl.withColumn("value", value)
+
+
 def watermark_messages(cl: DataFrame, interval_us: int = 3_600_000_000) -> DataFrame:
     """Per-table watermark rows at tumbling resolved-ts boundaries (W1):
     one WATERMARK message per (table, interval) carrying the max commit

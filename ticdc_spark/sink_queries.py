@@ -1047,3 +1047,51 @@ def q_codec_csv_binary(spark, sf_dir):
     )
     hx = encode_csv(b64, binary_encoding="hex")
     return hx.select("seq", "value_base64", F.col("value").alias("value_hex"))
+
+
+# ---------------------------------------------------------------------------
+# open-protocol batch encode (IsBatchEncode): one framed payload per
+# (topic, partition), replay-ordered
+# ---------------------------------------------------------------------------
+from ticdc_spark.codec.open_protocol import encode_open_protocol_batch  # noqa: E402
+from ticdc_spark.operators.routing import route  # noqa: E402
+
+_BATCH_FRAME = (
+    "length(key)::VARCHAR || ':' || key || "
+    "length(value)::VARCHAR || ':' || value"
+)
+
+
+@register(
+    "open_protocol_batch",
+    f"WITH {CHANGELOG_SQL}, "
+    "msgs AS (SELECT 'cdc_' || schema_name || '_' || table_name AS topic, "
+    f"CAST({_MD5_32_SQL} % 16 AS INTEGER) AS partition, commit_ts, seq, "
+    f"{_OPEN_KEY_SQL} AS key, {_OPEN_VALUE_SQL} AS value FROM changelog) "
+    "SELECT topic, partition, count(*) AS n_messages, "
+    f"string_agg({_BATCH_FRAME}, '' ORDER BY commit_ts, seq) AS batch "
+    "FROM msgs GROUP BY 1, 2",
+)
+def q_open_protocol_batch(spark, sf_dir):
+    routed = route(
+        scale_out(events_changelog(spark, sf_dir)),
+        [{"matcher": ["test.tp_*"], "partition": "index-value",
+          "topic": "cdc_{schema}_{table}"}],
+        n_partitions=16,
+    )
+    return encode_open_protocol_batch(routed)
+
+
+# ---------------------------------------------------------------------------
+# canal-json with enable-tidb-extension (_tidb.commitTs carries exact ts)
+# ---------------------------------------------------------------------------
+@register(
+    "codec_canal_json_tidb_ext",
+    f"WITH {CHANGELOG_SQL} SELECT seq, "
+    "left(" + _CANAL_SQL + ", -1) || "
+    "',\"_tidb\":{\"commitTs\":' || commit_ts::VARCHAR || '}}' AS value "
+    "FROM changelog",
+)
+def q_codec_canal_json_tidb_ext(spark, sf_dir):
+    cl = scale_out(events_changelog(spark, sf_dir))
+    return encode_canal_json(cl, tidb_extension=True).select("seq", "value")

@@ -284,3 +284,94 @@ _LI_MYT = "{" + ",".join(f'"{f}":"{_LI_MYSQL[f]}"' for f in LINEITEM_PAYLOAD_FIE
 def q_lineitem_composite_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     cl = scale_out(lineitem_changelog(spark, sf_dir))
     return encode_canal_json(cl, pk_names=("okey", "line")).select("seq", "value")
+
+
+# ---------------------------------------------------------------------------
+# simple-protocol DDL messages: one per schema version the data actually
+# reached (the DDL stream the changefeed would broadcast to MQ sinks)
+# ---------------------------------------------------------------------------
+import json as _json  # noqa: E402
+
+from ticdc_spark.codec.simple_protocol import encode_simple_ddl  # noqa: E402
+from ticdc_spark.plans.schema_registry import SCHEMA_VERSIONS  # noqa: E402
+
+_DDL_TEXT = {
+    2: "ALTER TABLE orders ADD COLUMN status varchar",
+    3: "ALTER TABLE orders ADD COLUMN priority varchar",
+}
+
+
+def _cols_at_version(v: int) -> list[str]:
+    cols = ["okey", "cust", "price"]
+    if v >= 2:
+        cols.append("status")
+    if v >= 3:
+        cols.append("priority")
+    cols.append("odate")
+    return cols
+
+
+def _table_schema_json(v: int) -> str:
+    return _json.dumps(
+        {"columns": _cols_at_version(v), "pk": ["okey"], "version": v},
+        separators=(",", ":"),
+    )
+
+
+_VTS = dict(SCHEMA_VERSIONS)
+
+
+@register(
+    "simple_ddl_messages",
+    f"WITH {ORDERS_CL_SQL} "
+    "SELECT DISTINCT schema_version, "
+    "CASE schema_version "
+    + " ".join(
+        "WHEN {v} THEN '{msg}'".format(
+            v=v,
+            msg=(
+                '{{"version":1,"type":"DDL","commitTs":{ts},"buildTs":0,'
+                '"schema":"tpch","table":"orders","sql":"{q}",'
+                '"tableSchema":{schema}}}'
+            ).format(ts=_VTS[v], q=_DDL_TEXT[v],
+                     schema=_table_schema_json(v)).replace("'", "''"),
+        )
+        for v in (2, 3)
+    )
+    + " END AS value FROM orders_cl WHERE schema_version >= 2",
+)
+def q_simple_ddl_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DDL messages an MQ sink broadcasts (`simple/message.go` type
+    DDL): derived from the versions the changelog actually binds — at
+    small SF only v2 may appear; larger SFs reach v3 too."""
+    versions = (
+        flat_orders_changelog(spark, sf_dir)
+        .select("schema_version").distinct()
+        .filter(F.col("schema_version") >= 2)
+    )
+    ddl = versions.select(
+        "schema_version",
+        F.lit("tpch").alias("schema_name"),
+        F.lit("orders").alias("table_name"),
+        F.element_at(
+            F.create_map(*[
+                x for v in (2, 3)
+                for x in (F.lit(v), F.lit(_VTS[v]))
+            ]),
+            F.col("schema_version"),
+        ).alias("commit_ts"),
+        F.element_at(
+            F.create_map(*[
+                x for v in (2, 3) for x in (F.lit(v), F.lit(_DDL_TEXT[v]))
+            ]),
+            F.col("schema_version"),
+        ).alias("query"),
+        F.element_at(
+            F.create_map(*[
+                x for v in (2, 3)
+                for x in (F.lit(v), F.lit(_table_schema_json(v)))
+            ]),
+            F.col("schema_version"),
+        ).alias("table_schema_json"),
+    )
+    return encode_simple_ddl(ddl).select("schema_version", "value")
