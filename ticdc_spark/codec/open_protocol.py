@@ -62,6 +62,49 @@ def encode_open_protocol(cl: DataFrame) -> DataFrame:
     return cl.withColumn("key", key).withColumn("value", value)
 
 
+def encode_open_protocol_ddl(ddl: DataFrame) -> DataFrame:
+    """open-protocol DDL message (`open/codec.go:121-137`): key
+    ``{"ts":finishedTs,"scm":schema,"tbl":table,"t":2}`` (type 2 = DDL),
+    value ``{"q":query,"t":<tidb action type>}``. Input frame carries
+    (schema_name, table_name, commit_ts, query, action_type)."""
+    key = F.concat(
+        F.lit('{"ts":'),
+        F.col("commit_ts").cast("string"),
+        F.lit(',"scm":"'),
+        F.col("schema_name"),
+        F.lit('","tbl":"'),
+        F.col("table_name"),
+        F.lit('","t":2}'),
+    )
+    value = F.concat(
+        F.lit('{"q":"'),
+        F.col("query"),
+        F.lit('","t":'),
+        F.col("action_type").cast("string"),
+        F.lit("}"),
+    )
+    return ddl.withColumn("key", key).withColumn("value", value)
+
+
+def open_protocol_checkpoints(cl: DataFrame, interval_us: int = 3_600_000_000) -> DataFrame:
+    """open-protocol resolved-ts (checkpoint) messages
+    (`open/encoder.go:240-250` EncodeCheckpointEvent): key
+    ``{"ts":resolvedTs,"t":3}``, value EMPTY — one per tumbling
+    resolved-ts boundary across the whole changefeed (the reference emits
+    one per checkpoint advance and broadcasts it to every partition).
+    Map-side partial max → single tiny final agg; no per-row state."""
+    boundary = (F.col("commit_ts") - F.col("commit_ts") % interval_us) + interval_us
+    wm = (
+        cl.withColumn("boundary_ts", boundary)
+        .groupBy("boundary_ts")
+        .agg(F.max("commit_ts").alias("resolved_ts"))
+    )
+    key = F.concat(
+        F.lit('{"ts":'), F.col("resolved_ts").cast("string"), F.lit(',"t":3}')
+    )
+    return wm.withColumn("key", key).withColumn("value", F.lit(""))
+
+
 def encode_open_protocol_batch(cl_routed: DataFrame) -> DataFrame:
     """Batched open-protocol (``IsBatchEncode``,
     `pkg/config/sink_protocol.go:48-50`): all messages for one

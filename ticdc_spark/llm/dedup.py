@@ -187,3 +187,70 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
         lambda acc, x: acc + x,
     )
     return with_h.select("doc_id", sim.alias("simhash"))
+
+
+def dedup_clusters(
+    docs: DataFrame, threshold: float = 0.8, max_iter: int = 25
+) -> DataFrame:
+    """Near-dup CLUSTER formation: connected components over the verified
+    LSH pair graph, labeling every member with the minimum doc_id of its
+    component (the canonical survivor — what a training-data pipeline
+    actually keeps/drops).
+
+    Distributed min-label propagation: each round every vertex takes the
+    minimum label among itself and its neighbors; converges in
+    O(component diameter) rounds (near-dup components are shallow —
+    star-like around a template). Each round is one equi-join + one
+    groupBy; lineage is truncated per round (``localCheckpoint``) so the
+    plan doesn't grow — the standard Spark iterative-graph pattern
+    (GraphX/GraphFrames CC does the same with large-star/small-star to
+    get O(log n) rounds; at 100 TB swap the propagation body for that).
+
+    Output: (doc_id, cluster_id, cluster_size, is_canonical) for every
+    doc that belongs to some near-dup pair; singletons are not emitted
+    (they are "keep" by definition).
+    """
+    pairs = minhash_lsh_pairs(docs, threshold).select("a_id", "b_id")
+    edges = (
+        pairs.union(pairs.select(F.col("b_id").alias("a_id"),
+                                 F.col("a_id").alias("b_id")))
+        .withColumnRenamed("a_id", "src").withColumnRenamed("b_id", "dst")
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src").agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sized = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sized, "label")
+        .select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+            (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+        )
+    )

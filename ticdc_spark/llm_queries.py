@@ -571,3 +571,37 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit("")),
     )
     return redact_pii(docs.withColumn("text", aug))
+
+
+# ---------------------------------------------------------------------------
+# near-dup cluster formation: connected components over the LSH pair graph
+# (distributed min-label propagation; oracle = recursive CTE closure)
+# ---------------------------------------------------------------------------
+from ticdc_spark.llm.dedup import dedup_clusters  # noqa: E402
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_LSH_PAIRS_ORACLE}),
+edges AS (
+    SELECT a_id AS src, b_id AS dst FROM pairs
+    UNION ALL
+    SELECT b_id AS src, a_id AS dst FROM pairs
+),
+verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach(doc_id, label) AS (
+    SELECT doc_id, doc_id AS label FROM verts
+    UNION
+    SELECT e.dst AS doc_id, r.label
+    FROM reach r JOIN edges e ON e.src = r.doc_id
+    WHERE r.label < e.dst
+),
+lab AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM lab
+"""
+
+
+@register("dedup_clusters", _CLUSTERS_ORACLE)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_clusters(_docs(spark, sf_dir), threshold=0.8)

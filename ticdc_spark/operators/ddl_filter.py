@@ -39,6 +39,32 @@ DEFAULT_ALLOW = {
     "truncate-table", "alter-table",
 }
 
+# TiDB `model.ActionType` codes for the classified kinds — the `t` field
+# of open-protocol DDL messages (`open/decoder.go:150-153` messageDDL;
+# action values are the public tidb parser/model enum).
+TIDB_ACTION_TYPE = {
+    "create-schema": 1,
+    "drop-schema": 2,
+    "create-table": 3,
+    "drop-table": 4,
+    "add-column": 5,
+    "drop-column": 6,
+    "add-index": 7,
+    "drop-index": 8,
+    "truncate-table": 11,
+    "rename-table": 14,
+    "alter-table": 0,   # generic/unknown alter → ActionNone
+    "other": 0,
+}
+
+
+def action_type(ddl_type_col: Column) -> Column:
+    """Map the classified kind to its TiDB action-type code."""
+    expr: Column = F.lit(0)
+    for label, code in TIDB_ACTION_TYPE.items():
+        expr = F.when(ddl_type_col == label, F.lit(code)).otherwise(expr)
+    return expr
+
 
 def classify_ddl(query_col: Column) -> Column:
     q = F.lower(query_col)

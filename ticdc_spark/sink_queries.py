@@ -405,13 +405,16 @@ def _ddl_stream(spark, sf_dir):
         pre, post = tpl.split("{t}")
         rendered = F.concat(F.lit(pre), tname, F.lit(post))
         query = F.when(kind == i, rendered).otherwise(query)
-    return cl.select("seq", "commit_ts", query.alias("query"))
+    return cl.select("seq", "commit_ts", "schema_name", "table_name",
+                     query.alias("query"))
 
 
-_DDL_ORACLE = f"""
-WITH {CHANGELOG_SQL},
+# DDL synthesis + classification + allow-list as reusable CTEs ("allowed"
+# is the post-filter stream shared by ddl_filter / open-protocol DDL /
+# the broadcast query).
+_DDL_CTES = """
 ddl AS (
-    SELECT seq, commit_ts,
+    SELECT seq, commit_ts, schema_name, table_name,
            CASE CAST((seq // 20) % 5 AS INTEGER)
              WHEN 0 THEN 'CREATE TABLE ' || schema_name || '.' || table_name || ' (id BIGINT)'
              WHEN 1 THEN 'ALTER TABLE ' || schema_name || '.' || table_name || ' ADD COLUMN c INT'
@@ -431,12 +434,19 @@ classified AS (
                 WHEN lower(query) LIKE '%alter table%' THEN 'alter-table'
                 ELSE 'other' END AS ddl_type
     FROM ddl
+),
+allowed AS (
+    SELECT * FROM classified
+    WHERE ddl_type IN ('add-column', 'add-index', 'alter-table', 'create-table',
+                       'drop-column', 'drop-index', 'truncate-table')
+      AND NOT regexp_matches(query, 'tp_error')
 )
-SELECT seq, commit_ts, query, ddl_type FROM classified
-WHERE ddl_type IN ('add-column', 'add-index', 'alter-table', 'create-table',
-                   'drop-column', 'drop-index', 'truncate-table')
-  AND NOT regexp_matches(query, 'tp_error')
 """
+
+_DDL_ORACLE = (
+    f"WITH {CHANGELOG_SQL}, {_DDL_CTES} "
+    "SELECT seq, commit_ts, query, ddl_type FROM allowed"
+)
 
 
 @register("ddl_filter", _DDL_ORACLE)
@@ -1095,3 +1105,143 @@ def q_open_protocol_batch(spark, sf_dir):
 def q_codec_canal_json_tidb_ext(spark, sf_dir):
     cl = scale_out(events_changelog(spark, sf_dir))
     return encode_canal_json(cl, tidb_extension=True).select("seq", "value")
+
+
+# ---------------------------------------------------------------------------
+# K1 — multi-row batch SQL (GenInsertSQL / genDeleteSQLV1 / genUpdateSQLV2,
+# chunked at MaxTxnRow=256) over the compacted changelog
+# ---------------------------------------------------------------------------
+from ticdc_spark.operators.compaction import compact_changelog  # noqa: E402
+from ticdc_spark.sinks.mysql import multirow_batches  # noqa: E402
+
+_MR_VALS = (
+    "'(' || " + _V_ID.format(img="after") + " || ', ' || "
+    + _V_VAL.format(img="after") + " || ', ' || "
+    + _V_K.format(img="after") + " || ')'"
+)
+_MR_IN = "'(' || " + _V_ID.format(img="before") + " || ')'"
+_MR_WHERE = "'WHEN `id` = ' || " + _V_ID.format(img="before")
+
+
+def _mr_when(col_sql: str) -> str:
+    return _MR_WHERE + " || ' THEN ' || " + col_sql
+
+
+_MULTIROW_ORACLE = f"""
+WITH net AS ({_ORACLES['compaction']}),
+rows AS (
+    SELECT schema_name, table_name, pk,
+           CASE net_op WHEN 'I' THEN 'insert' WHEN 'D' THEN 'delete'
+                ELSE 'update' END AS stmt_kind,
+           {_MR_VALS} AS vals,
+           {_MR_IN} AS intup,
+           {_mr_when(_V_ID.format(img="after"))} AS w_id,
+           {_mr_when(_V_VAL.format(img="after"))} AS w_val,
+           {_mr_when(_V_K.format(img="after"))} AS w_k
+    FROM net
+),
+chunked AS (
+    SELECT *, CAST((row_number() OVER (
+        PARTITION BY schema_name, table_name, stmt_kind ORDER BY pk) - 1) // 256
+        AS INTEGER) AS batch_seq
+    FROM rows
+),
+g AS (
+    SELECT schema_name, table_name, stmt_kind, batch_seq, count(*) AS n_rows,
+           string_agg(vals, ',' ORDER BY pk) AS agg_vals,
+           string_agg(intup, ',' ORDER BY pk) AS agg_in,
+           string_agg(w_id, ' ' ORDER BY pk) AS agg_w_id,
+           string_agg(w_val, ' ' ORDER BY pk) AS agg_w_val,
+           string_agg(w_k, ' ' ORDER BY pk) AS agg_w_k
+    FROM chunked GROUP BY 1, 2, 3, 4
+)
+SELECT schema_name, table_name, stmt_kind, batch_seq, n_rows,
+       CASE stmt_kind
+         WHEN 'insert' THEN 'INSERT INTO `' || schema_name || '`.`' || table_name
+              || '` (`id`, `val`, `k`) VALUES ' || agg_vals
+         WHEN 'delete' THEN 'DELETE FROM `' || schema_name || '`.`' || table_name
+              || '` WHERE (`id`) IN (' || agg_in || ')'
+         ELSE 'UPDATE `' || schema_name || '`.`' || table_name || '` SET `id` = CASE '
+              || agg_w_id || ' END, `val` = CASE ' || agg_w_val
+              || ' END, `k` = CASE ' || agg_w_k
+              || ' END WHERE (`id`) IN (' || agg_in || ')'
+       END AS stmt
+FROM g
+"""
+
+
+@register("mysql_sql_multirow", _MULTIROW_ORACLE)
+def q_mysql_sql_multirow(spark, sf_dir):
+    compacted = compact_changelog(events_changelog(spark, sf_dir))
+    return multirow_batches(compacted, max_txn_row=256)
+
+
+# ---------------------------------------------------------------------------
+# open-protocol DDL messages (type 2) + checkpoint/resolved messages (type 3)
+# ---------------------------------------------------------------------------
+from ticdc_spark.codec.open_protocol import (  # noqa: E402
+    encode_open_protocol_ddl,
+    open_protocol_checkpoints,
+)
+from ticdc_spark.operators.ddl_filter import action_type  # noqa: E402
+
+_OPEN_DDL_KEY = (
+    "'{\"ts\":' || commit_ts::VARCHAR || ',\"scm\":\"' || schema_name || "
+    "'\",\"tbl\":\"' || table_name || '\",\"t\":2}'"
+)
+_OPEN_DDL_ACTION = (
+    "CASE ddl_type WHEN 'create-table' THEN 3 WHEN 'drop-table' THEN 4 "
+    "WHEN 'add-column' THEN 5 WHEN 'drop-column' THEN 6 "
+    "WHEN 'add-index' THEN 7 WHEN 'drop-index' THEN 8 "
+    "WHEN 'truncate-table' THEN 11 WHEN 'rename-table' THEN 14 ELSE 0 END"
+)
+_OPEN_DDL_VALUE = (
+    f"'{{\"q\":\"' || query || '\",\"t\":' || ({_OPEN_DDL_ACTION})::VARCHAR || '}}'"
+)
+
+
+@register(
+    "open_protocol_ddl",
+    f"WITH {CHANGELOG_SQL}, {_DDL_CTES} "
+    f"SELECT seq, {_OPEN_DDL_KEY} AS key, {_OPEN_DDL_VALUE} AS value FROM allowed",
+)
+def q_open_protocol_ddl(spark, sf_dir):
+    ddl = apply_ddl_filter(_ddl_stream(spark, sf_dir), ignore_sql=["tp_error"])
+    ddl = ddl.withColumn("action_type", action_type(F.col("ddl_type")))
+    return encode_open_protocol_ddl(ddl).select("seq", "key", "value")
+
+
+@register(
+    "open_protocol_checkpoint",
+    f"WITH {CHANGELOG_SQL}, "
+    "wm AS (SELECT commit_ts - commit_ts % 3600000000 + 3600000000 AS boundary_ts, "
+    "max(commit_ts) AS resolved_ts FROM changelog GROUP BY 1) "
+    "SELECT boundary_ts, resolved_ts, "
+    "'{\"ts\":' || resolved_ts::VARCHAR || ',\"t\":3}' AS key, '' AS value FROM wm",
+)
+def q_open_protocol_checkpoint(spark, sf_dir):
+    return open_protocol_checkpoints(events_changelog(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# K2 — DDL broadcast: MQ sinks send each DDL message to EVERY partition of
+# the table's topic (`downstreamadapter/sink/kafka` DDL path)
+# ---------------------------------------------------------------------------
+@register(
+    "kafka_ddl_broadcast",
+    f"WITH {CHANGELOG_SQL}, {_DDL_CTES} "
+    "SELECT seq, 'cdc_' || schema_name || '_' || table_name AS topic, "
+    "CAST(p.partition AS INTEGER) AS partition, "
+    f"{_OPEN_DDL_KEY} AS key, {_OPEN_DDL_VALUE} AS value "
+    "FROM allowed CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS partition) p",
+)
+def q_kafka_ddl_broadcast(spark, sf_dir):
+    ddl = apply_ddl_filter(_ddl_stream(spark, sf_dir), ignore_sql=["tp_error"])
+    ddl = ddl.withColumn("action_type", action_type(F.col("ddl_type")))
+    enc = encode_open_protocol_ddl(ddl).withColumn(
+        "topic",
+        F.concat(F.lit("cdc_"), F.col("schema_name"), F.lit("_"),
+                 F.col("table_name")),
+    )
+    bcast = enc.withColumn("partition", F.explode(F.sequence(F.lit(0), F.lit(15))))
+    return bcast.select("seq", "topic", "partition", "key", "value")

@@ -99,6 +99,120 @@ def sql_for_rows(cl: DataFrame, safe_mode: bool = False,
     return cl.withColumn("stmt", stmt)
 
 
+def multirow_batches(
+    compacted: DataFrame,
+    max_txn_row: int = 256,
+    pk_fields: tuple[str, ...] = ("id",),
+) -> DataFrame:
+    """Cross-event batch SQL (`pkg/sink/sqlmodel/multi_row.go:49-147`,
+    reached from the compacted flush in `mysql_writer_dml_batch.go`):
+    after the A1 fold, per (table, statement kind) the rows are chunked
+    at ``MaxTxnRow`` (default 256, `pkg/sink/mysql/config.go:49`) and
+    emitted as ONE statement per chunk:
+
+    - net I → ``INSERT INTO t (cols) VALUES (...),(...)``      (GenInsertSQL)
+    - net D → ``DELETE FROM t WHERE (pk) IN ((..),(..))``      (genDeleteSQLV1)
+    - net U → ``UPDATE t SET c = CASE WHEN <where> THEN v ... END, ...
+      WHERE (pk) IN (...)``                                    (genUpdateSQLV2)
+
+    Input is ``compact_changelog`` output (net_op/before/after). Chunks
+    are ordered by pk so the batch content is deterministic; within a
+    chunk order is irrelevant (one row per key post-fold). Plan: one
+    window shuffle on (table, kind) for row numbering, then a partial+
+    final string agg — the same exchange a JDBC writer's
+    ``repartition(hash(pk))`` needs anyway.
+    """
+    schema = compacted.schema["after"].dataType
+    fields = [f.name for f in schema.fields]
+    col_list = ", ".join(f"`{f}`" for f in fields)
+
+    def vals(image: str) -> Column:
+        parts: list[Column] = [F.lit("(")]
+        for i, f in enumerate(schema.fields):
+            if i:
+                parts.append(F.lit(", "))
+            parts.append(_sql_value(F.col(f"{image}.{f.name}"), f.dataType))
+        parts.append(F.lit(")"))
+        return F.concat(*parts)
+
+    def where(image: str) -> Column:
+        parts: list[Column] = []
+        for i, k in enumerate(pk_fields):
+            if i:
+                parts.append(F.lit(" AND "))
+            parts.append(F.lit(f"`{k}` = "))
+            parts.append(_sql_value(F.col(f"{image}.{k}"), schema[k].dataType))
+        return F.concat(*parts)
+
+    def in_tuple(image: str) -> Column:
+        parts: list[Column] = [F.lit("(")]
+        for i, k in enumerate(pk_fields):
+            if i:
+                parts.append(F.lit(", "))
+            parts.append(_sql_value(F.col(f"{image}.{k}"), schema[k].dataType))
+        parts.append(F.lit(")"))
+        return F.concat(*parts)
+
+    kind = (
+        F.when(F.col("net_op") == "I", F.lit("insert"))
+        .when(F.col("net_op") == "D", F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    when_cols = [
+        F.concat(F.lit("WHEN "), where("before"), F.lit(" THEN "),
+                 _sql_value(F.col(f"after.{f.name}"), f.dataType)).alias(f"_w_{f.name}")
+        for f in schema.fields
+    ]
+    from pyspark.sql.window import Window
+
+    rows = compacted.select(
+        "schema_name", "table_name", "pk", kind.alias("stmt_kind"),
+        vals("after").alias("_vals"),
+        in_tuple("before").alias("_in"),
+        *when_cols,
+    )
+    w = Window.partitionBy("schema_name", "table_name", "stmt_kind").orderBy("pk")
+    chunked = rows.withColumn(
+        "batch_seq", ((F.row_number().over(w) - 1) / max_txn_row).cast("int")
+    )
+    frag_fields = ["_vals", "_in"] + [f"_w_{f}" for f in fields]
+    g = chunked.groupBy("schema_name", "table_name", "stmt_kind", "batch_seq").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pk", F.col(c).alias("f")))),
+                    lambda s: s["f"],
+                ),
+                "," if c in ("_vals", "_in") else " ",
+            ).alias(f"agg{c}")
+            for c in frag_fields
+        ],
+    )
+    tbl = F.concat(F.lit("`"), F.col("schema_name"), F.lit("`.`"),
+                   F.col("table_name"), F.lit("`"))
+    in_list = F.concat(F.lit(" WHERE ("),
+                       F.lit(", ".join(f"`{k}`" for k in pk_fields)),
+                       F.lit(") IN ("), F.col("agg_in"), F.lit(")"))
+    set_clause = F.concat(*[
+        c
+        for i, f in enumerate(fields)
+        for c in (
+            [F.lit(", ")] if i else []
+        ) + [F.lit(f"`{f}` = CASE "), F.col(f"agg_w_{f}"), F.lit(" END")]
+    ])
+    stmt = (
+        F.when(F.col("stmt_kind") == "insert",
+               F.concat(F.lit("INSERT INTO "), tbl, F.lit(f" ({col_list}) VALUES "),
+                        F.col("agg_vals")))
+        .when(F.col("stmt_kind") == "delete",
+              F.concat(F.lit("DELETE FROM "), tbl, in_list))
+        .otherwise(F.concat(F.lit("UPDATE "), tbl, F.lit(" SET "), set_clause, in_list))
+    )
+    return g.select("schema_name", "table_name", "stmt_kind", "batch_seq",
+                    "n_rows", stmt.alias("stmt"))
+
+
 def sink_key() -> Column:
     """Physical row key downstream: after image's handle for I/U, before
     image's for D (valid post update-split, where U never changes it)."""
