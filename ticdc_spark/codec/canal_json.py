@@ -100,3 +100,46 @@ def encode_canal_json(
         F.lit("}"),
     )
     return cl.withColumn("value", value)
+
+
+# canal EventType for DDL per `canal/helper.go:211-239` convertDdlEventType
+# (keyed by our classifier labels, operators/ddl_filter.py).
+CANAL_DDL_EVENT_TYPE = {
+    "create-table": "CREATE",
+    "drop-table": "ERASE",
+    "truncate-table": "TRUNCATE",
+    "add-column": "ALTER",
+    "drop-column": "ALTER",
+    "alter-table": "ALTER",
+    "add-index": "CINDEX",
+    "drop-index": "DINDEX",
+    "rename-table": "RENAME",
+    "create-schema": "QUERY",
+    "drop-schema": "QUERY",
+    "other": "QUERY",
+}
+
+
+def encode_canal_json_ddl(ddl: DataFrame) -> DataFrame:
+    """canal-json DDL message (`canal_json_encoder.go:384-399`
+    newJSONMessageForDDL): same FlatMessage frame as DML but
+    ``isDdl:true``, ``sql`` carries the query, and pkNames/sqlType/
+    mysqlType/data/old are null. Input frame carries
+    (schema_name, table_name, commit_ts, query, ddl_type)."""
+    etype = F.lit("QUERY")
+    for label, name in CANAL_DDL_EVENT_TYPE.items():
+        etype = F.when(F.col("ddl_type") == label, F.lit(name)).otherwise(etype)
+    value = F.concat(
+        F.lit('{"id":0,"database":"'),
+        F.col("schema_name"),
+        F.lit('","table":"'),
+        F.col("table_name"),
+        F.lit('","pkNames":null,"isDdl":true,"type":"'),
+        etype,
+        F.lit('","es":'),
+        F.floor(F.col("commit_ts") / 1000).cast("long").cast("string"),
+        F.lit(',"ts":0,"sql":"'),
+        F.col("query"),
+        F.lit('","sqlType":null,"mysqlType":null,"data":null,"old":null}'),
+    )
+    return ddl.withColumn("value", value)

@@ -166,3 +166,50 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         F.md5(norm).alias("content_fp"),
         F.md5(F.substring(norm, 1, 64)).alias("prefix_fp"),
     )
+
+
+def stratified_sample(
+    docs: DataFrame, fractions: dict[str, float], default: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic hash-based stratified sampling: keep a row iff
+    ``h(doc_id)/2^32 < fraction[lang]``. Unlike ``df.sample`` this is
+    reproducible across engines/runs/partitionings (portable md5 hash —
+    the property a 100 TB pipeline needs for resumable sampling), and
+    it's a pure map-side filter: no shuffle, pushes down to the scan."""
+    from ticdc_spark.operators.routing import hash32_md5
+
+    u = hash32_md5(
+        F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string"))
+    ) / F.lit(4294967296.0)
+    frac: Column = F.lit(default)
+    for lang, f in sorted(fractions.items()):
+        frac = F.when(F.col("lang") == lang, F.lit(f)).otherwise(frac)
+    return docs.filter(u < frac)
+
+
+def training_manifest(
+    docs: DataFrame,
+    quality_min: float = 0.45,
+    fractions: dict[str, float] | None = None,
+) -> DataFrame:
+    """The composed training-data selection pipeline: quality filter →
+    exact-dedup to the canonical copy (min doc_id per content hash) →
+    deterministic stratified sample → manifest of what goes into the
+    training set. Plan: quality/sample are map-side filters on the scan;
+    dedup is ONE groupBy(md5(text)) + a semi-join back — the only wide
+    ops, both on pre-filtered data."""
+    fractions = fractions or {"en": 0.9, "de": 0.8, "fr": 0.8, "es": 0.5, "zh": 0.5}
+    q = quality_score(docs).select("doc_id", "quality", "n_tokens")
+    canon = (
+        docs.groupBy(F.md5("text").alias("_fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    sampled = stratified_sample(docs, fractions)
+    return (
+        sampled.join(canon, "doc_id")
+        .join(q, "doc_id")
+        .filter(F.col("quality") >= quality_min)
+        .select("doc_id", "lang", "source", "n_tokens", "quality")
+    )

@@ -605,3 +605,57 @@ FROM lab
 @register("dedup_clusters", _CLUSTERS_ORACLE)
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(_docs(spark, sf_dir), threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling + the composed training-set manifest
+# ---------------------------------------------------------------------------
+from ticdc_spark.llm.text import stratified_sample, training_manifest  # noqa: E402
+
+_SAMPLE_U = (
+    "(('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 8))::BIGINT)"
+    " / 4294967296.0"
+)
+_FRACTIONS = {"en": 0.9, "de": 0.8, "fr": 0.8, "es": 0.5, "zh": 0.5}
+_FRAC_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_FRACTIONS.items()))
+    + " ELSE 0.0 END"
+)
+_SMALL_FRACTIONS = {"en": 0.5, "de": 0.25}
+_SMALL_FRAC_SQL = (
+    "CASE lang WHEN 'de' THEN 0.25 WHEN 'en' THEN 0.5 ELSE 0.0 END"
+)
+
+
+@register(
+    "stratified_sample",
+    f"SELECT doc_id, lang, source FROM documents WHERE {_SAMPLE_U} < {_SMALL_FRAC_SQL}",
+)
+def q_stratified_sample(spark, sf_dir):
+    out = stratified_sample(_docs(spark, sf_dir), _SMALL_FRACTIONS)
+    return out.select("doc_id", "lang", "source")
+
+
+_QUALITY_CTE = (
+    "q AS (WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) "
+    "SELECT doc_id, len(toks)::BIGINT AS n_tokens, "
+    "round(0.3 * least(len(toks)::DOUBLE / 100.0, 1.0) "
+    f"+ 0.4 * ({_marker_ratio_sql(_ALL_MARKERS)}) "
+    "+ 0.3 * (len(list_distinct(toks))::DOUBLE / len(toks)), 6) AS quality FROM t)"
+)
+
+_MANIFEST_ORACLE = f"""
+WITH {_QUALITY_CTE},
+canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+SELECT d.doc_id, d.lang, d.source, q.n_tokens, q.quality
+FROM documents d
+JOIN canon c ON d.doc_id = c.doc_id
+JOIN q ON d.doc_id = q.doc_id
+WHERE q.quality >= 0.45 AND {_SAMPLE_U.replace("doc_id", "d.doc_id")} < {_FRAC_SQL.replace("lang", "d.lang")}
+"""
+
+
+@register("training_manifest", _MANIFEST_ORACLE)
+def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return training_manifest(_docs(spark, sf_dir))

@@ -57,6 +57,9 @@ def with_claim_check(
     return (
         cl_encoded.withColumn("is_large", is_large)
         .withColumn("claim_location", F.when(is_large, location))
+        # the original message body for oversized rows — what foreachBatch
+        # writes to the claim store at `claim_location`
+        .withColumn("payload", F.when(is_large, F.col("value")))
         .withColumn(
             "value",
             F.when(
@@ -65,3 +68,94 @@ def with_claim_check(
             ).otherwise(F.col("value")),
         )
     )
+
+
+def resolve_claim_check(msgs: DataFrame, claim_store: DataFrame) -> DataFrame:
+    """Consumer-side claim-check re-fetch (J3, `pkg/sink/kafka/claimcheck/`
+    consumed by `cmd/kafka-consumer`): pointer messages look up the
+    externally-stored payload by location and the original value is
+    restored. The claim store is keyed by ``claim_location`` with the
+    full original message in ``payload``.
+
+    Only oversized rows ever reach the store, so the lookup side is
+    small — ``broadcast()`` makes the re-fetch a map-side join (no
+    shuffle of the message stream)."""
+    store = F.broadcast(
+        claim_store.select(
+            F.col("claim_location").alias("_cc_loc"),
+            F.col("payload").alias("_cc_payload"),
+        )
+    )
+    joined = msgs.join(store, msgs["claim_location"] == store["_cc_loc"], "left")
+    return (
+        joined.withColumn(
+            "value",
+            F.when(F.col("is_large"), F.col("_cc_payload")).otherwise(F.col("value")),
+        )
+        .drop("_cc_loc", "_cc_payload")
+    )
+
+
+# -- compression (`pkg/compression/`, `codec/common/compress.go`) ------------
+# The reference compresses large message payloads with lz4/snappy/zstd.
+# Those codecs aren't in this container; zlib/lzma are, and the operator
+# shape (Arrow-batched pandas UDF over the value column, codec gated by
+# name) is identical — swap the codec fn to lz4/zstd where available.
+_COMPRESS_CODECS = {
+    "zlib": ("zlib", "compress", "decompress"),
+    "lzma": ("lzma", "compress", "decompress"),
+}
+
+
+def _codec_fns(codec: str):
+    if codec not in _COMPRESS_CODECS:
+        raise ValueError(
+            f"unknown compression codec: {codec} "
+            f"(available: {sorted(_COMPRESS_CODECS)}; reference set is "
+            "lz4/snappy/zstd, compress.go)"
+        )
+    import importlib
+
+    mod_name, c, d = _COMPRESS_CODECS[codec]
+    mod = importlib.import_module(mod_name)
+    return getattr(mod, c), getattr(mod, d)
+
+
+def compress_values(df: DataFrame, codec: str = "zlib",
+                    col: str = "value") -> DataFrame:
+    """Compress a string/binary message column → binary. Arrow-batched
+    pandas UDF (the payload bytes can't be expressed as column algebra);
+    sits at the very end of the sink path so nothing downstream of it
+    needs codegen."""
+    compress, _ = _codec_fns(codec)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _compress(s):
+        import pandas as pd
+
+        return pd.Series([
+            None if v is None
+            else compress(v.encode() if isinstance(v, str) else v)
+            for v in s
+        ])
+
+    return df.withColumn(col, _compress(F.col(col)))
+
+
+def decompress_values(df: DataFrame, codec: str = "zlib",
+                      col: str = "value") -> DataFrame:
+    """Inverse of ``compress_values`` (consumer side): binary → string."""
+    _, decompress = _codec_fns(codec)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _decompress(s):
+        import pandas as pd
+
+        return pd.Series([
+            None if v is None else decompress(bytes(v)).decode()
+            for v in s
+        ])
+
+    return df.withColumn(col, _decompress(F.col(col)))

@@ -1245,3 +1245,59 @@ def q_kafka_ddl_broadcast(spark, sf_dir):
     )
     bcast = enc.withColumn("partition", F.explode(F.sequence(F.lit(0), F.lit(15))))
     return bcast.select("seq", "topic", "partition", "key", "value")
+
+
+# ---------------------------------------------------------------------------
+# canal-json DDL messages (isDdl:true, canal EventType per
+# convertDdlEventType `canal/helper.go:211-239`)
+# ---------------------------------------------------------------------------
+from ticdc_spark.codec.canal_json import encode_canal_json_ddl  # noqa: E402
+
+_CANAL_DDL_TYPE = (
+    "CASE ddl_type WHEN 'create-table' THEN 'CREATE' "
+    "WHEN 'drop-table' THEN 'ERASE' WHEN 'truncate-table' THEN 'TRUNCATE' "
+    "WHEN 'add-index' THEN 'CINDEX' WHEN 'drop-index' THEN 'DINDEX' "
+    "WHEN 'rename-table' THEN 'RENAME' "
+    "WHEN 'add-column' THEN 'ALTER' WHEN 'drop-column' THEN 'ALTER' "
+    "WHEN 'alter-table' THEN 'ALTER' ELSE 'QUERY' END"
+)
+
+
+@register(
+    "canal_json_ddl",
+    f"WITH {CHANGELOG_SQL}, {_DDL_CTES} "
+    "SELECT seq, '{\"id\":0,\"database\":\"' || schema_name || "
+    "'\",\"table\":\"' || table_name || "
+    f"'\",\"pkNames\":null,\"isDdl\":true,\"type\":\"' || {_CANAL_DDL_TYPE} || "
+    "'\",\"es\":' || (commit_ts // 1000)::VARCHAR || "
+    "',\"ts\":0,\"sql\":\"' || query || "
+    "'\",\"sqlType\":null,\"mysqlType\":null,\"data\":null,\"old\":null}' AS value "
+    "FROM allowed",
+)
+def q_canal_json_ddl(spark, sf_dir):
+    ddl = apply_ddl_filter(_ddl_stream(spark, sf_dir), ignore_sql=["tp_error"])
+    return encode_canal_json_ddl(ddl).select("seq", "value")
+
+
+# ---------------------------------------------------------------------------
+# J3 — claim-check consumer re-fetch round-trip: pointer messages restore
+# the original bytes via a broadcast lookup of the claim store
+# ---------------------------------------------------------------------------
+from ticdc_spark.operators.large_message import (  # noqa: E402
+    resolve_claim_check,
+    with_claim_check,
+)
+
+
+@register(
+    "claim_check_roundtrip",
+    f"WITH {CHANGELOG_SQL} SELECT seq, "
+    f"length({_CANAL_SQL}) > {_LM_MAX} AS is_large, "
+    f"{_CANAL_SQL} AS value FROM changelog",
+)
+def q_claim_check_roundtrip(spark, sf_dir):
+    enc = encode_canal_json(scale_out(events_changelog(spark, sf_dir)))
+    ptrs = with_claim_check(enc, max_bytes=_LM_MAX)
+    store = ptrs.filter(F.col("is_large")).select("claim_location", "payload")
+    resolved = resolve_claim_check(ptrs.drop("payload"), store)
+    return resolved.select("seq", "is_large", "value")
