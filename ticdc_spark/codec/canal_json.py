@@ -23,8 +23,11 @@ from pyspark.sql.types import StructType
 
 from ticdc_spark.functions.render import json_string_or_null
 
-_JAVA_TYPE = {"long": -5, "bigint": -5, "double": 8, "string": 12}
-_MYSQL_TYPE = {"long": "bigint", "bigint": "bigint", "double": "double", "string": "varchar"}
+# java.go:70-146: BIGINT=-5, DOUBLE=8, VARCHAR=12, DATE=91, TIMESTAMP=93
+_JAVA_TYPE = {"long": -5, "bigint": -5, "double": 8, "string": 12,
+              "date": 91, "timestamp": 93}
+_MYSQL_TYPE = {"long": "bigint", "bigint": "bigint", "double": "double",
+               "string": "varchar", "date": "date", "timestamp": "datetime"}
 
 
 def _image_json(image: str, schema: StructType) -> Column:

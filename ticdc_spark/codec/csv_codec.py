@@ -25,7 +25,18 @@ _QUOTE = '"'
 BINARY_ENCODING_METHODS = ("base64", "hex")
 
 
-def _csv_field(col: Column, dtype, binary_encoding: str = "base64") -> Column:
+def _escape_unquoted(col: Column) -> Column:
+    """Quote-less mode (`csv_message.go:209-243` formatWithEscapes):
+    backslash, CR, LF, and the delimiter are backslash-escaped.
+    Backslash is doubled FIRST so later escapes aren't re-escaped."""
+    out = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    out = F.replace(out, F.lit("\r"), F.lit("\\r"))
+    out = F.replace(out, F.lit("\n"), F.lit("\\n"))
+    return F.replace(out, F.lit(_DELIM), F.lit("\\" + _DELIM))
+
+
+def _csv_field(col: Column, dtype, binary_encoding: str = "base64",
+               quote: str | None = _QUOTE) -> Column:
     if isinstance(dtype, BinaryType):
         # binary-encoding-method per `pkg/config/sink.go:283` /
         # `csv_message.go:276-323`: base64 or hex text rendering.
@@ -37,12 +48,15 @@ def _csv_field(col: Column, dtype, binary_encoding: str = "base64") -> Column:
         return F.coalesce(rendered, F.lit(NULL_TOKEN))
     rendered = render_scalar(col, dtype)
     if isinstance(dtype, StringType):
-        quoted = F.concat(
-            F.lit(_QUOTE),
-            F.replace(rendered, F.lit(_QUOTE), F.lit(_QUOTE + _QUOTE)),
-            F.lit(_QUOTE),
-        )
-        return F.coalesce(quoted, F.lit(NULL_TOKEN))
+        if quote:
+            txt = F.concat(
+                F.lit(quote),
+                F.replace(rendered, F.lit(quote), F.lit(quote + quote)),
+                F.lit(quote),
+            )
+        else:
+            txt = _escape_unquoted(rendered)
+        return F.coalesce(txt, F.lit(NULL_TOKEN))
     return F.coalesce(rendered, F.lit(NULL_TOKEN))
 
 
@@ -50,20 +64,25 @@ def encode_csv(
     cl: DataFrame,
     include_commit_ts: bool = True,
     binary_encoding: str = "base64",
+    quote: str | None = _QUOTE,
 ) -> DataFrame:
-    """Append a ``value`` column holding one csv line (no trailing newline)."""
+    """Append a ``value`` column holding one csv line (no trailing newline).
+
+    ``quote=None`` selects the reference's quote-less escape mode
+    (backslash escaping, `csv_message.go:209-243`)."""
     schema: StructType = cl.schema["after"].dataType
     image = F.when(F.col("op") == "D", F.col("before")).otherwise(F.col("after"))
     tmp = cl.withColumn("_img", image)
     fields: list[Column] = [
-        _csv_field(F.col("op"), StringType()),
-        _csv_field(F.col("schema_name"), StringType()),
-        _csv_field(F.col("table_name"), StringType()),
+        _csv_field(F.col("op"), StringType(), quote=quote),
+        _csv_field(F.col("schema_name"), StringType(), quote=quote),
+        _csv_field(F.col("table_name"), StringType(), quote=quote),
     ]
     if include_commit_ts:
         fields.append(F.col("commit_ts").cast("string"))
     fields += [
-        _csv_field(F.col(f"_img.{f.name}"), f.dataType, binary_encoding)
+        _csv_field(F.col(f"_img.{f.name}"), f.dataType, binary_encoding,
+                   quote=quote)
         for f in schema.fields
     ]
     return tmp.withColumn("value", F.concat_ws(_DELIM, *fields)).drop("_img")

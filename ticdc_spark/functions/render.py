@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, FloatType
+from pyspark.sql.types import DateType, DoubleType, FloatType, TimestampType
 
 FLOAT_FMT = "%.2f"
 
@@ -27,6 +27,14 @@ FLOAT_FMT = "%.2f"
 def render_scalar(col: Column, dtype) -> Column:
     if isinstance(dtype, (DoubleType, FloatType)):
         return F.when(col.isNotNull(), F.format_string(FLOAT_FMT, col))
+    if isinstance(dtype, DateType):
+        # canonical MySQL DATE text (csv_message.go:276-323 renders
+        # temporals as their MySQL string forms)
+        return F.date_format(col, "yyyy-MM-dd")
+    if isinstance(dtype, TimestampType):
+        # canonical DATETIME/TIMESTAMP text at fsp=0 (mounter is
+        # timezone-aware; the session is pinned to UTC on both engines)
+        return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
     return col.cast("string")
 
 

@@ -1301,3 +1301,50 @@ def q_claim_check_roundtrip(spark, sf_dir):
     store = ptrs.filter(F.col("is_large")).select("claim_location", "payload")
     resolved = resolve_claim_check(ptrs.drop("payload"), store)
     return resolved.select("seq", "is_large", "value")
+
+
+# ---------------------------------------------------------------------------
+# csv quote-less escape mode (formatWithEscapes): backslash/CR/LF/delimiter
+# are backslash-escaped — proven on payloads that actually contain them
+# ---------------------------------------------------------------------------
+_ESC = (
+    "replace(replace(replace(replace({v}, chr(92), chr(92)||chr(92)), "
+    "chr(13), chr(92)||'r'), chr(10), chr(92)||'n'), ',', chr(92)||',')"
+)
+_INJ_TAIL_SQL = "',a' || chr(92) || 'b' || chr(10) || 'c'"
+
+
+def _esc_or_null(v: str) -> str:
+    return f"coalesce({_ESC.format(v=v)}, chr(92)||'N')"
+
+
+@register(
+    "codec_csv_escape",
+    f"WITH {_DOCS_CTE} SELECT seq, "
+    "op || ',' || schema_name || ',' || table_name || ',' "
+    "|| commit_ts::VARCHAR || ',' || "
+    "coalesce(CASE WHEN op = 'D' THEN before_id ELSE after_id END::VARCHAR, "
+    "chr(92)||'N') || ',' || "
+    + _esc_or_null(
+        "CASE WHEN op = 'D' THEN before_text ELSE after_text END"
+        f" || {_INJ_TAIL_SQL}"
+    )
+    + " || ',' || "
+    + _esc_or_null("CASE WHEN op = 'D' THEN before_src ELSE after_src END")
+    + " AS value FROM doc_changelog",
+)
+def q_codec_csv_escape(spark, sf_dir):
+    cl = _documents_changelog(spark, sf_dir)
+
+    def inject(img: str):
+        return F.when(
+            F.col(img).isNotNull(),
+            F.struct(
+                F.col(f"{img}.id").alias("id"),
+                F.concat(F.col(f"{img}.text"), F.lit(",a\\b\nc")).alias("text"),
+                F.col(f"{img}.src").alias("src"),
+            ),
+        )
+
+    cl = cl.withColumn("before", inject("before")).withColumn("after", inject("after"))
+    return encode_csv(cl, quote=None).select("seq", "value")

@@ -375,3 +375,165 @@ def q_simple_ddl_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("table_schema_json"),
     )
     return encode_simple_ddl(ddl).select("schema_version", "value")
+
+
+# ---------------------------------------------------------------------------
+# avro schema-registry documents: the -key/-value subjects the avro
+# encoder would register per table (golden oracle, hand-spelled)
+# ---------------------------------------------------------------------------
+from ticdc_spark.codec.avro_codec import avro_schema_document  # noqa: E402
+from ticdc_spark.sources.changelog import events_changelog  # noqa: E402
+
+
+def _avro_leaf_sql(avro_t: str, tidb_t: str) -> str:
+    return ('{"type":"%s","connect.parameters":{"tidb_type":"%s"}}'
+            % (avro_t, tidb_t))
+
+
+def _avro_field_sql(name: str, avro_t: str, tidb_t: str, pk: bool) -> str:
+    leaf = _avro_leaf_sql(avro_t, tidb_t)
+    if pk:
+        return '{"name":"%s","type":%s}' % (name, leaf)
+    return '{"name":"%s","type":["null",%s],"default":null}' % (name, leaf)
+
+
+def _avro_doc_sql(schema: str, table: str,
+                  fields: list[tuple[str, str, str, bool]],
+                  only_pk: bool = False) -> str:
+    fs = ",".join(
+        _avro_field_sql(n, a, t, pk)
+        for n, a, t, pk in fields if (pk or not only_pk)
+    )
+    return ('{"type":"record","name":"%s","namespace":"default.%s","fields":[%s]}'
+            % (table, schema, fs))
+
+
+_AVRO_TABLES = [
+    ("test", "tp_click", [
+        ("id", "long", "BIGINT", True),
+        ("val", "double", "DOUBLE", False),
+        ("k", "long", "BIGINT", False),
+    ]),
+    ("tpch", "orders", [
+        ("okey", "long", "BIGINT", True),
+        ("cust", "long", "BIGINT", False),
+        ("price", "double", "DOUBLE", False),
+        ("status", "string", "VARCHAR", False),
+        ("priority", "string", "VARCHAR", False),
+        ("odate", "string", "VARCHAR", False),
+    ]),
+    ("tpch", "lineitem", [
+        ("okey", "long", "BIGINT", True),
+        ("line", "long", "BIGINT", True),
+        ("qty", "double", "DOUBLE", False),
+        ("price", "double", "DOUBLE", False),
+    ]),
+]
+
+_AVRO_ROWS_SQL = ", ".join(
+    "('cdc_{s}_{t}{suf}', '{doc}')".format(
+        s=s, t=t, suf=suf,
+        doc=_avro_doc_sql(s, t, fields, only_pk=(suf == "-key")).replace("'", "''"),
+    )
+    for s, t, fields in _AVRO_TABLES
+    for suf in ("-value", "-key")
+)
+
+
+@register(
+    "avro_registry_schemas",
+    "SELECT * FROM (VALUES " + _AVRO_ROWS_SQL
+    + ") AS v(subject, schema_json)",
+)
+def q_avro_registry_schemas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents derived from the RUNTIME DataFrame schemas of the three
+    changelog shapes (unified events, typed orders at its latest version,
+    composite-key lineitem) — the oracle is the hand-spelled golden."""
+    docs = []
+    ev = events_changelog(spark, sf_dir)
+    docs += avro_schema_document(
+        "test", "tp_click", ev.schema["after"].dataType,
+        {"id": "bigint", "val": "double", "k": "bigint"}, ("id",))
+    oc = orders_changelog(spark, sf_dir)
+    docs += avro_schema_document(
+        "tpch", "orders", oc.schema["after"].dataType, _MYSQL, ("okey",))
+    lc = lineitem_changelog(spark, sf_dir)
+    docs += avro_schema_document(
+        "tpch", "lineitem", lc.schema["after"].dataType, _LI_MYSQL,
+        ("okey", "line"))
+    return spark.createDataFrame(
+        [(d["subject"], d["schema_json"]) for d in docs],
+        "subject string, schema_json string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# §1.3 temporal type fidelity: a payload with real DATE + TIMESTAMP columns
+# through canal-json (sqlType 91/93, mysqlType date/datetime) and csv
+# ---------------------------------------------------------------------------
+from ticdc_spark.codec.csv_codec import encode_csv  # noqa: E402
+from ticdc_spark.sources.changelog import epoch_us, read_table  # noqa: E402
+
+
+def _temporal_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    ts = F.timestamp_micros(epoch_us(o, "o_orderdate"))
+    after = F.struct(
+        F.col("o_orderkey").alias("okey"),
+        F.to_date(ts).alias("odate"),
+        ts.alias("ots"),
+    )
+    return o.select(
+        F.lit("tpch").alias("schema_name"),
+        F.lit("orders_t").alias("table_name"),
+        F.lit("I").alias("op"),
+        (F.lit(1704067200000000) + F.col("o_orderkey") * 1000).alias("commit_ts"),
+        F.col("o_orderkey").alias("seq"),
+        F.lit(None).cast(
+            "struct<okey:bigint,odate:date,ots:timestamp>"
+        ).alias("before"),
+        after.alias("after"),
+    )
+
+
+_TEMPORAL_CTE = """
+tcl AS (
+    SELECT 'tpch' AS schema_name, 'orders_t' AS table_name, 'I' AS op,
+           1704067200000000 + o_orderkey * 1000 AS commit_ts,
+           o_orderkey AS seq, o_orderkey AS okey,
+           strftime(o_orderdate, '%Y-%m-%d') AS odate_txt,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ots_txt
+    FROM orders
+)
+"""
+
+_TEMPORAL_CANAL = (
+    "'{\"id\":0,\"database\":\"tpch\",\"table\":\"orders_t\","
+    "\"pkNames\":[\"okey\"],\"isDdl\":false,\"type\":\"INSERT\",\"es\":' || "
+    "(commit_ts // 1000)::VARCHAR || "
+    "',\"ts\":0,\"sql\":\"\","
+    "\"sqlType\":{\"okey\":-5,\"odate\":91,\"ots\":93},"
+    "\"mysqlType\":{\"okey\":\"bigint\",\"odate\":\"date\",\"ots\":\"datetime\"},"
+    "\"data\":[{\"okey\":\"' || okey::VARCHAR || '\",\"odate\":\"' || odate_txt ||"
+    " '\",\"ots\":\"' || ots_txt || '\"}],\"old\":null}'"
+)
+
+
+@register(
+    "codec_canal_temporal",
+    f"WITH {_TEMPORAL_CTE} SELECT seq, {_TEMPORAL_CANAL} AS value FROM tcl",
+)
+def q_codec_canal_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = _temporal_changelog(spark, sf_dir)
+    return encode_canal_json(cl, pk_names=("okey",)).select("seq", "value")
+
+
+@register(
+    "codec_csv_temporal",
+    f"WITH {_TEMPORAL_CTE} SELECT seq, "
+    "'\"I\",\"tpch\",\"orders_t\",' || commit_ts::VARCHAR || ',' || "
+    "okey::VARCHAR || ',' || odate_txt || ',' || ots_txt AS value FROM tcl",
+)
+def q_codec_csv_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = _temporal_changelog(spark, sf_dir)
+    return encode_csv(cl).select("seq", "value")
