@@ -77,6 +77,7 @@ def main() -> None:
         "text_quality", "token_stats", "multimodal_features",
         "orders_canal_encode", "orders_compact_typed",
         "doc_chunking", "pii_redaction",
+        "mysql_sql_multirow", "open_protocol_batch", "training_manifest",
     ]
     def time_query(name: str) -> float:
         t0 = time.perf_counter()

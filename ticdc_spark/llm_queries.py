@@ -659,3 +659,49 @@ WHERE q.quality >= 0.45 AND {_SAMPLE_U.replace("doc_id", "d.doc_id")} < {_FRAC_S
 @register("training_manifest", _MANIFEST_ORACLE)
 def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_manifest(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# per-stratum token-budget selection: best-quality docs until the lang's
+# token budget fills (window cumsum per stratum — no global sort)
+# ---------------------------------------------------------------------------
+_TOKEN_BUDGET = 5000
+
+_BUDGET_ORACLE = f"""
+WITH {_QUALITY_CTE},
+ranked AS (
+    SELECT d.doc_id, d.lang, q.n_tokens, q.quality,
+           sum(q.n_tokens) OVER (
+               PARTITION BY d.lang ORDER BY q.quality DESC, d.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum_tokens
+    FROM documents d JOIN q ON d.doc_id = q.doc_id
+)
+SELECT doc_id, lang, n_tokens, quality, cum_tokens
+FROM ranked WHERE cum_tokens <= {_TOKEN_BUDGET}
+"""
+
+
+@register("token_budget_selection", _BUDGET_ORACLE)
+def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill each language's token budget with its highest-quality docs.
+    The window is PER STRATUM (lang) — at 100 TB each stratum sorts
+    independently across the cluster; there is no global single-partition
+    sort. Deterministic tiebreak (quality DESC, doc_id) keeps the
+    selection reproducible."""
+    from pyspark.sql.window import Window
+
+    from ticdc_spark.llm.text import quality_score
+
+    docs = _docs(spark, sf_dir)
+    q = quality_score(docs).select("doc_id", "n_tokens", "quality")
+    j = docs.select("doc_id", "lang").join(q, "doc_id")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("quality").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = j.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return out.filter(F.col("cum_tokens") <= _TOKEN_BUDGET).select(
+        "doc_id", "lang", "n_tokens", "quality", "cum_tokens"
+    )

@@ -1348,3 +1348,41 @@ def q_codec_csv_escape(spark, sf_dir):
 
     cl = cl.withColumn("before", inject("before")).withColumn("after", inject("after"))
     return encode_csv(cl, quote=None).select("seq", "value")
+
+
+# ---------------------------------------------------------------------------
+# S6/O2 — event-scanner scan+merge: DML and DDL streams interleave in
+# commit-ts order with DML BEFORE DDL at equal ts (`event_scanner.go:74-96`)
+# ---------------------------------------------------------------------------
+@register(
+    "event_scan_merge",
+    f"WITH {CHANGELOG_SQL}, {_DDL_CTES}, "
+    "merged AS ("
+    "  SELECT schema_name, table_name, commit_ts, seq, 0 AS is_ddl, dml_order "
+    "  FROM changelog "
+    "  UNION ALL "
+    "  SELECT schema_name, table_name, commit_ts, seq, 1 AS is_ddl, 0 AS dml_order "
+    "  FROM ddl) "
+    "SELECT schema_name, table_name, commit_ts, seq, is_ddl, "
+    "row_number() OVER (PARTITION BY schema_name, table_name "
+    "ORDER BY commit_ts, is_ddl, dml_order, seq) AS scan_rank FROM merged",
+)
+def q_event_scan_merge(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    dml = events_changelog(spark, sf_dir).select(
+        "schema_name", "table_name", "commit_ts", "seq",
+        F.lit(0).alias("is_ddl"), "dml_order",
+    )
+    ddl = _ddl_stream(spark, sf_dir).select(
+        "schema_name", "table_name", "commit_ts", "seq",
+        F.lit(1).alias("is_ddl"), F.lit(0).alias("dml_order"),
+    )
+    merged = dml.unionByName(ddl)
+    w = Window.partitionBy("schema_name", "table_name").orderBy(
+        "commit_ts", "is_ddl", "dml_order", "seq"
+    )
+    return merged.select(
+        "schema_name", "table_name", "commit_ts", "seq", "is_ddl",
+        F.row_number().over(w).cast("long").alias("scan_rank"),
+    )
