@@ -66,3 +66,66 @@ def encode_debezium(cl: DataFrame, connector: str = "ticdc-spark") -> DataFrame:
         F.lit("}"),
     )
     return cl.withColumn("value", value)
+
+
+# Debezium schema-change type per `debezium/codec.go:1237-1275`
+# (keyed by our classifier labels).
+DBZ_DDL_TYPE = {
+    "create-table": "CREATE", "create-schema": "CREATE",
+    "add-column": "ALTER", "drop-column": "ALTER", "alter-table": "ALTER",
+    "add-index": "ALTER", "rename-table": "ALTER",
+    "drop-table": "DROP", "drop-index": "DROP", "truncate-table": "DROP",
+    "drop-schema": "DROP",
+}
+
+
+def encode_debezium_ddl(ddl: DataFrame, connector: str = "ticdc-spark") -> DataFrame:
+    """Debezium schema-change event (`codec.go:1224-1380` EncodeDDLEvent):
+    key = SchemaChangeKey (payload.databaseName), value = payload with
+    source block, ``databaseName``/``ddl``/``tableChanges`` — type
+    CREATE/ALTER/DROP per the reference's action mapping; TRUNCATE emits
+    an empty tableChanges array, DROP TABLE a null table descriptor.
+    (The per-column ``table`` descriptor is carried by the simple
+    protocol's TableSchema / avro registry docs in this engine.)"""
+    change_type = F.lit("ALTER")
+    for label, name in DBZ_DDL_TYPE.items():
+        change_type = F.when(F.col("ddl_type") == label, F.lit(name)).otherwise(
+            change_type
+        )
+    key = F.concat(
+        F.lit('{"payload":{"databaseName":"'),
+        F.col("schema_name"),
+        F.lit('"}}'),
+    )
+    tid = F.concat(F.lit('\\"'), F.col("schema_name"), F.lit('\\".\\"'),
+                   F.col("table_name"), F.lit('\\"'))
+    table_changes = (
+        F.when(F.col("ddl_type") == "truncate-table", F.lit("[]"))
+        .when(
+            F.col("ddl_type") == "drop-table",
+            F.concat(F.lit('[{"type":"DROP","id":"'), tid,
+                     F.lit('","table":null}]')),
+        )
+        .otherwise(
+            F.concat(F.lit('[{"type":"'), change_type, F.lit('","id":"'), tid,
+                     F.lit('"}]'))
+        )
+    )
+    value = F.concat(
+        F.lit('{"payload":{"source":{"connector":"' + connector + '","db":"'),
+        F.col("schema_name"),
+        F.lit('","table":"'),
+        F.col("table_name"),
+        F.lit('","commit_ts":'),
+        F.col("commit_ts").cast("string"),
+        F.lit('},"ts_ms":'),
+        F.expr("commit_ts div 1000").cast("string"),
+        F.lit(',"databaseName":"'),
+        F.col("schema_name"),
+        F.lit('","schemaName":null,"ddl":"'),
+        F.col("query"),
+        F.lit('","tableChanges":'),
+        table_changes,
+        F.lit("}}"),
+    )
+    return ddl.withColumn("key", key).withColumn("value", value)

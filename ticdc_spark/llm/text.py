@@ -196,20 +196,37 @@ def training_manifest(
     """The composed training-data selection pipeline: quality filter →
     exact-dedup to the canonical copy (min doc_id per content hash) →
     deterministic stratified sample → manifest of what goes into the
-    training set. Plan: quality/sample are map-side filters on the scan;
-    dedup is ONE groupBy(md5(text)) + a semi-join back — the only wide
-    ops, both on pre-filtered data."""
+    training set.
+
+    Single-pass plan: quality columns are computed inline on the scan (no
+    self-join), canonical-copy selection is ``min(doc_id) over
+    (partition by md5(text))`` — ONE shuffle total, vs the naive
+    groupBy + two joins (3 shuffles). At 100 TB the window's per-group
+    state is one long, and the quality/sample filters run map-side
+    before it."""
+    from pyspark.sql.window import Window
+
     fractions = fractions or {"en": 0.9, "de": 0.8, "fr": 0.8, "es": 0.5, "zh": 0.5}
-    q = quality_score(docs).select("doc_id", "quality", "n_tokens")
-    canon = (
-        docs.groupBy(F.md5("text").alias("_fp"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    toks = tokens_col()
+    n_tokens = F.size(toks).cast("double")
+    length_part = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    marker_part = _marker_ratio(MARKERS["en"] + MARKERS["de"] + MARKERS["fr"])
+    diversity = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    quality = F.round(
+        F.lit(0.3) * length_part + F.lit(0.4) * marker_part
+        + F.lit(0.3) * diversity, 6)
+    # Canonical-copy selection runs over ALL docs (dedup decisions must
+    # not depend on downstream sampling), so the window comes first;
+    # quality/sample filters are map-side after it.
+    canon_min = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    with_q = (
+        docs.withColumn("_canon", canon_min)
+        .withColumn("n_tokens", F.size(toks))
+        .withColumn("quality", quality)
     )
-    sampled = stratified_sample(docs, fractions)
     return (
-        sampled.join(canon, "doc_id")
-        .join(q, "doc_id")
+        stratified_sample(with_q, fractions)
         .filter(F.col("quality") >= quality_min)
+        .filter(F.col("doc_id") == F.col("_canon"))
         .select("doc_id", "lang", "source", "n_tokens", "quality")
     )

@@ -1386,3 +1386,38 @@ def q_event_scan_merge(spark, sf_dir):
         "schema_name", "table_name", "commit_ts", "seq", "is_ddl",
         F.row_number().over(w).cast("long").alias("scan_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# debezium schema-change events (SchemaChangeKey + tableChanges payload)
+# ---------------------------------------------------------------------------
+from ticdc_spark.codec.debezium import encode_debezium_ddl  # noqa: E402
+
+_DBZ_TID = 'chr(92) || \'"\' || schema_name || chr(92) || \'".\' || chr(92) || \'"\' || table_name || chr(92) || \'"\''
+_DBZ_TYPE = (
+    "CASE ddl_type WHEN 'create-table' THEN 'CREATE' "
+    "WHEN 'truncate-table' THEN 'DROP' WHEN 'drop-table' THEN 'DROP' "
+    "WHEN 'drop-index' THEN 'DROP' ELSE 'ALTER' END"
+)
+_DBZ_TABLE_CHANGES = (
+    "CASE WHEN ddl_type = 'truncate-table' THEN '[]' "
+    f"WHEN ddl_type = 'drop-table' THEN '[{{\"type\":\"DROP\",\"id\":\"' || {_DBZ_TID} || '\",\"table\":null}}]' "
+    f"ELSE '[{{\"type\":\"' || {_DBZ_TYPE} || '\",\"id\":\"' || {_DBZ_TID} || '\"}}]' END"
+)
+
+
+@register(
+    "debezium_ddl",
+    f"WITH {CHANGELOG_SQL}, {_DDL_CTES} "
+    "SELECT seq, "
+    "'{\"payload\":{\"databaseName\":\"' || schema_name || '\"}}' AS key, "
+    "'{\"payload\":{\"source\":{\"connector\":\"ticdc-spark\",\"db\":\"' || schema_name || "
+    "'\",\"table\":\"' || table_name || '\",\"commit_ts\":' || commit_ts::VARCHAR || "
+    "'},\"ts_ms\":' || (commit_ts // 1000)::VARCHAR || "
+    "',\"databaseName\":\"' || schema_name || '\",\"schemaName\":null,\"ddl\":\"' || query || "
+    f"'\",\"tableChanges\":' || {_DBZ_TABLE_CHANGES} || '}}}}' AS value "
+    "FROM allowed",
+)
+def q_debezium_ddl(spark, sf_dir):
+    ddl = apply_ddl_filter(_ddl_stream(spark, sf_dir), ignore_sql=["tp_error"])
+    return encode_debezium_ddl(ddl).select("seq", "key", "value")
