@@ -1421,3 +1421,74 @@ _DBZ_TABLE_CHANGES = (
 def q_debezium_ddl(spark, sf_dir):
     ddl = apply_ddl_filter(_ddl_stream(spark, sf_dir), ignore_sql=["tp_error"])
     return encode_debezium_ddl(ddl).select("seq", "key", "value")
+
+
+# ---------------------------------------------------------------------------
+# §2.12 late/out-of-order handling: consumer partition-watermark
+# regression detection + dispatcher start-ts replay gate
+# ---------------------------------------------------------------------------
+from ticdc_spark.sinks.consumer import (  # noqa: E402
+    start_ts_gate,
+    watermark_regression_filter,
+)
+
+_WMR_ORACLE = f"""
+WITH {CHANGELOG_SQL},
+base AS (
+    SELECT seq, commit_ts,
+           'cdc_' || schema_name || '_' || table_name AS topic,
+           CAST({_MD5_32_SQL} % 16 AS INTEGER) AS partition
+    FROM changelog
+),
+msgs AS (
+    SELECT * FROM base
+    UNION ALL
+    SELECT seq + (SELECT max(seq) + 1 FROM base) AS seq, commit_ts,
+           topic, partition
+    FROM base WHERE seq % 10 = 0
+),
+wm AS (
+    SELECT *, max(commit_ts) OVER (
+        PARTITION BY topic, partition ORDER BY seq
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS partition_watermark
+    FROM msgs
+)
+SELECT seq, topic, partition, commit_ts, partition_watermark,
+       commit_ts < partition_watermark AS ignored
+FROM wm
+"""
+
+
+@register("consumer_watermark_regression", _WMR_ORACLE)
+def q_consumer_watermark_regression(spark, sf_dir):
+    """Arrival stream = the routed messages PLUS a replayed chunk (every
+    10th message re-delivered after a producer restart, offsets past the
+    live tail) — the replays regress the partition watermark and must be
+    flagged ignored (`writer.go:59-74` semantics)."""
+    routed = route(
+        events_changelog(spark, sf_dir),
+        [{"matcher": ["test.tp_*"], "partition": "index-value",
+          "topic": "cdc_{schema}_{table}"}],
+        n_partitions=16,
+    ).select("seq", "commit_ts", "topic", "partition")
+    tail_offset = routed.agg(F.max("seq") + 1).collect()[0][0]
+    replay = routed.filter(F.col("seq") % 10 == 0).withColumn(
+        "seq", F.col("seq") + F.lit(tail_offset)
+    )
+    out = watermark_regression_filter(routed.unionByName(replay))
+    return out.select("seq", "topic", "partition", "commit_ts",
+                      "partition_watermark", "ignored")
+
+
+_START_TS = 1705000000000000  # mid-range of the synthetic commit-ts domain
+
+
+@register(
+    "start_ts_gate",
+    f"WITH {CHANGELOG_SQL} SELECT seq, commit_ts, op FROM changelog "
+    f"WHERE commit_ts > {_START_TS}",
+)
+def q_start_ts_gate(spark, sf_dir):
+    out = start_ts_gate(events_changelog(spark, sf_dir), _START_TS)
+    return out.select("seq", "commit_ts", "op")

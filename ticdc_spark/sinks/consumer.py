@@ -91,3 +91,31 @@ def replay_sink_dir(spark: SparkSession, sink_dir: str) -> DataFrame:
     """K6 replay: rebuild state from a changefeed's message files."""
     msgs = spark.read.json(f"{sink_dir}/epoch=*")
     return replay_to_state(decode_canal_json(msgs))
+
+
+def watermark_regression_filter(frame: DataFrame) -> DataFrame:
+    """Consumer-side partition-watermark protection
+    (`cmd/kafka-consumer/writer.go:59-74`): within one (topic, partition),
+    a message whose commit ts is below the running maximum already seen in
+    arrival order is a replay/regression — flagged ``ignored`` and the
+    partition watermark holds at the running max. Window cumulative max in
+    arrival order (seq), per partition — the same per-partition state the
+    reference keeps in memory."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("topic", "partition")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.max("commit_ts").over(w)
+    return frame.withColumn("partition_watermark", running).withColumn(
+        "ignored", F.col("commit_ts") < F.col("partition_watermark")
+    )
+
+
+def start_ts_gate(cl: DataFrame, start_ts: int) -> DataFrame:
+    """Dispatcher replay protection (`basic_dispatcher.go:156-161`): on
+    (re)start, events at or below the changefeed's start ts are already
+    replicated and are dropped. Pure scan-pushed predicate."""
+    return cl.filter(F.col("commit_ts") > F.lit(start_ts))
