@@ -129,3 +129,46 @@ def test_active_active_round_trip(spark, sf_dir):
     orig = {(r["seq"], r["op"]) for r in cl.select("seq", "op").collect()}
     rt = {(r["seq"], r["op"]) for r in back.select("seq", "op").collect()}
     assert orig == rt
+
+
+def test_pipeline_all_protocols_and_knobs(spark, sf_dir):
+    """Every protocol in the sink enum compiles and encodes through
+    build_pipeline; large-message modes and compression compose on top;
+    unknown names raise."""
+    import pytest
+
+    from ticdc_spark.pipeline import ENCODERS, ChangefeedConfig, build_pipeline
+    from ticdc_spark.sources.changelog import events_changelog
+
+    cl = events_changelog(spark, sf_dir).limit(200)
+    for proto in sorted(ENCODERS):
+        out = build_pipeline(cl, ChangefeedConfig(protocol=proto))
+        n = out.filter(out["value"].isNotNull()).count()
+        assert n > 0, proto
+    # handle-key-only: oversized rows shrink to pk-only messages
+    out = build_pipeline(cl, ChangefeedConfig(
+        protocol="canal-json",
+        large_message_handle={"large-message-handle-option": "handle-key-only",
+                              "max-message-bytes": 280},
+    ))
+    rows = out.select("is_large", "value").collect()
+    assert any(r["is_large"] for r in rows)
+    for r in rows:
+        if r["is_large"]:
+            assert '"val"' not in r["value"]  # non-key columns stripped
+    # claim-check: pointers replace oversized payloads
+    out = build_pipeline(cl, ChangefeedConfig(
+        protocol="canal-json",
+        large_message_handle={"large-message-handle-option": "claim-check",
+                              "max-message-bytes": 280},
+    ))
+    assert out.filter(out["value"].contains("claimCheckLocation")).count() > 0
+    # compression composes at the very end
+    out = build_pipeline(cl, ChangefeedConfig(protocol="csv", compression="zlib"))
+    assert dict(out.dtypes)["value"] == "binary"
+    assert out.count() >= 200  # update-split expands key-changing updates
+    with pytest.raises(ValueError):
+        build_pipeline(cl, ChangefeedConfig(protocol="no-such-protocol"))
+    with pytest.raises(ValueError):
+        build_pipeline(cl, ChangefeedConfig(
+            large_message_handle={"large-message-handle-option": "bogus"}))

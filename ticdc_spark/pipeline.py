@@ -28,6 +28,8 @@ from ticdc_spark.codec import (
     encode_debezium,
     encode_open_protocol,
 )
+from ticdc_spark.codec.avro_codec import encode_avro_json
+from ticdc_spark.codec.simple_protocol import encode_simple
 from ticdc_spark.operators import (
     apply_event_filters,
     apply_expr_filter,
@@ -40,11 +42,14 @@ from ticdc_spark.operators import (
     split_updates,
 )
 
+# protocol enum per `pkg/config/sink_protocol.go:33-44`
 ENCODERS = {
     "canal-json": encode_canal_json,
     "csv": encode_csv,
     "open-protocol": encode_open_protocol,
     "debezium": encode_debezium,
+    "simple": encode_simple,
+    "avro": encode_avro_json,  # JSON encoding; binary gated on spark-avro
 }
 
 
@@ -63,6 +68,13 @@ class ChangefeedConfig:
     only_output_updated_columns: bool = False
     delete_only_output_handle_key: bool = False
     n_partitions: int = 16
+    # large-message-handle per `pkg/config/large_message.go:22-35`:
+    # {"large-message-handle-option": "handle-key-only"|"claim-check",
+    #  "max-message-bytes": N}
+    large_message_handle: dict | None = None
+    handle_key_fields: tuple = ("id",)
+    # lz4/snappy/zstd in the reference; zlib/lzma in this container
+    compression: str | None = None
 
 
 def build_pipeline(cl: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
@@ -93,5 +105,49 @@ def build_pipeline(cl: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
         df = delete_handle_key_only(df)
     if cfg.dispatchers:
         df = route(df, cfg.dispatchers, cfg.n_partitions)
-    encoder = ENCODERS[cfg.protocol]
-    return encoder(df)
+    if cfg.protocol not in ENCODERS:
+        raise ValueError(
+            f"unknown protocol: {cfg.protocol} (known: {sorted(ENCODERS)})"
+        )
+    df = ENCODERS[cfg.protocol](df)
+    if cfg.large_message_handle:
+        lm = cfg.large_message_handle
+        opt = lm.get("large-message-handle-option", "handle-key-only")
+        max_bytes = lm.get("max-message-bytes", 10 * 1024 * 1024)
+        if opt == "claim-check":
+            from ticdc_spark.operators.large_message import with_claim_check
+
+            df = with_claim_check(df, max_bytes)
+        elif opt == "handle-key-only":
+            # oversized rows re-encode with only the handle columns —
+            # both encodes inline on one frame + a `when`, NOT a
+            # self-join (an extra shuffle per message would dominate)
+            from pyspark.sql import functions as F
+
+            from ticdc_spark.operators.column_selector import (
+                select_columns_physical,
+            )
+
+            hk = list(cfg.handle_key_fields)
+            full = df.withColumnRenamed("value", "_value_full")
+            small = ENCODERS[cfg.protocol](
+                select_columns_physical(full, hk,
+                                        pk_fields=tuple(hk))
+            )
+            df = (
+                small.withColumn(
+                    "is_large", F.length("_value_full") > max_bytes)
+                .withColumn(
+                    "value",
+                    F.when(F.col("is_large"), F.col("value"))
+                    .otherwise(F.col("_value_full")),
+                )
+                .drop("_value_full")
+            )
+        else:
+            raise ValueError(f"unknown large-message-handle-option: {opt}")
+    if cfg.compression:
+        from ticdc_spark.operators.large_message import compress_values
+
+        df = compress_values(df, codec=cfg.compression)
+    return df
