@@ -537,3 +537,39 @@ def q_codec_canal_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_codec_csv_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     cl = _temporal_changelog(spark, sf_dir)
     return encode_csv(cl).select("seq", "value")
+
+
+# ---------------------------------------------------------------------------
+# Avro BINARY wire path (Confluent envelope), proven by consumer
+# round-trip — the reference's own MQ oracle strategy (SURVEY §5):
+# encode to magic+schema-id+avro-binary, decode like the consumer, and
+# the recovered typed rows must equal the changelog (deletes recover
+# only the handle key from the key message; value is a tombstone).
+# ---------------------------------------------------------------------------
+_AVRO_TYPES = {"okey": "long", "cust": "long", "price": "double",
+               "status": "string", "priority": "string", "odate": "string"}
+
+
+@register(
+    "avro_binary_roundtrip",
+    f"WITH {ORDERS_CL_SQL} SELECT seq, op, commit_ts, "
+    "CASE WHEN op = 'D' THEN before_okey ELSE after_okey END AS okey, "
+    "CASE WHEN op = 'D' THEN NULL ELSE after_cust END AS cust, "
+    "CASE WHEN op = 'D' THEN NULL ELSE after_price END AS price, "
+    "CASE WHEN op = 'D' THEN NULL ELSE after_status END AS status, "
+    "CASE WHEN op = 'D' THEN NULL ELSE after_priority END AS priority, "
+    "CASE WHEN op = 'D' THEN NULL ELSE after_odate END AS odate "
+    "FROM orders_cl",
+)
+def q_avro_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ticdc_spark.codec.avro_binary import (
+        decode_avro_binary,
+        encode_avro_binary,
+    )
+    from ticdc_spark.sources.typed import ORDERS_PK
+
+    flat = flat_orders_changelog(spark, sf_dir)
+    enc = encode_avro_binary(
+        flat, ORDERS_PAYLOAD_FIELDS, _AVRO_TYPES, ORDERS_PK)
+    return decode_avro_binary(
+        enc, ORDERS_PAYLOAD_FIELDS, _AVRO_TYPES, ORDERS_PK)
