@@ -1492,3 +1492,85 @@ _START_TS = 1705000000000000  # mid-range of the synthetic commit-ts domain
 def q_start_ts_gate(spark, sf_dir):
     out = start_ts_gate(events_changelog(spark, sf_dir), _START_TS)
     return out.select("seq", "commit_ts", "op")
+
+
+# ---------------------------------------------------------------------------
+# O3: scan limits + resumable scan cursors (scanProgress)
+# ---------------------------------------------------------------------------
+from ticdc_spark.operators.scan_progress import (  # noqa: E402
+    chunk_scan_atomic,
+    chunk_scan_split,
+    scan_cursors,
+)
+
+_SCAN_ORDER = "ORDER BY commit_ts, start_ts, dml_order, seq"
+_SPLIT_ROWS = 500
+
+
+@register(
+    "scan_chunk_split",
+    f"WITH {CHANGELOG_SQL}, ordered AS ("
+    "  SELECT table_id, seq, row_number() OVER (PARTITION BY table_id "
+    f" {_SCAN_ORDER}) AS scan_rn FROM changelog) "
+    f"SELECT table_id, seq, scan_rn, (scan_rn - 1) // {_SPLIT_ROWS} AS chunk "
+    "FROM ordered",
+)
+def q_scan_chunk_split(spark, sf_dir):
+    cl = events_changelog(spark, sf_dir)
+    return chunk_scan_split(cl, _SPLIT_ROWS).select(
+        "table_id", "seq", "scan_rn", "chunk")
+
+
+@register(
+    "scan_chunk_atomic",
+    "WITH li AS (SELECT CAST(7 AS BIGINT) AS table_id, "
+    "  epoch_us(l_shipdate) AS commit_ts, epoch_us(l_shipdate) - 1 AS start_ts, "
+    "  CASE l_returnflag WHEN 'R' THEN 1 WHEN 'A' THEN 2 ELSE 3 END AS dml_order, "
+    "  CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS seq FROM lineitem), "
+    "ordered AS (SELECT *, row_number() OVER (PARTITION BY table_id "
+    f" {_SCAN_ORDER}) AS scan_rn FROM li), "
+    "txn_first AS (SELECT *, min(scan_rn) OVER (PARTITION BY table_id, "
+    "  commit_ts, start_ts) AS first_rn FROM ordered) "
+    "SELECT table_id, seq, scan_rn, (first_rn - 1) // 1000 AS chunk "
+    "FROM txn_first",
+)
+def q_scan_chunk_atomic(spark, sf_dir):
+    from ticdc_spark.sources.typed import lineitem_changelog
+
+    cl = lineitem_changelog(spark, sf_dir)
+    return chunk_scan_atomic(cl, 1000).select(
+        "table_id", "seq", "scan_rn", "chunk")
+
+
+@register(
+    "scan_resume_cursors",
+    f"WITH {CHANGELOG_SQL}, ordered AS ("
+    "  SELECT table_id, commit_ts, start_ts, dml_order, seq, row_number() OVER ("
+    f"    PARTITION BY table_id {_SCAN_ORDER}) AS scan_rn FROM changelog), "
+    f"chunked AS (SELECT *, (scan_rn - 1) // {_SPLIT_ROWS} AS chunk FROM ordered), "
+    "tails AS (SELECT table_id, chunk, count(*) AS chunk_rows, "
+    "  arg_max(commit_ts, scan_rn) AS tail_cts, "
+    "  arg_max(start_ts, scan_rn) AS tail_sts, "
+    "  arg_max(dml_order, scan_rn) AS tail_dml, "
+    "  arg_max(seq, scan_rn) AS tail_seq "
+    "  FROM chunked GROUP BY 1, 2), "
+    "txn_span AS (SELECT table_id, commit_ts, start_ts, max(chunk) AS txn_max "
+    "  FROM chunked GROUP BY 1, 2, 3), "
+    "ts_span AS (SELECT table_id, commit_ts, max(chunk) AS ts_max "
+    "  FROM chunked GROUP BY 1, 2) "
+    "SELECT t.table_id, t.chunk, t.chunk_rows, t.tail_cts AS cursor_commit_ts, "
+    "  CASE WHEN x.txn_max > t.chunk OR c.ts_max > t.chunk "
+    "       THEN t.tail_sts ELSE 0 END AS cursor_start_ts, "
+    "  CASE WHEN x.txn_max > t.chunk THEN t.tail_dml END AS cursor_dml_order, "
+    "  CASE WHEN x.txn_max > t.chunk THEN t.tail_seq END AS cursor_pos, "
+    "  CASE WHEN x.txn_max > t.chunk THEN 'row' "
+    "       WHEN c.ts_max > t.chunk THEN 'txn' "
+    "       ELSE 'boundary' END AS form "
+    "FROM tails t "
+    "JOIN txn_span x ON t.table_id = x.table_id "
+    "  AND t.tail_cts = x.commit_ts AND t.tail_sts = x.start_ts "
+    "JOIN ts_span c ON t.table_id = c.table_id AND t.tail_cts = c.commit_ts",
+)
+def q_scan_resume_cursors(spark, sf_dir):
+    cl = events_changelog(spark, sf_dir)
+    return scan_cursors(chunk_scan_split(cl, _SPLIT_ROWS))
