@@ -254,3 +254,50 @@ def dedup_clusters(
             (F.col("doc_id") == F.col("label")).alias("is_canonical"),
         )
     )
+
+
+def decontaminate(
+    docs: DataFrame, bench_mod: int = 97, threshold: float = 0.2,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents whose word-shingle
+    overlap with an evaluation set exceeds ``threshold``.
+
+    The eval set here is the deterministic slice ``doc_id % bench_mod ==
+    0`` (stand-in for a real benchmark table — swap the filter for a
+    join against it). Scale shape: eval benchmarks are MBs even when the
+    corpus is 100 TB, so the distinct eval shingle index BROADCASTS; the
+    corpus side is one map-side explode + a single groupBy(doc_id) whose
+    partial aggregation collapses per-split — no corpus self-join
+    anywhere (contrast with near-dup pairs, which need the
+    inverted-index join).
+    """
+    sh = _doc_shingles(docs)
+    bench = (
+        sh.filter(F.col("doc_id") % bench_mod == 0)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    corp = sh.filter(F.col("doc_id") % bench_mod != 0).cache()
+    hits = (
+        corp.select("doc_id", F.explode("shingles").alias("s"))
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    n_sh = F.size("shingles")
+    score = F.round(
+        F.col("n_contaminated").cast("double") / n_sh, 6
+    )
+    return (
+        corp.join(hits, "doc_id", "left")
+        .na.fill({"n_contaminated": 0})
+        .select(
+            "doc_id",
+            n_sh.alias("n_shingles"),
+            "n_contaminated",
+            F.when(n_sh > 0, score).alias("contamination"),
+            F.when(n_sh > 0, score >= threshold)
+            .otherwise(F.lit(False))
+            .alias("flagged"),
+        )
+    )

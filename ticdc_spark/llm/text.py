@@ -230,3 +230,54 @@ def training_manifest(
         .filter(F.col("doc_id") == F.col("_canon"))
         .select("doc_id", "lang", "source", "n_tokens", "quality")
     )
+
+
+def grams_col(n: int, text: Column = None) -> Column:
+    """Word n-grams WITH multiplicity (order preserved) — repetition
+    metrics need counts, not the distinct set `shingles_col` gives."""
+    toks = tokens_col(text)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_metrics(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals, adapted to word-stream
+    documents: the fraction of 2-grams occupied by the single most
+    frequent 2-gram, and the fraction of 3-grams that are repeats of an
+    earlier occurrence. High values mark degenerate/boilerplate text.
+
+    Scale: pure per-row higher-order-function algebra — map-only, zero
+    shuffle, linear in corpus size (the per-doc distinct×total gram
+    scan is quadratic only in the ~100s-of-words document length).
+    """
+    g2, g3 = grams_col(2), grams_col(3)
+    top2 = F.array_max(
+        F.transform(
+            F.array_distinct(g2),
+            lambda g: F.size(F.filter(g2, lambda x: x == g)),
+        )
+    )
+    top2_frac = F.when(
+        F.size(g2) > 0, F.round(top2.cast("double") / F.size(g2), 6)
+    )
+    dup3_frac = F.when(
+        F.size(g3) > 0,
+        F.round(
+            (F.size(g3) - F.size(F.array_distinct(g3))).cast("double")
+            / F.size(g3),
+            6,
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(g2).alias("n_2grams"),
+        top2_frac.alias("top_2gram_frac"),
+        dup3_frac.alias("dup_3gram_frac"),
+        (
+            (F.coalesce(top2_frac, F.lit(0.0)) > 0.10)
+            | (F.coalesce(dup3_frac, F.lit(0.0)) > 0.02)
+        ).alias("repetitious"),
+    )

@@ -705,3 +705,73 @@ def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("cum_tokens") <= _TOKEN_BUDGET).select(
         "doc_id", "lang", "n_tokens", "quality", "cum_tokens"
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (broadcast eval-shingle index, no self-join)
+# ---------------------------------------------------------------------------
+_DECONTAM_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 97 = 0),
+corp AS (SELECT doc_id, shingles FROM sh WHERE doc_id % 97 <> 0),
+e AS (SELECT doc_id, unnest(shingles) AS s FROM corp),
+hits AS (SELECT doc_id, count(*) AS n_hit FROM e JOIN bench USING (s) GROUP BY 1)
+SELECT c.doc_id, len(c.shingles) AS n_shingles,
+       coalesce(n_hit, 0) AS n_contaminated,
+       CASE WHEN len(c.shingles) > 0
+            THEN round(coalesce(n_hit, 0)::DOUBLE / len(c.shingles), 6)
+       END AS contamination,
+       CASE WHEN len(c.shingles) > 0
+            THEN round(coalesce(n_hit, 0)::DOUBLE / len(c.shingles), 6) >= 0.2
+            ELSE FALSE END AS flagged
+FROM corp c LEFT JOIN hits USING (doc_id)
+"""
+
+
+@register("decontaminate", _DECONTAM_ORACLE)
+def q_decontaminate(spark, sf_dir):
+    from ticdc_spark.llm.dedup import decontaminate
+
+    return decontaminate(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# repetition quality metrics (Gopher-style, map-only HOF algebra)
+# ---------------------------------------------------------------------------
+_REP_ORACLE = f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 2
+                THEN [array_to_string(toks[i:i+1], ' ')
+                      for i in generate_series(1, len(toks)-1)]
+                ELSE [] END AS g2,
+           CASE WHEN len(toks) >= 3
+                THEN [array_to_string(toks[i:i+2], ' ')
+                      for i in generate_series(1, len(toks)-2)]
+                ELSE [] END AS g3
+    FROM docs
+),
+m AS (
+    SELECT doc_id, len(g2) AS n_2grams,
+           CASE WHEN len(g2) > 0 THEN round(
+               list_max(list_transform(list_distinct(g2),
+                   gg -> len(list_filter(g2, x -> x = gg))))::DOUBLE
+               / len(g2), 6) END AS top_2gram_frac,
+           CASE WHEN len(g3) > 0 THEN round(
+               (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3), 6)
+           END AS dup_3gram_frac
+    FROM g
+)
+SELECT doc_id, n_2grams, top_2gram_frac, dup_3gram_frac,
+       (coalesce(top_2gram_frac, 0) > 0.10
+        OR coalesce(dup_3gram_frac, 0) > 0.02) AS repetitious
+FROM m
+"""
+
+
+@register("repetition_metrics", _REP_ORACLE)
+def q_repetition_metrics(spark, sf_dir):
+    from ticdc_spark.llm.text import repetition_metrics
+
+    return repetition_metrics(_docs(spark, sf_dir))
