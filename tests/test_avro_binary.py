@@ -56,3 +56,37 @@ def test_record_roundtrip_unicode_and_negatives():
     schema_id, back = decode_record(buf, FIELDS, TYPES, PK)
     assert schema_id == 7
     assert back == rec
+
+
+def test_glue_envelope_roundtrip():
+    from ticdc_spark.codec.avro_binary import glue_header
+
+    uid = "123e4567-e89b-12d3-a456-426614174000"
+    hdr = glue_header(uid)
+    assert hdr[:2] == bytes([3, 0]) and len(hdr) == 18
+    rec = {"okey": 42, "cust": 7, "price": 2.25, "status": None}
+    buf = encode_record(rec, FIELDS, TYPES, PK, schema_id=0, header=hdr)
+    ref, back = decode_record(buf, FIELDS, TYPES, PK)
+    assert ref == uid
+    assert back == rec
+
+
+def test_glue_dataframe_path(spark, sf_dir):
+    from ticdc_spark.codec.avro_binary import (
+        decode_avro_binary,
+        encode_avro_binary,
+    )
+    from ticdc_spark.sources.typed import (
+        ORDERS_PAYLOAD_FIELDS,
+        ORDERS_PK,
+        flat_orders_changelog,
+    )
+    from ticdc_spark.typed_queries import _AVRO_TYPES
+
+    flat = flat_orders_changelog(spark, sf_dir).limit(50)
+    enc = encode_avro_binary(
+        flat, ORDERS_PAYLOAD_FIELDS, _AVRO_TYPES, ORDERS_PK, registry="glue")
+    row = enc.filter("op = 'I'").select("value").first()
+    assert bytes(row["value"])[0] == 3  # glue version byte
+    dec = decode_avro_binary(enc, ORDERS_PAYLOAD_FIELDS, _AVRO_TYPES, ORDERS_PK)
+    assert dec.filter("okey IS NULL").count() == 0

@@ -95,14 +95,27 @@ def _decode_field(buf: bytes, pos: int, avro_type: str):
     raise ValueError(f"unsupported avro type: {avro_type}")
 
 
+def glue_header(schema_uuid: str) -> bytes:
+    """AWS Glue registry message header: version byte 3, compression
+    byte 0, 16-byte schema-version UUID
+    (`glue_schema_registry.go:330-344`)."""
+    import uuid as _uuid
+
+    return bytes([3, 0]) + _uuid.UUID(schema_uuid).bytes
+
+
 def encode_record(
     values: dict, fields: list[str], types: dict[str, str],
     pk_fields: tuple[str, ...], schema_id: int,
+    header: bytes | None = None,
 ) -> bytes:
-    """One record in the Confluent envelope. Handle-key fields encode as
-    bare primitives; the rest as ``["null", T]`` unions (varint branch
-    index, then the branch value)."""
-    body = bytearray(b"\x00" + schema_id.to_bytes(4, "big"))
+    """One record in a registry envelope — Confluent (magic 0 + 4-byte
+    big-endian id) by default, or any prebuilt ``header`` (Glue). Handle
+    -key fields encode as bare primitives; the rest as ``["null", T]``
+    unions (varint branch index, then the branch value)."""
+    if header is None:
+        header = b"\x00" + schema_id.to_bytes(4, "big")
+    body = bytearray(header)
     for f in fields:
         v = values.get(f)
         if f in pk_fields:
@@ -117,12 +130,22 @@ def encode_record(
 def decode_record(
     buf: bytes, fields: list[str], types: dict[str, str],
     pk_fields: tuple[str, ...],
-) -> tuple[int, dict]:
-    """Inverse of :func:`encode_record`; returns (schema_id, values)."""
-    if buf[0] != 0:
-        raise ValueError("bad confluent magic byte")
-    schema_id = int.from_bytes(buf[1:5], "big")
-    pos, out = 5, {}
+) -> tuple[int | str, dict]:
+    """Inverse of :func:`encode_record`; returns (schema_ref, values).
+    The leading byte disambiguates the registry: 0 → Confluent (4-byte
+    id follows), 3 → Glue (compression byte + 16-byte UUID,
+    `getGlueSchemaIDFromHeader`, `glue_schema_registry.go:346-352`)."""
+    import uuid as _uuid
+
+    if buf[0] == 0:
+        schema_id: int | str = int.from_bytes(buf[1:5], "big")
+        pos = 5
+    elif buf[0] == 3:
+        schema_id = str(_uuid.UUID(bytes=bytes(buf[2:18])))
+        pos = 18
+    else:
+        raise ValueError("unknown registry envelope")
+    out: dict = {}
     for f in fields:
         if f in pk_fields:
             out[f], pos = _decode_field(buf, pos, types[f])
@@ -149,10 +172,13 @@ def encode_avro_binary(
     pk_fields: tuple[str, ...],
     key_schema_id: int = 2,
     value_schema_id: int = 1,
+    registry: str = "confluent",
 ) -> DataFrame:
-    """Flat changelog (``before_*``/``after_*`` columns) → Confluent
-    avro-binary ``key``/``value``. Delete: key from pre image, value
-    null (tombstone)."""
+    """Flat changelog (``before_*``/``after_*`` columns) → avro-binary
+    ``key``/``value`` in the chosen registry envelope. Delete: key from
+    pre image, value null (tombstone). ``registry="glue"`` derives a
+    deterministic schema-version UUID per message class from the
+    numeric id (stand-in for the registry's assigned UUID)."""
     out_schema = StructType(
         [flat.schema[c] for c in _PASS]
         + [StructField("key", BinaryType()), StructField("value", BinaryType())]
@@ -161,6 +187,17 @@ def encode_avro_binary(
     ftypes = dict(types)
     fpk = tuple(pk_fields)
     kid, vid = key_schema_id, value_schema_id
+    if registry == "glue":
+        import hashlib
+
+        khdr, vhdr = (
+            glue_header(hashlib.md5(f"schema:{i}".encode()).hexdigest())
+            for i in (kid, vid)
+        )
+    elif registry == "confluent":
+        khdr = vhdr = None
+    else:
+        raise ValueError(f"unknown registry: {registry}")
 
     def _encode_batches(batches):
         import pandas as pd
@@ -174,11 +211,13 @@ def encode_avro_binary(
                     f: (None if pd.isna(v := row[f"{img}_{f}"]) else v)
                     for f in ffields
                 }
-                keys.append(encode_record(rec, kfields, ftypes, fpk, kid))
+                keys.append(
+                    encode_record(rec, kfields, ftypes, fpk, kid, khdr))
                 if row["op"] == "D":
                     vals.append(None)
                 else:
-                    vals.append(encode_record(rec, ffields, ftypes, fpk, vid))
+                    vals.append(
+                        encode_record(rec, ffields, ftypes, fpk, vid, vhdr))
             out = pdf[_PASS].copy()
             out["key"] = keys
             out["value"] = vals

@@ -219,3 +219,64 @@ def ivf_knn(emb: DataFrame, n_queries: int = 20, k: int = 3) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Coarse-quantizer TRAINING (Lloyd's k-means refinement of the fixed
+# seeds): the missing half of the IVF story — `ivf_centroids()` gives
+# deterministic seeds, this refines them against the corpus.
+#
+# Scale shape: assignment is broadcast column algebra (k×dim literals in
+# the plan, map-only over the corpus); the update step aggregates to
+# (cell, dim) = k·dim rows — 512 values here — which is driver-collect
+# by design (every IVF/ANN trainer materializes the codebook; it is
+# plan-time metadata, not data). Two scans per iteration, no self-join.
+#
+# Determinism: per-(cell,dim) means are rounded to 6 decimals before
+# they become the next iteration's literals (ties-away-from-zero, the
+# same rule as Spark/DuckDB ROUND), so both engines run identical
+# centroid constants in every round.
+# ---------------------------------------------------------------------------
+
+
+def _best_dist_col(emb_col: Column, cents: list[list[float]]) -> Column:
+    best: Column = _dist2(emb_col, cents[0])
+    for i in range(1, len(cents)):
+        best = F.least(_dist2(emb_col, cents[i]), best)
+    return best
+
+
+def kmeans_refine(
+    emb: DataFrame, iters: int = 2, k: int = N_CENTROIDS, dim: int = EMB_DIM,
+) -> tuple[list[list[float]], DataFrame]:
+    """Refine the IVF seeds with ``iters`` Lloyd rounds; returns the
+    trained codebook and the per-cell summary (count, inertia, first
+    centroid component) under the final assignment. Empty cells keep
+    their previous centroid (standard k-means convention)."""
+    cents = ivf_centroids(dim, k)
+    e = F.col("embedding")
+    for _ in range(iters):
+        with_cell = emb.withColumn("cell", ivf_cell_col(e, cents))
+        means = (
+            with_cell.select("cell", F.posexplode("embedding").alias("d", "v"))
+            .groupBy("cell", "d")
+            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("m"))
+            .collect()
+        )
+        new = {(r["cell"], r["d"]): r["m"] for r in means}
+        cents = [
+            [new.get((c, d), cents[c][d]) for d in range(dim)]
+            for c in range(k)
+        ]
+    final = emb.withColumn("cell", ivf_cell_col(e, cents)).withColumn(
+        "d2", _best_dist_col(e, cents)
+    )
+    summary = final.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.sum("d2"), 3).alias("inertia"),
+    ).select(
+        F.col("cell").cast("long").alias("cell"),
+        "n_vecs",
+        "inertia",
+    )
+    return cents, summary

@@ -775,3 +775,67 @@ def q_repetition_metrics(spark, sf_dir):
     from ticdc_spark.llm.text import repetition_metrics
 
     return repetition_metrics(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# IVF coarse-quantizer TRAINING (k-means refinement of the fixed seeds)
+# — the oracle replays the identical Lloyd rounds in SQL: assignment by
+# (dist², cell) argmin, per-(cell,dim) means rounded to 6, empty cells
+# inheriting the previous centroid.
+# ---------------------------------------------------------------------------
+def _kmeans_oracle(iters: int = 2, k: int = 8, dim: int = 64) -> str:
+    from ticdc_spark.llm.similarity import ivf_centroids
+
+    seeds = ", ".join(
+        f"({c}, [{', '.join(repr(v) for v in row)}])"
+        for c, row in enumerate(ivf_centroids(dim, k))
+    )
+    d2 = (
+        "list_sum([(embedding[i]::DOUBLE - s.cent[i]) * "
+        "(embedding[i]::DOUBLE - s.cent[i]) "
+        f"for i in generate_series(1, {dim})])"
+    )
+    parts = [
+        f"cents0 AS (SELECT * FROM (VALUES {seeds}) t(cell, cent))",
+        "e AS (SELECT vec_id, embedding FROM embeddings)",
+    ]
+    for r in range(iters):
+        parts.append(
+            f"a{r} AS (SELECT vec_id, embedding, cell FROM ("
+            f"  SELECT e.vec_id, e.embedding, s.cell, {d2} AS d2, "
+            "   row_number() OVER (PARTITION BY e.vec_id "
+            "     ORDER BY "
+            f"{d2}, s.cell) AS rn "
+            f"  FROM e CROSS JOIN cents{r} s) WHERE rn = 1)"
+        )
+        parts.append(
+            f"m{r} AS (SELECT cell, d, round(avg(embedding[d]::DOUBLE), 6) AS m "
+            f"  FROM a{r} CROSS JOIN (SELECT unnest(generate_series(1, {dim})) "
+            "    AS d) g GROUP BY cell, d)"
+        )
+        parts.append(
+            f"cents{r + 1} AS (SELECT p.cell, "
+            f"  coalesce(n.cent, p.cent) AS cent FROM cents{r} p LEFT JOIN "
+            f"  (SELECT cell, list(m ORDER BY d) AS cent FROM m{r} GROUP BY cell) n "
+            "  USING (cell))"
+        )
+    parts.append(
+        f"afinal AS (SELECT vec_id, cell, d2 FROM ("
+        f"  SELECT e.vec_id, s.cell, {d2} AS d2, "
+        "   row_number() OVER (PARTITION BY e.vec_id "
+        f"     ORDER BY {d2}, s.cell) AS rn "
+        f"  FROM e CROSS JOIN cents{iters} s) WHERE rn = 1)"
+    )
+    return (
+        "WITH " + ", ".join(parts)
+        + " SELECT cell::BIGINT AS cell, count(*) AS n_vecs, "
+        "round(sum(d2), 3) AS inertia FROM afinal GROUP BY cell"
+    )
+
+
+@register("ivf_kmeans_train", _kmeans_oracle())
+def q_ivf_kmeans_train(spark, sf_dir):
+    from ticdc_spark.llm.similarity import kmeans_refine
+
+    _, summary = kmeans_refine(_emb(spark, sf_dir), iters=2)
+    return summary
