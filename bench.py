@@ -78,6 +78,7 @@ def main() -> None:
         "orders_canal_encode", "orders_compact_typed",
         "doc_chunking", "pii_redaction",
         "mysql_sql_multirow", "open_protocol_batch", "training_manifest",
+        "decontaminate", "repetition_metrics", "scan_chunk_split",
     ]
     def time_query(name: str) -> float:
         t0 = time.perf_counter()

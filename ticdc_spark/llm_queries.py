@@ -752,16 +752,21 @@ g AS (
                 ELSE [] END AS g3
     FROM docs
 ),
+top2 AS (
+    SELECT doc_id, max(c) AS top2_count FROM (
+        SELECT doc_id, s, count(*) AS c
+        FROM (SELECT doc_id, unnest(g2) AS s FROM g)
+        GROUP BY doc_id, s
+    ) GROUP BY doc_id
+),
 m AS (
-    SELECT doc_id, len(g2) AS n_2grams,
+    SELECT g.doc_id, len(g2) AS n_2grams,
            CASE WHEN len(g2) > 0 THEN round(
-               list_max(list_transform(list_distinct(g2),
-                   gg -> len(list_filter(g2, x -> x = gg))))::DOUBLE
-               / len(g2), 6) END AS top_2gram_frac,
+               top2_count::DOUBLE / len(g2), 6) END AS top_2gram_frac,
            CASE WHEN len(g3) > 0 THEN round(
                (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3), 6)
            END AS dup_3gram_frac
-    FROM g
+    FROM g LEFT JOIN top2 ON g.doc_id = top2.doc_id
 )
 SELECT doc_id, n_2grams, top_2gram_frac, dup_3gram_frac,
        (coalesce(top_2gram_frac, 0) > 0.10
