@@ -81,3 +81,88 @@ def decode_image(payload: bytes):  # pragma: no cover - real decoder absent
     """Real image decode — intentionally unimplemented in this container
     (no PIL/opencv). The pipeline uses ``_decode_batch``'s fake."""
     raise NotImplementedError("image decoding requires PIL/opencv; not in container")
+
+
+# ---------------------------------------------------------------------------
+# frame sampling — REAL binary plumbing: the payload is sliced into
+# fixed-size frames JVM-side (substring over the binary column, md5 per
+# frame), every Nth frame kept. Map-only posexplode; at 100 TB this is
+# one pass over the scan with no shuffle. A real video source would
+# replace the fixed frame size with container parsing (ffmpeg) inside
+# the same per-frame shape.
+# ---------------------------------------------------------------------------
+FRAME_SIZE = 64
+FRAME_EVERY = 3
+
+
+def sample_frames(
+    docs: DataFrame, frame_size: int = FRAME_SIZE, every: int = FRAME_EVERY,
+) -> DataFrame:
+    p = with_binary_payload(docs)
+    n_frames = F.floor(
+        F.col("media_meta.n_bytes") / F.lit(frame_size)
+    ).cast("long")
+    sampled_idx = F.sequence(
+        F.lit(0).cast("long"), n_frames - 1, F.lit(every).cast("long")
+    )
+    ex = p.filter(n_frames > 0).select(
+        "doc_id",
+        n_frames.alias("n_frames"),
+        "payload",
+        F.posexplode(sampled_idx).alias("sample_seq", "frame_idx"),
+    )
+    frame = F.substring(
+        F.col("payload"),
+        (F.col("frame_idx") * frame_size + 1).cast("int"),
+        frame_size,
+    )
+    return ex.select(
+        "doc_id",
+        "n_frames",
+        F.col("sample_seq").cast("long").alias("sample_seq"),
+        "frame_idx",
+        F.md5(frame).alias("frame_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# resize — pandas-UDF binary→binary transform. The fake "resample" emits
+# a deterministic w·h-byte payload derived from the source digest
+# (SQL-reproducible, so the oracle checks the full output bytes by
+# hash); a real deployment swaps ONLY the body for PIL's resize, the
+# schema/batching/metadata plumbing is the deliverable.
+# ---------------------------------------------------------------------------
+def resize_payloads(docs: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    n_out = width * height
+    reps = -(-n_out // 32)  # md5 hex chars per repetition
+
+    out_schema = (
+        "doc_id long, out_w long, out_h long, resized binary, "
+        "resized_md5 string"
+    )
+
+    def resize_batch(it):
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in it:
+            digests = pdf["payload"].map(
+                lambda b: _hashlib.md5(bytes(b)).hexdigest()
+            )
+            resized = digests.map(
+                lambda h: (h * reps)[:n_out].encode("ascii")
+            )
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "out_w": width,
+                "out_h": height,
+                "resized": resized,
+                "resized_md5": resized.map(
+                    lambda b: _hashlib.md5(b).hexdigest()
+                ),
+            })
+
+    p = with_binary_payload(docs)
+    parallelism = p.sparkSession.sparkContext.defaultParallelism
+    return p.repartition(parallelism).mapInPandas(resize_batch, out_schema)

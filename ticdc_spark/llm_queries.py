@@ -844,3 +844,36 @@ def q_ivf_kmeans_train(spark, sf_dir):
 
     _, summary = kmeans_refine(_emb(spark, sf_dir), iters=2)
     return summary
+
+
+# ---------------------------------------------------------------------------
+# multimodal: frame sampling (JVM-side binary slicing) + resize
+# (pandas-UDF binary→binary). Oracle slices the same bytes via text
+# substr (ASCII corpus: char offsets == byte offsets).
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_frame_sample",
+    "WITH p AS (SELECT doc_id, text, length(text) // 64 AS n_frames "
+    "  FROM documents), "
+    "ex AS (SELECT doc_id, n_frames, text, "
+    "  unnest(generate_series(0, n_frames - 1, 3)) AS frame_idx "
+    "  FROM p WHERE n_frames > 0) "
+    "SELECT doc_id, n_frames, frame_idx // 3 AS sample_seq, frame_idx, "
+    "  md5(substr(text, (frame_idx * 64 + 1)::INT, 64)) AS frame_md5 FROM ex",
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    from ticdc_spark.llm.multimodal import sample_frames
+
+    return sample_frames(_docs(spark, sf_dir))
+
+
+@register(
+    "multimodal_resize",
+    "SELECT doc_id, CAST(32 AS BIGINT) AS out_w, CAST(32 AS BIGINT) AS out_h, "
+    "md5(substr(repeat(md5(text), 32), 1, 1024)) AS resized_md5 FROM documents",
+)
+def q_multimodal_resize(spark, sf_dir):
+    from ticdc_spark.llm.multimodal import resize_payloads
+
+    return resize_payloads(_docs(spark, sf_dir)).select(
+        "doc_id", "out_w", "out_h", "resized_md5")
