@@ -90,3 +90,29 @@ def test_glue_dataframe_path(spark, sf_dir):
     assert bytes(row["value"])[0] == 3  # glue version byte
     dec = decode_avro_binary(enc, ORDERS_PAYLOAD_FIELDS, _AVRO_TYPES, ORDERS_PK)
     assert dec.filter("okey IS NULL").count() == 0
+
+
+def test_property_roundtrip_random_records():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    longs = st.integers(min_value=-(2**62), max_value=2**62)
+    doubles = st.floats(allow_nan=False, allow_infinity=False, width=64)
+    texts = st.text(max_size=40)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        okey=longs,
+        cust=st.one_of(st.none(), longs),
+        price=st.one_of(st.none(), doubles),
+        status=st.one_of(st.none(), texts),
+        sid=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(okey, cust, price, status, sid):
+        rec = {"okey": okey, "cust": cust, "price": price, "status": status}
+        buf = encode_record(rec, FIELDS, TYPES, PK, schema_id=sid)
+        got_id, back = decode_record(buf, FIELDS, TYPES, PK)
+        assert got_id == sid
+        assert back == rec
+
+    check()

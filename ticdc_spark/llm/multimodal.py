@@ -166,3 +166,40 @@ def resize_payloads(docs: DataFrame, width: int = 32, height: int = 32) -> DataF
     p = with_binary_payload(docs)
     parallelism = p.sparkSession.sparkContext.defaultParallelism
     return p.repartition(parallelism).mapInPandas(resize_batch, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# audio waveform stats — the payload bytes are interpreted as unsigned
+# 8-bit PCM samples (a real source would be int16 PCM / ffmpeg decode;
+# only the frombuffer dtype changes). Vectorized numpy over Arrow
+# batches; the sum of squares stays in integer space so the oracle's
+# sequential fold and numpy's pairwise summation agree exactly.
+# ---------------------------------------------------------------------------
+def waveform_stats(docs: DataFrame) -> DataFrame:
+    out_schema = (
+        "doc_id long, n_samples long, peak long, sum_sq long, rms double"
+    )
+
+    def stats_batch(it):
+        import math
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                x = _np.frombuffer(bytes(payload), dtype=_np.uint8)
+                n = int(x.size)
+                ssq = int((x.astype(_np.int64) ** 2).sum()) if n else 0
+                rms = (
+                    math.floor(math.sqrt(ssq / n) * 1e6 + 0.5) / 1e6
+                    if n else None
+                )
+                rows.append((did, n, int(x.max()) if n else 0, ssq, rms))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "peak", "sum_sq", "rms"])
+
+    p = with_binary_payload(docs)
+    parallelism = p.sparkSession.sparkContext.defaultParallelism
+    return p.repartition(parallelism).mapInPandas(stats_batch, out_schema)

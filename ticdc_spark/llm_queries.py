@@ -877,3 +877,26 @@ def q_multimodal_resize(spark, sf_dir):
 
     return resize_payloads(_docs(spark, sf_dir)).select(
         "doc_id", "out_w", "out_h", "resized_md5")
+
+
+# ---------------------------------------------------------------------------
+# multimodal audio: waveform stats over PCM-interpreted payload bytes.
+# Integer sum-of-squares keeps both engines exact; rms rounds via the
+# ties-away floor formula on an exact integer ratio.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_waveform",
+    "WITH s AS (SELECT doc_id, [ascii(c) for c in split(text, '')] AS xs "
+    "  FROM documents) "
+    "SELECT doc_id, len(xs)::BIGINT AS n_samples, "
+    "  coalesce(list_max(xs), 0)::BIGINT AS peak, "
+    "  coalesce(list_sum(list_transform(xs, x -> x * x)), 0)::BIGINT AS sum_sq, "
+    "  CASE WHEN len(xs) > 0 THEN "
+    "    floor(sqrt(list_sum(list_transform(xs, x -> x * x))::DOUBLE / len(xs)) "
+    "          * 1e6 + 0.5) / 1e6 END AS rms "
+    "FROM s",
+)
+def q_multimodal_waveform(spark, sf_dir):
+    from ticdc_spark.llm.multimodal import waveform_stats
+
+    return waveform_stats(_docs(spark, sf_dir))
