@@ -1,0 +1,76 @@
+"""Automated plan-quality regression guard.
+
+Locks in the physical properties the 100 TB design depends on (SURVEY
+§4): map-only stages stay shuffle-free, folds shuffle exactly once,
+small sides broadcast instead of sort-merge joining, Python never
+appears on codec hot paths, and filters/projections reach the parquet
+scan. A refactor that silently adds an Exchange fails here, not in the
+next round's bench.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ticdc_spark.queries import QUERIES
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# (query, max shuffle exchanges, notes)
+_SHUFFLE_BUDGET = [
+    ("changelog_mount", 0, "mount is map-only"),
+    ("table_filter", 0, "predicate fused into scan"),
+    ("routing", 0, "partitioner/topic exprs are map-only"),
+    ("codec_canal_json", 1, "encode itself is map-only; 1 = ordering rank"),
+    ("compaction", 1, "the per-pk fold shuffles once"),
+    ("ordering", 1, "replay-rank window"),
+    ("scan_chunk_split", 1, "chunking reuses the replay-rank shuffle"),
+    ("training_manifest", 1, "rewritten to a single window shuffle"),
+    ("repetition_metrics", 1, "explicit spread repartition only"),
+]
+
+
+@pytest.mark.parametrize("name,budget,note", _SHUFFLE_BUDGET)
+def test_shuffle_budget(spark, sf_dir, name, budget, note):
+    p = _plan(QUERIES[name](spark, sf_dir))
+    shuffles = p.count("Exchange") - p.count("BroadcastExchange")
+    assert shuffles <= budget, f"{name} ({note}): {shuffles} > {budget}\n{p}"
+
+
+def test_no_python_on_codec_hot_path(spark, sf_dir):
+    # row-at-a-time Python (BatchEvalPython) must never appear; Arrow
+    # nodes are allowed only in the ops documented as pandas-UDF-backed.
+    for name in ["codec_canal_json", "codec_csv", "codec_open_protocol",
+                 "codec_debezium", "codec_simple", "mysql_sql_multirow",
+                 "compaction", "routing"]:
+        p = _plan(QUERIES[name](spark, sf_dir))
+        assert "BatchEvalPython" not in p, name
+        assert "MapInPandas" not in p, name
+        assert "ArrowEvalPython" not in p, name
+
+
+def test_small_side_broadcasts(spark, sf_dir):
+    p = _plan(QUERIES["decontaminate"](spark, sf_dir))
+    assert "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_filter_reaches_scan(spark, sf_dir):
+    # decontaminate's bench/corpus split must push into the parquet scan
+    # as a data filter, not a post-scan Filter over full rows
+    p = _plan(QUERIES["decontaminate"](spark, sf_dir))
+    assert "% 97" in p.split("FileScan")[1][:400]
+
+
+def test_column_pruning(spark, sf_dir):
+    # a 2-column projection reads 2 columns, not the full events schema
+    p = _plan(QUERIES["changelog_mount"](spark, sf_dir))
+    scan = p.split("FileScan")[1]
+    read_schema = scan.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" in read_schema or "event_type" in read_schema
+    p2 = _plan(QUERIES["dedup_exact"](spark, sf_dir))
+    rs2 = p2.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in rs2 and "source" not in rs2 and "lang" not in rs2
