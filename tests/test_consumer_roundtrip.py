@@ -54,3 +54,19 @@ def test_streaming_sink_replay(spark, sf_dir, tmp_path):
         split_updates(events_changelog(spark, sf_dir))
     ).select("schema_name", "table_name", "id", "val", "k")
     assert _state_key(replayed) == _state_key(direct)
+
+
+def test_open_protocol_roundtrip_state_equality(spark, sf_dir):
+    """Second MQ protocol through the same consumer oracle: changelog →
+    open-protocol key/value frames → decode → replay == direct apply."""
+    from ticdc_spark.codec import encode_open_protocol
+    from ticdc_spark.sinks.consumer import decode_open_protocol
+
+    cl = split_updates(events_changelog(spark, sf_dir))
+    direct = materialize_state(cl).select(
+        "schema_name", "table_name", "id", "val", "k"
+    )
+    encoded = encode_open_protocol(cl).select("key", "value")
+    decoded = decode_open_protocol(encoded)
+    replayed = replay_to_state(decoded, order_col="commit_ts")
+    assert _state_key(direct) == _state_key(replayed)

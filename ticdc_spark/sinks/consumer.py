@@ -119,3 +119,41 @@ def start_ts_gate(cl: DataFrame, start_ts: int) -> DataFrame:
     (re)start, events at or below the changefeed's start ts are already
     replicated and are dropped. Pure scan-pushed predicate."""
     return cl.filter(F.col("commit_ts") > F.lit(start_ts))
+
+
+def decode_open_protocol(messages: DataFrame, key_col: str = "key",
+                         value_col: str = "value") -> DataFrame:
+    """open-protocol key/value frames → changelog-shaped rows — the
+    kafka-consumer decode path for the second MQ protocol
+    (`cmd/kafka-consumer/` decodes every protocol; round-trip is the
+    oracle, SURVEY §5). Key carries (ts, scm, tbl); value ``{"u":
+    {col: {"t","v"}}}`` for upserts, ``{"d": ...}`` for deletes.
+
+    Open-protocol upserts don't distinguish insert from update, so the
+    decoded ``op`` is U-or-D; replay semantics are unaffected (last
+    write per key wins either way)."""
+    k, v = F.col(key_col), F.col(value_col)
+    op = F.when(
+        F.get_json_object(v, "$.d").isNotNull(), F.lit("D")
+    ).otherwise(F.lit("U"))
+
+    def field(img: str, name: str, dtype: str):
+        return F.get_json_object(v, f"$.{img}.{name}.v").cast(dtype)
+
+    def merged(name: str, dtype: str):
+        return F.when(op == "D", field("d", name, dtype)).otherwise(
+            F.when(op == "U", field("u", name, dtype))
+        )
+
+    return messages.select(
+        F.get_json_object(k, "$.scm").alias("schema_name"),
+        F.get_json_object(k, "$.tbl").alias("table_name"),
+        op.alias("op"),
+        F.get_json_object(k, "$.ts").cast("long").alias("commit_ts"),
+        F.when(op == "D", field("d", "id", "long")).alias("before_id"),
+        F.when(op == "D", field("d", "val", "double")).alias("before_val"),
+        F.when(op == "D", field("d", "k", "long")).alias("before_k"),
+        F.when(op == "U", field("u", "id", "long")).alias("after_id"),
+        F.when(op == "U", field("u", "val", "double")).alias("after_val"),
+        F.when(op == "U", field("u", "k", "long")).alias("after_k"),
+    )
