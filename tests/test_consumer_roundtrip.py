@@ -70,3 +70,29 @@ def test_open_protocol_roundtrip_state_equality(spark, sf_dir):
     decoded = decode_open_protocol(encoded)
     replayed = replay_to_state(decoded, order_col="commit_ts")
     assert _state_key(direct) == _state_key(replayed)
+
+
+def test_debezium_roundtrip_state_equality(spark, sf_dir):
+    from ticdc_spark.codec import encode_debezium
+    from ticdc_spark.sinks.consumer import decode_debezium
+
+    cl = split_updates(events_changelog(spark, sf_dir))
+    direct = materialize_state(cl).select(
+        "schema_name", "table_name", "id", "val", "k"
+    )
+    decoded = decode_debezium(encode_debezium(cl).select("value"))
+    replayed = replay_to_state(decoded, order_col="commit_ts")
+    assert _state_key(direct) == _state_key(replayed)
+
+
+def test_simple_roundtrip_state_equality(spark, sf_dir):
+    from ticdc_spark.codec.simple_protocol import encode_simple
+    from ticdc_spark.sinks.consumer import decode_simple
+
+    cl = split_updates(events_changelog(spark, sf_dir))
+    direct = materialize_state(cl).select(
+        "schema_name", "table_name", "id", "val", "k"
+    )
+    decoded = decode_simple(encode_simple(cl).select("value"))
+    replayed = replay_to_state(decoded, order_col="commit_ts")
+    assert _state_key(direct) == _state_key(replayed)

@@ -1574,3 +1574,61 @@ def q_scan_chunk_atomic(spark, sf_dir):
 def q_scan_resume_cursors(spark, sf_dir):
     cl = events_changelog(spark, sf_dir)
     return scan_cursors(chunk_scan_split(cl, _SPLIT_ROWS))
+
+
+# ---------------------------------------------------------------------------
+# Consumer decode round-trips for the remaining MQ protocols
+# (`cmd/kafka-consumer/writer.go:88-147` decodes EVERY protocol and
+# applies to the downstream; the oracle is the directly-applied
+# changelog state — same as `materialize_state`, minus the bookkeeping
+# columns the consumer can't see).
+# ---------------------------------------------------------------------------
+from ticdc_spark.codec import encode_debezium  # noqa: E402
+from ticdc_spark.codec.simple_protocol import encode_simple  # noqa: E402
+from ticdc_spark.sinks.consumer import (  # noqa: E402
+    decode_debezium,
+    decode_open_protocol,
+    decode_simple,
+    replay_to_state,
+)
+
+_REPLAY_STATE_ORACLE = f"""
+WITH {CHANGELOG_SQL},
+{_SPLIT_CTE},
+keyed AS (
+    SELECT *, coalesce(after_id, before_id) AS k_id,
+           commit_ts * 4 + dml_order AS ord
+    FROM split
+),
+g AS (
+    SELECT schema_name, table_name, k_id,
+           arg_max(op, ord) AS last_op,
+           arg_max(after_val, ord) AS last_val,
+           arg_max(after_k, ord) AS last_k
+    FROM keyed GROUP BY 1, 2, 3
+)
+SELECT schema_name, table_name, k_id AS id,
+       last_val AS val, last_k AS k
+FROM g WHERE last_op <> 'D'
+"""
+
+
+@register("open_protocol_consumer_roundtrip", _REPLAY_STATE_ORACLE)
+def q_open_protocol_consumer_roundtrip(spark, sf_dir):
+    cl = split_updates(events_changelog(spark, sf_dir))
+    decoded = decode_open_protocol(encode_open_protocol(cl).select("key", "value"))
+    return replay_to_state(decoded, order_col="commit_ts")
+
+
+@register("debezium_consumer_roundtrip", _REPLAY_STATE_ORACLE)
+def q_debezium_consumer_roundtrip(spark, sf_dir):
+    cl = split_updates(events_changelog(spark, sf_dir))
+    decoded = decode_debezium(encode_debezium(cl).select("value"))
+    return replay_to_state(decoded, order_col="commit_ts")
+
+
+@register("simple_consumer_roundtrip", _REPLAY_STATE_ORACLE)
+def q_simple_consumer_roundtrip(spark, sf_dir):
+    cl = split_updates(events_changelog(spark, sf_dir))
+    decoded = decode_simple(encode_simple(cl).select("value"))
+    return replay_to_state(decoded, order_col="commit_ts")

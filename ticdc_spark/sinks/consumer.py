@@ -157,3 +157,60 @@ def decode_open_protocol(messages: DataFrame, key_col: str = "key",
         F.when(op == "U", field("u", "val", "double")).alias("after_val"),
         F.when(op == "U", field("u", "k", "long")).alias("after_k"),
     )
+
+
+def decode_debezium(messages: DataFrame, value_col: str = "value") -> DataFrame:
+    """debezium envelope → changelog rows: before/after images with
+    op c/u/d, commit_ts from source.commit_ts."""
+    v = F.col(value_col)
+    op = (
+        F.when(F.get_json_object(v, "$.op") == "c", F.lit("I"))
+        .when(F.get_json_object(v, "$.op") == "u", F.lit("U"))
+        .otherwise(F.lit("D"))
+    )
+
+    def field(img: str, name: str, dtype: str):
+        return F.get_json_object(v, f"$.{img}.{name}").cast(dtype)
+
+    return messages.select(
+        F.get_json_object(v, "$.source.db").alias("schema_name"),
+        F.get_json_object(v, "$.source.table").alias("table_name"),
+        op.alias("op"),
+        F.get_json_object(v, "$.source.commit_ts").cast("long").alias("commit_ts"),
+        field("before", "id", "long").alias("before_id"),
+        field("before", "val", "double").alias("before_val"),
+        field("before", "k", "long").alias("before_k"),
+        field("after", "id", "long").alias("after_id"),
+        field("after", "val", "double").alias("after_val"),
+        field("after", "k", "long").alias("after_k"),
+    )
+
+
+def decode_simple(messages: DataFrame, value_col: str = "value") -> DataFrame:
+    """simple-protocol DML messages → changelog rows: INSERT/UPDATE/
+    DELETE types, data = after image (null for delete), old = before
+    image (null for insert). WATERMARK/DDL rows pass through untouched
+    upstream (filter on type before decoding)."""
+    v = F.col(value_col)
+    t = F.get_json_object(v, "$.type")
+    op = (
+        F.when(t == "INSERT", F.lit("I"))
+        .when(t == "UPDATE", F.lit("U"))
+        .otherwise(F.lit("D"))
+    )
+
+    def field(img: str, name: str, dtype: str):
+        return F.get_json_object(v, f"$.{img}.{name}").cast(dtype)
+
+    return messages.filter(t.isin("INSERT", "UPDATE", "DELETE")).select(
+        F.get_json_object(v, "$.schema").alias("schema_name"),
+        F.get_json_object(v, "$.table").alias("table_name"),
+        op.alias("op"),
+        F.get_json_object(v, "$.commitTs").cast("long").alias("commit_ts"),
+        field("old", "id", "long").alias("before_id"),
+        field("old", "val", "double").alias("before_val"),
+        field("old", "k", "long").alias("before_k"),
+        field("data", "id", "long").alias("after_id"),
+        field("data", "val", "double").alias("after_val"),
+        field("data", "k", "long").alias("after_k"),
+    )
