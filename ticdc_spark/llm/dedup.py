@@ -256,6 +256,103 @@ def dedup_clusters(
     )
 
 
+def dedup_clusters_star(
+    docs: DataFrame, threshold: float = 0.8, max_iter: int = 10
+) -> DataFrame:
+    """The at-scale variant of :func:`dedup_clusters`: connected
+    components via alternating **large-star / small-star** (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    O(log n) rounds instead of O(diameter), which is what survives a
+    deep-chain component at 100 TB.
+
+    Each round is two groupBy+join passes over the edge list, all
+    JVM-side; lineage is truncated per round (``localCheckpoint``).
+    Edges are kept oriented large→small, so every intermediate edge set
+    is at most the symmetric closure of the input. At the fixed point
+    every edge points directly at its component minimum.
+
+    Convergence is detected with an edge-set symmetric-difference probe
+    (two anti-join ``limit(1)`` jobs — cheap relative to the round
+    itself); ``max_iter`` = log2-ish backstop.
+
+    Output contract is identical to :func:`dedup_clusters`:
+    (doc_id, cluster_id, cluster_size, is_canonical) for every doc in
+    some near-dup pair; cluster_id = min doc_id of the component.
+    """
+    pairs = minhash_lsh_pairs(docs, threshold).select("a_id", "b_id")
+    lab = connected_components_star(pairs, max_iter)
+    sized = lab.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return lab.join(sized, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def connected_components_star(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Large-star/small-star connected components over an (a_id, b_id)
+    pair list → (doc_id, cluster_id = component min) for every vertex.
+    O(log n) rounds; see :func:`dedup_clusters_star` for the round
+    anatomy."""
+    verts = (
+        pairs.select(F.col("a_id").alias("doc_id"))
+        .union(pairs.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # oriented large→small; LSH pairs have a_id < b_id so no self-loops
+    edges = (
+        pairs.select(
+            F.greatest("a_id", "b_id").alias("src"),
+            F.least("a_id", "b_id").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # large-star: every node u connects its strictly-larger
+        # neighbors to min(Γ(u) ∪ {u}); output stays oriented
+        # large→small because m ≤ src < dst.
+        sym = edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        lmin = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("mn")
+        )
+        ls = (
+            sym.join(lmin, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+            .distinct()
+        )
+        # small-star: every node u re-points its (all-smaller) neighbors
+        # and itself at min(N(u)); m < src for every emitted edge.
+        smin = ls.groupBy("src").agg(F.min("dst").alias("mn"))
+        j = ls.join(smin, "src")
+        new_edges = (
+            j.filter(F.col("dst") != F.col("mn"))
+            .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+            .union(j.select("src", F.col("mn").alias("dst")))
+            .distinct()
+            .localCheckpoint()
+        )
+        changed = (
+            new_edges.subtract(edges).limit(1).count()
+            or edges.subtract(new_edges).limit(1).count()
+        )
+        edges = new_edges
+        if changed == 0:
+            break
+    labels = edges.groupBy(F.col("src").alias("doc_id")).agg(
+        F.min("dst").alias("cluster_id")
+    )
+    roots = verts.join(
+        edges.select(F.col("src").alias("doc_id")), "doc_id", "left_anti"
+    ).select("doc_id", F.col("doc_id").alias("cluster_id"))
+    return labels.union(roots)
+
+
 def decontaminate(
     docs: DataFrame, bench_mod: int = 97, threshold: float = 0.2,
 ) -> DataFrame:

@@ -607,6 +607,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(_docs(spark, sf_dir), threshold=0.8)
 
 
+@register("dedup_clusters_star", _CLUSTERS_ORACLE)
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same component labeling, large-star/small-star O(log n)-round
+    propagation — the shape that survives deep components at 100 TB."""
+    from ticdc_spark.llm.dedup import dedup_clusters_star
+
+    return dedup_clusters_star(_docs(spark, sf_dir), threshold=0.8)
+
+
 # ---------------------------------------------------------------------------
 # deterministic stratified sampling + the composed training-set manifest
 # ---------------------------------------------------------------------------
