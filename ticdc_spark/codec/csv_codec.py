@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import BinaryType, StringType, StructType
+from pyspark.sql.types import ArrayType, BinaryType, StringType, StructType
 
 from ticdc_spark.functions.render import render_scalar
 
@@ -47,7 +47,10 @@ def _csv_field(col: Column, dtype, binary_encoding: str = "base64",
         )
         return F.coalesce(rendered, F.lit(NULL_TOKEN))
     rendered = render_scalar(col, dtype)
-    if isinstance(dtype, StringType):
+    # vector (float array) renders to ``[v1,v2,...]`` text — a string
+    # datum on the wire, so it takes string quoting/escaping (its commas
+    # would otherwise break the row).
+    if isinstance(dtype, (StringType, ArrayType)):
         if quote:
             txt = F.concat(
                 F.lit(quote),

@@ -291,3 +291,93 @@ li_cl AS (
     FROM lineitem
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# MySQL "exotic" column types through the mounter (SURVEY §2.9): ENUM
+# ordinal → member name, SET bitmask → comma-joined names, BIT(n) →
+# uint64, VECTOR → float array with canonical ``[v1,v2,...]`` text
+# (`csv_message.go:276-323` per-type switch; schema.py type map).
+# Insert-only changelog derived from ``part``; every 13th key carries
+# MySQL's invalid-empty enum (ordinal 0), every 11th a NULL SET/VECTOR
+# so the \N wire rendering is exercised.
+# ---------------------------------------------------------------------------
+EXOTIC_TABLE_ID = 300
+EXOTIC_PK = ("pid",)
+EXOTIC_ENUM = ("red", "green", "blue")
+EXOTIC_SET = ("alpha", "beta", "gamma")
+
+
+def exotic_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ticdc_spark.functions.render import mount_enum, mount_set
+
+    p = read_table(spark, sf_dir, "part")
+    base = p.select(
+        F.col("p_partkey").alias("pid"),
+        F.when(F.col("p_partkey") % 13 == 0, F.lit(0))
+        .otherwise(1 + F.col("p_partkey") % 3)
+        .cast("int")
+        .alias("ord"),
+        F.when(F.col("p_partkey") % 11 == 0, F.lit(None))
+        .otherwise(F.col("p_partkey") % 8)
+        .cast("long")
+        .alias("mask"),
+        (F.col("p_partkey") % 256).cast("long").alias("flags"),
+        F.when(F.col("p_partkey") % 11 == 0, F.lit(None))
+        .otherwise(
+            F.array(
+                (F.col("p_partkey") % 7).cast("float"),
+                (F.col("p_size") % 5).cast("float"),
+            )
+        )
+        .alias("vec"),
+        (F.lit(_BASE_TS) + F.col("p_partkey") * 1000).alias("commit_ts"),
+    )
+    after = F.struct(
+        F.col("pid").cast("long").alias("pid"),
+        mount_enum(F.col("ord"), EXOTIC_ENUM).alias("color"),
+        mount_set(F.col("mask"), EXOTIC_SET).alias("tags"),
+        F.col("flags").alias("flags"),
+        F.col("vec").alias("vec"),
+    )
+    return base.select(
+        F.lit("tpch").alias("schema_name"),
+        F.lit("exotic").alias("table_name"),
+        F.lit(EXOTIC_TABLE_ID).cast("long").alias("table_id"),
+        F.lit("I").alias("op"),
+        "commit_ts",
+        (F.col("commit_ts") - 1).alias("start_ts"),
+        F.col("pid").cast("long").alias("seq"),
+        F.lit(3).alias("dml_order"),
+        F.col("pid").cast("long").alias("pk"),
+        F.when(F.lit(False), after).alias("before"),
+        after.alias("after"),
+    )
+
+
+# DuckDB mirror of the derivation above (any change MUST be mirrored).
+EXOTIC_CL_SQL = f"""
+exotic_raw AS (
+    SELECT p_partkey AS pid,
+           CASE WHEN p_partkey % 13 = 0 THEN 0
+                ELSE 1 + p_partkey % 3 END AS ord,
+           CASE WHEN p_partkey % 11 = 0 THEN NULL
+                ELSE p_partkey % 8 END AS mask,
+           p_partkey % 256 AS flags,
+           CASE WHEN p_partkey % 11 = 0 THEN NULL
+                ELSE '[' || printf('%.2f', (p_partkey % 7)::DOUBLE) || ','
+                  || printf('%.2f', (p_size % 5)::DOUBLE) || ']' END AS vec_txt,
+           {_BASE_TS} + p_partkey * 1000 AS commit_ts
+    FROM part
+),
+exotic_cl AS (
+    SELECT pid, commit_ts, flags, vec_txt,
+           CASE WHEN ord = 0 THEN ''
+                ELSE list_extract(['red','green','blue'], ord) END AS color,
+           CASE WHEN mask IS NULL THEN NULL ELSE concat_ws(',',
+                CASE WHEN mask & 1 <> 0 THEN 'alpha' END,
+                CASE WHEN mask & 2 <> 0 THEN 'beta' END,
+                CASE WHEN mask & 4 <> 0 THEN 'gamma' END) END AS tags
+    FROM exotic_raw
+)
+"""

@@ -573,3 +573,43 @@ def q_avro_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         flat, ORDERS_PAYLOAD_FIELDS, _AVRO_TYPES, ORDERS_PK)
     return decode_avro_binary(
         enc, ORDERS_PAYLOAD_FIELDS, _AVRO_TYPES, ORDERS_PK)
+
+
+# ---------------------------------------------------------------------------
+# §2.9 exotic MySQL types: mounter decode (ENUM/SET/BIT/VECTOR) and the
+# csv wire rendering (`csv_message.go:276-323`).
+# ---------------------------------------------------------------------------
+from pyspark.sql.types import ArrayType, FloatType  # noqa: E402
+
+from ticdc_spark.functions.render import render_scalar  # noqa: E402
+from ticdc_spark.sources.typed import EXOTIC_CL_SQL, exotic_changelog  # noqa: E402
+
+
+@register(
+    "mount_exotic_types",
+    f"WITH {EXOTIC_CL_SQL} SELECT pid, color, tags, flags, vec_txt FROM exotic_cl",
+)
+def q_mount_exotic_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = exotic_changelog(spark, sf_dir)
+    return cl.select(
+        F.col("after.pid").alias("pid"),
+        F.col("after.color").alias("color"),
+        F.col("after.tags").alias("tags"),
+        F.col("after.flags").alias("flags"),
+        render_scalar(F.col("after.vec"), ArrayType(FloatType())).alias("vec_txt"),
+    )
+
+
+@register(
+    "codec_csv_exotic",
+    f"WITH {EXOTIC_CL_SQL} SELECT pid AS seq, "
+    "'\"I\",\"tpch\",\"exotic\",' || commit_ts::VARCHAR || ',' || pid::VARCHAR "
+    "|| ',\"' || color || '\",' "
+    "|| coalesce('\"' || tags || '\"', '\\N') || ',' "
+    "|| flags::VARCHAR || ',' "
+    "|| coalesce('\"' || vec_txt || '\"', '\\N') AS value "
+    "FROM exotic_cl",
+)
+def q_codec_csv_exotic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = encode_csv(exotic_changelog(spark, sf_dir))
+    return out.select("seq", "value")
