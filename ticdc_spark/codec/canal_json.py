@@ -42,13 +42,24 @@ def _image_json(image: str, schema: StructType) -> Column:
     return F.when(F.col(image).isNotNull(), F.concat(*parts)).otherwise(F.lit("null"))
 
 
-def _type_maps(schema: StructType) -> tuple[str, str]:
-    sql_t = ",".join(
-        f'"{f.name}":{_JAVA_TYPE[f.dataType.simpleString()]}' for f in schema.fields
-    )
-    mysql_t = ",".join(
-        f'"{f.name}":"{_MYSQL_TYPE[f.dataType.simpleString()]}"' for f in schema.fields
-    )
+def _type_maps(
+    schema: StructType,
+    overrides: dict[str, tuple[int, str]] | None = None,
+) -> tuple[str, str]:
+    """Per-column (JavaSQLType, mysqlType) maps. ``overrides`` carries
+    columns whose MySQL type is not derivable from the Spark dtype —
+    ENUM (4/"enum"), SET (-7/"set"), BIT (-7/"bit"), VECTOR
+    (12/"vector") per `java.go:68-151` + `helper.go:38-46` TypeToStr."""
+    ov = overrides or {}
+
+    def java(f):
+        return ov[f.name][0] if f.name in ov else _JAVA_TYPE[f.dataType.simpleString()]
+
+    def mysql(f):
+        return ov[f.name][1] if f.name in ov else _MYSQL_TYPE[f.dataType.simpleString()]
+
+    sql_t = ",".join(f'"{f.name}":{java(f)}' for f in schema.fields)
+    mysql_t = ",".join(f'"{f.name}":"{mysql(f)}"' for f in schema.fields)
     return "{" + sql_t + "}", "{" + mysql_t + "}"
 
 
@@ -56,15 +67,21 @@ def encode_canal_json(
     cl: DataFrame,
     pk_names: tuple[str, ...] = ("id",),
     tidb_extension: bool = False,
+    type_overrides: dict[str, tuple[int, str]] | None = None,
 ) -> DataFrame:
     """Append a ``value`` column holding the canal-json message.
 
     ``tidb_extension``: the reference's ``enable-tidb-extension`` option
     appends ``"_tidb":{"commitTs":<ts>}`` so consumers see the exact
     TiDB commit timestamp (canal's ``es`` is only milliseconds).
+
+    ``type_overrides``: {column: (java_sql_type, mysql_type)} for MySQL
+    types the Spark dtype can't express (enum/set/bit/vector) — on the
+    canal wire those carry their RAW numeric forms (`canal/helper.go:
+    93-126` formatColumnValue: enum ordinal, set bitmask, bit uint64).
     """
     schema: StructType = cl.schema["after"].dataType
-    sql_types, mysql_types = _type_maps(schema)
+    sql_types, mysql_types = _type_maps(schema, type_overrides)
     canal_type = (
         F.when(F.col("op") == "I", F.lit("INSERT"))
         .when(F.col("op") == "U", F.lit("UPDATE"))

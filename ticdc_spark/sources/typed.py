@@ -308,7 +308,13 @@ EXOTIC_ENUM = ("red", "green", "blue")
 EXOTIC_SET = ("alpha", "beta", "gamma")
 
 
-def exotic_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+def exotic_changelog(
+    spark: SparkSession, sf_dir: str, mounted: bool = True
+) -> DataFrame:
+    """``mounted=True`` decodes to wire-name forms (the csv view);
+    ``mounted=False`` keeps the RAW storage forms — enum ordinal, set
+    bitmask — which is what the canal-json wire carries
+    (`canal/helper.go:93-126` formatColumnValue)."""
     from ticdc_spark.functions.render import mount_enum, mount_set
 
     p = read_table(spark, sf_dir, "part")
@@ -333,13 +339,22 @@ def exotic_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("vec"),
         (F.lit(_BASE_TS) + F.col("p_partkey") * 1000).alias("commit_ts"),
     )
-    after = F.struct(
-        F.col("pid").cast("long").alias("pid"),
-        mount_enum(F.col("ord"), EXOTIC_ENUM).alias("color"),
-        mount_set(F.col("mask"), EXOTIC_SET).alias("tags"),
-        F.col("flags").alias("flags"),
-        F.col("vec").alias("vec"),
-    )
+    if mounted:
+        after = F.struct(
+            F.col("pid").cast("long").alias("pid"),
+            mount_enum(F.col("ord"), EXOTIC_ENUM).alias("color"),
+            mount_set(F.col("mask"), EXOTIC_SET).alias("tags"),
+            F.col("flags").alias("flags"),
+            F.col("vec").alias("vec"),
+        )
+    else:
+        after = F.struct(
+            F.col("pid").cast("long").alias("pid"),
+            F.col("ord").cast("long").alias("color"),
+            F.col("mask").alias("tags"),
+            F.col("flags").alias("flags"),
+            F.col("vec").alias("vec"),
+        )
     return base.select(
         F.lit("tpch").alias("schema_name"),
         F.lit("exotic").alias("table_name"),

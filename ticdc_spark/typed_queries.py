@@ -613,3 +613,43 @@ def q_mount_exotic_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_codec_csv_exotic(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = encode_csv(exotic_changelog(spark, sf_dir))
     return out.select("seq", "value")
+
+
+# canal-json carries the RAW numeric forms of exotic types (enum
+# ordinal, set bitmask, bit uint64) with sqlType INTEGER(4)/BIT(-7) and
+# mysqlType "enum"/"set"/"bit"/"vector" (`canal/helper.go:93-126`,
+# `java.go:109-115,140-147`, `helper.go:38-46`).
+EXOTIC_CANAL_TYPES = {
+    "color": (4, "enum"),
+    "tags": (-7, "set"),
+    "flags": (-7, "bit"),
+    "vec": (12, "vector"),
+}
+
+_EXOTIC_CANAL_VALUE = (
+    "'{\"id\":0,\"database\":\"tpch\",\"table\":\"exotic\","
+    "\"pkNames\":[\"pid\"],\"isDdl\":false,\"type\":\"INSERT\",\"es\":' || "
+    "(commit_ts // 1000)::VARCHAR || "
+    "',\"ts\":0,\"sql\":\"\","
+    "\"sqlType\":{\"pid\":-5,\"color\":4,\"tags\":-7,\"flags\":-7,\"vec\":12},"
+    "\"mysqlType\":{\"pid\":\"bigint\",\"color\":\"enum\",\"tags\":\"set\","
+    "\"flags\":\"bit\",\"vec\":\"vector\"},"
+    "\"data\":[{\"pid\":\"' || pid::VARCHAR || '\","
+    "\"color\":\"' || ord::VARCHAR || '\","
+    "\"tags\":' || coalesce('\"' || mask::VARCHAR || '\"', 'null') || ',"
+    "\"flags\":\"' || flags::VARCHAR || '\","
+    "\"vec\":' || coalesce('\"' || vec_txt || '\"', 'null') || '}],\"old\":null}'"
+)
+
+
+@register(
+    "codec_canal_exotic",
+    f"WITH {EXOTIC_CL_SQL} SELECT r.pid AS seq, {_EXOTIC_CANAL_VALUE} AS value "
+    "FROM exotic_raw r",
+)
+def q_codec_canal_exotic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = exotic_changelog(spark, sf_dir, mounted=False)
+    out = encode_canal_json(
+        cl, pk_names=("pid",), type_overrides=EXOTIC_CANAL_TYPES
+    )
+    return out.select("seq", "value")
