@@ -337,7 +337,24 @@ def exotic_changelog(
             )
         )
         .alias("vec"),
+        # DECIMAL / TIME / JSON scalar forms (`canal/helper.go:127-134`:
+        # decimal + duration + json render via their String() text)
+        F.col("p_retailprice").cast("decimal(12,2)").alias("dec"),
+        F.format_string(
+            "%02d:%02d:%02d",
+            F.expr("CAST(p_partkey % 86400 DIV 3600 AS INT)"),
+            F.expr("CAST(p_partkey % 3600 DIV 60 AS INT)"),
+            F.expr("CAST(p_partkey % 60 AS INT)"),
+        ).alias("tm"),
+        F.concat(
+            F.lit('{"k":'), (F.col("p_partkey") % 10).cast("string"), F.lit("}")
+        ).alias("js"),
         (F.lit(_BASE_TS) + F.col("p_partkey") * 1000).alias("commit_ts"),
+    )
+    scalar_tail = (
+        F.col("dec").alias("dec"),
+        F.col("tm").alias("tm"),
+        F.col("js").alias("js"),
     )
     if mounted:
         after = F.struct(
@@ -346,6 +363,7 @@ def exotic_changelog(
             mount_set(F.col("mask"), EXOTIC_SET).alias("tags"),
             F.col("flags").alias("flags"),
             F.col("vec").alias("vec"),
+            *scalar_tail,
         )
     else:
         after = F.struct(
@@ -354,6 +372,7 @@ def exotic_changelog(
             F.col("mask").alias("tags"),
             F.col("flags").alias("flags"),
             F.col("vec").alias("vec"),
+            *scalar_tail,
         )
     return base.select(
         F.lit("tpch").alias("schema_name"),
@@ -382,11 +401,15 @@ exotic_raw AS (
            CASE WHEN p_partkey % 11 = 0 THEN NULL
                 ELSE '[' || printf('%.2f', (p_partkey % 7)::DOUBLE) || ','
                   || printf('%.2f', (p_size % 5)::DOUBLE) || ']' END AS vec_txt,
+           (p_retailprice::DECIMAL(12,2))::VARCHAR AS dec_txt,
+           printf('%02d:%02d:%02d', (p_partkey % 86400) // 3600,
+                  (p_partkey % 3600) // 60, p_partkey % 60) AS tm_txt,
+           '{{"k":' || (p_partkey % 10)::VARCHAR || '}}' AS js_txt,
            {_BASE_TS} + p_partkey * 1000 AS commit_ts
     FROM part
 ),
 exotic_cl AS (
-    SELECT pid, commit_ts, flags, vec_txt,
+    SELECT pid, commit_ts, flags, vec_txt, dec_txt, tm_txt, js_txt,
            CASE WHEN ord = 0 THEN ''
                 ELSE list_extract(['red','green','blue'], ord) END AS color,
            CASE WHEN mask IS NULL THEN NULL ELSE concat_ws(',',

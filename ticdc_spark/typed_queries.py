@@ -607,7 +607,9 @@ def q_mount_exotic_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     "|| ',\"' || color || '\",' "
     "|| coalesce('\"' || tags || '\"', '\\N') || ',' "
     "|| flags::VARCHAR || ',' "
-    "|| coalesce('\"' || vec_txt || '\"', '\\N') AS value "
+    "|| coalesce('\"' || vec_txt || '\"', '\\N') || ',' "
+    "|| dec_txt || ',\"' || tm_txt || '\",\"' "
+    "|| replace(js_txt, '\"', '\"\"') || '\"' AS value "
     "FROM exotic_cl",
 )
 def q_codec_csv_exotic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -624,6 +626,10 @@ EXOTIC_CANAL_TYPES = {
     "tags": (-7, "set"),
     "flags": (-7, "bit"),
     "vec": (12, "vector"),
+    # DECIMAL=3, TIME=92 (`java.go:30,34`); JSON rides VARCHAR=12
+    "dec": (3, "decimal"),
+    "tm": (92, "time"),
+    "js": (12, "json"),
 }
 
 _EXOTIC_CANAL_VALUE = (
@@ -631,14 +637,19 @@ _EXOTIC_CANAL_VALUE = (
     "\"pkNames\":[\"pid\"],\"isDdl\":false,\"type\":\"INSERT\",\"es\":' || "
     "(commit_ts // 1000)::VARCHAR || "
     "',\"ts\":0,\"sql\":\"\","
-    "\"sqlType\":{\"pid\":-5,\"color\":4,\"tags\":-7,\"flags\":-7,\"vec\":12},"
+    "\"sqlType\":{\"pid\":-5,\"color\":4,\"tags\":-7,\"flags\":-7,\"vec\":12,"
+    "\"dec\":3,\"tm\":92,\"js\":12},"
     "\"mysqlType\":{\"pid\":\"bigint\",\"color\":\"enum\",\"tags\":\"set\","
-    "\"flags\":\"bit\",\"vec\":\"vector\"},"
+    "\"flags\":\"bit\",\"vec\":\"vector\",\"dec\":\"decimal\",\"tm\":\"time\","
+    "\"js\":\"json\"},"
     "\"data\":[{\"pid\":\"' || pid::VARCHAR || '\","
     "\"color\":\"' || ord::VARCHAR || '\","
     "\"tags\":' || coalesce('\"' || mask::VARCHAR || '\"', 'null') || ',"
     "\"flags\":\"' || flags::VARCHAR || '\","
-    "\"vec\":' || coalesce('\"' || vec_txt || '\"', 'null') || '}],\"old\":null}'"
+    "\"vec\":' || coalesce('\"' || vec_txt || '\"', 'null') || ',"
+    "\"dec\":\"' || dec_txt || '\","
+    "\"tm\":\"' || tm_txt || '\","
+    "\"js\":\"' || replace(js_txt, '\"', '\\\"') || '\"}],\"old\":null}'"
 )
 
 
