@@ -79,6 +79,7 @@ def main() -> None:
         "doc_chunking", "pii_redaction",
         "mysql_sql_multirow", "open_protocol_batch", "training_manifest",
         "decontaminate", "repetition_metrics", "scan_chunk_split",
+        "open_protocol_consumer_roundtrip", "codec_csv_exotic",
     ]
     def time_query(name: str) -> float:
         t0 = time.perf_counter()

@@ -163,3 +163,36 @@ def encode_canal_json_ddl(ddl: DataFrame) -> DataFrame:
         F.lit('","sqlType":null,"mysqlType":null,"data":null,"old":null}'),
     )
     return ddl.withColumn("value", value)
+
+
+def canal_checkpoints(cl: DataFrame, interval_us: int = 3_600_000_000) -> DataFrame:
+    """canal-json checkpoint/watermark messages
+    (`canal_json_encoder.go:406-441` newJSONMessage4CheckpointEvent +
+    EncodeCheckpointEvent): emitted ONLY under enable-tidb-extension;
+    a full JSONMessage with empty database/table, ``type``
+    TIDB_WATERMARK, ``es`` = watermark in canal ms, and
+    ``"_tidb":{"watermarkTs":<exact ts>}``. The reference stamps
+    BuildTime with wall clock; pinned 0 here like every other ``ts``
+    field (determinism). One message per tumbling resolved-ts boundary
+    (the reference emits one per checkpoint advance and the kafka sink
+    broadcasts it to all partitions — see kafka_ddl_broadcast)."""
+    boundary = (F.col("commit_ts") - F.col("commit_ts") % interval_us) + interval_us
+    wm = (
+        cl.withColumn("boundary_ts", boundary)
+        .groupBy("boundary_ts")
+        .agg(F.max("commit_ts").alias("resolved_ts"))
+    )
+    value = F.concat(
+        F.lit(
+            '{"id":0,"database":"","table":"","pkNames":null,"isDdl":false,'
+            '"type":"TIDB_WATERMARK","es":'
+        ),
+        F.expr("resolved_ts div 1000").cast("string"),
+        F.lit(
+            ',"ts":0,"sql":"","sqlType":null,"mysqlType":null,'
+            '"data":null,"old":null,"_tidb":{"watermarkTs":'
+        ),
+        F.col("resolved_ts").cast("string"),
+        F.lit("}}"),
+    )
+    return wm.withColumn("value", value)

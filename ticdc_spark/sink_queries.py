@@ -1632,3 +1632,24 @@ def q_simple_consumer_roundtrip(spark, sf_dir):
     cl = split_updates(events_changelog(spark, sf_dir))
     decoded = decode_simple(encode_simple(cl).select("value"))
     return replay_to_state(decoded, order_col="commit_ts")
+
+
+# canal-json checkpoint (TIDB_WATERMARK, tidb-extension only) — the
+# canal counterpart of open_protocol_checkpoint.
+from ticdc_spark.codec.canal_json import canal_checkpoints  # noqa: E402
+
+
+@register(
+    "canal_checkpoint",
+    f"WITH {CHANGELOG_SQL}, "
+    "wm AS (SELECT commit_ts - commit_ts % 3600000000 + 3600000000 AS boundary_ts, "
+    "max(commit_ts) AS resolved_ts FROM changelog GROUP BY 1) "
+    "SELECT boundary_ts, resolved_ts, "
+    "'{\"id\":0,\"database\":\"\",\"table\":\"\",\"pkNames\":null,\"isDdl\":false,"
+    "\"type\":\"TIDB_WATERMARK\",\"es\":' || (resolved_ts // 1000)::VARCHAR || "
+    "',\"ts\":0,\"sql\":\"\",\"sqlType\":null,\"mysqlType\":null,"
+    "\"data\":null,\"old\":null,\"_tidb\":{\"watermarkTs\":' || "
+    "resolved_ts::VARCHAR || '}}' AS value FROM wm",
+)
+def q_canal_checkpoint(spark, sf_dir):
+    return canal_checkpoints(events_changelog(spark, sf_dir))
