@@ -1653,3 +1653,141 @@ from ticdc_spark.codec.canal_json import canal_checkpoints  # noqa: E402
 )
 def q_canal_checkpoint(spark, sf_dir):
     return canal_checkpoints(events_changelog(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# K6 — redo (consistency WAL): writer files, applier replay (sinks/redo.py)
+# ---------------------------------------------------------------------------
+from ticdc_spark.sinks.redo import (  # noqa: E402
+    quartile_bounds, redo_apply_stream, redo_log_files, redo_window,
+    split_updates_deferred,
+)
+
+_REDO_IMG_AFTER = _image_json_sql("after")
+_REDO_IMG_BEFORE = _image_json_sql("before")
+
+_REDO_FILES_SQL = f"""
+WITH {CHANGELOG_SQL},
+numbered AS (
+    SELECT *, (row_number() OVER (PARTITION BY schema_name, table_name
+               ORDER BY commit_ts, seq) - 1) // 4096 AS file_seq
+    FROM changelog
+),
+f AS (
+    SELECT *, max(commit_ts) OVER (PARTITION BY schema_name, table_name,
+              file_seq) AS max_commit
+    FROM numbered
+)
+SELECT seq,
+  'cp_cf_row_' || max_commit::VARCHAR || '_'
+    || substr(md5(schema_name || '_' || table_name || '_' || file_seq::VARCHAR), 1, 8)
+    || '.log' AS file_name,
+  '{{"type":"row","row":{{"startTs":' || start_ts::VARCHAR
+    || ',"commitTs":' || commit_ts::VARCHAR
+    || ',"schema":"' || schema_name || '","table":"' || table_name
+    || '","columns":' || {_REDO_IMG_AFTER}
+    || ',"preColumns":' || {_REDO_IMG_BEFORE} || '}}}}' AS value
+FROM f
+"""
+
+
+@register("redo_log_files", _REDO_FILES_SQL)
+def q_redo_log_files(spark, sf_dir):
+    out = redo_log_files(events_changelog(spark, sf_dir))
+    return out.select("seq", "file_name", "value")
+
+
+# Replay window = (checkpoint_ts, resolved_ts] at the 25%/75% points of the
+# commit-ts span (deterministic ReadMeta stand-in; reader.go:205-215).
+_REDO_BOUNDS_CTE = """
+bounds AS (SELECT min(commit_ts) AS lo, max(commit_ts) AS hi FROM changelog),
+winrows AS (
+    SELECT c.* FROM changelog c, bounds b
+    WHERE c.commit_ts > b.lo + (b.hi - b.lo) // 4
+      AND c.commit_ts <= b.lo + 3 * ((b.hi - b.lo) // 4)
+)
+"""
+
+_REDO_APPLY_SQL = f"""
+WITH {CHANGELOG_SQL}, {_DDL_CTES}, {_REDO_BOUNDS_CTE.strip().lstrip()},
+winddl AS (
+    SELECT d.* FROM ddl d, bounds b
+    WHERE d.commit_ts > b.lo + (b.hi - b.lo) // 4
+      AND d.commit_ts <= b.lo + 3 * ((b.hi - b.lo) // 4)
+),
+split AS (
+    SELECT schema_name, table_name, commit_ts, seq, op, dml_order,
+           0 AS split_phase
+    FROM winrows WHERE NOT (op = 'U' AND before_id <> after_id)
+    UNION ALL
+    SELECT schema_name, table_name, commit_ts, seq, 'D', 1, 0
+    FROM winrows WHERE op = 'U' AND before_id <> after_id
+    UNION ALL
+    SELECT schema_name, table_name, commit_ts, seq, 'I', 3, 1
+    FROM winrows WHERE op = 'U' AND before_id <> after_id
+),
+merged AS (
+    SELECT schema_name, table_name, commit_ts, seq, 0 AS is_ddl, op,
+           split_phase, dml_order
+    FROM split
+    UNION ALL
+    SELECT schema_name, table_name, commit_ts, seq, 1, 'DDL', 0, 0
+    FROM winddl
+)
+SELECT schema_name, table_name, commit_ts, seq, is_ddl, op, split_phase,
+       row_number() OVER (PARTITION BY schema_name, table_name
+           ORDER BY commit_ts, is_ddl, split_phase, dml_order, seq
+       ) AS apply_rank
+FROM merged
+"""
+
+
+@register("redo_apply", _REDO_APPLY_SQL)
+def q_redo_apply(spark, sf_dir):
+    cl = events_changelog(spark, sf_dir)
+    bounds = quartile_bounds(cl)
+    rows = split_updates_deferred(redo_window(cl, bounds))
+    ddl = redo_window(_ddl_stream(spark, sf_dir), bounds)
+    return redo_apply_stream(rows, ddl)
+
+
+_REDO_STATE_SQL = f"""
+WITH {CHANGELOG_SQL}, {_REDO_BOUNDS_CTE.strip().lstrip()},
+split AS (
+    SELECT schema_name, table_name, op, commit_ts, dml_order,
+           before_id, after_id, after_val, after_k
+    FROM winrows WHERE NOT (op = 'U' AND before_id <> after_id)
+    UNION ALL
+    SELECT schema_name, table_name, 'D', commit_ts, 1,
+           before_id, NULL, NULL, NULL
+    FROM winrows WHERE op = 'U' AND before_id <> after_id
+    UNION ALL
+    SELECT schema_name, table_name, 'I', commit_ts, 3,
+           NULL, after_id, after_val, after_k
+    FROM winrows WHERE op = 'U' AND before_id <> after_id
+),
+keyed AS (
+    SELECT *, coalesce(after_id, before_id) AS k_id,
+           commit_ts * 4 + dml_order AS ord
+    FROM split
+),
+g AS (
+    SELECT schema_name, table_name, k_id,
+           arg_max(op, ord) AS last_op,
+           arg_max(after_val, ord) AS last_val,
+           arg_max(after_k, ord) AS last_k,
+           max(commit_ts) AS last_commit_ts,
+           count(*) AS n_changes
+    FROM keyed GROUP BY 1, 2, 3
+)
+SELECT schema_name, table_name, k_id AS id,
+       last_val AS val, last_k AS k, last_commit_ts, n_changes
+FROM g WHERE last_op <> 'D'
+"""
+
+
+@register("redo_apply_state", _REDO_STATE_SQL)
+def q_redo_apply_state(spark, sf_dir):
+    cl = events_changelog(spark, sf_dir)
+    rows = split_updates_deferred(redo_window(cl, quartile_bounds(cl)))
+    return materialize_state(rows)
