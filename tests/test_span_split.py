@@ -1,0 +1,116 @@
+"""R7 span splitters vs the reference's own golden cases
+(`maintainer/split/write_bytes_splitter_test.go:54-232`,
+`region_count_splitter_test.go`)."""
+
+from __future__ import annotations
+
+import pyspark.sql.types as T
+import pytest
+
+from ticdc_spark.plans.span_split import (
+    _greedy_write_split,
+    split_spans_region_count,
+    split_spans_write_bytes,
+    synthetic_regions,
+)
+
+REGION_SCHEMA = (
+    "schema_name string, table_name string, region_idx long, "
+    "start_key long, end_key long, written_bytes long"
+)
+
+
+def _regions(spark, written: list[int]):
+    rows = [
+        ("test", "t1", i, i * 10, (i + 1) * 10, w)
+        for i, w in enumerate(written)
+    ]
+    return spark.createDataFrame(rows, REGION_SCHEMA)
+
+
+# --- write-bytes greedy: goldens from write_bytes_splitter_test.go -------
+
+def test_uniform_goldens():
+    # TestSplitRegionsByWrittenKeysUniform — weights include the +1 base
+    ws = [101] * 7
+    assert _greedy_write_split(ws, 1) == [(0, 6, 7, 707)]
+    s2 = _greedy_write_split(ws, 2)
+    assert [(x[2], x[3]) for x in s2] == [(4, 404), (3, 303)]
+    assert [(x[0], x[1]) for x in s2] == [(0, 3), (4, 6)]
+    s3 = _greedy_write_split(ws, 3)
+    assert [(x[2], x[3]) for x in s3] == [(3, 303), (3, 303), (1, 101)]
+    for p in range(7, 11):
+        sp = _greedy_write_split(ws, p)
+        assert [(x[2], x[3]) for x in sp] == [(1, 101)] * 7
+
+
+def test_hotspot_goldens():
+    # TestSplitRegionsByWrittenKeysHotspot1: [100,1,100,1,1,1,100], 4 spans
+    ws = [w + 1 for w in [100, 1, 100, 1, 1, 1, 100]]
+    s = _greedy_write_split(ws, 4)
+    assert [(x[0], x[1]) for x in s] == [(0, 0), (1, 2), (3, 5), (6, 6)]
+    assert [x[3] for x in s] == [101, 103, 6, 101]
+    # Hotspot2: [1000,1,1,1,100,1,99], 4 spans → [0],[1..4],[5],[6]
+    ws = [w + 1 for w in [1000, 1, 1, 1, 100, 1, 99]]
+    s = _greedy_write_split(ws, 4)
+    assert [(x[0], x[1]) for x in s] == [(0, 0), (1, 4), (5, 5), (6, 6)]
+
+
+def test_cold_goldens():
+    # TestSplitRegionsByWrittenKeysCold: zeros (+1 base), 3 spans
+    s = _greedy_write_split([1] * 7, 3)
+    assert [(x[2], x[3]) for x in s] == [(3, 3), (3, 3), (1, 1)]
+    # TestNotSplitRegionsByWrittenKeysCold: 7 spans → one region each
+    s = _greedy_write_split([1] * 7, 7)
+    assert [(x[2], x[3]) for x in s] == [(1, 1)] * 7
+    # empty regions → empty result (splitter.split on PD miss)
+    assert _greedy_write_split([], 3) == []
+
+
+def test_write_bytes_dataframe(spark):
+    df = split_spans_write_bytes(_regions(spark, [100, 1, 100, 1, 1, 1, 100]), 4)
+    rows = df.orderBy("span_id").collect()
+    assert [(r.start_key, r.end_key) for r in rows] == [
+        (0, 10), (10, 30), (30, 60), (60, 70)]
+    assert [r.weight for r in rows] == [101, 103, 6, 101]
+    assert [r.region_count for r in rows] == [1, 2, 3, 1]
+
+
+# --- region-count stepper ------------------------------------------------
+
+def test_region_count_spans_num(spark):
+    # 7 regions → 3 spans: stepper gives remain=1 fat span first: 3,2,2
+    df = split_spans_region_count(_regions(spark, [1] * 7), spans_num=3)
+    rows = df.orderBy("span_id").collect()
+    assert [r.region_count for r in rows] == [3, 2, 2]
+    # contiguity
+    for a, b in zip(rows, rows[1:]):
+        assert a.end_key == b.start_key
+
+
+def test_region_count_threshold_skip(spark):
+    # below threshold → single span over the whole range
+    df = split_spans_region_count(
+        _regions(spark, [1] * 7), region_count_per_span=2, region_threshold=10
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    assert (rows[0].start_key, rows[0].end_key) == (0, 70)
+    # threshold crossed → ceil(7/2)=4 spans, remainder spans first
+    df2 = split_spans_region_count(
+        _regions(spark, [1] * 7), region_count_per_span=2, region_threshold=5
+    )
+    counts = [r.region_count for r in df2.orderBy("span_id").collect()]
+    assert sum(counts) == 7 and len(counts) == 4
+    assert counts == [2, 2, 2, 1]
+
+
+def test_synthetic_regions_contiguous(spark, sf_dir):
+    from ticdc_spark.sources.changelog import events_changelog
+
+    regions = synthetic_regions(events_changelog(spark, sf_dir))
+    rows = regions.filter("table_name = 'tp_click'") \
+        .orderBy("region_idx").collect()
+    assert len(rows) > 0
+    assert all(r.written_bytes > 0 for r in rows)
+    assert all(r.end_key - r.start_key == 64 for r in rows)

@@ -1791,3 +1791,142 @@ def q_redo_apply_state(spark, sf_dir):
     cl = events_changelog(spark, sf_dir)
     rows = split_updates_deferred(redo_window(cl, quartile_bounds(cl)))
     return materialize_state(rows)
+
+
+# ---------------------------------------------------------------------------
+# R7 — table-span splitting (plans/span_split.py)
+# ---------------------------------------------------------------------------
+from ticdc_spark.plans.span_split import (  # noqa: E402
+    split_spans_region_count, split_spans_write_bytes, synthetic_regions,
+)
+
+_REGIONS_CTE = """
+regions AS (
+    SELECT schema_name, table_name, pk // 64 AS region_idx,
+           (pk // 64) * 64 AS start_key, (pk // 64 + 1) * 64 AS end_key,
+           count(*) * 32 + sum(pk % 97) AS written_bytes
+    FROM changelog GROUP BY 1, 2, 3
+)
+"""
+
+# region-count stepper (region_count_splitter.go:69-209): span_count /
+# regionPerSpan / remain arithmetic, remainder spans first; threshold 8,
+# 4 regions per span, spans_num=0 path.
+_SPAN_RC_SQL = f"""
+WITH {CHANGELOG_SQL}, {_REGIONS_CTE.strip()},
+ranked AS (
+    SELECT *,
+        row_number() OVER (PARTITION BY schema_name, table_name
+            ORDER BY region_idx) - 1 AS i,
+        count(*) OVER (PARTITION BY schema_name, table_name) AS n
+    FROM regions
+),
+p AS (
+    SELECT *,
+        (n <= 8) AS skip,
+        (n // 4 > 1000) AS cap_hit,
+        (n % 4 = 0) AS even,
+        CASE WHEN (n // 4 > 1000) THEN 1000
+             WHEN (n % 4 = 0) THEN n // 4
+             ELSE n // 4 + 1 END AS span_count
+    FROM ranked
+),
+q AS (
+    SELECT *,
+        CASE WHEN cap_hit THEN n // 1000 WHEN even THEN 4
+             ELSE n // span_count END AS rps
+    FROM p
+),
+r AS (
+    SELECT *,
+        CASE WHEN cap_hit THEN n % 1000 WHEN even THEN 0
+             ELSE n - rps * span_count END AS remain
+    FROM q
+),
+assigned AS (
+    SELECT *,
+        CASE WHEN skip THEN 0
+             WHEN i < remain * (rps + 1) THEN i // (rps + 1)
+             ELSE remain + (i - remain * (rps + 1)) // rps END AS span_id
+    FROM r
+)
+SELECT schema_name, table_name, span_id,
+       min(start_key) AS start_key, max(end_key) AS end_key,
+       count(*) AS region_count, sum(written_bytes) AS written_bytes
+FROM assigned GROUP BY 1, 2, 3
+"""
+
+
+@register("span_split_region_count", _SPAN_RC_SQL)
+def q_span_split_region_count(spark, sf_dir):
+    regions = synthetic_regions(events_changelog(spark, sf_dir))
+    return split_spans_region_count(
+        regions, region_count_per_span=4, region_threshold=8
+    )
+
+
+# write-bytes greedy (write_bytes_splitter.go:105-226) — the sequential
+# algorithm runs per table in applyInPandas on the Spark side; the oracle
+# replays the identical state machine as a DuckDB recursive CTE over the
+# per-table weight list (one recursion step per region).
+_SPAN_WB_SQL = f"""
+WITH RECURSIVE {CHANGELOG_SQL}, {_REGIONS_CTE.strip()},
+agg AS (
+    SELECT schema_name, table_name,
+           list(written_bytes + 1 ORDER BY region_idx) AS ws,
+           list(start_key ORDER BY region_idx) AS sk,
+           list(end_key ORDER BY region_idx) AS ek,
+           count(*)::BIGINT AS n,
+           (sum(written_bytes) + count(*))::BIGINT AS total
+    FROM regions GROUP BY 1, 2
+),
+st AS (
+    SELECT schema_name, table_name, ws, sk, ek, n, total, total // 4 AS lim,
+           0::BIGINT AS i, 0::BIGINT AS span_start, 0::BIGINT AS span_w,
+           4::BIGINT AS rest_spans, total AS rest_weight,
+           []::STRUCT(s BIGINT, e BIGINT, w BIGINT)[] AS spans,
+           false AS done
+    FROM agg
+    UNION ALL
+    SELECT schema_name, table_name, ws, sk, ek, n, total, lim,
+           CASE WHEN brk THEN i ELSE i + 1 END,
+           CASE WHEN emit THEN i + 1 ELSE span_start END,
+           CASE WHEN emit OR brk THEN 0 ELSE w1 END,
+           CASE WHEN emit THEN rs1 - 1 ELSE rs1 END,
+           CASE WHEN emit THEN rest_weight - w1 ELSE rest_weight END,
+           CASE WHEN brk THEN list_append(spans,
+                    {{'s': span_start, 'e': n - 1, 'w': rest_weight}})
+                WHEN emit THEN list_append(spans,
+                    {{'s': span_start, 'e': i, 'w': w1}})
+                ELSE spans END,
+           brk OR (emit AND i = n - 1) OR (NOT emit AND i = n - 1)
+    FROM (
+        SELECT *,
+            span_w + ws[i + 1] AS w1,
+            n - i AS rest_regions,
+            (rest_spans = 1 AND rest_weight < lim) AS brk,
+            CASE WHEN rest_spans = 1 AND NOT brk THEN rest_weight // lim
+                 ELSE rest_spans END AS rs1,
+            (NOT brk) AND (rest_regions <= rs1 OR w1 > lim) AS emit
+        FROM st WHERE NOT done
+    )
+),
+final AS (SELECT * FROM st WHERE done),
+flat AS (
+    SELECT schema_name, table_name, ws, sk, ek,
+           u.sp.s AS s_i, u.sp.e AS e_i, u.sp.w AS weight
+    FROM final, unnest(final.spans) AS u(sp)
+)
+SELECT schema_name, table_name,
+       row_number() OVER (PARTITION BY schema_name, table_name
+           ORDER BY s_i) - 1 AS span_id,
+       sk[s_i + 1] AS start_key, ek[e_i + 1] AS end_key,
+       e_i - s_i + 1 AS region_count, weight
+FROM flat
+"""
+
+
+@register("span_split_write_bytes", _SPAN_WB_SQL)
+def q_span_split_write_bytes(spark, sf_dir):
+    regions = synthetic_regions(events_changelog(spark, sf_dir))
+    return split_spans_write_bytes(regions, spans_num=4)
