@@ -80,6 +80,7 @@ def main() -> None:
         "mysql_sql_multirow", "open_protocol_batch", "training_manifest",
         "decontaminate", "repetition_metrics", "scan_chunk_split",
         "open_protocol_consumer_roundtrip", "codec_csv_exotic",
+        "redo_apply_state", "span_split_write_bytes",
     ]
     def time_query(name: str) -> float:
         t0 = time.perf_counter()

@@ -30,6 +30,9 @@ _SHUFFLE_BUDGET = [
     ("scan_chunk_split", 1, "chunking reuses the replay-rank shuffle"),
     ("training_manifest", 1, "rewritten to a single window shuffle"),
     ("repetition_metrics", 1, "explicit spread repartition only"),
+    ("redo_log_files", 1, "file-assignment window per table"),
+    ("redo_apply", 3, "apply-order window + two 1-row bounds aggs"),
+    ("span_split_write_bytes", 2, "region agg + per-table pandas regroup"),
 ]
 
 

@@ -1930,3 +1930,56 @@ FROM flat
 def q_span_split_write_bytes(spark, sf_dir):
     regions = synthetic_regions(events_changelog(spark, sf_dir))
     return split_spans_write_bytes(regions, spans_num=4)
+
+
+# ---------------------------------------------------------------------------
+# DDL create-view normalization (operators/ddl_normalizer.py)
+# ---------------------------------------------------------------------------
+from ticdc_spark.operators.ddl_normalizer import normalize_create_view  # noqa: E402
+
+# Even view-DDLs carry a stored SELECT resolving to another schema (the
+# docstring example shape); odd ones are current-schema-only with nothing
+# to qualify — the reference keeps the original text for those.
+_DDL_VIEW_SQL = f"""
+WITH {CHANGELOG_SQL},
+vddl AS (
+    SELECT seq,
+      'CREATE VIEW `' || schema_name || '`.`v_' || table_name
+        || '` AS SELECT `' || table_name || '`.`id` FROM `'
+        || table_name || '`' AS query,
+      ((seq // 20) % 2 = 0) AS cross_schema,
+      schema_name, table_name
+    FROM changelog WHERE seq % 20 = 5
+)
+SELECT seq, query,
+  CASE WHEN cross_schema THEN
+    'CREATE VIEW `' || schema_name || '`.`v_' || table_name
+      || '` AS SELECT `src`.`' || table_name || '`.`id` FROM `src`.`'
+      || table_name || '`'
+  ELSE query END AS normalized_query
+FROM vddl
+"""
+
+
+@register("ddl_create_view_normalize", _DDL_VIEW_SQL)
+def q_ddl_create_view_normalize(spark, sf_dir):
+    cl = events_changelog(spark, sf_dir).filter(F.col("seq") % 20 == 5)
+    cross = (F.col("seq") / 20 % 2).cast("long") == 0
+    t = F.col("table_name")
+    query = F.concat(
+        F.lit("CREATE VIEW `"), F.col("schema_name"), F.lit("`.`v_"), t,
+        F.lit("` AS SELECT `"), t, F.lit("`.`id` FROM `"), t, F.lit("`"),
+    )
+    stored = F.when(
+        cross,
+        F.concat(F.lit("SELECT `"), t, F.lit("`.`id` FROM `src`.`"), t,
+                 F.lit("`")),
+    ).otherwise(
+        F.concat(F.lit("SELECT `id` FROM `"), F.col("schema_name"),
+                 F.lit("`.`"), t, F.lit("`")),
+    )
+    ddl = cl.select(
+        "seq", "schema_name", "table_name",
+        query.alias("query"), stored.alias("stored_select"),
+    )
+    return normalize_create_view(ddl).select("seq", "query", "normalized_query")
