@@ -1983,3 +1983,108 @@ def q_ddl_create_view_normalize(spark, sf_dir):
         query.alias("query"), stored.alias("stored_select"),
     )
     return normalize_create_view(ddl).select("seq", "query", "normalized_query")
+
+
+# canal-json consumer round-trip — with enable-tidb-extension so the
+# consumer replays on the exact µs commit ts (es alone is ms-truncated
+# and would tie-break nondeterministically).
+from ticdc_spark.sinks.consumer import decode_canal_json  # noqa: E402
+
+
+@register("canal_consumer_roundtrip", _REPLAY_STATE_ORACLE)
+def q_canal_consumer_roundtrip(spark, sf_dir):
+    cl = split_updates(events_changelog(spark, sf_dir))
+    decoded = decode_canal_json(
+        encode_canal_json(cl, tidb_extension=True).select("value"))
+    return replay_to_state(decoded, order_col="commit_ts")
+
+
+# ---------------------------------------------------------------------------
+# A3 — flow-control memory accounting (operators/flow_control.py)
+# ---------------------------------------------------------------------------
+from ticdc_spark.operators.flow_control import (  # noqa: E402
+    area_flow_control, circuit_breaker, path_flow_control, usage_samples,
+)
+
+_FC_SAMPLES_CTE = """
+samples AS (
+    SELECT schema_name AS area, table_name AS path,
+           commit_ts - commit_ts % 600000000 AS bucket_ts,
+           count(*) * 64 + sum(pk % 41) AS usage_bytes
+    FROM changelog GROUP BY 1, 2, 3
+)
+"""
+
+_FC_PATH_SQL = f"""
+WITH {CHANGELOG_SQL}, {_FC_SAMPLES_CTE.strip()},
+m AS (
+    SELECT *, usage_bytes * 100 // 800 AS usage_pct,
+           CASE WHEN usage_bytes * 100 // 800 > 20 THEN 1
+                WHEN usage_bytes * 100 // 800 < 10 THEN 0 END AS marker
+    FROM samples
+)
+SELECT area, path, bucket_ts, usage_bytes, usage_pct,
+       coalesce(last_value(marker IGNORE NULLS) OVER (
+           PARTITION BY area, path ORDER BY bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+       AS path_paused
+FROM m
+"""
+
+
+@register("flow_control_paths", _FC_PATH_SQL)
+def q_flow_control_paths(spark, sf_dir):
+    s = usage_samples(events_changelog(spark, sf_dir))
+    return path_flow_control(s, quota_bytes=800)
+
+
+_FC_AREA_SQL = f"""
+WITH {CHANGELOG_SQL}, {_FC_SAMPLES_CTE.strip()},
+a AS (
+    SELECT area, bucket_ts, sum(usage_bytes) AS usage_bytes
+    FROM samples GROUP BY 1, 2
+),
+m AS (
+    SELECT *, usage_bytes * 100 // 800 AS usage_pct,
+           CASE WHEN usage_bytes * 100 // 800 > 80 THEN 1
+                WHEN usage_bytes * 100 // 800 < 50 THEN 0 END AS marker
+    FROM a
+)
+SELECT area, bucket_ts, usage_bytes, usage_pct,
+       coalesce(last_value(marker IGNORE NULLS) OVER (
+           PARTITION BY area ORDER BY bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+       AS area_paused
+FROM m
+"""
+
+
+@register("flow_control_areas", _FC_AREA_SQL)
+def q_flow_control_areas(spark, sf_dir):
+    s = usage_samples(events_changelog(spark, sf_dir))
+    return area_flow_control(s, quota_bytes=800)
+
+
+_FC_BREAKER_SQL = f"""
+WITH {CHANGELOG_SQL}, {_FC_SAMPLES_CTE.strip()},
+a AS (
+    SELECT area, bucket_ts, sum(usage_bytes) AS area_bytes
+    FROM samples GROUP BY 1, 2
+    HAVING sum(usage_bytes) * 100 > 800 * 85
+),
+ranked AS (
+    SELECT s.area, s.bucket_ts, a.area_bytes, s.path, s.usage_bytes,
+           row_number() OVER (PARTITION BY s.area, s.bucket_ts
+               ORDER BY s.usage_bytes DESC, s.path DESC) AS rn
+    FROM samples s JOIN a ON s.area = a.area AND s.bucket_ts = a.bucket_ts
+)
+SELECT area, bucket_ts, area_bytes, path AS discard_path,
+       usage_bytes AS discard_bytes
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("flow_control_breaker", _FC_BREAKER_SQL)
+def q_flow_control_breaker(spark, sf_dir):
+    s = usage_samples(events_changelog(spark, sf_dir))
+    return circuit_breaker(s, quota_bytes=800, global_pct=85)

@@ -26,6 +26,11 @@ CANAL_SCHEMA = T.StructType([
     T.StructField("es", T.LongType()),
     T.StructField("data", T.ArrayType(T.MapType(T.StringType(), T.StringType()))),
     T.StructField("old", T.ArrayType(T.MapType(T.StringType(), T.StringType()))),
+    # enable-tidb-extension payload: the exact (µs) commit ts — without
+    # it consumers only see canal's ms-truncated `es`
+    T.StructField("_tidb", T.StructType([
+        T.StructField("commitTs", T.LongType()),
+    ])),
 ])
 
 
@@ -51,6 +56,10 @@ def decode_canal_json(messages: DataFrame, value_col: str = "value") -> DataFram
         F.col("_m.table").alias("table_name"),
         op.alias("op"),
         F.col("_m.es").alias("commit_ts_ms"),
+        # exact ts when the producer ran with enable-tidb-extension;
+        # ms-truncated es otherwise (canal_json_message.go tidb ext)
+        F.coalesce(F.col("_m._tidb.commitTs"),
+                   F.col("_m.es") * 1000).alias("commit_ts"),
         F.when(op == "D", field(img, "id", "long"))
         .otherwise(field(old, "id", "long")).alias("before_id"),
         F.when(op == "D", field(img, "val", "double"))
