@@ -27,7 +27,7 @@ from ticdc_spark.llm.text import (
     token_stats,
 )
 from ticdc_spark.queries import register
-from ticdc_spark.sources.changelog import read_table
+from ticdc_spark.sources.changelog import epoch_us, read_table
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -427,8 +427,9 @@ FROM sessions GROUP BY 1, 2
 def q_sessionization(spark, sf_dir):
     from pyspark.sql import Window
 
-    ev = read_table(spark, sf_dir, "events").select(
-        "user_id", F.expr("ts div 1000").alias("t"), "event_id"
+    ev_raw = read_table(spark, sf_dir, "events")
+    ev = ev_raw.select(
+        "user_id", epoch_us(ev_raw, "ts").alias("t"), "event_id"
     )
     w = Window.partitionBy("user_id").orderBy("t", "event_id")
     lagged = ev.withColumn("prev_t", F.lag("t").over(w))

@@ -57,11 +57,11 @@ _EVENT_MAP = {
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan — Catalyst pushes filters/projections into the scan.
 
-    The testdata parquet stores TIMESTAMP(NANOS), which Spark only reads
-    as LongType nanos under the legacy flag — set it here so the engine
-    works inside any caller-provided session (the driver's included).
-    Timestamp columns therefore surface as nanosecond longs; use
-    ``micros(col)`` / ``as_timestamp(col)`` to interpret them.
+    Timestamp columns differ across testdata generations: TIMESTAMP(NANOS)
+    parquet only reads under the legacy flag (surfacing as LongType nanos),
+    TIMESTAMP(MICROS) surfaces as TimestampNTZ. Set the flag here so the
+    engine works inside any caller-provided session (the driver's
+    included), and interpret columns via the dtype-aware ``epoch_us``.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # TZ-sensitive renderings (storage path dates) must agree with the
@@ -109,7 +109,7 @@ def _mount(events: DataFrame) -> DataFrame:
         .when(F.col("event_type") == "signup", F.lit(4))
         .otherwise(F.lit(5))
     ).cast("long")
-    commit_ts = F.expr("ts div 1000")  # nanos → micros (see read_table)
+    commit_ts = epoch_us(events, "ts")  # dtype-aware: nanos-long or timestamp
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     pk_shift = F.when(
         (op == "U") & (F.col("event_id") % 10 == 0), F.lit(1000)

@@ -76,6 +76,51 @@ class ChangefeedRegistry:
     def resume(self, changefeed_id: str) -> None:
         self._set_state(changefeed_id, "normal")
 
+    def update(self, changefeed_id: str, config_toml: str) -> None:
+        """UpdateChangefeed (`api/v2/changefeed.go` UpdateChangefeed):
+        only legal while stopped — the reference rejects updates to a
+        running changefeed; the new config takes effect on resume."""
+        state = self._load()
+        if changefeed_id not in state:
+            raise KeyError(changefeed_id)
+        if state[changefeed_id]["state"] != "stopped":
+            raise ValueError(
+                f"changefeed {changefeed_id} is "
+                f"{state[changefeed_id]['state']}; pause it before update"
+            )
+        parse_changefeed_config(config_toml)  # validate before persisting
+        state[changefeed_id]["config_toml"] = config_toml
+        self._save(state)
+        self._live.pop(changefeed_id, None)  # rebuild DAG from new config
+
+    def describe(self, changefeed_id: str) -> dict:
+        """GetChangeFeed: state + config + checkpointTs in one document."""
+        state = self._load()
+        if changefeed_id not in state:
+            raise KeyError(changefeed_id)
+        cf = self.get(changefeed_id)
+        return {
+            "id": changefeed_id,
+            "state": state[changefeed_id]["state"],
+            "config_toml": state[changefeed_id]["config_toml"],
+            "checkpoint_ts": cf.checkpoint_ts(),
+        }
+
+    def gc_safepoint(self) -> int | None:
+        """Global GC safepoint = min checkpointTs over live changefeeds
+        (`coordinator/coordinator.go:482` updateGlobalGcSafepoint): the
+        upstream may GC MVCC versions strictly below this ts. None when
+        no live changefeed has checkpointed yet (the reference likewise
+        removes the safepoint after the last changefeed is deleted,
+        `coordinator.go:401`)."""
+        ckpts = [
+            self.get(cid).checkpoint_ts()
+            for cid, st in self._load().items()
+            if st["state"] != "removed"
+        ]
+        ckpts = [c for c in ckpts if c is not None]
+        return min(ckpts) if ckpts else None
+
     def remove(self, changefeed_id: str) -> None:
         cf = self.get(changefeed_id)
         cf.stop()
