@@ -119,3 +119,123 @@ def test_status_synced_and_gc_safepoint_after_run(api, spark, sf_dir):
     # removing the running changefeed drops the safepoint
     _req(f"{base}/api/v2/changefeeds/cf-run", "DELETE")
     assert reg.gc_safepoint() is None
+
+
+def test_server_status_captures_processors(api):
+    base, _ = api
+    st, doc = _req(f"{base}/api/v2/status")
+    assert st == 200 and doc["is_owner"] is True and doc["id"] == "driver"
+    assert doc["version"].startswith("ticdc-spark")
+    st, caps = _req(f"{base}/api/v2/captures")
+    assert st == 200 and caps["total"] == 1
+    assert caps["items"][0]["is_owner"] is True
+    # no changefeeds yet -> no processors
+    st, procs = _req(f"{base}/api/v2/processors")
+    assert st == 200 and procs["total"] == 0
+    _req(f"{base}/api/v2/changefeeds", "POST",
+         {"changefeed_id": "cf-p", "config_toml": REFERENCE_TOML})
+    st, procs = _req(f"{base}/api/v2/processors")
+    assert procs["items"] == [{"changefeed_id": "cf-p", "capture_id": "driver"}]
+    st, proc = _req(f"{base}/api/v2/processors/cf-p/driver")
+    # REFERENCE_TOML excludes test.tp_view (table_id 5)
+    assert st == 200 and proc["table_ids"] == [1, 2, 3, 4]
+    assert _req(f"{base}/api/v2/processors/cf-p/ghost")[0] == 400
+    assert _req(f"{base}/api/v2/processors/nope/driver")[0] == 400
+
+
+def test_tables_and_dispatcher_count(api):
+    base, _ = api
+    _req(f"{base}/api/v2/changefeeds", "POST",
+         {"changefeed_id": "cf-t", "config_toml": REFERENCE_TOML})
+    st, doc = _req(f"{base}/api/v2/changefeeds/cf-t/tables")
+    assert st == 200 and doc["total"] == 1
+    assert doc["items"][0] == {"node_id": "driver", "table_ids": [1, 2, 3, 4]}
+    st, doc = _req(f"{base}/api/v2/changefeeds/cf-t/get_dispatcher_count")
+    assert st == 200 and doc["count"] == 4
+
+
+def test_verify_table_and_get_all_tables(api):
+    base, _ = api
+    # default store: all five tp_* tables carry a PK -> all eligible
+    st, doc = _req(f"{base}/api/v2/get_all_tables", "POST", {})
+    assert st == 200 and len(doc["all_tables"]) == 5
+    assert doc["ineligible_tables"] == []
+    # filter rules narrow the set (last-match-wins with exclusion)
+    st, doc = _req(f"{base}/api/v2/verify_table", "POST",
+                   {"filter_rules": ["*.*", "!test.tp_view"]})
+    names = [t["table_name"] for t in doc["eligible_tables"]]
+    assert "tp_view" not in names and len(names) == 4
+
+
+def test_ineligible_table_reported(tmp_path):
+    from ticdc_spark.api import default_schema_store
+
+    store = default_schema_store()
+    store.apply_ddl({
+        "type": "create-table", "schema": "test", "table": "no_pk",
+        "table_id": 99, "commit_ts": 0,
+        "columns": [{"name": "x", "spark_type": "bigint"}],
+    })
+    reg = ChangefeedRegistry(str(tmp_path))
+    srv = ApiServer(reg, schema_store=store)
+    port = srv.start()
+    try:
+        st, doc = _req(f"http://127.0.0.1:{port}/api/v2/verify_table",
+                       "POST", {"filter_rules": ["test.*"]})
+        assert st == 200
+        assert [t["table_name"] for t in doc["ineligible_tables"]] == ["no_pk"]
+        assert len(doc["eligible_tables"]) == 5
+    finally:
+        srv.stop()
+
+
+def test_split_table_by_region_count(api):
+    base, _ = api
+    _req(f"{base}/api/v2/changefeeds", "POST",
+         {"changefeed_id": "cf-s", "config_toml": REFERENCE_TOML})
+    # 10 regions into 3 spans: stepper gives sizes 4,3,3
+    st, doc = _req(
+        f"{base}/api/v2/changefeeds/cf-s/split_table_by_region_count?tableID=1",
+        "POST", {"n_regions": 10, "spans_num": 3})
+    assert st == 200
+    sizes = [s["end_region"] - s["start_region"] for s in doc["spans"]]
+    assert sizes == [4, 3, 3]
+    assert doc["spans"][0]["start_region"] == 0
+    assert doc["spans"][-1]["end_region"] == 10
+    # fewer regions than spans: split is skipped (one span)
+    st, doc = _req(
+        f"{base}/api/v2/changefeeds/cf-s/split_table_by_region_count?tableID=1",
+        "POST", {"n_regions": 2, "spans_num": 3})
+    assert len(doc["spans"]) == 1
+    # excluded table (tp_view, id 5) is rejected
+    st, err = _req(
+        f"{base}/api/v2/changefeeds/cf-s/split_table_by_region_count?tableID=5",
+        "POST", {"n_regions": 10, "spans_num": 3})
+    assert st == 400 and "not in changefeed" in err["error_msg"]
+    # missing tableID param
+    st, err = _req(
+        f"{base}/api/v2/changefeeds/cf-s/split_table_by_region_count",
+        "POST", {"n_regions": 10, "spans_num": 3})
+    assert st == 400
+    # placement ops are single-node no-ops
+    st, _doc = _req(f"{base}/api/v2/changefeeds/cf-s/move_table", "POST", {})
+    assert st == 200
+    st, _doc = _req(f"{base}/api/v2/changefeeds/cf-s/merge_table", "POST", {})
+    assert st == 200
+
+
+def test_log_owner_and_unsafe_routes(api):
+    base, reg = api
+    st, _doc = _req(f"{base}/api/v2/log", "POST", {"log_level": "debug"})
+    assert st == 200
+    st, err = _req(f"{base}/api/v2/log", "POST", {"log_level": "loud"})
+    assert st == 400
+    assert _req(f"{base}/api/v2/owner/resign", "POST", {})[0] == 200
+    _req(f"{base}/api/v2/changefeeds", "POST",
+         {"changefeed_id": "cf-m", "config_toml": REFERENCE_TOML})
+    st, meta = _req(f"{base}/api/v2/unsafe/metadata")
+    assert st == 200
+    assert meta["kvs"][0]["key"] == "/ticdc/changefeed/info/cf-m"
+    assert meta["kvs"][0]["value"]["state"] == "normal"
+    st, _doc = _req(f"{base}/api/v2/unsafe/service_gc_safepoint", "DELETE")
+    assert st == 200

@@ -14,7 +14,24 @@ Routes implemented (reference handler in parens):
 - ``DELETE /api/v2/changefeeds/{id}``             (DeleteChangefeed)
 - ``GET    /api/v2/changefeeds/{id}/status``      (status)
 - ``GET    /api/v2/changefeeds/{id}/synced``      (synced)
+- ``GET    /api/v2/changefeeds/{id}/tables``      (ListTables, `changefeed.go:1464` —
+  tables grouped per node; single node = one NodeTableInfo)
+- ``GET    /api/v2/changefeeds/{id}/get_dispatcher_count`` (`changefeed.go:1533`)
+- ``POST   /api/v2/changefeeds/{id}/split_table_by_region_count?tableID=N``
+  (`changefeed.go:1323` — span plan from the evenlySplitStepper)
+- ``POST   /api/v2/changefeeds/{id}/move_table|move_split_table|merge_table``
+  (placement no-ops on a single node; the driver owns every span)
 - ``POST   /api/v2/tso``                          (QueryTso)
+- ``GET    /api/v2/status``                       (ServerStatus, `status.go:35`)
+- ``GET    /api/v2/captures``                     (ListCaptures — one capture: the driver)
+- ``GET    /api/v2/processors[/{id}/{capture}]``  (ListProcessor/GetProcessor)
+- ``POST   /api/v2/verify_table`` / ``/api/v2/get_all_tables``
+  (`changefeed.go:412,451` — filter rules over the SchemaStore, split by
+  PK/not-null-UK eligibility)
+- ``POST   /api/v2/log``                          (SetLogLevel)
+- ``POST   /api/v2/owner/resign``                 (single owner re-elects itself)
+- ``GET    /api/v2/unsafe/metadata``              (CDCMetaData — registry KV dump)
+- ``DELETE /api/v2/unsafe/service_gc_safepoint``  (DeleteServiceGcSafePoint)
 
 The server is stdlib ``ThreadingHTTPServer`` — the control plane is
 driver-side and tiny; the data plane never touches it. Responses follow
@@ -25,30 +42,109 @@ HTTP status codes per REST convention).
 from __future__ import annotations
 
 import json
+import os
 import re
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs
 
+from ticdc_spark.operators.table_filter import _wildcard_to_regex
+from ticdc_spark.plans.schema_store import SchemaStore
+from ticdc_spark.sources.changelog import _EVENT_MAP
 from ticdc_spark.streaming.registry import ChangefeedRegistry
 
+VERSION = "ticdc-spark-1.0"
+_LOG_LEVELS = {"debug", "info", "warn", "error"}
+
 _CF_ROUTE = re.compile(
-    r"^/api/v2/changefeeds/(?P<id>[^/]+)(?P<verb>/(pause|resume|status|synced))?$"
+    r"^/api/v2/changefeeds/(?P<id>[^/]+)(?P<verb>/(pause|resume|status|synced"
+    r"|tables|get_dispatcher_count|split_table_by_region_count"
+    r"|move_table|move_split_table|merge_table))?$"
 )
+_PROC_ROUTE = re.compile(
+    r"^/api/v2/processors/(?P<id>[^/]+)/(?P<capture>[^/]+)$"
+)
+
+
+def match_table(rules: list[str], schema: str, table: str,
+                case_sensitive: bool = True) -> bool:
+    """Pure-Python twin of ``table_filter_predicate`` (F1): ordered rule
+    list, LAST matching rule decides, ``!`` excludes, no match excludes."""
+    ok = False
+    s, t = (schema, table) if case_sensitive else (schema.lower(), table.lower())
+    for rule in rules:
+        accept = not rule.startswith("!")
+        body = rule.lstrip("!")
+        if not case_sensitive:
+            body = body.lower()
+        sp, tp = body.split(".", 1) if "." in body else (body, "*")
+        if re.match(_wildcard_to_regex(sp), s) and re.match(
+            _wildcard_to_regex(tp), t
+        ):
+            ok = accept
+    return ok
+
+
+def region_count_spans(n_regions: int, spans_num: int) -> list[dict]:
+    """evenlySplitStepper closed form (`maintainer/split/
+    region_count_splitter.go:158-209`): the first ``remain`` spans take
+    ``rps+1`` regions, the rest ``rps``. Pure twin of
+    ``split_spans_region_count``'s spans_num branch; skipped (one span)
+    when the table has fewer regions than requested spans (`:91-99`)."""
+    if spans_num <= 1 or n_regions < spans_num:
+        return [{"span_id": 0, "start_region": 0, "end_region": n_regions}]
+    rps, remain = divmod(n_regions, spans_num)
+    spans, i = [], 0
+    for j in range(spans_num):
+        size = rps + 1 if j < remain else rps
+        spans.append({"span_id": j, "start_region": i, "end_region": i + size})
+        i += size
+    return spans
+
+
+def default_schema_store() -> SchemaStore:
+    """Seed a SchemaStore with the changelog's logical tables (the
+    ``test.tp_*`` universe of `sources/changelog.py::_EVENT_MAP`)."""
+    st = SchemaStore()
+    st.apply_ddl({"type": "create-schema", "schema": "test", "commit_ts": 0})
+    for event_type, (_op, table_id) in sorted(
+        _EVENT_MAP.items(), key=lambda kv: kv[1][1]
+    ):
+        st.apply_ddl({
+            "type": "create-table", "schema": "test",
+            "table": f"tp_{event_type}", "table_id": table_id,
+            "commit_ts": 0,
+            "columns": [
+                {"name": "id", "spark_type": "bigint", "nullable": False,
+                 "primary_key": True},
+                {"name": "val", "spark_type": "double"},
+                {"name": "k", "spark_type": "bigint"},
+            ],
+        })
+    return st
 
 
 class ApiServer:
     """Bind the registry to an ephemeral HTTP port. ``start()`` returns
     the bound port; ``stop()`` shuts the listener down."""
 
-    def __init__(self, registry: ChangefeedRegistry, host: str = "127.0.0.1") -> None:
+    def __init__(
+        self,
+        registry: ChangefeedRegistry,
+        host: str = "127.0.0.1",
+        schema_store: SchemaStore | None = None,
+    ) -> None:
         self.registry = registry
         self.host = host
+        self.schema_store = schema_store or default_schema_store()
+        self.log_level = "info"
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
     def start(self, port: int = 0) -> int:
         registry = self.registry
+        server = self
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # silence per-request stderr noise
@@ -68,17 +164,102 @@ class ApiServer:
                     return {}
                 return json.loads(self.rfile.read(n))
 
+            def _route(self):
+                path, _, query = self.path.partition("?")
+                return path, parse_qs(query)
+
+            def _matched_tables(self, cid: str) -> list:
+                """Tables this changefeed replicates: its F1 filter rules
+                applied to the SchemaStore's current table universe."""
+                rules = registry.get(cid).cfg.filter_rules
+                return [
+                    t
+                    for t in server.schema_store.get_all_physical_tables(
+                        ts=2**62
+                    )
+                    if match_table(rules, t.schema_name, t.table_name)
+                ]
+
+            def _verify_tables(self, body: dict) -> dict:
+                """Shared core of VerifyTable/GetAllTables
+                (`changefeed.go:412-451`): filter rules over the store,
+                split by PK/not-null-UK eligibility (F6 IsEligibleTable)."""
+                rules = body.get("filter_rules", ["*.*"])
+                ts = body.get("start_ts", 2**62)
+                doc = lambda t: {  # noqa: E731
+                    "schema_name": t.schema_name,
+                    "table_name": t.table_name,
+                    "table_id": t.table_id,
+                }
+                eligible, ineligible = [], []
+                for t in server.schema_store.get_all_physical_tables(ts=ts):
+                    if not match_table(rules, t.schema_name, t.table_name):
+                        continue
+                    (eligible if t.has_pk_or_not_null_uk else ineligible).append(
+                        doc(t)
+                    )
+                return {
+                    "eligible_tables": eligible,
+                    "ineligible_tables": ineligible,
+                }
+
             # -- GET ------------------------------------------------------
             def do_GET(self):
-                if self.path == "/api/v2/health":
+                path, _query = self._route()
+                if path == "/api/v2/health":
                     return self._send(200, {"status": "ok"})
-                if self.path == "/api/v2/changefeeds":
+                if path == "/api/v2/changefeeds":
                     items = [
                         {"id": cid, "state": st}
                         for cid, st in sorted(registry.list().items())
                     ]
                     return self._send(200, {"total": len(items), "items": items})
-                m = _CF_ROUTE.match(self.path)
+                if path in ("/api/v2/status", "/status"):
+                    return self._send(200, {
+                        "version": VERSION,
+                        "git_hash": "",
+                        "pid": os.getpid(),
+                        "id": "driver",
+                        "cluster_id": "ticdc-spark",
+                        "is_owner": True,
+                        "liveness": 0,
+                    })
+                if path == "/api/v2/captures":
+                    cap = {
+                        "id": "driver",
+                        "is_owner": True,
+                        "address": f"{server.host}:{self.server.server_address[1]}",
+                    }
+                    return self._send(200, {"total": 1, "items": [cap]})
+                if path == "/api/v2/processors":
+                    items = [
+                        {"changefeed_id": cid, "capture_id": "driver"}
+                        for cid, st in sorted(registry.list().items())
+                        if st != "removed"
+                    ]
+                    return self._send(200, {"total": len(items), "items": items})
+                pm = _PROC_ROUTE.match(path)
+                if pm:
+                    cid, cap = pm.group("id"), pm.group("capture")
+                    if cap != "driver" or registry.list().get(cid) in (
+                        None, "removed"
+                    ):
+                        return self._send(
+                            400, {"error_msg": f"processor not found: {cid}/{cap}"}
+                        )
+                    return self._send(200, {
+                        "changefeed_id": cid, "capture_id": cap,
+                        "table_ids": [
+                            t.table_id for t in self._matched_tables(cid)
+                        ],
+                    })
+                if path == "/api/v2/unsafe/metadata":
+                    kvs = [
+                        {"key": f"/ticdc/changefeed/info/{cid}", "value": doc}
+                        for cid, doc in sorted(registry._load().items())
+                    ]
+                    return self._send(200, {"kvs": kvs})
+                m = _CF_ROUTE.match(path)
                 if not m:
                     return self._send(404, {"error_msg": "no such route"})
                 cid, verb = m.group("id"), (m.group("verb") or "")
@@ -87,6 +268,19 @@ class ApiServer:
                 except KeyError:
                     return self._send(
                         400, {"error_msg": f"changefeed not found: {cid}"}
+                    )
+                if verb == "/tables":
+                    node = {
+                        "node_id": "driver",
+                        "table_ids": [
+                            t.table_id for t in self._matched_tables(cid)
+                        ],
+                    }
+                    return self._send(200, {"total": 1, "items": [node]})
+                if verb == "/get_dispatcher_count":
+                    # one dispatcher per table span; single node, no splits
+                    return self._send(
+                        200, {"count": len(self._matched_tables(cid))}
                     )
                 if verb == "/status":
                     return self._send(200, {
@@ -111,11 +305,35 @@ class ApiServer:
 
             # -- POST -----------------------------------------------------
             def do_POST(self):
-                if self.path == "/api/v2/tso":
+                path, query = self._route()
+                if path == "/api/v2/tso":
                     # A TSO is (physical ms << 18) | logical in TiDB; a
                     # microsecond epoch is a faithful monotonic stand-in.
                     return self._send(200, {"timestamp": int(time.time() * 1e6)})
-                if self.path == "/api/v2/changefeeds":
+                if path == "/api/v2/log":
+                    level = str(self._body().get("log_level", "")).lower()
+                    if level not in _LOG_LEVELS:
+                        return self._send(
+                            400, {"error_msg": f"invalid log level: {level!r}"}
+                        )
+                    server.log_level = level
+                    return self._send(200, {})
+                if path == "/api/v2/owner/resign":
+                    # Single-node: the driver is the only candidate and
+                    # immediately re-elects itself (ResignOwner analog).
+                    return self._send(200, {})
+                if path == "/api/v2/verify_table":
+                    return self._send(200, self._verify_tables(self._body()))
+                if path == "/api/v2/get_all_tables":
+                    body = self._body()
+                    body.setdefault("filter_rules", ["*.*"])
+                    out = self._verify_tables(body)
+                    out["all_tables"] = sorted(
+                        out["eligible_tables"] + out["ineligible_tables"],
+                        key=lambda d: d["table_id"],
+                    )
+                    return self._send(200, out)
+                if path == "/api/v2/changefeeds":
                     body = self._body()
                     cid = body.get("changefeed_id")
                     toml = body.get("config_toml", "")
@@ -126,12 +344,45 @@ class ApiServer:
                     except ValueError as e:
                         return self._send(400, {"error_msg": str(e)})
                     return self._send(200, registry.describe(cid))
-                m = _CF_ROUTE.match(self.path)
-                if not m or m.group("verb") not in ("/pause", "/resume"):
+                m = _CF_ROUTE.match(path)
+                verbs = ("/pause", "/resume", "/split_table_by_region_count",
+                         "/move_table", "/move_split_table", "/merge_table")
+                if not m or m.group("verb") not in verbs:
                     return self._send(404, {"error_msg": "no such route"})
-                cid = m.group("id")
+                cid, verb = m.group("id"), m.group("verb")
+                if registry.list().get(cid) is None:
+                    return self._send(
+                        400, {"error_msg": f"changefeed not found: {cid}"}
+                    )
+                if verb == "/split_table_by_region_count":
+                    try:
+                        table_id = int(query["tableID"][0])
+                    except (KeyError, ValueError):
+                        return self._send(
+                            400, {"error_msg": "tableID query param required"}
+                        )
+                    if not any(
+                        t.table_id == table_id
+                        for t in self._matched_tables(cid)
+                    ):
+                        return self._send(400, {
+                            "error_msg":
+                                f"table {table_id} not in changefeed {cid}"
+                        })
+                    body = self._body()
+                    spans = region_count_spans(
+                        int(body.get("n_regions", 1)),
+                        int(body.get("spans_num", 1)),
+                    )
+                    return self._send(
+                        200, {"table_id": table_id, "spans": spans}
+                    )
+                if verb in ("/move_table", "/move_split_table", "/merge_table"):
+                    # Placement ops: a single-node deployment has exactly
+                    # one capture, so every placement is already final.
+                    return self._send(200, {"note": "single-node: no-op"})
                 try:
-                    if m.group("verb") == "/pause":
+                    if verb == "/pause":
                         registry.pause(cid)
                     else:
                         registry.resume(cid)
@@ -159,6 +410,11 @@ class ApiServer:
 
             # -- DELETE ---------------------------------------------------
             def do_DELETE(self):
+                if self.path == "/api/v2/unsafe/service_gc_safepoint":
+                    # The reference drops the service GC safepoint key in
+                    # PD; ours is derived (min live checkpoint), so there
+                    # is nothing persisted to remove — ack idempotently.
+                    return self._send(200, {})
                 m = _CF_ROUTE.match(self.path)
                 if not m or m.group("verb"):
                     return self._send(404, {"error_msg": "no such route"})
