@@ -1,0 +1,76 @@
+"""CLI tests — the `cmd/cdc/cli` twin driven against a live ApiServer,
+full lifecycle through real HTTP."""
+
+from __future__ import annotations
+
+import io
+import json
+
+import pytest
+
+from tests.test_control_plane import REFERENCE_TOML
+from ticdc_spark.api import ApiServer
+from ticdc_spark.cli import main
+from ticdc_spark.streaming.registry import ChangefeedRegistry
+
+
+@pytest.fixture()
+def server(tmp_path):
+    reg = ChangefeedRegistry(str(tmp_path / "wd"))
+    srv = ApiServer(reg)
+    port = srv.start()
+    toml_path = tmp_path / "cf.toml"
+    toml_path.write_text(REFERENCE_TOML)
+    yield f"http://127.0.0.1:{port}", str(toml_path)
+    srv.stop()
+
+
+def run(server_url, *argv):
+    out = io.StringIO()
+    rc = main(["--server", server_url, *argv], out=out)
+    return rc, json.loads(out.getvalue())
+
+
+def test_changefeed_lifecycle(server):
+    url, toml = server
+    rc, doc = run(url, "changefeed", "create", "-c", "cf1", "--config", toml)
+    assert rc == 0 and doc["state"] == "normal"
+    rc, doc = run(url, "changefeed", "list")
+    assert rc == 0 and doc["total"] == 1
+    rc, doc = run(url, "changefeed", "query", "-c", "cf1")
+    assert rc == 0 and "canal-json" in doc["config_toml"]
+    rc, doc = run(url, "changefeed", "statistics", "-c", "cf1")
+    assert rc == 0 and doc["state"] == "normal"
+    rc, doc = run(url, "changefeed", "pause", "-c", "cf1")
+    assert rc == 0 and doc["state"] == "stopped"
+    rc, doc = run(url, "changefeed", "update", "-c", "cf1", "--config", toml)
+    assert rc == 0
+    rc, doc = run(url, "changefeed", "resume", "-c", "cf1")
+    assert rc == 0 and doc["state"] == "normal"
+    rc, doc = run(url, "changefeed", "split-table-by-region-count",
+                  "-c", "cf1", "--table-id", "1",
+                  "--n-regions", "7", "--spans-num", "2")
+    assert rc == 0
+    assert [s["end_region"] - s["start_region"] for s in doc["spans"]] == [4, 3]
+    rc, _ = run(url, "changefeed", "move-table", "-c", "cf1")
+    assert rc == 0
+    rc, _ = run(url, "changefeed", "remove", "-c", "cf1")
+    assert rc == 0
+    # errors exit 1 with the server's error document
+    rc, err = run(url, "changefeed", "query", "-c", "ghost")
+    assert rc == 1 and "not found" in err["error_msg"]
+
+
+def test_other_nouns(server):
+    url, toml = server
+    run(url, "changefeed", "create", "-c", "cf2", "--config", toml)
+    rc, caps = run(url, "capture", "list")
+    assert rc == 0 and caps["items"][0]["id"] == "driver"
+    rc, procs = run(url, "processor", "list")
+    assert rc == 0 and procs["total"] == 1
+    rc, tso = run(url, "tso", "query")
+    assert rc == 0 and tso["timestamp"] > 0
+    rc, meta = run(url, "unsafe", "show-metadata")
+    assert rc == 0 and meta["kvs"][0]["key"].endswith("cf2")
+    rc, _ = run(url, "unsafe", "delete-service-gc-safepoint")
+    assert rc == 0

@@ -1634,6 +1634,20 @@ def q_simple_consumer_roundtrip(spark, sf_dir):
     return replay_to_state(decoded, order_col="commit_ts")
 
 
+@register("storage_consumer_roundtrip", _REPLAY_STATE_ORACLE)
+def q_storage_consumer_roundtrip(spark, sf_dir):
+    """K4 e2e: csv-encode → storage path layout → storage consumer
+    (path-derived table + sidecar columns) → replay. The file-layout
+    twin of the MQ consumer round-trips."""
+    from ticdc_spark.sinks.consumer import decode_csv_storage
+    from ticdc_spark.sinks.storage import storage_paths
+
+    cl = split_updates(events_changelog(spark, sf_dir))
+    files = storage_paths(encode_csv(cl)).select("path", "value")
+    decoded = decode_csv_storage(files)
+    return replay_to_state(decoded, order_col="commit_ts")
+
+
 # canal-json checkpoint (TIDB_WATERMARK, tidb-extension only) — the
 # canal counterpart of open_protocol_checkpoint.
 from ticdc_spark.codec.canal_json import canal_checkpoints  # noqa: E402

@@ -276,3 +276,53 @@ def decode_simple(messages: DataFrame, value_col: str = "value") -> DataFrame:
         F.col("_m.data.val").cast("double").alias("after_val"),
         F.col("_m.data.k").cast("long").alias("after_k"),
     )
+
+
+def decode_csv_storage(
+    files: DataFrame,
+    payload_fields: list[tuple[str, str]] = (
+        ("id", "bigint"), ("val", "double"), ("k", "bigint"),
+    ),
+    include_commit_ts: bool = True,
+) -> DataFrame:
+    """cmd/storage-consumer analog: data files written under the
+    cloud-storage layout back into changelog rows.
+
+    The reference consumer (`cmd/storage-consumer/main.go`) walks
+    ``<schema>/<table>/<version>/[date]/CDC*.csv``, derives the table
+    from the directory path (`pkg/cloudstorage/generator.go:126-128`),
+    reads the column list from the schema sidecar, and parses each csv
+    line (`[op, schema, table, commitTs, cols...]``,
+    `csv_message.go:104-246`). Here: ``files`` carries (path, value)
+    rows; (schema, table) come from the PATH — the csv's own schema
+    fields ride along unused, exactly like the reference consumer.
+    ``payload_fields`` is the sidecar's (name, type) list.
+
+    csv updates carry no old image, so handle-key-changing updates must
+    be split (P2) producer-side — same constraint as the reference's
+    csv protocol (`pkg/sink/codec/csv/`, output-old-value=false).
+    """
+    from ticdc_spark.codec.csv_codec import NULL_TOKEN
+
+    sch = "op string, _schema string, _table string"
+    if include_commit_ts:
+        sch += ", commit_ts bigint"
+    sch += ", " + ", ".join(f"`{n}` {t}" for n, t in payload_fields)
+    parsed = files.withColumn(
+        "_m", F.from_csv(F.col("value"), sch, {"nullValue": NULL_TOKEN})
+    )
+    parts = F.split(F.col("path"), "/")
+    op = F.col("_m.op")
+    is_delete = op == "D"
+    cols = [
+        parts.getItem(0).alias("schema_name"),
+        parts.getItem(1).alias("table_name"),
+        op.alias("op"),
+    ]
+    if include_commit_ts:
+        cols.append(F.col("_m.commit_ts").alias("commit_ts"))
+    for name, _t in payload_fields:
+        img = F.col(f"_m.`{name}`")
+        cols.append(F.when(is_delete, img).alias(f"before_{name}"))
+        cols.append(F.when(~is_delete, img).alias(f"after_{name}"))
+    return parsed.select(*cols)
