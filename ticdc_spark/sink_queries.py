@@ -1615,21 +1615,21 @@ FROM g WHERE last_op <> 'D'
 
 @register("open_protocol_consumer_roundtrip", _REPLAY_STATE_ORACLE)
 def q_open_protocol_consumer_roundtrip(spark, sf_dir):
-    cl = split_updates(events_changelog(spark, sf_dir))
+    cl = split_updates(events_changelog(spark, sf_dir, parallel=True))
     decoded = decode_open_protocol(encode_open_protocol(cl).select("key", "value"))
     return replay_to_state(decoded, order_col="commit_ts")
 
 
 @register("debezium_consumer_roundtrip", _REPLAY_STATE_ORACLE)
 def q_debezium_consumer_roundtrip(spark, sf_dir):
-    cl = split_updates(events_changelog(spark, sf_dir))
+    cl = split_updates(events_changelog(spark, sf_dir, parallel=True))
     decoded = decode_debezium(encode_debezium(cl).select("value"))
     return replay_to_state(decoded, order_col="commit_ts")
 
 
 @register("simple_consumer_roundtrip", _REPLAY_STATE_ORACLE)
 def q_simple_consumer_roundtrip(spark, sf_dir):
-    cl = split_updates(events_changelog(spark, sf_dir))
+    cl = split_updates(events_changelog(spark, sf_dir, parallel=True))
     decoded = decode_simple(encode_simple(cl).select("value"))
     return replay_to_state(decoded, order_col="commit_ts")
 
@@ -1642,7 +1642,7 @@ def q_storage_consumer_roundtrip(spark, sf_dir):
     from ticdc_spark.sinks.consumer import decode_csv_storage
     from ticdc_spark.sinks.storage import storage_paths
 
-    cl = split_updates(events_changelog(spark, sf_dir))
+    cl = split_updates(events_changelog(spark, sf_dir, parallel=True))
     files = storage_paths(encode_csv(cl)).select("path", "value")
     decoded = decode_csv_storage(files)
     return replay_to_state(decoded, order_col="commit_ts")
@@ -2007,7 +2007,7 @@ from ticdc_spark.sinks.consumer import decode_canal_json  # noqa: E402
 
 @register("canal_consumer_roundtrip", _REPLAY_STATE_ORACLE)
 def q_canal_consumer_roundtrip(spark, sf_dir):
-    cl = split_updates(events_changelog(spark, sf_dir))
+    cl = split_updates(events_changelog(spark, sf_dir, parallel=True))
     decoded = decode_canal_json(
         encode_canal_json(cl, tidb_extension=True).select("value"))
     return replay_to_state(decoded, order_col="commit_ts")

@@ -145,9 +145,20 @@ def _mount(events: DataFrame) -> DataFrame:
     return df
 
 
-def events_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch changelog: the engine's canonical input DataFrame."""
-    return _mount(read_table(spark, sf_dir, "events"))
+def events_changelog(
+    spark: SparkSession, sf_dir: str, parallel: bool = False
+) -> DataFrame:
+    """Batch changelog: the engine's canonical input DataFrame.
+
+    ``parallel=True`` round-robins the RAW scan across cores BEFORE the
+    mount projection, so the per-row decode (JSON props parse, struct
+    build) parallelizes too — for per-row-heavy consumers of the
+    single-row-group testdata (see ``scale_out``; a real multi-split
+    scan makes this a no-op choice)."""
+    raw = read_table(spark, sf_dir, "events")
+    if parallel:
+        raw = scale_out(raw)
+    return _mount(raw)
 
 
 def scale_out(df: DataFrame) -> DataFrame:

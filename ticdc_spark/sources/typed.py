@@ -67,9 +67,17 @@ def _payload(price: F.Column, version: F.Column) -> F.Column:
     )
 
 
-def orders_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typed per-table changelog over the ``orders`` parquet table."""
+def orders_changelog(
+    spark: SparkSession, sf_dir: str, parallel: bool = False
+) -> DataFrame:
+    """Typed per-table changelog over the ``orders`` parquet table.
+
+    ``parallel=True`` spreads the single-row-group scan before the
+    mount derivation (see ``events_changelog``)."""
     o = read_table(spark, sf_dir, "orders")
+    if parallel:
+        from ticdc_spark.sources.changelog import scale_out
+        o = scale_out(o)
     base = o.select(
         F.col("o_orderkey").alias("okey"),
         F.col("o_custkey").alias("cust"),
