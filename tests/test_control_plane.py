@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import glob
 
+import pytest
 from pyspark.sql import functions as F
 
 from ticdc_spark.codec import encode_canal_json
@@ -172,3 +173,113 @@ def test_pipeline_all_protocols_and_knobs(spark, sf_dir):
     with pytest.raises(ValueError):
         build_pipeline(cl, ChangefeedConfig(
             large_message_handle={"large-message-handle-option": "bogus"}))
+
+
+FULL_TOML = """
+case-sensitive = true
+force-replicate = true
+memory-quota = 536870912
+enable-sync-point = true
+sync-point-interval = "10m"
+sync-point-retention = "1h30m"
+
+[filter]
+rules = ['*.*']
+
+[sink]
+protocol = "csv"
+safe-mode = true
+terminator = "\\n"
+date-separator = "month"
+file-index-width = 8
+
+[sink.csv]
+include-commit-ts = false
+binary-encoding-method = "hex"
+quote = ""
+
+[integrity]
+integrity-check-level = "correctness"
+"""
+
+
+def test_replica_config_full_surface():
+    cfg = parse_changefeed_config(FULL_TOML)
+    assert cfg.case_sensitive is True
+    assert cfg.force_replicate is True
+    assert cfg.memory_quota == 512 * 1024 * 1024
+    assert cfg.enable_sync_point is True
+    assert cfg.sync_point_interval_us == 600 * 1_000_000
+    assert cfg.sync_point_retention_us == 5400 * 1_000_000
+    assert cfg.safe_mode is True
+    assert cfg.terminator == "\n"
+    assert cfg.date_separator == "month"
+    assert cfg.file_index_width == 8
+    assert cfg.csv_config == {
+        "include-commit-ts": False,
+        "binary-encoding-method": "hex",
+        "quote": "",
+    }
+    assert cfg.integrity_check_level == "correctness"
+    # defaults mirror the reference's
+    d = parse_changefeed_config(REFERENCE_TOML)
+    assert d.case_sensitive is False and d.memory_quota == 1024**3
+    assert d.terminator == "\r\n" and d.integrity_check_level == "none"
+
+
+def test_duration_parsing():
+    from ticdc_spark.config import parse_duration_us
+
+    assert parse_duration_us("30s") == 30_000_000
+    assert parse_duration_us("1h30m") == 5400 * 1_000_000
+    assert parse_duration_us("150ms") == 150_000
+    for bad in ("", "10", "m10", "10x", "1h 30m"):
+        with pytest.raises(ValueError):
+            parse_duration_us(bad)
+
+
+def test_csv_config_and_integrity_through_pipeline(spark, sf_dir):
+    from ticdc_spark.pipeline import build_pipeline
+
+    cfg = parse_changefeed_config(FULL_TOML)
+    out = build_pipeline(events_changelog(spark, sf_dir), cfg)
+    rows = out.select("value", "checksum").limit(5).collect()
+    for r in rows:
+        assert r["checksum"] is not None
+        # quote="" selects escape mode: no quote chars on the wire
+        assert '"' not in r["value"]
+        # include-commit-ts=false: [op, schema, table, id, val, k]
+        assert len(r["value"].split(",")) == 6
+
+
+def test_bad_integrity_level_rejected(spark, sf_dir):
+    from ticdc_spark.pipeline import build_pipeline
+
+    cfg = parse_changefeed_config(REFERENCE_TOML)
+    cfg.integrity_check_level = "paranoid"
+    with pytest.raises(ValueError):
+        build_pipeline(events_changelog(spark, sf_dir), cfg)
+
+
+def test_syncpoint_stream_written(spark, sf_dir, tmp_path):
+    import json as _json
+    import os as _os
+
+    from ticdc_spark.streaming.registry import ChangefeedRegistry
+
+    # top-level keys must precede the first table header in TOML
+    toml = ('enable-sync-point = true\nsync-point-interval = "1h"\n'
+            + REFERENCE_TOML)
+    reg = ChangefeedRegistry(str(tmp_path))
+    reg.create("cf-sync", toml)
+    reg.run("cf-sync", spark, sf_dir, timeout_s=240)
+    path = _os.path.join(str(tmp_path), "syncpoint", "cf-sync.jsonl")
+    assert _os.path.exists(path)
+    pts = [_json.loads(line) for line in open(path)]
+    assert pts, "no syncpoints written"
+    iv = 3_600_000_000
+    assert all(p["primary_ts"] % iv == 0 for p in pts)
+    # strictly increasing, no duplicates across micro-batches
+    primaries = [p["primary_ts"] for p in pts]
+    assert primaries == sorted(set(primaries))
+    assert all(p["secondary_ts"] >= p["primary_ts"] - iv for p in pts)

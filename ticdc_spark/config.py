@@ -15,15 +15,33 @@ A TOML document a TiCDC user writes today compiles into the engine's
 from __future__ import annotations
 
 import json
+import re
 import tomllib
 
 from ticdc_spark.pipeline import ChangefeedConfig
+
+_DUR = re.compile(r"(\d+)(ms|s|m|h)")
+_DUR_US = {"ms": 1_000, "s": 1_000_000, "m": 60_000_000, "h": 3_600_000_000}
+
+
+def parse_duration_us(text: str) -> int:
+    """Go-style duration ("10m", "1h30m", "30s") → microseconds."""
+    total, pos = 0, 0
+    for m in _DUR.finditer(text):
+        if m.start() != pos:
+            raise ValueError(f"bad duration: {text!r}")
+        total += int(m.group(1)) * _DUR_US[m.group(2)]
+        pos = m.end()
+    if pos != len(text) or total == 0:
+        raise ValueError(f"bad duration: {text!r}")
+    return total
 
 
 def parse_changefeed_config(text: str, fmt: str = "toml") -> ChangefeedConfig:
     doc = tomllib.loads(text) if fmt == "toml" else json.loads(text)
     filt = doc.get("filter", {})
     sink = doc.get("sink", {})
+    integrity = doc.get("integrity", {})
 
     event_filters: list[dict] = []
     expr_filter: dict | None = None
@@ -53,7 +71,9 @@ def parse_changefeed_config(text: str, fmt: str = "toml") -> ChangefeedConfig:
         for d in sink.get("dispatchers", [])
     ]
 
-    return ChangefeedConfig(
+    sync_interval = doc.get("sync-point-interval")
+    sync_retention = doc.get("sync-point-retention")
+    cfg = ChangefeedConfig(
         filter_rules=filt.get("rules", ["*.*"]),
         event_filters=event_filters,
         expr_filter=expr_filter,
@@ -62,4 +82,19 @@ def parse_changefeed_config(text: str, fmt: str = "toml") -> ChangefeedConfig:
         protocol=sink.get("protocol", "canal-json"),
         only_output_updated_columns=sink.get("only-output-updated-columns", False),
         delete_only_output_handle_key=sink.get("delete-only-output-handle-key", False),
+        case_sensitive=doc.get("case-sensitive", False),
+        force_replicate=doc.get("force-replicate", False),
+        memory_quota=doc.get("memory-quota", 1024 * 1024 * 1024),
+        enable_sync_point=doc.get("enable-sync-point", False),
+        safe_mode=sink.get("safe-mode", False),
+        terminator=sink.get("terminator", "\r\n"),
+        date_separator=sink.get("date-separator", "day"),
+        file_index_width=sink.get("file-index-width", 6),
+        csv_config=sink.get("csv") or None,
+        integrity_check_level=integrity.get("integrity-check-level", "none"),
     )
+    if sync_interval:
+        cfg.sync_point_interval_us = parse_duration_us(sync_interval)
+    if sync_retention:
+        cfg.sync_point_retention_us = parse_duration_us(sync_retention)
+    return cfg

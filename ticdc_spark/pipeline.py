@@ -75,11 +75,28 @@ class ChangefeedConfig:
     handle_key_fields: tuple = ("id",)
     # lz4/snappy/zstd in the reference; zlib/lzma in this container
     compression: str | None = None
+    # --- ReplicaConfig top-level (`pkg/config/replica_config.go:151`) ---
+    case_sensitive: bool = False  # reference default false since v6.x
+    force_replicate: bool = False  # replicate PK-less tables
+    memory_quota: int = 1024 * 1024 * 1024  # DefaultChangefeedMemoryQuota
+    enable_sync_point: bool = False
+    sync_point_interval_us: int = 600 * 1_000_000  # 10m default
+    sync_point_retention_us: int = 24 * 3600 * 1_000_000  # 24h default
+    # --- SinkConfig extras (`pkg/config/sink.go:139`) ---
+    safe_mode: bool = False
+    terminator: str = "\r\n"  # CRLF default (`pkg/config/sink.go`)
+    date_separator: str = "day"
+    file_index_width: int = 6  # `pkg/cloudstorage/generator.go:43`
+    csv_config: dict | None = None  # [sink.csv]: delimiter/quote/...
+    # --- IntegrityConfig (`pkg/integrity/integrity.go:24-43`) ---
+    integrity_check_level: str = "none"  # none | correctness
 
 
 def build_pipeline(cl: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
     payload_fields = [f.name for f in cl.schema["after"].dataType.fields]
-    df = apply_table_filter(cl, cfg.filter_rules)
+    df = apply_table_filter(
+        cl, cfg.filter_rules, case_sensitive=cfg.case_sensitive
+    )
     if cfg.event_filters:
         df = apply_event_filters(df, cfg.event_filters)
     if cfg.expr_filter:
@@ -105,11 +122,30 @@ def build_pipeline(cl: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
         df = delete_handle_key_only(df)
     if cfg.dispatchers:
         df = route(df, cfg.dispatchers, cfg.n_partitions)
+    if cfg.integrity_check_level == "correctness":
+        # P5: row checksum rides the frame as a column; MQ encoders that
+        # carry it (avro/open) pick it up, others leave it as metadata.
+        from ticdc_spark.operators.checksum import with_row_checksum
+
+        df = with_row_checksum(df)
+    elif cfg.integrity_check_level != "none":
+        raise ValueError(
+            f"unknown integrity-check-level: {cfg.integrity_check_level}"
+        )
     if cfg.protocol not in ENCODERS:
         raise ValueError(
             f"unknown protocol: {cfg.protocol} (known: {sorted(ENCODERS)})"
         )
-    df = ENCODERS[cfg.protocol](df)
+    if cfg.protocol == "csv" and cfg.csv_config:
+        c = cfg.csv_config
+        df = encode_csv(
+            df,
+            include_commit_ts=c.get("include-commit-ts", True),
+            binary_encoding=c.get("binary-encoding-method", "base64"),
+            quote=c.get("quote", '"') or None,  # "" selects escape mode
+        )
+    else:
+        df = ENCODERS[cfg.protocol](df)
     if cfg.large_message_handle:
         lm = cfg.large_message_handle
         opt = lm.get("large-message-handle-option", "handle-key-only")

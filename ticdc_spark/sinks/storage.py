@@ -25,6 +25,7 @@ def storage_paths(
     date_separator: str = "day",
     extension: str = "csv",
     rows_per_file: int = 4096,
+    file_index_width: int = 6,
 ) -> DataFrame:
     """Append ``path`` (directory) and ``file_name`` columns."""
     if date_separator == "day":
@@ -50,8 +51,12 @@ def storage_paths(
 
     w = Window.partitionBy(path).orderBy("commit_ts", "seq")
     idx = ((F.row_number().over(w) - 1) / rows_per_file).cast("long") + 1
+    # file-index-width config (`pkg/config/sink.go` FileIndexWidth);
+    # the reference floors it at 6 digits (`generator.go:43`)
+    width = max(int(file_index_width), 6)
     file_name = F.concat(
-        F.lit("CDC"), F.lpad(idx.cast("string"), 6, "0"), F.lit(f".{extension}")
+        F.lit("CDC"), F.lpad(idx.cast("string"), width, "0"),
+        F.lit(f".{extension}"),
     )
     return cl.withColumn("path", path).withColumn("file_name", file_name)
 

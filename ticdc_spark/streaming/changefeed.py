@@ -76,6 +76,7 @@ class Changefeed:
         writer.save(os.path.join(self.sink_dir, f"epoch={epoch_id}"))
         stats = batch_df.agg(
             F.max("commit_ts").alias("resolved_ts"),
+            F.min("commit_ts").alias("min_ts"),
             F.count(F.lit(1)).alias("n_rows"),
         ).collect()[0]
         os.makedirs(os.path.dirname(self.progress_path), exist_ok=True)
@@ -87,6 +88,37 @@ class Changefeed:
                 "rows": stats["n_rows"],
                 "wall_ts": time.time(),
             }) + "\n")
+        if getattr(self.cfg, "enable_sync_point", False):
+            self._write_syncpoints(stats["min_ts"], stats["resolved_ts"])
+
+    def _write_syncpoints(self, min_ts: int, resolved_ts: int) -> None:
+        """W2 syncpoint writer (`mysql_writer_for_syncpoint.go:33-67`):
+        every crossed multiple of sync-point-interval up to the batch's
+        resolved ts is upserted once — `CalculateStartSyncPointTs`
+        (`downstreamadapter/syncpoint/sync_point.go:28-39`) rounds the
+        start UP to the next interval multiple. Driver-side: one line of
+        arithmetic per micro-batch, no data-plane cost."""
+        interval = self.cfg.sync_point_interval_us
+        path = os.path.join(self.work_dir, "syncpoint",
+                            f"{self.changefeed_id}.jsonl")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        last = 0
+        if os.path.exists(path):
+            with open(path) as f:
+                for line in f:
+                    last = json.loads(line)["primary_ts"]
+        # first boundary strictly above what's already written, anchored
+        # at the stream's own ts domain (commit_ts is epoch-micros, so
+        # anchoring at 0 would enumerate ~50 years of boundaries)
+        start = ((max(last, min_ts - 1) // interval) + 1) * interval
+        with open(path, "a") as f:
+            for ts in range(start, resolved_ts + 1, interval):
+                f.write(json.dumps({
+                    "changefeed": self.changefeed_id,
+                    "primary_ts": ts,
+                    "secondary_ts": resolved_ts,
+                    "created_at": time.time(),
+                }) + "\n")
 
     # -- lifecycle ---------------------------------------------------------
     def start(self, spark: SparkSession, sf_dir: str, available_now: bool = True):
