@@ -283,3 +283,59 @@ def test_syncpoint_stream_written(spark, sf_dir, tmp_path):
     primaries = [p["primary_ts"] for p in pts]
     assert primaries == sorted(set(primaries))
     assert all(p["secondary_ts"] >= p["primary_ts"] - iv for p in pts)
+
+
+def test_sink_uri_scheme_dispatch(spark, sf_dir):
+    """compile_changefeed shapes the DAG per sink scheme
+    (`downstreamadapter/sink/sink.go:53`)."""
+    from ticdc_spark.pipeline import ChangefeedConfig, compile_changefeed
+
+    cl = events_changelog(spark, sf_dir).limit(300)
+    # MQ: message frame
+    mq = compile_changefeed(cl, ChangefeedConfig(
+        sink_uri="kafka://broker:9092/topic",
+        dispatchers=[{"matcher": ["*.*"], "partition": "index-value",
+                      "topic": "cdc_{schema}_{table}"}]))
+    assert {"topic", "partition", "value"} <= set(mq.columns)
+    assert mq.count() > 0
+    # DB: batched dialect SQL over compacted net rows
+    db = compile_changefeed(cl, ChangefeedConfig(
+        sink_uri="mysql://root@host:4000/"))
+    stmts = [r["stmt"] for r in db.limit(50).collect()]
+    assert stmts and all(
+        s.startswith(("INSERT INTO", "DELETE FROM", "UPDATE ")) for s in stmts)
+    # DB safe-mode: per-row REPLACE upserts
+    safe = compile_changefeed(cl, ChangefeedConfig(
+        sink_uri="tidb://root@host:4000/", safe_mode=True))
+    ops = safe.select("op", "stmt").limit(200).collect()
+    assert any(r["stmt"].startswith("REPLACE INTO") for r in ops
+               if r["op"] in ("I", "U"))
+    # storage: layout columns + encoded value
+    st = compile_changefeed(cl, ChangefeedConfig(
+        sink_uri="s3://bucket/prefix", protocol="csv",
+        date_separator="month", file_index_width=8))
+    row = st.select("path", "file_name", "value").first()
+    assert row["path"].startswith("test/tp_")
+    assert row["file_name"].startswith("CDC") and row["file_name"].endswith(".csv")
+    assert len(row["file_name"]) == len("CDC") + 8 + len(".csv")
+    # unknown scheme rejected
+    with pytest.raises(ValueError):
+        compile_changefeed(cl, ChangefeedConfig(sink_uri="ftp://nope"))
+
+
+def test_changefeed_runs_mysql_and_storage_sinks(spark, sf_dir, tmp_path):
+    """End-to-end streaming run for the DB and storage schemes — the
+    sink tail executes inside foreachBatch."""
+    from ticdc_spark.streaming.registry import ChangefeedRegistry
+
+    reg = ChangefeedRegistry(str(tmp_path))
+    reg.create("cf-db", 'sink-uri = "mysql://root@h:4000/"\n' + REFERENCE_TOML)
+    reg.run("cf-db", spark, sf_dir, timeout_s=240)
+    out = spark.read.json(f"{reg.get('cf-db').sink_dir}/epoch=*")
+    assert out.count() > 0 and "stmt" in out.columns
+
+    reg.create("cf-s3", 'sink-uri = "s3://bucket/p"\nenable-sync-point = true\n'
+               + REFERENCE_TOML)
+    reg.run("cf-s3", spark, sf_dir, timeout_s=240)
+    out = spark.read.json(f"{reg.get('cf-s3').sink_dir}/epoch=*")
+    assert out.count() > 0 and {"path", "file_name", "value"} <= set(out.columns)

@@ -92,6 +92,7 @@ def parse_changefeed_config(text: str, fmt: str = "toml") -> ChangefeedConfig:
         file_index_width=sink.get("file-index-width", 6),
         csv_config=sink.get("csv") or None,
         integrity_check_level=integrity.get("integrity-check-level", "none"),
+        sink_uri=doc.get("sink-uri", "blackhole://"),
     )
     if sync_interval:
         cfg.sync_point_interval_us = parse_duration_us(sync_interval)

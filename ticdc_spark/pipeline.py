@@ -90,6 +90,27 @@ class ChangefeedConfig:
     csv_config: dict | None = None  # [sink.csv]: delimiter/quote/...
     # --- IntegrityConfig (`pkg/integrity/integrity.go:24-43`) ---
     integrity_check_level: str = "none"  # none | correctness
+    # --- sink URI: scheme selects the sink implementation
+    # (`downstreamadapter/sink/sink.go:53`, schemes
+    # `pkg/config/sink_protocol.go:116-140`) ---
+    sink_uri: str = "blackhole://"
+
+
+def _encode(df: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
+    """Protocol encode with the [sink.csv] options applied when set."""
+    if cfg.protocol not in ENCODERS:
+        raise ValueError(
+            f"unknown protocol: {cfg.protocol} (known: {sorted(ENCODERS)})"
+        )
+    if cfg.protocol == "csv" and cfg.csv_config:
+        c = cfg.csv_config
+        return encode_csv(
+            df,
+            include_commit_ts=c.get("include-commit-ts", True),
+            binary_encoding=c.get("binary-encoding-method", "base64"),
+            quote=c.get("quote", '"') or None,  # "" selects escape mode
+        )
+    return ENCODERS[cfg.protocol](df)
 
 
 def build_pipeline(cl: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
@@ -132,20 +153,7 @@ def build_pipeline(cl: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
         raise ValueError(
             f"unknown integrity-check-level: {cfg.integrity_check_level}"
         )
-    if cfg.protocol not in ENCODERS:
-        raise ValueError(
-            f"unknown protocol: {cfg.protocol} (known: {sorted(ENCODERS)})"
-        )
-    if cfg.protocol == "csv" and cfg.csv_config:
-        c = cfg.csv_config
-        df = encode_csv(
-            df,
-            include_commit_ts=c.get("include-commit-ts", True),
-            binary_encoding=c.get("binary-encoding-method", "base64"),
-            quote=c.get("quote", '"') or None,  # "" selects escape mode
-        )
-    else:
-        df = ENCODERS[cfg.protocol](df)
+    df = _encode(df, cfg)
     if cfg.large_message_handle:
         lm = cfg.large_message_handle
         opt = lm.get("large-message-handle-option", "handle-key-only")
@@ -186,4 +194,89 @@ def build_pipeline(cl: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
         from ticdc_spark.operators.large_message import compress_values
 
         df = compress_values(df, codec=cfg.compression)
+    return df
+
+
+# URI scheme → sink family, per `pkg/config/sink_protocol.go:116-140`
+MQ_SCHEMES = {"kafka", "kafka+ssl", "pulsar", "pulsar+ssl"}
+DB_SCHEMES = {"mysql", "mysql+ssl", "tidb", "tidb+ssl"}
+STORAGE_SCHEMES = {"s3", "file", "gcs", "gs", "azblob", "azure", "nfs"}
+
+
+def sink_scheme(cfg: ChangefeedConfig) -> str:
+    from urllib.parse import urlparse
+
+    return (urlparse(cfg.sink_uri).scheme or "blackhole").lower()
+
+
+def compile_sink_tail(df: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
+    """Sink-specific tail over the filter-prefix output
+    (``build_pipeline_uncoded``). Batch-only constructs (compaction
+    windows, SQL batching, file-index windows) live here — in streaming
+    mode this runs inside foreachBatch, the reference's flush-time sink
+    work (`mysql_writer_dml_batch.go`, `pkg/cloudstorage/generator.go`).
+    """
+    scheme = sink_scheme(cfg)
+    if scheme in DB_SCHEMES:
+        from ticdc_spark.sinks.mysql import multirow_batches, sql_for_rows
+
+        if cfg.safe_mode:
+            # catch-up mode: per-row idempotent REPLACE upserts
+            # (`basic_dispatcher.go:156-161`)
+            return sql_for_rows(df, safe_mode=True,
+                                pk_fields=tuple(cfg.handle_key_fields))
+        return multirow_batches(compact_changelog(df),
+                                pk_fields=tuple(cfg.handle_key_fields))
+    if scheme in STORAGE_SCHEMES:
+        from ticdc_spark.sinks.storage import storage_paths
+
+        ext = "csv" if cfg.protocol == "csv" else "json"
+        return storage_paths(
+            _encode(df, cfg),
+            date_separator=cfg.date_separator,
+            extension=ext,
+            file_index_width=cfg.file_index_width,
+        )
+    raise ValueError(f"no sink tail for scheme: {scheme} (uri: {cfg.sink_uri})")
+
+
+def compile_changefeed(cl: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
+    """Sink dispatch on the sink-URI scheme
+    (`downstreamadapter/sink/sink.go:53`): the changefeed's one DataFrame
+    DAG, shaped for its downstream.
+
+    - MQ (kafka/pulsar): routed + protocol-encoded message frame
+      (topic, partition, key?, value) — ``build_pipeline`` as-is.
+    - DB (mysql/tidb): A1-compacted net rows → batched dialect SQL
+      (``stmt`` column; safe-mode selects per-row REPLACE upserts).
+    - Storage (s3/file/...): encoded rows + path/file_name layout
+      columns (`pkg/cloudstorage/generator.go:126-128`).
+    - blackhole: the encoded frame, discarded by the writer (perf path).
+    """
+    scheme = sink_scheme(cfg)
+    if scheme in MQ_SCHEMES or scheme == "blackhole":
+        return build_pipeline(cl, cfg)
+    if scheme in DB_SCHEMES or scheme in STORAGE_SCHEMES:
+        return compile_sink_tail(build_pipeline_uncoded(cl, cfg), cfg)
+    raise ValueError(f"unknown sink scheme: {scheme} (uri: {cfg.sink_uri})")
+
+
+def build_pipeline_uncoded(cl: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
+    """The filter/transform prefix of ``build_pipeline`` without the
+    encoder — for sinks that consume typed rows (DB SQL generation)."""
+    payload_fields = [f.name for f in cl.schema["after"].dataType.fields]
+    df = apply_table_filter(
+        cl, cfg.filter_rules, case_sensitive=cfg.case_sensitive
+    )
+    if cfg.event_filters:
+        df = apply_event_filters(df, cfg.event_filters)
+    if cfg.expr_filter:
+        ef = dict(cfg.expr_filter)
+        matcher = ef.pop("matcher", ["*.*"])
+        kwargs = {k.replace("-", "_"): v for k, v in ef.items()}
+        df = apply_expr_filter(df, matcher, payload_fields, **kwargs)
+    if cfg.column_selectors:
+        df = select_columns(df, cfg.column_selectors)
+    if cfg.split_updates:
+        df = split_updates(df)
     return df

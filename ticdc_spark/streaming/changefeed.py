@@ -29,7 +29,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ticdc_spark.pipeline import ChangefeedConfig, build_pipeline
+from ticdc_spark.pipeline import ChangefeedConfig
 from ticdc_spark.sources.changelog import stream_changelog
 
 
@@ -51,6 +51,7 @@ class Changefeed:
         self.sink_dir = os.path.join(work_dir, "sink", changefeed_id)
         self.progress_path = os.path.join(work_dir, "progress", f"{changefeed_id}.jsonl")
         self.query = None
+        self._sink_compile = None
 
     # -- sink --------------------------------------------------------------
     def _foreach_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -63,10 +64,31 @@ class Changefeed:
         """
         if batch_df.isEmpty():
             return
-        out_cols = [c for c in ("topic", "partition", "value") if c in batch_df.columns]
+        if self._sink_compile is not None:
+            # DB/storage sinks compile at flush time (windows/aggregates
+            # are batch-only constructs) — reference shape: the sink owns
+            # batching/SQL-gen at write, not the stream DAG
+            batch_df = self._sink_compile(batch_df)
+        cols = set(batch_df.columns)
+        # sink-shape dispatch (compile_changefeed): MQ frames carry
+        # value/topic, DB SQL batches carry stmt, storage frames carry
+        # path/file_name
+        if "stmt" in cols:
+            out_cols = [c for c in ("schema_name", "table_name", "stmt")
+                        if c in cols]
+        elif "path" in cols:
+            out_cols = ["path", "file_name", "value"]
+        else:
+            out_cols = [c for c in ("topic", "partition", "value")
+                        if c in cols]
+        sort_cols = [c for c in ("commit_ts", "start_ts", "dml_order", "seq")
+                     if c in cols]
+        ordered = (
+            batch_df.sortWithinPartitions(*sort_cols)
+            if sort_cols else batch_df
+        )
         writer = (
-            batch_df.sortWithinPartitions("commit_ts", "start_ts", "dml_order", "seq")
-            .select(*(out_cols or ["value"]))
+            ordered.select(*(out_cols or ["value"]))
             .write.mode("append")
             .partitionBy(*[c for c in ("topic",) if c in out_cols])
             .format("json")
@@ -74,11 +96,15 @@ class Changefeed:
         if self.compression:  # lz4/snappy/zstd analog (pkg/compression)
             writer = writer.option("compression", self.compression)
         writer.save(os.path.join(self.sink_dir, f"epoch={epoch_id}"))
-        stats = batch_df.agg(
-            F.max("commit_ts").alias("resolved_ts"),
-            F.min("commit_ts").alias("min_ts"),
-            F.count(F.lit(1)).alias("n_rows"),
-        ).collect()[0]
+        if "commit_ts" in cols:
+            stats = batch_df.agg(
+                F.max("commit_ts").alias("resolved_ts"),
+                F.min("commit_ts").alias("min_ts"),
+                F.count(F.lit(1)).alias("n_rows"),
+            ).collect()[0]
+        else:  # DB SQL batches carry no ts; progress is row-count only
+            stats = {"resolved_ts": None, "min_ts": None,
+                     "n_rows": batch_df.count()}
         os.makedirs(os.path.dirname(self.progress_path), exist_ok=True)
         with open(self.progress_path, "a") as f:
             f.write(json.dumps({
@@ -88,7 +114,8 @@ class Changefeed:
                 "rows": stats["n_rows"],
                 "wall_ts": time.time(),
             }) + "\n")
-        if getattr(self.cfg, "enable_sync_point", False):
+        if (getattr(self.cfg, "enable_sync_point", False)
+                and stats["resolved_ts"] is not None):
             self._write_syncpoints(stats["min_ts"], stats["resolved_ts"])
 
     def _write_syncpoints(self, min_ts: int, resolved_ts: int) -> None:
@@ -122,8 +149,22 @@ class Changefeed:
 
     # -- lifecycle ---------------------------------------------------------
     def start(self, spark: SparkSession, sf_dir: str, available_now: bool = True):
+        from ticdc_spark.pipeline import (
+            DB_SCHEMES, STORAGE_SCHEMES, build_pipeline, build_pipeline_uncoded,
+            compile_sink_tail, sink_scheme,
+        )
+
         cl = stream_changelog(spark, sf_dir)
-        out = build_pipeline(cl, self.cfg)
+        scheme = sink_scheme(self.cfg)
+        if scheme in DB_SCHEMES or scheme in STORAGE_SCHEMES:
+            # stream the streaming-safe filter prefix; the sink-specific
+            # tail (compaction windows, SQL batching, file layout) runs
+            # per micro-batch in _foreach_batch
+            out = build_pipeline_uncoded(cl, self.cfg)
+            self._sink_compile = lambda df: compile_sink_tail(df, self.cfg)
+        else:
+            out = build_pipeline(cl, self.cfg)
+            self._sink_compile = None
         writer = (
             out.writeStream.foreachBatch(self._foreach_batch)
             .option("checkpointLocation", self.checkpoint_dir)
