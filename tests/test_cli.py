@@ -74,3 +74,12 @@ def test_other_nouns(server):
     assert rc == 0 and meta["kvs"][0]["key"].endswith("cf2")
     rc, _ = run(url, "unsafe", "delete-service-gc-safepoint")
     assert rc == 0
+
+
+def test_create_with_sink_uri(server):
+    url, toml = server
+    rc, doc = run(url, "changefeed", "create", "-c", "cf-uri",
+                  "--config", toml, "--sink-uri", "mysql://root@h:4000/db")
+    assert rc == 0 and doc["sink_uri"] == "mysql://root@h:4000/db"
+    rc, doc = run(url, "changefeed", "query", "-c", "cf-uri")
+    assert doc["sink_uri"] == "mysql://root@h:4000/db"

@@ -340,7 +340,8 @@ class ApiServer:
                     if not cid:
                         return self._send(400, {"error_msg": "changefeed_id required"})
                     try:
-                        registry.create(cid, toml)
+                        registry.create(cid, toml,
+                                        sink_uri=body.get("sink_uri"))
                     except ValueError as e:
                         return self._send(400, {"error_msg": str(e)})
                     return self._send(200, registry.describe(cid))

@@ -62,6 +62,8 @@ def build_parser() -> argparse.ArgumentParser:
         if config:
             c.add_argument("--config", required=True,
                            help="changefeed TOML config file")
+            c.add_argument("--sink-uri", default=None,
+                           help="downstream URI (kafka://, mysql://, s3://...)")
         if table_id:
             c.add_argument("--table-id", type=int, required=True)
             c.add_argument("--n-regions", type=int, default=1)
@@ -100,8 +102,10 @@ def main(argv: list[str] | None = None, out=sys.stdout) -> int:
         if a.verb == "create":
             with open(a.config) as f:
                 toml = f.read()
-            return _emit(*_call(s, "/api/v2/changefeeds", "POST",
-                                {"changefeed_id": cid, "config_toml": toml}),
+            body = {"changefeed_id": cid, "config_toml": toml}
+            if a.sink_uri:
+                body["sink_uri"] = a.sink_uri
+            return _emit(*_call(s, "/api/v2/changefeeds", "POST", body),
                          out=out)
         if a.verb == "list":
             return _emit(*_call(s, "/api/v2/changefeeds"), out=out)

@@ -40,12 +40,20 @@ class ChangefeedRegistry:
             json.dump(state, f, indent=2)
 
     # -- API (api/v2 equivalents) -----------------------------------------
-    def create(self, changefeed_id: str, config_toml: str) -> Changefeed:
+    def create(self, changefeed_id: str, config_toml: str,
+               sink_uri: str | None = None) -> Changefeed:
+        """CreateChangefeed: like the reference, the sink URI is a
+        first-class argument beside the replica config
+        (`api/v2/changefeed.go:89` ChangefeedConfig.SinkURI); when given
+        it overrides any ``sink-uri`` key in the TOML."""
         state = self._load()
         if changefeed_id in state and state[changefeed_id]["state"] != "removed":
             raise ValueError(f"changefeed {changefeed_id} already exists")
         cfg = parse_changefeed_config(config_toml)
-        state[changefeed_id] = {"state": "normal", "config_toml": config_toml}
+        if sink_uri:
+            cfg.sink_uri = sink_uri
+        state[changefeed_id] = {"state": "normal", "config_toml": config_toml,
+                                "sink_uri": cfg.sink_uri}
         self._save(state)
         cf = Changefeed(changefeed_id, cfg, self.work_dir)
         self._live[changefeed_id] = cf
@@ -60,6 +68,8 @@ class ChangefeedRegistry:
             raise KeyError(changefeed_id)
         if changefeed_id not in self._live:
             cfg = parse_changefeed_config(state[changefeed_id]["config_toml"])
+            if state[changefeed_id].get("sink_uri"):
+                cfg.sink_uri = state[changefeed_id]["sink_uri"]
             self._live[changefeed_id] = Changefeed(changefeed_id, cfg, self.work_dir)
         return self._live[changefeed_id]
 
@@ -103,6 +113,7 @@ class ChangefeedRegistry:
             "id": changefeed_id,
             "state": state[changefeed_id]["state"],
             "config_toml": state[changefeed_id]["config_toml"],
+            "sink_uri": cf.cfg.sink_uri,
             "checkpoint_ts": cf.checkpoint_ts(),
         }
 
