@@ -77,3 +77,24 @@ def test_column_pruning(spark, sf_dir):
     p2 = _plan(QUERIES["dedup_exact"](spark, sf_dir))
     rs2 = p2.split("ReadSchema:")[1].splitlines()[0]
     assert "text" in rs2 and "source" not in rs2 and "lang" not in rs2
+
+
+def test_sink_tail_shuffle_budgets(spark, sf_dir):
+    """compile_changefeed per-scheme exchange budgets: mysql = compaction
+    fold + batch window (2), safe-mode SQL gen is map-only (0), storage
+    = file-index window only (1). Guards the at-scale sink shapes."""
+    from ticdc_spark.pipeline import ChangefeedConfig, compile_changefeed
+    from ticdc_spark.sources.changelog import events_changelog
+
+    cl = events_changelog(spark, sf_dir)
+    budgets = [
+        ({"sink_uri": "mysql://h/"}, 2),
+        ({"sink_uri": "tidb://h/", "safe_mode": True}, 0),
+        ({"sink_uri": "s3://b/p", "protocol": "csv"}, 1),
+        ({"sink_uri": "blackhole://"}, 1),  # scale_out spread only
+    ]
+    for kw, budget in budgets:
+        out = compile_changefeed(cl, ChangefeedConfig(**kw))
+        p = _plan(out)
+        shuffles = p.count("Exchange") - p.count("BroadcastExchange")
+        assert shuffles <= budget, f"{kw}: {shuffles} > {budget}\n{p}"
