@@ -185,6 +185,12 @@ def test_ineligible_table_reported(tmp_path):
         assert st == 200
         assert [t["table_name"] for t in doc["ineligible_tables"]] == ["no_pk"]
         assert len(doc["eligible_tables"]) == 5
+        # force-replicate admits PK-less tables
+        st, doc = _req(f"http://127.0.0.1:{port}/api/v2/verify_table",
+                       "POST", {"filter_rules": ["test.*"],
+                                "force_replicate": True})
+        assert doc["ineligible_tables"] == []
+        assert len(doc["eligible_tables"]) == 6
     finally:
         srv.stop()
 

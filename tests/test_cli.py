@@ -83,3 +83,20 @@ def test_create_with_sink_uri(server):
     assert rc == 0 and doc["sink_uri"] == "mysql://root@h:4000/db"
     rc, doc = run(url, "changefeed", "query", "-c", "cf-uri")
     assert doc["sink_uri"] == "mysql://root@h:4000/db"
+
+
+def test_consumer_replay_tool(server, spark, sf_dir, tmp_path):
+    """cmd/kafka-consumer analog: run a changefeed, then rebuild state
+    from its sink files via the CLI consumer verb."""
+    from ticdc_spark.streaming.registry import ChangefeedRegistry
+
+    reg = ChangefeedRegistry(str(tmp_path / "wd2"))
+    reg.create("cf-replay", REFERENCE_TOML)
+    reg.run("cf-replay", spark, sf_dir, timeout_s=240)
+    sink_dir = reg.get("cf-replay").sink_dir
+    out_dir = str(tmp_path / "state")
+    rc, doc = run("http://unused", "consumer", "replay",
+                  "--sink-dir", sink_dir, "--output", out_dir)
+    assert rc == 0 and doc["rows"] > 0
+    state = spark.read.parquet(out_dir)
+    assert {"schema_name", "table_name", "id", "val", "k"} <= set(state.columns)

@@ -186,6 +186,9 @@ class ApiServer:
                 split by PK/not-null-UK eligibility (F6 IsEligibleTable)."""
                 rules = body.get("filter_rules", ["*.*"])
                 ts = body.get("start_ts", 2**62)
+                # force-replicate admits PK-less tables (F6 eligibility
+                # override, `pkg/filter/filter.go:236` ForceReplicate)
+                force = bool(body.get("force_replicate", False))
                 doc = lambda t: {  # noqa: E731
                     "schema_name": t.schema_name,
                     "table_name": t.table_name,
@@ -195,9 +198,8 @@ class ApiServer:
                 for t in server.schema_store.get_all_physical_tables(ts=ts):
                     if not match_table(rules, t.schema_name, t.table_name):
                         continue
-                    (eligible if t.has_pk_or_not_null_uk else ineligible).append(
-                        doc(t)
-                    )
+                    ok = force or t.has_pk_or_not_null_uk
+                    (eligible if ok else ineligible).append(doc(t))
                 return {
                     "eligible_tables": eligible,
                     "ineligible_tables": ineligible,

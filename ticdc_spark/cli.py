@@ -91,6 +91,14 @@ def build_parser() -> argparse.ArgumentParser:
     uns = sub.add_parser("unsafe").add_subparsers(dest="verb", required=True)
     uns.add_parser("show-metadata")
     uns.add_parser("delete-service-gc-safepoint")
+    # consumer tools (`cmd/kafka-consumer`, `cmd/storage-consumer`):
+    # decode a changefeed's sink output and rebuild table state locally
+    con = sub.add_parser("consumer").add_subparsers(dest="verb", required=True)
+    rep = con.add_parser("replay")
+    rep.add_argument("--sink-dir", required=True,
+                     help="a changefeed's sink output directory")
+    rep.add_argument("--output", required=True,
+                     help="parquet directory for the rebuilt state")
     return p
 
 
@@ -148,6 +156,18 @@ def main(argv: list[str] | None = None, out=sys.stdout) -> int:
             return _emit(*_call(s, "/api/v2/unsafe/metadata"), out=out)
         return _emit(*_call(s, "/api/v2/unsafe/service_gc_safepoint",
                             "DELETE"), out=out)
+    if a.noun == "consumer":
+        # local Spark job, no HTTP: the consumer is its own process in
+        # the reference too (cmd/kafka-consumer applies to MySQL; here
+        # the rebuilt state lands in parquet for diffing)
+        from ticdc_spark.session import get_spark
+        from ticdc_spark.sinks.consumer import replay_sink_dir
+
+        spark = get_spark("ticdc-consumer")
+        state = replay_sink_dir(spark, a.sink_dir)
+        state.write.mode("overwrite").parquet(a.output)
+        n = spark.read.parquet(a.output).count()
+        return _emit(200, {"rows": n, "output": a.output}, out=out)
     raise AssertionError("unreachable")
 
 
