@@ -197,8 +197,16 @@ def test_ineligible_table_reported(tmp_path):
 
 def test_split_table_by_region_count(api):
     base, _ = api
+    split_toml = REFERENCE_TOML + "\n[scheduler]\nenable-table-across-nodes = true\n"
     _req(f"{base}/api/v2/changefeeds", "POST",
-         {"changefeed_id": "cf-s", "config_toml": REFERENCE_TOML})
+         {"changefeed_id": "cf-s", "config_toml": split_toml})
+    # a changefeed without the scheduler flag is rejected
+    _req(f"{base}/api/v2/changefeeds", "POST",
+         {"changefeed_id": "cf-noflag", "config_toml": REFERENCE_TOML})
+    st, err = _req(
+        f"{base}/api/v2/changefeeds/cf-noflag/split_table_by_region_count?tableID=1",
+        "POST", {"n_regions": 10, "spans_num": 3})
+    assert st == 400 and "enable_table_across_nodes" in err["error_msg"]
     # 10 regions into 3 spans: stepper gives sizes 4,3,3
     st, doc = _req(
         f"{base}/api/v2/changefeeds/cf-s/split_table_by_region_count?tableID=1",

@@ -20,7 +20,8 @@ def server(tmp_path):
     srv = ApiServer(reg)
     port = srv.start()
     toml_path = tmp_path / "cf.toml"
-    toml_path.write_text(REFERENCE_TOML)
+    toml_path.write_text(
+        REFERENCE_TOML + "\n[scheduler]\nenable-table-across-nodes = true\n")
     yield f"http://127.0.0.1:{port}", str(toml_path)
     srv.stop()
 

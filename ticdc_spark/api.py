@@ -358,6 +358,14 @@ class ApiServer:
                         400, {"error_msg": f"changefeed not found: {cid}"}
                     )
                 if verb == "/split_table_by_region_count":
+                    # `changefeed.go:1346`: splitting requires the
+                    # scheduler's enable-table-across-nodes flag
+                    if not registry.get(cid).cfg.enable_table_across_nodes:
+                        return self._send(400, {
+                            "error_msg": "enable_table_across_nodes should "
+                            "be true when spliting one table to multiple "
+                            "spans"
+                        })
                     try:
                         table_id = int(query["tableID"][0])
                     except (KeyError, ValueError):

@@ -42,6 +42,7 @@ def parse_changefeed_config(text: str, fmt: str = "toml") -> ChangefeedConfig:
     filt = doc.get("filter", {})
     sink = doc.get("sink", {})
     integrity = doc.get("integrity", {})
+    sched = doc.get("scheduler", {})
 
     event_filters: list[dict] = []
     expr_filter: dict | None = None
@@ -93,6 +94,11 @@ def parse_changefeed_config(text: str, fmt: str = "toml") -> ChangefeedConfig:
         csv_config=sink.get("csv") or None,
         integrity_check_level=integrity.get("integrity-check-level", "none"),
         sink_uri=doc.get("sink-uri", "blackhole://"),
+        transaction_atomicity=sink.get("transaction-atomicity", "none"),
+        bdr_mode=doc.get("bdr-mode", False),
+        enable_table_across_nodes=sched.get("enable-table-across-nodes", False),
+        region_threshold=sched.get("region-threshold", 100_000),
+        write_key_threshold=sched.get("write-key-threshold", 0),
     )
     if sync_interval:
         cfg.sync_point_interval_us = parse_duration_us(sync_interval)

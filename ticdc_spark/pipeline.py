@@ -94,6 +94,16 @@ class ChangefeedConfig:
     # (`downstreamadapter/sink/sink.go:53`, schemes
     # `pkg/config/sink_protocol.go:116-140`) ---
     sink_uri: str = "blackhole://"
+    # transaction-atomicity (`pkg/config/sink.go:140`): "none" allows a
+    # txn to be split across flushes; "table" keeps per-table txns whole
+    transaction_atomicity: str = "none"
+    # BDR active-active mode (`pkg/config/replica_config.go:170`) —
+    # enables the soft-delete/conflict-column transforms (P6)
+    bdr_mode: bool = False
+    # [scheduler] (`pkg/config/scheduler_config.go:36-46`)
+    enable_table_across_nodes: bool = False
+    region_threshold: int = 100_000
+    write_key_threshold: int = 0
 
 
 def _encode(df: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
@@ -216,10 +226,23 @@ def compile_sink_tail(df: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
     mode this runs inside foreachBatch, the reference's flush-time sink
     work (`mysql_writer_dml_batch.go`, `pkg/cloudstorage/generator.go`).
     """
+    if cfg.transaction_atomicity not in ("none", "table"):
+        raise ValueError(
+            f"unknown transaction-atomicity: {cfg.transaction_atomicity}"
+        )
     scheme = sink_scheme(cfg)
     if scheme in DB_SCHEMES:
         from ticdc_spark.sinks.mysql import multirow_batches, sql_for_rows
 
+        if cfg.bdr_mode:
+            # P6 active-active: deletes become soft-delete updates so the
+            # peer cluster can resolve conflicts
+            # (`pkg/sink/mysql/mysql_writer_dml_active_active.go`)
+            from ticdc_spark.operators.active_active import (
+                deletes_to_soft_deletes,
+            )
+
+            df = deletes_to_soft_deletes(df)
         if cfg.safe_mode:
             # catch-up mode: per-row idempotent REPLACE upserts
             # (`basic_dispatcher.go:156-161`)
