@@ -339,3 +339,29 @@ def test_changefeed_runs_mysql_and_storage_sinks(spark, sf_dir, tmp_path):
     reg.run("cf-s3", spark, sf_dir, timeout_s=240)
     out = spark.read.json(f"{reg.get('cf-s3').sink_dir}/epoch=*")
     assert out.count() > 0 and {"path", "file_name", "value"} <= set(out.columns)
+
+
+def test_txn_atomicity_table_never_splits_txn(spark, sf_dir):
+    from ticdc_spark.sinks.mysql import txn_flush_batches
+
+    cl = events_changelog(spark, sf_dir)
+    b = txn_flush_batches(cl, max_txn_row=16, atomicity="table")
+    # invariant: one flush batch per (table, start_ts)
+    spans = (b.groupBy("schema_name", "table_name", "start_ts")
+             .agg(F.countDistinct("flush_batch").alias("n"))
+             .filter(F.col("n") > 1).count())
+    assert spans == 0
+    # none-mode chunks at the row threshold (txns may split)
+    n = txn_flush_batches(cl, max_txn_row=16, atomicity="none")
+    sizes = [r["c"] for r in n.groupBy("schema_name", "table_name",
+                                       "flush_batch")
+             .agg(F.count(F.lit(1)).alias("c")).collect()]
+    assert max(sizes) <= 16
+    with pytest.raises(ValueError):
+        txn_flush_batches(cl, atomicity="bogus").collect()
+    # safe-mode + table atomicity stamps flush_batch on the stmt frame
+    from ticdc_spark.pipeline import ChangefeedConfig, compile_changefeed
+    out = compile_changefeed(cl.limit(100), ChangefeedConfig(
+        sink_uri="mysql://h/", safe_mode=True,
+        transaction_atomicity="table"))
+    assert "flush_batch" in out.columns and "stmt" in out.columns

@@ -245,7 +245,13 @@ def compile_sink_tail(df: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
             df = deletes_to_soft_deletes(df)
         if cfg.safe_mode:
             # catch-up mode: per-row idempotent REPLACE upserts
-            # (`basic_dispatcher.go:156-161`)
+            # (`basic_dispatcher.go:156-161`); table-level atomicity
+            # stamps txn-aligned flush batches so a writer can commit
+            # whole transactions
+            if cfg.transaction_atomicity == "table":
+                from ticdc_spark.sinks.mysql import txn_flush_batches
+
+                df = txn_flush_batches(df, atomicity="table")
             return sql_for_rows(df, safe_mode=True,
                                 pk_fields=tuple(cfg.handle_key_fields))
         return multirow_batches(compact_changelog(df),

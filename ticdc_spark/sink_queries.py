@@ -2102,3 +2102,46 @@ FROM ranked WHERE rn = 1
 def q_flow_control_breaker(spark, sf_dir):
     s = usage_samples(events_changelog(spark, sf_dir))
     return circuit_breaker(s, quota_bytes=800, global_pct=85)
+
+
+# ---------------------------------------------------------------------------
+# A5/§2.12 — transaction-atomicity flush batches (sinks/mysql.py)
+# ---------------------------------------------------------------------------
+from ticdc_spark.sinks.mysql import txn_flush_batches  # noqa: E402
+
+_TXN_BATCH_SQL = f"""
+WITH {CHANGELOG_SQL},
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY schema_name, table_name
+        ORDER BY start_ts, commit_ts, seq) AS rn
+    FROM changelog
+),
+prior AS (
+    SELECT *, min(rn) OVER (
+        PARTITION BY schema_name, table_name, start_ts) - 1 AS prior_rows
+    FROM ranked
+),
+batched AS (
+    SELECT *, prior_rows // 64 AS flush_batch FROM prior
+)
+SELECT schema_name, table_name, flush_batch,
+       count(*) AS n_rows,
+       count(DISTINCT start_ts) AS n_txns,
+       min(commit_ts) AS first_ts, max(commit_ts) AS last_ts
+FROM batched GROUP BY 1, 2, 3
+"""
+
+
+@register("txn_flush_batches", _TXN_BATCH_SQL)
+def q_txn_flush_batches(spark, sf_dir):
+    """Txn-aligned flush batches: no start_ts spans two batches by
+    construction; per-batch stats are the oracle surface."""
+    b = txn_flush_batches(events_changelog(spark, sf_dir),
+                          max_txn_row=64, atomicity="table")
+    return b.groupBy("schema_name", "table_name", "flush_batch").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("start_ts").alias("n_txns"),
+        F.min("commit_ts").alias("first_ts"),
+        F.max("commit_ts").alias("last_ts"),
+    )

@@ -248,3 +248,53 @@ def materialize_state(cl_split: DataFrame) -> DataFrame:
             "last_commit_ts", "n_changes",
         )
     )
+
+
+def txn_flush_batches(
+    cl: DataFrame,
+    max_txn_row: int = 256,
+    atomicity: str = "table",
+) -> DataFrame:
+    """A5/§2.12 — transaction-atomicity flush batching
+    (`pkg/config/sink.go:140` TxnAtomicity; MaxTxnRow
+    `pkg/sink/mysql/config.go:49-50`).
+
+    ``atomicity="table"``: a transaction (rows sharing ``start_ts``)
+    never splits across flush batches. Batch id = prior-rows-in-table
+    div max_txn_row computed at TXN granularity — the deterministic,
+    engine-portable form of the reference's "close the batch once it
+    reaches MaxTxnRow" greedy (batches may overshoot by the straddling
+    txn, exactly like the reference's at-least-threshold close; ids are
+    monotone per table but not necessarily dense).
+
+    ``atomicity="none"``: plain row chunking at max_txn_row — a txn may
+    split (`pkg/config/sink.go` allows this for MQ/storage sinks).
+
+    Two windows over the same (table → txn order) partitioning: one
+    shuffle total.
+    """
+    from pyspark.sql import Window
+
+    if atomicity == "none":
+        w = Window.partitionBy("schema_name", "table_name").orderBy(
+            "commit_ts", "start_ts", "seq"
+        )
+        return cl.withColumn(
+            "flush_batch",
+            F.expr(f"(row_number() OVER (PARTITION BY schema_name, "
+                   f"table_name ORDER BY commit_ts, start_ts, seq) - 1) "
+                   f"div {max_txn_row}"),
+        )
+    if atomicity != "table":
+        raise ValueError(f"unknown transaction-atomicity: {atomicity}")
+    wt = Window.partitionBy("schema_name", "table_name").orderBy(
+        "start_ts", "commit_ts", "seq"
+    )
+    # rows before this one in txn order, then held constant per txn:
+    # prior_rows(txn) = rows of all earlier txns in the same table
+    ranked = cl.withColumn("_rn", F.row_number().over(wt))
+    wtx = Window.partitionBy("schema_name", "table_name", "start_ts")
+    prior = (F.min("_rn").over(wtx) - 1).cast("long")
+    return ranked.withColumn(
+        "flush_batch", F.floor(prior / max_txn_row).cast("long")
+    ).drop("_rn")
