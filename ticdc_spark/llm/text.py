@@ -306,3 +306,42 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
     return docs.select("doc_id", "text").repartition(parallelism).mapInPandas(
         _rep_batches, schema)
+
+
+def tfidf_keywords(docs: DataFrame, k: int = 5) -> DataFrame:
+    """TF-IDF keyword extraction: top-k terms per document by
+    tf * ln(N/df) — keyword tagging / topic features for a training
+    corpus.
+
+    Scale shape: one explode + two partial-aggregated groupBys + the
+    per-doc rank window; the document-frequency table is
+    vocabulary-sized, so it and the corpus count join back via
+    BROADCAST — the big (doc, term) side is never re-shuffled for the
+    join, only for the final doc-window rank.
+    Scores round to 6 decimals before ranking so the ordering is
+    engine-portable (ln differs in the last ulp across libms);
+    deterministic tie-break on the term text.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(F.broadcast(df_), "term").crossJoin(F.broadcast(n))
+    score = F.round(
+        F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+    )
+    ranked = scored.withColumn("score", score).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                F.desc("score"), F.asc("term")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rk") <= k).select(
+        "doc_id", "term", "tf", "df", "score", "rk"
+    )

@@ -910,3 +910,40 @@ def q_multimodal_waveform(spark, sf_dir):
     from ticdc_spark.llm.multimodal import waveform_stats
 
     return waveform_stats(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (llm/text.py)
+# ---------------------------------------------------------------------------
+from ticdc_spark.llm.text import tfidf_keywords  # noqa: E402
+
+_TFIDF_SQL = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks
+    WHERE term <> '' GROUP BY 1, 2
+),
+df AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY 1
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           round(tf.tf * ln(n.n_docs / df.df), 6) AS score
+    FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+    FROM scored
+)
+SELECT doc_id, term, tf, df, score, rk FROM ranked WHERE rk <= 5
+"""
+
+
+@register("tfidf_keywords", _TFIDF_SQL)
+def q_tfidf_keywords(spark, sf_dir):
+    return tfidf_keywords(_docs(spark, sf_dir), k=5)
