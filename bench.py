@@ -87,6 +87,7 @@ def main() -> None:
         "decontaminate", "repetition_metrics", "scan_chunk_split",
         "open_protocol_consumer_roundtrip", "codec_csv_exotic",
         "redo_apply_state", "span_split_write_bytes",
+        "storage_consumer_roundtrip", "txn_flush_batches", "tfidf_keywords",
     ]
     def time_query(name: str) -> float:
         t0 = time.perf_counter()
