@@ -114,3 +114,34 @@ def test_synthetic_regions_contiguous(spark, sf_dir):
     assert len(rows) > 0
     assert all(r.written_bytes > 0 for r in rows)
     assert all(r.end_key - r.start_key == 64 for r in rows)
+
+
+def test_balance_invariants(spark, sf_dir):
+    """Post-balance every node holds >= floor(total/n); exactly
+    move_size spans moved; batch_size caps the plan."""
+    from pyspark.sql import functions as F
+
+    from ticdc_spark.plans.scheduler import balance_spans, check_balance_status
+    from ticdc_spark.sink_queries import _balance_inputs
+
+    assign, nodes = _balance_inputs(spark, sf_dir)
+    plan = balance_spans(assign, nodes).cache()
+    total = plan.count()
+    floor_limit = total // 4
+    loads_after = dict(
+        plan.groupBy("node_id_after").agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    # node_3 started empty and must reach the floor
+    assert all(
+        loads_after.get(f"node_{i}", 0) >= floor_limit for i in range(4)
+    ), loads_after
+    moved = plan.filter(F.col("move_rank").isNotNull())
+    d = check_balance_status(assign, nodes).collect()[0]["move_size"]
+    assert moved.count() == d > 0
+    # movers only land on under-floor nodes, and come off loaded ones
+    assert moved.filter(F.col("node_id_before") == F.col("node_id_after")
+                        ).count() == 0
+    # batch cap limits the number of moves
+    capped = balance_spans(assign, nodes, batch_size=3)
+    assert capped.filter(F.col("move_rank").isNotNull()).count() == 3

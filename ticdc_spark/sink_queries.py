@@ -2145,3 +2145,94 @@ def q_txn_flush_batches(spark, sf_dir):
         F.min("commit_ts").alias("first_ts"),
         F.max("commit_ts").alias("last_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Scheduler balance planning (plans/scheduler.py — pkg/scheduler/balance.go)
+# ---------------------------------------------------------------------------
+from ticdc_spark.plans.scheduler import balance_spans, check_balance_status  # noqa: E402
+
+_BALANCE_SETUP = """
+spans AS (
+    SELECT DISTINCT table_id * 100000 + pk // 64 AS span_id FROM changelog
+),
+assign AS (
+    SELECT span_id,
+           'node_' || (CASE WHEN span_id % 10 < 6 THEN 0
+                            WHEN span_id % 10 < 9 THEN 1 ELSE 2 END) AS node_id
+    FROM spans
+),
+nodes AS (SELECT 'node_' || i AS node_id FROM range(4) t(i)),
+loads AS (
+    SELECT n.node_id, count(a.span_id) AS load
+    FROM nodes n LEFT JOIN assign a USING (node_id) GROUP BY 1
+),
+tot AS (SELECT sum(load) // count(*) AS floor_limit FROM loads),
+dd AS (SELECT sum(greatest(floor_limit - load, 0)) AS d FROM loads, tot)
+"""
+
+_BALANCE_SQL = f"""
+WITH {CHANGELOG_SQL}, {_BALANCE_SETUP.strip()},
+takes AS (
+    SELECT a.span_id, a.node_id, l.load,
+           row_number() OVER (PARTITION BY a.node_id ORDER BY a.span_id) AS e
+    FROM assign a JOIN loads l USING (node_id)
+),
+takes2 AS (
+    SELECT *, row_number() OVER (
+        ORDER BY load - e DESC, node_id ASC, e ASC) AS take_rank
+    FROM takes
+),
+slots AS (
+    SELECT l.node_id, l.load,
+           unnest(generate_series(1::BIGINT, ((SELECT floor_limit FROM tot) - l.load)::BIGINT)) AS f
+    FROM loads l WHERE l.load < (SELECT floor_limit FROM tot)
+),
+slots2 AS (
+    SELECT node_id AS to_node, load + f AS prio, f,
+           row_number() OVER (ORDER BY load + f ASC, node_id ASC, f ASC) AS slot_rank
+    FROM slots
+),
+moved AS (
+    SELECT t.span_id, s.to_node, t.take_rank AS move_rank
+    FROM takes2 t JOIN slots2 s ON t.take_rank = s.slot_rank
+    WHERE t.take_rank <= (SELECT d FROM dd)
+)
+SELECT a.span_id, a.node_id AS node_id_before,
+       coalesce(m.to_node, a.node_id) AS node_id_after,
+       m.move_rank
+FROM assign a LEFT JOIN moved m USING (span_id)
+"""
+
+
+def _balance_inputs(spark, sf_dir):
+    cl = events_changelog(spark, sf_dir)
+    spans = cl.select(
+        (F.col("table_id") * 100000 + F.expr("pk div 64")).alias("span_id")
+    ).distinct()
+    idx = F.when(F.col("span_id") % 10 < 6, F.lit(0)).when(
+        F.col("span_id") % 10 < 9, F.lit(1)
+    ).otherwise(F.lit(2))
+    assign = spans.withColumn("node_id", F.concat(F.lit("node_"), idx))
+    nodes = spark.range(4).select(
+        F.concat(F.lit("node_"), F.col("id")).alias("node_id")
+    )
+    return assign, nodes
+
+
+@register("scheduler_balance", _BALANCE_SQL)
+def q_scheduler_balance(spark, sf_dir):
+    """Balance plan over a deliberately imbalanced span→node assignment
+    (node_3 starts empty); every under-floor node is topped up to
+    floor(total/4) from the most-loaded nodes, heap-pop order."""
+    assign, nodes = _balance_inputs(spark, sf_dir)
+    return balance_spans(assign, nodes)
+
+
+@register(
+    "scheduler_balance_status",
+    f"WITH {CHANGELOG_SQL}, {_BALANCE_SETUP.strip()} SELECT d AS move_size FROM dd",
+)
+def q_scheduler_balance_status(spark, sf_dir):
+    assign, nodes = _balance_inputs(spark, sf_dir)
+    return check_balance_status(assign, nodes)
