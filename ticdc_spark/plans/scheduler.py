@@ -130,3 +130,55 @@ def check_balance_status(assign: DataFrame, nodes: DataFrame) -> DataFrame:
             ).alias("move_size")
         )
     )
+
+
+def drain_node(
+    assign: DataFrame,
+    nodes: DataFrame,
+    drained: str,
+) -> DataFrame:
+    """Drain planning (`maintainer/scheduler/drain.go`): every span on
+    the drained node moves off; targets fill by the same least-loaded
+    slot priority as ``balance_spans`` (load_j + f, smallest first), so
+    the drained work spreads evenly across the survivors. Victims leave
+    in span-id order. Output mirrors ``balance_spans``."""
+    survivors = nodes.filter(F.col("node_id") != drained)
+    loads = (
+        survivors.join(
+            assign.groupBy("node_id").agg(F.count(F.lit(1)).alias("load")),
+            "node_id", "left",
+        ).select("node_id", F.coalesce("load", F.lit(0)).alias("load"))
+    )
+    victims = assign.filter(F.col("node_id") == drained)
+    d = victims.agg(F.count(F.lit(1)).alias("d"))
+    # slots: enough fills per survivor to cover the whole drained load
+    slots = (
+        loads.crossJoin(F.broadcast(d))
+        .select(
+            "node_id", "load",
+            F.explode(F.sequence(F.lit(1), F.col("d"))).alias("_f"),
+        )
+        .withColumn("_prio", F.col("load") + F.col("_f"))
+    )
+    w_slot = Window.orderBy(F.asc("_prio"), F.asc("node_id"), F.asc("_f"))
+    slots = slots.withColumn(
+        "_slot_rank", F.row_number().over(w_slot)
+    ).select("_slot_rank", F.col("node_id").alias("_to_node"))
+
+    w_take = Window.orderBy(F.asc("span_id"))
+    moved = (
+        victims.withColumn("_take_rank", F.row_number().over(w_take))
+        .join(F.broadcast(slots),
+              F.col("_take_rank") == F.col("_slot_rank"))
+        .select("span_id", "_to_node",
+                F.col("_take_rank").alias("move_rank"))
+    )
+    return (
+        assign.join(moved, "span_id", "left")
+        .select(
+            "span_id",
+            F.col("node_id").alias("node_id_before"),
+            F.coalesce("_to_node", F.col("node_id")).alias("node_id_after"),
+            "move_rank",
+        )
+    )

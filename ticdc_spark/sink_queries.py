@@ -2236,3 +2236,46 @@ def q_scheduler_balance(spark, sf_dir):
 def q_scheduler_balance_status(spark, sf_dir):
     assign, nodes = _balance_inputs(spark, sf_dir)
     return check_balance_status(assign, nodes)
+
+
+_DRAIN_SQL = f"""
+WITH {CHANGELOG_SQL}, {_BALANCE_SETUP.strip()},
+survivors AS (SELECT node_id FROM nodes WHERE node_id <> 'node_0'),
+sloads AS (
+    SELECT s.node_id, count(a.span_id) AS load
+    FROM survivors s LEFT JOIN assign a USING (node_id) GROUP BY 1
+),
+victims AS (
+    SELECT span_id, row_number() OVER (ORDER BY span_id) AS take_rank
+    FROM assign WHERE node_id = 'node_0'
+),
+vd AS (SELECT count(*) AS d FROM victims),
+slots AS (
+    SELECT l.node_id, l.load,
+           unnest(generate_series(1::BIGINT, (SELECT d FROM vd)::BIGINT)) AS f
+    FROM sloads l
+),
+slots2 AS (
+    SELECT node_id AS to_node, f,
+           row_number() OVER (ORDER BY load + f ASC, node_id ASC, f ASC) AS slot_rank
+    FROM slots
+),
+moved AS (
+    SELECT v.span_id, s.to_node, v.take_rank AS move_rank
+    FROM victims v JOIN slots2 s ON v.take_rank = s.slot_rank
+)
+SELECT a.span_id, a.node_id AS node_id_before,
+       coalesce(m.to_node, a.node_id) AS node_id_after,
+       m.move_rank
+FROM assign a LEFT JOIN moved m USING (span_id)
+"""
+
+
+@register("scheduler_drain", _DRAIN_SQL)
+def q_scheduler_drain(spark, sf_dir):
+    """Drain node_0 (the most loaded): its spans spread across the
+    survivors by least-loaded slot priority."""
+    from ticdc_spark.plans.scheduler import drain_node
+
+    assign, nodes = _balance_inputs(spark, sf_dir)
+    return drain_node(assign, nodes, "node_0")
