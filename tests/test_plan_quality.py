@@ -98,3 +98,21 @@ def test_sink_tail_shuffle_budgets(spark, sf_dir):
         p = _plan(out)
         shuffles = p.count("Exchange") - p.count("BroadcastExchange")
         assert shuffles <= budget, f"{kw}: {shuffles} > {budget}\n{p}"
+
+
+def test_new_operator_shuffle_budgets(spark, sf_dir):
+    """Budgets for the newer operators: txn batching reuses one
+    (table)-ordered shuffle; the storage round-trip pays spread +
+    replay; tfidf pays tf/df aggs + rank window with broadcast joins."""
+    budgets = [
+        ("txn_flush_batches", 2),
+        ("storage_consumer_roundtrip", 3),
+        ("tfidf_keywords", 5),
+        ("dedup_exact", 1),
+        ("lang_id", 0),
+        ("doc_fingerprint", 0),
+    ]
+    for name, budget in budgets:
+        p = _plan(QUERIES[name](spark, sf_dir))
+        shuffles = p.count("Exchange") - p.count("BroadcastExchange")
+        assert shuffles <= budget, f"{name}: {shuffles} > {budget}\n{p}"

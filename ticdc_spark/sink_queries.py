@@ -2207,9 +2207,12 @@ FROM assign a LEFT JOIN moved m USING (span_id)
 
 def _balance_inputs(spark, sf_dir):
     cl = events_changelog(spark, sf_dir)
+    # the span list feeds several scheduler subtrees (loads, victims,
+    # slots); cache the one changelog-wide distinct so the big scan runs
+    # once — everything downstream is node-count metadata
     spans = cl.select(
         (F.col("table_id") * 100000 + F.expr("pk div 64")).alias("span_id")
-    ).distinct()
+    ).distinct().cache()
     idx = F.when(F.col("span_id") % 10 < 6, F.lit(0)).when(
         F.col("span_id") % 10 < 9, F.lit(1)
     ).otherwise(F.lit(2))
