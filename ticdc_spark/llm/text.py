@@ -345,3 +345,30 @@ def tfidf_keywords(docs: DataFrame, k: int = 5) -> DataFrame:
     return ranked.filter(F.col("rk") <= k).select(
         "doc_id", "term", "tf", "df", "score", "rk"
     )
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Unigram LM quality score: avg ln p(token) per document under the
+    corpus's own unigram distribution — the cheap stand-in for KenLM
+    perplexity filtering in pretraining-data pipelines (low average
+    log-probability = unusual/noisy text).
+
+    Scale shape: one explode, one (term) aggregation whose output is
+    vocabulary-sized and broadcast back onto the token stream, then a
+    per-doc aggregation. The corpus token total rides the same broadcast.
+    Rounded to 6 decimals for engine-portable ln.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tc"))
+    total = toks.agg(F.count(F.lit(1)).alias("corpus_tokens"))
+    scored = (
+        toks.join(F.broadcast(counts), "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn("_lp", F.log(F.col("tc") / F.col("corpus_tokens")))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("_lp"), 6).alias("avg_logprob"),
+    )

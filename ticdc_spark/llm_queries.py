@@ -947,3 +947,28 @@ SELECT doc_id, term, tf, df, score, rk FROM ranked WHERE rk <= 5
 @register("tfidf_keywords", _TFIDF_SQL)
 def q_tfidf_keywords(spark, sf_dir):
     return tfidf_keywords(_docs(spark, sf_dir), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM quality scoring (llm/text.py)
+# ---------------------------------------------------------------------------
+from ticdc_spark.llm.text import unigram_logprob  # noqa: E402
+
+_UNIGRAM_SQL = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+    FROM documents
+),
+t2 AS (SELECT * FROM toks WHERE term <> ''),
+counts AS (SELECT term, count(*) AS tc FROM t2 GROUP BY 1),
+total AS (SELECT count(*) AS corpus_tokens FROM t2)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(ln(tc / corpus_tokens)), 6) AS avg_logprob
+FROM t2 JOIN counts USING (term) CROSS JOIN total
+GROUP BY doc_id
+"""
+
+
+@register("unigram_logprob", _UNIGRAM_SQL)
+def q_unigram_logprob(spark, sf_dir):
+    return unigram_logprob(_docs(spark, sf_dir))
