@@ -1,0 +1,114 @@
+"""Bank invariant (`tests/integration_tests/bank` in the reference):
+money moves between accounts in balanced transactions, so the SUM of all
+balances is constant at every transactionally-consistent snapshot. The
+reference verifies this on the downstream database while replication
+runs; here the changelog goes through update-split + materialization and
+the invariant must hold at any commit-ts cut that respects txn
+boundaries (and must be violated by a cut that splits a txn in half —
+the negative control that proves the test can fail)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+N_ACCOUNTS = 50
+INITIAL = 1_000
+N_TXNS = 400
+BASE_TS = 1_700_000_000_000_000
+
+
+def _bank_changelog(spark):
+    """Deterministic transfer history. Each txn = two U rows sharing
+    (start_ts, commit_ts): debit and credit with correct before/after
+    balances (sequential bookkeeping done driver-side — it's fixture
+    generation, not an operator)."""
+    rng = random.Random(7)
+    balances = {a: INITIAL for a in range(N_ACCOUNTS)}
+    rows = []
+    seq = 0
+    for i in range(N_TXNS):
+        src, dst = rng.sample(range(N_ACCOUNTS), 2)
+        amount = rng.randint(1, 20)
+        commit_ts = BASE_TS + (i + 1) * 1_000
+        start_ts = commit_ts - 1
+        for acct, delta, order in ((src, -amount, 0), (dst, +amount, 1)):
+            before = balances[acct]
+            after = before + delta
+            balances[acct] = after
+            rows.append((
+                "bank", "accounts", 1, "U", commit_ts, start_ts,
+                seq, 2, acct,
+                {"id": acct, "val": float(before), "k": None},
+                {"id": acct, "val": float(after), "k": None},
+            ))
+            seq += 1
+    schema = (
+        "schema_name string, table_name string, table_id long, op string, "
+        "commit_ts long, start_ts long, seq long, dml_order long, pk long, "
+        "before struct<id:long, val:double, k:long>, "
+        "after struct<id:long, val:double, k:long>"
+    )
+    # seed rows: inserts at ts 0 so every account exists downstream
+    seeds = [(
+        "bank", "accounts", 1, "I", BASE_TS, BASE_TS - 1,
+        seq + a, 3, a, None, {"id": a, "val": float(INITIAL), "k": None},
+    ) for a in range(N_ACCOUNTS)]
+    return spark.createDataFrame(seeds + rows, schema), balances
+
+
+def _total_at(cl, cut_ts):
+    from ticdc_spark.operators.update_split import split_updates
+    from ticdc_spark.sinks.mysql import materialize_state
+
+    upto = cl.filter(F.col("commit_ts") <= cut_ts)
+    state = materialize_state(split_updates(upto))
+    return state.agg(F.sum("val").alias("s")).collect()[0]["s"]
+
+
+def test_balance_conserved_at_consistent_cuts(spark):
+    cl, final_balances = _bank_changelog(spark)
+    total = N_ACCOUNTS * INITIAL
+    # syncpoint-style cuts at txn boundaries: every 97th commit
+    for i in (1, 97, 199, N_TXNS):
+        cut = BASE_TS + i * 1_000
+        assert _total_at(cl, cut) == total, f"cut at txn {i}"
+    # final state matches the sequential bookkeeping exactly
+    from ticdc_spark.operators.update_split import split_updates
+    from ticdc_spark.sinks.mysql import materialize_state
+
+    state = materialize_state(split_updates(cl))
+    got = {r["id"]: r["val"] for r in state.collect()}
+    assert got == {a: float(v) for a, v in final_balances.items()}
+
+
+def test_mid_txn_cut_breaks_invariant(spark):
+    """Negative control: cutting between a txn's debit and credit rows
+    (seq-level, not commit-ts-level) must break conservation — proving
+    the invariant check is sensitive and that commit-ts atomicity is
+    what protects it."""
+    cl, _ = _bank_changelog(spark)
+    # find a txn and drop its second (credit) row only
+    victim = cl.filter(
+        (F.col("op") == "U") & (F.col("commit_ts") == BASE_TS + 200 * 1_000)
+    ).agg(F.max("seq").alias("m")).collect()[0]["m"]
+    broken = cl.filter(F.col("seq") != victim)
+    # evaluate at the cut right after the mutilated txn — later updates
+    # to the same account would otherwise paper over the hole
+    # (last-write-wins), which is itself worth pinning down
+    s = _total_at(broken, BASE_TS + 200 * 1_000)
+    assert s != N_ACCOUNTS * INITIAL
+
+
+def test_txn_flush_batches_keep_bank_txns_whole(spark):
+    from ticdc_spark.sinks.mysql import txn_flush_batches
+
+    cl, _ = _bank_changelog(spark)
+    b = txn_flush_batches(cl.filter(F.col("op") == "U"),
+                          max_txn_row=7, atomicity="table")
+    spans = (b.groupBy("start_ts")
+             .agg(F.countDistinct("flush_batch").alias("n"))
+             .filter(F.col("n") > 1).count())
+    assert spans == 0
