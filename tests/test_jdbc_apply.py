@@ -38,3 +38,42 @@ def test_safe_mode_apply_matches_materialize(spark, sf_dir):
         for (i, v, k) in con.execute(f"SELECT id, val, k FROM test.{t}").fetchall():
             got[(t, i)] = (round(v, 6), k)
     assert got == expected
+
+
+def test_compile_changefeed_db_stmts_apply(spark, sf_dir):
+    """The sink-URI-dispatched DB tail end to end: compile_changefeed
+    (mysql scheme, safe-mode, table atomicity) emits the stmt frame;
+    applying it slot-free in (commit_ts, dml_order, seq) order rebuilds
+    the same state as materialize_state."""
+    from ticdc_spark.pipeline import ChangefeedConfig, compile_changefeed
+    from ticdc_spark.sources.changelog import events_changelog
+
+    cl = events_changelog(spark, sf_dir)
+    out = compile_changefeed(cl, ChangefeedConfig(
+        sink_uri="mysql://root@h:4000/", safe_mode=True,
+        transaction_atomicity="table"))
+
+    con = duckdb.connect()
+    con.execute("CREATE SCHEMA test")
+    for t in TABLES:
+        con.execute(
+            f"CREATE TABLE test.{t} (id BIGINT PRIMARY KEY, val DOUBLE, k BIGINT)"
+        )
+    rows = (out.select("commit_ts", "dml_order", "seq", "stmt", "flush_batch")
+            .orderBy("commit_ts", "dml_order", "seq").toLocalIterator())
+    n = 0
+    for r in rows:
+        con.execute(mysql_to_duckdb_dialect(r["stmt"]))
+        n += 1
+    assert n > 0
+
+    expected = {
+        (r["table_name"], r["id"]): (round(r["val"], 6), r["k"])
+        for r in materialize_state(
+            split_updates(events_changelog(spark, sf_dir))).collect()
+    }
+    got = {}
+    for t in TABLES:
+        for (i, v, k) in con.execute(f"SELECT id, val, k FROM test.{t}").fetchall():
+            got[(t, i)] = (round(v, 6), k)
+    assert got == expected
