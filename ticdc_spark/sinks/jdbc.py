@@ -56,8 +56,17 @@ def apply_ordered(
 
 
 def mysql_to_duckdb_dialect(stmt: str) -> str:
-    """Test shim: MySQL dialect → DuckDB (backticks, REPLACE INTO)."""
+    """Test shim: MySQL dialect → DuckDB (backticks, REPLACE INTO).
+
+    Multi-row UPDATEs set every column including the PK; DuckDB's PK
+    index rejects updates that touch the key column even when the CASE
+    maps each id to itself (documented index limitation — MySQL applies
+    them fine). Strip the PK self-assignment so the statement runs."""
+    import re as _re
+
     out = stmt.replace("`", '"')
     if out.startswith("REPLACE INTO "):
         out = "INSERT OR REPLACE INTO " + out[len("REPLACE INTO "):]
+    if out.startswith("UPDATE "):
+        out = _re.sub(r'SET "id" = CASE .*? END, ', "SET ", out, count=1)
     return out
