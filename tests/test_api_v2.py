@@ -102,6 +102,7 @@ def test_status_synced_and_gc_safepoint_after_run(api, spark, sf_dir):
     reg.run("cf-run", spark, sf_dir, timeout_s=240)
     st, status = _req(f"{base}/api/v2/changefeeds/cf-run/status")
     assert st == 200 and status["checkpoint_ts"] is not None
+    assert status["rows"] > 0 and status["epochs"] > 0  # statistics
     ckpt = status["checkpoint_ts"]
     # synced: caught up vs a resolved ts at/below the checkpoint, not above
     st, s = _req(f"{base}/api/v2/changefeeds/cf-run/synced",

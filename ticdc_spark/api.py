@@ -288,6 +288,7 @@ class ApiServer:
                     return self._send(200, {
                         "state": info["state"],
                         "checkpoint_ts": info["checkpoint_ts"],
+                        **registry.get(cid).stats(),
                     })
                 if verb == "/synced":
                     # Reference semantics: synced when the checkpoint has

@@ -183,6 +183,23 @@ class Changefeed:
         if self.query is not None and self.query.isActive:
             self.query.stop()
 
+    def stats(self) -> dict:
+        """Changefeed statistics (cli_changefeed_statistics.go shape):
+        totals + throughput derived from the progress log."""
+        if not os.path.exists(self.progress_path):
+            return {"epochs": 0, "rows": 0, "rows_per_sec": None}
+        entries = []
+        with open(self.progress_path) as f:
+            for line in f:
+                entries.append(json.loads(line))
+        rows = sum(e["rows"] for e in entries)
+        elapsed = entries[-1]["wall_ts"] - entries[0]["wall_ts"]
+        return {
+            "epochs": len(entries),
+            "rows": rows,
+            "rows_per_sec": round(rows / elapsed, 1) if elapsed > 0 else None,
+        }
+
     def checkpoint_ts(self) -> int | None:
         """Latest resolved ts from the progress log (A2)."""
         if not os.path.exists(self.progress_path):
