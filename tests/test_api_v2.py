@@ -57,6 +57,11 @@ def test_changefeed_crud_over_http(api):
     st, lst = _req(f"{base}/api/v2/changefeeds")
     assert st == 200 and lst["total"] == 1
     assert lst["items"][0] == {"id": "cf-http", "state": "normal"}
+    # state filter param
+    st, lst = _req(f"{base}/api/v2/changefeeds?state=stopped")
+    assert st == 200 and lst["total"] == 0
+    st, lst = _req(f"{base}/api/v2/changefeeds?state=normal")
+    assert lst["total"] == 1
     # get
     st, doc = _req(f"{base}/api/v2/changefeeds/cf-http")
     assert st == 200 and doc["config_toml"] == REFERENCE_TOML

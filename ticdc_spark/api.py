@@ -211,9 +211,12 @@ class ApiServer:
                 if path == "/api/v2/health":
                     return self._send(200, {"status": "ok"})
                 if path == "/api/v2/changefeeds":
+                    # ?state= filters like the reference's ListChangeFeeds
+                    want = _query.get("state", [None])[0]
                     items = [
                         {"id": cid, "state": st}
                         for cid, st in sorted(registry.list().items())
+                        if want is None or st == want
                     ]
                     return self._send(200, {"total": len(items), "items": items})
                 if path in ("/api/v2/status", "/status"):

@@ -972,3 +972,47 @@ GROUP BY doc_id
 @register("unigram_logprob", _UNIGRAM_SQL)
 def q_unigram_logprob(spark, sf_dir):
     return unigram_logprob(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level exact dedup (llm/text.py chunking + hash groupBy) — the
+# scalable approximation of exact-substring dedup: identical overlapping
+# token windows across documents.
+# ---------------------------------------------------------------------------
+_CHUNK_DUP_SQL = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+starts AS (
+    SELECT doc_id, t,
+           unnest(generate_series(1::BIGINT, greatest(len(t), 1)::BIGINT, 48::BIGINT)) AS s
+    FROM toks
+),
+chunks AS (
+    SELECT doc_id, md5(array_to_string(t[s:s+63], ' ')) AS chunk_fp
+    FROM starts
+)
+SELECT chunk_fp, count(*) AS n_copies, count(DISTINCT doc_id) AS n_docs,
+       min(doc_id) AS canonical_doc
+FROM chunks GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+@register("dedup_chunks", _CHUNK_DUP_SQL)
+def q_dedup_chunks(spark, sf_dir):
+    """Duplicated chunk windows across the corpus: chunk → md5 →
+    hash-groupBy, keeping only fingerprints with more than one copy.
+    One shuffle on the digest; at 100 TB this is the standard
+    exact-substring-dedup first pass (Lee et al. dedup windows)."""
+    from ticdc_spark.llm.text import chunk_documents
+
+    ch = chunk_documents(_docs(spark, sf_dir))
+    return (
+        ch.groupBy("chunk_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
