@@ -145,3 +145,54 @@ def test_balance_invariants(spark, sf_dir):
     # batch cap limits the number of moves
     capped = balance_spans(assign, nodes, batch_size=3)
     assert capped.filter(F.col("move_rank").isNotNull()).count() == 3
+
+
+def test_balance_closed_form_matches_heap_simulation(spark):
+    """The window-rank closed form must reproduce the reference's literal
+    heap process (balance.go:58-146) move-for-move when victim order is
+    span-id (our determinization of the reference's shuffle): same moved
+    spans, same targets."""
+    import heapq
+    import random
+
+    from ticdc_spark.plans.scheduler import balance_spans
+
+    rng = random.Random(11)
+    for case in range(5):
+        n_nodes = rng.randint(2, 5)
+        node_ids = [f"n{i}" for i in range(n_nodes)]
+        spans = []
+        for s in range(rng.randint(5, 40)):
+            spans.append((s, rng.choice(node_ids[:max(1, n_nodes - 1)])))
+
+        # literal simulation: min/max heaps keyed by (load, node_id);
+        # victims leave each node in span-id order
+        loads = {n: 0 for n in node_ids}
+        per_node = {n: [] for n in node_ids}
+        for s, n in spans:
+            loads[n] += 1
+            per_node[n].append(s)
+        for n in per_node:
+            per_node[n].sort()
+        floor_limit = len(spans) // n_nodes
+        expected_moves = {}
+        while True:
+            under = [n for n in node_ids if loads[n] < floor_limit]
+            if not under:
+                break
+            target = min(under, key=lambda n: (loads[n], n))
+            # max load, tie -> smallest node id (match closed form)
+            best = max(loads.values())
+            victim = min(n for n in node_ids if loads[n] == best)
+            sp = per_node[victim].pop(0)
+            expected_moves[sp] = target
+            loads[victim] -= 1
+            loads[target] += 1
+
+        assign = spark.createDataFrame(spans, "span_id long, node_id string")
+        nodes = spark.createDataFrame([(n,) for n in node_ids],
+                                      "node_id string")
+        plan = balance_spans(assign, nodes)
+        got = {r["span_id"]: r["node_id_after"]
+               for r in plan.filter("move_rank is not null").collect()}
+        assert got == expected_moves, f"case {case}: {got} != {expected_moves}"
