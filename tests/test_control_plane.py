@@ -365,3 +365,21 @@ def test_txn_atomicity_table_never_splits_txn(spark, sf_dir):
         sink_uri="mysql://h/", safe_mode=True,
         transaction_atomicity="table"))
     assert "flush_batch" in out.columns and "stmt" in out.columns
+
+
+def test_failed_state_and_resume_clears_error(spark, sf_dir, tmp_path):
+    """A changefeed whose pipeline raises lands in 'failed' with the
+    error recorded; resume clears it and retries from 'normal'."""
+    bad_toml = REFERENCE_TOML.replace(
+        "ignore-insert-value-expr = 'val > 195.0'",
+        "ignore-insert-value-expr = 'no_such_column > 1'")
+    reg = ChangefeedRegistry(str(tmp_path))
+    reg.create("cf-bad", bad_toml)
+    with pytest.raises(Exception):
+        reg.run("cf-bad", spark, sf_dir, timeout_s=120)
+    assert reg.list()["cf-bad"] == "failed"
+    info = reg.describe("cf-bad")
+    assert "no_such_column" in info["error"] or "error" in info
+    reg.resume("cf-bad")
+    assert reg.list()["cf-bad"] == "normal"
+    assert "error" not in reg.describe("cf-bad")

@@ -75,16 +75,33 @@ class ChangefeedRegistry:
 
     def run(self, changefeed_id: str, spark: SparkSession, sf_dir: str,
             timeout_s: float = 300.0) -> None:
+        """Run to completion; a failing pipeline moves the changefeed to
+        the ``failed`` state with the error recorded (ChangeFeedInfo
+        State/Error, `pkg/config/changefeed.go:252-281`) instead of
+        leaving it stuck in ``normal``. A later resume clears the error
+        and retries."""
         cf = self.get(changefeed_id)
-        cf.start(spark, sf_dir, available_now=True)
-        cf.wait(timeout_s)
+        try:
+            cf.start(spark, sf_dir, available_now=True)
+            cf.wait(timeout_s)
+        except Exception as e:
+            state = self._load()
+            state[changefeed_id]["state"] = "failed"
+            state[changefeed_id]["error"] = str(e)[:500]
+            self._save(state)
+            raise
 
     def pause(self, changefeed_id: str) -> None:
         self.get(changefeed_id).stop()
         self._set_state(changefeed_id, "stopped")
 
     def resume(self, changefeed_id: str) -> None:
-        self._set_state(changefeed_id, "normal")
+        state = self._load()
+        if changefeed_id not in state:
+            raise KeyError(changefeed_id)
+        state[changefeed_id]["state"] = "normal"
+        state[changefeed_id].pop("error", None)  # retry clears the error
+        self._save(state)
 
     def update(self, changefeed_id: str, config_toml: str) -> None:
         """UpdateChangefeed (`api/v2/changefeed.go` UpdateChangefeed):
@@ -109,13 +126,16 @@ class ChangefeedRegistry:
         if changefeed_id not in state:
             raise KeyError(changefeed_id)
         cf = self.get(changefeed_id)
-        return {
+        doc = {
             "id": changefeed_id,
             "state": state[changefeed_id]["state"],
             "config_toml": state[changefeed_id]["config_toml"],
             "sink_uri": cf.cfg.sink_uri,
             "checkpoint_ts": cf.checkpoint_ts(),
         }
+        if state[changefeed_id].get("error"):
+            doc["error"] = state[changefeed_id]["error"]
+        return doc
 
     def gc_safepoint(self) -> int | None:
         """Global GC safepoint = min checkpointTs over live changefeeds
