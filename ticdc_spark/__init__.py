@@ -22,3 +22,27 @@ Package layout mirrors SURVEY.md §2's operator inventory:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps ``import ticdc_spark`` free of a Spark
+    session requirement): the objects a user touches first."""
+    lazy = {
+        "ChangefeedConfig": ("ticdc_spark.pipeline", "ChangefeedConfig"),
+        "build_pipeline": ("ticdc_spark.pipeline", "build_pipeline"),
+        "compile_changefeed": ("ticdc_spark.pipeline", "compile_changefeed"),
+        "parse_changefeed_config": ("ticdc_spark.config",
+                                    "parse_changefeed_config"),
+        "ChangefeedRegistry": ("ticdc_spark.streaming.registry",
+                               "ChangefeedRegistry"),
+        "ApiServer": ("ticdc_spark.api", "ApiServer"),
+        "get_spark": ("ticdc_spark.session", "get_spark"),
+        "events_changelog": ("ticdc_spark.sources.changelog",
+                             "events_changelog"),
+    }
+    if name in lazy:
+        import importlib
+
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'ticdc_spark' has no attribute {name!r}")
