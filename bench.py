@@ -88,6 +88,7 @@ def main() -> None:
         "open_protocol_consumer_roundtrip", "codec_csv_exotic",
         "redo_apply_state", "span_split_write_bytes",
         "storage_consumer_roundtrip", "txn_flush_batches", "tfidf_keywords",
+        "unigram_logprob", "dedup_chunks", "scheduler_balance",
     ]
     def time_query(name: str) -> float:
         df = QUERIES[name](spark, sf_dir)
