@@ -112,3 +112,40 @@ def test_txn_flush_batches_keep_bank_txns_whole(spark):
              .agg(F.countDistinct("flush_batch").alias("n"))
              .filter(F.col("n") > 1).count())
     assert spans == 0
+
+
+def test_flush_batches_contiguous_and_threshold_closed(spark):
+    """Batching contract of the div closed form: batches cover txns
+    contiguously in txn order, and every batch except a table's last
+    holds max_txn_row ± (largest txn − 1) rows (fixed prior-count
+    boundaries: a straddling txn can leave the next batch short by up
+    to its size − 1, and overshoot the previous by the same)."""
+    from ticdc_spark.sinks.mysql import txn_flush_batches
+
+    cl, _ = _bank_changelog(spark)
+    m = 7
+    s_max = 2  # transfer txns are two rows (seeds share one giant txn)
+    b = txn_flush_batches(cl.filter(F.col("op") == "U"),
+                          max_txn_row=m, atomicity="table")
+    per_txn = (b.groupBy("schema_name", "table_name", "start_ts")
+               .agg(F.min("flush_batch").alias("fb"),
+                    F.min("commit_ts").alias("ct"))
+               .orderBy("schema_name", "table_name", "start_ts").collect())
+    # contiguity: batch ids are non-decreasing in txn (start_ts) order
+    by_table = {}
+    for r in per_txn:
+        by_table.setdefault((r["schema_name"], r["table_name"]), []).append(r["fb"])
+    for fbs in by_table.values():
+        assert fbs == sorted(fbs)
+    # threshold: all but the last batch of each table hold >= m rows
+    sizes = (b.groupBy("schema_name", "table_name", "flush_batch")
+             .agg(F.count(F.lit(1)).alias("n")).collect())
+    last = {}
+    for r in sizes:
+        key = (r["schema_name"], r["table_name"])
+        last[key] = max(last.get(key, -1), r["flush_batch"])
+    for r in sizes:
+        key = (r["schema_name"], r["table_name"])
+        if r["flush_batch"] != last[key]:
+            assert m - (s_max - 1) <= r["n"] <= m + (s_max - 1), (
+                key, r["flush_batch"], r["n"])

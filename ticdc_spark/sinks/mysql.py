@@ -261,11 +261,14 @@ def txn_flush_batches(
 
     ``atomicity="table"``: a transaction (rows sharing ``start_ts``)
     never splits across flush batches. Batch id = prior-rows-in-table
-    div max_txn_row computed at TXN granularity — the deterministic,
-    engine-portable form of the reference's "close the batch once it
-    reaches MaxTxnRow" greedy (batches may overshoot by the straddling
-    txn, exactly like the reference's at-least-threshold close; ids are
-    monotone per table but not necessarily dense).
+    div max_txn_row computed at TXN granularity — deterministic and
+    engine-portable (fixed prior-count boundaries rather than the
+    reference's stateful close-at-threshold greedy, whose reset base is
+    not window-expressible). Contract: batches are txn-aligned and
+    contiguous in txn order, and each non-final batch holds
+    max_txn_row ± (largest-straddling-txn − 1) rows — the same
+    "around MaxTxnRow, never splitting a txn" guarantee the reference's
+    flush gives, under a closed form both engines reproduce.
 
     ``atomicity="none"``: plain row chunking at max_txn_row — a txn may
     split (`pkg/config/sink.go` allows this for MQ/storage sinks).
