@@ -25,19 +25,39 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
 
 
 def _norm(v):
+    """Dtype-faithful canonical value.
+
+    Deliberately DOES NOT coerce int->float or round floats: the driver's
+    gate hashes exact values, so an int64 Spark column vs a float64 oracle
+    column (DuckDB HUGEINT/DECIMAL window sums land as float64) must FAIL
+    here too, not be papered over.  bool is kept distinct from int.
+    """
     if v is None:
         return None
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
     if isinstance(v, (float, np.floating)):
         if math.isnan(v):
             return None
-        return round(float(v), 9)
+        return ("f", float(v))
     if isinstance(v, (int, np.integer)):
-        return float(v)
-    if isinstance(v, np.bool_):
-        return bool(v)
+        return ("i", int(v))
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
+    if isinstance(v, np.ndarray):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
     return v
+
+
+_KIND_NAMES = {"i": "int", "u": "int", "f": "float", "b": "bool"}
+
+
+def _col_kinds(pdf: pd.DataFrame, cols) -> dict:
+    return {c: _KIND_NAMES.get(pdf[c].dtype.kind, "other") for c in cols}
 
 
 def compare(spark_df, oracle_pdf: pd.DataFrame) -> list[str]:
@@ -50,10 +70,39 @@ def compare(spark_df, oracle_pdf: pd.DataFrame) -> list[str]:
     spk = spark_df.toPandas()
     if len(spk) != len(oracle_pdf):
         problems.append(f"row count differs: spark={len(spk)} oracle={len(oracle_pdf)}")
+    # dtype-kind parity: int-vs-float column kind is a driver hash fail even
+    # when every value is numerically equal.  Skip the check when either side
+    # has nulls in the column (pandas promotes nullable ints to float64/object,
+    # which is a representation artifact, not a query dtype skew — the
+    # value-level compare below still catches real mismatches).
+    sk, ok = _col_kinds(spk, spark_cols), _col_kinds(oracle_pdf, spark_cols)
+    for c in spark_cols:
+        if sk[c] != ok[c] and {sk[c], ok[c]} <= {"int", "float", "bool"}:
+            if not (spk[c].isna().any() or oracle_pdf[c].isna().any()):
+                problems.append(
+                    f"column {c!r} dtype kind differs: spark={sk[c]} oracle={ok[c]}"
+                )
+
+    # Columns with nulls on either side get int->float leniency ONLY for
+    # the null representation artifact (pandas stores nullable ints as
+    # float64/object); everything else is exact.
+    lenient = {
+        c
+        for c in spark_cols
+        if (spk[c].isna().any() or oracle_pdf[c].isna().any())
+        and {sk[c], ok[c]} <= {"int", "float", "other"}
+        and {"int", "float"} & {sk[c], ok[c]}
+    }
+
+    def _cell(c, v):
+        n = _norm(v)
+        if c in lenient and isinstance(n, tuple) and len(n) == 2 and n[0] in ("i", "f"):
+            return ("f", float(n[1]))
+        return n
 
     def canon(pdf: pd.DataFrame):
         rows = [
-            tuple(_norm(v) for v in row)
+            tuple(_cell(c, v) for c, v in zip(spark_cols, row))
             for row in pdf[spark_cols].itertuples(index=False, name=None)
         ]
         return sorted(rows, key=repr)

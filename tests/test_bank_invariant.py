@@ -127,11 +127,12 @@ def test_flush_batches_contiguous_and_threshold_closed(spark):
     s_max = 2  # transfer txns are two rows (seeds share one giant txn)
     b = txn_flush_batches(cl.filter(F.col("op") == "U"),
                           max_txn_row=m, atomicity="table")
-    per_txn = (b.groupBy("schema_name", "table_name", "start_ts")
-               .agg(F.min("flush_batch").alias("fb"),
-                    F.min("commit_ts").alias("ct"))
-               .orderBy("schema_name", "table_name", "start_ts").collect())
-    # contiguity: batch ids are non-decreasing in txn (start_ts) order
+    per_txn = (b.groupBy("schema_name", "table_name", "commit_ts", "start_ts")
+               .agg(F.min("flush_batch").alias("fb"))
+               .orderBy("schema_name", "table_name", "commit_ts", "start_ts")
+               .collect())
+    # contiguity: batch ids are non-decreasing in txn COMMIT order (the
+    # apply order a downstream writer replays batches in)
     by_table = {}
     for r in per_txn:
         by_table.setdefault((r["schema_name"], r["table_name"]), []).append(r["fb"])
@@ -149,3 +150,47 @@ def test_flush_batches_contiguous_and_threshold_closed(spark):
         if r["flush_batch"] != last[key]:
             assert m - (s_max - 1) <= r["n"] <= m + (s_max - 1), (
                 key, r["flush_batch"], r["n"])
+
+
+def test_long_running_txn_batches_in_commit_order(spark):
+    """Regression for the start-ts-ordered batching bug: a txn that
+    STARTS first but COMMITS last must land in the LAST flush batch —
+    a writer applying batches sequentially must apply it after every
+    txn that committed earlier, or downstream state ends up stale.
+
+    The bank fixture always sets start_ts = commit_ts - 1, which is
+    blind to this; here txn L starts before everyone and commits after
+    everyone."""
+    from ticdc_spark.sinks.mysql import txn_flush_batches
+
+    rows = []
+    seq = 0
+    # 9 short txns: start & commit early (commit_ts 100..108)
+    for i in range(9):
+        ct = 100 + i
+        for j in range(2):
+            rows.append(("s", "t", 1, "I", ct, ct - 1, seq, 1, seq,
+                         None, {"id": seq}))
+            seq += 1
+    # the long-running txn: start_ts=10 (earliest), commit_ts=500 (latest)
+    for j in range(2):
+        rows.append(("s", "t", 1, "I", 500, 10, seq, 1, seq,
+                     None, {"id": seq}))
+        seq += 1
+    schema = ("schema_name string, table_name string, table_id long, "
+              "op string, commit_ts long, start_ts long, seq long, "
+              "dml_order long, pk long, before struct<id:long>, "
+              "after struct<id:long>")
+    cl = spark.createDataFrame(rows, schema)
+    b = txn_flush_batches(cl, max_txn_row=4, atomicity="table")
+    got = {(r["commit_ts"], r["start_ts"]): r["fb"]
+           for r in b.groupBy("commit_ts", "start_ts")
+                     .agg(F.min("flush_batch").alias("fb")).collect()}
+    long_fb = got[(500, 10)]
+    # the long txn is in the final batch, strictly after all earlier commits
+    assert long_fb == max(got.values())
+    assert all(fb <= long_fb for (ct, _), fb in got.items() if ct < 500)
+    # and batch ids are non-decreasing in commit order
+    order = sorted(got)
+    fbs = [got[k] for k in order]
+    assert fbs == sorted(fbs)

@@ -171,13 +171,18 @@ class ApiServer:
             def _matched_tables(self, cid: str) -> list:
                 """Tables this changefeed replicates: its F1 filter rules
                 applied to the SchemaStore's current table universe."""
-                rules = registry.get(cid).cfg.filter_rules
+                cfg = registry.get(cid).cfg
+                # control plane must see the same table set the data plane
+                # replicates: apply_table_filter honors cfg.case_sensitive
+                # (default False), so match_table must too
                 return [
                     t
                     for t in server.schema_store.get_all_physical_tables(
                         ts=2**62
                     )
-                    if match_table(rules, t.schema_name, t.table_name)
+                    if match_table(cfg.filter_rules, t.schema_name,
+                                   t.table_name,
+                                   case_sensitive=cfg.case_sensitive)
                 ]
 
             def _verify_tables(self, body: dict) -> dict:
@@ -185,6 +190,8 @@ class ApiServer:
                 (`changefeed.go:412-451`): filter rules over the store,
                 split by PK/not-null-UK eligibility (F6 IsEligibleTable)."""
                 rules = body.get("filter_rules", ["*.*"])
+                # default False mirrors ChangefeedConfig.case_sensitive
+                case_sensitive = bool(body.get("case_sensitive", False))
                 ts = body.get("start_ts", 2**62)
                 # force-replicate admits PK-less tables (F6 eligibility
                 # override, `pkg/filter/filter.go:236` ForceReplicate)
@@ -196,7 +203,8 @@ class ApiServer:
                 }
                 eligible, ineligible = [], []
                 for t in server.schema_store.get_all_physical_tables(ts=ts):
-                    if not match_table(rules, t.schema_name, t.table_name):
+                    if not match_table(rules, t.schema_name, t.table_name,
+                                       case_sensitive=case_sensitive):
                         continue
                     ok = force or t.has_pk_or_not_null_uk
                     (eligible if ok else ineligible).append(doc(t))

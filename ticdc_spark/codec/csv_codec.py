@@ -68,11 +68,15 @@ def encode_csv(
     include_commit_ts: bool = True,
     binary_encoding: str = "base64",
     quote: str | None = _QUOTE,
+    terminator: str | None = None,
 ) -> DataFrame:
-    """Append a ``value`` column holding one csv line (no trailing newline).
+    """Append a ``value`` column holding one csv line.
 
     ``quote=None`` selects the reference's quote-less escape mode
-    (backslash escaping, `csv_message.go:209-243`)."""
+    (backslash escaping, `csv_message.go:209-243`).  ``terminator``
+    (sink config, CRLF default in the reference `pkg/config/sink.go`)
+    is appended per message when given — the csv/txt encoders terminate
+    every line; ``None`` leaves the bare line (oracle-friendly)."""
     schema: StructType = cl.schema["after"].dataType
     image = F.when(F.col("op") == "D", F.col("before")).otherwise(F.col("after"))
     tmp = cl.withColumn("_img", image)
@@ -88,4 +92,7 @@ def encode_csv(
                    quote=quote)
         for f in schema.fields
     ]
-    return tmp.withColumn("value", F.concat_ws(_DELIM, *fields)).drop("_img")
+    line = F.concat_ws(_DELIM, *fields)
+    if terminator:
+        line = F.concat(line, F.lit(terminator))
+    return tmp.withColumn("value", line).drop("_img")

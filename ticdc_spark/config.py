@@ -90,7 +90,7 @@ def parse_changefeed_config(text: str, fmt: str = "toml") -> ChangefeedConfig:
         safe_mode=sink.get("safe-mode", False),
         terminator=sink.get("terminator", "\r\n"),
         date_separator=sink.get("date-separator", "day"),
-        file_index_width=sink.get("file-index-width", 6),
+        file_index_width=sink.get("file-index-width", 20),
         csv_config=sink.get("csv") or None,
         integrity_check_level=integrity.get("integrity-check-level", "none"),
         sink_uri=doc.get("sink-uri", "blackhole://"),

@@ -76,7 +76,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     score = F.lit(0.3) * length_part + F.lit(0.4) * marker_part + F.lit(0.3) * diversity
     return docs.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
         F.round(F.lit(1.0) * marker_part, 6).alias("marker_ratio"),
         F.round(diversity, 6).alias("diversity"),
         F.round(score, 6).alias("quality"),
@@ -221,7 +221,7 @@ def training_manifest(
     canon_min = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
     with_q = (
         docs.withColumn("_canon", canon_min)
-        .withColumn("n_tokens", F.size(toks))
+        .withColumn("n_tokens", F.size(toks).cast("long"))
         .withColumn("quality", quality)
     )
     return (

@@ -374,8 +374,26 @@ def _emb_near_dup(emb):
     return pairs
 
 
+# Random testdata vectors never cross the 0.9 threshold — planted twins
+# (every 50th vector, uniformly scaled + tiny offset, cos ≈ 0.999) give
+# the query positive support at every SF so a pass is evidence, not
+# vacuous.  Both engines build identical FLOAT twins (double math, then
+# one float32 cast), so the downstream cos/bucket algebra sees
+# bit-identical inputs.
+_TWIN_SQL = """
+emb2 AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000,
+           list_transform(embedding,
+               x -> CAST(x * 1.001::DOUBLE + 0.0001::DOUBLE AS FLOAT))
+    FROM embeddings WHERE vec_id % 50 = 0
+)
+"""
+
 _EMB_DUP_ORACLE = f"""
-WITH b AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings),
+WITH {_TWIN_SQL.strip()},
+b AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM emb2),
 a AS (SELECT vec_id AS a_id, embedding AS a_emb, bucket FROM b),
 c AS (SELECT vec_id AS b_id, embedding AS b_emb, bucket FROM b),
 pairs AS (
@@ -388,7 +406,15 @@ SELECT a_id, b_id, cos_sim FROM pairs WHERE cos_sim >= {_EMB_DUP_THRESHOLD}
 
 @register("dedup_embedding_cosine", _EMB_DUP_ORACLE)
 def q_dedup_embedding_cosine(spark, sf_dir):
-    return _emb_near_dup(_emb(spark, sf_dir))
+    base = _emb(spark, sf_dir).select("vec_id", "embedding")
+    twins = base.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: (x * F.lit(1.001) + F.lit(0.0001)).cast("float"),
+        ).alias("embedding"),
+    )
+    return _emb_near_dup(base.unionByName(twins))
 
 
 # ---------------------------------------------------------------------------
@@ -412,8 +438,8 @@ marked AS (
     FROM lagged
 ),
 sessions AS (
-    SELECT *, sum(is_start) OVER (PARTITION BY user_id ORDER BY t, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    SELECT *, CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
     FROM marked
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -681,10 +707,10 @@ _BUDGET_ORACLE = f"""
 WITH {_QUALITY_CTE},
 ranked AS (
     SELECT d.doc_id, d.lang, q.n_tokens, q.quality,
-           sum(q.n_tokens) OVER (
+           CAST(sum(q.n_tokens) OVER (
                PARTITION BY d.lang ORDER BY q.quality DESC, d.doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS cum_tokens
+           ) AS BIGINT) AS cum_tokens
     FROM documents d JOIN q ON d.doc_id = q.doc_id
 )
 SELECT doc_id, lang, n_tokens, quality, cum_tokens

@@ -86,7 +86,8 @@ class ChangefeedConfig:
     safe_mode: bool = False
     terminator: str = "\r\n"  # CRLF default (`pkg/config/sink.go`)
     date_separator: str = "day"
-    file_index_width: int = 6  # `pkg/cloudstorage/generator.go:43`
+    # DefaultFileIndexWidth=20, clamp [6, 20] (`pkg/config/sink.go:68-73`)
+    file_index_width: int = 20
     csv_config: dict | None = None  # [sink.csv]: delimiter/quote/...
     # --- IntegrityConfig (`pkg/integrity/integrity.go:24-43`) ---
     integrity_check_level: str = "none"  # none | correctness
@@ -112,13 +113,14 @@ def _encode(df: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
         raise ValueError(
             f"unknown protocol: {cfg.protocol} (known: {sorted(ENCODERS)})"
         )
-    if cfg.protocol == "csv" and cfg.csv_config:
-        c = cfg.csv_config
+    if cfg.protocol == "csv":
+        c = cfg.csv_config or {}
         return encode_csv(
             df,
             include_commit_ts=c.get("include-commit-ts", True),
             binary_encoding=c.get("binary-encoding-method", "base64"),
             quote=c.get("quote", '"') or None,  # "" selects escape mode
+            terminator=cfg.terminator,  # per-message, csv/txt only
         )
     return ENCODERS[cfg.protocol](df)
 

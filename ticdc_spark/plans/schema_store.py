@@ -18,37 +18,58 @@ literal as-of expressions compiled into the changelog mount
 (`sources/typed.py`). Spark structural notes per handler are in each
 method docstring.
 
-Covered actions (the shape-changing core of the reference's 38; the
-index/partition actions that don't change row shape bump the version
-only): create/drop schema, create/drop/truncate/rename table,
-add/drop/modify/rename column, add/drop index, exchange partition,
-multi-schema-change (sub-action sequence).
+Covers ALL 38 reference action types
+(`persist_storage_ddl_handlers.go:120-462`): schema/table/column DDL,
+index + FK + PK actions, partition lifecycle (add/drop/truncate/
+exchange/reorganize/alter-partitioning/remove-partitioning), TTL,
+charset/collation at schema/table/column level, views, recover-table,
+batch create-tables and multi-table rename, and multi-schema-change.
+Actions that don't change row shape still bump the table version
+(consumers re-plan against the new version — same discipline as the
+reference's SetVersion-only handlers).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field, replace
 
+DEFAULT_CHARSET = "utf8mb4"
+
 
 @dataclass(frozen=True)
 class ColumnInfo:
-    """Per-column meta (`pkg/common/column.go:25-36`: name, type, flags)."""
+    """Per-column meta (`pkg/common/column.go:25-36`: name, type, flags,
+    per-column charset — GBK et al. ride each column in the reference)."""
     name: str
     spark_type: str          # §1.3 mapping, e.g. "bigint", "double", "string"
     nullable: bool = True
     primary_key: bool = False
+    charset: str | None = None   # None = inherit table charset
+    default: str | None = None   # ActionSetDefaultValue
+
+    def meta_str(self) -> str:
+        """Canonical per-column descriptor used by version exports —
+        pins every column-level handler effect in one comparable token."""
+        return (f"{self.name}:{self.spark_type}:{int(self.nullable)}:"
+                f"{int(self.primary_key)}:{self.charset or ''}:"
+                f"{self.default or ''}")
 
 
 @dataclass(frozen=True)
 class TableInfo:
     """`pkg/common/table_info.go:79-117` analog: naming + columns +
-    PK/UK eligibility + version (UpdateTS)."""
+    PK/UK eligibility + version (UpdateTS) + table attributes the DDL
+    handlers mutate (charset, comment, TTL, partition physical ids)."""
     table_id: int
     schema_name: str
     table_name: str
     columns: tuple[ColumnInfo, ...]
     version_ts: int
     dropped: bool = False
+    charset: str = DEFAULT_CHARSET
+    comment: str = ""
+    ttl: str | None = None            # ActionAlterTTLInfo / TTLRemove
+    partitions: tuple[int, ...] = ()  # physical partition table ids
 
     @property
     def has_pk_or_not_null_uk(self) -> bool:
@@ -61,6 +82,11 @@ class TableInfo:
     def spark_schema_ddl(self) -> str:
         """Spark DDL string for the payload struct at this version."""
         return ", ".join(f"{c.name} {c.spark_type}" for c in self.columns)
+
+    def physical_ids(self) -> tuple[int, ...]:
+        """Physical table ids carrying rows: the partitions when
+        partitioned, else the table id itself."""
+        return self.partitions if self.partitions else (self.table_id,)
 
 
 class DDLError(ValueError):

@@ -152,6 +152,36 @@ def q_expr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# F4 — ignore-txn-start-ts (`pkg/filter/filter.go:244-251`): drop every
+# event of specific transactions, identified by their start_ts — the
+# reference's escape hatch for replaying around a known-bad txn.
+# ---------------------------------------------------------------------------
+_F4_SCOPE = ["test.tp_*"]
+_F4_N = 5  # ignore the N earliest transactions (deterministic at any SF)
+
+
+@register(
+    "ignore_txn_start_ts_filter",
+    f"WITH {CHANGELOG_SQL} SELECT {_FLAT_SELECT} FROM changelog "
+    f"WHERE NOT (({oracle_predicate_sql(_F4_SCOPE)}) AND start_ts IN ("
+    f"SELECT DISTINCT start_ts FROM changelog ORDER BY start_ts LIMIT {_F4_N}))",
+)
+def q_ignore_txn_start_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The config carries LITERAL start_ts values (the user names the txns
+    to skip); here the literals are the N earliest distinct txns so the
+    query has positive support at every SF. The lookup is a tiny metadata
+    collect at plan-build (N values), not a data-path collect."""
+    cl = flat_changelog(spark, sf_dir)
+    ts_list = [
+        r["start_ts"]
+        for r in cl.select("start_ts").distinct()
+        .orderBy("start_ts").limit(_F4_N).collect()
+    ]
+    rules = [{"matcher": _F4_SCOPE, "ignore-txn-start-ts": ts_list}]
+    return apply_event_filters(cl, rules)
+
+
+# ---------------------------------------------------------------------------
 # P2 — update split on handle-key change
 # ---------------------------------------------------------------------------
 _P2_ORACLE = f"""

@@ -213,7 +213,7 @@ def q_materialize_state(spark, sf_dir):
     "strftime(make_timestamp(commit_ts), '%Y-%m-%d') AS path, "
     "'CDC' || lpad((((row_number() OVER (PARTITION BY schema_name, table_name, "
     "strftime(make_timestamp(commit_ts), '%Y-%m-%d') "
-    "ORDER BY commit_ts, seq) - 1) // 4096) + 1)::VARCHAR, 6, '0') || '.csv' "
+    "ORDER BY commit_ts, seq) - 1) // 4096) + 1)::VARCHAR, 20, '0') || '.csv' "
     "AS file_name FROM changelog",
 )
 def q_storage_paths(spark, sf_dir):
@@ -453,6 +453,37 @@ _DDL_ORACLE = (
 def q_ddl_filter(spark, sf_dir):
     out = apply_ddl_filter(_ddl_stream(spark, sf_dir), ignore_sql=["tp_error"])
     return out.select("seq", "commit_ts", "query", "ddl_type")
+
+
+# ---------------------------------------------------------------------------
+# F7 — ignore-sql regex (`pkg/config/filter.go:40` IgnoreSQL, applied in
+# `pkg/filter/sql_event_filter.go`): drop events whose statement text
+# matches any of the configured regexes, scoped by table matcher.
+# ---------------------------------------------------------------------------
+from ticdc_spark.operators.event_filter import apply_event_filters  # noqa: E402
+from ticdc_spark.operators.table_filter import oracle_predicate_sql  # noqa: E402
+
+_F7_SCOPE_SQL = oracle_predicate_sql(["test.tp_*"])
+
+_F7_ORACLE = (
+    f"WITH {CHANGELOG_SQL}, {_DDL_CTES} "
+    "SELECT seq, commit_ts, schema_name, table_name, query FROM ddl "
+    f"WHERE NOT (({_F7_SCOPE_SQL}) AND (regexp_matches(query, '^DROP') "
+    "OR regexp_matches(query, 'ADD COLUMN')))"
+)
+
+
+@register("ignore_sql_filter", _F7_ORACLE)
+def q_ignore_sql_filter(spark, sf_dir):
+    """DROP-anything and ADD COLUMN statements are suppressed for tp_*
+    tables; everything else (and other schemas) passes. Runs through the
+    same apply_event_filters entry the changefeed pipeline uses."""
+    ddl = _ddl_stream(spark, sf_dir)
+    rules = [{"matcher": ["test.tp_*"],
+              "ignore-sql": ["^DROP", "ADD COLUMN"]}]
+    return apply_event_filters(ddl, rules).select(
+        "seq", "commit_ts", "schema_name", "table_name", "query"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1818,7 +1849,7 @@ _REGIONS_CTE = """
 regions AS (
     SELECT schema_name, table_name, pk // 64 AS region_idx,
            (pk // 64) * 64 AS start_key, (pk // 64 + 1) * 64 AS end_key,
-           count(*) * 32 + sum(pk % 97) AS written_bytes
+           (count(*) * 32 + sum(pk % 97))::BIGINT AS written_bytes
     FROM changelog GROUP BY 1, 2, 3
 )
 """
@@ -1866,7 +1897,7 @@ assigned AS (
 )
 SELECT schema_name, table_name, span_id,
        min(start_key) AS start_key, max(end_key) AS end_key,
-       count(*) AS region_count, sum(written_bytes) AS written_bytes
+       count(*) AS region_count, sum(written_bytes)::BIGINT AS written_bytes
 FROM assigned GROUP BY 1, 2, 3
 """
 
@@ -2024,7 +2055,7 @@ _FC_SAMPLES_CTE = """
 samples AS (
     SELECT schema_name AS area, table_name AS path,
            commit_ts - commit_ts % 600000000 AS bucket_ts,
-           count(*) * 64 + sum(pk % 41) AS usage_bytes
+           (count(*) * 64 + sum(pk % 41))::BIGINT AS usage_bytes
     FROM changelog GROUP BY 1, 2, 3
 )
 """
@@ -2055,7 +2086,7 @@ def q_flow_control_paths(spark, sf_dir):
 _FC_AREA_SQL = f"""
 WITH {CHANGELOG_SQL}, {_FC_SAMPLES_CTE.strip()},
 a AS (
-    SELECT area, bucket_ts, sum(usage_bytes) AS usage_bytes
+    SELECT area, bucket_ts, sum(usage_bytes)::BIGINT AS usage_bytes
     FROM samples GROUP BY 1, 2
 ),
 m AS (
@@ -2082,7 +2113,7 @@ def q_flow_control_areas(spark, sf_dir):
 _FC_BREAKER_SQL = f"""
 WITH {CHANGELOG_SQL}, {_FC_SAMPLES_CTE.strip()},
 a AS (
-    SELECT area, bucket_ts, sum(usage_bytes) AS area_bytes
+    SELECT area, bucket_ts, sum(usage_bytes)::BIGINT AS area_bytes
     FROM samples GROUP BY 1, 2
     HAVING sum(usage_bytes) * 100 > 800 * 85
 ),
@@ -2114,12 +2145,13 @@ WITH {CHANGELOG_SQL},
 ranked AS (
     SELECT *, row_number() OVER (
         PARTITION BY schema_name, table_name
-        ORDER BY start_ts, commit_ts, seq) AS rn
+        ORDER BY commit_ts, start_ts, seq) AS rn
     FROM changelog
 ),
 prior AS (
     SELECT *, min(rn) OVER (
-        PARTITION BY schema_name, table_name, start_ts) - 1 AS prior_rows
+        PARTITION BY schema_name, table_name, commit_ts, start_ts
+        ) - 1 AS prior_rows
     FROM ranked
 ),
 batched AS (
@@ -2168,7 +2200,7 @@ loads AS (
     FROM nodes n LEFT JOIN assign a USING (node_id) GROUP BY 1
 ),
 tot AS (SELECT sum(load) // count(*) AS floor_limit FROM loads),
-dd AS (SELECT sum(greatest(floor_limit - load, 0)) AS d FROM loads, tot)
+dd AS (SELECT sum(greatest(floor_limit - load, 0))::BIGINT AS d FROM loads, tot)
 """
 
 _BALANCE_SQL = f"""

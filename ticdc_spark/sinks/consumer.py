@@ -308,8 +308,11 @@ def decode_csv_storage(
     if include_commit_ts:
         sch += ", commit_ts bigint"
     sch += ", " + ", ".join(f"`{n}` {t}" for n, t in payload_fields)
+    # producer lines carry the sink terminator (CRLF default,
+    # `pkg/config/sink.go`); a line-oriented consumer strips it
+    line = F.regexp_replace(F.col("value"), "(\r\n|\r|\n)$", "")
     parsed = files.withColumn(
-        "_m", F.from_csv(F.col("value"), sch, {"nullValue": NULL_TOKEN})
+        "_m", F.from_csv(line, sch, {"nullValue": NULL_TOKEN})
     )
     parts = F.split(F.col("path"), "/")
     op = F.col("_m.op")

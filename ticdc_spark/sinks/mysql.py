@@ -290,13 +290,20 @@ def txn_flush_batches(
         )
     if atomicity != "table":
         raise ValueError(f"unknown transaction-atomicity: {atomicity}")
+    # Txn order is COMMIT order (replication applies by commit_ts): a txn
+    # that starts early but commits late must batch after txns that
+    # committed before it.  Rows of one txn share (commit_ts, start_ts),
+    # so ordering by (commit_ts, start_ts, seq) keeps txns contiguous and
+    # whole while preserving apply order — and matches the "none" mode.
     wt = Window.partitionBy("schema_name", "table_name").orderBy(
-        "start_ts", "commit_ts", "seq"
+        "commit_ts", "start_ts", "seq"
     )
     # rows before this one in txn order, then held constant per txn:
     # prior_rows(txn) = rows of all earlier txns in the same table
     ranked = cl.withColumn("_rn", F.row_number().over(wt))
-    wtx = Window.partitionBy("schema_name", "table_name", "start_ts")
+    wtx = Window.partitionBy(
+        "schema_name", "table_name", "commit_ts", "start_ts"
+    )
     prior = (F.min("_rn").over(wtx) - 1).cast("long")
     return ranked.withColumn(
         "flush_batch", F.floor(prior / max_txn_row).cast("long")

@@ -25,7 +25,7 @@ def storage_paths(
     date_separator: str = "day",
     extension: str = "csv",
     rows_per_file: int = 4096,
-    file_index_width: int = 6,
+    file_index_width: int = 20,
 ) -> DataFrame:
     """Append ``path`` (directory) and ``file_name`` columns."""
     if date_separator == "day":
@@ -51,9 +51,10 @@ def storage_paths(
 
     w = Window.partitionBy(path).orderBy("commit_ts", "seq")
     idx = ((F.row_number().over(w) - 1) / rows_per_file).cast("long") + 1
-    # file-index-width config (`pkg/config/sink.go` FileIndexWidth);
-    # the reference floors it at 6 digits (`generator.go:43`)
-    width = max(int(file_index_width), 6)
+    # file-index-width config (`pkg/config/sink.go:68-73`):
+    # DefaultFileIndexWidth=20, clamped to [Min=6, Max=20] — default
+    # file names are CDC00000000000000000001.csv, reference layout
+    width = min(max(int(file_index_width), 6), 20)
     file_name = F.concat(
         F.lit("CDC"), F.lpad(idx.cast("string"), width, "0"),
         F.lit(f".{extension}"),

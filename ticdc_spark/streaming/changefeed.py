@@ -64,6 +64,12 @@ class Changefeed:
         """
         if batch_df.isEmpty():
             return
+        # resolved-ts comes from the PRE-compile frame: a compiled DB stmt
+        # batch drops commit_ts, but the checkpoint must still advance for
+        # MySQL sinks (the reference advances checkpointTs for every sink);
+        # otherwise /synced stays false, syncpoints skip, and gc_safepoint
+        # ignores the changefeed
+        pre_df = batch_df
         if self._sink_compile is not None:
             # DB/storage sinks compile at flush time (windows/aggregates
             # are batch-only constructs) — reference shape: the sink owns
@@ -96,13 +102,16 @@ class Changefeed:
         if self.compression:  # lz4/snappy/zstd analog (pkg/compression)
             writer = writer.option("compression", self.compression)
         writer.save(os.path.join(self.sink_dir, f"epoch={epoch_id}"))
-        if "commit_ts" in cols:
-            stats = batch_df.agg(
+        ts_df = batch_df if "commit_ts" in cols else (
+            pre_df if "commit_ts" in pre_df.columns else None
+        )
+        if ts_df is not None:
+            stats = ts_df.agg(
                 F.max("commit_ts").alias("resolved_ts"),
                 F.min("commit_ts").alias("min_ts"),
                 F.count(F.lit(1)).alias("n_rows"),
             ).collect()[0]
-        else:  # DB SQL batches carry no ts; progress is row-count only
+        else:  # no ts anywhere; progress is row-count only
             stats = {"resolved_ts": None, "min_ts": None,
                      "n_rows": batch_df.count()}
         os.makedirs(os.path.dirname(self.progress_path), exist_ok=True)
