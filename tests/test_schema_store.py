@@ -84,17 +84,31 @@ def test_multi_schema_change_atomic():
     assert st.get_table_info(100, 79).column_names() == ["id", "val"]
 
 
-def test_exchange_partition_swaps_bindings():
+def test_exchange_partition_swaps_physical_ids():
+    """Reference semantics (`persist_storage_ddl_handlers.go:382`): the
+    named partition and the plain table trade physical keyspaces; both
+    keep their logical names."""
     st = _mk_store()
-    st.apply_ddl({"type": "create-table", "schema": "test", "table": "t1_p0",
+    st.apply_ddl({"type": "create-table", "schema": "test", "table": "plain",
                   "table_id": 200, "commit_ts": 25,
                   "columns": [{"name": "id", "spark_type": "bigint",
                                "nullable": False, "primary_key": True},
                               {"name": "val", "spark_type": "double"}]})
-    st.apply_ddl({"type": "exchange-partition", "schema": "test", "table": "t1",
-                  "with_schema": "test", "with_table": "t1_p0", "commit_ts": 90})
-    assert st.get_table_info(100, 95).table_name == "t1_p0"
-    assert st.get_table_info(200, 95).table_name == "t1"
+    st.apply_ddl({"type": "alter-table-partitioning", "schema": "test",
+                  "table": "t1", "commit_ts": 30, "n_partitions": 2})
+    p0 = st.get_table_info(100, 35).partitions[0]
+    st.apply_ddl({"type": "exchange-partition", "schema": "test",
+                  "table": "t1", "partition_index": 0,
+                  "with_schema": "test", "with_table": "plain",
+                  "commit_ts": 90})
+    after = st.get_table_info(100, 95)
+    assert after.partitions[0] == 200  # plain's old keyspace now partition 0
+    # plain now lives on the partition's old physical id
+    plain = [t for t in st.get_all_physical_tables(95)
+             if t.table_name == "plain"]
+    assert len(plain) == 1 and plain[0].table_id == p0
+    # pre-exchange reads see the original ids
+    assert st.get_table_info(200, 40).table_name == "plain"
 
 
 def test_guards():
@@ -214,3 +228,119 @@ def test_barrier_applies_ddl_live(spark, sf_dir):
     assert '"odate":' not in seg_samples[0][1]
     assert '"odate":' in seg_samples[1][1]
     assert seg_samples[0][2] + seg_samples[1][2] == len(ts_sorted)
+
+
+# -- full 38-action surface (persist_storage_ddl_handlers.go:120-462) -------
+
+def test_version_bump_actions_keep_shape():
+    st = _mk_store()
+    for i, typ in enumerate(["add-foreign-key", "drop-foreign-key",
+                             "rebase-auto-id", "shard-row-id",
+                             "add-index", "rename-index",
+                             "alter-index-visibility", "drop-index"]):
+        st.apply_ddl({"type": typ, "schema": "test", "table": "t1",
+                      "commit_ts": 30 + i})
+    info = st.get_table_info(100, 100)
+    assert info.column_names() == ["id", "val"]
+    assert info.version_ts == 37  # every action bumped the version
+    assert len(st._versions[100]) == 9
+
+
+def test_default_value_comment_charset_ttl():
+    st = _mk_store()
+    st.apply_ddl({"type": "set-default-value", "schema": "test",
+                  "table": "t1", "commit_ts": 30,
+                  "column_name": "val", "default": "1.5"})
+    st.apply_ddl({"type": "modify-table-comment", "schema": "test",
+                  "table": "t1", "commit_ts": 31, "comment": "orders"})
+    st.apply_ddl({"type": "modify-table-charset-and-collate",
+                  "schema": "test", "table": "t1", "commit_ts": 32,
+                  "charset": "gbk"})
+    st.apply_ddl({"type": "alter-ttl-info", "schema": "test", "table": "t1",
+                  "commit_ts": 33, "ttl": "created_at + INTERVAL 90 DAY"})
+    info = st.get_table_info(100, 40)
+    assert info.columns[1].default == "1.5"
+    assert info.comment == "orders" and info.charset == "gbk"
+    assert info.ttl == "created_at + INTERVAL 90 DAY"
+    st.apply_ddl({"type": "alter-ttl-remove", "schema": "test",
+                  "table": "t1", "commit_ts": 34})
+    assert st.get_table_info(100, 40).ttl is None
+    # as-of before: untouched
+    assert st.get_table_info(100, 25).charset == "utf8mb4"
+
+
+def test_primary_key_add_drop():
+    st = _mk_store()
+    st.apply_ddl({"type": "drop-primary-key", "schema": "test",
+                  "table": "t1", "commit_ts": 30})
+    assert not st.get_table_info(100, 35).has_pk_or_not_null_uk
+    st.apply_ddl({"type": "add-primary-key", "schema": "test", "table": "t1",
+                  "commit_ts": 40, "column_names": ["id"]})
+    assert st.get_table_info(100, 45).has_pk_or_not_null_uk
+
+
+def test_partition_lifecycle():
+    st = _mk_store()
+    st.apply_ddl({"type": "alter-table-partitioning", "schema": "test",
+                  "table": "t1", "commit_ts": 30, "n_partitions": 2})
+    p = st.get_table_info(100, 35).partitions
+    assert len(p) == 2 and st.get_table_info(100, 35).physical_ids() == p
+    st.apply_ddl({"type": "add-table-partition", "schema": "test",
+                  "table": "t1", "commit_ts": 40})
+    assert len(st.get_table_info(100, 45).partitions) == 3
+    st.apply_ddl({"type": "truncate-table-partition", "schema": "test",
+                  "table": "t1", "commit_ts": 50, "partition_index": 1})
+    p2 = st.get_table_info(100, 55).partitions
+    assert p2[0] == p[0] and p2[1] != p[1] and len(p2) == 3
+    st.apply_ddl({"type": "drop-table-partition", "schema": "test",
+                  "table": "t1", "commit_ts": 60, "partition_index": 0})
+    assert len(st.get_table_info(100, 65).partitions) == 2
+    st.apply_ddl({"type": "reorganize-partition", "schema": "test",
+                  "table": "t1", "commit_ts": 70, "n_partitions": 2})
+    p3 = st.get_table_info(100, 75).partitions
+    assert set(p3).isdisjoint(set(p2))
+    st.apply_ddl({"type": "remove-partitioning", "schema": "test",
+                  "table": "t1", "commit_ts": 80})
+    assert st.get_table_info(100, 85).physical_ids() == (100,)
+    # truncate of a partitioned table reallocates partition ids too
+    st.apply_ddl({"type": "alter-table-partitioning", "schema": "test",
+                  "table": "t1", "commit_ts": 90, "n_partitions": 2})
+    st.apply_ddl({"type": "truncate-table", "schema": "test", "table": "t1",
+                  "commit_ts": 95})
+    t = st.get_all_physical_tables(99)[0]
+    assert t.table_id != 100 and len(t.partitions) == 2
+
+
+def test_views_and_recover_and_batch():
+    st = _mk_store()
+    st.apply_ddl({"type": "create-view", "schema": "test", "view": "v1",
+                  "commit_ts": 30})
+    assert st.views() == [("test", "v1", 30)]
+    st.apply_ddl({"type": "drop-view", "schema": "test", "view": "v1",
+                  "commit_ts": 31})
+    assert st.views() == []
+    st.apply_ddl({"type": "drop-table", "schema": "test", "table": "t1",
+                  "commit_ts": 40})
+    st.apply_ddl({"type": "recover-table", "table_id": 100, "commit_ts": 50})
+    assert st.get_table_info(100, 55).table_name == "t1"
+    with pytest.raises(DDLError):
+        st.get_table_info(100, 45)  # dropped window stays dropped
+    st.apply_ddl({"type": "create-tables", "commit_ts": 60, "tables": [
+        {"schema": "test", "table": "b1", "table_id": 301,
+         "columns": [{"name": "a", "spark_type": "bigint",
+                      "nullable": False, "primary_key": True}]},
+        {"schema": "test", "table": "b2", "table_id": 302,
+         "columns": [{"name": "b", "spark_type": "bigint",
+                      "nullable": False, "primary_key": True}]},
+    ]})
+    assert len(st.get_all_physical_tables(65)) == 3
+    # atomic multi-rename: cyclic swap works
+    st.apply_ddl({"type": "rename-tables", "commit_ts": 70, "renames": [
+        {"schema": "test", "table": "b1", "to_table": "b2"},
+        {"schema": "test", "table": "b2", "to_table": "b1"},
+    ]})
+    assert st.get_table_info(301, 75).table_name == "b2"
+    assert st.get_table_info(302, 75).table_name == "b1"
+    st.apply_ddl({"type": "modify-schema-charset-and-collate",
+                  "schema": "test", "charset": "gbk", "commit_ts": 80})
+    assert st._schema_charsets["test"] == "gbk"

@@ -1,0 +1,249 @@
+"""S4/S5 — oracle-checked queries for the full 38-action DDL handler
+surface (`logservice/schemastore/persist_storage_ddl_handlers.go:120-462`).
+
+Two tapes drive the SchemaStore (driver-side control plane — schemas are
+metadata; the data plane consumes the result as a broadcast registry):
+
+* ``ddl_handlers_version_table``: one identical 26-step tape PER TABLE in
+  the changelog exercising every table-scoped action family (column DDL,
+  index/FK/PK, attributes, TTL, charset, the whole partition lifecycle,
+  multi-schema-change).  Version timestamps and physical ids follow a
+  closed form in the table's rank, so the DuckDB oracle reproduces the
+  exact version table from a 26-row VALUES tape cross-joined with the
+  ranked table list.
+* ``ddl_schema_actions``: a fixed tape for the schema-scoped family
+  (create-tables batch, atomic multi-rename, exchange-partition id swap,
+  drop+recover, truncate re-id, drop-schema cascade) whose expected
+  version table is a static VALUES block — golden rows, hand-derived
+  from the reference handler semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ticdc_spark.plans.schema_store import SchemaStore
+from ticdc_spark.queries import register
+from ticdc_spark.sources.changelog import CHANGELOG_SQL, events_changelog
+
+_VERSION_SCHEMA = (
+    "table_id long, version_ts long, schema_name string, table_name string, "
+    "col_meta string, charset string, ttl string, comment string, parts string"
+)
+
+# ids allocated per table (create=1, partitioning=2, add-partition=1,
+# truncate-partition=1, reorganize=2) — table i's j-th allocation is j+7i
+_IDS_PER_TABLE = 7
+_BASE_TS = 1_000_000
+_TS_STEP = 1_000
+_TTL_EXPR = "ts + INTERVAL 90 DAY"
+
+
+def _table_tape(schema: str, table: str, i: int) -> list[dict]:
+    """The 26-action tape for table rank i (every table-scoped handler)."""
+    tid = 1 + _IDS_PER_TABLE * i
+    t0 = _BASE_TS + _TS_STEP * i
+
+    def a(off: int, typ: str, **kw) -> dict:
+        return {"type": typ, "schema": schema, "table": table,
+                "commit_ts": t0 + off, **kw}
+
+    return [
+        a(0, "create-table", table_id=tid, columns=[
+            {"name": "id", "spark_type": "bigint", "nullable": False,
+             "primary_key": True},
+            {"name": "val", "spark_type": "double"},
+            {"name": "k", "spark_type": "bigint"},
+        ]),
+        a(10, "add-column", column={"name": "c1", "spark_type": "string",
+                                    "charset": "utf8mb4"}),
+        a(20, "set-default-value", column_name="c1", default="x"),
+        a(30, "modify-column", column={"name": "c1", "spark_type": "string",
+                                       "nullable": False,
+                                       "charset": "utf8mb4", "default": "x"}),
+        a(40, "add-index"),
+        a(50, "rename-index"),
+        a(60, "alter-index-visibility"),
+        a(70, "add-foreign-key"),
+        a(80, "drop-foreign-key"),
+        a(90, "rebase-auto-id"),
+        a(100, "shard-row-id"),
+        a(110, "modify-table-comment", comment="replicated"),
+        a(120, "modify-table-charset-and-collate", charset="gbk"),
+        a(130, "alter-ttl-info", ttl=_TTL_EXPR),
+        a(140, "alter-ttl-remove"),
+        a(150, "drop-primary-key"),
+        a(160, "add-primary-key", column_names=["id"]),
+        a(170, "alter-table-partitioning", n_partitions=2),
+        a(180, "add-table-partition"),
+        a(190, "truncate-table-partition", partition_index=1),
+        a(200, "drop-table-partition", partition_index=0),
+        a(210, "reorganize-partition", n_partitions=2),
+        a(220, "remove-partitioning"),
+        a(230, "drop-index"),
+        a(240, "drop-column", column_name="c1"),
+        a(250, "multi-schema-change", actions=[
+            {"type": "add-column", "schema": schema, "table": table,
+             "column": {"name": "c2", "spark_type": "bigint"}},
+            {"type": "modify-table-comment", "schema": schema,
+             "table": table, "comment": "final"},
+        ]),
+    ]
+
+
+# expected per-version attributes, mirrored in the oracle VALUES tape
+_C0 = "id:bigint:0:1::;val:double:1:0::;k:bigint:1:0::"
+_C1 = _C0 + ";c1:string:1:0:utf8mb4:"
+_C1D = _C0 + ";c1:string:1:0:utf8mb4:x"
+_C1N = _C0 + ";c1:string:0:0:utf8mb4:x"
+_C1NP = ("id:bigint:0:0::;val:double:1:0::;k:bigint:1:0::"
+         ";c1:string:0:0:utf8mb4:x")
+_C2 = _C0 + ";c2:bigint:1:0::"
+
+# (ts_off, col_meta, charset, ttl, comment, parts_slots)
+_TAPE_EFFECTS = [
+    (0, _C0, "utf8mb4", "", "", ""),
+    (10, _C1, "utf8mb4", "", "", ""),
+    (20, _C1D, "utf8mb4", "", "", ""),
+    (30, _C1N, "utf8mb4", "", "", ""),
+    (40, _C1N, "utf8mb4", "", "", ""),
+    (50, _C1N, "utf8mb4", "", "", ""),
+    (60, _C1N, "utf8mb4", "", "", ""),
+    (70, _C1N, "utf8mb4", "", "", ""),
+    (80, _C1N, "utf8mb4", "", "", ""),
+    (90, _C1N, "utf8mb4", "", "", ""),
+    (100, _C1N, "utf8mb4", "", "", ""),
+    (110, _C1N, "utf8mb4", "", "replicated", ""),
+    (120, _C1N, "gbk", "", "replicated", ""),
+    (130, _C1N, "gbk", _TTL_EXPR, "replicated", ""),
+    (140, _C1N, "gbk", "", "replicated", ""),
+    (150, _C1NP, "gbk", "", "replicated", ""),
+    (160, _C1N, "gbk", "", "replicated", ""),
+    (170, _C1N, "gbk", "", "replicated", "2,3"),
+    (180, _C1N, "gbk", "", "replicated", "2,3,4"),
+    (190, _C1N, "gbk", "", "replicated", "2,5,4"),
+    (200, _C1N, "gbk", "", "replicated", "5,4"),
+    (210, _C1N, "gbk", "", "replicated", "6,7"),
+    (220, _C1N, "gbk", "", "replicated", ""),
+    (230, _C1N, "gbk", "", "replicated", ""),
+    (240, _C0, "gbk", "", "replicated", ""),
+    (250, _C2, "gbk", "", "final", ""),
+]
+
+
+def _effects_values() -> str:
+    rows = []
+    for off, meta, cs, ttl, comment, slots in _TAPE_EFFECTS:
+        rows.append(f"({off}, '{meta}', '{cs}', '{ttl}', "
+                    f"'{comment}', '{slots}')")
+    return ",\n  ".join(rows)
+
+
+_HANDLERS_ORACLE = f"""
+WITH {CHANGELOG_SQL},
+tables AS (
+    SELECT schema_name, table_name,
+           row_number() OVER (ORDER BY schema_name, table_name) - 1 AS i
+    FROM (SELECT DISTINCT schema_name, table_name FROM changelog)
+),
+tape(off, col_meta, charset, ttl, comment, parts_slots) AS (VALUES
+  {_effects_values()}
+)
+SELECT CAST(1 + {_IDS_PER_TABLE} * i AS BIGINT) AS table_id,
+       CAST({_BASE_TS} + {_TS_STEP} * i + off AS BIGINT) AS version_ts,
+       schema_name, table_name, col_meta, charset, ttl, comment,
+       CASE WHEN parts_slots = '' THEN ''
+            ELSE array_to_string(
+                list_transform(string_split(parts_slots, ','),
+                               x -> CAST(CAST(x AS BIGINT)
+                                         + {_IDS_PER_TABLE} * i AS VARCHAR)),
+                ',')
+       END AS parts
+FROM tables CROSS JOIN tape
+"""
+
+
+@register("ddl_handlers_version_table", _HANDLERS_ORACLE)
+def q_ddl_handlers_version_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the 26-action tape to every changelog table and export the
+    multi-version table. The table list is a tiny metadata collect (the
+    distinct tables of the feed); the fold itself is the driver-side
+    SchemaStore — exactly how the engine runs it in production."""
+    cl = events_changelog(spark, sf_dir)
+    tables = sorted(
+        (r["schema_name"], r["table_name"])
+        for r in cl.select("schema_name", "table_name").distinct().collect()
+    )
+    st = SchemaStore()
+    for s in sorted({s for s, _ in tables}):
+        st.apply_ddl({"type": "create-schema", "schema": s, "commit_ts": 0})
+    for i, (s, t) in enumerate(tables):
+        for ddl in _table_tape(s, t, i):
+            st.apply_ddl(ddl)
+    return spark.createDataFrame(st.version_rows(), _VERSION_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# schema-scoped family: batch create, atomic multi-rename, exchange id
+# swap, drop+recover, truncate re-id, drop-schema cascade
+# ---------------------------------------------------------------------------
+_A = "a:bigint:0:1::"
+_B = "b:bigint:0:1::"
+
+_SCHEMA_ACTIONS_ORACLE = f"""
+SELECT * FROM (VALUES
+  (CAST(901 AS BIGINT), CAST(20 AS BIGINT), 'aux', 'a1', '{_A}', 'utf8mb4', '', '', ''),
+  (CAST(901 AS BIGINT), CAST(40 AS BIGINT), 'aux', 'a1', '{_A}', 'utf8mb4', '', '', '903,904'),
+  (CAST(901 AS BIGINT), CAST(50 AS BIGINT), 'aux', 'a1', '{_A}', 'utf8mb4', '', '', '902,904'),
+  (CAST(901 AS BIGINT), CAST(60 AS BIGINT), 'aux', 'a1r', '{_A}', 'utf8mb4', '', '', '902,904'),
+  (CAST(902 AS BIGINT), CAST(20 AS BIGINT), 'aux', 'a2', '{_B}', 'utf8mb4', '', '', ''),
+  (CAST(903 AS BIGINT), CAST(50 AS BIGINT), 'aux', 'a2', '{_B}', 'utf8mb4', '', '', ''),
+  (CAST(903 AS BIGINT), CAST(60 AS BIGINT), 'aux', 'a2r', '{_B}', 'utf8mb4', '', '', ''),
+  (CAST(903 AS BIGINT), CAST(80 AS BIGINT), 'aux', 'a2r', '{_B}', 'utf8mb4', '', '', ''),
+  (CAST(905 AS BIGINT), CAST(90 AS BIGINT), 'aux', 'a2r', '{_B}', 'utf8mb4', '', '', '')
+) AS t(table_id, version_ts, schema_name, table_name, col_meta, charset,
+       ttl, comment, parts)
+"""
+
+
+@register("ddl_schema_actions", _SCHEMA_ACTIONS_ORACLE)
+def q_ddl_schema_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden tape for schema-scoped handlers. Walkthrough of the
+    expected rows: exchange-partition (ts 50) swaps physical keyspaces —
+    a1's partition 0 becomes id 902, a2 moves onto 903; rename-tables
+    (ts 60) renames both atomically; a2r is dropped (70) then recovered
+    (80) on the same id; truncate (90) re-ids it to 905; drop-schema
+    (120) ends every live chain (dropped versions are not exported)."""
+    st = SchemaStore()
+    st.apply_ddl({"type": "create-schema", "schema": "aux", "commit_ts": 10})
+    st.apply_ddl({"type": "create-tables", "commit_ts": 20, "tables": [
+        {"schema": "aux", "table": "a1", "table_id": 901,
+         "columns": [{"name": "a", "spark_type": "bigint",
+                      "nullable": False, "primary_key": True}]},
+        {"schema": "aux", "table": "a2", "table_id": 902,
+         "columns": [{"name": "b", "spark_type": "bigint",
+                      "nullable": False, "primary_key": True}]},
+    ]})
+    st.apply_ddl({"type": "create-view", "schema": "aux", "view": "v1",
+                  "commit_ts": 30})
+    st.apply_ddl({"type": "alter-table-partitioning", "schema": "aux",
+                  "table": "a1", "commit_ts": 40, "n_partitions": 2})
+    st.apply_ddl({"type": "exchange-partition", "schema": "aux",
+                  "table": "a1", "partition_index": 0,
+                  "with_schema": "aux", "with_table": "a2",
+                  "commit_ts": 50})
+    st.apply_ddl({"type": "rename-tables", "commit_ts": 60, "renames": [
+        {"schema": "aux", "table": "a1", "to_table": "a1r"},
+        {"schema": "aux", "table": "a2", "to_table": "a2r"},
+    ]})
+    st.apply_ddl({"type": "drop-table", "schema": "aux", "table": "a2r",
+                  "commit_ts": 70})
+    st.apply_ddl({"type": "recover-table", "table_id": 903, "commit_ts": 80})
+    st.apply_ddl({"type": "truncate-table", "schema": "aux", "table": "a2r",
+                  "commit_ts": 90})
+    st.apply_ddl({"type": "drop-view", "schema": "aux", "view": "v1",
+                  "commit_ts": 100})
+    st.apply_ddl({"type": "modify-schema-charset-and-collate",
+                  "schema": "aux", "charset": "gbk", "commit_ts": 110})
+    st.apply_ddl({"type": "drop-schema", "schema": "aux", "commit_ts": 120})
+    return spark.createDataFrame(st.version_rows(), _VERSION_SCHEMA)

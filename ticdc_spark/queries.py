@@ -473,3 +473,4 @@ def q_row_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ticdc_spark import llm_queries  # noqa: E402,F401  isort:skip
 from ticdc_spark import sink_queries  # noqa: E402,F401  isort:skip
 from ticdc_spark import typed_queries  # noqa: E402,F401  isort:skip
+from ticdc_spark import ddl_queries  # noqa: E402,F401  isort:skip
