@@ -83,6 +83,34 @@ def q_changelog_mount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S7 — BINARY mounter: TiDB row-format v1/v2 decode
+# (`pkg/common/event/mounter.go:44-151`, sources/binary_mount.py)
+# ---------------------------------------------------------------------------
+_BINARY_FLAT = (
+    "table_id, pk, op, commit_ts, start_ts, seq, before_id, before_val, "
+    "before_k, after_id, after_val, after_k"
+)
+
+
+@register(
+    "mount_binary_rows",
+    f"WITH {CHANGELOG_SQL} SELECT {_BINARY_FLAT} FROM changelog",
+)
+def q_mount_binary_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The changelog is serialized into real RawKV frames (record keys +
+    row-format v1/v2 binary images, every 4th row v1) and mounted back —
+    the oracle is the identity projection, so any decode drift (offsets,
+    comparable floats, varints, null maps, key handles) hash-fails."""
+    from ticdc_spark.sources.binary_mount import (
+        mount_binary_rows,
+        synthesize_binary_changelog,
+    )
+
+    raw = synthesize_binary_changelog(flat_changelog(spark, sf_dir))
+    return mount_binary_rows(raw)
+
+
+# ---------------------------------------------------------------------------
 # F1 — wildcard table filter (last match wins)
 # ---------------------------------------------------------------------------
 _F1_RULES = ["*.*", "!test.tp_view", "!test.tp_c*", "test.tp_click"]
