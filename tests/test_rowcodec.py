@@ -217,3 +217,59 @@ def test_synthesize_mixes_v1_and_v2(spark, sf_dir):
     imgs = raw.filter(F.length("value") > 0).select("seq", "value").limit(200)
     kinds = {bool(r["value"][0] == 0x80) for r in imgs.collect()}
     assert kinds == {True, False}  # both formats present
+
+
+def test_gbk_charset_wire_bytes():
+    """The wire carries the COLUMN's charset: '中' is d6d0 in gbk, not
+    the utf-8 e4b8ad (`pkg/common/column.go:25-36`; e2e charset_gbk)."""
+    enc = encode_value("中文", "string", charset="gbk")
+    assert enc == bytes.fromhex("d6d0cec4")
+    assert enc != "中文".encode("utf-8")
+    assert decode_value(enc, "string", charset="gbk") == "中文"
+    # latin1 too (the other non-utf8 charset the reference ships)
+    assert encode_value("café", "string", charset="latin-1") == b"caf\xe9"
+    assert decode_value(b"caf\xe9", "string", charset="latin-1") == "café"
+
+
+def test_gbk_column_through_mounter(spark):
+    from ticdc_spark.sources.binary_mount import (
+        mount_binary_rows,
+        synthesize_binary_changelog,
+    )
+
+    cols = ({"id": 1, "name": "txt", "type": "string", "charset": "gbk"},)
+    src = spark.createDataFrame(
+        [(7, 1, "I", 10, 9, 0, None, "汉字编码"),
+         (7, 2, "I", 11, 10, 4, None, "第二行")],  # seq%4==0 → v1 path
+        "table_id long, pk long, op string, commit_ts long, "
+        "start_ts long, seq long, before_txt string, after_txt string")
+    raw = synthesize_binary_changelog(src, cols)
+    # wire bytes are real gbk (shorter than utf-8 for CJK)
+    img = raw.orderBy("seq").limit(1).collect()[0]["value"]
+    assert "汉字编码".encode("gbk") in bytes(img)
+    got = {r["seq"]: r["after_txt"]
+           for r in mount_binary_rows(raw, cols).collect()}
+    assert got == {0: "汉字编码", 4: "第二行"}
+
+
+def test_gbk_strings_through_csv_and_canal_codecs(spark):
+    """Downstream leg of charset_gbk: mounted (UTF-8) CJK strings pass
+    the csv and canal-json encoders and decode back intact — the
+    reference's charset_gbk e2e asserts exactly this consumer view."""
+    import json
+
+    from ticdc_spark.codec import encode_canal_json, encode_csv
+
+    cl = spark.createDataFrame(
+        [("test", "tp_zh", 1, "I", 100, 99, 0, 1, 1,
+          None, {"id": 1, "val": 2.0, "k": None, "txt": "汉字编码"})],
+        "schema_name string, table_name string, table_id long, op string, "
+        "commit_ts long, start_ts long, seq long, dml_order long, pk long, "
+        "before struct<id:long, val:double, k:long, txt:string>, "
+        "after struct<id:long, val:double, k:long, txt:string>")
+    csv_line = encode_csv(cl).select("value").first()["value"]
+    assert "汉字编码" in csv_line
+    canal = json.loads(
+        encode_canal_json(cl, pk_names=("id",))
+        .select("value").first()["value"])
+    assert canal["data"][0]["txt"] == "汉字编码"

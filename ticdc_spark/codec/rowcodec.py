@@ -200,7 +200,8 @@ _INT_TYPES = {"tinyint", "smallint", "int", "bigint", "year", "bool"}
 _UINT_TYPES = {"tinyint unsigned", "int unsigned", "bigint unsigned"}
 
 
-def encode_value(value, typ: str, prec: int = 0, frac: int = 0) -> bytes:
+def encode_value(value, typ: str, prec: int = 0, frac: int = 0,
+                 charset: str | None = None) -> bytes:
     if typ in _INT_TYPES:
         return _shrink_int(int(value))
     if typ in _UINT_TYPES:
@@ -209,7 +210,9 @@ def encode_value(value, typ: str, prec: int = 0, frac: int = 0) -> bytes:
         return encode_float_cmp(float(value))
     if typ in ("string", "varchar", "text", "char", "json", "enum_name",
                "set_name"):
-        return str(value).encode("utf-8")
+        # per-column charset (`pkg/common/column.go:25-36`): the wire
+        # carries the column's OWN encoding (gbk/latin1/...), not utf-8
+        return str(value).encode(charset or "utf-8")
     if typ in ("binary", "varbinary", "blob"):
         return bytes(value)
     if typ.startswith("decimal"):
@@ -221,7 +224,8 @@ def encode_value(value, typ: str, prec: int = 0, frac: int = 0) -> bytes:
     raise ValueError(f"unsupported type: {typ}")
 
 
-def decode_value(b: bytes, typ: str, prec: int = 0, frac: int = 0):
+def decode_value(b: bytes, typ: str, prec: int = 0, frac: int = 0,
+                 charset: str | None = None):
     if typ in _INT_TYPES:
         return _grow_int(b)
     if typ in _UINT_TYPES:
@@ -230,7 +234,9 @@ def decode_value(b: bytes, typ: str, prec: int = 0, frac: int = 0):
         return decode_float_cmp(b)
     if typ in ("string", "varchar", "text", "char", "json", "enum_name",
                "set_name"):
-        return b.decode("utf-8")
+        # mount normalizes to UTF-8 (Spark strings), decoding from the
+        # column charset — the reference's charset conversion point
+        return b.decode(charset or "utf-8")
     if typ in ("binary", "varbinary", "blob"):
         return b
     if typ.startswith("decimal"):

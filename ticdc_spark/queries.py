@@ -111,6 +111,51 @@ def q_mount_binary_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# charset fidelity — GBK column through the binary wire
+# (`pkg/common/column.go:25-36` per-column charset;
+#  reference e2e `tests/integration_tests/charset_gbk/`)
+# ---------------------------------------------------------------------------
+_ZH = ["中文数据", "测试", "汉字编码", "GBK兼容"]
+_ZH_CASE = ("CASE CAST(pk % 4 AS INT) "
+            + " ".join(f"WHEN {i} THEN '{s}'" for i, s in enumerate(_ZH))
+            + " END")
+
+
+@register(
+    "charset_gbk_mount",
+    f"WITH {CHANGELOG_SQL} SELECT pk, seq, op, {_ZH_CASE} AS txt "
+    "FROM changelog",
+)
+def q_charset_gbk_mount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A gbk-charset string column rides the binary wire in its OWN
+    encoding ('中' = d6d0 on the wire, not utf-8 e4b8ad) and mounts back
+    to a UTF-8 Spark string — byte-level fidelity is pinned by pytest
+    (test_rowcodec.py); this query pins the end-to-end value path."""
+    from pyspark.sql import functions as F
+
+    from ticdc_spark.sources.binary_mount import (
+        mount_binary_rows,
+        synthesize_binary_changelog,
+    )
+
+    cl = flat_changelog(spark, sf_dir)
+    zh = F.element_at(
+        F.array(*[F.lit(s) for s in _ZH]),
+        (F.col("pk") % 4 + 1).cast("int"),
+    )
+    src = cl.select(
+        "table_id", "pk", "op", "commit_ts", "start_ts", "seq",
+        zh.alias("before_txt"), zh.alias("after_txt"),
+    )
+    cols = ({"id": 1, "name": "txt", "type": "string", "charset": "gbk"},)
+    mounted = mount_binary_rows(synthesize_binary_changelog(src, cols), cols)
+    return mounted.select(
+        "pk", "seq", "op",
+        F.coalesce("after_txt", "before_txt").alias("txt"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # F1 — wildcard table filter (last match wins)
 # ---------------------------------------------------------------------------
 _F1_RULES = ["*.*", "!test.tp_view", "!test.tp_c*", "test.tp_click"]

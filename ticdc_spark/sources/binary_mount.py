@@ -66,13 +66,21 @@ def _encode_image(row: dict, columns, use_v1: bool) -> bytes:
             v = row.get(c["name"])
             if v is None:
                 vals[c["id"]] = (_NIL, None)
+            elif c["type"] == "string":
+                # pre-encode with the column charset; v1 compactBytes
+                # carries raw bytes
+                vals[c["id"]] = (
+                    _V1_FLAGS[c["type"]],
+                    str(v).encode(c.get("charset") or "utf-8"),
+                )
             else:
                 vals[c["id"]] = (_V1_FLAGS[c["type"]], v)
         return encode_row_v1(vals)
     vals = {}
     for c in columns:
         v = row.get(c["name"])
-        vals[c["id"]] = None if v is None else encode_value(v, c["type"])
+        vals[c["id"]] = None if v is None else encode_value(
+            v, c["type"], charset=c.get("charset"))
     return encode_row_v2(vals)
 
 
@@ -127,7 +135,8 @@ def _decode_image(b: bytes, columns) -> dict:
         for c in columns:
             v = raw.get(c["id"])
             out[c["name"]] = None if v is None else decode_value(
-                v, c["type"], c.get("prec", 0), c.get("frac", 0))
+                v, c["type"], c.get("prec", 0), c.get("frac", 0),
+                charset=c.get("charset"))
         return out
     raw = decode_row_v1(b)
     out = {}
@@ -137,7 +146,7 @@ def _decode_image(b: bytes, columns) -> dict:
             out[c["name"]] = None
         elif flag_v[0] == _COMPACT_BYTES and c["type"] not in (
                 "binary", "varbinary", "blob"):
-            out[c["name"]] = flag_v[1].decode("utf-8")
+            out[c["name"]] = flag_v[1].decode(c.get("charset") or "utf-8")
         else:
             out[c["name"]] = flag_v[1]
     return out
