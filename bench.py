@@ -105,6 +105,38 @@ def main() -> None:
     for name in headline:
         timings[name] = min(timings[name], time_query(name))
 
+    # sf-scaling probe: the SAME pipeline at 10x rows (union of shifted
+    # copies — 10x the scan, shuffle, and encode volume) to catch scaling
+    # cliffs early: a skewed key, a single-partition stage, or a
+    # super-linear operator shows up as rows/s collapsing vs the 1x run.
+    from functools import reduce as _reduce
+
+    from pyspark.sql import DataFrame as _DF
+    from pyspark.sql import functions as F
+
+    base = events_changelog(spark, sf_dir)
+    copies = [
+        base.withColumn("seq", F.col("seq") + F.lit(i * 100_000_000))
+        .withColumn("pk", F.col("pk") + F.lit(i * 1_000_000))
+        .withColumn("commit_ts", F.col("commit_ts") + F.lit(i))
+        for i in range(10)
+    ]
+    big = _reduce(_DF.unionByName, copies)
+    big_out = build_pipeline(big, cfg)
+
+    def big_pipeline():
+        big_out.select("value").write.format("noop").mode(
+            "overwrite").save()
+
+    t0 = time.perf_counter()
+    big_pipeline()
+    t_10x = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    big_pipeline()
+    t_10x = min(t_10x, time.perf_counter() - t0)
+    rows_10x = n_rows * 10
+    timings["pipeline_canal_json_10x"] = round(t_10x, 3)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "changefeed pipeline + operator suite wall time",
@@ -113,6 +145,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
         "pipeline_rows_per_s": pipeline_rows_per_s,
+        "pipeline_rows_per_s_10x": round(rows_10x / t_10x, 1),
         "changelog_rows": n_rows,
     }))
 

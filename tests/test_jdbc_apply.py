@@ -5,6 +5,7 @@ materialize_state (the sync-diff oracle)."""
 from __future__ import annotations
 
 import duckdb
+import pytest
 from pyspark.sql import functions as F
 
 from ticdc_spark.operators import split_updates
@@ -127,3 +128,120 @@ def test_compile_changefeed_multirow_apply(spark, sf_dir):
         for (i, v, k) in con.execute(f"SELECT id, val, k FROM test.{t}").fetchall():
             got[(t, i)] = (round(v, 6), k)
     assert got == expected
+
+
+# -- retry/backoff (pkg/sink/mysql/config.go:77-79) -------------------------
+
+def test_retry_backoff_schedule_and_recovery():
+    from ticdc_spark.sinks.jdbc import RetryPolicy, with_retry
+
+    calls, sleeps = [], []
+    fails = {"n": 3}
+
+    def flaky(stmt):
+        calls.append(stmt)
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            raise RuntimeError("connection reset")
+
+    run = with_retry(flaky, RetryPolicy(max_tries=8, base_delay=0.1,
+                                        max_delay=5.0),
+                     sleep=sleeps.append)
+    run("INSERT 1")
+    assert len(calls) == 4  # 3 failures + success
+    assert sleeps == [0.1, 0.2, 0.4]  # exponential from BackoffBaseDelay
+
+
+def test_retry_caps_at_max_delay_and_exhausts():
+    from ticdc_spark.sinks.jdbc import RetryPolicy, with_retry
+
+    sleeps = []
+
+    def always_fails(stmt):
+        raise RuntimeError("deadlock")
+
+    run = with_retry(always_fails,
+                     RetryPolicy(max_tries=8, base_delay=0.1, max_delay=5.0),
+                     sleep=sleeps.append)
+    with pytest.raises(RuntimeError):
+        run("UPDATE x")
+    # 7 sleeps between 8 tries; tail capped at BackoffMaxDelay=5s
+    assert sleeps == [0.1, 0.2, 0.4, 0.8, 1.6, 3.2, 5.0]
+
+
+def test_non_retryable_propagates_immediately():
+    from ticdc_spark.sinks.jdbc import RetryPolicy, with_retry
+
+    calls = []
+
+    def syntax_error(stmt):
+        calls.append(stmt)
+        raise ValueError("syntax error")
+
+    run = with_retry(syntax_error, RetryPolicy(),
+                     retryable=lambda e: not isinstance(e, ValueError),
+                     sleep=lambda s: None)
+    with pytest.raises(ValueError):
+        run("BOGUS")
+    assert len(calls) == 1
+
+
+def test_txn_retry_rolls_back_whole_batch():
+    """Transient failure mid-txn: ROLLBACK, then the WHOLE txn retries —
+    the downstream never observes a prefix (atomicity contract)."""
+    from ticdc_spark.sinks.jdbc import RetryPolicy, apply_txn_with_retry
+
+    log = []
+    fail_once = {"armed": True}
+
+    def execute(stmt):
+        log.append(stmt)
+        if stmt == "S2" and fail_once["armed"]:
+            fail_once["armed"] = False
+            raise RuntimeError("lock wait timeout")
+
+    n = apply_txn_with_retry(["S1", "S2", "S3"], execute,
+                             RetryPolicy(max_tries=3, base_delay=0.01),
+                             sleep=lambda s: None)
+    assert n == 3
+    assert log == ["BEGIN", "S1", "S2", "ROLLBACK",
+                   "BEGIN", "S1", "S2", "S3", "COMMIT"]
+
+
+def test_apply_ordered_with_retry_against_duckdb(spark, sf_dir):
+    """The flaky-connection path against the live DuckDB shim: every
+    statement lands exactly once despite injected transient failures."""
+    import duckdb
+
+    from ticdc_spark.sinks.jdbc import (
+        RetryPolicy,
+        apply_ordered,
+        mysql_to_duckdb_dialect,
+    )
+    from ticdc_spark.sources.changelog import events_changelog
+
+    con = duckdb.connect()
+    con.execute("CREATE SCHEMA test")
+    con.execute("CREATE TABLE test.tp_view (id BIGINT PRIMARY KEY, "
+                "val DOUBLE, k BIGINT)")
+    cl = events_changelog(spark, sf_dir).filter(
+        (F.col("op") == "I") & (F.col("table_name") == "tp_view")
+    ).limit(40)
+    flake = {"every": 7, "n": 0}
+
+    def execute(stmt):
+        flake["n"] += 1
+        if flake["n"] % flake["every"] == 0 and flake.pop("armed", True):
+            flake["armed"] = False  # re-arm per statement via with_retry
+            raise RuntimeError("server has gone away")
+        flake["armed"] = True
+        con.execute(mysql_to_duckdb_dialect(stmt))
+
+    n = apply_ordered(cl, execute, safe_mode=True,
+                      retry=RetryPolicy(max_tries=4, base_delay=0.001),
+                      sleep=lambda s: None)
+    assert n == 40
+    # safe-mode REPLACE upserts: downstream rows = distinct handles
+    assert con.execute(
+        "SELECT count(*) FROM test.tp_view"
+    ).fetchone()[0] == cl.select("pk").distinct().count()

@@ -116,3 +116,34 @@ def test_new_operator_shuffle_budgets(spark, sf_dir):
         p = _plan(QUERIES[name](spark, sf_dir))
         shuffles = p.count("Exchange") - p.count("BroadcastExchange")
         assert shuffles <= budget, f"{name}: {shuffles} > {budget}\n{p}"
+
+
+def test_kafka_writer_plan_validates_without_broker(spark, sf_dir):
+    """K2 glue: the exact frame `.write.format(\"kafka\")` accepts is
+    assembled and writer-configured plan-side; contract violations fail
+    here, not on the cluster."""
+    import pytest
+
+    from ticdc_spark.sinks.kafka import kafka_frame, kafka_messages, kafka_writer
+    from ticdc_spark.sources.changelog import events_changelog
+
+    cl = events_changelog(spark, sf_dir)
+    frame = kafka_messages(cl, [{"matcher": ["test.tp_*"],
+                                 "partition": "index-value",
+                                 "topic": "cdc_{schema}_{table}"}])
+    k = kafka_frame(frame)
+    types = dict(k.dtypes)
+    # string|binary both satisfy the sink; partition must cast to int
+    assert types["value"] in ("string", "binary")
+    assert types["key"] in ("string", "binary")
+    assert types["topic"] == "string" and types["partition"] == "int"
+    # a binary-valued frame passes through uncast
+    from pyspark.sql import functions as SF
+
+    bin_frame = frame.withColumn("value", SF.col("value").cast("binary"))
+    assert dict(kafka_frame(bin_frame).dtypes)["value"] == "binary"
+    w = kafka_writer(frame, "broker-1:9092,broker-2:9092",
+                     {"kafka.compression.type": "lz4"})
+    assert w is not None  # configured writer, .save() is deployment's line
+    with pytest.raises(ValueError):
+        kafka_frame(frame.drop("value"))

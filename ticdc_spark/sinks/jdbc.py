@@ -16,13 +16,82 @@ conflict-detector contract.
 
 from __future__ import annotations
 
+import time
 from collections.abc import Callable
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ticdc_spark.operators.conflict import with_conflict_slots
 from ticdc_spark.sinks.mysql import sql_for_rows
+
+
+@dataclass(frozen=True)
+class RetryPolicy:
+    """Reference defaults: BackoffBaseDelay=100ms, BackoffMaxDelay=5s
+    (`pkg/sink/mysql/config.go:77-79`); exponential doubling between
+    tries, capped at max_delay."""
+    max_tries: int = 8
+    base_delay: float = 0.1
+    max_delay: float = 5.0
+
+    def delays(self) -> list[float]:
+        out, d = [], self.base_delay
+        for _ in range(self.max_tries - 1):
+            out.append(min(d, self.max_delay))
+            d *= 2
+        return out
+
+
+def with_retry(
+    execute: Callable[[str], None],
+    policy: RetryPolicy = RetryPolicy(),
+    retryable: Callable[[Exception], bool] = lambda e: True,
+    sleep: Callable[[float], None] = time.sleep,
+) -> Callable[[str], None]:
+    """Wrap a statement executor with the reference's retry/backoff.
+
+    Non-retryable errors (syntax, constraint violations — anything the
+    classifier rejects) propagate immediately; transient ones retry up
+    to max_tries with exponential backoff."""
+    delays = policy.delays()
+
+    def run(stmt: str) -> None:
+        for attempt in range(policy.max_tries):
+            try:
+                execute(stmt)
+                return
+            except Exception as e:  # noqa: BLE001 — classifier decides
+                if not retryable(e) or attempt == policy.max_tries - 1:
+                    raise
+                sleep(delays[attempt])
+
+    return run
+
+
+def apply_txn_with_retry(
+    stmts: list[str],
+    execute: Callable[[str], None],
+    policy: RetryPolicy = RetryPolicy(),
+    retryable: Callable[[Exception], bool] = lambda e: True,
+    sleep: Callable[[float], None] = time.sleep,
+) -> int:
+    """Apply one flush batch transactionally: BEGIN … COMMIT, ROLLBACK +
+    whole-txn retry on transient failure (the reference retries the
+    whole txn, never a prefix — partial batches would break atomicity)."""
+    def run_txn(_: str) -> None:
+        execute("BEGIN")
+        try:
+            for s in stmts:
+                execute(s)
+            execute("COMMIT")
+        except Exception:
+            execute("ROLLBACK")
+            raise
+
+    with_retry(run_txn, policy, retryable, sleep)("")
+    return len(stmts)
 
 
 def statements_for_batch(
@@ -42,12 +111,18 @@ def apply_ordered(
     execute: Callable[[str], None],
     safe_mode: bool = True,
     n_slots: int = 16,
+    retry: RetryPolicy | None = None,
+    retryable: Callable[[Exception], bool] = lambda e: True,
+    sleep: Callable[[float], None] = time.sleep,
 ) -> int:
     """Drive every statement through ``execute`` in slot-serial order.
 
     Driver-side iteration (toLocalIterator) — fine for a single test DB;
     swap for ``foreachPartition`` with a JDBC pool per executor when the
-    downstream accepts concurrent sessions."""
+    downstream accepts concurrent sessions. ``retry`` applies the
+    reference's per-statement backoff."""
+    if retry is not None:
+        execute = with_retry(execute, retry, retryable, sleep)
     n = 0
     for row in statements_for_batch(batch_df, safe_mode, n_slots).toLocalIterator():
         execute(row["stmt"])
