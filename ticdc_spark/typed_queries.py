@@ -468,6 +468,92 @@ def q_avro_registry_schemas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# avro schema-registry WIRE protocol: run the actual Confluent client
+# (REST verbs against the in-process registry) and the Glue client over
+# the same documents; prove ids, versions, and message headers.
+# Reference: `pkg/sink/codec/avro/confluent_schema_registry.go` (Register
+# :124, GetCachedOrRegister :299, header :407), `glue_schema_registry.go`
+# (create-or-update :95-124, header :330-342).
+# ---------------------------------------------------------------------------
+
+def _glue_uuid(name: str, version: int = 1) -> str:
+    import uuid
+    return str(uuid.uuid5(uuid.NAMESPACE_URL, f"glue://default/{name}/{version}"))
+
+
+_WIRE_SUBJECTS = [
+    f"cdc_{s}_{t}{suf}"
+    for s, t, _ in _AVRO_TABLES
+    for suf in ("-value", "-key")
+]
+
+_WIRE_ROWS_SQL = ", ".join(
+    "('{subj}', CAST({sid} AS BIGINT), CAST(1 AS BIGINT), '{chex}', '{ghex}')".format(
+        subj=subj, sid=i + 1,
+        chex="00" + format(i + 1, "08x"),
+        ghex="0300" + __import__("uuid").UUID(_glue_uuid(subj)).hex,
+    )
+    for i, subj in enumerate(_WIRE_SUBJECTS)
+)
+
+
+@register(
+    "avro_registry_wire",
+    "SELECT * FROM (VALUES " + _WIRE_ROWS_SQL
+    + ") AS v(subject, schema_id, version, confluent_header, glue_header)"
+    " ORDER BY subject",
+)
+def q_avro_registry_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive both registry clients end-to-end: register each table's
+    -value/-key documents through the Confluent REST client (in-process
+    transport, same handler as the socket tests), re-register via
+    GetCachedOrRegister (must be a cache hit — ids stable), then register
+    the same subjects in the Glue manager. Output one row per subject
+    with the ids and wire headers; oracle is the closed-form expectation
+    (monotone Confluent ids in registration order; Glue uuid5 ids)."""
+    from ticdc_spark.codec.schema_registry import (
+        ConfluentSchemaManager, GlueSchemaManager,
+        InMemoryConfluentRegistry, InMemoryTransport,
+    )
+
+    docs = []
+    ev = events_changelog(spark, sf_dir)
+    docs += avro_schema_document(
+        "test", "tp_click", ev.schema["after"].dataType,
+        {"id": "bigint", "val": "double", "k": "bigint"}, ("id",))
+    oc = orders_changelog(spark, sf_dir)
+    docs += avro_schema_document(
+        "tpch", "orders", oc.schema["after"].dataType, _MYSQL, ("okey",))
+    lc = lineitem_changelog(spark, sf_dir)
+    docs += avro_schema_document(
+        "tpch", "lineitem", lc.schema["after"].dataType, _LI_MYSQL,
+        ("okey", "line"))
+
+    mgr = ConfluentSchemaManager(
+        "http://registry.local",
+        transport=InMemoryTransport(InMemoryConfluentRegistry()),
+        backoff_s=0.001)
+    glue = GlueSchemaManager("default")
+    rows = []
+    for d in docs:
+        schema, header = mgr.get_cached_or_register(
+            d["subject"], 1, lambda d=d: d["schema_json"])
+        # second call is a cache hit and must return identical bytes
+        _, header2 = mgr.get_cached_or_register(
+            d["subject"], 1, lambda: (_ for _ in ()).throw(AssertionError))
+        assert header2 == header
+        sid = int.from_bytes(header[1:5], "big")
+        gid = glue.register(d["subject"], d["schema_json"])
+        rows.append((d["subject"], sid, 1, header.hex(),
+                     glue.get_msg_header(gid).hex()))
+    return spark.createDataFrame(
+        rows,
+        "subject string, schema_id long, version long, "
+        "confluent_header string, glue_header string",
+    ).orderBy("subject")
+
+
+# ---------------------------------------------------------------------------
 # §1.3 temporal type fidelity: a payload with real DATE + TIMESTAMP columns
 # through canal-json (sqlType 91/93, mysqlType date/datetime) and csv
 # ---------------------------------------------------------------------------
