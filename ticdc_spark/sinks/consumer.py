@@ -98,7 +98,16 @@ def replay_to_state(decoded: DataFrame, order_col: str = "commit_ts_ms") -> Data
 
 def replay_sink_dir(spark: SparkSession, sink_dir: str) -> DataFrame:
     """K6 replay: rebuild state from a changefeed's message files."""
+    from ticdc_spark import failpoint
+
     msgs = spark.read.json(f"{sink_dir}/epoch=*")
+    # chaos hook (`random_drop_message` e2e analog): arm with
+    # return(N) to deterministically lose 1-in-N messages in transit;
+    # the redo WAL is the recovery path the drop test exercises
+    drop_mod = failpoint.inject("consumer/drop-message")
+    if drop_mod:
+        msgs = msgs.filter(
+            F.pmod(F.abs(F.hash("value")), F.lit(int(drop_mod))) != 0)
     return replay_to_state(decode_canal_json(msgs))
 
 

@@ -13,10 +13,14 @@ split predicate is ``commit_ts <= ddl_ts`` for the pre-batch.
 
 from __future__ import annotations
 
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ticdc_spark import failpoint
 
 
 def split_batch_at_ddl(
@@ -46,9 +50,46 @@ def split_batch_at_ddl(
                 & (F.lit(True) if prev is None else (F.col("commit_ts") > prev))
             )
             flush_fn(seg, i)
+            # chaos hook: crash after the pre-DDL flush, before the DDL
+            # applies — the kill_owner_with_ddl scenario; restart must
+            # re-run the barrier and apply the DDL exactly once (the
+            # DDLTsBook makes the reapply idempotent)
+            failpoint.inject("barrier/before-ddl", {"ts": ts})
             ddl_fn(ts)
             prev = ts
         tail = batch_df.filter(F.col("commit_ts") > barriers[-1])
         flush_fn(tail, len(barriers))
     finally:
         batch_df.unpersist()
+
+
+class DDLTsBook:
+    """Applied-DDL bookkeeping (`pkg/sink/mysql/mysql_writer_for_ddl_ts.go`):
+    the reference records each executed DDL's commit ts in a downstream
+    ``tidb_cdc.ddl_ts_v1`` table so a restarted writer can tell an
+    already-applied DDL from a pending one. File-backed here (one JSON
+    line per applied ts, per changefeed+table scope).
+
+    Usage: ``if book.should_apply(ts): apply(); book.record(ts)`` —
+    a crash between apply() and record() re-applies the DDL once more,
+    which is safe because reference DDL execution is itself idempotent
+    (CREATE/DROP guarded by existence checks); a crash after record()
+    skips cleanly on replay.
+    """
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self._applied: set[int] = set()
+        if os.path.exists(path):
+            with open(path) as f:
+                for line in f:
+                    self._applied.add(json.loads(line)["ddl_ts"])
+
+    def should_apply(self, ddl_ts: int) -> bool:
+        return ddl_ts not in self._applied
+
+    def record(self, ddl_ts: int) -> None:
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        with open(self.path, "a") as f:
+            f.write(json.dumps({"ddl_ts": ddl_ts}) + "\n")
+        self._applied.add(ddl_ts)

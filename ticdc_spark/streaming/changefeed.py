@@ -29,6 +29,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ticdc_spark import failpoint
 from ticdc_spark.pipeline import ChangefeedConfig
 from ticdc_spark.sources.changelog import stream_changelog
 
@@ -64,6 +65,9 @@ class Changefeed:
         """
         if batch_df.isEmpty():
             return
+        # chaos hook: crash BEFORE any sink effect — a restart must
+        # re-deliver this epoch from the stream checkpoint with no loss
+        failpoint.inject("changefeed/before-flush", {"epoch": epoch_id})
         # resolved-ts comes from the PRE-compile frame: a compiled DB stmt
         # batch drops commit_ts, but the checkpoint must still advance for
         # MySQL sinks (the reference advances checkpointTs for every sink);
@@ -93,15 +97,23 @@ class Changefeed:
             batch_df.sortWithinPartitions(*sort_cols)
             if sort_cols else batch_df
         )
+        # mode=overwrite per epoch dir: foreachBatch retries re-run with
+        # the SAME epoch_id, so the write is idempotent under replay —
+        # the Spark analog of the reference's replace-mode dedup on
+        # restart (`basic_dispatcher.go:156-161`)
         writer = (
             ordered.select(*(out_cols or ["value"]))
-            .write.mode("append")
+            .write.mode("overwrite")
             .partitionBy(*[c for c in ("topic",) if c in out_cols])
             .format("json")
         )
         if self.compression:  # lz4/snappy/zstd analog (pkg/compression)
             writer = writer.option("compression", self.compression)
         writer.save(os.path.join(self.sink_dir, f"epoch={epoch_id}"))
+        # chaos hook: crash AFTER the sink effect but BEFORE progress
+        # bookkeeping — restart re-delivers the epoch; the overwrite
+        # above makes the replay idempotent
+        failpoint.inject("changefeed/after-flush", {"epoch": epoch_id})
         ts_df = batch_df if "commit_ts" in cols else (
             pre_df if "commit_ts" in pre_df.columns else None
         )
@@ -115,6 +127,13 @@ class Changefeed:
             stats = {"resolved_ts": None, "min_ts": None,
                      "n_rows": batch_df.count()}
         os.makedirs(os.path.dirname(self.progress_path), exist_ok=True)
+        # epoch replay (crash between flush and this point) must not
+        # double-count rows: drop any prior entry for this epoch
+        if os.path.exists(self.progress_path):
+            with open(self.progress_path) as f:
+                kept = [ln for ln in f if json.loads(ln)["epoch"] != epoch_id]
+            with open(self.progress_path, "w") as f:
+                f.writelines(kept)
         with open(self.progress_path, "a") as f:
             f.write(json.dumps({
                 "changefeed": self.changefeed_id,
