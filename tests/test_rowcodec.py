@@ -273,3 +273,52 @@ def test_gbk_strings_through_csv_and_canal_codecs(spark):
         encode_canal_json(cl, pk_names=("id",))
         .select("value").first()["value"])
     assert canal["data"][0]["txt"] == "汉字编码"
+
+
+# -- S4 DDL job fetcher edge cases (ddl_job_fetcher.go / ParseDDLJob) -------
+
+def test_ddl_job_fetcher_rejects_and_decodes(spark):
+    from ticdc_spark.codec.rowcodec import (
+        _COMPACT_BYTES, _VARINT, encode_record_key, encode_row_v1,
+    )
+    from ticdc_spark.plans.ddl_job_fetcher import (
+        JOB_STATE_DONE, JOB_STATE_RUNNING, JOB_TABLE_ID, RAW_JOB_SCHEMA,
+        encode_job_row, fetch_ddl_jobs,
+    )
+    import json as _json
+
+    def doc(jid, state, q):
+        return {"id": jid, "type": 3, "schema_id": 1, "table_id": 5,
+                "schema_name": "s", "table_name": "t", "state": state,
+                "query": q, "binlog": {"schema_version": 9,
+                                       "finished_ts": 0}}
+
+    # v1-format job row (the fetcher must handle both row formats)
+    v1_meta = _json.dumps(doc(7, JOB_STATE_DONE, "CREATE TABLE s.t (i INT)"),
+                          separators=(",", ":"), sort_keys=True).encode()
+    v1_row = encode_row_v1({1: (_VARINT, 7), 2: (_COMPACT_BYTES, v1_meta),
+                            3: (_VARINT, 0)})
+    frames = [
+        # v2 Done job
+        (encode_record_key(JOB_TABLE_ID, 1),
+         encode_job_row(1, doc(1, JOB_STATE_DONE, "Q1"), False), 100, 99),
+        # v1 Done job
+        (encode_record_key(JOB_TABLE_ID, 7), v1_row, 110, 109),
+        # Running job -> dropped by the state gate
+        (encode_record_key(JOB_TABLE_ID, 2),
+         encode_job_row(2, doc(2, JOB_STATE_RUNNING, "Q2"), True), 120, 119),
+        # delete of a job row (empty value) -> skipped
+        (encode_record_key(JOB_TABLE_ID, 3), b"", 130, 129),
+        # row in another system table -> rejected by key
+        (encode_record_key(JOB_TABLE_ID - 1, 4),
+         encode_job_row(4, doc(4, JOB_STATE_DONE, "Q4"), False), 140, 139),
+        # garbage key -> skipped, not crashed
+        (b"\x00\x01", b"\x80\x00", 150, 149),
+    ]
+    out = fetch_ddl_jobs(spark.createDataFrame(frames, RAW_JOB_SCHEMA))
+    rows = {r["job_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 7}
+    # entry ts overwrites the document's ts (mounter.go:226-229)
+    assert rows[1]["start_ts"] == 99 and rows[1]["finished_ts"] == 100
+    assert rows[7]["start_ts"] == 109 and rows[7]["finished_ts"] == 110
+    assert rows[7]["schema_version"] == 9

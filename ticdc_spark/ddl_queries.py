@@ -247,3 +247,53 @@ def q_ddl_schema_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "schema": "aux", "charset": "gbk", "commit_ts": 110})
     st.apply_ddl({"type": "drop-schema", "schema": "aux", "commit_ts": 120})
     return spark.createDataFrame(st.version_rows(), _VERSION_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# S4 — DDL job fetcher: binary tidb_ddl_job rows -> done jobs
+# (`logservice/schemastore/ddl_job_fetcher.go`, ParseDDLJob
+# `pkg/common/event/mounter.go:175-231`)
+# ---------------------------------------------------------------------------
+
+_JOB_FETCH_ORACLE = f"""
+WITH {CHANGELOG_SQL},
+tables AS (
+    SELECT schema_name, table_name,
+           row_number() OVER (ORDER BY schema_name, table_name) - 1 AS i
+    FROM (SELECT DISTINCT schema_name, table_name FROM changelog)
+),
+tape(off, action_type, version, qtpl) AS (VALUES
+  (0, 3, 1, 'CREATE TABLE `%s`.`%t` (id BIGINT PRIMARY KEY)'),
+  (1, 5, 2, 'ALTER TABLE `%s`.`%t` ADD COLUMN c1 VARCHAR(16)')
+)
+SELECT CAST(100 * (i + 1) + off AS BIGINT) AS job_id,
+       CAST(action_type AS BIGINT) AS action_type,
+       CAST(1 + i AS BIGINT) AS schema_id,
+       CAST(1000 + i AS BIGINT) AS table_id,
+       schema_name, table_name,
+       CAST(version AS BIGINT) AS schema_version,
+       replace(replace(qtpl, '%s', schema_name), '%t', table_name) AS query,
+       CAST(2000000 + 10 * i + 2 * off AS BIGINT) AS start_ts,
+       CAST(2000000 + 10 * i + 2 * off + 1 AS BIGINT) AS finished_ts
+FROM tables CROSS JOIN tape
+"""
+
+
+@register("ddl_job_fetch", _JOB_FETCH_ORACLE)
+def q_ddl_job_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize binary tidb_ddl_job RawKV frames for every changelog
+    table (Done + Synced + Running + Cancelled jobs, plus a decoy row in
+    a non-job system table), run the fetcher — binary decode, job-meta
+    JSON parse, Done-state gate, ts overwrite — and emit the replayable
+    jobs. Oracle reproduces the closed-form tape; Running/Cancelled jobs
+    and the decoy must be absent."""
+    from ticdc_spark.plans.ddl_job_fetcher import (
+        fetch_ddl_jobs, synthesize_job_table,
+    )
+
+    cl = events_changelog(spark, sf_dir)
+    tables = sorted(
+        (r["schema_name"], r["table_name"])
+        for r in cl.select("schema_name", "table_name").distinct().collect()
+    )
+    return fetch_ddl_jobs(synthesize_job_table(spark, tables))
