@@ -2314,3 +2314,51 @@ def q_scheduler_drain(spark, sf_dir):
 
     assign, nodes = _balance_inputs(spark, sf_dir)
     return drain_node(assign, nodes, "node_0")
+
+
+# ---------------------------------------------------------------------------
+# A5 — table-progress tracking (`downstreamadapter/dispatcher/
+# table_progress.go`): checkpoint/lastSynced per table over a flushed
+# prefix of the sink order
+# ---------------------------------------------------------------------------
+
+_TP_ORACLE = f"""
+WITH {CHANGELOG_SQL},
+marked AS (
+    SELECT schema_name, table_name, commit_ts,
+           row_number() OVER (PARTITION BY schema_name, table_name
+                              ORDER BY commit_ts, start_ts, seq)
+             <= CAST(floor(count(*) OVER (PARTITION BY schema_name,
+                                          table_name) * 0.7) AS BIGINT)
+             AS flushed
+    FROM changelog
+),
+agg AS (
+    SELECT schema_name, table_name,
+           count(*) AS n_events,
+           sum(CASE WHEN NOT flushed THEN 1 ELSE 0 END) AS n_inflight,
+           max(commit_ts) AS max_commit,
+           min(CASE WHEN NOT flushed THEN commit_ts END) AS min_unflushed,
+           max(CASE WHEN flushed THEN commit_ts END) AS max_flushed
+    FROM marked GROUP BY 1, 2
+)
+SELECT schema_name, table_name,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_inflight AS BIGINT) AS n_inflight,
+       CAST(coalesce(min_unflushed - 1, max_commit - 1, 0) AS BIGINT)
+           AS checkpoint_ts,
+       CAST(coalesce(max_flushed, 0) AS BIGINT) AS last_synced_ts,
+       CAST(max_commit AS BIGINT) AS max_commit_ts,
+       n_inflight = 0 AS empty
+FROM agg
+"""
+
+
+@register("table_progress", _TP_ORACLE)
+def q_table_progress(spark, sf_dir):
+    from ticdc_spark.operators.table_progress import (
+        flush_frontier, table_progress,
+    )
+
+    cl = events_changelog(spark, sf_dir)
+    return table_progress(flush_frontier(cl, 0.7))
