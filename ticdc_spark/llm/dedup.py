@@ -398,3 +398,113 @@ def decontaminate(
             .alias("flagged"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication via embedding clusters
+# (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication"): k-means-cluster the embeddings, then
+# prune items whose cosine to another member of the SAME cluster exceeds
+# tau, keeping one representative per near-duplicate group.
+#
+# 100 TB shape: cell assignment is map-only column algebra against the
+# broadcast codebook; the candidate join is a (cell) equi-join — within-
+# cluster pairs only, never all-pairs (the clustering IS the blocking
+# step, the same sub-quadratic trick as MinHash-LSH but in embedding
+# space). Deterministic keep policy: the lowest vec_id in a dup pair is
+# the representative, so the prune set needs no iterative consensus.
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(emb: DataFrame, tau: float = 0.95,
+                   cents: list[list[float]] | None = None) -> DataFrame:
+    """Pruned items with their kept representative: (vec_id, rep_id,
+    cell, cos_sim) — rep is the lower-id same-cell neighbor with the
+    highest cosine (ties → lowest id)."""
+    from pyspark.sql import Window
+
+    from ticdc_spark.llm.similarity import (
+        _dot, _norm, ivf_cell_col, ivf_centroids,
+    )
+
+    cents = cents or ivf_centroids()
+    cells = emb.select(
+        "vec_id", "embedding",
+        ivf_cell_col(F.col("embedding"), cents).alias("cell"),
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    lo = cells.select(F.col("vec_id").alias("rep_id"),
+                      F.col("embedding").alias("a_emb"),
+                      F.col("nrm").alias("a_nrm"), "cell")
+    hi = cells.select(F.col("vec_id").alias("vec_id"),
+                      F.col("embedding").alias("b_emb"),
+                      F.col("nrm").alias("b_nrm"), "cell")
+    pairs = (
+        lo.join(hi, "cell")
+        .filter(F.col("rep_id") < F.col("vec_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(_dot(F.col("a_emb"), F.col("b_emb"))
+                    / (F.col("a_nrm") * F.col("b_nrm")), 6),
+        )
+        .filter(F.col("cos_sim") >= tau)
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("rep_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "rep_id", F.col("cell").cast("long").alias("cell"),
+                "cos_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring duplication (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better"): repeated fixed-length word
+# n-grams across (and within) documents mark boilerplate/copied spans.
+#
+# 100 TB shape: posexplode to (gram, doc, pos) then ONE groupBy on the
+# gram — the suffix-array of the paper replaced by a shuffle on the
+# gram key. Here the gram text itself is the key (portable vs the
+# oracle); the at-scale variant keys on a 128-bit hash of the gram,
+# which changes bytes shuffled, not the plan shape.
+# ---------------------------------------------------------------------------
+
+SUBSTR_W = 8  # words per gram — the paper's 50-token spans, scaled down
+
+
+def substring_dup_stats(docs: DataFrame, w: int = SUBSTR_W) -> DataFrame:
+    """Per-document duplicated-substring profile: (doc_id, n_grams,
+    n_dup_grams, dup_frac) where a gram is duplicated iff it occurs
+    more than once in the corpus (any document, including this one)."""
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("t"))
+    grams = (
+        toks.withColumn("n_toks", F.size("t"))
+        .filter(F.col("n_toks") >= w)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_toks") - w),
+                    lambda i: F.concat_ws(" ", F.slice("t", i + 1, w)),
+                )
+            ).alias("pos", "gram"),
+        )
+    )
+    gram_counts = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("n_occ"))
+    per_doc = (
+        grams.join(gram_counts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
+            .alias("n_dup_grams"),
+        )
+    )
+    return per_doc.select(
+        "doc_id", "n_grams",
+        F.col("n_dup_grams").cast("long").alias("n_dup_grams"),
+        F.round(F.col("n_dup_grams") / F.col("n_grams"), 6).alias("dup_frac"),
+    )

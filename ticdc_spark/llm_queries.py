@@ -1042,3 +1042,78 @@ def q_dedup_chunks(spark, sf_dir):
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup through embedding clusters (Abbas et al.
+# 2023): cluster-blocked cosine pruning with a lowest-id representative.
+# Twin planting (same as dedup_embedding_cosine) guarantees positive
+# support at every SF.
+# ---------------------------------------------------------------------------
+from ticdc_spark.llm.dedup import semantic_dedup, substring_dup_stats  # noqa: E402
+
+_SEMDEDUP_TAU = 0.95
+
+_SEMDEDUP_ORACLE = f"""
+WITH {_TWIN_SQL.strip()},
+cells AS (SELECT vec_id, embedding, ({_IDX_EXPR}) AS cell FROM emb2),
+lo AS (SELECT vec_id AS rep_id, embedding AS a_emb, cell FROM cells),
+hi AS (SELECT vec_id, embedding AS b_emb, cell FROM cells),
+pairs AS (
+    SELECT vec_id, rep_id, cell, {_cos_sql('a_emb', 'b_emb')} AS cos_sim
+    FROM lo JOIN hi USING (cell) WHERE rep_id < vec_id
+),
+qual AS (SELECT * FROM pairs WHERE cos_sim >= {_SEMDEDUP_TAU}),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_sim DESC, rep_id) AS rk
+    FROM qual
+)
+SELECT vec_id, rep_id, CAST(cell AS BIGINT) AS cell, cos_sim
+FROM ranked WHERE rk = 1
+"""
+
+
+@register("dedup_semantic", _SEMDEDUP_ORACLE)
+def q_dedup_semantic(spark, sf_dir):
+    base = _emb(spark, sf_dir).select("vec_id", "embedding")
+    twins = base.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: (x * F.lit(1.001) + F.lit(0.0001)).cast("float"),
+        ).alias("embedding"),
+    )
+    return semantic_dedup(base.unionByName(twins), tau=_SEMDEDUP_TAU)
+
+
+# ---------------------------------------------------------------------------
+# Exact substring duplication profile (Lee et al. 2021): repeated
+# 8-word grams across the corpus, per-document dup fraction.
+# ---------------------------------------------------------------------------
+from ticdc_spark.llm.dedup import SUBSTR_W  # noqa: E402
+
+_SUBSTR_ORACLE = f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+g AS (
+    SELECT doc_id, array_to_string(t[i:i+{SUBSTR_W - 1}], ' ') AS gram
+    FROM (SELECT doc_id, t,
+                 unnest(generate_series(1, len(t) - {SUBSTR_W} + 1)) AS i
+          FROM tk WHERE len(t) >= {SUBSTR_W})
+),
+gc AS (SELECT gram, count(*) AS n_occ FROM g GROUP BY 1),
+pd AS (
+    SELECT doc_id, count(*) AS n_grams,
+           sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS n_dup
+    FROM g JOIN gc USING (gram) GROUP BY 1
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_dup AS BIGINT) AS n_dup_grams,
+       round(n_dup / n_grams, 6) AS dup_frac
+FROM pd
+"""
+
+
+@register("dedup_exact_substring", _SUBSTR_ORACLE)
+def q_dedup_exact_substring(spark, sf_dir):
+    return substring_dup_stats(_docs(spark, sf_dir))
