@@ -22,18 +22,19 @@ rebalance tick.  Instead:
 
 * the only per-span window is partitioned by ``node_id`` (pop index
   ``e`` within a node);
-* the selection threshold ``p*`` (the priority of the D-th pop) is
-  derived from the **loads table** (one row per NODE) with
-  joins/aggregates — pops with priority ≥ p satisfy
-  ``N(p) = Σ_i max(0, load_i - p)``, and ``p* = max{p ≥ 0 : N(p) ≥ D}``
-  falls on one of O(n_nodes) candidate breakpoints, all checkable in a
-  node×node broadcast join (metadata-sized);
-* per-selected-row global ranks (the heap pop/push order) come from
-  the same algebra — rank of pop ``(i, e)`` with priority
-  ``p = load_i - e`` is ``Σ_j max(0, load_j - p - 1) +
-  #{j : load_j > p, node_j ≤ node_i}`` — a broadcast join against the
-  n_nodes-row loads table, aggregated per span.  No sort, no single
-  partition; every shuffle is keyed on span_id.
+* the **loads table** (one row per NODE) is collected once — it is
+  control-plane metadata, exactly what the reference's maintainer holds
+  in its in-memory heap — and the selection threshold ``p* = max{p ≥ 0
+  : N(p) ≥ D}`` with ``N(p) = Σ_i max(0, load_i - p)`` plus the
+  per-node surrender counts are O(n_nodes) driver arithmetic
+  (``_take_plan``);
+* per-selected-row global ranks (the heap pop/push order) are literal
+  folds over those collected loads — rank of pop ``(i, e)`` with
+  priority ``p = load_i - e`` is ``Σ_j max(0, load_j - p - 1) +
+  #{j : load_j > p, node_j ≤ node_i}`` (``_fold_take_rank``) — pure
+  projections, no metadata joins.  The span side keeps exactly one
+  exchange (the per-node victim window); nothing is ever sorted or
+  aggregated on a single partition.
 """
 
 from __future__ import annotations
@@ -55,120 +56,106 @@ def _node_loads(assign: DataFrame, nodes: DataFrame) -> DataFrame:
     )
 
 
-def _loads_b(loads: DataFrame) -> DataFrame:
-    """Broadcast-side copy of loads with sort-safe aliases."""
-    return F.broadcast(
-        loads.select(
-            F.col("node_id").alias("_nj"), F.col("load").alias("_lj")
-        )
-    )
+def _collect_loads(loads: DataFrame) -> list[tuple[str, int]]:
+    """Collect the n_nodes-row loads table.  This is control-plane
+    metadata (the reference keeps it in the maintainer's in-memory heap,
+    `balance.go:58-146`); the collect is O(n_nodes), never O(spans)."""
+    return sorted((r["node_id"], int(r["load"])) for r in loads.collect())
 
 
-def _take_threshold(loads: DataFrame, deficit: DataFrame) -> DataFrame:
-    """1-row (p_star, r, d): the D-th heap pop has priority p_star, and
-    r of the ties at exactly p_star are taken (node-id order).
-
-    All joins/aggregates over n_nodes-row frames — no windows."""
-    lb = _loads_b(loads)
-    # segment stats per node i: m_i = #loads ranked >= i (load desc,
-    # node asc tiebreak), cum_i = their load sum.  For the max-node of
-    # each distinct load value these are exactly the piecewise-linear
-    # segment constants of N(p) = cum - m*p.
-    seg = (
-        loads.crossJoin(lb)
-        .filter(
-            (F.col("_lj") > F.col("load"))
-            | ((F.col("_lj") == F.col("load"))
-               & (F.col("_nj") <= F.col("node_id")))
-        )
-        .groupBy("node_id", "load")
-        .agg(F.sum("_lj").alias("cum"), F.count(F.lit(1)).alias("m"))
-    )
-    # candidate thresholds: interior solve point of each segment
-    # (max p with cum - m*p >= D) and each boundary load-1; p >= 0.
-    cand = (
-        seg.crossJoin(F.broadcast(deficit))
-        .select(
-            F.explode(
-                F.array(
-                    F.greatest(
-                        F.least(
-                            F.col("load") - 1,
-                            F.floor((F.col("cum") - F.col("d"))
-                                    / F.col("m")).cast("long"),
-                        ),
-                        F.lit(0),
-                    ),
-                    F.greatest(F.col("load") - 1, F.lit(0)),
-                    F.lit(0),
-                )
-            ).alias("p")
-        )
-        .distinct()
-    )
-    n_of_p = (
-        cand.crossJoin(lb)
-        .groupBy("p")
-        .agg(
-            F.sum(F.greatest(F.col("_lj") - F.col("p"), F.lit(0)))
-            .alias("n_p")
-        )
-    )
-    p_star = (
-        n_of_p.crossJoin(F.broadcast(deficit))
-        .filter(F.col("n_p") >= F.col("d"))
-        .agg(F.coalesce(F.max("p"), F.lit(0)).alias("p_star"))
-    )
-    n_hi = (
-        p_star.crossJoin(lb)
-        .groupBy("p_star")
-        .agg(
-            F.sum(
-                F.greatest(F.col("_lj") - F.col("p_star") - 1, F.lit(0))
-            ).alias("n_hi")
-        )
-    )
-    return (
-        n_hi.crossJoin(F.broadcast(deficit))
-        .select(
-            "p_star",
-            (F.col("d") - F.col("n_hi")).alias("r"),
-            "d",
-        )
-    )
+def _literal_loads(spark, rows: list[tuple[str, int]]) -> DataFrame:
+    return spark.createDataFrame(rows, "node_id string, load long")
 
 
-def _per_node_take_counts(loads: DataFrame, thresh: DataFrame) -> DataFrame:
-    """(node_id, k): how many spans each node surrenders — everything
-    above p_star, plus its p_star pop for the first r nodes (node-id
-    asc) that have one."""
-    lt = loads.crossJoin(F.broadcast(thresh))
-    qual = lt.filter(F.col("load") > F.col("p_star"))
-    tie_rank = (
-        qual.crossJoin(
-            F.broadcast(
-                qual.select(F.col("node_id").alias("_nj"),
-                            F.col("load").alias("_lj"))
-            )
+def _take_plan(rows: list[tuple[str, int]],
+               batch_size: int | None) -> tuple[int, int, dict[str, int]]:
+    """Driver-side closed form over the n_nodes loads (replaces the old
+    chain of metadata aggregations, which cost a Spark stage per step):
+
+    - ``floor_limit = total div n``; deficit ``d = Σ max(0, floor−l)``
+      (`CheckBalanceStatus`, `balance.go:29-55`), capped at batch_size;
+    - the D-th heap pop's priority ``p* = max{p ≥ 0 : N(p) ≥ d}`` with
+      ``N(p) = Σ max(0, l − p)`` (N is nonincreasing — exact binary
+      search);
+    - per-node surrender counts ``k_i``: everything above p*, plus the
+      p* pop for the first ``r = d − Σ max(0, l − p* − 1)`` qualifying
+      nodes in node-id order (the heap's deterministic tiebreak).
+
+    Returns (floor_limit, d, {node_id: k}).
+    """
+    n = len(rows)
+    total = sum(l for _, l in rows)
+    floor_limit = total // n if n else 0
+    d = sum(max(0, floor_limit - l) for _, l in rows)
+    if batch_size is not None:
+        d = min(d, batch_size)
+    if d <= 0:
+        return floor_limit, 0, {nid: 0 for nid, _ in rows}
+
+    def n_of(p: int) -> int:
+        return sum(max(0, l - p) for _, l in rows)
+
+    lo, hi, p_star = 0, max(l for _, l in rows), 0
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        if n_of(mid) >= d:
+            p_star, lo = mid, mid + 1
+        else:
+            hi = mid - 1
+    r = d - sum(max(0, l - p_star - 1) for _, l in rows)
+    ks: dict[str, int] = {}
+    for nid, l in rows:  # rows sorted by node_id — tie order
+        k = max(0, l - p_star - 1)
+        if l > p_star and r > 0:
+            k, r = k + 1, r - 1
+        ks[nid] = k
+    return floor_limit, d, ks
+
+
+def _lit_map(rows: list[tuple[str, int]], node_col) -> F.Column:
+    """node_id -> value as a literal CASE chain (n_nodes arms).  Turns a
+    metadata join into a projection — zero exchanges.  For clusters of
+    thousands of nodes the chain would bloat the plan; flip back to a
+    broadcast-join against ``_literal_loads`` at that point (same
+    semantics, one extra cheap stage)."""
+    expr: F.Column = F.lit(None).cast("long")
+    for nid, v in rows:
+        expr = F.when(node_col == nid, F.lit(int(v))).otherwise(expr)
+    return expr
+
+
+def _fold_take_rank(rows: list[tuple[str, int]], p_col, node_col) -> F.Column:
+    """Global heap-pop rank of pop (node, priority p): pops strictly
+    ahead are the higher-priority ones (Σ_j max(0, l_j − p − 1)) plus
+    same-priority pops from lower-or-equal node ids.  Literal fold over
+    the collected loads — a projection, not a join."""
+    total: F.Column = F.lit(0)
+    for nj, lj in rows:
+        total = (
+            total
+            + F.greatest(F.lit(lj) - p_col - 1, F.lit(0))
+            + F.when((F.lit(lj) > p_col) & (F.lit(nj) <= node_col),
+                     F.lit(1)).otherwise(F.lit(0))
         )
-        .filter(F.col("_nj") <= F.col("node_id"))
-        .groupBy("node_id")
-        .agg(F.count(F.lit(1)).alias("_tie_rank"))
-    )
-    return (
-        lt.join(F.broadcast(tie_rank), "node_id", "left")
-        .select(
-            "node_id",
-            (
-                F.greatest(F.col("load") - F.col("p_star") - 1, F.lit(0))
-                + F.when(
-                    F.col("_tie_rank").isNotNull()
-                    & (F.col("_tie_rank") <= F.col("r")),
-                    F.lit(1),
-                ).otherwise(F.lit(0))
-            ).cast("long").alias("k"),
-        )
-    )
+    return total.cast("long")
+
+
+def _fold_slot_rank(rows: list[tuple[str, int]], q_col, node_col,
+                    per_node_cap=None) -> F.Column:
+    """Heap-push rank of slot (node, priority q), ascending: slots
+    strictly ahead from node j are its priorities below q (bounded at
+    ``per_node_cap(j)`` fills when given — the drain form), plus the
+    same-priority slot of lower-or-equal node ids."""
+    total: F.Column = F.lit(0)
+    for nj, lj in rows:
+        below = F.greatest(q_col - 1 - F.lit(lj), F.lit(0))
+        if per_node_cap is not None:
+            below = F.least(below, F.lit(int(per_node_cap(nj, lj))))
+        tie = (F.lit(lj) < q_col) & (F.lit(nj) <= node_col)
+        if per_node_cap is not None:
+            tie = tie & (q_col <= F.lit(lj) + F.lit(int(per_node_cap(nj, lj))))
+        total = total + below + F.when(tie, F.lit(1)).otherwise(F.lit(0))
+    return total.cast("long")
 
 
 def balance_spans(
@@ -182,86 +169,61 @@ def balance_spans(
     spans that stay). Nodes absent from ``assign`` receive work; moves
     stop once every node holds >= floor(total/n) spans (or at
     ``batch_size``)."""
-    loads = _node_loads(assign, nodes)
-    totals = loads.agg(
-        F.sum("load").alias("total"), F.count(F.lit(1)).alias("n_nodes")
-    ).select(
-        F.expr("total div n_nodes").alias("floor_limit"),
-    )
-    l2 = loads.crossJoin(F.broadcast(totals))
-    deficit = l2.select(
-        F.sum(
-            F.greatest(F.col("floor_limit") - F.col("load"), F.lit(0))
-        ).cast("long").alias("d")
-    )
-    d_capped = deficit.select(
-        (F.least(F.col("d"), F.lit(batch_size)) if batch_size is not None
-         else F.col("d")).alias("d")
-    )
-    thresh = _take_threshold(loads, d_capped)
-    ks = _per_node_take_counts(loads, thresh)
+    # loads is one row per NODE and feeds ~6 subtrees (threshold, take
+    # counts, both rank joins, deficit).  Left lazy, every branch drags
+    # the full span-aggregation lineage into the plan (~400 exchanges)
+    # and each metadata step costs a Spark stage; collected, it is the
+    # same plan-time metadata as an IVF codebook and the whole
+    # threshold/count derivation is O(n_nodes) driver arithmetic
+    # (_take_plan).  The per-SPAN work (victim window, rank join)
+    # stays fully distributed.
+    spark = assign.sparkSession
+    rows = _collect_loads(_node_loads(assign, nodes))
+    floor_limit, d, ks_map = _take_plan(rows, batch_size)
+    ks_rows = sorted(ks_map.items())
 
     # victims: e-th pop from a node has priority load - e.  The window
-    # is PARTITIONED by node — the only per-span window in the plan.
+    # is PARTITIONED by node — the only exchange on the span side; the
+    # load/k lookups and both heap ranks are literal folds over the
+    # collected loads (projections, zero extra stages).
     w_node = Window.partitionBy("node_id").orderBy("span_id")
-    lb = _loads_b(loads)
-    takes_sel = (
-        assign.join(F.broadcast(loads), "node_id")
-        .withColumn("_e", F.row_number().over(w_node))
-        .join(F.broadcast(ks), "node_id")
-        .filter(F.col("_e") <= F.col("k"))  # exactly D rows survive
-        .withColumn("_p", F.col("load") - F.col("_e"))
-    )
-    # global heap-pop rank, closed form (no sort): pops strictly ahead
-    # are the higher-priority ones plus same-priority ones from
-    # lower-numbered nodes (each node has exactly one pop per priority).
     take_rank = (
-        takes_sel.crossJoin(lb)
-        .groupBy("span_id", "node_id", "_p")
-        .agg(
-            F.sum(
-                F.greatest(F.col("_lj") - F.col("_p") - 1, F.lit(0))
-                + F.when(
-                    (F.col("_lj") > F.col("_p"))
-                    & (F.col("_nj") <= F.col("node_id")),
-                    F.lit(1),
-                ).otherwise(F.lit(0))
-            ).cast("long").alias("_take_rank")
-        )
+        assign
+        .withColumn("_k", _lit_map(ks_rows, F.col("node_id")))
+        .filter(F.col("_k") > 0)
+        .withColumn("_e", F.row_number().over(w_node))
+        .filter(F.col("_e") <= F.col("_k"))  # exactly D rows survive
+        .withColumn(
+            "_p", _lit_map(rows, F.col("node_id")) - F.col("_e"))
+        .withColumn(
+            "_take_rank",
+            _fold_take_rank(rows, F.col("_p"), F.col("node_id")))
         .select("span_id", "_take_rank")
     )
 
     # slots: f-th fill of an under-floor node has priority load + f;
     # every slot is consumed (sum of per-node deficits == D), so only
-    # the rank is needed — same closed form, ascending.
-    slots = (
-        l2.filter(F.col("load") < F.col("floor_limit"))
+    # the rank is needed — same closed form, ascending.  Generated by a
+    # distributed explode from the literal loads (never a driver list:
+    # the fill count scales with the imbalance, not n_nodes).
+    slot_rank = (
+        _literal_loads(spark, rows)
+        .filter(F.col("load") < F.lit(floor_limit))
         .select(
             "node_id", "load",
             F.explode(
-                F.sequence(F.lit(1), F.col("floor_limit") - F.col("load"))
+                F.sequence(F.lit(1), F.lit(floor_limit) - F.col("load"))
             ).alias("_f"),
         )
         .withColumn("_q", F.col("load") + F.col("_f"))
-    )
-    slot_rank = (
-        slots.crossJoin(lb)
-        .groupBy("node_id", "_q")
-        .agg(
-            F.sum(
-                F.greatest(F.col("_q") - 1 - F.col("_lj"), F.lit(0))
-                + F.when(
-                    (F.col("_lj") < F.col("_q"))
-                    & (F.col("_nj") <= F.col("node_id")),
-                    F.lit(1),
-                ).otherwise(F.lit(0))
-            ).cast("long").alias("_slot_rank")
-        )
+        .withColumn(
+            "_slot_rank",
+            _fold_slot_rank(rows, F.col("_q"), F.col("node_id")))
         .select(F.col("node_id").alias("_to_node"), "_slot_rank")
     )
     moved = (
-        take_rank.crossJoin(F.broadcast(d_capped))
-        .filter(F.col("_take_rank") <= F.col("d"))
+        take_rank
+        .filter(F.col("_take_rank") <= F.lit(d))
         .join(
             F.broadcast(slot_rank),
             F.col("_take_rank") == F.col("_slot_rank"),
@@ -272,8 +234,11 @@ def balance_spans(
             F.col("_take_rank").alias("move_rank"),
         )
     )
+    # moved holds exactly d rows — a tick's move budget (the reference
+    # caps it at batchSize per Balance call), so broadcasting it keeps
+    # the final annotate join shuffle-free on the span side
     return (
-        assign.join(moved, "span_id", "left")
+        assign.join(F.broadcast(moved), "span_id", "left")
         .select(
             "span_id",
             F.col("node_id").alias("node_id_before"),
@@ -318,62 +283,46 @@ def drain_node(
     in span-id order. Output mirrors ``balance_spans``.
 
     Same no-global-window shape: victim rank is a window partitioned by
-    the (single) drained node; slot ranks are the broadcast-join closed
-    form, with the per-survivor fill sequence pre-capped at
-    ``max_load - load_j + ceil(d/n)`` (provably covers the top-d slots,
-    so the transient explode is O(imbalance + d), not O(n*d))."""
+    the (single) drained node; slot ranks are the literal-fold closed
+    form over the collected survivor loads, with the per-survivor fill
+    sequence pre-capped at ``max_load - load_j + ceil(d/n)`` (provably
+    covers the top-d slots, so the transient explode is
+    O(imbalance + d), not O(n*d))."""
     survivors = nodes.filter(F.col("node_id") != drained)
-    loads = _node_loads(assign.filter(F.col("node_id") != drained),
-                        survivors)
+    spark = assign.sparkSession
+    # literal node-loads metadata + scalar victim count — same
+    # collected-codebook rationale as balance_spans
+    rows = _collect_loads(
+        _node_loads(assign.filter(F.col("node_id") != drained), survivors))
+    loads = _literal_loads(spark, rows)
     victims = assign.filter(F.col("node_id") == drained)
-    d = victims.agg(F.count(F.lit(1)).cast("long").alias("d"))
-    stats = loads.agg(
-        F.max("load").alias("max_load"),
-        F.count(F.lit(1)).alias("n"),
-    )
+    d = int(victims.count())
+    max_load = max((l for _, l in rows), default=0)
+    n = len(rows)
     # slots: survivor j's f-th fill, f capped so the top-d by priority
     # are guaranteed present (priority q <= max_load + ceil(d/n) always
     # admits >= d slots across survivors)
+    cap = F.greatest(
+        F.lit(max_load) - F.col("load") + F.lit(-(-d // n) if n else 0),
+        F.lit(1),
+    )
     slots = (
-        loads.crossJoin(F.broadcast(d))
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "_cap",
-            F.greatest(
-                F.col("max_load") - F.col("load")
-                + F.ceil(F.col("d") / F.col("n")).cast("long"),
-                F.lit(1),
-            ),
-        )
-        .filter(F.col("d") > 0)
+        loads.filter(F.lit(d > 0))
         .select(
-            "node_id", "load", "d",
+            "node_id", "load", F.lit(d).cast("long").alias("d"),
             F.explode(
-                F.sequence(F.lit(1), F.least(F.col("_cap"), F.col("d")))
+                F.sequence(F.lit(1), F.least(cap, F.lit(d)))
             ).alias("_f"),
         )
         .withColumn("_q", F.col("load") + F.col("_f"))
     )
-    lb = _loads_b(loads)
+    # slots from node k strictly ahead: priorities in (load_k,
+    # load_k + d] below q — the bounded-fill literal fold
     slot_rank = (
-        slots.crossJoin(lb)
-        .groupBy("node_id", "_q", "d")
-        .agg(
-            F.sum(
-                # slots from node k strictly ahead: priorities in
-                # (load_k, load_k + d] below q
-                F.greatest(
-                    F.least(F.col("_q") - 1 - F.col("_lj"), F.col("d")),
-                    F.lit(0),
-                )
-                + F.when(
-                    (F.col("_lj") < F.col("_q"))
-                    & (F.col("_q") <= F.col("_lj") + F.col("d"))
-                    & (F.col("_nj") <= F.col("node_id")),
-                    F.lit(1),
-                ).otherwise(F.lit(0))
-            ).cast("long").alias("_slot_rank")
-        )
+        slots.withColumn(
+            "_slot_rank",
+            _fold_slot_rank(rows, F.col("_q"), F.col("node_id"),
+                            per_node_cap=lambda nj, lj: d))
         .filter(F.col("_slot_rank") <= F.col("d"))
         .select(F.col("node_id").alias("_to_node"), "_slot_rank")
     )
