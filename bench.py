@@ -89,6 +89,12 @@ def main() -> None:
         "redo_apply_state", "span_split_write_bytes",
         "storage_consumer_roundtrip", "txn_flush_batches", "tfidf_keywords",
         "unigram_logprob", "dedup_chunks", "scheduler_balance",
+        # round-2 additions: binary mounter, charset wire, registry wire
+        # protocol, DDL job fetch, table progress, semantic + substring
+        # dedup
+        "mount_binary_rows", "charset_gbk_mount", "avro_registry_wire",
+        "ddl_job_fetch", "table_progress", "dedup_semantic",
+        "dedup_exact_substring",
     ]
     def time_query(name: str) -> float:
         df = QUERIES[name](spark, sf_dir)

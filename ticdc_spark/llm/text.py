@@ -372,3 +372,51 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.avg("_lp"), 6).alias("avg_logprob"),
     )
+
+
+def dsir_importance(docs: DataFrame, target_pred=None) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by ``log w(x) = Σ_tok [ln p_target(tok) − ln q_raw(tok)]``
+    under two add-one-smoothed unigram LMs — the target domain's and the
+    whole corpus's. High weight = looks like the target domain; the
+    paper resamples raw data proportionally to w.
+
+    ``target_pred``: boolean Column selecting the target-domain docs
+    (default: English documents — the "high-quality reference" slice).
+
+    Scale shape: one token explode; two vocabulary-sized aggregations
+    broadcast back onto the token stream; one per-doc fold. Identical
+    plan to `unigram_logprob` with a second LM riding the same joins.
+    """
+    if target_pred is None:
+        target_pred = F.col("lang") == "en"
+    toks = docs.select(
+        "doc_id", target_pred.alias("_tgt"),
+        F.explode(F.split(F.col("text"), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    counts = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("qc"),
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("pc"),
+    )
+    totals = counts.agg(
+        F.sum("qc").alias("q_total"),
+        F.sum("pc").alias("p_total"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    scored = (
+        toks.join(F.broadcast(counts), "term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "_lw",
+            F.log((F.col("pc") + 1) / (F.col("p_total") + F.col("vocab")))
+            - F.log((F.col("qc") + 1) / (F.col("q_total") + F.col("vocab"))),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.sum("_lw"), 6).alias("log_weight"),
+        # flag derives from the ROUNDED weight so the boundary is
+        # engine-portable (raw double sums can differ in the last ulp)
+        (F.round(F.sum("_lw"), 6) > 0).alias("target_like"),
+    )

@@ -1117,3 +1117,43 @@ FROM pd
 @register("dedup_exact_substring", _SUBSTR_ORACLE)
 def q_dedup_exact_substring(spark, sf_dir):
     return substring_dup_stats(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023): two smoothed unigram LMs
+# (target = English slice, raw = whole corpus), per-doc log weight.
+# ---------------------------------------------------------------------------
+from ticdc_spark.llm.text import dsir_importance  # noqa: E402
+
+_DSIR_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, lang = 'en' AS tgt,
+           unnest(string_split(text, ' ')) AS term
+    FROM documents
+),
+tk AS (SELECT * FROM toks WHERE term <> ''),
+counts AS (
+    SELECT term, count(*) AS qc,
+           sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS pc
+    FROM tk GROUP BY 1
+),
+tot AS (
+    SELECT sum(qc) AS q_total, sum(pc) AS p_total, count(*) AS vocab
+    FROM counts
+),
+sc AS (
+    SELECT doc_id,
+           ln((pc + 1) / (p_total + vocab))
+         - ln((qc + 1) / (q_total + vocab)) AS lw
+    FROM tk JOIN counts USING (term) CROSS JOIN tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(lw), 6) AS log_weight,
+       round(sum(lw), 6) > 0 AS target_like
+FROM sc GROUP BY doc_id
+"""
+
+
+@register("dsir_importance", _DSIR_ORACLE)
+def q_dsir_importance(spark, sf_dir):
+    return dsir_importance(_docs(spark, sf_dir))
