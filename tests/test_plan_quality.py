@@ -147,3 +147,35 @@ def test_kafka_writer_plan_validates_without_broker(spark, sf_dir):
     assert w is not None  # configured writer, .save() is deployment's line
     with pytest.raises(ValueError):
         kafka_frame(frame.drop("value"))
+
+
+def test_round2_operator_shuffle_budgets(spark, sf_dir):
+    """Round-2 operators: the binary mounter and job fetcher are
+    map-only Arrow passes (+ one fetcher orderBy); table progress is one
+    per-table window + one aggregate on the same key (AQE may fuse);
+    substring dedup pays the gram aggregation and the per-doc fold;
+    semantic dedup's candidate join shuffles on the cell key plus the
+    per-item rank window; scheduler balance keeps exactly one span-side
+    exchange plus tiny literal-side shuffles."""
+    budgets = [
+        ("mount_binary_rows", 0),
+        ("ddl_job_fetch", 1),       # final commit-ts orderBy only
+        ("table_progress", 1),      # window + agg fuse on the same key
+        ("dedup_exact_substring", 2),
+        ("dedup_semantic", 1),      # cell-key join; rank window fuses
+        ("dsir_importance", 4),     # term agg, totals, doc fold, rebal
+        ("scheduler_balance", 5),   # victim window + tiny literal sides
+    ]
+    for name, budget in budgets:
+        p = _plan(QUERIES[name](spark, sf_dir))
+        shuffles = p.count("Exchange") - p.count("BroadcastExchange")
+        assert shuffles <= budget, f"{name}: {shuffles} > {budget}\n{p}"
+
+
+def test_registry_wire_query_is_driver_metadata_only(spark, sf_dir):
+    """avro_registry_wire registers schemas driver-side (the reference's
+    per-(table, version) cardinality) — the resulting frame must be a
+    literal local relation: no exchanges, no scans of the changelog."""
+    p = _plan(QUERIES["avro_registry_wire"](spark, sf_dir))
+    assert "Exchange" not in p or p.count("Exchange") <= 1
+    assert "parquet" not in p.lower()
