@@ -2362,3 +2362,43 @@ def q_table_progress(spark, sf_dir):
 
     cl = events_changelog(spark, sf_dir)
     return table_progress(flush_frontier(cl, 0.7))
+
+
+# ---------------------------------------------------------------------------
+# K4 housekeeping — RemoveExpiredFiles (`pkg/cloudstorage/generator.go:
+# 514-541`): day-separated files dated before checkpoint − TTL expire
+# ---------------------------------------------------------------------------
+from ticdc_spark.sinks.storage import expired_files  # noqa: E402
+
+_EXPIRE_DAYS = 7
+
+_EXPIRED_ORACLE = f"""
+WITH {CHANGELOG_SQL},
+ck AS (SELECT max(commit_ts) AS ck_ts FROM changelog),
+files AS (
+    SELECT DISTINCT
+        schema_name || '/' || table_name || '/1/' ||
+        strftime(make_timestamp(commit_ts), '%Y-%m-%d') AS path,
+        'CDC' || lpad((((row_number() OVER (
+            PARTITION BY schema_name, table_name,
+                         strftime(make_timestamp(commit_ts), '%Y-%m-%d')
+            ORDER BY commit_ts, seq) - 1) // 4096) + 1)::VARCHAR,
+            20, '0') || '.csv' AS file_name
+    FROM changelog
+)
+SELECT path, file_name,
+       regexp_extract(path, '/(\\d{{4}}-\\d{{2}}-\\d{{2}})$', 1)
+         < strftime(make_timestamp(ck_ts - {_EXPIRE_DAYS} * 86400000000),
+                    '%Y-%m-%d') AS expired
+FROM files CROSS JOIN ck
+"""
+
+
+@register("storage_expired_files", _EXPIRED_ORACLE)
+def q_storage_expired_files(spark, sf_dir):
+    cl = events_changelog(spark, sf_dir)
+    # checkpoint ts is a 1-row scalar (the changefeed's resolved ts) —
+    # the same driver-side lookup the reference's housekeeping tick does
+    ck = cl.agg(F.max("commit_ts")).collect()[0][0]
+    files = storage_paths(cl).select("path", "file_name").distinct()
+    return expired_files(files, ck, _EXPIRE_DAYS)

@@ -79,3 +79,38 @@ def schema_sidecar(schema_name: str, table_name: str, payload_fields: list[tuple
         json.dumps(body, sort_keys=True).encode()
     ).hexdigest()[:8]
     return {"file": f"schema_{table_version}_{checksum}.json", "body": body}
+
+
+def expired_files(
+    files: DataFrame,
+    checkpoint_ts_us: int,
+    file_expiration_days: int,
+    date_separator: str = "day",
+) -> DataFrame:
+    """K4 housekeeping — `pkg/cloudstorage/generator.go:514-541`
+    ``RemoveExpiredFiles``: with day-separated layouts, a file whose
+    path date is strictly before ``checkpoint - TTL`` (formatted as a
+    date) is expired and removed; other separators are exempt (the
+    reference returns early).
+
+    Input: (path, file_name) frames from :func:`storage_paths`.
+    Output adds ``expired``; the caller deletes flagged paths.  Pure
+    column algebra — the date comparison is lexical on the formatted
+    ``yyyy-MM-dd`` component exactly like the reference's regex-match
+    string compare.
+    """
+    if date_separator != "day":
+        return files.withColumn("expired", F.lit(False))
+    expire_edge = F.date_format(
+        F.timestamp_micros(
+            F.lit(checkpoint_ts_us)
+            - F.lit(int(file_expiration_days) * 86_400_000_000)
+        ),
+        "yyyy-MM-dd",
+    )
+    date_part = F.regexp_extract(
+        F.col("path"), r"/(\d{4}-\d{2}-\d{2})$", 1)
+    return files.withColumn(
+        "expired",
+        (date_part != "") & (date_part < expire_edge),
+    )
