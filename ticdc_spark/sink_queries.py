@@ -2402,3 +2402,87 @@ def q_storage_expired_files(spark, sf_dir):
     ck = cl.agg(F.max("commit_ts")).collect()[0][0]
     files = storage_paths(cl).select("path", "file_name").distinct()
     return expired_files(files, ck, _EXPIRE_DAYS)
+
+
+# ---------------------------------------------------------------------------
+# Full-fidelity debezium value (`codec.go:1042-1232`): complete MySQL
+# source block + Kafka Connect schema envelope.  The oracle hand-spells
+# the entire schema block (field order per the reference's writer) —
+# an independent cross-check of the Python generator.
+# ---------------------------------------------------------------------------
+from ticdc_spark.codec.debezium import encode_debezium_full  # noqa: E402
+
+_DBZ_VAL_FIELDS_SQL = (
+    '{"type":"int64","optional":false,"field":"id"},'
+    '{"type":"double","optional":true,"field":"val"},'
+    '{"type":"int64","optional":true,"field":"k"}'
+)
+_DBZ_SCHEMA_TPL = (
+    '{"type":"struct","optional":false,"name":"ticdc-spark.test.@T@.Envelope",'
+    '"version":1,"fields":['
+    '{"type":"struct","optional":true,"name":"ticdc-spark.test.@T@.Value",'
+    '"field":"before","fields":[' + _DBZ_VAL_FIELDS_SQL + ']},'
+    '{"type":"struct","optional":true,"name":"ticdc-spark.test.@T@.Value",'
+    '"field":"after","fields":[' + _DBZ_VAL_FIELDS_SQL + ']},'
+    '{"type":"struct","fields":['
+    '{"type":"string","optional":false,"field":"version"},'
+    '{"type":"string","optional":false,"field":"connector"},'
+    '{"type":"string","optional":false,"field":"name"},'
+    '{"type":"int64","optional":false,"field":"ts_ms"},'
+    '{"type":"string","optional":true,"name":"io.debezium.data.Enum",'
+    '"version":1,"parameters":{"allowed":"true,last,false,incremental"},'
+    '"default":"false","field":"snapshot"},'
+    '{"type":"string","optional":false,"field":"db"},'
+    '{"type":"string","optional":true,"field":"sequence"},'
+    '{"type":"string","optional":true,"field":"table"},'
+    '{"type":"int64","optional":false,"field":"server_id"},'
+    '{"type":"string","optional":true,"field":"gtid"},'
+    '{"type":"string","optional":false,"field":"file"},'
+    '{"type":"int64","optional":false,"field":"pos"},'
+    '{"type":"int32","optional":false,"field":"row"},'
+    '{"type":"int64","optional":true,"field":"thread"},'
+    '{"type":"string","optional":true,"field":"query"},'
+    '{"type":"int64","optional":false,"field":"commit_ts"},'
+    '{"type":"string","optional":false,"field":"cluster_id"}],'
+    '"optional":false,"name":"io.debezium.connector.mysql.Source",'
+    '"field":"source"},'
+    '{"type":"string","optional":false,"field":"op"},'
+    '{"type":"int64","optional":true,"field":"ts_ms"},'
+    '{"type":"struct","fields":['
+    '{"type":"string","optional":false,"field":"id"},'
+    '{"type":"int64","optional":false,"field":"total_order"},'
+    '{"type":"int64","optional":false,"field":"data_collection_order"}],'
+    '"optional":true,"name":"event.block","version":1,'
+    '"field":"transaction"}]}'
+)
+
+_DBZ_FULL_ORACLE = f"""
+WITH {CHANGELOG_SQL}
+SELECT seq,
+  '{{"payload":{{"source":{{"version":"2.4.0.Final","connector":"TiCDC",'
+  || '"name":"ticdc-spark","ts_ms":' || (commit_ts // 1000)::VARCHAR
+  || ',"snapshot":"false","db":"' || schema_name || '","table":"'
+  || table_name
+  || '","server_id":0,"gtid":null,"file":"","pos":0,"row":0,"thread":0,'
+  || '"query":null,"commit_ts":' || commit_ts::VARCHAR
+  || ',"cluster_id":"ticdc-spark"}},"ts_ms":'
+  || (commit_ts // 1000)::VARCHAR
+  || ',"transaction":null,"op":"'
+  || CASE op WHEN 'I' THEN 'c' WHEN 'U' THEN 'u' ELSE 'd' END
+  || '","before":'
+  || CASE WHEN op = 'I' THEN 'null' ELSE {{BEFORE}} END
+  || ',"after":'
+  || CASE WHEN op = 'D' THEN 'null' ELSE {{AFTER}} END
+  || '}},"schema":' || replace('{_DBZ_SCHEMA_TPL}', '@T@', table_name)
+  || '}}' AS value
+FROM changelog
+""".replace("{BEFORE}", _dbz_img_sql("before")).replace(
+    "{AFTER}", _dbz_img_sql("after"))
+
+
+@register("codec_debezium_full", _DBZ_FULL_ORACLE)
+def q_codec_debezium_full(spark, sf_dir):
+    return encode_debezium_full(
+        scale_out(events_changelog(spark, sf_dir)),
+        disable_schema=False,
+    ).select("seq", "value")
