@@ -331,3 +331,105 @@ def encode_debezium_full(
             F.lit(',"schema":'), block, F.lit("}"),
         )
     return cl.withColumn("value", value)
+
+
+def encode_debezium_key(
+    cl: DataFrame,
+    cluster_id: str = "ticdc-spark",
+    pk_fields: tuple[str, ...] = ("id",),
+    mysql_types: dict[str, str] | None = None,
+    disable_schema: bool = True,
+) -> DataFrame:
+    """Row message key (`codec.go:998-1040` EncodeKey): payload = the
+    handle-key columns (pre-image for deletes), schema = the Key struct
+    (name ``<cluster>.<schema>.<table>.Key``; key order type, name,
+    optional, fields — the reference's writer order differs from the
+    envelope's)."""
+    schema: StructType = cl.schema["after"].dataType
+    if mysql_types is None:
+        _DEFAULT = {"bigint": "bigint", "double": "double", "string": "varchar"}
+        mysql_types = {
+            f.name: _DEFAULT.get(f.dataType.simpleString(), "varchar")
+            for f in schema.fields
+        }
+    img = F.when(F.col("op") == "D", F.col("before")).otherwise(F.col("after"))
+    parts: list[Column] = [F.lit('{"payload":{')]
+    pk_schema_fields = []
+    first = True
+    for f in schema.fields:
+        if f.name not in pk_fields:
+            continue
+        if not first:
+            parts.append(F.lit(","))
+        first = False
+        parts.append(F.lit(f'"{f.name}":'))
+        parts.append(json_number(img.getField(f.name))
+                     if not isinstance(f.dataType, StringType)
+                     else json_string_or_null(img.getField(f.name), f.dataType))
+        pk_schema_fields.append(
+            _dbz_field_descriptor(f.name, mysql_types[f.name], False))
+    parts.append(F.lit("}"))
+    if not disable_schema:
+        key_schema = F.concat(
+            F.lit(',"schema":{"type":"struct","name":"'),
+            F.lit(cluster_id + "."), F.col("schema_name"), F.lit("."),
+            F.col("table_name"),
+            F.lit('.Key","optional":false,"fields":['
+                  + ",".join(pk_schema_fields) + "]}"),
+        )
+        parts.append(key_schema)
+    parts.append(F.lit("}"))
+    return cl.withColumn("key", F.concat(*parts))
+
+
+def debezium_watermark_messages(
+    watermarks: DataFrame,
+    cluster_id: str = "ticdc-spark",
+    disable_schema: bool = True,
+) -> DataFrame:
+    """Checkpoint/watermark event (`codec.go:1636-1760`
+    EncodeCheckpointEvent, emitted under enable-tidb-extension): key has
+    an empty payload (+ `<cluster>.watermark.Key` struct), value carries
+    the full source block with empty db/table, op "m", and the
+    watermark Envelope schema. Input: one row per watermark with a
+    ``resolved_ts`` column (µs)."""
+    ms = F.expr("resolved_ts div 1000").cast("string")
+    key = (
+        '{"payload":{}}' if disable_schema else
+        '{"payload":{},"schema":{"type":"struct","name":"'
+        + cluster_id + '.watermark.Key","optional":false,"fields":[]}}'
+    )
+    source = F.concat(
+        F.lit('{"version":"' + DBZ_VERSION + '","connector":"TiCDC",'
+              '"name":"' + cluster_id + '","ts_ms":'),
+        ms,
+        F.lit(',"snapshot":"false","db":"","table":"","server_id":0,'
+              '"gtid":null,"file":"","pos":0,"row":0,"thread":0,'
+              '"query":null,"commit_ts":'),
+        F.col("resolved_ts").cast("string"),
+        F.lit(',"cluster_id":"' + cluster_id + '"}'),
+    )
+    payload = F.concat(
+        F.lit('{"source":'), source,
+        F.lit(',"ts_ms":'), ms,
+        F.lit(',"transaction":null,"op":"m"}'),
+    )
+    if disable_schema:
+        value = F.concat(F.lit('{"payload":'), payload, F.lit("}"))
+    else:
+        wm_schema = (
+            '{"type":"struct","optional":false,"name":"' + cluster_id
+            + '.watermark.Envelope","version":1,"fields":['
+            '{"type":"struct","fields":[' + _DBZ_SOURCE_SCHEMA_FIELDS
+            + '],"optional":false,'
+            '"name":"io.debezium.connector.mysql.Source",'
+            '"field":"source"},'
+            '{"type":"string","optional":false,"field":"op"},'
+            '{"type":"int64","optional":true,"field":"ts_ms"},'
+            + _DBZ_TXN_SCHEMA + "]}"
+        )
+        value = F.concat(
+            F.lit('{"payload":'), payload,
+            F.lit(',"schema":' + wm_schema + "}"),
+        )
+    return watermarks.withColumn("key", F.lit(key)).withColumn("value", value)

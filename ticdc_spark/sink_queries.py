@@ -2486,3 +2486,58 @@ def q_codec_debezium_full(spark, sf_dir):
         scale_out(events_changelog(spark, sf_dir)),
         disable_schema=False,
     ).select("seq", "value")
+
+
+# ---------------------------------------------------------------------------
+# Debezium key + watermark messages (EncodeKey `codec.go:998-1040`,
+# EncodeCheckpointEvent `:1636-1760`)
+# ---------------------------------------------------------------------------
+from ticdc_spark.codec.debezium import (  # noqa: E402
+    debezium_watermark_messages,
+    encode_debezium_key,
+)
+
+_DBZ_KEY_ORACLE = f"""
+WITH {CHANGELOG_SQL}
+SELECT seq,
+  '{{"payload":{{"id":'
+  || CASE WHEN op = 'D' THEN before_id ELSE after_id END::VARCHAR
+  || '}},"schema":{{"type":"struct","name":"ticdc-spark.' || schema_name
+  || '.' || table_name
+  || '.Key","optional":false,"fields":[{{"type":"int64","optional":false,"field":"id"}}]}}}}'
+  AS key
+FROM changelog
+"""
+
+
+@register("codec_debezium_key", _DBZ_KEY_ORACLE)
+def q_codec_debezium_key(spark, sf_dir):
+    return encode_debezium_key(
+        scale_out(events_changelog(spark, sf_dir)), disable_schema=False,
+    ).select("seq", "key")
+
+
+_DBZ_WM_ORACLE = """
+WITH w(resolved_ts) AS (VALUES (CAST(1704067200000000 AS BIGINT)),
+                               (CAST(1704070800000000 AS BIGINT)),
+                               (CAST(1704074400000000 AS BIGINT)))
+SELECT resolved_ts,
+  '{"payload":{}}' AS key,
+  '{"payload":{"source":{"version":"2.4.0.Final","connector":"TiCDC",'
+  || '"name":"ticdc-spark","ts_ms":' || (resolved_ts // 1000)::VARCHAR
+  || ',"snapshot":"false","db":"","table":"","server_id":0,"gtid":null,'
+  || '"file":"","pos":0,"row":0,"thread":0,"query":null,"commit_ts":'
+  || resolved_ts::VARCHAR
+  || ',"cluster_id":"ticdc-spark"},"ts_ms":' || (resolved_ts // 1000)::VARCHAR
+  || ',"transaction":null,"op":"m"}}' AS value
+FROM w
+"""
+
+
+@register("codec_debezium_watermark", _DBZ_WM_ORACLE)
+def q_codec_debezium_watermark(spark, sf_dir):
+    wm = spark.createDataFrame(
+        [(1704067200000000,), (1704070800000000,), (1704074400000000,)],
+        "resolved_ts long",
+    )
+    return debezium_watermark_messages(wm).select("resolved_ts", "key", "value")
