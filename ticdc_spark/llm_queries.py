@@ -1056,12 +1056,14 @@ _SEMDEDUP_TAU = 0.95
 
 _SEMDEDUP_ORACLE = f"""
 WITH {_TWIN_SQL.strip()},
-cells AS (SELECT vec_id, embedding, ({_IDX_EXPR}) AS cell FROM emb2),
-lo AS (SELECT vec_id AS rep_id, embedding AS a_emb, cell FROM cells),
-hi AS (SELECT vec_id, embedding AS b_emb, cell FROM cells),
+cells AS (SELECT vec_id, embedding, ({_IDX_EXPR}) AS cell,
+                 {_BUCKET_SQL} AS bucket
+          FROM emb2),
+lo AS (SELECT vec_id AS rep_id, embedding AS a_emb, cell, bucket FROM cells),
+hi AS (SELECT vec_id, embedding AS b_emb, cell, bucket FROM cells),
 pairs AS (
     SELECT vec_id, rep_id, cell, {_cos_sql('a_emb', 'b_emb')} AS cos_sim
-    FROM lo JOIN hi USING (cell) WHERE rep_id < vec_id
+    FROM lo JOIN hi USING (cell, bucket) WHERE rep_id < vec_id
 ),
 qual AS (SELECT * FROM pairs WHERE cos_sim >= {_SEMDEDUP_TAU}),
 ranked AS (
