@@ -95,6 +95,8 @@ def main() -> None:
         "mount_binary_rows", "charset_gbk_mount", "avro_registry_wire",
         "ddl_job_fetch", "table_progress", "dedup_semantic",
         "dedup_exact_substring",
+        "table_diff_chunks", "table_diff_fix_sql", "codec_debezium_full",
+        "dsir_importance",
     ]
     def time_query(name: str) -> float:
         df = QUERIES[name](spark, sf_dir)
@@ -143,6 +145,32 @@ def main() -> None:
     rows_10x = n_rows * 10
     timings["pipeline_canal_json_10x"] = round(t_10x, 3)
 
+    # two more scale probes on the shuffle-heavy shapes — reported
+    # OUTSIDE the summed suite time (single run each; they exist for
+    # the x-vs-1x ratio, not the absolute): the per-pk compaction fold
+    # at 10x keys, and the MinHash-LSH band join at 2x docs where every
+    # doc has an exact clone (collision-heavy worst case).  A
+    # super-linear blowup vs the 1x numbers flags a plan that won't
+    # survive the next scale-up.
+    from ticdc_spark.operators import compact_changelog
+
+    scale_probes: dict[str, float] = {}
+    t0 = time.perf_counter()
+    compact_changelog(big).write.format("noop").mode("overwrite").save()
+    scale_probes["compaction_10x"] = round(time.perf_counter() - t0, 3)
+
+    from ticdc_spark.llm.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs_2x = _reduce(_DF.unionByName, [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+        for i in range(2)
+    ])
+    t0 = time.perf_counter()
+    minhash_lsh_pairs(docs_2x).write.format("noop").mode(
+        "overwrite").save()
+    scale_probes["dedup_minhash_lsh_2x"] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "changefeed pipeline + operator suite wall time",
@@ -152,6 +180,7 @@ def main() -> None:
         "sf": float(sf),
         "pipeline_rows_per_s": pipeline_rows_per_s,
         "pipeline_rows_per_s_10x": round(rows_10x / t_10x, 1),
+        "scale_probes": scale_probes,
         "changelog_rows": n_rows,
     }))
 
