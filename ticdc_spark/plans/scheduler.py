@@ -345,3 +345,90 @@ def drain_node(
             "move_rank",
         )
     )
+
+
+def assign_absent(
+    absent: DataFrame,
+    assign: DataFrame,
+    nodes: DataFrame,
+    available_size: int | None = None,
+    bucket_size: int = 4096,
+) -> DataFrame:
+    """`BasicSchedule` (`pkg/scheduler/basic.go:23-56`): walk the absent
+    tasks in order and hand each to the currently least-loaded node
+    (min-heap; ties determinized by node id, matching drain/balance),
+    stopping at ``available_size``.
+
+    The i-th scheduled task lands on the slot with the i-th smallest
+    ``(load_j + f)`` — drain's slot closed form.  The absent tasks'
+    global order (the reference iterates a list) is computed WITHOUT a
+    single-partition sort: bucket by span-id range, take a per-bucket
+    row_number, and add the collected per-bucket offsets (bucket counts
+    are metadata — thousands of rows at a million spans).
+
+    Output: (span_id, node_id, assign_rank) for the scheduled prefix;
+    unscheduled absent tasks carry node_id null.
+    """
+    spark = absent.sparkSession
+    rows = _collect_loads(_node_loads(assign, nodes))
+    n = len(rows)
+    d = int(absent.count())
+    if available_size is not None:
+        d = min(d, int(available_size))
+    max_load = max((l for _, l in rows), default=0)
+
+    # global rank = bucket offset + intra-bucket rank (no global sort)
+    bucketed = absent.withColumn(
+        "_b", F.expr(f"span_id div {int(bucket_size)}"))
+    counts = sorted(
+        (r["_b"], r["c"]) for r in
+        bucketed.groupBy("_b").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    offsets, acc = {}, 0
+    for b, c in counts:
+        offsets[b] = acc
+        acc += c
+    off_df = F.broadcast(spark.createDataFrame(
+        [(b, o) for b, o in offsets.items()], "_b long, _off long"))
+    w_b = Window.partitionBy("_b").orderBy("span_id")
+    ranked = (
+        bucketed.join(off_df, "_b")
+        .withColumn(
+            "assign_rank",
+            (F.col("_off") + F.row_number().over(w_b)).cast("long"))
+    )
+
+    if d <= 0 or n == 0:
+        return ranked.select(
+            "span_id", F.lit(None).cast("string").alias("node_id"),
+            F.lit(None).cast("long").alias("assign_rank"))
+
+    cap = F.greatest(
+        F.lit(max_load) - F.col("load") + F.lit(-(-d // n)), F.lit(1))
+    slot_rank = (
+        _literal_loads(spark, rows)
+        .select(
+            "node_id", "load",
+            F.explode(
+                F.sequence(F.lit(1), F.least(cap, F.lit(d)))
+            ).alias("_f"),
+        )
+        .withColumn("_q", F.col("load") + F.col("_f"))
+        .withColumn(
+            "_slot_rank",
+            _fold_slot_rank(rows, F.col("_q"), F.col("node_id"),
+                            per_node_cap=lambda nj, lj: d))
+        .filter(F.col("_slot_rank") <= F.lit(d))
+        .select(F.col("node_id").alias("_to"), "_slot_rank")
+    )
+    return (
+        ranked.join(
+            F.broadcast(slot_rank),
+            ranked["assign_rank"] == slot_rank["_slot_rank"], "left")
+        .select(
+            "span_id",
+            F.col("_to").alias("node_id"),
+            F.when(F.col("_to").isNotNull(), F.col("assign_rank"))
+            .alias("assign_rank"),
+        )
+    )

@@ -2541,3 +2541,73 @@ def q_codec_debezium_watermark(spark, sf_dir):
         "resolved_ts long",
     )
     return debezium_watermark_messages(wm).select("resolved_ts", "key", "value")
+
+
+# ---------------------------------------------------------------------------
+# BasicSchedule (`pkg/scheduler/basic.go:23-56`): absent tasks to the
+# least-loaded nodes, capped at available size
+# ---------------------------------------------------------------------------
+
+_BASIC_AVAIL = 10
+
+_BASIC_SQL = f"""
+WITH {CHANGELOG_SQL},
+spans AS (
+    SELECT DISTINCT table_id * 100000 + pk // 8 AS span_id FROM changelog
+),
+absent AS (SELECT span_id FROM spans WHERE span_id % 3 = 1),
+assigned AS (
+    SELECT span_id,
+           'node_' || (CASE WHEN span_id % 10 < 6 THEN 0
+                            WHEN span_id % 10 < 9 THEN 1 ELSE 2 END) AS node_id
+    FROM spans WHERE span_id % 3 <> 1
+),
+nodes AS (SELECT 'node_' || i AS node_id FROM range(4) t(i)),
+loads AS (
+    SELECT n.node_id, count(a.span_id) AS load
+    FROM nodes n LEFT JOIN assigned a USING (node_id) GROUP BY 1
+),
+dd AS (SELECT least(count(*), {_BASIC_AVAIL})::BIGINT AS d FROM absent),
+ranked AS (
+    SELECT span_id, row_number() OVER (ORDER BY span_id) AS assign_rank
+    FROM absent
+),
+slots AS (
+    SELECT l.node_id, l.load + f.f AS q,
+           row_number() OVER (ORDER BY l.load + f.f, l.node_id) AS slot_rank
+    FROM loads l, dd, LATERAL (
+        SELECT unnest(generate_series(1, dd.d)) AS f) f
+)
+SELECT r.span_id,
+       CASE WHEN r.assign_rank <= dd.d THEN s.node_id END AS node_id,
+       CASE WHEN r.assign_rank <= dd.d
+            THEN CAST(r.assign_rank AS BIGINT) END AS assign_rank
+FROM ranked r
+CROSS JOIN dd
+LEFT JOIN slots s ON s.slot_rank = r.assign_rank
+"""
+
+
+@register("scheduler_basic", _BASIC_SQL)
+def q_scheduler_basic(spark, sf_dir):
+    """Absent spans (span_id % 3 == 1) scheduled onto the least-loaded
+    nodes given the remaining assignment; capped at 50 per tick."""
+    from ticdc_spark.plans.scheduler import assign_absent
+
+    cl = events_changelog(spark, sf_dir)
+    # finer span granularity than the balance queries (pk div 8) so the
+    # absent set exceeds the per-tick cap at the driver's SF
+    spans = cl.select(
+        (F.col("table_id") * 100000 + F.expr("pk div 8")).alias("span_id")
+    ).distinct().cache()
+    absent = spans.filter(F.col("span_id") % 3 == 1)
+    assigned = spans.filter(F.col("span_id") % 3 != 1).withColumn(
+        "node_id",
+        F.concat(F.lit("node_"), F.when(F.col("span_id") % 10 < 6, F.lit(0))
+                 .when(F.col("span_id") % 10 < 9, F.lit(1))
+                 .otherwise(F.lit(2))),
+    )
+    nodes = spark.range(4).select(
+        F.concat(F.lit("node_"), F.col("id")).alias("node_id"))
+    return assign_absent(absent, assigned, nodes,
+                         available_size=_BASIC_AVAIL)
