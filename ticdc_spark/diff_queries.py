@@ -172,3 +172,31 @@ WHERE kind = 'extra'
 def q_table_diff_fix_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, tgt = _pair(spark, sf_dir)
     return fix_sql(src, tgt, "k", _COLS, _CHUNK, "tpch", "orders")
+
+
+# ---------------------------------------------------------------------------
+# Multi-source (sharded) diff — `pkg/diff/merge.go` merges several
+# source tables' ordered row streams before comparing against one
+# target.  In Spark the k-way heap merge IS ``unionByName`` (the
+# chunk/row machinery is order-independent), so the sharded compare
+# reuses the single-source plan unchanged — the point this query pins.
+# ---------------------------------------------------------------------------
+
+_SHARDED_ORACLE = f"""
+WITH {_SRC_SQL.strip()}, {_TGT_SQL.strip()},
+shard0 AS (SELECT * EXCLUDE (raw_price) FROM src WHERE k % 2 = 0),
+shard1 AS (SELECT * EXCLUDE (raw_price) FROM src WHERE k % 2 = 1),
+merged AS (SELECT * FROM shard0 UNION ALL SELECT * FROM shard1),
+{_ck_sql('merged', 'sck').strip()}, {_ck_sql('tgt', 'tck').strip()},
+{_BAD_SQL.replace('FROM src', 'FROM merged').strip()}
+SELECT k, kind FROM kinds WHERE kind IS NOT NULL
+"""
+
+
+@register("table_diff_sharded", _SHARDED_ORACLE)
+def q_table_diff_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src, tgt = _pair(spark, sf_dir)
+    shard0 = src.filter(F.col("k") % 2 == 0)
+    shard1 = src.filter(F.col("k") % 2 == 1)
+    merged = shard0.unionByName(shard1)
+    return diff_rows(merged, tgt, "k", _COLS, _CHUNK)
