@@ -61,3 +61,34 @@ def test_fix_sql_repairs_target_to_source(spark, sf_dir):
                             "FROM tpch.orders").fetchall()}
     source = {tuple(r) for r in src.select(*_COLS).collect()}
     assert repaired == source
+
+
+def test_checkpoint_resume_skips_proven_chunks(spark, sf_dir, tmp_path):
+    from ticdc_spark.plans.table_diff import (
+        DiffCheckpoint, diff_chunks, diff_chunks_resumable,
+    )
+
+    src, tgt = _pair(spark, sf_dir)
+    h = DiffCheckpoint.config_hash_of("k", _COLS, _CHUNK)
+    path = str(tmp_path / "diff_ckpt.jsonl")
+
+    ck = DiffCheckpoint(path, h)
+    all_chunks = diff_chunks(src, tgt, "k", _COLS, _CHUNK).collect()
+    first = diff_chunks_resumable(src, tgt, "k", _COLS, _CHUNK, ck)
+    assert first.count() == len(all_chunks)
+    n_success = ck.summary()["success"]
+    assert ck.summary()["failed"] > 0 and n_success > 0
+    assert ck.summary()["state"] == DiffCheckpoint.FAILED
+
+    # resume with a fresh object from disk: proven chunks are skipped
+    ck2 = DiffCheckpoint(path, h)
+    assert ck2.done_chunks() == ck.done_chunks()
+    verdicts = diff_chunks(src, tgt, "k", _COLS, _CHUNK)
+    remaining = verdicts.filter(
+        ~F.col("chunk_id").isin(sorted(ck2.done_chunks()))).count()
+    assert remaining == len(all_chunks) - n_success
+
+    # config change invalidates the checkpoint entirely
+    h2 = DiffCheckpoint.config_hash_of("k", _COLS, _CHUNK * 2)
+    ck3 = DiffCheckpoint(path, h2)
+    assert ck3.done_chunks() == set()

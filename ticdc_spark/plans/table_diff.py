@@ -180,3 +180,96 @@ def fix_sql(
         )
     )
     return replace_rows.unionByName(delete_rows)
+
+
+class DiffCheckpoint:
+    """Resumable diff state (`pkg/diff/checkpoint.go`): per-chunk
+    verdicts persisted so an interrupted diff resumes from its last
+    position, guarded by a config hash — any change to the diff's
+    configuration invalidates the checkpoint (`diff.go:320-366`
+    LoadCheckpoint / `setConfigHash`).
+
+    States mirror the reference: ``success`` (chunk equal or repaired),
+    ``failed`` (chunk differs), ``not_checked``.  File-backed JSON
+    lines, same pattern as the barrier's DDLTsBook.
+    """
+
+    SUCCESS = "success"
+    FAILED = "failed"
+    NOT_CHECKED = "not_checked"
+
+    def __init__(self, path: str, config_hash: str) -> None:
+        import json
+        import os
+
+        self.path = path
+        self.config_hash = config_hash
+        self._states: dict[int, str] = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                lines = [json.loads(ln) for ln in f]
+            if lines and lines[0].get("config_hash") == config_hash:
+                for e in lines[1:]:
+                    self._states[int(e["chunk_id"])] = e["state"]
+            else:
+                # config changed -> clean old checkpoint (cleanCheckpoint)
+                os.remove(path)
+        if not self._states and not os.path.exists(path):
+            import os as _os
+            _os.makedirs(_os.path.dirname(path) or ".", exist_ok=True)
+            with open(path, "w") as f:
+                f.write(json.dumps({"config_hash": config_hash}) + "\n")
+
+    @staticmethod
+    def config_hash_of(pk: str, cols: list[str], chunk_size: int) -> str:
+        import hashlib
+
+        return hashlib.md5(
+            f"{pk}|{','.join(cols)}|{chunk_size}".encode()).hexdigest()
+
+    def record(self, chunk_id: int, state: str) -> None:
+        import json
+
+        with open(self.path, "a") as f:
+            f.write(json.dumps({"chunk_id": int(chunk_id),
+                                "state": state}) + "\n")
+        self._states[int(chunk_id)] = state
+
+    def state(self, chunk_id: int) -> str:
+        return self._states.get(int(chunk_id), self.NOT_CHECKED)
+
+    def done_chunks(self) -> set[int]:
+        """Chunks that need no re-check on resume (success only — a
+        failed chunk re-checks so the repair can be verified)."""
+        return {c for c, s in self._states.items() if s == self.SUCCESS}
+
+    def summary(self) -> dict:
+        """Table summary (checkpoint.go successNum/failedNum)."""
+        vals = list(self._states.values())
+        return {
+            "success": vals.count(self.SUCCESS),
+            "failed": vals.count(self.FAILED),
+            "state": (self.FAILED if self.FAILED in vals
+                      else self.SUCCESS if vals else self.NOT_CHECKED),
+        }
+
+
+def diff_chunks_resumable(
+    source: DataFrame, target: DataFrame, pk: str, cols: list[str],
+    chunk_size: int, checkpoint: DiffCheckpoint,
+) -> DataFrame:
+    """Chunk verdicts, skipping chunks the checkpoint already proved
+    equal; records every verdict it computes."""
+    done = sorted(checkpoint.done_chunks())
+    verdicts = diff_chunks(source, target, pk, cols, chunk_size)
+    if done:
+        verdicts = verdicts.filter(~F.col("chunk_id").isin(done))
+    for r in verdicts.collect():
+        checkpoint.record(
+            r["chunk_id"],
+            DiffCheckpoint.SUCCESS if r["equal"] else DiffCheckpoint.FAILED)
+    # re-read as a frame so callers compose; chunk verdicts are
+    # metadata-sized (one row per chunk)
+    rows = [(c, s) for c, s in checkpoint._states.items()]
+    return source.sparkSession.createDataFrame(
+        rows, "chunk_id long, state string")
