@@ -2611,3 +2611,49 @@ def q_scheduler_basic(spark, sf_dir):
         F.concat(F.lit("node_"), F.col("id")).alias("node_id"))
     return assign_absent(absent, assigned, nodes,
                          available_size=_BASIC_AVAIL)
+
+
+# ---------------------------------------------------------------------------
+# DDL query rewriting for routed tables (`pkg/routing/
+# ddl_query_rewriter.go`): renamed targets rewritten inside the DDL
+# text; strings/comments/columns untouched; multi-statement per-stmt
+# ---------------------------------------------------------------------------
+
+_DDL_RW_CASES = [
+    (1, "CREATE TABLE `test`.`tp_click` (id BIGINT)",
+        "CREATE TABLE `down`.`clicks` (id BIGINT)"),
+    (2, "CREATE TABLE tp_click (id BIGINT, tp_click INT)",
+        "CREATE TABLE `down`.`clicks` (id BIGINT, tp_click INT)"),
+    (3, "DROP TABLE IF EXISTS test.tp_click",
+        "DROP TABLE IF EXISTS `down`.`clicks`"),
+    (4, "RENAME TABLE `tp_click` TO `tp_view`",
+        "RENAME TABLE `down`.`clicks` TO `down`.`views`"),
+    (5, "ALTER TABLE tp_click ADD COLUMN c VARCHAR(16) DEFAULT 'tp_click'",
+        "ALTER TABLE `down`.`clicks` ADD COLUMN c VARCHAR(16) DEFAULT 'tp_click'"),
+    (6, "CREATE TABLE tp_click (i INT); DROP TABLE tp_view;",
+        "CREATE TABLE `down`.`clicks` (i INT); DROP TABLE `down`.`views`;"),
+    (7, "CREATE INDEX i1 ON tp_click (id)",
+        "CREATE INDEX i1 ON `down`.`clicks` (id)"),
+    (8, "CREATE TABLE other_tbl (id INT)",
+        "CREATE TABLE other_tbl (id INT)"),
+]
+
+_DDL_RW_ORACLE = "SELECT * FROM (VALUES " + ", ".join(
+    "(CAST({i} AS BIGINT), '{q}', '{e}')".format(
+        i=i, q=q.replace("'", "''"), e=e.replace("'", "''"))
+    for i, q, e in _DDL_RW_CASES
+) + ") AS v(case_id, query, routed_query)"
+
+
+@register("ddl_route_rewrite", _DDL_RW_ORACLE)
+def q_ddl_route_rewrite(spark, sf_dir):
+    from ticdc_spark.operators.ddl_rewriter import apply_ddl_rewrite
+
+    ddl = spark.createDataFrame(
+        [(i, "test", q) for i, q, _ in _DDL_RW_CASES],
+        "case_id long, schema_name string, query string",
+    )
+    bindings = {("test", "tp_click"): ("down", "clicks"),
+                ("test", "tp_view"): ("down", "views")}
+    return apply_ddl_rewrite(ddl, bindings).select(
+        "case_id", "query", "routed_query")
