@@ -160,3 +160,42 @@ def route(cl: DataFrame, dispatchers: list[dict], n_partitions: int = 16) -> Dat
                 cond, _partition_expr(d["partition"], n_partitions, d.get("columns"))
             ).otherwise(part)
     return cl.withColumn("topic", topic).withColumn("partition", part)
+
+
+def route_bindings_asof(cl, bindings):
+    """Versioned route bindings (`pkg/routing/admin.go:147-197` +
+    `registry.go`): a route transition admitted at a DDL's commit ts
+    governs every event at-or-after that ts, in commit order — the
+    routing twin of the schema as-of join (J1).
+
+    ``bindings``: DataFrame (src_schema, src_table, tgt_schema,
+    tgt_table, effective_ts).  Events resolve the binding with the
+    largest ``effective_ts <= commit_ts`` via a broadcast join +
+    per-event ``max_by`` — bindings are control-plane metadata, so the
+    join is map-side; unbound tables keep their identity."""
+    b = F.broadcast(bindings.select(
+        F.col("src_schema").alias("_bs"),
+        F.col("src_table").alias("_bt"),
+        "tgt_schema", "tgt_table", "effective_ts",
+    ))
+    # the as-of condition lives IN the join clause: an event earlier
+    # than its table's first transition must keep its row (identity
+    # routing), not be filtered away
+    j = cl.join(
+        b,
+        (F.col("schema_name") == F.col("_bs"))
+        & (F.col("table_name") == F.col("_bt"))
+        & (F.col("effective_ts") <= F.col("commit_ts")),
+        "left",
+    )
+    keys = [c for c in cl.columns]
+    agg = j.groupBy("seq").agg(
+        *[F.first(c).alias(c) for c in keys if c != "seq"],
+        F.max_by("tgt_schema", "effective_ts").alias("_ts_schema"),
+        F.max_by("tgt_table", "effective_ts").alias("_ts_table"),
+    )
+    return agg.select(
+        *keys,
+        F.coalesce("_ts_schema", F.col("schema_name")).alias("target_schema"),
+        F.coalesce("_ts_table", F.col("table_name")).alias("target_table"),
+    )

@@ -2657,3 +2657,55 @@ def q_ddl_route_rewrite(spark, sf_dir):
                 ("test", "tp_view"): ("down", "views")}
     return apply_ddl_rewrite(ddl, bindings).select(
         "case_id", "query", "routed_query")
+
+
+# ---------------------------------------------------------------------------
+# Versioned route bindings (`pkg/routing/admin.go` Apply): a transition
+# at a DDL commit ts governs all later events — routing as-of join
+# ---------------------------------------------------------------------------
+
+_RT_V1_TS = 1_704_067_200_000_000   # 2024-01-01
+_RT_V2_TS = 1_705_276_800_000_000   # 2024-01-15 — mid-stream transition
+
+_ROUTE_ASOF_ORACLE = f"""
+WITH {CHANGELOG_SQL},
+b(src_schema, src_table, tgt_schema, tgt_table, effective_ts) AS (VALUES
+  ('test', 'tp_click', 'down', 'clicks_v1', CAST({_RT_V1_TS} AS BIGINT)),
+  ('test', 'tp_click', 'down', 'clicks_v2', CAST({_RT_V2_TS} AS BIGINT)),
+  ('test', 'tp_view',  'down', 'views',     CAST({_RT_V2_TS} AS BIGINT))
+),
+j AS (
+    SELECT c.seq, c.schema_name, c.table_name, c.commit_ts,
+           b.tgt_schema, b.tgt_table, b.effective_ts
+    FROM changelog c LEFT JOIN b
+      ON c.schema_name = b.src_schema AND c.table_name = b.src_table
+     AND b.effective_ts <= c.commit_ts
+),
+agg AS (
+    SELECT seq, any_value(schema_name) AS schema_name,
+           any_value(table_name) AS table_name,
+           arg_max(tgt_schema, effective_ts) AS ts_schema,
+           arg_max(tgt_table, effective_ts) AS ts_table
+    FROM j GROUP BY seq
+)
+SELECT seq,
+       coalesce(ts_schema, schema_name) AS target_schema,
+       coalesce(ts_table, table_name) AS target_table
+FROM agg
+"""
+
+
+@register("routing_rules_asof", _ROUTE_ASOF_ORACLE)
+def q_routing_rules_asof(spark, sf_dir):
+    from ticdc_spark.operators.routing import route_bindings_asof
+
+    cl = events_changelog(spark, sf_dir)
+    bindings = spark.createDataFrame(
+        [("test", "tp_click", "down", "clicks_v1", _RT_V1_TS),
+         ("test", "tp_click", "down", "clicks_v2", _RT_V2_TS),
+         ("test", "tp_view", "down", "views", _RT_V2_TS)],
+        "src_schema string, src_table string, tgt_schema string, "
+        "tgt_table string, effective_ts long",
+    )
+    return route_bindings_asof(cl, bindings).select(
+        "seq", "target_schema", "target_table")
