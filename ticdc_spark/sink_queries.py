@@ -2709,3 +2709,67 @@ def q_routing_rules_asof(spark, sf_dir):
     )
     return route_bindings_asof(cl, bindings).select(
         "seq", "target_schema", "target_table")
+
+
+# ---------------------------------------------------------------------------
+# Dispatcher-set checksum (`pkg/set_checksum/set_checksum.go`): the
+# order-independent (count, xor, sum) set digest the maintainer uses to
+# reconcile each node's dispatcher inventory without shipping the set
+# ---------------------------------------------------------------------------
+
+_SET_CK_ORACLE = f"""
+WITH {CHANGELOG_SQL},
+spans AS (
+    SELECT DISTINCT table_id * 100000 + pk // 64 AS span_id FROM changelog
+),
+assign AS (
+    SELECT span_id,
+           'node_' || (CASE WHEN span_id % 10 < 6 THEN 0
+                            WHEN span_id % 10 < 9 THEN 1 ELSE 2 END) AS node_id
+    FROM spans
+),
+ids AS (
+    SELECT node_id,
+           ('0x' || substr(md5(span_id::VARCHAR), 1, 8))::BIGINT AS id_lo,
+           ('0x' || substr(md5(span_id::VARCHAR), 9, 8))::BIGINT AS id_hi
+    FROM assign
+)
+SELECT node_id,
+       count(*) AS cnt,
+       bit_xor(id_lo) AS xor_lo,
+       bit_xor(id_hi) AS xor_hi,
+       sum(id_lo)::BIGINT AS sum_lo,
+       sum(id_hi)::BIGINT AS sum_hi
+FROM ids GROUP BY node_id
+"""
+
+
+@register("dispatcher_set_checksum", _SET_CK_ORACLE)
+def q_dispatcher_set_checksum(spark, sf_dir):
+    """Per-node set digest over the span assignment. The reference
+    tracks 128-bit dispatcher ids as two uint64 halves; here each half
+    is the 32-bit md5-derived portable hash (so sums stay inside a
+    signed 64-bit under ANSI arithmetic) — same reconciliation power:
+    count + xor + sum over an id component, order-independent and O(1)
+    incrementally updatable."""
+    from ticdc_spark.operators.routing import hash32_md5
+
+    cl = events_changelog(spark, sf_dir)
+    spans = cl.select(
+        (F.col("table_id") * 100000 + F.expr("pk div 64")).alias("span_id")
+    ).distinct()
+    idx = F.when(F.col("span_id") % 10 < 6, F.lit(0)).when(
+        F.col("span_id") % 10 < 9, F.lit(1)).otherwise(F.lit(2))
+    ids = spans.select(
+        F.concat(F.lit("node_"), idx).alias("node_id"),
+        hash32_md5(F.col("span_id").cast("string")).alias("id_lo"),
+        F.conv(F.substring(F.md5(F.col("span_id").cast("string")), 9, 8),
+               16, 10).cast("long").alias("id_hi"),
+    )
+    return ids.groupBy("node_id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.expr("bit_xor(id_lo)").alias("xor_lo"),
+        F.expr("bit_xor(id_hi)").alias("xor_hi"),
+        F.sum("id_lo").alias("sum_lo"),
+        F.sum("id_hi").alias("sum_hi"),
+    )
