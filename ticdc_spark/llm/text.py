@@ -420,3 +420,43 @@ def dsir_importance(docs: DataFrame, target_pred=None) -> DataFrame:
         # engine-portable (raw double sums can differ in the last ulp)
         (F.round(F.sum("_lw"), 6) > 0).alias("target_like"),
     )
+
+
+SEQ_LEN = 512
+
+
+def sequence_packing(docs: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
+    """Training-sequence packing: concatenate documents in order within
+    each (source, lang) stratum and split the token stream into fixed
+    ``seq_len`` windows — the standard GPT-style pretraining batch
+    construction (documents packed back-to-back, a document may span
+    two sequences).
+
+    Output per doc: (doc_id, source, lang, n_tokens, start_offset,
+    first_bin, last_bin, n_bins) where offsets index the stratum's
+    token stream and bins are the seq_len windows the doc touches.
+
+    Scale shape: one per-stratum window cumsum — partitioned by the
+    packing domain, never a global sort; everything else is arithmetic
+    on the cumulative offset.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", "source", "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("source", "lang").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, 0))
+    out = (
+        toks.withColumn("_cum", cum)
+        .withColumn("start_offset", F.col("_cum") - F.col("n_tokens"))
+        .withColumn("first_bin", F.expr(f"start_offset div {seq_len}"))
+        .withColumn("last_bin", F.expr(f"(_cum - 1) div {seq_len}"))
+    )
+    return out.select(
+        "doc_id", "source", "lang", "n_tokens", "start_offset",
+        "first_bin", "last_bin",
+        (F.col("last_bin") - F.col("first_bin") + 1).alias("n_bins"),
+    )

@@ -1159,3 +1159,35 @@ FROM sc GROUP BY doc_id
 @register("dsir_importance", _DSIR_ORACLE)
 def q_dsir_importance(spark, sf_dir):
     return dsir_importance(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: concatenate-and-split training batch construction
+# (per-stratum cumulative offsets -> fixed seq_len windows)
+# ---------------------------------------------------------------------------
+from ticdc_spark.llm.text import SEQ_LEN, sequence_packing  # noqa: E402
+
+_PACK_ORACLE = f"""
+WITH tk AS (
+    SELECT doc_id, source, lang, len({_TOKS})::BIGINT AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT *, sum(n_tokens) OVER (PARTITION BY source, lang
+                                  ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+    FROM tk
+)
+SELECT doc_id, source, lang, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       CAST((cum - n_tokens) // {SEQ_LEN} AS BIGINT) AS first_bin,
+       CAST((cum - 1) // {SEQ_LEN} AS BIGINT) AS last_bin,
+       CAST((cum - 1) // {SEQ_LEN} - (cum - n_tokens) // {SEQ_LEN} + 1
+            AS BIGINT) AS n_bins
+FROM c
+"""
+
+
+@register("sequence_packing", _PACK_ORACLE)
+def q_sequence_packing(spark, sf_dir):
+    return sequence_packing(_docs(spark, sf_dir))
