@@ -96,7 +96,8 @@ def main() -> None:
         "ddl_job_fetch", "table_progress", "dedup_semantic",
         "dedup_exact_substring",
         "table_diff_chunks", "table_diff_fix_sql", "codec_debezium_full",
-        "dsir_importance",
+        "dsir_importance", "sequence_packing", "routing_rules_asof",
+        "dispatcher_set_checksum",
     ]
     def time_query(name: str) -> float:
         df = QUERIES[name](spark, sf_dir)

@@ -170,13 +170,27 @@ def route_bindings_asof(cl, bindings):
 
     ``bindings``: DataFrame (src_schema, src_table, tgt_schema,
     tgt_table, effective_ts).  Events resolve the binding with the
-    largest ``effective_ts <= commit_ts`` via a broadcast join +
-    per-event ``max_by`` — bindings are control-plane metadata, so the
-    join is map-side; unbound tables keep their identity."""
-    b = F.broadcast(bindings.select(
+    largest ``effective_ts <= commit_ts`` via an intervalized
+    broadcast join (each transition governs until the next one) — one
+    interval matches per event, so the event stream never shuffles;
+    unbound tables keep their identity."""
+    from pyspark.sql import Window
+
+    # intervalize each table's transition history: binding i governs
+    # [effective_ts, next transition) — the broadcast join then matches
+    # AT MOST ONE interval per event, so no per-event aggregate (and no
+    # shuffle of the event stream) is needed.  The window runs over the
+    # bindings table only: control-plane metadata, rows = n_transitions.
+    w = Window.partitionBy("src_schema", "src_table").orderBy("effective_ts")
+    intervals = bindings.withColumn(
+        "_end_ts",
+        F.coalesce(F.lead("effective_ts").over(w),
+                   F.lit((1 << 62))),
+    )
+    b = F.broadcast(intervals.select(
         F.col("src_schema").alias("_bs"),
         F.col("src_table").alias("_bt"),
-        "tgt_schema", "tgt_table", "effective_ts",
+        "tgt_schema", "tgt_table", "effective_ts", "_end_ts",
     ))
     # the as-of condition lives IN the join clause: an event earlier
     # than its table's first transition must keep its row (identity
@@ -185,17 +199,13 @@ def route_bindings_asof(cl, bindings):
         b,
         (F.col("schema_name") == F.col("_bs"))
         & (F.col("table_name") == F.col("_bt"))
-        & (F.col("effective_ts") <= F.col("commit_ts")),
+        & (F.col("effective_ts") <= F.col("commit_ts"))
+        & (F.col("commit_ts") < F.col("_end_ts")),
         "left",
     )
     keys = [c for c in cl.columns]
-    agg = j.groupBy("seq").agg(
-        *[F.first(c).alias(c) for c in keys if c != "seq"],
-        F.max_by("tgt_schema", "effective_ts").alias("_ts_schema"),
-        F.max_by("tgt_table", "effective_ts").alias("_ts_table"),
-    )
-    return agg.select(
+    return j.select(
         *keys,
-        F.coalesce("_ts_schema", F.col("schema_name")).alias("target_schema"),
-        F.coalesce("_ts_table", F.col("table_name")).alias("target_table"),
+        F.coalesce("tgt_schema", F.col("schema_name")).alias("target_schema"),
+        F.coalesce("tgt_table", F.col("table_name")).alias("target_table"),
     )
