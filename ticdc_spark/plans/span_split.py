@@ -204,3 +204,63 @@ def split_spans_write_bytes(regions: DataFrame, spans_num: int) -> DataFrame:
     return regions.groupBy("schema_name", "table_name").applyInPandas(
         split_table, schema
     )
+
+
+def find_span_holes(spans: DataFrame, range_start: int = None,
+                    range_end: int = None) -> DataFrame:
+    """Span coverage verification (`pkg/spanz/btree_map.go:128`
+    ``FindHoles``): given each table's span set, report the keyspace
+    gaps (holes) and overlaps against the table's covered range — the
+    maintainer's check that every key belongs to exactly one dispatcher.
+
+    Input: (table_id, start_key, end_key).  Output one row per anomaly:
+    (table_id, kind 'hole'|'overlap', gap_start, gap_end) — a hole is
+    the uncovered range between consecutive spans (or against the
+    explicit range bounds when given), an overlap the doubly-covered
+    slice.  One lag window partitioned by table; no global sort.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("table_id").orderBy("start_key", "end_key")
+    prev_end = F.lag("end_key").over(w)
+    marked = spans.withColumn("_prev_end", prev_end)
+    holes = (
+        marked.filter(F.col("_prev_end").isNotNull()
+                      & (F.col("_prev_end") < F.col("start_key")))
+        .select(
+            "table_id", F.lit("hole").alias("kind"),
+            F.col("_prev_end").alias("gap_start"),
+            F.col("start_key").alias("gap_end"),
+        )
+    )
+    overlaps = (
+        marked.filter(F.col("_prev_end").isNotNull()
+                      & (F.col("_prev_end") > F.col("start_key")))
+        .select(
+            "table_id", F.lit("overlap").alias("kind"),
+            F.col("start_key").alias("gap_start"),
+            F.least("_prev_end", F.col("end_key")).alias("gap_end"),
+        )
+    )
+    out = holes.unionByName(overlaps)
+    if range_start is not None:
+        bounds = spans.groupBy("table_id").agg(
+            F.min("start_key").alias("_first"),
+            F.max("end_key").alias("_last"),
+        )
+        head = (
+            bounds.filter(F.col("_first") > F.lit(range_start))
+            .select("table_id", F.lit("hole").alias("kind"),
+                    F.lit(range_start).cast("long").alias("gap_start"),
+                    F.col("_first").alias("gap_end"))
+        )
+        out = out.unionByName(head)
+        if range_end is not None:
+            tail = (
+                bounds.filter(F.col("_last") < F.lit(range_end))
+                .select("table_id", F.lit("hole").alias("kind"),
+                        F.col("_last").alias("gap_start"),
+                        F.lit(range_end).cast("long").alias("gap_end"))
+            )
+            out = out.unionByName(tail)
+    return out

@@ -2773,3 +2773,62 @@ def q_dispatcher_set_checksum(spark, sf_dir):
         F.sum("id_lo").alias("sum_lo"),
         F.sum("id_hi").alias("sum_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Span coverage verification (`pkg/spanz/btree_map.go:128` FindHoles):
+# holes and overlaps in each table's dispatcher span set
+# ---------------------------------------------------------------------------
+
+_HOLES_ORACLE = f"""
+WITH {CHANGELOG_SQL},
+regions AS (
+    SELECT table_id, pk // 8 AS region_idx FROM changelog GROUP BY 1, 2
+),
+spans AS (
+    SELECT table_id, region_idx * 8 AS start_key,
+           (region_idx + 1) * 8 AS end_key
+    FROM regions
+    -- poke deterministic damage: drop every 5th region (holes) and
+    -- stretch every 7th span 16 keys right (overlaps)
+    WHERE region_idx % 5 <> 2
+),
+damaged AS (
+    SELECT table_id, start_key,
+           CASE WHEN (start_key // 8) % 7 = 3 THEN end_key + 4
+                ELSE end_key END AS end_key
+    FROM spans
+),
+m AS (
+    SELECT *, lag(end_key) OVER (PARTITION BY table_id
+                                 ORDER BY start_key, end_key) AS prev_end
+    FROM damaged
+)
+SELECT table_id, 'hole' AS kind, prev_end AS gap_start,
+       start_key AS gap_end
+FROM m WHERE prev_end IS NOT NULL AND prev_end < start_key
+UNION ALL
+SELECT table_id, 'overlap' AS kind, start_key AS gap_start,
+       least(prev_end, end_key) AS gap_end
+FROM m WHERE prev_end IS NOT NULL AND prev_end > start_key
+"""
+
+
+@register("span_coverage_holes", _HOLES_ORACLE)
+def q_span_coverage_holes(spark, sf_dir):
+    from ticdc_spark.plans.span_split import find_span_holes
+
+    cl = events_changelog(spark, sf_dir)
+    regions = cl.select(
+        "table_id", F.expr("pk div 8").alias("region_idx")).distinct()
+    spans = (
+        regions.filter(F.col("region_idx") % 5 != 2)
+        .select(
+            "table_id",
+            (F.col("region_idx") * 8).alias("start_key"),
+            F.when((F.col("region_idx") % 7) == 3,
+                   (F.col("region_idx") + 1) * 8 + 4)
+            .otherwise((F.col("region_idx") + 1) * 8).alias("end_key"),
+        )
+    )
+    return find_span_holes(spans)
