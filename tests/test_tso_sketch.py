@@ -1,0 +1,68 @@
+"""TSO bit-algebra roundtrip and HLL sketch properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ticdc_spark.functions.sketch import (
+    HLL_M,
+    HLL_RHO_MAX,
+    hll_cell,
+    hll_estimate,
+)
+from ticdc_spark.functions.tso import (
+    TSO_LOGICAL_MASK,
+    compose_tso,
+    tso_logical,
+    tso_physical_ms,
+)
+
+
+def test_tso_roundtrip(spark):
+    df = spark.range(1000).select(
+        (F.col("id") * 9999991 + 1_700_000_000_000).alias("phys"),
+        (F.col("id") * 7919 % (TSO_LOGICAL_MASK + 1)).alias("logical"),
+    )
+    rt = df.select(
+        "phys", "logical",
+        compose_tso(F.col("phys"), F.col("logical")).alias("tso"),
+    ).select(
+        (tso_physical_ms(F.col("tso")) == F.col("phys")).alias("p_ok"),
+        (tso_logical(F.col("tso")) == F.col("logical")).alias("l_ok"),
+    )
+    bad = rt.filter(~F.col("p_ok") | ~F.col("l_ok")).count()
+    assert bad == 0
+
+
+def test_hll_registers_merge_associatively(spark):
+    """Sketch state merged from two halves == sketch of the union —
+    the property that makes the fold map-side combinable at 100 TB."""
+    vals = spark.range(5000).select(F.col("id").alias("v"))
+    a = vals.filter(F.col("v") % 2 == 0)
+    b = vals.filter(F.col("v") % 2 == 1)
+
+    def regs(df):
+        reg, rho = hll_cell(F.col("v"))
+        return df.select(reg, rho).groupBy("reg").agg(F.max("rho").alias("max_rho"))
+
+    merged = (
+        regs(a).unionByName(regs(b))
+        .groupBy("reg").agg(F.max("max_rho").alias("max_rho"))
+    )
+    whole = regs(vals)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_hll_estimate_accuracy(spark):
+    """Standard error for m=256 is ~1.04/sqrt(256) = 6.5%; assert 3 sigma."""
+    n = 20_000
+    vals = spark.range(n).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    reg, rho = hll_cell(F.col("v"))
+    regs = vals.select("g", reg, rho).groupBy("g", "reg").agg(
+        F.max("rho").alias("max_rho")
+    )
+    est = hll_estimate(regs, ["g"]).collect()[0]["est"]
+    assert abs(est - n) / n < 0.20
+    assert 1 <= est  # sanity: rho bounded by suffix width
+    assert HLL_RHO_MAX == 41 and HLL_M == 256  # constants the oracle embeds

@@ -1,0 +1,177 @@
+"""TSO arithmetic, checkpoint-lag metrics, and the portable HLL
+distinct sketch — registered with DuckDB oracles.
+
+These model the reference's observability plane: every lag gauge and
+checkpoint metric decomposes PD TSOs (`coordinator/controller.go:343-345`,
+`dispatchermanager/dispatcher_manager.go:966-971`), and the sketch is
+the at-scale replacement for exact COUNT(DISTINCT) audits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ticdc_spark.functions.sketch import (
+    hll_cell,
+    hll_cell_sql,
+    hll_estimate,
+    hll_estimate_sql,
+)
+from ticdc_spark.functions.tso import (
+    TSO_LOGICAL_MASK,
+    checkpoint_lag_ms,
+    compose_tso,
+    tso_logical,
+    tso_physical_ms,
+    tso_to_time_str,
+)
+from ticdc_spark.queries import register
+from ticdc_spark.sources.changelog import (
+    CHANGELOG_SQL,
+    events_changelog,
+    read_table,
+)
+
+# Synthetic-but-faithful TSO: the changelog's µs commit_ts provides the
+# physical ms, the intra-ms sequence the 18-bit logical counter.
+_TSO_SQL = (
+    "((commit_ts // 1000) << 18) + CAST(seq & 262143 AS BIGINT)"
+)
+
+
+def _with_tso(cl: DataFrame) -> DataFrame:
+    phys = F.expr("commit_ts div 1000")
+    logical = F.col("seq").bitwiseAND(F.lit(TSO_LOGICAL_MASK)).cast("long")
+    return cl.withColumn("tso", compose_tso(phys, logical))
+
+
+# ---------------------------------------------------------------------------
+# TSO decompose / render (oracle.ExtractPhysical / ExtractLogical /
+# GetTimeFromTS)
+# ---------------------------------------------------------------------------
+_TSO_ORACLE = """
+SELECT pk, commit_ts, tso,
+       tso >> 18 AS physical_ms,
+       CAST(tso & 262143 AS BIGINT) AS logical,
+       strftime(make_timestamp(((tso >> 18) // 1000) * 1000000),
+                '%Y-%m-%d %H:%M:%S') AS physical_time
+FROM (SELECT pk, commit_ts, {tso} AS tso FROM changelog)
+""".format(tso=_TSO_SQL)
+
+
+@register("tso_functions", f"WITH {CHANGELOG_SQL} {_TSO_ORACLE}")
+def q_tso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = _with_tso(events_changelog(spark, sf_dir))
+    return cl.select(
+        "pk", "commit_ts", "tso",
+        tso_physical_ms(F.col("tso")).alias("physical_ms"),
+        tso_logical(F.col("tso")).cast("long").alias("logical"),
+        tso_to_time_str(F.col("tso")).alias("physical_time"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint-lag percentiles per table (the Grafana lag panel):
+# lag_ms = physical(now) - physical(commit); discrete percentiles via
+# rank selection (integer outputs, engine-portable — no interpolation).
+# Per-table window sort = one shuffle on table_name; the "pd now"
+# scalar is a broadcast 1-row aggregate, exactly the reference's
+# pdClock.CurrentTime() fan-out.
+# ---------------------------------------------------------------------------
+_LAG_ORACLE = """
+, base AS (SELECT table_name, {tso} AS tso FROM changelog)
+, mx AS (SELECT max(tso) AS now_tso FROM base)
+, lagged AS (SELECT table_name, (now_tso >> 18) - (tso >> 18) AS lag_ms
+             FROM base, mx)
+, ranked AS (SELECT table_name, lag_ms,
+                    row_number() OVER (PARTITION BY table_name
+                                       ORDER BY lag_ms) AS rn,
+                    count(*) OVER (PARTITION BY table_name) AS n
+             FROM lagged)
+SELECT table_name, max(n) AS n_events,
+       max(CASE WHEN rn = CEIL(n * 0.5) THEN lag_ms END) AS lag_p50_ms,
+       max(CASE WHEN rn = CEIL(n * 0.95) THEN lag_ms END) AS lag_p95_ms,
+       max(CASE WHEN rn = CEIL(n * 0.99) THEN lag_ms END) AS lag_p99_ms,
+       max(lag_ms) AS lag_max_ms
+FROM ranked GROUP BY table_name
+""".format(tso=_TSO_SQL)
+
+
+@register("checkpoint_lag_percentiles", f"WITH {CHANGELOG_SQL} {_LAG_ORACLE}")
+def q_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _with_tso(events_changelog(spark, sf_dir)).select("table_name", "tso")
+    now = F.broadcast(base.agg(F.max("tso").alias("now_tso")))
+    lagged = base.crossJoin(now).select(
+        "table_name",
+        checkpoint_lag_ms(F.col("now_tso"), F.col("tso")).alias("lag_ms"),
+    )
+    w = Window.partitionBy("table_name")
+    ranked = lagged.select(
+        "table_name", "lag_ms",
+        F.row_number().over(w.orderBy("lag_ms")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+
+    def pick(p: float, name: str):
+        return F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") * p), F.col("lag_ms"))
+        ).alias(name)
+
+    return ranked.groupBy("table_name").agg(
+        F.max("n").alias("n_events"),
+        pick(0.5, "lag_p50_ms"),
+        pick(0.95, "lag_p95_ms"),
+        pick(0.99, "lag_p99_ms"),
+        F.max("lag_ms").alias("lag_max_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch: registers (merge-able state) and corrected estimates
+# ---------------------------------------------------------------------------
+@register(
+    "hll_registers",
+    f"""
+    SELECT reg, max(rho) AS max_rho
+    FROM (SELECT {hll_cell_sql('user_id')} FROM events)
+    GROUP BY reg
+    """,
+)
+def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global register table over events.user_id — the sketch's
+    merge-able state (one map-side fold + one 256-row shuffle)."""
+    ev = read_table(spark, sf_dir, "events")
+    reg, rho = hll_cell(F.col("user_id"))
+    return ev.select(reg, rho).groupBy("reg").agg(F.max("rho").alias("max_rho"))
+
+
+_HLL_REGS_SQL = (
+    "SELECT event_type, reg, max(rho) AS max_rho "
+    f"FROM (SELECT event_type, {hll_cell_sql('user_id')} FROM events) "
+    "GROUP BY event_type, reg"
+)
+
+_HLL_EST_ORACLE = f"""
+SELECT e.event_type, x.n_exact, e.v_zero, e.s_scaled, e.est
+FROM ({hll_estimate_sql(_HLL_REGS_SQL, ['event_type'])}) e
+JOIN (SELECT event_type, count(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY event_type) x USING (event_type)
+"""
+
+
+@register("hll_user_estimate", _HLL_EST_ORACLE)
+def q_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user estimate with the exact count
+    alongside (the exact column is the correctness audit; at 100 TB
+    you ship only the sketch)."""
+    ev = read_table(spark, sf_dir, "events")
+    cells = ev.select("event_type", *hll_cell(F.col("user_id")))
+    regs = cells.groupBy("event_type", "reg").agg(F.max("rho").alias("max_rho"))
+    est = hll_estimate(regs, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "n_exact", "v_zero", "s_scaled", "est"
+    )
