@@ -175,3 +175,17 @@ def q_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "event_type").select(
         "event_type", "n_exact", "v_zero", "s_scaled", "est"
     )
+
+
+# ---------------------------------------------------------------------------
+# W4 — adaptive scan window (`pkg/eventservice/scan_window.go`): the
+# full EMA/pressure/brake controller folded over a per-changefeed
+# congestion tape; the oracle runs the identical fold via list_reduce.
+# ---------------------------------------------------------------------------
+from ticdc_spark.operators import scan_window as _sw  # noqa: E402
+
+
+@register("adaptive_scan_window", _sw.oracle_sql(CHANGELOG_SQL))
+def q_adaptive_scan_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = events_changelog(spark, sf_dir)
+    return _sw.fold_controller(_sw.congestion_tape(cl))
