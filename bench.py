@@ -98,6 +98,10 @@ def main() -> None:
         "table_diff_chunks", "table_diff_fix_sql", "codec_debezium_full",
         "dsir_importance", "sequence_packing", "routing_rules_asof",
         "dispatcher_set_checksum",
+        # round-2 additions: TSO algebra, lag percentiles, HLL sketch,
+        # adaptive scan-window controller (Arrow-batched fold)
+        "tso_functions", "checkpoint_lag_percentiles", "hll_user_estimate",
+        "adaptive_scan_window",
     ]
     def time_query(name: str) -> float:
         df = QUERIES[name](spark, sf_dir)

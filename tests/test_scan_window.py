@@ -138,3 +138,15 @@ def test_every_branch_fires(spark, sf_dir):
              .groupBy().sum("n_brake", "n_high_pressure", "n_sustained",
                             "n_low_recovery").collect()[0])
     assert all(v > 0 for v in total), total
+
+
+def test_pandas_fold_equals_sql_fold(spark, sf_dir):
+    """The Arrow-batched controller (the registered query) and the pure
+    SQL-algebra fold execute the same float ops — results identical."""
+    cl = events_changelog(spark, sf_dir)
+    stats = sw.congestion_tape(cl)
+    a = {r["table_name"]: r.asDict()
+         for r in sw.fold_controller(stats).collect()}
+    b = {r["table_name"]: r.asDict()
+         for r in sw.fold_controller_pandas(stats).collect()}
+    assert a == b

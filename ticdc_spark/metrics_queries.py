@@ -188,4 +188,4 @@ from ticdc_spark.operators import scan_window as _sw  # noqa: E402
 @register("adaptive_scan_window", _sw.oracle_sql(CHANGELOG_SQL))
 def q_adaptive_scan_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     cl = events_changelog(spark, sf_dir)
-    return _sw.fold_controller(_sw.congestion_tape(cl))
+    return _sw.fold_controller_pandas(_sw.congestion_tape(cl))

@@ -463,3 +463,132 @@ SELECT table_name,
        nn AS n_none
 FROM final
 """
+
+
+def fold_controller_pandas(stats: DataFrame) -> DataFrame:
+    """Arrow-batched variant of :func:`fold_controller`.
+
+    A per-changefeed sequential state machine is the documented
+    Pandas-UDF exception (SURVEY §2.12 stateful ops): the fold is
+    inherently serial within a group, groups are independent, and a
+    Python loop over the control-plane tape (≤ SIM_HORIZON_S rows per
+    changefeed) is ~50× faster than the interpreted 95 KB HOF
+    expression while executing the *same* IEEE ops in the same order —
+    ``test_scan_window.py`` pins all three implementations equal.
+    """
+    # Close over plain ints so the nested fn pickles by value (no
+    # ticdc_spark import on the worker).
+    default_iv, min_iv, max_iv = DEFAULT_IV_MS, MIN_IV_MS, MAX_IV_MS
+    plateau_iv, neg_inf = PLATEAU_IV_MS, _NEG_INF_TS
+    brake_cd, press_cd = BRAKE_COOLDOWN_S, PRESSURE_COOLDOWN_S
+    floor_cd, adjust_cd = FLOOR_RECOVERY_S, ADJUST_COOLDOWN_S
+    release_cd, vl_cd = RELEASE_RECOVERY_S, VERY_LOW_RECOVERY_S
+    min_inc_n, min_inc_span = MIN_INCREASE_SAMPLES, MIN_INCREASE_SPAN_S
+    unlock_n = EMERGENCY_UNLOCK_SAMPLES
+
+    schema = (
+        "table_name string, final_interval_ms long, fast_ema double, "
+        "slow_ema double, pressure_score double, n_brake long, "
+        "n_high_pressure long, n_sustained long, n_very_low_recovery long, "
+        "n_low_recovery long, n_none long"
+    )
+
+    def run(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("ts")
+        fast = slow = p = 0.0
+        init = False
+        la = ld = -1
+        lc = li = neg_inf
+        cur = default_iv
+        nb = nh = nsu = nvl = nlr = nn = 0
+        for ts, lastr, avgr, mxr, cnt, span, rel in zip(
+            pdf["ts"], pdf["lastr"], pdf["avgr"], pdf["mxr"],
+            pdf["cnt"], pdf["span"], pdf["rel"],
+        ):
+            ts, cnt, span, rel = int(ts), int(cnt), int(span), int(rel)
+            lastr, avgr, mxr = float(lastr), float(avgr), float(mxr)
+            if not init:
+                fast = slow = lastr
+                init = True
+            else:
+                fast = fast + 0.4 * (lastr - fast)
+                slow = slow + 0.2 * (lastr - slow)
+            if (ts - lc) >= brake_cd and lastr > 0.9:
+                if lastr > 0.98:
+                    if cur <= default_iv and cnt >= unlock_n and fast >= 0.9:
+                        cur = max(cur // 2, min_iv)
+                    elif cur <= 6 * default_iv:
+                        cur = min(max(cur // 2, default_iv), cur)
+                    else:
+                        cur = max(cur // 4, plateau_iv)
+                else:
+                    cur = min(max(cur // 2, default_iv), cur)
+                lc = la = ld = li = ts
+                nb += 1
+                continue
+            hot = fast >= 0.75 or slow >= 0.75 or lastr >= 0.7
+            warm = fast >= 0.55 or slow >= 0.55 or avgr >= 0.55
+            if hot:
+                p = min(p + 2, 8.0)
+            elif warm:
+                p = min(p + 1, 8.0)
+            elif fast < 0.30 and slow < 0.25 and lastr < 0.30:
+                p = max(0.0, p - 1.5)
+            else:
+                p = max(0.0, p - 0.5)
+            if rel > 0:
+                p = max(0.0, p - min(rel * 2.0, 8.0))
+            if (ts - ld) >= press_cd and hot:
+                cur = min(max(cur * 3 // 4, default_iv), cur)
+                la = ld = li = ts
+                nh += 1
+                continue
+            if (ts - ld) >= press_cd and p >= 3.0 and warm:
+                cur = min(max(cur * 9 // 10, default_iv), cur)
+                la = ld = li = ts
+                nsu += 1
+                continue
+            if (cur <= default_iv and (ts - la) >= floor_cd
+                    and (ts - ld) >= floor_cd and cnt >= 3
+                    and lastr < 0.35 and avgr < 0.55
+                    and fast < 0.45 and slow < 0.40 and p < 1.5):
+                nxt = min(cur * 5 // 4, max_iv)
+                if nxt > cur:
+                    cur, la = nxt, ts
+                    nlr += 1
+                    continue
+            if not ((ts - la) >= adjust_cd and (ts - ld) >= release_cd
+                    and cnt >= min_inc_n and span >= min_inc_span
+                    and p < 1.0):
+                nn += 1
+                continue
+            if (mxr < 0.1 and avgr < 0.1 and fast < 0.1 and slow < 0.1
+                    and (ts - li) >= vl_cd):
+                num, den = ((11, 10) if cur >= 120000 else
+                            (6, 5) if cur >= 60000 else (3, 2))
+                nxt = min(cur * num // den, max_iv)
+                if nxt > cur:
+                    cur, la = nxt, ts
+                    nvl += 1
+                    continue
+            if (cur < max_iv and mxr < 0.2 and avgr < 0.2
+                    and fast < 0.23 and slow < 0.22):
+                num, den = ((21, 20) if cur >= 120000 else
+                            (11, 10) if cur >= 60000 else (5, 4))
+                nxt = min(cur * num // den, max_iv)
+                if nxt > cur:
+                    cur, la = nxt, ts
+                    nlr += 1
+                    continue
+            nn += 1
+        return pd.DataFrame([{
+            "table_name": pdf["table_name"].iloc[0],
+            "final_interval_ms": cur, "fast_ema": fast, "slow_ema": slow,
+            "pressure_score": p, "n_brake": nb, "n_high_pressure": nh,
+            "n_sustained": nsu, "n_very_low_recovery": nvl,
+            "n_low_recovery": nlr, "n_none": nn,
+        }])
+
+    return stats.groupBy("table_name").applyInPandas(run, schema)
