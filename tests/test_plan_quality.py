@@ -179,3 +179,30 @@ def test_registry_wire_query_is_driver_metadata_only(spark, sf_dir):
     p = _plan(QUERIES["avro_registry_wire"](spark, sf_dir))
     assert "Exchange" not in p or p.count("Exchange") <= 1
     assert "parquet" not in p.lower()
+
+
+def test_metrics_operator_shuffle_budgets(spark, sf_dir):
+    """TSO decompose is map-only (zero exchanges — stays in whole-stage
+    codegen); lag percentiles pay the per-table window plus the 1-row
+    pd-now aggregate; the HLL estimate pays cells→registers→group plus
+    the exact-count audit join; the scan-window controller pays the
+    per-tick aggregation and the per-changefeed Arrow fold."""
+    budgets = [
+        ("tso_functions", 0),
+        ("checkpoint_lag_percentiles", 3),
+        ("hll_registers", 1),
+        ("hll_user_estimate", 5),
+        ("adaptive_scan_window", 4),
+    ]
+    for name, budget in budgets:
+        p = _plan(QUERIES[name](spark, sf_dir))
+        shuffles = p.count("Exchange") - p.count("BroadcastExchange")
+        assert shuffles <= budget, f"{name}: {shuffles} > {budget}\n{p}"
+
+
+def test_tso_and_hll_stay_in_codegen(spark, sf_dir):
+    """No Python evaluation on the TSO or sketch paths — bit algebra and
+    md5/conv are JVM built-ins."""
+    for name in ("tso_functions", "hll_registers", "hll_user_estimate"):
+        p = _plan(QUERIES[name](spark, sf_dir))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name

@@ -66,3 +66,19 @@ def test_hll_estimate_accuracy(spark):
     assert abs(est - n) / n < 0.20
     assert 1 <= est  # sanity: rho bounded by suffix width
     assert HLL_RHO_MAX == 41 and HLL_M == 256  # constants the oracle embeds
+
+
+def test_cms_never_underestimates(spark):
+    """The Count-Min guarantee: est(k) >= true count for every key."""
+    from ticdc_spark.functions.sketch import cms_counters, cms_estimate
+
+    df = spark.range(8000).select((F.col("id") % 97).alias("k"))
+    counters = cms_counters(df, F.col("k"))
+    exact = df.groupBy("k").count()
+    est = cms_estimate(counters, exact.select("k"), "k")
+    joined = exact.join(est, "k")
+    under = joined.filter(F.col("cms_est") < F.col("count")).count()
+    assert under == 0
+    # and the grid never exceeds d*w cells
+    from ticdc_spark.functions.sketch import CMS_D, CMS_W
+    assert counters.count() <= CMS_D * CMS_W

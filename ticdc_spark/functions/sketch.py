@@ -116,3 +116,74 @@ def hll_estimate_sql(regs_sql: str, group_cols: list[str]) -> str:
       FROM ({regs_sql}) GROUP BY {g}
     )
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — heavy-hitter detection (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+# At 100 TB, exact per-key frequencies need a full shuffle on the key;
+# the CMS is a map-side-combinable (d × w) counter grid whose update is
+# associative addition — the natural feed for hot-key detection ahead of
+# skew mitigation (salting / AQE skew join, `maintainer/split/
+# write_bytes_splitter.go:30` is the reference's equivalent signal).
+# Everything is integer arithmetic on md5-derived indices: no float
+# parity risk at all.
+
+CMS_D = 4          # hash rows
+CMS_W = 512        # counters per row
+
+_CMS_SALTS = tuple(range(CMS_D))
+
+
+def cms_cells(col: Column) -> Column:
+    """Array of ``d`` (row, idx) cells for one value — explode to feed
+    the counter aggregation."""
+    cells = [
+        F.struct(
+            F.lit(j).alias("j"),
+            (F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(str(j)),
+                                                  col.cast("string"))),
+                                1, 8), 16, 10).cast("long")
+             % CMS_W).alias("idx"),
+        )
+        for j in _CMS_SALTS
+    ]
+    return F.array(*cells)
+
+
+def cms_cells_sql(expr: str, src: str, carry: str = "") -> str:
+    """DuckDB twin: UNION ALL over the d salted hashes; ``carry``
+    columns ride along (for point queries keyed by the value)."""
+    lead = f"{carry}, " if carry else ""
+    parts = []
+    for j in _CMS_SALTS:
+        h = (f"(('0x' || substr(md5('{j}' || ':' || "
+             f"CAST({expr} AS VARCHAR)), 1, 8))::BIGINT % {CMS_W})")
+        parts.append(f"SELECT {lead}{j} AS j, {h} AS idx FROM {src}")
+    return " UNION ALL ".join(parts)
+
+
+def cms_counters(df: DataFrame, col: Column) -> DataFrame:
+    """(j, idx, c) counter grid — one shuffle on at most d·w keys."""
+    return (
+        df.select(F.explode(cms_cells(col)).alias("cell"))
+        .groupBy(F.col("cell.j").alias("j"), F.col("cell.idx").alias("idx"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(counters: DataFrame, keys: DataFrame,
+                 key_col: str) -> DataFrame:
+    """Point query: est(k) = min over rows of counter[j][h_j(k)].
+
+    ``keys`` is the candidate set (small — broadcast); the join hits
+    d rows per key in the d·w-row grid."""
+    cells = keys.select(
+        key_col, F.explode(cms_cells(F.col(key_col))).alias("cell")
+    ).select(key_col, F.col("cell.j").alias("j"),
+             F.col("cell.idx").alias("idx"))
+    return (
+        cells.join(counters, ["j", "idx"])
+        .groupBy(key_col)
+        .agg(F.min("c").alias("cms_est"))
+    )

@@ -180,7 +180,7 @@ def q_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # W4 — adaptive scan window (`pkg/eventservice/scan_window.go`): the
 # full EMA/pressure/brake controller folded over a per-changefeed
-# congestion tape; the oracle runs the identical fold via list_reduce.
+# congestion tape; the oracle runs the identical fold as a recursive CTE.
 # ---------------------------------------------------------------------------
 from ticdc_spark.operators import scan_window as _sw  # noqa: E402
 
@@ -189,3 +189,65 @@ from ticdc_spark.operators import scan_window as _sw  # noqa: E402
 def q_adaptive_scan_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     cl = events_changelog(spark, sf_dir)
     return _sw.fold_controller_pandas(_sw.congestion_tape(cl))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: counter grid + heavy-hitter point queries.  The hot-
+# key signal ahead of skew mitigation (the reference's write-bytes
+# splitter reads the same kind of per-span heat,
+# `maintainer/split/write_bytes_splitter.go:30`).
+# ---------------------------------------------------------------------------
+from ticdc_spark.functions.sketch import (  # noqa: E402
+    cms_cells_sql,
+    cms_counters,
+    cms_estimate,
+)
+
+
+@register(
+    "cms_counters",
+    f"""
+    SELECT j, idx, count(*) AS c
+    FROM ({cms_cells_sql('user_id', 'events')})
+    GROUP BY j, idx
+    """,
+)
+def q_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (d×w) counter grid over events.user_id — map-side
+    combinable, one shuffle on ≤ d·w keys."""
+    ev = read_table(spark, sf_dir, "events")
+    return cms_counters(ev, F.col("user_id"))
+
+
+_CMS_HH_ORACLE = f"""
+WITH counters AS (
+  SELECT j, idx, count(*) AS c
+  FROM ({cms_cells_sql('user_id', 'events')})
+  GROUP BY j, idx),
+keys AS (SELECT user_id, count(*) AS n_exact FROM events GROUP BY user_id),
+cells AS ({cms_cells_sql('user_id', 'keys', carry='user_id')}),
+est AS (
+  SELECT cells.user_id, min(c.c) AS cms_est
+  FROM cells JOIN counters c USING (j, idx)
+  GROUP BY cells.user_id)
+SELECT k.user_id, k.n_exact, e.cms_est
+FROM keys k JOIN est e USING (user_id)
+WHERE k.n_exact >= 50
+"""
+
+
+@register("cms_heavy_hitters", _CMS_HH_ORACLE)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point queries against the grid for every key whose exact count
+    is ≥ 50 — the CMS guarantee (est ≥ exact) is auditable row-by-row.
+    At 100 TB the candidate set comes from a sample, not an exact
+    groupBy; the exact column here is the correctness audit."""
+    ev = read_table(spark, sf_dir, "events")
+    counters = cms_counters(ev, F.col("user_id"))
+    keys = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = cms_estimate(counters, keys.select("user_id"), "user_id")
+    return (
+        keys.filter(F.col("n_exact") >= 50)
+        .join(est, "user_id")
+        .select("user_id", "n_exact", "cms_est")
+    )
