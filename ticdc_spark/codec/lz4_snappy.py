@@ -1,0 +1,261 @@
+"""Pure-Python LZ4 (block format) and Snappy codecs.
+
+The reference compresses large messages with lz4/snappy/zstd
+(`pkg/compression/compression.go`, `codec/common/compress.go`).  This
+container has no native lz4/snappy bindings, so these are from-scratch
+implementations of the two public wire formats:
+
+- **LZ4 block format**: token byte (literal-length nibble,
+  match-length-minus-4 nibble, 15 ⇒ 255-run extension bytes), literal
+  run, little-endian 16-bit match offset, match extension.  End-of-block
+  rules honored: the final sequence is literals-only, the last 5 bytes
+  are always literals, and no match starts within the last 12 bytes.
+- **Snappy**: uvarint uncompressed length preamble, then literal
+  elements (tag ``00``, 6-bit length or 60-62 length-byte escapes) and
+  copy elements (tag ``10`` = 2-byte little-endian offset, 6-bit
+  length-minus-1); the encoder emits only literal + copy2 elements,
+  which every decoder must accept.
+
+Both compressors use the standard greedy 4-byte hash-chain match
+search.  Throughput is interpreter-bound (this is the correctness /
+wire-shape path — swap in native bindings via ``_COMPRESS_CODECS`` on a
+real cluster); the decompressors accept any spec-conforming stream, and
+golden vectors in ``tests/test_lz4_snappy.py`` pin the formats
+independently of the encoders.
+"""
+
+from __future__ import annotations
+
+_MIN_MATCH = 4
+_HASH_LOG = 16
+
+
+def _hash4(b: bytes, i: int) -> int:
+    v = b[i] | (b[i + 1] << 8) | (b[i + 2] << 16) | (b[i + 3] << 24)
+    return (v * 2654435761) >> (32 - _HASH_LOG) & 0xFFFF
+
+
+# ---------------------------------------------------------------------------
+# LZ4 block format
+# ---------------------------------------------------------------------------
+def lz4_block_compress(src: bytes) -> bytes:
+    """Compress to LZ4 block format (no frame header/checksum)."""
+    n = len(src)
+    out = bytearray()
+    if n == 0:
+        return bytes([0])  # single empty-literal token
+    table: dict[int, int] = {}
+    anchor = 0
+    i = 0
+    # matches may not start in the last 12 bytes; last 5 are literals
+    limit = n - 12
+
+    def emit(lit_len: int, lit_start: int, match_len: int | None,
+             offset: int | None) -> None:
+        tok_lit = 15 if lit_len >= 15 else lit_len
+        tok_mat = 0
+        if match_len is not None:
+            m = match_len - _MIN_MATCH
+            tok_mat = 15 if m >= 15 else m
+        out.append((tok_lit << 4) | tok_mat)
+        rest = lit_len - 15
+        while rest >= 0:
+            out.append(255 if rest >= 255 else rest)
+            rest -= 255
+        out.extend(src[lit_start:lit_start + lit_len])
+        if match_len is None:
+            return
+        out.append(offset & 0xFF)
+        out.append((offset >> 8) & 0xFF)
+        rest = (match_len - _MIN_MATCH) - 15
+        while rest >= 0:
+            out.append(255 if rest >= 255 else rest)
+            rest -= 255
+
+    while i <= limit:
+        h = _hash4(src, i)
+        cand = table.get(h)
+        table[h] = i
+        if (cand is not None and i - cand <= 0xFFFF
+                and src[cand:cand + _MIN_MATCH] == src[i:i + _MIN_MATCH]):
+            # extend the match (but never into the last 5 bytes)
+            m_end = i + _MIN_MATCH
+            c_end = cand + _MIN_MATCH
+            hard_end = n - 5
+            while m_end < hard_end and src[m_end] == src[c_end]:
+                m_end += 1
+                c_end += 1
+            match_len = m_end - i
+            emit(i - anchor, anchor, match_len, i - cand)
+            i = m_end
+            anchor = i
+        else:
+            i += 1
+    emit(n - anchor, anchor, None, None)
+    return bytes(out)
+
+
+def lz4_block_decompress(src: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(src)
+    while i < n:
+        token = src[i]
+        i += 1
+        lit_len = token >> 4
+        if lit_len == 15:
+            while True:
+                b = src[i]
+                i += 1
+                lit_len += b
+                if b != 255:
+                    break
+        out.extend(src[i:i + lit_len])
+        i += lit_len
+        if i >= n:
+            break  # last sequence: literals only
+        offset = src[i] | (src[i + 1] << 8)
+        i += 2
+        if offset == 0:
+            raise ValueError("lz4: zero match offset")
+        match_len = (token & 0xF) + _MIN_MATCH
+        if (token & 0xF) == 15:
+            while True:
+                b = src[i]
+                i += 1
+                match_len += b
+                if b != 255:
+                    break
+        start = len(out) - offset
+        if start < 0:
+            raise ValueError("lz4: offset beyond output")
+        for k in range(match_len):  # byte-wise: overlapping copies legal
+            out.append(out[start + k])
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Snappy
+# ---------------------------------------------------------------------------
+def _uvarint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_uvarint(src: bytes, i: int) -> tuple[int, int]:
+    shift = 0
+    val = 0
+    while True:
+        b = src[i]
+        i += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, i
+        shift += 7
+
+
+def _snappy_literal(out: bytearray, data: bytes) -> None:
+    n = len(data)
+    if n == 0:
+        return
+    if n <= 60:
+        out.append((n - 1) << 2)
+    elif n <= 0x100:
+        out.append(60 << 2)
+        out.append(n - 1)
+    elif n <= 0x10000:
+        out.append(61 << 2)
+        out.append((n - 1) & 0xFF)
+        out.append(((n - 1) >> 8) & 0xFF)
+    else:
+        out.append(62 << 2)
+        v = n - 1
+        out.extend((v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF))
+    out.extend(data)
+
+
+def snappy_compress(src: bytes) -> bytes:
+    out = bytearray(_uvarint(len(src)))
+    n = len(src)
+    table: dict[int, int] = {}
+    anchor = 0
+    i = 0
+    while i + _MIN_MATCH <= n:
+        h = _hash4(src, i)
+        cand = table.get(h)
+        table[h] = i
+        if (cand is not None and i - cand <= 0xFFFF
+                and src[cand:cand + _MIN_MATCH] == src[i:i + _MIN_MATCH]):
+            m_end = i + _MIN_MATCH
+            c_end = cand + _MIN_MATCH
+            while m_end < n and src[m_end] == src[c_end]:
+                m_end += 1
+                c_end += 1
+            _snappy_literal(out, src[anchor:i])
+            offset = i - cand
+            length = m_end - i
+            while length > 0:  # copy2 elements, 64-byte chunks
+                chunk = min(length, 64)
+                if chunk < _MIN_MATCH and length > chunk:
+                    chunk = length  # avoid a tail shorter than a tag allows
+                out.append(((chunk - 1) << 2) | 0x02)
+                out.append(offset & 0xFF)
+                out.append((offset >> 8) & 0xFF)
+                length -= chunk
+            i = m_end
+            anchor = i
+        else:
+            i += 1
+    _snappy_literal(out, src[anchor:])
+    return bytes(out)
+
+
+def snappy_decompress(src: bytes) -> bytes:
+    expected, i = _read_uvarint(src, 0)
+    out = bytearray()
+    n = len(src)
+    while i < n:
+        tag = src[i]
+        i += 1
+        kind = tag & 0x03
+        if kind == 0:  # literal
+            length = (tag >> 2) + 1
+            if length > 60:
+                extra = length - 60
+                length = 1
+                for k in range(extra):
+                    length += src[i + k] << (8 * k)
+                i += extra
+            out.extend(src[i:i + length])
+            i += length
+            continue
+        if kind == 1:  # copy1: 11-bit offset, len 4..11
+            length = ((tag >> 2) & 0x07) + 4
+            offset = ((tag >> 5) << 8) | src[i]
+            i += 1
+        elif kind == 2:  # copy2: 2-byte LE offset
+            length = (tag >> 2) + 1
+            offset = src[i] | (src[i + 1] << 8)
+            i += 2
+        else:  # copy4
+            length = (tag >> 2) + 1
+            offset = (src[i] | (src[i + 1] << 8) | (src[i + 2] << 16)
+                      | (src[i + 3] << 24))
+            i += 4
+        if offset == 0:
+            raise ValueError("snappy: zero copy offset")
+        start = len(out) - offset
+        if start < 0:
+            raise ValueError("snappy: offset beyond output")
+        for k in range(length):
+            out.append(out[start + k])
+    if len(out) != expected:
+        raise ValueError(f"snappy: length mismatch {len(out)} != {expected}")
+    return bytes(out)

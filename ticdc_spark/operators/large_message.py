@@ -98,12 +98,17 @@ def resolve_claim_check(msgs: DataFrame, claim_store: DataFrame) -> DataFrame:
 
 # -- compression (`pkg/compression/`, `codec/common/compress.go`) ------------
 # The reference compresses large message payloads with lz4/snappy/zstd.
-# Those codecs aren't in this container; zlib/lzma are, and the operator
-# shape (Arrow-batched pandas UDF over the value column, codec gated by
-# name) is identical — swap the codec fn to lz4/zstd where available.
+# lz4 (block format) and snappy are from-scratch pure-Python wire-format
+# implementations (`codec/lz4_snappy.py`) — interpreter-bound throughput,
+# correct bytes; swap in native bindings here on a real cluster.  zstd
+# has no stand-in (format far too complex); zlib/lzma round out the set.
 _COMPRESS_CODECS = {
     "zlib": ("zlib", "compress", "decompress"),
     "lzma": ("lzma", "compress", "decompress"),
+    "lz4": ("ticdc_spark.codec.lz4_snappy",
+            "lz4_block_compress", "lz4_block_decompress"),
+    "snappy": ("ticdc_spark.codec.lz4_snappy",
+               "snappy_compress", "snappy_decompress"),
 }
 
 
