@@ -143,3 +143,42 @@ try:
         assert snappy_decompress(snappy_compress(data)) == data
 except ImportError:  # pragma: no cover
     pass
+
+
+# -- xxHash32 + frame format -------------------------------------------------
+
+def test_xxh32_spec_vectors():
+    from ticdc_spark.codec.lz4_snappy import xxh32
+    assert xxh32(b"") == 0x02CC5D05
+    assert xxh32(b"a") == 0x550D7456
+    assert xxh32(b"abc") == 0x32D153FF
+    assert xxh32(b"Nobody inspects the spammish repetition") == 0xE2293B2F
+
+
+@pytest.mark.parametrize("data", CASES, ids=range(len(CASES)))
+def test_lz4_frame_roundtrip(data):
+    from ticdc_spark.codec.lz4_snappy import (
+        lz4_frame_compress,
+        lz4_frame_decompress,
+    )
+    assert lz4_frame_decompress(lz4_frame_compress(data)) == data
+
+
+def test_lz4_frame_multiblock():
+    from ticdc_spark.codec.lz4_snappy import (
+        lz4_frame_compress,
+        lz4_frame_decompress,
+    )
+    data = (b"block content " * 10_000)[:150_000]  # > 2 blocks at 64 KB
+    assert lz4_frame_decompress(lz4_frame_compress(data)) == data
+
+
+def test_lz4_frame_detects_corruption():
+    from ticdc_spark.codec.lz4_snappy import (
+        lz4_frame_compress,
+        lz4_frame_decompress,
+    )
+    blob = bytearray(lz4_frame_compress(b"payload under checksum" * 20))
+    blob[-1] ^= 0xFF  # flip content checksum
+    with pytest.raises(ValueError):
+        lz4_frame_decompress(bytes(blob))

@@ -259,3 +259,115 @@ def snappy_decompress(src: bytes) -> bytes:
     if len(out) != expected:
         raise ValueError(f"snappy: length mismatch {len(out)} != {expected}")
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# xxHash32 + LZ4 frame format
+# ---------------------------------------------------------------------------
+# The frame format (magic 0x184D2204, descriptor, 64 KB-chunked blocks,
+# content checksum) is what interoperable lz4 tooling reads/writes —
+# the Go library behind `pkg/compression` produces frames, not bare
+# blocks.  xxHash32 is pinned by the spec's public test vectors.
+
+_XXP1, _XXP2, _XXP3 = 2654435761, 2246822519, 3266489917
+_XXP4, _XXP5 = 668265263, 374761393
+_M32 = 0xFFFFFFFF
+
+LZ4_FRAME_MAGIC = 0x184D2204
+_FRAME_BLOCK_MAX = 64 * 1024  # BD code 4
+
+
+def xxh32(data: bytes, seed: int = 0) -> int:
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (32 - r))) & _M32
+
+    n = len(data)
+    i = 0
+    if n >= 16:
+        v1 = (seed + _XXP1 + _XXP2) & _M32
+        v2 = (seed + _XXP2) & _M32
+        v3 = seed & _M32
+        v4 = (seed - _XXP1) & _M32
+        while i <= n - 16:
+            def rd(o: int) -> int:
+                return int.from_bytes(data[o:o + 4], "little")
+            v1 = (rotl((v1 + rd(i) * _XXP2) & _M32, 13) * _XXP1) & _M32
+            v2 = (rotl((v2 + rd(i + 4) * _XXP2) & _M32, 13) * _XXP1) & _M32
+            v3 = (rotl((v3 + rd(i + 8) * _XXP2) & _M32, 13) * _XXP1) & _M32
+            v4 = (rotl((v4 + rd(i + 12) * _XXP2) & _M32, 13) * _XXP1) & _M32
+            i += 16
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & _M32
+    else:
+        h = (seed + _XXP5) & _M32
+    h = (h + n) & _M32
+    while i + 4 <= n:
+        h = (rotl((h + int.from_bytes(data[i:i + 4], "little") * _XXP3)
+                  & _M32, 17) * _XXP4) & _M32
+        i += 4
+    while i < n:
+        h = (rotl((h + data[i] * _XXP5) & _M32, 11) * _XXP1) & _M32
+        i += 1
+    h ^= h >> 15
+    h = (h * _XXP2) & _M32
+    h ^= h >> 13
+    h = (h * _XXP3) & _M32
+    h ^= h >> 16
+    return h
+
+
+def lz4_frame_compress(src: bytes) -> bytes:
+    """LZ4 frame: FLG = v01 | block-independent | content-checksum,
+    BD = 64 KB max block, no content size."""
+    out = bytearray(LZ4_FRAME_MAGIC.to_bytes(4, "little"))
+    flg = (1 << 6) | (1 << 5) | (1 << 2)
+    bd = 4 << 4
+    desc = bytes([flg, bd])
+    out.extend(desc)
+    out.append((xxh32(desc) >> 8) & 0xFF)
+    for off in range(0, len(src), _FRAME_BLOCK_MAX) or [0]:
+        chunk = src[off:off + _FRAME_BLOCK_MAX]
+        comp = lz4_block_compress(chunk)
+        if len(comp) < len(chunk):
+            out.extend(len(comp).to_bytes(4, "little"))
+            out.extend(comp)
+        else:  # store uncompressed: high bit of block size set
+            out.extend((len(chunk) | 0x80000000).to_bytes(4, "little"))
+            out.extend(chunk)
+    out.extend((0).to_bytes(4, "little"))  # EndMark
+    out.extend(xxh32(src).to_bytes(4, "little"))
+    return bytes(out)
+
+
+def lz4_frame_decompress(src: bytes) -> bytes:
+    if int.from_bytes(src[0:4], "little") != LZ4_FRAME_MAGIC:
+        raise ValueError("lz4 frame: bad magic")
+    flg = src[4]
+    if (flg >> 6) != 1:
+        raise ValueError("lz4 frame: unsupported version")
+    has_content_size = bool(flg & (1 << 3))
+    has_content_checksum = bool(flg & (1 << 2))
+    has_block_checksum = bool(flg & (1 << 4))
+    i = 6 + (8 if has_content_size else 0)
+    hc = src[i]
+    if hc != (xxh32(src[4:i]) >> 8) & 0xFF:
+        raise ValueError("lz4 frame: descriptor checksum mismatch")
+    i += 1
+    out = bytearray()
+    while True:
+        size = int.from_bytes(src[i:i + 4], "little")
+        i += 4
+        if size == 0:
+            break
+        raw = bool(size & 0x80000000)
+        size &= 0x7FFFFFFF
+        block = src[i:i + size]
+        i += size
+        if has_block_checksum:
+            if int.from_bytes(src[i:i + 4], "little") != xxh32(block):
+                raise ValueError("lz4 frame: block checksum mismatch")
+            i += 4
+        out.extend(block if raw else lz4_block_decompress(block))
+    if has_content_checksum:
+        if int.from_bytes(src[i:i + 4], "little") != xxh32(bytes(out)):
+            raise ValueError("lz4 frame: content checksum mismatch")
+    return bytes(out)

@@ -107,6 +107,8 @@ _COMPRESS_CODECS = {
     "lzma": ("lzma", "compress", "decompress"),
     "lz4": ("ticdc_spark.codec.lz4_snappy",
             "lz4_block_compress", "lz4_block_decompress"),
+    "lz4-frame": ("ticdc_spark.codec.lz4_snappy",
+                  "lz4_frame_compress", "lz4_frame_decompress"),
     "snappy": ("ticdc_spark.codec.lz4_snappy",
                "snappy_compress", "snappy_decompress"),
 }
