@@ -144,3 +144,60 @@ def test_streaming_session_window_matches_batch(spark, sf_dir):
             "FROM sess_stream GROUP BY 1").collect()
     }
     assert got == expected
+
+
+def test_streaming_scan_window_matches_batch_fold(spark, sf_dir, tmp_path):
+    """The live controller (state store, incremental window) converges
+    to exactly the batch fold's final state — across multiple
+    micro-batches, so state genuinely persists through the store."""
+    import time as _time
+
+    from ticdc_spark.operators import scan_window as sw
+    from ticdc_spark.streaming.stateful import streaming_scan_window
+
+    cl = events_changelog(spark, sf_dir)
+    stats = sw.congestion_tape(cl)
+    reports = stats.select("table_name", "ts", "lastr", "rel")
+
+    src = tmp_path / "sw_src"
+    src.mkdir()
+    # two file batches split on ts so the state store carries the
+    # controller across triggers (maxFilesPerTrigger=1, modTime order)
+    reports.filter("ts < 100").coalesce(1).write.parquet(
+        str(src / "a.parquet"))
+    _time.sleep(1.1)
+    reports.filter("ts >= 100").coalesce(1).write.parquet(
+        str(src / "b.parquet"))
+
+    static = spark.read.parquet(str(src / "a.parquet"))
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*.parquet")
+    )
+    out = streaming_scan_window(stream)
+    q = (
+        out.writeStream.format("memory").queryName("sw_out")
+        .option("checkpointLocation", str(tmp_path / "sw_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    from pyspark.sql import functions as F
+
+    emitted = spark.sql("SELECT * FROM sw_out")
+    assert emitted.select("upto_ts").distinct().count() >= 2  # >1 batch
+    last = (
+        emitted.withColumn(
+            "rn", F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("table_name")
+                .orderBy(F.desc("upto_ts"))))
+        .filter("rn = 1").drop("rn", "upto_ts")
+    )
+    want = {r["table_name"]: r.asDict()
+            for r in sw.fold_controller_pandas(stats).collect()}
+    got = {r["table_name"]: r.asDict() for r in last.collect()}
+    assert got == want
