@@ -82,3 +82,26 @@ def test_cms_never_underestimates(spark):
     # and the grid never exceeds d*w cells
     from ticdc_spark.functions.sketch import CMS_D, CMS_W
     assert counters.count() <= CMS_D * CMS_W
+
+
+def test_position_inertia_matches_go_model(spark):
+    """Independent model of pkg/hash/position_inertia.go using
+    binascii.crc32 — pins the Spark column algebra to the Go bytes."""
+    import binascii
+
+    from ticdc_spark.functions.crc32_sql import position_inertia
+
+    rows = [("test", "tp_click", 42), ("test", "tp_view", None),
+            ("prod", "orders", 7)]
+    df = spark.createDataFrame(rows, "s string, t string, v long")
+    val = F.col("v").cast("string")
+    h_tbl = position_inertia(F.concat("s", "t"))
+    h_col = position_inertia(F.concat(F.lit("id"), val))
+    h = F.when(val.isNull(), h_tbl).otherwise(h_tbl.bitwiseXOR(h_col))
+    got = {(r["s"], r["t"]): r["h"]
+           for r in df.select("s", "t", h.alias("h")).collect()}
+    for s, t, v in rows:
+        want = binascii.crc32((s + t).encode())
+        if v is not None:
+            want ^= binascii.crc32(f"id{v}".encode())
+        assert got[(s, t)] == want, (s, t)

@@ -251,3 +251,88 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(est, "user_id")
         .select("user_id", "n_exact", "cms_est")
     )
+
+
+# ---------------------------------------------------------------------------
+# PositionInertia partitioners — the reference's actual MQ partition
+# hash (`pkg/hash/position_inertia.go`, used by partition/table.go:48
+# and partition/index_value.go: crc32-IEEE per Write, XOR-folded).
+# Byte-faithful: for the same schema/table/handle-key values these
+# produce the reference's exact partition numbers, so a consumer
+# migrating from the reference sees identical Kafka partition layout.
+# ---------------------------------------------------------------------------
+from ticdc_spark.functions.crc32_sql import (  # noqa: E402
+    crc32_fold_cte,
+    crc32_table_cte,
+    position_inertia,
+)
+
+_N_PARTS = 16
+
+_INERTIA_TABLE_ORACLE = f"""
+WITH RECURSIVE {CHANGELOG_SQL},
+{crc32_table_cte()},
+{crc32_fold_cte(
+    "__crc_in(s) AS (SELECT DISTINCT schema_name || table_name FROM changelog)")}
+SELECT c.schema_name, c.table_name,
+       r.crc AS sum32,
+       r.crc % {_N_PARTS} AS partition
+FROM (SELECT DISTINCT schema_name, table_name FROM changelog) c
+JOIN __crc_out r ON r.s = c.schema_name || c.table_name
+"""
+
+
+@register("partition_inertia_table", _INERTIA_TABLE_ORACLE)
+def q_partition_inertia_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """table.go:48 — one Write(schema, table); partition = sum32 % n."""
+    cl = events_changelog(spark, sf_dir).select(
+        "schema_name", "table_name").distinct()
+    h = position_inertia(F.concat("schema_name", "table_name"))
+    return cl.select(
+        "schema_name", "table_name",
+        h.alias("sum32"), (h % _N_PARTS).alias("partition"),
+    )
+
+
+_INERTIA_IV_ORACLE = f"""
+WITH RECURSIVE {CHANGELOG_SQL},
+{crc32_table_cte()},
+{crc32_fold_cte(
+    "__crc_in(s) AS ("
+    "SELECT DISTINCT schema_name || table_name FROM changelog "
+    "UNION "
+    "SELECT DISTINCT 'id' || CAST(COALESCE(after_id, before_id) AS VARCHAR) "
+    "FROM changelog WHERE COALESCE(after_id, before_id) IS NOT NULL)")},
+base AS (
+  SELECT table_name, pk, seq,
+         schema_name || table_name AS s_tbl,
+         CASE WHEN COALESCE(after_id, before_id) IS NOT NULL
+              THEN 'id' || CAST(COALESCE(after_id, before_id) AS VARCHAR)
+         END AS s_col
+  FROM changelog)
+SELECT b.table_name, b.pk, b.seq,
+       CASE WHEN b.s_col IS NULL THEN t.crc
+            ELSE xor(t.crc, c.crc) END AS sum32,
+       CASE WHEN b.s_col IS NULL THEN t.crc
+            ELSE xor(t.crc, c.crc) END % {_N_PARTS} AS partition
+FROM base b
+JOIN __crc_out t ON t.s = b.s_tbl
+LEFT JOIN __crc_out c ON c.s = b.s_col
+"""
+
+
+@register("partition_inertia_index_value", _INERTIA_IV_ORACLE)
+def q_partition_inertia_index_value(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """index_value.go:31-60 — Write(schema, table) then one
+    Write(colName, colValue) per handle-key column (here: ``id``);
+    null values are skipped."""
+    cl = events_changelog(spark, sf_dir)
+    val = F.coalesce(F.col("after.id"), F.col("before.id")).cast("string")
+    h_tbl = position_inertia(F.concat("schema_name", "table_name"))
+    h_col = position_inertia(F.concat(F.lit("id"), val))
+    h = F.when(val.isNull(), h_tbl).otherwise(h_tbl.bitwiseXOR(h_col))
+    return cl.select(
+        "table_name", "pk", "seq",
+        h.alias("sum32"), (h % _N_PARTS).alias("partition"),
+    )
