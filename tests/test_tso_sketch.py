@@ -105,3 +105,21 @@ def test_position_inertia_matches_go_model(spark):
         if v is not None:
             want ^= binascii.crc32(f"id{v}".encode())
         assert got[(s, t)] == want, (s, t)
+
+
+def test_route_with_inertia_hasher(spark, sf_dir):
+    """Dispatcher config {"hasher": "inertia"} routes with the
+    reference partition numbers (same values as the oracle query)."""
+    from ticdc_spark.operators.routing import route
+    from ticdc_spark.queries import QUERIES
+    from ticdc_spark.sources.changelog import events_changelog
+
+    cl = events_changelog(spark, sf_dir)
+    routed = route(cl, [{"matcher": ["*.*"], "partition": "index-value",
+                         "hasher": "inertia"}], n_partitions=16)
+    got = routed.select("table_name", "pk", "seq", "partition")
+    want = QUERIES["partition_inertia_index_value"](spark, sf_dir) \
+        .select("table_name", "pk", "seq",
+                F.col("partition").cast("int").alias("partition"))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

@@ -85,7 +85,16 @@ def topic_expr(template: str, default_schema_col: str = "schema_name") -> Column
     return F.concat(*parts)
 
 
-def _partition_expr(rule: str, n: int, columns: list[str] | None = None) -> Column:
+def _partition_expr(rule: str, n: int, columns: list[str] | None = None,
+                    hasher: str = "md5") -> Column:
+    """``hasher="inertia"`` selects the reference's byte-exact
+    PositionInertia hash (crc32-IEEE XOR-fold per Write,
+    `pkg/hash/position_inertia.go`, fed per `partition/*.go`) —
+    partition numbers then match the reference for identical rows.
+    ``md5`` is the engine default (same JVM-codegen class, DuckDB-
+    portable without the recursive-CTE crc oracle)."""
+    if hasher == "inertia":
+        return _inertia_partition_expr(rule, n, columns)
     key: Column
     if rule in ("default", "table"):
         key = hash32_md5(F.concat_ws(".", F.col("schema_name"), F.col("table_name")))
@@ -104,6 +113,36 @@ def _partition_expr(rule: str, n: int, columns: list[str] | None = None) -> Colu
     else:
         raise ValueError(f"unknown partition rule: {rule}")
     return (key % n).cast("int")
+
+
+def _inertia_partition_expr(rule: str, n: int,
+                            columns: list[str] | None = None) -> Column:
+    from ticdc_spark.functions.crc32_sql import position_inertia
+
+    tbl_write = F.concat("schema_name", "table_name")
+    if rule in ("default", "table"):
+        h = position_inertia(tbl_write)  # partition/table.go:48
+    elif rule == "ts":
+        return (F.col("commit_ts") % n).cast("int")
+    elif rule in ("index-value", "columns", "rowid", "key"):
+        # index_value.go / columns.go: Write(schema, table) then one
+        # Write(colName, value) per column, nulls skipped
+        if rule == "index-value":
+            pairs = [("id", F.coalesce(F.col("after.id"),
+                                       F.col("before.id")).cast("string"))]
+        elif rule == "columns":
+            pairs = [(c, F.coalesce(F.col(f"after.{c}"),
+                                    F.col(f"before.{c}")).cast("string"))
+                     for c in (columns or [])]
+        else:
+            pairs = [("pk", F.col("pk").cast("string"))]
+        h = position_inertia(tbl_write)
+        for name, val in pairs:
+            h_col = position_inertia(F.concat(F.lit(name), val))
+            h = F.when(val.isNull(), h).otherwise(h.bitwiseXOR(h_col))
+    else:
+        raise ValueError(f"unknown partition rule: {rule}")
+    return (h % n).cast("int")
 
 
 PARTITIONERS = ("default", "table", "ts", "index-value", "columns", "rowid", "key")
@@ -157,7 +196,9 @@ def route(cl: DataFrame, dispatchers: list[dict], n_partitions: int = 16) -> Dat
             topic = F.when(cond, topic_expr(d["topic"])).otherwise(topic)
         if d.get("partition"):
             part = F.when(
-                cond, _partition_expr(d["partition"], n_partitions, d.get("columns"))
+                cond, _partition_expr(d["partition"], n_partitions,
+                                      d.get("columns"),
+                                      d.get("hasher", "md5"))
             ).otherwise(part)
     return cl.withColumn("topic", topic).withColumn("partition", part)
 
