@@ -62,23 +62,78 @@ def storage_paths(
     return cl.withColumn("path", path).withColumn("file_name", file_name)
 
 
-def schema_sidecar(schema_name: str, table_name: str, payload_fields: list[tuple[str, str]],
-                   table_version: int = 1) -> dict:
-    """``schema_{version}_{checksum}.json`` content (generator.go:51-102)."""
-    import hashlib
+def _table_col(c: dict) -> dict:
+    """TableCol in Go struct-field order with omitempty semantics
+    (`pkg/cloudstorage/schema_file.go:40-50`)."""
+    out: dict = {}
+    if c.get("id"):
+        out["ColumnId"] = str(c["id"])
+    out["ColumnName"] = c["name"]
+    out["ColumnType"] = str(c["type"]).upper()
+    if c.get("default") is not None:
+        out["ColumnDefault"] = c["default"]
+    if c.get("precision"):
+        out["ColumnPrecision"] = str(c["precision"])
+    if c.get("scale"):
+        out["ColumnScale"] = str(c["scale"])
+    if c.get("nullable"):
+        out["ColumnNullable"] = "true"
+    if c.get("is_pk"):
+        out["ColumnIsPk"] = "true"
+    return out
+
+
+def _go_json(obj) -> bytes:
+    """Go ``json.MarshalIndent(v, "", "    ")`` byte layout (Python's
+    ``indent=4`` with ``(",", ": ")`` separators is identical for
+    content free of Go's HTML-escaped chars ``& < >``)."""
     import json
 
-    cols = [{"name": n, "type": t} for n, t in payload_fields]
+    return json.dumps(obj, indent=4, separators=(",", ": ")).encode()
+
+
+def schema_sidecar(schema_name: str, table_name: str,
+                   payload_fields: list, table_version: int = 1,
+                   query: str = "", ddl_type: int = 0) -> dict:
+    """``schema_{version}_{checksum}.json`` — byte-faithful to the
+    reference: body is the SchemaFile JSON (schema_file.go:170-182,
+    MarshalIndent with 4-space indent), the filename checksum is
+    PositionInertia (= crc32-IEEE of one write) over the
+    ``checksumPayload`` marshal — Table, Schema, Version=0, columns
+    sorted by ColumnName, TotalColumns (schema_file.go:263-294) —
+    rendered ``%010d`` (generator.go:49).
+
+    ``payload_fields``: dicts (name/type[/id/default/precision/scale/
+    nullable/is_pk]) or legacy (name, type) tuples.
+    """
+    import binascii
+
+    cols = [
+        _table_col(c if isinstance(c, dict) else {"name": c[0], "type": c[1]})
+        for c in payload_fields
+    ]
     body = {
-        "schema": schema_name,
-        "table": table_name,
-        "version": table_version,
-        "columns": cols,
+        "Table": table_name,
+        "Schema": schema_name,
+        "Version": 0,
+        "TableVersion": table_version,
+        "Query": query,
+        "Type": ddl_type,
+        "TableColumns": cols,
+        "TableColumnsTotal": len(cols),
     }
-    checksum = hashlib.md5(
-        json.dumps(body, sort_keys=True).encode()
-    ).hexdigest()[:8]
-    return {"file": f"schema_{table_version}_{checksum}.json", "body": body}
+    checksum_payload = {
+        "Table": table_name,
+        "Schema": schema_name,
+        "Version": 0,
+        "TableColumns": sorted(cols, key=lambda c: c["ColumnName"]),
+        "TableColumnsTotal": len(cols),
+    }
+    checksum = binascii.crc32(_go_json(checksum_payload))
+    return {
+        "file": f"schema_{table_version}_{checksum:010d}.json",
+        "body": body,
+    }
 
 
 def expired_files(
