@@ -101,7 +101,8 @@ def main() -> None:
         # round-2 additions: TSO algebra, lag percentiles, HLL sketch,
         # adaptive scan-window controller (Arrow-batched fold)
         "tso_functions", "checkpoint_lag_percentiles", "hll_user_estimate",
-        "adaptive_scan_window",
+        "adaptive_scan_window", "cms_heavy_hitters",
+        "partition_inertia_index_value", "dedup_ngram_jaccard_pruned",
     ]
     def time_query(name: str) -> float:
         df = QUERIES[name](spark, sf_dir)

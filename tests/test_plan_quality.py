@@ -193,6 +193,9 @@ def test_metrics_operator_shuffle_budgets(spark, sf_dir):
         ("hll_registers", 1),
         ("hll_user_estimate", 5),
         ("adaptive_scan_window", 4),
+        ("cms_counters", 1),
+        ("partition_inertia_index_value", 0),
+        ("partition_inertia_table", 1),
     ]
     for name, budget in budgets:
         p = _plan(QUERIES[name](spark, sf_dir))

@@ -522,3 +522,47 @@ def substring_dup_stats(docs: DataFrame, w: int = SUBSTR_W) -> DataFrame:
         F.col("n_dup_grams").cast("long").alias("n_dup_grams"),
         F.round(F.col("n_dup_grams") / F.col("n_grams"), 6).alias("dup_frac"),
     )
+
+
+def ngram_jaccard_pairs_pruned(docs: DataFrame, threshold: float = 0.8,
+                               max_df_frac: float = 0.02) -> DataFrame:
+    """Skew-resistant variant of :func:`ngram_jaccard_pairs`: shingles
+    appearing in more than ``max_df_frac`` of documents are dropped
+    from the inverted index AND the per-doc sizes (Jaccard over the
+    pruned shingle space).  This is the 100 TB shape: the hot keys
+    that would dominate the self-join's shuffle (a stop-shingle can
+    touch every document → O(n²) candidate pairs on one key) are
+    removed by a broadcast anti-join against a tiny hot-set, so the
+    remaining join is skew-free by construction.  The df threshold is
+    a 1-row broadcast aggregate — no driver-side count."""
+    sh = _doc_shingles(docs)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s")).cache()
+    tot = F.broadcast(ex.agg(F.count_distinct("doc_id").alias("n_docs")))
+    hot = (
+        ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(tot)
+        .filter(F.col("df") > F.col("n_docs") * max_df_frac)
+        .select("s")
+    )
+    kept = ex.join(F.broadcast(hot), "s", "left_anti")
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = kept.alias("a"), kept.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"),
+                 F.col("b.doc_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "a_id").join(sb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "n_inter", "jaccard")
+    )

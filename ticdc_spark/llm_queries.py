@@ -1191,3 +1191,35 @@ FROM c
 @register("sequence_packing", _PACK_ORACLE)
 def q_sequence_packing(spark, sf_dir):
     return sequence_packing(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# hot-shingle-pruned Jaccard: the skew-free 100 TB shape, oracle-locked
+# ---------------------------------------------------------------------------
+_JACCARD_PRUNED_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+tot AS (SELECT count(DISTINCT doc_id) AS n_docs FROM e),
+hot AS (
+    SELECT s FROM e, tot GROUP BY s, n_docs
+    HAVING count(*) > n_docs * 0.02),
+kept AS (SELECT doc_id, s FROM e WHERE s NOT IN (SELECT s FROM hot)),
+inter AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+    FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2),
+sz AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id)
+SELECT a_id, b_id, n_inter,
+       round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sz sa ON a_id = sa.doc_id
+JOIN sz sb ON b_id = sb.doc_id
+WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8
+"""
+
+
+@register("dedup_ngram_jaccard_pruned", _JACCARD_PRUNED_ORACLE)
+def q_dedup_ngram_jaccard_pruned(spark, sf_dir):
+    from ticdc_spark.llm.dedup import ngram_jaccard_pairs_pruned
+
+    return ngram_jaccard_pairs_pruned(_docs(spark, sf_dir))
