@@ -322,3 +322,14 @@ def test_ddl_job_fetcher_rejects_and_decodes(spark):
     assert rows[1]["start_ts"] == 99 and rows[1]["finished_ts"] == 100
     assert rows[7]["start_ts"] == 109 and rows[7]["finished_ts"] == 110
     assert rows[7]["schema_version"] == 9
+
+
+def test_eventstore_key_invariants(spark, sf_dir):
+    """format.go contract: hex-key order == (commitTs, startTs,
+    DMLOrder, key) order, and every decode round-trips."""
+    from pyspark.sql import functions as F
+
+    from ticdc_spark.queries import QUERIES
+
+    df = QUERIES["eventstore_key_codec"](spark, sf_dir)
+    assert df.filter(~F.col("roundtrip_ok") | ~F.col("order_ok")).count() == 0

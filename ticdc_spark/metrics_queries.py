@@ -336,3 +336,82 @@ def q_partition_inertia_index_value(
         "table_name", "pk", "seq",
         h.alias("sum32"), (h % _N_PARTS).alias("partition"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S3 — EventStore key codec (`logservice/eventstore/format.go:17-56`):
+# uniqueID(8) | tableID(8) | commitTs(8) | startTs(8) | DMLOrder(1) |
+# CompressionType(1) | mask(8) | key...  Big-endian, so byte order ==
+# iteration order.  Hex strings keep the codec engine-portable; the
+# query also PROVES the format's ordering contract: lexicographic key
+# order within a span equals (commitTs, startTs, dmlOrder, key) order
+# (delete < update < insert inside a txn).
+# ---------------------------------------------------------------------------
+def _hx(col: F.Column, width: int) -> F.Column:
+    return F.lower(F.lpad(F.hex(col), width, "0"))
+
+
+_KEY_ORACLE = f"""
+WITH {CHANGELOG_SQL},
+enc AS (
+  SELECT table_name, pk, seq, commit_ts, start_ts, dml_order,
+         printf('%016x', 1) || printf('%016x', table_id)
+         || printf('%016x', commit_ts) || printf('%016x', start_ts)
+         || printf('%02x', dml_order) || '00'
+         || printf('%016x', 0) || printf('%016x', pk) AS key_hex
+  FROM changelog),
+dec AS (
+  SELECT *,
+         ('0x' || substr(key_hex, 17, 16))::BIGINT AS dec_table_id,
+         ('0x' || substr(key_hex, 33, 16))::BIGINT AS dec_commit_ts,
+         ('0x' || substr(key_hex, 49, 16))::BIGINT AS dec_start_ts,
+         ('0x' || substr(key_hex, 65, 2))::BIGINT AS dec_dml_order,
+         ('0x' || substr(key_hex, 85, 16))::BIGINT AS dec_pk
+  FROM enc)
+SELECT table_name, pk, seq, key_hex,
+       dec_commit_ts, dec_start_ts, dec_dml_order, dec_pk,
+       (dec_commit_ts = commit_ts AND dec_start_ts = start_ts
+        AND dec_dml_order = dml_order AND dec_pk = pk) AS roundtrip_ok,
+       row_number() OVER (PARTITION BY table_name ORDER BY key_hex)
+       = row_number() OVER (PARTITION BY table_name
+                            ORDER BY commit_ts, start_ts, dml_order, pk, seq)
+       AS order_ok
+FROM dec
+"""
+
+
+@register("eventstore_key_codec", _KEY_ORACLE)
+def q_eventstore_key_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = events_changelog(spark, sf_dir)
+    key_hex = F.concat(
+        _hx(F.lit(1), 16), _hx(F.col("table_id"), 16),
+        _hx(F.col("commit_ts"), 16), _hx(F.col("start_ts"), 16),
+        _hx(F.col("dml_order"), 2), F.lit("00"),
+        _hx(F.lit(0), 16), _hx(F.col("pk"), 16),
+    )
+    enc = cl.select("table_name", "pk", "seq", "commit_ts", "start_ts",
+                    "dml_order", key_hex.alias("key_hex"))
+
+    def dec(pos: int, width: int) -> F.Column:
+        return F.conv(F.substring("key_hex", pos, width), 16, 10).cast("long")
+
+    d = enc.select(
+        "*",
+        dec(33, 16).alias("dec_commit_ts"),
+        dec(49, 16).alias("dec_start_ts"),
+        dec(65, 2).alias("dec_dml_order"),
+        dec(85, 16).alias("dec_pk"),
+    )
+    w = Window.partitionBy("table_name")
+    return d.select(
+        "table_name", "pk", "seq", "key_hex",
+        "dec_commit_ts", "dec_start_ts", "dec_dml_order", "dec_pk",
+        ((F.col("dec_commit_ts") == F.col("commit_ts"))
+         & (F.col("dec_start_ts") == F.col("start_ts"))
+         & (F.col("dec_dml_order") == F.col("dml_order"))
+         & (F.col("dec_pk") == F.col("pk"))).alias("roundtrip_ok"),
+        (F.row_number().over(w.orderBy("key_hex"))
+         == F.row_number().over(
+             w.orderBy("commit_ts", "start_ts", "dml_order", "pk", "seq"))
+         ).alias("order_ok"),
+    )
