@@ -196,6 +196,7 @@ def test_metrics_operator_shuffle_budgets(spark, sf_dir):
         ("cms_counters", 1),
         ("partition_inertia_index_value", 0),
         ("partition_inertia_table", 1),
+        ("eventstore_key_codec", 1),   # both windows share the span key
     ]
     for name, budget in budgets:
         p = _plan(QUERIES[name](spark, sf_dir))
