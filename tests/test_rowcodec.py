@@ -333,3 +333,19 @@ def test_eventstore_key_invariants(spark, sf_dir):
 
     df = QUERIES["eventstore_key_codec"](spark, sf_dir)
     assert df.filter(~F.col("roundtrip_ok") | ~F.col("order_ok")).count() == 0
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.dictionaries(
+        st.integers(min_value=1, max_value=300),
+        st.one_of(st.none(), st.binary(max_size=64)),
+        min_size=1, max_size=12))
+    @settings(max_examples=150, deadline=None)
+    def test_row_v2_roundtrip_fuzz(values):
+        from ticdc_spark.codec.rowcodec import decode_row_v2, encode_row_v2
+        assert decode_row_v2(encode_row_v2(values)) == values
+except ImportError:  # pragma: no cover
+    pass

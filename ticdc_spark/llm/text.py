@@ -460,3 +460,39 @@ def sequence_packing(docs: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
         "first_bin", "last_bin",
         (F.col("last_bin") - F.col("first_bin") + 1).alias("n_bins"),
     )
+
+
+def bpe_pair_stats(docs: DataFrame, top_k: int = 50) -> DataFrame:
+    """First BPE merge-step statistics (Sennrich et al. 2016): corpus
+    word frequencies, then adjacent symbol-pair counts weighted by word
+    frequency, with the end-of-word marker ``</w>`` as the final
+    symbol.  Top-k pairs by count (pair asc tiebreak — deterministic
+    boundary).
+
+    Scale shape: the word-count table is vocabulary-sized, the pair
+    table is smaller still; the only corpus-sized stage is the token
+    explode + groupBy.  The top-k is ``orderBy().limit()`` — Spark
+    plans TakeOrdered (per-partition heaps + driver merge of k rows),
+    not a global sort.
+    """
+    wc = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("len", F.length("w"))
+    )
+    pos = wc.select(
+        "w", "n", "len",
+        F.explode(F.sequence(F.lit(1), F.col("len"))).alias("i"),
+    )
+    pairs = pos.select(
+        F.when(F.col("i") < F.col("len"), F.expr("substring(w, i, 2)"))
+        .otherwise(F.concat(F.expr("substring(w, len, 1)"), F.lit("</w>")))
+        .alias("pair"),
+        "n",
+    )
+    return (
+        pairs.groupBy("pair").agg(F.sum("n").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(top_k)
+    )

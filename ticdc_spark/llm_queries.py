@@ -1223,3 +1223,33 @@ def q_dedup_ngram_jaccard_pruned(spark, sf_dir):
     from ticdc_spark.llm.dedup import ngram_jaccard_pairs_pruned
 
     return ngram_jaccard_pairs_pruned(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-step pair statistics (tokenizer training primitive)
+# ---------------------------------------------------------------------------
+_BPE_ORACLE = """
+WITH wc AS (
+  SELECT w, count(*) AS n, length(w) AS len
+  FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents)
+  WHERE length(w) > 0
+  GROUP BY w),
+pos AS (
+  SELECT w, n, len, i
+  FROM wc JOIN generate_series(1, 512) s(i)  -- static bound > any token
+    ON s.i <= wc.len),
+pairs AS (
+  SELECT CASE WHEN i < len THEN substr(w, i, 2)
+              ELSE substr(w, len, 1) || '</w>' END AS pair, n
+  FROM pos)
+SELECT pair, CAST(sum(n) AS BIGINT) AS n FROM pairs GROUP BY pair
+ORDER BY n DESC, pair LIMIT 50
+"""
+
+
+@register("bpe_pair_stats", _BPE_ORACLE)
+def q_bpe_pair_stats(spark, sf_dir):
+    from ticdc_spark.llm.text import bpe_pair_stats
+
+    return bpe_pair_stats(_docs(spark, sf_dir))
