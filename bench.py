@@ -60,10 +60,11 @@ def main() -> None:
     t0 = time.perf_counter()
     full_pipeline()
     timings["pipeline_canal_json"] = round(time.perf_counter() - t0, 3)
-    # Two more passes: run 1 pays whole-stage-codegen compile + JIT, and
-    # this host shows 2-4x run-to-run noise from co-tenants; keep the min
-    # (steady-state) of three runs for the headline number.
-    for _ in range(2):
+    # More passes: run 1 pays whole-stage-codegen compile + JIT, and
+    # this host shows 2-4x run-to-run noise from co-tenants (load avg
+    # 4-7 observed); keep the min (steady-state) of five runs for the
+    # headline number.
+    for _ in range(4):
         t0 = time.perf_counter()
         full_pipeline()
         timings["pipeline_canal_json"] = min(
@@ -103,6 +104,7 @@ def main() -> None:
         "tso_functions", "checkpoint_lag_percentiles", "hll_user_estimate",
         "adaptive_scan_window", "cms_heavy_hitters",
         "partition_inertia_index_value", "dedup_ngram_jaccard_pruned",
+        "eventstore_key_codec", "bpe_pair_stats",
     ]
     def time_query(name: str) -> float:
         df = QUERIES[name](spark, sf_dir)
