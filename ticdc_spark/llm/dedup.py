@@ -566,3 +566,51 @@ def ngram_jaccard_pairs_pruned(docs: DataFrame, threshold: float = 0.8,
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "n_inter", "jaccard")
     )
+
+
+def source_overlap_matrix(docs: DataFrame, w: int = SUBSTR_W) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, the
+    number of distinct ``w``-word grams they share and the overlap
+    fraction vs the smaller side — the dataset-vs-dataset analog of
+    benchmark decontamination (is corpus B partially a copy of A?).
+
+    100 TB shape: per-source gram sets are distinct-deduped before the
+    gram-keyed equi-join (so a gram repeated 1M times inside one source
+    contributes ONE row), and the output is |sources|² — control-plane
+    sized."""
+    toks = docs.select("source", tokens_col(F.col("text")).alias("t"))
+    grams = (
+        toks.withColumn("n_toks", F.size("t"))
+        .filter(F.col("n_toks") >= w)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_toks") - w),
+                    lambda i: F.concat_ws(" ", F.slice("t", i + 1, w)),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    totals = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a, b = grams.alias("a"), grams.alias("b")
+    shared = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram"))
+               & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"),
+                 F.col("b.source").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ta = totals.select(F.col("source").alias("src_a"),
+                       F.col("n_grams").alias("n_a"))
+    tb = totals.select(F.col("source").alias("src_b"),
+                       F.col("n_grams").alias("n_b"))
+    return (
+        shared.join(F.broadcast(ta), "src_a").join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a", "src_b", "n_shared", "n_a", "n_b",
+            F.round(F.col("n_shared") / F.least("n_a", "n_b"), 6)
+            .alias("overlap"),
+        )
+    )

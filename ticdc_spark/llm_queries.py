@@ -1253,3 +1253,35 @@ def q_bpe_pair_stats(spark, sf_dir):
     from ticdc_spark.llm.text import bpe_pair_stats
 
     return bpe_pair_stats(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Cross-source contamination matrix (shared distinct 8-word grams)
+# ---------------------------------------------------------------------------
+_OVERLAP_ORACLE = f"""
+WITH tk AS (SELECT source, {_TOKS} AS t FROM documents),
+g AS (
+    SELECT DISTINCT source,
+           array_to_string(t[i:i+{SUBSTR_W - 1}], ' ') AS gram
+    FROM (SELECT source, t,
+                 unnest(generate_series(1, len(t) - {SUBSTR_W} + 1)) AS i
+          FROM tk WHERE len(t) >= {SUBSTR_W})),
+tot AS (SELECT source, count(*) AS n_grams FROM g GROUP BY 1),
+shared AS (
+    SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+    FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+    GROUP BY 1, 2)
+SELECT src_a, src_b, n_shared,
+       ta.n_grams AS n_a, tb.n_grams AS n_b,
+       round(n_shared / least(ta.n_grams, tb.n_grams), 6) AS overlap
+FROM shared
+JOIN tot ta ON ta.source = src_a
+JOIN tot tb ON tb.source = src_b
+"""
+
+
+@register("source_overlap_matrix", _OVERLAP_ORACLE)
+def q_source_overlap_matrix(spark, sf_dir):
+    from ticdc_spark.llm.dedup import source_overlap_matrix
+
+    return source_overlap_matrix(_docs(spark, sf_dir))
