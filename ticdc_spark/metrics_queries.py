@@ -415,3 +415,55 @@ def q_eventstore_key_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
              w.orderBy("commit_ts", "start_ts", "dml_order", "pk", "seq"))
          ).alias("order_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Prometheus-style lag histogram: the reference exports every lag gauge
+# through log-bucketed histograms (metrics/ pkg); buckets are
+# powers-of-two of lag ms, counts merge associatively across
+# partitions/scrapes, and quantiles interpolate linearly inside the
+# containing bucket — histogram_quantile() semantics.
+# ---------------------------------------------------------------------------
+_HIST_ORACLE = f"""
+WITH {CHANGELOG_SQL},
+base AS (SELECT table_name, {_TSO_SQL} AS tso FROM changelog),
+mx AS (SELECT max(tso) AS now_tso FROM base),
+lagged AS (SELECT table_name, (now_tso >> 18) - (tso >> 18) AS lag_ms
+           FROM base, mx),
+bucketed AS (
+  SELECT table_name,
+         CASE WHEN lag_ms <= 0 THEN 0
+              ELSE CAST(ceil(log2(lag_ms + 1)) AS BIGINT) END AS bucket,
+         lag_ms
+  FROM lagged),
+hist AS (
+  SELECT table_name, bucket, count(*) AS c
+  FROM bucketed GROUP BY table_name, bucket)
+SELECT table_name, bucket,
+       CAST(CASE WHEN bucket = 0 THEN 0
+                 ELSE (1::BIGINT << (bucket - 1)) END AS BIGINT) AS lo_ms,
+       CAST((1::BIGINT << bucket) - 1 AS BIGINT) AS hi_ms,
+       c
+FROM hist
+"""
+
+
+@register("lag_histogram", _HIST_ORACLE)
+def q_lag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _with_tso(events_changelog(spark, sf_dir)).select("table_name", "tso")
+    now = F.broadcast(base.agg(F.max("tso").alias("now_tso")))
+    lagged = base.crossJoin(now).select(
+        "table_name",
+        checkpoint_lag_ms(F.col("now_tso"), F.col("tso")).alias("lag_ms"),
+    )
+    bucket = F.when(F.col("lag_ms") <= 0, F.lit(0)).otherwise(
+        F.ceil(F.log2(F.col("lag_ms") + 1))).cast("long")
+    hist = (
+        lagged.withColumn("bucket", bucket)
+        .groupBy("table_name", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    )
+    lo = F.when(F.col("bucket") == 0, F.lit(0)).otherwise(
+        F.expr("shiftleft(1L, cast(bucket - 1 as int))")).cast("long")
+    hi = (F.expr("shiftleft(1L, cast(bucket as int))") - 1).cast("long")
+    return hist.select("table_name", "bucket", lo.alias("lo_ms"),
+                       hi.alias("hi_ms"), "c")
