@@ -614,3 +614,69 @@ def source_overlap_matrix(docs: DataFrame, w: int = SUBSTR_W) -> DataFrame:
             .alias("overlap"),
         )
     )
+
+
+def substring_excise(docs: DataFrame, w: int = SUBSTR_W) -> DataFrame:
+    """Exact-substring REMOVAL (the second half of Lee et al. 2021:
+    the paper cuts duplicated spans out of the text, it does not drop
+    documents).  A token is removed iff any corpus-duplicated ``w``-gram
+    covers it; remaining tokens reassemble in order.
+
+    Shape: gram counts = one shuffle on the gram key; coverage =
+    explode of dup-gram index ranges (bounded by w per gram) then a
+    per-doc anti-join; reassembly is a per-doc sort — documents are
+    the natural partition unit.
+    """
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("t"))
+    pos_tokens = toks.select(
+        "doc_id", F.posexplode("t").alias("idx", "tok"))
+    grams = (
+        toks.withColumn("n_toks", F.size("t"))
+        .filter(F.col("n_toks") >= w)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_toks") - w),
+                    lambda i: F.concat_ws(" ", F.slice("t", i + 1, w)),
+                )
+            ).alias("pos", "gram"),
+        )
+    )
+    dup_grams = (
+        grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") > 1).select("gram")
+    )
+    covered = (
+        grams.join(dup_grams, "gram")
+        .select("doc_id",
+                F.explode(F.sequence(F.col("pos"),
+                                     F.col("pos") + w - 1)).alias("idx"))
+        .distinct()
+    )
+    kept = pos_tokens.join(covered, ["doc_id", "idx"], "left_anti")
+    cleaned = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("cleaned_text"),
+        )
+    )
+    totals = pos_tokens.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"))
+    return (
+        totals.join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_tokens")
+             - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )

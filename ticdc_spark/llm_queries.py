@@ -1285,3 +1285,44 @@ def q_source_overlap_matrix(spark, sf_dir):
     from ticdc_spark.llm.dedup import source_overlap_matrix
 
     return source_overlap_matrix(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring excision: remove corpus-duplicated spans from the text
+# ---------------------------------------------------------------------------
+_EXCISE_ORACLE = f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+pt AS (
+  SELECT doc_id, i - 1 AS idx, t[i] AS tok
+  FROM tk JOIN generate_series(1, 4096) s(i) ON s.i <= len(t)),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(t[i:i+{SUBSTR_W - 1}], ' ') AS gram
+  FROM (SELECT doc_id, t FROM tk WHERE len(t) >= {SUBSTR_W})
+  JOIN generate_series(1, 4096) s(i) ON s.i <= len(t) - {SUBSTR_W} + 1),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+covered AS (
+  SELECT DISTINCT doc_id, pos + d.i AS idx
+  FROM g JOIN dup USING (gram)
+  JOIN generate_series(0, {SUBSTR_W - 1}) d(i) ON true),
+kept AS (
+  SELECT pt.doc_id, pt.idx, pt.tok FROM pt
+  ANTI JOIN covered c ON c.doc_id = pt.doc_id AND c.idx = pt.idx),
+cleaned AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY idx) AS cleaned_text
+  FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_tokens FROM pt GROUP BY doc_id)
+SELECT t.doc_id, t.n_tokens,
+       CAST(COALESCE(c.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(t.n_tokens - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(c.cleaned_text, '') AS cleaned_text
+FROM tot t LEFT JOIN cleaned c USING (doc_id)
+"""
+
+
+@register("substring_excise", _EXCISE_ORACLE)
+def q_substring_excise(spark, sf_dir):
+    from ticdc_spark.llm.dedup import substring_excise
+
+    return substring_excise(_docs(spark, sf_dir))
