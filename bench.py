@@ -104,7 +104,8 @@ def main() -> None:
         "tso_functions", "checkpoint_lag_percentiles", "hll_user_estimate",
         "adaptive_scan_window", "cms_heavy_hitters",
         "partition_inertia_index_value", "dedup_ngram_jaccard_pruned",
-        "eventstore_key_codec", "bpe_pair_stats",
+        "eventstore_key_codec", "bpe_pair_stats", "lag_histogram",
+        "source_overlap_matrix", "substring_excise",
     ]
     def time_query(name: str) -> float:
         df = QUERIES[name](spark, sf_dir)
