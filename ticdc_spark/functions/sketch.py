@@ -102,12 +102,19 @@ def hll_estimate_sql(regs_sql: str, group_cols: list[str]) -> str:
     """DuckDB rendering of :func:`hll_estimate` over a registers CTE."""
     g = ", ".join(group_cols)
     scale = 1 << HLL_RHO_MAX
+    # force DOUBLE literals — DuckDB types bare decimal literals as
+    # DECIMAL, whose division scale could drift from Spark's double math
+    def dlit(x: float) -> str:
+        s = repr(float(x))
+        return s if "e" in s or "E" in s else s + "e0"
+
+    num, thr, m = dlit(HLL_ALPHA_NUM), dlit(HLL_LC_THRESHOLD), dlit(HLL_M)
     return f"""
     SELECT {g}, v_zero, s_scaled,
-           round(CASE WHEN {HLL_ALPHA_NUM!r} / s_scaled <= {HLL_LC_THRESHOLD}
+           round(CASE WHEN {num} / s_scaled <= {thr}
                        AND v_zero > 0
-                      THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v_zero)
-                      ELSE {HLL_ALPHA_NUM!r} / s_scaled END, 2) AS est
+                      THEN {m} * ln({m} / v_zero)
+                      ELSE {num} / s_scaled END, 2) AS est
     FROM (
       SELECT {g},
              CAST({HLL_M} - count(*) AS BIGINT) AS v_zero,
