@@ -139,3 +139,14 @@ def test_spark_encrypt_decrypt_path(spark, sf_dir):
     back = cl.select(dec(enc(F.col("value"))).alias("value"))
     assert back.exceptAll(cl).count() == 0
     assert cl.exceptAll(back).count() == 0
+
+
+def test_ivs_are_unique_per_message():
+    """CTR keystream reuse would be catastrophic: two encryptions of
+    the same plaintext must carry different IVs (random by default)."""
+    m = EncryptionManager(bytes(range(32)))
+    m.add_data_key(b"\x00\x00\x01", bytes(range(32)))
+    b1 = m.encrypt(b"same plaintext", b"\x00\x00\x01")
+    b2 = m.encrypt(b"same plaintext", b"\x00\x00\x01")
+    assert b1[4:20] != b2[4:20]  # IVs differ
+    assert m.decrypt(b1) == m.decrypt(b2) == b"same plaintext"

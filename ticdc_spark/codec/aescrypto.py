@@ -185,10 +185,15 @@ class EncryptionManager:
     environment scope — the master key is injected.
     """
 
-    def __init__(self, master_key: bytes, version: int = 1):
+    def __init__(self, master_key: bytes, version: int = 1,
+                 deterministic_ivs: bool = False):
         self._master = master_key
         self._version = version
         self._keys: dict[bytes, bytes] = {}
+        # CTR keystreams must never repeat under one key: random IVs by
+        # default (crypto/rand in the reference); the deterministic mode
+        # exists only for reproducible fixtures.
+        self._deterministic = deterministic_ivs
 
     def add_data_key(self, key_id: bytes, key: bytes) -> bytes:
         """Register a data key; returns the wrapped ciphertext."""
@@ -208,6 +213,10 @@ class EncryptionManager:
         return key
 
     def _derive_iv(self, salt: bytes) -> bytes:
+        if not self._deterministic:
+            import os as _os
+
+            return _os.urandom(16)
         import hashlib
 
         return hashlib.md5(b"iv:" + salt + self._master).digest()
