@@ -123,3 +123,17 @@ def test_route_with_inertia_hasher(spark, sf_dir):
                 F.col("partition").cast("int").alias("partition"))
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_cms_unseen_key_estimates_zero_or_collision(spark):
+    """A key never inserted must estimate 0 unless ALL d of its cells
+    collide with inserted keys (the left-join zero-counter rule)."""
+    from ticdc_spark.functions.sketch import cms_counters, cms_estimate
+
+    df = spark.range(100).select(F.col("id").alias("k"))
+    counters = cms_counters(df, F.col("k"))
+    probe = spark.range(1_000_000, 1_000_050).select(F.col("id").alias("k"))
+    est = cms_estimate(counters, probe, "k")
+    # with 400 filled cells of 2048, most unseen keys hit >=1 empty cell
+    zeros = est.filter(F.col("cms_est") == 0).count()
+    assert zeros >= 40, zeros

@@ -190,7 +190,10 @@ def cms_estimate(counters: DataFrame, keys: DataFrame,
     ).select(key_col, F.col("cell.j").alias("j"),
              F.col("cell.idx").alias("idx"))
     return (
-        cells.join(counters, ["j", "idx"])
+        # LEFT join: a cell absent from the grid is a zero counter — an
+        # inner join would drop it and overestimate keys the sketch
+        # never saw (est must be 0 for them, not min of present cells).
+        cells.join(counters, ["j", "idx"], "left")
         .groupBy(key_col)
-        .agg(F.min("c").alias("cms_est"))
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("cms_est"))
     )

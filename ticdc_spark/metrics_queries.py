@@ -227,8 +227,8 @@ WITH counters AS (
 keys AS (SELECT user_id, count(*) AS n_exact FROM events GROUP BY user_id),
 cells AS ({cms_cells_sql('user_id', 'keys', carry='user_id')}),
 est AS (
-  SELECT cells.user_id, min(c.c) AS cms_est
-  FROM cells JOIN counters c USING (j, idx)
+  SELECT cells.user_id, min(COALESCE(c.c, 0)) AS cms_est
+  FROM cells LEFT JOIN counters c USING (j, idx)
   GROUP BY cells.user_id)
 SELECT k.user_id, k.n_exact, e.cms_est
 FROM keys k JOIN est e USING (user_id)
