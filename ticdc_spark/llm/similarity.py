@@ -280,3 +280,101 @@ def kmeans_refine(
         "inertia",
     )
     return cents, summary
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's compression half): the corpus is stored
+# as m sub-codebook codes (m bytes per vector instead of dim floats) and
+# queries rank candidates by asymmetric distance (ADC) — sum over
+# subvectors of the distance from the query's slice to the centroid the
+# code names.  At 100 TB this is THE memory/bandwidth story: 64-dim
+# float32 (256 B) compresses to 8 bytes, and the scan becomes code
+# lookups instead of float loads.  Codebooks are deterministic
+# md5-derived seeds shared with the oracle as literals (same convention
+# as `ivf_centroids`).
+# ---------------------------------------------------------------------------
+PQ_M = 8          # subvectors
+PQ_SUB_DIM = EMB_DIM // PQ_M
+PQ_KS = 16        # centroids per sub-codebook
+
+
+def pq_codebooks(m: int = PQ_M, ks: int = PQ_KS,
+                 sub_dim: int = PQ_SUB_DIM) -> list[list[list[float]]]:
+    books = []
+    for s in range(m):
+        book = []
+        for c in range(ks):
+            row = []
+            for d in range(sub_dim):
+                h = int(hashlib.md5(
+                    f"pq:{s}:{c}:{d}".encode()).hexdigest()[:8], 16)
+                row.append(round(h / 2**31 - 1.0, 6))
+            book.append(row)
+        books.append(book)
+    return books
+
+
+def _sub_slice(emb: Column, s: int) -> Column:
+    return F.slice(emb, s * PQ_SUB_DIM + 1, PQ_SUB_DIM)
+
+
+def pq_code_col(emb: Column, books: list[list[list[float]]],
+                s: int) -> Column:
+    """argmin centroid index for subvector ``s`` (ties → lowest)."""
+    sub = _sub_slice(emb, s)
+    dists = [_dist2(sub, cent) for cent in books[s]]
+    idx: Column = F.lit(0)
+    best: Column = dists[0]
+    for i in range(1, len(books[s])):
+        idx = F.when(dists[i] < best, F.lit(i)).otherwise(idx)
+        best = F.least(dists[i], best)
+    return idx
+
+
+def pq_codes(emb: DataFrame, books: list[list[list[float]]] | None = None
+             ) -> DataFrame:
+    books = books or pq_codebooks()
+    cols = [F.col("vec_id")]
+    for s in range(PQ_M):
+        cols.append(pq_code_col(F.col("embedding"), books, s)
+                    .cast("int").alias(f"code{s}"))
+    return emb.select(*cols)
+
+
+def pq_adc_knn(emb: DataFrame, n_queries: int = 10, k: int = 3,
+               books: list[list[list[float]]] | None = None) -> DataFrame:
+    """Asymmetric-distance top-k: query slices vs code-named centroids.
+
+    The corpus side carries only its codes (the compressed form); the
+    query side keeps the raw vector.  approx_d2 sums the m per-slice
+    distances in fixed order.
+    """
+    books = books or pq_codebooks()
+    coded = pq_codes(emb, books)
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    c = coded.select(
+        F.col("vec_id").alias("c_id"),
+        *[F.col(f"code{s}") for s in range(PQ_M)])
+    pair = q.crossJoin(c).filter(F.col("q_id") != F.col("c_id"))
+    total: Column = F.lit(0.0)
+    for s in range(PQ_M):
+        book_lit = F.array(*[
+            F.array(*[F.lit(v) for v in cent]) for cent in books[s]
+        ])
+        cent = F.element_at(book_lit, F.col(f"code{s}") + 1)
+        sub = _sub_slice(F.col("q_emb"), s)
+        d2 = F.aggregate(
+            F.zip_with(sub, cent,
+                       lambda x, y: (x.cast("double") - y)
+                       * (x.cast("double") - y)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        total = total + d2
+    w = Window.partitionBy("q_id").orderBy(F.round(total, 6), "c_id")
+    return (
+        pair.withColumn("approx_d2", F.round(total, 6))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "approx_d2", "rank")
+    )

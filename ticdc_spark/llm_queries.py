@@ -1326,3 +1326,86 @@ def q_substring_excise(spark, sf_dir):
     from ticdc_spark.llm.dedup import substring_excise
 
     return substring_excise(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: m-byte codes + asymmetric-distance top-k
+# ---------------------------------------------------------------------------
+from ticdc_spark.llm.similarity import (  # noqa: E402
+    PQ_M,
+    PQ_SUB_DIM,
+    pq_adc_knn,
+    pq_codebooks,
+    pq_codes,
+)
+
+_BOOKS = pq_codebooks()
+
+
+def _pq_sub_sql(s: int) -> str:
+    a, b = s * PQ_SUB_DIM + 1, (s + 1) * PQ_SUB_DIM
+    return f"embedding[{a}:{b}]"
+
+
+def _pq_d2_sql(sub: str, cent: list[float]) -> str:
+    lit = "[" + ", ".join(f"{v}::DOUBLE" for v in cent) + "]"
+    return ("list_sum(list_transform(list_zip(" + sub + ", " + lit + "), "
+            "p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)))")
+
+
+def _pq_code_sql(s: int) -> str:
+    sub = _pq_sub_sql(s)
+    dists = [_pq_d2_sql(sub, cent) for cent in _BOOKS[s]]
+    idx, best = "0", f"({dists[0]})"
+    for i in range(1, len(_BOOKS[s])):
+        idx = f"CASE WHEN ({dists[i]}) < {best} THEN {i} ELSE ({idx}) END"
+        best = f"least(({dists[i]}), {best})"
+    return f"CAST(({idx}) AS INT)"
+
+
+_PQ_CODES_ORACLE = "SELECT vec_id, " + ", ".join(
+    f"{_pq_code_sql(s)} AS code{s}" for s in range(PQ_M)
+) + " FROM embeddings"
+
+
+@register("pq_codes", _PQ_CODES_ORACLE)
+def q_pq_codes(spark, sf_dir):
+    return pq_codes(_emb(spark, sf_dir))
+
+
+def _pq_book_lit(s: int) -> str:
+    return "[" + ", ".join(
+        "[" + ", ".join(f"{v}::DOUBLE" for v in cent) + "]"
+        for cent in _BOOKS[s]
+    ) + "]"
+
+
+_PQ_ADC_TERMS = " + ".join(
+    "list_sum(list_transform(list_zip("
+    f"q_emb[{s * PQ_SUB_DIM + 1}:{(s + 1) * PQ_SUB_DIM}], "
+    f"({_pq_book_lit(s)})[code{s} + 1]), "
+    "p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)))"
+    for s in range(PQ_M)
+)
+
+_PQ_ADC_ORACLE = f"""
+WITH coded AS ({_PQ_CODES_ORACLE}),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id < 10),
+c AS (SELECT vec_id AS c_id, {", ".join(f"code{s}" for s in range(PQ_M))}
+      FROM coded),
+pair AS (
+  SELECT q_id, c_id, round({_PQ_ADC_TERMS}, 6) AS approx_d2
+  FROM q CROSS JOIN c WHERE q_id <> c_id),
+ranked AS (
+  SELECT q_id, c_id, approx_d2,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY approx_d2, c_id) AS rank
+  FROM pair)
+SELECT q_id, c_id, approx_d2, rank FROM ranked WHERE rank <= 3
+"""
+
+
+@register("pq_adc_knn", _PQ_ADC_ORACLE)
+def q_pq_adc_knn(spark, sf_dir):
+    return pq_adc_knn(_emb(spark, sf_dir))
