@@ -1409,3 +1409,58 @@ SELECT q_id, c_id, approx_d2, rank FROM ranked WHERE rank <= 3
 @register("pq_adc_knn", _PQ_ADC_ORACLE)
 def q_pq_adc_knn(spark, sf_dir):
     return pq_adc_knn(_emb(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# ANN evaluation: recall@k of the PQ/ADC ranks vs exact cosine ranks
+# ---------------------------------------------------------------------------
+_PQ_RECALL_ORACLE = f"""
+WITH coded AS ({_PQ_CODES_ORACLE}),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id < 10),
+c AS (SELECT vec_id AS c_id, {", ".join(f"code{s}" for s in range(PQ_M))}
+      FROM coded),
+pair AS (
+  SELECT q_id, c_id, round({_PQ_ADC_TERMS}, 6) AS approx_d2
+  FROM q CROSS JOIN c WHERE q_id <> c_id),
+adc AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY approx_d2, c_id) AS rank
+    FROM pair) WHERE rank <= 3),
+cv AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+exact AS (
+  SELECT q_id, c_id FROM (
+    SELECT q.q_id, cv.c_id,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {_cos_sql('q_emb', 'c_emb')} DESC,
+                                       cv.c_id) AS rank
+    FROM q CROSS JOIN cv WHERE q.q_id <> cv.c_id) WHERE rank <= 3)
+SELECT a.q_id,
+       CAST(count(e.c_id) AS BIGINT) AS n_hits,
+       round(count(e.c_id) / 3.0, 6) AS recall_at_3
+FROM adc a LEFT JOIN exact e USING (q_id, c_id)
+GROUP BY a.q_id
+"""
+
+
+@register("pq_recall_at_k", _PQ_RECALL_ORACLE)
+def q_pq_recall_at_k(spark, sf_dir):
+    """Recall@3 of the compressed-domain ranks vs exact cosine — the
+    standard ANN quality gauge; per-query so regressions localize."""
+    emb = _emb(spark, sf_dir)
+    adc = pq_adc_knn(emb, n_queries=10, k=3).select("q_id", "c_id")
+    exact = (
+        brute_force_knn(emb, n_queries=10, k=3)
+        .select("q_id", "c_id", F.lit(1).alias("hit"))
+    )
+    return (
+        adc.join(exact, ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+            F.round(F.sum(F.coalesce("hit", F.lit(0))) / 3.0, 6)
+            .alias("recall_at_3"),
+        )
+    )
