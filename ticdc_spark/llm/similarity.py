@@ -308,7 +308,10 @@ def pq_codebooks(m: int = PQ_M, ks: int = PQ_KS,
             for d in range(sub_dim):
                 h = int(hashlib.md5(
                     f"pq:{s}:{c}:{d}".encode()).hexdigest()[:8], 16)
-                row.append(round(h / 2**31 - 1.0, 6))
+                # scaled to the embedding amplitude (~N(0, 0.125)):
+                # full-range seeds would collapse every code to the
+                # centroid nearest the origin and make recall vacuous
+                row.append(round((h / 2**31 - 1.0) * 0.15, 6))
             book.append(row)
         books.append(book)
     return books
