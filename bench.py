@@ -106,7 +106,7 @@ def main() -> None:
         "partition_inertia_index_value", "dedup_ngram_jaccard_pruned",
         "eventstore_key_codec", "bpe_pair_stats", "lag_histogram",
         "source_overlap_matrix", "substring_excise",
-        "pq_codes", "pq_adc_knn",
+        "pq_codes", "pq_adc_knn", "ivf_pq_knn", "sq_dot_topk",
     ]
     def time_query(name: str) -> float:
         df = QUERIES[name](spark, sf_dir)

@@ -381,3 +381,90 @@ def pq_adc_knn(emb: DataFrame, n_queries: int = 10, k: int = 3,
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "approx_d2", "rank")
     )
+
+
+def ivf_pq_knn(emb: DataFrame, n_queries: int = 10, k: int = 3,
+               books: list[list[list[float]]] | None = None) -> DataFrame:
+    """The full IVF-PQ composition: coarse cell routing (nprobe=1)
+    restricts candidates to the query's cell, ADC ranks inside it —
+    candidate volume drops by ~|cells| AND each candidate costs code
+    lookups instead of float loads."""
+    books = books or pq_codebooks()
+    cents = ivf_centroids()
+    with_cell = emb.withColumn("cell", ivf_cell_col(F.col("embedding"), cents))
+    coded = pq_codes(emb, books).join(
+        with_cell.select("vec_id", "cell"), "vec_id")
+    q = with_cell.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
+        "cell")
+    c = coded.select(
+        F.col("vec_id").alias("c_id"), "cell",
+        *[F.col(f"code{s}") for s in range(PQ_M)])
+    pair = q.join(c, "cell").filter(F.col("q_id") != F.col("c_id"))
+    total: Column = F.lit(0.0)
+    for s in range(PQ_M):
+        book_lit = F.array(*[
+            F.array(*[F.lit(v) for v in cent]) for cent in books[s]
+        ])
+        cent = F.element_at(book_lit, F.col(f"code{s}") + 1)
+        sub = _sub_slice(F.col("q_emb"), s)
+        d2 = F.aggregate(
+            F.zip_with(sub, cent,
+                       lambda x, y: (x.cast("double") - y)
+                       * (x.cast("double") - y)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        total = total + d2
+    w = Window.partitionBy("q_id").orderBy(F.round(total, 6), "c_id")
+    return (
+        pair.withColumn("approx_d2", F.round(total, 6))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "approx_d2", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization: x → round(127 * x / max_abs); dot products
+# become INTEGER arithmetic — 4x less bandwidth than float32 and, in
+# this engine, hash-EXACT across engines (no float-fold parity concern
+# at all).  The scale is a 1-row broadcast aggregate.
+# ---------------------------------------------------------------------------
+def sq_encode(emb: DataFrame) -> DataFrame:
+    scale = F.broadcast(
+        emb.select(F.explode("embedding").alias("x"))
+        .agg(F.max(F.abs(F.col("x").cast("double"))).alias("max_abs"))
+    )
+    return (
+        emb.crossJoin(scale)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 127.0 / F.col("max_abs"))
+                .cast("int"),
+            ).alias("q8"),
+        )
+    )
+
+
+def sq_dot_topk(emb: DataFrame, n_queries: int = 10, k: int = 3) -> DataFrame:
+    """Top-k by integer dot product of the int8 codes (descending —
+    cosine order for same-norm-ish vectors); pure BIGINT arithmetic."""
+    coded = sq_encode(emb)
+    q = coded.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("q8").alias("q_q8"))
+    c = coded.select(F.col("vec_id").alias("c_id"), F.col("q8").alias("c_q8"))
+    dot = F.aggregate(
+        F.zip_with("q_q8", "c_q8",
+                   lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    pair = q.crossJoin(c).filter(F.col("q_id") != F.col("c_id"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("dot_i"), "c_id")
+    return (
+        pair.withColumn("dot_i", dot)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "dot_i", "rank")
+    )

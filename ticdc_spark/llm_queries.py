@@ -1467,3 +1467,78 @@ def q_pq_recall_at_k(spark, sf_dir):
         twin.cast("long").alias("twin_rank"),
         F.when(twin == 1, 1).otherwise(0).cast("long").alias("twin_first"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ composed (cell routing, ADC inside the cell) and int8
+# scalar quantization (integer dot products — hash-exact end to end)
+# ---------------------------------------------------------------------------
+from ticdc_spark.llm.similarity import ivf_pq_knn, sq_dot_topk, sq_encode  # noqa: E402
+
+_IVFPQ_ORACLE = f"""
+WITH cells AS (SELECT vec_id, embedding, ({_IDX_EXPR}) AS cell FROM embeddings),
+coded AS (SELECT vec_id, {", ".join(f"{_pq_code_sql(s)} AS code{s}" for s in range(PQ_M))}
+          FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb, cell FROM cells
+      WHERE vec_id < 10),
+c AS (SELECT cells.vec_id AS c_id, cell,
+             {", ".join(f"code{s}" for s in range(PQ_M))}
+      FROM cells JOIN coded ON cells.vec_id = coded.vec_id),
+pair AS (
+  SELECT q_id, c_id, round({_PQ_ADC_TERMS}, 6) AS approx_d2
+  FROM q JOIN c USING (cell) WHERE q_id <> c_id),
+ranked AS (
+  SELECT q_id, c_id, approx_d2,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY approx_d2, c_id) AS rank
+  FROM pair)
+SELECT q_id, c_id, approx_d2, rank FROM ranked WHERE rank <= 3
+"""
+
+
+@register("ivf_pq_knn", _IVFPQ_ORACLE)
+def q_ivf_pq_knn(spark, sf_dir):
+    return ivf_pq_knn(_emb(spark, sf_dir))
+
+
+_SQ_ENC = """
+sc AS (SELECT max(abs(x.x::DOUBLE)) AS max_abs
+       FROM (SELECT unnest(embedding) AS x FROM embeddings) x),
+coded AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(x::DOUBLE * 127.0e0 / max_abs) AS INT)) AS q8
+  FROM embeddings, sc)
+"""
+
+
+@register(
+    "sq_encode_int8",
+    f"WITH {_SQ_ENC} SELECT vec_id, q8 FROM coded",
+)
+def q_sq_encode(spark, sf_dir):
+    return sq_encode(_emb(spark, sf_dir))
+
+
+_SQ_TOPK_ORACLE = f"""
+WITH {_SQ_ENC},
+q AS (SELECT vec_id AS q_id, q8 AS q_q8 FROM coded WHERE vec_id < 10),
+c AS (SELECT vec_id AS c_id, q8 AS c_q8 FROM coded),
+pair AS (
+  SELECT q_id, c_id,
+         CAST(list_sum(list_transform(list_zip(q_q8, c_q8),
+              p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT)))
+              AS BIGINT) AS dot_i
+  FROM q CROSS JOIN c WHERE q_id <> c_id),
+ranked AS (
+  SELECT q_id, c_id, dot_i,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY dot_i DESC, c_id) AS rank
+  FROM pair)
+SELECT q_id, c_id, dot_i, rank FROM ranked WHERE rank <= 3
+"""
+
+
+@register("sq_dot_topk", _SQ_TOPK_ORACLE)
+def q_sq_dot_topk(spark, sf_dir):
+    return sq_dot_topk(_emb(spark, sf_dir))
