@@ -1542,3 +1542,84 @@ SELECT q_id, c_id, dot_i, rank FROM ranked WHERE rank <= 3
 @register("sq_dot_topk", _SQ_TOPK_ORACLE)
 def q_sq_dot_topk(spark, sf_dir):
     return sq_dot_topk(_emb(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Dataset card: the per-source datasheet (docs, tokens, dup rate,
+# quality, dominant language) every corpus release ships with
+# ---------------------------------------------------------------------------
+_CARD_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, lang, md5(text) AS h,
+         string_split(text, ' ') AS toks,
+         round(0.3 * least(len(string_split(text, ' '))::DOUBLE / 100.0, 1.0)
+         + 0.4 * ({{marker}})
+         + 0.3 * (len(list_distinct(string_split(text, ' ')))::DOUBLE
+                  / len(string_split(text, ' '))), 6) AS quality
+  FROM documents),
+per_doc AS (
+  SELECT source, lang, h, len(toks) AS n_toks,
+         CAST(round(quality * 1000000) AS BIGINT) AS q6
+  FROM t),
+lang_counts AS (
+  SELECT source, lang, count(*) AS cnt FROM per_doc GROUP BY 1, 2),
+top_lang AS (
+  SELECT source, lang AS top_lang FROM (
+    SELECT source, lang,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY cnt DESC, lang) AS rn
+    FROM lang_counts) WHERE rn = 1),
+agg AS (
+  SELECT source,
+         count(*) AS n_docs,
+         CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+         CAST(count(*) - count(DISTINCT h) AS BIGINT) AS dup_docs,
+         CAST(sum(q6) AS BIGINT) AS sum_q6
+  FROM per_doc GROUP BY source)
+SELECT a.source, a.n_docs, a.total_tokens, a.dup_docs, a.sum_q6,
+       round(a.sum_q6 / 1000000.0e0 / a.n_docs, 6) AS mean_quality,
+       tl.top_lang
+FROM agg a JOIN top_lang tl USING (source)
+""".format(marker=_marker_ratio_sql(_ALL_MARKERS))
+
+
+@register("dataset_card", _CARD_ORACLE)
+def q_dataset_card(spark, sf_dir):
+    """Per-source corpus datasheet.  Per-doc quality is integer-scaled
+    (q6 = round(quality*1e6)) before summation so the aggregate is
+    order-independent and engine-exact; the mean divides the exact sum
+    once at the end."""
+    from ticdc_spark.llm.text import quality_score
+
+    docs = _docs(spark, sf_dir)
+    q = quality_score(docs).select(
+        "doc_id",
+        (F.round(F.col("quality") * 1_000_000)).cast("long").alias("q6"),
+    )
+    per_doc = (
+        docs.select("doc_id", "source", "lang", F.md5("text").alias("h"),
+                    F.size(F.split("text", " ")).alias("n_toks"))
+        .join(q, "doc_id")
+    )
+    from pyspark.sql import Window
+
+    lang_counts = per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), "lang")
+    top_lang = (
+        lang_counts.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1").select("source", F.col("lang").alias("top_lang"))
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        (F.count(F.lit(1)) - F.count_distinct("h")).cast("long")
+        .alias("dup_docs"),
+        F.sum("q6").cast("long").alias("sum_q6"),
+    )
+    return agg.join(F.broadcast(top_lang), "source").select(
+        "source", "n_docs", "total_tokens", "dup_docs", "sum_q6",
+        F.round(F.col("sum_q6") / F.lit(1_000_000.0) / F.col("n_docs"), 6)
+        .alias("mean_quality"),
+        "top_lang",
+    )
