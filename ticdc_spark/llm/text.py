@@ -496,3 +496,35 @@ def bpe_pair_stats(docs: DataFrame, top_k: int = 50) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(top_k)
     )
+
+
+# A shipped tokenizer artifact: BPE merges applied in priority order
+# (tokenizers are static deliverables — the analog of the IVF/PQ
+# codebook literals).  Greedy global application per merge, standard
+# BPE encode semantics.
+BPE_MERGES = [
+    ("t", "h"), ("e", "r"), ("i", "n"), ("a", "n"), ("o", "n"),
+    ("e", "n"), ("t", "e"), ("o", "r"), ("s", "t"), ("a", "r"),
+    ("th", "e"), ("an", "d"), ("in", "g"), ("e", "d"), ("a", "l"),
+    ("r", "e"), ("t", "o"), ("o", "u"), ("i", "s"), ("a", "t"),
+]
+
+
+def bpe_encode_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc EXACT subword counts under the shipped merge table
+    (replaces the ceil(len/4) estimate of `token_stats`): each word
+    becomes a spaced symbol string, the merges chain as plain
+    `replace` calls (priority order), and the surviving symbol count
+    sums per document."""
+    word = F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+    words = docs.select("doc_id", word).filter(F.length("w") > 0)
+    sym = F.concat(F.regexp_replace(F.col("w"), "(.)", "$1 "), F.lit("</w>"))
+    enc = sym
+    for a, b in BPE_MERGES:
+        enc = F.replace(enc, F.lit(f"{a} {b}"), F.lit(a + b))
+    per_word = words.select(
+        "doc_id", F.size(F.split(enc, " ")).alias("n_sub"))
+    return per_word.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_sub").cast("long").alias("n_subwords"),
+    )

@@ -1623,3 +1623,30 @@ def q_dataset_card(spark, sf_dir):
         .alias("mean_quality"),
         "top_lang",
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE encode: exact subword counts under the shipped merge table
+# ---------------------------------------------------------------------------
+from ticdc_spark.llm.text import BPE_MERGES, bpe_encode_stats  # noqa: E402
+
+_BPE_APPLY = "regexp_replace(w, '(.)', '\\1 ', 'g') || '</w>'"
+for _a, _b in BPE_MERGES:
+    _BPE_APPLY = f"replace({_BPE_APPLY}, '{_a} {_b}', '{_a}{_b}')"
+
+_BPE_ENC_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents)
+  WHERE length(w) > 0)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(string_split({_BPE_APPLY}, ' '))) AS BIGINT) AS n_subwords
+FROM words GROUP BY doc_id
+"""
+
+
+@register("bpe_encode_stats", _BPE_ENC_ORACLE)
+def q_bpe_encode_stats(spark, sf_dir):
+    return bpe_encode_stats(_docs(spark, sf_dir))
