@@ -107,6 +107,7 @@ def main() -> None:
         "eventstore_key_codec", "bpe_pair_stats", "lag_histogram",
         "source_overlap_matrix", "substring_excise",
         "pq_codes", "pq_adc_knn", "ivf_pq_knn", "sq_dot_topk",
+        "dataset_card", "bpe_encode_stats",
     ]
     def time_query(name: str) -> float:
         df = QUERIES[name](spark, sf_dir)
