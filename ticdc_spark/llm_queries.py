@@ -1650,3 +1650,49 @@ FROM words GROUP BY doc_id
 @register("bpe_encode_stats", _BPE_ENC_ORACLE)
 def q_bpe_encode_stats(spark, sf_dir):
     return bpe_encode_stats(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Dup-cluster size distribution: the dedup report (how much of the
+# corpus sits in near-dup clusters of each size; retention = corpus
+# minus (size-1) per cluster)
+# ---------------------------------------------------------------------------
+_CLUSTER_DIST_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_LSH_PAIRS_ORACLE}),
+edges AS (
+    SELECT a_id AS src, b_id AS dst FROM pairs
+    UNION ALL
+    SELECT b_id AS src, a_id AS dst FROM pairs
+),
+verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach(doc_id, label) AS (
+    SELECT doc_id, doc_id AS label FROM verts
+    UNION
+    SELECT e.dst AS doc_id, r.label
+    FROM reach r JOIN edges e ON e.src = r.doc_id
+    WHERE r.label < e.dst
+),
+lab AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(count(*) * cluster_size AS BIGINT) AS n_docs,
+       CAST(count(*) * (cluster_size - 1) AS BIGINT) AS n_removable
+FROM sz GROUP BY cluster_size
+"""
+
+
+@register("dup_cluster_size_dist", _CLUSTER_DIST_ORACLE)
+def q_dup_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ticdc_spark.llm.dedup import dedup_clusters
+
+    labs = dedup_clusters(_docs(spark, sf_dir), threshold=0.8)
+    sz = labs.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return sz.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size")).cast("long")
+        .alias("n_docs"),
+        (F.count(F.lit(1)) * (F.col("cluster_size") - 1)).cast("long")
+        .alias("n_removable"),
+    )
