@@ -74,3 +74,44 @@ def test_wire_reports_drive_the_controller():
                        1, 0, r.memory_release_count)])
     assert out["n_brake"] == 1
     assert out["final_interval_ms"] < 5000 or out["final_interval_ms"] == 5000
+
+
+# -- dispatcher heartbeat / response ----------------------------------------
+
+def test_heartbeat_v1_v2_roundtrip():
+    from ticdc_spark.codec.dispatcher_heartbeat import (
+        HEARTBEAT_V1,
+        HEARTBEAT_V2,
+        DispatcherHeartbeat,
+        DispatcherProgress,
+        unmarshal_heartbeat,
+    )
+
+    for version in (HEARTBEAT_V1, HEARTBEAT_V2):
+        hb = DispatcherHeartbeat(
+            cluster_id=5, version=version,
+            progresses=[DispatcherProgress((1, 2), 1000, epoch=7),
+                        DispatcherProgress((3, 4), 2000, epoch=8)])
+        back = unmarshal_heartbeat(hb.marshal())
+        assert back.cluster_id == 5 and back.version == version
+        assert [p.dispatcher_id for p in back.progresses] == [(1, 2), (3, 4)]
+        assert [p.checkpoint_ts for p in back.progresses] == [1000, 2000]
+        if version == HEARTBEAT_V2:
+            assert [p.epoch for p in back.progresses] == [7, 8]
+        else:
+            assert [p.epoch for p in back.progresses] == [0, 0]
+
+
+def test_heartbeat_response_roundtrip_and_removed_state():
+    from ticdc_spark.codec.dispatcher_heartbeat import (
+        DS_STATE_NORMAL,
+        DS_STATE_REMOVED,
+        DispatcherHeartbeatResponse,
+        unmarshal_heartbeat_response,
+    )
+
+    resp = DispatcherHeartbeatResponse(
+        cluster_id=9,
+        states=[((1, 2), DS_STATE_NORMAL), ((3, 4), DS_STATE_REMOVED)])
+    back = unmarshal_heartbeat_response(resp.marshal())
+    assert back.states == [((1, 2), 0), ((3, 4), 1)]
