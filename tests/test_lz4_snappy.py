@@ -182,3 +182,91 @@ def test_lz4_frame_detects_corruption():
     blob[-1] ^= 0xFF  # flip content checksum
     with pytest.raises(ValueError):
         lz4_frame_decompress(bytes(blob))
+
+
+# -- native cross-validation (pyarrow's bundled C++ codecs) ------------------
+# The golden vectors pin the formats by hand; these pin them against an
+# entirely independent implementation (Arrow C++ lz4/snappy), both
+# directions: our encoder must be decodable by the native decoder, and
+# our decoder must accept native-encoder output.
+
+def _pa_codec(name):
+    pa = pytest.importorskip("pyarrow")
+    if not pa.Codec.is_available(name):
+        pytest.skip(f"pyarrow built without {name}")
+    return pa, pa.Codec(name)
+
+
+@pytest.mark.parametrize("data", CASES, ids=range(len(CASES)))
+def test_snappy_cross_native(data):
+    pa, codec = _pa_codec("snappy")
+    assert codec.decompress(
+        snappy_compress(data), decompressed_size=len(data)
+    ).to_pybytes() == data
+    assert snappy_decompress(codec.compress(data).to_pybytes()) == data
+
+
+@pytest.mark.parametrize("data", CASES, ids=range(len(CASES)))
+def test_lz4_block_cross_native(data):
+    pa, codec = _pa_codec("lz4_raw")
+    assert codec.decompress(
+        lz4_block_compress(data), decompressed_size=len(data)
+    ).to_pybytes() == data
+    assert lz4_block_decompress(codec.compress(data).to_pybytes()) == data
+
+
+@pytest.mark.parametrize("data", CASES, ids=range(len(CASES)))
+def test_lz4_frame_cross_native(data):
+    from ticdc_spark.codec.lz4_snappy import (
+        lz4_frame_compress,
+        lz4_frame_decompress,
+    )
+    pa, codec = _pa_codec("lz4")
+    assert codec.decompress(
+        lz4_frame_compress(data), decompressed_size=len(data)
+    ).to_pybytes() == data
+    assert lz4_frame_decompress(codec.compress(data).to_pybytes()) == data
+
+
+# -- zstd (native, via codec/zstd_arrow.py) ----------------------------------
+
+@pytest.mark.parametrize("data", CASES, ids=range(len(CASES)))
+def test_zstd_roundtrip(data):
+    from ticdc_spark.codec import zstd_arrow as za
+    if not za.zstd_available():
+        pytest.skip("pyarrow built without zstd")
+    blob = za.zstd_compress(data)
+    # standard frame magic (RFC 8878 §3.1.1) — decodable by any zstd
+    assert int.from_bytes(blob[:4], "little") == za.ZSTD_MAGIC
+    assert za.zstd_decompress(blob) == data
+
+
+def test_zstd_rejects_garbage():
+    from ticdc_spark.codec import zstd_arrow as za
+    if not za.zstd_available():
+        pytest.skip("pyarrow built without zstd")
+    with pytest.raises(ValueError):
+        za.zstd_decompress(b"not a zstd frame at all")
+
+
+def test_spark_compress_path_with_zstd(spark, sf_dir):
+    from ticdc_spark.codec import zstd_arrow as za
+    if not za.zstd_available():
+        pytest.skip("pyarrow built without zstd")
+    from ticdc_spark.operators.large_message import (
+        compress_values,
+        decompress_values,
+    )
+    from ticdc_spark.sources.changelog import events_changelog
+    from pyspark.sql import functions as F
+
+    cl = events_changelog(spark, sf_dir).limit(200).select(
+        F.to_json(F.struct("schema_name", "table_name", "commit_ts"))
+        .alias("value")
+    )
+    out = decompress_values(
+        compress_values(cl, codec="zstd"), codec="zstd"
+    )
+    orig = [r.value for r in cl.collect()]
+    back = [r.value for r in out.collect()]
+    assert back == orig

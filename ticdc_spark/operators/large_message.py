@@ -97,11 +97,14 @@ def resolve_claim_check(msgs: DataFrame, claim_store: DataFrame) -> DataFrame:
 
 
 # -- compression (`pkg/compression/`, `codec/common/compress.go`) ------------
-# The reference compresses large message payloads with lz4/snappy/zstd.
-# lz4 (block format) and snappy are from-scratch pure-Python wire-format
-# implementations (`codec/lz4_snappy.py`) — interpreter-bound throughput,
-# correct bytes; swap in native bindings here on a real cluster.  zstd
-# has no stand-in (format far too complex); zlib/lzma round out the set.
+# The reference compresses large message payloads with lz4/snappy/zstd
+# (`pkg/compression/compression.go:29-33`).  lz4 (block + frame) and
+# snappy are from-scratch pure-Python wire-format implementations
+# (`codec/lz4_snappy.py`) — interpreter-bound throughput, correct bytes,
+# byte cross-validated against the native codecs pyarrow bundles
+# (tests/test_lz4_snappy.py).  zstd wraps pyarrow's native zstd
+# (`codec/zstd_arrow.py` — RFC 8878 frames, same wire bytes as the
+# reference's klauspost writer); zlib/lzma round out the set.
 _COMPRESS_CODECS = {
     "zlib": ("zlib", "compress", "decompress"),
     "lzma": ("lzma", "compress", "decompress"),
@@ -111,6 +114,8 @@ _COMPRESS_CODECS = {
                   "lz4_frame_compress", "lz4_frame_decompress"),
     "snappy": ("ticdc_spark.codec.lz4_snappy",
                "snappy_compress", "snappy_decompress"),
+    "zstd": ("ticdc_spark.codec.zstd_arrow",
+             "zstd_compress", "zstd_decompress"),
 }
 
 
