@@ -259,3 +259,77 @@ def test_log_owner_and_unsafe_routes(api):
     assert meta["kvs"][0]["value"]["state"] == "normal"
     st, _doc = _req(f"{base}/api/v2/unsafe/service_gc_safepoint", "DELETE")
     assert st == 200
+
+
+def test_redact_mode_ladder(api):
+    base, _ = api
+    # invalid mode rejected at parse
+    st, err = _req(f"{base}/api/v2/log/redact", "POST",
+                   {"redact_info_log": "sometimes"})
+    assert st == 400 and "redact" in err["error_msg"]
+    # off -> marker
+    st, doc = _req(f"{base}/api/v2/log/redact", "POST",
+                   {"redact_info_log": "marker"})
+    assert (st, doc) == (200, {"previous_mode": "off",
+                               "current_mode": "marker"})
+    # same mode is idempotent success
+    st, doc = _req(f"{base}/api/v2/log/redact", "POST",
+                   {"redact_info_log": "marker"})
+    assert st == 200 and doc["current_mode"] == "marker"
+    # marker -> on
+    st, doc = _req(f"{base}/api/v2/log/redact", "POST",
+                   {"redact_info_log": "on"})
+    assert st == 200 and doc["previous_mode"] == "marker"
+    # downgrade rejected (`log.go:152-157`)
+    st, err = _req(f"{base}/api/v2/log/redact", "POST",
+                   {"redact_info_log": "off"})
+    assert st == 400 and "more restrictive" in err["error_msg"]
+
+
+def test_failpoint_routes(api):
+    from ticdc_spark import failpoint
+
+    base, _ = api
+    try:
+        # empty list initially
+        assert _req(f"{base}/debug/failpoints") == (200, [])
+        # missing fields
+        st, _err = _req(f"{base}/debug/failpoints", "POST", {"name": "x"})
+        assert st == 400
+        # bad grammar -> 500 (EnableFailpoint surfaces the error)
+        st, _err = _req(f"{base}/debug/failpoints", "POST",
+                        {"name": "x", "expr": "not-a-term"})
+        assert st == 500
+        # enable, observe in list AND in the armed registry
+        st, _ = _req(f"{base}/debug/failpoints", "POST",
+                     {"name": "api/test-point", "expr": "1*error(boom)"})
+        assert st == 200
+        st, lst = _req(f"{base}/debug/failpoints")
+        assert lst == [{"name": "api/test-point", "expr": "1*error(boom)"}]
+        assert "api/test-point" in failpoint.active()
+        # the armed point actually fires
+        with pytest.raises(RuntimeError):
+            failpoint.inject("api/test-point")
+        # disable via query param
+        st, _ = _req(f"{base}/debug/failpoints?name=api/test-point",
+                     "DELETE")
+        assert st == 200
+        assert _req(f"{base}/debug/failpoints") == (200, [])
+        assert "api/test-point" not in failpoint.active()
+        # disable without a name
+        st, _err = _req(f"{base}/debug/failpoints", "DELETE", {})
+        assert st == 400
+    finally:
+        failpoint.disable_all()
+
+
+def test_debug_info_and_resolve_lock(api):
+    base, _ = api
+    st, info = _req(f"{base}/debug/info")
+    assert st == 200 and info["pid"] > 0 and "changefeeds" in info
+    st, _ = _req(f"{base}/api/v2/unsafe/resolve_lock", "POST",
+                 {"region_id": 7, "ts": 123456})
+    assert st == 200
+    st, _err = _req(f"{base}/api/v2/unsafe/resolve_lock", "POST",
+                    {"region_id": "seven", "ts": 1})
+    assert st == 400

@@ -49,6 +49,7 @@ import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs
 
+from ticdc_spark import failpoint
 from ticdc_spark.operators.table_filter import _wildcard_to_regex
 from ticdc_spark.plans.schema_store import SchemaStore
 from ticdc_spark.sources.changelog import _EVENT_MAP
@@ -56,6 +57,10 @@ from ticdc_spark.streaming.registry import ChangefeedRegistry
 
 VERSION = "ticdc-spark-1.0"
 _LOG_LEVELS = {"debug", "info", "warn", "error"}
+# Redact-mode restriction ladder (`api/v2/log.go:110-121`): transitions
+# may only move toward MORE restrictive (off → marker → on); unknown
+# modes are rejected at parse, same as util.ParseRedactMode.
+_REDACT_LEVELS = {"off": 0, "marker": 1, "on": 2}
 
 _CF_ROUTE = re.compile(
     r"^/api/v2/changefeeds/(?P<id>[^/]+)(?P<verb>/(pause|resume|status|synced"
@@ -139,6 +144,11 @@ class ApiServer:
         self.host = host
         self.schema_store = schema_store or default_schema_store()
         self.log_level = "info"
+        self.redact_mode = "off"
+        self._redact_lock = threading.Lock()
+        # failpoints enabled over HTTP, tracked separately from env-armed
+        # ones so List shows exactly what the API set (`failpoint.go:70`)
+        self.http_failpoints: dict[str, str] = {}
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -266,6 +276,24 @@ class ApiServer:
                             t.table_id for t in self._matched_tables(cid)
                         ],
                     })
+                if path == "/debug/info":
+                    # `api.go:46` handleDebugInfo — the node-health probe
+                    # the integration harness polls; ours reports the
+                    # driver process plus the changefeed inventory.
+                    return self._send(200, {
+                        "version": VERSION,
+                        "pid": os.getpid(),
+                        "log_level": server.log_level,
+                        "redact_mode": server.redact_mode,
+                        "changefeeds": registry.list(),
+                    })
+                if path == "/debug/failpoints":
+                    # ListFailpoints (`api/v2/failpoint.go:120`): only the
+                    # HTTP-enabled set, name-sorted
+                    return self._send(200, [
+                        {"name": n, "expr": e}
+                        for n, e in sorted(server.http_failpoints.items())
+                    ])
                 if path == "/api/v2/unsafe/metadata":
                     kvs = [
                         {"key": f"/ticdc/changefeed/info/{cid}", "value": doc}
@@ -331,6 +359,64 @@ class ApiServer:
                             400, {"error_msg": f"invalid log level: {level!r}"}
                         )
                     server.log_level = level
+                    return self._send(200, {})
+                if path == "/api/v2/log/redact":
+                    # SetRedactMode (`api/v2/log.go:86-175`): monotonic
+                    # off → marker → on ladder; downgrades rejected; same
+                    # mode is an idempotent success.
+                    mode = str(self._body().get(
+                        "redact_info_log", "")).strip().lower()
+                    if mode not in _REDACT_LEVELS:
+                        return self._send(400, {
+                            "error_msg": "invalid redact mode "
+                            f"{mode!r}: must be 'off', 'on', or 'marker'"
+                        })
+                    with server._redact_lock:
+                        prev = server.redact_mode
+                        if _REDACT_LEVELS[mode] < _REDACT_LEVELS[prev]:
+                            return self._send(400, {
+                                "error_msg": f"cannot transition from "
+                                f"'{prev}' to '{mode}': only transitions "
+                                "to more restrictive modes are allowed "
+                                "(OFF→MARKER→ON)"
+                            })
+                        server.redact_mode = mode
+                    return self._send(200, {
+                        "previous_mode": prev, "current_mode": mode
+                    })
+                if path == "/debug/failpoints":
+                    # EnableFailpoint (`api/v2/failpoint.go:74`): name +
+                    # expr required; bad grammar → 500 like the reference
+                    body = self._body()
+                    name = str(body.get("name", "")).strip()
+                    expr = str(body.get("expr", "")).strip()
+                    if not name or not expr:
+                        return self._send(
+                            400, {"error_msg": "name and expr are required"}
+                        )
+                    try:
+                        failpoint.enable(name, expr)
+                    except ValueError as e:
+                        return self._send(500, {"error_msg": str(e)})
+                    server.http_failpoints[name] = expr
+                    return self._send(200, {})
+                if path == "/api/v2/unsafe/resolve_lock":
+                    # ResolveLock (`api/v2/unsafe.go:47`): kicks TiKV's
+                    # lock resolver for one region at a ts. Our source is
+                    # a committed changelog (no Percolator locks can
+                    # linger), so validation is the whole operation.
+                    body = self._body()
+                    try:
+                        region_id = int(body.get("region_id", 0))
+                        ts = int(body.get("ts", 0))
+                    except (TypeError, ValueError):
+                        return self._send(
+                            400, {"error_msg": "region_id/ts must be ints"}
+                        )
+                    if region_id < 0 or ts < 0:
+                        return self._send(
+                            400, {"error_msg": "region_id/ts must be >= 0"}
+                        )
                     return self._send(200, {})
                 if path == "/api/v2/owner/resign":
                     # Single-node: the driver is the only candidate and
@@ -433,6 +519,19 @@ class ApiServer:
 
             # -- DELETE ---------------------------------------------------
             def do_DELETE(self):
+                dpath, dquery = self._route()
+                if dpath == "/debug/failpoints":
+                    # DisableFailpoint (`api/v2/failpoint.go:96`): name by
+                    # query param, else body; required
+                    name = (dquery.get("name", [""])[0] or str(
+                        self._body().get("name", ""))).strip()
+                    if not name:
+                        return self._send(
+                            400, {"error_msg": "name is required"}
+                        )
+                    failpoint.disable(name)
+                    server.http_failpoints.pop(name, None)
+                    return self._send(200, {})
                 if self.path == "/api/v2/unsafe/service_gc_safepoint":
                     # The reference drops the service GC safepoint key in
                     # PD; ours is derived (min live checkpoint), so there
