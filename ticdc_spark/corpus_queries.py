@@ -1,0 +1,188 @@
+"""Corpus-operator queries + DuckDB oracles (Bloom membership, mixture
+weights, bigram LM, quality classifier — `llm/corpus.py`).
+
+Every computation is integer-exact after hashing (see the module doc of
+`llm/corpus.py`), so the oracles reproduce Spark's output bit-for-bit:
+md5-derived buckets parse identically via `('0x' || substr(md5(..)))`
+(DuckDB) vs `conv(substring(md5(..)), 16, 10)` (Spark), and all sums
+are BIGINT.
+"""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ticdc_spark.llm.corpus import (
+    BLOOM_K,
+    BLOOM_WORD_BITS,
+    BLOOM_BITS,
+    QC_BUCKETS,
+    QC_MULT,
+    QC_THRESHOLD_MILLI,
+    bigram_logprob,
+    bloom_build,
+    bloom_probe,
+    mixture_weights,
+    quality_classifier,
+)
+from ticdc_spark.queries import register
+from ticdc_spark.sources.changelog import read_table
+
+
+def _docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter membership: build over the corpus digests, probe a mixed
+# present/absent candidate set; false positives are the measurement.
+# ---------------------------------------------------------------------------
+def _bloom_pos_sql(key: str, i: str) -> str:
+    return (
+        f"(('0x' || substr(md5({i} || ':' || {key}), 1, 12))::BIGINT)"
+        f" % {BLOOM_BITS}"
+    )
+
+
+_BLOOM_ORACLE = f"""
+WITH keys AS (SELECT md5(text) AS key FROM documents),
+pos AS (
+    SELECT {_bloom_pos_sql('key', 'i::VARCHAR')} AS pos
+    FROM keys, generate_series(0, {BLOOM_K - 1}) s(i)
+),
+bloom AS (
+    SELECT pos // {BLOOM_WORD_BITS} AS word_idx,
+           bit_or(1::BIGINT << (pos % {BLOOM_WORD_BITS})) AS word
+    FROM pos GROUP BY 1
+),
+cand AS (
+    -- DISTINCT: duplicate texts share a digest; one probe per key
+    SELECT DISTINCT md5(text) AS key, TRUE AS truly_present
+    FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT 'absent:' || i::VARCHAR, FALSE
+    FROM generate_series(0, 99) t(i)
+),
+lk AS (
+    SELECT key, truly_present,
+           {_bloom_pos_sql('key', 'i::VARCHAR')} AS pos
+    FROM cand, generate_series(0, {BLOOM_K - 1}) s(i)
+),
+checked AS (
+    SELECT key, truly_present,
+           min(CASE WHEN (coalesce(word, 0)
+                          & (1::BIGINT << (pos % {BLOOM_WORD_BITS})))
+                        = (1::BIGINT << (pos % {BLOOM_WORD_BITS}))
+                    THEN 1 ELSE 0 END) AS all_set
+    FROM lk LEFT JOIN bloom ON bloom.word_idx = lk.pos // {BLOOM_WORD_BITS}
+    GROUP BY 1, 2
+)
+SELECT key, truly_present, all_set = 1 AS bloom_hit FROM checked
+"""
+
+
+@register("bloom_membership", _BLOOM_ORACLE)
+def q_bloom_membership(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    bloom = bloom_build(docs.select(F.md5("text").alias("key")))
+    present = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.md5("text").alias("key")
+    ).distinct().withColumn("truly_present", F.lit(True))
+    absent = spark.range(100).select(
+        F.concat(F.lit("absent:"), F.col("id").cast("string")).alias("key"),
+        F.lit(False).alias("truly_present"),
+    )
+    cand = present.unionByName(absent)
+    return bloom_probe(cand, bloom).join(
+        cand, "key"
+    ).select("key", "truly_present", "bloom_hit")
+
+
+# ---------------------------------------------------------------------------
+# Mixture weights (α = 0.5 temperature sampling), all-integer closed form
+# ---------------------------------------------------------------------------
+_MIX_BUDGET = 10_000_000
+
+_MIX_ORACLE = f"""
+WITH s AS (
+    SELECT source, count(*)::BIGINT AS n_docs,
+           sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+    FROM documents GROUP BY 1
+),
+n AS (SELECT *, floor(sqrt(n_tokens * 1000000.0))::BIGINT AS ns FROM s),
+t AS (SELECT sum(ns)::BIGINT AS total_ns FROM n),
+w AS (
+    SELECT source, n_docs, n_tokens,
+           (ns * 1000000) // total_ns AS weight_ppm
+    FROM n, t
+),
+a AS (
+    SELECT *, (weight_ppm * {_MIX_BUDGET}) // 1000000 AS alloc_tokens
+    FROM w
+)
+SELECT source, n_docs, n_tokens, weight_ppm, alloc_tokens,
+       (alloc_tokens * 1000) // n_tokens AS epochs_milli
+FROM a
+"""
+
+
+@register("mixture_weights", _MIX_ORACLE)
+def q_mixture_weights(spark, sf_dir):
+    return mixture_weights(_docs(spark, sf_dir), token_budget=_MIX_BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM (Laplace-smoothed, corpus-trained) scored in micro-nats
+# ---------------------------------------------------------------------------
+_BIGRAM_ORACLE = """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents),
+pairs AS (
+    SELECT doc_id,
+           unnest([{'w1': toks[i], 'w2': toks[i+1]}
+                   for i in generate_series(1, len(toks) - 1)]) AS bg
+    FROM docs
+),
+p AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM pairs),
+bg AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM p GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM bg GROUP BY 1),
+v AS (SELECT count(DISTINCT w2) AS vocab FROM bg),
+scored AS (
+    SELECT doc_id,
+           round(ln((c12 + 1)::DOUBLE / (c1 + vocab)) * 1000000)::BIGINT
+               AS mn
+    FROM p JOIN bg USING (w1, w2) JOIN ctx USING (w1), v
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       sum(mn)::BIGINT AS logprob_micro
+FROM scored GROUP BY 1
+"""
+
+
+@register("bigram_logprob", _BIGRAM_ORACLE)
+def q_bigram_logprob(spark, sf_dir):
+    return bigram_logprob(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier (fasttext-shaped inference plumbing)
+# ---------------------------------------------------------------------------
+_QC_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+w AS (
+    SELECT doc_id,
+           ((('0x' || substr(md5(t), 1, 7))::BIGINT % {QC_BUCKETS})
+            * {QC_MULT}) % 2001 - 1000 AS w_milli
+    FROM tok
+)
+SELECT doc_id, count(*)::BIGINT AS n_toks,
+       sum(w_milli)::BIGINT AS score_milli,
+       sum(w_milli) > count(*) * {QC_THRESHOLD_MILLI} AS keep
+FROM w GROUP BY 1
+"""
+
+
+@register("quality_classifier", _QC_ORACLE)
+def q_quality_classifier(spark, sf_dir):
+    return quality_classifier(_docs(spark, sf_dir))

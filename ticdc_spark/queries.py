@@ -549,3 +549,4 @@ from ticdc_spark import typed_queries  # noqa: E402,F401  isort:skip
 from ticdc_spark import ddl_queries  # noqa: E402,F401  isort:skip
 from ticdc_spark import diff_queries  # noqa: E402,F401  isort:skip
 from ticdc_spark import metrics_queries  # noqa: E402,F401  isort:skip
+from ticdc_spark import corpus_queries  # noqa: E402,F401  isort:skip
