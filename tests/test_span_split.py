@@ -196,3 +196,48 @@ def test_balance_closed_form_matches_heap_simulation(spark):
         got = {r["span_id"]: r["node_id_after"]
                for r in plan.filter("move_rank is not null").collect()}
         assert got == expected_moves, f"case {case}: {got} != {expected_moves}"
+
+
+def test_scheduler_join_path_matches_fold_path(spark, monkeypatch):
+    """Beyond LIT_FOLD_MAX_NODES the planners switch from literal CASE
+    folds to broadcast joins.  Both paths must be plan-for-plan
+    identical in OUTPUT; force the join path by dropping the threshold
+    to 0 and diff against the fold path on the same inputs."""
+    import random
+
+    from ticdc_spark.plans import scheduler
+    from ticdc_spark.plans.scheduler import (
+        assign_absent,
+        balance_spans,
+        drain_node,
+    )
+
+    rng = random.Random(23)
+    node_ids = [f"n{i:02d}" for i in range(7)]
+    spans = [(s, rng.choice(node_ids[:5])) for s in range(60)]
+    assign = spark.createDataFrame(spans, "span_id long, node_id string")
+    nodes = spark.createDataFrame([(n,) for n in node_ids],
+                                  "node_id string")
+    absent = spark.createDataFrame([(1000 + i,) for i in range(9)],
+                                   "span_id long")
+
+    def snap(df, key="span_id"):
+        return sorted(tuple(r) for r in df.collect())
+
+    fold = (
+        snap(balance_spans(assign, nodes)),
+        snap(balance_spans(assign, nodes, batch_size=4)),
+        snap(drain_node(assign, nodes, "n00")),
+        snap(assign_absent(absent, assign, nodes)),
+        snap(assign_absent(absent, assign, nodes, available_size=3)),
+    )
+    monkeypatch.setattr(scheduler, "LIT_FOLD_MAX_NODES", 0)
+    join = (
+        snap(balance_spans(assign, nodes)),
+        snap(balance_spans(assign, nodes, batch_size=4)),
+        snap(drain_node(assign, nodes, "n00")),
+        snap(assign_absent(absent, assign, nodes)),
+        snap(assign_absent(absent, assign, nodes, available_size=3)),
+    )
+    for i, (a, b) in enumerate(zip(fold, join)):
+        assert a == b, f"planner {i}: join path diverged"

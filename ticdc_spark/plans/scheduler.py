@@ -112,12 +112,18 @@ def _take_plan(rows: list[tuple[str, int]],
     return floor_limit, d, ks
 
 
+# Above this node count the literal CASE chains / fold expressions grow
+# linearly in the plan tree (compile cost, codegen size); the planners
+# switch to broadcast joins against the literal loads table — identical
+# semantics, one extra cheap broadcast stage per lookup.
+LIT_FOLD_MAX_NODES = 256
+
+
 def _lit_map(rows: list[tuple[str, int]], node_col) -> F.Column:
     """node_id -> value as a literal CASE chain (n_nodes arms).  Turns a
-    metadata join into a projection — zero exchanges.  For clusters of
-    thousands of nodes the chain would bloat the plan; flip back to a
-    broadcast-join against ``_literal_loads`` at that point (same
-    semantics, one extra cheap stage)."""
+    metadata join into a projection — zero exchanges.  Used below
+    ``LIT_FOLD_MAX_NODES``; `_with_node_value` flips to a broadcast join
+    beyond it."""
     expr: F.Column = F.lit(None).cast("long")
     for nid, v in rows:
         expr = F.when(node_col == nid, F.lit(int(v))).otherwise(expr)
@@ -158,6 +164,74 @@ def _fold_slot_rank(rows: list[tuple[str, int]], q_col, node_col,
     return total.cast("long")
 
 
+def _with_node_value(df: DataFrame, rows: list[tuple[str, int]],
+                     out_col: str) -> DataFrame:
+    """Attach the per-node metadata value keyed by ``node_id``: literal
+    CASE projection for small clusters, broadcast join beyond
+    ``LIT_FOLD_MAX_NODES`` (thousands of nodes)."""
+    if len(rows) <= LIT_FOLD_MAX_NODES:
+        return df.withColumn(out_col, _lit_map(rows, F.col("node_id")))
+    lookup = _literal_loads(df.sparkSession, rows).select(
+        "node_id", F.col("load").alias(out_col))
+    return df.join(F.broadcast(lookup), "node_id", "left")
+
+
+def _loads_j(spark, rows: list[tuple[str, int]]) -> DataFrame:
+    return _literal_loads(spark, rows).select(
+        F.col("node_id").alias("_nj"), F.col("load").alias("_lj"))
+
+
+def _with_take_rank(df: DataFrame, rows: list[tuple[str, int]],
+                    out_col: str) -> DataFrame:
+    """Heap-pop rank over (``_p``, ``node_id``) — fold projection for
+    small clusters; beyond the threshold, a broadcast cross join against
+    the n_nodes loads and a re-aggregation.  The input here is at most
+    D = batch-size rows (the tick's move budget), so the D x n_nodes
+    expansion is bounded by the move budget, never by span count."""
+    if len(rows) <= LIT_FOLD_MAX_NODES:
+        return df.withColumn(
+            out_col, _fold_take_rank(rows, F.col("_p"), F.col("node_id")))
+    keys = df.columns
+    contrib = (
+        F.greatest(F.col("_lj") - F.col("_p") - 1, F.lit(0))
+        + F.when((F.col("_lj") > F.col("_p"))
+                 & (F.col("_nj") <= F.col("node_id")),
+                 F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        df.crossJoin(F.broadcast(_loads_j(df.sparkSession, rows)))
+        .groupBy(*keys)
+        .agg(F.sum(contrib).cast("long").alias(out_col))
+    )
+
+
+def _with_slot_rank(df: DataFrame, rows: list[tuple[str, int]],
+                    out_col: str,
+                    per_node_cap: int | None = None) -> DataFrame:
+    """Heap-push rank over (``_q``, ``node_id``); ``per_node_cap`` is
+    the constant fill bound used by drain/assign (all call sites pass
+    None or a constant).  Join path mirrors `_with_take_rank` — the slot
+    side is O(imbalance + d) rows."""
+    if len(rows) <= LIT_FOLD_MAX_NODES:
+        cap_fn = (None if per_node_cap is None
+                  else (lambda nj, lj: per_node_cap))
+        return df.withColumn(
+            out_col,
+            _fold_slot_rank(rows, F.col("_q"), F.col("node_id"), cap_fn))
+    keys = df.columns
+    below = F.greatest(F.col("_q") - 1 - F.col("_lj"), F.lit(0))
+    tie = (F.col("_lj") < F.col("_q")) & (F.col("_nj") <= F.col("node_id"))
+    if per_node_cap is not None:
+        below = F.least(below, F.lit(int(per_node_cap)))
+        tie = tie & (F.col("_q") <= F.col("_lj") + F.lit(int(per_node_cap)))
+    contrib = below + F.when(tie, F.lit(1)).otherwise(F.lit(0))
+    return (
+        df.crossJoin(F.broadcast(_loads_j(df.sparkSession, rows)))
+        .groupBy(*keys)
+        .agg(F.sum(contrib).cast("long").alias(out_col))
+    )
+
+
 def balance_spans(
     assign: DataFrame,
     nodes: DataFrame,
@@ -187,26 +261,23 @@ def balance_spans(
     # load/k lookups and both heap ranks are literal folds over the
     # collected loads (projections, zero extra stages).
     w_node = Window.partitionBy("node_id").orderBy("span_id")
-    take_rank = (
-        assign
-        .withColumn("_k", _lit_map(ks_rows, F.col("node_id")))
+    victims = (
+        _with_node_value(assign, ks_rows, "_k")
         .filter(F.col("_k") > 0)
         .withColumn("_e", F.row_number().over(w_node))
         .filter(F.col("_e") <= F.col("_k"))  # exactly D rows survive
-        .withColumn(
-            "_p", _lit_map(rows, F.col("node_id")) - F.col("_e"))
-        .withColumn(
-            "_take_rank",
-            _fold_take_rank(rows, F.col("_p"), F.col("node_id")))
-        .select("span_id", "_take_rank")
     )
+    victims = _with_node_value(victims, rows, "_load").withColumn(
+        "_p", F.col("_load") - F.col("_e"))
+    take_rank = _with_take_rank(victims, rows, "_take_rank").select(
+        "span_id", "_take_rank")
 
     # slots: f-th fill of an under-floor node has priority load + f;
     # every slot is consumed (sum of per-node deficits == D), so only
     # the rank is needed — same closed form, ascending.  Generated by a
     # distributed explode from the literal loads (never a driver list:
     # the fill count scales with the imbalance, not n_nodes).
-    slot_rank = (
+    slots = (
         _literal_loads(spark, rows)
         .filter(F.col("load") < F.lit(floor_limit))
         .select(
@@ -216,11 +287,9 @@ def balance_spans(
             ).alias("_f"),
         )
         .withColumn("_q", F.col("load") + F.col("_f"))
-        .withColumn(
-            "_slot_rank",
-            _fold_slot_rank(rows, F.col("_q"), F.col("node_id")))
-        .select(F.col("node_id").alias("_to_node"), "_slot_rank")
     )
+    slot_rank = _with_slot_rank(slots, rows, "_slot_rank").select(
+        F.col("node_id").alias("_to_node"), "_slot_rank")
     moved = (
         take_rank
         .filter(F.col("_take_rank") <= F.lit(d))
@@ -317,12 +386,9 @@ def drain_node(
         .withColumn("_q", F.col("load") + F.col("_f"))
     )
     # slots from node k strictly ahead: priorities in (load_k,
-    # load_k + d] below q — the bounded-fill literal fold
+    # load_k + d] below q — the bounded-fill rank
     slot_rank = (
-        slots.withColumn(
-            "_slot_rank",
-            _fold_slot_rank(rows, F.col("_q"), F.col("node_id"),
-                            per_node_cap=lambda nj, lj: d))
+        _with_slot_rank(slots, rows, "_slot_rank", per_node_cap=d)
         .filter(F.col("_slot_rank") <= F.col("d"))
         .select(F.col("node_id").alias("_to_node"), "_slot_rank")
     )
@@ -405,7 +471,7 @@ def assign_absent(
 
     cap = F.greatest(
         F.lit(max_load) - F.col("load") + F.lit(-(-d // n)), F.lit(1))
-    slot_rank = (
+    slots = (
         _literal_loads(spark, rows)
         .select(
             "node_id", "load",
@@ -414,10 +480,9 @@ def assign_absent(
             ).alias("_f"),
         )
         .withColumn("_q", F.col("load") + F.col("_f"))
-        .withColumn(
-            "_slot_rank",
-            _fold_slot_rank(rows, F.col("_q"), F.col("node_id"),
-                            per_node_cap=lambda nj, lj: d))
+    )
+    slot_rank = (
+        _with_slot_rank(slots, rows, "_slot_rank", per_node_cap=d)
         .filter(F.col("_slot_rank") <= F.lit(d))
         .select(F.col("node_id").alias("_to"), "_slot_rank")
     )
