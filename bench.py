@@ -108,6 +108,10 @@ def main() -> None:
         "source_overlap_matrix", "substring_excise",
         "pq_codes", "pq_adc_knn", "ivf_pq_knn", "sq_dot_topk",
         "dataset_card", "bpe_encode_stats",
+        # round-2 corpus operators: Bloom membership, mixture weights,
+        # bigram LM, hashed-linear quality classifier
+        "bloom_membership", "mixture_weights", "bigram_logprob",
+        "quality_classifier",
     ]
     def time_query(name: str) -> float:
         df = QUERIES[name](spark, sf_dir)
