@@ -97,7 +97,7 @@ def parse_changefeed_config(text: str, fmt: str = "toml") -> ChangefeedConfig:
         transaction_atomicity=sink.get("transaction-atomicity", "none"),
         bdr_mode=doc.get("bdr-mode", False),
         enable_table_across_nodes=sched.get("enable-table-across-nodes", False),
-        region_threshold=sched.get("region-threshold", 100_000),
+        region_threshold=sched.get("region-threshold", 10_000),
         write_key_threshold=sched.get("write-key-threshold", 0),
     )
     if sync_interval:

@@ -103,7 +103,7 @@ class ChangefeedConfig:
     bdr_mode: bool = False
     # [scheduler] (`pkg/config/scheduler_config.go:36-46`)
     enable_table_across_nodes: bool = False
-    region_threshold: int = 100_000
+    region_threshold: int = 10_000  # `replica_config.go:109`
     write_key_threshold: int = 0
 
 
