@@ -101,3 +101,29 @@ def test_consumer_replay_tool(server, spark, sf_dir, tmp_path):
     assert rc == 0 and doc["rows"] > 0
     state = spark.read.parquet(out_dir)
     assert {"schema_name", "table_name", "id", "val", "k"} <= set(state.columns)
+
+
+def test_unsafe_resolve_lock_and_move_split(server):
+    url, toml = server
+    rc, _ = run(url, "unsafe", "resolve-lock", "--region-id", "3",
+                "--ts", "42")
+    assert rc == 0
+    rc, doc = run(url, "changefeed", "create", "-c", "cf-ms",
+                  "--config", toml)
+    assert rc == 0
+    rc, doc = run(url, "changefeed", "move-split-table", "-c", "cf-ms")
+    assert rc == 0 and "single-node" in doc.get("note", "")
+
+
+def test_unsafe_reset_wipes_changefeeds(server):
+    url, toml = server
+    for cid in ("cf-r1", "cf-r2"):
+        rc, _ = run(url, "changefeed", "create", "-c", cid,
+                    "--config", toml)
+        assert rc == 0
+    rc, doc = run(url, "unsafe", "reset")
+    assert rc == 0
+    assert doc["removed_changefeeds"] == ["cf-r1", "cf-r2"]
+    rc, lst = run(url, "changefeed", "list")
+    # reference DELETE moves feeds to removed; none stay listable-normal
+    assert all(item["state"] == "removed" for item in lst["items"])

@@ -80,6 +80,7 @@ def build_parser() -> argparse.ArgumentParser:
     cf_cmd("statistics")
     cf_cmd("split-table-by-region-count", table_id=True)
     cf_cmd("move-table")
+    cf_cmd("move-split-table")
     cf_cmd("merge-table")
 
     cap = sub.add_parser("capture").add_subparsers(dest="verb", required=True)
@@ -91,6 +92,10 @@ def build_parser() -> argparse.ArgumentParser:
     uns = sub.add_parser("unsafe").add_subparsers(dest="verb", required=True)
     uns.add_parser("show-metadata")
     uns.add_parser("delete-service-gc-safepoint")
+    rl = uns.add_parser("resolve-lock")  # cli_unsafe_resolve_lock.go
+    rl.add_argument("--region-id", type=int, required=True)
+    rl.add_argument("--ts", type=int, default=0)
+    uns.add_parser("reset")  # cli_unsafe_reset.go: drop ALL cdc metadata
     # consumer tools (`cmd/kafka-consumer`, `cmd/storage-consumer`):
     # decode a changefeed's sink output and rebuild table state locally
     con = sub.add_parser("consumer").add_subparsers(dest="verb", required=True)
@@ -141,7 +146,7 @@ def main(argv: list[str] | None = None, out=sys.stdout) -> int:
                 "POST",
                 {"n_regions": a.n_regions, "spans_num": a.spans_num},
             ), out=out)
-        if a.verb in ("move-table", "merge-table"):
+        if a.verb in ("move-table", "move-split-table", "merge-table"):
             return _emit(*_call(
                 s, f"/api/v2/changefeeds/{cid}/{a.verb.replace('-', '_')}",
                 "POST", {}), out=out)
@@ -154,6 +159,24 @@ def main(argv: list[str] | None = None, out=sys.stdout) -> int:
     if a.noun == "unsafe":
         if a.verb == "show-metadata":
             return _emit(*_call(s, "/api/v2/unsafe/metadata"), out=out)
+        if a.verb == "resolve-lock":
+            return _emit(*_call(s, "/api/v2/unsafe/resolve_lock", "POST",
+                                {"region_id": a.region_id, "ts": a.ts}),
+                         out=out)
+        if a.verb == "reset":
+            # `cli_unsafe_reset.go` wipes every changefeed plus the
+            # service GC safepoint; over the API that is list → delete
+            # each → drop the safepoint.
+            code, lst = _call(s, "/api/v2/changefeeds")
+            removed = []
+            if code == 200:
+                for item in lst.get("items", []):
+                    _call(s, f"/api/v2/changefeeds/{item['id']}", "DELETE")
+                    removed.append(item["id"])
+            code, _ = _call(s, "/api/v2/unsafe/service_gc_safepoint",
+                            "DELETE")
+            return _emit(code, {"removed_changefeeds": sorted(removed)},
+                         out=out)
         return _emit(*_call(s, "/api/v2/unsafe/service_gc_safepoint",
                             "DELETE"), out=out)
     if a.noun == "consumer":
