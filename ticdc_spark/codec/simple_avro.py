@@ -1,0 +1,374 @@
+"""simple protocol, Avro encoding-format — the reference's second wire
+shape for the self-describing protocol (`pkg/sink/codec/simple/avro.go`,
+schema `pkg/sink/codec/simple/message.json`; JSON twin in
+`simple_protocol.py`).
+
+A small generic Avro *binary* encoder/decoder (Avro 1.11 spec: zigzag
+varints, length-prefixed strings/bytes, field-order records, index-
+prefixed enums/unions, block-framed maps/arrays) drives the reference's
+``com.pingcap.simple.avro.Message`` schema, reproduced below field-for-
+field in declaration order (order is load-bearing: Avro binary carries
+no field names).  All four message kinds are supported: WATERMARK,
+BOOTSTRAP, DDL, DML.
+
+DataFrame path: Arrow-batched ``mapInPandas`` — byte assembly is not
+expressible as column algebra, and per-batch Python over Arrow is the
+sanctioned shape for wire codecs (same justification as
+`avro_binary.py:226`).
+"""
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+from ticdc_spark.codec.avro_binary import zigzag_decode, zigzag_encode
+
+# -- the reference schema (message.json), declaration order preserved --------
+_N = "com.pingcap.simple.avro."
+
+_VALUE_UNION = [
+    "null", "long", "float", "double", "string", "bytes",
+    _N + "Timestamp", _N + "UnsignedBigint",
+]
+
+SCHEMAS: dict[str, dict] = {
+    _N + "DataType": {"type": "record", "fields": [
+        ("mysqlType", "string"), ("charset", "string"),
+        ("collate", "string"), ("length", "long"),
+        ("decimal", ["null", "int"]),
+        ("elements", ["null", {"type": "array", "items": "string"}]),
+        ("unsigned", ["null", "boolean"]),
+        ("zerofill", ["null", "boolean"]),
+    ]},
+    _N + "ColumnSchema": {"type": "record", "fields": [
+        ("name", "string"), ("dataType", _N + "DataType"),
+        ("nullable", "boolean"), ("default", ["null", "string"]),
+    ]},
+    _N + "IndexSchema": {"type": "record", "fields": [
+        ("name", "string"), ("unique", "boolean"), ("primary", "boolean"),
+        ("nullable", "boolean"),
+        ("columns", {"type": "array", "items": "string"}),
+    ]},
+    _N + "TableSchema": {"type": "record", "fields": [
+        ("database", "string"), ("table", "string"), ("tableID", "long"),
+        ("version", "long"),
+        ("columns", {"type": "array", "items": _N + "ColumnSchema"}),
+        ("indexes", {"type": "array", "items": _N + "IndexSchema"}),
+    ]},
+    _N + "Checksum": {"type": "record", "fields": [
+        ("version", "int"), ("corrupted", "boolean"),
+        ("current", "long"), ("previous", "long"),
+    ]},
+    _N + "Watermark": {"type": "record", "fields": [
+        ("version", "int"), ("commitTs", "long"), ("buildTs", "long"),
+    ]},
+    _N + "Bootstrap": {"type": "record", "fields": [
+        ("version", "int"), ("buildTs", "long"),
+        ("tableSchema", _N + "TableSchema"),
+    ]},
+    _N + "DDL": {"type": "record", "fields": [
+        ("version", "int"),
+        ("type", {"type": "enum", "symbols": [
+            "CREATE", "ALTER", "ERASE", "RENAME", "TRUNCATE",
+            "CINDEX", "DINDEX", "QUERY"]}),
+        ("sql", "string"), ("commitTs", "long"), ("buildTs", "long"),
+        ("tableSchema", ["null", _N + "TableSchema"]),
+        ("preTableSchema", ["null", _N + "TableSchema"]),
+    ]},
+    _N + "Timestamp": {"type": "record", "fields": [
+        ("location", "string"), ("value", "string"),
+    ]},
+    _N + "UnsignedBigint": {"type": "record", "fields": [
+        ("value", "long"),
+    ]},
+    _N + "DML": {"type": "record", "fields": [
+        ("version", "int"), ("database", "string"), ("table", "string"),
+        ("tableID", "long"),
+        ("type", {"type": "enum", "symbols": ["INSERT", "UPDATE",
+                                              "DELETE"]}),
+        ("commitTs", "long"), ("buildTs", "long"),
+        ("schemaVersion", "long"),
+        ("claimCheckLocation", ["null", "string"]),
+        ("handleKeyOnly", ["null", "boolean"]),
+        ("checksum", ["null", _N + "Checksum"]),
+        ("data", ["null", {"type": "map", "values": _VALUE_UNION}]),
+        ("old", ["null", {"type": "map", "values": _VALUE_UNION}]),
+    ]},
+    _N + "Message": {"type": "record", "fields": [
+        ("type", {"type": "enum", "symbols": ["WATERMARK", "BOOTSTRAP",
+                                              "DDL", "DML"]}),
+        ("payload", [_N + "Watermark", _N + "Bootstrap", _N + "DDL",
+                     _N + "DML"]),
+    ]},
+}
+
+
+def _resolve(t):
+    return SCHEMAS[t] if isinstance(t, str) and t.startswith(_N) else t
+
+
+# -- generic Avro binary (spec §binary encoding) -----------------------------
+def _union_branch(val, branches: list) -> int:
+    """Pick the union branch for a Python value.  Typed wrappers pass
+    through as ("<branch name>", value) tuples; plain values map
+    null→null, bool→boolean, int→long/int, float→double/float,
+    str→string, bytes→bytes, dict→first record/map branch."""
+    def kind(b):
+        b = _resolve(b)
+        return b["type"] if isinstance(b, dict) else b
+
+    if isinstance(val, tuple) and len(val) == 2 and isinstance(val[0], str):
+        for i, b in enumerate(branches):
+            if (isinstance(b, str)
+                    and (b == val[0] or b.split(".")[-1] == val[0])) \
+                    or kind(b) == val[0]:
+                return i
+        raise ValueError(f"no union branch named {val[0]!r}")
+    want: tuple[str, ...]
+    if val is None:
+        want = ("null",)
+    elif isinstance(val, bool):
+        want = ("boolean",)
+    elif isinstance(val, int):
+        want = ("long", "int")
+    elif isinstance(val, float):
+        want = ("double", "float")
+    elif isinstance(val, str):
+        want = ("string",)
+    elif isinstance(val, (bytes, bytearray)):
+        want = ("bytes",)
+    elif isinstance(val, dict):
+        want = ("record", "map")
+    elif isinstance(val, list):
+        want = ("array",)
+    else:
+        raise ValueError(f"unencodable union value: {val!r}")
+    for w in want:
+        for i, b in enumerate(branches):
+            if kind(b) == w:
+                return i
+    raise ValueError(f"no union branch for {val!r} in {branches!r}")
+
+
+def encode_value(val, schema) -> bytes:
+    schema = _resolve(schema)
+    if isinstance(schema, list):  # union
+        i = _union_branch(val, schema)
+        inner = val[1] if isinstance(val, tuple) else val
+        return zigzag_encode(i) + encode_value(inner, schema[i])
+    if isinstance(schema, str):
+        if schema == "null":
+            return b""
+        if schema == "boolean":
+            return bytes([1 if val else 0])
+        if schema in ("int", "long"):
+            return zigzag_encode(int(val))
+        if schema == "float":
+            return struct.pack("<f", float(val))
+        if schema == "double":
+            return struct.pack("<d", float(val))
+        if schema in ("string", "bytes"):
+            raw = val.encode("utf-8") if isinstance(val, str) else bytes(val)
+            return zigzag_encode(len(raw)) + raw
+        raise ValueError(f"unknown avro type: {schema}")
+    t = schema["type"]
+    if t == "record":
+        out = bytearray()
+        for fname, ftype in schema["fields"]:
+            out += encode_value(val.get(fname), ftype)
+        return bytes(out)
+    if t == "enum":
+        return zigzag_encode(schema["symbols"].index(val))
+    if t == "array":
+        out = bytearray()
+        if val:
+            out += zigzag_encode(len(val))
+            for item in val:
+                out += encode_value(item, schema["items"])
+        out += zigzag_encode(0)
+        return bytes(out)
+    if t == "map":
+        out = bytearray()
+        if val:
+            out += zigzag_encode(len(val))
+            for k, v in val.items():
+                out += encode_value(k, "string")
+                out += encode_value(v, schema["values"])
+        out += zigzag_encode(0)
+        return bytes(out)
+    raise ValueError(f"unknown avro schema: {schema!r}")
+
+
+def decode_value(buf: bytes, pos: int, schema):
+    schema = _resolve(schema)
+    if isinstance(schema, list):
+        i, pos = zigzag_decode(buf, pos)
+        return decode_value(buf, pos, schema[i])
+    if isinstance(schema, str):
+        if schema == "null":
+            return None, pos
+        if schema == "boolean":
+            return buf[pos] == 1, pos + 1
+        if schema in ("int", "long"):
+            return zigzag_decode(buf, pos)
+        if schema == "float":
+            return struct.unpack_from("<f", buf, pos)[0], pos + 4
+        if schema == "double":
+            return struct.unpack_from("<d", buf, pos)[0], pos + 8
+        if schema in ("string", "bytes"):
+            n, pos = zigzag_decode(buf, pos)
+            raw = bytes(buf[pos:pos + n])
+            return (raw.decode("utf-8") if schema == "string" else raw,
+                    pos + n)
+        raise ValueError(f"unknown avro type: {schema}")
+    t = schema["type"]
+    if t == "record":
+        out = {}
+        for fname, ftype in schema["fields"]:
+            out[fname], pos = decode_value(buf, pos, ftype)
+        return out, pos
+    if t == "enum":
+        i, pos = zigzag_decode(buf, pos)
+        return schema["symbols"][i], pos
+    if t in ("array", "map"):
+        items: list | dict = [] if t == "array" else {}
+        while True:
+            n, pos = zigzag_decode(buf, pos)
+            if n == 0:
+                break
+            if n < 0:  # spec: negative count precedes a byte size
+                _, pos = zigzag_decode(buf, pos)
+                n = -n
+            for _ in range(n):
+                if t == "map":
+                    k, pos = decode_value(buf, pos, "string")
+                    items[k], pos = decode_value(buf, pos, schema["values"])
+                else:
+                    v, pos = decode_value(buf, pos, schema["items"])
+                    items.append(v)
+        return items, pos
+    raise ValueError(f"unknown avro schema: {schema!r}")
+
+
+# -- message level -----------------------------------------------------------
+_KIND_TO_BRANCH = {"WATERMARK": "Watermark", "BOOTSTRAP": "Bootstrap",
+                   "DDL": "DDL", "DML": "DML"}
+
+
+def encode_message(kind: str, payload: dict) -> bytes:
+    """One ``Message`` record: enum + payload union (branch picked by
+    kind — the reference wraps payloads the same way, `avro.go:146-212`)."""
+    return encode_value(
+        {"type": kind, "payload": (_KIND_TO_BRANCH[kind], payload)},
+        _N + "Message",
+    )
+
+
+def decode_message(buf: bytes) -> dict:
+    out, pos = decode_value(buf, 0, _N + "Message")
+    if pos != len(buf):
+        raise ValueError(f"trailing bytes after message: {len(buf) - pos}")
+    return out
+
+
+# -- DataFrame operators -----------------------------------------------------
+def encode_simple_avro_dml(
+    flat: DataFrame,
+    fields: list[str],
+    types: dict[str, str],
+    database_col: str = "schema_name",
+    table_col: str = "table_name",
+) -> DataFrame:
+    """Flat changelog (before_*/after_* columns) → binary simple-avro
+    DML messages.  insert: data only; update: data+old; delete: old
+    only — matching the JSON twin (`simple_protocol.py:35`)."""
+    import pandas as pd
+
+    out_schema = "seq long, op string, commit_ts long, value binary"
+    op_name = {"I": "INSERT", "U": "UPDATE", "D": "DELETE"}
+
+    def _conv(v, t):
+        if v is None or (isinstance(v, float) and pd.isna(v)):
+            return None
+        if t == "long":
+            return int(v)
+        if t == "double":
+            return float(v)
+        return str(v)
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = []
+            for row in pdf.itertuples(index=False):
+                r = row._asdict()
+                op = r["op"]
+                data = old = None
+                if op in ("I", "U"):
+                    data = {f: _conv(r.get(f"after_{f}"), types[f])
+                            for f in fields}
+                if op in ("U", "D"):
+                    old = {f: _conv(r.get(f"before_{f}"), types[f])
+                           for f in fields}
+                payload = {
+                    "version": 1,
+                    "database": r[database_col],
+                    "table": r[table_col],
+                    "tableID": int(r.get("table_id", 0)),
+                    "type": op_name[op],
+                    "commitTs": int(r["commit_ts"]),
+                    "buildTs": 0,
+                    "schemaVersion": 0,
+                    "claimCheckLocation": None,
+                    "handleKeyOnly": None,
+                    "checksum": None,
+                    "data": data,
+                    "old": old,
+                }
+                vals.append(encode_message("DML", payload))
+            yield pd.DataFrame({
+                "seq": pdf["seq"].astype("int64"),
+                "op": pdf["op"],
+                "commit_ts": pdf["commit_ts"].astype("int64"),
+                "value": vals,
+            })
+
+    return flat.mapInPandas(_encode, out_schema)
+
+
+def decode_simple_avro_dml(
+    msgs: DataFrame,
+    fields: list[str],
+    types: dict[str, str],
+) -> DataFrame:
+    """Consumer side: binary messages → recovered row images (data for
+    I/U, old for D — the image a replicator applies)."""
+    import pandas as pd
+
+    spark_t = {"long": "long", "double": "double", "string": "string"}
+    out_schema = "seq long, op string, commit_ts long, " + ", ".join(
+        f"{f} {spark_t[types[f]]}" for f in fields)
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {f: [] for f in fields}
+            for v in pdf["value"]:
+                msg = decode_message(bytes(v))
+                p = msg["payload"]
+                img = p["data"] if p["type"] != "DELETE" else p["old"]
+                for f in fields:
+                    cols[f].append(None if img is None else img.get(f))
+            out = {
+                "seq": pdf["seq"].astype("int64"),
+                "op": pdf["op"],
+                "commit_ts": pdf["commit_ts"].astype("int64"),
+            }
+            for f in fields:
+                s = pd.Series(cols[f])
+                if types[f] in ("long",):
+                    s = s.astype("Int64")
+                out[f] = s
+            yield pd.DataFrame(out)
+
+    return msgs.mapInPandas(_decode, out_schema)

@@ -662,6 +662,35 @@ def q_avro_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# simple protocol, Avro encoding-format (`pkg/sink/codec/simple/avro.go`,
+# schema message.json): full Message-record wire bytes through the
+# generic Avro-binary kernel, proven by consumer round-trip.  Deletes
+# carry the full old image (unlike the Confluent path's key-only
+# tombstone), so the oracle recovers every before_* field for D rows.
+# ---------------------------------------------------------------------------
+_SIMPLE_AVRO_IMG = ", ".join(
+    f"CASE WHEN op = 'D' THEN before_{f} ELSE after_{f} END AS {f}"
+    for f in ORDERS_PAYLOAD_FIELDS
+)
+
+
+@register(
+    "simple_avro_roundtrip",
+    f"WITH {ORDERS_CL_SQL} SELECT seq, op, commit_ts, {_SIMPLE_AVRO_IMG} "
+    "FROM orders_cl",
+)
+def q_simple_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ticdc_spark.codec.simple_avro import (
+        decode_simple_avro_dml,
+        encode_simple_avro_dml,
+    )
+
+    flat = flat_orders_changelog(spark, sf_dir)
+    enc = encode_simple_avro_dml(flat, ORDERS_PAYLOAD_FIELDS, _AVRO_TYPES)
+    return decode_simple_avro_dml(enc, ORDERS_PAYLOAD_FIELDS, _AVRO_TYPES)
+
+
+# ---------------------------------------------------------------------------
 # §2.9 exotic MySQL types: mounter decode (ENUM/SET/BIT/VECTOR) and the
 # csv wire rendering (`csv_message.go:276-323`).
 # ---------------------------------------------------------------------------
