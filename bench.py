@@ -186,6 +186,19 @@ def main() -> None:
         "overwrite").save()
     scale_probes["dedup_minhash_lsh_2x"] = round(time.perf_counter() - t0, 3)
 
+    # bigram LM at 4x docs: the heaviest corpus-op shape (two count
+    # tables + per-doc fold over corpus-sized joins) — linearity here
+    # says the join keys stay well-distributed as the corpus grows.
+    from ticdc_spark.llm.corpus import bigram_logprob
+
+    docs_4x = _reduce(_DF.unionByName, [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+        for i in range(4)
+    ])
+    t0 = time.perf_counter()
+    bigram_logprob(docs_4x).write.format("noop").mode("overwrite").save()
+    scale_probes["bigram_logprob_4x"] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "changefeed pipeline + operator suite wall time",
