@@ -333,3 +333,25 @@ def test_debug_info_and_resolve_lock(api):
     st, _err = _req(f"{base}/api/v2/unsafe/resolve_lock", "POST",
                     {"region_id": "seven", "ts": 1})
     assert st == 400
+
+
+def test_metrics_exposition(api):
+    base, reg = api
+    reg.create("cf-metrics", REFERENCE_TOML)
+    req = urllib.request.Request(f"{base}/metrics")
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    # FeedState.ToInt: normal = 0 (`pkg/config/changefeed.go:63-84`)
+    assert 'ticdc_owner_status{changefeed="cf-metrics"} 0' in text
+    assert "# TYPE ticdc_owner_status gauge" in text
+    assert "ticdc_owner_ownership_counter 1" in text
+    # second scrape bumps the counter
+    with urllib.request.urlopen(req) as r:
+        assert "ticdc_owner_ownership_counter 2" in r.read().decode()
+    # paused changefeed reports stopped = 3
+    reg.pause("cf-metrics")
+    with urllib.request.urlopen(req) as r:
+        text = r.read().decode()
+    assert 'ticdc_owner_status{changefeed="cf-metrics"} 3' in text

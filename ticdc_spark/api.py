@@ -62,6 +62,13 @@ _LOG_LEVELS = {"debug", "info", "warn", "error"}
 # modes are rejected at parse, same as util.ParseRedactMode.
 _REDACT_LEVELS = {"off": 0, "marker": 1, "on": 2}
 
+# FeedState.ToInt (`pkg/config/changefeed.go:63-84`) — the value of the
+# ticdc_owner_status gauge.
+_STATE_CODES = {
+    "normal": 0, "pending": 1, "failed": 2, "stopped": 3,
+    "finished": 4, "removed": 5, "warning": 6, "uninitialized": 7,
+}
+
 _CF_ROUTE = re.compile(
     r"^/api/v2/changefeeds/(?P<id>[^/]+)(?P<verb>/(pause|resume|status|synced"
     r"|tables|get_dispatcher_count|split_table_by_region_count"
@@ -145,6 +152,7 @@ class ApiServer:
         self.schema_store = schema_store or default_schema_store()
         self.log_level = "info"
         self.redact_mode = "off"
+        self._scrapes = 0
         self._redact_lock = threading.Lock()
         # failpoints enabled over HTTP, tracked separately from env-armed
         # ones so List shows exactly what the API set (`failpoint.go:70`)
@@ -276,6 +284,72 @@ class ApiServer:
                             t.table_id for t in self._matched_tables(cid)
                         ],
                     })
+                if path == "/metrics":
+                    # Prometheus text exposition (the reference's gauges
+                    # from `pkg/metrics/changefeed.go`): owner status +
+                    # checkpoint ts/lag per changefeed, the ownership
+                    # counter (incremented per scrape here — the
+                    # reference ticks it every 5 s on the owner), and the
+                    # progress-log row totals.
+                    server._scrapes += 1
+                    now_us = int(time.time() * 1e6)
+                    lines = [
+                        "# HELP ticdc_owner_status The status of changefeeds",
+                        "# TYPE ticdc_owner_status gauge",
+                    ]
+                    items = sorted(registry.list().items())
+                    for cid, st in items:
+                        code = _STATE_CODES.get(st, -1)
+                        lines.append(
+                            f'ticdc_owner_status{{changefeed="{cid}"}} {code}')
+                    lines += [
+                        "# HELP ticdc_owner_checkpoint_ts checkpoint ts "
+                        "of changefeeds",
+                        "# TYPE ticdc_owner_checkpoint_ts gauge",
+                        "# HELP ticdc_owner_checkpoint_ts_lag changefeed "
+                        "checkpoint ts lag in seconds",
+                        "# TYPE ticdc_owner_checkpoint_ts_lag gauge",
+                    ]
+                    for cid, st in items:
+                        if st == "removed":
+                            continue  # DeleteLabelValues analog
+                        ckpt = registry.get(cid).checkpoint_ts()
+                        if ckpt is None:
+                            continue
+                        lag = max(0.0, (now_us - ckpt) / 1e6)
+                        lines.append(
+                            f'ticdc_owner_checkpoint_ts{{changefeed='
+                            f'"{cid}"}} {ckpt}')
+                        lines.append(
+                            f'ticdc_owner_checkpoint_ts_lag{{changefeed='
+                            f'"{cid}"}} {round(lag, 3)}')
+                    lines += [
+                        "# HELP ticdc_sink_flushed_rows_total rows "
+                        "flushed by the sink (progress log)",
+                        "# TYPE ticdc_sink_flushed_rows_total counter",
+                    ]
+                    for cid, st in items:
+                        if st == "removed":
+                            continue
+                        rows = registry.get(cid).stats().get("rows", 0)
+                        lines.append(
+                            f'ticdc_sink_flushed_rows_total{{changefeed='
+                            f'"{cid}"}} {rows}')
+                    lines += [
+                        "# HELP ticdc_owner_ownership_counter The counter"
+                        " of ownership",
+                        "# TYPE ticdc_owner_ownership_counter counter",
+                        f"ticdc_owner_ownership_counter {server._scrapes}",
+                    ]
+                    body = ("\n".join(lines) + "\n").encode()
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type",
+                        "text/plain; version=0.0.4; charset=utf-8")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return None
                 if path == "/debug/info":
                     # `api.go:46` handleDebugInfo — the node-health probe
                     # the integration harness polls; ours reports the
