@@ -210,3 +210,33 @@ def test_tso_and_hll_stay_in_codegen(spark, sf_dir):
     for name in ("tso_functions", "hll_registers", "hll_user_estimate"):
         p = _plan(QUERIES[name](spark, sf_dir))
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+
+
+def test_span_and_area_windows_partition_on_multi_key_input(spark, sf_dir):
+    """The two WindowExec sites that print single-partition on one-table
+    fixtures (literal-folded keys) MUST hash-partition the moment the
+    input carries real key variety — per-span scan ranks and per-area
+    flow-control carry-forwards scale with span/area count, never with
+    a global sort."""
+    from pyspark.sql import functions as F
+
+    from ticdc_spark.operators.flow_control import (
+        area_flow_control,
+        usage_samples,
+    )
+    from ticdc_spark.operators.scan_progress import chunk_scan_atomic
+    from ticdc_spark.sources.changelog import events_changelog
+
+    cl = events_changelog(spark, sf_dir)  # many table_ids
+    p = _plan(chunk_scan_atomic(cl, 1000))
+    assert "hashpartitioning(table_id" in p
+    win_feeds_single = "Exchange SinglePartition" in p.split("Window")[1][:400] \
+        if "Window" in p else False
+    assert not win_feeds_single, p
+
+    # two areas: vary the schema name so the area key survives folding
+    two_area = cl.withColumn(
+        "schema_name",
+        F.when(F.col("table_id") % 2 == 0, "test").otherwise("test2"))
+    p2 = _plan(area_flow_control(usage_samples(two_area), quota_bytes=800))
+    assert "hashpartitioning(area" in p2

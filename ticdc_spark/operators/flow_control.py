@@ -77,7 +77,12 @@ def path_flow_control(samples: DataFrame, quota_bytes: int) -> DataFrame:
 
 def area_flow_control(samples: DataFrame, quota_bytes: int) -> DataFrame:
     """Area-level pause/resume (80%/50%): usage summed over the area's
-    paths per bucket, then the same carry-forward per area."""
+    paths per bucket, then the same carry-forward per area.
+
+    Plan note: the carry-forward window holds O(n_time_buckets) rows per
+    area (control-plane accounting, time-bounded), partitioned by area.
+    A one-schema fixture constant-folds the area key (single-partition
+    WindowExec in the printed plan); multi-area input hash-partitions."""
     area = samples.groupBy("area", "bucket_ts").agg(
         F.sum("usage_bytes").alias("usage_bytes")
     )

@@ -48,7 +48,14 @@ def chunk_scan_atomic(cl: DataFrame, max_rows: int) -> DataFrame:
     chunks — it lands in the chunk its FIRST row falls into, so a chunk
     absorbs whole transactions and may overshoot ``max_rows`` (the
     reference's atomic scanner likewise emits r1..r3 before stopping,
-    `txn_scan_strategy.go:33-35`)."""
+    `txn_scan_strategy.go:33-35`).
+
+    Plan note: the rank window partitions by ``table_id`` — one ordered
+    sequence PER SPAN, exactly the reference's per-span iterator.  A
+    single-table fixture whose table_id is a literal constant-folds the
+    partition key away (Catalyst), which prints a single-partition
+    WindowExec; with real multi-span input the exchange hash-partitions
+    (pinned by test_plan_quality)."""
     w = Window.partitionBy("table_id").orderBy(*[F.col(k) for k in SORT_KEYS])
     wtxn = Window.partitionBy("table_id", "commit_ts", "start_ts")
     rn = F.row_number().over(w)
