@@ -133,3 +133,43 @@ def test_spark_dml_roundtrip(spark, sf_dir):
     rows = out.limit(50).collect()
     assert rows and {"seq", "op", "commit_ts", "okey"} <= set(
         rows[0].asDict())
+
+
+def test_fuzz_dml_roundtrip():
+    """Property: encode→decode is identity for arbitrary DML payloads
+    over the value-union branches."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    scalar = st.one_of(
+        st.none(),
+        st.integers(min_value=-(2 ** 62), max_value=2 ** 62),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.text(max_size=40),
+        st.binary(max_size=40),
+    )
+    keys = st.text(
+        alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+        min_size=1, max_size=8)
+
+    @settings(max_examples=60, deadline=None)
+    @given(data=st.dictionaries(keys, scalar, max_size=6),
+           old=st.one_of(st.none(),
+                         st.dictionaries(keys, scalar, max_size=4)),
+           commit_ts=st.integers(min_value=0, max_value=2 ** 60),
+           op=st.sampled_from(["INSERT", "UPDATE", "DELETE"]))
+    def check(data, old, commit_ts, op):
+        payload = {
+            "version": 1, "database": "test", "table": "t",
+            "tableID": 1, "type": op, "commitTs": commit_ts,
+            "buildTs": 0, "schemaVersion": 0,
+            "claimCheckLocation": None, "handleKeyOnly": None,
+            "checksum": None, "data": data, "old": old,
+        }
+        msg = decode_message(encode_message("DML", payload))
+        p = msg["payload"]
+        assert p["type"] == op and p["commitTs"] == commit_ts
+        assert p["data"] == data
+        assert p["old"] == old
+
+    check()
