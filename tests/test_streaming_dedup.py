@@ -1,0 +1,95 @@
+"""Streaming Bloom dedup (`streaming/dedup.py`): cross-batch duplicate
+suppression with bounded state, replay idempotence, and the no-false-
+negative contract."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ticdc_spark.llm.corpus import BLOOM_WORDS
+from ticdc_spark.streaming.dedup import StreamingBloomDedup
+
+
+def _docs(spark, texts, start_id=0):
+    return spark.createDataFrame(
+        [(start_id + i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+
+
+def test_cross_batch_duplicates_dropped(spark, tmp_path):
+    d = StreamingBloomDedup(spark, str(tmp_path))
+    d.run_batch(_docs(spark, ["alpha", "beta", "gamma", "beta"]), 0)
+    # batch 1 repeats two admitted texts and adds two new ones
+    d.run_batch(_docs(spark, ["beta", "delta", "alpha", "epsilon"], 10), 1)
+    out = d.output()
+    texts = sorted(r.text for r in out.collect())
+    assert texts == ["alpha", "beta", "delta", "epsilon", "gamma"]
+    # the in-batch dup kept exactly one copy
+    assert out.filter("text = 'beta'").count() == 1
+
+
+def test_no_false_negatives_over_many_batches(spark, tmp_path):
+    """Every admitted text re-offered later MUST be dropped — the Bloom
+    contract composed across batches."""
+    d = StreamingBloomDedup(spark, str(tmp_path))
+    for e in range(4):
+        d.run_batch(
+            _docs(spark, [f"doc-{e}-{i}" for i in range(50)], e * 100), e)
+    # epoch 4 re-offers one text from each earlier epoch
+    d.run_batch(_docs(spark, [f"doc-{e}-7" for e in range(4)], 900), 4)
+    out = d.output()
+    assert out.count() == 200  # nothing from epoch 4 admitted
+    assert out.select("text").distinct().count() == 200
+
+
+def test_state_is_bounded(spark, tmp_path):
+    d = StreamingBloomDedup(spark, str(tmp_path))
+    for e in range(3):
+        d.run_batch(
+            _docs(spark, [f"t-{e}-{i}" for i in range(80)], e * 100), e)
+    state = spark.read.parquet(os.path.join(d.state_dir, "epoch=2"))
+    assert state.count() <= BLOOM_WORDS
+
+
+def test_epoch_replay_is_idempotent(spark, tmp_path):
+    """Re-running an epoch (foreachBatch retry) must reproduce identical
+    output and state — the per-epoch overwrite + state(N-1) read."""
+    d = StreamingBloomDedup(spark, str(tmp_path))
+    d.run_batch(_docs(spark, ["a", "b", "c"]), 0)
+    b1 = _docs(spark, ["b", "x", "y"], 10)
+    d.run_batch(b1, 1)
+    first = sorted(r.text for r in spark.read.parquet(
+        os.path.join(d.out_dir, "epoch=1")).collect())
+    state_first = sorted(
+        tuple(r) for r in spark.read.parquet(
+            os.path.join(d.state_dir, "epoch=1")).collect())
+    d.run_batch(b1, 1)  # replay
+    again = sorted(r.text for r in spark.read.parquet(
+        os.path.join(d.out_dir, "epoch=1")).collect())
+    state_again = sorted(
+        tuple(r) for r in spark.read.parquet(
+            os.path.join(d.state_dir, "epoch=1")).collect())
+    assert first == again == ["x", "y"]
+    assert state_first == state_again
+
+
+def test_real_stream_end_to_end(spark, tmp_path):
+    """availableNow file stream, one file per trigger: three batches
+    with overlaps dedupe across micro-batch boundaries."""
+    src = tmp_path / "src"
+    for i, texts in enumerate([["m", "n"], ["n", "o"], ["o", "p", "m"]]):
+        _docs(spark, texts, i * 10).coalesce(1).write.mode(
+            "overwrite").parquet(str(src / f"f{i}"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    d = StreamingBloomDedup(spark, str(tmp_path / "work"))
+    q = d.start(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(240)
+    texts = sorted(r.text for r in d.output().collect())
+    assert texts == ["m", "n", "o", "p"]

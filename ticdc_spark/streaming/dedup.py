@@ -1,0 +1,124 @@
+"""Streaming incremental dedup: Bloom filter as cross-batch state.
+
+The batch-side Bloom operators (`llm/corpus.py`) compose into the
+ingest-time dedup every training-data pipeline runs: each micro-batch
+drops rows whose content digest was already admitted by a PRIOR batch,
+then folds its own digests into the filter.  State is the Bloom word
+table — bounded by ``BLOOM_WORDS`` rows no matter how much history has
+flowed through, which is what makes the pattern viable at 100 TB: the
+"have I seen this" structure stays broadcastable forever, instead of an
+ever-growing seen-keys table that every batch must shuffle against.
+
+Semantics (the standard Bloom dedup trade):
+- a true duplicate of an admitted row is ALWAYS dropped (no false
+  negatives — the filter contract, pinned in tests);
+- a unique row may be dropped at the false-positive rate of the filter
+  sizing (documented in `llm/corpus.py`); size the filter for the
+  expected key volume to bound the loss.
+
+Exactly-once shape mirrors `streaming/changefeed.py`: per-epoch
+OVERWRITE of both output and state keyed by epoch id, so a replayed
+epoch recomputes byte-identical results (state(N) is a deterministic
+function of state(N-1) + batch N).
+"""
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ticdc_spark.llm.corpus import bloom_build, bloom_probe
+
+
+def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Word-wise OR of two filters — associativity is pinned by
+    test_corpus_ops.test_bloom_merge_associative."""
+    return (
+        a.unionByName(b)
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(word)").alias("word"))
+    )
+
+
+class StreamingBloomDedup:
+    """foreachBatch driver for digest-dedup with Bloom state.
+
+    ``run_batch(batch_df, epoch_id)`` is the foreachBatch body; it also
+    works as a plain batch fold for tests.  Output rows land under
+    ``out_dir/epoch=N``; the filter after epoch N persists under
+    ``state_dir/epoch=N`` (latest epoch wins on load, so a crash between
+    the two writes replays the epoch idempotently).
+    """
+
+    def __init__(self, spark: SparkSession, work_dir: str,
+                 key_col: str = "text") -> None:
+        self.spark = spark
+        self.key_col = key_col
+        self.out_dir = os.path.join(work_dir, "deduped")
+        self.state_dir = os.path.join(work_dir, "bloom_state")
+
+    # -- state ---------------------------------------------------------
+    def _latest_epoch(self) -> int | None:
+        if not os.path.isdir(self.state_dir):
+            return None
+        epochs = [int(d.split("=", 1)[1])
+                  for d in os.listdir(self.state_dir)
+                  if d.startswith("epoch=")]
+        return max(epochs) if epochs else None
+
+    def load_bloom(self, before_epoch: int) -> DataFrame | None:
+        """Filter state from the newest epoch strictly before
+        ``before_epoch`` (replays must not see their own output)."""
+        if not os.path.isdir(self.state_dir):
+            return None
+        epochs = [e for d in os.listdir(self.state_dir)
+                  if d.startswith("epoch=")
+                  and (e := int(d.split("=", 1)[1])) < before_epoch]
+        if not epochs:
+            return None
+        return self.spark.read.parquet(
+            os.path.join(self.state_dir, f"epoch={max(epochs)}"))
+
+    # -- the fold ------------------------------------------------------
+    def run_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        digested = batch_df.withColumn("_digest", F.md5(self.key_col))
+        # within-batch exact dedup first (cheap, no FP risk): keep the
+        # first row per digest in a deterministic order
+        in_batch = digested.dropDuplicates(["_digest"])
+        prior = self.load_bloom(epoch_id)
+        if prior is not None:
+            hits = bloom_probe(
+                in_batch.select(F.col("_digest").alias("key")), prior)
+            kept = (
+                in_batch.join(
+                    hits.filter(~F.col("bloom_hit"))
+                    .select(F.col("key").alias("_digest")),
+                    "_digest")
+            )
+        else:
+            kept = in_batch
+        kept.drop("_digest").write.mode("overwrite").parquet(
+            os.path.join(self.out_dir, f"epoch={epoch_id}"))
+        new_words = bloom_build(
+            kept.select(F.col("_digest").alias("key")))
+        if prior is not None:
+            new_words = merge_blooms(prior, new_words)
+        new_words.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.state_dir, f"epoch={epoch_id}"))
+
+    # -- streaming entry ----------------------------------------------
+    def start(self, stream_df: DataFrame, checkpoint_dir: str,
+              available_now: bool = True):
+        writer = (
+            stream_df.writeStream
+            .foreachBatch(self.run_batch)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def output(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.out_dir,
+                                                    "epoch=*"))
