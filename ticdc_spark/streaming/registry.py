@@ -41,18 +41,22 @@ class ChangefeedRegistry:
 
     # -- API (api/v2 equivalents) -----------------------------------------
     def create(self, changefeed_id: str, config_toml: str,
-               sink_uri: str | None = None) -> Changefeed:
+               sink_uri: str | None = None,
+               fmt: str = "toml") -> Changefeed:
         """CreateChangefeed: like the reference, the sink URI is a
         first-class argument beside the replica config
         (`api/v2/changefeed.go:89` ChangefeedConfig.SinkURI); when given
-        it overrides any ``sink-uri`` key in the TOML."""
+        it overrides any ``sink-uri`` key in the TOML.  ``fmt="json"``
+        accepts the reference's JSON replica-config documents (the
+        migration path, `pkg/migrate`)."""
         state = self._load()
         if changefeed_id in state and state[changefeed_id]["state"] != "removed":
             raise ValueError(f"changefeed {changefeed_id} already exists")
-        cfg = parse_changefeed_config(config_toml)
+        cfg = parse_changefeed_config(config_toml, fmt=fmt)
         if sink_uri:
             cfg.sink_uri = sink_uri
         state[changefeed_id] = {"state": "normal", "config_toml": config_toml,
+                                "config_fmt": fmt,
                                 "sink_uri": cfg.sink_uri}
         self._save(state)
         cf = Changefeed(changefeed_id, cfg, self.work_dir)
@@ -67,7 +71,9 @@ class ChangefeedRegistry:
         if changefeed_id not in state:
             raise KeyError(changefeed_id)
         if changefeed_id not in self._live:
-            cfg = parse_changefeed_config(state[changefeed_id]["config_toml"])
+            cfg = parse_changefeed_config(
+                state[changefeed_id]["config_toml"],
+                fmt=state[changefeed_id].get("config_fmt", "toml"))
             if state[changefeed_id].get("sink_uri"):
                 cfg.sink_uri = state[changefeed_id]["sink_uri"]
             self._live[changefeed_id] = Changefeed(changefeed_id, cfg, self.work_dir)
