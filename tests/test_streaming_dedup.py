@@ -93,3 +93,52 @@ def test_real_stream_end_to_end(spark, tmp_path):
     q.awaitTermination(240)
     texts = sorted(r.text for r in d.output().collect())
     assert texts == ["m", "n", "o", "p"]
+
+
+# -- near-dup (MinHash-LSH) streaming ---------------------------------------
+
+def test_near_dup_cross_batch(spark, tmp_path):
+    from ticdc_spark.streaming.dedup import StreamingMinHashDedup
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    near = base + " indeed"   # one appended token: Jaccard ≈ 0.95
+    far = ("completely different words about spark shuffles and "
+           "partitions joining large tables with broadcast hints")
+    d = StreamingMinHashDedup(spark, str(tmp_path))
+    d.run_batch(_docs(spark, [base, far]), 0)
+    # batch 1: exact dup, near dup, and a genuinely new doc
+    fresh = ("entirely novel content mentioning bloom filters minhash "
+             "bands buckets and signature agreement thresholds")
+    d.run_batch(_docs(spark, [base, near, fresh], 10), 1)
+    texts = sorted(r.text for r in d.output().collect())
+    assert base in texts and far in texts and fresh in texts
+    assert near not in texts          # near-dup suppressed cross-batch
+    assert len(texts) == 3
+
+
+def test_near_dup_in_batch_lowest_id_wins(spark, tmp_path):
+    from ticdc_spark.streaming.dedup import StreamingMinHashDedup
+
+    t = ("some repeated content that appears twice in one single batch "
+         "with enough tokens to shingle properly and hash stable")
+    d = StreamingMinHashDedup(spark, str(tmp_path))
+    d.run_batch(_docs(spark, [t, t]), 0)
+    out = d.output().collect()
+    assert len(out) == 1 and out[0].doc_id == 0
+
+
+def test_near_dup_replay_idempotent(spark, tmp_path):
+    from ticdc_spark.streaming.dedup import StreamingMinHashDedup
+
+    d = StreamingMinHashDedup(spark, str(tmp_path))
+    a = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    d.run_batch(_docs(spark, [a]), 0)
+    b1 = _docs(spark, [a + " extra", "unrelated totally new words "
+                       "with different shingles entirely here"], 10)
+    d.run_batch(b1, 1)
+    first = sorted(r.doc_id for r in d.output().collect())
+    d.run_batch(b1, 1)  # replay epoch 1
+    again = sorted(r.doc_id for r in d.output().collect())
+    assert first == again

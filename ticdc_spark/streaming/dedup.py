@@ -122,3 +122,100 @@ class StreamingBloomDedup:
     def output(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.out_dir,
                                                     "epoch=*"))
+
+
+# ---------------------------------------------------------------------------
+# Near-dup (MinHash-LSH) streaming dedup
+# ---------------------------------------------------------------------------
+class StreamingMinHashDedup:
+    """Cross-batch NEAR-duplicate suppression — the LSH counterpart of
+    :class:`StreamingBloomDedup`.
+
+    State per admitted doc: its ``N_BANDS`` (band, bucket) keys plus the
+    ``NUM_PERM``-long minhash signature (a few dozen bytes — shingle
+    sets are never stored).  An incoming doc is dropped when it shares a
+    band bucket with an admitted doc AND their signatures agree on
+    ``min_agree`` of the hashes (estimated Jaccard ≥ min_agree/NUM_PERM
+    — the standard signature-level verify; exact-shingle verify would
+    require keeping full shingle sets in state).
+
+    Scale shape: state is an append-only table partitioned by the
+    (band, bucket) join key — at 100 TB this is a bucketed table and the
+    probe is a key-equi-join touching only colliding buckets, O(corpus)
+    storage but O(collisions) work per batch.  Within a batch, greedy
+    lowest-doc-id-wins (deterministic).
+    """
+
+    def __init__(self, spark: SparkSession, work_dir: str,
+                 min_agree: int = 6) -> None:
+        from ticdc_spark.llm.dedup import NUM_PERM
+
+        assert 1 <= min_agree <= NUM_PERM
+        self.spark = spark
+        self.min_agree = min_agree
+        self.out_dir = os.path.join(work_dir, "near_deduped")
+        self.state_dir = os.path.join(work_dir, "lsh_state")
+
+    def _sig_bands(self, docs: DataFrame) -> DataFrame:
+        from ticdc_spark.llm.dedup import N_BANDS, NUM_PERM, minhash_signature
+
+        sig = minhash_signature(docs)
+        return sig.select(
+            "doc_id",
+            F.array(*[F.col(f"mh{i}") for i in range(NUM_PERM)]).alias("sig"),
+            F.explode(F.array(*[
+                F.struct(F.lit(b).alias("band"),
+                         F.col(f"band{b}").alias("bucket"))
+                for b in range(N_BANDS)
+            ])).alias("bb"),
+        ).select("doc_id", "sig", "bb.band", "bb.bucket")
+
+    def _agree(self, a: str, b: str):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x == y).cast("int")),
+            F.lit(0), lambda acc, x: acc + x)
+
+    def load_state(self, before_epoch: int) -> DataFrame | None:
+        if not os.path.isdir(self.state_dir):
+            return None
+        dirs = [os.path.join(self.state_dir, d)
+                for d in os.listdir(self.state_dir)
+                if d.startswith("epoch=")
+                and int(d.split("=", 1)[1]) < before_epoch]
+        if not dirs:
+            return None
+        return self.spark.read.parquet(*dirs)
+
+    def run_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        sb = self._sig_bands(batch_df)
+        # in-batch: drop any doc agreeing with a LOWER-id doc
+        a, b = sb.alias("a"), sb.alias("b")
+        in_batch_dups = (
+            a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("b.doc_id") < F.col("a.doc_id")))
+            .filter(self._agree("a.sig", "b.sig") >= self.min_agree)
+            .select(F.col("a.doc_id").alias("doc_id")).distinct()
+        )
+        survivors = sb.join(in_batch_dups, "doc_id", "left_anti")
+        prior = self.load_state(epoch_id)
+        if prior is not None:
+            p = prior.alias("p")
+            cross_dups = (
+                survivors.alias("n")
+                .join(p, (F.col("n.band") == F.col("p.band"))
+                      & (F.col("n.bucket") == F.col("p.bucket")))
+                .filter(self._agree("n.sig", "p.sig") >= self.min_agree)
+                .select(F.col("n.doc_id").alias("doc_id")).distinct()
+            )
+            survivors = survivors.join(cross_dups, "doc_id", "left_anti")
+        admitted_ids = survivors.select("doc_id").distinct()
+        batch_df.join(admitted_ids, "doc_id").write.mode(
+            "overwrite").parquet(os.path.join(self.out_dir,
+                                              f"epoch={epoch_id}"))
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(self.state_dir, f"epoch={epoch_id}"))
+
+    def output(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.out_dir,
+                                                    "epoch=*"))
