@@ -59,3 +59,19 @@ def test_groups_and_server_level(client):
     assert "ticdc_owner_status" in client.metrics_text()
     client.resign_owner()
     client.unsafe.delete_service_gc_safepoint()
+
+
+def test_rfc_error_codes(client):
+    with pytest.raises(ApiError) as ei:
+        client.changefeeds.get("ghost")
+    assert ei.value.code == "CDC:ErrChangeFeedNotExists"
+    client.changefeeds.create("cf-dup", REFERENCE_TOML)
+    with pytest.raises(ApiError) as ei:
+        client.changefeeds.create("cf-dup", REFERENCE_TOML)
+    assert ei.value.code == "CDC:ErrChangeFeedAlreadyExists"
+    with pytest.raises(ApiError) as ei:
+        client.changefeeds.update("cf-dup", "")  # running: update refused
+    assert ei.value.code == "CDC:ErrChangefeedUpdateRefused"
+    with pytest.raises(ApiError) as ei:
+        client.set_log_level("shout")
+    assert ei.value.code == "CDC:ErrAPIInvalidParam"

@@ -69,6 +69,23 @@ _STATE_CODES = {
     "finished": 4, "removed": 5, "warning": 6, "uninitialized": 7,
 }
 
+
+def _rfc_code(status: int, msg: str) -> str:
+    """RFC error code for an HTTPError document (`pkg/api/util.go:72-84`
+    — ``{"error_msg", "error_code"}``; codes from `pkg/errors/error.go`).
+    Derived from the failure class the way NewHTTPError derives it from
+    the normalized error value."""
+    low = msg.lower()
+    if "changefeed" in low and "not found" in low:
+        return "CDC:ErrChangeFeedNotExists"
+    if "already exists" in low:
+        return "CDC:ErrChangeFeedAlreadyExists"
+    if "pause it before update" in low:
+        return "CDC:ErrChangefeedUpdateRefused"
+    if status >= 500:
+        return "CDC:ErrInternalServerError"
+    return "CDC:ErrAPIInvalidParam"
+
 _CF_ROUTE = re.compile(
     r"^/api/v2/changefeeds/(?P<id>[^/]+)(?P<verb>/(pause|resume|status|synced"
     r"|tables|get_dispatcher_count|split_table_by_region_count"
@@ -169,6 +186,11 @@ class ApiServer:
                 pass
 
             def _send(self, code: int, payload: dict | list) -> None:
+                if (isinstance(payload, dict) and "error_msg" in payload
+                        and "error_code" not in payload):
+                    payload = {**payload,
+                               "error_code": _rfc_code(
+                                   code, payload["error_msg"])}
                 body = json.dumps(payload).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")

@@ -16,10 +16,11 @@ import urllib.request
 
 
 class ApiError(RuntimeError):
-    def __init__(self, status: int, message: str) -> None:
-        super().__init__(f"HTTP {status}: {message}")
+    def __init__(self, status: int, message: str, code: str = "") -> None:
+        super().__init__(f"HTTP {status} [{code}]: {message}")
         self.status = status
         self.message = message
+        self.code = code  # RFC code, e.g. CDC:ErrChangeFeedNotExists
 
 
 class _Group:
@@ -176,8 +177,10 @@ class ApiClient:
                 payload = r.read()
         except urllib.error.HTTPError as e:
             try:
-                msg = json.loads(e.read()).get("error_msg", "")
+                doc = json.loads(e.read())
+                msg = doc.get("error_msg", "")
+                rfc = doc.get("error_code", "")
             except Exception:
-                msg = ""
-            raise ApiError(e.code, msg) from None
+                msg = rfc = ""
+            raise ApiError(e.code, msg, rfc) from None
         return json.loads(payload) if payload else {}
