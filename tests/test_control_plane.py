@@ -383,3 +383,48 @@ def test_failed_state_and_resume_clears_error(spark, sf_dir, tmp_path):
     reg.resume("cf-bad")
     assert reg.list()["cf-bad"] == "normal"
     assert "error" not in reg.describe("cf-bad")
+
+
+def test_active_active_tso_index_validation():
+    """`pkg/check/active_active_tso_indexes.go`: distinct unique index,
+    identical max index, fail-closed parsing."""
+    import pytest as _pytest
+
+    from ticdc_spark.operators.active_active import (
+        TSOIndexIncompatible,
+        validate_active_active_tso_indexes,
+    )
+    from ticdc_spark.pipeline import ChangefeedConfig
+
+    up = [("pd-1", "tso-unique-index", "1"), ("pd-1", "tso-max-index", "4")]
+    down_ok = [("pd-9", "tso-unique-index", "2"),
+               ("pd-9", "tso-max-index", "4")]
+    aa = ChangefeedConfig(bdr_mode=True, sink_uri="mysql://h:4000/")
+    # compatible pair passes
+    validate_active_active_tso_indexes(aa, up, down_ok)
+    # same unique index -> collision risk
+    with _pytest.raises(TSOIndexIncompatible, match="same"):
+        validate_active_active_tso_indexes(aa, up, up)
+    # differing max index
+    with _pytest.raises(TSOIndexIncompatible, match="max"):
+        validate_active_active_tso_indexes(
+            aa, up, [("pd-9", "tso-unique-index", "2"),
+                     ("pd-9", "tso-max-index", "8")])
+    # fail-closed: missing key / bad value / cross-instance disagreement
+    with _pytest.raises(TSOIndexIncompatible, match="missing"):
+        validate_active_active_tso_indexes(
+            aa, up, [("pd-9", "tso-unique-index", "2")])
+    with _pytest.raises(TSOIndexIncompatible, match="not an integer"):
+        validate_active_active_tso_indexes(
+            aa, up, [("pd-9", "tso-unique-index", "two"),
+                     ("pd-9", "tso-max-index", "4")])
+    with _pytest.raises(TSOIndexIncompatible, match="differs across"):
+        validate_active_active_tso_indexes(
+            aa, up, [("pd-9", "tso-unique-index", "2"),
+                     ("pd-8", "tso-unique-index", "3"),
+                     ("pd-9", "tso-max-index", "4")])
+    # skipped entirely: active-active off, or non-MySQL sink
+    off = ChangefeedConfig(bdr_mode=False, sink_uri="mysql://h/")
+    validate_active_active_tso_indexes(off, [], [])
+    kafka = ChangefeedConfig(bdr_mode=True, sink_uri="kafka://b/t")
+    validate_active_active_tso_indexes(kafka, [], [])

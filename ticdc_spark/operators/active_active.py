@@ -60,3 +60,75 @@ def soft_deletes_to_deletes(cl: DataFrame, mark_col: str = "soft_delete") -> Dat
         )
         .drop("_aa_marked")
     )
+
+
+# ---------------------------------------------------------------------------
+# Active-active TSO-index compatibility check
+# (`pkg/check/active_active_tso_indexes.go:52-119`)
+# ---------------------------------------------------------------------------
+class TSOIndexIncompatible(ValueError):
+    """CDC:ErrActiveActiveTSOIndexIncompatible."""
+
+
+_TSO_UNIQUE_KEY = "tso-unique-index"
+_TSO_MAX_KEY = "tso-max-index"
+_MYSQL_SCHEMES = ("mysql", "tidb")
+
+
+def _parse_tso_rows(rows: list[tuple[str, str, str]],
+                    side: str) -> tuple[int, int]:
+    """SHOW CONFIG rows (instance, name, value) → (unique, max).
+
+    Fail-closed like the reference: a missing key, an unparseable value,
+    or two instances disagreeing is an error, never a default."""
+    seen: dict[str, dict[str, int]] = {}
+    for instance, name, value in rows:
+        if name not in (_TSO_UNIQUE_KEY, _TSO_MAX_KEY):
+            continue
+        try:
+            iv = int(value)
+        except (TypeError, ValueError):
+            raise TSOIndexIncompatible(
+                f"{side}: {name}={value!r} is not an integer") from None
+        prev = seen.setdefault(name, {})
+        for other_inst, other_v in prev.items():
+            if other_v != iv:
+                raise TSOIndexIncompatible(
+                    f"{side}: {name} differs across instances "
+                    f"({other_inst}={other_v}, {instance}={iv})")
+        prev[instance] = iv
+    out = []
+    for key in (_TSO_UNIQUE_KEY, _TSO_MAX_KEY):
+        if key not in seen:
+            raise TSOIndexIncompatible(f"{side}: missing {key}")
+        out.append(next(iter(seen[key].values())))
+    return out[0], out[1]
+
+
+def validate_active_active_tso_indexes(
+    cfg,
+    upstream_rows: list[tuple[str, str, str]],
+    downstream_rows: list[tuple[str, str, str]],
+) -> None:
+    """Active-active changefeeds writing to a MySQL-compatible sink must
+    run on clusters with DISTINCT ``tso-unique-index`` (else the two
+    sides mint colliding TSOs) and IDENTICAL ``tso-max-index`` (else
+    the logical index ranges differ).  Skipped when active-active is
+    off or the sink is not MySQL-compatible; everything else is
+    fail-closed (`active_active_tso_indexes.go:49-119`)."""
+    if not getattr(cfg, "bdr_mode", False):
+        return
+    scheme = str(getattr(cfg, "sink_uri", "")).split("://", 1)[0]
+    if scheme not in _MYSQL_SCHEMES:
+        return
+    up_u, up_m = _parse_tso_rows(upstream_rows, "upstream")
+    down_u, down_m = _parse_tso_rows(downstream_rows, "downstream")
+    if up_u == down_u:
+        raise TSOIndexIncompatible(
+            f"upstream and downstream share the same "
+            f"tso-unique-index={up_u}, upstream max={up_m}, "
+            f"downstream max={down_m}")
+    if up_m != down_m:
+        raise TSOIndexIncompatible(
+            f"upstream unique={up_u}, upstream max={up_m}, "
+            f"downstream unique={down_u}, downstream max={down_m}")
