@@ -355,3 +355,24 @@ def test_metrics_exposition(api):
     with urllib.request.urlopen(req) as r:
         text = r.read().decode()
     assert 'ticdc_owner_status{changefeed="cf-metrics"} 3' in text
+
+
+def test_start_ts_before_gc_safepoint_refused(api, spark, sf_dir):
+    base, reg = api
+    # establish a GC safepoint by running a changefeed
+    reg.create("cf-gc", REFERENCE_TOML)
+    reg.run("cf-gc", spark, sf_dir, timeout_s=240)
+    sp = reg.gc_safepoint()
+    assert sp is not None
+    st, err = _req(f"{base}/api/v2/changefeeds", "POST",
+                   {"changefeed_id": "cf-behind",
+                    "config_toml": REFERENCE_TOML,
+                    "start_ts": sp - 1})
+    assert st == 400
+    assert err["error_code"] == "CDC:ErrStartTsBeforeGC"
+    # at-or-after the safepoint is accepted
+    st, _doc = _req(f"{base}/api/v2/changefeeds", "POST",
+                    {"changefeed_id": "cf-ok",
+                     "config_toml": REFERENCE_TOML,
+                     "start_ts": sp})
+    assert st == 200

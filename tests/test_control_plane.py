@@ -428,3 +428,33 @@ def test_active_active_tso_index_validation():
     validate_active_active_tso_indexes(off, [], [])
     kafka = ChangefeedConfig(bdr_mode=True, sink_uri="kafka://b/t")
     validate_active_active_tso_indexes(kafka, [], [])
+
+
+def test_replication_window_and_finished_state(tmp_path, spark, sf_dir):
+    """StartTs/TargetTs: the window bounds the pipeline, and a bounded
+    feed FINISHES after replicating through target-ts (FeedState
+    finished, `pkg/config/changefeed.go`)."""
+    from pyspark.sql import functions as F
+
+    from ticdc_spark.sources.changelog import events_changelog
+    from ticdc_spark.streaming.registry import ChangefeedRegistry
+
+    cl = events_changelog(spark, sf_dir)
+    mn, mx = cl.agg(F.min("commit_ts"), F.max("commit_ts")).collect()[0]
+    lo = mn + (mx - mn) // 3
+    hi = mn + 2 * ((mx - mn) // 3)
+    reg = ChangefeedRegistry(str(tmp_path))
+    reg.create("cf-win", f"start-ts = {lo}\ntarget-ts = {hi}\n")
+    reg.run("cf-win", spark, sf_dir, timeout_s=240)
+    assert reg.list()["cf-win"] == "finished"
+    ckpt = reg.get("cf-win").checkpoint_ts()
+    assert mn < ckpt <= hi  # never past target-ts
+
+
+def test_target_before_start_refused():
+    import pytest as _pytest
+
+    from ticdc_spark.config import parse_changefeed_config
+
+    with _pytest.raises(ValueError, match="target-ts"):
+        parse_changefeed_config("start-ts = 100\ntarget-ts = 50\n")

@@ -82,6 +82,10 @@ def _rfc_code(status: int, msg: str) -> str:
         return "CDC:ErrChangeFeedAlreadyExists"
     if "pause it before update" in low:
         return "CDC:ErrChangefeedUpdateRefused"
+    if "gc safepoint" in low:
+        return "CDC:ErrStartTsBeforeGC"
+    if "target-ts" in low:
+        return "CDC:ErrTargetTsBeforeStartTs"
     if status >= 500:
         return "CDC:ErrInternalServerError"
     return "CDC:ErrAPIInvalidParam"
@@ -535,6 +539,14 @@ class ApiServer:
                     toml = body.get("config_toml", "")
                     if not cid:
                         return self._send(400, {"error_msg": "changefeed_id required"})
+                    # ErrStartTsBeforeGC (`api/v2/changefeed.go` verify):
+                    # a start-ts behind the GC safepoint reads garbage
+                    start_ts = int(body.get("start_ts", 0))
+                    gc_sp = registry.gc_safepoint()
+                    if start_ts and gc_sp is not None and start_ts < gc_sp:
+                        return self._send(400, {
+                            "error_msg": f"start-ts {start_ts} is before "
+                            f"the GC safepoint {gc_sp}"})
                     try:
                         registry.create(cid, toml,
                                         sink_uri=body.get("sink_uri"))

@@ -99,7 +99,13 @@ def parse_changefeed_config(text: str, fmt: str = "toml") -> ChangefeedConfig:
         enable_table_across_nodes=sched.get("enable-table-across-nodes", False),
         region_threshold=sched.get("region-threshold", 10_000),
         write_key_threshold=sched.get("write-key-threshold", 0),
+        start_ts=int(doc.get("start-ts", 0)),
+        target_ts=int(doc.get("target-ts", 0)),
     )
+    # ErrTargetTsBeforeStartTs (`api/v2/changefeed.go` verification)
+    if cfg.target_ts and cfg.start_ts and cfg.target_ts < cfg.start_ts:
+        raise ValueError(
+            f"target-ts {cfg.target_ts} must be >= start-ts {cfg.start_ts}")
     if sync_interval:
         cfg.sync_point_interval_us = parse_duration_us(sync_interval)
     if sync_retention:

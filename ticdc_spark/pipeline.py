@@ -105,6 +105,27 @@ class ChangefeedConfig:
     enable_table_across_nodes: bool = False
     region_threshold: int = 10_000  # `replica_config.go:109`
     write_key_threshold: int = 0
+    # --- the replication window (`pkg/config/changefeed.go:252-281`
+    # ChangeFeedInfo.StartTs/TargetTs): rows with commit_ts <= start_ts
+    # are already replicated; target_ts > 0 bounds the feed, which
+    # FINISHES once the checkpoint reaches it. 0 = unset.
+    start_ts: int = 0
+    target_ts: int = 0
+
+
+def apply_replication_window(cl: DataFrame,
+                             cfg: ChangefeedConfig) -> DataFrame:
+    """StartTs/TargetTs bounds, applied FIRST so the commit-ts
+    predicates push down to the source scan (the reference's scanner
+    starts its iterator at startTs and the maintainer finishes the feed
+    at targetTs; here both are one pushed filter)."""
+    from pyspark.sql import functions as F
+
+    if cfg.start_ts:
+        cl = cl.filter(F.col("commit_ts") > cfg.start_ts)
+    if cfg.target_ts:
+        cl = cl.filter(F.col("commit_ts") <= cfg.target_ts)
+    return cl
 
 
 def _encode(df: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
@@ -127,6 +148,7 @@ def _encode(df: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
 
 def build_pipeline(cl: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
     payload_fields = [f.name for f in cl.schema["after"].dataType.fields]
+    cl = apply_replication_window(cl, cfg)
     df = apply_table_filter(
         cl, cfg.filter_rules, case_sensitive=cfg.case_sensitive
     )
@@ -296,6 +318,7 @@ def build_pipeline_uncoded(cl: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
     """The filter/transform prefix of ``build_pipeline`` without the
     encoder — for sinks that consume typed rows (DB SQL generation)."""
     payload_fields = [f.name for f in cl.schema["after"].dataType.fields]
+    cl = apply_replication_window(cl, cfg)
     df = apply_table_filter(
         cl, cfg.filter_rules, case_sensitive=cfg.case_sensitive
     )

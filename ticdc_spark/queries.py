@@ -541,6 +541,37 @@ def q_row_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cl.select("seq", "op", "checksum")
 
 
+# ---------------------------------------------------------------------------
+# Changefeed replication window (StartTs/TargetTs,
+# `pkg/config/changefeed.go:252-281`): rows at commit_ts <= start-ts are
+# already replicated, target-ts bounds the feed.  Bounds here are the
+# middle third of the commit-ts range (integer thirds — exact on both
+# engines); the cut points are collected plan-time scalars, the same
+# metadata class as an IVF codebook.
+# ---------------------------------------------------------------------------
+@register(
+    "changefeed_window",
+    f"WITH {CHANGELOG_SQL}, b AS ("
+    "  SELECT min(commit_ts) + (max(commit_ts) - min(commit_ts)) // 3 AS lo,"
+    "         min(commit_ts) + 2 * ((max(commit_ts) - min(commit_ts)) // 3)"
+    "         AS hi FROM changelog) "
+    f"SELECT {_FLAT_SELECT} FROM changelog, b "
+    "WHERE commit_ts > lo AND commit_ts <= hi",
+)
+def q_changefeed_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ticdc_spark.pipeline import (
+        ChangefeedConfig,
+        apply_replication_window,
+    )
+
+    cl = events_changelog(spark, sf_dir)
+    mn, mx = cl.agg(F.min("commit_ts"), F.max("commit_ts")).collect()[0]
+    lo = mn + (mx - mn) // 3
+    hi = mn + 2 * ((mx - mn) // 3)
+    cfg = ChangefeedConfig(start_ts=lo, target_ts=hi)
+    return _flatten(apply_replication_window(cl, cfg))
+
+
 # Extension registries (import at bottom so `register` exists; they add
 # themselves to QUERIES/ORACLES).
 from ticdc_spark import llm_queries  # noqa: E402,F401  isort:skip

@@ -96,6 +96,11 @@ class ChangefeedRegistry:
             state[changefeed_id]["error"] = str(e)[:500]
             self._save(state)
             raise
+        if cf.cfg.target_ts:
+            # bounded feed: everything <= target-ts is replicated, the
+            # changefeed FINISHES (FeedState finished, ToInt 4) like the
+            # reference when checkpointTs reaches targetTs
+            self._set_state(changefeed_id, "finished")
 
     def pause(self, changefeed_id: str) -> None:
         self.get(changefeed_id).stop()
