@@ -142,3 +142,29 @@ def test_near_dup_replay_idempotent(spark, tmp_path):
     d.run_batch(b1, 1)  # replay epoch 1
     again = sorted(r.doc_id for r in d.output().collect())
     assert first == again
+
+
+def test_near_dup_state_compaction(spark, tmp_path):
+    """compact_state folds old epoch dirs into one snapshot without
+    changing dedup behavior."""
+    import os
+
+    from ticdc_spark.streaming.dedup import StreamingMinHashDedup
+
+    d = StreamingMinHashDedup(spark, str(tmp_path))
+    texts = [
+        "first corpus document about spark partitions and shuffles here",
+        "second corpus document mentioning bloom filters and minhash",
+        "third corpus document on bigram language model scoring today",
+    ]
+    for e, t in enumerate(texts):
+        d.run_batch(_docs(spark, [t], e * 10), e)
+    assert len(os.listdir(d.state_dir)) == 3
+    d.compact_state(upto_epoch=2)
+    assert [x for x in os.listdir(d.state_dir)
+            if x.startswith("epoch=")] == ["epoch=2"]
+    # a duplicate of epoch-0 content is still suppressed post-compaction
+    d.run_batch(_docs(spark, [texts[0], "a genuinely new fourth doc "
+                              "with fresh tokens entirely"], 100), 3)
+    out_texts = sorted(r.text for r in d.output().collect())
+    assert len(out_texts) == 4 and out_texts.count(texts[0]) == 1

@@ -124,6 +124,32 @@ class StreamingBloomDedup:
                                                     "epoch=*"))
 
 
+def _compact_epoch_dirs(spark: SparkSession, state_dir: str,
+                        upto_epoch: int,
+                        repartition_cols: list[str] | None = None) -> None:
+    """Fold every state epoch <= ``upto_epoch`` into one snapshot dir so
+    the per-batch state read stays one snapshot + recent epochs instead
+    of O(n_epochs) directories.  Write-to-tmp then swap keeps a crash
+    mid-compaction recoverable (either layout is complete)."""
+    import shutil
+
+    dirs = sorted(
+        (int(d.split("=", 1)[1]), os.path.join(state_dir, d))
+        for d in os.listdir(state_dir)
+        if d.startswith("epoch=") and int(d.split("=", 1)[1]) <= upto_epoch
+    )
+    if len(dirs) <= 1:
+        return
+    merged = spark.read.parquet(*[p for _, p in dirs])
+    if repartition_cols:
+        merged = merged.repartition(*repartition_cols)
+    tmp = os.path.join(state_dir, f"_compact_tmp_{upto_epoch}")
+    merged.write.mode("overwrite").parquet(tmp)
+    for _, p in dirs:
+        shutil.rmtree(p)
+    os.rename(tmp, os.path.join(state_dir, f"epoch={dirs[-1][0]}"))
+
+
 # ---------------------------------------------------------------------------
 # Near-dup (MinHash-LSH) streaming dedup
 # ---------------------------------------------------------------------------
@@ -219,3 +245,11 @@ class StreamingMinHashDedup:
     def output(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.out_dir,
                                                     "epoch=*"))
+
+    def compact_state(self, upto_epoch: int) -> None:
+        """Merge state epochs <= ``upto_epoch`` into one snapshot,
+        repartitioned on the (band, bucket) probe key — run this every K
+        epochs so the probe join reads one well-partitioned table
+        instead of O(n_epochs) directories."""
+        _compact_epoch_dirs(self.spark, self.state_dir, upto_epoch,
+                            repartition_cols=["band", "bucket"])
