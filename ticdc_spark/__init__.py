@@ -39,6 +39,8 @@ def __getattr__(name):
         "get_spark": ("ticdc_spark.session", "get_spark"),
         "events_changelog": ("ticdc_spark.sources.changelog",
                              "events_changelog"),
+        "ApiClient": ("ticdc_spark.client", "ApiClient"),
+        "migrate_metadata": ("ticdc_spark.migrate", "migrate_metadata"),
     }
     if name in lazy:
         import importlib
