@@ -98,3 +98,48 @@ def test_csv_defaults_match_reference_constants():
     assert csv_codec._QUOTE == '"'
     assert csv_codec._DELIM == ","
     assert csv_codec.NULL_TOKEN == "\\N"
+
+
+def test_sink_uri_query_params():
+    """Sink URIs configure the sink through query params like the
+    reference (`pkg/sink/mysql/config.go:529-676`, kafka options.go
+    form tags); modeled params fold into the config, unknown params are
+    ignored, invalid values refuse."""
+    import pytest as _pytest
+
+    kafka = parse_changefeed_config(
+        'sink-uri = "kafka://b:9092/topic?protocol=open-protocol'
+        '&partition-num=6&max-message-bytes=1048576&compression=zstd'
+        '&enable-tidb-extension=true&unknown-knob=whatever"')
+    assert kafka.protocol == "open-protocol"
+    assert kafka.n_partitions == 6
+    assert kafka.max_message_bytes == 1 << 20
+    assert kafka.compression == "zstd"
+    assert kafka.tidb_extension is True
+
+    my = parse_changefeed_config(
+        'sink-uri = "mysql://u:p@h:4000/?safe-mode=true'
+        '&worker-count=9999&max-txn-row=64&transaction-atomicity=table"')
+    assert my.safe_mode is True
+    assert my.worker_count == 1024  # clamped at maxWorkerCount
+    assert my.max_txn_row == 64
+    assert my.transaction_atomicity == "table"
+
+    for bad in ("partition-num=0", "worker-count=-3", "max-txn-row=abc"):
+        with _pytest.raises(ValueError):
+            parse_changefeed_config(f'sink-uri = "kafka://b/t?{bad}"')
+
+
+def test_sink_uri_params_apply_on_create_override(tmp_path):
+    """registry.create's sink_uri argument overrides the TOML URI; its
+    query params must win too."""
+    from ticdc_spark.streaming.registry import ChangefeedRegistry
+
+    reg = ChangefeedRegistry(str(tmp_path))
+    cf = reg.create("cf-uri-params", "",
+                    sink_uri="mysql://h:4000/?safe-mode=true&max-txn-row=8")
+    assert cf.cfg.safe_mode is True and cf.cfg.max_txn_row == 8
+    # rebuild from persisted state keeps them
+    reg._live.clear()
+    cf2 = reg.get("cf-uri-params")
+    assert cf2.cfg.safe_mode is True and cf2.cfg.max_txn_row == 8

@@ -106,8 +106,62 @@ def parse_changefeed_config(text: str, fmt: str = "toml") -> ChangefeedConfig:
     if cfg.target_ts and cfg.start_ts and cfg.target_ts < cfg.start_ts:
         raise ValueError(
             f"target-ts {cfg.target_ts} must be >= start-ts {cfg.start_ts}")
+    apply_sink_uri_params(cfg)
     if sync_interval:
         cfg.sync_point_interval_us = parse_duration_us(sync_interval)
     if sync_retention:
         cfg.sync_point_retention_us = parse_duration_us(sync_retention)
     return cfg
+
+
+# -- sink-URI query parameters ----------------------------------------------
+# The reference configures sinks through the URI's query string (mysql:
+# `pkg/sink/mysql/config.go:529-676` worker-count/max-txn-row/safe-mode;
+# kafka: `pkg/sink/kafka/options.go:111-138` form tags; storage/pulsar
+# similar). The params our engine models fold into ChangefeedConfig;
+# unknown params are ignored like gin's form binding.
+_MAX_WORKER_COUNT = 1024  # `config.go:59`, clamp with a warning
+
+
+def apply_sink_uri_params(cfg) -> None:
+    """Mutates ``cfg`` with the modeled sink-URI query parameters."""
+    from urllib.parse import parse_qs, urlsplit
+
+    query = urlsplit(cfg.sink_uri).query
+    if not query:
+        return
+    q = {k: v[-1] for k, v in parse_qs(query).items()}
+
+    def _pos_int(name: str) -> int | None:
+        if name not in q:
+            return None
+        try:
+            v = int(q[name])
+        except ValueError:
+            raise ValueError(
+                f"invalid {name} {q[name]!r}: not an integer") from None
+        if v <= 0:
+            raise ValueError(
+                f"invalid {name} {v}, which must be greater than 0")
+        return v
+
+    if "protocol" in q:
+        cfg.protocol = q["protocol"]
+    if (v := _pos_int("partition-num")) is not None:
+        cfg.n_partitions = v
+    if (v := _pos_int("max-message-bytes")) is not None:
+        cfg.max_message_bytes = v
+        if cfg.large_message_handle:
+            cfg.large_message_handle.setdefault("max-message-bytes", v)
+    if (v := _pos_int("worker-count")) is not None:
+        cfg.worker_count = min(v, _MAX_WORKER_COUNT)
+    if (v := _pos_int("max-txn-row")) is not None:
+        cfg.max_txn_row = v
+    if "compression" in q and q["compression"] not in ("", "none"):
+        cfg.compression = q["compression"]
+    if "safe-mode" in q:
+        cfg.safe_mode = q["safe-mode"].lower() == "true"
+    if "enable-tidb-extension" in q:
+        cfg.tidb_extension = q["enable-tidb-extension"].lower() == "true"
+    if "transaction-atomicity" in q:
+        cfg.transaction_atomicity = q["transaction-atomicity"]

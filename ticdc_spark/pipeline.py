@@ -111,6 +111,14 @@ class ChangefeedConfig:
     # FINISHES once the checkpoint reaches it. 0 = unset.
     start_ts: int = 0
     target_ts: int = 0
+    # --- sink-URI query-parameter surface (the reference parses these
+    # per scheme: `pkg/sink/mysql/config.go:49-59,529-560`, kafka
+    # `options.go` form tags) — folded in by
+    # `config.apply_sink_uri_params` ---
+    worker_count: int = 16       # DefaultWorkerCount (MySQL)
+    max_txn_row: int = 256       # DefaultMaxTxnRow
+    max_message_bytes: int = 10 * 1024 * 1024  # `pkg/config/sink.go:35`
+    tidb_extension: bool = False  # enable-tidb-extension
 
 
 def apply_replication_window(cl: DataFrame,
@@ -143,6 +151,10 @@ def _encode(df: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
             quote=c.get("quote", '"') or None,  # "" selects escape mode
             terminator=cfg.terminator,  # per-message, csv/txt only
         )
+    if cfg.protocol == "canal-json" and cfg.tidb_extension:
+        from ticdc_spark.codec.canal_json import encode_canal_json
+
+        return encode_canal_json(df, tidb_extension=True)
     return ENCODERS[cfg.protocol](df)
 
 
@@ -191,7 +203,7 @@ def build_pipeline(cl: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
     if cfg.large_message_handle:
         lm = cfg.large_message_handle
         opt = lm.get("large-message-handle-option", "handle-key-only")
-        max_bytes = lm.get("max-message-bytes", 10 * 1024 * 1024)
+        max_bytes = lm.get("max-message-bytes", cfg.max_message_bytes)
         if opt == "claim-check":
             from ticdc_spark.operators.large_message import with_claim_check
 
@@ -275,10 +287,12 @@ def compile_sink_tail(df: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
             if cfg.transaction_atomicity == "table":
                 from ticdc_spark.sinks.mysql import txn_flush_batches
 
-                df = txn_flush_batches(df, atomicity="table")
+                df = txn_flush_batches(
+                    df, max_txn_row=cfg.max_txn_row, atomicity="table")
             return sql_for_rows(df, safe_mode=True,
                                 pk_fields=tuple(cfg.handle_key_fields))
         return multirow_batches(compact_changelog(df),
+                                max_txn_row=cfg.max_txn_row,
                                 pk_fields=tuple(cfg.handle_key_fields))
     if scheme in STORAGE_SCHEMES:
         from ticdc_spark.sinks.storage import storage_paths

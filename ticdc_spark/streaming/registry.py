@@ -55,6 +55,9 @@ class ChangefeedRegistry:
         cfg = parse_changefeed_config(config_toml, fmt=fmt)
         if sink_uri:
             cfg.sink_uri = sink_uri
+            from ticdc_spark.config import apply_sink_uri_params
+
+            apply_sink_uri_params(cfg)  # the override URI's params win
         state[changefeed_id] = {"state": "normal", "config_toml": config_toml,
                                 "config_fmt": fmt,
                                 "sink_uri": cfg.sink_uri}
@@ -76,6 +79,9 @@ class ChangefeedRegistry:
                 fmt=state[changefeed_id].get("config_fmt", "toml"))
             if state[changefeed_id].get("sink_uri"):
                 cfg.sink_uri = state[changefeed_id]["sink_uri"]
+                from ticdc_spark.config import apply_sink_uri_params
+
+                apply_sink_uri_params(cfg)
             self._live[changefeed_id] = Changefeed(changefeed_id, cfg, self.work_dir)
         return self._live[changefeed_id]
 
