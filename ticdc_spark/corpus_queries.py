@@ -186,3 +186,55 @@ FROM w GROUP BY 1
 @register("quality_classifier", _QC_ORACLE)
 def q_quality_classifier(spark, sf_dir):
     return quality_classifier(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity buckets: per language, rank documents by their
+# bigram-LM score (normalized per bigram) and cut head/middle/tail
+# thirds — the classic quality-stratification step before sampling.
+# Ordering key is the IEEE double logprob_micro/n_bigrams (correctly
+# rounded, hence engine-identical for identical integer inputs); the
+# bucket index is pure integer arithmetic over the rank.
+# ---------------------------------------------------------------------------
+# the full bigram query reruns as a named subquery (subqueries may
+# carry their own WITH clause)
+_BIGRAM_CORE = _BIGRAM_ORACLE
+
+_CCNET_ORACLE = f"""
+WITH scored AS ({_BIGRAM_CORE}),
+ranked AS (
+    SELECT s.doc_id, d.lang, s.n_bigrams, s.logprob_micro,
+           row_number() OVER (
+               PARTITION BY d.lang
+               ORDER BY s.logprob_micro::DOUBLE / s.n_bigrams DESC,
+                        s.doc_id) AS rn,
+           count(*) OVER (PARTITION BY d.lang) AS n_lang
+    FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, n_bigrams, logprob_micro, rn,
+       (3 * (rn - 1)) // n_lang AS bucket
+FROM ranked
+"""
+
+
+@register("ccnet_buckets", _CCNET_ORACLE)
+def q_ccnet_buckets(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    scored = bigram_logprob(docs)
+    joined = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        (F.col("logprob_micro").cast("double") / F.col("n_bigrams")).desc(),
+        "doc_id",
+    )
+    wl = Window.partitionBy("lang")
+    return (
+        joined.withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn("n_lang", F.count(F.lit(1)).over(wl))
+        .withColumn(
+            "bucket",
+            F.expr("(3 * (rn - 1)) div n_lang").cast("long"))
+        .select("doc_id", "lang", "n_bigrams", "logprob_micro", "rn",
+                "bucket")
+    )
