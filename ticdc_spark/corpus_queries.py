@@ -238,3 +238,52 @@ def q_ccnet_buckets(spark, sf_dir):
         .select("doc_id", "lang", "n_bigrams", "logprob_micro", "rn",
                 "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Seeded deterministic shuffle: reproducible training order at any
+# scale WITHOUT a global sort — shard by keyed hash, order within the
+# shard by the hash (per-shard windows only; the training loader reads
+# shards in index order).  Changing the seed reshuffles; the same seed
+# reproduces the exact order on any engine.
+# ---------------------------------------------------------------------------
+_SHUFFLE_SEED = 42
+_SHUFFLE_SHARDS = 64
+
+_SHUFFLE_ORACLE = f"""
+WITH k AS (
+    SELECT doc_id,
+           md5('{_SHUFFLE_SEED}:' || doc_id::VARCHAR) AS shuffle_key
+    FROM documents
+),
+s AS (
+    SELECT doc_id, shuffle_key,
+           ('0x' || substr(shuffle_key, 1, 6))::BIGINT % {_SHUFFLE_SHARDS}
+               AS shard
+    FROM k
+)
+SELECT doc_id, shard, shuffle_key,
+       row_number() OVER (PARTITION BY shard
+                          ORDER BY shuffle_key, doc_id) AS pos_in_shard
+FROM s
+"""
+
+
+@register("seeded_shuffle", _SHUFFLE_ORACLE)
+def q_seeded_shuffle(spark, sf_dir):
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit(f"{_SHUFFLE_SEED}:"),
+                         F.col("doc_id").cast("string")))
+    shard = (
+        F.conv(F.substring("shuffle_key", 1, 6), 16, 10).cast("long")
+        % _SHUFFLE_SHARDS
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", key.alias("shuffle_key"))
+        .withColumn("shard", shard)
+        .withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "shuffle_key", "pos_in_shard")
+    )
