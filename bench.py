@@ -112,6 +112,9 @@ def main() -> None:
         # bigram LM, hashed-linear quality classifier
         "bloom_membership", "mixture_weights", "bigram_logprob",
         "quality_classifier",
+        # session-3 additions: simple-avro python codec, ccnet buckets,
+        # seeded shuffle
+        "simple_avro_roundtrip", "ccnet_buckets", "seeded_shuffle",
     ]
     def time_query(name: str) -> float:
         df = QUERIES[name](spark, sf_dir)
