@@ -240,3 +240,20 @@ def test_span_and_area_windows_partition_on_multi_key_input(spark, sf_dir):
         F.when(F.col("table_id") % 2 == 0, "test").otherwise("test2"))
     p2 = _plan(area_flow_control(usage_samples(two_area), quota_bytes=800))
     assert "hashpartitioning(area" in p2
+
+
+def test_session3_operator_shuffle_budgets(spark, sf_dir):
+    """Session-3 operators: the replication window and the avro
+    round-trip are map-only (0 exchanges); the seeded shuffle pays only
+    its per-shard window; ccnet buckets ride the bigram-LM joins plus
+    the per-language rank window."""
+    budgets = [
+        ("changefeed_window", 0),
+        ("simple_avro_roundtrip", 0),
+        ("seeded_shuffle", 1),
+        ("ccnet_buckets", 6),
+    ]
+    for name, budget in budgets:
+        p = _plan(QUERIES[name](spark, sf_dir))
+        shuffles = p.count("Exchange") - p.count("BroadcastExchange")
+        assert shuffles <= budget, f"{name}: {shuffles} > {budget}\n{p}"
