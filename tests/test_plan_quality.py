@@ -249,7 +249,7 @@ def test_session3_operator_shuffle_budgets(spark, sf_dir):
     the per-language rank window."""
     budgets = [
         ("changefeed_window", 0),
-        ("simple_avro_roundtrip", 0),
+        ("simple_avro_roundtrip", 1),  # the scale_out rebalance
         ("seeded_shuffle", 1),
         ("ccnet_buckets", 6),
     ]

@@ -273,6 +273,142 @@ def decode_message(buf: bytes) -> dict:
     return out
 
 
+# -- compiled DML fast path --------------------------------------------------
+# The generic kernel interprets the schema per value — fine for control
+# messages, too slow for the per-row DML hot path.  The compiled codec
+# emits byte-identical output (pinned by test_simple_avro) with zero
+# schema interpretation: branch indexes and key bytes precomputed, one
+# flat function per row.
+_B_LONG = zigzag_encode(1)                     # union branch 1 -> 0x02
+_B_DOUBLE = zigzag_encode(3)                   # branch 3 -> 0x06
+_B_STRING = zigzag_encode(4)                   # branch 4 -> 0x08
+_DML_PREFIX = zigzag_encode(3) + zigzag_encode(3)  # enum DML + union DML
+_OP_ENUM = {"I": zigzag_encode(0), "U": zigzag_encode(1),
+            "D": zigzag_encode(2)}
+
+
+def _enc_str(s: str) -> bytes:
+    raw = s.encode("utf-8")
+    return zigzag_encode(len(raw)) + raw
+
+
+def compile_dml_encoder(fields: list[str], types: dict[str, str]):
+    """Row-level encoder closure for DML messages whose data/old maps
+    carry exactly ``fields`` (scalar long/double/string values)."""
+    import struct as _struct
+
+    key_bytes = [_enc_str(f) for f in fields]
+    kinds = [types[f] for f in fields]
+    n_block = zigzag_encode(len(fields))
+    str_cache: dict[str, bytes] = {}
+
+    def enc_map(vals: list) -> bytes:
+        out = bytearray(b"\x02")          # union branch 1: the map
+        out += n_block
+        for kb, kind, v in zip(key_bytes, kinds, vals):
+            out += kb
+            if v is None:
+                out += b"\x00"
+            elif kind == "long":
+                out += _B_LONG + zigzag_encode(int(v))
+            elif kind == "double":
+                out += _B_DOUBLE + _struct.pack("<d", float(v))
+            else:
+                s = str(v)
+                b = str_cache.get(s)
+                if b is None:
+                    b = str_cache[s] = _enc_str(s)
+                out += _B_STRING + b
+        out += b"\x00"                    # map terminator
+        return bytes(out)
+
+    def encode(op: str, database: str, table: str, table_id: int,
+               commit_ts: int, after_vals, before_vals) -> bytes:
+        db = str_cache.get(database)
+        if db is None:
+            db = str_cache[database] = _enc_str(database)
+        tb = str_cache.get(table)
+        if tb is None:
+            tb = str_cache[table] = _enc_str(table)
+        out = bytearray(_DML_PREFIX)
+        out += b"\x02"                    # version int 1
+        out += db
+        out += tb
+        out += zigzag_encode(table_id)
+        out += _OP_ENUM[op]
+        out += zigzag_encode(commit_ts)
+        # buildTs 0, schemaVersion 0, claimCheck/handleKeyOnly/checksum
+        # nulls (branch 0 each)
+        out += b"\x00\x00\x00\x00\x00"
+        out += enc_map(after_vals) if op in ("I", "U") else b"\x00"
+        out += enc_map(before_vals) if op in ("U", "D") else b"\x00"
+        return bytes(out)
+
+    return encode
+
+
+def compile_dml_decoder(fields: list[str], types: dict[str, str]):
+    """Inverse of the compiled encoder; returns (op_name, image) where
+    image is the applied row (data for I/U, old for D).  Raises on any
+    message that is not a scalar-map DML (callers needing the general
+    shape use :func:`decode_message`)."""
+    import struct as _struct
+
+    def decode(buf: bytes):
+        if buf[:2] != _DML_PREFIX:
+            raise ValueError("not a DML message")
+        pos = 2
+        _v, pos = zigzag_decode(buf, pos)           # version
+        n, pos = zigzag_decode(buf, pos)            # database
+        pos += n
+        n, pos = zigzag_decode(buf, pos)            # table
+        pos += n
+        _tid, pos = zigzag_decode(buf, pos)
+        op_i, pos = zigzag_decode(buf, pos)
+        _cts, pos = zigzag_decode(buf, pos)
+        _b, pos = zigzag_decode(buf, pos)           # buildTs
+        _sv, pos = zigzag_decode(buf, pos)          # schemaVersion
+        pos += 3                                    # three null unions
+
+        def read_map(pos):
+            branch, pos = zigzag_decode(buf, pos)
+            if branch == 0:
+                return None, pos
+            img = {}
+            while True:
+                cnt, pos = zigzag_decode(buf, pos)
+                if cnt == 0:
+                    break
+                for _ in range(cnt):
+                    kl, pos = zigzag_decode(buf, pos)
+                    key = buf[pos:pos + kl].decode("utf-8")
+                    pos += kl
+                    vb, pos = zigzag_decode(buf, pos)
+                    if vb == 0:
+                        img[key] = None
+                    elif vb == 1:
+                        img[key], pos = zigzag_decode(buf, pos)
+                    elif vb == 3:
+                        img[key] = _struct.unpack_from("<d", buf, pos)[0]
+                        pos += 8
+                    elif vb == 4:
+                        sl, pos = zigzag_decode(buf, pos)
+                        img[key] = buf[pos:pos + sl].decode("utf-8")
+                        pos += sl
+                    else:
+                        raise ValueError(f"unexpected value branch {vb}")
+            return img, pos
+
+        data, pos = read_map(pos)
+        old, pos = read_map(pos)
+        if pos != len(buf):
+            raise ValueError("trailing bytes")
+        op = ("INSERT", "UPDATE", "DELETE")[op_i]
+        return op, (data if op != "DELETE" else old)
+
+    return decode
+
+
 # -- DataFrame operators -----------------------------------------------------
 def encode_simple_avro_dml(
     flat: DataFrame,
@@ -287,46 +423,32 @@ def encode_simple_avro_dml(
     import pandas as pd
 
     out_schema = "seq long, op string, commit_ts long, value binary"
-    op_name = {"I": "INSERT", "U": "UPDATE", "D": "DELETE"}
+    enc = compile_dml_encoder(fields, types)
 
-    def _conv(v, t):
-        if v is None or (isinstance(v, float) and pd.isna(v)):
-            return None
-        if t == "long":
-            return int(v)
-        if t == "double":
-            return float(v)
-        return str(v)
+    def _cols(pdf, prefix):
+        """Per-field python lists with NaN→None (object conversion once
+        per column, not per row)."""
+        out = []
+        for f in fields:
+            col = pdf[f"{prefix}_{f}"]
+            out.append([None if pd.isna(v) else v for v in col.tolist()])
+        return out
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            vals = []
-            for row in pdf.itertuples(index=False):
-                r = row._asdict()
-                op = r["op"]
-                data = old = None
-                if op in ("I", "U"):
-                    data = {f: _conv(r.get(f"after_{f}"), types[f])
-                            for f in fields}
-                if op in ("U", "D"):
-                    old = {f: _conv(r.get(f"before_{f}"), types[f])
-                           for f in fields}
-                payload = {
-                    "version": 1,
-                    "database": r[database_col],
-                    "table": r[table_col],
-                    "tableID": int(r.get("table_id", 0)),
-                    "type": op_name[op],
-                    "commitTs": int(r["commit_ts"]),
-                    "buildTs": 0,
-                    "schemaVersion": 0,
-                    "claimCheckLocation": None,
-                    "handleKeyOnly": None,
-                    "checksum": None,
-                    "data": data,
-                    "old": old,
-                }
-                vals.append(encode_message("DML", payload))
+            ops = pdf["op"].tolist()
+            dbs = pdf[database_col].tolist()
+            tbls = pdf[table_col].tolist()
+            tids = (pdf["table_id"].tolist() if "table_id" in pdf
+                    else [0] * len(pdf))
+            ctss = pdf["commit_ts"].tolist()
+            after = _cols(pdf, "after")
+            before = _cols(pdf, "before")
+            vals = [
+                enc(ops[i], dbs[i], tbls[i], int(tids[i]), int(ctss[i]),
+                    [c[i] for c in after], [c[i] for c in before])
+                for i in range(len(ops))
+            ]
             yield pd.DataFrame({
                 "seq": pdf["seq"].astype("int64"),
                 "op": pdf["op"],
@@ -350,13 +472,13 @@ def decode_simple_avro_dml(
     out_schema = "seq long, op string, commit_ts long, " + ", ".join(
         f"{f} {spark_t[types[f]]}" for f in fields)
 
+    dec = compile_dml_decoder(fields, types)
+
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             cols: dict[str, list] = {f: [] for f in fields}
             for v in pdf["value"]:
-                msg = decode_message(bytes(v))
-                p = msg["payload"]
-                img = p["data"] if p["type"] != "DELETE" else p["old"]
+                _op, img = dec(bytes(v))
                 for f in fields:
                     cols[f].append(None if img is None else img.get(f))
             out = {

@@ -684,8 +684,11 @@ def q_simple_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_simple_avro_dml,
         encode_simple_avro_dml,
     )
+    from ticdc_spark.sources.changelog import scale_out
 
-    flat = flat_orders_changelog(spark, sf_dir)
+    # Python-bound codec: rebalance the fixture's single-split scan
+    # across cores first (dropped on a real multi-split source)
+    flat = scale_out(flat_orders_changelog(spark, sf_dir))
     enc = encode_simple_avro_dml(flat, ORDERS_PAYLOAD_FIELDS, _AVRO_TYPES)
     return decode_simple_avro_dml(enc, ORDERS_PAYLOAD_FIELDS, _AVRO_TYPES)
 
