@@ -168,3 +168,31 @@ def test_near_dup_state_compaction(spark, tmp_path):
                               "with fresh tokens entirely"], 100), 3)
     out_texts = sorted(r.text for r in d.output().collect())
     assert len(out_texts) == 4 and out_texts.count(texts[0]) == 1
+
+
+def test_crash_between_output_and_state_heals_on_replay(spark, tmp_path):
+    """Chaos: the process dies after epoch N's output lands but before
+    its Bloom state persists.  The replay must regenerate BOTH from
+    state(N-1) — no duplicate admissions, no lost state."""
+    from ticdc_spark import failpoint
+    from ticdc_spark.streaming.dedup import StreamingBloomDedup
+
+    d = StreamingBloomDedup(spark, str(tmp_path))
+    d.run_batch(_docs(spark, ["p", "q"]), 0)
+    failpoint.enable("dedup/after-output", "1*error(crash)")
+    try:
+        with pytest.raises(RuntimeError):
+            d.run_batch(_docs(spark, ["q", "r"], 10), 1)
+        # epoch-1 output exists, epoch-1 state does NOT
+        assert os.path.isdir(os.path.join(d.out_dir, "epoch=1"))
+        assert not os.path.isdir(os.path.join(d.state_dir, "epoch=1"))
+        # replay (foreachBatch redelivers the same epoch id)
+        d.run_batch(_docs(spark, ["q", "r"], 10), 1)
+    finally:
+        failpoint.disable_all()
+    texts = sorted(r.text for r in d.output().collect())
+    assert texts == ["p", "q", "r"]
+    # state is whole: a later duplicate of "r" is suppressed
+    d.run_batch(_docs(spark, ["r", "s"], 20), 2)
+    texts = sorted(r.text for r in d.output().collect())
+    assert texts == ["p", "q", "r", "s"]

@@ -100,6 +100,12 @@ class StreamingBloomDedup:
             kept = in_batch
         kept.drop("_digest").write.mode("overwrite").parquet(
             os.path.join(self.out_dir, f"epoch={epoch_id}"))
+        # chaos hook: crash AFTER the output write but BEFORE the state
+        # write — the replayed epoch re-reads state(N-1) and overwrites
+        # both, so the half-written epoch heals (tests/test_failpoints)
+        from ticdc_spark import failpoint
+
+        failpoint.inject("dedup/after-output", {"epoch": epoch_id})
         new_words = bloom_build(
             kept.select(F.col("_digest").alias("key")))
         if prior is not None:
