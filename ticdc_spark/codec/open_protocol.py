@@ -105,20 +105,27 @@ def open_protocol_checkpoints(cl: DataFrame, interval_us: int = 3_600_000_000) -
     return wm.withColumn("key", key).withColumn("value", F.lit(""))
 
 
-def encode_open_protocol_batch(cl_routed: DataFrame) -> DataFrame:
+def encode_open_protocol_batch(cl_routed: DataFrame,
+                               max_batch_size: int | None = None
+                               ) -> DataFrame:
     """Batched open-protocol (``IsBatchEncode``,
-    `pkg/config/sink_protocol.go:48-50`): all messages for one
-    (topic, partition) frame into ONE batch payload, ordered by
+    `pkg/config/sink_protocol.go:48-50`): messages for one
+    (topic, partition) frame into batch payloads, ordered by
     (commit_ts, seq) — the order the consumer must replay.
 
+    ``max_batch_size`` caps messages per batch like the encoder's
+    ``max-batch-size`` (default 16, `codec/common/config.go:34-35`);
+    None frames everything into one payload (flush-time capping).
     The reference frames each message with binary uint64-BE length
     headers (`open/message.go`); here the framing is decimal netstring
     (``len:key len:value``) so the bytes are reproducible in the SQL
     oracle — grouping, ordering, and framing structure are identical.
-    ``max-batch-size`` capping happens at the sink flush (foreachBatch
-    chunks). One shuffle on (topic, partition) — the same exchange the
-    kafka write needs anyway, so batching is free at scale.
+    One shuffle on (topic, partition) — the same exchange the kafka
+    write needs anyway (the batch-index window rides it), so batching
+    is free at scale.
     """
+    from pyspark.sql.window import Window
+
     enc = encode_open_protocol(cl_routed)
     frame = F.concat(
         F.length("key").cast("string"), F.lit(":"), F.col("key"),
@@ -128,7 +135,17 @@ def encode_open_protocol_batch(cl_routed: DataFrame) -> DataFrame:
         "topic", "partition",
         F.struct("commit_ts", "seq", frame.alias("frame")).alias("_r"),
     )
-    return rows.groupBy("topic", "partition").agg(
+    group_cols = ["topic", "partition"]
+    if max_batch_size is not None:
+        w = Window.partitionBy("topic", "partition").orderBy(
+            F.col("_r.commit_ts"), F.col("_r.seq"))
+        rows = rows.withColumn(
+            "batch_index",
+            ((F.row_number().over(w) - 1) / max_batch_size)
+            .cast("long"),
+        )
+        group_cols.append("batch_index")
+    return rows.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_messages"),
         F.array_join(
             F.transform(F.array_sort(F.collect_list("_r")), lambda s: s["frame"]),

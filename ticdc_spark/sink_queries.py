@@ -1123,6 +1123,30 @@ def q_open_protocol_batch(spark, sf_dir):
     return encode_open_protocol_batch(routed)
 
 
+@register(
+    "open_protocol_batch_capped",
+    f"WITH {CHANGELOG_SQL}, "
+    "msgs AS (SELECT 'cdc_' || schema_name || '_' || table_name AS topic, "
+    f"CAST({_MD5_32_SQL} % 16 AS INTEGER) AS partition, commit_ts, seq, "
+    f"{_OPEN_KEY_SQL} AS key, {_OPEN_VALUE_SQL} AS value FROM changelog), "
+    "idx AS (SELECT *, (row_number() OVER (PARTITION BY topic, partition "
+    "  ORDER BY commit_ts, seq) - 1) // 16 AS batch_index FROM msgs) "
+    "SELECT topic, partition, batch_index, count(*) AS n_messages, "
+    f"string_agg({_BATCH_FRAME}, '' ORDER BY commit_ts, seq) AS batch "
+    "FROM idx GROUP BY 1, 2, 3",
+)
+def q_open_protocol_batch_capped(spark, sf_dir):
+    """max-batch-size capping (default 16, codec/common/config.go:34):
+    batches never exceed 16 messages, index order replayable."""
+    routed = route(
+        scale_out(events_changelog(spark, sf_dir)),
+        [{"matcher": ["test.tp_*"], "partition": "index-value",
+          "topic": "cdc_{schema}_{table}"}],
+        n_partitions=16,
+    )
+    return encode_open_protocol_batch(routed, max_batch_size=16)
+
+
 # ---------------------------------------------------------------------------
 # canal-json with enable-tidb-extension (_tidb.commitTs carries exact ts)
 # ---------------------------------------------------------------------------
