@@ -1675,6 +1675,27 @@ def q_open_protocol_consumer_roundtrip(spark, sf_dir):
     return replay_to_state(decoded, order_col="commit_ts")
 
 
+@register("open_protocol_batch_roundtrip", _REPLAY_STATE_ORACLE)
+def q_open_protocol_batch_roundtrip(spark, sf_dir):
+    """The capped-batch wire is invertible: route -> frame into <=16
+    message batches -> netstring-split back -> decode -> replayed state
+    equals the direct apply."""
+    from ticdc_spark.codec.open_protocol import encode_open_protocol_batch
+    from ticdc_spark.sinks.consumer import explode_open_protocol_batch
+
+    cl = split_updates(events_changelog(spark, sf_dir, parallel=True))
+    routed = route(
+        cl,
+        [{"matcher": ["test.tp_*"], "partition": "index-value",
+          "topic": "cdc_{schema}_{table}"}],
+        n_partitions=16,
+    )
+    batches = encode_open_protocol_batch(routed, max_batch_size=16)
+    decoded = decode_open_protocol(
+        explode_open_protocol_batch(batches.select("batch")))
+    return replay_to_state(decoded, order_col="commit_ts")
+
+
 @register("debezium_consumer_roundtrip", _REPLAY_STATE_ORACLE)
 def q_debezium_consumer_roundtrip(spark, sf_dir):
     cl = split_updates(events_changelog(spark, sf_dir, parallel=True))

@@ -338,3 +338,38 @@ def decode_csv_storage(
         cols.append(F.when(is_delete, img).alias(f"before_{name}"))
         cols.append(F.when(~is_delete, img).alias(f"after_{name}"))
     return parsed.select(*cols)
+
+
+def explode_open_protocol_batch(batches: DataFrame) -> DataFrame:
+    """Batched open-protocol consumer front half: split each batch
+    payload's netstring framing (``len:key len:value`` repeated) back
+    into (key, value) message rows — the inverse of
+    `codec/open_protocol.py::encode_open_protocol_batch`.  Arrow-batched
+    mapInPandas (byte-offset parsing isn't column algebra); feed the
+    output to :func:`decode_open_protocol`."""
+    import pandas as pd
+
+    def _parse(blob: str) -> list[tuple[str, str]]:
+        out, pos, n = [], 0, len(blob)
+        while pos < n:
+            colon = blob.index(":", pos)
+            klen = int(blob[pos:colon])
+            key = blob[colon + 1:colon + 1 + klen]
+            pos = colon + 1 + klen
+            colon = blob.index(":", pos)
+            vlen = int(blob[pos:colon])
+            value = blob[colon + 1:colon + 1 + vlen]
+            pos = colon + 1 + vlen
+            out.append((key, value))
+        return out
+
+    def _explode(pdfs):
+        for pdf in pdfs:
+            keys, vals = [], []
+            for blob in pdf["batch"]:
+                for k, v in _parse(blob):
+                    keys.append(k)
+                    vals.append(v)
+            yield pd.DataFrame({"key": keys, "value": vals})
+
+    return batches.mapInPandas(_explode, "key string, value string")
