@@ -26,6 +26,7 @@ class ChangefeedRegistry:
         self.work_dir = work_dir
         self.path = os.path.join(work_dir, "changefeeds.json")
         self._live: dict[str, Changefeed] = {}
+        self._backoffs: dict = {}  # per-feed error backoff state
 
     # -- persistence -------------------------------------------------------
     def _load(self) -> dict:
@@ -97,9 +98,29 @@ class ChangefeedRegistry:
             cf.start(spark, sf_dir, available_now=True)
             cf.wait(timeout_s)
         except Exception as e:
+            # error-state machine (`coordinator/changefeed/backoff.go`):
+            # GC fast-fail codes and exhausted retries → failed;
+            # transient errors → warning + retry schedule
+            from ticdc_spark.api import _rfc_code
+            from ticdc_spark.streaming.backoff import (
+                ChangefeedBackoff,
+                is_unretryable,
+            )
+
+            bo = self._backoffs.setdefault(
+                changefeed_id, ChangefeedBackoff())
+            code = _rfc_code(400, str(e))
+            if is_unretryable(e):
+                bo.failed = True
+                new_state = "failed"
+            else:
+                ckpt = cf.checkpoint_ts() or 0
+                _changed, new_state, _err = bo.check_status(
+                    ckpt, [{"code": code, "message": str(e)[:500]}])
             state = self._load()
-            state[changefeed_id]["state"] = "failed"
+            state[changefeed_id]["state"] = new_state
             state[changefeed_id]["error"] = str(e)[:500]
+            state[changefeed_id]["error_code"] = code
             self._save(state)
             raise
         if cf.cfg.target_ts:
@@ -118,7 +139,9 @@ class ChangefeedRegistry:
             raise KeyError(changefeed_id)
         state[changefeed_id]["state"] = "normal"
         state[changefeed_id].pop("error", None)  # retry clears the error
+        state[changefeed_id].pop("error_code", None)
         self._save(state)
+        self._backoffs.pop(changefeed_id, None)  # resume resets backoff
 
     def update(self, changefeed_id: str, config_toml: str) -> None:
         """UpdateChangefeed (`api/v2/changefeed.go` UpdateChangefeed):
