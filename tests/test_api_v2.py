@@ -376,3 +376,22 @@ def test_start_ts_before_gc_safepoint_refused(api, spark, sf_dir):
                      "config_toml": REFERENCE_TOML,
                      "start_ts": sp})
     assert st == 200
+
+
+def test_metrics_error_info_series(api, spark, sf_dir):
+    base, reg = api
+    cf = reg.create("cf-err", REFERENCE_TOML)
+    import pytest as _pytest
+
+    def boom(*a, **k):
+        raise RuntimeError("sink connection reset")
+
+    cf.start = boom
+    with _pytest.raises(RuntimeError):
+        reg.run("cf-err", spark, sf_dir, timeout_s=5)
+    with urllib.request.urlopen(f"{base}/metrics") as r:
+        text = r.read().decode()
+    assert 'ticdc_owner_changefeed_error_info{changefeed="cf-err"' in text
+    assert 'state="warning"' in text
+    # FeedState warning = 6
+    assert 'ticdc_owner_status{changefeed="cf-err"} 6' in text

@@ -361,6 +361,23 @@ class ApiServer:
                         lines.append(
                             f'ticdc_sink_flushed_rows_total{{changefeed='
                             f'"{cid}"}} {rows}')
+                    # ChangefeedErrorInfoGauge (`metrics/changefeed.go:84`)
+                    docs = registry._load()
+                    err_lines = []
+                    for cid, doc in sorted(docs.items()):
+                        if doc.get("error"):
+                            code = doc.get("error_code", "")
+                            err_lines.append(
+                                f'ticdc_owner_changefeed_error_info{{'
+                                f'changefeed="{cid}",state="{doc["state"]}"'
+                                f',code="{code}"}} 1')
+                    if err_lines:
+                        lines += [
+                            "# HELP ticdc_owner_changefeed_error_info "
+                            "current warning/failed reason per changefeed",
+                            "# TYPE ticdc_owner_changefeed_error_info "
+                            "gauge",
+                        ] + err_lines
                     lines += [
                         "# HELP ticdc_owner_ownership_counter The counter"
                         " of ownership",
