@@ -287,3 +287,57 @@ def q_seeded_shuffle(spark, sf_dir):
         .withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
         .select("doc_id", "shard", "shuffle_key", "pos_in_shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source length percentiles: rank-selected p50/p90/p99 token counts
+# (exact order statistics — no interpolation, engine-identical), the
+# length-distribution row of a corpus datasheet.
+# ---------------------------------------------------------------------------
+_LEN_PCT_ORACLE = """
+WITH t AS (
+    SELECT source, len(string_split(text, ' '))::BIGINT AS n_toks
+    FROM documents
+),
+r AS (
+    SELECT source, n_toks,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n_toks) AS rn,
+           count(*) OVER (PARTITION BY source) AS n
+    FROM t
+)
+SELECT source,
+       max(n) AS n_docs,
+       max(CASE WHEN rn = (n * 50 + 99) // 100 THEN n_toks END) AS p50,
+       max(CASE WHEN rn = (n * 90 + 99) // 100 THEN n_toks END) AS p90,
+       max(CASE WHEN rn = (n * 99 + 99) // 100 THEN n_toks END) AS p99,
+       min(n_toks) AS min_toks, max(n_toks) AS max_toks
+FROM r GROUP BY source
+"""
+
+
+@register("length_percentiles", _LEN_PCT_ORACLE)
+def q_length_percentiles(spark, sf_dir):
+    from pyspark.sql import Window
+
+    t = _docs(spark, sf_dir).select(
+        "source", F.size(F.split("text", " ")).cast("long").alias("n_toks"))
+    w = Window.partitionBy("source").orderBy("n_toks")
+    ws = Window.partitionBy("source")
+    r = (
+        t.withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(ws).cast("long"))
+    )
+
+    def pct(p):
+        # ceil(n*p/100) as the 1-based order statistic (exact, no interp)
+        return F.max(
+            F.when(F.col("rn") == F.expr(f"(n * {p} + 99) div 100"),
+                   F.col("n_toks")))
+
+    return r.groupBy("source").agg(
+        F.max("n").alias("n_docs"),
+        pct(50).alias("p50"), pct(90).alias("p90"), pct(99).alias("p99"),
+        F.min("n_toks").alias("min_toks"),
+        F.max("n_toks").alias("max_toks"),
+    )
