@@ -212,3 +212,25 @@ def test_compiled_dml_codec_matches_generic():
         g = decode_message(got)["payload"]
         assert c_op == g["type"]
         assert c_img == (g["data"] if c_op != "DELETE" else g["old"])
+
+
+def test_compiled_decoder_rejects_nonnull_optionals():
+    """A DML with a checksum (produced by the generic encoder) must make
+    the fast decoder raise — not silently desync."""
+    from ticdc_spark.codec.simple_avro import compile_dml_decoder
+
+    payload = {
+        "version": 1, "database": "d", "table": "t", "tableID": 1,
+        "type": "INSERT", "commitTs": 2, "buildTs": 0,
+        "schemaVersion": 0, "claimCheckLocation": None,
+        "handleKeyOnly": None,
+        "checksum": {"version": 1, "corrupted": False,
+                     "current": 5, "previous": 4},
+        "data": {"x": 1}, "old": None,
+    }
+    blob = encode_message("DML", payload)
+    dec = compile_dml_decoder(["x"], {"x": "long"})
+    with pytest.raises(ValueError):
+        dec(blob)
+    # the generic decoder still handles it
+    assert decode_message(blob)["payload"]["checksum"]["current"] == 5

@@ -368,7 +368,14 @@ def compile_dml_decoder(fields: list[str], types: dict[str, str]):
         _cts, pos = zigzag_decode(buf, pos)
         _b, pos = zigzag_decode(buf, pos)           # buildTs
         _sv, pos = zigzag_decode(buf, pos)          # schemaVersion
-        pos += 3                                    # three null unions
+        # claimCheckLocation / handleKeyOnly / checksum: the fast path
+        # handles only the null branch — anything else must surface (the
+        # caller falls back to the generic decoder), never desync
+        for _ in range(3):
+            b, pos = zigzag_decode(buf, pos)
+            if b != 0:
+                raise ValueError(
+                    "compiled decoder: non-null optional field")
 
         def read_map(pos):
             branch, pos = zigzag_decode(buf, pos)
