@@ -136,3 +136,67 @@ def test_release_schema_expands_against_snapshot():
     # freed targets are claimable again
     t2 = [Admission(ADMIT, ("q", "n"), _b("q", "n", "s", "a"))]
     assert adm.apply(4, t2) is True
+
+
+def test_random_sequences_match_naive_model():
+    """Property: for random commit-ordered admission sequences, the
+    Admin's final active-route snapshot equals a naive sequential model
+    (dict + same-transition conflict rule), and both agree on which
+    transitions were rejected."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    sources = [("s", f"t{i}") for i in range(4)]
+    targets = [("d", f"x{i}") for i in range(3)]
+
+    adm_strategy = st.lists(
+        st.tuples(st.sampled_from(["admit", "release"]),
+                  st.sampled_from(sources),
+                  st.sampled_from(targets)),
+        min_size=1, max_size=3)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(adm_strategy, min_size=1, max_size=6))
+    def check(batches):
+        admin = RouteAdmin(_ident_route, [])
+        naive_s2t: dict = {}
+        naive_t2s: dict = {}
+        for i, batch in enumerate(batches):
+            ts = (i + 1) * 10
+            admissions = [
+                Admission(ADMIT, src, RouteBinding(src, tgt))
+                if act == "admit" else Admission(RELEASE, src)
+                for act, src, tgt in batch
+            ]
+            ok = admin.apply(ts, admissions)
+            # naive: validate against post-release state; both new adds
+            # to one target conflict
+            releases = [a.source for a in admissions
+                        if a.action == RELEASE]
+            adds = [a.binding for a in admissions if a.action == ADMIT]
+            after_rel_t2s = {t: s for t, s in naive_t2s.items()
+                            if s not in releases}
+            valid = True
+            seen_t: dict = {}
+            for b in adds:
+                if after_rel_t2s.get(b.target, b.source) != b.source:
+                    valid = False
+                if seen_t.get(b.target, b.source) != b.source:
+                    valid = False
+                seen_t[b.target] = b.source
+            if valid:
+                for s in releases:
+                    t = naive_s2t.pop(s, None)
+                    if t is not None:
+                        naive_t2s.pop(t, None)
+                for b in adds:
+                    naive_t2s[b.target] = b.source
+                    naive_s2t[b.source] = b.target
+            if ok != valid:
+                raise AssertionError(
+                    f"batch {i}: admin={ok} naive={valid} {batch}")
+            if not ok:
+                return  # admin latches failed; stop like the changefeed
+            assert dict(admin.registry.source2target) == naive_s2t
+
+    check()
