@@ -55,9 +55,19 @@ _MYSQL = {"okey": "bigint", "cust": "bigint", "price": "double",
           "status": "varchar", "priority": "varchar", "odate": "varchar"}
 
 
-def _canal_sql(fields: list[str]) -> str:
+# content-compatible mode renders the FULL type descriptor
+# (`GetMySQLType(col, fullType=true)`, `codec/common/helper.go:38-46`) —
+# the official-canal shape; descriptors are the fixture table's true
+# MySQL DDL types (TPC-H orders).
+_MYSQL_FULL = {"okey": "bigint(20)", "cust": "bigint(20)",
+               "price": "double", "status": "char(1)",
+               "priority": "varchar(15)", "odate": "date"}
+
+
+def _canal_sql(fields: list[str], mysql_map: dict | None = None) -> str:
+    mm = mysql_map or _MYSQL
     sql_t = "{" + ",".join(f'"{f}":{_JAVA[f]}' for f in fields) + "}"
-    mysql_t = "{" + ",".join(f'"{f}":"{_MYSQL[f]}"' for f in fields) + "}"
+    mysql_t = "{" + ",".join(f'"{f}":"{mm[f]}"' for f in fields) + "}"
     return (
         "'{\"id\":0,\"database\":\"' || schema_name || '\",\"table\":\"' || "
         "table_name || '\",\"pkNames\":[\"okey\"],\"isDdl\":false,\"type\":\"' || "
@@ -101,6 +111,25 @@ def q_orders_changelog_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_orders_canal_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     cl = scale_out(orders_changelog(spark, sf_dir))
     return encode_canal_json(cl, pk_names=("okey",)).select("seq", "value")
+
+
+@register(
+    "codec_canal_content_compatible",
+    f"WITH {ORDERS_CL_SQL} SELECT seq, "
+    f"{_canal_sql(ORDERS_PAYLOAD_FIELDS, _MYSQL_FULL)} AS value "
+    "FROM orders_cl",
+)
+def q_codec_canal_content_compatible(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """content-compatible-enable: mysqlType carries the full descriptor
+    ("bigint(20)", "char(1)"...) instead of the bare name — official
+    canal consumers parse this form (`canal_json_encoder.go:250`)."""
+    cl = scale_out(orders_changelog(spark, sf_dir))
+    overrides = {f: (_JAVA[f], _MYSQL_FULL[f])
+                 for f in ORDERS_PAYLOAD_FIELDS}
+    return encode_canal_json(
+        cl, pk_names=("okey",), type_overrides=overrides
+    ).select("seq", "value")
 
 
 # ---------------------------------------------------------------------------
