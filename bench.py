@@ -115,6 +115,8 @@ def main() -> None:
         # session-3 additions: simple-avro python codec, ccnet buckets,
         # seeded shuffle
         "simple_avro_roundtrip", "ccnet_buckets", "seeded_shuffle",
+        # session-4: web-corpus curation (llm/web.py)
+        "url_dedup", "paragraph_dedup", "c4_line_filter", "gopher_rules",
     ]
     def time_query(name: str) -> float:
         df = QUERIES[name](spark, sf_dir)

@@ -581,3 +581,4 @@ from ticdc_spark import ddl_queries  # noqa: E402,F401  isort:skip
 from ticdc_spark import diff_queries  # noqa: E402,F401  isort:skip
 from ticdc_spark import metrics_queries  # noqa: E402,F401  isort:skip
 from ticdc_spark import corpus_queries  # noqa: E402,F401  isort:skip
+from ticdc_spark import web_queries  # noqa: E402,F401  isort:skip

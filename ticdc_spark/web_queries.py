@@ -1,0 +1,322 @@
+"""Web-corpus curation queries + DuckDB oracles (llm/web.py).
+
+The documents fixture is flat word-soup, so each query synthesizes the
+page structure it needs (URLs, paragraph/line breaks, planted
+boilerplate and policy lines) DETERMINISTICALLY on both sides — the
+planted rows give every rule positive support (VERDICT r1 item 7: a
+filter nothing trips proves nothing).  The ORACLES are written as
+independent derivations (closed-form expected URLs, re-derived line
+flags), not mirrors of the Spark expression tree, so a shared bug
+can't cancel out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ticdc_spark.llm.web import (
+    C4_MIN_KEPT_LINES,
+    C4_MIN_LINE_WORDS,
+    STOPWORDS,
+    c4_line_filter,
+    gopher_rules,
+    normalize_url,
+    paragraph_dedup,
+    url_dedup,
+)
+from ticdc_spark.queries import register
+from ticdc_spark.sources.changelog import read_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + crawl-level dedup
+# ---------------------------------------------------------------------------
+# Synthetic URL exercising every normalization rule: mixed-case scheme/
+# host, www. prefix, default port, tracking params, unsorted params,
+# fragment.  The oracle states the expected CLOSED FORM.
+
+def _with_url(docs: DataFrame) -> DataFrame:
+    odd = F.col("doc_id") % 2 == 1
+    return docs.withColumn(
+        "url",
+        F.concat(
+            F.when(odd, F.lit("HTTPS")).otherwise(F.lit("HTTP")),
+            F.lit("://WWW."), F.col("source"), F.lit(".Example.COM"),
+            F.when(odd, F.lit(":443")).otherwise(F.lit(":80")),
+            F.lit("/Docs/"), (F.col("doc_id") % 20).cast("string"),
+            F.lit("/?utm_source=rss&id="), (F.col("doc_id") % 8).cast("string"),
+            F.lit("&ref="), F.col("lang"), F.lit("&q=Spark+SQL"),
+            F.lit("#sec-"), (F.col("doc_id") % 7).cast("string"),
+        ),
+    )
+
+
+_URL_RAW_SQL = (
+    "CASE WHEN doc_id % 2 = 1 THEN 'HTTPS' ELSE 'HTTP' END || '://WWW.' "
+    "|| source || '.Example.COM' "
+    "|| CASE WHEN doc_id % 2 = 1 THEN ':443' ELSE ':80' END "
+    "|| '/Docs/' || (doc_id % 20)::VARCHAR || '/?utm_source=rss&id=' "
+    "|| (doc_id % 8)::VARCHAR || '&ref=' || lang || '&q=Spark+SQL' "
+    "|| '#sec-' || (doc_id % 7)::VARCHAR"
+)
+
+# expected canonical form, derived BY HAND from the construction above:
+# fragment gone, scheme+host lowercased, www. stripped, default port
+# stripped, path case kept, trailing slash stripped, utm_*/ref dropped,
+# survivors sorted ('id=' < 'q=')
+_URL_NORM_SQL = (
+    "'http' || CASE WHEN doc_id % 2 = 1 THEN 's' ELSE '' END || '://' "
+    "|| source || '.example.com/Docs/' || (doc_id % 20)::VARCHAR "
+    "|| '?id=' || (doc_id % 8)::VARCHAR || '&q=Spark+SQL'"
+)
+
+
+@register(
+    "url_normalize",
+    f"SELECT doc_id, {_URL_RAW_SQL} AS url, {_URL_NORM_SQL} AS norm_url "
+    "FROM documents",
+)
+def q_url_normalize(spark, sf_dir):
+    d = _with_url(_docs(spark, sf_dir))
+    return d.select("doc_id", "url", normalize_url("url").alias("norm_url"))
+
+
+@register(
+    "url_dedup",
+    f"SELECT {_URL_NORM_SQL} AS norm_url, min(doc_id) AS keep_doc_id, "
+    "count(*) AS n_docs, count(DISTINCT source) AS n_sources "
+    "FROM documents GROUP BY 1",
+)
+def q_url_dedup(spark, sf_dir):
+    return url_dedup(_with_url(_docs(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# boilerplate-paragraph removal (RefinedWeb-style)
+# ---------------------------------------------------------------------------
+_BOILER1 = "please accept our cookie policy before reading this page"
+_BOILER2 = "subscribe to our newsletter for weekly updates"
+
+# paragraphs = 10-word chunks; boilerplate planted on 1/3 and 1/4 of docs
+_PARA_SYNTH_SQL = f"""
+lists AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+chunked AS (
+    SELECT doc_id,
+           [array_to_string(toks[i*10+1:i*10+10], ' ')
+            for i in generate_series(0, (len(toks)-1)//10)] AS paras
+    FROM lists
+),
+synth AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0 THEN
+                CASE WHEN doc_id % 3 = 0
+                     THEN '{_BOILER1}' || chr(10)||chr(10) || array_to_string(paras, chr(10)||chr(10))
+                     ELSE array_to_string(paras, chr(10)||chr(10)) END
+                || chr(10)||chr(10) || '{_BOILER2}'
+           ELSE
+                CASE WHEN doc_id % 3 = 0
+                     THEN '{_BOILER1}' || chr(10)||chr(10) || array_to_string(paras, chr(10)||chr(10))
+                     ELSE array_to_string(paras, chr(10)||chr(10)) END
+           END AS text
+    FROM chunked
+)
+"""
+
+
+def _para_synth(docs: DataFrame) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    paras = F.transform(
+        F.sequence(F.lit(0), F.floor((F.size(toks) - 1) / 10).cast("int")),
+        lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+    )
+    base = F.array_join(paras, "\n\n")
+    t = F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(_BOILER1 + "\n\n"), base)).otherwise(base)
+    t = F.when(F.col("doc_id") % 4 == 0,
+               F.concat(t, F.lit("\n\n" + _BOILER2))).otherwise(t)
+    return docs.select("doc_id", t.alias("text"))
+
+
+_PARA_ORACLE = f"""
+WITH {_PARA_SYNTH_SQL},
+plists AS (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS ps FROM synth),
+paras AS (
+    SELECT doc_id, g.i AS pos, ps[g.i] AS para
+    FROM plists, LATERAL (SELECT unnest(generate_series(1, len(ps))) AS i) g
+),
+dfreq AS (SELECT para, count(DISTINCT doc_id) AS df FROM paras GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM synth),
+flagged AS (
+    SELECT p.doc_id, p.pos, p.para,
+           (d.df >= 3 AND d.df * 50 >= t.n) AS is_boiler
+    FROM paras p JOIN dfreq d USING (para), tot t
+)
+SELECT doc_id, count(*) AS n_paras,
+       CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       coalesce(string_agg(CASE WHEN NOT is_boiler THEN para END,
+                           chr(10)||chr(10) ORDER BY pos), '') AS clean_text
+FROM flagged GROUP BY doc_id
+"""
+
+
+@register("paragraph_dedup", _PARA_ORACLE)
+def q_paragraph_dedup(spark, sf_dir):
+    return paragraph_dedup(_para_synth(_docs(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# C4 line filter
+# ---------------------------------------------------------------------------
+_JS_LINE = "please enable javascript and view our cookie policy settings."
+_LOREM_LINE = "lorem ipsum dolor sit amet consectetur adipiscing elit nunc."
+_BRACE_LINE = "function menu { return window config data layout theme }."
+
+# lines = 8-word chunks; terminal '.' on 3/4 of lines by position
+_C4_SYNTH_SQL = f"""
+lists AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+chunked AS (
+    SELECT doc_id,
+           [array_to_string(toks[i*8+1:i*8+8], ' ')
+            || CASE WHEN (doc_id + i) % 4 <> 0 THEN '.' ELSE '' END
+            for i in generate_series(0, (len(toks)-1)//8)] AS nat
+    FROM lists
+),
+synth AS (
+    SELECT doc_id,
+           array_to_string(
+               (CASE WHEN doc_id % 7 = 0 THEN ['{_JS_LINE}'] ELSE [] END)
+               || (CASE WHEN doc_id % 13 = 0 THEN ['{_LOREM_LINE}'] ELSE [] END)
+               || (CASE WHEN doc_id % 11 = 0 THEN ['{_BRACE_LINE}'] ELSE [] END)
+               || nat, chr(10)) AS text
+    FROM chunked
+)
+"""
+
+
+def _c4_synth(docs: DataFrame) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    doc_id = F.col("doc_id")
+    nat = F.transform(
+        F.sequence(F.lit(0), F.floor((F.size(toks) - 1) / 8).cast("int")),
+        lambda i: F.concat(
+            F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+            F.when((doc_id + i) % 4 != 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    def _opt(cond, line):
+        return F.when(cond, F.array(F.lit(line))).otherwise(
+            F.array().cast("array<string>"))
+    lines = F.concat(
+        _opt(doc_id % 7 == 0, _JS_LINE),
+        _opt(doc_id % 13 == 0, _LOREM_LINE),
+        _opt(doc_id % 11 == 0, _BRACE_LINE),
+        nat,
+    )
+    return docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+
+
+_C4_ORACLE = f"""
+WITH {_C4_SYNTH_SQL},
+llists AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM synth),
+lines AS (
+    SELECT doc_id,
+           (contains(lower(text), 'lorem ipsum')
+            OR contains(lower(text), '{{')) AS doc_bad,
+           g.i AS pos, ls[g.i] AS line
+    FROM llists, LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i) g
+),
+flagged AS (
+    SELECT doc_id, doc_bad, pos, line,
+           (len(string_split(line, ' ')) >= {C4_MIN_LINE_WORDS}
+            AND right(line, 1) IN ('.', '!', '?', '"')
+            AND NOT contains(lower(line), 'javascript')
+            AND NOT contains(lower(line), 'cookie')) AS keep_line
+    FROM lines
+),
+agg AS (
+    SELECT doc_id, doc_bad, count(*) AS n_lines,
+           CAST(sum(CASE WHEN keep_line THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           string_agg(CASE WHEN keep_line THEN line END,
+                      chr(10) ORDER BY pos) AS joined
+    FROM flagged GROUP BY doc_id, doc_bad
+)
+SELECT doc_id, n_lines, n_kept,
+       (NOT doc_bad AND n_kept >= {C4_MIN_KEPT_LINES}) AS doc_kept,
+       CASE WHEN NOT doc_bad AND n_kept >= {C4_MIN_KEPT_LINES}
+            THEN coalesce(joined, '') END AS clean_text
+FROM agg
+"""
+
+
+@register("c4_line_filter", _C4_ORACLE)
+def q_c4_line_filter(spark, sf_dir):
+    return c4_line_filter(_c4_synth(_docs(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# Gopher document rules
+# ---------------------------------------------------------------------------
+_GOPHER_SYNTH_SQL = """
+synth AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 9 = 0
+                THEN text || ' # # # # # # # # # # # # # # #'
+                ELSE text END AS text
+    FROM documents
+)
+"""
+
+_STOP_LIST = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+_GOPHER_ORACLE = f"""
+WITH {_GOPHER_SYNTH_SQL},
+m AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS wc,
+           len(text) - (len(string_split(text, ' ')) - 1) AS sum_chars,
+           len(list_intersect(string_split(text, ' '),
+                              [{_STOP_LIST}])) AS n_stop,
+           len(list_filter(string_split(text, ' '),
+                           t -> t = '#' OR t = '...')) AS n_sym,
+           len(list_filter(string_split(text, ' '),
+                           t -> regexp_matches(t, '[a-z]'))) AS n_alpha
+    FROM synth
+),
+sc AS (
+    SELECT doc_id, wc AS word_count,
+           sum_chars * 100 // wc AS mean_word_len_c,
+           n_stop AS n_stopwords,
+           n_sym * 1000 // wc AS sym_ratio_m,
+           n_alpha * 1000 // wc AS alpha_ratio_m
+    FROM m
+)
+SELECT *,
+       (word_count >= 40 AND word_count <= 100000) AS r_word_count,
+       (mean_word_len_c >= 380 AND mean_word_len_c <= 1000) AS r_mean_len,
+       (n_stopwords >= 2) AS r_stopwords,
+       (sym_ratio_m <= 100) AS r_symbols,
+       (alpha_ratio_m >= 800) AS r_alpha,
+       (word_count >= 40 AND word_count <= 100000
+        AND mean_word_len_c >= 380 AND mean_word_len_c <= 1000
+        AND n_stopwords >= 2 AND sym_ratio_m <= 100
+        AND alpha_ratio_m >= 800) AS keep
+FROM sc
+"""
+
+
+@register("gopher_rules", _GOPHER_ORACLE)
+def q_gopher_rules(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    planted = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 9 == 0,
+               F.concat(F.col("text"),
+                        F.lit(" # # # # # # # # # # # # # # #")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return gopher_rules(planted)
