@@ -2877,3 +2877,100 @@ def q_span_coverage_holes(spark, sf_dir):
         )
     )
     return find_span_holes(spans)
+
+
+# ---------------------------------------------------------------------------
+# MySQL-sink DDL transforms: VECTOR->LONGBLOB formatting
+# (`pkg/sink/mysql/format_ddl.go:27-61`) and anonymous-index name
+# restoration (`pkg/sink/mysql/ddl_index_rewrite.go:25-110`) —
+# sinks/mysql_ddl.py.  Case tables: expected outputs stated by hand.
+# ---------------------------------------------------------------------------
+
+_FMT_DDL_CASES = [
+    (1, "CREATE TABLE `t`.`emb` (id BIGINT PRIMARY KEY, "
+        "v VECTOR(3) COMMENT 'hnsw(distance=cosine)')",
+        "CREATE TABLE `t`.`emb` (id BIGINT PRIMARY KEY, v LONGBLOB)"),
+    (2, "ALTER TABLE t ADD COLUMN e VECTOR(768) NOT NULL",
+        "ALTER TABLE t ADD COLUMN e LONGBLOB"),
+    # a column NAMED vector is untouched; bare VECTOR (no length) rewrites
+    (3, "CREATE TABLE t (vector INT, v2 VECTOR, v3 vector(5))",
+        "CREATE TABLE t (vector INT, v2 LONGBLOB, v3 LONGBLOB)"),
+    (4, "ALTER TABLE t CHANGE a b VECTOR(4) DEFAULT NULL",
+        "ALTER TABLE t CHANGE a b LONGBLOB"),
+    # an INDEX named vector is not a type position
+    (5, "ALTER TABLE t ADD INDEX vector (v)",
+        "ALTER TABLE t ADD INDEX vector (v)"),
+    # VECTOR inside a string literal is opaque
+    (6, "CREATE TABLE t (c VARCHAR(9) DEFAULT 'VECTOR(3)')",
+        "CREATE TABLE t (c VARCHAR(9) DEFAULT 'VECTOR(3)')"),
+]
+
+_FMT_DDL_ORACLE = "SELECT * FROM (VALUES " + ", ".join(
+    "(CAST({i} AS BIGINT), '{q}', '{e}')".format(
+        i=i, q=q.replace("'", "''"), e=e.replace("'", "''"))
+    for i, q, e in _FMT_DDL_CASES
+) + ") AS v(case_id, query, formatted_query)"
+
+
+@register("mysql_format_ddl", _FMT_DDL_ORACLE)
+def q_mysql_format_ddl(spark, sf_dir):
+    from ticdc_spark.sinks.mysql_ddl import apply_mysql_ddl_format
+
+    ddl = spark.createDataFrame(
+        [(i, q) for i, q, _ in _FMT_DDL_CASES],
+        "case_id long, query string")
+    return apply_mysql_ddl_format(ddl)
+
+
+# (query, index_names_json, index_ids, expected) — the i-th index
+# constraint in SQL order (named ones INCLUDED) pairs with index_ids[i]
+_IDX_RW_CASES = [
+    (1, "ALTER TABLE t ADD INDEX (c1, c2)", '{"5": "idx_c1_c2"}', [5],
+        "ALTER TABLE t ADD INDEX `idx_c1_c2` (c1, c2)"),
+    (2, "ALTER TABLE t ADD UNIQUE KEY (a), ADD INDEX named_i (b), "
+        "ADD INDEX (c)",
+        '{"5": "uk1", "7": "named_i", "9": "i3"}', [5, 7, 9],
+        "ALTER TABLE t ADD UNIQUE KEY `uk1` (a), ADD INDEX named_i (b), "
+        "ADD INDEX `i3` (c)"),
+    # PRIMARY KEY is not an index constraint: consumes no id slot
+    (3, "ALTER TABLE t ADD PRIMARY KEY (a), ADD FULLTEXT (txt)",
+        '{"9": "ft_t"}', [9],
+        "ALTER TABLE t ADD PRIMARY KEY (a), ADD FULLTEXT `ft_t` (txt)"),
+    # ADD CONSTRAINT sym UNIQUE is named: consumes the slot, no rewrite
+    (4, "ALTER TABLE t ADD CONSTRAINT sym UNIQUE (x), ADD KEY (y)",
+        '{"5": "skip", "7": "k2"}', [5, 7],
+        "ALTER TABLE t ADD CONSTRAINT sym UNIQUE (x), ADD KEY `k2` (y)"),
+    # non-ALTER untouched
+    (5, "CREATE INDEX i ON t (c)", '{"5": "idx_a"}', [5],
+        "CREATE INDEX i ON t (c)"),
+    # more anonymous clauses than ids: later ones stay anonymous
+    (6, "ALTER TABLE t ADD INDEX (a), ADD INDEX (b)",
+        '{"5": "only_one"}', [5],
+        "ALTER TABLE t ADD INDEX `only_one` (a), ADD INDEX (b)"),
+    # FOREIGN KEY consumes no slot
+    (7, "ALTER TABLE t ADD FOREIGN KEY (a) REFERENCES o(b), ADD INDEX (c)",
+        '{"5": "idx_a"}', [5],
+        "ALTER TABLE t ADD FOREIGN KEY (a) REFERENCES o(b), "
+        "ADD INDEX `idx_a` (c)"),
+    # id missing from the table-info map: left anonymous
+    (8, "ALTER TABLE t ADD INDEX (a)", '{"6": "other"}', [5],
+        "ALTER TABLE t ADD INDEX (a)"),
+]
+
+_IDX_RW_ORACLE = "SELECT * FROM (VALUES " + ", ".join(
+    "(CAST({i} AS BIGINT), '{q}', '{e}')".format(
+        i=i, q=q.replace("'", "''"), e=e.replace("'", "''"))
+    for i, q, _nm, _ids, e in _IDX_RW_CASES
+) + ") AS v(case_id, query, restored_query)"
+
+
+@register("mysql_index_name_restore", _IDX_RW_ORACLE)
+def q_mysql_index_name_restore(spark, sf_dir):
+    from ticdc_spark.sinks.mysql_ddl import apply_index_name_restore
+
+    ddl = spark.createDataFrame(
+        [(i, q, nm, ids) for i, q, nm, ids, _ in _IDX_RW_CASES],
+        "case_id long, query string, index_names_json string, "
+        "index_ids array<long>")
+    return apply_index_name_restore(ddl).select(
+        "case_id", "query", "restored_query")
