@@ -535,16 +535,23 @@ def ngram_jaccard_pairs_pruned(docs: DataFrame, threshold: float = 0.8,
     removed by a broadcast anti-join against a tiny hot-set, so the
     remaining join is skew-free by construction.  The df threshold is
     a 1-row broadcast aggregate — no driver-side count."""
-    sh = _doc_shingles(docs)
-    ex = sh.select("doc_id", F.explode("shingles").alias("s")).cache()
-    tot = F.broadcast(ex.agg(F.count_distinct("doc_id").alias("n_docs")))
+    sh = _doc_shingles(docs).cache()
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    # docs contributing >=1 shingle — counted from the per-doc arrays
+    # (map-only), NOT count_distinct over the exploded occurrences,
+    # which would re-shuffle the whole shingle table for one number
+    tot = F.broadcast(
+        sh.filter(F.size("shingles") > 0).agg(
+            F.count(F.lit(1)).alias("n_docs")))
     hot = (
         ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
         .crossJoin(tot)
         .filter(F.col("df") > F.col("n_docs") * max_df_frac)
         .select("s")
     )
-    kept = ex.join(F.broadcast(hot), "s", "left_anti")
+    # kept feeds three consumers (sizes + both self-join sides): cache
+    # it so the anti-join and upstream explode run once
+    kept = ex.join(F.broadcast(hot), "s", "left_anti").cache()
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = kept.alias("a"), kept.alias("b")
     inter = (
