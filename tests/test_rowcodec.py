@@ -349,3 +349,27 @@ try:
         assert decode_row_v2(encode_row_v2(values)) == values
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_decode_image_absent_column_fills_default():
+    """`mounter.go:257-264`: a column id missing from the image entirely
+    takes the schema default; a null-map entry stays NULL."""
+    from ticdc_spark.sources.binary_mount import _decode_image, _encode_image
+
+    enc_cols = ({"id": 1, "name": "a", "type": "bigint"},)
+    dec_cols = (
+        {"id": 1, "name": "a", "type": "bigint"},
+        {"id": 2, "name": "b", "type": "bigint", "default": 7},
+        {"id": 3, "name": "c", "type": "bigint"},  # no default -> None
+    )
+    for use_v1 in (False, True):
+        img = _encode_image({"a": 5}, enc_cols, use_v1)
+        out = _decode_image(img, dec_cols)
+        assert out == {"a": 5, "b": 7, "c": None}
+        # explicit NULL for a present id beats the default
+        img2 = _encode_image({"a": None, "b": None},
+                             ({"id": 1, "name": "a", "type": "bigint"},
+                              {"id": 2, "name": "b", "type": "bigint"}),
+                             use_v1)
+        out2 = _decode_image(img2, dec_cols)
+        assert out2["a"] is None and out2["b"] is None

@@ -133,6 +133,8 @@ def test_web_operator_shuffle_budgets(spark, sf_dir):
         # doc_id reassembly; the first three feed the broadcast side
         ("paragraph_dedup", 4),
         ("c4_line_filter", 1),
+        # md5 window + per-source rollup
+        ("curation_pipeline", 2),
     ]
     for name, budget in budgets:
         p = _plan(QUERIES[name](spark, sf_dir))

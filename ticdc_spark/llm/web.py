@@ -23,7 +23,7 @@ Scale shapes (100 TB stance):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # params stripped during URL canonicalization (tracking noise)
@@ -187,7 +187,8 @@ def c4_line_filter(docs: DataFrame) -> DataFrame:
     )
 
 
-def gopher_rules(docs: DataFrame) -> DataFrame:
+def gopher_rules(docs: DataFrame,
+                 carry: tuple[str, ...] = ()) -> DataFrame:
     """Gopher-style document quality rules (Rae et al. 2021 App. A)
     as per-rule boolean flags + integer-scaled metrics.  Map-only.
 
@@ -213,7 +214,7 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
     d = docs.select(
         "doc_id", wc.alias("word_count"), mean_len_c.alias("mean_word_len_c"),
         n_stop.alias("n_stopwords"), sym_m.alias("sym_ratio_m"),
-        alpha_m.alias("alpha_ratio_m"),
+        alpha_m.alias("alpha_ratio_m"), *carry,
     )
     r_wc = (F.col("word_count") >= GOPHER_MIN_WORDS) & (
         F.col("word_count") <= GOPHER_MAX_WORDS)
@@ -227,4 +228,28 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
         r_stop.alias("r_stopwords"), r_sym.alias("r_symbols"),
         r_alpha.alias("r_alpha"),
         (r_wc & r_len & r_stop & r_sym & r_alpha).alias("keep"),
+    )
+
+
+def curation_pipeline(docs: DataFrame) -> DataFrame:
+    """The flagship curation composition: Gopher rule gate -> exact
+    dedup among survivors -> per-source training manifest, in ONE plan.
+
+    Dedup winners are picked with a single window over the content
+    hash (rule-passers sort first, then lowest doc_id), so the whole
+    pipeline costs exactly two shuffles: the md5 window and the
+    per-source rollup.  Every stage count is auditable from the output
+    (docs in, rule survivors, dedup winners, surviving tokens).
+    """
+    g = gopher_rules(docs, carry=("source", "text"))
+    w = Window.partitionBy(F.md5("text")).orderBy(
+        F.col("keep").desc(), F.col("doc_id"))
+    flagged = g.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "is_winner", F.col("keep") & (F.col("_rn") == 1))
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_after_rules"),
+        F.sum(F.col("is_winner").cast("long")).alias("n_after_dedup"),
+        F.sum(F.when(F.col("is_winner"), F.col("word_count"))
+              .otherwise(F.lit(0))).alias("tokens_after"),
     )

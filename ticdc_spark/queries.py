@@ -572,6 +572,59 @@ def q_changefeed_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _flatten(apply_replication_window(cl, cfg))
 
 
+# ---------------------------------------------------------------------------
+# S7 — schema-evolution default fill: rows captured BEFORE an ADD
+# COLUMN carry no id for the new column in their binary images; the
+# mounter fills the schema DEFAULT, not NULL (`mounter.go:257-264`).
+# Old rows encode under the pre-DDL column set, new rows under the
+# post-DDL set; the oracle derives the expectation independently from
+# the commit-ts split.
+# ---------------------------------------------------------------------------
+_DEFAULT_FILL_ORACLE = f"""
+WITH {CHANGELOG_SQL},
+b AS (SELECT (min(commit_ts) + max(commit_ts)) // 2 AS t FROM changelog)
+SELECT table_id, pk, op, commit_ts, seq,
+       CASE WHEN op IN ('U', 'D') THEN
+            CASE WHEN commit_ts <= t THEN CAST(42 AS BIGINT)
+                 ELSE pk % 100 END END AS before_val2,
+       CASE WHEN op IN ('I', 'U') THEN
+            CASE WHEN commit_ts <= t THEN CAST(42 AS BIGINT)
+                 ELSE pk % 100 END END AS after_val2
+FROM changelog, b
+"""
+
+
+@register("mount_default_fill", _DEFAULT_FILL_ORACLE)
+def q_mount_default_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ticdc_spark.sources.binary_mount import (
+        PAYLOAD_COLUMNS,
+        mount_binary_rows,
+        synthesize_binary_changelog,
+    )
+
+    val2_enc = {"id": 4, "name": "val2", "type": "bigint"}
+    val2_mnt = {"id": 4, "name": "val2", "type": "bigint", "default": 42}
+    cl = flat_changelog(spark, sf_dir)
+    bounds = cl.agg(F.expr(
+        "(min(commit_ts) + max(commit_ts)) div 2").alias("t"))
+    cl2 = cl.crossJoin(F.broadcast(bounds))
+    old = cl2.filter(F.col("commit_ts") <= F.col("t")).drop("t")
+    new = (
+        cl2.filter(F.col("commit_ts") > F.col("t")).drop("t")
+        .withColumn("before_val2", (F.col("pk") % 100).cast("long"))
+        .withColumn("after_val2", (F.col("pk") % 100).cast("long"))
+    )
+    raw = synthesize_binary_changelog(
+        old, columns=PAYLOAD_COLUMNS,
+    ).unionByName(synthesize_binary_changelog(
+        new, columns=PAYLOAD_COLUMNS + (val2_enc,)))
+    mounted = mount_binary_rows(
+        raw, columns=PAYLOAD_COLUMNS + (val2_mnt,))
+    return mounted.select(
+        "table_id", "pk", "op", "commit_ts", "seq",
+        "before_val2", "after_val2")
+
+
 # Extension registries (import at bottom so `register` exists; they add
 # themselves to QUERIES/ORACLES).
 from ticdc_spark import llm_queries  # noqa: E402,F401  isort:skip

@@ -133,7 +133,15 @@ def _decode_image(b: bytes, columns) -> dict:
         raw = decode_row_v2(b)
         out = {}
         for c in columns:
-            v = raw.get(c["id"])
+            if c["id"] not in raw:
+                # column id not in the image at all: the row was encoded
+                # before this column existed (ADD COLUMN after capture) —
+                # fill the schema default, NOT NULL (`mounter.go:257-264`
+                # GetDDLDefaultDefinition; the null map is explicit, so
+                # absence is distinguishable from stored NULL)
+                out[c["name"]] = c.get("default")
+                continue
+            v = raw[c["id"]]
             out[c["name"]] = None if v is None else decode_value(
                 v, c["type"], c.get("prec", 0), c.get("frac", 0),
                 charset=c.get("charset"))
@@ -141,8 +149,11 @@ def _decode_image(b: bytes, columns) -> dict:
     raw = decode_row_v1(b)
     out = {}
     for c in columns:
-        flag_v = raw.get(c["id"])
-        if flag_v is None or flag_v[0] == _NIL:
+        if c["id"] not in raw:
+            out[c["name"]] = c.get("default")  # same rule as v2 above
+            continue
+        flag_v = raw[c["id"]]
+        if flag_v[0] == _NIL:
             out[c["name"]] = None
         elif flag_v[0] == _COMPACT_BYTES and c["type"] not in (
                 "binary", "varbinary", "blob"):

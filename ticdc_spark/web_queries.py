@@ -320,3 +320,59 @@ def q_gopher_rules(spark, sf_dir):
         .otherwise(F.col("text")).alias("text"),
     )
     return gopher_rules(planted)
+
+
+# ---------------------------------------------------------------------------
+# flagship composition: rules -> dedup -> per-source manifest, one plan
+# ---------------------------------------------------------------------------
+_CURATION_ORACLE = f"""
+WITH {_GOPHER_SYNTH_SQL},
+m AS (
+    SELECT doc_id, text,
+           len(string_split(text, ' ')) AS wc,
+           len(text) - (len(string_split(text, ' ')) - 1) AS sum_chars,
+           len(list_intersect(string_split(text, ' '),
+                              [{_STOP_LIST}])) AS n_stop,
+           len(list_filter(string_split(text, ' '),
+                           t -> t = '#' OR t = '...')) AS n_sym,
+           len(list_filter(string_split(text, ' '),
+                           t -> regexp_matches(t, '[a-z]'))) AS n_alpha
+    FROM synth
+),
+flags AS (
+    SELECT m.doc_id, d.source, m.text, m.wc,
+           (wc >= 40 AND wc <= 100000
+            AND sum_chars * 100 // wc >= 380
+            AND sum_chars * 100 // wc <= 1000
+            AND n_stop >= 2 AND n_sym * 1000 // wc <= 100
+            AND n_alpha * 1000 // wc >= 800) AS keep
+    FROM m JOIN documents d USING (doc_id)
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY md5(text) ORDER BY keep DESC, doc_id) AS rn
+    FROM flags
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_after_rules,
+       CAST(sum(CASE WHEN keep AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_after_dedup,
+       CAST(sum(CASE WHEN keep AND rn = 1 THEN wc ELSE 0 END) AS BIGINT)
+           AS tokens_after
+FROM ranked GROUP BY source
+"""
+
+
+@register("curation_pipeline", _CURATION_ORACLE)
+def q_curation_pipeline(spark, sf_dir):
+    from ticdc_spark.llm.web import curation_pipeline
+
+    d = _docs(spark, sf_dir)
+    planted = d.select(
+        "doc_id", "source",
+        F.when(F.col("doc_id") % 9 == 0,
+               F.concat(F.col("text"),
+                        F.lit(" # # # # # # # # # # # # # # #")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return curation_pipeline(planted)
