@@ -117,7 +117,7 @@ def main() -> None:
         "simple_avro_roundtrip", "ccnet_buckets", "seeded_shuffle",
         # session-4: web-corpus curation (llm/web.py)
         "url_dedup", "paragraph_dedup", "c4_line_filter", "gopher_rules",
-        "curation_pipeline", "batch_resolved_codec",
+        "curation_pipeline", "batch_resolved_codec", "span_merge_groups",
     ]
     def time_query(name: str) -> float:
         df = QUERIES[name](spark, sf_dir)

@@ -33,6 +33,7 @@ _SHUFFLE_BUDGET = [
     ("redo_log_files", 1, "file-assignment window per table"),
     ("redo_apply", 3, "apply-order window + two 1-row bounds aggs"),
     ("span_split_write_bytes", 2, "region agg + per-table pandas regroup"),
+    ("span_merge_groups", 2, "span agg + per-table pandas walk"),
 ]
 
 

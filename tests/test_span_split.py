@@ -241,3 +241,47 @@ def test_scheduler_join_path_matches_fold_path(spark, monkeypatch):
     )
     for i, (a, b) in enumerate(zip(fold, join)):
         assert a == b, f"planner {i}: join path diverged"
+
+
+def test_choose_merged_spans_break_rules(spark):
+    """chooseMergedSpans (`split_span_checker.go:768-871`): node change,
+    region cap (3/4*threshold), traffic cap, and the per-table batch cap
+    each break/limit runs; runs of 1 are not merge groups."""
+    from ticdc_spark.plans.span_split import choose_merged_spans
+
+    rows = [
+        # spans 0,1 same node small -> merge; span 2 other node
+        (1, 0, 10, "n0", 2, 100), (1, 10, 20, "n0", 2, 100),
+        (1, 20, 30, "n1", 2, 100),
+        # spans 3,4 would exceed region cap 12 with span 5 (6+6+6=18>12)
+        (1, 30, 40, "n1", 6, 100), (1, 40, 50, "n1", 6, 100),
+        (1, 50, 60, "n1", 6, 100),
+        # traffic cap 750: 400+400 > 750 -> singleton runs
+        (2, 0, 10, "n0", 1, 400), (2, 10, 20, "n0", 1, 400),
+    ]
+    spans = spark.createDataFrame(
+        rows, "table_id long, start_key long, end_key long, "
+              "node_id string, region_count long, traffic long")
+    out = {(r["table_id"], r["merge_group"]): r
+           for r in choose_merged_spans(
+               spans, region_threshold=16, write_threshold=1000).collect()}
+    # table 1 walk (sorted): (0,1 n0) (2 n1 r2) (3 n1 r6) (4,5 n1 r6):
+    #   run1=[0,1] (node break at 2); run2=[2,3] r=8, +6>12 break;
+    #   run3=[4,5] r=12 — the cap is STRICTLY greater-than, 12 merges
+    assert out[(1, 0)]["n_spans"] == 2 and out[(1, 0)]["start_key"] == 0
+    assert out[(1, 1)]["n_spans"] == 2 and out[(1, 1)]["start_key"] == 20
+    assert out[(1, 1)]["region_count"] == 8
+    assert out[(1, 2)]["region_count"] == 12  # exactly at cap: allowed
+    assert (1, 3) not in out
+    assert not [k for k in out if k[0] == 2]  # traffic cap -> no groups
+    # batch cap: 8 mergeable pairs on one node, cap 3
+    many = spark.createDataFrame(
+        [(3, i * 10, i * 10 + 10, "n0", 5, 300) for i in range(16)],
+        "table_id long, start_key long, end_key long, node_id string, "
+        "region_count long, traffic long")
+    capped = choose_merged_spans(
+        many, region_threshold=16, write_threshold=1000,
+        batch_cap=3).collect()
+    # region cap 12: runs of two 5s (5+5=10, +5>12) -> 8 pairs, capped at 3
+    assert len(capped) == 3
+    assert sorted(r["merge_group"] for r in capped) == [0, 1, 2]

@@ -264,3 +264,81 @@ def find_span_holes(spans: DataFrame, range_start: int = None,
             )
             out = out.unionByName(tail)
     return out
+
+
+def choose_merged_spans(
+    spans: DataFrame,
+    region_threshold: int = 0,
+    write_threshold: int = 0,
+    batch_cap: int = 10,
+) -> DataFrame:
+    """Span merge chooser (scale-in) —
+    `maintainer/replica/split_span_checker.go:768-871`
+    ``chooseMergedSpans``: walk a table's spans in start-key order,
+    greedily accumulating a run; break the run when the next span sits
+    on a DIFFERENT node, or adding it would push the run's region count
+    above ``region_threshold*3/4``, or its traffic above
+    ``write_threshold*3/4`` (a threshold of 0 disables that check).
+    Runs of length >= 2 become merge groups, capped at ``batch_cap``
+    per table (`maxMergeOperatorsPerGroup`), counted in walk order.
+
+    Input: one row per span with ``table_id, start_key, end_key,
+    node_id, region_count, traffic`` (traffic in bytes — integer, so
+    the fold is BIGINT-exact on any engine).
+
+    Scale shape: the walk is sequential per table by construction (the
+    reference holds the same per-group lock), so it runs as one Arrow
+    batch per table under ``applyInPandas``; all tables fold in
+    parallel and the output is control-plane sized.
+    """
+    schema = (
+        "table_id long, merge_group long, start_key long, end_key long, "
+        "n_spans long, region_count long, traffic long, node_id string"
+    )
+    region_cap = region_threshold * 3 // 4
+    traffic_cap = write_threshold * 3 // 4
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("start_key").reset_index(drop=True)
+        runs: list[list[int]] = [[0]]
+        regions = int(pdf["region_count"].iloc[0])
+        traffic = int(pdf["traffic"].iloc[0])
+        for i in range(1, len(pdf)):
+            cur_r = int(pdf["region_count"].iloc[i])
+            cur_t = int(pdf["traffic"].iloc[i])
+            brk = (
+                pdf["node_id"].iloc[i] != pdf["node_id"].iloc[runs[-1][-1]]
+                or (region_threshold > 0 and regions + cur_r > region_cap)
+                or (write_threshold > 0 and traffic + cur_t > traffic_cap)
+            )
+            if brk:
+                runs.append([i])
+                regions, traffic = cur_r, cur_t
+            else:
+                runs[-1].append(i)
+                regions += cur_r
+                traffic += cur_t
+        out = []
+        gid = 0
+        for run in runs:
+            if len(run) < 2:
+                continue
+            if gid >= batch_cap:
+                break
+            out.append({
+                "table_id": pdf["table_id"].iloc[0],
+                "merge_group": gid,
+                "start_key": pdf["start_key"].iloc[run[0]],
+                "end_key": pdf["end_key"].iloc[run[-1]],
+                "n_spans": len(run),
+                "region_count": sum(
+                    int(pdf["region_count"].iloc[i]) for i in run),
+                "traffic": sum(int(pdf["traffic"].iloc[i]) for i in run),
+                "node_id": pdf["node_id"].iloc[run[0]],
+            })
+            gid += 1
+        return pd.DataFrame(
+            out, columns=["table_id", "merge_group", "start_key", "end_key",
+                          "n_spans", "region_count", "traffic", "node_id"])
+
+    return spans.groupBy("table_id").applyInPandas(walk, schema)

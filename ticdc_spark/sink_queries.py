@@ -2974,3 +2974,103 @@ def q_mysql_index_name_restore(spark, sf_dir):
         "index_ids array<long>")
     return apply_index_name_restore(ddl).select(
         "case_id", "query", "restored_query")
+
+
+# ---------------------------------------------------------------------------
+# R7 — span MERGE chooser (scale-in), the inverse of span splitting:
+# `maintainer/replica/split_span_checker.go:768-871` chooseMergedSpans.
+# Greedy run accumulation in start-key order with three break rules
+# (node change, region cap 3/4*threshold, traffic cap 3/4*threshold);
+# runs >= 2 spans become merge groups, capped per table.  The oracle
+# replays the identical walk as a DuckDB recursive CTE.
+# ---------------------------------------------------------------------------
+_MERGE_REGION_THRESHOLD = 16    # cap 12
+_MERGE_WRITE_THRESHOLD = 9000   # cap 6750
+_MERGE_BATCH_CAP = 5
+
+_SPAN_MERGE_SQL = f"""
+WITH RECURSIVE {CHANGELOG_SQL},
+spans0 AS (
+    SELECT table_id, pk // 8 AS region_idx,
+           (pk // 8) * 8 AS start_key, (pk // 8 + 1) * 8 AS end_key,
+           CAST(1 + (pk // 8) % 5 AS BIGINT) AS region_count,
+           ((sum(pk % 97) * 7) % 5000)::BIGINT AS traffic,
+           'node_' || ((pk // 8) // 3 % 3)::VARCHAR AS node_id
+    FROM changelog GROUP BY table_id, pk // 8
+),
+spans AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY table_id ORDER BY start_key) AS rn
+    FROM spans0
+),
+walk AS (
+    SELECT table_id, rn, node_id, region_count, traffic,
+           start_key, end_key,
+           1 AS run_id, region_count AS run_regions,
+           traffic AS run_traffic
+    FROM spans WHERE rn = 1
+    UNION ALL
+    SELECT s.table_id, s.rn, s.node_id, s.region_count, s.traffic,
+           s.start_key, s.end_key,
+           CASE WHEN s.node_id <> w.node_id
+                     OR w.run_regions + s.region_count
+                        > {_MERGE_REGION_THRESHOLD * 3 // 4}
+                     OR w.run_traffic + s.traffic
+                        > {_MERGE_WRITE_THRESHOLD * 3 // 4}
+                THEN w.run_id + 1 ELSE w.run_id END,
+           CASE WHEN s.node_id <> w.node_id
+                     OR w.run_regions + s.region_count
+                        > {_MERGE_REGION_THRESHOLD * 3 // 4}
+                     OR w.run_traffic + s.traffic
+                        > {_MERGE_WRITE_THRESHOLD * 3 // 4}
+                THEN s.region_count ELSE w.run_regions + s.region_count END,
+           CASE WHEN s.node_id <> w.node_id
+                     OR w.run_regions + s.region_count
+                        > {_MERGE_REGION_THRESHOLD * 3 // 4}
+                     OR w.run_traffic + s.traffic
+                        > {_MERGE_WRITE_THRESHOLD * 3 // 4}
+                THEN s.traffic ELSE w.run_traffic + s.traffic END
+    FROM walk w JOIN spans s
+      ON s.table_id = w.table_id AND s.rn = w.rn + 1
+),
+runs AS (
+    SELECT table_id, run_id, min(start_key) AS start_key,
+           max(end_key) AS end_key, count(*) AS n_spans,
+           sum(region_count)::BIGINT AS region_count,
+           sum(traffic)::BIGINT AS traffic, min(node_id) AS node_id
+    FROM walk GROUP BY table_id, run_id
+),
+mergeable AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY table_id ORDER BY run_id) - 1 AS merge_group
+    FROM runs WHERE n_spans >= 2
+)
+SELECT table_id, merge_group, start_key, end_key, n_spans,
+       region_count, traffic, node_id
+FROM mergeable WHERE merge_group < {_MERGE_BATCH_CAP}
+"""
+
+
+@register("span_merge_groups", _SPAN_MERGE_SQL)
+def q_span_merge_groups(spark, sf_dir):
+    from ticdc_spark.plans.span_split import choose_merged_spans
+
+    cl = events_changelog(spark, sf_dir)
+    spans = (
+        cl.groupBy("table_id", F.expr("pk div 8").alias("region_idx"))
+        .agg(
+            (F.col("region_idx") * 8).alias("start_key"),
+            ((F.col("region_idx") + 1) * 8).alias("end_key"),
+            ((F.sum(F.pmod(F.col("pk"), F.lit(97))) * 7) % 5000)
+            .alias("traffic"),
+        )
+        .withColumn("region_count",
+                    (F.col("region_idx") % 5 + 1).cast("long"))
+        .withColumn("node_id", F.concat(
+            F.lit("node_"),
+            F.expr("cast(region_idx div 3 % 3 as string)")))
+    )
+    return choose_merged_spans(
+        spans, region_threshold=_MERGE_REGION_THRESHOLD,
+        write_threshold=_MERGE_WRITE_THRESHOLD,
+        batch_cap=_MERGE_BATCH_CAP)
