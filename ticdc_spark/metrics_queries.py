@@ -594,3 +594,69 @@ def q_batch_resolved_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
             "global_resolved_ts",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DMLEvent v1 metadata frames (`pkg/common/event/dml_event.go:883-948`,
+# codec/control_events.py): one frame per txn with length/row-type
+# framing — engine-portable hex algebra, cross-checked against the
+# Python codec in tests/test_control_events_query.py.  Row order inside
+# a txn is the EventStore replay order (dml_order, seq); row keys ride
+# separately (the mounted chunk), so n_row_keys = 0 here.
+# ---------------------------------------------------------------------------
+_DML_FRAMES_ORACLE = f"""
+WITH {CHANGELOG_SQL},
+txn AS (
+  SELECT table_id, commit_ts, start_ts,
+         count(*) AS length, min(seq) AS seq,
+         sum(64 + pk % 97)::BIGINT AS approx_size,
+         string_agg(CASE op WHEN 'D' THEN '00' WHEN 'I' THEN '01'
+                            ELSE '02' END, ''
+                    ORDER BY dml_order, seq) AS row_types_hex
+  FROM changelog GROUP BY table_id, commit_ts, start_ts)
+SELECT table_id, commit_ts, start_ts, length, seq, approx_size,
+       'da7a6a6a' || '0000' || '0001'
+       || printf('%016x', 80 + length)
+       || {_le64_sql("printf('%016x', table_id)")} || '0000000000000000'
+       || printf('%016x', table_id) || printf('%016x', start_ts)
+       || printf('%016x', commit_ts) || printf('%016x', seq)
+       || printf('%016x', 1)
+       || printf('%08x', length) || printf('%016x', approx_size)
+       || printf('%08x', 0)
+       || printf('%08x', length) || row_types_hex
+       || printf('%08x', 0) AS frame_hex
+FROM txn
+"""
+
+
+@register("dml_event_frames", _DML_FRAMES_ORACLE)
+def q_dml_event_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = events_changelog(spark, sf_dir)
+    rt = F.when(F.col("op") == "D", F.lit("00")) \
+          .when(F.col("op") == "I", F.lit("01")).otherwise(F.lit("02"))
+    txn = cl.groupBy("table_id", "commit_ts", "start_ts").agg(
+        F.count(F.lit(1)).alias("length"),
+        F.min("seq").alias("seq"),
+        F.sum(64 + F.pmod(F.col("pk"), F.lit(97))).alias("approx_size"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("dml_order", "seq", rt.alias("rt")))),
+                lambda x: x["rt"],
+            ), "").alias("row_types_hex"),
+    )
+    frame = F.concat(
+        F.lit("da7a6a6a"), F.lit("0000"), F.lit("0001"),
+        _behex(F.lit(80) + F.col("length"), 16),
+        _le64(_behex(F.col("table_id"), 16)), F.lit("0000000000000000"),
+        _behex(F.col("table_id"), 16), _behex(F.col("start_ts"), 16),
+        _behex(F.col("commit_ts"), 16), _behex(F.col("seq"), 16),
+        _behex(F.lit(1), 16),
+        _behex(F.col("length"), 8), _behex(F.col("approx_size"), 16),
+        _behex(F.lit(0), 8),
+        _behex(F.col("length"), 8), F.col("row_types_hex"),
+        _behex(F.lit(0), 8),
+    )
+    return txn.select(
+        "table_id", "commit_ts", "start_ts", "length", "seq",
+        "approx_size", frame.alias("frame_hex"))
