@@ -113,3 +113,31 @@ def test_dml_meta_codec_matches_query_hex(spark, sf_dir):
         assert d.length == r["length"] == len(d.row_types)
         assert d.approximate_size == r["approx_size"]
         assert d.row_keys == ()
+
+
+def test_payload_length_strictness():
+    """Trailing garbage and short payloads both raise ValueError (the
+    codec-family contract), never struct.error."""
+    from ticdc_spark.codec.event_header import (
+        TYPE_DML_EVENT,
+        TYPE_DROP_EVENT,
+        TYPE_READY_EVENT,
+        TYPE_SYNC_POINT_EVENT,
+        marshal_event,
+    )
+
+    for mk, typ, good in [
+        (decode_sync_point_event, TYPE_SYNC_POINT_EVENT, 40),
+        (decode_drop_event, TYPE_DROP_EVENT, 40),
+        (decode_ready_event, TYPE_READY_EVENT, 16),
+    ]:
+        with pytest.raises(ValueError):
+            mk(marshal_event(typ, 1, b"\x00" * (good + 4)))  # garbage tail
+        with pytest.raises(ValueError):
+            mk(marshal_event(typ, 1, b"\x00" * (good - 10)))  # short
+    # DML variable sections: n_row_keys promises more than present
+    bad = marshal_event(TYPE_DML_EVENT, 1,
+                        b"\x00" * 72 + b"\x00\x00\x00\x00"
+                        + b"\x00\x00\x00\x02" + b"\x00\x00\x00\x02" + b"k")
+    with pytest.raises(ValueError):
+        decode_dml_event_meta(bad)

@@ -138,3 +138,39 @@ def test_corpus_plan_budgets(spark, sf_dir):
         if name == "bloom_membership":
             # the bit table must go broadcast, never shuffled
             assert "BroadcastExchange" in p
+
+
+def test_bpe_train_merges_boundary_safety(spark):
+    """A merged symbol must not fuse with a neighbor via substring
+    overlap: after (c,a) merges, word 'cab' is [ca, b] and must still
+    produce pair (ca,b) — a plain unanchored replace would have fused
+    'c'+'ab' or left corrupted symbol states."""
+    from ticdc_spark.llm.text import bpe_train_merges
+
+    text = " ".join(["ca"] * 100 + ["ab"] * 90 + ["cab"])
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = {r["step"]: r for r in bpe_train_merges(docs, k=3).collect()}
+    assert (out[0]["left"], out[0]["right"], out[0]["pair_count"]) == \
+        ("c", "a", 101)
+    assert (out[1]["left"], out[1]["right"], out[1]["pair_count"]) == \
+        ("a", "b", 90)
+    # 'cab' survived as [ca, b]; a boundary-broken merge would have
+    # destroyed this pair
+    assert (out[2]["left"], out[2]["right"], out[2]["pair_count"]) == \
+        ("ca", "b", 1)
+
+
+def test_bpe_train_merges_consecutive_merges_in_one_word(spark):
+    """'a a a a' must become 'aa aa' after merging (a,a) — the
+    leftmost non-overlapping semantics of the reference algorithm."""
+    from ticdc_spark.llm.text import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["aaaa"] * 5))], "doc_id long, text string")
+    out = {r["step"]: r for r in bpe_train_merges(docs, k=2).collect()}
+    # step0: word [a,a,a,a] has 3 adjacent (a,a) pairs x5 copies
+    assert (out[0]["left"], out[0]["right"], out[0]["pair_count"]) == \
+        ("a", "a", 15)
+    # after merge: [aa, aa] -> pair (aa,aa) x5
+    assert (out[1]["left"], out[1]["right"], out[1]["pair_count"]) == \
+        ("aa", "aa", 5)

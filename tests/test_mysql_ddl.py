@@ -60,3 +60,35 @@ def test_index_restore_add_column_not_counted():
     out = restore_anonymous_index_names(
         "ALTER TABLE t ADD COLUMN c INT, ADD INDEX (c)", {5: "i1"}, [5])
     assert out == "ALTER TABLE t ADD COLUMN c INT, ADD INDEX `i1` (c)"
+
+
+def test_index_restore_anonymous_constraint_symbol_omitted():
+    """ADD CONSTRAINT <kind> with the symbol omitted is ANONYMOUS
+    (Name == "" in the reference): it consumes its slot AND renames."""
+    out = restore_anonymous_index_names(
+        "ALTER TABLE t ADD CONSTRAINT UNIQUE (x), ADD INDEX (b)",
+        {5: "u1", 7: "i2"}, [5, 7])
+    assert out == ("ALTER TABLE t ADD CONSTRAINT UNIQUE `u1` (x), "
+                   "ADD INDEX `i2` (b)")
+
+
+def test_index_restore_vector_and_columnar_kinds():
+    """isIndexConstraint includes ConstraintVector/ConstraintColumnar
+    (`ddl_index_rewrite.go:105-124`)."""
+    out = restore_anonymous_index_names(
+        "ALTER TABLE t ADD VECTOR INDEX (v), ADD INDEX (c)",
+        {5: "v1", 7: "i2"}, [5, 7])
+    assert out == ("ALTER TABLE t ADD VECTOR INDEX `v1` (v), "
+                   "ADD INDEX `i2` (c)")
+    out2 = restore_anonymous_index_names(
+        "ALTER TABLE t ADD COLUMNAR INDEX (v)", {5: "c1"}, [5])
+    assert out2 == "ALTER TABLE t ADD COLUMNAR INDEX `c1` (v)"
+
+
+def test_index_restore_constraint_foreign_key_no_slot():
+    """CONSTRAINT FOREIGN KEY is not an index constraint even though
+    KEY follows — the next anonymous index still takes slot 0."""
+    out = restore_anonymous_index_names(
+        "ALTER TABLE t ADD CONSTRAINT FOREIGN KEY (a) REFERENCES o(b), "
+        "ADD INDEX (c)", {5: "i1"}, [5])
+    assert out.endswith("ADD INDEX `i1` (c)")

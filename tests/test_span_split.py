@@ -285,3 +285,20 @@ def test_choose_merged_spans_break_rules(spark):
     # region cap 12: runs of two 5s (5+5=10, +5>12) -> 8 pairs, capped at 3
     assert len(capped) == 3
     assert sorted(r["merge_group"] for r in capped) == [0, 1, 2]
+
+
+def test_choose_merged_spans_cap_floors_at_quarter_first(spark):
+    """Go evaluates threshold/4*3 with integer floor at /4: threshold
+    10 -> cap 6 (not 10*3//4 = 7).  Spans 3+3=6 merge (at cap), the
+    next span of 1 (total 7 > 6) breaks — under the wrong rounding it
+    would merge."""
+    from ticdc_spark.plans.span_split import choose_merged_spans
+
+    spans = spark.createDataFrame(
+        [(1, 0, 10, "n0", 3, 10), (1, 10, 20, "n0", 3, 10),
+         (1, 20, 30, "n0", 1, 10)],
+        "table_id long, start_key long, end_key long, node_id string, "
+        "region_count long, traffic long")
+    out = choose_merged_spans(spans, region_threshold=10).collect()
+    assert len(out) == 1
+    assert out[0]["n_spans"] == 2 and out[0]["region_count"] == 6

@@ -143,3 +143,15 @@ def test_web_operator_shuffle_budgets(spark, sf_dir):
     # the boilerplate set must reach the join as a broadcast
     p = _plan(QUERIES["paragraph_dedup"](spark, sf_dir))
     assert "BroadcastExchange" in p
+
+
+def test_gopher_rules_case_insensitive(spark):
+    """Capitalized prose must not be discarded: 'The'/'A' count as
+    stopwords and all-caps words as alphabetic."""
+    text = "The Quick Brown Fox Jumps Over A NASA Program " \
+        + " ".join(["Word"] * 45)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = gopher_rules(df).collect()[0]
+    assert r["n_stopwords"] == 2      # the, a (case-folded)
+    assert r["alpha_ratio_m"] == 1000  # every word is alphabetic
+    assert r["r_stopwords"] and r["r_alpha"]

@@ -48,6 +48,13 @@ OP_TO_ROW_TYPE = {"D": ROW_TYPE_DELETE, "I": ROW_TYPE_INSERT,
 _V1 = 1
 
 
+
+def _expect_len(p: bytes, want: int, name: str) -> None:
+    if len(p) != want:
+        raise ValueError(
+            f"{name} v1 payload must be {want} bytes, got {len(p)}")
+
+
 @dataclass(frozen=True)
 class SyncPointEvent:
     seq: int
@@ -65,6 +72,7 @@ def encode_sync_point_event(e: SyncPointEvent) -> bytes:
 
 def decode_sync_point_event(data: bytes) -> SyncPointEvent:
     _, _, p = unmarshal_event(data, expected_type=TYPE_SYNC_POINT_EVENT)
+    _expect_len(p, 40, "SyncPointEvent")
     seq, epoch, ts = struct.unpack(">QQQ", p[:24])
     return SyncPointEvent(seq, epoch, ts, gid_unmarshal(p[24:40]))
 
@@ -87,6 +95,9 @@ def encode_handshake_event(e: HandshakeEvent) -> bytes:
 
 def decode_handshake_event(data: bytes) -> HandshakeEvent:
     _, _, p = unmarshal_event(data, expected_type=TYPE_HANDSHAKE_EVENT)
+    if len(p) < 40:
+        raise ValueError(
+            f"HandshakeEvent v1 payload must be >= 40 bytes, got {len(p)}")
     ts, seq, epoch = struct.unpack(">QQQ", p[:24])
     return HandshakeEvent(ts, seq, epoch, gid_unmarshal(p[24:40]), p[40:])
 
@@ -97,6 +108,7 @@ def encode_ready_event(dispatcher_id: tuple[int, int]) -> bytes:
 
 def decode_ready_event(data: bytes) -> tuple[int, int]:
     _, _, p = unmarshal_event(data, expected_type=TYPE_READY_EVENT)
+    _expect_len(p, 16, "ReadyEvent")
     return gid_unmarshal(p[:16])
 
 
@@ -107,6 +119,7 @@ def encode_not_reusable_event(dispatcher_id: tuple[int, int]) -> bytes:
 
 def decode_not_reusable_event(data: bytes) -> tuple[int, int]:
     _, _, p = unmarshal_event(data, expected_type=TYPE_NOT_REUSABLE_EVENT)
+    _expect_len(p, 16, "NotReusableEvent")
     return gid_unmarshal(p[:16])
 
 
@@ -128,6 +141,7 @@ def encode_drop_event(e: DropEvent) -> bytes:
 
 def decode_drop_event(data: bytes) -> DropEvent:
     _, _, p = unmarshal_event(data, expected_type=TYPE_DROP_EVENT)
+    _expect_len(p, 40, "DropEvent")
     seq, ts, epoch = struct.unpack(">QQQ", p[16:40])
     return DropEvent(gid_unmarshal(p[:16]), seq, ts, epoch)
 
@@ -170,14 +184,20 @@ def decode_dml_event_meta(data: bytes) -> DMLEventMeta:
     off = 72
     (n_rt,) = struct.unpack(">I", p[off:off + 4])
     off += 4
+    if off + n_rt + 4 > len(p):
+        raise ValueError("DMLEvent row-type section exceeds payload")
     row_types = tuple(p[off:off + n_rt])
     off += n_rt
     (n_rk,) = struct.unpack(">I", p[off:off + 4])
     off += 4
     keys = []
     for _ in range(n_rk):
+        if off + 4 > len(p):
+            raise ValueError("DMLEvent row-key header exceeds payload")
         (kl,) = struct.unpack(">I", p[off:off + 4])
         off += 4
+        if off + kl > len(p):
+            raise ValueError("DMLEvent row-key bytes exceed payload")
         keys.append(bytes(p[off:off + kl]))
         off += kl
     if off != len(p):

@@ -341,3 +341,50 @@ def q_length_percentiles(spark, sf_dir):
         F.min("n_toks").alias("min_toks"),
         F.max("n_toks").alias("max_toks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge TRAINING loop (Sennrich et al. 2016) — k sequential merge
+# steps, each: weighted pair count -> argmax (count desc, pair asc) ->
+# leftmost-non-overlapping merge.  The oracle chains one CTE block per
+# step; llm/text.py bpe_train_merges builds the same k-stage lazy plan.
+# ---------------------------------------------------------------------------
+_BPE_TRAIN_K = 4
+
+
+def _bpe_train_oracle(k: int) -> str:
+    # sentinel-wrapped symbols (chr(1) markers around every symbol) so
+    # the merge replace is boundary-anchored — see llm/text.py
+    parts = ["""w0 AS (
+    SELECT w, count(*)::BIGINT AS n,
+           regexp_replace(w, '(.)', chr(1) || '\\1' || chr(1), 'g') AS sym
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE len(w) > 0 GROUP BY w)"""]
+    syms = "string_split(trim(sym, chr(1)), chr(1) || chr(1))"
+    for i in range(k):
+        parts.append(f"""p{i} AS (
+    SELECT pair, sum(n)::BIGINT AS pair_count FROM (
+        SELECT n, unnest([syms[j] || ' ' || syms[j+1]
+                          for j in generate_series(1, len(syms)-1)]) AS pair
+        FROM (SELECT n, {syms} AS syms FROM w{i})) t
+    GROUP BY pair)""")
+        parts.append(f"""b{i} AS (
+    SELECT CAST({i} AS BIGINT) AS step, split_part(pair, ' ', 1) AS l,
+           split_part(pair, ' ', 2) AS r, pair_count
+    FROM p{i} ORDER BY pair_count DESC, pair LIMIT 1)""")
+        parts.append(f"""w{i + 1} AS (
+    SELECT w, n, replace(sym, chr(1) || b.l || chr(1) || chr(1) || b.r
+                              || chr(1),
+                         chr(1) || b.l || b.r || chr(1)) AS sym
+    FROM w{i}, b{i} b)""")
+    union = " UNION ALL ".join(f"SELECT * FROM b{i}" for i in range(k))
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT step, l AS \"left\", r AS \"right\", pair_count "
+              f"FROM ({union})")
+
+
+@register("bpe_train_merges", _bpe_train_oracle(_BPE_TRAIN_K))
+def q_bpe_train_merges(spark, sf_dir):
+    from ticdc_spark.llm.text import bpe_train_merges
+
+    return bpe_train_merges(_docs(spark, sf_dir), k=_BPE_TRAIN_K)

@@ -528,3 +528,77 @@ def bpe_encode_stats(docs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_words"),
         F.sum("n_sub").cast("long").alias("n_subwords"),
     )
+
+
+def bpe_train_merges(docs: DataFrame, k: int = 4) -> DataFrame:
+    """Train ``k`` BPE merge steps over the corpus word counts (the
+    Sennrich et al. 2016 loop): symbolize every distinct word, then
+    repeat — count adjacent symbol pairs weighted by word frequency,
+    take the most frequent pair (ties: lexicographically smallest
+    pair), and merge its leftmost non-overlapping occurrences in every
+    word.
+
+    Symbol strings are sentinel-wrapped — every symbol is enclosed in
+    ``\x01`` markers (``\x01a\x01\x01b\x01`` for ``a b``) — so the
+    merge is a plain ``replace`` of ``\x01l\x01\x01r\x01`` with
+    ``\x01lr\x01``: the sentinels anchor both symbol boundaries (no
+    cross-boundary matches like ``c + ab`` fusing on pair ``(c,a)``)
+    and each pair owns its own markers, so consecutive merges in one
+    word (``a a a a`` → ``aa aa``) resolve exactly like the reference
+    algorithm.  Identical semantics on any engine with leftmost
+    non-overlapping ``replace``.
+
+    Returns the learned merge table (step, left, right, pair_count) —
+    control-plane sized.
+
+    Scale shape per step: one shuffle for the weighted pair count; the
+    winning pair is a broadcast 1-row aggregate (TakeOrdered, no
+    driver collect of data); the merge itself is a map-only string
+    replace.  k steps = k shuffles over the DISTINCT-WORD table, not
+    the corpus.
+    """
+    sep = "\x01"
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("sym", F.regexp_replace("w", "(.)", f"{sep}$1{sep}"))
+    )
+    # symbols = split(trim both sentinels, sentinel-pair); guard
+    # single-symbol words (Spark sequence(1, 0) counts DOWN)
+    syms = f"split(trim(BOTH '{sep}' FROM sym), '{sep}{sep}')"
+    merges = []
+    for step in range(k):
+        pairs = words.filter(F.expr(f"size({syms}) >= 2")).select(
+            "n",
+            F.explode(
+                F.expr(f"transform(sequence(1, size({syms}) - 1), "
+                       f"i -> concat(element_at({syms}, i), ' ', "
+                       f"element_at({syms}, i + 1)))")
+            ).alias("pair"),
+        )
+        best = (
+            pairs.groupBy("pair").agg(F.sum("n").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), F.col("pair"))
+            .limit(1)
+            .select(
+                F.lit(step).cast("long").alias("step"),
+                F.split("pair", " ")[0].alias("left"),
+                F.split("pair", " ")[1].alias("right"),
+                "pair_count",
+            )
+        )
+        merges.append(best)
+        words = (
+            words.crossJoin(F.broadcast(best.select("left", "right")))
+            .withColumn(
+                "sym",
+                F.expr(f"replace(sym, concat('{sep}', left, '{sep}{sep}', "
+                       f"right, '{sep}'), "
+                       f"concat('{sep}', left, right, '{sep}'))"))
+            .select("w", "n", "sym")
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

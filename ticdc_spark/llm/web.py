@@ -122,7 +122,7 @@ def paragraph_dedup(docs: DataFrame, min_doc_freq: int = 3,
     boiler = (
         dfreq.crossJoin(F.broadcast(total))
         .filter((F.col("doc_freq") >= min_doc_freq)
-                & (F.col("doc_freq") * (100 // max_df_pct) >= F.col("n_docs")))
+                & (F.col("doc_freq") * 100 >= F.col("n_docs") * max_df_pct))
         .select("para", F.lit(True).alias("is_boiler"))
     )
     flagged = paras.join(F.broadcast(boiler), "para", "left").withColumn(
@@ -203,12 +203,15 @@ def gopher_rules(docs: DataFrame,
     # integer-scaled divisions: operands < 2^53 so the double division
     # below is exact before the floor-cast; non-negative, so cast==floor
     mean_len_c = F.floor(sum_chars * 100 / wc).cast("long")
+    # case-insensitive: 'The'/'A' are stopwords, 'NASA' is alphabetic
     n_stop = F.size(
-        F.array_intersect(toks, F.array(*[F.lit(s) for s in STOPWORDS]))
+        F.array_intersect(F.transform(toks, F.lower),
+                          F.array(*[F.lit(s) for s in STOPWORDS]))
     ).cast("long")
     n_sym = F.size(
         F.filter(toks, lambda t: (t == "#") | (t == "..."))).cast("long")
-    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("long")
+    n_alpha = F.size(
+        F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))).cast("long")
     sym_m = F.floor(n_sym * 1000 / wc).cast("long")
     alpha_m = F.floor(n_alpha * 1000 / wc).cast("long")
     d = docs.select(

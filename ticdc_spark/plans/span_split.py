@@ -295,8 +295,11 @@ def choose_merged_spans(
         "table_id long, merge_group long, start_key long, end_key long, "
         "n_spans long, region_count long, traffic long, node_id string"
     )
-    region_cap = region_threshold * 3 // 4
-    traffic_cap = write_threshold * 3 // 4
+    # Go evaluates `threshold/4*3`: integer FLOOR at /4 first for the
+    # region count (16->12 but 10->6, NOT 7), and exact float for the
+    # traffic (wt/4 is a power-of-2 division, so /4*3 == 3*wt/4
+    # exactly) — compared here as 4*sum > 3*wt to stay integer-exact
+    region_cap = region_threshold // 4 * 3
 
     def walk(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("start_key").reset_index(drop=True)
@@ -309,7 +312,8 @@ def choose_merged_spans(
             brk = (
                 pdf["node_id"].iloc[i] != pdf["node_id"].iloc[runs[-1][-1]]
                 or (region_threshold > 0 and regions + cur_r > region_cap)
-                or (write_threshold > 0 and traffic + cur_t > traffic_cap)
+                or (write_threshold > 0
+                    and 4 * (traffic + cur_t) > 3 * write_threshold)
             )
             if brk:
                 runs.append([i])

@@ -3014,21 +3014,21 @@ walk AS (
            s.start_key, s.end_key,
            CASE WHEN s.node_id <> w.node_id
                      OR w.run_regions + s.region_count
-                        > {_MERGE_REGION_THRESHOLD * 3 // 4}
-                     OR w.run_traffic + s.traffic
-                        > {_MERGE_WRITE_THRESHOLD * 3 // 4}
+                        > {_MERGE_REGION_THRESHOLD // 4 * 3}
+                     OR 4 * (w.run_traffic + s.traffic)
+                        > {3 * _MERGE_WRITE_THRESHOLD}
                 THEN w.run_id + 1 ELSE w.run_id END,
            CASE WHEN s.node_id <> w.node_id
                      OR w.run_regions + s.region_count
-                        > {_MERGE_REGION_THRESHOLD * 3 // 4}
-                     OR w.run_traffic + s.traffic
-                        > {_MERGE_WRITE_THRESHOLD * 3 // 4}
+                        > {_MERGE_REGION_THRESHOLD // 4 * 3}
+                     OR 4 * (w.run_traffic + s.traffic)
+                        > {3 * _MERGE_WRITE_THRESHOLD}
                 THEN s.region_count ELSE w.run_regions + s.region_count END,
            CASE WHEN s.node_id <> w.node_id
                      OR w.run_regions + s.region_count
-                        > {_MERGE_REGION_THRESHOLD * 3 // 4}
-                     OR w.run_traffic + s.traffic
-                        > {_MERGE_WRITE_THRESHOLD * 3 // 4}
+                        > {_MERGE_REGION_THRESHOLD // 4 * 3}
+                     OR 4 * (w.run_traffic + s.traffic)
+                        > {3 * _MERGE_WRITE_THRESHOLD}
                 THEN s.traffic ELSE w.run_traffic + s.traffic END
     FROM walk w JOIN spans s
       ON s.table_id = w.table_id AND s.rn = w.rn + 1

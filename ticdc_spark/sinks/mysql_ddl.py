@@ -40,6 +40,9 @@ from ticdc_spark.operators.ddl_rewriter import _tokens
 
 _SIG = ("ident", "qident", "string", "op")  # significant token kinds
 _INDEX_KWS = {"INDEX", "KEY"}
+# constraint-kind keywords that denote an INDEX constraint
+# (`ddl_index_rewrite.go:105-124` isIndexConstraint)
+_INDEX_KIND_KWS = _INDEX_KWS | {"UNIQUE", "FULLTEXT", "VECTOR", "COLUMNAR"}
 
 # an unquoted identifier in one of these roles cannot be a column name,
 # so an ident after it is not in type position
@@ -144,26 +147,43 @@ def restore_anonymous_index_names(
             kw = toks[j][1].upper()
             end = j  # last keyword token of the constraint intro
             if kw == "CONSTRAINT":
-                # ADD CONSTRAINT <symbol> UNIQUE|INDEX|KEY|FULLTEXT ...:
-                # a NAMED index constraint — consumes a slot, no rewrite
-                k = _next_sig(toks, j + 1)          # the symbol
-                m = _next_sig(toks, k + 1) if k < len(toks) else len(toks)
-                if (m < len(toks) and toks[m][0] == "ident"
-                        and toks[m][1].upper() in
-                        _INDEX_KWS | {"UNIQUE", "FULLTEXT"}):
-                    cons_seen += 1
-                i += 1
-                continue
+                # ADD CONSTRAINT [symbol] <kind> ...  The symbol is
+                # OPTIONAL: if the token after CONSTRAINT is itself an
+                # index-kind keyword, the constraint is ANONYMOUS
+                # (Name == "" in the reference) and must be renamed;
+                # with a symbol it is named — consumes a slot, no
+                # rewrite (`ddl_index_rewrite.go:63-80`).
+                k = _next_sig(toks, j + 1)
+                if (k < len(toks) and toks[k][0] == "ident"
+                        and toks[k][1].upper() in _INDEX_KIND_KWS):
+                    j = k          # fall through as anonymous intro
+                    kw = toks[k][1].upper()
+                    end = k
+                else:
+                    # k is the symbol — unless it's PRIMARY/FOREIGN/
+                    # CHECK (whose KEY would false-match the kind set)
+                    m = _next_sig(toks, k + 1) if k < len(toks) \
+                        else len(toks)
+                    if (k < len(toks) and toks[k][1].upper() not in
+                            ("PRIMARY", "FOREIGN", "CHECK")
+                            and m < len(toks) and toks[m][0] == "ident"
+                            and toks[m][1].upper() in _INDEX_KIND_KWS):
+                        cons_seen += 1
+                    i += 1
+                    continue
             if kw in _INDEX_KWS:
                 pass
-            elif kw in ("UNIQUE", "FULLTEXT"):
+            elif kw in ("UNIQUE", "FULLTEXT", "VECTOR", "COLUMNAR"):
+                # isIndexConstraint includes ConstraintVector /
+                # ConstraintColumnar (`ddl_index_rewrite.go:105-124`);
+                # an optional INDEX|KEY may follow the kind keyword
                 k = _next_sig(toks, j + 1)
                 if (k < len(toks) and toks[k][0] == "ident"
                         and toks[k][1].upper() in _INDEX_KWS):
                     end = k
             else:
-                # PRIMARY KEY / FOREIGN KEY / COLUMN / ...: not an
-                # index constraint, consumes no slot
+                # PRIMARY KEY / FOREIGN KEY / COLUMN / CHECK / ...:
+                # not an index constraint, consumes no slot
                 i += 1
                 continue
             after = _next_sig(toks, end + 1)

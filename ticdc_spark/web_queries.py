@@ -153,7 +153,7 @@ dfreq AS (SELECT para, count(DISTINCT doc_id) AS df FROM paras GROUP BY 1),
 tot AS (SELECT count(*) AS n FROM synth),
 flagged AS (
     SELECT p.doc_id, p.pos, p.para,
-           (d.df >= 3 AND d.df * 50 >= t.n) AS is_boiler
+           (d.df >= 3 AND d.df * 100 >= t.n * 2) AS is_boiler
     FROM paras p JOIN dfreq d USING (para), tot t
 )
 SELECT doc_id, count(*) AS n_paras,
@@ -279,12 +279,13 @@ m AS (
     SELECT doc_id,
            len(string_split(text, ' ')) AS wc,
            len(text) - (len(string_split(text, ' ')) - 1) AS sum_chars,
-           len(list_intersect(string_split(text, ' '),
+           len(list_intersect(list_transform(string_split(text, ' '),
+                                              t -> lower(t)),
                               [{_STOP_LIST}])) AS n_stop,
            len(list_filter(string_split(text, ' '),
                            t -> t = '#' OR t = '...')) AS n_sym,
            len(list_filter(string_split(text, ' '),
-                           t -> regexp_matches(t, '[a-z]'))) AS n_alpha
+                           t -> regexp_matches(t, '[a-zA-Z]'))) AS n_alpha
     FROM synth
 ),
 sc AS (
@@ -331,12 +332,13 @@ m AS (
     SELECT doc_id, text,
            len(string_split(text, ' ')) AS wc,
            len(text) - (len(string_split(text, ' ')) - 1) AS sum_chars,
-           len(list_intersect(string_split(text, ' '),
+           len(list_intersect(list_transform(string_split(text, ' '),
+                                              t -> lower(t)),
                               [{_STOP_LIST}])) AS n_stop,
            len(list_filter(string_split(text, ' '),
                            t -> t = '#' OR t = '...')) AS n_sym,
            len(list_filter(string_split(text, ' '),
-                           t -> regexp_matches(t, '[a-z]'))) AS n_alpha
+                           t -> regexp_matches(t, '[a-zA-Z]'))) AS n_alpha
     FROM synth
 ),
 flags AS (
