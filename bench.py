@@ -129,11 +129,18 @@ def main() -> None:
     # Min-of-2 for every query: run 1 pays per-query whole-stage-codegen
     # compile (a constant, amortized at scale) and this host shows 2-4x
     # co-tenant noise; the min is the steady-state number that scales
-    # with data volume.
+    # with data volume.  Queries still above 1s after two runs get a
+    # third sample — co-tenant spikes on this host last seconds, and a
+    # spike across BOTH samples of a slow query otherwise fakes a
+    # regression (r2 observed scheduler_balance at 3.25s vs a 0.65s
+    # steady state).
     for name in headline:
         timings[name] = time_query(name)
     for name in headline:
         timings[name] = min(timings[name], time_query(name))
+    for name in headline:
+        if timings[name] > 1.0:
+            timings[name] = min(timings[name], time_query(name))
 
     # sf-scaling probe: the SAME pipeline at 10x rows (union of shifted
     # copies — 10x the scan, shuffle, and encode volume) to catch scaling

@@ -1,0 +1,315 @@
+"""Redo-log v2 wire format — MessagePack-encoded ``RedoLog`` records
+with the reference's version prefix and the etcd-WAL-style frame
+envelope, interoperable with `pkg/redo`:
+
+- record  = ``0xffff | version u16 BE (=2) | msgp(RedoLog)``
+  (`pkg/redo/codec/codec.go:36-86` — the 0xffff prefix distinguishes
+  v2+ from the legacy v1 stream)
+- file    = sequence of frames: ``lenField u64 LE | record | pad``,
+  where pad aligns the record to 8 bytes and the pad count rides in
+  the length's top byte as ``0x80|padBytes``
+  (`pkg/redo/writer/writer.go:77-85`, `writer/file/file.go:249-259`)
+- msgp layout exactly as the generated encoders
+  (`pkg/common/event/redo_gen.go`): RedoLog is a 3-map
+  ``{row, ddl, type}``; the DML arm nests DMLEventInRedoLog
+  (map: start-ts, commit-ts, table, columns, pre-columns,
+  index-columns) plus per-side ``RedoColumnValue`` lists
+  ``{column, value-is-empty-bytes, flag}``.
+
+The writer emits minimal msgpack encodings; the reader is lenient
+(accepts any valid family for a type), which is also how tinylib's
+generated readers behave — so files interoperate in both directions
+even where two writers pick different (valid) integer widths.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Any
+
+VERSION_PREFIX = b"\xff\xff"
+LATEST_VERSION = 2
+
+# ---------------------------------------------------------------------------
+# minimal msgpack primitives
+# ---------------------------------------------------------------------------
+
+
+def mp_nil() -> bytes:
+    return b"\xc0"
+
+
+def mp_bool(v: bool) -> bytes:
+    return b"\xc3" if v else b"\xc2"
+
+
+def mp_int(i: int) -> bytes:
+    """tinylib WriteInt64: fixint for [-32, 127], then the smallest
+    SIGNED family."""
+    if 0 <= i <= 0x7F:
+        return bytes([i])
+    if -32 <= i < 0:
+        return struct.pack("b", i)
+    if -0x80 <= i <= 0x7F:
+        return b"\xd0" + struct.pack("b", i)
+    if -0x8000 <= i <= 0x7FFF:
+        return b"\xd1" + struct.pack(">h", i)
+    if -0x8000_0000 <= i <= 0x7FFF_FFFF:
+        return b"\xd2" + struct.pack(">i", i)
+    return b"\xd3" + struct.pack(">q", i)
+
+
+def mp_uint(i: int) -> bytes:
+    """tinylib WriteUint64: fixint then the smallest UNSIGNED family."""
+    if i <= 0x7F:
+        return bytes([i])
+    if i <= 0xFF:
+        return b"\xcc" + bytes([i])
+    if i <= 0xFFFF:
+        return b"\xcd" + struct.pack(">H", i)
+    if i <= 0xFFFF_FFFF:
+        return b"\xce" + struct.pack(">I", i)
+    return b"\xcf" + struct.pack(">Q", i)
+
+
+def mp_float(f: float) -> bytes:
+    return b"\xcb" + struct.pack(">d", f)
+
+
+def mp_str(s: str) -> bytes:
+    b = s.encode("utf-8")
+    n = len(b)
+    if n <= 31:
+        return bytes([0xA0 | n]) + b
+    if n <= 0xFF:
+        return b"\xd9" + bytes([n]) + b
+    if n <= 0xFFFF:
+        return b"\xda" + struct.pack(">H", n) + b
+    return b"\xdb" + struct.pack(">I", n) + b
+
+
+def mp_bin(b: bytes) -> bytes:
+    n = len(b)
+    if n <= 0xFF:
+        return b"\xc4" + bytes([n]) + b
+    if n <= 0xFFFF:
+        return b"\xc5" + struct.pack(">H", n) + b
+    return b"\xc6" + struct.pack(">I", n) + b
+
+
+def mp_array_header(n: int) -> bytes:
+    if n <= 15:
+        return bytes([0x90 | n])
+    if n <= 0xFFFF:
+        return b"\xdc" + struct.pack(">H", n)
+    return b"\xdd" + struct.pack(">I", n)
+
+
+def mp_map_header(n: int) -> bytes:
+    if n <= 15:
+        return bytes([0x80 | n])
+    if n <= 0xFFFF:
+        return b"\xde" + struct.pack(">H", n)
+    return b"\xdf" + struct.pack(">I", n)
+
+
+def mp_any(v: Any) -> bytes:
+    """WriteIntf for the ``any``-typed column values."""
+    if v is None:
+        return mp_nil()
+    if isinstance(v, bool):
+        return mp_bool(v)
+    if isinstance(v, int):
+        return mp_int(v)
+    if isinstance(v, float):
+        return mp_float(v)
+    if isinstance(v, str):
+        return mp_str(v)
+    if isinstance(v, (bytes, bytearray)):
+        return mp_bin(bytes(v))
+    raise TypeError(f"unsupported msgpack value type: {type(v)}")
+
+
+class _Reader:
+    """Lenient msgpack reader (any valid family accepted per type)."""
+
+    def __init__(self, b: bytes, pos: int = 0) -> None:
+        self.b = b
+        self.pos = pos
+
+    def _take(self, n: int) -> bytes:
+        if self.pos + n > len(self.b):
+            raise ValueError("msgpack: short buffer")
+        out = self.b[self.pos:self.pos + n]
+        self.pos += n
+        return out
+
+    def read(self) -> Any:
+        (t,) = self._take(1)
+        if t <= 0x7F:
+            return t
+        if t >= 0xE0:
+            return t - 0x100
+        if 0x80 <= t <= 0x8F:
+            return self._map(t & 0x0F)
+        if 0x90 <= t <= 0x9F:
+            return self._array(t & 0x0F)
+        if 0xA0 <= t <= 0xBF:
+            return self._take(t & 0x1F).decode("utf-8")
+        if t == 0xC0:
+            return None
+        if t == 0xC2:
+            return False
+        if t == 0xC3:
+            return True
+        if t in (0xC4, 0xC5, 0xC6):
+            n = int.from_bytes(
+                self._take(1 << (t - 0xC4)), "big")
+            return self._take(n)
+        if t == 0xCA:
+            return struct.unpack(">f", self._take(4))[0]
+        if t == 0xCB:
+            return struct.unpack(">d", self._take(8))[0]
+        if t in (0xCC, 0xCD, 0xCE, 0xCF):
+            return int.from_bytes(self._take(1 << (t - 0xCC)), "big")
+        if t in (0xD0, 0xD1, 0xD2, 0xD3):
+            n = 1 << (t - 0xD0)
+            return int.from_bytes(self._take(n), "big", signed=True)
+        if t in (0xD9, 0xDA, 0xDB):
+            n = int.from_bytes(self._take(1 << (t - 0xD9)), "big")
+            return self._take(n).decode("utf-8")
+        if t == 0xDC:
+            return self._array(int.from_bytes(self._take(2), "big"))
+        if t == 0xDD:
+            return self._array(int.from_bytes(self._take(4), "big"))
+        if t == 0xDE:
+            return self._map(int.from_bytes(self._take(2), "big"))
+        if t == 0xDF:
+            return self._map(int.from_bytes(self._take(4), "big"))
+        raise ValueError(f"msgpack: unsupported type byte 0x{t:02x}")
+
+    def _array(self, n: int) -> list:
+        return [self.read() for _ in range(n)]
+
+    def _map(self, n: int) -> dict:
+        out = {}
+        for _ in range(n):
+            k = self.read()
+            out[k] = self.read()
+        return out
+
+
+# ---------------------------------------------------------------------------
+# RedoLog marshal (field order mirrors redo_gen.go exactly)
+# ---------------------------------------------------------------------------
+
+
+def _table_name(t: dict | None) -> bytes:
+    if t is None:
+        return mp_nil()
+    return (mp_map_header(4)
+            + mp_str("db-name") + mp_str(t.get("schema", ""))
+            + mp_str("tbl-name") + mp_str(t.get("table", ""))
+            + mp_str("tbl-id") + mp_int(int(t.get("table_id", 0)))
+            + mp_str("is-partition") + mp_bool(bool(t.get("is_partition"))))
+
+
+def _col_values(vals: list[dict] | None) -> bytes:
+    if vals is None:
+        return mp_nil()
+    out = mp_array_header(len(vals))
+    for v in vals:
+        out += (mp_map_header(3)
+                + mp_str("column") + mp_any(v.get("value"))
+                + mp_str("value-is-empty-bytes")
+                + mp_bool(bool(v.get("value_is_empty_bytes")))
+                + mp_str("flag") + mp_uint(int(v.get("flag", 0))))
+    return out
+
+
+def marshal_redo_dml(row: dict) -> bytes:
+    """``row`` keys: start_ts, commit_ts, table {schema, table,
+    table_id, is_partition}, columns / pre_columns (lists of
+    {value, flag, value_is_empty_bytes} or None)."""
+    dml_inner = (
+        mp_map_header(6)
+        + mp_str("start-ts") + mp_uint(int(row["start_ts"]))
+        + mp_str("commit-ts") + mp_uint(int(row["commit_ts"]))
+        + mp_str("table") + _table_name(row.get("table"))
+        # DMLEventInRedoLog.Columns/PreColumns ([]*RedoColumn metadata)
+        # are nil on the DML write path (`redo.go:135-205` fills only
+        # the value lists); index-columns likewise may be nil
+        + mp_str("columns") + mp_nil()
+        + mp_str("pre-columns") + mp_nil()
+        + mp_str("index-columns") + mp_nil()
+    )
+    redo_row = (
+        mp_map_header(3)
+        + mp_str("row") + dml_inner
+        + mp_str("columns") + _col_values(row.get("columns"))
+        + mp_str("pre-columns") + _col_values(row.get("pre_columns"))
+    )
+    body = (
+        mp_map_header(3)
+        + mp_str("row") + redo_row
+        + mp_str("ddl") + mp_nil()
+        + mp_str("type") + mp_int(1)       # RedoLogTypeRow
+    )
+    return VERSION_PREFIX + struct.pack(">H", LATEST_VERSION) + body
+
+
+def unmarshal_redo_log(b: bytes) -> dict:
+    if len(b) < 4 or b[:2] != VERSION_PREFIX:
+        raise ValueError("redo v2 record must start with 0xffff")
+    (version,) = struct.unpack(">H", b[2:4])
+    if version != LATEST_VERSION:
+        raise ValueError(f"unsupported redo codec version: {version}")
+    r = _Reader(b, 4)
+    doc = r.read()
+    if r.pos != len(b):
+        raise ValueError(f"trailing bytes in redo record: {len(b) - r.pos}")
+    return doc
+
+
+# ---------------------------------------------------------------------------
+# file framing
+# ---------------------------------------------------------------------------
+
+
+def encode_frame_size(n: int) -> tuple[int, int]:
+    pad = (8 - (n % 8)) % 8
+    len_field = n
+    if pad:
+        len_field |= (0x80 | pad) << 56
+    return len_field, pad
+
+
+def frame_records(records: list[bytes]) -> bytes:
+    out = bytearray()
+    for rec in records:
+        len_field, pad = encode_frame_size(len(rec))
+        out += struct.pack("<Q", len_field)
+        out += rec
+        out += b"\x00" * pad
+    return bytes(out)
+
+
+def unframe_records(data: bytes) -> list[bytes]:
+    out = []
+    off = 0
+    n = len(data)
+    while off < n:
+        if off + 8 > n:
+            raise ValueError(f"incomplete frame length at offset {off}")
+        (len_field,) = struct.unpack_from("<Q", data, off)
+        off += 8
+        # reference decodeFrameSize (`reader/file.go:372-379`): record
+        # size masks ALL top 8 bits; pad is the low 3 of the top byte
+        # when the sign bit is set
+        size = len_field & ~(0xFF << 56)
+        pad = (len_field >> 56) & 0x7 if (len_field >> 63) else 0
+        if off + size + pad > n:
+            raise ValueError(f"incomplete frame at offset {off}")
+        out.append(data[off:off + size])
+        off += size + pad
+    return out

@@ -3074,3 +3074,83 @@ def q_span_merge_groups(spark, sf_dir):
         spans, region_threshold=_MERGE_REGION_THRESHOLD,
         write_threshold=_MERGE_WRITE_THRESHOLD,
         batch_cap=_MERGE_BATCH_CAP)
+
+
+# ---------------------------------------------------------------------------
+# K6 — redo v2 WIRE roundtrip (`pkg/redo/codec/codec.go`,
+# `pkg/redo/writer/writer.go:77-85`, codec/msgpack_redo.py): the
+# changelog serialized into version-prefixed msgpack RedoLog records
+# inside 8-byte-aligned WAL frames, then unframed and decoded back.
+# Identity oracle (pk/seq are not part of the redo format; multiset
+# equality over the remaining columns is exact).  Arrow-batched
+# mapInPandas — the per-row byte codec is the sanctioned slow path.
+# ---------------------------------------------------------------------------
+_REDO_V2_COLS = ("schema_name, table_name, table_id, op, commit_ts, "
+                 "start_ts, before_id, before_val, before_k, "
+                 "after_id, after_val, after_k")
+
+_REDO_V2_ORACLE = (
+    f"WITH {CHANGELOG_SQL} SELECT {_REDO_V2_COLS} FROM changelog"
+)
+
+
+@register("redo_v2_roundtrip", _REDO_V2_ORACLE)
+def q_redo_v2_roundtrip(spark, sf_dir):
+    import pandas as pd
+
+    from ticdc_spark.codec.msgpack_redo import (
+        frame_records,
+        marshal_redo_dml,
+        unframe_records,
+        unmarshal_redo_log,
+    )
+    from ticdc_spark.queries import _flatten
+    from ticdc_spark.sources.changelog import events_changelog
+
+    cl = _flatten(events_changelog(spark, sf_dir))
+    schema = ("schema_name string, table_name string, table_id long, "
+              "op string, commit_ts long, start_ts long, "
+              "before_id long, before_val double, before_k long, "
+              "after_id long, after_val double, after_k long")
+    names = ["id", "val", "k"]
+
+    def run(batches):
+        for pdf in batches:
+            recs = []
+            for r in pdf.itertuples(index=False):
+                d = r._asdict()
+                cols = ([{"value": d[f"after_{n}"], "flag": 0}
+                         for n in names] if d["op"] in ("I", "U") else None)
+                pre = ([{"value": d[f"before_{n}"], "flag": 0}
+                        for n in names] if d["op"] in ("U", "D") else None)
+                recs.append(marshal_redo_dml({
+                    "start_ts": d["start_ts"], "commit_ts": d["commit_ts"],
+                    "table": {"schema": d["schema_name"],
+                              "table": d["table_name"],
+                              "table_id": d["table_id"],
+                              "is_partition": False},
+                    "columns": cols, "pre_columns": pre,
+                }))
+            blob = frame_records(recs)       # the on-disk WAL image
+            out = []
+            for rec in unframe_records(blob):
+                doc = unmarshal_redo_log(rec)
+                assert doc["type"] == 1 and doc["ddl"] is None
+                row = doc["row"]
+                inner = row["row"]
+                cols, pre = row["columns"], row["pre-columns"]
+                op = "U" if (cols and pre) else ("I" if cols else "D")
+                a = [c["column"] for c in cols] if cols else [None] * 3
+                b = [c["column"] for c in pre] if pre else [None] * 3
+                out.append((
+                    inner["table"]["db-name"], inner["table"]["tbl-name"],
+                    inner["table"]["tbl-id"], op,
+                    inner["commit-ts"], inner["start-ts"],
+                    b[0], b[1], b[2], a[0], a[1], a[2],
+                ))
+            yield pd.DataFrame(out, columns=[
+                "schema_name", "table_name", "table_id", "op",
+                "commit_ts", "start_ts", "before_id", "before_val",
+                "before_k", "after_id", "after_val", "after_k"])
+
+    return cl.mapInPandas(run, schema)

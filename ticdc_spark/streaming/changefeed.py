@@ -123,6 +123,7 @@ class Changefeed:
                 F.min("commit_ts").alias("min_ts"),
                 F.count(F.lit(1)).alias("n_rows"),
             ).collect()[0]
+            self._write_resolved_frame(ts_df, epoch_id)
         else:  # no ts anywhere; progress is row-count only
             stats = {"resolved_ts": None, "min_ts": None,
                      "n_rows": batch_df.count()}
@@ -145,6 +146,35 @@ class Changefeed:
         if (getattr(self.cfg, "enable_sync_point", False)
                 and stats["resolved_ts"] is not None):
             self._write_syncpoints(stats["min_ts"], stats["resolved_ts"])
+
+    def _write_resolved_frame(self, ts_df: DataFrame, epoch_id: int) -> None:
+        """W1 on the wire: the per-dispatcher watermarks of this epoch
+        as ONE BatchResolvedEvent frame (`resolved_ts_event.go`,
+        codec/resolved_event.py) — the artifact a mixed deployment's
+        consumer reads to advance its frontier.  Per-table max is a
+        control-plane aggregate (one row per dispatcher); the write is
+        per-epoch overwrite, idempotent under foreachBatch replay."""
+        if "table_id" not in ts_df.columns:
+            return
+        from ticdc_spark.codec.resolved_event import (
+            ResolvedEvent,
+            encode_batch,
+        )
+
+        per_tbl = ts_df.groupBy("table_id").agg(
+            F.max("commit_ts").alias("ts"),
+            (F.max("seq") if "seq" in ts_df.columns
+             else F.lit(0)).alias("seq"),
+        ).collect()
+        events = [
+            ResolvedEvent(int(r["ts"]), int(epoch_id), int(r["seq"] or 0),
+                          (int(r["table_id"]), 0))
+            for r in sorted(per_tbl, key=lambda r: r["table_id"])
+        ]
+        path = os.path.join(self.work_dir, "resolved", self.changefeed_id)
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, f"epoch={epoch_id}.bin"), "wb") as f:
+            f.write(encode_batch(events))
 
     def _write_syncpoints(self, min_ts: int, resolved_ts: int) -> None:
         """W2 syncpoint writer (`mysql_writer_for_syncpoint.go:33-67`):
