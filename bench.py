@@ -118,7 +118,8 @@ def main() -> None:
         # session-4: web-corpus curation (llm/web.py)
         "url_dedup", "paragraph_dedup", "c4_line_filter", "gopher_rules",
         "curation_pipeline", "batch_resolved_codec", "span_merge_groups",
-        "dml_event_frames", "bpe_train_merges",
+        "dml_event_frames", "bpe_train_merges", "redo_v2_roundtrip",
+        "domain_stats",
     ]
     def time_query(name: str) -> float:
         df = QUERIES[name](spark, sf_dir)

@@ -97,3 +97,34 @@ def test_reader_accepts_any_valid_family():
     # a non-minimal uint32 encoding of 5 still reads as 5
     r = _Reader(b"\xce\x00\x00\x00\x05")
     assert r.read() == 5
+
+
+def test_ddl_arm_roundtrip_and_pins():
+    from ticdc_spark.codec.msgpack_redo import marshal_redo_ddl
+
+    b = marshal_redo_ddl({
+        "start_ts": 9, "commit_ts": 10,
+        "query": "ALTER TABLE t1 ADD COLUMN c INT",
+        "action_type": 5,
+        "table": {"schema": "test", "table": "t1", "table_id": 7},
+        "columns": [{"name": "c", "origin_default": None,
+                     "type": 3, "version": 1}],
+        "blocked_tables": {"influence_type": 0, "table_ids": [7]},
+        "need_added_tables": [8, 9],
+    })
+    assert b[:4] == b"\xff\xff\x00\x02"
+    doc = unmarshal_redo_log(b)
+    assert doc["type"] == 2 and doc["row"] is None
+    d = doc["ddl"]
+    assert d["type"] == 5
+    assert d["table-name"]["tbl-name"] == "t1"
+    assert d["table-schema-store"] is None
+    inner = d["ddl"]
+    assert inner["query"].startswith("ALTER TABLE")
+    assert inner["columns"] == [{"name": "c", "origin_default": None,
+                                 "type": 3, "version": 1}]
+    assert inner["blocked-tables"] == {
+        "influence-type": 0, "tables": [7], "schema": 0}
+    # the reference tag really is underscored (`redo.go:84`)
+    assert inner["need_added_tables"] == [{"table": 8}, {"table": 9}]
+    assert inner["need-dropped-tables"] is None

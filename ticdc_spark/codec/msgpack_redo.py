@@ -313,3 +313,92 @@ def unframe_records(data: bytes) -> list[bytes]:
         out.append(data[off:off + size])
         off += size + pad
     return out
+
+
+# ---------------------------------------------------------------------------
+# DDL arm (`redo_gen.go:1711-1746` RedoDDLEvent, redo.go:75-105
+# DDLEventInRedoLog / ColumnInfo; interface.go:146-188 InfluencedTables
+# / SchemaTableName / Table msg tags)
+# ---------------------------------------------------------------------------
+
+
+def _influenced_tables(it: dict | None) -> bytes:
+    if it is None:
+        return mp_nil()
+    tids = it.get("table_ids")
+    body = mp_map_header(3) + mp_str("influence-type") + mp_int(
+        int(it.get("influence_type", 0)))
+    body += mp_str("tables")
+    if tids is None:
+        body += mp_nil()
+    else:
+        body += mp_array_header(len(tids))
+        for t in tids:
+            body += mp_int(int(t))
+    body += mp_str("schema") + mp_int(int(it.get("schema_id", 0)))
+    return body
+
+
+def marshal_redo_ddl(ddl: dict) -> bytes:
+    """``ddl`` keys: start_ts, commit_ts, query, action_type (byte),
+    table {schema, table, table_id, is_partition}, and optionally
+    columns [{name, origin_default, type, version}], blocked_tables
+    {influence_type, table_ids, schema_id}, blocked_table_names
+    [{schema, table}], need_dropped_tables, need_added_tables
+    [table_id]."""
+    cols = ddl.get("columns")
+    if cols is None:
+        cols_b = mp_nil()
+    else:
+        cols_b = mp_array_header(len(cols))
+        for c in cols:
+            cols_b += (mp_map_header(4)
+                       + mp_str("name") + mp_str(c["name"])
+                       + mp_str("origin_default")
+                       + mp_any(c.get("origin_default"))
+                       + mp_str("type") + mp_uint(int(c.get("type", 0)))
+                       + mp_str("version") + mp_uint(int(c.get("version", 0))))
+    btn = ddl.get("blocked_table_names")
+    if btn is None:
+        btn_b = mp_nil()
+    else:
+        btn_b = mp_array_header(len(btn))
+        for t in btn:
+            btn_b += (mp_map_header(2)
+                      + mp_str("schema-name") + mp_str(t["schema"])
+                      + mp_str("table-name") + mp_str(t["table"]))
+    nat = ddl.get("need_added_tables")
+    if nat is None:
+        nat_b = mp_nil()
+    else:
+        nat_b = mp_array_header(len(nat))
+        for tid in nat:
+            nat_b += mp_map_header(1) + mp_str("table") + mp_int(int(tid))
+    inner = (
+        mp_map_header(8)
+        + mp_str("start-ts") + mp_uint(int(ddl["start_ts"]))
+        + mp_str("commit-ts") + mp_uint(int(ddl["commit_ts"]))
+        + mp_str("query") + mp_str(ddl.get("query", ""))
+        + mp_str("columns") + cols_b
+        + mp_str("blocked-tables")
+        + _influenced_tables(ddl.get("blocked_tables"))
+        + mp_str("blocked-table-names") + btn_b
+        + mp_str("need-dropped-tables")
+        + _influenced_tables(ddl.get("need_dropped_tables"))
+        + mp_str("need_added_tables") + nat_b   # underscore tag, sic
+    )
+    redo_ddl = (
+        mp_map_header(4)
+        + mp_str("ddl") + inner
+        + mp_str("type") + mp_uint(int(ddl.get("action_type", 0)))
+        + mp_str("table-name")
+        + _table_name(ddl.get("table") or {})
+        + mp_str("table-schema-store") + mp_nil()
+    )
+    body = (
+        mp_map_header(3)
+        + mp_str("row") + mp_nil()
+        + mp_str("ddl") + redo_ddl
+        + mp_str("type") + mp_int(2)       # RedoLogTypeDDL
+    )
+    return VERSION_PREFIX + struct.pack(">H", LATEST_VERSION) + body

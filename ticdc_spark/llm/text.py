@@ -530,6 +530,11 @@ def bpe_encode_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def _sql_str(v: str) -> str:
+    """SQL string literal (the sentinel chr(1) passes through raw)."""
+    return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
 def bpe_train_merges(docs: DataFrame, k: int = 4) -> DataFrame:
     """Train ``k`` BPE merge steps over the corpus word counts (the
     Sennrich et al. 2016 loop): symbolize every distinct word, then
@@ -558,16 +563,18 @@ def bpe_train_merges(docs: DataFrame, k: int = 4) -> DataFrame:
     the corpus.
     """
     sep = "\x01"
+    spark = docs.sparkSession
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
         .filter(F.length("w") > 0)
         .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
         .withColumn("sym", F.regexp_replace("w", "(.)", f"{sep}$1{sep}"))
+        .cache()
     )
     # symbols = split(trim both sentinels, sentinel-pair); guard
     # single-symbol words (Spark sequence(1, 0) counts DOWN)
     syms = f"split(trim(BOTH '{sep}' FROM sym), '{sep}{sep}')"
-    merges = []
+    merges: list[tuple[int, str, str, int]] = []
     for step in range(k):
         pairs = words.filter(F.expr(f"size({syms}) >= 2")).select(
             "n",
@@ -577,28 +584,26 @@ def bpe_train_merges(docs: DataFrame, k: int = 4) -> DataFrame:
                        f"element_at({syms}, i + 1)))")
             ).alias("pair"),
         )
-        best = (
-            pairs.groupBy("pair").agg(F.sum("n").alias("pair_count"))
-            .orderBy(F.col("pair_count").desc(), F.col("pair"))
-            .limit(1)
-            .select(
-                F.lit(step).cast("long").alias("step"),
-                F.split("pair", " ")[0].alias("left"),
-                F.split("pair", " ")[1].alias("right"),
-                "pair_count",
-            )
-        )
-        merges.append(best)
-        words = (
-            words.crossJoin(F.broadcast(best.select("left", "right")))
-            .withColumn(
-                "sym",
-                F.expr(f"replace(sym, concat('{sep}', left, '{sep}{sep}', "
-                       f"right, '{sep}'), "
-                       f"concat('{sep}', left, right, '{sep}'))"))
-            .select("w", "n", "sym")
-        )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out
+        # the winner is ONE row of plan metadata (the k-means-codebook
+        # precedent): collecting it lets the merge fold in as literals,
+        # so each step is exactly one pair-count shuffle over the
+        # CACHED word table instead of a k-deep recomputed lineage
+        top = (pairs.groupBy("pair").agg(F.sum("n").alias("pair_count"))
+               .orderBy(F.col("pair_count").desc(), F.col("pair"))
+               .limit(1).collect())
+        if not top:
+            break
+        pair, count = top[0]["pair"], int(top[0]["pair_count"])
+        left, right = pair.split(" ", 1)
+        merges.append((step, left, right, count))
+        old = words
+        words = words.withColumn(
+            "sym",
+            F.expr("replace(sym, {}, {})".format(
+                _sql_str(f"{sep}{left}{sep}{sep}{right}{sep}"),
+                _sql_str(f"{sep}{left}{right}{sep}")))
+        ).cache()
+        words.count()      # materialize before dropping the parent
+        old.unpersist()
+    return spark.createDataFrame(
+        merges, "step long, left string, right string, pair_count long")

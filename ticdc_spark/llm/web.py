@@ -256,3 +256,38 @@ def curation_pipeline(docs: DataFrame) -> DataFrame:
         F.sum(F.when(F.col("is_winner"), F.col("word_count"))
               .otherwise(F.lit(0))).alias("tokens_after"),
     )
+
+
+def registered_domain(host: Column | str) -> Column:
+    """Last two dot-labels of a host — the registered-domain key used
+    for domain-level stats/blocklists (public-suffix nuances like
+    .co.uk need a suffix table; two labels is the standard first cut).
+    """
+    h = F.col(host) if isinstance(host, str) else host
+    return F.when(
+        h.rlike(r"[^.]+\.[^.]+$"),
+        F.regexp_extract(h, r"([^.]+\.[^.]+)$", 1),
+    ).otherwise(h)
+
+
+def domain_stats(docs: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-registered-domain rollup over canonical URLs: document
+    count, distinct pages, token volume, language spread — the
+    domain-level view a crawl pipeline filters on (blocklists, per-
+    domain caps).  ONE shuffle on the domain key."""
+    norm = normalize_url(url_col)
+    host = F.regexp_extract(norm, r"^[a-z][a-z0-9+.-]*://([^/?]+)", 1)
+    wc = F.size(F.split("text", " ")).cast("long")
+    return (
+        docs.select(
+            registered_domain(host).alias("domain"),
+            norm.alias("norm_url"), wc.alias("wc"), "lang",
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("norm_url").alias("n_pages"),
+            F.sum("wc").alias("total_words"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )

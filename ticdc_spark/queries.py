@@ -625,6 +625,51 @@ def q_mount_default_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "before_val2", "after_val2")
 
 
+# ---------------------------------------------------------------------------
+# S7 — clustered-PK handle fill + NOT-NULL zero fill
+# (`pkg/common/event/chunk.go:134-161` tryDecodeFromHandle, `:182-238`
+# getDefaultOrZeroValue): a clustered PK is not repeated in the row
+# value — the mounter recovers it from the record-key handle; a
+# NOT-NULL column with no default fills the type zero value.
+# ---------------------------------------------------------------------------
+_HANDLE_FILL_ORACLE = f"""
+WITH {CHANGELOG_SQL}
+SELECT table_id, pk, op, commit_ts, seq,
+       CASE WHEN op IN ('U', 'D') THEN pk END AS before_hid,
+       CASE WHEN op IN ('I', 'U') THEN pk END AS after_hid,
+       CASE WHEN op IN ('U', 'D') THEN CAST(0 AS BIGINT) END AS before_znn,
+       CASE WHEN op IN ('I', 'U') THEN CAST(0 AS BIGINT) END AS after_znn,
+       CASE WHEN op IN ('U', 'D') THEN '' END AS before_zs,
+       CASE WHEN op IN ('I', 'U') THEN '' END AS after_zs
+FROM changelog
+"""
+
+
+@register("mount_handle_fill", _HANDLE_FILL_ORACLE)
+def q_mount_handle_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ticdc_spark.sources.binary_mount import (
+        mount_binary_rows,
+        synthesize_binary_changelog,
+    )
+
+    # encode ONLY the val column: the handle column and the two
+    # NOT-NULL columns are absent from every image
+    enc_cols = ({"id": 2, "name": "val", "type": "double"},)
+    mnt_cols = (
+        {"id": 9, "name": "hid", "type": "bigint", "handle": True},
+        {"id": 2, "name": "val", "type": "double"},
+        {"id": 10, "name": "znn", "type": "bigint", "not_null": True},
+        {"id": 11, "name": "zs", "type": "string", "not_null": True},
+    )
+    cl = flat_changelog(spark, sf_dir)
+    raw = synthesize_binary_changelog(cl, columns=enc_cols)
+    mounted = mount_binary_rows(raw, columns=mnt_cols)
+    return mounted.select(
+        "table_id", "pk", "op", "commit_ts", "seq",
+        "before_hid", "after_hid", "before_znn", "after_znn",
+        "before_zs", "after_zs")
+
+
 # Extension registries (import at bottom so `register` exists; they add
 # themselves to QUERIES/ORACLES).
 from ticdc_spark import llm_queries  # noqa: E402,F401  isort:skip

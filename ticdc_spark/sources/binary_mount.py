@@ -126,7 +126,26 @@ def synthesize_binary_changelog(
     return src.mapInPandas(encode, RAWKV_SCHEMA)
 
 
-def _decode_image(b: bytes, columns) -> dict:
+_ZERO_BY_TYPE = {"bigint": 0, "double": 0.0, "string": ""}
+
+
+def _absent_fill(c: dict, handle):
+    """A column id missing from the image entirely, in reference order
+    (`chunk.go:134-161` tryDecodeFromHandle, `:182-238`
+    getDefaultOrZeroValue): the handle column takes the record-key
+    handle (clustered PK is not repeated in the row value); else the
+    schema ORIGIN default; else NULL when nullable; else the type's
+    zero value (empty string for char types)."""
+    if c.get("handle") and handle is not None:
+        return handle
+    if c.get("default") is not None:
+        return c["default"]
+    if c.get("not_null"):
+        return _ZERO_BY_TYPE.get(c["type"], 0)
+    return None
+
+
+def _decode_image(b: bytes, columns, handle=None) -> dict:
     if not b:
         return {}
     if is_new_format(b):
@@ -134,12 +153,9 @@ def _decode_image(b: bytes, columns) -> dict:
         out = {}
         for c in columns:
             if c["id"] not in raw:
-                # column id not in the image at all: the row was encoded
-                # before this column existed (ADD COLUMN after capture) —
-                # fill the schema default, NOT NULL (`mounter.go:257-264`
-                # GetDDLDefaultDefinition; the null map is explicit, so
-                # absence is distinguishable from stored NULL)
-                out[c["name"]] = c.get("default")
+                # absence is distinguishable from stored NULL (the v2
+                # null map is explicit) — fill per the reference rules
+                out[c["name"]] = _absent_fill(c, handle)
                 continue
             v = raw[c["id"]]
             out[c["name"]] = None if v is None else decode_value(
@@ -150,7 +166,7 @@ def _decode_image(b: bytes, columns) -> dict:
     out = {}
     for c in columns:
         if c["id"] not in raw:
-            out[c["name"]] = c.get("default")  # same rule as v2 above
+            out[c["name"]] = _absent_fill(c, handle)
             continue
         flag_v = raw[c["id"]]
         if flag_v[0] == _NIL:
@@ -195,8 +211,8 @@ def mount_binary_rows(raw: DataFrame, columns=PAYLOAD_COLUMNS) -> DataFrame:
                 table_id, handle = decode_record_key(bytes(r.key))
                 value = bytes(r.value) if r.value is not None else b""
                 old = bytes(r.old_value) if r.old_value is not None else b""
-                after = _decode_image(value, columns)
-                before = _decode_image(old, columns)
+                after = _decode_image(value, columns, handle)
+                before = _decode_image(old, columns, handle)
                 # mounter op classification: old+new=U, new=I, old=D
                 ap["op"]("U" if (value and old) else ("I" if value else "D"))
                 ap["table_id"](table_id)

@@ -378,3 +378,49 @@ def q_curation_pipeline(spark, sf_dir):
         .otherwise(F.col("text")).alias("text"),
     )
     return curation_pipeline(planted)
+
+
+# ---------------------------------------------------------------------------
+# domain-level rollup: registered domain from the canonical URL
+# ---------------------------------------------------------------------------
+_TLD_SQL = ("CASE doc_id % 3 WHEN 0 THEN 'COM' WHEN 1 THEN 'ORG' "
+            "ELSE 'NET' END")
+
+_DOM_URL_RAW_SQL = (
+    "'HTTP://WWW.' || source || '.Example.' || " + _TLD_SQL
+    + " || ':80/Docs/' || (doc_id % 20)::VARCHAR || '?utm_source=rss'"
+)
+
+# closed-form: registered domain = example.<tld lowercased> (the
+# source label is a subdomain and drops out of the two-label key)
+_DOM_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, lang,
+           'example.' || lower({_TLD_SQL}) AS domain,
+           'http://' || source || '.example.' || lower({_TLD_SQL})
+           || '/Docs/' || (doc_id % 20)::VARCHAR AS norm_url,
+           len(string_split(text, ' ')) AS wc
+    FROM documents
+)
+SELECT domain, count(*) AS n_docs, count(DISTINCT norm_url) AS n_pages,
+       CAST(sum(wc) AS BIGINT) AS total_words,
+       count(DISTINCT lang) AS n_langs
+FROM d GROUP BY domain
+"""
+
+
+@register("domain_stats", _DOM_ORACLE)
+def q_domain_stats(spark, sf_dir):
+    from ticdc_spark.llm.web import domain_stats
+
+    d = _docs(spark, sf_dir).withColumn(
+        "url",
+        F.concat(
+            F.lit("HTTP://WWW."), F.col("source"), F.lit(".Example."),
+            F.element_at(F.array(F.lit("COM"), F.lit("ORG"), F.lit("NET")),
+                         (F.col("doc_id") % 3 + 1).cast("int")),
+            F.lit(":80/Docs/"), (F.col("doc_id") % 20).cast("string"),
+            F.lit("?utm_source=rss"),
+        ),
+    )
+    return domain_stats(d)
