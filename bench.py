@@ -119,7 +119,7 @@ def main() -> None:
         "url_dedup", "paragraph_dedup", "c4_line_filter", "gopher_rules",
         "curation_pipeline", "batch_resolved_codec", "span_merge_groups",
         "dml_event_frames", "bpe_train_merges", "redo_v2_roundtrip",
-        "domain_stats",
+        "domain_stats", "curation_pipeline_full", "mount_handle_fill",
     ]
     def time_query(name: str) -> float:
         df = QUERIES[name](spark, sf_dir)

@@ -101,7 +101,8 @@ def url_dedup(docs: DataFrame, url_col: str = "url") -> DataFrame:
 
 
 def paragraph_dedup(docs: DataFrame, min_doc_freq: int = 3,
-                    max_df_pct: int = 2) -> DataFrame:
+                    max_df_pct: int = 2,
+                    carry: tuple[str, ...] = ()) -> DataFrame:
     """Remove boilerplate paragraphs (RefinedWeb §3.3 / CCNet-style):
     a paragraph appearing in >= ``max_df_pct``% of documents (and at
     least ``min_doc_freq`` absolute) is boilerplate (cookie banners,
@@ -114,7 +115,8 @@ def paragraph_dedup(docs: DataFrame, min_doc_freq: int = 3,
     on doc_id to reassemble.  Returns one row per input document.
     """
     paras = docs.select(
-        "doc_id", F.posexplode(F.split("text", r"\n\n")).alias("pos", "para")
+        "doc_id", *carry,
+        F.posexplode(F.split("text", r"\n\n")).alias("pos", "para")
     )
     dfreq = paras.groupBy("para").agg(
         F.countDistinct("doc_id").alias("doc_freq"))
@@ -129,7 +131,7 @@ def paragraph_dedup(docs: DataFrame, min_doc_freq: int = 3,
         "is_boiler", F.coalesce("is_boiler", F.lit(False)))
     ordered = F.array_sort(
         F.collect_list(F.struct("pos", "para", "is_boiler")))
-    return flagged.groupBy("doc_id").agg(
+    return flagged.groupBy("doc_id", *carry).agg(
         F.count("*").alias("n_paras"),
         F.sum(F.col("is_boiler").cast("long")).alias("n_removed"),
         F.array_join(
@@ -142,7 +144,8 @@ def paragraph_dedup(docs: DataFrame, min_doc_freq: int = 3,
     )
 
 
-def c4_line_filter(docs: DataFrame) -> DataFrame:
+def c4_line_filter(docs: DataFrame,
+                   carry: tuple[str, ...] = ()) -> DataFrame:
     """C4 cleanup (Raffel et al. 2020 §2.2) over newline-separated
     lines.  Line kept iff: >= 5 words, ends in terminal punctuation,
     and mentions none of the policy words (javascript/cookie).  The
@@ -157,7 +160,7 @@ def c4_line_filter(docs: DataFrame) -> DataFrame:
     doc_bad = (F.instr(low_doc, C4_BAD_DOC_MARKERS[0]) > 0) | (
         F.instr(low_doc, C4_BAD_DOC_MARKERS[1]) > 0)
     lines = docs.select(
-        "doc_id", doc_bad.alias("doc_bad"),
+        "doc_id", *carry, doc_bad.alias("doc_bad"),
         F.posexplode(F.split("text", r"\n")).alias("pos", "line"),
     )
     low = F.lower(F.col("line"))
@@ -169,7 +172,7 @@ def c4_line_filter(docs: DataFrame) -> DataFrame:
     )
     flagged = lines.withColumn("keep_line", keep_line)
     ordered = F.array_sort(F.collect_list(F.struct("pos", "line", "keep_line")))
-    agg = flagged.groupBy("doc_id", "doc_bad").agg(
+    agg = flagged.groupBy("doc_id", "doc_bad", *carry).agg(
         F.count("*").alias("n_lines"),
         F.sum(F.col("keep_line").cast("long")).alias("n_kept"),
         F.array_join(
@@ -182,7 +185,7 @@ def c4_line_filter(docs: DataFrame) -> DataFrame:
     )
     doc_kept = ~F.col("doc_bad") & (F.col("n_kept") >= C4_MIN_KEPT_LINES)
     return agg.select(
-        "doc_id", "n_lines", "n_kept", doc_kept.alias("doc_kept"),
+        "doc_id", *carry, "n_lines", "n_kept", doc_kept.alias("doc_kept"),
         F.when(doc_kept, F.col("_joined")).alias("clean_text"),
     )
 
@@ -290,4 +293,51 @@ def domain_stats(docs: DataFrame, url_col: str = "url") -> DataFrame:
             F.sum("wc").alias("total_words"),
             F.countDistinct("lang").alias("n_langs"),
         )
+    )
+
+
+def curation_pipeline_full(docs: DataFrame) -> DataFrame:
+    """The COMPLETE curation stack in one plan: boilerplate-paragraph
+    removal -> C4 line/document filtering -> Gopher rules -> exact
+    dedup -> per-source manifest with the audit counts of every stage.
+    Stage order matters and is the production order: page-level
+    cleanup first (so boilerplate never pollutes content hashes),
+    document gates next, dedup among rule-passers last.
+
+    Input: ``doc_id, source, text`` with real paragraph (``\\n\\n``)
+    and line (``\\n``) structure.  ~6 shuffles total: paragraph
+    df-count + two reassemblies + the md5 dedup window + per-source
+    rollups (joined on the tiny source key).
+    """
+    # p and c each feed a stage rollup AND the next stage — cache
+    # them so the audit counts don't recompute the whole upstream
+    p = paragraph_dedup(docs, carry=("source",)).cache()
+    c_in = p.select(
+        "doc_id", "source", "n_removed",
+        F.regexp_replace("clean_text", r"\n\n", "\n").alias("text"))
+    c = c4_line_filter(c_in, carry=("source", "n_removed")).cache()
+    survivors = c.filter("doc_kept").select(
+        "doc_id", "source", F.col("clean_text").alias("text"))
+    g = gopher_rules(survivors, carry=("source", "text"))
+    w = Window.partitionBy(F.md5("text")).orderBy(
+        F.col("keep").desc(), F.col("doc_id"))
+    flagged = g.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "is_winner", F.col("keep") & (F.col("_rn") == 1))
+    s0 = p.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_removed").alias("paras_removed"))
+    s1 = c.groupBy("source").agg(
+        F.sum(F.col("doc_kept").cast("long")).alias("n_after_c4"))
+    s2 = flagged.groupBy("source").agg(
+        F.sum(F.col("keep").cast("long")).alias("n_after_rules"),
+        F.sum(F.col("is_winner").cast("long")).alias("n_final"),
+        F.sum(F.when(F.col("is_winner"), F.col("word_count"))
+              .otherwise(F.lit(0))).alias("tokens_final"))
+    out = s0.join(s1, "source", "left").join(s2, "source", "left")
+    return out.select(
+        "source", "n_docs", "paras_removed", "n_after_c4",
+        *[F.coalesce(c_, F.lit(0)).cast("long").alias(n) for c_, n in
+          [(F.col("n_after_rules"), "n_after_rules"),
+           (F.col("n_final"), "n_final"),
+           (F.col("tokens_final"), "tokens_final")]],
     )

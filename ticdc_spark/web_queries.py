@@ -424,3 +424,198 @@ def q_domain_stats(spark, sf_dir):
         ),
     )
     return domain_stats(d)
+
+
+# ---------------------------------------------------------------------------
+# the FULL curation stack: paragraph dedup -> C4 -> Gopher -> exact
+# dedup -> per-source manifest, one plan.  The synth gives every stage
+# planted positive support: boilerplate paragraphs (removed at the
+# paragraph stage BEFORE C4 could see them — ordering is load-bearing),
+# doc-unique lorem/brace paragraphs (df=1 survives paragraph dedup,
+# trips the C4 doc gate), '#' paragraphs (survive C4, trip the Gopher
+# symbol rule), and a fixed 48-word snippet on doc_id%67 docs whose
+# identical post-C4 text collapses in the dedup stage.
+# ---------------------------------------------------------------------------
+_SNIP_LINE = "the a spark table merge window filter stream"
+_SNIPPET = " ".join([_SNIP_LINE] * 6)
+_BOILER_PARA = ("please accept our cookie policy before reading this page."
+                "\n"
+                "subscribe to our newsletter for weekly updates today.")
+_HASH_PARA = " ".join(["#"] * 14) + " #."
+
+_FULL_SYNTH_SQL = f"""
+base AS (
+    SELECT doc_id, source,
+           CASE WHEN doc_id % 67 = 0 THEN '{_SNIPPET}' ELSE text END AS t
+    FROM documents),
+ltab AS (
+    SELECT doc_id, source,
+           [array_to_string(w[i*8+1:i*8+8], ' ')
+            || CASE WHEN i % 4 <> 3 THEN '.' ELSE '' END
+            for i in generate_series(0, (len(w)-1)//8)] AS ls
+    FROM (SELECT doc_id, source, string_split(t, ' ') AS w FROM base)),
+ptab AS (
+    SELECT doc_id, source,
+           [CASE WHEN j*2+2 <= len(ls)
+                 THEN ls[j*2+1] || chr(10) || ls[j*2+2]
+                 ELSE ls[j*2+1] END
+            for j in generate_series(0, (len(ls)-1)//2)] AS ps
+    FROM ltab),
+synth AS (
+    SELECT doc_id, source,
+           array_to_string(
+               (CASE WHEN doc_id % 3 = 0
+                     THEN ['{_BOILER_PARA.replace(chr(10), "' || chr(10) || '")}']
+                     ELSE [] END)
+               || (CASE WHEN doc_id % 13 = 0
+                        THEN ['lorem ipsum dolor sit amet consectetur '
+                              || 'adipiscing elit ' || doc_id::VARCHAR || '.']
+                        ELSE [] END)
+               || (CASE WHEN doc_id % 11 = 0
+                        THEN ['var config ' || doc_id::VARCHAR
+                              || ' = {{ layout theme data }}.']
+                        ELSE [] END)
+               || ps
+               || (CASE WHEN doc_id % 9 = 0 THEN ['{_HASH_PARA}']
+                        ELSE [] END),
+               chr(10) || chr(10)) AS text
+    FROM ptab)
+"""
+
+_FULL_ORACLE = f"""
+WITH {_FULL_SYNTH_SQL},
+pl AS (SELECT doc_id, source,
+              string_split(text, chr(10)||chr(10)) AS ps FROM synth),
+pp AS (SELECT doc_id, source, g.i AS pos, ps[g.i] AS para
+       FROM pl, LATERAL (SELECT unnest(generate_series(1, len(ps))) AS i) g),
+pdf AS (SELECT para, count(DISTINCT doc_id) AS df FROM pp GROUP BY 1),
+ptot AS (SELECT count(*) AS n FROM synth),
+pfl AS (SELECT p.doc_id, p.source, p.pos, p.para,
+               (d.df >= 3 AND d.df * 100 >= t.n * 2) AS boiler
+        FROM pp p JOIN pdf d USING (para), ptot t),
+pstage AS (
+    SELECT doc_id, source,
+           CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+           coalesce(string_agg(CASE WHEN NOT boiler THEN para END,
+                               chr(10)||chr(10) ORDER BY pos), '') AS ctext
+    FROM pfl GROUP BY doc_id, source),
+cin AS (SELECT doc_id, source, n_removed,
+               replace(ctext, chr(10)||chr(10), chr(10)) AS t2 FROM pstage),
+cl2 AS (SELECT doc_id, source, n_removed,
+               (contains(lower(t2), 'lorem ipsum')
+                OR contains(lower(t2), '{{')) AS doc_bad,
+               g.i AS pos, ls[g.i] AS line
+        FROM (SELECT *, string_split(t2, chr(10)) AS ls FROM cin),
+             LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i) g),
+cfl AS (SELECT *,
+               (len(string_split(line, ' ')) >= 5
+                AND right(line, 1) IN ('.', '!', '?', '"')
+                AND NOT contains(lower(line), 'javascript')
+                AND NOT contains(lower(line), 'cookie')) AS keepl
+        FROM cl2),
+cagg AS (SELECT doc_id, source, n_removed, doc_bad,
+                CAST(sum(CASE WHEN keepl THEN 1 ELSE 0 END) AS BIGINT)
+                    AS nk,
+                string_agg(CASE WHEN keepl THEN line END,
+                           chr(10) ORDER BY pos) AS jt
+         FROM cfl GROUP BY doc_id, source, n_removed, doc_bad),
+cstage AS (SELECT doc_id, source, n_removed,
+                  (NOT doc_bad AND nk >= 3) AS kept,
+                  CASE WHEN NOT doc_bad AND nk >= 3
+                       THEN coalesce(jt, '') END AS ct
+           FROM cagg),
+gm AS (SELECT doc_id, source, ct,
+              len(string_split(ct, ' ')) AS wc,
+              len(ct) - (len(string_split(ct, ' ')) - 1) AS sc,
+              len(list_intersect(list_transform(string_split(ct, ' '),
+                                                t -> lower(t)),
+                                 [{_STOP_LIST}])) AS nst,
+              len(list_filter(string_split(ct, ' '),
+                              t -> t = '#' OR t = '...')) AS nsym,
+              len(list_filter(string_split(ct, ' '),
+                              t -> regexp_matches(t, '[a-zA-Z]'))) AS nal
+       FROM cstage WHERE kept),
+gfl AS (SELECT doc_id, source, ct, wc,
+               (wc >= 40 AND wc <= 100000
+                AND sc * 100 // wc >= 380 AND sc * 100 // wc <= 1000
+                AND nst >= 2 AND nsym * 1000 // wc <= 100
+                AND nal * 1000 // wc >= 800) AS keep
+        FROM gm),
+rk AS (SELECT *, row_number() OVER (
+           PARTITION BY md5(ct) ORDER BY keep DESC, doc_id) AS rn
+       FROM gfl),
+s0 AS (SELECT source, count(*) AS n_docs,
+              CAST(sum(n_removed) AS BIGINT) AS paras_removed
+       FROM pstage GROUP BY source),
+s1 AS (SELECT source, CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_after_c4 FROM cstage GROUP BY source),
+s2 AS (SELECT source,
+              CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_after_rules,
+              CAST(sum(CASE WHEN keep AND rn = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_final,
+              CAST(sum(CASE WHEN keep AND rn = 1 THEN wc ELSE 0 END)
+                   AS BIGINT) AS tokens_final
+       FROM rk GROUP BY source)
+SELECT s0.source, n_docs, paras_removed, n_after_c4,
+       coalesce(n_after_rules, 0) AS n_after_rules,
+       coalesce(n_final, 0) AS n_final,
+       coalesce(tokens_final, 0) AS tokens_final
+FROM s0 LEFT JOIN s1 USING (source) LEFT JOIN s2 USING (source)
+"""
+
+
+def _full_synth(docs: DataFrame) -> DataFrame:
+    doc_id = F.col("doc_id")
+    t0 = F.when(doc_id % 67 == 0, F.lit(_SNIPPET)).otherwise(F.col("text"))
+    d = docs.select("doc_id", "source", t0.alias("t"))
+    d = d.withColumn("w", F.split("t", " "))
+    d = d.withColumn(
+        "ls",
+        F.transform(
+            F.sequence(F.lit(0), F.floor((F.size("w") - 1) / 8).cast("int")),
+            lambda i: F.concat(
+                F.array_join(F.slice(F.col("w"), i * 8 + 1, 8), " "),
+                F.when(i % 4 != 3, F.lit(".")).otherwise(F.lit("")),
+            ),
+        ),
+    )
+    d = d.withColumn(
+        "ps",
+        F.transform(
+            F.sequence(F.lit(0), F.floor((F.size("ls") - 1) / 2).cast("int")),
+            lambda j: F.when(
+                j * 2 + 2 <= F.size("ls"),
+                F.concat(F.element_at("ls", (j * 2 + 1).cast("int")),
+                         F.lit("\n"),
+                         F.element_at("ls", (j * 2 + 2).cast("int"))),
+            ).otherwise(F.element_at("ls", (j * 2 + 1).cast("int"))),
+        ),
+    )
+
+    def _opt(cond, col):
+        return F.when(cond, F.array(col)).otherwise(
+            F.array().cast("array<string>"))
+
+    paras = F.concat(
+        _opt(doc_id % 3 == 0, F.lit(_BOILER_PARA)),
+        _opt(doc_id % 13 == 0,
+             F.concat(F.lit("lorem ipsum dolor sit amet consectetur "
+                            "adipiscing elit "),
+                      doc_id.cast("string"), F.lit("."))),
+        _opt(doc_id % 11 == 0,
+             F.concat(F.lit("var config "), doc_id.cast("string"),
+                      F.lit(" = { layout theme data }."))),
+        F.col("ps"),
+        _opt(doc_id % 9 == 0, F.lit(_HASH_PARA)),
+    )
+    return d.select("doc_id", "source",
+                    F.array_join(paras, "\n\n").alias("text"))
+
+
+@register("curation_pipeline_full", _FULL_ORACLE)
+def q_curation_pipeline_full(spark, sf_dir):
+    from ticdc_spark.llm.web import curation_pipeline_full
+
+    return curation_pipeline_full(_full_synth(_docs(spark, sf_dir)))
