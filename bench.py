@@ -175,19 +175,26 @@ def main() -> None:
     rows_10x = n_rows * 10
     timings["pipeline_canal_json_10x"] = round(t_10x, 3)
 
-    # two more scale probes on the shuffle-heavy shapes — reported
-    # OUTSIDE the summed suite time (single run each; they exist for
-    # the x-vs-1x ratio, not the absolute): the per-pk compaction fold
-    # at 10x keys, and the MinHash-LSH band join at 2x docs where every
-    # doc has an exact clone (collision-heavy worst case).  A
-    # super-linear blowup vs the 1x numbers flags a plan that won't
-    # survive the next scale-up.
+    # scale probes on the shuffle-heavy shapes — reported OUTSIDE the
+    # summed suite time; they exist for the x-vs-1x ratio, not the
+    # absolute.  A super-linear blowup vs the 1x numbers flags a plan
+    # that won't survive the next scale-up.  Min-of-2 like the
+    # headline queries: a single co-tenant spike otherwise fakes a
+    # scaling cliff (observed: minhash_2x 2.1s -> 15.3s under load).
     from ticdc_spark.operators import compact_changelog
 
     scale_probes: dict[str, float] = {}
-    t0 = time.perf_counter()
-    compact_changelog(big).write.format("noop").mode("overwrite").save()
-    scale_probes["compaction_10x"] = round(time.perf_counter() - t0, 3)
+
+    def probe(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        t = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fn()
+        scale_probes[name] = round(min(t, time.perf_counter() - t0), 3)
+
+    probe("compaction_10x", lambda: compact_changelog(big)
+          .write.format("noop").mode("overwrite").save())
 
     from ticdc_spark.llm.dedup import minhash_lsh_pairs
 
@@ -196,10 +203,8 @@ def main() -> None:
         docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
         for i in range(2)
     ])
-    t0 = time.perf_counter()
-    minhash_lsh_pairs(docs_2x).write.format("noop").mode(
-        "overwrite").save()
-    scale_probes["dedup_minhash_lsh_2x"] = round(time.perf_counter() - t0, 3)
+    probe("dedup_minhash_lsh_2x", lambda: minhash_lsh_pairs(docs_2x)
+          .write.format("noop").mode("overwrite").save())
 
     # bigram LM at 4x docs: the heaviest corpus-op shape (two count
     # tables + per-doc fold over corpus-sized joins) — linearity here
@@ -210,9 +215,18 @@ def main() -> None:
         docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
         for i in range(4)
     ])
-    t0 = time.perf_counter()
-    bigram_logprob(docs_4x).write.format("noop").mode("overwrite").save()
-    scale_probes["bigram_logprob_4x"] = round(time.perf_counter() - t0, 3)
+    probe("bigram_logprob_4x", lambda: bigram_logprob(docs_4x)
+          .write.format("noop").mode("overwrite").save())
+
+    # the full curation stack at 4x docs: paragraph df-count, two
+    # reassemblies, the dedup window, and the rollups all scale with
+    # corpus size — a super-linear stage shows up here first
+    from ticdc_spark.llm.web import curation_pipeline_full
+    from ticdc_spark.web_queries import _full_synth
+
+    probe("curation_full_4x",
+          lambda: curation_pipeline_full(_full_synth(docs_4x))
+          .write.format("noop").mode("overwrite").save())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

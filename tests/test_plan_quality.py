@@ -34,6 +34,10 @@ _SHUFFLE_BUDGET = [
     ("redo_apply", 3, "apply-order window + two 1-row bounds aggs"),
     ("span_split_write_bytes", 2, "region agg + per-table pandas regroup"),
     ("span_merge_groups", 2, "span agg + per-table pandas walk"),
+    ("mount_handle_fill", 0, "map-only Arrow encode+decode"),
+    ("redo_v2_roundtrip", 0, "map-only Arrow WAL roundtrip"),
+    ("domain_stats", 2, "two-phase distinct agg on the domain key"),
+    ("dml_event_frames", 1, "per-txn metadata aggregate"),
 ]
 
 
