@@ -121,7 +121,17 @@ def main() -> None:
         "dml_event_frames", "bpe_train_merges", "redo_v2_roundtrip",
         "domain_stats", "curation_pipeline_full", "mount_handle_fill",
     ]
+    # queries whose real work runs at CONSTRUCTION time (iterative
+    # trainers that collect control-plane state, like the k-means
+    # codebook): time the build too, or the number is a no-op write
+    construct_timed = {"bpe_train_merges"}
+
     def time_query(name: str) -> float:
+        if name in construct_timed:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()
+            return round(time.perf_counter() - t0, 3)
         df = QUERIES[name](spark, sf_dir)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()

@@ -155,3 +155,25 @@ def test_gopher_rules_case_insensitive(spark):
     assert r["n_stopwords"] == 2      # the, a (case-folded)
     assert r["alpha_ratio_m"] == 1000  # every word is alphabetic
     assert r["r_stopwords"] and r["r_alpha"]
+
+
+def test_normalize_url_idempotent(spark):
+    """Canonicalization must be a projection: normalize(normalize(u))
+    == normalize(u) over a generated URL space (schemes x www x ports
+    x paths x param mixes x fragments)."""
+    rows = []
+    i = 0
+    for scheme in ("http", "HTTPS"):
+        for host in ("Ex.COM", "www.sub.ex.com", "ex.com:8080",
+                     "EX.com:443"):
+            for path in ("", "/", "/A/b/", "/x"):
+                for q in ("", "?b=2&a=1", "?utm_source=x&z=9#f",
+                          "?ref&q=a+b#frag"):
+                    rows.append((i, f"{scheme}://{host}{path}{q}"))
+                    i += 1
+    df = spark.createDataFrame(rows, "i long, url string")
+    once = df.select("i", normalize_url("url").alias("n1"))
+    twice = once.select(
+        "i", "n1", normalize_url("n1").alias("n2"))
+    bad = twice.filter(F.col("n1") != F.col("n2")).collect()
+    assert not bad, bad[:5]
