@@ -174,3 +174,26 @@ def test_bpe_train_merges_consecutive_merges_in_one_word(spark):
     # after merge: [aa, aa] -> pair (aa,aa) x5
     assert (out[1]["left"], out[1]["right"], out[1]["pair_count"]) == \
         ("aa", "aa", 5)
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Schleimer et al. §2: any shared run of >= k+w-1 tokens (8 here)
+    yields at least one shared fingerprint; disjoint texts share none
+    (whp)."""
+    from ticdc_spark.llm.text import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, f"one two three {shared} four five six seven"),
+        (2, f"{shared} nine ten eleven twelve thirteen fourteen"),
+        (3, "aa bb cc dd ee ff gg hh ii jj kk ll"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: set(r["fingerprints"])
+           for r in winnowing_fingerprints(df).collect()}
+    assert out[1] & out[2], "shared 8-token run must share a fingerprint"
+    assert not (out[1] & out[3])
+    # short docs (< k+w-1 grams... < 8 tokens) are excluded entirely
+    short = spark.createDataFrame([(9, "a b c d e f g")],
+                                  "doc_id long, text string")
+    assert winnowing_fingerprints(short).count() == 0

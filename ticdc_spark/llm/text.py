@@ -607,3 +607,37 @@ def bpe_train_merges(docs: DataFrame, k: int = 4) -> DataFrame:
         old.unpersist()
     return spark.createDataFrame(
         merges, "step long, left string, right string, pair_count long")
+
+
+def winnowing_fingerprints(docs: DataFrame, k: int = 4,
+                           w: int = 5) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the
+    MOSS algorithm): hash every ``k``-gram, slide a window of ``w``
+    consecutive hashes, keep the minimum of each window — the
+    guarantee is that any shared substring of length >= ``k+w-1``
+    contributes at least one shared fingerprint, at ~2/(w+1) the
+    density of full k-gram sets.  Value-set semantics (distinct mins)
+    make the tie-breaking rule irrelevant for equality joins.
+
+    Pure JVM array algebra — map-only, no shuffle, no UDF; the
+    downstream near-dup join buckets on the fingerprint value exactly
+    like the shingle index."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), (n - k).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    hashes = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10)
+        .cast("long"))
+    mins = F.transform(
+        F.sequence(F.lit(0), (F.size(hashes) - w).cast("int")),
+        lambda j: F.array_min(F.slice(hashes, j + 1, w)),
+    )
+    fps = F.array_sort(F.array_distinct(mins))
+    return docs.filter(n >= k + w - 1).select(
+        "doc_id", (n - k + 1).cast("long").alias("n_grams"),
+        F.size(fps).cast("long").alias("n_fingerprints"),
+        fps.alias("fingerprints"),
+    )

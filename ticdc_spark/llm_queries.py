@@ -1696,3 +1696,38 @@ def q_dup_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) * (F.col("cluster_size") - 1)).cast("long")
         .alias("n_removable"),
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer et al. 2003 / MOSS) — the
+# density-guaranteed local fingerprint family above the rolling-hash
+# doc_fingerprint; map-only
+# ---------------------------------------------------------------------------
+_WINNOW_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+    SELECT doc_id, len(toks) AS n,
+           [('0x' || substr(md5(array_to_string(toks[i+1:i+4], ' ')),
+                            1, 8))::BIGINT
+            for i in generate_series(0, len(toks) - 4)] AS hs
+    FROM t WHERE len(toks) >= 8
+),
+m AS (
+    SELECT doc_id, n, hs,
+           [list_min(hs[j+1:j+5]) for j in
+            generate_series(0, len(hs) - 5)] AS mins
+    FROM g
+)
+SELECT doc_id, CAST(n - 3 AS BIGINT) AS n_grams,
+       CAST(len(list_sort(list_distinct(mins))) AS BIGINT)
+           AS n_fingerprints,
+       list_sort(list_distinct(mins)) AS fingerprints
+FROM m
+"""
+
+
+@register("winnowing_fingerprint", _WINNOW_ORACLE)
+def q_winnowing_fingerprint(spark, sf_dir):
+    from ticdc_spark.llm.text import winnowing_fingerprints
+
+    return winnowing_fingerprints(_docs(spark, sf_dir))
