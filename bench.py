@@ -120,6 +120,7 @@ def main() -> None:
         "curation_pipeline", "batch_resolved_codec", "span_merge_groups",
         "dml_event_frames", "bpe_train_merges", "redo_v2_roundtrip",
         "domain_stats", "curation_pipeline_full", "mount_handle_fill",
+        "winnowing_fingerprint", "winnowing_near_dup",
     ]
     # queries whose real work runs at CONSTRUCTION time (iterative
     # trainers that collect control-plane state, like the k-means

@@ -615,29 +615,95 @@ def winnowing_fingerprints(docs: DataFrame, k: int = 4,
     MOSS algorithm): hash every ``k``-gram, slide a window of ``w``
     consecutive hashes, keep the minimum of each window — the
     guarantee is that any shared substring of length >= ``k+w-1``
-    contributes at least one shared fingerprint, at ~2/(w+1) the
-    density of full k-gram sets.  Value-set semantics (distinct mins)
-    make the tie-breaking rule irrelevant for equality joins.
+    tokens contributes at least one shared fingerprint, at ~2/(w+1)
+    the density of full k-gram sets.  Value-set semantics (distinct
+    mins) make the tie-breaking rule irrelevant for equality joins.
 
-    Pure JVM array algebra — map-only, no shuffle, no UDF; the
-    downstream near-dup join buckets on the fingerprint value exactly
-    like the shingle index."""
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), (n - k).cast("int")),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    Arrow-batched ``mapInPandas``: the pure-HOF formulation re-inlines
+    the md5-gram subtree into every window lambda (Catalyst does not
+    CSE across nested lambdas), going quadratic per doc — measured
+    ~40x slower than this kernel at sf0.1.  Map-only either way; the
+    Python path is the sanctioned one for per-row kernels
+    (house precedent: repetition_metrics, PQ codes).
+    """
+    from collections.abc import Iterator as _It
+    from hashlib import md5 as _md5
+
+    import pandas as _pd
+
+    min_tokens = k + w - 1
+
+    def run(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        for pdf in batches:
+            ids, ngs, nfs, fps_col = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = text.split(" ")
+                n = len(toks)
+                if n < min_tokens:
+                    continue
+                hs = [
+                    int(_md5(" ".join(toks[i:i + k]).encode())
+                        .hexdigest()[:8], 16)
+                    for i in range(n - k + 1)
+                ]
+                mins = {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
+                ids.append(doc_id)
+                ngs.append(n - k + 1)
+                nfs.append(len(mins))
+                fps_col.append(sorted(mins))
+            yield _pd.DataFrame({
+                "doc_id": _pd.Series(ids, dtype="int64"),
+                "n_grams": _pd.Series(ngs, dtype="int64"),
+                "n_fingerprints": _pd.Series(nfs, dtype="int64"),
+                # object dtype: an empty partition otherwise infers
+                # float64 and Arrow can't cast that to list<long>
+                "fingerprints": _pd.Series(fps_col, dtype="object"),
+            })
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run,
+        "doc_id long, n_grams long, n_fingerprints long, "
+        "fingerprints array<long>",
     )
-    hashes = F.transform(
-        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10)
-        .cast("long"))
-    mins = F.transform(
-        F.sequence(F.lit(0), (F.size(hashes) - w).cast("int")),
-        lambda j: F.array_min(F.slice(hashes, j + 1, w)),
+
+
+def winnowing_near_dup(docs: DataFrame, k: int = 4, w: int = 5,
+                       min_shared: int = 3,
+                       max_df_pct: int = 1) -> DataFrame:
+    """Near-dup candidate pairs over the winnowing fingerprint index:
+    explode each document's fingerprint set, equi-join on the
+    fingerprint value, keep pairs sharing >= ``min_shared``.
+
+    This is the shingle inverted-index join at ~2/(w+1) the density —
+    the winnowing guarantee keeps recall for shared runs >= k+w-1
+    tokens while the join input shrinks ~3x at w=5.
+
+    CRUCIAL at scale: winnowing's min-selection BIASES fingerprints
+    toward the globally smallest hashes of common grams, so hot keys
+    are worse than in a plain shingle index — a fingerprint present in
+    > ``max_df_pct``% of documents is a stop-gram whose join key
+    would go quadratic (observed: the unpruned join ran 100x slower
+    one SF up), and it carries no near-dup signal.  The hot set is
+    tiny by construction, so removal is a broadcast anti-join — the
+    same shape as the hot-shingle-pruned Jaccard.
+    """
+    wf = winnowing_fingerprints(docs, k=k, w=w).cache()
+    fps = wf.select("doc_id", F.explode("fingerprints").alias("fp"))
+    tot = F.broadcast(wf.agg(F.count(F.lit(1)).alias("n_docs")))
+    # per-doc sets are distinct, so count(*) IS document frequency
+    hot = (
+        fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(tot)
+        .filter(F.col("df") * (100 // max_df_pct) > F.col("n_docs"))
+        .select("fp")
     )
-    fps = F.array_sort(F.array_distinct(mins))
-    return docs.filter(n >= k + w - 1).select(
-        "doc_id", (n - k + 1).cast("long").alias("n_grams"),
-        F.size(fps).cast("long").alias("n_fingerprints"),
-        fps.alias("fingerprints"),
+    kept = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"),
+                 F.col("b.doc_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )

@@ -1731,3 +1731,60 @@ def q_winnowing_fingerprint(spark, sf_dir):
     from ticdc_spark.llm.text import winnowing_fingerprints
 
     return winnowing_fingerprints(_docs(spark, sf_dir))
+
+
+# planted near-copies: every 10th doc gets a twin with the last 8
+# tokens dropped — long shared runs guarantee shared fingerprints
+_WINNOW_PAIR_ORACLE = """
+WITH base AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000,
+           array_to_string(
+               (string_split(text, ' '))[1:len(string_split(text, ' '))-8],
+               ' ')
+    FROM documents
+    WHERE doc_id % 10 = 0 AND len(string_split(text, ' ')) >= 20
+),
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM base),
+g AS (
+    SELECT doc_id,
+           [('0x' || substr(md5(array_to_string(toks[i+1:i+4], ' ')),
+                            1, 8))::BIGINT
+            for i in generate_series(0, len(toks) - 4)] AS hs
+    FROM t WHERE len(toks) >= 8
+),
+m AS (
+    SELECT doc_id,
+           list_sort(list_distinct(
+               [list_min(hs[j+1:j+5]) for j in
+                generate_series(0, len(hs) - 5)])) AS fps
+    FROM g
+),
+e AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+tot AS (SELECT count(*) AS n_docs FROM m),
+hot AS (SELECT fp FROM e, tot GROUP BY fp, n_docs
+        HAVING count(*) * 100 > n_docs),
+kept AS (SELECT doc_id, fp FROM e WHERE fp NOT IN (SELECT fp FROM hot))
+SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 3
+"""
+
+
+@register("winnowing_near_dup", _WINNOW_PAIR_ORACLE)
+def q_winnowing_near_dup(spark, sf_dir):
+    from ticdc_spark.llm.text import winnowing_near_dup
+
+    d = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    twins = (
+        d.filter((F.col("doc_id") % 10 == 0) & (F.size(toks) >= 20))
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.array_join(
+                F.slice(toks, 1, F.size(toks) - 8), " ").alias("text"),
+        )
+    )
+    base = d.select("doc_id", "text").unionByName(twins)
+    return winnowing_near_dup(base)
