@@ -373,3 +373,41 @@ def test_decode_image_absent_column_fills_default():
                              use_v1)
         out2 = _decode_image(img2, dec_cols)
         assert out2["a"] is None and out2["b"] is None
+
+
+# --- JSON column values (TiDB binary JSON through both row formats) ---------
+
+def test_json_value_v2_roundtrip():
+    from ticdc_spark.codec.binary_json import json_to_binary
+    from ticdc_spark.codec.rowcodec import (
+        decode_row_v2,
+        decode_value,
+        encode_row_v2,
+        encode_value,
+    )
+
+    text = '{"a": 1, "b": [true, null], "cc": "x"}'
+    wire = encode_value(text, "json")
+    assert wire == json_to_binary({"a": 1, "b": [True, None], "cc": "x"})
+    row = encode_row_v2({1: wire, 2: None})
+    raw = decode_row_v2(row)
+    assert decode_value(raw[1], "json") == text
+    assert raw[2] is None
+
+
+def test_json_value_v1_datum_list():
+    from ticdc_spark.codec.rowcodec import (
+        _JSON,
+        decode_row_v1,
+        decode_value,
+        encode_row_v1,
+        encode_value,
+    )
+
+    text = '[1, 2.5, "s", {"k": null}]'
+    doc = encode_value(text, "json")
+    row = encode_row_v1({1: (_JSON, doc), 2: (_JSON, encode_value("42", "json"))})
+    raw = decode_row_v1(row)
+    assert raw[1] == (_JSON, doc)
+    assert decode_value(raw[1][1], "json") == text
+    assert decode_value(raw[2][1], "json") == "42"

@@ -195,6 +195,24 @@ def binary_to_json(doc: bytes):
     return _decode_value(doc[0], doc, 1)
 
 
+def doc_len(b: bytes, pos: int = 0) -> int:
+    """Byte length of the doc (type byte + value) starting at pos —
+    used where docs are embedded in a larger stream (the v1 datum
+    list); object/array carry their size at offset 4, scalars are
+    fixed/uvarint-delimited."""
+    tc = b[pos]
+    if tc in (TYPE_CODE_OBJECT, TYPE_CODE_ARRAY):
+        return 1 + struct.unpack_from("<I", b, pos + 5)[0]
+    if tc == TYPE_CODE_LITERAL:
+        return 2
+    if tc in (TYPE_CODE_INT64, TYPE_CODE_UINT64, TYPE_CODE_FLOAT64):
+        return 9
+    if tc == TYPE_CODE_STRING:
+        n, p = _read_uvarint(b, pos + 1)
+        return p - pos + n
+    raise ValueError(f"unknown JSON type code: {tc:#x}")
+
+
 def render_json(obj) -> str:
     """MySQL-style compact-ish rendering (', ' / ': ' separators),
     object keys in binary order (length, then bytes) — matches what a

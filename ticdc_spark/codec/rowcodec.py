@@ -22,12 +22,14 @@ Value encodings (v2): signed/unsigned ints shrink to the smallest of
 *comparable* form (sign bit flipped for non-negatives, all bits flipped
 for negatives); strings/bytes are raw; DECIMAL is myDecimal binary
 (base-10^9 digit groups, big-endian words, first byte sign-flipped);
-DATETIME is the packed core-time uint64; JSON rides as utf8 text here
-(the reference links TiDB's binary-JSON lib — out of scope, noted).
+DATETIME is the packed core-time uint64; JSON is TiDB's binary JSON
+format (``codec/binary_json.py`` — type-code byte + value, the layout
+TiDB's json lib writes), decoded back to its MySQL-style text
+rendering on mount.
 
 v1 (`util/codec` datum list): repeating ``[varint colID][flagged
 datum]`` pairs with flags nil(0)/bytes(1)/compactBytes(2)/int(3)/
-uint(4)/float(5)/decimal(6)/varint(8)/uvarint(9).
+uint(4)/float(5)/decimal(6)/varint(8)/uvarint(9)/json(10).
 """
 
 from __future__ import annotations
@@ -208,7 +210,15 @@ def encode_value(value, typ: str, prec: int = 0, frac: int = 0,
         return _shrink_int(int(value), signed=False)
     if typ in ("double", "float"):
         return encode_float_cmp(float(value))
-    if typ in ("string", "varchar", "text", "char", "json", "enum_name",
+    if typ == "json":
+        # TiDB binary JSON (json_binary.go layout): text parses to the
+        # doc, the wire carries typeCode + value bytes
+        import json as _json
+
+        from ticdc_spark.codec.binary_json import json_to_binary
+        return json_to_binary(
+            _json.loads(value) if isinstance(value, str) else value)
+    if typ in ("string", "varchar", "text", "char", "enum_name",
                "set_name"):
         # per-column charset (`pkg/common/column.go:25-36`): the wire
         # carries the column's OWN encoding (gbk/latin1/...), not utf-8
@@ -232,7 +242,10 @@ def decode_value(b: bytes, typ: str, prec: int = 0, frac: int = 0,
         return _grow_int(b, signed=False)
     if typ in ("double", "float"):
         return decode_float_cmp(b)
-    if typ in ("string", "varchar", "text", "char", "json", "enum_name",
+    if typ == "json":
+        from ticdc_spark.codec.binary_json import binary_to_json, render_json
+        return render_json(binary_to_json(b))
+    if typ in ("string", "varchar", "text", "char", "enum_name",
                "set_name"):
         # mount normalizes to UTF-8 (Spark strings), decoding from the
         # column charset — the reference's charset conversion point
@@ -306,7 +319,7 @@ def decode_row_v2(b: bytes) -> dict[int, bytes | None]:
 
 _NIL, _BYTES, _COMPACT_BYTES, _INT, _UINT, _FLOAT, _DECIMAL = \
     0, 1, 2, 3, 4, 5, 6
-_VARINT, _UVARINT = 8, 9
+_VARINT, _UVARINT, _JSON = 8, 9, 10
 
 
 def encode_row_v1(values: dict[int, tuple]) -> bytes:
@@ -330,6 +343,9 @@ def encode_row_v1(values: dict[int, tuple]) -> bytes:
             _write_uvarint(out, int(v))
         elif flag == _FLOAT:
             out += encode_float_cmp(float(v))
+        elif flag == _JSON:
+            # util/codec JSONFlag: typeCode byte + binary JSON value
+            out += v if isinstance(v, bytes) else bytes(v)
         else:
             raise ValueError(f"unsupported v1 flag {flag}")
     return bytes(out)
@@ -359,6 +375,11 @@ def decode_row_v1(b: bytes) -> dict[int, tuple]:
         elif flag == _FLOAT:
             out[cid] = (_FLOAT, decode_float_cmp(b[pos:pos + 8]))
             pos += 8
+        elif flag == _JSON:
+            from ticdc_spark.codec.binary_json import doc_len
+            n = doc_len(b, pos)
+            out[cid] = (_JSON, b[pos:pos + n])
+            pos += n
         else:
             raise ValueError(f"unsupported v1 flag {flag}")
     return out

@@ -156,6 +156,65 @@ def q_charset_gbk_mount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S7 — JSON column through the binary wire (TiDB binary JSON,
+# `codec/binary_json.py`; the reference mounter hands JSON column bytes
+# to TiDB's json lib — `pkg/common/event/mounter.go` via rowcodec).
+# Fixtures cover object / array / scalar / nested+unicode; text parses
+# to the doc, the wire carries typeCode+value, mount re-renders.  Every
+# 4th row rides the v1 datum list (JSONFlag=10), the rest rowcodec v2.
+# ---------------------------------------------------------------------------
+def _json_fixture_texts() -> list[str]:
+    from ticdc_spark.codec.binary_json import render_json
+
+    return [render_json(d) for d in (
+        {"a": 1, "b": [True, None], "cc": "x"},          # object
+        [1, 2.5, "s", {"k": None}],                      # array
+        42,                                              # scalar
+        {"s": "中文", "outer": {"f": 0.5,                # nested
+                                "inner": [1, [2, 3]]}},
+    )]
+
+
+_JSON_CASE = ("CASE CAST(pk % 4 AS INT) "
+              + " ".join(f"WHEN {i} THEN '{t}'"
+                         for i, t in enumerate(_json_fixture_texts()))
+              + " END")
+
+
+@register(
+    "mount_binary_json",
+    f"WITH {CHANGELOG_SQL} SELECT pk, seq, op, {_JSON_CASE} AS j "
+    "FROM changelog",
+)
+def q_mount_binary_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column values ride the binary wire in TiDB's binary JSON
+    format (object keys re-sorted by (len, bytes), literals inlined in
+    value entries) and mount back to the MySQL-style text rendering —
+    byte-level layout is pinned by tests/test_chunk_codec.py; this
+    query pins the end-to-end mount path on both row formats."""
+    from ticdc_spark.sources.binary_mount import (
+        mount_binary_rows,
+        synthesize_binary_changelog,
+    )
+
+    cl = flat_changelog(spark, sf_dir)
+    j = F.element_at(
+        F.array(*[F.lit(t) for t in _json_fixture_texts()]),
+        (F.col("pk") % 4 + 1).cast("int"),
+    )
+    src = cl.select(
+        "table_id", "pk", "op", "commit_ts", "start_ts", "seq",
+        j.alias("before_j"), j.alias("after_j"),
+    )
+    cols = ({"id": 1, "name": "j", "type": "json"},)
+    mounted = mount_binary_rows(synthesize_binary_changelog(src, cols), cols)
+    return mounted.select(
+        "pk", "seq", "op",
+        F.coalesce("after_j", "before_j").alias("j"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # F1 — wildcard table filter (last match wins)
 # ---------------------------------------------------------------------------
 _F1_RULES = ["*.*", "!test.tp_view", "!test.tp_c*", "test.tp_click"]

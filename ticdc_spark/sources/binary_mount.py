@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from ticdc_spark.codec.rowcodec import (
     _COMPACT_BYTES,
     _FLOAT,
+    _JSON,
     _NIL,
     _VARINT,
     decode_record_key,
@@ -51,7 +52,8 @@ PAYLOAD_COLUMNS = (
     {"id": 3, "name": "k", "type": "bigint"},
 )
 
-_V1_FLAGS = {"bigint": _VARINT, "double": _FLOAT, "string": _COMPACT_BYTES}
+_V1_FLAGS = {"bigint": _VARINT, "double": _FLOAT,
+             "string": _COMPACT_BYTES, "json": _JSON}
 
 RAWKV_SCHEMA = (
     "key binary, value binary, old_value binary, "
@@ -73,6 +75,9 @@ def _encode_image(row: dict, columns, use_v1: bool) -> bytes:
                     _V1_FLAGS[c["type"]],
                     str(v).encode(c.get("charset") or "utf-8"),
                 )
+            elif c["type"] == "json":
+                # v1 JSONFlag carries the binary JSON doc bytes
+                vals[c["id"]] = (_JSON, encode_value(v, "json"))
             else:
                 vals[c["id"]] = (_V1_FLAGS[c["type"]], v)
         return encode_row_v1(vals)
@@ -126,7 +131,7 @@ def synthesize_binary_changelog(
     return src.mapInPandas(encode, RAWKV_SCHEMA)
 
 
-_ZERO_BY_TYPE = {"bigint": 0, "double": 0.0, "string": ""}
+_ZERO_BY_TYPE = {"bigint": 0, "double": 0.0, "string": "", "json": "null"}
 
 
 def _absent_fill(c: dict, handle):
@@ -171,6 +176,8 @@ def _decode_image(b: bytes, columns, handle=None) -> dict:
         flag_v = raw[c["id"]]
         if flag_v[0] == _NIL:
             out[c["name"]] = None
+        elif flag_v[0] == _JSON:
+            out[c["name"]] = decode_value(flag_v[1], "json")
         elif flag_v[0] == _COMPACT_BYTES and c["type"] not in (
                 "binary", "varbinary", "blob"):
             out[c["name"]] = flag_v[1].decode(c.get("charset") or "utf-8")
