@@ -1,0 +1,483 @@
+"""Debezium AVRO encoding — the Connect-schema ⇄ Avro bridge.
+
+The reference's Debezium sink has two wire shapes; the JSON envelope is
+`codec/debezium.py`, this module is the Avro variant
+(`pkg/sink/codec/debezium/avro.go:1-1077`, decoder in
+`avro_decoder.go`).  The reference's pipeline is: build the Debezium
+Connect message (schema block + payload — the SAME structure the JSON
+encoder emits), convert the Connect schema to an Avro schema
+(`toAvroSchema`), register it with the schema registry under
+``<topic>-key`` / ``<topic>-value``, convert the payload to Avro
+native (`toNative`), and emit ``confluent header + avro binary``.
+The decoder reverses it: header → registered Avro schema → binary →
+native → Connect schema+payload reconstructed from the Avro schema's
+``connect.*`` metadata (`avro_decoder.go:233-436`).
+
+Conversion rules (avro.go:669-778):
+- struct → record; full name split into name/namespace; the SECOND use
+  of a defined name emits the name string (named-type reference).
+- optional field → union ``["null", T]`` with ``"default": null``.
+- ``connect.name`` / ``connect.version`` / ``connect.parameters``
+  metadata ride on the Avro schema; ``connect.field`` and
+  ``tidb_type`` ride on record fields.
+- Kafka Connect Decimal (``bytes`` + name
+  ``org.apache.kafka.connect.data.Decimal``) → Avro
+  ``bytes``+``logicalType: decimal`` with precision/scale from the
+  Connect parameters; payload string ⇄ big-endian two's-complement
+  unscaled value (Avro spec's decimal logical type).
+- int8/int16 → Avro int carrying ``connect.type``.
+- Connect ``bytes`` payloads are base64 strings (JSON transport);
+  native carries raw bytes.
+
+Field names are sanitized to Avro rules through the same
+``sanitize_name`` the Avro-binary codec uses.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import struct
+from decimal import Decimal
+
+from ticdc_spark.codec.avro_binary import zigzag_decode, zigzag_encode
+
+DECIMAL_CONNECT_NAME = "org.apache.kafka.connect.data.Decimal"
+KEY_SUFFIX = "-key"
+VALUE_SUFFIX = "-value"
+
+_PRIMITIVE_TO_AVRO = {
+    "boolean": "boolean", "string": "string", "bytes": "bytes",
+    "int8": "int", "int16": "int", "int32": "int", "int64": "long",
+    "float": "float", "double": "double",
+}
+_AVRO_TO_CONNECT = {
+    "boolean": "boolean", "string": "string", "bytes": "bytes",
+    "int": "int32", "long": "int64", "float": "float",
+    "double": "double",
+}
+
+
+def sanitize_name(name: str) -> str:
+    """common.SanitizeName: Avro names allow [A-Za-z0-9_], no leading
+    digit."""
+    out = "".join(c if c.isalnum() or c == "_" else "_" for c in name)
+    if out and out[0].isdigit():
+        out = "_" + out
+    return out or "_"
+
+
+def _sanitize_full_name(full: str) -> str:
+    return ".".join(sanitize_name(p) for p in full.split("."))
+
+
+def _full_name(connect_name: str, fallback: str) -> str:
+    if connect_name:
+        return _sanitize_full_name(connect_name)
+    if fallback:
+        return _sanitize_full_name(fallback)
+    return "ConnectDefault"
+
+
+def _is_decimal_schema(schema: dict) -> bool:
+    return (schema.get("type") == "bytes"
+            and schema.get("name") == DECIMAL_CONNECT_NAME)
+
+
+def _add_connect_metadata(avro: dict, schema: dict) -> None:
+    if schema.get("name"):
+        avro["connect.name"] = schema["name"]
+    if schema.get("version"):
+        avro["connect.version"] = schema["version"]
+    if schema.get("parameters"):
+        avro["connect.parameters"] = schema["parameters"]
+
+
+class ConnectToAvro:
+    """toAvroSchema / toNative with per-message named-schema dedup."""
+
+    def __init__(self) -> None:
+        self.defined: set[str] = set()
+
+    def to_avro_schema(self, schema: dict, fallback: str = ""):
+        typ = schema.get("type")
+        if typ == "struct":
+            full = _full_name(schema.get("name", ""), fallback)
+            if full in self.defined:
+                return full  # named-type reference
+            self.defined.add(full)
+            namespace, _, name = full.rpartition(".")
+            record: dict = {"type": "record", "name": name, "fields": []}
+            if namespace:
+                record["namespace"] = namespace
+            _add_connect_metadata(record, schema)
+            for fs in schema.get("fields") or []:
+                fname = sanitize_name(fs.get("field", ""))
+                ftype = self.to_avro_schema(fs, fname)
+                field: dict = {"name": fname, "type": ftype}
+                if fs.get("field"):
+                    field["connect.field"] = fs["field"]
+                if fs.get("tidb_type"):
+                    field["tidb_type"] = fs["tidb_type"]
+                if fs.get("optional"):
+                    field["type"] = ["null", ftype]
+                    field["default"] = None
+                record["fields"].append(field)
+            return record
+        if typ == "array":
+            items = schema.get("items")
+            if items is None:
+                raise ValueError("array schema is missing items")
+            arr = {"type": "array",
+                   "items": self.to_avro_schema(items, fallback + "Item")}
+            _add_connect_metadata(arr, schema)
+            return arr
+        if _is_decimal_schema(schema):
+            params = schema.get("parameters") or {}
+            dec = {"type": "bytes", "logicalType": "decimal",
+                   "precision": int(params["precision"]),
+                   "scale": int(params["scale"])}
+            _add_connect_metadata(dec, schema)
+            return dec
+        avro_type = _PRIMITIVE_TO_AVRO.get(typ)
+        if avro_type is None:
+            raise ValueError(f"unsupported connect type: {typ}")
+        has_meta = bool(schema.get("name") or schema.get("version")
+                        or schema.get("parameters"))
+        if not has_meta and typ not in ("int8", "int16"):
+            return avro_type
+        prim: dict = {"type": avro_type}
+        if typ in ("int8", "int16"):
+            prim["connect.type"] = typ
+        _add_connect_metadata(prim, schema)
+        return prim
+
+    def to_native(self, schema: dict, value, fallback: str = ""):
+        """Connect payload → value tree for the binary encoder (raw
+        bytes for bytes fields, Decimal for decimal fields)."""
+        if value is None:
+            return None
+        typ = schema.get("type")
+        if typ == "struct":
+            if not isinstance(value, dict):
+                raise ValueError("struct payload is not an object")
+            out = {}
+            for fs in schema.get("fields") or []:
+                fname = sanitize_name(fs.get("field", ""))
+                raw = value.get(fs.get("field"))
+                if raw is None and fs.get("field") != fname:
+                    raw = value.get(fname)
+                out[fname] = self.to_native(fs, raw, fname)
+            return out
+        if typ == "array":
+            if not isinstance(value, (list, tuple)):
+                raise ValueError("array payload is not an array")
+            return [self.to_native(schema["items"], v, fallback + "Item")
+                    for v in value]
+        if _is_decimal_schema(schema):
+            return Decimal(str(value))
+        if typ == "bytes":
+            if isinstance(value, (bytes, bytearray)):
+                return bytes(value)
+            return base64.b64decode(value)
+        if typ in ("int8", "int16", "int32", "int64"):
+            return int(value)
+        if typ in ("float", "double"):
+            return float(value)
+        if typ == "boolean":
+            if not isinstance(value, bool):
+                raise ValueError("boolean payload is invalid")
+            return value
+        if typ == "string":
+            if not isinstance(value, str):
+                raise ValueError("string payload is invalid")
+            return value
+        raise ValueError(f"unsupported connect type: {typ}")
+
+
+def collect_named_schemas(schema, named: dict | None = None) -> dict:
+    """collectAvroNamedSchemas: fullname → record schema dict."""
+    if named is None:
+        named = {}
+    if isinstance(schema, dict):
+        if schema.get("type") == "record":
+            full = schema["name"]
+            if schema.get("namespace"):
+                full = schema["namespace"] + "." + schema["name"]
+            named[full] = schema
+            for f in schema["fields"]:
+                collect_named_schemas(f["type"], named)
+        elif schema.get("type") == "array":
+            collect_named_schemas(schema["items"], named)
+    elif isinstance(schema, list):
+        for b in schema:
+            collect_named_schemas(b, named)
+    return named
+
+
+def _resolve(schema, named: dict):
+    if isinstance(schema, str) and schema in named:
+        return named[schema]
+    return schema
+
+
+def _decimal_to_bytes(value: Decimal, scale: int) -> bytes:
+    unscaled = int(value.scaleb(scale).to_integral_value())
+    n = max(1, (unscaled.bit_length() + 8) // 8)
+    return unscaled.to_bytes(n, "big", signed=True)
+
+
+def _bytes_to_decimal_str(raw: bytes, scale: int) -> str:
+    unscaled = int.from_bytes(raw, "big", signed=True)
+    d = Decimal(unscaled).scaleb(-scale)
+    return f"{d:.{scale}f}" if scale > 0 else str(d)
+
+
+def avro_encode(value, schema, named: dict) -> bytes:
+    """Avro binary for a converted schema tree (spec binary encoding)."""
+    schema = _resolve(schema, named)
+    if isinstance(schema, list):  # union — all are ["null", T] here
+        if value is None:
+            return zigzag_encode(schema.index("null"))
+        for i, branch in enumerate(schema):
+            if branch != "null":
+                return zigzag_encode(i) + avro_encode(value, branch, named)
+        raise ValueError("union has no non-null branch")
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            out = bytearray()
+            for f in schema["fields"]:
+                out += avro_encode(value.get(f["name"]), f["type"], named)
+            return bytes(out)
+        if t == "array":
+            out = bytearray()
+            if value:
+                out += zigzag_encode(len(value))
+                for item in value:
+                    out += avro_encode(item, schema["items"], named)
+            out += zigzag_encode(0)
+            return bytes(out)
+        if t == "bytes" and schema.get("logicalType") == "decimal":
+            raw = _decimal_to_bytes(Decimal(str(value)), schema["scale"])
+            return zigzag_encode(len(raw)) + raw
+        schema = t  # annotated primitive
+    if schema == "null":
+        return b""
+    if schema == "boolean":
+        return bytes([1 if value else 0])
+    if schema in ("int", "long"):
+        return zigzag_encode(int(value))
+    if schema == "float":
+        return struct.pack("<f", float(value))
+    if schema == "double":
+        return struct.pack("<d", float(value))
+    if schema == "string":
+        raw = value.encode("utf-8")
+        return zigzag_encode(len(raw)) + raw
+    if schema == "bytes":
+        raw = bytes(value)
+        return zigzag_encode(len(raw)) + raw
+    raise ValueError(f"unknown avro schema: {schema!r}")
+
+
+def avro_decode(buf: bytes, pos: int, schema, named: dict):
+    schema = _resolve(schema, named)
+    if isinstance(schema, list):
+        i, pos = zigzag_decode(buf, pos)
+        return avro_decode(buf, pos, schema[i], named)
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            out = {}
+            for f in schema["fields"]:
+                out[f["name"]], pos = avro_decode(buf, pos, f["type"],
+                                                  named)
+            return out, pos
+        if t == "array":
+            items = []
+            while True:
+                n, pos = zigzag_decode(buf, pos)
+                if n == 0:
+                    break
+                if n < 0:
+                    _, pos = zigzag_decode(buf, pos)
+                    n = -n
+                for _ in range(n):
+                    v, pos = avro_decode(buf, pos, schema["items"], named)
+                    items.append(v)
+            return items, pos
+        if t == "bytes" and schema.get("logicalType") == "decimal":
+            n, pos = zigzag_decode(buf, pos)
+            return (_bytes_to_decimal_str(buf[pos:pos + n],
+                                          schema["scale"]), pos + n)
+        schema = t
+    if schema == "null":
+        return None, pos
+    if schema == "boolean":
+        return buf[pos] == 1, pos + 1
+    if schema in ("int", "long"):
+        return zigzag_decode(buf, pos)
+    if schema == "float":
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if schema == "double":
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if schema == "string":
+        n, pos = zigzag_decode(buf, pos)
+        return buf[pos:pos + n].decode("utf-8"), pos + n
+    if schema == "bytes":
+        n, pos = zigzag_decode(buf, pos)
+        return bytes(buf[pos:pos + n]), pos + n
+    raise ValueError(f"unknown avro schema: {schema!r}")
+
+
+# -- decoder side: Avro schema → Connect schema + payload --------------------
+# (`avro_decoder.go:233-436` — the Connect view is rebuilt from the
+# registered Avro schema's connect.* metadata, so a consumer needs
+# nothing but the registry.)
+
+
+def avro_to_connect_schema(schema, named: dict, field: str = "") -> dict:
+    schema = _resolve(schema, named)
+    if isinstance(schema, list):
+        non_null = [b for b in schema if b != "null"]
+        if len(non_null) != 1:
+            raise ValueError("only [null, T] unions are supported")
+        out = avro_to_connect_schema(non_null[0], named, field)
+        out["optional"] = True
+        return out
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            out = {"type": "struct", "optional": False, "fields": []}
+            _restore_connect_metadata(out, schema)
+            if field:
+                out["field"] = field
+            for f in schema["fields"]:
+                fs = avro_to_connect_schema(
+                    f["type"], named, f.get("connect.field", f["name"]))
+                if f.get("tidb_type"):
+                    fs["tidb_type"] = f["tidb_type"]
+                out["fields"].append(fs)
+            return out
+        if t == "array":
+            out = {"type": "array", "optional": False,
+                   "items": avro_to_connect_schema(schema["items"], named)}
+            _restore_connect_metadata(out, schema)
+            if field:
+                out["field"] = field
+            return out
+        if t == "bytes" and schema.get("logicalType") == "decimal":
+            out = {"type": "bytes", "optional": False,
+                   "name": DECIMAL_CONNECT_NAME,
+                   "parameters": {
+                       "precision": str(schema["precision"]),
+                       "scale": str(schema["scale"])}}
+            _restore_connect_metadata(out, schema)
+            if field:
+                out["field"] = field
+            return out
+        # annotated primitive
+        ct = schema.get("connect.type") or _AVRO_TO_CONNECT[t]
+        out = {"type": ct, "optional": False}
+        _restore_connect_metadata(out, schema)
+        if field:
+            out["field"] = field
+        return out
+    ct = _AVRO_TO_CONNECT.get(schema)
+    if ct is None:
+        raise ValueError(f"unsupported avro type: {schema!r}")
+    out = {"type": ct, "optional": False}
+    if field:
+        out["field"] = field
+    return out
+
+
+def _restore_connect_metadata(connect: dict, avro: dict) -> None:
+    if avro.get("connect.name"):
+        connect["name"] = avro["connect.name"]
+    if avro.get("connect.version"):
+        connect["version"] = avro["connect.version"]
+    if avro.get("connect.parameters"):
+        connect["parameters"] = avro["connect.parameters"]
+
+
+def avro_native_to_connect_payload(schema, native, named: dict):
+    """Decoded native values → Connect-JSON payload values (bytes back
+    to base64 strings, decimals already strings)."""
+    schema = _resolve(schema, named)
+    if native is None:
+        return None
+    if isinstance(schema, list):
+        non_null = [b for b in schema if b != "null"]
+        return avro_native_to_connect_payload(non_null[0], native, named)
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            out = {}
+            for f in schema["fields"]:
+                key = f.get("connect.field", f["name"])
+                out[key] = avro_native_to_connect_payload(
+                    f["type"], native.get(f["name"]), named)
+            return out
+        if t == "array":
+            return [avro_native_to_connect_payload(schema["items"], v,
+                                                   named)
+                    for v in native]
+        if t == "bytes" and schema.get("logicalType") == "decimal":
+            return native  # already a scale-rendered string
+        schema = t
+    if schema == "bytes":
+        return base64.standard_b64encode(native).decode("ascii")
+    return native
+
+
+# -- message level ------------------------------------------------------------
+
+
+def subject_for(topic: str, suffix: str, schema_name: str = "") -> str:
+    """debeziumAvroSubject (avro.go:224-232)."""
+    if topic:
+        return topic + suffix
+    if schema_name:
+        return schema_name
+    return "debezium" + suffix
+
+
+def encode_debezium_avro_payload(message: dict, topic: str, suffix: str,
+                                 schema_manager,
+                                 schema_version: int = 1) -> bytes:
+    """One Debezium JSON message (``{"schema":..., "payload":...}``) →
+    confluent header + Avro binary (avro.go:157-203
+    encodeAvroPayload)."""
+    schema = message.get("schema")
+    if schema is None:
+        raise ValueError("schema is missing")
+    subject = subject_for(topic, suffix, schema.get("name", ""))
+    avro_schema = ConnectToAvro().to_avro_schema(schema)
+    _, header = schema_manager.get_cached_or_register(
+        subject, schema_version,
+        lambda: json.dumps(avro_schema, separators=(",", ":")))
+    named = collect_named_schemas(avro_schema)
+    native = ConnectToAvro().to_native(schema, message.get("payload"))
+    return header + avro_encode(native, avro_schema, named)
+
+
+def decode_debezium_avro_payload(data: bytes, schema_manager,
+                                 subject: str) -> dict:
+    """confluent header + binary → Debezium JSON message dict
+    (avro_decoder.go toDebeziumJSON)."""
+    if len(data) < 5 or data[0] != 0:
+        raise ValueError("bad confluent envelope")
+    schema_id = struct.unpack_from(">I", data, 1)[0]
+    avro_schema = json.loads(schema_manager.lookup(subject, schema_id))
+    named = collect_named_schemas(avro_schema)
+    native, pos = avro_decode(data, 5, avro_schema, named)
+    if pos != len(data):
+        raise ValueError(f"trailing bytes after avro value: "
+                         f"{len(data) - pos}")
+    return {
+        "schema": avro_to_connect_schema(avro_schema, named),
+        "payload": avro_native_to_connect_payload(avro_schema, native,
+                                                  named),
+    }

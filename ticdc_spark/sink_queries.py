@@ -3278,3 +3278,89 @@ def q_dml_event_chunk_roundtrip(spark, sf_dir):
                 "after_id", "after_val", "after_k"])
 
     return cl.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# Debezium AVRO variant (`pkg/sink/codec/debezium/avro.go:1-1077`,
+# `avro_decoder.go`; codec/debezium_avro.py): the Connect messages the
+# JSON encoder already builds (key + value, schema envelopes on) are
+# converted to Avro schemas, registered under <topic>-key/-value, and
+# emitted as confluent-framed Avro binary; the decoder rebuilds the
+# Connect view purely from the registered Avro schema's connect.*
+# metadata and the identity columns are extracted from it.  Identity
+# oracle (val rides rounded to 2dp — the envelope's pinned rendering).
+# Arrow-batched mapInPandas; per-partition in-memory registry (the
+# REST/Glue wire clients are socket-tested in codec/schema_registry.py).
+# ---------------------------------------------------------------------------
+_DBZ_AVRO_ORACLE = f"""
+WITH {CHANGELOG_SQL}
+SELECT seq, schema_name, table_name, commit_ts,
+       CASE op WHEN 'I' THEN 'c' WHEN 'U' THEN 'u' ELSE 'd' END AS op,
+       (commit_ts // 1000)::BIGINT AS ts_ms,
+       CASE WHEN op = 'D' THEN before_id ELSE after_id END AS key_id,
+       before_id, round(before_val, 2) AS before_val, before_k,
+       after_id, round(after_val, 2) AS after_val, after_k
+FROM changelog
+"""
+
+
+@register("debezium_avro_roundtrip", _DBZ_AVRO_ORACLE)
+def q_debezium_avro_roundtrip(spark, sf_dir):
+    import json as _json
+
+    import pandas as pd
+
+    from ticdc_spark.codec.debezium import encode_debezium_full
+    from ticdc_spark.codec.debezium_avro import (
+        decode_debezium_avro_payload,
+        encode_debezium_avro_payload,
+    )
+    from ticdc_spark.codec.schema_registry import (
+        ConfluentSchemaManager,
+        InMemoryConfluentRegistry,
+        InMemoryTransport,
+    )
+    from ticdc_spark.codec.debezium import encode_debezium_key
+
+    cl = scale_out(events_changelog(spark, sf_dir))
+    msgs = encode_debezium_key(
+        encode_debezium_full(cl, disable_schema=False),
+        disable_schema=False,
+    ).select("seq", "schema_name", "table_name", "key", "value")
+    schema = ("seq long, schema_name string, table_name string, "
+              "commit_ts long, op string, ts_ms long, key_id long, "
+              "before_id long, before_val double, before_k long, "
+              "after_id long, after_val double, after_k long")
+
+    def run(batches):
+        registry = InMemoryConfluentRegistry()
+        mgr = ConfluentSchemaManager(
+            "http://registry.local", transport=InMemoryTransport(registry))
+        cols = ["seq", "schema_name", "table_name", "commit_ts", "op",
+                "ts_ms", "key_id", "before_id", "before_val", "before_k",
+                "after_id", "after_val", "after_k"]
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                topic = f"{r.schema_name}.{r.table_name}"
+                kblob = encode_debezium_avro_payload(
+                    _json.loads(r.key), topic, "-key", mgr)
+                vblob = encode_debezium_avro_payload(
+                    _json.loads(r.value), topic, "-value", mgr)
+                kmsg = decode_debezium_avro_payload(
+                    kblob, mgr, topic + "-key")
+                vmsg = decode_debezium_avro_payload(
+                    vblob, mgr, topic + "-value")
+                p = vmsg["payload"]
+                src = p["source"]
+                b = p["before"] or {}
+                a = p["after"] or {}
+                out.append((
+                    r.seq, src["db"], src["table"], src["commit_ts"],
+                    p["op"], p["ts_ms"], kmsg["payload"]["id"],
+                    b.get("id"), b.get("val"), b.get("k"),
+                    a.get("id"), a.get("val"), a.get("k"),
+                ))
+            yield pd.DataFrame(out, columns=cols)
+
+    return msgs.mapInPandas(run, schema)
