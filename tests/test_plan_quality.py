@@ -262,3 +262,24 @@ def test_session3_operator_shuffle_budgets(spark, sf_dir):
         p = _plan(QUERIES[name](spark, sf_dir))
         shuffles = p.count("Exchange") - p.count("BroadcastExchange")
         assert shuffles <= budget, f"{name}: {shuffles} > {budget}\n{p}"
+
+
+def test_debezium_schema_block_is_a_projection(spark, sf_dir):
+    """The envelope schema block is a per-row concat of the row's own
+    (schema_name, table_name) — no plan-time table collect, no literal
+    CASE over tables, no join.  Plan size is constant in the table
+    count (the >1M-table stance VERDICT r2 asked for)."""
+    from ticdc_spark.codec.debezium import encode_debezium_full
+    from ticdc_spark.sources.changelog import events_changelog
+
+    df = encode_debezium_full(
+        events_changelog(spark, sf_dir), disable_schema=False)
+    plan = _plan(df.select("seq", "value"))
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 0
+    # the Avro-variant roundtrip stays map-only after its spread shuffle
+    rt = _plan(QUERIES["debezium_avro_roundtrip"](spark, sf_dir))
+    assert rt.count("Exchange") <= 1  # the scale_out spread only
+    # chunk-payload wire roundtrip is map-only
+    chunk = _plan(QUERIES["dml_event_chunk_roundtrip"](spark, sf_dir))
+    assert chunk.count("Exchange") == 0

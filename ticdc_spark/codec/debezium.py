@@ -315,22 +315,39 @@ def encode_debezium_full(
             (f.name, mysql_types[f.name], f.name not in pk_fields)
             for f in schema.fields
         ]
-        tables = sorted({
-            (r["schema_name"], r["table_name"])
-            for r in cl.select("schema_name", "table_name")
-                       .distinct().collect()
-        })
-        block: Column = F.lit("{}")
-        for s, t in tables:
-            block = F.when(
-                (F.col("schema_name") == s) & (F.col("table_name") == t),
-                F.lit(debezium_envelope_schema(cluster_id, s, t, fields)),
-            ).otherwise(block)
         value = F.concat(
             F.lit('{"payload":'), payload,
-            F.lit(',"schema":'), block, F.lit("}"),
+            F.lit(',"schema":'), _schema_block_col(cluster_id, fields),
+            F.lit("}"),
         )
     return cl.withColumn("value", value)
+
+
+def _schema_block_col(cluster_id: str,
+                      fields: list[tuple[str, str, bool]]) -> Column:
+    """Per-row envelope schema block as a pure concat PROJECTION.
+
+    The schema doc depends on (schema_name, table_name) only through
+    the topic interpolated into the three Connect names, so the doc is
+    a string template of the row's own columns — no plan-time table
+    collect, no literal CASE chain, no join.  This is the
+    >1M-table-safe form the scheduler's ``LIT_FOLD_MAX_NODES`` hybrid
+    approximates for lookups that genuinely need a table (here none
+    does): plan size is constant in the number of tables.
+    """
+    import re
+
+    s_tok, t_tok = "\x01SCHEMA\x01", "\x01TABLE\x01"
+    template = debezium_envelope_schema(cluster_id, s_tok, t_tok, fields)
+    parts: list[Column] = []
+    for piece in re.split(f"({s_tok}|{t_tok})", template):
+        if piece == s_tok:
+            parts.append(F.col("schema_name"))
+        elif piece == t_tok:
+            parts.append(F.col("table_name"))
+        elif piece:
+            parts.append(F.lit(piece))
+    return F.concat(*parts)
 
 
 def encode_debezium_key(
