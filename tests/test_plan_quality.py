@@ -34,7 +34,7 @@ _SHUFFLE_BUDGET = [
     ("redo_apply", 3, "apply-order window + two 1-row bounds aggs"),
     ("span_split_write_bytes", 2, "region agg + per-table pandas regroup"),
     ("span_merge_groups", 2, "span agg + per-table pandas walk"),
-    ("mount_handle_fill", 0, "map-only Arrow encode+decode"),
+    ("mount_handle_fill", 1, "map-only + the synthesize spread"),
     ("redo_v2_roundtrip", 0, "map-only Arrow WAL roundtrip"),
     ("domain_stats", 2, "two-phase distinct agg on the domain key"),
     ("dml_event_frames", 1, "per-txn metadata aggregate"),
@@ -163,8 +163,8 @@ def test_round2_operator_shuffle_budgets(spark, sf_dir):
     per-item rank window; scheduler balance keeps exactly one span-side
     exchange plus tiny literal-side shuffles."""
     budgets = [
-        ("mount_binary_rows", 0),
-        ("ddl_job_fetch", 1),       # final commit-ts orderBy only
+        ("mount_binary_rows", 1),  # the synthesize spread
+        ("ddl_job_fetch", 2),       # synthesize spread + commit-ts orderBy
         ("table_progress", 1),      # window + agg fuse on the same key
         ("dedup_exact_substring", 2),
         ("dedup_semantic", 1),      # cell-key join; rank window fuses
@@ -201,7 +201,7 @@ def test_metrics_operator_shuffle_budgets(spark, sf_dir):
         ("cms_counters", 1),
         ("partition_inertia_index_value", 0),
         ("partition_inertia_table", 1),
-        ("eventstore_key_codec", 1),   # both windows share the span key
+        ("eventstore_key_codec", 2),   # spread + shared span-key windows
     ]
     for name, budget in budgets:
         p = _plan(QUERIES[name](spark, sf_dir))
