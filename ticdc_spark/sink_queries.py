@@ -3364,3 +3364,61 @@ def q_debezium_avro_roundtrip(spark, sf_dir):
             yield pd.DataFrame(out, columns=cols)
 
     return msgs.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# J3/K4 — claim-check through an EXTERNAL store, end-to-end
+# (`pkg/sink/kafka/claimcheck/claim_check.go:74-99`: oversized messages
+# are parked as ClaimCheckMessage ``{"key": b64, "value": b64}`` objects
+# in external storage and the Kafka message becomes a location pointer;
+# `cmd/kafka-consumer` re-fetches by location).  This query runs the
+# WHOLE flow: encode → pointer split → a real file:// store write (the
+# Spark analog of the per-object PUT is a location-keyed JSON dataset —
+# one distributed write, no driver loop) → consumer read-back →
+# broadcast re-fetch join → restored stream.  The store side is tiny by
+# construction (only oversized rows), so the re-fetch is map-side.
+# Store writes happen at query-construction time (trainer precedent).
+# ---------------------------------------------------------------------------
+@register(
+    "claim_check_storage_roundtrip",
+    f"WITH {CHANGELOG_SQL} SELECT seq, "
+    f"length({_CANAL_SQL}) > {_LM_MAX} AS is_large, "
+    f"{_CANAL_SQL} AS value, "
+    f"CASE WHEN length({_CANAL_SQL}) > {_LM_MAX} THEN true END AS key_ok "
+    "FROM changelog",
+)
+def q_claim_check_storage_roundtrip(spark, sf_dir):
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    claim_dir = os.path.join(
+        repo_root, "spark-warehouse",
+        f"claim_store_{os.path.basename(os.path.normpath(sf_dir))}")
+    enc = encode_canal_json(scale_out(events_changelog(spark, sf_dir)))
+    enc = enc.withColumn(
+        "key", F.concat_ws(".", "schema_name", "table_name",
+                           F.col("seq").cast("string")))
+    ptrs = with_claim_check(enc, max_bytes=_LM_MAX)
+    # producer side: park ClaimCheckMessage objects in the claim store
+    ptrs.filter(F.col("is_large")).select(
+        "claim_location",
+        F.base64(F.col("key").cast("binary")).alias("key"),
+        F.base64(F.col("payload").cast("binary")).alias("value"),
+    ).write.mode("overwrite").json(claim_dir)
+    # consumer side: read the store back and restore by location
+    store = spark.read.json(claim_dir).select(
+        "claim_location",
+        F.unbase64("key").cast("string").alias("store_key"),
+        F.unbase64("value").cast("string").alias("payload"),
+    )
+    resolved = resolve_claim_check(
+        ptrs.drop("payload"),
+        store.select("claim_location", "payload"))
+    keyed = resolved.join(
+        F.broadcast(store.select(
+            F.col("claim_location").alias("_k_loc"), "store_key")),
+        resolved["claim_location"] == F.col("_k_loc"), "left")
+    return keyed.select(
+        "seq", "is_large", "value",
+        F.when(F.col("is_large"),
+               F.col("store_key") == F.col("key")).alias("key_ok"))
