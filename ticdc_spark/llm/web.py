@@ -309,8 +309,15 @@ def curation_pipeline_full(docs: DataFrame) -> DataFrame:
     df-count + two reassemblies + the md5 dedup window + per-source
     rollups (joined on the tiny source key).
     """
-    # p and c each feed a stage rollup AND the next stage — cache
-    # them so the audit counts don't recompute the whole upstream
+    p, c, flagged = curation_stages(docs)
+    return curation_manifest(p, c, flagged)
+
+
+def curation_stages(docs: DataFrame):
+    """The rule stages + dedup flagging shared by the batch pipeline
+    and the streaming foreachBatch driver (`streaming/curation.py`).
+    Returns (p, c, flagged); p and c are cached — each feeds a stage
+    rollup AND the next stage."""
     p = paragraph_dedup(docs, carry=("source",)).cache()
     c_in = p.select(
         "doc_id", "source", "n_removed",
@@ -323,6 +330,12 @@ def curation_pipeline_full(docs: DataFrame) -> DataFrame:
         F.col("keep").desc(), F.col("doc_id"))
     flagged = g.withColumn("_rn", F.row_number().over(w)).withColumn(
         "is_winner", F.col("keep") & (F.col("_rn") == 1))
+    return p, c, flagged
+
+
+def curation_manifest(p: DataFrame, c: DataFrame,
+                      flagged: DataFrame) -> DataFrame:
+    """Per-source audit manifest over the stage outputs."""
     s0 = p.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_removed").alias("paras_removed"))
