@@ -121,19 +121,23 @@ def main() -> None:
         "dml_event_frames", "bpe_train_merges", "redo_v2_roundtrip",
         "domain_stats", "curation_pipeline_full", "mount_handle_fill",
         "winnowing_fingerprint", "winnowing_near_dup",
+        # round-3 additions: chunk-payload wire, binary JSON mount,
+        # Debezium Avro, claim-check through real storage
+        "dml_event_chunk_roundtrip", "mount_binary_json",
+        "debezium_avro_roundtrip", "claim_check_storage_roundtrip",
     ]
     # queries whose real work runs at CONSTRUCTION time (iterative
     # trainers that collect control-plane state, like the k-means
     # codebook): time the build too, or the number is a no-op write
     construct_timed = {"bpe_train_merges"}
 
-    def time_query(name: str) -> float:
+    def time_query(name: str, at_dir: str = sf_dir) -> float:
         if name in construct_timed:
             t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            QUERIES[name](spark, at_dir).write.format("noop").mode(
                 "overwrite").save()
             return round(time.perf_counter() - t0, 3)
-        df = QUERIES[name](spark, sf_dir)
+        df = QUERIES[name](spark, at_dir)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
@@ -239,6 +243,27 @@ def main() -> None:
           lambda: curation_pipeline_full(_full_synth(docs_4x))
           .write.format("noop").mode("overwrite").save())
 
+    # -- FULL per-query pass at 10x data (VERDICT r2 #4) ------------------
+    # Every headline query runs against a materialized 10x dataset (the
+    # per-table shifted-copy union written to parquet so the queries'
+    # own scans read real files).  The per-row ratio t10/(10*t1) catches
+    # scaling cliffs in the long tail that the 4 hand-picked probes
+    # can't — a quadratic join or skewed key blows past 3x/row, a
+    # healthy plan sits well under 1 (fixed overhead amortizes).
+    queries_10x: dict[str, float] = {}
+    blowups_10x: list[str] = []
+    if os.environ.get("SPARK_GRAFT_SKIP_10X", "") != "1":
+        tenx_dir = _materialize_10x(spark, sf_dir)
+        for name in headline:
+            t = time_query(name, tenx_dir)
+            floor_1x = max(timings[name], 0.05)
+            if t > 3 * 10 * floor_1x:
+                # retry once: co-tenant spikes on this host last seconds
+                t = min(t, time_query(name, tenx_dir))
+            queries_10x[name] = t
+            if t > 3 * 10 * floor_1x:
+                blowups_10x.append(name)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "changefeed pipeline + operator suite wall time",
@@ -249,8 +274,67 @@ def main() -> None:
         "pipeline_rows_per_s": pipeline_rows_per_s,
         "pipeline_rows_per_s_10x": round(rows_10x / t_10x, 1),
         "scale_probes": scale_probes,
+        "queries_10x": queries_10x,
+        "blowups_10x": blowups_10x,
         "changelog_rows": n_rows,
     }))
+
+
+def _materialize_10x(spark, sf_dir: str) -> str:
+    """Write a 10x dataset: fact tables as unions of key-shifted copies
+    (documents also text-salted so the near-dup workload density stays
+    comparable instead of every doc gaining 9 exact twins), dims copied
+    as-is.  Lives under spark-warehouse/ (gitignored), rebuilt per run."""
+    import sys as _sys
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from ticdc_spark.sources.changelog import read_table
+
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "spark-warehouse", "bench_10x")
+    shifts = {
+        "events": {"event_id": 100_000_000, "user_id": 1_000_000},
+        "documents": {"doc_id": 10_000_000},
+        "embeddings": {"vec_id": 10_000_000},
+        "orders": {"o_orderkey": 100_000_000},
+        "lineitem": {"l_orderkey": 100_000_000},
+    }
+    t0 = time.perf_counter()
+    for table in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents",
+                  "embeddings"]:
+        src = read_table(spark, sf_dir, table)
+        if table in shifts:
+            copies = []
+            for i in range(10):
+                c = src
+                for col, step in shifts[table].items():
+                    c = c.withColumn(col, F.col(col) + F.lit(i * step))
+                if table == "events":
+                    # keep commit_ts (epoch µs of ts) unique per copy
+                    if isinstance(src.schema["ts"].dataType, LongType):
+                        c = c.withColumn("ts", F.col("ts")
+                                         + F.lit(i * 1000))  # ns → i µs
+                    else:
+                        c = c.withColumn(
+                            "ts", F.expr(f"ts + INTERVAL {i} MICROSECOND"))
+                if table == "documents":
+                    c = c.withColumn(
+                        "text", F.concat(F.col("text"),
+                                         F.lit(f" copy{i}")))
+                copies.append(c)
+            from functools import reduce as _r
+
+            from pyspark.sql import DataFrame as _D
+            src = _r(_D.unionByName, copies)
+        src.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{table}.parquet"))
+    print(f"materialized 10x dataset in "
+          f"{time.perf_counter() - t0:.1f}s at {out_dir}",
+          file=_sys.stderr)
+    return out_dir
 
 
 if __name__ == "__main__":

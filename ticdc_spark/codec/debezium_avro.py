@@ -481,3 +481,62 @@ def decode_debezium_avro_payload(data: bytes, schema_manager,
         "payload": avro_native_to_connect_payload(avro_schema, native,
                                                   named),
     }
+
+
+# -- DataFrame-level protocol encoder (ProtocolDebeziumAvro) ------------------
+# `pkg/config/sink_protocol.go`: debezium-avro is its own protocol enum
+# member; the encoder builds the SAME Connect messages as the JSON
+# protocol and ships them as confluent-framed Avro binary
+# (`encoder.go:56-58,91-92` routes to the avro path when a schema
+# manager is configured).  Spark shape: the JSON envelope assembly
+# stays column algebra (codec/debezium.py); only the JSON→Avro byte
+# conversion runs in an Arrow-batched pandas UDF, with an in-memory
+# registry per batch (a deployment swaps in the REST/Glue manager —
+# both wire clients live in codec/schema_registry.py).
+
+
+def encode_debezium_avro_df(cl, cluster_id: str = "ticdc-spark"):
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from ticdc_spark.codec.debezium import (
+        encode_debezium_full,
+        encode_debezium_key,
+    )
+
+    msgs = encode_debezium_key(
+        encode_debezium_full(cl, cluster_id=cluster_id,
+                             disable_schema=False),
+        cluster_id=cluster_id, disable_schema=False,
+    )
+
+    def _converter(suffix: str):
+        def conv(json_col, topic):
+            import json as _json
+
+            from ticdc_spark.codec.schema_registry import (
+                ConfluentSchemaManager,
+                InMemoryConfluentRegistry,
+                InMemoryTransport,
+            )
+
+            mgr = ConfluentSchemaManager(
+                "http://registry.local",
+                transport=InMemoryTransport(InMemoryConfluentRegistry()))
+            return pd.Series([
+                encode_debezium_avro_payload(_json.loads(j), t, suffix,
+                                             mgr)
+                for j, t in zip(json_col, topic)], dtype=object)
+
+        # explicit (non-string) annotations: the module's deferred
+        # annotations would otherwise defeat pandas_udf hint inference
+        conv.__annotations__ = {"json_col": pd.Series, "topic": pd.Series,
+                                "return": pd.Series}
+        return pandas_udf(conv, "binary")
+
+    topic = F.concat_ws(".", F.lit(cluster_id), "schema_name",
+                        "table_name")
+    return (msgs
+            .withColumn("key", _converter(KEY_SUFFIX)("key", topic))
+            .withColumn("value", _converter(VALUE_SUFFIX)("value", topic)))

@@ -30,6 +30,12 @@ from ticdc_spark.codec import (
 )
 from ticdc_spark.codec.avro_codec import encode_avro_json
 from ticdc_spark.codec.simple_protocol import encode_simple
+
+
+def _debezium_avro(df):
+    from ticdc_spark.codec.debezium_avro import encode_debezium_avro_df
+
+    return encode_debezium_avro_df(df)
 from ticdc_spark.operators import (
     apply_event_filters,
     apply_expr_filter,
@@ -50,6 +56,7 @@ ENCODERS = {
     "debezium": encode_debezium,
     "simple": encode_simple,
     "avro": encode_avro_json,  # JSON encoding; binary gated on spark-avro
+    "debezium-avro": _debezium_avro,  # confluent-framed Avro binary
 }
 
 
