@@ -3422,3 +3422,140 @@ def q_claim_check_storage_roundtrip(spark, sf_dir):
         "seq", "is_large", "value",
         F.when(F.col("is_large"),
                F.col("store_key") == F.col("key")).alias("key_ok"))
+
+
+# ---------------------------------------------------------------------------
+# BatchDMLEvent chunk payload — TYPED column coverage: a string column
+# (unicode), a TiDB binary-JSON column, and a NEWDECIMAL column (the
+# 40-byte MyDecimal struct image) ride the chunk buffer next to the
+# numeric fields.  Same wire layout as dml_event_chunk_roundtrip
+# (`pkg/common/event/dml_event.go:241-330`, TiDB util/chunk/codec.go);
+# the identity oracle pins every type's decode.  Values derive from pk
+# so both sides compute them closed-form.
+# ---------------------------------------------------------------------------
+_CHUNK_TXT = ["plain ascii", "unicode 中文 ✓", "", "tail"]
+_CHUNK_DEC = ["0", "12.3400", "-0.001", "99999.999"]
+
+
+def _chunk_typed_json_texts():
+    from ticdc_spark.queries import _json_fixture_texts
+
+    return _json_fixture_texts()
+
+
+def _chunk_case(vals, col="pk"):
+    return ("CASE CAST(" + col + " % 4 AS INT) "
+            + " ".join(f"WHEN {i} THEN '{v}'" for i, v in enumerate(vals))
+            + " END")
+
+
+_CHUNK_TYPED_ORACLE = f"""
+WITH {CHANGELOG_SQL}
+SELECT table_id, op, commit_ts, start_ts, pk,
+       {_chunk_case(_CHUNK_TXT)} AS txt,
+       {{JCASE}} AS j,
+       {_chunk_case(_CHUNK_DEC)} AS dec
+FROM changelog
+"""
+
+
+def _chunk_typed_oracle() -> str:
+    return _CHUNK_TYPED_ORACLE.replace(
+        "{JCASE}", _chunk_case(_chunk_typed_json_texts()))
+
+
+@register("dml_event_chunk_typed", _chunk_typed_oracle())
+def q_dml_event_chunk_typed(spark, sf_dir):
+    import pandas as pd
+
+    from ticdc_spark.codec.binary_json import (
+        binary_to_json,
+        json_to_binary,
+        render_json,
+    )
+    from ticdc_spark.codec.chunk_codec import (
+        TYPE_JSON,
+        TYPE_LONGLONG,
+        TYPE_NEWDECIMAL,
+        TYPE_VARCHAR,
+        ChunkCodec,
+    )
+    from ticdc_spark.codec.control_events import (
+        OP_TO_ROW_TYPE,
+        ROW_TYPE_UPDATE,
+        DMLEventMeta,
+    )
+    from ticdc_spark.codec.dml_event import (
+        BatchDMLEvent,
+        decode_batch_dml_event,
+        encode_batch_dml_event,
+        iter_row_changes,
+    )
+    from ticdc_spark.queries import _flatten
+    from ticdc_spark.sources.changelog import events_changelog
+
+    import json as _json
+
+    cl = _flatten(events_changelog(spark, sf_dir)).select(
+        "table_id", "pk", "op", "commit_ts", "start_ts", "dml_order",
+        "seq")
+    schema = ("table_id long, op string, commit_ts long, start_ts long, "
+              "pk long, txt string, j string, dec string")
+    codec = ChunkCodec([TYPE_LONGLONG, TYPE_VARCHAR, TYPE_JSON,
+                        TYPE_NEWDECIMAL])
+    jtexts = _chunk_typed_json_texts()
+    jdocs = [json_to_binary(_json.loads(t)) for t in jtexts]
+    rt_to_op = {v: k for k, v in OP_TO_ROW_TYPE.items()}
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(
+                ["table_id", "commit_ts", "start_ts", "dml_order", "seq"])
+            out = []
+            for table_id, tg in pdf.groupby("table_id", sort=True):
+                events, pks, txts, js, decs = [], [], [], [], []
+                prev = 0
+                for (cts, sts), txn in tg.groupby(
+                        ["commit_ts", "start_ts"], sort=True):
+                    rts = []
+                    for r in txn.itertuples(index=False):
+                        rt = OP_TO_ROW_TYPE[r.op]
+                        rts.append(rt)
+                        n_phys = 2 if rt == ROW_TYPE_UPDATE else 1
+                        for _ in range(n_phys):
+                            m = int(r.pk) % 4
+                            pks.append(int(r.pk))
+                            txts.append(_CHUNK_TXT[m])
+                            js.append(jdocs[m])
+                            decs.append(_CHUNK_DEC[m])
+                    events.append(DMLEventMeta(
+                        dispatcher_id=(int(table_id), 0),
+                        physical_table_id=int(table_id),
+                        start_ts=int(sts), commit_ts=int(cts),
+                        seq=int(txn["seq"].min()), epoch=1,
+                        length=len(rts), approximate_size=0,
+                        previous_total_offset=prev,
+                        row_types=tuple(rts), row_keys=()))
+                    prev += len(rts)
+                blob = encode_batch_dml_event(
+                    BatchDMLEvent(tuple(events),
+                                  (tuple(pks), tuple(txts), tuple(js),
+                                   tuple(decs))), codec)
+                dec_b = decode_batch_dml_event(blob, codec)
+                for idx, rt, pre, post in iter_row_changes(dec_b):
+                    ev = dec_b.events[idx]
+                    row = post if post is not None else pre
+                    out.append((
+                        ev.physical_table_id, rt_to_op[rt],
+                        ev.commit_ts, ev.start_ts, row[0],
+                        row[1].decode("utf-8"),
+                        render_json(binary_to_json(row[2])),
+                        row[3],
+                    ))
+            yield pd.DataFrame(out, columns=[
+                "table_id", "op", "commit_ts", "start_ts", "pk",
+                "txt", "j", "dec"])
+
+    return cl.mapInPandas(run, schema)
