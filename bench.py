@@ -321,10 +321,19 @@ def _materialize_10x(spark, sf_dir: str) -> str:
                     else:
                         c = c.withColumn(
                             "ts", F.expr(f"ts + INTERVAL {i} MICROSECOND"))
-                if table == "documents":
+                if table == "documents" and i > 0:
+                    # per-copy vowel rotation: EVERY shingle differs
+                    # across copies, so near-dup pair density stays
+                    # ~linear in data size (a tail-only salt leaves
+                    # middle shingles identical — posting lists grow
+                    # 10x and pair joins go quadratic, a data artifact
+                    # of the copying, not a plan property)
+                    ring = "aeiounsrtl"  # 10-char ring: no identity
+                    rot = ring[i:] + ring[:i]  # for any copy i in 1..9
                     c = c.withColumn(
-                        "text", F.concat(F.col("text"),
-                                         F.lit(f" copy{i}")))
+                        "text",
+                        F.concat(F.translate("text", ring, rot),
+                                 F.lit(f" copy{i}")))
                 copies.append(c)
             from functools import reduce as _r
 
