@@ -540,3 +540,53 @@ def encode_debezium_avro_df(cl, cluster_id: str = "ticdc-spark"):
     return (msgs
             .withColumn("key", _converter(KEY_SUFFIX)("key", topic))
             .withColumn("value", _converter(VALUE_SUFFIX)("value", topic)))
+
+
+def debezium_avro_watermarks(watermarks, cluster_id: str = "ticdc-spark",
+                             tidb_extension: bool = False,
+                             avro_enable_watermark: bool = False):
+    """Checkpoint/watermark events on the Avro wire
+    (`encoder.go:41-49` EncodeCheckpointEvent): under debezium-avro the
+    watermark is SKIPPED unless BOTH enable-tidb-extension and
+    avro-enable-watermark are set (returns an empty frame, the
+    ``return nil, nil`` analog); when enabled, the JSON checkpoint
+    messages convert through the same Connect→Avro path with topic ""
+    so the subject falls back to the message's own schema name
+    (``<cluster>.watermark.Key`` / ``.Envelope``)."""
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    from ticdc_spark.codec.debezium import debezium_watermark_messages
+
+    msgs = debezium_watermark_messages(watermarks, cluster_id=cluster_id,
+                                       disable_schema=False)
+    if not (tidb_extension and avro_enable_watermark):
+        return msgs.limit(0).select("resolved_ts", "key", "value")
+
+    def _conv(suffix: str):
+        def conv(json_col):
+            import json as _json
+
+            from ticdc_spark.codec.schema_registry import (
+                ConfluentSchemaManager,
+                InMemoryConfluentRegistry,
+                InMemoryTransport,
+            )
+
+            mgr = ConfluentSchemaManager(
+                "http://registry.local",
+                transport=InMemoryTransport(InMemoryConfluentRegistry()))
+            return pd.Series([
+                encode_debezium_avro_payload(_json.loads(j), "", suffix,
+                                             mgr)
+                for j in json_col], dtype=object)
+
+        conv.__annotations__ = {"json_col": pd.Series,
+                                "return": pd.Series}
+        return pandas_udf(conv, "binary")
+
+    return msgs.select(
+        "resolved_ts",
+        _conv(KEY_SUFFIX)("key").alias("key"),
+        _conv(VALUE_SUFFIX)("value").alias("value"))
