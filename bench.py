@@ -125,7 +125,7 @@ def main() -> None:
         # Debezium Avro, claim-check through real storage
         "dml_event_chunk_roundtrip", "mount_binary_json",
         "debezium_avro_roundtrip", "claim_check_storage_roundtrip",
-        "dml_event_chunk_typed",
+        "dml_event_chunk_typed", "avro_confluent_roundtrip",
     ]
     # queries whose real work runs at CONSTRUCTION time (iterative
     # trainers that collect control-plane state, like the k-means

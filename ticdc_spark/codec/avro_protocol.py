@@ -1,0 +1,229 @@
+"""Native ``avro`` protocol — per-table Confluent-binary messages.
+
+Reference: `pkg/sink/codec/avro/arvo.go` (BatchEncoder) + `helper.go`.
+The JSON-encoding twin stays in `codec/avro_codec.py` (it predates this
+module and remains the registered debug representation); this module is
+the real wire shape:
+
+- value schema (`columns2AvroSchema` :352-406): record named
+  ``SanitizeName(table)`` in namespace
+  ``SanitizeName(keyspace).SanitizeName(schema)`` (`helper.go:162-169`);
+  each column an avro primitive carrying ``connect.parameters:
+  {tidb_type: ...}`` (`columnToAvroSchema` :478-...; BIGINT→long,
+  DOUBLE→double, INT→int, unsigned BIGINT→string under the string
+  handling mode); nullable columns union as ``["null", T]`` with
+  ``default: null`` when the column has no default, else ``[T,"null"]``
+  with the default (`:386-402`).
+- TiDB extension fields appended when enable-tidb-extension
+  (`schemaWithExtension` :210-235): ``_tidb_op`` ("c"/"u"/"" —
+  `helper.go:44-45,147-154`), ``_tidb_commit_ts``,
+  ``_tidb_commit_physical_time`` (TSO physical millis).
+- key = the handle columns through the same schema builder, subject
+  ``<topic>-key`` (`encodeKey` :82-126).
+- DELETE value (`encodeValue` :128-141): a Kafka tombstone (None)
+  unless enable-tidb-extension AND avro-enable-watermark, in which
+  case the 9-byte ``deleteByte(3) | commitTs u64 BE`` marker.
+- envelope = confluent header + avro binary (`toEnvelope` :709-720).
+"""
+
+from __future__ import annotations
+
+import json
+
+from ticdc_spark.codec.debezium_avro import (
+    avro_decode,
+    avro_encode,
+    sanitize_name,
+)
+
+TIDB_OP = "_tidb_op"
+TIDB_COMMIT_TS = "_tidb_commit_ts"
+TIDB_PHYSICAL_TIME = "_tidb_commit_physical_time"
+DELETE_BYTE = 3
+
+# canonical changelog payload column meta (id is the clustered handle)
+PAYLOAD_AVRO_COLUMNS = (
+    {"name": "id", "avro": "long", "tidb_type": "BIGINT",
+     "not_null": True, "handle": True},
+    {"name": "val", "avro": "double", "tidb_type": "DOUBLE"},
+    {"name": "k", "avro": "long", "tidb_type": "BIGINT"},
+)
+
+
+def avro_namespace(keyspace: str, schema: str) -> str:
+    ns = sanitize_name(keyspace)
+    s = sanitize_name(schema)
+    return f"{ns}.{s}" if s else ns
+
+
+def _column_field(col: dict) -> dict:
+    typ = {"type": col["avro"],
+           "connect.parameters": {"tidb_type": col["tidb_type"]}}
+    field: dict = {"name": sanitize_name(col["name"])}
+    if col.get("not_null"):
+        field["type"] = typ
+        if col.get("default") is not None:
+            field["default"] = col["default"]
+    elif col.get("default") is None:
+        field["type"] = ["null", typ]
+        field["default"] = None
+    else:
+        field["type"] = [typ, "null"]
+        field["default"] = col["default"]
+    return field
+
+
+def table_value_schema(schema_name: str, table_name: str,
+                       columns=PAYLOAD_AVRO_COLUMNS,
+                       tidb_extension: bool = True,
+                       keyspace: str = "default") -> dict:
+    top = {
+        "type": "record",
+        "name": sanitize_name(table_name),
+        "namespace": avro_namespace(keyspace, schema_name),
+        "fields": [_column_field(c) for c in columns],
+    }
+    if tidb_extension:
+        top["fields"] += [
+            {"name": TIDB_OP, "type": "string", "default": ""},
+            {"name": TIDB_COMMIT_TS, "type": "long", "default": 0},
+            {"name": TIDB_PHYSICAL_TIME, "type": "long", "default": 0},
+        ]
+    return top
+
+
+def table_key_schema(schema_name: str, table_name: str,
+                     columns=PAYLOAD_AVRO_COLUMNS,
+                     keyspace: str = "default") -> dict:
+    return {
+        "type": "record",
+        "name": sanitize_name(table_name),
+        "namespace": avro_namespace(keyspace, schema_name),
+        "fields": [_column_field(c) for c in columns
+                   if c.get("handle")],
+    }
+
+
+def _register(mgr, subject: str, schema: dict, version: int = 1) -> bytes:
+    _, header = mgr.get_cached_or_register(
+        subject, version, lambda: json.dumps(schema,
+                                             separators=(",", ":")))
+    return header
+
+
+def encode_row_value(mgr, topic: str, schema_name: str, table_name: str,
+                     row: dict, op: str, commit_ts: int,
+                     columns=PAYLOAD_AVRO_COLUMNS,
+                     tidb_extension: bool = True,
+                     avro_enable_watermark: bool = False,
+                     keyspace: str = "default") -> bytes | None:
+    """encodeValue: confluent-framed record for I/U; delete marker or
+    tombstone (None) for D."""
+    if op == "D":
+        if not (tidb_extension and avro_enable_watermark):
+            return None  # Kafka tombstone
+        return bytes([DELETE_BYTE]) + int(commit_ts).to_bytes(8, "big")
+    schema = table_value_schema(schema_name, table_name, columns,
+                                tidb_extension, keyspace)
+    header = _register(mgr, topic + "-value", schema)
+    native = {sanitize_name(c["name"]): row.get(c["name"])
+              for c in columns}
+    if tidb_extension:
+        native[TIDB_OP] = "c" if op == "I" else "u"
+        native[TIDB_COMMIT_TS] = int(commit_ts)
+        # oracle.ExtractPhysical: TSO physical millis = ts >> 18
+        native[TIDB_PHYSICAL_TIME] = int(commit_ts) >> 18
+    return header + avro_encode(native, schema, {})
+
+
+def encode_row_key(mgr, topic: str, schema_name: str, table_name: str,
+                   row: dict, columns=PAYLOAD_AVRO_COLUMNS,
+                   keyspace: str = "default") -> bytes:
+    schema = table_key_schema(schema_name, table_name, columns, keyspace)
+    header = _register(mgr, topic + "-key", schema)
+    native = {sanitize_name(c["name"]): row.get(c["name"])
+              for c in columns if c.get("handle")}
+    return header + avro_encode(native, schema, {})
+
+
+def decode_message(mgr, subject: str, data: bytes) -> dict | None:
+    """Registry-driven decode: header id → schema → native record.
+    Returns None for a tombstone; the 9-byte delete marker decodes to
+    ``{"_delete_commit_ts": ts}``."""
+    if data is None:
+        return None
+    if len(data) == 9 and data[0] == DELETE_BYTE:
+        return {"_delete_commit_ts": int.from_bytes(data[1:], "big")}
+    if len(data) < 5 or data[0] != 0:
+        raise ValueError("bad confluent envelope")
+    schema_id = int.from_bytes(data[1:5], "big")
+    schema = json.loads(mgr.lookup(subject, schema_id))
+    native, pos = avro_decode(data, 5, schema, {})
+    if pos != len(data):
+        raise ValueError(f"trailing bytes: {len(data) - pos}")
+    return native
+
+
+def encode_avro_binary_df(cl, tidb_extension: bool = True,
+                          avro_enable_watermark: bool = False,
+                          keyspace: str = "default"):
+    """DataFrame encoder (ENCODERS["avro-confluent"]): binary key/value
+    columns; Arrow-batched, per-batch in-memory registry (deployments
+    swap in the REST/Glue managers from codec/schema_registry.py)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    names = [c["name"] for c in PAYLOAD_AVRO_COLUMNS]
+
+    def _make(mode: str):
+        def conv(schema_name, table_name, op, commit_ts, c_id, c_val,
+                 c_k):
+            from ticdc_spark.codec.schema_registry import (
+                ConfluentSchemaManager,
+                InMemoryConfluentRegistry,
+                InMemoryTransport,
+            )
+
+            mgr = ConfluentSchemaManager(
+                "http://registry.local",
+                transport=InMemoryTransport(InMemoryConfluentRegistry()))
+            cols = (c_id, c_val, c_k)
+            out = []
+            for i in range(len(op)):
+                row = {}
+                for j, n in enumerate(names):
+                    v = cols[j].iloc[i]
+                    row[n] = None if pd.isna(v) else (
+                        float(v) if n == "val" else int(v))
+                topic = f"{schema_name.iloc[i]}.{table_name.iloc[i]}"
+                if mode == "key":
+                    out.append(encode_row_key(
+                        mgr, topic, schema_name.iloc[i],
+                        table_name.iloc[i], row, keyspace=keyspace))
+                else:
+                    out.append(encode_row_value(
+                        mgr, topic, schema_name.iloc[i],
+                        table_name.iloc[i], row, op.iloc[i],
+                        int(commit_ts.iloc[i]),
+                        tidb_extension=tidb_extension,
+                        avro_enable_watermark=avro_enable_watermark,
+                        keyspace=keyspace))
+            return pd.Series(out, dtype=object)
+
+        conv.__annotations__ = {
+            k: pd.Series for k in
+            ["schema_name", "table_name", "op", "commit_ts",
+             "c_id", "c_val", "c_k", "return"]}
+        return pandas_udf(conv, "binary")
+
+    # key uses the pre-image for deletes; value uses the after image
+    img_key = F.when(F.col("op") == "D", F.col("before")) \
+        .otherwise(F.col("after"))
+    key_args = [F.col("schema_name"), F.col("table_name"), F.col("op"),
+                F.col("commit_ts")] + [img_key.getField(n) for n in names]
+    val_args = [F.col("schema_name"), F.col("table_name"), F.col("op"),
+                F.col("commit_ts")] + [F.col("after").getField(n)
+                                       for n in names]
+    return (cl.withColumn("key", _make("key")(*key_args))
+            .withColumn("value", _make("value")(*val_args)))

@@ -59,12 +59,13 @@ _AVRO_TO_CONNECT = {
 
 
 def sanitize_name(name: str) -> str:
-    """common.SanitizeName: Avro names allow [A-Za-z0-9_], no leading
-    digit."""
+    """common.SanitizeName (`codec/common/helper.go:423-447`): invalid
+    chars replace with '_', a leading digit gains a '_' prefix; the
+    empty string stays empty (getAvroNamespace branches on that)."""
     out = "".join(c if c.isalnum() or c == "_" else "_" for c in name)
     if out and out[0].isdigit():
         out = "_" + out
-    return out or "_"
+    return out
 
 
 def _sanitize_full_name(full: str) -> str:

@@ -36,6 +36,12 @@ def _debezium_avro(df):
     from ticdc_spark.codec.debezium_avro import encode_debezium_avro_df
 
     return encode_debezium_avro_df(df)
+
+
+def _avro_confluent(df):
+    from ticdc_spark.codec.avro_protocol import encode_avro_binary_df
+
+    return encode_avro_binary_df(df)
 from ticdc_spark.operators import (
     apply_event_filters,
     apply_expr_filter,
@@ -55,7 +61,8 @@ ENCODERS = {
     "open-protocol": encode_open_protocol,
     "debezium": encode_debezium,
     "simple": encode_simple,
-    "avro": encode_avro_json,  # JSON encoding; binary gated on spark-avro
+    "avro": _avro_confluent,  # confluent-framed binary (the wire shape)
+    "avro-json": encode_avro_json,  # Avro JSON-encoding debug twin
     "debezium-avro": _debezium_avro,  # confluent-framed Avro binary
 }
 

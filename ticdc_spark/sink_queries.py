@@ -3559,3 +3559,89 @@ def q_dml_event_chunk_typed(spark, sf_dir):
                 "txt", "j", "dec"])
 
     return cl.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# Native AVRO protocol roundtrip (`pkg/sink/codec/avro/arvo.go`,
+# codec/avro_protocol.py): per-table confluent-binary key/value with
+# the TiDB extension fields (_tidb_op, _tidb_commit_ts,
+# _tidb_commit_physical_time = ts>>18), key = handle columns, DELETE =
+# the 9-byte deleteByte|commitTs marker (avro-enable-watermark on so
+# deletes have positive support instead of tombstones).  Identity
+# oracle; Arrow-batched mapInPandas with a per-partition registry.
+# ---------------------------------------------------------------------------
+_AVRO_RT_ORACLE = f"""
+WITH {CHANGELOG_SQL}
+SELECT seq, schema_name, table_name, op, commit_ts,
+       (commit_ts >> 18)::BIGINT AS physical_time,
+       CASE WHEN op = 'D' THEN before_id ELSE after_id END AS key_id,
+       CASE WHEN op <> 'D' THEN after_id END AS id,
+       CASE WHEN op <> 'D' THEN after_val END AS val,
+       CASE WHEN op <> 'D' THEN after_k END AS k,
+       CASE op WHEN 'I' THEN 'c' WHEN 'U' THEN 'u' ELSE 'd' END AS dec_op
+FROM changelog
+"""
+
+
+@register("avro_confluent_roundtrip", _AVRO_RT_ORACLE)
+def q_avro_confluent_roundtrip(spark, sf_dir):
+    import pandas as pd
+
+    from ticdc_spark.codec.avro_protocol import (
+        decode_message,
+        encode_row_key,
+        encode_row_value,
+    )
+    from ticdc_spark.codec.schema_registry import (
+        ConfluentSchemaManager,
+        InMemoryConfluentRegistry,
+        InMemoryTransport,
+    )
+    from ticdc_spark.queries import _flatten
+    from ticdc_spark.sources.changelog import events_changelog
+
+    cl = _flatten(scale_out(events_changelog(spark, sf_dir)))
+    schema = ("seq long, schema_name string, table_name string, "
+              "op string, commit_ts long, physical_time long, "
+              "key_id long, id long, val double, k long, dec_op string")
+
+    def _n(v):
+        return None if pd.isna(v) else v
+
+    def run(batches):
+        mgr = ConfluentSchemaManager(
+            "http://registry.local",
+            transport=InMemoryTransport(InMemoryConfluentRegistry()))
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                topic = f"{r.schema_name}.{r.table_name}"
+                img = "before" if r.op == "D" else "after"
+                row = {"id": _n(getattr(r, f"{img}_id")),
+                       "val": _n(getattr(r, f"{img}_val")),
+                       "k": _n(getattr(r, f"{img}_k"))}
+                row = {k2: (int(v) if v is not None and k2 != "val"
+                            else v) for k2, v in row.items()}
+                kblob = encode_row_key(mgr, topic, r.schema_name,
+                                       r.table_name, row)
+                vblob = encode_row_value(
+                    mgr, topic, r.schema_name, r.table_name, row, r.op,
+                    int(r.commit_ts), avro_enable_watermark=True)
+                kd = decode_message(mgr, topic + "-key", kblob)
+                vd = decode_message(mgr, topic + "-value", vblob)
+                if r.op == "D":
+                    out.append((r.seq, r.schema_name, r.table_name,
+                                r.op, vd["_delete_commit_ts"],
+                                int(r.commit_ts) >> 18, kd["id"],
+                                None, None, None, "d"))
+                else:
+                    out.append((r.seq, r.schema_name, r.table_name,
+                                r.op, vd["_tidb_commit_ts"],
+                                vd["_tidb_commit_physical_time"],
+                                kd["id"], vd["id"], vd["val"], vd["k"],
+                                vd["_tidb_op"]))
+            yield pd.DataFrame(out, columns=[
+                "seq", "schema_name", "table_name", "op", "commit_ts",
+                "physical_time", "key_id", "id", "val", "k", "dec_op"])
+
+    return cl.mapInPandas(run, schema)
