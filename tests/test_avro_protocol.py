@@ -133,3 +133,28 @@ def test_pipeline_avro_protocol(spark, sf_dir):
             assert r["value"] is None  # tombstone
         else:
             assert r["value"][:1] == b"\x00"
+
+
+def test_checkpoint_and_ddl_events():
+    from ticdc_spark.codec.avro_protocol import (
+        decode_event,
+        encode_checkpoint,
+        encode_ddl,
+    )
+
+    assert encode_checkpoint(5, avro_enable_watermark=False) is None
+    cp = encode_checkpoint(1 << 40)
+    assert cp == b"\x02" + (1 << 40).to_bytes(8, "big")
+    assert decode_event(cp) == ("checkpoint", 1 << 40)
+
+    assert encode_ddl("q", 3, "d", "t", 9, tidb_extension=False) is None
+    ddl = encode_ddl("CREATE TABLE t (a int)", 3, "db", "t", 77)
+    assert ddl[0] == 1
+    kind, doc = decode_event(ddl)
+    assert kind == "ddl"
+    assert doc == {"query": "CREATE TABLE t (a int)", "type": 3,
+                   "schema": "db", "table": "t", "commitTs": 77}
+
+    assert decode_event(b"")[0] == "tombstone"
+    assert decode_event(b"\x03" + (9).to_bytes(8, "big")) == ("delete", 9)
+    assert decode_event(b"\x00abcd")[0] == "row"

@@ -227,3 +227,47 @@ def encode_avro_binary_df(cl, tidb_extension: bool = True,
                                        for n in names]
     return (cl.withColumn("key", _make("key")(*key_args))
             .withColumn("value", _make("value")(*val_args)))
+
+
+# -- non-row events (`encoder.go:105-147`): magic-byte framed ----------------
+DDL_BYTE = 1
+CHECKPOINT_BYTE = 2
+
+
+def encode_checkpoint(ts: int, tidb_extension: bool = True,
+                      avro_enable_watermark: bool = True) -> bytes | None:
+    """EncodeCheckpointEvent: ``checkpointByte(2) | ts u64 BE`` when
+    extension+watermark are on, else nothing (nil message)."""
+    if not (tidb_extension and avro_enable_watermark):
+        return None
+    return bytes([CHECKPOINT_BYTE]) + int(ts).to_bytes(8, "big")
+
+
+def encode_ddl(query: str, action_type: int, schema: str, table: str,
+               commit_ts: int, tidb_extension: bool = True,
+               avro_enable_watermark: bool = True) -> bytes | None:
+    """EncodeDDLEvent: ``ddlByte(1)`` + the ddlEvent JSON doc
+    (query/type/schema/table/commitTs — `helper.go:91-97` field
+    order)."""
+    if not (tidb_extension and avro_enable_watermark):
+        return None
+    doc = json.dumps({"query": query, "type": action_type,
+                      "schema": schema, "table": table,
+                      "commitTs": commit_ts}, separators=(",", ":"))
+    return bytes([DDL_BYTE]) + doc.encode("utf-8")
+
+
+def decode_event(data: bytes):
+    """Consumer dispatch on the leading magic byte (confluent 0, ddl 1,
+    checkpoint 2, delete 3)."""
+    if not data:
+        return ("tombstone", None)
+    if data[0] == DDL_BYTE:
+        return ("ddl", json.loads(data[1:].decode("utf-8")))
+    if data[0] == CHECKPOINT_BYTE:
+        return ("checkpoint", int.from_bytes(data[1:9], "big"))
+    if data[0] == DELETE_BYTE and len(data) == 9:
+        return ("delete", int.from_bytes(data[1:9], "big"))
+    if data[0] == 0:
+        return ("row", data)
+    raise ValueError(f"unknown avro event magic: {data[0]:#x}")
