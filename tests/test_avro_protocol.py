@@ -158,3 +158,69 @@ def test_checkpoint_and_ddl_events():
     assert decode_event(b"")[0] == "tombstone"
     assert decode_event(b"\x03" + (9).to_bytes(8, "big")) == ("delete", 9)
     assert decode_event(b"\x00abcd")[0] == "row"
+
+
+def test_full_type_table_schema_and_roundtrip():
+    """columnToAvroSchema's full table (arvo.go:478-608) through
+    mysql_col metas: decimal logical precise + string mode, binary
+    blobs, enum allowed params, bit length, temporals as strings,
+    unsigned bigint string mode."""
+    from ticdc_spark.codec.avro_protocol import (
+        decode_message,
+        encode_row_value,
+        mysql_col,
+        table_value_schema,
+    )
+
+    cols = (
+        mysql_col("pk", "bigint", not_null=True, handle=True),
+        mysql_col("c_tiny", "tinyint"),
+        mysql_col("c_int_u", "int", unsigned=True),
+        mysql_col("c_big_us", "bigint", unsigned=True,
+                  bigint_unsigned_mode="string"),
+        mysql_col("c_float", "float"),
+        mysql_col("c_bit", "bit", flen=6),
+        mysql_col("c_dec", "decimal", flen=12, decimal=3),
+        mysql_col("c_dec_s", "decimal", decimal_mode="string"),
+        mysql_col("c_txt", "varchar"),
+        mysql_col("c_bin", "blob", binary=True),
+        mysql_col("c_enum", "enum", elems=["a", "b,c"]),
+        mysql_col("c_json", "json"),
+        mysql_col("c_dt", "datetime"),
+        mysql_col("c_time", "time"),
+        mysql_col("c_year", "year"),
+        mysql_col("c_vec", "vector"),
+    )
+    s = table_value_schema("db", "t", cols, tidb_extension=False)
+    by = {f["name"]: f for f in s["fields"]}
+    assert by["c_big_us"]["type"][1]["type"] == "string"
+    assert by["c_bit"]["type"][1]["connect.parameters"]["length"] == "6"
+    dec = by["c_dec"]["type"][1]
+    assert dec["logicalType"] == "decimal"
+    assert dec["precision"] == 12 and dec["scale"] == 3
+    assert "default" in by["c_dec"] and by["c_dec"]["default"] is None
+    assert by["c_dec_s"]["type"][1]["type"] == "string"
+    assert by["c_bin"]["type"][1]["type"] == "bytes"
+    assert by["c_bin"]["type"][1]["connect.parameters"]["tidb_type"] \
+        == "BLOB"
+    assert by["c_enum"]["type"][1]["connect.parameters"]["allowed"] \
+        == "a,b,c"
+    assert by["c_dt"]["type"][1]["type"] == "string"
+    assert by["c_time"]["type"][1]["connect.parameters"]["tidb_type"] \
+        == "TIME"
+    assert by["c_year"]["type"][1]["type"] == "int"
+    assert by["c_vec"]["type"][1]["connect.parameters"]["tidb_type"] \
+        == "TiDBVECTORFloat32"
+
+    row = {"pk": 1, "c_tiny": -3, "c_int_u": 70000,
+           "c_big_us": str((1 << 63) + 5), "c_float": 0.5,
+           "c_bit": b"\x20", "c_dec": "12345.678", "c_dec_s": "1.5",
+           "c_txt": "中文", "c_bin": b"\x01\x02", "c_enum": "b,c",
+           "c_json": '{"a": 1}', "c_dt": "2024-01-01 00:00:00",
+           "c_time": "03:25:00", "c_year": 2024,
+           "c_vec": "[0.1,0.2]"}
+    mgr = _manager()
+    blob = encode_row_value(mgr, "tw", "db", "t", row, "I", 9,
+                            columns=cols, tidb_extension=False)
+    out = decode_message(mgr, "tw-value", blob)
+    assert out == row

@@ -57,9 +57,29 @@ def avro_namespace(keyspace: str, schema: str) -> str:
 
 
 def _column_field(col: dict) -> dict:
-    typ = {"type": col["avro"],
-           "connect.parameters": {"tidb_type": col["tidb_type"]}}
+    """columnToAvroSchema + the nullable/default union rules
+    (`arvo.go:352-406`).  Column meta keys: ``avro`` (primitive type),
+    ``tidb_type``, optional ``params`` (extra connect.parameters —
+    enum/set "allowed", bit "length"), optional ``decimal``
+    (precision, scale) → the decimal logical type, ``not_null``,
+    ``default``, ``handle``."""
+    params = {"tidb_type": col["tidb_type"]}
+    params.update(col.get("params") or {})
+    typ: dict = {"type": col["avro"], "connect.parameters": params}
+    logical = "decimal" in col
+    if logical:
+        prec, scale = col["decimal"]
+        typ.update({"logicalType": "decimal", "precision": prec,
+                    "scale": scale})
     field: dict = {"name": sanitize_name(col["name"])}
+    if logical:
+        # goavro can't set defaults on logical types (arvo.go:379-388)
+        if col.get("not_null"):
+            field["type"] = typ
+        else:
+            field["type"] = ["null", typ]
+            field["default"] = None
+        return field
     if col.get("not_null"):
         field["type"] = typ
         if col.get("default") is not None:
@@ -71,6 +91,64 @@ def _column_field(col: dict) -> dict:
         field["type"] = [typ, "null"]
         field["default"] = col["default"]
     return field
+
+
+# columnToAvroSchema's full type table (`arvo.go:478-608`) as column
+# meta builders — avro type + tidb_type + extra parameters per family.
+def mysql_col(name: str, mysql_type: str, not_null: bool = False,
+              handle: bool = False, default=None, unsigned: bool = False,
+              binary: bool = False, elems: list | None = None,
+              flen: int = -1, decimal: int = -1,
+              decimal_mode: str = "precise",
+              bigint_unsigned_mode: str = "long") -> dict:
+    t = mysql_type.lower()
+    base = {"name": name, "not_null": not_null, "handle": handle,
+            "default": default}
+    if t in ("tinyint", "smallint", "mediumint"):
+        return {**base, "avro": "int",
+                "tidb_type": "INT UNSIGNED" if unsigned else "INT"}
+    if t == "int":
+        return {**base, "avro": "long" if unsigned else "int",
+                "tidb_type": "INT UNSIGNED" if unsigned else "INT"}
+    if t == "bigint":
+        avro = "long"
+        if unsigned and bigint_unsigned_mode == "string":
+            avro = "string"
+        return {**base, "avro": avro,
+                "tidb_type": "BIGINT UNSIGNED" if unsigned else "BIGINT"}
+    if t == "float":
+        return {**base, "avro": "float", "tidb_type": "FLOAT"}
+    if t == "double":
+        return {**base, "avro": "double", "tidb_type": "DOUBLE"}
+    if t == "bit":
+        return {**base, "avro": "bytes", "tidb_type": "BIT",
+                "params": {"length": str(flen if flen != -1 else 1)}}
+    if t == "decimal":
+        if decimal_mode != "precise":
+            return {**base, "avro": "string", "tidb_type": "DECIMAL"}
+        return {**base, "avro": "bytes", "tidb_type": "DECIMAL",
+                "decimal": (flen if flen != -1 else 10,
+                            decimal if decimal != -1 else 0)}
+    if t in ("varchar", "char", "text", "tinytext", "mediumtext",
+             "longtext", "binary", "varbinary", "blob", "tinyblob",
+             "mediumblob", "longblob"):
+        tt = "BLOB" if binary else "TEXT"
+        return {**base, "avro": "bytes" if binary else "string",
+                "tidb_type": tt}
+    if t in ("enum", "set"):
+        return {**base, "avro": "string", "tidb_type": t.upper(),
+                "params": {"allowed": ",".join(elems or [])}}
+    if t == "json":
+        return {**base, "avro": "string", "tidb_type": "JSON"}
+    if t in ("date", "datetime", "timestamp"):
+        return {**base, "avro": "string", "tidb_type": t.upper()}
+    if t == "time":  # mysql.TypeDuration
+        return {**base, "avro": "string", "tidb_type": "TIME"}
+    if t == "year":
+        return {**base, "avro": "int", "tidb_type": "YEAR"}
+    if t == "vector":
+        return {**base, "avro": "string", "tidb_type": "TiDBVECTORFloat32"}
+    raise ValueError(f"unknown mysql type: {mysql_type}")
 
 
 def table_value_schema(schema_name: str, table_name: str,
