@@ -110,9 +110,10 @@ class StreamingCurationPipeline:
         return writer.start()
 
     def manifests(self) -> DataFrame:
-        return self.spark.read.option(
-            "basePath", self.manifest_dir).parquet(
-            os.path.join(self.manifest_dir, "epoch=*"))
+        # plain directory read: partition discovery finds epoch=N dirs
+        # (a glob path here makes the reader probe for streaming-sink
+        # metadata first and log a spurious FileNotFound warn)
+        return self.spark.read.parquet(self.manifest_dir)
 
     def output(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.out_dir,

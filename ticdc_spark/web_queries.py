@@ -482,88 +482,102 @@ synth AS (
     FROM ptab)
 """
 
-_FULL_ORACLE = f"""
-WITH {_FULL_SYNTH_SQL},
-pl AS (SELECT doc_id, source,
-              string_split(text, chr(10)||chr(10)) AS ps FROM synth),
-pp AS (SELECT doc_id, source, g.i AS pos, ps[g.i] AS para
-       FROM pl, LATERAL (SELECT unnest(generate_series(1, len(ps))) AS i) g),
-pdf AS (SELECT para, count(DISTINCT doc_id) AS df FROM pp GROUP BY 1),
-ptot AS (SELECT count(*) AS n FROM synth),
-pfl AS (SELECT p.doc_id, p.source, p.pos, p.para,
+# The curation CTE chain, templated so it can be instantiated per
+# micro-batch epoch (the streaming flagship's oracle runs it twice and
+# adds the cross-epoch dedup adjustment).  {SFX} suffixes every CTE
+# name; {DOCS} is the docs CTE to read.
+_CURATION_CHAIN = """
+pl{SFX} AS (SELECT doc_id, source,
+              string_split(text, chr(10)||chr(10)) AS ps FROM {DOCS}),
+pp{SFX} AS (SELECT doc_id, source, g.i AS pos, ps[g.i] AS para
+       FROM pl{SFX}, LATERAL (SELECT unnest(generate_series(1, len(ps))) AS i) g),
+pdf{SFX} AS (SELECT para, count(DISTINCT doc_id) AS df FROM pp{SFX} GROUP BY 1),
+ptot{SFX} AS (SELECT count(*) AS n FROM {DOCS}),
+pfl{SFX} AS (SELECT p.doc_id, p.source, p.pos, p.para,
                (d.df >= 3 AND d.df * 100 >= t.n * 2) AS boiler
-        FROM pp p JOIN pdf d USING (para), ptot t),
-pstage AS (
+        FROM pp{SFX} p JOIN pdf{SFX} d USING (para), ptot{SFX} t),
+pstage{SFX} AS (
     SELECT doc_id, source,
            CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
                AS n_removed,
            coalesce(string_agg(CASE WHEN NOT boiler THEN para END,
                                chr(10)||chr(10) ORDER BY pos), '') AS ctext
-    FROM pfl GROUP BY doc_id, source),
-cin AS (SELECT doc_id, source, n_removed,
-               replace(ctext, chr(10)||chr(10), chr(10)) AS t2 FROM pstage),
-cl2 AS (SELECT doc_id, source, n_removed,
+    FROM pfl{SFX} GROUP BY doc_id, source),
+cin{SFX} AS (SELECT doc_id, source, n_removed,
+               replace(ctext, chr(10)||chr(10), chr(10)) AS t2 FROM pstage{SFX}),
+cl2{SFX} AS (SELECT doc_id, source, n_removed,
                (contains(lower(t2), 'lorem ipsum')
-                OR contains(lower(t2), '{{')) AS doc_bad,
+                OR contains(lower(t2), '{')) AS doc_bad,
                g.i AS pos, ls[g.i] AS line
-        FROM (SELECT *, string_split(t2, chr(10)) AS ls FROM cin),
+        FROM (SELECT *, string_split(t2, chr(10)) AS ls FROM cin{SFX}),
              LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i) g),
-cfl AS (SELECT *,
+cfl{SFX} AS (SELECT *,
                (len(string_split(line, ' ')) >= 5
                 AND right(line, 1) IN ('.', '!', '?', '"')
                 AND NOT contains(lower(line), 'javascript')
                 AND NOT contains(lower(line), 'cookie')) AS keepl
-        FROM cl2),
-cagg AS (SELECT doc_id, source, n_removed, doc_bad,
+        FROM cl2{SFX}),
+cagg{SFX} AS (SELECT doc_id, source, n_removed, doc_bad,
                 CAST(sum(CASE WHEN keepl THEN 1 ELSE 0 END) AS BIGINT)
                     AS nk,
                 string_agg(CASE WHEN keepl THEN line END,
                            chr(10) ORDER BY pos) AS jt
-         FROM cfl GROUP BY doc_id, source, n_removed, doc_bad),
-cstage AS (SELECT doc_id, source, n_removed,
+         FROM cfl{SFX} GROUP BY doc_id, source, n_removed, doc_bad),
+cstage{SFX} AS (SELECT doc_id, source, n_removed,
                   (NOT doc_bad AND nk >= 3) AS kept,
                   CASE WHEN NOT doc_bad AND nk >= 3
                        THEN coalesce(jt, '') END AS ct
-           FROM cagg),
-gm AS (SELECT doc_id, source, ct,
+           FROM cagg{SFX}),
+gm{SFX} AS (SELECT doc_id, source, ct,
               len(string_split(ct, ' ')) AS wc,
               len(ct) - (len(string_split(ct, ' ')) - 1) AS sc,
               len(list_intersect(list_transform(string_split(ct, ' '),
                                                 t -> lower(t)),
-                                 [{_STOP_LIST}])) AS nst,
+                                 [{STOP}])) AS nst,
               len(list_filter(string_split(ct, ' '),
                               t -> t = '#' OR t = '...')) AS nsym,
               len(list_filter(string_split(ct, ' '),
                               t -> regexp_matches(t, '[a-zA-Z]'))) AS nal
-       FROM cstage WHERE kept),
-gfl AS (SELECT doc_id, source, ct, wc,
+       FROM cstage{SFX} WHERE kept),
+gfl{SFX} AS (SELECT doc_id, source, ct, wc,
                (wc >= 40 AND wc <= 100000
                 AND sc * 100 // wc >= 380 AND sc * 100 // wc <= 1000
                 AND nst >= 2 AND nsym * 1000 // wc <= 100
                 AND nal * 1000 // wc >= 800) AS keep
-        FROM gm),
-rk AS (SELECT *, row_number() OVER (
+        FROM gm{SFX}),
+rk{SFX} AS (SELECT *, row_number() OVER (
            PARTITION BY md5(ct) ORDER BY keep DESC, doc_id) AS rn
-       FROM gfl),
-s0 AS (SELECT source, count(*) AS n_docs,
+       FROM gfl{SFX}),
+s0{SFX} AS (SELECT source, count(*) AS n_docs,
               CAST(sum(n_removed) AS BIGINT) AS paras_removed
-       FROM pstage GROUP BY source),
-s1 AS (SELECT source, CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_after_c4 FROM cstage GROUP BY source),
-s2 AS (SELECT source,
+       FROM pstage{SFX} GROUP BY source),
+s1{SFX} AS (SELECT source, CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_after_c4 FROM cstage{SFX} GROUP BY source),
+s2{SFX} AS (SELECT source,
               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_after_rules,
               CAST(sum(CASE WHEN keep AND rn = 1 THEN 1 ELSE 0 END)
                    AS BIGINT) AS n_final,
               CAST(sum(CASE WHEN keep AND rn = 1 THEN wc ELSE 0 END)
                    AS BIGINT) AS tokens_final
-       FROM rk GROUP BY source)
-SELECT s0.source, n_docs, paras_removed, n_after_c4,
+       FROM rk{SFX} GROUP BY source)"""
+
+
+def _curation_ctes(sfx: str, docs: str) -> str:
+    return (_CURATION_CHAIN.replace("{SFX}", sfx)
+            .replace("{DOCS}", docs).replace("{STOP}", _STOP_LIST))
+
+
+_MANIFEST_SELECT = """
+SELECT s0{SFX}.source, n_docs, paras_removed, n_after_c4,
        coalesce(n_after_rules, 0) AS n_after_rules,
        coalesce(n_final, 0) AS n_final,
        coalesce(tokens_final, 0) AS tokens_final
-FROM s0 LEFT JOIN s1 USING (source) LEFT JOIN s2 USING (source)
-"""
+FROM s0{SFX} LEFT JOIN s1{SFX} USING (source)
+             LEFT JOIN s2{SFX} USING (source)"""
+
+_FULL_ORACLE = (f"WITH {_FULL_SYNTH_SQL}," + _curation_ctes("", "synth")
+                + _MANIFEST_SELECT.replace("{SFX}", ""))
 
 
 def _full_synth(docs: DataFrame) -> DataFrame:
@@ -619,3 +633,84 @@ def q_curation_pipeline_full(spark, sf_dir):
     from ticdc_spark.llm.web import curation_pipeline_full
 
     return curation_pipeline_full(_full_synth(_docs(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# STREAMING curation flagship, driver-checked: the full curation stack
+# runs as a real Structured Streaming job (availableNow, two
+# micro-batch epochs split by doc parity, exact cross-batch dedup
+# state — streaming/curation.py) at query-construction time (trainer
+# precedent), and the per-epoch manifests are hash-compared against a
+# DuckDB oracle that instantiates the SAME curation chain per epoch
+# and applies the cross-epoch winner adjustment (an epoch-1 winner
+# whose text digest already won in epoch 0 loses n_final/tokens_final
+# credit).  Natural cross-epoch duplicates (the %67 snippet docs, both
+# parities) give the adjustment positive support.
+# ---------------------------------------------------------------------------
+_STREAM_CURATION_ORACLE = (
+    f"WITH {_FULL_SYNTH_SQL},"
+    "d0 AS (SELECT * FROM synth WHERE doc_id % 2 = 0),"
+    "d1 AS (SELECT * FROM synth WHERE doc_id % 2 = 1),"
+    + _curation_ctes("_e0", "d0") + ","
+    + _curation_ctes("_e1", "d1") + ","
+    + """
+w0 AS (SELECT DISTINCT md5(ct) AS dig FROM rk_e0 WHERE keep AND rn = 1),
+adj AS (SELECT source, CAST(count(*) AS BIGINT) AS n_dup,
+               CAST(sum(wc) AS BIGINT) AS wc_dup
+        FROM rk_e1 JOIN w0 ON md5(ct) = dig
+        WHERE keep AND rn = 1 GROUP BY source),
+m0 AS (SELECT CAST(0 AS BIGINT) AS epoch, s0_e0.source, n_docs,
+              paras_removed, n_after_c4,
+              coalesce(n_after_rules, 0) AS n_after_rules,
+              coalesce(n_final, 0) AS n_final,
+              coalesce(tokens_final, 0) AS tokens_final
+       FROM s0_e0 LEFT JOIN s1_e0 USING (source)
+                  LEFT JOIN s2_e0 USING (source)),
+m1 AS (SELECT CAST(1 AS BIGINT) AS epoch, s0_e1.source, n_docs,
+              paras_removed, n_after_c4,
+              coalesce(n_after_rules, 0) AS n_after_rules,
+              coalesce(n_final, 0) - coalesce(a.n_dup, 0) AS n_final,
+              coalesce(tokens_final, 0) - coalesce(a.wc_dup, 0)
+                  AS tokens_final
+       FROM s0_e1 LEFT JOIN s1_e1 USING (source)
+                  LEFT JOIN s2_e1 USING (source)
+                  LEFT JOIN adj a USING (source))
+SELECT * FROM m0 UNION ALL SELECT * FROM m1
+""")
+
+
+@register("curation_streaming_manifest", _STREAM_CURATION_ORACLE)
+def q_curation_streaming_manifest(spark, sf_dir):
+    import glob
+    import os
+    import shutil
+
+    from ticdc_spark.streaming.curation import StreamingCurationPipeline
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = os.path.join(
+        repo, "spark-warehouse",
+        f"curation_stream_{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(base, ignore_errors=True)
+    stream_in = os.path.join(base, "in")
+    os.makedirs(stream_in)
+    docs = _full_synth(_docs(spark, sf_dir))
+    for i, pred in enumerate(["doc_id % 2 = 0", "doc_id % 2 = 1"]):
+        part_dir = os.path.join(base, f"b{i}")
+        docs.filter(pred).coalesce(1).write.parquet(part_dir)
+        part = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        dst = os.path.join(stream_in, f"{i:04d}.parquet")
+        os.rename(part, dst)
+        # FileStreamSource orders by modification time: force epoch order
+        os.utime(dst, (1700000000 + i * 100, 1700000000 + i * 100))
+        shutil.rmtree(part_dir)
+    pipe = StreamingCurationPipeline(spark, os.path.join(base, "work"))
+    stream = (spark.readStream
+              .schema("doc_id long, source string, text string")
+              .option("maxFilesPerTrigger", 1).parquet(stream_in))
+    q = pipe.start(stream, os.path.join(base, "ckpt"))
+    q.awaitTermination(600)
+    return pipe.manifests().select(
+        F.col("epoch").cast("long").alias("epoch"), "source", "n_docs",
+        "paras_removed", "n_after_c4", "n_after_rules", "n_final",
+        "tokens_final")
