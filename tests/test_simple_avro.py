@@ -234,3 +234,43 @@ def test_compiled_decoder_rejects_nonnull_optionals():
         dec(blob)
     # the generic decoder still handles it
     assert decode_message(blob)["payload"]["checksum"]["current"] == 5
+
+
+def test_pipeline_simple_avro_encoding_format(spark, sf_dir):
+    """protocol=simple + encoding-format=avro ([sink.codec], sink-uri
+    param) flows through build_pipeline: frame columns preserved,
+    binary values decode via the compiled codec."""
+    from ticdc_spark.codec.simple_avro import compile_dml_decoder
+    from ticdc_spark.config import parse_changefeed_config
+    from ticdc_spark.pipeline import build_pipeline
+    from ticdc_spark.sources.changelog import events_changelog
+
+    cfg = parse_changefeed_config("""
+sink-uri = "kafka://broker/topic?protocol=simple&encoding-format=avro"
+[sink]
+dispatchers = [{matcher = ["*.*"], partition = "index-value", topic = "t_{schema}"}]
+""")
+    assert cfg.protocol == "simple" and cfg.encoding_format == "avro"
+    cl = events_changelog(spark, sf_dir)
+    out = build_pipeline(cl, cfg)
+    types = dict(out.dtypes)
+    assert types["value"] == "binary"
+    assert "topic" in types and "partition" in types  # frame preserved
+    fields = [f.name for f in cl.schema["after"].dataType.fields]
+    dec = compile_dml_decoder(
+        fields, {"id": "long", "val": "double", "k": "long"})
+    rows = out.select("op", "value").limit(20).collect()
+    assert rows
+    for r in rows:
+        doc = dec(bytes(r["value"]))
+        assert doc is not None
+
+
+def test_encoding_format_validation():
+    import pytest
+
+    from ticdc_spark.config import parse_changefeed_config
+
+    with pytest.raises(ValueError):
+        parse_changefeed_config(
+            'sink-uri = "kafka://b/t?encoding-format=xml"\n')

@@ -81,6 +81,8 @@ def parse_changefeed_config(text: str, fmt: str = "toml") -> ChangefeedConfig:
         column_selectors=column_selectors,
         dispatchers=dispatchers,
         protocol=sink.get("protocol", "canal-json"),
+        encoding_format=(sink.get("codec") or {}).get(
+            "encoding-format", "json"),
         only_output_updated_columns=sink.get("only-output-updated-columns", False),
         delete_only_output_handle_key=sink.get("delete-only-output-handle-key", False),
         case_sensitive=doc.get("case-sensitive", False),
@@ -147,6 +149,11 @@ def apply_sink_uri_params(cfg) -> None:
 
     if "protocol" in q:
         cfg.protocol = q["protocol"]
+    if "encoding-format" in q:
+        if q["encoding-format"] not in ("json", "avro"):
+            raise ValueError(
+                f"invalid encoding-format {q['encoding-format']!r}")
+        cfg.encoding_format = q["encoding-format"]
     if (v := _pos_int("partition-num")) is not None:
         cfg.n_partitions = v
     if (v := _pos_int("max-message-bytes")) is not None:

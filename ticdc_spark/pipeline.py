@@ -77,6 +77,7 @@ class ChangefeedConfig:
     column_selectors: list[dict] = field(default_factory=list)
     dispatchers: list[dict] = field(default_factory=list)
     protocol: str = "canal-json"
+    encoding_format: str = "json"  # [sink.codec] encoding-format
     split_updates: bool = True
     compact: bool = False
     only_output_updated_columns: bool = False
@@ -169,6 +170,12 @@ def _encode(df: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
         from ticdc_spark.codec.canal_json import encode_canal_json
 
         return encode_canal_json(df, tidb_extension=True)
+    if cfg.protocol == "simple" and cfg.encoding_format == "avro":
+        # [sink.codec] encoding-format (pkg/config/sink.go:456): the
+        # simple protocol's second wire shape
+        from ticdc_spark.codec.simple_avro import encode_simple_avro_values
+
+        return encode_simple_avro_values(df)
     return ENCODERS[cfg.protocol](df)
 
 
