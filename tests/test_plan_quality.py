@@ -283,3 +283,17 @@ def test_debezium_schema_block_is_a_projection(spark, sf_dir):
     # chunk-payload wire roundtrip is map-only
     chunk = _plan(QUERIES["dml_event_chunk_roundtrip"](spark, sf_dir))
     assert chunk.count("Exchange") == 0
+
+
+def test_round3_wire_query_shuffle_budgets(spark, sf_dir):
+    """Round-3 wire roundtrips stay map-only after their spread
+    exchange; the typed chunk query likewise."""
+    for name, budget in [
+        ("dml_event_chunk_roundtrip", 0),
+        ("dml_event_chunk_typed", 0),
+        ("avro_confluent_roundtrip", 1),   # scale_out spread only
+        ("mount_binary_json", 1),          # synthesize spread
+    ]:
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        n = plan.count("Exchange")
+        assert n <= budget, f"{name}: {n} exchanges (budget {budget})"
