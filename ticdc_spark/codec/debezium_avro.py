@@ -525,9 +525,9 @@ def encode_debezium_avro_df(cl, cluster_id: str = "ticdc-spark"):
             mgr = ConfluentSchemaManager(
                 "http://registry.local",
                 transport=InMemoryTransport(InMemoryConfluentRegistry()))
+            codec = DebeziumAvroCodecCache(mgr)
             return pd.Series([
-                encode_debezium_avro_payload(_json.loads(j), t, suffix,
-                                             mgr)
+                codec.encode(_json.loads(j), t, suffix)
                 for j, t in zip(json_col, topic)], dtype=object)
 
         # explicit (non-string) annotations: the module's deferred
@@ -591,3 +591,80 @@ def debezium_avro_watermarks(watermarks, cluster_id: str = "ticdc-spark",
         "resolved_ts",
         _conv(KEY_SUFFIX)("key").alias("key"),
         _conv(VALUE_SUFFIX)("value").alias("value"))
+
+
+class DebeziumAvroCodecCache:
+    """Per-(subject, version) conversion cache — the reference caches
+    the goavro codec the same way (`GetCachedOrRegister`,
+    avro.SchemaManager): the Connect→Avro schema conversion, named-map
+    collection, and registry header happen once per table version, not
+    per row.  The per-row work is payload toNative + binary encode."""
+
+    def __init__(self, schema_manager) -> None:
+        self.mgr = schema_manager
+        self._enc: dict = {}
+        self._dec: dict = {}
+
+    def encode(self, message: dict, topic: str, suffix: str,
+               schema_version: int = 1) -> bytes:
+        schema = message.get("schema")
+        if schema is None:
+            raise ValueError("schema is missing")
+        ent = self._entry(schema, topic, suffix, schema_version)
+        connect, avro_schema, named, header = ent
+        native = ConnectToAvro().to_native(schema, message.get("payload"))
+        return header + avro_encode(native, avro_schema, named)
+
+    def _entry(self, schema, topic, suffix, schema_version):
+        subject = subject_for(topic, suffix,
+                              (schema or {}).get("name", ""))
+        key = (subject, schema_version)
+        ent = self._enc.get(key)
+        if ent is None:
+            avro_schema = ConnectToAvro().to_avro_schema(schema)
+            _, header = self.mgr.get_cached_or_register(
+                subject, schema_version,
+                lambda: json.dumps(avro_schema, separators=(",", ":")))
+            ent = (schema, avro_schema,
+                   collect_named_schemas(avro_schema), header)
+            self._enc[key] = ent
+        return ent
+
+    def encode_wire_json(self, message_json: str, topic: str,
+                         suffix: str, schema_version: int = 1) -> bytes:
+        """Hot-path encode from the raw ``{"payload":...,"schema":...}``
+        string: the (identical-per-table) schema block parses once per
+        subject; only the payload substring parses per row."""
+        key = (topic + suffix, schema_version)
+        ent = self._enc.get(key)
+        if ent is None:
+            return self.encode(json.loads(message_json), topic, suffix,
+                               schema_version)
+        i = message_json.find(',"schema":')
+        if not message_json.startswith('{"payload":') or i < 0:
+            return self.encode(json.loads(message_json), topic, suffix,
+                               schema_version)
+        payload = json.loads(message_json[11:i])
+        connect, avro_schema, named, header = ent
+        native = ConnectToAvro().to_native(connect, payload)
+        return header + avro_encode(native, avro_schema, named)
+
+    def decode(self, data: bytes, subject: str) -> dict:
+        if len(data) < 5 or data[0] != 0:
+            raise ValueError("bad confluent envelope")
+        schema_id = struct.unpack_from(">I", data, 1)[0]
+        ent = self._dec.get((subject, schema_id))
+        if ent is None:
+            avro_schema = json.loads(self.mgr.lookup(subject, schema_id))
+            named = collect_named_schemas(avro_schema)
+            ent = (avro_schema, named,
+                   avro_to_connect_schema(avro_schema, named))
+            self._dec[(subject, schema_id)] = ent
+        avro_schema, named, connect = ent
+        native, pos = avro_decode(data, 5, avro_schema, named)
+        if pos != len(data):
+            raise ValueError(f"trailing bytes after avro value: "
+                             f"{len(data) - pos}")
+        return {"schema": connect,
+                "payload": avro_native_to_connect_payload(
+                    avro_schema, native, named)}

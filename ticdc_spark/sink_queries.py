@@ -3311,10 +3311,7 @@ def q_debezium_avro_roundtrip(spark, sf_dir):
     import pandas as pd
 
     from ticdc_spark.codec.debezium import encode_debezium_full
-    from ticdc_spark.codec.debezium_avro import (
-        decode_debezium_avro_payload,
-        encode_debezium_avro_payload,
-    )
+    from ticdc_spark.codec.debezium_avro import DebeziumAvroCodecCache
     from ticdc_spark.codec.schema_registry import (
         ConfluentSchemaManager,
         InMemoryConfluentRegistry,
@@ -3336,6 +3333,7 @@ def q_debezium_avro_roundtrip(spark, sf_dir):
         registry = InMemoryConfluentRegistry()
         mgr = ConfluentSchemaManager(
             "http://registry.local", transport=InMemoryTransport(registry))
+        codec = DebeziumAvroCodecCache(mgr)
         cols = ["seq", "schema_name", "table_name", "commit_ts", "op",
                 "ts_ms", "key_id", "before_id", "before_val", "before_k",
                 "after_id", "after_val", "after_k"]
@@ -3343,14 +3341,10 @@ def q_debezium_avro_roundtrip(spark, sf_dir):
             out = []
             for r in pdf.itertuples(index=False):
                 topic = f"{r.schema_name}.{r.table_name}"
-                kblob = encode_debezium_avro_payload(
-                    _json.loads(r.key), topic, "-key", mgr)
-                vblob = encode_debezium_avro_payload(
-                    _json.loads(r.value), topic, "-value", mgr)
-                kmsg = decode_debezium_avro_payload(
-                    kblob, mgr, topic + "-key")
-                vmsg = decode_debezium_avro_payload(
-                    vblob, mgr, topic + "-value")
+                kblob = codec.encode_wire_json(r.key, topic, "-key")
+                vblob = codec.encode_wire_json(r.value, topic, "-value")
+                kmsg = codec.decode(kblob, topic + "-key")
+                vmsg = codec.decode(vblob, topic + "-value")
                 p = vmsg["payload"]
                 src = p["source"]
                 b = p["before"] or {}
