@@ -132,6 +132,8 @@ def main() -> None:
     # codebook): time the build too, or the number is a no-op write
     construct_timed = {"bpe_train_merges"}
 
+    failed: list[str] = []
+
     def time_query(name: str, at_dir: str = sf_dir) -> float:
         if name in construct_timed:
             t0 = time.perf_counter()
@@ -143,6 +145,21 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
 
+    def time_query_safe(name: str, at_dir: str = sf_dir) -> float | None:
+        # spark.task.maxFailures=4 already absorbs transient worker
+        # crashes; an exception surviving that is persistent for this
+        # run (co-tenant OOM kill streak) — record it and keep the
+        # bench JSON intact instead of dying with partial output.
+        for attempt in range(2):
+            try:
+                return time_query(name, at_dir)
+            except Exception as exc:  # noqa: BLE001
+                print(f"bench: {name} attempt {attempt} failed: {exc}",
+                      file=sys.stderr)
+        if name not in failed:
+            failed.append(name)
+        return None
+
     # Min-of-2 for every query: run 1 pays per-query whole-stage-codegen
     # compile (a constant, amortized at scale) and this host shows 2-4x
     # co-tenant noise; the min is the steady-state number that scales
@@ -152,12 +169,20 @@ def main() -> None:
     # regression (r2 observed scheduler_balance at 3.25s vs a 0.65s
     # steady state).
     for name in headline:
-        timings[name] = time_query(name)
+        t = time_query_safe(name)
+        if t is not None:
+            timings[name] = t
     for name in headline:
-        timings[name] = min(timings[name], time_query(name))
+        if name not in timings:
+            continue
+        t = time_query_safe(name)
+        if t is not None:
+            timings[name] = min(timings[name], t)
     for name in headline:
-        if timings[name] > 1.0:
-            timings[name] = min(timings[name], time_query(name))
+        if timings.get(name, 0.0) > 1.0:
+            t = time_query_safe(name)
+            if t is not None:
+                timings[name] = min(timings[name], t)
 
     # sf-scaling probe: the SAME pipeline at 10x rows (union of shifted
     # copies — 10x the scan, shuffle, and encode volume) to catch scaling
@@ -256,11 +281,17 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SKIP_10X", "") != "1":
         tenx_dir = _materialize_10x(spark, sf_dir)
         for name in headline:
-            t = time_query(name, tenx_dir)
+            if name not in timings:
+                continue
+            t = time_query_safe(name, tenx_dir)
+            if t is None:
+                continue
             floor_1x = max(timings[name], 0.05)
             if t > 3 * 10 * floor_1x:
                 # retry once: co-tenant spikes on this host last seconds
-                t = min(t, time_query(name, tenx_dir))
+                t2 = time_query_safe(name, tenx_dir)
+                if t2 is not None:
+                    t = min(t, t2)
             queries_10x[name] = t
             if t > 3 * 10 * floor_1x:
                 blowups_10x.append(name)
@@ -277,6 +308,7 @@ def main() -> None:
         "scale_probes": scale_probes,
         "queries_10x": queries_10x,
         "blowups_10x": blowups_10x,
+        "failed": failed,
         "changelog_rows": n_rows,
     }))
 

@@ -28,6 +28,12 @@ def get_spark(app_name: str = "ticdc_spark", shuffle_partitions: int | None = No
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # local mode defaults to task maxFailures=1: one transient Python
+        # worker death (co-tenant memory spike on this host) aborts the
+        # whole job.  A real cluster runs with 4; match it so a single
+        # worker crash retries instead of failing the bench/suite run.
+        .config("spark.task.maxFailures", "4")
+        .config("spark.python.worker.faulthandler.enabled", "true")
         # testdata parquet stores TIMESTAMP(NANOS); Spark reads them as
         # LongType nanos under this flag (sources/changelog.py converts).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
