@@ -280,17 +280,17 @@ def test_debezium_schema_block_is_a_projection(spark, sf_dir):
     # the Avro-variant roundtrip stays map-only after its spread shuffle
     rt = _plan(QUERIES["debezium_avro_roundtrip"](spark, sf_dir))
     assert rt.count("Exchange") <= 1  # the scale_out spread only
-    # chunk-payload wire roundtrip is map-only
+    # chunk-payload wire roundtrip is map-only after its keyed spread
     chunk = _plan(QUERIES["dml_event_chunk_roundtrip"](spark, sf_dir))
-    assert chunk.count("Exchange") == 0
+    assert chunk.count("Exchange") <= 1
 
 
 def test_round3_wire_query_shuffle_budgets(spark, sf_dir):
     """Round-3 wire roundtrips stay map-only after their spread
     exchange; the typed chunk query likewise."""
     for name, budget in [
-        ("dml_event_chunk_roundtrip", 0),
-        ("dml_event_chunk_typed", 0),
+        ("dml_event_chunk_roundtrip", 1),  # keyed txn spread only
+        ("dml_event_chunk_typed", 1),      # keyed txn spread only
         ("avro_confluent_roundtrip", 1),   # scale_out spread only
         ("mount_binary_json", 1),          # synthesize spread
     ]:

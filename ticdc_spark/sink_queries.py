@@ -3168,6 +3168,54 @@ def q_redo_v2_roundtrip(spark, sf_dir):
 # Arrow-batched mapInPandas: the per-row byte codec is the sanctioned
 # slow path, map-only, scales linearly with executors.
 # ---------------------------------------------------------------------------
+def _txn_slices(pdf):
+    """Sorted changelog frame → per-table txn row-ranges, vectorized.
+
+    Returns ``(pdf_sorted, tables)`` where ``tables`` is
+    ``[(table_id, [(commit_ts, start_ts, seq_min, lo, hi), ...]), ...]``
+    with ``[lo, hi)`` row ranges into the sorted frame.  Replaces the
+    nested ``groupby`` + ``itertuples`` walk: on a changelog where most
+    txns are 1-2 rows, pandas pays ~2 ms per sub-frame (namedtuple
+    class build + iloc chains — measured 32 s of a 38 s sf0.1 run);
+    numpy boundary detection over the sorted arrays is ~ns/row.
+    """
+    import numpy as np
+
+    pdf = pdf.sort_values(
+        ["table_id", "commit_ts", "start_ts", "dml_order", "seq"],
+        kind="mergesort", ignore_index=True)
+    tid = pdf["table_id"].to_numpy()
+    cts = pdf["commit_ts"].to_numpy()
+    sts = pdf["start_ts"].to_numpy()
+    seq = pdf["seq"].to_numpy()
+    n = len(pdf)
+    chg = np.flatnonzero(
+        (tid[1:] != tid[:-1]) | (cts[1:] != cts[:-1])
+        | (sts[1:] != sts[:-1])) + 1
+    bounds = np.concatenate(([0], chg, [n]))
+    seq_min = np.minimum.reduceat(seq, bounds[:-1])
+    tables: list = []
+    cur_tid = None
+    for i in range(len(bounds) - 1):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        t = int(tid[lo])
+        if cur_tid != t:
+            cur: list = []
+            tables.append((t, cur))
+            cur_tid = t
+        cur.append((int(cts[lo]), int(sts[lo]), int(seq_min[i]), lo, hi))
+    return pdf, tables
+
+
+def _chunk_spread(cl):
+    """Hash-spread the single-split changelog across cores on txn keys
+    (table_id, commit_ts, start_ts) so whole txns stay co-located while
+    the per-row byte codec parallelizes (``scale_out`` rationale; keyed
+    instead of round-robin so no txn splits across BatchDMLEvents)."""
+    par = cl.sparkSession.sparkContext.defaultParallelism
+    return cl.repartition(par, "table_id", "commit_ts", "start_ts")
+
+
 _DML_CHUNK_COLS = ("table_id, op, commit_ts, start_ts, pk, "
                    "before_id, before_val, before_k, "
                    "after_id, after_val, after_k")
@@ -3206,7 +3254,7 @@ def q_dml_event_chunk_roundtrip(spark, sf_dir):
     from ticdc_spark.queries import _flatten
     from ticdc_spark.sources.changelog import events_changelog
 
-    cl = _flatten(events_changelog(spark, sf_dir))
+    cl = _chunk_spread(_flatten(events_changelog(spark, sf_dir)))
     schema = ("table_id long, op string, commit_ts long, start_ts long, "
               "pk long, before_id long, before_val double, before_k long, "
               "after_id long, after_val double, after_k long")
@@ -3215,49 +3263,56 @@ def q_dml_event_chunk_roundtrip(spark, sf_dir):
     rt_to_op = {ROW_TYPE_INSERT: "I", ROW_TYPE_UPDATE: "U",
                 ROW_TYPE_DELETE: "D"}
 
-    def _n(x):
-        return None if pd.isna(x) else x
+    def _ni(v):
+        return None if v is None or v != v else int(v)
+
+    def _nf(v):
+        return None if v is None or v != v else float(v)
 
     def run(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
-            pdf = pdf.sort_values(
-                ["table_id", "commit_ts", "start_ts", "dml_order", "seq"])
+            pdf, tables = _txn_slices(pdf)
+            op_l = pdf["op"].tolist()
+            pk_l = pdf["pk"].tolist()
+            bid_l = pdf["before_id"].tolist()
+            bval_l = pdf["before_val"].tolist()
+            bk_l = pdf["before_k"].tolist()
+            aid_l = pdf["after_id"].tolist()
+            aval_l = pdf["after_val"].tolist()
+            ak_l = pdf["after_k"].tolist()
             out = []
-            for table_id, tg in pdf.groupby("table_id", sort=True):
+            for table_id, txns in tables:
                 events, ids, vals, ks = [], [], [], []
                 prev_total = 0
-                for (cts, sts), txn in tg.groupby(
-                        ["commit_ts", "start_ts"], sort=True):
+                for cts, sts, seq_min, lo, hi in txns:
                     row_types, row_keys = [], []
                     approx = 0
-                    for r in txn.itertuples(index=False):
-                        rt = OP_TO_ROW_TYPE[r.op]
+                    for i in range(lo, hi):
+                        rt = OP_TO_ROW_TYPE[op_l[i]]
                         row_types.append(rt)
-                        row_keys.append(
-                            encode_record_key(int(table_id), int(r.pk)))
-                        approx += 64 + int(r.pk) % 97
+                        pk = int(pk_l[i])
+                        row_keys.append(encode_record_key(table_id, pk))
+                        approx += 64 + pk % 97
                         if rt in (ROW_TYPE_UPDATE, ROW_TYPE_DELETE):
-                            ids.append(_n(r.before_id))
-                            vals.append(_n(r.before_val))
-                            ks.append(_n(r.before_k))
+                            ids.append(_ni(bid_l[i]))
+                            vals.append(_nf(bval_l[i]))
+                            ks.append(_ni(bk_l[i]))
                         if rt in (ROW_TYPE_UPDATE, ROW_TYPE_INSERT):
-                            ids.append(_n(r.after_id))
-                            vals.append(_n(r.after_val))
-                            ks.append(_n(r.after_k))
+                            ids.append(_ni(aid_l[i]))
+                            vals.append(_nf(aval_l[i]))
+                            ks.append(_ni(ak_l[i]))
                     events.append(DMLEventMeta(
-                        dispatcher_id=(int(table_id), 0),
-                        physical_table_id=int(table_id),
-                        start_ts=int(sts), commit_ts=int(cts),
-                        seq=int(txn["seq"].min()), epoch=1,
+                        dispatcher_id=(table_id, 0),
+                        physical_table_id=table_id,
+                        start_ts=sts, commit_ts=cts,
+                        seq=seq_min, epoch=1,
                         length=len(row_types), approximate_size=approx,
                         previous_total_offset=prev_total,
                         row_types=tuple(row_types),
                         row_keys=tuple(row_keys)))
                     prev_total += len(row_types)
-                ids = [None if v is None else int(v) for v in ids]
-                ks = [None if v is None else int(v) for v in ks]
                 blob = encode_batch_dml_event(
                     BatchDMLEvent(tuple(events), (tuple(ids), tuple(vals),
                                                   tuple(ks))), codec)
@@ -3490,9 +3545,9 @@ def q_dml_event_chunk_typed(spark, sf_dir):
 
     import json as _json
 
-    cl = _flatten(events_changelog(spark, sf_dir)).select(
+    cl = _chunk_spread(_flatten(events_changelog(spark, sf_dir)).select(
         "table_id", "pk", "op", "commit_ts", "start_ts", "dml_order",
-        "seq")
+        "seq"))
     schema = ("table_id long, op string, commit_ts long, start_ts long, "
               "pk long, txt string, j string, dec string")
     codec = ChunkCodec([TYPE_LONGLONG, TYPE_VARCHAR, TYPE_JSON,
@@ -3505,30 +3560,30 @@ def q_dml_event_chunk_typed(spark, sf_dir):
         for pdf in batches:
             if pdf.empty:
                 continue
-            pdf = pdf.sort_values(
-                ["table_id", "commit_ts", "start_ts", "dml_order", "seq"])
+            pdf, tables = _txn_slices(pdf)
+            op_l = pdf["op"].tolist()
+            pk_l = pdf["pk"].tolist()
             out = []
-            for table_id, tg in pdf.groupby("table_id", sort=True):
+            for table_id, txns in tables:
                 events, pks, txts, js, decs = [], [], [], [], []
                 prev = 0
-                for (cts, sts), txn in tg.groupby(
-                        ["commit_ts", "start_ts"], sort=True):
+                for cts, sts, seq_min, lo, hi in txns:
                     rts = []
-                    for r in txn.itertuples(index=False):
-                        rt = OP_TO_ROW_TYPE[r.op]
+                    for i in range(lo, hi):
+                        rt = OP_TO_ROW_TYPE[op_l[i]]
                         rts.append(rt)
                         n_phys = 2 if rt == ROW_TYPE_UPDATE else 1
                         for _ in range(n_phys):
-                            m = int(r.pk) % 4
-                            pks.append(int(r.pk))
+                            m = int(pk_l[i]) % 4
+                            pks.append(int(pk_l[i]))
                             txts.append(_CHUNK_TXT[m])
                             js.append(jdocs[m])
                             decs.append(_CHUNK_DEC[m])
                     events.append(DMLEventMeta(
-                        dispatcher_id=(int(table_id), 0),
-                        physical_table_id=int(table_id),
-                        start_ts=int(sts), commit_ts=int(cts),
-                        seq=int(txn["seq"].min()), epoch=1,
+                        dispatcher_id=(table_id, 0),
+                        physical_table_id=table_id,
+                        start_ts=sts, commit_ts=cts,
+                        seq=seq_min, epoch=1,
                         length=len(rts), approximate_size=0,
                         previous_total_offset=prev,
                         row_types=tuple(rts), row_keys=()))
