@@ -35,7 +35,7 @@ _SHUFFLE_BUDGET = [
     ("span_split_write_bytes", 2, "region agg + per-table pandas regroup"),
     ("span_merge_groups", 2, "span agg + per-table pandas walk"),
     ("mount_handle_fill", 1, "map-only + the synthesize spread"),
-    ("redo_v2_roundtrip", 0, "map-only Arrow WAL roundtrip"),
+    ("redo_v2_roundtrip", 1, "map-only WAL roundtrip + scale_out spread"),
     ("domain_stats", 2, "two-phase distinct agg on the domain key"),
     ("dml_event_frames", 1, "per-txn metadata aggregate"),
 ]

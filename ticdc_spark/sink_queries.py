@@ -3107,7 +3107,7 @@ def q_redo_v2_roundtrip(spark, sf_dir):
     from ticdc_spark.queries import _flatten
     from ticdc_spark.sources.changelog import events_changelog
 
-    cl = _flatten(events_changelog(spark, sf_dir))
+    cl = _flatten(scale_out(events_changelog(spark, sf_dir)))
     schema = ("schema_name string, table_name string, table_id long, "
               "op string, commit_ts long, start_ts long, "
               "before_id long, before_val double, before_k long, "
