@@ -3416,6 +3416,172 @@ def q_debezium_avro_roundtrip(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Debezium-Avro WATERMARK wire (`encoder.go:41-49` EncodeCheckpointEvent
+# under debezium-avro, codec/debezium_avro.py:546): the JSON checkpoint
+# envelopes convert through the Connect→Avro path with topic "" so the
+# subject falls back to the message's own schema name
+# (`<cluster>.watermark.Key` / `.Envelope` — debeziumAvroSubject,
+# avro.go:224-232), then decode back purely from the registered schema.
+# The double gate (enable-tidb-extension AND avro-enable-watermark →
+# else skipped) is pinned in tests/test_debezium_avro.py:329.
+# ---------------------------------------------------------------------------
+_DBZ_AVRO_WM_ORACLE = f"""
+WITH {CHANGELOG_SQL},
+wm AS (SELECT (commit_ts - commit_ts % {_WM_INTERVAL}) + {_WM_INTERVAL}
+              AS boundary_ts,
+              max(commit_ts) AS resolved_ts
+       FROM changelog GROUP BY 1)
+SELECT resolved_ts, 'm' AS op,
+       (resolved_ts // 1000)::BIGINT AS ts_ms,
+       resolved_ts AS commit_ts,
+       '' AS db, '' AS tbl,
+       'ticdc-spark' AS cluster_id,
+       0 AS key_fields
+FROM wm
+"""
+
+
+@register("debezium_avro_watermark_roundtrip", _DBZ_AVRO_WM_ORACLE)
+def q_debezium_avro_watermark_roundtrip(spark, sf_dir):
+    import json as _json
+
+    import pandas as pd
+
+    from ticdc_spark.codec.debezium import debezium_watermark_messages
+    from ticdc_spark.codec.debezium_avro import (
+        KEY_SUFFIX,
+        VALUE_SUFFIX,
+        DebeziumAvroCodecCache,
+        encode_debezium_avro_payload,
+        subject_for,
+    )
+    from ticdc_spark.codec.schema_registry import (
+        ConfluentSchemaManager,
+        InMemoryConfluentRegistry,
+        InMemoryTransport,
+    )
+
+    cl = events_changelog(spark, sf_dir)
+    boundary = ((F.col("commit_ts")
+                 - F.col("commit_ts") % _WM_INTERVAL)
+                + F.lit(_WM_INTERVAL)).alias("boundary_ts")
+    wm = (cl.groupBy(boundary)
+          .agg(F.max("commit_ts").alias("resolved_ts"))
+          .select("resolved_ts"))
+    msgs = debezium_watermark_messages(
+        wm, disable_schema=False).select("resolved_ts", "key", "value")
+    schema = ("resolved_ts long, op string, ts_ms long, commit_ts long, "
+              "db string, tbl string, cluster_id string, key_fields int")
+
+    def run(batches):
+        mgr = ConfluentSchemaManager(
+            "http://registry.local",
+            transport=InMemoryTransport(InMemoryConfluentRegistry()))
+        codec = DebeziumAvroCodecCache(mgr)
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                kmsg, vmsg = _json.loads(r.key), _json.loads(r.value)
+                kblob = encode_debezium_avro_payload(
+                    kmsg, "", KEY_SUFFIX, mgr)
+                vblob = encode_debezium_avro_payload(
+                    vmsg, "", VALUE_SUFFIX, mgr)
+                kdec = codec.decode(kblob, subject_for(
+                    "", KEY_SUFFIX, kmsg["schema"]["name"]))
+                vdec = codec.decode(vblob, subject_for(
+                    "", VALUE_SUFFIX, vmsg["schema"]["name"]))
+                p = vdec["payload"]
+                src = p["source"]
+                out.append((r.resolved_ts, p["op"], p["ts_ms"],
+                            src["commit_ts"], src["db"], src["table"],
+                            src["cluster_id"],
+                            len(kdec["payload"] or {})))
+            yield pd.DataFrame(out, columns=[
+                "resolved_ts", "op", "ts_ms", "commit_ts", "db", "tbl",
+                "cluster_id", "key_fields"])
+
+    return msgs.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# Native-Avro NON-ROW events (`encoder.go:105-147` EncodeCheckpointEvent
+# checkpointByte(2)|ts, EncodeDDLEvent ddlByte(1)+JSON doc; consumer
+# dispatch on the magic byte — codec/avro_protocol.py:315-351): the
+# changelog's hour boundaries become checkpoint frames and its distinct
+# tables become DDL frames; both decode back through decode_event.
+# ---------------------------------------------------------------------------
+_AVRO_CP_DDL_ORACLE = f"""
+WITH {CHANGELOG_SQL},
+wm AS (SELECT (commit_ts - commit_ts % {_WM_INTERVAL}) + {_WM_INTERVAL}
+              AS boundary_ts,
+              max(commit_ts) AS resolved_ts
+       FROM changelog GROUP BY 1),
+tabs AS (SELECT schema_name, table_name, max(commit_ts) AS commit_ts
+         FROM changelog GROUP BY 1, 2)
+SELECT 'checkpoint' AS kind, resolved_ts AS ts,
+       NULL::VARCHAR AS query, NULL::VARCHAR AS schema_name,
+       NULL::VARCHAR AS table_name, NULL::INT AS action_type
+FROM wm
+UNION ALL
+SELECT 'ddl' AS kind, commit_ts AS ts,
+       'CREATE TABLE ' || schema_name || '.' || table_name
+       || ' (id BIGINT PRIMARY KEY)' AS query,
+       schema_name, table_name, 3 AS action_type
+FROM tabs
+"""
+
+
+@register("avro_checkpoint_ddl_events", _AVRO_CP_DDL_ORACLE)
+def q_avro_checkpoint_ddl_events(spark, sf_dir):
+    import pandas as pd
+
+    from ticdc_spark.codec.avro_protocol import (
+        decode_event,
+        encode_checkpoint,
+        encode_ddl,
+    )
+
+    cl = events_changelog(spark, sf_dir)
+    boundary = ((F.col("commit_ts")
+                 - F.col("commit_ts") % _WM_INTERVAL)
+                + F.lit(_WM_INTERVAL)).alias("boundary_ts")
+    wm = (cl.groupBy(boundary)
+          .agg(F.max("commit_ts").alias("resolved_ts")))
+    tabs = (cl.groupBy("schema_name", "table_name")
+            .agg(F.max("commit_ts").alias("commit_ts")))
+    out_schema = ("kind string, ts long, query string, "
+                  "schema_name string, table_name string, "
+                  "action_type int")
+
+    def run_cp(batches):
+        for pdf in batches:
+            out = []
+            for ts in pdf["resolved_ts"].tolist():
+                kind, dec = decode_event(encode_checkpoint(int(ts)))
+                out.append((kind, dec, None, None, None, None))
+            yield pd.DataFrame(out, columns=[
+                "kind", "ts", "query", "schema_name", "table_name",
+                "action_type"])
+
+    def run_ddl(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                q = (f"CREATE TABLE {r.schema_name}.{r.table_name}"
+                     " (id BIGINT PRIMARY KEY)")
+                kind, doc = decode_event(encode_ddl(
+                    q, 3, r.schema_name, r.table_name, int(r.commit_ts)))
+                out.append((kind, doc["commitTs"], doc["query"],
+                            doc["schema"], doc["table"], doc["type"]))
+            yield pd.DataFrame(out, columns=[
+                "kind", "ts", "query", "schema_name", "table_name",
+                "action_type"])
+
+    return (wm.select("resolved_ts").mapInPandas(run_cp, out_schema)
+            .unionByName(tabs.mapInPandas(run_ddl, out_schema)))
+
+
+# ---------------------------------------------------------------------------
 # J3/K4 — claim-check through an EXTERNAL store, end-to-end
 # (`pkg/sink/kafka/claimcheck/claim_check.go:74-99`: oversized messages
 # are parked as ClaimCheckMessage ``{"key": b64, "value": b64}`` objects
