@@ -3664,12 +3664,24 @@ def _chunk_case(vals, col="pk"):
             + " END")
 
 
+_CHUNK_ENUM = ("red", "green", "blue")
+_CHUNK_SET = ("a", "b", "c")
+_SET_NAMES = ["", "a", "b", "a,b", "c", "a,c", "b,c", "a,b,c"]
+
 _CHUNK_TYPED_ORACLE = f"""
 WITH {CHANGELOG_SQL}
 SELECT table_id, op, commit_ts, start_ts, pk,
        {_chunk_case(_CHUNK_TXT)} AS txt,
        {{JCASE}} AS j,
-       {_chunk_case(_CHUNK_DEC)} AS dec
+       {_chunk_case(_CHUNK_DEC)} AS dec,
+       (pk % 3 + 1)::BIGINT AS en_ord,
+       CASE CAST(pk % 3 AS INT) {' '.join(
+           f"WHEN {i} THEN '{n}'" for i, n in enumerate(_CHUNK_ENUM))}
+       END AS en,
+       (pk % 8)::BIGINT AS st_mask,
+       CASE CAST(pk % 8 AS INT) {' '.join(
+           f"WHEN {i} THEN '{n}'" for i, n in enumerate(_SET_NAMES))}
+       END AS st
 FROM changelog
 """
 
@@ -3689,9 +3701,11 @@ def q_dml_event_chunk_typed(spark, sf_dir):
         render_json,
     )
     from ticdc_spark.codec.chunk_codec import (
+        TYPE_ENUM,
         TYPE_JSON,
         TYPE_LONGLONG,
         TYPE_NEWDECIMAL,
+        TYPE_SET,
         TYPE_VARCHAR,
         ChunkCodec,
     )
@@ -3715,9 +3729,10 @@ def q_dml_event_chunk_typed(spark, sf_dir):
         "table_id", "pk", "op", "commit_ts", "start_ts", "dml_order",
         "seq"))
     schema = ("table_id long, op string, commit_ts long, start_ts long, "
-              "pk long, txt string, j string, dec string")
+              "pk long, txt string, j string, dec string, "
+              "en_ord long, en string, st_mask long, st string")
     codec = ChunkCodec([TYPE_LONGLONG, TYPE_VARCHAR, TYPE_JSON,
-                        TYPE_NEWDECIMAL])
+                        TYPE_NEWDECIMAL, TYPE_ENUM, TYPE_SET])
     jtexts = _chunk_typed_json_texts()
     jdocs = [json_to_binary(_json.loads(t)) for t in jtexts]
     rt_to_op = {v: k for k, v in OP_TO_ROW_TYPE.items()}
@@ -3732,6 +3747,7 @@ def q_dml_event_chunk_typed(spark, sf_dir):
             out = []
             for table_id, txns in tables:
                 events, pks, txts, js, decs = [], [], [], [], []
+                ens, sts_col = [], []
                 prev = 0
                 for cts, sts, seq_min, lo, hi in txns:
                     rts = []
@@ -3740,11 +3756,20 @@ def q_dml_event_chunk_typed(spark, sf_dir):
                         rts.append(rt)
                         n_phys = 2 if rt == ROW_TYPE_UPDATE else 1
                         for _ in range(n_phys):
-                            m = int(pk_l[i]) % 4
-                            pks.append(int(pk_l[i]))
+                            pk = int(pk_l[i])
+                            m = pk % 4
+                            pks.append(pk)
                             txts.append(_CHUNK_TXT[m])
                             js.append(jdocs[m])
                             decs.append(_CHUNK_DEC[m])
+                            # appendNameValue pairs: enum 1-based
+                            # ordinal + name; SET u64 bitmask + the
+                            # comma-joined members (multi-member masks
+                            # included — codec.go appendNameValue)
+                            ens.append((pk % 3 + 1,
+                                        _CHUNK_ENUM[pk % 3]))
+                            sts_col.append((pk % 8,
+                                            _SET_NAMES[pk % 8]))
                     events.append(DMLEventMeta(
                         dispatcher_id=(table_id, 0),
                         physical_table_id=table_id,
@@ -3757,7 +3782,8 @@ def q_dml_event_chunk_typed(spark, sf_dir):
                 blob = encode_batch_dml_event(
                     BatchDMLEvent(tuple(events),
                                   (tuple(pks), tuple(txts), tuple(js),
-                                   tuple(decs))), codec)
+                                   tuple(decs), tuple(ens),
+                                   tuple(sts_col))), codec)
                 dec_b = decode_batch_dml_event(blob, codec)
                 for idx, rt, pre, post in iter_row_changes(dec_b):
                     ev = dec_b.events[idx]
@@ -3768,10 +3794,12 @@ def q_dml_event_chunk_typed(spark, sf_dir):
                         row[1].decode("utf-8"),
                         render_json(binary_to_json(row[2])),
                         row[3],
+                        row[4][0], row[4][1],
+                        row[5][0], row[5][1],
                     ))
             yield pd.DataFrame(out, columns=[
                 "table_id", "op", "commit_ts", "start_ts", "pk",
-                "txt", "j", "dec"])
+                "txt", "j", "dec", "en_ord", "en", "st_mask", "st"])
 
     return cl.mapInPandas(run, schema)
 
