@@ -143,3 +143,116 @@ def test_sink_uri_params_apply_on_create_override(tmp_path):
     reg._live.clear()
     cf2 = reg.get("cf-uri-params")
     assert cf2.cfg.safe_mode is True and cf2.cfg.max_txn_row == 8
+
+
+# -- round-3 additions: the remaining ReplicaConfig top level ---------------
+
+def test_remaining_top_level_defaults():
+    cfg = parse_changefeed_config("")
+    # replica_config.go:52 PerformanceModeThroughput
+    assert cfg.performance_mode == "throughput"
+    # replica_config.go:55 CheckGCSafePoint=true
+    assert cfg.check_gc_safe_point is True
+    # replica_config.go:58 EnableTableMonitor=false
+    assert cfg.enable_table_monitor is False
+    assert cfg.ignore_ineligible_table is False
+    assert cfg.sql_mode == ""
+    # replica_config.go:122 ChangefeedErrorStuckDuration=30m
+    assert cfg.changefeed_error_stuck_duration_us == 30 * 60 * 1_000_000
+    # replica_config.go:123-126 SyncedStatusConfig{300, 15}
+    assert cfg.synced_check_interval_s == 300
+    assert cfg.synced_checkpoint_interval_s == 15
+    # replica_config.go:63,127-128 active-active defaults
+    assert cfg.enable_active_active is False
+    assert cfg.active_active_progress_interval_us == 30 * 60 * 1_000_000
+    assert cfg.active_active_sync_stats_interval_us == 60 * 1_000_000
+    # mounter.go:17-19 WorkerNum=16
+    assert cfg.mounter_worker_num == 16
+    # consistent defaults (replica_config.go:91-104, redo/config.go)
+    c = cfg.consistent
+    assert c["level"] == "none"
+    assert c["max-log-size"] == 64
+    assert c["flush-interval"] == 2000
+    assert c["meta-flush-interval"] == 200
+    assert c["encoding-worker-num"] == 16
+    assert c["flush-worker-num"] == 8
+    assert c["use-file-backend"] is False
+    assert c["memory-quota-percentage"] == 50
+
+
+def test_consistent_block_parses_and_validates():
+    import pytest
+
+    cfg = parse_changefeed_config(
+        '[consistent]\nlevel = "eventual"\n'
+        'storage = "file:///tmp/redo"\nflush-interval = 100\n'
+        'compression = "lz4"\nuse-file-backend = true\n')
+    c = cfg.consistent
+    assert c["level"] == "eventual" and c["storage"] == "file:///tmp/redo"
+    assert c["flush-interval"] == 100 and c["compression"] == "lz4"
+    assert c["use-file-backend"] is True
+    # zero values take redo defaults when enabled (consistent.go:92-98)
+    cfg2 = parse_changefeed_config(
+        '[consistent]\nlevel = "eventual"\nmax-log-size = 0\n')
+    assert cfg2.consistent["max-log-size"] == 64
+    # validation errors mirror validateAndAdjust
+    with pytest.raises(ValueError, match="consistent.level"):
+        parse_changefeed_config('[consistent]\nlevel = "strict"\n')
+    with pytest.raises(ValueError, match="greater than 50"):
+        parse_changefeed_config(
+            '[consistent]\nlevel = "eventual"\nflush-interval = 10\n')
+    with pytest.raises(ValueError, match="none.*lz4|lz4"):
+        parse_changefeed_config(
+            '[consistent]\nlevel = "eventual"\ncompression = "zstd"\n')
+    # level "none" skips validation entirely (consistent.go:88-90)
+    cfg3 = parse_changefeed_config(
+        '[consistent]\nlevel = "none"\nflush-interval = 10\n')
+    assert cfg3.consistent["flush-interval"] == 10
+
+
+def test_top_level_validation_errors():
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown performance mode"):
+        parse_changefeed_config('performance-mode = "balanced"\n')
+    # low-latency is the other legal mode (replica_config.go:36)
+    assert parse_changefeed_config(
+        'performance-mode = "low-latency"\n'
+    ).performance_mode == "low-latency"
+    # min 30m stuck duration (replica_config.go:42,374-381)
+    with pytest.raises(ValueError, match="1800"):
+        parse_changefeed_config(
+            'changefeed-error-stuck-duration = "10m"\n')
+    assert parse_changefeed_config(
+        'changefeed-error-stuck-duration = "1h"\n'
+    ).changefeed_error_stuck_duration_us == 3600 * 1_000_000
+    # event-collector batch bounds (replica_config.go:384-392)
+    with pytest.raises(ValueError, match="not smaller than 0"):
+        parse_changefeed_config('event-collector-batch-count = -1\n')
+    with pytest.raises(ValueError, match="not larger than 8192"):
+        parse_changefeed_config('event-collector-batch-count = 9000\n')
+    cfg = parse_changefeed_config(
+        'event-collector-batch-count = 0\n'
+        'event-collector-batch-bytes = 1048576\n')
+    assert cfg.event_collector_batch_count == 0
+    assert cfg.event_collector_batch_bytes == 1048576
+
+
+def test_synced_status_and_active_active_blocks():
+    cfg = parse_changefeed_config(
+        'enable-active-active = true\n'
+        'active-active-progress-interval = "1h"\n'
+        'active-active-sync-stats-interval = "30s"\n'
+        'sql-mode = "ANSI_QUOTES"\n'
+        'ignore-ineligible-table = true\n'
+        '[synced-status]\nsynced-check-interval = 120\n'
+        'checkpoint-interval = 20\n'
+        '[mounter]\nworker-num = 8\n')
+    assert cfg.enable_active_active is True
+    assert cfg.active_active_progress_interval_us == 3600 * 1_000_000
+    assert cfg.active_active_sync_stats_interval_us == 30 * 1_000_000
+    assert cfg.sql_mode == "ANSI_QUOTES"
+    assert cfg.ignore_ineligible_table is True
+    assert cfg.synced_check_interval_s == 120
+    assert cfg.synced_checkpoint_interval_s == 20
+    assert cfg.mounter_worker_num == 8

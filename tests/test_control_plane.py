@@ -458,3 +458,38 @@ def test_target_before_start_refused():
 
     with _pytest.raises(ValueError, match="target-ts"):
         parse_changefeed_config("start-ts = 100\ntarget-ts = 50\n")
+
+
+def test_compile_redo_parallel_wal(spark, sf_dir):
+    """[consistent] level=eventual attaches the redo WAL companion
+    (`downstreamadapter/sink/redo` runs beside the sink): same filtered
+    prefix, file names under consistent.storage, record JSON per row;
+    level=none disables it (`redo/config.go:121-123`)."""
+    from ticdc_spark.config import parse_changefeed_config
+    from ticdc_spark.pipeline import compile_redo
+    from ticdc_spark.sources.changelog import events_changelog
+
+    cl = events_changelog(spark, sf_dir)
+    off = parse_changefeed_config("")
+    assert compile_redo(cl, off) is None
+
+    cfg = parse_changefeed_config(
+        '[consistent]\nlevel = "eventual"\n'
+        'storage = "file:///tmp/cdc-redo"\nmax-log-size = 64\n'
+        '[filter]\nrules = ["test.tp_click"]\n')
+    out = compile_redo(cl, cfg)
+    rows = out.select("file_name", "value", "table_name").collect()
+    assert rows and all(
+        r.file_name.startswith("file:///tmp/cdc-redo/") for r in rows)
+    assert all(r.table_name == "tp_click" for r in rows)  # filter applied
+    assert all('"type":"row"' in r.value for r in rows)
+    # max-log-size scales rotation: 128 MB -> half as many files
+    cfg2 = parse_changefeed_config(
+        '[consistent]\nlevel = "eventual"\nmax-log-size = 128\n')
+    files_64 = compile_redo(
+        cl, parse_changefeed_config(
+            '[consistent]\nlevel = "eventual"\n')
+    ).select("file_name").distinct().count()
+    files_128 = compile_redo(cl, cfg2).select(
+        "file_name").distinct().count()
+    assert files_128 <= files_64

@@ -37,6 +37,64 @@ def parse_duration_us(text: str) -> int:
     return total
 
 
+# -- [consistent] (redo) -----------------------------------------------------
+# `pkg/config/consistent.go:28-76` fields; defaults from
+# `pkg/redo/config.go:34-64`; validation mirrors
+# ConsistentConfig.validateAndAdjust (`consistent.go:87-141`).
+_REDO_DEFAULTS = {
+    "level": "none",
+    "max-log-size": 64,            # MB, DefaultMaxLogSize
+    "flush-interval": 2000,        # ms, DefaultFlushIntervalInMs
+    "meta-flush-interval": 200,    # ms, DefaultMetaFlushIntervalInMs
+    "encoding-worker-num": 16,     # DefaultEncodingWorkerNum
+    "flush-worker-num": 8,         # DefaultFlushWorkerNum
+    "storage": "",
+    "use-file-backend": False,
+    "compression": "none",
+    "memory-quota-percentage": 50,
+}
+_REDO_MIN_FLUSH_MS = 50            # MinFlushIntervalInMs
+_MAX_EVENT_COLLECTOR_BATCH = 8192  # `replica_config.go:48`
+
+
+def parse_consistent_config(block: dict | None) -> dict:
+    """[consistent] → normalized dict with reference defaults applied.
+
+    Mirrors `ConsistentConfig.validateAndAdjust`: unknown levels are
+    rejected; when the level is "none" the block passes through with
+    defaults only (the reference skips validation entirely); when
+    enabled, zero values take redo defaults, flush intervals are
+    bounded below by 50 ms, and compression must be none or lz4."""
+    c = {**_REDO_DEFAULTS, **(block or {})}
+    if c["level"] not in ("none", "eventual"):
+        raise ValueError(
+            f"invalid consistent.level {c['level']!r} "
+            "(must be 'none' or 'eventual')")
+    if c["level"] == "none":
+        return c
+    for key in ("max-log-size", "flush-interval", "meta-flush-interval",
+                "encoding-worker-num", "flush-worker-num"):
+        if not c[key]:
+            c[key] = _REDO_DEFAULTS[key]
+    for key in ("flush-interval", "meta-flush-interval"):
+        if c[key] < _REDO_MIN_FLUSH_MS:
+            raise ValueError(
+                f"The consistent.{key}:{c[key]} must be equal or "
+                f"greater than {_REDO_MIN_FLUSH_MS}")
+    if not c["compression"]:
+        c["compression"] = "none"
+    if c["compression"] not in ("none", "lz4"):
+        raise ValueError(
+            f"The consistent.compression:{c['compression']} "
+            "must be 'none' or 'lz4'")
+    bc = c.get("event-collector-batch-count")
+    if bc is not None and not 0 <= bc <= _MAX_EVENT_COLLECTOR_BATCH:
+        raise ValueError(
+            "consistent.event-collector-batch-count must be in "
+            f"[0, {_MAX_EVENT_COLLECTOR_BATCH}], got {bc}")
+    return c
+
+
 def parse_changefeed_config(text: str, fmt: str = "toml") -> ChangefeedConfig:
     doc = tomllib.loads(text) if fmt == "toml" else json.loads(text)
     filt = doc.get("filter", {})
@@ -103,16 +161,64 @@ def parse_changefeed_config(text: str, fmt: str = "toml") -> ChangefeedConfig:
         write_key_threshold=sched.get("write-key-threshold", 0),
         start_ts=int(doc.get("start-ts", 0)),
         target_ts=int(doc.get("target-ts", 0)),
+        performance_mode=doc.get("performance-mode") or "throughput",
+        check_gc_safe_point=doc.get("check-gc-safe-point", True),
+        enable_table_monitor=doc.get("enable-table-monitor", False),
+        ignore_ineligible_table=doc.get("ignore-ineligible-table", False),
+        sql_mode=doc.get("sql-mode", ""),
+        enable_active_active=doc.get("enable-active-active", False),
+        event_collector_batch_count=doc.get("event-collector-batch-count"),
+        event_collector_batch_bytes=doc.get("event-collector-batch-bytes"),
+        mounter_worker_num=(doc.get("mounter") or {}).get("worker-num", 16),
+        consistent=parse_consistent_config(doc.get("consistent")),
     )
     # ErrTargetTsBeforeStartTs (`api/v2/changefeed.go` verification)
     if cfg.target_ts and cfg.start_ts and cfg.target_ts < cfg.start_ts:
         raise ValueError(
             f"target-ts {cfg.target_ts} must be >= start-ts {cfg.start_ts}")
+    # unknown performance mode (`replica_config.go:290-296`)
+    if cfg.performance_mode not in ("throughput", "low-latency"):
+        raise ValueError(
+            f"unknown performance mode: {cfg.performance_mode}")
+    # event-collector batch bounds (`replica_config.go:384-392`;
+    # 0 disables batching)
+    for name, v in (("event-collector-batch-count",
+                     cfg.event_collector_batch_count),
+                    ("event-collector-batch-bytes",
+                     cfg.event_collector_batch_bytes)):
+        if v is not None and v < 0:
+            raise ValueError(f"{name} must be set not smaller than 0")
+    if (cfg.event_collector_batch_count is not None
+            and cfg.event_collector_batch_count
+            > _MAX_EVENT_COLLECTOR_BATCH):
+        raise ValueError(
+            "event-collector-batch-count must be set not larger than "
+            f"{_MAX_EVENT_COLLECTOR_BATCH}")
+    # synced-status thresholds, seconds (`synced_status_config.go`)
+    synced = doc.get("synced-status") or {}
+    cfg.synced_check_interval_s = synced.get("synced-check-interval", 300)
+    cfg.synced_checkpoint_interval_s = synced.get(
+        "checkpoint-interval", 15)
     apply_sink_uri_params(cfg)
     if sync_interval:
         cfg.sync_point_interval_us = parse_duration_us(sync_interval)
     if sync_retention:
         cfg.sync_point_retention_us = parse_duration_us(sync_retention)
+    if (stuck := doc.get("changefeed-error-stuck-duration")) is not None:
+        us = parse_duration_us(stuck)
+        # min 30 minutes (`replica_config.go:42,374-381`)
+        if us < 30 * 60 * 1_000_000:
+            raise ValueError(
+                f"The ChangefeedErrorStuckDuration:{us / 1e6} must be "
+                "larger than 1800 Seconds")
+        cfg.changefeed_error_stuck_duration_us = us
+    for name, attr in (
+            ("active-active-progress-interval",
+             "active_active_progress_interval_us"),
+            ("active-active-sync-stats-interval",
+             "active_active_sync_stats_interval_us")):
+        if (v := doc.get(name)) is not None:
+            setattr(cfg, attr, parse_duration_us(v))
     return cfg
 
 

@@ -134,6 +134,37 @@ class ChangefeedConfig:
     max_txn_row: int = 256       # DefaultMaxTxnRow
     max_message_bytes: int = 10 * 1024 * 1024  # `pkg/config/sink.go:35`
     tidb_extension: bool = False  # enable-tidb-extension
+    # --- remaining ReplicaConfig top level (`replica_config.go:51-128`
+    # defaults; validation `:288-385`) ---
+    # throughput | low-latency (`replica_config.go:35-36`)
+    performance_mode: str = "throughput"
+    check_gc_safe_point: bool = True
+    enable_table_monitor: bool = False
+    ignore_ineligible_table: bool = False
+    # forwarded to DDL normalization/execution downstream (TiDB session
+    # variable); empty = downstream default
+    sql_mode: str = ""
+    # min 30m (`replica_config.go:42,374-381`)
+    changefeed_error_stuck_duration_us: int = 30 * 60 * 1_000_000
+    # [synced-status] seconds (`synced_status_config.go:17-23`,
+    # defaults `replica_config.go:123-126`) — drives GET /synced
+    synced_check_interval_s: int = 300
+    synced_checkpoint_interval_s: int = 15
+    # active-active (`replica_config.go:43-44,127-128`)
+    enable_active_active: bool = False
+    active_active_progress_interval_us: int = 30 * 60 * 1_000_000
+    active_active_sync_stats_interval_us: int = 60 * 1_000_000
+    # event-collector batching; 0 disables, cap 8192
+    # (`replica_config.go:48,384-392`)
+    event_collector_batch_count: int | None = None
+    event_collector_batch_bytes: int | None = None
+    # [mounter] decode parallelism hint (`pkg/config/mounter.go:17`);
+    # on Spark the actual parallelism is the scan/shuffle partitioning —
+    # carried for config parity and used as the Arrow batch hint
+    mounter_worker_num: int = 16
+    # [consistent] — redo log; normalized + validated by
+    # config.parse_consistent_config (None = level "none")
+    consistent: dict | None = None
 
 
 def apply_replication_window(cl: DataFrame,
@@ -347,6 +378,40 @@ def compile_changefeed(cl: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
     if scheme in DB_SCHEMES or scheme in STORAGE_SCHEMES:
         return compile_sink_tail(build_pipeline_uncoded(cl, cfg), cfg)
     raise ValueError(f"unknown sink scheme: {scheme} (uri: {cfg.sink_uri})")
+
+
+def compile_redo(cl: DataFrame, cfg: ChangefeedConfig) -> DataFrame | None:
+    """[consistent] redo-log companion of ``compile_changefeed``.
+
+    The reference runs the redo writer IN PARALLEL with the sink
+    (`downstreamadapter/sink/redo`): every filtered row is also
+    appended to redo log files under ``consistent.storage`` before the
+    checkpoint may advance.  Here that is a second DataFrame over the
+    same filtered prefix — rows with their redo file assignment and
+    record JSON, paths prefixed by the configured storage.  Returns
+    ``None`` when the level is "none" (feature disabled).
+
+    Rotation: the reference rotates at ``max-log-size`` MB
+    (`pkg/redo/writer/file/file.go`); the row-count model scales
+    rows-per-file linearly with the configured size (64 MB default =
+    4096 rows at the testdata's ~16 KB record ceiling).
+    """
+    from pyspark.sql import functions as F
+
+    from ticdc_spark.sinks.redo import redo_log_files
+
+    consistent = cfg.consistent or {}
+    if consistent.get("level", "none") == "none":
+        return None
+    storage = consistent.get("storage", "") or ""
+    rows_per_file = max(1, 4096 * consistent.get("max-log-size", 64) // 64)
+    out = redo_log_files(build_pipeline_uncoded(cl, cfg),
+                         rows_per_file=rows_per_file)
+    if storage:
+        prefix = storage if storage.endswith("/") else storage + "/"
+        out = out.withColumn(
+            "file_name", F.concat(F.lit(prefix), F.col("file_name")))
+    return out
 
 
 def build_pipeline_uncoded(cl: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
