@@ -256,3 +256,28 @@ def test_synced_status_and_active_active_blocks():
     assert cfg.synced_check_interval_s == 120
     assert cfg.synced_checkpoint_interval_s == 20
     assert cfg.mounter_worker_num == 8
+
+
+def test_sink_subblock_toggles_parse():
+    # defaults (`replica_config.go:80,87-89`)
+    cfg = parse_changefeed_config("")
+    assert cfg.open_output_old_value is True
+    assert cfg.debezium_output_old_value is True
+    assert cfg.debezium_disable_schema is False
+    assert cfg.content_compatible is False
+    assert cfg.large_message_handle is None
+    cfg = parse_changefeed_config(
+        '[sink]\ncontent-compatible = true\n'
+        'debezium-disable-schema = true\n'
+        '[sink.open]\noutput-old-value = false\n'
+        '[sink.debezium]\noutput-old-value = false\n'
+        '[sink.kafka-config.large-message-handle]\n'
+        'large-message-handle-option = "claim-check"\n'
+        'claim-check-storage-uri = "file:///tmp/claim"\n')
+    assert cfg.open_output_old_value is False
+    assert cfg.debezium_output_old_value is False
+    assert cfg.debezium_disable_schema is True
+    assert cfg.content_compatible is True
+    assert cfg.large_message_handle == {
+        "large-message-handle-option": "claim-check",
+        "claim-check-storage-uri": "file:///tmp/claim"}

@@ -493,3 +493,39 @@ def test_compile_redo_parallel_wal(spark, sf_dir):
     files_128 = compile_redo(cl, cfg2).select(
         "file_name").distinct().count()
     assert files_128 <= files_64
+
+
+def test_sink_subblock_toggles_reach_encoders(spark, sf_dir):
+    """[sink.open]/[sink.debezium] output-old-value,
+    debezium-disable-schema, and content-compatible flow from TOML to
+    the wire (`open/codec.go:85`, `debezium/codec.go:1122`,
+    `canal_json_encoder.go:250`)."""
+    from ticdc_spark.config import parse_changefeed_config
+    from ticdc_spark.pipeline import build_pipeline
+    from ticdc_spark.sources.changelog import events_changelog
+
+    cl = events_changelog(spark, sf_dir)
+
+    def vals(toml, like=None):
+        df = build_pipeline(cl, parse_changefeed_config(toml)).select("value")
+        return df.filter(f"value like '{like}'") if like else df
+
+    # open-protocol updates carry "p" by default, not when disabled
+    assert vals('[sink]\nprotocol = "open-protocol"\n',
+                '%"p":%').count() > 0
+    assert vals('[sink]\nprotocol = "open-protocol"\n'
+                '[sink.open]\noutput-old-value = false\n',
+                '%"p":%').count() == 0
+    # debezium default = full envelope WITH schema (replica_config.go:87)
+    assert '"schema":' in vals(
+        '[sink]\nprotocol = "debezium"\n').first().value
+    # disable-schema + output-old-value=false: update rows lose before
+    row = vals('[sink]\nprotocol = "debezium"\n'
+               'debezium-disable-schema = true\n'
+               '[sink.debezium]\noutput-old-value = false\n',
+               '%"op":"u"%').first()
+    assert '"schema":' not in row.value and '"before":' not in row.value
+    # content-compatible canal: display-width integer descriptors
+    assert 'bigint(20)' in vals(
+        '[sink]\nprotocol = "canal-json"\ncontent-compatible = true\n'
+    ).first().value

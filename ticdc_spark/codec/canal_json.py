@@ -29,6 +29,26 @@ _JAVA_TYPE = {"long": -5, "bigint": -5, "double": 8, "string": 12,
 _MYSQL_TYPE = {"long": "bigint", "bigint": "bigint", "double": "double",
                "string": "varchar", "date": "date", "timestamp": "datetime"}
 
+# content-compatible mysqlType descriptors (`canal_json_encoder.go:250`
+# getMySQLType full form): signed integer display widths are the MySQL
+# defaults and derivable from the Spark dtype; non-integer types keep
+# their bare names (the width lives in the upstream DDL, which typed
+# callers pass via ``type_overrides``).
+_MYSQL_FULL_DESC = {"long": "bigint(20)", "bigint": "bigint(20)",
+                    "double": "double", "string": "varchar",
+                    "date": "date", "timestamp": "datetime"}
+
+
+def content_compatible_overrides(
+        schema: StructType) -> dict[str, tuple[int, str]]:
+    """content-compatible-enable: per-column (JavaSQLType, full mysql
+    descriptor) overrides derived from the Spark schema."""
+    return {
+        f.name: (_JAVA_TYPE[f.dataType.simpleString()],
+                 _MYSQL_FULL_DESC[f.dataType.simpleString()])
+        for f in schema.fields
+    }
+
 
 def _image_json(image: str, schema: StructType) -> Column:
     """``[{"col": "v", ...}]`` — single-row array, canal data/old shape."""

@@ -36,7 +36,12 @@ def _image_obj(image: str, schema: StructType) -> Column:
     return F.when(F.col(image).isNotNull(), F.concat(*parts)).otherwise(F.lit("null"))
 
 
-def encode_debezium(cl: DataFrame, connector: str = "ticdc-spark") -> DataFrame:
+def encode_debezium(cl: DataFrame, connector: str = "ticdc-spark",
+                    output_old_value: bool = True) -> DataFrame:
+    """``output_old_value=False`` ([sink.debezium] output-old-value,
+    default true per `replica_config.go:89`) skips the ``before`` field
+    for UPDATEs only (`debezium/codec.go:1122-1124`); deletes keep
+    their before image."""
     schema: StructType = cl.schema["after"].dataType
     dbz_op = (
         F.when(F.col("op") == "I", F.lit("c"))
@@ -52,10 +57,15 @@ def encode_debezium(cl: DataFrame, connector: str = "ticdc-spark") -> DataFrame:
         F.col("commit_ts").cast("string"),
         F.lit("}"),
     )
+    before_seg = F.concat(
+        F.lit('"before":'), _image_obj("before", schema), F.lit(","))
+    if not output_old_value:
+        before_seg = F.when(
+            F.col("op") == "U", F.lit("")).otherwise(before_seg)
     value = F.concat(
-        F.lit('{"before":'),
-        _image_obj("before", schema),
-        F.lit(',"after":'),
+        F.lit("{"),
+        before_seg,
+        F.lit('"after":'),
         _image_obj("after", schema),
         F.lit(',"source":'),
         source,
@@ -254,6 +264,7 @@ def encode_debezium_full(
     mysql_types: dict[str, str] | None = None,
     pk_fields: tuple[str, ...] = ("id",),
     disable_schema: bool = True,
+    output_old_value: bool = True,
 ) -> DataFrame:
     """Reference-exact value message: ``{"payload":{source, ts_ms,
     transaction, op, before, after}[, "schema":{...}]}``.
@@ -300,11 +311,17 @@ def encode_debezium_full(
         _image_obj("before", schema))
     after = F.when(F.col("op") == "D", F.lit("null")).otherwise(
         _image_obj("after", schema))
+    before_seg = F.concat(F.lit(',"before":'), before)
+    if not output_old_value:
+        # DebeziumOutputOldValue=false skips before for UPDATEs only
+        # (`debezium/codec.go:1122-1124`)
+        before_seg = F.when(
+            F.col("op") == "U", F.lit("")).otherwise(before_seg)
     payload = F.concat(
         F.lit('{"source":'), source,
         F.lit(',"ts_ms":'), ms,
-        F.lit(',"transaction":null,"op":"'), dbz_op,
-        F.lit('","before":'), before,
+        F.lit(',"transaction":null,"op":"'), dbz_op, F.lit('"'),
+        before_seg,
         F.lit(',"after":'), after,
         F.lit("}"),
     )

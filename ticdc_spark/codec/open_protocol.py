@@ -50,13 +50,26 @@ def open_protocol_key() -> Column:
     )
 
 
-def encode_open_protocol(cl: DataFrame) -> DataFrame:
+def encode_open_protocol(cl: DataFrame,
+                         output_old_value: bool = True) -> DataFrame:
+    """Updates carry BOTH images by default: ``"u"`` (new row) then
+    ``"p"`` (pre row) per `open/codec.go:77-96` under
+    ``OpenOutputOldValue`` — the reference default
+    (`replica_config.go:88` OpenProtocolConfig{OutputOldValue: true}).
+    ``output_old_value=False`` ([sink.open] output-old-value) drops
+    ``"p"``; the consumer then reconstructs deletes-by-key only."""
     schema: StructType = cl.schema["after"].dataType
     key = open_protocol_key()
     upsert = _image_obj("after", schema)
     delete = _image_obj("before", schema)
+    if output_old_value:
+        update = F.concat(F.lit('{"u":'), upsert,
+                          F.lit(',"p":'), delete, F.lit("}"))
+    else:
+        update = F.concat(F.lit('{"u":'), upsert, F.lit("}"))
     value = (
         F.when(F.col("op") == "D", F.concat(F.lit('{"d":'), delete, F.lit("}")))
+        .when(F.col("op") == "U", update)
         .otherwise(F.concat(F.lit('{"u":'), upsert, F.lit("}")))
     )
     return cl.withColumn("key", key).withColumn("value", value)

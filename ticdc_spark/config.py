@@ -171,7 +171,20 @@ def parse_changefeed_config(text: str, fmt: str = "toml") -> ChangefeedConfig:
         event_collector_batch_bytes=doc.get("event-collector-batch-bytes"),
         mounter_worker_num=(doc.get("mounter") or {}).get("worker-num", 16),
         consistent=parse_consistent_config(doc.get("consistent")),
+        # [sink.open]/[sink.debezium] sub-blocks (`sink.go:88-89`
+        # defaults OutputOldValue: true)
+        open_output_old_value=(sink.get("open") or {}).get(
+            "output-old-value", True),
+        debezium_output_old_value=(sink.get("debezium") or {}).get(
+            "output-old-value", True),
+        debezium_disable_schema=sink.get("debezium-disable-schema", False),
+        content_compatible=sink.get("content-compatible", False),
     )
+    # [sink.kafka-config] large-message-handle
+    # (`pkg/config/large_message.go:22-35`)
+    lm = (sink.get("kafka-config") or {}).get("large-message-handle")
+    if lm:
+        cfg.large_message_handle = dict(lm)
     # ErrTargetTsBeforeStartTs (`api/v2/changefeed.go` verification)
     if cfg.target_ts and cfg.start_ts and cfg.target_ts < cfg.start_ts:
         raise ValueError(

@@ -165,6 +165,18 @@ class ChangefeedConfig:
     # [consistent] — redo log; normalized + validated by
     # config.parse_consistent_config (None = level "none")
     consistent: dict | None = None
+    # [sink.open] / [sink.debezium] output-old-value — both default
+    # true (`replica_config.go:88-89`); false drops the pre image from
+    # UPDATE messages
+    open_output_old_value: bool = True
+    debezium_output_old_value: bool = True
+    # debezium-disable-schema (`replica_config.go:87` default false →
+    # the Connect schema envelope IS included by default)
+    debezium_disable_schema: bool = False
+    # content-compatible (`replica_config.go:80`): canal-json mysqlType
+    # carries the display-width descriptor official canal consumers
+    # parse (`canal_json_encoder.go:250`)
+    content_compatible: bool = False
 
 
 def apply_replication_window(cl: DataFrame,
@@ -197,10 +209,32 @@ def _encode(df: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
             quote=c.get("quote", '"') or None,  # "" selects escape mode
             terminator=cfg.terminator,  # per-message, csv/txt only
         )
-    if cfg.protocol == "canal-json" and cfg.tidb_extension:
-        from ticdc_spark.codec.canal_json import encode_canal_json
+    if cfg.protocol == "canal-json" and (
+            cfg.tidb_extension or cfg.content_compatible):
+        from ticdc_spark.codec.canal_json import (
+            content_compatible_overrides,
+            encode_canal_json,
+        )
 
-        return encode_canal_json(df, tidb_extension=True)
+        overrides = (content_compatible_overrides(
+            df.schema["after"].dataType) if cfg.content_compatible
+            else None)
+        return encode_canal_json(df, tidb_extension=cfg.tidb_extension,
+                                 type_overrides=overrides)
+    if cfg.protocol == "open-protocol":
+        return encode_open_protocol(
+            df, output_old_value=cfg.open_output_old_value)
+    if cfg.protocol == "debezium":
+        if not cfg.debezium_disable_schema:
+            # reference default: the Connect schema envelope rides
+            # every message (`replica_config.go:87`)
+            from ticdc_spark.codec.debezium import encode_debezium_full
+
+            return encode_debezium_full(
+                df, disable_schema=False,
+                output_old_value=cfg.debezium_output_old_value)
+        return encode_debezium(
+            df, output_old_value=cfg.debezium_output_old_value)
     if cfg.protocol == "simple" and cfg.encoding_format == "avro":
         # [sink.codec] encoding-format (pkg/config/sink.go:456): the
         # simple protocol's second wire shape

@@ -91,6 +91,8 @@ _OPEN_KEY_SQL = (
 )
 _OPEN_VALUE_SQL = (
     "CASE WHEN op = 'D' THEN '{\"d\":' || " + _OP_IMG.format(img="before")
+    + " || '}' WHEN op = 'U' THEN '{\"u\":' || " + _OP_IMG.format(img="after")
+    + " || ',\"p\":' || " + _OP_IMG.format(img="before")
     + " || '}' ELSE '{\"u\":' || " + _OP_IMG.format(img="after") + " || '}' END"
 )
 

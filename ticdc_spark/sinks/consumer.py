@@ -156,7 +156,8 @@ _OPEN_IMG = T.StructType([
     for n in ("id", "val", "k")
 ])
 _OPEN_VALUE_SCHEMA = T.StructType([
-    T.StructField("u", _OPEN_IMG), T.StructField("d", _OPEN_IMG)
+    T.StructField("u", _OPEN_IMG), T.StructField("p", _OPEN_IMG),
+    T.StructField("d", _OPEN_IMG),
 ])
 
 
@@ -189,9 +190,14 @@ def decode_open_protocol(messages: DataFrame, key_col: str = "key",
         F.col("_k.tbl").alias("table_name"),
         op.alias("op"),
         F.col("_k.ts").alias("commit_ts"),
-        F.when(op == "D", field("d", "id", "long")).alias("before_id"),
-        F.when(op == "D", field("d", "val", "double")).alias("before_val"),
-        F.when(op == "D", field("d", "k", "long")).alias("before_k"),
+        # "p" carries the pre image for updates under OutputOldValue
+        # (`open/decoder.go:565`: PreColumns nil when disabled)
+        F.when(op == "D", field("d", "id", "long"))
+        .otherwise(field("p", "id", "long")).alias("before_id"),
+        F.when(op == "D", field("d", "val", "double"))
+        .otherwise(field("p", "val", "double")).alias("before_val"),
+        F.when(op == "D", field("d", "k", "long"))
+        .otherwise(field("p", "k", "long")).alias("before_k"),
         F.when(op == "U", field("u", "id", "long")).alias("after_id"),
         F.when(op == "U", field("u", "val", "double")).alias("after_val"),
         F.when(op == "U", field("u", "k", "long")).alias("after_k"),
