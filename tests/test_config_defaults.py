@@ -281,3 +281,41 @@ def test_sink_subblock_toggles_parse():
     assert cfg.large_message_handle == {
         "large-message-handle-option": "claim-check",
         "claim-check-storage-uri": "file:///tmp/claim"}
+
+
+def test_avro_sink_fields_parse_and_validate():
+    import pytest
+
+    cfg = parse_changefeed_config("")
+    assert cfg.avro_enable_watermark is False
+    assert cfg.avro_decimal_handling_mode == "precise"
+    assert cfg.avro_bigint_unsigned_handling_mode == "long"
+    assert cfg.schema_registry == ""
+    cfg = parse_changefeed_config(
+        '[sink]\navro-enable-watermark = true\n'
+        'avro-decimal-handling-mode = "string"\n'
+        'avro-bigint-unsigned-handling-mode = "string"\n'
+        'schema-registry = "http://registry:8081"\n')
+    assert cfg.avro_enable_watermark is True
+    assert cfg.avro_decimal_handling_mode == "string"
+    assert cfg.avro_bigint_unsigned_handling_mode == "string"
+    assert cfg.schema_registry == "http://registry:8081"
+    with pytest.raises(ValueError, match="avro-decimal-handling-mode"):
+        parse_changefeed_config(
+            '[sink]\navro-decimal-handling-mode = "exact"\n')
+    with pytest.raises(ValueError,
+                       match="avro-bigint-unsigned-handling-mode"):
+        parse_changefeed_config(
+            '[sink]\navro-bigint-unsigned-handling-mode = "decimal"\n')
+    # URI form params override (`codec/common/config.go:173-181`)
+    cfg = parse_changefeed_config(
+        'sink-uri = "kafka://b:9092/t?protocol=avro'
+        '&avro-enable-watermark=true'
+        '&avro-decimal-handling-mode=string&schema-registry=http%3A%2F%2Fr"\n')
+    assert cfg.protocol == "avro"
+    assert cfg.avro_enable_watermark is True
+    assert cfg.avro_decimal_handling_mode == "string"
+    assert cfg.schema_registry == "http://r"
+    with pytest.raises(ValueError, match="avro-decimal-handling-mode"):
+        parse_changefeed_config(
+            'sink-uri = "kafka://b:9092/t?avro-decimal-handling-mode=x"\n')

@@ -529,3 +529,26 @@ def test_sink_subblock_toggles_reach_encoders(spark, sf_dir):
     assert 'bigint(20)' in vals(
         '[sink]\nprotocol = "canal-json"\ncontent-compatible = true\n'
     ).first().value
+
+
+def test_avro_watermark_double_gate_through_pipeline(spark, sf_dir):
+    """avro DELETE framing flips tombstone → 9-byte
+    deleteByte(3)|commitTs marker only under BOTH enable-tidb-extension
+    and avro-enable-watermark (`avro/encoder.go` EncodeRowChangedEvent
+    delete branch), driven from sink-URI form params."""
+    import pyspark.sql.functions as F
+
+    from ticdc_spark.config import parse_changefeed_config
+    from ticdc_spark.pipeline import build_pipeline
+    from ticdc_spark.sources.changelog import events_changelog
+
+    cl = events_changelog(spark, sf_dir)
+    one_gate = build_pipeline(cl, parse_changefeed_config(
+        '[sink]\nprotocol = "avro"\navro-enable-watermark = true\n'))
+    assert one_gate.filter(F.length("value") == 9).count() == 0
+    assert one_gate.filter("value is null").count() > 0  # tombstones
+    both = build_pipeline(cl, parse_changefeed_config(
+        'sink-uri = "kafka://b:9092/t?protocol=avro'
+        '&enable-tidb-extension=true&avro-enable-watermark=true"\n'))
+    assert both.filter(F.length("value") == 9).count() > 0
+    assert both.filter("value is null").count() == 0

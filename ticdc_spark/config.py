@@ -179,7 +179,24 @@ def parse_changefeed_config(text: str, fmt: str = "toml") -> ChangefeedConfig:
             "output-old-value", True),
         debezium_disable_schema=sink.get("debezium-disable-schema", False),
         content_compatible=sink.get("content-compatible", False),
+        # avro sink fields (`sink.go:147-149,453-455`; codec defaults
+        # `codec/common/config.go:130-132`)
+        avro_enable_watermark=sink.get("avro-enable-watermark", False),
+        avro_decimal_handling_mode=sink.get(
+            "avro-decimal-handling-mode") or "precise",
+        avro_bigint_unsigned_handling_mode=sink.get(
+            "avro-bigint-unsigned-handling-mode") or "long",
+        schema_registry=sink.get("schema-registry", ""),
     )
+    # avro handling-mode validation (`codec/common/config.go:414-421`)
+    if cfg.avro_decimal_handling_mode not in ("precise", "string"):
+        raise ValueError(
+            "avro-decimal-handling-mode must be 'precise' or 'string', "
+            f"got {cfg.avro_decimal_handling_mode!r}")
+    if cfg.avro_bigint_unsigned_handling_mode not in ("long", "string"):
+        raise ValueError(
+            "avro-bigint-unsigned-handling-mode must be 'long' or "
+            f"'string', got {cfg.avro_bigint_unsigned_handling_mode!r}")
     # [sink.kafka-config] large-message-handle
     # (`pkg/config/large_message.go:22-35`)
     lm = (sink.get("kafka-config") or {}).get("large-message-handle")
@@ -291,3 +308,24 @@ def apply_sink_uri_params(cfg) -> None:
         cfg.tidb_extension = q["enable-tidb-extension"].lower() == "true"
     if "transaction-atomicity" in q:
         cfg.transaction_atomicity = q["transaction-atomicity"]
+    # avro form params (`codec/common/config.go:173-181,224-229`)
+    if "avro-enable-watermark" in q:
+        cfg.avro_enable_watermark = (
+            q["avro-enable-watermark"].lower() == "true")
+    if q.get("avro-decimal-handling-mode"):
+        if q["avro-decimal-handling-mode"] not in ("precise", "string"):
+            raise ValueError(
+                "avro-decimal-handling-mode must be 'precise' or "
+                f"'string', got {q['avro-decimal-handling-mode']!r}")
+        cfg.avro_decimal_handling_mode = q["avro-decimal-handling-mode"]
+    if q.get("avro-bigint-unsigned-handling-mode"):
+        if q["avro-bigint-unsigned-handling-mode"] not in (
+                "long", "string"):
+            raise ValueError(
+                "avro-bigint-unsigned-handling-mode must be 'long' or "
+                f"'string', got "
+                f"{q['avro-bigint-unsigned-handling-mode']!r}")
+        cfg.avro_bigint_unsigned_handling_mode = (
+            q["avro-bigint-unsigned-handling-mode"])
+    if q.get("schema-registry"):
+        cfg.schema_registry = q["schema-registry"]

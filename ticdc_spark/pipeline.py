@@ -177,6 +177,14 @@ class ChangefeedConfig:
     # carries the display-width descriptor official canal consumers
     # parse (`canal_json_encoder.go:250`)
     content_compatible: bool = False
+    # avro sink fields (`sink.go:147-149,453-455`; codec defaults
+    # `codec/common/config.go:130-132`): watermark gate changes DELETE
+    # framing (tombstone vs 9-byte marker), handling modes select the
+    # schema forms in codec/avro_protocol.mysql_col
+    avro_enable_watermark: bool = False
+    avro_decimal_handling_mode: str = "precise"   # precise | string
+    avro_bigint_unsigned_handling_mode: str = "long"  # long | string
+    schema_registry: str = ""  # "" = per-partition in-memory registry
 
 
 def apply_replication_window(cl: DataFrame,
@@ -224,6 +232,12 @@ def _encode(df: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
     if cfg.protocol == "open-protocol":
         return encode_open_protocol(
             df, output_old_value=cfg.open_output_old_value)
+    if cfg.protocol == "avro":
+        from ticdc_spark.codec.avro_protocol import encode_avro_binary_df
+
+        return encode_avro_binary_df(
+            df, tidb_extension=cfg.tidb_extension,
+            avro_enable_watermark=cfg.avro_enable_watermark)
     if cfg.protocol == "debezium":
         if not cfg.debezium_disable_schema:
             # reference default: the Connect schema envelope rides
