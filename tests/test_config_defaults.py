@@ -319,3 +319,39 @@ def test_avro_sink_fields_parse_and_validate():
     with pytest.raises(ValueError, match="avro-decimal-handling-mode"):
         parse_changefeed_config(
             'sink-uri = "kafka://b:9092/t?avro-decimal-handling-mode=x"\n')
+
+
+def test_bootstrap_and_cloud_storage_config():
+    import pytest
+
+    cfg = parse_changefeed_config("")
+    # sink.go:36-37,87-96 defaults
+    assert cfg.send_bootstrap_interval_s == 120
+    assert cfg.send_bootstrap_in_msg_count == 10_000
+    assert cfg.send_bootstrap_to_all_partition is True
+    assert cfg.send_all_bootstrap_at_start is False
+    assert cfg.advance_timeout_s == 150
+    # cloudstorage/config.go:38-60 defaults
+    c = cfg.cloud_storage_config
+    assert c["flush-interval"] == "5s"
+    assert c["file-size"] == 64 * 1024 * 1024
+    assert c["output-column-id"] is False
+    assert c["file-expiration-days"] == 0
+    cfg = parse_changefeed_config(
+        '[sink]\nsend-bootstrap-interval-in-sec = 30\n'
+        'send-all-bootstrap-at-start = true\n'
+        'advance-timeout-in-sec = 300\n'
+        '[sink.cloud-storage-config]\nflush-interval = "10s"\n'
+        'file-size = 134217728\nfile-expiration-days = 7\n')
+    assert cfg.send_bootstrap_interval_s == 30
+    assert cfg.send_all_bootstrap_at_start is True
+    assert cfg.advance_timeout_s == 300
+    assert cfg.cloud_storage_config["file-size"] == 134217728
+    assert cfg.cloud_storage_config["file-expiration-days"] == 7
+    # bounds (`cloudstorage/config.go:38-57`)
+    with pytest.raises(ValueError, match="flush-interval"):
+        parse_changefeed_config(
+            '[sink.cloud-storage-config]\nflush-interval = "50ms"\n')
+    with pytest.raises(ValueError, match="file-size"):
+        parse_changefeed_config(
+            '[sink.cloud-storage-config]\nfile-size = 512\n')

@@ -95,6 +95,36 @@ def parse_consistent_config(block: dict | None) -> dict:
     return c
 
 
+# -- [sink.cloud-storage-config] --------------------------------------------
+# `pkg/config/sink.go:733-740`; defaults and bounds from
+# `pkg/cloudstorage/config.go:38-60`.
+_STORAGE_DEFAULTS = {
+    "flush-interval": "5s",        # [100ms, 10m]
+    "file-size": 64 * 1024 * 1024,  # [1 KB, 512 MB]
+    "output-column-id": False,
+    "file-expiration-days": 0,     # 0 = never expire
+    "file-cleanup-cron-spec": "0 0 2 * * *",
+    "flush-concurrency": 1,
+}
+
+
+def parse_cloud_storage_config(block: dict | None) -> dict:
+    """[sink.cloud-storage-config] → normalized dict with reference
+    defaults and the cloudstorage bounds applied."""
+    c = {**_STORAGE_DEFAULTS, **(block or {})}
+    iv = parse_duration_us(c["flush-interval"])
+    if not 100_000 <= iv <= 600 * 1_000_000:
+        raise ValueError(
+            f"flush-interval {c['flush-interval']!r} must be in "
+            "[100ms, 10m]")
+    if not 1024 <= c["file-size"] <= 512 * 1024 * 1024:
+        raise ValueError(
+            f"file-size {c['file-size']} must be in [1024, {512<<20}]")
+    if c["file-expiration-days"] < 0:
+        raise ValueError("file-expiration-days must be >= 0")
+    return c
+
+
 def parse_changefeed_config(text: str, fmt: str = "toml") -> ChangefeedConfig:
     doc = tomllib.loads(text) if fmt == "toml" else json.loads(text)
     filt = doc.get("filter", {})
@@ -187,6 +217,18 @@ def parse_changefeed_config(text: str, fmt: str = "toml") -> ChangefeedConfig:
         avro_bigint_unsigned_handling_mode=sink.get(
             "avro-bigint-unsigned-handling-mode") or "long",
         schema_registry=sink.get("schema-registry", ""),
+        # bootstrap knobs + sink watchdog (`sink.go:36-37,87-96`)
+        send_bootstrap_interval_s=sink.get(
+            "send-bootstrap-interval-in-sec", 120),
+        send_bootstrap_in_msg_count=sink.get(
+            "send-bootstrap-in-msg-count", 10_000),
+        send_bootstrap_to_all_partition=sink.get(
+            "send-bootstrap-to-all-partition", True),
+        send_all_bootstrap_at_start=sink.get(
+            "send-all-bootstrap-at-start", False),
+        advance_timeout_s=sink.get("advance-timeout-in-sec", 150),
+        cloud_storage_config=parse_cloud_storage_config(
+            sink.get("cloud-storage-config")),
     )
     # avro handling-mode validation (`codec/common/config.go:414-421`)
     if cfg.avro_decimal_handling_mode not in ("precise", "string"):

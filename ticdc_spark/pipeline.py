@@ -185,6 +185,16 @@ class ChangefeedConfig:
     avro_decimal_handling_mode: str = "precise"   # precise | string
     avro_bigint_unsigned_handling_mode: str = "long"  # long | string
     schema_registry: str = ""  # "" = per-partition in-memory registry
+    # simple-protocol bootstrap knobs (`sink.go:87-96` defaults)
+    send_bootstrap_interval_s: int = 120
+    send_bootstrap_in_msg_count: int = 10_000
+    send_bootstrap_to_all_partition: bool = True
+    send_all_bootstrap_at_start: bool = False
+    # advance-timeout-in-sec (`sink.go:36-37`): sink-stall watchdog
+    advance_timeout_s: int = 150
+    # [sink.cloud-storage-config] — normalized + validated by
+    # config.parse_cloud_storage_config (None = defaults)
+    cloud_storage_config: dict | None = None
 
 
 def apply_replication_window(cl: DataFrame,
@@ -398,10 +408,18 @@ def compile_sink_tail(df: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
         from ticdc_spark.sinks.storage import storage_paths
 
         ext = "csv" if cfg.protocol == "csv" else "json"
+        # rotation scales with [sink.cloud-storage-config] file-size
+        # (`pkg/cloudstorage/config.go:50-57`; 64 MB default = 4096
+        # rows at the testdata's ~16 KB record ceiling — the same
+        # row-count model the redo writer uses for max-log-size)
+        storage = cfg.cloud_storage_config or {}
+        file_size = storage.get("file-size", 64 * 1024 * 1024)
+        rows_per_file = max(1, 4096 * file_size // (64 * 1024 * 1024))
         return storage_paths(
             _encode(df, cfg),
             date_separator=cfg.date_separator,
             extension=ext,
+            rows_per_file=rows_per_file,
             file_index_width=cfg.file_index_width,
         )
     raise ValueError(f"no sink tail for scheme: {scheme} (uri: {cfg.sink_uri})")
