@@ -109,13 +109,28 @@ def test_status_synced_and_gc_safepoint_after_run(api, spark, sf_dir):
     assert st == 200 and status["checkpoint_ts"] is not None
     assert status["rows"] > 0 and status["epochs"] > 0  # statistics
     ckpt = status["checkpoint_ts"]
-    # synced: caught up vs a resolved ts at/below the checkpoint, not above
+    # synced branches (`api/v2/changefeed.go:1658-1730`, default
+    # intervals 300s/15s): sink idle long enough AND checkpoint fresh
+    ckpt_ms = ckpt // 1000
     st, s = _req(f"{base}/api/v2/changefeeds/cf-run/synced",
-                 headers={"X-Resolved-Ts": str(ckpt)})
+                 headers={"X-Resolved-Ts": str(ckpt),
+                          "X-Last-Synced-Ts": str(ckpt - 400 * 1_000_000),
+                          "X-Now-Ts": str(ckpt_ms + 10_000)})
     assert st == 200 and s["synced"] is True
+    assert s["info"] == "The data syncing is finished"
+    # recent last-synced -> still replicating
     st, s = _req(f"{base}/api/v2/changefeeds/cf-run/synced",
-                 headers={"X-Resolved-Ts": str(ckpt + 1)})
-    assert s["synced"] is False
+                 headers={"X-Resolved-Ts": str(ckpt),
+                          "X-Last-Synced-Ts": str(ckpt),
+                          "X-Now-Ts": str(ckpt_ms + 10_000)})
+    assert s["synced"] is False and "not finished" in s["info"]
+    # idle but checkpoint stale with a small resolved-checkpoint gap
+    # -> the check-PD message branch
+    st, s = _req(f"{base}/api/v2/changefeeds/cf-run/synced",
+                 headers={"X-Resolved-Ts": str(ckpt),
+                          "X-Last-Synced-Ts": str(ckpt - 400 * 1_000_000),
+                          "X-Now-Ts": str(ckpt_ms + 60_000)})
+    assert s["synced"] is False and "PD is online" in s["info"]
     # GC safepoint = min checkpoint over live changefeeds
     assert reg.gc_safepoint() == ckpt
     # a second, never-run changefeed contributes nothing

@@ -447,17 +447,58 @@ class ApiServer:
                         **registry.get(cid).stats(),
                     })
                 if verb == "/synced":
-                    # Reference semantics: synced when the checkpoint has
-                    # caught up with the (caller-supplied) resolved ts.
-                    target = self.path  # no query parsing needed: header opt
+                    # Reference semantics (`api/v2/changefeed.go:
+                    # 1658-1730`): three branches over the configured
+                    # [synced-status] intervals.  Clock + upstream
+                    # watermarks arrive as headers (the PD/TSO analogs);
+                    # all ts are epoch µs except X-Now-Ts (ms, the PD
+                    # physical clock).
+                    import time as _time
+
+                    cfg = registry.get(cid).cfg
+                    check_s = cfg.synced_check_interval_s or 300
+                    ckpt_s = cfg.synced_checkpoint_interval_s or 15
+                    now_ms = int(self.headers.get("X-Now-Ts")
+                                 or _time.time() * 1000)
                     resolved = int(self.headers.get("X-Resolved-Ts") or 0)
+                    last_synced = int(
+                        self.headers.get("X-Last-Synced-Ts") or 0)
                     ckpt = info["checkpoint_ts"] or 0
-                    del target
+                    base_doc = {
+                        "sink_checkpoint_ts": ckpt,
+                        "puller_resolved_ts": resolved,
+                        "last_synced_ts": last_synced,
+                        "now_ts": now_ms,
+                    }
+                    if (now_ms - last_synced // 1000 > check_s * 1000
+                            and now_ms - ckpt // 1000 < ckpt_s * 1000):
+                        return self._send(200, {
+                            **base_doc, "synced": True,
+                            "info": "The data syncing is finished"})
+                    if now_ms - last_synced // 1000 > check_s * 1000:
+                        if (resolved // 1000 - ckpt // 1000
+                                < ckpt_s * 1000):
+                            msg = (
+                                "Please check whether PD is online and "
+                                "TiKV Regions are all available. If PD "
+                                "is offline or some TiKV regions are "
+                                "not available, it means that the data "
+                                "syncing process is complete. If the "
+                                "gap is large, such as a few minutes, "
+                                "it means that some regions in TiKV "
+                                "are unavailable. Otherwise, if the "
+                                "gap is small and PD is online, it "
+                                "means the data syncing is incomplete, "
+                                "so please wait")
+                        else:
+                            msg = ("The data syncing is not finished, "
+                                   "please wait")
+                        return self._send(200, {
+                            **base_doc, "synced": False, "info": msg})
                     return self._send(200, {
-                        "synced": bool(resolved) and ckpt >= resolved,
-                        "checkpoint_ts": ckpt,
-                        "resolved_ts": resolved,
-                    })
+                        **base_doc, "synced": False,
+                        "info": ("The data syncing is not finished, "
+                                 "please wait")})
                 if verb:
                     return self._send(404, {"error_msg": "no such route"})
                 return self._send(200, info)
