@@ -355,3 +355,32 @@ def test_bootstrap_and_cloud_storage_config():
     with pytest.raises(ValueError, match="file-size"):
         parse_changefeed_config(
             '[sink.cloud-storage-config]\nfile-size = 512\n')
+
+
+def test_sql_mode_adjustment():
+    """AdjustSQLModeCompatible (`pkg/sink/mysql/helper.go:563-603`):
+    strict/zero-date modes disabled, permissive replication modes
+    enabled; config sql-mode feeds the adjustment."""
+    from ticdc_spark.sinks.mysql import (
+        TIDB_DEFAULT_SQL_MODE,
+        adjust_sql_mode_compatible,
+        session_init_statements,
+    )
+
+    out = adjust_sql_mode_compatible(TIDB_DEFAULT_SQL_MODE)
+    modes = out.split(",")
+    for gone in ("STRICT_TRANS_TABLES", "NO_ZERO_IN_DATE", "NO_ZERO_DATE",
+                 "ERROR_FOR_DIVISION_BY_ZERO", "NO_AUTO_CREATE_USER"):
+        assert gone not in modes
+    for kept in ("ONLY_FULL_GROUP_BY", "NO_ENGINE_SUBSTITUTION"):
+        assert kept in modes
+    for added in ("IGNORE_SPACE", "NO_AUTO_VALUE_ON_ZERO",
+                  "ALLOW_INVALID_DATES"):
+        assert added in modes
+    # idempotent; custom input honored
+    assert adjust_sql_mode_compatible(out) == out
+    assert adjust_sql_mode_compatible("ANSI_QUOTES,STRICT_ALL_TABLES") == \
+        "ANSI_QUOTES,IGNORE_SPACE,NO_AUTO_VALUE_ON_ZERO,ALLOW_INVALID_DATES"
+    stmts = session_init_statements("ANSI_QUOTES")
+    assert stmts == ["SET sql_mode = 'ANSI_QUOTES,IGNORE_SPACE,"
+                     "NO_AUTO_VALUE_ON_ZERO,ALLOW_INVALID_DATES'"]

@@ -114,13 +114,19 @@ def apply_ordered(
     retry: RetryPolicy | None = None,
     retryable: Callable[[Exception], bool] = lambda e: True,
     sleep: Callable[[float], None] = time.sleep,
+    session_init: list[str] | None = None,
 ) -> int:
     """Drive every statement through ``execute`` in slot-serial order.
 
     Driver-side iteration (toLocalIterator) — fine for a single test DB;
     swap for ``foreachPartition`` with a JDBC pool per executor when the
     downstream accepts concurrent sessions. ``retry`` applies the
-    reference's per-statement backoff."""
+    reference's per-statement backoff.  ``session_init`` statements
+    (e.g. ``sinks.mysql.session_init_statements`` — the adjusted
+    sql_mode, helper.go:336-344) run once before any DML; a MySQL
+    downstream needs them, the DuckDB test shim passes none."""
+    for stmt in session_init or []:
+        execute(stmt)
     if retry is not None:
         execute = with_retry(execute, retry, retryable, sleep)
     n = 0

@@ -308,3 +308,45 @@ def txn_flush_batches(
     return ranked.withColumn(
         "flush_batch", F.floor(prior / max_txn_row).cast("long")
     ).drop("_rn")
+
+
+# -- downstream session setup -----------------------------------------------
+# TiDB/MySQL 5.7 default session SQL mode (public MySQL default; the
+# reference applies AdjustSQLModeCompatible to it for every sink
+# connection, `pkg/sink/mysql/helper.go:336-344`).
+TIDB_DEFAULT_SQL_MODE = (
+    "ONLY_FULL_GROUP_BY,STRICT_TRANS_TABLES,NO_ZERO_IN_DATE,NO_ZERO_DATE,"
+    "ERROR_FOR_DIVISION_BY_ZERO,NO_AUTO_CREATE_USER,NO_ENGINE_SUBSTITUTION"
+)
+
+_SQL_MODE_DISABLE = (
+    "NO_ZERO_IN_DATE", "NO_ZERO_DATE", "ERROR_FOR_DIVISION_BY_ZERO",
+    "NO_AUTO_CREATE_USER", "STRICT_TRANS_TABLES", "STRICT_ALL_TABLES",
+)
+_SQL_MODE_ENABLE = (
+    "IGNORE_SPACE", "NO_AUTO_VALUE_ON_ZERO", "ALLOW_INVALID_DATES",
+)
+
+
+def adjust_sql_mode_compatible(sql_modes: str) -> str:
+    """`AdjustSQLModeCompatible` (`pkg/sink/mysql/helper.go:563-603`):
+    disable the strict/zero-date modes the replicated binlog images were
+    not produced under, enable the permissive ones replication needs.
+    The reference does this as bitmask algebra then renders the
+    canonical order; MySQL treats sql_mode as an unordered SET, so this
+    name-set version preserves surviving input order and appends the
+    enabled modes — same effective session mode."""
+    modes = [m.strip().upper() for m in sql_modes.split(",") if m.strip()]
+    out = [m for m in modes if m not in _SQL_MODE_DISABLE]
+    out += [m for m in _SQL_MODE_ENABLE if m not in out]
+    return ",".join(out)
+
+
+def session_init_statements(sql_mode: str = "") -> list[str]:
+    """Connection session setup the MySQL writer issues before any DML
+    (the DSN-params analog of `GenerateDSN`, helper.go:336-344): the
+    adjusted sql_mode, quoted.  ``sql_mode`` overrides the TiDB default
+    as the adjustment input (the config's top-level ``sql-mode``)."""
+    adjusted = adjust_sql_mode_compatible(
+        sql_mode or TIDB_DEFAULT_SQL_MODE)
+    return [f"SET sql_mode = '{adjusted}'"]
