@@ -410,3 +410,47 @@ def test_metrics_error_info_series(api, spark, sf_dir):
     assert 'state="warning"' in text
     # FeedState warning = 6
     assert 'ticdc_owner_status{changefeed="cf-err"} 6' in text
+
+
+def test_create_refuses_ineligible_tables(tmp_path):
+    """ErrTableIneligible (`api/v2/changefeed.go:289-295`): a matched
+    PK-less table refuses the create unless force-replicate or
+    ignore-ineligible-table."""
+    from ticdc_spark.api import ApiServer, default_schema_store
+
+    store = default_schema_store()
+    store.apply_ddl({
+        "type": "create-table", "schema": "test", "table": "tp_nopk",
+        "table_id": 99, "commit_ts": 0,
+        "columns": [{"name": "id", "spark_type": "bigint"},
+                    {"name": "val", "spark_type": "double"}],
+    })
+    reg = ChangefeedRegistry(str(tmp_path))
+    srv = ApiServer(reg, schema_store=store)
+    base = f"http://127.0.0.1:{srv.start()}"
+    try:
+        st, doc = _req(f"{base}/api/v2/changefeeds", "POST",
+                       {"changefeed_id": "cf-bad",
+                        "config_toml": REFERENCE_TOML})
+        assert st == 400 and "ErrTableIneligible" in doc["error_msg"]
+        assert "test.tp_nopk" in doc["error_msg"]
+        # ignore-ineligible-table skips them silently
+        st, _ = _req(f"{base}/api/v2/changefeeds", "POST",
+                     {"changefeed_id": "cf-ok",
+                      "config_toml": "ignore-ineligible-table = true\n"
+                      + REFERENCE_TOML})
+        assert st == 200
+        # force-replicate admits them
+        st, _ = _req(f"{base}/api/v2/changefeeds", "POST",
+                     {"changefeed_id": "cf-force",
+                      "config_toml": "force-replicate = true\n"
+                      + REFERENCE_TOML})
+        assert st == 200
+        # a filter that excludes the PK-less table is fine
+        st, _ = _req(f"{base}/api/v2/changefeeds", "POST",
+                     {"changefeed_id": "cf-filtered",
+                      "config_toml":
+                      '[filter]\nrules = ["test.tp_click"]\n'})
+        assert st == 200
+    finally:
+        srv.stop()

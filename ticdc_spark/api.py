@@ -605,6 +605,30 @@ class ApiServer:
                         return self._send(400, {
                             "error_msg": f"start-ts {start_ts} is before "
                             f"the GC safepoint {gc_sp}"})
+                    # ErrTableIneligible (`api/v2/changefeed.go:289-295`):
+                    # matched PK-less tables refuse the create unless
+                    # force-replicate or ignore-ineligible-table
+                    try:
+                        from ticdc_spark.config import (
+                            parse_changefeed_config,
+                        )
+
+                        cfg_probe = parse_changefeed_config(toml)
+                    except ValueError as e:
+                        return self._send(400, {"error_msg": str(e)})
+                    if (not cfg_probe.force_replicate
+                            and not cfg_probe.ignore_ineligible_table):
+                        bad = self._verify_tables({
+                            "filter_rules": cfg_probe.filter_rules,
+                            "case_sensitive": cfg_probe.case_sensitive,
+                        })["ineligible_tables"]
+                        if bad:
+                            names = [f"{t['schema_name']}.{t['table_name']}"
+                                     for t in bad]
+                            return self._send(400, {
+                                "error_msg": "CDC:ErrTableIneligible "
+                                "these tables are ineligible: "
+                                f"{names}"})
                     try:
                         registry.create(cid, toml,
                                         sink_uri=body.get("sink_uri"))
