@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import base64
 import json
+from functools import lru_cache
 import struct
 from decimal import Decimal
 
@@ -58,10 +59,13 @@ _AVRO_TO_CONNECT = {
 }
 
 
+@lru_cache(maxsize=4096)
 def sanitize_name(name: str) -> str:
     """common.SanitizeName (`codec/common/helper.go:423-447`): invalid
     chars replace with '_', a leading digit gains a '_' prefix; the
-    empty string stays empty (getAvroNamespace branches on that)."""
+    empty string stays empty (getAvroNamespace branches on that).
+    Memoized: the per-row encode path calls it once per field name and
+    the name universe is the schema's, not the data's."""
     out = "".join(c if c.isalnum() or c == "_" else "_" for c in name)
     if out and out[0].isdigit():
         out = "_" + out
