@@ -552,3 +552,30 @@ def test_avro_watermark_double_gate_through_pipeline(spark, sf_dir):
         '&enable-tidb-extension=true&avro-enable-watermark=true"\n'))
     assert both.filter(F.length("value") == 9).count() > 0
     assert both.filter("value is null").count() == 0
+
+
+def test_compile_bootstrap_frames(spark, sf_dir):
+    """send-bootstrap-* knobs gate the simple-protocol BOOTSTRAP
+    companion (`sink.go:87-96`, simple/message.go:44): disabled for
+    other protocols and interval<=0; to-all-partition broadcasts each
+    table's frame to every partition."""
+    from ticdc_spark.config import parse_changefeed_config
+    from ticdc_spark.pipeline import compile_bootstrap
+    from ticdc_spark.sources.changelog import events_changelog
+
+    cl = events_changelog(spark, sf_dir)
+    assert compile_bootstrap(cl, parse_changefeed_config("")) is None
+    assert compile_bootstrap(cl, parse_changefeed_config(
+        '[sink]\nprotocol = "simple"\n'
+        'send-bootstrap-interval-in-sec = 0\n')) is None
+    all_parts = compile_bootstrap(cl, parse_changefeed_config(
+        '[sink]\nprotocol = "simple"\n'))
+    rows = all_parts.collect()
+    n_tables = len({(r.schema_name, r.table_name) for r in rows})
+    assert n_tables > 0 and len(rows) == n_tables * 16  # n_partitions
+    assert all('"type":"BOOTSTRAP"' in r.value for r in rows)
+    one_part = compile_bootstrap(cl, parse_changefeed_config(
+        '[sink]\nprotocol = "simple"\n'
+        'send-bootstrap-to-all-partition = false\n'))
+    assert one_part.count() == n_tables
+    assert one_part.select("partition").distinct().collect()[0][0] == 0

@@ -480,6 +480,42 @@ def compile_redo(cl: DataFrame, cfg: ChangefeedConfig) -> DataFrame | None:
     return out
 
 
+def compile_bootstrap(cl: DataFrame,
+                      cfg: ChangefeedConfig) -> DataFrame | None:
+    """Simple-protocol BOOTSTRAP companion of ``compile_changefeed``.
+
+    The reference periodically sends per-table schema (BOOTSTRAP)
+    messages on MQ sinks under the simple protocol
+    (`sink.go:87-96` send-bootstrap-* knobs; simple/message.go:44):
+    interval <= 0 disables, and ``send-bootstrap-to-all-partition``
+    broadcasts each message to every partition of the table's topic
+    (else partition 0 only).  Returns one frame per filtered table ×
+    target partition; ``None`` when disabled or not the simple
+    protocol.  Periodicity itself is the streaming trigger's job — per
+    micro-batch the frame set is this DataFrame."""
+    from pyspark.sql import functions as F
+
+    if cfg.protocol != "simple" or cfg.send_bootstrap_interval_s <= 0:
+        return None
+    tabs = (apply_table_filter(cl, cfg.filter_rules,
+                               case_sensitive=cfg.case_sensitive)
+            .select("schema_name", "table_name").distinct())
+    value = F.concat(
+        F.lit('{"version":1,"type":"BOOTSTRAP","buildTs":0,"schema":"'),
+        F.col("schema_name"),
+        F.lit('","table":"'),
+        F.col("table_name"),
+        F.lit('","tableSchema":{"columns":["id","val","k"],'
+              '"pk":["id"]}}'),
+    )
+    parts = (list(range(cfg.n_partitions))
+             if cfg.send_bootstrap_to_all_partition else [0])
+    return (tabs.withColumn("value", value)
+            .crossJoin(F.broadcast(
+                cl.sparkSession.createDataFrame(
+                    [(p,) for p in parts], "partition int"))))
+
+
 def build_pipeline_uncoded(cl: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
     """The filter/transform prefix of ``build_pipeline`` without the
     encoder — for sinks that consume typed rows (DB SQL generation)."""
