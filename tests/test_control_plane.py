@@ -579,3 +579,37 @@ def test_compile_bootstrap_frames(spark, sf_dir):
         'send-bootstrap-to-all-partition = false\n'))
     assert one_part.count() == n_tables
     assert one_part.select("partition").distinct().collect()[0][0] == 0
+
+
+def test_streaming_redo_wal_per_epoch(spark, sf_dir, tmp_path):
+    """[consistent] level=eventual persists the redo WAL per epoch
+    BEFORE the sink flush on the DB path (recovery can replay it);
+    disabled level writes nothing."""
+    import glob
+    import json as _json
+    import os
+
+    from ticdc_spark.streaming.registry import ChangefeedRegistry
+
+    reg = ChangefeedRegistry(str(tmp_path))
+    toml = ('sink-uri = "mysql://u:p@h:4000/"\n'
+            '[consistent]\nlevel = "eventual"\n'
+            '[filter]\nrules = ["test.tp_click"]\n')
+    reg.create("cf-redo", toml)
+    reg.run("cf-redo", spark, sf_dir, timeout_s=240)
+    redo_dirs = glob.glob(os.path.join(str(tmp_path), "redo", "cf-redo",
+                                       "epoch=*"))
+    assert redo_dirs, "no redo epoch dirs written"
+    recs = []
+    for d in redo_dirs:
+        for f in glob.glob(os.path.join(d, "part-*.json")):
+            with open(f) as fh:
+                recs += [_json.loads(ln) for ln in fh if ln.strip()]
+    assert recs and all("file_name" in r and '"type":"row"' in r["value"]
+                        for r in recs)
+    # level none -> no redo dir
+    reg.create("cf-noredo", 'sink-uri = "mysql://u:p@h:4000/"\n'
+               '[filter]\nrules = ["test.tp_click"]\n')
+    reg.run("cf-noredo", spark, sf_dir, timeout_s=240)
+    assert not glob.glob(os.path.join(str(tmp_path), "redo",
+                                      "cf-noredo", "*"))

@@ -74,6 +74,22 @@ class Changefeed:
         # otherwise /synced stays false, syncpoints skip, and gc_safepoint
         # ignores the changefeed
         pre_df = batch_df
+        # [consistent] level=eventual: persist the redo WAL for this
+        # epoch BEFORE the sink flush (the reference's ordering — redo
+        # logs must be durable before the sink may apply, so recovery
+        # can replay them; `downstreamadapter/sink/redo`).  Applies on
+        # the DB/storage paths where the pre-compile frame still
+        # carries the row images; per-epoch overwrite keeps replay
+        # idempotent like the sink write below.
+        consistent = getattr(self.cfg, "consistent", None) or {}
+        if (consistent.get("level", "none") == "eventual"
+                and "after" in pre_df.columns):
+            from ticdc_spark.sinks.redo import redo_log_files
+
+            redo_log_files(pre_df).select("file_name", "value").write \
+                .mode("overwrite").format("json").save(os.path.join(
+                    self.work_dir, "redo", self.changefeed_id,
+                    f"epoch={epoch_id}"))
         if self._sink_compile is not None:
             # DB/storage sinks compile at flush time (windows/aggregates
             # are batch-only constructs) — reference shape: the sink owns
