@@ -69,30 +69,64 @@ def encode_csv(
     binary_encoding: str = "base64",
     quote: str | None = _QUOTE,
     terminator: str | None = None,
+    output_old_value: bool = False,
 ) -> DataFrame:
-    """Append a ``value`` column holding one csv line.
+    """Append a ``value`` column holding the csv message.
 
     ``quote=None`` selects the reference's quote-less escape mode
     (backslash escaping, `csv_message.go:209-243`).  ``terminator``
     (sink config, CRLF default in the reference `pkg/config/sink.go`)
     is appended per message when given — the csv/txt encoders terminate
-    every line; ``None`` leaves the bare line (oracle-friendly)."""
+    every line; ``None`` leaves the bare line (oracle-friendly).
+
+    ``output_old_value`` ([sink.csv] output-old-value,
+    `csv_message.go:104-141`): an extra unquoted is-updated boolean
+    column follows commit-ts, and each UPDATE encodes as TWO lines in
+    one message — the old image as a "D" row then the new image as an
+    "I" row, both with is-updated=true (the reference builds both rows
+    into one strings.Builder message)."""
     schema: StructType = cl.schema["after"].dataType
-    image = F.when(F.col("op") == "D", F.col("before")).otherwise(F.col("after"))
-    tmp = cl.withColumn("_img", image)
-    fields: list[Column] = [
-        _csv_field(F.col("op"), StringType(), quote=quote),
-        _csv_field(F.col("schema_name"), StringType(), quote=quote),
-        _csv_field(F.col("table_name"), StringType(), quote=quote),
-    ]
-    if include_commit_ts:
-        fields.append(F.col("commit_ts").cast("string"))
-    fields += [
-        _csv_field(F.col(f"_img.{f.name}"), f.dataType, binary_encoding,
-                   quote=quote)
-        for f in schema.fields
-    ]
-    line = F.concat_ws(_DELIM, *fields)
+
+    def line_for(op_col: Column, img: str, updated: Column | None):
+        # Col1 op, Col2 TABLE name, Col3 SCHEMA name
+        # (`csv_message.go:97-126` encodeMeta field order; the decoder
+        # reads datums[1] as tableName, datums[2] as schemaName)
+        fields: list[Column] = [
+            _csv_field(op_col, StringType(), quote=quote),
+            _csv_field(F.col("table_name"), StringType(), quote=quote),
+            _csv_field(F.col("schema_name"), StringType(), quote=quote),
+        ]
+        if include_commit_ts:
+            fields.append(F.col("commit_ts").cast("string"))
+        if updated is not None:
+            # Go fmt %v renders the bool bare: true/false, never quoted
+            fields.append(updated)
+        fields += [
+            _csv_field(F.col(f"{img}.{f.name}"), f.dataType,
+                       binary_encoding, quote=quote)
+            for f in schema.fields
+        ]
+        return F.concat_ws(_DELIM, *fields)
+
+    if not output_old_value:
+        image = F.when(F.col("op") == "D",
+                       F.col("before")).otherwise(F.col("after"))
+        tmp = cl.withColumn("_img", image)
+        line = line_for(F.col("op"), "_img", None)
+        if terminator:
+            line = F.concat(line, F.lit(terminator))
+        return tmp.withColumn("value", line).drop("_img")
+
+    sep = F.lit(terminator or "\r\n")
+    is_upd = F.when(F.col("op") == "U",
+                    F.lit("true")).otherwise(F.lit("false"))
+    single_img = F.when(F.col("op") == "D",
+                        F.col("before")).otherwise(F.col("after"))
+    tmp = cl.withColumn("_img", single_img)
+    single = line_for(F.col("op"), "_img", is_upd)
+    pair = F.concat(line_for(F.lit("D"), "before", F.lit("true")), sep,
+                    line_for(F.lit("I"), "after", F.lit("true")))
+    value = F.when(F.col("op") == "U", pair).otherwise(single)
     if terminator:
-        line = F.concat(line, F.lit(terminator))
-    return tmp.withColumn("value", line).drop("_img")
+        value = F.concat(value, F.lit(terminator))
+    return tmp.withColumn("value", value).drop("_img")

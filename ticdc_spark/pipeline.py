@@ -226,6 +226,7 @@ def _encode(df: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
             binary_encoding=c.get("binary-encoding-method", "base64"),
             quote=c.get("quote", '"') or None,  # "" selects escape mode
             terminator=cfg.terminator,  # per-message, csv/txt only
+            output_old_value=c.get("output-old-value", False),
         )
     if cfg.protocol == "canal-json" and (
             cfg.tidb_extension or cfg.content_compatible):

@@ -65,7 +65,7 @@ _CSV_IMG = (
     "coalesce({img}_k::VARCHAR, '\\N')"
 )
 _CSV_SQL = (
-    "'\"' || op || '\",\"' || schema_name || '\",\"' || table_name || '\",' "
+    "'\"' || op || '\",\"' || table_name || '\",\"' || schema_name || '\",' "
     "|| commit_ts::VARCHAR || ',' || "
     "CASE WHEN op = 'D' THEN " + _CSV_IMG.format(img="before")
     + " ELSE " + _CSV_IMG.format(img="after") + " END"
@@ -78,6 +78,38 @@ _CSV_SQL = (
 )
 def q_codec_csv(spark, sf_dir):
     return encode_csv(scale_out(events_changelog(spark, sf_dir))).select("seq", "value")
+
+
+# [sink.csv] output-old-value (`csv_message.go:104-141`): is-updated
+# column after commit-ts (bare bool), UPDATE = old image as a "D" line
+# + new image as an "I" line in ONE message, both is-updated=true.
+def _csv_ov_meta(op_sql: str) -> str:
+    return ("'\"' || " + op_sql + " || '\",\"' || table_name || "
+            "'\",\"' || schema_name || '\",' || commit_ts::VARCHAR")
+
+
+_CSV_OV_SQL = (
+    "CASE WHEN op = 'U' THEN "
+    + _csv_ov_meta("'D'") + " || ',true,' || "
+    + _CSV_IMG.format(img="before")
+    + " || chr(13) || chr(10) || "
+    + _csv_ov_meta("'I'") + " || ',true,' || "
+    + _CSV_IMG.format(img="after")
+    + " ELSE " + _csv_ov_meta("op") + " || ',false,' || "
+    "CASE WHEN op = 'D' THEN " + _CSV_IMG.format(img="before")
+    + " ELSE " + _CSV_IMG.format(img="after") + " END END"
+)
+
+
+@register(
+    "codec_csv_old_value",
+    f"WITH {CHANGELOG_SQL} SELECT seq, {_CSV_OV_SQL} AS value "
+    "FROM changelog",
+)
+def q_codec_csv_old_value(spark, sf_dir):
+    return encode_csv(
+        scale_out(events_changelog(spark, sf_dir)), output_old_value=True
+    ).select("seq", "value")
 
 
 _OP_IMG = (
@@ -1075,10 +1107,10 @@ _BLOB_CASE = f"CASE WHEN doc_id % 7 <> 0 THEN {_BLOB_SQL} END"
 @register(
     "codec_csv_binary",
     "SELECT CAST(doc_id AS BIGINT) AS seq, "
-    f"'\"I\",\"test\",\"tp_blob\",' || ({_BLOB_TS0} + doc_id)::VARCHAR || ',' || "
+    f"'\"I\",\"tp_blob\",\"test\",' || ({_BLOB_TS0} + doc_id)::VARCHAR || ',' || "
     "doc_id::VARCHAR || ',' || "
     f"coalesce(to_base64({_BLOB_CASE}), '\\N') AS value_base64, "
-    f"'\"I\",\"test\",\"tp_blob\",' || ({_BLOB_TS0} + doc_id)::VARCHAR || ',' || "
+    f"'\"I\",\"tp_blob\",\"test\",' || ({_BLOB_TS0} + doc_id)::VARCHAR || ',' || "
     "doc_id::VARCHAR || ',' || "
     f"coalesce(hex({_BLOB_CASE}), '\\N') AS value_hex "
     "FROM documents",
@@ -1378,7 +1410,7 @@ def _esc_or_null(v: str) -> str:
 @register(
     "codec_csv_escape",
     f"WITH {_DOCS_CTE} SELECT seq, "
-    "op || ',' || schema_name || ',' || table_name || ',' "
+    "op || ',' || table_name || ',' || schema_name || ',' "
     "|| commit_ts::VARCHAR || ',' || "
     "coalesce(CASE WHEN op = 'D' THEN before_id ELSE after_id END::VARCHAR, "
     "chr(92)||'N') || ',' || "

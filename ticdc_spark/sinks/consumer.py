@@ -307,7 +307,7 @@ def decode_csv_storage(
     ``<schema>/<table>/<version>/[date]/CDC*.csv``, derives the table
     from the directory path (`pkg/cloudstorage/generator.go:126-128`),
     reads the column list from the schema sidecar, and parses each csv
-    line (`[op, schema, table, commitTs, cols...]``,
+    line (``[op, table, schema, commitTs, cols...]``,
     `csv_message.go:104-246`). Here: ``files`` carries (path, value)
     rows; (schema, table) come from the PATH — the csv's own schema
     fields ride along unused, exactly like the reference consumer.
@@ -319,7 +319,7 @@ def decode_csv_storage(
     """
     from ticdc_spark.codec.csv_codec import NULL_TOKEN
 
-    sch = "op string, _schema string, _table string"
+    sch = "op string, _table string, _schema string"
     if include_commit_ts:
         sch += ", commit_ts bigint"
     sch += ", " + ", ".join(f"`{n}` {t}" for n, t in payload_fields)

@@ -646,7 +646,7 @@ def q_codec_canal_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "codec_csv_temporal",
     f"WITH {_TEMPORAL_CTE} SELECT seq, "
-    "'\"I\",\"tpch\",\"orders_t\",' || commit_ts::VARCHAR || ',' || "
+    "'\"I\",\"orders_t\",\"tpch\",' || commit_ts::VARCHAR || ',' || "
     "okey::VARCHAR || ',' || odate_txt || ',' || ots_txt AS value FROM tcl",
 )
 def q_codec_csv_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -750,7 +750,7 @@ def q_mount_exotic_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "codec_csv_exotic",
     f"WITH {EXOTIC_CL_SQL} SELECT pid AS seq, "
-    "'\"I\",\"tpch\",\"exotic\",' || commit_ts::VARCHAR || ',' || pid::VARCHAR "
+    "'\"I\",\"exotic\",\"tpch\",' || commit_ts::VARCHAR || ',' || pid::VARCHAR "
     "|| ',\"' || color || '\",' "
     "|| coalesce('\"' || tags || '\"', '\\N') || ',' "
     "|| flags::VARCHAR || ',' "
