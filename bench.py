@@ -127,6 +127,7 @@ def main() -> None:
         "debezium_avro_roundtrip", "claim_check_storage_roundtrip",
         "dml_event_chunk_typed", "avro_confluent_roundtrip",
         "debezium_avro_watermark_roundtrip", "avro_checkpoint_ddl_events",
+        "codec_csv_old_value",
     ]
     # queries whose real work runs at CONSTRUCTION time (iterative
     # trainers that collect control-plane state, like the k-means

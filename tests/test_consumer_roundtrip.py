@@ -96,3 +96,28 @@ def test_simple_roundtrip_state_equality(spark, sf_dir):
     decoded = decode_simple(encode_simple(cl).select("value"))
     replayed = replay_to_state(decoded, order_col="commit_ts")
     assert _state_key(direct) == _state_key(replayed)
+
+
+def test_csv_old_value_storage_roundtrip(spark, sf_dir):
+    """[sink.csv] output-old-value through the storage consumer: the
+    UPDATE message's two lines (D old image, I new image, both
+    is-updated=true) decode line-by-line like the reference's csv
+    reader and replay to the same state as the direct apply."""
+    import pyspark.sql.functions as F
+
+    from ticdc_spark.codec.csv_codec import encode_csv
+    from ticdc_spark.sinks.consumer import decode_csv_storage
+    from ticdc_spark.sinks.mysql import materialize_state
+    from ticdc_spark.sinks.storage import storage_paths
+
+    cl = split_updates(events_changelog(spark, sf_dir))
+    direct = materialize_state(cl).select(
+        "schema_name", "table_name", "id", "val", "k")
+    enc = encode_csv(cl, output_old_value=True)
+    files = storage_paths(enc).select("path", "value")
+    # a line-oriented reader: split multi-line messages into csv lines
+    lines = files.select(
+        "path", F.explode(F.split("value", "\r\n")).alias("value"))
+    decoded = decode_csv_storage(lines, output_old_value=True)
+    replayed = replay_to_state(decoded, order_col="commit_ts")
+    assert _state_key(direct) == _state_key(replayed)

@@ -299,6 +299,7 @@ def decode_csv_storage(
         ("id", "bigint"), ("val", "double"), ("k", "bigint"),
     ),
     include_commit_ts: bool = True,
+    output_old_value: bool = False,
 ) -> DataFrame:
     """cmd/storage-consumer analog: data files written under the
     cloud-storage layout back into changelog rows.
@@ -322,6 +323,10 @@ def decode_csv_storage(
     sch = "op string, _table string, _schema string"
     if include_commit_ts:
         sch += ", commit_ts bigint"
+    if output_old_value:
+        # the extra is-updated column (`csv_message.go:177-181`: the
+        # decoder skips one datum when OutputOldValue)
+        sch += ", _updated string"
     sch += ", " + ", ".join(f"`{n}` {t}" for n, t in payload_fields)
     # producer lines carry the sink terminator (CRLF default,
     # `pkg/config/sink.go`); a line-oriented consumer strips it
