@@ -236,6 +236,10 @@ def test_top_level_validation_errors():
         'event-collector-batch-bytes = 1048576\n')
     assert cfg.event_collector_batch_count == 0
     assert cfg.event_collector_batch_bytes == 1048576
+    # encoder max-batch-size URI form param (codec/common/config.go:34)
+    assert parse_changefeed_config('').max_batch_size == 16
+    assert parse_changefeed_config(
+        'sink-uri = "kafka://b/t?max-batch-size=64"\n').max_batch_size == 64
 
 
 def test_synced_status_and_active_active_blocks():

@@ -342,6 +342,8 @@ def apply_sink_uri_params(cfg) -> None:
         cfg.worker_count = min(v, _MAX_WORKER_COUNT)
     if (v := _pos_int("max-txn-row")) is not None:
         cfg.max_txn_row = v
+    if (v := _pos_int("max-batch-size")) is not None:
+        cfg.max_batch_size = v
     if "compression" in q and q["compression"] not in ("", "none"):
         cfg.compression = q["compression"]
     if "safe-mode" in q:

@@ -133,6 +133,9 @@ class ChangefeedConfig:
     worker_count: int = 16       # DefaultWorkerCount (MySQL)
     max_txn_row: int = 256       # DefaultMaxTxnRow
     max_message_bytes: int = 10 * 1024 * 1024  # `pkg/config/sink.go:35`
+    # encoder max-batch-size (`codec/common/config.go:34-35` default 16)
+    # — consumed by the open-protocol batch framer
+    max_batch_size: int = 16
     tidb_extension: bool = False  # enable-tidb-extension
     # --- remaining ReplicaConfig top level (`replica_config.go:51-128`
     # defaults; validation `:288-385`) ---
