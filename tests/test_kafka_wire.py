@@ -1,0 +1,184 @@
+"""Kafka wire protocol: codec vectors, record batches, live broker TCP."""
+
+import struct
+
+import pytest
+
+from ticdc_spark.codec import kafka_wire as kw
+from ticdc_spark.codec.kafka_wire import Reader, Record, crc32c, enc_varint
+from ticdc_spark.sinks.kafka_broker import KafkaBroker
+from ticdc_spark.sinks.kafka_client import KafkaConn
+
+
+# ------------------------------------------------------------------ crc32c
+
+def test_crc32c_vectors():
+    # RFC 3720 §B.4 / common CRC-32C check values
+    assert crc32c(b"") == 0
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"a") == 0xC1D04330
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+    assert crc32c(bytes(range(32))) == 0x46DD794E
+
+
+def test_crc32c_incremental_matches_oneshot():
+    data = bytes(range(256)) * 7
+    # slicing-by-8 path must agree with the bytewise tail path
+    assert crc32c(data) == crc32c(data[:13] + data[13:])
+    assert crc32c(data[:7]) == crc32c(data[:7])  # pure tail loop
+
+
+# ------------------------------------------------------------------ varint
+
+@pytest.mark.parametrize("v", [0, 1, -1, 63, 64, -64, -65, 127, 128, 300, -300,
+                               1 << 31, -(1 << 31), (1 << 62) - 1, -(1 << 62)])
+def test_varint_zigzag_roundtrip(v):
+    r = Reader(enc_varint(v))
+    assert r.varint() == v
+
+
+def test_varint_known_bytes():
+    # zigzag: 0->0, -1->1, 1->2, -2->3
+    assert enc_varint(0) == b"\x00"
+    assert enc_varint(-1) == b"\x01"
+    assert enc_varint(1) == b"\x02"
+    assert enc_varint(-2) == b"\x03"
+    assert enc_varint(150) == b"\xac\x02"  # 300 varint
+
+
+# ------------------------------------------------------------------ record batch
+
+def _recs():
+    return [
+        Record(b"k1", b"v1" * 50, [("h1", b"x"), ("h2", None)], timestamp_delta=5),
+        Record(None, b"tombstone-value"),
+        Record(b"key-only", None),
+        Record(b"", b""),
+    ]
+
+
+@pytest.mark.parametrize("comp", ["none", "gzip", "lz4", "zstd"])
+def test_record_batch_roundtrip(comp):
+    batch = kw.encode_record_batch(_recs(), base_offset=42, base_timestamp=1000,
+                                   compression=comp)
+    [(base, recs)] = kw.decode_record_batches(batch)
+    assert base == 42
+    assert [r.key for r in recs] == [b"k1", None, b"key-only", b""]
+    assert [r.value for r in recs] == [b"v1" * 50, b"tombstone-value", None, b""]
+    assert recs[0].headers == [("h1", b"x"), ("h2", None)]
+    assert [r.offset_delta for r in recs] == [0, 1, 2, 3]
+    assert recs[0].timestamp_delta == 1005  # decoder returns absolute ts
+
+
+def test_record_batch_crc_detects_corruption():
+    batch = bytearray(kw.encode_record_batch(_recs()))
+    batch[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="crc mismatch"):
+        kw.decode_record_batches(bytes(batch))
+
+
+def test_record_batch_magic_guard():
+    batch = bytearray(kw.encode_record_batch(_recs()))
+    batch[16] = 1  # magic byte position
+    with pytest.raises(ValueError, match="magic"):
+        kw.decode_record_batches(bytes(batch))
+
+
+def test_multi_batch_record_set():
+    b1 = kw.encode_record_batch([Record(b"a", b"1")], base_offset=0)
+    b2 = kw.encode_record_batch([Record(b"b", b"2"), Record(b"c", b"3")], base_offset=1)
+    out = kw.decode_record_batches(b1 + b2)
+    assert [(o, len(rs)) for o, rs in out] == [(0, 1), (1, 2)]
+
+
+def test_zstd_content_size_parse():
+    import pyarrow as pa
+
+    for n in (0, 1, 100, 1 << 17):
+        payload = b"z" * n
+        frame = pa.compress(payload, codec="zstd", asbytes=True)
+        assert kw._zstd_content_size(frame) == n
+
+
+# ------------------------------------------------------------------ framing
+
+def test_request_response_framing():
+    req = kw.frame_request(kw.API_PRODUCE, 3, 7, "cid", b"BODY")
+    (size,) = struct.unpack(">i", req[:4])
+    assert size == len(req) - 4
+    api_key, ver, corr, cid, r = kw.parse_request_header(req[4:])
+    assert (api_key, ver, corr, cid) == (kw.API_PRODUCE, 3, 7, "cid")
+    assert r.raw(4) == b"BODY"
+
+    resp = kw.frame_response(7, b"OK")
+    rr = Reader(resp[4:])
+    assert rr.i32() == 7 and rr.raw(2) == b"OK"
+
+
+def test_produce_request_codec_roundtrip():
+    rs = kw.encode_record_batch([Record(b"k", b"v")])
+    body = kw.enc_produce_request({"t": {0: rs, 3: rs}}, acks=-1)
+    txn, acks, timeout, td = kw.dec_produce_request(Reader(body))
+    assert txn is None and acks == -1 and set(td["t"]) == {0, 3}
+    assert td["t"][0] == rs
+
+
+# ------------------------------------------------------------------ live broker
+
+@pytest.fixture()
+def broker():
+    with KafkaBroker(default_partitions=2) as b:
+        yield b
+
+
+def test_live_handshake_metadata_produce_fetch(broker):
+    with KafkaConn.from_bootstrap(broker.bootstrap) as c:
+        assert kw.API_PRODUCE in c.api_versions
+        md = c.metadata(["topic-a"])  # auto-created
+        assert len(md["topics"]["topic-a"]["partitions"]) == 2
+        base = c.produce("topic-a", 1, [Record(b"k%d" % i, b"v%d" % i) for i in range(5)])
+        assert base == 0
+        base2 = c.produce("topic-a", 1, [Record(b"k5", b"v5")], compression="lz4")
+        assert base2 == 5
+        got = c.fetch_all("topic-a", 1)
+        assert [o for o, _ in got] == list(range(6))
+        assert got[5][1].value == b"v5"
+        assert c.fetch_all("topic-a", 1, from_offset=4) == got[4:]
+        assert c.fetch_all("topic-a", 0) == []
+
+
+def test_live_corrupt_batch_rejected(broker):
+    with KafkaConn.from_bootstrap(broker.bootstrap) as c:
+        rs = bytearray(kw.encode_record_batch([Record(b"a", b"b")]))
+        rs[-1] ^= 0xFF
+        resp = kw.dec_produce_response(
+            c._call(kw.API_PRODUCE, 3, kw.enc_produce_request({"t": {0: bytes(rs)}})))
+        assert resp["t"][0] == (2, -1)  # CORRUPT_MESSAGE
+        # log untouched
+        assert broker.high_watermark("t", 0) == 0
+
+
+def test_live_unknown_partition(broker):
+    with KafkaConn.from_bootstrap(broker.bootstrap) as c:
+        rs = kw.encode_record_batch([Record(b"a", b"b")])
+        resp = kw.dec_produce_response(
+            c._call(kw.API_PRODUCE, 3, kw.enc_produce_request({"t": {9: rs}})))
+        assert resp["t"][9] == (3, -1)  # UNKNOWN_TOPIC_OR_PARTITION
+
+
+def test_live_concurrent_producers(broker):
+    import threading
+
+    def work(tid):
+        with KafkaConn.from_bootstrap(broker.bootstrap) as c:
+            for i in range(20):
+                c.produce("shared", 0, [Record(b"%d" % tid, b"%d" % i)])
+
+    threads = [threading.Thread(target=work, args=(t,)) for t in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    with KafkaConn.from_bootstrap(broker.bootstrap) as c:
+        got = c.fetch_all("shared", 0)
+    assert [o for o, _ in got] == list(range(160))  # contiguous under contention

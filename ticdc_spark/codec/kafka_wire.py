@@ -1,0 +1,599 @@
+"""Kafka wire protocol — byte codec for the subset a producer/consumer needs.
+
+Layouts follow the public Kafka protocol guide (kafka.apache.org/protocol)
+at fixed NON-flexible versions, so framing is plain big-endian primitives:
+
+- request header v1 (api_key i16 | api_version i16 | correlation_id i32 |
+  client_id nullable-string), response header v0 (correlation_id i32)
+- ApiVersions v0, Metadata v1, Produce v3, Fetch v4
+- record batch magic v2 with CRC32C (Castagnoli) over attributes..end and
+  zigzag-varint record bodies; compression codecs none/gzip/lz4/zstd
+  (lz4 = LZ4 frame, via this repo's pure-Python codec; zstd via pyarrow)
+
+Reference behavior being reproduced: `pkg/sink/kafka/*` drives sarama/franz-go
+producers speaking exactly these frames; this module lets the Spark sink
+exercise a real TCP round-trip in-process (see sinks/kafka_broker.py).
+All from the public spec — no reference code consulted for bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass, field
+
+# ---------------------------------------------------------------- crc32c
+
+_CRC32C_POLY = 0x82F63B78  # reflected Castagnoli
+
+
+def _make_tables(n: int = 8) -> list[list[int]]:
+    t0 = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ (_CRC32C_POLY if c & 1 else 0)
+        t0.append(c)
+    tables = [t0]
+    for k in range(1, n):
+        prev = tables[k - 1]
+        tables.append([t0[prev[i] & 0xFF] ^ (prev[i] >> 8) for i in range(256)])
+    return tables
+
+
+_T = _make_tables(8)
+
+
+def crc32c(data: bytes, crc: int = 0) -> int:
+    """CRC-32C (Castagnoli), slicing-by-8. crc32c(b"123456789") == 0xE3069283."""
+    crc = crc ^ 0xFFFFFFFF
+    n = len(data)
+    i = 0
+    t0, t1, t2, t3, t4, t5, t6, t7 = _T
+    # slicing-by-8 main loop
+    end8 = n - (n % 8)
+    while i < end8:
+        crc ^= data[i] | (data[i + 1] << 8) | (data[i + 2] << 16) | (data[i + 3] << 24)
+        crc = (
+            t7[crc & 0xFF]
+            ^ t6[(crc >> 8) & 0xFF]
+            ^ t5[(crc >> 16) & 0xFF]
+            ^ t4[(crc >> 24) & 0xFF]
+            ^ t3[data[i + 4]]
+            ^ t2[data[i + 5]]
+            ^ t1[data[i + 6]]
+            ^ t0[data[i + 7]]
+        )
+        i += 8
+    while i < n:
+        crc = t0[(crc ^ data[i]) & 0xFF] ^ (crc >> 8)
+        i += 1
+    return crc ^ 0xFFFFFFFF
+
+
+# ---------------------------------------------------------------- primitives
+
+
+def enc_str(s: str | None) -> bytes:
+    if s is None:
+        return struct.pack(">h", -1)
+    b = s.encode("utf-8")
+    return struct.pack(">h", len(b)) + b
+
+
+def enc_bytes(b: bytes | None) -> bytes:
+    if b is None:
+        return struct.pack(">i", -1)
+    return struct.pack(">i", len(b)) + b
+
+
+class Reader:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.pos = pos
+
+    def _unpack(self, fmt: str, size: int):
+        v = struct.unpack_from(fmt, self.buf, self.pos)[0]
+        self.pos += size
+        return v
+
+    def i8(self):
+        return self._unpack(">b", 1)
+
+    def i16(self):
+        return self._unpack(">h", 2)
+
+    def i32(self):
+        return self._unpack(">i", 4)
+
+    def i64(self):
+        return self._unpack(">q", 8)
+
+    def u32(self):
+        return self._unpack(">I", 4)
+
+    def string(self) -> str | None:
+        n = self.i16()
+        if n < 0:
+            return None
+        s = self.buf[self.pos : self.pos + n].decode("utf-8")
+        self.pos += n
+        return s
+
+    def bytes_(self) -> bytes | None:
+        n = self.i32()
+        if n < 0:
+            return None
+        b = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return b
+
+    def varint(self) -> int:
+        shift = 0
+        result = 0
+        while True:
+            b = self.buf[self.pos]
+            self.pos += 1
+            result |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        return (result >> 1) ^ -(result & 1)  # zigzag decode
+
+    def raw(self, n: int) -> bytes:
+        b = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return b
+
+    def remaining(self) -> int:
+        return len(self.buf) - self.pos
+
+
+def enc_varint(v: int) -> bytes:
+    v = (v << 1) ^ (v >> 63) if v < 0 else (v << 1)  # zigzag (python ints: use arithmetic form)
+    v &= (1 << 64) - 1
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v < 0 else (v << 1)
+
+
+# ---------------------------------------------------------------- record batch v2
+
+COMPRESSION_NONE = 0
+COMPRESSION_GZIP = 1
+COMPRESSION_SNAPPY = 2
+COMPRESSION_LZ4 = 3
+COMPRESSION_ZSTD = 4
+
+_CODEC_NAMES = {
+    "none": COMPRESSION_NONE,
+    "gzip": COMPRESSION_GZIP,
+    "lz4": COMPRESSION_LZ4,
+    "zstd": COMPRESSION_ZSTD,
+}
+
+
+def _compress(codec: int, payload: bytes) -> bytes:
+    if codec == COMPRESSION_NONE:
+        return payload
+    if codec == COMPRESSION_GZIP:
+        import gzip
+
+        return gzip.compress(payload, mtime=0)
+    if codec == COMPRESSION_LZ4:
+        from ticdc_spark.codec.lz4_snappy import lz4_frame_compress
+
+        return lz4_frame_compress(payload)
+    if codec == COMPRESSION_ZSTD:
+        import pyarrow as pa
+
+        return pa.compress(payload, codec="zstd", asbytes=True)
+    raise ValueError(f"unsupported kafka compression codec {codec}")
+
+
+def _decompress(codec: int, payload: bytes) -> bytes:
+    if codec == COMPRESSION_NONE:
+        return payload
+    if codec == COMPRESSION_GZIP:
+        import gzip
+
+        return gzip.decompress(payload)
+    if codec == COMPRESSION_LZ4:
+        from ticdc_spark.codec.lz4_snappy import lz4_frame_decompress
+
+        return lz4_frame_decompress(payload)
+    if codec == COMPRESSION_ZSTD:
+        import pyarrow as pa
+
+        # Kafka doesn't prefix a decompressed length for zstd batches, but
+        # the zstd frame header (RFC 8878 §3.1.1.1) carries the content size
+        # when written non-streaming — parse it for pyarrow's API.
+        size = _zstd_content_size(payload)
+        return pa.decompress(payload, decompressed_size=size, codec="zstd", asbytes=True)
+    raise ValueError(f"unsupported kafka compression codec {codec}")
+
+
+def _zstd_content_size(frame: bytes) -> int:
+    if frame[:4] != b"\x28\xb5\x2f\xfd":
+        raise ValueError("not a zstd frame")
+    fhd = frame[4]
+    fcs_flag = fhd >> 6
+    single_segment = (fhd >> 5) & 1
+    dict_flag = fhd & 0x03
+    pos = 5 + (0 if single_segment else 1)
+    pos += (0, 1, 2, 4)[dict_flag]
+    if fcs_flag == 0:
+        if not single_segment:
+            raise ValueError("zstd frame has no content size (streaming frame)")
+        return frame[pos]
+    if fcs_flag == 1:
+        return struct.unpack_from("<H", frame, pos)[0] + 256
+    if fcs_flag == 2:
+        return struct.unpack_from("<I", frame, pos)[0]
+    return struct.unpack_from("<Q", frame, pos)[0]
+
+
+@dataclass
+class Record:
+    key: bytes | None
+    value: bytes | None
+    headers: list[tuple[str, bytes]] = field(default_factory=list)
+    timestamp_delta: int = 0
+    offset_delta: int = 0
+
+
+def _enc_record(rec: Record) -> bytes:
+    body = bytearray()
+    body += b"\x00"  # attributes
+    body += enc_varint(rec.timestamp_delta)
+    body += enc_varint(rec.offset_delta)
+    if rec.key is None:
+        body += enc_varint(-1)
+    else:
+        body += enc_varint(len(rec.key)) + rec.key
+    if rec.value is None:
+        body += enc_varint(-1)
+    else:
+        body += enc_varint(len(rec.value)) + rec.value
+    body += enc_varint(len(rec.headers))
+    for hk, hv in rec.headers:
+        kb = hk.encode("utf-8")
+        body += enc_varint(len(kb)) + kb
+        if hv is None:
+            body += enc_varint(-1)
+        else:
+            body += enc_varint(len(hv)) + hv
+    return enc_varint(len(body)) + bytes(body)
+
+
+def encode_record_batch(
+    records: list[Record],
+    base_offset: int = 0,
+    base_timestamp: int = 0,
+    compression: str = "none",
+    producer_id: int = -1,
+) -> bytes:
+    """One record batch (magic v2). Offsets/timestamps are deltas off the
+    batch base; the broker rewrites base_offset on append."""
+    codec = _CODEC_NAMES[compression]
+    recs = []
+    max_ts_delta = 0
+    for i, r in enumerate(records):
+        r2 = Record(r.key, r.value, r.headers, r.timestamp_delta, i)
+        max_ts_delta = max(max_ts_delta, r.timestamp_delta)
+        recs.append(_enc_record(r2))
+    payload = _compress(codec, b"".join(recs))
+    attributes = codec  # bits 0-2; no transactional/control bits
+    after_crc = (
+        struct.pack(
+            ">hiqqqhii",
+            attributes,
+            len(records) - 1,  # lastOffsetDelta
+            base_timestamp,
+            base_timestamp + max_ts_delta,
+            producer_id,
+            -1,  # producerEpoch
+            -1,  # baseSequence
+            len(records),
+        )
+        + payload
+    )
+    crc = crc32c(after_crc)
+    body = struct.pack(">ibI", 0, 2, crc) + after_crc  # partitionLeaderEpoch, magic, crc
+    return struct.pack(">qi", base_offset, len(body)) + body
+
+
+def decode_record_batches(buf: bytes) -> list[tuple[int, list[Record]]]:
+    """Parse a record-set (concatenated batches) -> [(base_offset, records)].
+
+    Verifies each batch's CRC32C; raises on mismatch or non-v2 magic."""
+    out = []
+    r = Reader(buf)
+    while r.remaining() >= 12:
+        base_offset = r.i64()
+        batch_len = r.i32()
+        if r.remaining() < batch_len:
+            break  # partial batch at the tail (fetch truncation) — legal
+        body = r.raw(batch_len)
+        br = Reader(body)
+        br.i32()  # partitionLeaderEpoch
+        magic = br.i8()
+        if magic != 2:
+            raise ValueError(f"record batch magic {magic}, expected 2")
+        crc = br.u32()
+        actual = crc32c(body[br.pos :])
+        if crc != actual:
+            raise ValueError(f"record batch crc mismatch: {crc:#x} != {actual:#x}")
+        attributes = br.i16()
+        br.i32()  # lastOffsetDelta
+        base_ts = br.i64()
+        br.i64()  # maxTimestamp
+        br.i64()  # producerId
+        br.i16()  # producerEpoch
+        br.i32()  # baseSequence
+        n_records = br.i32()
+        payload = _decompress(attributes & 0x07, body[br.pos :])
+        pr = Reader(payload)
+        records = []
+        for _ in range(n_records):
+            pr.varint()  # record length
+            pr.i8()  # attributes
+            ts_delta = pr.varint()
+            off_delta = pr.varint()
+            klen = pr.varint()
+            key = pr.raw(klen) if klen >= 0 else None
+            vlen = pr.varint()
+            value = pr.raw(vlen) if vlen >= 0 else None
+            n_headers = pr.varint()
+            headers = []
+            for _ in range(n_headers):
+                hklen = pr.varint()
+                hk = pr.raw(hklen).decode("utf-8")
+                hvlen = pr.varint()
+                hv = pr.raw(hvlen) if hvlen >= 0 else None
+                headers.append((hk, hv))
+            records.append(Record(key, value, headers, ts_delta + base_ts, off_delta))
+        out.append((base_offset, records))
+    return out
+
+
+# ---------------------------------------------------------------- request framing
+
+API_PRODUCE = 0
+API_FETCH = 1
+API_METADATA = 3
+API_API_VERSIONS = 18
+
+SUPPORTED = {API_PRODUCE: (3, 3), API_FETCH: (4, 4), API_METADATA: (1, 1), API_API_VERSIONS: (0, 0)}
+
+
+def frame_request(api_key: int, api_version: int, correlation_id: int, client_id: str, body: bytes) -> bytes:
+    hdr = struct.pack(">hhi", api_key, api_version, correlation_id) + enc_str(client_id)
+    msg = hdr + body
+    return struct.pack(">i", len(msg)) + msg
+
+
+def parse_request_header(buf: bytes) -> tuple[int, int, int, str | None, Reader]:
+    r = Reader(buf)
+    api_key = r.i16()
+    api_version = r.i16()
+    corr = r.i32()
+    client_id = r.string()
+    return api_key, api_version, corr, client_id, r
+
+
+def frame_response(correlation_id: int, body: bytes) -> bytes:
+    msg = struct.pack(">i", correlation_id) + body
+    return struct.pack(">i", len(msg)) + msg
+
+
+# --------- ApiVersions v0
+
+
+def enc_api_versions_response() -> bytes:
+    body = struct.pack(">h", 0)  # error_code
+    body += struct.pack(">i", len(SUPPORTED))
+    for key, (lo, hi) in sorted(SUPPORTED.items()):
+        body += struct.pack(">hhh", key, lo, hi)
+    return body
+
+
+def dec_api_versions_response(r: Reader) -> dict[int, tuple[int, int]]:
+    err = r.i16()
+    if err:
+        raise IOError(f"ApiVersions error {err}")
+    n = r.i32()
+    return {r.i16(): (r.i16(), r.i16()) for _ in range(n)}
+
+
+# --------- Metadata v1
+
+
+def enc_metadata_request(topics: list[str] | None) -> bytes:
+    if topics is None:
+        return struct.pack(">i", -1)
+    body = struct.pack(">i", len(topics))
+    for t in topics:
+        body += enc_str(t)
+    return body
+
+
+def dec_metadata_request(r: Reader) -> list[str] | None:
+    n = r.i32()
+    if n < 0:
+        return None
+    return [r.string() for _ in range(n)]
+
+
+def enc_metadata_response(
+    host: str, port: int, topics: dict[str, int], node_id: int = 0
+) -> bytes:
+    body = struct.pack(">i", 1)  # one broker
+    body += struct.pack(">i", node_id) + enc_str(host) + struct.pack(">i", port) + enc_str(None)
+    body += struct.pack(">i", node_id)  # controller_id
+    body += struct.pack(">i", len(topics))
+    for name, n_parts in sorted(topics.items()):
+        body += struct.pack(">h", 0) + enc_str(name) + struct.pack(">?", False)
+        body += struct.pack(">i", n_parts)
+        for p in range(n_parts):
+            body += struct.pack(">hiii", 0, p, node_id, 1) + struct.pack(">i", node_id)
+            body += struct.pack(">i", 1) + struct.pack(">i", node_id)
+    return body
+
+
+def dec_metadata_response(r: Reader) -> dict:
+    brokers = []
+    for _ in range(r.i32()):
+        brokers.append({"node_id": r.i32(), "host": r.string(), "port": r.i32(), "rack": r.string()})
+    controller = r.i32()
+    topics = {}
+    for _ in range(r.i32()):
+        err = r.i16()
+        name = r.string()
+        r._unpack(">?", 1)  # is_internal
+        parts = []
+        for _ in range(r.i32()):
+            perr = r.i16()
+            idx = r.i32()
+            leader = r.i32()
+            replicas = [r.i32() for _ in range(r.i32())]
+            isr = [r.i32() for _ in range(r.i32())]
+            parts.append({"error": perr, "index": idx, "leader": leader, "replicas": replicas, "isr": isr})
+        topics[name] = {"error": err, "partitions": parts}
+    return {"brokers": brokers, "controller": controller, "topics": topics}
+
+
+# --------- Produce v3
+
+
+def enc_produce_request(
+    topic_data: dict[str, dict[int, bytes]], acks: int = -1, timeout_ms: int = 30000
+) -> bytes:
+    body = enc_str(None)  # transactional_id
+    body += struct.pack(">hi", acks, timeout_ms)
+    body += struct.pack(">i", len(topic_data))
+    for topic, parts in topic_data.items():
+        body += enc_str(topic) + struct.pack(">i", len(parts))
+        for idx, record_set in parts.items():
+            body += struct.pack(">i", idx) + enc_bytes(record_set)
+    return body
+
+
+def dec_produce_request(r: Reader) -> tuple[str | None, int, int, dict[str, dict[int, bytes]]]:
+    txn_id = r.string()
+    acks = r.i16()
+    timeout = r.i32()
+    topic_data: dict[str, dict[int, bytes]] = {}
+    for _ in range(r.i32()):
+        topic = r.string()
+        parts = {}
+        for _ in range(r.i32()):
+            idx = r.i32()
+            parts[idx] = r.bytes_()
+        topic_data[topic] = parts
+    return txn_id, acks, timeout, topic_data
+
+
+def enc_produce_response(results: dict[str, dict[int, tuple[int, int]]]) -> bytes:
+    """results: topic -> partition -> (error_code, base_offset)."""
+    body = struct.pack(">i", len(results))
+    for topic, parts in results.items():
+        body += enc_str(topic) + struct.pack(">i", len(parts))
+        for idx, (err, base_offset) in parts.items():
+            body += struct.pack(">ihqq", idx, err, base_offset, -1)  # log_append_time
+    body += struct.pack(">i", 0)  # throttle_time_ms (trails in Produce v1-v5)
+    return body
+
+
+def dec_produce_response(r: Reader) -> dict[str, dict[int, tuple[int, int]]]:
+    out: dict[str, dict[int, tuple[int, int]]] = {}
+    for _ in range(r.i32()):
+        topic = r.string()
+        parts = {}
+        for _ in range(r.i32()):
+            idx = r.i32()
+            err = r.i16()
+            base_offset = r.i64()
+            r.i64()  # log_append_time
+            parts[idx] = (err, base_offset)
+        out[topic] = parts
+    r.i32()  # throttle_time_ms
+    return out
+
+
+# --------- Fetch v4
+
+
+def enc_fetch_request(
+    topic: str, partition: int, fetch_offset: int, max_bytes: int = 1 << 26
+) -> bytes:
+    body = struct.pack(">iiii", -1, 100, 1, max_bytes)  # replica_id, max_wait, min_bytes, max_bytes
+    body += b"\x00"  # isolation_level READ_UNCOMMITTED
+    body += struct.pack(">i", 1) + enc_str(topic) + struct.pack(">i", 1)
+    body += struct.pack(">iqi", partition, fetch_offset, max_bytes)
+    return body
+
+
+def dec_fetch_request(r: Reader) -> list[tuple[str, int, int, int]]:
+    r.i32()  # replica_id
+    r.i32()  # max_wait
+    r.i32()  # min_bytes
+    r.i32()  # max_bytes
+    r.i8()  # isolation
+    out = []
+    for _ in range(r.i32()):
+        topic = r.string()
+        for _ in range(r.i32()):
+            partition = r.i32()
+            offset = r.i64()
+            pmax = r.i32()
+            out.append((topic, partition, offset, pmax))
+    return out
+
+
+def enc_fetch_response(
+    parts: list[tuple[str, int, int, int, bytes]]
+) -> bytes:
+    """parts: [(topic, partition, error_code, high_watermark, record_set)]."""
+    by_topic: dict[str, list] = {}
+    for topic, idx, err, hw, rs in parts:
+        by_topic.setdefault(topic, []).append((idx, err, hw, rs))
+    body = struct.pack(">i", 0)  # throttle_time_ms (leads in Fetch v1+)
+    body += struct.pack(">i", len(by_topic))
+    for topic, plist in by_topic.items():
+        body += enc_str(topic) + struct.pack(">i", len(plist))
+        for idx, err, hw, rs in plist:
+            body += struct.pack(">ihqq", idx, err, hw, hw)  # last_stable_offset = hw
+            body += struct.pack(">i", 0)  # aborted_transactions: empty
+            body += enc_bytes(rs)
+    return body
+
+
+def dec_fetch_response(r: Reader) -> list[tuple[str, int, int, int, bytes]]:
+    r.i32()  # throttle
+    out = []
+    for _ in range(r.i32()):
+        topic = r.string()
+        for _ in range(r.i32()):
+            idx = r.i32()
+            err = r.i16()
+            hw = r.i64()
+            r.i64()  # last_stable_offset
+            for _ in range(r.i32()):  # aborted txns
+                r.i64()
+                r.i64()
+            rs = r.bytes_() or b""
+            out.append((topic, idx, err, hw, rs))
+    return out

@@ -3922,3 +3922,32 @@ def q_avro_confluent_roundtrip(spark, sf_dir):
                 "physical_time", "key_id", "id", "val", "k", "dec_op"])
 
     return cl.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# K2 live — the kafka frame produced to a REAL wire-protocol endpoint and
+# fetched back (`pkg/sink/kafka` round trip; broker = sinks/kafka_broker.py
+# speaking ApiVersions/Metadata/Produce v3/Fetch v4 with v2 record batches,
+# CRC32C-verified on ingest).  The fetch kernel additionally asserts offset
+# contiguity 0..hw-1 per partition, so at-least-once delivery with no
+# duplicates is checked inside the plan.  lz4-compressed batches exercise
+# this repo's pure-Python LZ4 frame codec on the actual wire.
+# ---------------------------------------------------------------------------
+@register(
+    "kafka_live_roundtrip",
+    f"WITH {CHANGELOG_SQL} SELECT "
+    "'cdc_' || schema_name || '_' || table_name AS topic, "
+    f"CAST({_MD5_32_SQL} % 16 AS INTEGER) AS partition, "
+    f"{_OPEN_KEY_SQL} AS key, {_CANAL_SQL} AS value FROM changelog",
+)
+def q_kafka_live_roundtrip(spark, sf_dir):
+    from ticdc_spark.sinks.kafka_live import kafka_live_roundtrip
+
+    frame = kafka_messages(
+        scale_out(events_changelog(spark, sf_dir)),
+        [{"matcher": ["test.tp_*"], "partition": "index-value",
+          "topic": "cdc_{schema}_{table}"}],
+        protocol="canal-json",
+        n_partitions=16,
+    )
+    return kafka_live_roundtrip(frame, n_partitions=16, compression="lz4")

@@ -1,0 +1,215 @@
+"""In-process Kafka broker speaking the real wire protocol over TCP.
+
+Serves ApiVersions v0, Metadata v1, Produce v3, Fetch v4 (the subset
+`codec/kafka_wire.py` frames) against an in-memory log — one
+append-only list of record batches per (topic, partition), with base
+offsets rewritten on append exactly like a real broker.
+
+Purpose: give the Kafka sink (`sinks/kafka.py`) a live endpoint to
+round-trip against in tests and oracle queries. The reference exercises
+`pkg/sink/kafka` against real clusters; this container has none, so the
+broker is the honest substitute — the bytes on the socket are the real
+protocol, CRC32C verified on ingest like a broker with
+`log.message.format.version=2`.
+
+Scale note: this is a TEST endpoint. In production the same producer
+bytes target a real cluster; nothing here sits on the data path.
+"""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import struct
+import threading
+
+from ticdc_spark.codec import kafka_wire as kw
+
+
+class _Log:
+    """One partition's log: raw v2 batches with rewritten base offsets."""
+
+    __slots__ = ("batches", "next_offset", "lock")
+
+    def __init__(self):
+        self.batches: list[bytes] = []
+        self.next_offset = 0
+        self.lock = threading.Lock()
+
+    def append(self, record_set: bytes) -> int:
+        """Validate + append every batch in the set; returns the base offset
+        assigned to the first batch (errors leave the log untouched)."""
+        kw.decode_record_batches(record_set)  # raises on bad CRC/magic
+        with self.lock:
+            # rewrite each batch's baseOffset (first 8 bytes) to its assigned
+            # offset — CRC stays valid because it doesn't cover baseOffset
+            out_base = self.next_offset
+            pos = 0
+            assigned = self.next_offset
+            while pos < len(record_set):
+                batch_len = struct.unpack_from(">i", record_set, pos + 8)[0]
+                end = pos + 12 + batch_len
+                body = record_set[pos + 8 : end]
+                n_records = struct.unpack_from(">i", record_set, pos + 57)[0]
+                self.batches.append(struct.pack(">q", assigned) + body)
+                assigned += n_records
+                pos = end
+            if assigned == out_base:
+                raise ValueError("empty record set")
+            self.next_offset = assigned
+            return out_base
+
+    def read_from(self, offset: int, max_bytes: int) -> tuple[bytes, int]:
+        with self.lock:
+            out = bytearray()
+            for b in self.batches:
+                base = struct.unpack_from(">q", b, 0)[0]
+                n = struct.unpack_from(">i", b, 57)[0]  # recordCount at fixed offset
+                if base + n <= offset:
+                    continue
+                out += b
+                if len(out) >= max_bytes:
+                    break
+            return bytes(out), self.next_offset
+
+
+# recordCount fixed offset inside a stored batch:
+#  baseOffset 8 | batchLength 4 | leaderEpoch 4 | magic 1 | crc 4 |
+#  attributes 2 | lastOffsetDelta 4 | baseTs 8 | maxTs 8 | producerId 8 |
+#  producerEpoch 2 | baseSequence 4  => 8+4+4+1+4+2+4+8+8+8+2+4 = 57
+
+
+class KafkaBroker:
+    """Threaded single-node broker bound to 127.0.0.1:<ephemeral port>."""
+
+    def __init__(self, host: str = "127.0.0.1", default_partitions: int = 4):
+        self.host = host
+        self.default_partitions = default_partitions
+        self.topics: dict[str, dict[int, _Log]] = {}
+        self._topics_lock = threading.Lock()
+        broker = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                sock = self.request
+                try:
+                    while True:
+                        hdr = _recv_exact(sock, 4)
+                        if hdr is None:
+                            return
+                        (size,) = struct.unpack(">i", hdr)
+                        payload = _recv_exact(sock, size)
+                        if payload is None:
+                            return
+                        resp = broker._dispatch(payload)
+                        sock.sendall(resp)
+                except (ConnectionResetError, BrokenPipeError):
+                    return
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = Server((host, 0), Handler)
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+
+    # -- lifecycle
+
+    def start(self) -> "KafkaBroker":
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._server.shutdown()
+        self._server.server_close()
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    @property
+    def bootstrap(self) -> str:
+        return f"{self.host}:{self.port}"
+
+    # -- log access
+
+    def _get_topic(self, name: str, create: bool = True) -> dict[int, _Log] | None:
+        with self._topics_lock:
+            t = self.topics.get(name)
+            if t is None and create:
+                t = {p: _Log() for p in range(self.default_partitions)}
+                self.topics[name] = t
+            return t
+
+    def create_topic(self, name: str, partitions: int):
+        with self._topics_lock:
+            self.topics[name] = {p: _Log() for p in range(partitions)}
+
+    def high_watermark(self, topic: str, partition: int) -> int:
+        t = self._get_topic(topic, create=False)
+        return t[partition].next_offset if t and partition in t else 0
+
+    # -- protocol dispatch
+
+    def _dispatch(self, payload: bytes) -> bytes:
+        api_key, api_version, corr, _client, r = kw.parse_request_header(payload)
+        lo_hi = kw.SUPPORTED.get(api_key)
+        if lo_hi is None or not (lo_hi[0] <= api_version <= lo_hi[1]):
+            # UNSUPPORTED_VERSION (35) shaped as an ApiVersions v0 response
+            return kw.frame_response(corr, struct.pack(">hi", 35, 0))
+        if api_key == kw.API_API_VERSIONS:
+            return kw.frame_response(corr, kw.enc_api_versions_response())
+        if api_key == kw.API_METADATA:
+            names = kw.dec_metadata_request(r)
+            if names is None:
+                with self._topics_lock:
+                    listing = {t: len(p) for t, p in self.topics.items()}
+            else:
+                listing = {}
+                for name in names:
+                    t = self._get_topic(name)  # auto-create like auto.create.topics
+                    listing[name] = len(t)
+            return kw.frame_response(
+                corr, kw.enc_metadata_response(self.host, self.port, listing)
+            )
+        if api_key == kw.API_PRODUCE:
+            _txn, acks, _timeout, topic_data = kw.dec_produce_request(r)
+            results: dict[str, dict[int, tuple[int, int]]] = {}
+            for topic, parts in topic_data.items():
+                t = self._get_topic(topic)
+                results[topic] = {}
+                for idx, record_set in parts.items():
+                    if idx not in t:
+                        results[topic][idx] = (3, -1)  # UNKNOWN_TOPIC_OR_PARTITION
+                        continue
+                    try:
+                        base = t[idx].append(record_set)
+                        results[topic][idx] = (0, base)
+                    except ValueError:
+                        results[topic][idx] = (2, -1)  # CORRUPT_MESSAGE
+            return kw.frame_response(corr, kw.enc_produce_response(results))
+        if api_key == kw.API_FETCH:
+            wants = kw.dec_fetch_request(r)
+            parts = []
+            for topic, partition, offset, pmax in wants:
+                t = self._get_topic(topic, create=False)
+                if t is None or partition not in t:
+                    parts.append((topic, partition, 3, 0, b""))
+                    continue
+                data, hw = t[partition].read_from(offset, pmax)
+                parts.append((topic, partition, 0, hw, data))
+            return kw.frame_response(corr, kw.enc_fetch_response(parts))
+        raise AssertionError("unreachable")
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes | None:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            return None
+        buf += chunk
+    return bytes(buf)
