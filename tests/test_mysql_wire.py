@@ -1,0 +1,174 @@
+"""MySQL wire protocol: packet/lenenc/auth codecs + live server TCP."""
+
+import threading
+
+import pytest
+
+from ticdc_spark.codec import mysql_wire as mw
+from ticdc_spark.sinks.mysql_client import MySQLConn
+from ticdc_spark.sinks.mysql_server import MiniMySQLServer
+
+
+# ------------------------------------------------------------------ lenenc
+
+@pytest.mark.parametrize("v", [0, 1, 0xFA, 0xFB, 0xFF, 0xFFFF, 0x10000,
+                               0xFFFFFF, 0x1000000, (1 << 63) - 1])
+def test_lenenc_int_roundtrip(v):
+    buf = mw.enc_lenenc_int(v)
+    got, pos = mw.dec_lenenc_int(buf, 0)
+    assert (got, pos) == (v, len(buf))
+
+
+def test_lenenc_int_wire_forms():
+    assert mw.enc_lenenc_int(250) == bytes([250])
+    assert mw.enc_lenenc_int(251) == b"\xfc\xfb\x00"
+    assert mw.enc_lenenc_int(0xFFFF) == b"\xfc\xff\xff"
+    assert mw.enc_lenenc_int(0x10000) == b"\xfd\x00\x00\x01"
+    assert mw.enc_lenenc_int(0x1000000)[0] == 0xFE
+
+
+# ------------------------------------------------------------------ auth
+
+def test_native_password_scramble_properties():
+    nonce = bytes(range(1, 21))
+    tok = mw.native_password_scramble("pw", nonce)
+    assert len(tok) == 20
+    assert mw.verify_native_password("pw", nonce, tok)
+    assert not mw.verify_native_password("other", nonce, tok)
+    assert not mw.verify_native_password("pw", bytes(range(21, 41)), tok)
+    assert mw.native_password_scramble("", nonce) == b""
+
+
+def test_native_password_known_vector():
+    # independently derivable: SHA1("secret") ^ SHA1(nonce + SHA1(SHA1("secret")))
+    import hashlib
+
+    nonce = b"\x01" * 20
+    h1 = hashlib.sha1(b"secret").digest()
+    expect = bytes(a ^ b for a, b in zip(
+        h1, hashlib.sha1(nonce + hashlib.sha1(h1).digest()).digest()))
+    assert mw.native_password_scramble("secret", nonce) == expect
+
+
+# ------------------------------------------------------------------ codecs
+
+def test_handshake_v10_roundtrip():
+    nonce = bytes(range(40, 60))
+    payload = mw.enc_handshake_v10(7, nonce, "8.0.11-test")
+    hs = mw.dec_handshake_v10(payload)
+    assert hs["version"] == "8.0.11-test"
+    assert hs["thread_id"] == 7
+    assert hs["nonce"] == nonce
+    assert hs["auth_plugin"] == mw.AUTH_PLUGIN
+    assert hs["capabilities"] & mw.CLIENT_PROTOCOL_41
+    assert hs["capabilities"] & mw.CLIENT_PLUGIN_AUTH
+
+
+def test_handshake_response41_roundtrip():
+    nonce = bytes(range(20))
+    payload = mw.enc_handshake_response41("u", "p", nonce, None,
+                                          mw.SERVER_CAPS)
+    resp = mw.dec_handshake_response41(payload)
+    assert resp["user"] == "u"
+    assert resp["token"] == mw.native_password_scramble("p", nonce)
+    assert resp["auth_plugin"] == mw.AUTH_PLUGIN
+
+
+def test_ok_err_packets():
+    ok = mw.dec_ok(mw.enc_ok(affected=3, status=mw.SERVER_MORE_RESULTS_EXISTS))
+    assert ok["affected"] == 3
+    assert ok["status"] & mw.SERVER_MORE_RESULTS_EXISTS
+    err = mw.dec_err(mw.enc_err(1045, "denied", "28000"))
+    assert (err.code, err.sql_state, err.message) == (1045, "28000", "denied")
+
+
+def test_text_row_null_and_floats():
+    row = mw.enc_text_row([1, None, 0.1, "s"])
+    vals = mw.dec_text_row(row, 4)
+    assert vals == [b"1", None, b"0.1", b"s"]
+    assert float(mw.dec_text_row(mw.enc_text_row([1.0 / 3.0]), 1)[0]) == 1.0 / 3.0
+
+
+# ------------------------------------------------------------------ live server
+
+@pytest.fixture()
+def server():
+    with MiniMySQLServer(user="root", password="pw") as s:
+        yield s
+
+
+def _conn(s):
+    return MySQLConn("127.0.0.1", s.port, "root", "pw")
+
+
+def test_live_auth_and_version(server):
+    with _conn(server) as c:
+        assert c.server_version.startswith("8.0")
+    with pytest.raises(mw.MySQLError) as ei:
+        MySQLConn("127.0.0.1", server.port, "root", "nope")
+    assert ei.value.code == 1045 and ei.value.sql_state == "28000"
+
+
+def test_live_dml_and_resultset(server):
+    with _conn(server) as c:
+        assert c.query("SET sql_mode = 'x'")["affected"] == 0
+        c.query("CREATE TABLE `test`.`t` (`id` BIGINT PRIMARY KEY, `val` DOUBLE, `k` BIGINT)")
+        n = c.execute_batch([
+            "REPLACE INTO `test`.`t` (`id`, `val`, `k`) VALUES (1, 1.50, 2)",
+            "REPLACE INTO `test`.`t` (`id`, `val`, `k`) VALUES (1, 2.25, NULL)",
+            "REPLACE INTO `test`.`t` (`id`, `val`, `k`) VALUES (5, 0.10, 9)",
+            "DELETE FROM `test`.`t` WHERE `id` = 5",
+        ])
+        assert n == 4
+        rs = c.query("SELECT `id`, `val`, `k` FROM `test`.`t` ORDER BY `id`")
+        assert rs.columns == ["id", "val", "k"]
+        assert rs.rows == [[1, 2.25, None]]
+        assert rs.types[:2] == [mw.MYSQL_TYPE_LONGLONG, mw.MYSQL_TYPE_DOUBLE]
+
+
+def test_live_sql_error_surfaces(server):
+    with _conn(server) as c:
+        with pytest.raises(mw.MySQLError) as ei:
+            c.query("SELECT * FROM `test`.`missing`")
+        assert ei.value.code == 1064
+
+
+def test_live_batch_stops_at_error(server):
+    with _conn(server) as c:
+        c.query("CREATE TABLE `test`.`t2` (`id` BIGINT PRIMARY KEY)")
+        with pytest.raises(mw.MySQLError):
+            c.execute_batch([
+                "INSERT INTO `test`.`t2` (`id`) VALUES (1)",
+                "INSERT INTO `test`.`nowhere` (`id`) VALUES (2)",
+                "INSERT INTO `test`.`t2` (`id`) VALUES (3)",
+            ])
+        # connection still usable after a failed batch; tail not applied
+        rs = c.query("SELECT count(*) FROM `test`.`t2`")
+        assert rs.rows == [[1]]
+
+
+def test_live_concurrent_connections(server):
+    with _conn(server) as c:
+        c.query("CREATE TABLE `test`.`cc` (`id` BIGINT PRIMARY KEY, `v` BIGINT)")
+
+    def work(tid):
+        with _conn(server) as c:
+            c.execute_batch([
+                f"REPLACE INTO `test`.`cc` (`id`, `v`) VALUES ({tid * 100 + i}, {i})"
+                for i in range(50)
+            ])
+
+    threads = [threading.Thread(target=work, args=(t,)) for t in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    with _conn(server) as c:
+        assert c.query("SELECT count(*) FROM `test`.`cc`").rows == [[400]]
+
+
+def test_live_empty_resultset_types(server):
+    with _conn(server) as c:
+        c.query("CREATE TABLE `test`.`e` (`id` BIGINT PRIMARY KEY)")
+        rs = c.query("SELECT `id` FROM `test`.`e`")
+        assert rs.rows == [] and rs.columns == ["id"]

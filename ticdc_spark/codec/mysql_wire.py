@@ -1,0 +1,356 @@
+"""MySQL client/server wire protocol — the subset a DML sink speaks.
+
+Layouts follow the public MySQL protocol documentation (dev.mysql.com
+"Client/Server Protocol"): 3-byte little-endian length + sequence-id
+packet framing, Protocol::HandshakeV10, HandshakeResponse41 with
+mysql_native_password scrambling (SHA1(pwd) XOR SHA1(nonce+SHA1(SHA1(pwd)))),
+OK_Packet / ERR_Packet / EOF_Packet, COM_QUERY, and the text-protocol
+resultset (ColumnDefinition41 + NULL-as-0xFB lenenc rows).
+CLIENT_MULTI_STATEMENTS is supported with the real multi-resultset
+framing (SERVER_MORE_RESULTS_EXISTS chaining).
+
+Reference behavior being reproduced: `pkg/sink/mysql` drives go-sql-driver
+connections speaking exactly these frames; see sinks/mysql_server.py for
+the in-process endpoint and sinks/mysql_live.py for the sink round trip.
+All from the public spec — no reference code consulted for bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+# capability flags (protocol constants from the public docs)
+CLIENT_LONG_PASSWORD = 0x00000001
+CLIENT_CONNECT_WITH_DB = 0x00000008
+CLIENT_PROTOCOL_41 = 0x00000200
+CLIENT_TRANSACTIONS = 0x00002000
+CLIENT_SECURE_CONNECTION = 0x00008000
+CLIENT_MULTI_STATEMENTS = 0x00010000
+CLIENT_MULTI_RESULTS = 0x00020000
+CLIENT_PLUGIN_AUTH = 0x00080000
+
+SERVER_STATUS_AUTOCOMMIT = 0x0002
+SERVER_MORE_RESULTS_EXISTS = 0x0008
+
+# column types (text protocol sends values as strings; types are metadata)
+MYSQL_TYPE_DOUBLE = 0x05
+MYSQL_TYPE_NULL = 0x06
+MYSQL_TYPE_LONGLONG = 0x08
+MYSQL_TYPE_VAR_STRING = 0xFD
+
+CHARSET_UTF8MB4 = 45  # utf8mb4_general_ci
+
+AUTH_PLUGIN = b"mysql_native_password"
+
+MAX_PACKET = 0xFFFFFF
+
+
+# ---------------------------------------------------------------- packets
+
+
+def write_packet(sock, seq: int, payload: bytes) -> int:
+    """Send one packet; returns the next sequence id. Payloads here stay
+    far below 16 MiB (the sink batches statements); guard anyway."""
+    if len(payload) >= MAX_PACKET:
+        raise ValueError("packet overflow: payload >= 16MiB needs continuation packets")
+    sock.sendall(struct.pack("<I", len(payload))[:3] + bytes([seq & 0xFF]) + payload)
+    return (seq + 1) & 0xFF
+
+
+def read_packet(sock) -> tuple[int, bytes] | None:
+    hdr = _recv_exact(sock, 4)
+    if hdr is None:
+        return None
+    length = hdr[0] | (hdr[1] << 8) | (hdr[2] << 16)
+    seq = hdr[3]
+    payload = _recv_exact(sock, length) if length else b""
+    if payload is None:
+        return None
+    return seq, payload
+
+
+def _recv_exact(sock, n: int) -> bytes | None:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            return None
+        buf += chunk
+    return bytes(buf)
+
+
+# ---------------------------------------------------------------- lenenc
+
+
+def enc_lenenc_int(v: int) -> bytes:
+    if v < 0xFB:
+        return bytes([v])
+    if v < 1 << 16:
+        return b"\xfc" + struct.pack("<H", v)
+    if v < 1 << 24:
+        return b"\xfd" + struct.pack("<I", v)[:3]
+    return b"\xfe" + struct.pack("<Q", v)
+
+
+def dec_lenenc_int(buf: bytes, pos: int) -> tuple[int, int]:
+    b = buf[pos]
+    if b < 0xFB:
+        return b, pos + 1
+    if b == 0xFC:
+        return struct.unpack_from("<H", buf, pos + 1)[0], pos + 3
+    if b == 0xFD:
+        return buf[pos + 1] | (buf[pos + 2] << 8) | (buf[pos + 3] << 16), pos + 4
+    if b == 0xFE:
+        return struct.unpack_from("<Q", buf, pos + 1)[0], pos + 9
+    raise ValueError(f"invalid lenenc int header {b:#x}")
+
+
+def enc_lenenc_str(s: bytes) -> bytes:
+    return enc_lenenc_int(len(s)) + s
+
+
+def dec_lenenc_str(buf: bytes, pos: int) -> tuple[bytes, int]:
+    n, pos = dec_lenenc_int(buf, pos)
+    return buf[pos : pos + n], pos + n
+
+
+def _nul_str(buf: bytes, pos: int) -> tuple[bytes, int]:
+    end = buf.index(0, pos)
+    return buf[pos:end], end + 1
+
+
+# ---------------------------------------------------------------- auth
+
+
+def native_password_scramble(password: str, nonce: bytes) -> bytes:
+    """mysql_native_password token: SHA1(pwd) XOR SHA1(nonce + SHA1(SHA1(pwd)))."""
+    if not password:
+        return b""
+    h1 = hashlib.sha1(password.encode("utf-8")).digest()
+    h2 = hashlib.sha1(h1).digest()
+    h3 = hashlib.sha1(nonce + h2).digest()
+    return bytes(a ^ b for a, b in zip(h1, h3))
+
+
+def verify_native_password(password: str, nonce: bytes, token: bytes) -> bool:
+    return native_password_scramble(password, nonce) == token
+
+
+# ---------------------------------------------------------------- handshake
+
+SERVER_CAPS = (
+    CLIENT_LONG_PASSWORD
+    | CLIENT_CONNECT_WITH_DB
+    | CLIENT_PROTOCOL_41
+    | CLIENT_TRANSACTIONS
+    | CLIENT_SECURE_CONNECTION
+    | CLIENT_MULTI_STATEMENTS
+    | CLIENT_MULTI_RESULTS
+    | CLIENT_PLUGIN_AUTH
+)
+
+
+def enc_handshake_v10(thread_id: int, nonce: bytes, server_version: str) -> bytes:
+    """nonce: 20 bytes (8-byte part 1, 12-byte part 2 + trailing NUL on wire)."""
+    assert len(nonce) == 20
+    caps = SERVER_CAPS
+    out = bytearray()
+    out += b"\x0a" + server_version.encode() + b"\x00"
+    out += struct.pack("<I", thread_id)
+    out += nonce[:8] + b"\x00"
+    out += struct.pack("<H", caps & 0xFFFF)
+    out += bytes([CHARSET_UTF8MB4])
+    out += struct.pack("<H", SERVER_STATUS_AUTOCOMMIT)
+    out += struct.pack("<H", caps >> 16)
+    out += bytes([21])  # auth plugin data total length (8 + 12 + NUL)
+    out += b"\x00" * 10
+    out += nonce[8:] + b"\x00"
+    out += AUTH_PLUGIN + b"\x00"
+    return bytes(out)
+
+
+def dec_handshake_v10(payload: bytes) -> dict:
+    if payload[0] != 0x0A:
+        raise IOError(f"unsupported handshake protocol version {payload[0]}")
+    version, pos = _nul_str(payload, 1)
+    thread_id = struct.unpack_from("<I", payload, pos)[0]
+    pos += 4
+    nonce1 = payload[pos : pos + 8]
+    pos += 9  # + filler
+    caps = struct.unpack_from("<H", payload, pos)[0]
+    pos += 2
+    charset = payload[pos]
+    pos += 1
+    status = struct.unpack_from("<H", payload, pos)[0]
+    pos += 2
+    caps |= struct.unpack_from("<H", payload, pos)[0] << 16
+    pos += 2
+    auth_len = payload[pos]
+    pos += 1 + 10
+    nonce2 = b""
+    if caps & CLIENT_SECURE_CONNECTION:
+        n2 = max(13, auth_len - 8)
+        nonce2 = payload[pos : pos + n2].rstrip(b"\x00")
+        pos += n2
+    plugin = b""
+    if caps & CLIENT_PLUGIN_AUTH:
+        plugin, pos = _nul_str(payload, pos)
+    return {
+        "version": version.decode(),
+        "thread_id": thread_id,
+        "nonce": nonce1 + nonce2,
+        "capabilities": caps,
+        "charset": charset,
+        "status": status,
+        "auth_plugin": plugin,
+    }
+
+
+def enc_handshake_response41(
+    user: str, password: str, nonce: bytes, database: str | None, client_caps: int
+) -> bytes:
+    out = bytearray()
+    out += struct.pack("<I", client_caps)
+    out += struct.pack("<I", 1 << 24)  # max packet size
+    out += bytes([CHARSET_UTF8MB4])
+    out += b"\x00" * 23
+    out += user.encode() + b"\x00"
+    token = native_password_scramble(password, nonce)
+    out += bytes([len(token)]) + token  # CLIENT_SECURE_CONNECTION form
+    if client_caps & CLIENT_CONNECT_WITH_DB:
+        out += (database or "").encode() + b"\x00"
+    if client_caps & CLIENT_PLUGIN_AUTH:
+        out += AUTH_PLUGIN + b"\x00"
+    return bytes(out)
+
+
+def dec_handshake_response41(payload: bytes) -> dict:
+    caps, _max_packet = struct.unpack_from("<II", payload, 0)
+    pos = 8 + 1 + 23
+    user, pos = _nul_str(payload, pos)
+    tlen = payload[pos]
+    pos += 1
+    token = payload[pos : pos + tlen]
+    pos += tlen
+    database = None
+    if caps & CLIENT_CONNECT_WITH_DB and pos < len(payload):
+        db, pos = _nul_str(payload, pos)
+        database = db.decode() or None
+    plugin = b""
+    if caps & CLIENT_PLUGIN_AUTH and pos < len(payload):
+        plugin, pos = _nul_str(payload, pos)
+    return {"capabilities": caps, "user": user.decode(), "token": token,
+            "database": database, "auth_plugin": plugin}
+
+
+# ---------------------------------------------------------------- OK / ERR / EOF
+
+
+def enc_ok(affected: int = 0, last_insert_id: int = 0, status: int = SERVER_STATUS_AUTOCOMMIT) -> bytes:
+    return (
+        b"\x00"
+        + enc_lenenc_int(affected)
+        + enc_lenenc_int(last_insert_id)
+        + struct.pack("<HH", status, 0)
+    )
+
+
+def enc_err(code: int, message: str, sql_state: str = "HY000") -> bytes:
+    return b"\xff" + struct.pack("<H", code) + b"#" + sql_state.encode()[:5] + message.encode()
+
+
+def enc_eof(status: int = SERVER_STATUS_AUTOCOMMIT) -> bytes:
+    return b"\xfe" + struct.pack("<HH", 0, status)
+
+
+class MySQLError(Exception):
+    def __init__(self, code: int, sql_state: str, message: str):
+        super().__init__(f"({code}, {sql_state}): {message}")
+        self.code = code
+        self.sql_state = sql_state
+        self.message = message
+
+
+def dec_ok(payload: bytes) -> dict:
+    affected, pos = dec_lenenc_int(payload, 1)
+    last_id, pos = dec_lenenc_int(payload, pos)
+    status, warnings = struct.unpack_from("<HH", payload, pos)
+    return {"affected": affected, "last_insert_id": last_id,
+            "status": status, "warnings": warnings}
+
+
+def dec_err(payload: bytes) -> MySQLError:
+    code = struct.unpack_from("<H", payload, 1)[0]
+    pos = 3
+    sql_state = ""
+    if pos < len(payload) and payload[pos : pos + 1] == b"#":
+        sql_state = payload[pos + 1 : pos + 6].decode()
+        pos += 6
+    return MySQLError(code, sql_state, payload[pos:].decode("utf-8", "replace"))
+
+
+# ---------------------------------------------------------------- resultset
+
+
+def enc_column_def(name: str, col_type: int, flags: int = 0) -> bytes:
+    out = bytearray()
+    out += enc_lenenc_str(b"def")  # catalog
+    out += enc_lenenc_str(b"")  # schema
+    out += enc_lenenc_str(b"")  # table
+    out += enc_lenenc_str(b"")  # org_table
+    out += enc_lenenc_str(name.encode())
+    out += enc_lenenc_str(name.encode())  # org_name
+    out += bytes([0x0C])  # fixed-length fields marker
+    out += struct.pack("<H", CHARSET_UTF8MB4)
+    out += struct.pack("<I", 255)  # column_length (display)
+    out += bytes([col_type])
+    out += struct.pack("<H", flags)
+    out += bytes([0])  # decimals
+    out += b"\x00\x00"
+    return bytes(out)
+
+
+def dec_column_def(payload: bytes) -> dict:
+    pos = 0
+    _, pos = dec_lenenc_str(payload, pos)  # catalog
+    _, pos = dec_lenenc_str(payload, pos)
+    _, pos = dec_lenenc_str(payload, pos)
+    _, pos = dec_lenenc_str(payload, pos)
+    name, pos = dec_lenenc_str(payload, pos)
+    _, pos = dec_lenenc_str(payload, pos)
+    pos += 1  # 0x0c
+    pos += 2 + 4
+    col_type = payload[pos]
+    return {"name": name.decode(), "type": col_type}
+
+
+def enc_text_row(values: list) -> bytes:
+    """Text-protocol row: NULL -> 0xFB, everything else lenenc-str of its
+    text form (floats via repr = shortest round-trip)."""
+    out = bytearray()
+    for v in values:
+        if v is None:
+            out += b"\xfb"
+        else:
+            if isinstance(v, float):
+                s = repr(v).encode()
+            elif isinstance(v, bytes):
+                s = v
+            else:
+                s = str(v).encode()
+            out += enc_lenenc_str(s)
+    return bytes(out)
+
+
+def dec_text_row(payload: bytes, n_cols: int) -> list[bytes | None]:
+    out: list[bytes | None] = []
+    pos = 0
+    for _ in range(n_cols):
+        if payload[pos] == 0xFB:
+            out.append(None)
+            pos += 1
+        else:
+            v, pos = dec_lenenc_str(payload, pos)
+            out.append(v)
+    return out

@@ -3951,3 +3951,34 @@ def q_kafka_live_roundtrip(spark, sf_dir):
         n_partitions=16,
     )
     return kafka_live_roundtrip(frame, n_partitions=16, compression="lz4")
+
+
+# ---------------------------------------------------------------------------
+# K1 live — the MySQL writer path against a REAL wire-protocol endpoint
+# (`pkg/sink/mysql` per-worker connections; server = sinks/mysql_server.py
+# speaking HandshakeV10 + mysql_native_password + COM_QUERY over TCP).
+# Safe-mode statements flow as multi-statement batches from every slot
+# partition concurrently; the query returns the final table state read
+# back over the same wire, compared against the materialize_state oracle
+# at the %.2f double rendering the statements carry.
+# ---------------------------------------------------------------------------
+_TP_TABLES = ["tp_click", "tp_error", "tp_purchase", "tp_signup", "tp_view"]
+
+
+@register(
+    "mysql_live_apply",
+    f"WITH {CHANGELOG_SQL}, {_SPLIT_CTE}, "
+    "keyed AS (SELECT *, coalesce(after_id, before_id) AS k_id, "
+    "commit_ts * 4 + dml_order AS ord FROM split), "
+    "g AS (SELECT table_name, k_id, arg_max(op, ord) AS last_op, "
+    "arg_max(after_val, ord) AS last_val, arg_max(after_k, ord) AS last_k "
+    "FROM keyed GROUP BY 1, 2) "
+    "SELECT table_name, k_id AS id, "
+    "CAST(printf('%.2f', last_val) AS DOUBLE) AS val, last_k AS k "
+    "FROM g WHERE last_op <> 'D'",
+)
+def q_mysql_live_apply(spark, sf_dir):
+    from ticdc_spark.sinks.mysql_live import mysql_live_apply
+
+    cl = split_updates(scale_out(events_changelog(spark, sf_dir)))
+    return mysql_live_apply(cl, _TP_TABLES)

@@ -1,0 +1,181 @@
+"""In-process MySQL server speaking the real wire protocol over TCP.
+
+Handshake V10 + mysql_native_password auth + COM_QUERY against a shared
+sqlite3 backend (stdlib). Purpose: give the MySQL sink (`sinks/mysql.py`
+SQL generation + `sinks/jdbc.py` ordered apply) a live endpoint so the
+whole `pkg/sink/mysql` path — session-init statements, safe-mode
+REPLACE/DELETE DML, multi-statement batches, final-state readback — is
+exercised over actual sockets in this container (no mysqld available).
+
+Dialect notes (documented mini-server simplifications, not protocol ones):
+- ``schema`.`table`` names work natively: each schema is ATTACHed as a
+  named sqlite database; backtick quoting is sqlite-native.
+- ``SET ...`` session statements are accepted and no-op'd with OK, like a
+  real server whose variables we don't model.
+- Multi-statement COM_QUERY payloads are split on ';\n' (the client joins
+  with that separator); responses use the real SERVER_MORE_RESULTS_EXISTS
+  chaining. A real server parses statement boundaries properly — the
+  generated DML here is single-line so the separator is unambiguous.
+
+Scale note: TEST endpoint. In production the same client bytes target a
+real MySQL/TiDB; nothing here sits on the data path.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import socketserver
+import sqlite3
+import threading
+
+from ticdc_spark.codec import mysql_wire as mw
+
+_FLOAT_RE = re.compile(r"^-?\d+\.\d+$")
+
+
+class MiniMySQLServer:
+    def __init__(
+        self,
+        user: str = "root",
+        password: str = "secret",
+        schemas: tuple[str, ...] = ("test",),
+        host: str = "127.0.0.1",
+    ):
+        self.user = user
+        self.password = password
+        self.host = host
+        self._db = sqlite3.connect(":memory:", check_same_thread=False)
+        self._db_lock = threading.Lock()
+        for s in schemas:
+            self._db.execute(f"ATTACH ':memory:' AS `{s}`")
+        self._thread_id = 0
+        srv = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                try:
+                    srv._serve(self.request)
+                except (ConnectionResetError, BrokenPipeError):
+                    return
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = Server((host, 0), Handler)
+        self.port = self._server.server_address[1]
+        self._accept_thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+
+    # -- lifecycle
+
+    def start(self) -> "MiniMySQLServer":
+        self._accept_thread.start()
+        return self
+
+    def stop(self):
+        self._server.shutdown()
+        self._server.server_close()
+        self._db.close()
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    # -- one connection
+
+    def _serve(self, sock):
+        self._thread_id += 1
+        nonce = os.urandom(20).replace(b"\x00", b"\x01")  # NUL-free like a real server
+        seq = mw.write_packet(sock, 0, mw.enc_handshake_v10(self._thread_id, nonce, "8.0.11-ticdc-spark"))
+        got = mw.read_packet(sock)
+        if got is None:
+            return
+        _, payload = got
+        resp = mw.dec_handshake_response41(payload)
+        if resp["user"] != self.user or not mw.verify_native_password(
+            self.password, nonce, resp["token"]
+        ):
+            mw.write_packet(sock, seq, mw.enc_err(1045, f"Access denied for user '{resp['user']}'", "28000"))
+            return
+        multi_ok = bool(resp["capabilities"] & mw.CLIENT_MULTI_STATEMENTS)
+        mw.write_packet(sock, seq, mw.enc_ok())
+
+        while True:
+            got = mw.read_packet(sock)
+            if got is None:
+                return
+            _, payload = got
+            if not payload:
+                return
+            cmd = payload[0]
+            if cmd == 0x01:  # COM_QUIT
+                return
+            if cmd == 0x0E:  # COM_PING
+                mw.write_packet(sock, 1, mw.enc_ok())
+                continue
+            if cmd != 0x03:  # COM_QUERY only
+                mw.write_packet(sock, 1, mw.enc_err(1047, f"unsupported command {cmd:#x}", "08S01"))
+                continue
+            text = payload[1:].decode("utf-8")
+            stmts = text.split(";\n") if multi_ok else [text]
+            stmts = [s for s in (t.strip() for t in stmts) if s]
+            seq_out = 1
+            for i, stmt in enumerate(stmts):
+                more = mw.SERVER_MORE_RESULTS_EXISTS if i + 1 < len(stmts) else 0
+                seq_out = self._run_one(sock, seq_out, stmt, more)
+                if seq_out is None:  # error sent — a real server stops the batch
+                    break
+
+    def _run_one(self, sock, seq: int, stmt: str, more_flag: int):
+        status = mw.SERVER_STATUS_AUTOCOMMIT | more_flag
+        upper = stmt.upper()
+        if upper.startswith(("SET ", "SET\t", "FLUSH ")):
+            return mw.write_packet(sock, seq, mw.enc_ok(status=status))
+        if upper.startswith("START TRANSACTION"):
+            stmt = "BEGIN"
+        try:
+            with self._db_lock:
+                cur = self._db.execute(stmt)
+                if cur.description is None:
+                    self._db.commit()
+                    n = cur.rowcount if cur.rowcount >= 0 else 0
+                    return mw.write_packet(sock, seq, mw.enc_ok(affected=n, status=status))
+                cols = [d[0] for d in cur.description]
+                rows = cur.fetchall()
+        except sqlite3.Error as e:
+            mw.write_packet(sock, seq, mw.enc_err(1064, str(e), "42000"))
+            return None
+        # text resultset: count, defs, EOF, rows, EOF
+        seq = mw.write_packet(sock, seq, mw.enc_lenenc_int(len(cols)))
+        for i, name in enumerate(cols):
+            col_type = _infer_type(rows, i)
+            seq = mw.write_packet(sock, seq, mw.enc_column_def(name, col_type))
+        seq = mw.write_packet(sock, seq, mw.enc_eof(status))
+        # one sendall for the row stream — 40k tiny sends would syscall-thrash
+        out = bytearray()
+        import struct as _s
+
+        for row in rows:
+            body = mw.enc_text_row(list(row))
+            if len(body) >= mw.MAX_PACKET:
+                raise ValueError("row too large for one packet")
+            out += _s.pack("<I", len(body))[:3] + bytes([seq & 0xFF]) + body
+            seq = (seq + 1) & 0xFF
+        sock.sendall(bytes(out))
+        return mw.write_packet(sock, seq, mw.enc_eof(status))
+
+
+def _infer_type(rows, i: int) -> int:
+    for row in rows:
+        v = row[i]
+        if v is None:
+            continue
+        if isinstance(v, float):
+            return mw.MYSQL_TYPE_DOUBLE
+        if isinstance(v, int):
+            return mw.MYSQL_TYPE_LONGLONG
+        return mw.MYSQL_TYPE_VAR_STRING
+    return mw.MYSQL_TYPE_VAR_STRING
