@@ -3982,3 +3982,29 @@ def q_mysql_live_apply(spark, sf_dir):
 
     cl = split_updates(scale_out(events_changelog(spark, sf_dir)))
     return mysql_live_apply(cl, _TP_TABLES)
+
+
+# ---------------------------------------------------------------------------
+# K3 live — the pulsar frame through a REAL binary-protocol endpoint
+# (`pkg/sink/pulsar` produce model; broker = sinks/pulsar_broker.py speaking
+# CONNECT/PRODUCER/SEND payload frames with CRC32C + SUBSCRIBE/FLOW reads).
+# Keys ride MessageMetadata.partition_key; read-back uses the reader
+# pattern (GET_LAST_MESSAGE_ID, earliest -> last) per topic, asserting
+# entry contiguity inside the plan.
+# ---------------------------------------------------------------------------
+@register(
+    "pulsar_live_roundtrip",
+    f"WITH {CHANGELOG_SQL} SELECT "
+    "'persistent://public/default/cdc_' || schema_name || '_' || table_name "
+    f"AS topic, {_OPEN_KEY_SQL} AS key, {_CANAL_SQL} AS value FROM changelog",
+)
+def q_pulsar_live_roundtrip(spark, sf_dir):
+    from ticdc_spark.sinks.pulsar_live import pulsar_live_roundtrip
+
+    frame = pulsar_messages(
+        scale_out(events_changelog(spark, sf_dir)),
+        [{"matcher": ["test.tp_*"], "partition": "index-value",
+          "topic": "cdc_{schema}_{table}"}],
+        protocol="canal-json",
+    )
+    return pulsar_live_roundtrip(frame)

@@ -1,0 +1,162 @@
+"""In-process Pulsar broker speaking the real binary protocol over TCP.
+
+Serves CONNECT/PRODUCER/SEND (payload frames, CRC32C verified) and
+SUBSCRIBE/FLOW/MESSAGE push against an in-memory per-topic log. A new
+subscription always replays the topic from entry 0 (a reader at
+``earliest``), which is what the round-trip queries need.
+
+Purpose: live endpoint for `pkg/sink/pulsar` parity — the frames on the
+socket are the public binary protocol; see sinks/pulsar_client.py.
+TEST endpoint only; production targets a real cluster.
+"""
+
+from __future__ import annotations
+
+import socketserver
+import struct
+import threading
+
+from ticdc_spark.codec import pulsar_wire as pw
+from ticdc_spark.sinks.kafka_broker import _recv_exact
+
+
+class PulsarBroker:
+    def __init__(self, host: str = "127.0.0.1"):
+        self.host = host
+        # topic -> list of (metadata, payload, crc, checked); index ==
+        # entryId. crc/checked cached at append so FLOW re-framing per
+        # consumer is pure concat (the CRC doesn't cover the command).
+        self.topics: dict[str, list[tuple[bytes, bytes, int, bytes]]] = {}
+        self._lock = threading.Lock()
+        broker = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                try:
+                    broker._serve(self.request)
+                except (ConnectionResetError, BrokenPipeError):
+                    return
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = Server((host, 0), Handler)
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+
+    def start(self) -> "PulsarBroker":
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._server.shutdown()
+        self._server.server_close()
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    @property
+    def service_url(self) -> str:
+        return f"pulsar://{self.host}:{self.port}"
+
+    def topic_size(self, topic: str) -> int:
+        with self._lock:
+            return len(self.topics.get(topic, ()))
+
+    # -- one connection
+
+    def _serve(self, sock):
+        producers: dict[int, str] = {}  # producer_id -> topic
+        consumers: dict[int, tuple[str, int]] = {}  # consumer_id -> (topic, next_entry)
+        connected = False
+        while True:
+            hdr = _recv_exact(sock, 4)
+            if hdr is None:
+                return
+            (total,) = struct.unpack(">I", hdr)
+            body = _recv_exact(sock, total)
+            if body is None:
+                return
+            try:
+                command, metadata, payload, crc, checked = pw.parse_frame_raw(body)
+            except ValueError as e:
+                sock.sendall(pw.frame_simple(pw.cmd_error(0, str(e))))
+                continue
+            cmd_type, sub = pw.parse_base_command(command)
+
+            if cmd_type == pw.CONNECT:
+                connected = True
+                sock.sendall(pw.frame_simple(pw.cmd_connected()))
+            elif not connected:
+                sock.sendall(pw.frame_simple(pw.cmd_error(0, "not connected")))
+            elif cmd_type == pw.PING:
+                sock.sendall(pw.frame_simple(pw.cmd_pong()))
+            elif cmd_type == pw.PRODUCER:
+                topic = pw.pb_str(sub, 1)
+                producer_id = pw.pb_one(sub, 2, 0)
+                request_id = pw.pb_one(sub, 3, 0)
+                producers[producer_id] = topic
+                with self._lock:
+                    self.topics.setdefault(topic, [])
+                sock.sendall(pw.frame_simple(
+                    pw.cmd_producer_success(request_id, f"p-{producer_id}")))
+            elif cmd_type == pw.SEND:
+                producer_id = pw.pb_one(sub, 1, 0)
+                sequence_id = pw.pb_one(sub, 2, 0)
+                topic = producers.get(producer_id)
+                if topic is None or metadata is None:
+                    sock.sendall(pw.frame_simple(pw.cmd_error(0, "unknown producer or no payload")))
+                    continue
+                with self._lock:
+                    log = self.topics[topic]
+                    entry_id = len(log)
+                    log.append((metadata, payload or b"", crc, checked))
+                sock.sendall(pw.frame_simple(
+                    pw.cmd_send_receipt(producer_id, sequence_id, 0, entry_id)))
+            elif cmd_type == pw.SUBSCRIBE:
+                topic = pw.pb_str(sub, 1)
+                consumer_id = pw.pb_one(sub, 4, 0)
+                request_id = pw.pb_one(sub, 5, 0)
+                with self._lock:
+                    self.topics.setdefault(topic, [])
+                consumers[consumer_id] = (topic, 0)  # replay from earliest
+                sock.sendall(pw.frame_simple(pw.cmd_success(request_id)))
+            elif cmd_type == pw.FLOW:
+                consumer_id = pw.pb_one(sub, 1, 0)
+                permits = pw.pb_one(sub, 2, 0)
+                state = consumers.get(consumer_id)
+                if state is None:
+                    sock.sendall(pw.frame_simple(pw.cmd_error(0, "unknown consumer")))
+                    continue
+                topic, next_entry = state
+                with self._lock:
+                    log = list(self.topics.get(topic, ()))
+                out = bytearray()
+                sent = 0
+                while sent < permits and next_entry < len(log):
+                    _, _, crc, checked = log[next_entry]
+                    out += pw.frame_payload_precrc(
+                        pw.cmd_message(consumer_id, 0, next_entry), crc, checked)
+                    next_entry += 1
+                    sent += 1
+                consumers[consumer_id] = (topic, next_entry)
+                if out:
+                    sock.sendall(bytes(out))
+            elif cmd_type == pw.GET_LAST_MESSAGE_ID:
+                consumer_id = pw.pb_one(sub, 1, 0)
+                request_id = pw.pb_one(sub, 2, 0)
+                state = consumers.get(consumer_id)
+                if state is None:
+                    sock.sendall(pw.frame_simple(pw.cmd_error(request_id, "unknown consumer")))
+                    continue
+                n = self.topic_size(state[0])
+                sock.sendall(pw.frame_simple(
+                    pw.cmd_get_last_message_id_response(request_id, 0, n - 1)))
+            elif cmd_type in (pw.ACK, pw.CLOSE_PRODUCER, pw.CLOSE_CONSUMER):
+                pass  # fire-and-forget in this subset
+            else:
+                sock.sendall(pw.frame_simple(pw.cmd_error(0, f"unsupported command {cmd_type}")))

@@ -1,0 +1,114 @@
+"""Live Pulsar round-trip: sink frame -> binary-protocol produce -> read back.
+
+Same composition as sinks/kafka_live.py for the Pulsar frame shape
+(topic, key, value — no partition column; the key rides
+MessageMetadata.partition_key exactly like the reference's Go producer
+sets it for broker-side key hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_LIVE_BROKERS: list = []
+
+
+def start_broker():
+    from ticdc_spark.sinks.pulsar_broker import PulsarBroker
+
+    broker = PulsarBroker().start()
+    _LIVE_BROKERS.append(broker)
+    return broker
+
+
+def produce_frame(frame: DataFrame, service_url: str) -> None:
+    """Distributed produce: tasks register one producer per topic they see
+    and send each row as a payload frame, awaiting receipts."""
+    shaped = frame.select(
+        "topic",
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("binary").alias("value"),
+    ).repartition("topic")
+
+    def _send(rows_iter):
+        from ticdc_spark.sinks.pulsar_client import PulsarConn
+
+        conn = None
+        producer_ids: dict[str, int] = {}
+        buffers: dict[str, list] = {}
+        flush_at = 2000
+
+        def flush(topic):
+            pid = producer_ids.get(topic)
+            if pid is None:
+                pid = conn.create_producer(topic)
+                producer_ids[topic] = pid
+            conn.send_pipelined(pid, buffers[topic])
+            buffers[topic] = []
+
+        try:
+            for row in rows_iter:
+                if conn is None:
+                    conn = PulsarConn.from_service_url(service_url)
+                buf = buffers.setdefault(row["topic"], [])
+                buf.append((bytes(row["value"]) if row["value"] is not None else b"",
+                            row["key"]))
+                if len(buf) >= flush_at:
+                    flush(row["topic"])
+            for topic, buf in buffers.items():
+                if buf:
+                    flush(topic)
+        finally:
+            if conn is not None:
+                conn.close()
+
+    shaped.foreachPartition(_send)
+
+
+def read_df(spark: SparkSession, service_url: str, topics: list[str]) -> DataFrame:
+    """Distributed read-back: one task per topic, reader earliest->last."""
+    tdf = spark.createDataFrame([(t,) for t in topics], "topic string").repartition(
+        max(1, min(len(topics), 64)), "topic"
+    )
+
+    def _read(batches):
+        import pandas as pd
+
+        from ticdc_spark.sinks.pulsar_client import PulsarConn
+
+        conn = None
+        try:
+            for pdf in batches:
+                for topic in pdf["topic"]:
+                    if conn is None:
+                        conn = PulsarConn.from_service_url(service_url)
+                    msgs = conn.read_all(topic)
+                    # batch members share an entry id; entries must be
+                    # non-decreasing and cover 0..max with no gaps
+                    entries = [m["entry_id"] for m in msgs]
+                    distinct = sorted(set(entries))
+                    if entries != sorted(entries) or (
+                        distinct and distinct != list(range(distinct[-1] + 1))
+                    ):
+                        raise ValueError(f"non-contiguous entries on {topic}")
+                    if not msgs:
+                        continue
+                    yield pd.DataFrame({
+                        "topic": topic,
+                        "key": [m["partition_key"] for m in msgs],
+                        "value": [m["payload"].decode("utf-8") for m in msgs],
+                    })
+        finally:
+            if conn is not None:
+                conn.close()
+
+    return tdf.mapInPandas(_read, "topic string, key string, value string")
+
+
+def pulsar_live_roundtrip(frame: DataFrame) -> DataFrame:
+    spark = frame.sparkSession
+    broker = start_broker()
+    produce_frame(frame, broker.service_url)
+    topics = list(broker.topics)
+    return read_df(spark, broker.service_url, topics)
