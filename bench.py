@@ -128,11 +128,22 @@ def main() -> None:
         "dml_event_chunk_typed", "avro_confluent_roundtrip",
         "debezium_avro_watermark_roundtrip", "avro_checkpoint_ddl_events",
         "codec_csv_old_value",
+        # round-3 live wire endpoints: produce/apply runs at construction
+        # (sink flush), the returned frame is the read-back plan
+        "kafka_live_roundtrip", "mysql_live_apply", "pulsar_live_roundtrip",
+        "pipeline_live_end_to_end",
     ]
     # queries whose real work runs at CONSTRUCTION time (iterative
     # trainers that collect control-plane state, like the k-means
     # codebook): time the build too, or the number is a no-op write
-    construct_timed = {"bpe_train_merges"}
+    construct_timed = {"bpe_train_merges", "kafka_live_roundtrip",
+                       "mysql_live_apply", "pulsar_live_roundtrip",
+                       "pipeline_live_end_to_end"}
+    # The live-wire queries round-trip through in-process single-host
+    # protocol endpoints (test stand-ins for real clusters); their 10x
+    # time measures that endpoint, not the Spark plan, so the scaling
+    # block skips them — noted here so the cap isn't silent.
+    tenx_skip = set(construct_timed) - {"bpe_train_merges"}
 
     failed: list[str] = []
 
@@ -283,6 +294,8 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SKIP_10X", "") != "1":
         tenx_dir = _materialize_10x(spark, sf_dir)
         for name in headline:
+            if name in tenx_skip:
+                continue
             if name not in timings:
                 continue
             t = time_query_safe(name, tenx_dir)

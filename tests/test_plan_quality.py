@@ -297,3 +297,18 @@ def test_round3_wire_query_shuffle_budgets(spark, sf_dir):
         plan = _plan(QUERIES[name](spark, sf_dir))
         n = plan.count("Exchange")
         assert n <= budget, f"{name}: {n} exchanges (budget {budget})"
+
+
+def test_live_wire_query_shuffle_budgets(spark, sf_dir):
+    """Live-wire round trips: the construction-time produce/apply jobs
+    already ran; the RETURNED plan must be cheap — a bounded-cardinality
+    read fan-out (kafka/pulsar: one task per topic[/partition]; mysql:
+    a local readback scan), never a re-shuffle of the data volume."""
+    for name, budget in [
+        ("kafka_live_roundtrip", 1),   # (topic, partition) fan-out repartition
+        ("pulsar_live_roundtrip", 1),  # topic fan-out repartition
+        ("mysql_live_apply", 0),       # readback rows are a local scan
+    ]:
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        n = plan.count("Exchange")
+        assert n <= budget, f"{name}: {n} exchanges (budget {budget})"

@@ -1,0 +1,120 @@
+"""Streaming changefeed into the LIVE Kafka wire endpoint.
+
+The reference's real deployment shape: a continuous changefeed producing
+canal-json to Kafka, broadcasting a TIDB_WATERMARK checkpoint event to
+every partition after each flush, with at-least-once delivery (restart
+replays append duplicates the consumer's idempotent apply absorbs).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from ticdc_spark import failpoint
+from ticdc_spark.failpoint import FailpointPanic
+from ticdc_spark.pipeline import ChangefeedConfig, build_pipeline
+from ticdc_spark.sinks.kafka_broker import KafkaBroker
+from ticdc_spark.sinks.kafka_client import KafkaConn
+from ticdc_spark.sources.changelog import events_changelog
+from ticdc_spark.streaming import Changefeed
+
+
+@pytest.fixture(autouse=True)
+def _clean_failpoints():
+    failpoint.disable_all()
+    yield
+    failpoint.disable_all()
+
+
+CFG = dict(
+    dispatchers=[{"matcher": ["test.tp_*"], "partition": "index-value",
+                  "topic": "cdc_{schema}_{table}"}],
+    protocol="canal-json",
+)
+
+
+def _drain(broker):
+    """All (topic, partition, value-json) from the broker, split into data
+    messages and watermark messages."""
+    data, marks = [], {}
+    with KafkaConn.from_bootstrap(broker.bootstrap) as c:
+        for topic, parts in broker.topics.items():
+            for p in parts:
+                for _, rec in c.fetch_all(topic, p):
+                    v = rec.value.decode()
+                    if '"TIDB_WATERMARK"' in v:
+                        marks.setdefault((topic, p), []).append(json.loads(v))
+                    else:
+                        data.append((topic, p, v))
+    return data, marks
+
+
+def test_changefeed_live_kafka_matches_batch(spark, sf_dir, tmp_path):
+    with KafkaBroker(default_partitions=16) as broker:
+        cfg = ChangefeedConfig(**CFG)
+        cf = Changefeed("cf_live", cfg, str(tmp_path),
+                        live_bootstrap=broker.bootstrap)
+        cf.start(spark, sf_dir, available_now=True)
+        cf.wait(240)
+
+        data, marks = _drain(broker)
+        batch = build_pipeline(events_changelog(spark, sf_dir), cfg)
+        expected = {(r["topic"], r["partition"], r["value"])
+                    for r in batch.select("topic", "partition", "value").collect()}
+        assert set(data) == expected
+        assert len(data) == len(expected)  # no duplicates on a clean run
+
+        # watermark broadcast reached EVERY partition of every topic,
+        # carrying the changefeed's checkpoint ts
+        ckpt = cf.checkpoint_ts()
+        assert ckpt is not None
+        for topic, parts in broker.topics.items():
+            for p in parts:
+                wms = marks.get((topic, p), [])
+                assert wms, f"no watermark on {topic}/{p}"
+                assert max(w["_tidb"]["watermarkTs"] for w in wms) == ckpt
+                assert all(w["es"] == w["_tidb"]["watermarkTs"] // 1000
+                           for w in wms)
+
+
+def test_changefeed_live_kafka_crash_replay_idempotent(spark, sf_dir, tmp_path):
+    """Crash after the flush (progress not recorded) -> restart re-delivers
+    the epoch: the broker log gains duplicates (at-least-once), and the
+    consumer's replay_to_state over the decoded log equals the clean
+    batch state — the reference's exactly-once-at-the-consumer contract."""
+    from ticdc_spark.sinks.consumer import decode_canal_json, replay_to_state
+
+    with KafkaBroker(default_partitions=16) as broker:
+        cfg = ChangefeedConfig(**CFG)
+        cf = Changefeed("cf_crash", cfg, str(tmp_path),
+                        live_bootstrap=broker.bootstrap)
+        failpoint.enable("changefeed/after-flush", "panic")
+        with pytest.raises(Exception):
+            cf.start(spark, sf_dir, available_now=True)
+            cf.wait(240)
+            # surface the foreachBatch panic if awaitTermination swallowed it
+            cf.query.processAllAvailable()
+        failpoint.disable_all()
+
+        cf2 = Changefeed("cf_crash", cfg, str(tmp_path),
+                         live_bootstrap=broker.bootstrap)
+        cf2.start(spark, sf_dir, available_now=True)
+        cf2.wait(240)
+
+        data, _ = _drain(broker)
+        n_distinct = len(set(data))
+        assert len(data) > n_distinct, "expected duplicate delivery after replay"
+
+        msgs = spark.createDataFrame([(v,) for _, _, v in data], "value string")
+        state = replay_to_state(decode_canal_json(msgs), order_col="commit_ts")
+        clean = replay_to_state(
+            decode_canal_json(
+                build_pipeline(events_changelog(spark, sf_dir), cfg)
+                .select("value")),
+            order_col="commit_ts")
+        got = {tuple(r) for r in state.collect()}
+        want = {tuple(r) for r in clean.collect()}
+        assert got == want and len(want) > 0

@@ -4008,3 +4008,57 @@ def q_pulsar_live_roundtrip(spark, sf_dir):
         protocol="canal-json",
     )
     return pulsar_live_roundtrip(frame)
+
+
+# ---------------------------------------------------------------------------
+# FLAGSHIP live end-to-end: changelog -> update split -> routing -> canal-json
+# with enable-tidb-extension -> REAL Kafka wire (produce from executors,
+# CRC32C record batches, lz4) -> distributed Fetch -> consumer decode
+# (`cmd/kafka-consumer/writer.go` path) -> safe-mode SQL gen -> REAL MySQL
+# wire apply (per-slot connections, multi-statement batches) -> final state
+# read back over the MySQL socket.  One query crossing both live protocol
+# boundaries; equals the materialize_state oracle at the %.2f wire rendering.
+# ---------------------------------------------------------------------------
+@register(
+    "pipeline_live_end_to_end",
+    f"WITH {CHANGELOG_SQL}, {_SPLIT_CTE}, "
+    "keyed AS (SELECT *, coalesce(after_id, before_id) AS k_id, "
+    "commit_ts * 4 + dml_order AS ord FROM split), "
+    "g AS (SELECT table_name, k_id, arg_max(op, ord) AS last_op, "
+    "arg_max(after_val, ord) AS last_val, arg_max(after_k, ord) AS last_k "
+    "FROM keyed GROUP BY 1, 2) "
+    "SELECT table_name, k_id AS id, "
+    "CAST(printf('%.2f', last_val) AS DOUBLE) AS val, last_k AS k "
+    "FROM g WHERE last_op <> 'D'",
+)
+def q_pipeline_live_end_to_end(spark, sf_dir):
+    from ticdc_spark.codec.canal_json import encode_canal_json
+    from ticdc_spark.codec.open_protocol import open_protocol_key
+    from ticdc_spark.operators.routing import route
+    from ticdc_spark.sinks.consumer import decode_canal_json
+    from ticdc_spark.sinks.kafka_live import kafka_live_roundtrip
+    from ticdc_spark.sinks.mysql_live import mysql_live_apply
+
+    cl = split_updates(scale_out(events_changelog(spark, sf_dir)))
+    routed = route(cl, [{"matcher": ["test.tp_*"], "partition": "index-value",
+                         "topic": "cdc_{schema}_{table}"}], 16)
+    frame = (
+        encode_canal_json(routed, tidb_extension=True)
+        .withColumn("key", open_protocol_key())
+        .select("topic", "partition", "key", "value")
+    )
+    fetched = kafka_live_roundtrip(frame, n_partitions=16, compression="lz4")
+    d = decode_canal_json(fetched)
+    op = F.col("op")
+    rebuilt = d.select(
+        "schema_name", "table_name", op.alias("op"), "commit_ts",
+        F.when(op != "I", F.struct(
+            F.col("before_id").alias("id"), F.col("before_val").alias("val"),
+            F.col("before_k").alias("k"))).alias("before"),
+        F.when(op != "D", F.struct(
+            F.col("after_id").alias("id"), F.col("after_val").alias("val"),
+            F.col("after_k").alias("k"))).alias("after"),
+        F.when(op == "D", 1).when(op == "U", 2).otherwise(3).alias("dml_order"),
+        F.monotonically_increasing_id().alias("seq"),
+    )
+    return mysql_live_apply(rebuilt, _TP_TABLES)

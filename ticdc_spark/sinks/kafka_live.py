@@ -43,7 +43,12 @@ def produce_frame(frame: DataFrame, bootstrap: str, compression: str = "none") -
     Each task groups its rows by (topic, partition) and sends batches of
     ≤512 records per Produce request over its own connection."""
     cols = dict(frame.dtypes)
-    key_col = F.col("key").cast("binary") if cols.get("key") == "string" else F.col("key")
+    if "key" not in cols:  # keyless frames ride null keys, like the reference
+        key_col = F.lit(None).cast("binary")
+    elif cols["key"] == "string":
+        key_col = F.col("key").cast("binary")
+    else:
+        key_col = F.col("key")
     val_col = F.col("value").cast("binary") if cols.get("value") == "string" else F.col("value")
     shaped = (
         frame.select(

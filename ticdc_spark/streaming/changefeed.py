@@ -43,11 +43,16 @@ class Changefeed:
         cfg: ChangefeedConfig,
         work_dir: str,
         compression: str | None = None,
+        live_bootstrap: str | None = None,
     ) -> None:
         self.changefeed_id = changefeed_id
         self.cfg = cfg
         self.work_dir = work_dir
         self.compression = compression
+        # live MQ mode: produce epochs to a Kafka wire endpoint instead of
+        # the filesystem sink (at-least-once like the reference; replays
+        # append duplicates the consumer's idempotent apply absorbs)
+        self.live_bootstrap = live_bootstrap
         self.checkpoint_dir = os.path.join(work_dir, "checkpoint", changefeed_id)
         self.sink_dir = os.path.join(work_dir, "sink", changefeed_id)
         self.progress_path = os.path.join(work_dir, "progress", f"{changefeed_id}.jsonl")
@@ -113,19 +118,31 @@ class Changefeed:
             batch_df.sortWithinPartitions(*sort_cols)
             if sort_cols else batch_df
         )
+        live_mq = self.live_bootstrap is not None and "stmt" not in cols \
+            and "path" not in cols
+        if live_mq:
+            # real wire produce (Produce v3 record batches from executors);
+            # no filesystem sink — a Kafka changefeed's only artifacts are
+            # the broker log + the progress bookkeeping below
+            from ticdc_spark.sinks.kafka_live import produce_frame
+
+            live_cols = [c for c in ("topic", "partition", "key", "value")
+                         if c in cols]
+            produce_frame(ordered.select(*live_cols), self.live_bootstrap)
         # mode=overwrite per epoch dir: foreachBatch retries re-run with
         # the SAME epoch_id, so the write is idempotent under replay —
         # the Spark analog of the reference's replace-mode dedup on
         # restart (`basic_dispatcher.go:156-161`)
-        writer = (
+        writer = None if live_mq else (
             ordered.select(*(out_cols or ["value"]))
             .write.mode("overwrite")
             .partitionBy(*[c for c in ("topic",) if c in out_cols])
             .format("json")
         )
-        if self.compression:  # lz4/snappy/zstd analog (pkg/compression)
-            writer = writer.option("compression", self.compression)
-        writer.save(os.path.join(self.sink_dir, f"epoch={epoch_id}"))
+        if writer is not None:
+            if self.compression:  # lz4/snappy/zstd analog (pkg/compression)
+                writer = writer.option("compression", self.compression)
+            writer.save(os.path.join(self.sink_dir, f"epoch={epoch_id}"))
         # chaos hook: crash AFTER the sink effect but BEFORE progress
         # bookkeeping — restart re-delivers the epoch; the overwrite
         # above makes the replay idempotent
@@ -162,6 +179,30 @@ class Changefeed:
         if (getattr(self.cfg, "enable_sync_point", False)
                 and stats["resolved_ts"] is not None):
             self._write_syncpoints(stats["min_ts"], stats["resolved_ts"])
+        if live_mq and stats["resolved_ts"] is not None:
+            self._produce_live_watermarks(batch_df, int(stats["resolved_ts"]))
+
+    def _produce_live_watermarks(self, batch_df: DataFrame, resolved_ts: int) -> None:
+        """W1 live: after the flush, broadcast the epoch's resolved ts as a
+        canal-json TIDB_WATERMARK message to EVERY partition of every topic
+        seen this epoch (the reference's kafka sink broadcasts checkpoint
+        events exactly like DDLs — `canal_json_encoder.go:406-441` +
+        broadcast; see canal_checkpoints / kafka_ddl_broadcast)."""
+        from ticdc_spark.sinks.kafka_client import KafkaConn
+        from ticdc_spark.codec.kafka_wire import Record
+
+        topics = [r["topic"] for r in batch_df.select("topic").distinct().collect()]
+        value = (
+            '{"id":0,"database":"","table":"","pkNames":null,"isDdl":false,'
+            '"type":"TIDB_WATERMARK","es":%d,"ts":0,"sql":"","sqlType":null,'
+            '"mysqlType":null,"data":null,"old":null,'
+            '"_tidb":{"watermarkTs":%d}}' % (resolved_ts // 1000, resolved_ts)
+        ).encode()
+        with KafkaConn.from_bootstrap(self.live_bootstrap) as conn:
+            md = conn.metadata(topics)
+            for topic in topics:
+                for p in [pt["index"] for pt in md["topics"][topic]["partitions"]]:
+                    conn.produce(topic, p, [Record(None, value)])
 
     def _write_resolved_frame(self, ts_df: DataFrame, epoch_id: int) -> None:
         """W1 on the wire: the per-dispatcher watermarks of this epoch
