@@ -91,6 +91,8 @@ class KafkaBroker:
 
         class Handler(socketserver.BaseRequestHandler):
             def handle(self):
+                from ticdc_spark import failpoint
+
                 sock = self.request
                 try:
                     while True:
@@ -100,6 +102,12 @@ class KafkaBroker:
                         (size,) = struct.unpack(">i", hdr)
                         payload = _recv_exact(sock, size)
                         if payload is None:
+                            return
+                        # chaos hook: kill the connection mid-conversation
+                        # (arm `kafka/drop-connection` with N*return(1));
+                        # producers must retry/reconnect like sarama's
+                        # MaxRetry budget (`pkg/sink/kafka` defaultMaxRetry)
+                        if failpoint.inject("kafka/drop-connection"):
                             return
                         resp = broker._dispatch(payload)
                         sock.sendall(resp)

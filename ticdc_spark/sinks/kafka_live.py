@@ -37,11 +37,18 @@ def start_broker(n_partitions: int = 16):
     return broker
 
 
-def produce_frame(frame: DataFrame, bootstrap: str, compression: str = "none") -> None:
+def produce_frame(
+    frame: DataFrame, bootstrap: str, compression: str = "none", max_retry: int = 5
+) -> None:
     """Distributed produce of a (topic, partition, key, value) frame.
 
     Each task groups its rows by (topic, partition) and sends batches of
-    ≤512 records per Produce request over its own connection."""
+    ≤512 records per Produce request over its own connection. A dropped
+    connection reconnects and resends the in-flight batch with capped
+    exponential backoff, ``max_retry`` attempts per batch — the
+    reference's producer retry budget (`pkg/sink/kafka` defaultMaxRetry=5;
+    at-least-once: a drop between append and receipt duplicates the batch,
+    which the consumer's idempotent apply absorbs)."""
     cols = dict(frame.dtypes)
     if "key" not in cols:  # keyless frames ride null keys, like the reference
         key_col = F.lit(None).cast("binary")
@@ -60,10 +67,29 @@ def produce_frame(frame: DataFrame, bootstrap: str, compression: str = "none") -
     )
 
     def _send(rows_iter):
+        import time as _time
+
         from ticdc_spark.codec.kafka_wire import Record
         from ticdc_spark.sinks.kafka_client import KafkaConn
 
-        conn = None
+        state = {"conn": None}
+
+        def produce_with_retry(topic, partition, batch):
+            for attempt in range(max_retry + 1):
+                try:
+                    if state["conn"] is None:
+                        state["conn"] = KafkaConn.from_bootstrap(bootstrap)
+                    state["conn"].produce(topic, partition, batch,
+                                          compression=compression)
+                    return
+                except (IOError, OSError):
+                    if state["conn"] is not None:
+                        state["conn"].close()
+                        state["conn"] = None
+                    if attempt == max_retry:
+                        raise
+                    _time.sleep(min(0.1 * (2 ** attempt), 2.0))
+
         pending: dict[tuple[str, int], list] = {}
         try:
             for row in rows_iter:
@@ -72,18 +98,14 @@ def produce_frame(frame: DataFrame, bootstrap: str, compression: str = "none") -
                 batch.append(Record(bytes(row["key"]) if row["key"] is not None else None,
                                     bytes(row["value"]) if row["value"] is not None else None))
                 if len(batch) >= _BATCH_RECORDS:
-                    if conn is None:
-                        conn = KafkaConn.from_bootstrap(bootstrap)
-                    conn.produce(tp[0], tp[1], batch, compression=compression)
+                    produce_with_retry(tp[0], tp[1], batch)
                     pending[tp] = []
             for (topic, partition), batch in pending.items():
                 if batch:
-                    if conn is None:
-                        conn = KafkaConn.from_bootstrap(bootstrap)
-                    conn.produce(topic, partition, batch, compression=compression)
+                    produce_with_retry(topic, partition, batch)
         finally:
-            if conn is not None:
-                conn.close()
+            if state["conn"] is not None:
+                state["conn"].close()
 
     shaped.foreachPartition(_send)
 
