@@ -11,12 +11,14 @@ then the final table state is read back over the same wire.
 The apply is a construction-time job (sink flush, trainer precedent);
 the returned DataFrame is the readback state, comparable against the
 materialize_state oracle with the canonical %.2f double rendering the
-statements put on the wire.
+statements put on the wire. The pieces (create_tables / apply_over_wire
+/ read_state_df) are reusable — the live sync-diff test drives an
+upstream/downstream pair through them.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 # keep servers alive until the driver finishes evaluating the readback
 _LIVE_SERVERS: list = []
@@ -24,25 +26,17 @@ _LIVE_SERVERS: list = []
 _BATCH_STMTS = 256
 
 
-def mysql_live_apply(
-    cl_split: DataFrame,
-    tables: list[str],
-    schema: str = "test",
-    n_slots: int = 16,
-    user: str = "root",
-    password: str = "cdc-secret",
-) -> DataFrame:
-    """Apply the (post-split) changelog over the wire; return final state
-    (table_name, id, val, k) read back via SELECT on the same socket."""
-    from ticdc_spark.sinks.jdbc import statements_for_batch
-    from ticdc_spark.sinks.mysql import session_init_statements
-    from ticdc_spark.sinks.mysql_client import MySQLConn
+def start_server(schema: str = "test", user: str = "root", password: str = "cdc-secret"):
     from ticdc_spark.sinks.mysql_server import MiniMySQLServer
 
-    spark = cl_split.sparkSession
     srv = MiniMySQLServer(user=user, password=password, schemas=(schema,)).start()
     _LIVE_SERVERS.append(srv)
-    host, port = srv.host, srv.port
+    return srv
+
+
+def create_tables(host: str, port: int, user: str, password: str,
+                  tables: list[str], schema: str = "test") -> None:
+    from ticdc_spark.sinks.mysql_client import MySQLConn
 
     with MySQLConn(host, port, user, password) as c:
         for t in tables:
@@ -51,10 +45,23 @@ def mysql_live_apply(
                 "(`id` BIGINT PRIMARY KEY, `val` DOUBLE, `k` BIGINT)"
             )
 
+
+def apply_over_wire(
+    cl_split: DataFrame, host: str, port: int, user: str, password: str,
+    n_slots: int = 16,
+) -> None:
+    """Per-slot concurrent distributed apply of the safe-mode statement
+    stream; each Spark partition holds one connection, session-init
+    first, then 256-statement multi-statement batches."""
+    from ticdc_spark.sinks.jdbc import statements_for_batch
+    from ticdc_spark.sinks.mysql import session_init_statements
+
     stmts = statements_for_batch(cl_split, safe_mode=True, n_slots=n_slots)
     init = session_init_statements()
 
     def _apply(rows_iter):
+        from ticdc_spark.sinks.mysql_client import MySQLConn
+
         conn = None
         buf: list[str] = []
         try:
@@ -75,9 +82,16 @@ def mysql_live_apply(
 
     stmts.foreachPartition(_apply)
 
-    # readback over the wire — final state is small (one row per live key),
-    # so a driver-side collect into a DataFrame is the honest shape here;
-    # a 100 TB deployment diffs downstream with sync-diff instead.
+
+def read_state_df(
+    spark: SparkSession, host: str, port: int, user: str, password: str,
+    tables: list[str], schema: str = "test",
+) -> DataFrame:
+    """Final state (table_name, id, val, k) read back via SELECT over the
+    wire — small (one row per live key), so a driver-side collect is the
+    honest shape; a 100 TB deployment diffs downstream with sync-diff."""
+    from ticdc_spark.sinks.mysql_client import MySQLConn
+
     rows = []
     with MySQLConn(host, port, user, password) as c:
         for t in tables:
@@ -86,3 +100,20 @@ def mysql_live_apply(
     return spark.createDataFrame(
         rows, "table_name string, id long, val double, k long"
     )
+
+
+def mysql_live_apply(
+    cl_split: DataFrame,
+    tables: list[str],
+    schema: str = "test",
+    n_slots: int = 16,
+    user: str = "root",
+    password: str = "cdc-secret",
+) -> DataFrame:
+    """Apply the (post-split) changelog over the wire; return final state
+    (table_name, id, val, k) read back via SELECT on the same socket."""
+    spark = cl_split.sparkSession
+    srv = start_server(schema, user, password)
+    create_tables(srv.host, srv.port, user, password, tables, schema)
+    apply_over_wire(cl_split, srv.host, srv.port, user, password, n_slots)
+    return read_state_df(spark, srv.host, srv.port, user, password, tables, schema)
