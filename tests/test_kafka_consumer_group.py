@@ -1,0 +1,155 @@
+"""Kafka consumer-group coordination over the live wire.
+
+The reference consumer (`cmd/kafka-consumer`) runs as a sarama consumer
+group; these tests drive the same protocol dance against the in-process
+broker: concurrent joins with the leader electing a range assignment,
+offset commit/resume, and rebalance after LeaveGroup.
+"""
+
+from __future__ import annotations
+
+import threading
+
+from ticdc_spark.codec import kafka_wire as kw
+from ticdc_spark.codec.kafka_wire import Record
+from ticdc_spark.sinks.kafka_broker import KafkaBroker
+from ticdc_spark.sinks.kafka_client import ConsumerGroupMember, KafkaConn
+
+
+def _fill(broker, topic, n_partitions, per_partition):
+    broker.create_topic(topic, n_partitions)
+    with KafkaConn.from_bootstrap(broker.bootstrap) as c:
+        for p in range(n_partitions):
+            c.produce(topic, p, [Record(b"k", b"%s-%d-%d" % (topic.encode(), p, i))
+                                 for i in range(per_partition)])
+
+
+
+def _stabilize(members: dict, timeout: float = 20.0) -> None:
+    """Run each member's heartbeat->rejoin loop in its own thread (each
+    socket stays single-threaded) until all report clean heartbeats in
+    one shared generation with non-empty assignments — what a real
+    consumer's background coordination loop converges to."""
+    import time as _time
+
+    stop = threading.Event()
+    status: dict[str, int] = {}
+
+    def loop(m, name):
+        while not stop.is_set():
+            if m.heartbeat() != 0:
+                status.pop(name, None)
+                try:
+                    m.join_and_sync()
+                except IOError:
+                    pass
+                continue
+            status[name] = m.generation
+            gens = {status.get(n) for n in members}
+            if (None not in gens and len(gens) == 1
+                    and all(mm.assignment for mm in members.values())):
+                stop.set()
+            _time.sleep(0.03)
+
+    loops = [threading.Thread(target=loop, args=(m, n)) for n, m in members.items()]
+    for t in loops:
+        t.start()
+    for t in loops:
+        t.join(timeout=timeout)
+    assert stop.is_set(), "group never stabilized"
+
+def test_single_member_gets_everything():
+    with KafkaBroker() as broker:
+        _fill(broker, "t", 4, 3)
+        with ConsumerGroupMember(broker.bootstrap, "g1", ["t"]) as m:
+            assignment = m.join_and_sync()
+            assert assignment == {"t": [0, 1, 2, 3]}
+            polled = m.poll_assigned()
+            assert sum(len(v) for v in polled.values()) == 12
+            # committed positions persisted broker-side
+            assert m.fetch_committed() == {("t", p): 3 for p in range(4)}
+            # second poll: nothing new
+            assert sum(len(v) for v in m.poll_assigned().values()) == 0
+
+
+def test_two_members_split_partitions_disjoint_exhaustive():
+    with KafkaBroker() as broker:
+        _fill(broker, "t", 16, 2)
+        members = {}
+
+        def run(name):
+            m = ConsumerGroupMember(broker.bootstrap, "g2", ["t"])
+            members[name] = m
+            m.join_and_sync()
+
+        threads = [threading.Thread(target=run, args=(n,)) for n in ("a", "b")]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        _stabilize(members)
+        a = set(members["a"].assignment.get("t", []))
+        b = set(members["b"].assignment.get("t", []))
+        for m in members.values():
+            m.close()
+        assert a and b and not (a & b)
+        assert a | b == set(range(16))
+        assert abs(len(a) - len(b)) == 0  # 16 splits evenly over 2
+
+
+def test_rebalance_after_leave_and_offset_resume():
+    with KafkaBroker() as broker:
+        _fill(broker, "t", 4, 5)
+        results = {}
+
+        def run(name):
+            m = ConsumerGroupMember(broker.bootstrap, "g3", ["t"])
+            results[name] = m
+            m.join_and_sync()
+
+        threads = [threading.Thread(target=run, args=(n,)) for n in ("a", "b")]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        _stabilize(results)
+        ma, mb = results["a"], results["b"]
+        # each consumes + commits its half
+        polled_a = ma.poll_assigned()
+        polled_b = mb.poll_assigned()
+        assert sum(len(v) for v in polled_a.values()) == 10
+        assert sum(len(v) for v in polled_b.values()) == 10
+
+        # b leaves; a's next heartbeat reports a rebalance; a rejoins and
+        # now owns all 4 partitions
+        mb.leave()
+        mb.close()
+        assert ma.heartbeat() in (kw.ERR_REBALANCE_IN_PROGRESS,
+                                  kw.ERR_ILLEGAL_GENERATION)
+        assignment = ma.join_and_sync()
+        assert assignment == {"t": [0, 1, 2, 3]}
+        assert ma.heartbeat() == 0
+
+        # offsets survive the rebalance: nothing is re-consumed...
+        assert sum(len(v) for v in ma.poll_assigned().values()) == 0
+        # ...and new records flow to the survivor
+        with KafkaConn.from_bootstrap(broker.bootstrap) as c:
+            c.produce("t", 2, [Record(b"k", b"late")])
+        polled = ma.poll_assigned()
+        assert [r.value for _, r in polled[("t", 2)]] == [b"late"]
+        ma.close()
+
+
+def test_stale_generation_commit_rejected():
+    with KafkaBroker() as broker:
+        _fill(broker, "t", 2, 1)
+        with ConsumerGroupMember(broker.bootstrap, "g4", ["t"]) as m:
+            m.join_and_sync()
+            stale = m.generation
+            m.leave()
+            m.generation = stale
+            try:
+                m.commit_offsets({("t", 0): 1})
+                raise AssertionError("stale commit must be rejected")
+            except IOError as e:
+                assert str(kw.ERR_ILLEGAL_GENERATION) in str(e)

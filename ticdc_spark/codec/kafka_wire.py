@@ -597,3 +597,298 @@ def dec_fetch_response(r: Reader) -> list[tuple[str, int, int, int, bytes]]:
             rs = r.bytes_() or b""
             out.append((topic, idx, err, hw, rs))
     return out
+
+
+# ---------------------------------------------------------------- groups
+# Consumer-group coordination (what the reference's cmd/kafka-consumer
+# does through sarama): FindCoordinator v1, JoinGroup v2, SyncGroup v1,
+# Heartbeat v1, LeaveGroup v1, OffsetCommit v3, OffsetFetch v3 — all
+# non-flexible versions, layouts from the public protocol guide.
+
+API_OFFSET_COMMIT = 8
+API_OFFSET_FETCH = 9
+API_FIND_COORDINATOR = 10
+API_JOIN_GROUP = 11
+API_HEARTBEAT = 12
+API_LEAVE_GROUP = 13
+API_SYNC_GROUP = 14
+
+SUPPORTED.update({
+    API_OFFSET_COMMIT: (3, 3), API_OFFSET_FETCH: (3, 3),
+    API_FIND_COORDINATOR: (1, 1), API_JOIN_GROUP: (2, 2),
+    API_HEARTBEAT: (1, 1), API_LEAVE_GROUP: (1, 1), API_SYNC_GROUP: (1, 1),
+})
+
+# error codes used by the group plane
+ERR_OFFSET_OUT_OF_RANGE = 1
+ERR_COORDINATOR_NOT_AVAILABLE = 15
+ERR_ILLEGAL_GENERATION = 22
+ERR_UNKNOWN_MEMBER_ID = 25
+ERR_REBALANCE_IN_PROGRESS = 27
+
+
+def enc_find_coordinator_request(key: str, key_type: int = 0) -> bytes:
+    return enc_str(key) + struct.pack(">b", key_type)
+
+
+def dec_find_coordinator_request(r: Reader) -> tuple[str, int]:
+    return r.string(), r.i8()
+
+
+def enc_find_coordinator_response(node_id: int, host: str, port: int) -> bytes:
+    return (struct.pack(">ih", 0, 0) + enc_str(None)
+            + struct.pack(">i", node_id) + enc_str(host) + struct.pack(">i", port))
+
+
+def dec_find_coordinator_response(r: Reader) -> tuple[str, int]:
+    r.i32()  # throttle
+    err = r.i16()
+    r.string()  # error_message
+    if err:
+        raise IOError(f"FindCoordinator error {err}")
+    r.i32()  # node_id
+    return r.string(), r.i32()
+
+
+def enc_join_group_request(
+    group_id: str, member_id: str, topics: list[str],
+    session_timeout_ms: int = 10000, rebalance_timeout_ms: int = 3000,
+) -> bytes:
+    # embedded "consumer" protocol metadata: version, topics, userdata
+    md = struct.pack(">h", 0) + struct.pack(">i", len(topics))
+    for t in topics:
+        md += enc_str(t)
+    md += enc_bytes(b"")
+    body = enc_str(group_id)
+    body += struct.pack(">ii", session_timeout_ms, rebalance_timeout_ms)
+    body += enc_str(member_id) + enc_str("consumer")
+    body += struct.pack(">i", 1) + enc_str("range") + enc_bytes(md)
+    return body
+
+
+def dec_join_group_request(r: Reader) -> dict:
+    group_id = r.string()
+    session_timeout = r.i32()
+    rebalance_timeout = r.i32()
+    member_id = r.string()
+    protocol_type = r.string()
+    protocols = []
+    for _ in range(r.i32()):
+        protocols.append((r.string(), r.bytes_()))
+    return {"group_id": group_id, "session_timeout": session_timeout,
+            "rebalance_timeout": rebalance_timeout, "member_id": member_id,
+            "protocol_type": protocol_type, "protocols": protocols}
+
+
+def dec_consumer_metadata(md: bytes) -> list[str]:
+    r = Reader(md)
+    r.i16()  # version
+    return [r.string() for _ in range(r.i32())]
+
+
+def enc_join_group_response(
+    error_code: int, generation: int, protocol: str, leader: str,
+    member_id: str, members: list[tuple[str, bytes]],
+) -> bytes:
+    body = struct.pack(">ih", 0, error_code)
+    body += struct.pack(">i", generation)
+    body += enc_str(protocol) + enc_str(leader) + enc_str(member_id)
+    body += struct.pack(">i", len(members))
+    for mid, md in members:
+        body += enc_str(mid) + enc_bytes(md)
+    return body
+
+
+def dec_join_group_response(r: Reader) -> dict:
+    r.i32()  # throttle
+    err = r.i16()
+    generation = r.i32()
+    protocol = r.string()
+    leader = r.string()
+    member_id = r.string()
+    members = [(r.string(), r.bytes_()) for _ in range(r.i32())]
+    return {"error": err, "generation": generation, "protocol": protocol,
+            "leader": leader, "member_id": member_id, "members": members}
+
+
+def enc_consumer_assignment(topic_partitions: dict[str, list[int]]) -> bytes:
+    out = struct.pack(">h", 0) + struct.pack(">i", len(topic_partitions))
+    for t, parts in sorted(topic_partitions.items()):
+        out += enc_str(t) + struct.pack(">i", len(parts))
+        for p in parts:
+            out += struct.pack(">i", p)
+    return out + enc_bytes(b"")
+
+
+def dec_consumer_assignment(buf: bytes) -> dict[str, list[int]]:
+    if not buf:
+        return {}
+    r = Reader(buf)
+    r.i16()  # version
+    out: dict[str, list[int]] = {}
+    for _ in range(r.i32()):
+        t = r.string()
+        out[t] = [r.i32() for _ in range(r.i32())]
+    return out
+
+
+def enc_sync_group_request(
+    group_id: str, generation: int, member_id: str,
+    assignments: list[tuple[str, bytes]],
+) -> bytes:
+    body = enc_str(group_id) + struct.pack(">i", generation) + enc_str(member_id)
+    body += struct.pack(">i", len(assignments))
+    for mid, a in assignments:
+        body += enc_str(mid) + enc_bytes(a)
+    return body
+
+
+def dec_sync_group_request(r: Reader) -> dict:
+    group_id = r.string()
+    generation = r.i32()
+    member_id = r.string()
+    assignments = [(r.string(), r.bytes_()) for _ in range(r.i32())]
+    return {"group_id": group_id, "generation": generation,
+            "member_id": member_id, "assignments": assignments}
+
+
+def enc_sync_group_response(error_code: int, assignment: bytes) -> bytes:
+    return struct.pack(">ih", 0, error_code) + enc_bytes(assignment)
+
+
+def dec_sync_group_response(r: Reader) -> tuple[int, bytes]:
+    r.i32()
+    return r.i16(), (r.bytes_() or b"")
+
+
+def enc_heartbeat_request(group_id: str, generation: int, member_id: str) -> bytes:
+    return enc_str(group_id) + struct.pack(">i", generation) + enc_str(member_id)
+
+
+def dec_heartbeat_request(r: Reader) -> tuple[str, int, str]:
+    return r.string(), r.i32(), r.string()
+
+
+def enc_error_only_response(error_code: int) -> bytes:
+    return struct.pack(">ih", 0, error_code)
+
+
+def dec_error_only_response(r: Reader) -> int:
+    r.i32()
+    return r.i16()
+
+
+def enc_leave_group_request(group_id: str, member_id: str) -> bytes:
+    return enc_str(group_id) + enc_str(member_id)
+
+
+def dec_leave_group_request(r: Reader) -> tuple[str, str]:
+    return r.string(), r.string()
+
+
+def enc_offset_commit_request(
+    group_id: str, generation: int, member_id: str,
+    offsets: dict[tuple[str, int], int],
+) -> bytes:
+    body = enc_str(group_id) + struct.pack(">i", generation) + enc_str(member_id)
+    body += struct.pack(">q", -1)  # retention_time_ms
+    by_topic: dict[str, list[tuple[int, int]]] = {}
+    for (t, p), off in offsets.items():
+        by_topic.setdefault(t, []).append((p, off))
+    body += struct.pack(">i", len(by_topic))
+    for t, parts in by_topic.items():
+        body += enc_str(t) + struct.pack(">i", len(parts))
+        for p, off in parts:
+            body += struct.pack(">iq", p, off) + enc_str(None)
+    return body
+
+
+def dec_offset_commit_request(r: Reader) -> dict:
+    group_id = r.string()
+    generation = r.i32()
+    member_id = r.string()
+    r.i64()  # retention
+    offsets: dict[tuple[str, int], int] = {}
+    for _ in range(r.i32()):
+        t = r.string()
+        for _ in range(r.i32()):
+            p = r.i32()
+            off = r.i64()
+            r.string()  # metadata
+            offsets[(t, p)] = off
+    return {"group_id": group_id, "generation": generation,
+            "member_id": member_id, "offsets": offsets}
+
+
+def enc_offset_commit_response(results: dict[tuple[str, int], int]) -> bytes:
+    by_topic: dict[str, list[tuple[int, int]]] = {}
+    for (t, p), err in results.items():
+        by_topic.setdefault(t, []).append((p, err))
+    body = struct.pack(">i", 0)
+    body += struct.pack(">i", len(by_topic))
+    for t, parts in by_topic.items():
+        body += enc_str(t) + struct.pack(">i", len(parts))
+        for p, err in parts:
+            body += struct.pack(">ih", p, err)
+    return body
+
+
+def dec_offset_commit_response(r: Reader) -> dict[tuple[str, int], int]:
+    r.i32()
+    out = {}
+    for _ in range(r.i32()):
+        t = r.string()
+        for _ in range(r.i32()):
+            p = r.i32()
+            out[(t, p)] = r.i16()
+    return out
+
+
+def enc_offset_fetch_request(group_id: str, topic_partitions: dict[str, list[int]]) -> bytes:
+    body = enc_str(group_id)
+    body += struct.pack(">i", len(topic_partitions))
+    for t, parts in topic_partitions.items():
+        body += enc_str(t) + struct.pack(">i", len(parts))
+        for p in parts:
+            body += struct.pack(">i", p)
+    return body
+
+
+def dec_offset_fetch_request(r: Reader) -> tuple[str, dict[str, list[int]]]:
+    group_id = r.string()
+    out: dict[str, list[int]] = {}
+    for _ in range(r.i32()):
+        t = r.string()
+        out[t] = [r.i32() for _ in range(r.i32())]
+    return group_id, out
+
+
+def enc_offset_fetch_response(offsets: dict[tuple[str, int], int]) -> bytes:
+    by_topic: dict[str, list[tuple[int, int]]] = {}
+    for (t, p), off in offsets.items():
+        by_topic.setdefault(t, []).append((p, off))
+    body = struct.pack(">i", 0)
+    body += struct.pack(">i", len(by_topic))
+    for t, parts in by_topic.items():
+        body += enc_str(t) + struct.pack(">i", len(parts))
+        for p, off in parts:
+            body += struct.pack(">iq", p, off) + enc_str(None) + struct.pack(">h", 0)
+    body += struct.pack(">h", 0)  # top-level error
+    return body
+
+
+def dec_offset_fetch_response(r: Reader) -> dict[tuple[str, int], int]:
+    r.i32()
+    out = {}
+    for _ in range(r.i32()):
+        t = r.string()
+        for _ in range(r.i32()):
+            p = r.i32()
+            off = r.i64()
+            r.string()
+            err = r.i16()
+            if err:
+                raise IOError(f"OffsetFetch error {err} on {t}/{p}")
+            out[(t, p)] = off
+    r.i16()
+    return out

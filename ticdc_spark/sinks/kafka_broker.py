@@ -22,6 +22,7 @@ import socket
 import socketserver
 import struct
 import threading
+import time
 
 from ticdc_spark.codec import kafka_wire as kw
 
@@ -87,6 +88,8 @@ class KafkaBroker:
         self.default_partitions = default_partitions
         self.topics: dict[str, dict[int, _Log]] = {}
         self._topics_lock = threading.Lock()
+        self.groups: dict[str, "_Group"] = {}
+        self._groups_lock = threading.Lock()
         broker = self
 
         class Handler(socketserver.BaseRequestHandler):
@@ -160,6 +163,14 @@ class KafkaBroker:
         t = self._get_topic(topic, create=False)
         return t[partition].next_offset if t and partition in t else 0
 
+    def _get_group(self, group_id: str) -> "_Group":
+        with self._groups_lock:
+            g = self.groups.get(group_id)
+            if g is None:
+                g = _Group()
+                self.groups[group_id] = g
+            return g
+
     # -- protocol dispatch
 
     def _dispatch(self, payload: bytes) -> bytes:
@@ -199,6 +210,59 @@ class KafkaBroker:
                     except ValueError:
                         results[topic][idx] = (2, -1)  # CORRUPT_MESSAGE
             return kw.frame_response(corr, kw.enc_produce_response(results))
+        if api_key == kw.API_FIND_COORDINATOR:
+            kw.dec_find_coordinator_request(r)
+            # single-node: this broker coordinates every group
+            return kw.frame_response(
+                corr, kw.enc_find_coordinator_response(0, self.host, self.port))
+        if api_key == kw.API_JOIN_GROUP:
+            req = kw.dec_join_group_request(r)
+            g = self._get_group(req["group_id"])
+            res = g.join(req["member_id"], req["protocols"][0][1])
+            if res["error"]:
+                body = kw.enc_join_group_response(
+                    res["error"], -1, "", "", res["member_id"], [])
+            else:
+                body = kw.enc_join_group_response(
+                    0, res["generation"], "range", res["leader"],
+                    res["member_id"], res["members"])
+            return kw.frame_response(corr, body)
+        if api_key == kw.API_SYNC_GROUP:
+            req = kw.dec_sync_group_request(r)
+            g = self._get_group(req["group_id"])
+            err, assignment = g.sync(
+                req["member_id"], req["generation"], req["assignments"])
+            return kw.frame_response(corr, kw.enc_sync_group_response(err, assignment))
+        if api_key == kw.API_HEARTBEAT:
+            group_id, generation, member_id = kw.dec_heartbeat_request(r)
+            err = self._get_group(group_id).heartbeat(member_id, generation)
+            return kw.frame_response(corr, kw.enc_error_only_response(err))
+        if api_key == kw.API_LEAVE_GROUP:
+            group_id, member_id = kw.dec_leave_group_request(r)
+            err = self._get_group(group_id).leave(member_id)
+            return kw.frame_response(corr, kw.enc_error_only_response(err))
+        if api_key == kw.API_OFFSET_COMMIT:
+            req = kw.dec_offset_commit_request(r)
+            g = self._get_group(req["group_id"])
+            results = {}
+            with g.lock:
+                for tp, off in req["offsets"].items():
+                    if (req["member_id"] not in g.members
+                            or req["generation"] != g.generation):
+                        results[tp] = kw.ERR_ILLEGAL_GENERATION
+                    else:
+                        g.offsets[tp] = off
+                        results[tp] = 0
+            return kw.frame_response(corr, kw.enc_offset_commit_response(results))
+        if api_key == kw.API_OFFSET_FETCH:
+            group_id, wants = kw.dec_offset_fetch_request(r)
+            g = self._get_group(group_id)
+            out = {}
+            with g.lock:
+                for t, parts in wants.items():
+                    for p in parts:
+                        out[(t, p)] = g.offsets.get((t, p), -1)
+            return kw.frame_response(corr, kw.enc_offset_fetch_response(out))
         if api_key == kw.API_FETCH:
             wants = kw.dec_fetch_request(r)
             parts = []
@@ -221,3 +285,108 @@ def _recv_exact(sock: socket.socket, n: int) -> bytes | None:
             return None
         buf += chunk
     return bytes(buf)
+
+
+class _Group:
+    """One consumer group's coordinator state (the broker-side half of
+    the JoinGroup/SyncGroup dance). States mirror a real coordinator:
+    Empty -> PreparingRebalance (join barrier) -> CompletingRebalance
+    (awaiting the leader's SyncGroup) -> Stable."""
+
+    REBALANCE_WINDOW_S = 2.0
+
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.cond = threading.Condition(self.lock)
+        self.generation = 0
+        self.members: dict[str, bytes] = {}      # member_id -> metadata (stable set)
+        self.joined: dict[str, bytes] = {}       # members of the in-flight rebalance
+        self.leader: str | None = None
+        self.rebalancing = False
+        self.assignments: dict[str, bytes] = {}
+        self.sync_generation = -1
+        self.offsets: dict[tuple[str, int], int] = {}
+        self._next_member = 0
+
+    def join(self, member_id: str, metadata: bytes) -> dict:
+        with self.cond:
+            if not member_id:
+                self._next_member += 1
+                member_id = f"member-{self._next_member}"
+            if not self.rebalancing:
+                self.rebalancing = True
+                self.joined = {}
+            self.joined[member_id] = metadata
+            my_generation = self.generation + 1
+            # barrier: wait until every member of the PREVIOUS stable set
+            # has rejoined (plus any newcomers), or the window lapses and
+            # stragglers are evicted — then the first waiter completes
+            # the rebalance for everyone
+            deadline = time.monotonic() + self.REBALANCE_WINDOW_S
+            while self.rebalancing:
+                expected = set(self.members) | set(self.joined)
+                if set(self.joined) >= expected:
+                    self._complete()
+                    break
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    self._complete()  # evict stragglers
+                    break
+                self.cond.wait(remaining)
+            if member_id not in self.members:
+                # a concurrent completion evicted us (joined after the
+                # window closed) — caller should retry
+                return {"error": 27, "member_id": member_id}  # REBALANCE_IN_PROGRESS
+            return {
+                "error": 0,
+                "generation": self.generation,
+                "member_id": member_id,
+                "leader": self.leader,
+                "members": sorted(self.members.items()) if member_id == self.leader else [],
+            }
+
+    def _complete(self):
+        if not self.rebalancing:
+            return
+        self.members = dict(self.joined)
+        self.generation += 1
+        self.leader = sorted(self.members)[0] if self.members else None
+        self.rebalancing = False
+        self.assignments = {}
+        self.cond.notify_all()
+
+    def sync(self, member_id: str, generation: int, assignments: list[tuple[str, bytes]]) -> tuple[int, bytes]:
+        with self.cond:
+            if member_id not in self.members:
+                return 25, b""  # UNKNOWN_MEMBER_ID
+            if generation != self.generation or self.rebalancing:
+                return 22, b""  # ILLEGAL_GENERATION
+            if member_id == self.leader and assignments:
+                self.assignments = dict(assignments)
+                self.sync_generation = generation
+                self.cond.notify_all()
+            while self.sync_generation != generation:
+                if self.rebalancing or generation != self.generation:
+                    return 27, b""
+                self.cond.wait(_Group.REBALANCE_WINDOW_S)
+            return 0, self.assignments.get(member_id, b"")
+
+    def heartbeat(self, member_id: str, generation: int) -> int:
+        with self.lock:
+            if member_id not in self.members:
+                return 25
+            if self.rebalancing:
+                return 27
+            if generation != self.generation:
+                return 22
+            return 0
+
+    def leave(self, member_id: str) -> int:
+        with self.cond:
+            self.members.pop(member_id, None)
+            self.joined.pop(member_id, None)
+            # next heartbeat of the survivors triggers their rejoin
+            self.rebalancing = True
+            self.joined = {}
+            self.cond.notify_all()
+            return 0

@@ -118,3 +118,129 @@ class KafkaConn:
                 offset = out[-1][0] + 1
             if offset >= hw:
                 return out
+
+
+class ConsumerGroupMember:
+    """Consumer-group membership — the coordination loop the reference's
+    `cmd/kafka-consumer` gets from sarama: FindCoordinator, JoinGroup,
+    client-side range assignment by the elected leader, SyncGroup,
+    heartbeats, offset commit/fetch, LeaveGroup. One TCP connection; the
+    group protocol rides the same wire as produce/fetch."""
+
+    def __init__(self, bootstrap: str, group_id: str, topics: list[str]):
+        self.group_id = group_id
+        self.topics = topics
+        self.member_id = ""
+        self.generation = -1
+        self.assignment: dict[str, list[int]] = {}
+        # FindCoordinator names the group's coordinator; dial it (here the
+        # same single broker, but the redirect is honored like a client)
+        with KafkaConn.from_bootstrap(bootstrap) as bootconn:
+            host, port = kw.dec_find_coordinator_response(
+                bootconn._call(kw.API_FIND_COORDINATOR, 1,
+                               kw.enc_find_coordinator_request(group_id)))
+        self.conn = KafkaConn(host, port, client_id=f"cg-{group_id}")
+
+    def close(self):
+        self.conn.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- join/sync with rejoin-on-rebalance
+
+    def join_and_sync(self, max_rejoins: int = 5) -> dict[str, list[int]]:
+        for _ in range(max_rejoins):
+            resp = kw.dec_join_group_response(self.conn._call(
+                kw.API_JOIN_GROUP, 2,
+                kw.enc_join_group_request(self.group_id, self.member_id, self.topics)))
+            self.member_id = resp["member_id"]
+            if resp["error"] == kw.ERR_REBALANCE_IN_PROGRESS:
+                continue
+            if resp["error"]:
+                raise IOError(f"JoinGroup error {resp['error']}")
+            self.generation = resp["generation"]
+            assignments: list[tuple[str, bytes]] = []
+            if resp["member_id"] == resp["leader"]:
+                assignments = self._range_assign(resp["members"])
+            err, blob = kw.dec_sync_group_response(self.conn._call(
+                kw.API_SYNC_GROUP, 1,
+                kw.enc_sync_group_request(self.group_id, self.generation,
+                                          self.member_id, assignments)))
+            if err in (kw.ERR_REBALANCE_IN_PROGRESS, kw.ERR_ILLEGAL_GENERATION):
+                continue
+            if err:
+                raise IOError(f"SyncGroup error {err}")
+            self.assignment = kw.dec_consumer_assignment(blob)
+            return self.assignment
+        raise IOError("rebalance did not settle")
+
+    def _range_assign(self, members: list[tuple[str, bytes]]) -> list[tuple[str, bytes]]:
+        """Client-side range assignor (the leader's job in the consumer
+        protocol): per topic, contiguous partition ranges over the sorted
+        member list, first members absorbing the remainder."""
+        md = self.conn.metadata(sorted({t for _, m in members
+                                        for t in kw.dec_consumer_metadata(m)}))
+        plan: dict[str, dict[str, list[int]]] = {mid: {} for mid, _ in members}
+        subs = {mid: set(kw.dec_consumer_metadata(m)) for mid, m in members}
+        for topic, info in sorted(md["topics"].items()):
+            want = sorted(mid for mid in subs if topic in subs[mid])
+            if not want:
+                continue
+            parts = sorted(p["index"] for p in info["partitions"])
+            n, r = divmod(len(parts), len(want))
+            start = 0
+            for i, mid in enumerate(want):
+                take = n + (1 if i < r else 0)
+                if take:
+                    plan[mid][topic] = parts[start : start + take]
+                start += take
+        return [(mid, kw.enc_consumer_assignment(tp)) for mid, tp in plan.items()]
+
+    # -- offsets + heartbeat + leave
+
+    def heartbeat(self) -> int:
+        return kw.dec_error_only_response(self.conn._call(
+            kw.API_HEARTBEAT, 1,
+            kw.enc_heartbeat_request(self.group_id, self.generation, self.member_id)))
+
+    def commit_offsets(self, offsets: dict[tuple[str, int], int]) -> None:
+        res = kw.dec_offset_commit_response(self.conn._call(
+            kw.API_OFFSET_COMMIT, 3,
+            kw.enc_offset_commit_request(self.group_id, self.generation,
+                                         self.member_id, offsets)))
+        bad = {tp: e for tp, e in res.items() if e}
+        if bad:
+            raise IOError(f"OffsetCommit errors: {bad}")
+
+    def fetch_committed(self) -> dict[tuple[str, int], int]:
+        wants = {t: ps for t, ps in self.assignment.items()}
+        return kw.dec_offset_fetch_response(self.conn._call(
+            kw.API_OFFSET_FETCH, 3,
+            kw.enc_offset_fetch_request(self.group_id, wants)))
+
+    def poll_assigned(self) -> dict[tuple[str, int], list]:
+        """Consume [committed, hw) for every assigned partition and commit
+        the new positions — one reference consumer-loop turn."""
+        committed = self.fetch_committed() if self.assignment else {}
+        out: dict[tuple[str, int], list] = {}
+        new_offsets = {}
+        for topic, parts in self.assignment.items():
+            for p in parts:
+                start = committed.get((topic, p), -1)
+                start = 0 if start < 0 else start
+                recs = self.conn.fetch_all(topic, p, from_offset=start)
+                out[(topic, p)] = recs
+                if recs:
+                    new_offsets[(topic, p)] = recs[-1][0] + 1
+        if new_offsets:
+            self.commit_offsets(new_offsets)
+        return out
+
+    def leave(self) -> None:
+        kw.dec_error_only_response(self.conn._call(
+            kw.API_LEAVE_GROUP, 1,
+            kw.enc_leave_group_request(self.group_id, self.member_id)))
