@@ -4062,3 +4062,40 @@ def q_pipeline_live_end_to_end(spark, sf_dir):
         F.monotonically_increasing_id().alias("seq"),
     )
     return mysql_live_apply(rebuilt, _TP_TABLES)
+
+
+# ---------------------------------------------------------------------------
+# K2 live, consumer-group read side: the produced frame consumed back by a
+# cooperating CONSUMER GROUP over the wire (FindCoordinator/JoinGroup/
+# SyncGroup/range assignment — `cmd/kafka-consumer` runs exactly this via
+# sarama), four members splitting the partitions, exactly-once restored by
+# the (topic, partition, offset) distinct like the consumer's idempotent
+# apply.
+# ---------------------------------------------------------------------------
+@register(
+    "kafka_consumer_group_roundtrip",
+    f"WITH {CHANGELOG_SQL} SELECT "
+    "'cdc_' || schema_name || '_' || table_name AS topic, "
+    f"CAST({_MD5_32_SQL} % 16 AS INTEGER) AS partition, "
+    f"{_OPEN_KEY_SQL} AS key, {_CANAL_SQL} AS value FROM changelog",
+)
+def q_kafka_consumer_group_roundtrip(spark, sf_dir):
+    from ticdc_spark.sinks.kafka_live import (
+        consumer_group_fetch_df,
+        produce_frame,
+        start_broker,
+    )
+
+    frame = kafka_messages(
+        scale_out(events_changelog(spark, sf_dir)),
+        [{"matcher": ["test.tp_*"], "partition": "index-value",
+          "topic": "cdc_{schema}_{table}"}],
+        protocol="canal-json",
+        n_partitions=16,
+    )
+    broker = start_broker(16)
+    produce_frame(frame, broker.bootstrap)
+    topics = list(broker.topics)
+    return consumer_group_fetch_df(
+        spark, broker.bootstrap, "cdc-consumer", topics, n_members=4
+    ).drop("offset")

@@ -149,6 +149,66 @@ def fetch_df(spark: SparkSession, bootstrap: str, topic_partitions: list[tuple[s
     return pairs.mapInPandas(_fetch, "topic string, partition int, key string, value string")
 
 
+def consumer_group_fetch_df(
+    spark: SparkSession, bootstrap: str, group_id: str, topics: list[str],
+    n_members: int = 4,
+) -> DataFrame:
+    """Cooperative consumption: ``n_members`` tasks each run one
+    ConsumerGroupMember (JoinGroup/SyncGroup/range assignment over the
+    live wire) and fetch their assigned partitions from offset 0.
+
+    Task scheduling decides how the group forms — members may overlap
+    across generations — so exactly-once is restored downstream by a
+    (topic, partition, offset) distinct, the same idempotence contract
+    the reference consumer's apply relies on."""
+    seats = spark.createDataFrame(
+        [(i,) for i in range(n_members)], "seat int"
+    ).repartition(n_members, "seat")
+
+    def _consume(batches):
+        import time as _time
+
+        import pandas as pd
+
+        from ticdc_spark.sinks.kafka_client import ConsumerGroupMember
+
+        for pdf in batches:
+            for _ in pdf["seat"]:
+                with ConsumerGroupMember(bootstrap, group_id, topics) as m:
+                    m.join_and_sync()
+                    # brief stabilization so concurrently-scheduled seats
+                    # join the same generation (late seats still converge:
+                    # they either split the range or fetch overlap the
+                    # distinct removes)
+                    settle_until = _time.monotonic() + 0.5
+                    while _time.monotonic() < settle_until:
+                        if m.heartbeat() != 0:
+                            m.join_and_sync()
+                            settle_until = _time.monotonic() + 0.5
+                        else:
+                            _time.sleep(0.05)
+                    rows = {"topic": [], "partition": [], "offset": [],
+                            "key": [], "value": []}
+                    for topic, parts in m.assignment.items():
+                        for p in parts:
+                            for off, rec in m.conn.fetch_all(topic, p):
+                                rows["topic"].append(topic)
+                                rows["partition"].append(p)
+                                rows["offset"].append(off)
+                                rows["key"].append(
+                                    rec.key.decode() if rec.key is not None else None)
+                                rows["value"].append(
+                                    rec.value.decode() if rec.value is not None else None)
+                    m.leave()
+                    if rows["topic"]:
+                        yield pd.DataFrame(rows)
+
+    fetched = seats.mapInPandas(
+        _consume,
+        "topic string, partition int, offset long, key string, value string")
+    return fetched.dropDuplicates(["topic", "partition", "offset"])
+
+
 def kafka_live_roundtrip(
     frame: DataFrame, n_partitions: int = 16, compression: str = "none"
 ) -> DataFrame:
