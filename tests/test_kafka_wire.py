@@ -231,3 +231,39 @@ def test_producer_retry_survives_connection_drops(spark_noop_guard=None):
             assert len(got) >= 20
     finally:
         failpoint.disable_all()
+
+
+# ------------------------------------------------------------------ admin
+
+def test_create_topics_and_describe_configs():
+    from ticdc_spark.sinks.kafka_client import (adjust_options, create_topic,
+                                                describe_configs)
+
+    with KafkaBroker(default_partitions=4) as broker:
+        with KafkaConn.from_bootstrap(broker.bootstrap) as c:
+            # AdjustOptions, missing topic: broker message.max.bytes adopted,
+            # topic created with defaultPartitionNum=3
+            opts = adjust_options(c, "fresh")
+            assert opts == {"max_message_bytes": 1048588, "partition_num": 3}
+            assert len(c.metadata(["fresh"])["topics"]["fresh"]["partitions"]) == 3
+            # new topics inherit broker max.message.bytes
+            assert describe_configs(c, kw.RESOURCE_TOPIC, "fresh",
+                                    ["max.message.bytes"]) == {
+                "max.message.bytes": "1048588"}
+
+            # AdjustOptions, existing topic: its own max.message.bytes wins,
+            # partition-num reconciles against the real count
+            create_topic(c, "cfgd", 8, configs={"max.message.bytes": "2048"})
+            assert adjust_options(c, "cfgd") == {
+                "max_message_bytes": 2048, "partition_num": 8}
+            assert adjust_options(c, "cfgd", partition_num=5)["partition_num"] == 5
+            with pytest.raises(ValueError, match="partition-num"):
+                adjust_options(c, "cfgd", partition_num=9)
+
+            with pytest.raises(FileExistsError):
+                create_topic(c, "cfgd", 2)
+            with pytest.raises(IOError, match="error 37"):
+                create_topic(c, "zero", 0)
+            # validate_only leaves no topic behind
+            create_topic(c, "ghost", 2, validate_only=True)
+            assert "ghost" not in broker.topics

@@ -892,3 +892,135 @@ def dec_offset_fetch_response(r: Reader) -> dict[tuple[str, int], int]:
             out[(t, p)] = off
     r.i16()
     return out
+
+
+# ---------------------------------------------------------------- admin
+# CreateTopics v2 + DescribeConfigs v0 — what the reference's topic
+# manager does through sarama's ClusterAdminClient (`pkg/sink/kafka/
+# admin.go` CreateTopic, options.go getTopicConfig/getBrokerConfig).
+
+API_CREATE_TOPICS = 19
+API_DESCRIBE_CONFIGS = 32
+
+SUPPORTED.update({API_CREATE_TOPICS: (2, 2), API_DESCRIBE_CONFIGS: (0, 0)})
+
+RESOURCE_TOPIC = 2
+RESOURCE_BROKER = 4
+
+ERR_TOPIC_ALREADY_EXISTS = 36
+ERR_INVALID_PARTITIONS = 37
+
+
+def enc_create_topics_request(
+    topics: list[tuple[str, int, int, dict[str, str]]],
+    timeout_ms: int = 10000, validate_only: bool = False,
+) -> bytes:
+    """topics: [(name, num_partitions, replication_factor, configs)]."""
+    body = struct.pack(">i", len(topics))
+    for name, n_parts, repl, configs in topics:
+        body += enc_str(name) + struct.pack(">ih", n_parts, repl)
+        body += struct.pack(">i", 0)  # manual assignments: none
+        body += struct.pack(">i", len(configs))
+        for k, v in configs.items():
+            body += enc_str(k) + enc_str(v)
+    body += struct.pack(">i?", timeout_ms, validate_only)
+    return body
+
+
+def dec_create_topics_request(r: Reader) -> tuple[list[tuple[str, int, int, dict]], bool]:
+    out = []
+    for _ in range(r.i32()):
+        name = r.string()
+        n_parts = r.i32()
+        repl = r.i16()
+        for _ in range(r.i32()):  # assignments
+            r.i32()
+            for _ in range(r.i32()):
+                r.i32()
+        configs = {}
+        for _ in range(r.i32()):
+            ck = r.string()  # NB: dict[k]=v evaluates the VALUE first
+            configs[ck] = r.string()
+        out.append((name, n_parts, repl, configs))
+    r.i32()  # timeout
+    validate_only = r._unpack(">?", 1)
+    return out, validate_only
+
+
+def enc_create_topics_response(results: dict[str, tuple[int, str | None]]) -> bytes:
+    body = struct.pack(">i", 0)
+    body += struct.pack(">i", len(results))
+    for name, (err, msg) in results.items():
+        body += enc_str(name) + struct.pack(">h", err) + enc_str(msg)
+    return body
+
+
+def dec_create_topics_response(r: Reader) -> dict[str, tuple[int, str | None]]:
+    r.i32()
+    out = {}
+    for _ in range(r.i32()):
+        name = r.string()
+        out[name] = (r.i16(), r.string())
+    return out
+
+
+def enc_describe_configs_request(
+    resources: list[tuple[int, str, list[str] | None]],
+) -> bytes:
+    body = struct.pack(">i", len(resources))
+    for rtype, name, keys in resources:
+        body += struct.pack(">b", rtype) + enc_str(name)
+        if keys is None:
+            body += struct.pack(">i", -1)
+        else:
+            body += struct.pack(">i", len(keys))
+            for k in keys:
+                body += enc_str(k)
+    return body
+
+
+def dec_describe_configs_request(r: Reader) -> list[tuple[int, str, list[str] | None]]:
+    out = []
+    for _ in range(r.i32()):
+        rtype = r.i8()
+        name = r.string()
+        n = r.i32()
+        keys = None if n < 0 else [r.string() for _ in range(n)]
+        out.append((rtype, name, keys))
+    return out
+
+
+def enc_describe_configs_response(
+    results: list[tuple[int, str | None, int, str, dict[str, str | None]]],
+) -> bytes:
+    """results: [(error_code, error_message, resource_type, name, configs)]."""
+    body = struct.pack(">i", 0)
+    body += struct.pack(">i", len(results))
+    for err, msg, rtype, name, configs in results:
+        body += struct.pack(">h", err) + enc_str(msg)
+        body += struct.pack(">b", rtype) + enc_str(name)
+        body += struct.pack(">i", len(configs))
+        for k, v in configs.items():
+            body += enc_str(k) + enc_str(v)
+            body += struct.pack(">???", False, True, False)  # ro/default/sensitive
+    return body
+
+
+def dec_describe_configs_response(r: Reader) -> list[tuple[int, str, dict[str, str | None]]]:
+    r.i32()
+    out = []
+    for _ in range(r.i32()):
+        err = r.i16()
+        r.string()  # error_message
+        rtype = r.i8()
+        name = r.string()
+        configs = {}
+        for _ in range(r.i32()):
+            k = r.string()
+            v = r.string()
+            r.raw(3)  # read_only, is_default, is_sensitive
+            configs[k] = v
+        if err:
+            raise IOError(f"DescribeConfigs error {err} on {rtype}/{name}")
+        out.append((rtype, name, configs))
+    return out

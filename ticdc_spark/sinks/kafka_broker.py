@@ -90,6 +90,10 @@ class KafkaBroker:
         self._topics_lock = threading.Lock()
         self.groups: dict[str, "_Group"] = {}
         self._groups_lock = threading.Lock()
+        # broker-level config a real cluster exposes via DescribeConfigs;
+        # new topics inherit max.message.bytes from it like a real broker
+        self.broker_configs = {"message.max.bytes": "1048588"}
+        self.topic_configs: dict[str, dict[str, str]] = {}
         broker = self
 
         class Handler(socketserver.BaseRequestHandler):
@@ -210,6 +214,49 @@ class KafkaBroker:
                     except ValueError:
                         results[topic][idx] = (2, -1)  # CORRUPT_MESSAGE
             return kw.frame_response(corr, kw.enc_produce_response(results))
+        if api_key == kw.API_CREATE_TOPICS:
+            topics, validate_only = kw.dec_create_topics_request(r)
+            results = {}
+            for name, n_parts, _repl, configs in topics:
+                with self._topics_lock:
+                    if name in self.topics:
+                        results[name] = (kw.ERR_TOPIC_ALREADY_EXISTS,
+                                         f"Topic '{name}' already exists.")
+                        continue
+                    if n_parts == 0:
+                        results[name] = (kw.ERR_INVALID_PARTITIONS,
+                                         "Number of partitions must be larger than 0.")
+                        continue
+                    if not validate_only:
+                        n = self.default_partitions if n_parts < 0 else n_parts
+                        self.topics[name] = {p: _Log() for p in range(n)}
+                        # topic max.message.bytes defaults from the broker
+                        # (the reference's adjustNewTopicOptions premise)
+                        tc = {"max.message.bytes":
+                              self.broker_configs["message.max.bytes"]}
+                        tc.update(configs)
+                        self.topic_configs[name] = tc
+                    results[name] = (0, None)
+            return kw.frame_response(corr, kw.enc_create_topics_response(results))
+        if api_key == kw.API_DESCRIBE_CONFIGS:
+            wants = kw.dec_describe_configs_request(r)
+            results = []
+            for rtype, name, keys in wants:
+                if rtype == kw.RESOURCE_BROKER:
+                    cfg = dict(self.broker_configs)
+                elif rtype == kw.RESOURCE_TOPIC:
+                    with self._topics_lock:
+                        if name not in self.topics:
+                            results.append((3, "unknown topic", rtype, name, {}))
+                            continue
+                        cfg = dict(self.topic_configs.get(name, {}))
+                else:
+                    results.append((87, "unsupported resource", rtype, name, {}))
+                    continue
+                if keys is not None:
+                    cfg = {k: cfg.get(k) for k in keys}
+                results.append((0, None, rtype, name, cfg))
+            return kw.frame_response(corr, kw.enc_describe_configs_response(results))
         if api_key == kw.API_FIND_COORDINATOR:
             kw.dec_find_coordinator_request(r)
             # single-node: this broker coordinates every group

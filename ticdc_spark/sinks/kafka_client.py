@@ -244,3 +244,67 @@ class ConsumerGroupMember:
         kw.dec_error_only_response(self.conn._call(
             kw.API_LEAVE_GROUP, 1,
             kw.enc_leave_group_request(self.group_id, self.member_id)))
+
+
+# -- admin calls (ClusterAdminClient parity: `pkg/sink/kafka/admin.go`)
+
+
+def create_topic(conn: KafkaConn, name: str, num_partitions: int,
+                 replication_factor: int = 1, configs: dict | None = None,
+                 validate_only: bool = False) -> None:
+    res = kw.dec_create_topics_response(conn._call(
+        kw.API_CREATE_TOPICS, 2,
+        kw.enc_create_topics_request(
+            [(name, num_partitions, replication_factor, configs or {})],
+            validate_only=validate_only)))
+    err, msg = res[name]
+    if err and err != kw.ERR_TOPIC_ALREADY_EXISTS:
+        raise IOError(f"CreateTopics {name}: error {err}: {msg}")
+    if err == kw.ERR_TOPIC_ALREADY_EXISTS:
+        raise FileExistsError(msg)
+
+
+def describe_configs(conn: KafkaConn, resource_type: int, name: str,
+                     keys: list[str] | None = None) -> dict[str, str | None]:
+    res = kw.dec_describe_configs_response(conn._call(
+        kw.API_DESCRIBE_CONFIGS, 0,
+        kw.enc_describe_configs_request([(resource_type, name, keys)])))
+    return res[0][2]
+
+
+def adjust_options(
+    conn: KafkaConn, topic: str,
+    max_message_bytes: int = 10 * 1024 * 1024,
+    partition_num: int = 0,
+    replication_factor: int = 1,
+    auto_create: bool = True,
+) -> dict:
+    """`pkg/sink/kafka/options.go` AdjustOptions: existing topic -> its
+    `max.message.bytes` + partition count reconcile (configured 0 adopts
+    the real count; configured > real is an error); missing topic ->
+    broker `message.max.bytes`, then create with defaultPartitionNum=3
+    when unspecified."""
+    md = conn.metadata()  # full listing: don't auto-create on lookup
+    exists = topic in md["topics"]
+    if exists:
+        raw = describe_configs(conn, kw.RESOURCE_TOPIC, topic,
+                               ["max.message.bytes"]).get("max.message.bytes")
+        if raw is not None:
+            max_message_bytes = int(raw)
+        real = len(md["topics"][topic]["partitions"])
+        if partition_num == 0:
+            partition_num = real
+        elif partition_num > real:
+            raise ValueError(
+                f"partition-num {partition_num} > topic partition count {real}")
+    else:
+        raw = describe_configs(conn, kw.RESOURCE_BROKER, "0",
+                               ["message.max.bytes"]).get("message.max.bytes")
+        if raw is not None:
+            max_message_bytes = int(raw)
+        if partition_num == 0:
+            partition_num = 3  # defaultPartitionNum
+        if auto_create:
+            create_topic(conn, topic, partition_num, replication_factor)
+    return {"max_message_bytes": max_message_bytes,
+            "partition_num": partition_num}
