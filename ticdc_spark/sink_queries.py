@@ -4099,3 +4099,18 @@ def q_kafka_consumer_group_roundtrip(spark, sf_dir):
     return consumer_group_fetch_df(
         spark, broker.bootstrap, "cdc-consumer", topics, n_members=4
     ).drop("offset")
+
+
+# ---------------------------------------------------------------------------
+# K4 live — the storage sink through a REAL S3 REST endpoint: SigV4-signed
+# PutObject per (path, file), ListObjectsV2 continuation pagination, GETs
+# from executor tasks, storage-consumer decode, replayed state
+# (`downstreamadapter/sink/cloudstorage` with the AWS SDK replaced by this
+# repo's wire client; signatures validated against the official AWS vector).
+# ---------------------------------------------------------------------------
+@register("storage_live_s3_roundtrip", _REPLAY_STATE_ORACLE)
+def q_storage_live_s3_roundtrip(spark, sf_dir):
+    from ticdc_spark.sinks.s3_live import storage_live_s3_roundtrip
+
+    cl = split_updates(events_changelog(spark, sf_dir, parallel=True))
+    return storage_live_s3_roundtrip(cl)

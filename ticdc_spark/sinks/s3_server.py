@@ -1,0 +1,188 @@
+"""In-process S3 endpoint speaking the real REST API over HTTP.
+
+PutObject / GetObject / HeadObject / DeleteObject / ListObjectsV2 (with
+prefix, max-keys and real continuation-token pagination), XML responses
+in the S3 shapes, and SigV4 verification on every request (403 +
+SignatureDoesNotMatch on failure) — the surface the reference's
+cloud-storage sink drives through the AWS SDK
+(`downstreamadapter/sink/cloudstorage`, storage URIs `s3://...`).
+
+TEST endpoint: production points the same sink at real object storage.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, unquote, urlsplit
+
+from ticdc_spark.codec import awssig
+
+_XMLNS = "http://s3.amazonaws.com/doc/2006-03-01/"
+
+
+class MiniS3Server:
+    def __init__(self, access_key: str = "AKIDTEST", secret_key: str = "s3cr3t",
+                 host: str = "127.0.0.1"):
+        self.access_key = access_key
+        self.secret_key = secret_key
+        self.host = host
+        self.buckets: dict[str, dict[str, bytes]] = {}
+        self._lock = threading.Lock()
+        srv = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _xml(self, code: int, body: str):
+                data = ('<?xml version="1.0" encoding="UTF-8"?>\n' + body).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/xml")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def _error(self, code: int, s3_code: str, message: str):
+                self._xml(code, f"<Error><Code>{s3_code}</Code>"
+                                f"<Message>{message}</Message></Error>")
+
+            def _authed(self, body: bytes) -> bool:
+                auth = self.headers.get("Authorization", "")
+                sp = urlsplit(self.path)
+                headers = {k: v for k, v in self.headers.items()}
+                try:
+                    info = awssig.parse_authorization(auth)
+                    if info["access_key"] != srv.access_key:
+                        raise ValueError("unknown access key")
+                    # payload integrity, then signature over the canonical
+                    # request exactly as the client signed it
+                    claimed = self.headers.get("x-amz-content-sha256", "")
+                    if claimed != hashlib.sha256(body).hexdigest():
+                        raise ValueError("content sha mismatch")
+                    if not awssig.verify(self.command, unquote(sp.path),
+                                         sp.query, headers, auth,
+                                         srv.secret_key):
+                        raise ValueError("bad signature")
+                    return True
+                except (ValueError, KeyError) as e:
+                    self._error(403, "SignatureDoesNotMatch", str(e))
+                    return False
+
+            def _route(self):
+                sp = urlsplit(self.path)
+                parts = unquote(sp.path).lstrip("/").split("/", 1)
+                bucket = parts[0]
+                key = parts[1] if len(parts) > 1 else ""
+                return bucket, key, parse_qs(sp.query, keep_blank_values=True)
+
+            def do_PUT(self):
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                if not self._authed(body):
+                    return
+                bucket, key, _ = self._route()
+                with srv._lock:
+                    srv.buckets.setdefault(bucket, {})[key] = body
+                etag = hashlib.md5(body).hexdigest()
+                self.send_response(200)
+                self.send_header("ETag", f'"{etag}"')
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+            def do_GET(self):
+                if not self._authed(b""):
+                    return
+                bucket, key, q = self._route()
+                with srv._lock:
+                    objs = dict(srv.buckets.get(bucket, {}))
+                if key == "" and "list-type" in q:
+                    return self._list(bucket, objs, q)
+                if key not in objs:
+                    return self._error(404, "NoSuchKey",
+                                       "The specified key does not exist.")
+                data = objs[key]
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.send_header("Content-Length", str(len(data)))
+                self.send_header("ETag", f'"{hashlib.md5(data).hexdigest()}"')
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_HEAD(self):
+                if not self._authed(b""):
+                    return
+                bucket, key, _ = self._route()
+                with srv._lock:
+                    data = srv.buckets.get(bucket, {}).get(key)
+                if data is None:
+                    self.send_response(404)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+
+            def do_DELETE(self):
+                if not self._authed(b""):
+                    return
+                bucket, key, _ = self._route()
+                with srv._lock:
+                    srv.buckets.get(bucket, {}).pop(key, None)
+                self.send_response(204)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+            def _list(self, bucket: str, objs: dict[str, bytes], q: dict):
+                prefix = q.get("prefix", [""])[0]
+                max_keys = int(q.get("max-keys", ["1000"])[0])
+                token = q.get("continuation-token", [None])[0]
+                start_after = ""
+                if token:
+                    start_after = base64.urlsafe_b64decode(token.encode()).decode()
+                keys = sorted(k for k in objs if k.startswith(prefix)
+                              and k > start_after)
+                page, rest = keys[:max_keys], keys[max_keys:]
+                contents = "".join(
+                    f"<Contents><Key>{k}</Key><Size>{len(objs[k])}</Size>"
+                    f"<ETag>&quot;{hashlib.md5(objs[k]).hexdigest()}&quot;</ETag>"
+                    "<LastModified>1970-01-01T00:00:00.000Z</LastModified>"
+                    "</Contents>"
+                    for k in page)
+                next_tok = ""
+                if rest:
+                    nt = base64.urlsafe_b64encode(page[-1].encode()).decode()
+                    next_tok = f"<NextContinuationToken>{nt}</NextContinuationToken>"
+                self._xml(200, (
+                    f'<ListBucketResult xmlns="{_XMLNS}">'
+                    f"<Name>{bucket}</Name><Prefix>{prefix}</Prefix>"
+                    f"<KeyCount>{len(page)}</KeyCount><MaxKeys>{max_keys}</MaxKeys>"
+                    f"<IsTruncated>{'true' if rest else 'false'}</IsTruncated>"
+                    f"{next_tok}{contents}</ListBucketResult>"))
+
+        self._server = ThreadingHTTPServer((host, 0), Handler)
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+
+    def start(self) -> "MiniS3Server":
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._server.shutdown()
+        self._server.server_close()
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    @property
+    def endpoint(self) -> str:
+        return f"http://{self.host}:{self.port}"
