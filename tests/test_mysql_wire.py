@@ -172,3 +172,43 @@ def test_live_empty_resultset_types(server):
         c.query("CREATE TABLE `test`.`e` (`id` BIGINT PRIMARY KEY)")
         rs = c.query("SELECT `id` FROM `test`.`e`")
         assert rs.rows == [] and rs.columns == ["id"]
+
+
+# ------------------------------------------------------------------ prepared
+
+def test_prepared_statement_binary_roundtrip(server):
+    from ticdc_spark.sinks.mysql_client import (close_prepared,
+                                                execute_prepared, prepare)
+
+    with _conn(server) as c:
+        c.query("CREATE TABLE `test`.`p` (`id` BIGINT PRIMARY KEY, `val` DOUBLE, `k` BIGINT)")
+        sid, n_params = prepare(
+            c, "REPLACE INTO `test`.`p` (`id`, `val`, `k`) VALUES (?, ?, ?)")
+        assert n_params == 3
+        assert execute_prepared(c, sid, [1, 0.1 + 0.2, 7]) == 1
+        assert execute_prepared(c, sid, [1, 2.25, None]) == 1
+        did, _ = prepare(c, "DELETE FROM `test`.`p` WHERE `id` = ?")
+        assert execute_prepared(c, did, [99]) == 0
+        rs = c.query("SELECT `id`, `val`, `k` FROM `test`.`p`")
+        assert rs.rows == [[1, 2.25, None]]
+        # bit-exact doubles through the binary protocol (no text rendering)
+        execute_prepared(c, sid, [5, 0.1 + 0.2, 1])
+        assert c.query("SELECT `val` FROM `test`.`p` WHERE `id` = 5").rows[0][0] == 0.1 + 0.2
+        # multirow arity
+        mid, n = prepare(
+            c, "REPLACE INTO `test`.`p` (`id`, `val`, `k`) VALUES (?, ?, ?), (?, ?, ?)")
+        assert n == 6
+        assert execute_prepared(c, mid, [10, 1.0, 1, 11, 2.0, 2]) == 2
+        close_prepared(c, sid)
+        with pytest.raises(mw.MySQLError, match="1243"):
+            execute_prepared(c, sid, [9, 1.0, 1])
+
+
+def test_prepared_param_codec_edge_values():
+    vals = [(1 << 62), -(1 << 62), 0.0, -0.0, float("inf"), 1e-308, "s'tr", None, True]
+    enc = mw.enc_stmt_execute(3, vals)
+    sid, got = mw.dec_stmt_execute(enc, len(vals))
+    assert sid == 3
+    assert got[0] == 1 << 62 and got[1] == -(1 << 62)
+    assert got[4] == float("inf") and got[5] == 1e-308
+    assert got[6] == "s'tr" and got[7] is None and got[8] == 1

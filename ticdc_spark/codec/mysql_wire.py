@@ -354,3 +354,104 @@ def dec_text_row(payload: bytes, n_cols: int) -> list[bytes | None]:
             v, pos = dec_lenenc_str(payload, pos)
             out.append(v)
     return out
+
+
+# ---------------------------------------------------------------- prepared
+# COM_STMT_PREPARE / COM_STMT_EXECUTE / COM_STMT_CLOSE — the binary
+# protocol go-sql-driver actually uses for the reference's DML writes
+# (query + args arrays from pkg/sink/sqlmodel, not interpolated
+# literals). Layouts from the public protocol docs.
+
+COM_QUERY = 0x03
+COM_STMT_PREPARE = 0x16
+COM_STMT_EXECUTE = 0x17
+COM_STMT_CLOSE = 0x19
+
+
+def enc_stmt_prepare_ok(stmt_id: int, num_columns: int, num_params: int) -> bytes:
+    return (b"\x00" + struct.pack("<IHH", stmt_id, num_columns, num_params)
+            + b"\x00" + struct.pack("<H", 0))  # filler, warnings
+
+
+def dec_stmt_prepare_ok(payload: bytes) -> tuple[int, int, int]:
+    stmt_id, num_columns, num_params = struct.unpack_from("<IHH", payload, 1)
+    return stmt_id, num_columns, num_params
+
+
+def _param_type(v) -> int:
+    if v is None:
+        return MYSQL_TYPE_NULL
+    if isinstance(v, bool):
+        return MYSQL_TYPE_LONGLONG
+    if isinstance(v, int):
+        return MYSQL_TYPE_LONGLONG
+    if isinstance(v, float):
+        return MYSQL_TYPE_DOUBLE
+    return MYSQL_TYPE_VAR_STRING
+
+
+def enc_stmt_execute(stmt_id: int, params: list) -> bytes:
+    """Binary execute: null bitmap, new-params-bound=1, 2-byte type per
+    param, then values (i64/f64 LE, lenenc strings)."""
+    out = bytearray()
+    out += bytes([COM_STMT_EXECUTE])
+    out += struct.pack("<IBI", stmt_id, 0, 1)  # flags=0, iteration_count=1
+    n = len(params)
+    if n:
+        bitmap = bytearray((n + 7) // 8)
+        for i, v in enumerate(params):
+            if v is None:
+                bitmap[i // 8] |= 1 << (i % 8)
+        out += bytes(bitmap)
+        out += b"\x01"  # new_params_bound_flag
+        for v in params:
+            out += bytes([_param_type(v), 0x00])
+        for v in params:
+            if v is None:
+                continue
+            if isinstance(v, bool):
+                out += struct.pack("<q", int(v))
+            elif isinstance(v, int):
+                out += struct.pack("<q", v)
+            elif isinstance(v, float):
+                out += struct.pack("<d", v)
+            else:
+                b = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+                out += enc_lenenc_str(b)
+    return bytes(out)
+
+
+def dec_stmt_execute(payload: bytes, n_params: int) -> tuple[int, list]:
+    stmt_id, _flags, _iter = struct.unpack_from("<IBI", payload, 1)
+    pos = 10
+    params: list = []
+    if n_params:
+        nb = (n_params + 7) // 8
+        bitmap = payload[pos : pos + nb]
+        pos += nb
+        bound = payload[pos]
+        pos += 1
+        types = []
+        if bound:
+            for _ in range(n_params):
+                types.append(payload[pos])
+                pos += 2
+        else:
+            raise ValueError("re-bound executes without types unsupported")
+        for i in range(n_params):
+            if bitmap[i // 8] & (1 << (i % 8)):
+                params.append(None)
+                continue
+            t = types[i]
+            if t == MYSQL_TYPE_LONGLONG:
+                params.append(struct.unpack_from("<q", payload, pos)[0])
+                pos += 8
+            elif t == MYSQL_TYPE_DOUBLE:
+                params.append(struct.unpack_from("<d", payload, pos)[0])
+                pos += 8
+            elif t == MYSQL_TYPE_NULL:
+                params.append(None)
+            else:
+                v, pos = dec_lenenc_str(payload, pos)
+                params.append(v.decode("utf-8"))
+    return stmt_id, params

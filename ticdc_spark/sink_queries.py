@@ -4114,3 +4114,28 @@ def q_storage_live_s3_roundtrip(spark, sf_dir):
 
     cl = split_updates(events_changelog(spark, sf_dir, parallel=True))
     return storage_live_s3_roundtrip(cl)
+
+
+# ---------------------------------------------------------------------------
+# K1 live, binary protocol — the writer through COM_STMT_PREPARE/EXECUTE
+# with bound args (go-sql-driver's actual DML path; `pkg/sink/sqlmodel`
+# emits query + args arrays, not literals), multirow REPLACE batches.
+# Values ride the wire bit-exact, so the oracle compares RAW doubles —
+# no %.2f canonicalization anywhere in this path.
+# ---------------------------------------------------------------------------
+@register(
+    "mysql_live_apply_prepared",
+    f"WITH {CHANGELOG_SQL}, {_SPLIT_CTE}, "
+    "keyed AS (SELECT *, coalesce(after_id, before_id) AS k_id, "
+    "commit_ts * 4 + dml_order AS ord FROM split), "
+    "g AS (SELECT table_name, k_id, arg_max(op, ord) AS last_op, "
+    "arg_max(after_val, ord) AS last_val, arg_max(after_k, ord) AS last_k "
+    "FROM keyed GROUP BY 1, 2) "
+    "SELECT table_name, k_id AS id, last_val AS val, last_k AS k "
+    "FROM g WHERE last_op <> 'D'",
+)
+def q_mysql_live_apply_prepared(spark, sf_dir):
+    from ticdc_spark.sinks.mysql_live import mysql_live_apply_prepared
+
+    cl = split_updates(scale_out(events_changelog(spark, sf_dir)))
+    return mysql_live_apply_prepared(cl, _TP_TABLES)

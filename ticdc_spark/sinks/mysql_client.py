@@ -142,3 +142,40 @@ def _convert(v: bytes | None, col_type: int):
     if col_type == mw.MYSQL_TYPE_DOUBLE:
         return float(v)
     return v.decode("utf-8")
+
+
+# -- prepared statements (the go-sql-driver DML path: query + args)
+
+
+def prepare(conn: MySQLConn, sql: str) -> tuple[int, int]:
+    """COM_STMT_PREPARE -> (stmt_id, n_params)."""
+    mw.write_packet(conn.sock, 0, bytes([mw.COM_STMT_PREPARE]) + sql.encode("utf-8"))
+    got = mw.read_packet(conn.sock)
+    if got is None:
+        raise IOError("connection closed during prepare")
+    _, payload = got
+    if payload[:1] == b"\xff":
+        raise mw.dec_err(payload)
+    stmt_id, n_cols, n_params = mw.dec_stmt_prepare_ok(payload)
+    for _ in range(n_params + (1 if n_params else 0)):  # param defs + EOF
+        mw.read_packet(conn.sock)
+    for _ in range(n_cols + (1 if n_cols else 0)):  # column defs + EOF
+        mw.read_packet(conn.sock)
+    return stmt_id, n_params
+
+
+def execute_prepared(conn: MySQLConn, stmt_id: int, params: list) -> int:
+    """COM_STMT_EXECUTE with binary-bound args -> affected rows."""
+    mw.write_packet(conn.sock, 0, mw.enc_stmt_execute(stmt_id, params))
+    got = mw.read_packet(conn.sock)
+    if got is None:
+        raise IOError("connection closed during execute")
+    _, payload = got
+    if payload[:1] == b"\xff":
+        raise mw.dec_err(payload)
+    return mw.dec_ok(payload)["affected"]
+
+
+def close_prepared(conn: MySQLConn, stmt_id: int) -> None:
+    mw.write_packet(conn.sock, 0, bytes([mw.COM_STMT_CLOSE])
+                    + stmt_id.to_bytes(4, "little"))

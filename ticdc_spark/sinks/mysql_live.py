@@ -117,3 +117,114 @@ def mysql_live_apply(
     create_tables(srv.host, srv.port, user, password, tables, schema)
     apply_over_wire(cl_split, srv.host, srv.port, user, password, n_slots)
     return read_state_df(spark, srv.host, srv.port, user, password, tables, schema)
+
+
+def apply_over_wire_prepared(
+    cl_split: DataFrame, host: str, port: int, user: str, password: str,
+    n_slots: int = 16, schema: str = "test", batch_rows: int = 64,
+) -> None:
+    """The go-sql-driver shape of the writer: COM_STMT_PREPARE once per
+    (table, statement shape), then COM_STMT_EXECUTE with binary-bound
+    args — query + args arrays exactly like `pkg/sink/sqlmodel`, no
+    literal rendering. Consecutive same-(table, op) runs flush as
+    multirow REPLACE batches of ``batch_rows`` (arity-64 prepared once,
+    remainder via the single-row statement), deletes row-at-a-time —
+    order within a conflict slot is preserved."""
+    from pyspark.sql import functions as F
+
+    from ticdc_spark.operators.conflict import with_conflict_slots
+
+    shaped = (
+        with_conflict_slots(cl_split, n_slots)
+        .repartition(n_slots, "slot")
+        .sortWithinPartitions("slot", "commit_ts", "dml_order", "seq")
+        .select(
+            "table_name", "op",
+            F.col("before.id").alias("b_id"),
+            F.col("after.id").alias("a_id"),
+            F.col("after.val").alias("a_val"),
+            F.col("after.k").alias("a_k"),
+        )
+    )
+
+    def _apply(rows_iter):
+        from ticdc_spark.sinks.mysql_client import (
+            MySQLConn, close_prepared, execute_prepared, prepare)
+
+        conn = None
+        stmt_cache: dict[tuple[str, str, int], int] = {}
+
+        def stmt(table: str, kind: str, arity: int) -> int:
+            key = (table, kind, arity)
+            sid = stmt_cache.get(key)
+            if sid is None:
+                if kind == "replace":
+                    row = "(?, ?, ?)"
+                    sql = (f"REPLACE INTO `{schema}`.`{table}` (`id`, `val`, `k`) "
+                           f"VALUES {', '.join([row] * arity)}")
+                else:
+                    sql = f"DELETE FROM `{schema}`.`{table}` WHERE `id` = ?"
+                sid, _ = prepare(conn, sql)
+                stmt_cache[key] = sid
+            return sid
+
+        run_table = None
+        run: list = []
+
+        def flush():
+            nonlocal run
+            if not run:
+                return
+            n = len(run)
+            full, rest = divmod(n, batch_rows)
+            pos = 0
+            for _ in range(full):
+                chunk = run[pos : pos + batch_rows]
+                params = [v for row in chunk for v in row]
+                execute_prepared(conn, stmt(run_table, "replace", batch_rows), params)
+                pos += batch_rows
+            for row in run[pos:]:
+                execute_prepared(conn, stmt(run_table, "replace", 1), list(row))
+            run = []
+
+        try:
+            for row in rows_iter:
+                if conn is None:
+                    conn = MySQLConn(host, port, user, password)
+                if row["op"] == "D":
+                    flush()
+                    execute_prepared(conn, stmt(row["table_name"], "delete", 1),
+                                     [row["b_id"]])
+                    continue
+                if run and row["table_name"] != run_table:
+                    flush()
+                run_table = row["table_name"]
+                run.append((row["a_id"], row["a_val"], row["a_k"]))
+                if len(run) >= 4 * batch_rows:
+                    flush()
+            flush()
+        finally:
+            if conn is not None:
+                for sid in stmt_cache.values():
+                    close_prepared(conn, sid)
+                conn.close()
+
+    shaped.foreachPartition(_apply)
+
+
+def mysql_live_apply_prepared(
+    cl_split: DataFrame,
+    tables: list[str],
+    schema: str = "test",
+    n_slots: int = 16,
+    user: str = "root",
+    password: str = "cdc-secret",
+) -> DataFrame:
+    """Like mysql_live_apply but through the binary prepared-statement
+    protocol — values arrive BIT-EXACT (no text rendering), so the oracle
+    compares raw doubles."""
+    spark = cl_split.sparkSession
+    srv = start_server(schema, user, password)
+    create_tables(srv.host, srv.port, user, password, tables, schema)
+    apply_over_wire_prepared(cl_split, srv.host, srv.port, user, password, n_slots, schema)
+    return read_state_df(spark, srv.host, srv.port, user, password, tables, schema)

@@ -87,6 +87,8 @@ class MiniMySQLServer:
     # -- one connection
 
     def _serve(self, sock):
+        stmts: dict[int, tuple[str, int]] = {}  # stmt_id -> (sql, n_params)
+        next_stmt = [0]
         self._thread_id += 1
         nonce = os.urandom(20).replace(b"\x00", b"\x01")  # NUL-free like a real server
         seq = mw.write_packet(sock, 0, mw.enc_handshake_v10(self._thread_id, nonce, "8.0.11-ticdc-spark"))
@@ -116,15 +118,52 @@ class MiniMySQLServer:
             if cmd == 0x0E:  # COM_PING
                 mw.write_packet(sock, 1, mw.enc_ok())
                 continue
+            if cmd == mw.COM_STMT_PREPARE:
+                sql = payload[1:].decode("utf-8")
+                next_stmt[0] += 1
+                n_params = sql.count("?")
+                stmts[next_stmt[0]] = (sql, n_params)
+                seq_out = mw.write_packet(
+                    sock, 1, mw.enc_stmt_prepare_ok(next_stmt[0], 0, n_params))
+                # param definition packets + EOF (classic, non-DEPRECATE_EOF)
+                for _ in range(n_params):
+                    seq_out = mw.write_packet(
+                        sock, seq_out, mw.enc_column_def("?", mw.MYSQL_TYPE_VAR_STRING))
+                if n_params:
+                    mw.write_packet(sock, seq_out, mw.enc_eof())
+                continue
+            if cmd == mw.COM_STMT_EXECUTE:
+                stmt_id = int.from_bytes(payload[1:5], "little")
+                if stmt_id not in stmts:
+                    mw.write_packet(sock, 1, mw.enc_err(1243, f"Unknown prepared statement handler ({stmt_id})", "HY000"))
+                    continue
+                sql, n_params = stmts[stmt_id]
+                try:
+                    _, params = mw.dec_stmt_execute(payload, n_params)
+                except (ValueError, IndexError, KeyError) as e:
+                    mw.write_packet(sock, 1, mw.enc_err(1210, str(e), "HY000"))
+                    continue
+                try:
+                    with self._db_lock:
+                        cur = self._db.execute(sql, params)
+                        self._db.commit()
+                        n = cur.rowcount if cur.rowcount >= 0 else 0
+                    mw.write_packet(sock, 1, mw.enc_ok(affected=n))
+                except sqlite3.Error as e:
+                    mw.write_packet(sock, 1, mw.enc_err(1064, str(e), "42000"))
+                continue
+            if cmd == mw.COM_STMT_CLOSE:
+                stmts.pop(int.from_bytes(payload[1:5], "little"), None)
+                continue  # no response, per protocol
             if cmd != 0x03:  # COM_QUERY only
                 mw.write_packet(sock, 1, mw.enc_err(1047, f"unsupported command {cmd:#x}", "08S01"))
                 continue
             text = payload[1:].decode("utf-8")
-            stmts = text.split(";\n") if multi_ok else [text]
-            stmts = [s for s in (t.strip() for t in stmts) if s]
+            qstmts = text.split(";\n") if multi_ok else [text]
+            qstmts = [s for s in (t.strip() for t in qstmts) if s]
             seq_out = 1
-            for i, stmt in enumerate(stmts):
-                more = mw.SERVER_MORE_RESULTS_EXISTS if i + 1 < len(stmts) else 0
+            for i, stmt in enumerate(qstmts):
+                more = mw.SERVER_MORE_RESULTS_EXISTS if i + 1 < len(qstmts) else 0
                 seq_out = self._run_one(sock, seq_out, stmt, more)
                 if seq_out is None:  # error sent — a real server stops the batch
                     break
