@@ -132,13 +132,17 @@ def main() -> None:
         # (sink flush), the returned frame is the read-back plan
         "kafka_live_roundtrip", "mysql_live_apply", "pulsar_live_roundtrip",
         "pipeline_live_end_to_end",
+        "mysql_live_apply_prepared", "kafka_consumer_group_roundtrip",
+        "storage_live_s3_roundtrip", "mount_binary_vector",
     ]
     # queries whose real work runs at CONSTRUCTION time (iterative
     # trainers that collect control-plane state, like the k-means
     # codebook): time the build too, or the number is a no-op write
     construct_timed = {"bpe_train_merges", "kafka_live_roundtrip",
                        "mysql_live_apply", "pulsar_live_roundtrip",
-                       "pipeline_live_end_to_end"}
+                       "pipeline_live_end_to_end", "mysql_live_apply_prepared",
+                       "kafka_consumer_group_roundtrip",
+                       "storage_live_s3_roundtrip"}
     # The live-wire queries round-trip through in-process single-host
     # protocol endpoints (test stand-ins for real clusters); their 10x
     # time measures that endpoint, not the Spark plan, so the scaling

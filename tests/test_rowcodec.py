@@ -411,3 +411,29 @@ def test_json_value_v1_datum_list():
     assert raw[1] == (_JSON, doc)
     assert decode_value(raw[1][1], "json") == text
     assert decode_value(raw[2][1], "json") == "42"
+
+
+def test_vector_float32_value_codec():
+    """TiDB VectorFloat32: u32 LE count + f32 LE elements; canonical
+    String() text both directions."""
+    from ticdc_spark.codec.rowcodec import (decode_value, encode_value,
+                                            parse_vector_text, render_vector)
+
+    b = encode_value("[1.5,-2.25,0.125]", "vector")
+    assert b.hex() == "03000000" + "0000c03f" + "000010c0" + "0000003e"
+    assert decode_value(b, "vector") == "[1.5,-2.25,0.125]"
+    assert decode_value(encode_value("[]", "vector"), "vector") == "[]"
+    assert decode_value(encode_value([0.5, 2.0], "vector"), "vector") == "[0.5,2.0]"
+    assert parse_vector_text("[1.5, -2.0]") == [1.5, -2.0]
+    assert render_vector([]) == "[]"
+
+
+def test_vector_v1_datum_flag():
+    from ticdc_spark.codec.rowcodec import (_VECTOR, decode_row_v1,
+                                            encode_row_v1, encode_value)
+
+    v = encode_value([9.5, -0.25], "vector")
+    raw = encode_row_v1({2: (_VECTOR, v), 1: (8, 7)})
+    out = decode_row_v1(raw)
+    assert out[2] == (_VECTOR, v)
+    assert out[1][1] == 7

@@ -198,6 +198,18 @@ def _grow_int(b: bytes, signed: bool = True) -> int:
     return struct.unpack("<" + (fmt if signed else fmt.upper()), b)[0]
 
 
+def parse_vector_text(text: str) -> list[float]:
+    """Canonical VECTOR text "[v1,v2,...]" -> float list."""
+    inner = text.strip()[1:-1].strip()
+    return [float(x) for x in inner.split(",")] if inner else []
+
+
+def render_vector(vals) -> str:
+    """TiDB VectorFloat32 String() shape: comma-joined, no spaces;
+    shortest float text (f32 values widen exactly to f64 first)."""
+    return "[" + ",".join(repr(float(v)) for v in vals) + "]"
+
+
 _INT_TYPES = {"tinyint", "smallint", "int", "bigint", "year", "bool"}
 _UINT_TYPES = {"tinyint unsigned", "int unsigned", "bigint unsigned"}
 
@@ -225,6 +237,11 @@ def encode_value(value, typ: str, prec: int = 0, frac: int = 0,
         return str(value).encode(charset or "utf-8")
     if typ in ("binary", "varbinary", "blob"):
         return bytes(value)
+    if typ == "vector":
+        # TiDB VectorFloat32 (types/vector.go ZeroCopySerialize):
+        # u32 LE element count + count x f32 LE
+        vals = value if isinstance(value, (list, tuple)) else parse_vector_text(value)
+        return struct.pack("<I", len(vals)) + struct.pack(f"<{len(vals)}f", *vals)
     if typ.startswith("decimal"):
         return encode_mydecimal(str(value), prec, frac)
     if typ in ("datetime", "date", "timestamp"):
@@ -252,6 +269,9 @@ def decode_value(b: bytes, typ: str, prec: int = 0, frac: int = 0,
         return b.decode(charset or "utf-8")
     if typ in ("binary", "varbinary", "blob"):
         return b
+    if typ == "vector":
+        (n,) = struct.unpack_from("<I", b, 0)
+        return render_vector(struct.unpack_from(f"<{n}f", b, 4))
     if typ.startswith("decimal"):
         return decode_mydecimal(b, prec, frac)
     if typ in ("datetime", "date", "timestamp"):
@@ -320,6 +340,7 @@ def decode_row_v2(b: bytes) -> dict[int, bytes | None]:
 _NIL, _BYTES, _COMPACT_BYTES, _INT, _UINT, _FLOAT, _DECIMAL = \
     0, 1, 2, 3, 4, 5, 6
 _VARINT, _UVARINT, _JSON = 8, 9, 10
+_VECTOR = 20  # TiDB util/codec vectorFloat32Flag
 
 
 def encode_row_v1(values: dict[int, tuple]) -> bytes:
@@ -345,6 +366,10 @@ def encode_row_v1(values: dict[int, tuple]) -> bytes:
             out += encode_float_cmp(float(v))
         elif flag == _JSON:
             # util/codec JSONFlag: typeCode byte + binary JSON value
+            out += v if isinstance(v, bytes) else bytes(v)
+        elif flag == _VECTOR:
+            # util/codec vectorFloat32Flag: the ZeroCopySerialize image
+            # (self-delimiting: u32 count + count x f32)
             out += v if isinstance(v, bytes) else bytes(v)
         else:
             raise ValueError(f"unsupported v1 flag {flag}")
@@ -379,6 +404,11 @@ def decode_row_v1(b: bytes) -> dict[int, tuple]:
             from ticdc_spark.codec.binary_json import doc_len
             n = doc_len(b, pos)
             out[cid] = (_JSON, b[pos:pos + n])
+            pos += n
+        elif flag == _VECTOR:
+            (cnt,) = struct.unpack_from("<I", b, pos)
+            n = 4 + 4 * cnt
+            out[cid] = (_VECTOR, b[pos:pos + n])
             pos += n
         else:
             raise ValueError(f"unsupported v1 flag {flag}")

@@ -739,3 +739,56 @@ from ticdc_spark import diff_queries  # noqa: E402,F401  isort:skip
 from ticdc_spark import metrics_queries  # noqa: E402,F401  isort:skip
 from ticdc_spark import corpus_queries  # noqa: E402,F401  isort:skip
 from ticdc_spark import web_queries  # noqa: E402,F401  isort:skip
+
+
+# ---------------------------------------------------------------------------
+# S7 — VECTOR column through the binary wire (TiDB VectorFloat32,
+# `types/vector.go` u32-count + f32 elements; the reference mounts it via
+# rowcodec like any datum — `pkg/common/event/codec.go:212` — and renders
+# the String() text downstream). Every 4th row rides the v1 datum list
+# (vectorFloat32Flag=20), the rest rowcodec v2.
+# ---------------------------------------------------------------------------
+def _vector_fixture_texts() -> list[str]:
+    from ticdc_spark.codec.rowcodec import decode_value, encode_value
+
+    # generated THROUGH the codec so text rendering can't drift
+    return [decode_value(encode_value(v, "vector"), "vector") for v in (
+        [1.5, -2.25, 0.125],
+        [0.5],
+        [],
+        [3.75, 0.0078125, -0.5, 2.0],
+    )]
+
+
+_VEC_CASE = ("CASE CAST(pk % 4 AS INT) "
+             + " ".join(f"WHEN {i} THEN '{t}'"
+                        for i, t in enumerate(_vector_fixture_texts()))
+             + " END")
+
+
+@register(
+    "mount_binary_vector",
+    f"WITH {CHANGELOG_SQL} SELECT pk, seq, op, {_VEC_CASE} AS vec "
+    "FROM changelog",
+)
+def q_mount_binary_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ticdc_spark.sources.binary_mount import (
+        mount_binary_rows,
+        synthesize_binary_changelog,
+    )
+
+    cl = flat_changelog(spark, sf_dir)
+    vec = F.element_at(
+        F.array(*[F.lit(t) for t in _vector_fixture_texts()]),
+        (F.col("pk") % 4 + 1).cast("int"),
+    )
+    src = cl.select(
+        "table_id", "pk", "op", "commit_ts", "start_ts", "seq",
+        vec.alias("before_vec"), vec.alias("after_vec"),
+    )
+    cols = ({"id": 1, "name": "vec", "type": "vector"},)
+    mounted = mount_binary_rows(synthesize_binary_changelog(src, cols), cols)
+    return mounted.select(
+        "pk", "seq", "op",
+        F.coalesce("after_vec", "before_vec").alias("vec"),
+    )

@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ticdc_spark.codec.rowcodec import (
+    _VECTOR,
     CODEC_VER,
     _COMPACT_BYTES,
     _FLOAT,
@@ -54,7 +55,8 @@ PAYLOAD_COLUMNS = (
 )
 
 _V1_FLAGS = {"bigint": _VARINT, "double": _FLOAT,
-             "string": _COMPACT_BYTES, "json": _JSON}
+             "string": _COMPACT_BYTES, "json": _JSON,
+             "vector": _VECTOR}
 
 RAWKV_SCHEMA = (
     "key binary, value binary, old_value binary, "
@@ -79,6 +81,9 @@ def _encode_image(row: dict, columns, use_v1: bool) -> bytes:
             elif c["type"] == "json":
                 # v1 JSONFlag carries the binary JSON doc bytes
                 vals[c["id"]] = (_JSON, encode_value(v, "json"))
+            elif c["type"] == "vector":
+                # v1 VectorFloat32Flag carries the serialized vector
+                vals[c["id"]] = (_VECTOR, encode_value(v, "vector"))
             else:
                 vals[c["id"]] = (_V1_FLAGS[c["type"]], v)
         return encode_row_v1(vals)
@@ -185,6 +190,8 @@ def _decode_image(b: bytes, columns, handle=None) -> dict:
             out[c["name"]] = None
         elif flag_v[0] == _JSON:
             out[c["name"]] = decode_value(flag_v[1], "json")
+        elif flag_v[0] == _VECTOR:
+            out[c["name"]] = decode_value(flag_v[1], "vector")
         elif flag_v[0] == _COMPACT_BYTES and c["type"] not in (
                 "binary", "varbinary", "blob"):
             out[c["name"]] = flag_v[1].decode(c.get("charset") or "utf-8")
@@ -295,8 +302,8 @@ def _fast_decode_side(raws: list, columns, out_vals: dict, prefix: str):
         else:
             # strings/json: offsets are already vectorized; the value
             # itself needs a Python object — cheap slice per fast row
-            if t == "json":
-                col[fi] = [decode_value(joined[x:y], "json")
+            if t in ("json", "vector"):
+                col[fi] = [decode_value(joined[x:y], t)
                            for x, y in zip(a.tolist(), b_.tolist())]
             else:
                 cs = c.get("charset") or "utf-8"
