@@ -20,5 +20,9 @@ def test_all_queries_have_oracles():
     missing = set(QUERIES) - set(ORACLES)
     # non-SQL-expressible ops may legitimately omit oracles; keep the list
     # explicit so omissions are intentional.
-    allowed_missing: set[str] = set()
+    # iterative EM trainers (llm/unigram.py) — the driver records a
+    # rows-only check; correctness is pinned by tests/test_unigram.py's
+    # exhaustive-enumeration Viterbi oracle + determinism tests
+    allowed_missing: set[str] = {"unigram_train_pieces",
+                                 "unigram_tokenize_stats"}
     assert missing <= allowed_missing, f"queries without oracle: {missing}"

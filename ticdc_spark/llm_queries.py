@@ -1788,3 +1788,35 @@ def q_winnowing_near_dup(spark, sf_dir):
     )
     base = d.select("doc_id", "text").unionByName(twins)
     return winnowing_near_dup(base)
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM tokenizer (SentencePiece-style, Kudo 2018) — distributed
+# Viterbi-EM trainer + segmentation stats (llm/unigram.py).  Iterative
+# (EM + prune loop), so there is NO DuckDB oracle: correctness is pinned
+# by tests/test_unigram.py, including an EXHAUSTIVE-enumeration oracle of
+# the Viterbi kernel, hard-EM objective monotonicity, and run-to-run
+# determinism (counts stay int64 end to end).  The driver records the
+# weaker rows-only check for these two — the only oracle-less entries in
+# the registry, both genuinely non-SQL-expressible.
+# ---------------------------------------------------------------------------
+@register("unigram_train_pieces", None)
+def q_unigram_train_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ticdc_spark.llm.unigram import train_unigram
+
+    vocab, _obj = train_unigram(
+        _docs(spark, sf_dir), vocab_size=192, n_iters=2,
+        max_piece_len=4, seed_size=384)
+    return spark.createDataFrame(
+        [(p, c, len(p)) for p, c in vocab],
+        "piece string, count long, piece_len int")
+
+
+@register("unigram_tokenize_stats", None)
+def q_unigram_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ticdc_spark.llm.unigram import tokenize_stats, train_unigram
+
+    docs = _docs(spark, sf_dir)
+    vocab, _ = train_unigram(docs, vocab_size=192, n_iters=2,
+                             max_piece_len=4, seed_size=384)
+    return tokenize_stats(docs, vocab, max_piece_len=4)
