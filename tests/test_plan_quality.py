@@ -311,6 +311,7 @@ def test_live_wire_query_shuffle_budgets(spark, sf_dir):
         ("kafka_consumer_group_roundtrip", 2),  # seat fan-out + dedup exchange
         ("storage_live_s3_roundtrip", 3),  # key fan-out + replay agg (2 AQE-planned)
         ("mysql_live_apply_prepared", 0),  # readback rows are a local scan
+        ("avro_live_registry_roundtrip", 1),  # (topic, partition) fan-out
     ]:
         plan = _plan(QUERIES[name](spark, sf_dir))
         n = plan.count("Exchange")

@@ -235,7 +235,13 @@ def decode_message(mgr, subject: str, data: bytes) -> dict | None:
     if len(data) < 5 or data[0] != 0:
         raise ValueError("bad confluent envelope")
     schema_id = int.from_bytes(data[1:5], "big")
-    schema = json.loads(mgr.lookup(subject, schema_id))
+    parsed = getattr(mgr, "_parsed_schemas", None)
+    if parsed is None:
+        parsed = mgr._parsed_schemas = {}
+    schema = parsed.get(schema_id)
+    if schema is None:
+        schema = json.loads(mgr.lookup(subject, schema_id))
+        parsed[schema_id] = schema
     native, pos = avro_decode(data, 5, schema, {})
     if pos != len(data):
         raise ValueError(f"trailing bytes: {len(data) - pos}")

@@ -205,6 +205,9 @@ class ConfluentSchemaManager:
         self.max_retries = max_retries
         self.backoff_s = backoff_s
         self._cache: dict[str, CacheEntry] = {}
+        # id -> schema text: the consumer-side cache every real decoder
+        # keeps (one GET /schemas/ids/{id} per id, not per message)
+        self._id_cache: dict[int, str] = {}
         self._lock = threading.Lock()
         status, text = self.transport.request(
             "GET", self.registry_url + "/", None, {"Accept": _ACCEPT})
@@ -253,12 +256,18 @@ class ConfluentSchemaManager:
             entry = self._cache.get(subject)
             if entry is not None and entry.schema_id == schema_id:
                 return entry.schema
+            cached = self._id_cache.get(schema_id)
+            if cached is not None:
+                return cached
         status, text = self._do("GET", f"/schemas/ids/{schema_id}", None)
         if status == 404:
             raise RegistryError(f"schema not found in registry, id: {schema_id}")
         if status != 200:
             raise RegistryError(f"lookup schema failed with status {status}")
-        return json.loads(text)["schema"]
+        schema = json.loads(text)["schema"]
+        with self._lock:
+            self._id_cache[schema_id] = schema
+        return schema
 
     def get_cached_or_register(self, subject: str, table_version: int,
                                schema_gen) -> tuple[str, bytes]:
@@ -416,6 +425,9 @@ class GlueSchemaManager:
         self.client = client or FakeGlueClient(registry_name)
         self.client.get_registry(registry_name)  # existence check, like the ctor
         self._cache: dict[str, CacheEntry] = {}
+        # id -> schema text: the consumer-side cache every real decoder
+        # keeps (one GET /schemas/ids/{id} per id, not per message)
+        self._id_cache: dict[int, str] = {}
         self._lock = threading.Lock()
 
     def register(self, schema_name: str, schema_definition: str) -> str:

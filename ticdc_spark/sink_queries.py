@@ -4139,3 +4139,135 @@ def q_mysql_live_apply_prepared(spark, sf_dir):
 
     cl = split_updates(scale_out(events_changelog(spark, sf_dir)))
     return mysql_live_apply_prepared(cl, _TP_TABLES)
+
+
+# ---------------------------------------------------------------------------
+# AVRO live, full ecosystem: rows encode as Confluent-framed binary with
+# schema ids REGISTERED OVER REAL HTTP (the socket registry server,
+# codec/schema_registry.py), produce to the REAL Kafka wire endpoint
+# (seq rides a record header), and the returned plan fetches + decodes
+# purely from the registry's schemas — the reference's deployment
+# composition (`pkg/sink/codec/avro` + schema registry + `pkg/sink/kafka`)
+# with every hop on an actual socket.  Same identity oracle as
+# avro_confluent_roundtrip.
+# ---------------------------------------------------------------------------
+_LIVE_REGISTRIES: list = []
+
+
+@register("avro_live_registry_roundtrip", _AVRO_RT_ORACLE)
+def q_avro_live_registry_roundtrip(spark, sf_dir):
+    import pandas as pd
+
+    from ticdc_spark.codec.schema_registry import (
+        InMemoryConfluentRegistry,
+        registry_http_server,
+    )
+    from ticdc_spark.queries import _flatten
+    from ticdc_spark.sinks.kafka_live import start_broker
+    from ticdc_spark.sources.changelog import events_changelog
+
+    server = registry_http_server(InMemoryConfluentRegistry())
+    registry_url = server.__enter__()  # keepalive: driver reads back later
+    _LIVE_REGISTRIES.append(server)
+    broker = start_broker(n_partitions=4)
+    bootstrap = broker.bootstrap
+
+    cl = _flatten(scale_out(events_changelog(spark, sf_dir)))
+
+    def _n(v):
+        return None if pd.isna(v) else v
+
+    def _produce(batches):
+        import pandas as _pd
+
+        from ticdc_spark.codec.avro_protocol import encode_row_key, encode_row_value
+        from ticdc_spark.codec.kafka_wire import Record
+        from ticdc_spark.codec.schema_registry import ConfluentSchemaManager
+        from ticdc_spark.sinks.kafka_client import KafkaConn
+
+        mgr = ConfluentSchemaManager(registry_url)  # real HTTP registration
+        conn = KafkaConn.from_bootstrap(bootstrap)
+        pending: dict[tuple[str, int], list] = {}
+        sent = 0
+        try:
+            for pdf in batches:
+                for r in pdf.itertuples(index=False):
+                    topic = f"{r.schema_name}.{r.table_name}"
+                    img = "before" if r.op == "D" else "after"
+                    row = {"id": _n(getattr(r, f"{img}_id")),
+                           "val": _n(getattr(r, f"{img}_val")),
+                           "k": _n(getattr(r, f"{img}_k"))}
+                    row = {k2: (int(v) if v is not None and k2 != "val" else v)
+                           for k2, v in row.items()}
+                    kblob = encode_row_key(mgr, topic, r.schema_name,
+                                           r.table_name, row)
+                    vblob = encode_row_value(
+                        mgr, topic, r.schema_name, r.table_name, row,
+                        r.op, int(r.commit_ts), avro_enable_watermark=True)
+                    part = int(row["id"] or 0) % 4
+                    batch = pending.setdefault((topic, part), [])
+                    batch.append(Record(kblob, vblob,
+                                        [("seq", str(r.seq).encode())]))
+                    sent += 1
+                    if len(batch) >= 256:
+                        conn.produce(topic, part, batch)
+                        pending[(topic, part)] = []
+            for (topic, part), batch in pending.items():
+                if batch:
+                    conn.produce(topic, part, batch)
+        finally:
+            conn.close()
+        yield _pd.DataFrame({"n": [sent]})
+
+    (cl.repartition("table_name").mapInPandas(_produce, "n long")
+     .write.format("noop").mode("overwrite").save())
+
+    pairs = [(t, p) for t, parts in broker.topics.items() for p in parts]
+    seats = spark.createDataFrame(pairs, "topic string, partition int").repartition(
+        max(1, min(len(pairs), 64)), "topic", "partition")
+
+    out_schema = ("seq long, schema_name string, table_name string, "
+                  "op string, commit_ts long, physical_time long, "
+                  "key_id long, id long, val double, k long, dec_op string")
+
+    def _consume(batches):
+        from ticdc_spark.codec.avro_protocol import decode_message
+        from ticdc_spark.codec.schema_registry import ConfluentSchemaManager
+        from ticdc_spark.sinks.kafka_client import KafkaConn
+
+        mgr = ConfluentSchemaManager(registry_url)  # decode via HTTP lookups
+        conn = None
+        op_of = {"c": "I", "u": "U", "d": "D"}
+        try:
+            for pdf in batches:
+                for topic, part in zip(pdf["topic"], pdf["partition"]):
+                    if conn is None:
+                        conn = KafkaConn.from_bootstrap(bootstrap)
+                    schema_name, table_name = topic.split(".", 1)
+                    out = []
+                    for _, rec in conn.fetch_all(topic, int(part)):
+                        seq = int(dict(rec.headers)["seq"])
+                        kd = decode_message(mgr, topic + "-key", rec.key)
+                        vd = decode_message(mgr, topic + "-value", rec.value)
+                        if "_delete_commit_ts" in vd:
+                            out.append((seq, schema_name, table_name, "D",
+                                        vd["_delete_commit_ts"],
+                                        vd["_delete_commit_ts"] >> 18,
+                                        kd["id"], None, None, None, "d"))
+                        else:
+                            out.append((seq, schema_name, table_name,
+                                        op_of[vd["_tidb_op"]],
+                                        vd["_tidb_commit_ts"],
+                                        vd["_tidb_commit_physical_time"],
+                                        kd["id"], vd["id"], vd["val"],
+                                        vd["k"], vd["_tidb_op"]))
+                    if out:
+                        yield pd.DataFrame(out, columns=[
+                            "seq", "schema_name", "table_name", "op",
+                            "commit_ts", "physical_time", "key_id", "id",
+                            "val", "k", "dec_op"])
+        finally:
+            if conn is not None:
+                conn.close()
+
+    return seats.mapInPandas(_consume, out_schema)
