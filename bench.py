@@ -134,6 +134,7 @@ def main() -> None:
         "pipeline_live_end_to_end",
         "mysql_live_apply_prepared", "kafka_consumer_group_roundtrip",
         "storage_live_s3_roundtrip", "mount_binary_vector",
+        "avro_live_registry_roundtrip",
     ]
     # queries whose real work runs at CONSTRUCTION time (iterative
     # trainers that collect control-plane state, like the k-means
@@ -142,7 +143,8 @@ def main() -> None:
                        "mysql_live_apply", "pulsar_live_roundtrip",
                        "pipeline_live_end_to_end", "mysql_live_apply_prepared",
                        "kafka_consumer_group_roundtrip",
-                       "storage_live_s3_roundtrip"}
+                       "storage_live_s3_roundtrip",
+                       "avro_live_registry_roundtrip"}
     # The live-wire queries round-trip through in-process single-host
     # protocol endpoints (test stand-ins for real clusters); their 10x
     # time measures that endpoint, not the Spark plan, so the scaling

@@ -163,44 +163,49 @@ def apply_over_wire_prepared(
                     sql = (f"REPLACE INTO `{schema}`.`{table}` (`id`, `val`, `k`) "
                            f"VALUES {', '.join([row] * arity)}")
                 else:
-                    sql = f"DELETE FROM `{schema}`.`{table}` WHERE `id` = ?"
+                    sql = (f"DELETE FROM `{schema}`.`{table}` WHERE `id` IN "
+                           f"({', '.join(['?'] * arity)})")
                 sid, _ = prepare(conn, sql)
                 stmt_cache[key] = sid
             return sid
 
-        run_table = None
-        run: list = []
+        window: list = []
 
         def flush():
-            nonlocal run
-            if not run:
+            """Apply one flush window: last-write-wins compaction per key
+            (REPLACE/DELETE are full-row writes, so only the final op per
+            key within the window is observable — the multirow batching
+            premise of pkg/sink/sqlmodel), then per table one IN-list
+            DELETE + arity-chunked multirow REPLACEs."""
+            nonlocal window
+            if not window:
                 return
-            n = len(run)
-            full, rest = divmod(n, batch_rows)
-            pos = 0
-            for _ in range(full):
-                chunk = run[pos : pos + batch_rows]
-                params = [v for row in chunk for v in row]
-                execute_prepared(conn, stmt(run_table, "replace", batch_rows), params)
-                pos += batch_rows
-            for row in run[pos:]:
-                execute_prepared(conn, stmt(run_table, "replace", 1), list(row))
-            run = []
+            last: dict[tuple[str, int], tuple] = {}
+            for row in window:
+                key_id = row["b_id"] if row["op"] == "D" else row["a_id"]
+                last[(row["table_name"], key_id)] = row
+            by_table: dict[str, tuple[list, list]] = {}
+            for (table, _), row in last.items():
+                reps, dels = by_table.setdefault(table, ([], []))
+                if row["op"] == "D":
+                    dels.append(row["b_id"])
+                else:
+                    reps.extend((row["a_id"], row["a_val"], row["a_k"]))
+            for table, (reps, dels) in by_table.items():
+                for i in range(0, len(dels), batch_rows):
+                    chunk = dels[i : i + batch_rows]
+                    execute_prepared(conn, stmt(table, "delete", len(chunk)), chunk)
+                for i in range(0, len(reps), 3 * batch_rows):
+                    chunk = reps[i : i + 3 * batch_rows]
+                    execute_prepared(conn, stmt(table, "replace", len(chunk) // 3), chunk)
+            window = []
 
         try:
             for row in rows_iter:
                 if conn is None:
                     conn = MySQLConn(host, port, user, password)
-                if row["op"] == "D":
-                    flush()
-                    execute_prepared(conn, stmt(row["table_name"], "delete", 1),
-                                     [row["b_id"]])
-                    continue
-                if run and row["table_name"] != run_table:
-                    flush()
-                run_table = row["table_name"]
-                run.append((row["a_id"], row["a_val"], row["a_k"]))
-                if len(run) >= 4 * batch_rows:
+                window.append(row)
+                if len(window) >= 4 * batch_rows:
                     flush()
             flush()
         finally:
