@@ -312,6 +312,7 @@ def test_live_wire_query_shuffle_budgets(spark, sf_dir):
         ("storage_live_s3_roundtrip", 3),  # key fan-out + replay agg (2 AQE-planned)
         ("mysql_live_apply_prepared", 0),  # readback rows are a local scan
         ("avro_live_registry_roundtrip", 1),  # (topic, partition) fan-out
+        ("redo_live_s3_replay", 4),  # key fan-out + split/materialize aggs
     ]:
         plan = _plan(QUERIES[name](spark, sf_dir))
         n = plan.count("Exchange")

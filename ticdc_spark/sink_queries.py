@@ -4271,3 +4271,67 @@ def q_avro_live_registry_roundtrip(spark, sf_dir):
                 conn.close()
 
     return seats.mapInPandas(_consume, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# K6 live — the redo WAL on REAL object storage: V1 record files PUT to the
+# SigV4 S3 endpoint (the reference REQUIRES external storage for redo —
+# [consistent] storage URIs), listed + fetched back, records decoded
+# JVM-side (from_json), deferred update-split, and replayed to final state.
+# Recovery-path parity: this is exactly what `redo apply` does against S3.
+# ---------------------------------------------------------------------------
+_REDO_REC_SCHEMA = (
+    "type string, row struct<startTs: long, commitTs: long, "
+    "schema: string, `table`: string, "
+    "columns: array<map<string,string>>, "
+    "preColumns: array<map<string,string>>>"
+)
+
+
+@register(
+    "redo_live_s3_replay",
+    f"WITH {CHANGELOG_SQL}, {_SPLIT_CTE}, "
+    "keyed AS (SELECT *, coalesce(after_id, before_id) AS k_id, "
+    "commit_ts * 4 + dml_order AS ord FROM split), "
+    "g AS (SELECT table_name, k_id, arg_max(op, ord) AS last_op, "
+    "arg_max(after_val, ord) AS last_val, arg_max(after_k, ord) AS last_k "
+    "FROM keyed GROUP BY 1, 2) "
+    "SELECT table_name, k_id AS id, "
+    "CAST(printf('%.2f', last_val) AS DOUBLE) AS val, last_k AS k "
+    "FROM g WHERE last_op <> 'D'",
+)
+def q_redo_live_s3_replay(spark, sf_dir):
+    from ticdc_spark.sinks.s3_live import get_files_df, put_files, start_server
+
+    cl = scale_out(events_changelog(spark, sf_dir))
+    files = redo_log_files(cl).withColumn("path", F.lit("redo/cf"))
+    srv = start_server()
+    put_files(files, srv.endpoint, srv.access_key, srv.secret_key)
+    lines = get_files_df(spark, srv.endpoint, srv.access_key, srv.secret_key)
+
+    rec = F.from_json("value", _REDO_REC_SCHEMA)
+    aft = rec["row"]["columns"].getItem(0)
+    bef = rec["row"]["preColumns"].getItem(0)
+
+    def img(m):
+        return F.when(m.isNotNull(), F.struct(
+            m.getItem("id").cast("long").alias("id"),
+            m.getItem("val").cast("double").alias("val"),
+            m.getItem("k").cast("long").alias("k")))
+
+    op = (F.when(aft.isNull(), "D").when(bef.isNull(), "I").otherwise("U"))
+    decoded = lines.select(
+        rec["row"]["schema"].alias("schema_name"),
+        rec["row"]["table"].alias("table_name"),
+        op.alias("op"),
+        F.lit(0).cast("long").alias("table_id"),
+        rec["row"]["commitTs"].alias("commit_ts"),
+        rec["row"]["startTs"].alias("start_ts"),
+        F.monotonically_increasing_id().alias("seq"),
+        F.coalesce(aft.getItem("id"), bef.getItem("id")).cast("long").alias("pk"),
+        F.when(op == "D", 1).when(op == "U", 2).otherwise(3).alias("dml_order"),
+        img(bef).alias("before"),
+        img(aft).alias("after"),
+    )
+    return materialize_state(split_updates(decoded)).select(
+        "table_name", "id", "val", "k")
