@@ -267,3 +267,52 @@ def test_create_topics_and_describe_configs():
             # validate_only leaves no topic behind
             create_topic(c, "ghost", 2, validate_only=True)
             assert "ghost" not in broker.topics
+
+
+# ------------------------------------------------------------------ sasl
+
+def test_scram_sha256_rfc7677_vector():
+    from ticdc_spark.codec import scram
+
+    cf = scram.client_first_message("user", "rOprNGfwEbeRWgbNEkqO")
+    assert cf == "n,,n=user,r=rOprNGfwEbeRWgbNEkqO"
+    sf = ("r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+          "s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096")
+    final, server_sig = scram.client_final_message(cf, sf, "pencil")
+    assert final.endswith("p=dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ=")
+    ok, sfin = scram.server_verify_final(cf, sf, final, "pencil")
+    assert ok and sfin == "v=6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4="
+    assert scram.client_check_server_final(sfin, server_sig)
+    assert not scram.server_verify_final(cf, sf, final, "wrong")[0]
+
+
+def test_sasl_gates_apis_and_authenticates():
+    with KafkaBroker(default_partitions=2, sasl_users={"cdc": "pw1"}) as b:
+        # pre-auth API use is rejected (ILLEGAL_SASL_STATE shape)
+        c = KafkaConn.from_bootstrap(b.bootstrap)
+        with pytest.raises(Exception):
+            c.metadata(["t"])
+        c.close()
+
+        with KafkaConn.from_bootstrap(b.bootstrap, sasl=("PLAIN", "cdc", "pw1")) as c:
+            c.produce("t", 0, [Record(b"k", b"v")])
+            assert len(c.fetch_all("t", 0)) == 1
+        with KafkaConn.from_bootstrap(
+                b.bootstrap, sasl=("SCRAM-SHA-256", "cdc", "pw1")) as c:
+            assert c.produce("t", 0, [Record(b"k2", b"v2")]) == 1
+
+        for mech in ("PLAIN", "SCRAM-SHA-256"):
+            with pytest.raises(IOError, match="failed"):
+                KafkaConn.from_bootstrap(b.bootstrap, sasl=(mech, "cdc", "bad"))
+        with pytest.raises(IOError, match="rejected"):
+            KafkaConn.from_bootstrap(b.bootstrap,
+                                     sasl=("SCRAM-SHA-512", "cdc", "pw1"))
+        with pytest.raises(IOError, match="failed"):
+            KafkaConn.from_bootstrap(b.bootstrap,
+                                     sasl=("PLAIN", "nobody", "pw1"))
+
+
+def test_sasl_disabled_broker_rejects_handshake():
+    with KafkaBroker() as b:
+        with pytest.raises(IOError, match="rejected"):
+            KafkaConn.from_bootstrap(b.bootstrap, sasl=("PLAIN", "u", "p"))

@@ -1024,3 +1024,55 @@ def dec_describe_configs_response(r: Reader) -> list[tuple[int, str, dict[str, s
             raise IOError(f"DescribeConfigs error {err} on {rtype}/{name}")
         out.append((rtype, name, configs))
     return out
+
+
+# ---------------------------------------------------------------- sasl
+# SaslHandshake v1 + SaslAuthenticate v0 — the authentication surface the
+# reference's sarama config drives (sarama_config.go SASL mechanisms:
+# PLAIN, SCRAM-SHA-256/512).
+
+API_SASL_HANDSHAKE = 17
+API_SASL_AUTHENTICATE = 36
+
+SUPPORTED.update({API_SASL_HANDSHAKE: (1, 1), API_SASL_AUTHENTICATE: (0, 0)})
+
+ERR_ILLEGAL_SASL_STATE = 34
+ERR_UNSUPPORTED_SASL_MECHANISM = 33
+ERR_SASL_AUTHENTICATION_FAILED = 58
+
+
+def enc_sasl_handshake_request(mechanism: str) -> bytes:
+    return enc_str(mechanism)
+
+
+def dec_sasl_handshake_request(r: Reader) -> str:
+    return r.string()
+
+
+def enc_sasl_handshake_response(error_code: int, mechanisms: list[str]) -> bytes:
+    body = struct.pack(">h", error_code) + struct.pack(">i", len(mechanisms))
+    for m in mechanisms:
+        body += enc_str(m)
+    return body
+
+
+def dec_sasl_handshake_response(r: Reader) -> tuple[int, list[str]]:
+    err = r.i16()
+    return err, [r.string() for _ in range(r.i32())]
+
+
+def enc_sasl_authenticate_request(auth_bytes: bytes) -> bytes:
+    return enc_bytes(auth_bytes)
+
+
+def dec_sasl_authenticate_request(r: Reader) -> bytes:
+    return r.bytes_() or b""
+
+
+def enc_sasl_authenticate_response(error_code: int, error_message: str | None,
+                                   auth_bytes: bytes) -> bytes:
+    return struct.pack(">h", error_code) + enc_str(error_message) + enc_bytes(auth_bytes)
+
+
+def dec_sasl_authenticate_response(r: Reader) -> tuple[int, str | None, bytes]:
+    return r.i16(), r.string(), (r.bytes_() or b"")

@@ -83,9 +83,16 @@ class _Log:
 class KafkaBroker:
     """Threaded single-node broker bound to 127.0.0.1:<ephemeral port>."""
 
-    def __init__(self, host: str = "127.0.0.1", default_partitions: int = 4):
+    def __init__(self, host: str = "127.0.0.1", default_partitions: int = 4,
+                 sasl_users: dict[str, str] | None = None,
+                 sasl_mechanisms: tuple[str, ...] = ("PLAIN", "SCRAM-SHA-256")):
         self.host = host
         self.default_partitions = default_partitions
+        # when sasl_users is set, every API except ApiVersions/SaslHandshake/
+        # SaslAuthenticate is rejected with ILLEGAL_SASL_STATE until the
+        # connection authenticates — real listener semantics (SASL_PLAINTEXT)
+        self.sasl_users = sasl_users
+        self.sasl_mechanisms = list(sasl_mechanisms)
         self.topics: dict[str, dict[int, _Log]] = {}
         self._topics_lock = threading.Lock()
         self.groups: dict[str, "_Group"] = {}
@@ -100,6 +107,8 @@ class KafkaBroker:
             def handle(self):
                 from ticdc_spark import failpoint
 
+                conn_state = {"authenticated": broker.sasl_users is None,
+                              "mechanism": None, "scram": None}
                 sock = self.request
                 try:
                     while True:
@@ -116,7 +125,7 @@ class KafkaBroker:
                         # MaxRetry budget (`pkg/sink/kafka` defaultMaxRetry)
                         if failpoint.inject("kafka/drop-connection"):
                             return
-                        resp = broker._dispatch(payload)
+                        resp = broker._dispatch(payload, conn_state)
                         sock.sendall(resp)
                 except (ConnectionResetError, BrokenPipeError):
                     return
@@ -167,6 +176,58 @@ class KafkaBroker:
         t = self._get_topic(topic, create=False)
         return t[partition].next_offset if t and partition in t else 0
 
+    def _sasl_authenticate(self, auth: bytes, conn_state: dict) -> bytes:
+        import base64
+        import os as _os
+
+        from ticdc_spark.codec import scram as _scram
+
+        mech = conn_state.get("mechanism")
+        if self.sasl_users is None or mech is None:
+            return kw.enc_sasl_authenticate_response(
+                kw.ERR_ILLEGAL_SASL_STATE, "handshake first", b"")
+        if mech == "PLAIN":
+            try:
+                _zid, user, pw = auth.decode("utf-8").split("\x00")
+            except ValueError:
+                return kw.enc_sasl_authenticate_response(
+                    kw.ERR_SASL_AUTHENTICATION_FAILED, "malformed PLAIN", b"")
+            if self.sasl_users.get(user) != pw:
+                return kw.enc_sasl_authenticate_response(
+                    kw.ERR_SASL_AUTHENTICATION_FAILED, "Authentication failed", b"")
+            conn_state["authenticated"] = True
+            return kw.enc_sasl_authenticate_response(0, None, b"")
+        # SCRAM-SHA-256: two SaslAuthenticate rounds
+        if conn_state["scram"] is None:
+            client_first = auth.decode("utf-8")
+            try:
+                user = dict(p.split("=", 1)
+                            for p in client_first.split(",")[2:])["n"]
+            except (KeyError, ValueError):
+                return kw.enc_sasl_authenticate_response(
+                    kw.ERR_SASL_AUTHENTICATION_FAILED, "malformed client-first", b"")
+            if user not in self.sasl_users:
+                return kw.enc_sasl_authenticate_response(
+                    kw.ERR_SASL_AUTHENTICATION_FAILED, "unknown user", b"")
+            server_first = _scram.server_first_message(
+                client_first,
+                base64.b64encode(_os.urandom(12)).decode(),
+                _os.urandom(16), 4096)
+            conn_state["scram"] = (user, client_first, server_first)
+            return kw.enc_sasl_authenticate_response(
+                0, None, server_first.encode("utf-8"))
+        user, client_first, server_first = conn_state["scram"]
+        ok, server_final = _scram.server_verify_final(
+            client_first, server_first, auth.decode("utf-8"),
+            self.sasl_users[user])
+        if not ok:
+            conn_state["scram"] = None
+            return kw.enc_sasl_authenticate_response(
+                kw.ERR_SASL_AUTHENTICATION_FAILED, "Authentication failed", b"")
+        conn_state["authenticated"] = True
+        return kw.enc_sasl_authenticate_response(
+            0, None, server_final.encode("utf-8"))
+
     def _get_group(self, group_id: str) -> "_Group":
         with self._groups_lock:
             g = self.groups.get(group_id)
@@ -177,7 +238,8 @@ class KafkaBroker:
 
     # -- protocol dispatch
 
-    def _dispatch(self, payload: bytes) -> bytes:
+    def _dispatch(self, payload: bytes, conn_state: dict | None = None) -> bytes:
+        conn_state = conn_state if conn_state is not None else {"authenticated": True}
         api_key, api_version, corr, _client, r = kw.parse_request_header(payload)
         lo_hi = kw.SUPPORTED.get(api_key)
         if lo_hi is None or not (lo_hi[0] <= api_version <= lo_hi[1]):
@@ -185,6 +247,22 @@ class KafkaBroker:
             return kw.frame_response(corr, struct.pack(">hi", 35, 0))
         if api_key == kw.API_API_VERSIONS:
             return kw.frame_response(corr, kw.enc_api_versions_response())
+        if api_key == kw.API_SASL_HANDSHAKE:
+            mech = kw.dec_sasl_handshake_request(r)
+            if self.sasl_users is None or mech not in self.sasl_mechanisms:
+                return kw.frame_response(corr, kw.enc_sasl_handshake_response(
+                    kw.ERR_UNSUPPORTED_SASL_MECHANISM, self.sasl_mechanisms))
+            conn_state["mechanism"] = mech
+            conn_state["scram"] = None
+            return kw.frame_response(
+                corr, kw.enc_sasl_handshake_response(0, self.sasl_mechanisms))
+        if api_key == kw.API_SASL_AUTHENTICATE:
+            return kw.frame_response(corr, self._sasl_authenticate(
+                kw.dec_sasl_authenticate_request(r), conn_state))
+        if not conn_state.get("authenticated"):
+            # pre-auth API use on a SASL listener
+            return kw.frame_response(
+                corr, struct.pack(">hi", kw.ERR_ILLEGAL_SASL_STATE, 0))
         if api_key == kw.API_METADATA:
             names = kw.dec_metadata_request(r)
             if names is None:

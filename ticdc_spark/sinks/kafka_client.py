@@ -21,11 +21,17 @@ from ticdc_spark.sinks.kafka_broker import _recv_exact
 
 
 class KafkaConn:
-    def __init__(self, host: str, port: int, client_id: str = "ticdc-spark", timeout: float = 30.0):
+    def __init__(self, host: str, port: int, client_id: str = "ticdc-spark",
+                 timeout: float = 30.0, sasl: tuple[str, str, str] | None = None):
+        """``sasl``: (mechanism, username, password) — PLAIN or
+        SCRAM-SHA-256, run after the ApiVersions probe like sarama's
+        SASL_PLAINTEXT dialer."""
         self.sock = socket.create_connection((host, port), timeout=timeout)
         self.client_id = client_id
         self._corr = 0
         self.api_versions = self._handshake()
+        if sasl is not None:
+            self._sasl_auth(*sasl)
 
     @classmethod
     def from_bootstrap(cls, bootstrap: str, **kw_) -> "KafkaConn":
@@ -70,6 +76,41 @@ class KafkaConn:
             if not (lo <= ver <= hi):
                 raise IOError(f"broker doesn't support api {key} v{ver} (offers {lo}..{hi})")
         return versions
+
+    def _sasl_auth(self, mechanism: str, username: str, password: str) -> None:
+        import base64
+        import os as _os
+
+        err, offered = kw.dec_sasl_handshake_response(self._call(
+            kw.API_SASL_HANDSHAKE, 1, kw.enc_sasl_handshake_request(mechanism)))
+        if err:
+            raise IOError(f"SASL mechanism {mechanism} rejected "
+                          f"(error {err}; broker offers {offered})")
+
+        def authenticate(payload: bytes) -> bytes:
+            aerr, msg, out = kw.dec_sasl_authenticate_response(self._call(
+                kw.API_SASL_AUTHENTICATE, 0,
+                kw.enc_sasl_authenticate_request(payload)))
+            if aerr:
+                raise IOError(f"SASL authentication failed: {msg}")
+            return out
+
+        if mechanism == "PLAIN":
+            authenticate(b"\x00" + username.encode() + b"\x00" + password.encode())
+            return
+        if mechanism == "SCRAM-SHA-256":
+            from ticdc_spark.codec import scram as _scram
+
+            client_first = _scram.client_first_message(
+                username, base64.b64encode(_os.urandom(12)).decode())
+            server_first = authenticate(client_first.encode()).decode()
+            final, expect_sig = _scram.client_final_message(
+                client_first, server_first, password)
+            server_final = authenticate(final.encode()).decode()
+            if not _scram.client_check_server_final(server_final, expect_sig):
+                raise IOError("SCRAM server signature mismatch (MITM?)")
+            return
+        raise ValueError(f"unsupported SASL mechanism {mechanism}")
 
     # -- api calls
 
