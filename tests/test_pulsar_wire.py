@@ -209,3 +209,18 @@ def test_producer_retry_survives_connection_drops():
             assert got >= want  # every message delivered at least once
     finally:
         failpoint.disable_all()
+
+
+def test_token_authentication():
+    with PulsarBroker(token="secret-jwt") as b:
+        with PulsarConn.from_service_url(b.service_url, token="secret-jwt") as c:
+            pid = c.create_producer("t")
+            assert c.send(pid, b"ok") == 0
+        with pytest.raises(IOError, match="AuthenticationError|pulsar error"):
+            PulsarConn.from_service_url(b.service_url, token="wrong")
+        with pytest.raises(IOError):
+            PulsarConn.from_service_url(b.service_url)  # no token at all
+    # token-less broker still accepts anonymous connects
+    with PulsarBroker() as b:
+        with PulsarConn.from_service_url(b.service_url) as c:
+            c.create_producer("t")

@@ -158,8 +158,14 @@ def parse_base_command(buf: bytes) -> tuple[int, dict[int, list]]:
 # -- command builders (field numbers from PulsarApi.proto)
 
 
-def cmd_connect(client_version: str = "ticdc-spark") -> bytes:
-    return base_command(CONNECT, {1: client_version, 4: PROTOCOL_VERSION})
+def cmd_connect(client_version: str = "ticdc-spark",
+                auth_method_name: str | None = None,
+                auth_data: bytes | None = None) -> bytes:
+    fields: dict[int, object] = {1: client_version, 4: PROTOCOL_VERSION}
+    if auth_method_name is not None:
+        fields[5] = auth_method_name  # CommandConnect.auth_method_name
+        fields[3] = auth_data or b""  # CommandConnect.auth_data
+    return base_command(CONNECT, fields)
 
 
 def cmd_connected(server_version: str = "ticdc-spark-mini") -> bytes:

@@ -21,7 +21,11 @@ from ticdc_spark.sinks.kafka_broker import _recv_exact
 
 
 class PulsarBroker:
-    def __init__(self, host: str = "127.0.0.1"):
+    def __init__(self, host: str = "127.0.0.1", token: str | None = None):
+        # token auth (the reference's `authentication-token` pulsar config,
+        # `pkg/sink/pulsar/config.go`): CONNECT must carry
+        # auth_method_name="token" + the exact credential
+        self.token = token
         self.host = host
         # topic -> list of (metadata, payload, crc, checked); index ==
         # entryId. crc/checked cached at append so FLOW re-framing per
@@ -95,6 +99,13 @@ class PulsarBroker:
             cmd_type, sub = pw.parse_base_command(command)
 
             if cmd_type == pw.CONNECT:
+                if self.token is not None:
+                    method = pw.pb_str(sub, 5)
+                    data = pw.pb_one(sub, 3, b"")
+                    if method != "token" or data != self.token.encode():
+                        sock.sendall(pw.frame_simple(
+                            pw.cmd_error(0, "AuthenticationError: invalid token")))
+                        return
                 connected = True
                 sock.sendall(pw.frame_simple(pw.cmd_connected()))
             elif not connected:

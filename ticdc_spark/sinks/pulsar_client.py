@@ -19,11 +19,15 @@ _NEG_ONE = (1 << 64) - 1
 
 
 class PulsarConn:
-    def __init__(self, host: str, port: int, timeout: float = 60.0):
+    def __init__(self, host: str, port: int, timeout: float = 60.0,
+                 token: str | None = None):
         self.sock = socket.create_connection((host, port), timeout=timeout)
         self._ids = 0
         self._producer_topics: dict[int, int] = {}  # producer_id -> next sequence_id
-        resp = self._call(pw.frame_simple(pw.cmd_connect()))
+        connect = (pw.cmd_connect(auth_method_name="token",
+                                  auth_data=token.encode())
+                   if token is not None else pw.cmd_connect())
+        resp = self._call(pw.frame_simple(connect))
         cmd_type, _ = pw.parse_base_command(resp[0])
         if cmd_type != pw.CONNECTED:
             raise IOError(f"expected CONNECTED, got command {cmd_type}")
