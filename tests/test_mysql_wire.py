@@ -212,3 +212,47 @@ def test_prepared_param_codec_edge_values():
     assert got[0] == 1 << 62 and got[1] == -(1 << 62)
     assert got[4] == float("inf") and got[5] == 1e-308
     assert got[6] == "s'tr" and got[7] is None and got[8] == 1
+
+
+def test_applier_retry_survives_connection_drops(server):
+    """Chaos: the server kills connections mid-batch; the safe-mode
+    applier reconnects and re-runs the batch — idempotent, final state
+    exact."""
+    from ticdc_spark import failpoint
+
+    failpoint.disable_all()
+    try:
+        with _conn(server) as c:
+            c.query("CREATE TABLE `test`.`r` (`id` BIGINT PRIMARY KEY, `v` BIGINT)")
+        failpoint.enable("mysql/drop-connection", "3*return(1)")
+        import time
+
+        state = {"conn": None}
+
+        def run_batch(batch, max_retry=5):
+            for attempt in range(max_retry + 1):
+                try:
+                    if state["conn"] is None:
+                        state["conn"] = _conn(server)
+                    state["conn"].execute_batch(batch)
+                    return
+                except mw.MySQLError:
+                    raise
+                except (IOError, OSError):
+                    if state["conn"] is not None:
+                        state["conn"].close()
+                        state["conn"] = None
+                    if attempt == max_retry:
+                        raise
+                    time.sleep(0.01 * (2 ** attempt))
+
+        for i in range(5):
+            run_batch([f"REPLACE INTO `test`.`r` (`id`, `v`) VALUES ({j}, {i})"
+                       for j in range(i * 4, i * 4 + 4)])
+        if state["conn"] is not None:
+            state["conn"].close()
+        failpoint.disable_all()
+        with _conn(server) as c:
+            assert c.query("SELECT count(*) FROM `test`.`r`").rows == [[20]]
+    finally:
+        failpoint.disable_all()

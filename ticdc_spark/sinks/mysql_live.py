@@ -60,25 +60,49 @@ def apply_over_wire(
     init = session_init_statements()
 
     def _apply(rows_iter):
+        import time as _time
+
+        from ticdc_spark.codec.mysql_wire import MySQLError
         from ticdc_spark.sinks.mysql_client import MySQLConn
 
-        conn = None
+        state = {"conn": None}
+        max_retry = 5
+
+        def run_batch(batch):
+            """Reconnect-and-retry like the reference's backoff applier;
+            re-running a safe-mode batch is idempotent (REPLACE/DELETE
+            are full-row writes). SQL errors (MySQLError) are permanent
+            and surface immediately."""
+            for attempt in range(max_retry + 1):
+                try:
+                    if state["conn"] is None:
+                        state["conn"] = MySQLConn(host, port, user, password)
+                        for s in init:
+                            state["conn"].query(s)
+                    state["conn"].execute_batch(batch)
+                    return
+                except MySQLError:
+                    raise
+                except (IOError, OSError):
+                    if state["conn"] is not None:
+                        state["conn"].close()
+                        state["conn"] = None
+                    if attempt == max_retry:
+                        raise
+                    _time.sleep(min(0.1 * (2 ** attempt), 2.0))
+
         buf: list[str] = []
         try:
             for row in rows_iter:
-                if conn is None:
-                    conn = MySQLConn(host, port, user, password)
-                    for s in init:
-                        conn.query(s)
                 buf.append(row["stmt"])
                 if len(buf) >= _BATCH_STMTS:
-                    conn.execute_batch(buf)
+                    run_batch(buf)
                     buf = []
-            if conn is not None and buf:
-                conn.execute_batch(buf)
+            if buf:
+                run_batch(buf)
         finally:
-            if conn is not None:
-                conn.close()
+            if state["conn"] is not None:
+                state["conn"].close()
 
     stmts.foreachPartition(_apply)
 

@@ -112,6 +112,13 @@ class MiniMySQLServer:
             _, payload = got
             if not payload:
                 return
+            # chaos hook: kill the connection mid-conversation (arm
+            # `mysql/drop-connection` with N*return(1)); the applier must
+            # reconnect + re-run the safe-mode batch (REPLACE/DELETE are
+            # idempotent re-applied)
+            from ticdc_spark import failpoint
+            if failpoint.inject("mysql/drop-connection"):
+                return
             cmd = payload[0]
             if cmd == 0x01:  # COM_QUIT
                 return
