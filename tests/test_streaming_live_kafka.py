@@ -118,3 +118,26 @@ def test_changefeed_live_kafka_crash_replay_idempotent(spark, sf_dir, tmp_path):
         got = {tuple(r) for r in state.collect()}
         want = {tuple(r) for r in clean.collect()}
         assert got == want and len(want) > 0
+
+
+def test_sink_uri_drives_live_broker(spark, sf_dir, tmp_path):
+    """The deployment shape: a changefeed whose TOML sink-uri names the
+    broker streams onto that broker's wire — config in, messages out."""
+    from ticdc_spark.config import parse_changefeed_config
+    from ticdc_spark.streaming.changefeed import bootstrap_from_sink_uri
+
+    with KafkaBroker(default_partitions=16) as broker:
+        cfg = parse_changefeed_config(f"""
+sink-uri = "kafka://{broker.bootstrap}/cdc?protocol=canal-json"
+[sink]
+dispatchers = [{{matcher = ["test.tp_*"], partition = "index-value", topic = "cdc_{{schema}}_{{table}}"}}]
+""")
+        bootstrap = bootstrap_from_sink_uri(cfg)
+        assert bootstrap == broker.bootstrap
+        cf = Changefeed("cf_uri", cfg, str(tmp_path), live_bootstrap=bootstrap)
+        cf.start(spark, sf_dir, available_now=True)
+        cf.wait(240)
+        total = sum(broker.high_watermark(t, p)
+                    for t, parts in broker.topics.items() for p in parts)
+        assert total > 0
+        assert cf.checkpoint_ts() is not None

@@ -34,6 +34,19 @@ from ticdc_spark.pipeline import ChangefeedConfig
 from ticdc_spark.sources.changelog import stream_changelog
 
 
+def bootstrap_from_sink_uri(cfg) -> str | None:
+    """host:port from a kafka:// sink URI — what a deployment passes as
+    ``live_bootstrap`` so the changefeed config alone selects the live
+    endpoint (first server of a comma-separated bootstrap list)."""
+    from urllib.parse import urlsplit
+
+    uri = getattr(cfg, "sink_uri", None) or ""
+    u = urlsplit(uri)
+    if u.scheme != "kafka" or not u.netloc:
+        return None
+    return u.netloc.split(",")[0]
+
+
 class Changefeed:
     """One changefeed = one Structured Streaming query + checkpoint dir."""
 
