@@ -316,3 +316,28 @@ def test_sasl_disabled_broker_rejects_handshake():
     with KafkaBroker() as b:
         with pytest.raises(IOError, match="rejected"):
             KafkaConn.from_bootstrap(b.bootstrap, sasl=("PLAIN", "u", "p"))
+
+
+def test_distributed_produce_fetch_under_sasl(spark, sf_dir):
+    """The whole distributed produce/fetch path authenticates: every
+    executor connection runs the SCRAM exchange before producing, and
+    the fetch plan's connections do too."""
+    from pyspark.sql import functions as F
+
+    from ticdc_spark.sinks.kafka_live import fetch_df, produce_frame
+
+    sasl = ("SCRAM-SHA-256", "cdc", "wire-pw")
+    with KafkaBroker(default_partitions=4, sasl_users={"cdc": "wire-pw"}) as b:
+        frame = spark.range(200).select(
+            F.lit("t").alias("topic"),
+            (F.col("id") % 4).cast("int").alias("partition"),
+            F.col("id").cast("string").alias("key"),
+            F.concat(F.lit("v"), F.col("id")).alias("value"),
+        ).repartition(8)
+        produce_frame(frame, b.bootstrap, sasl=sasl)
+        got = fetch_df(spark, b.bootstrap, [("t", p) for p in range(4)], sasl=sasl)
+        assert got.count() == 200
+        # without credentials the same plan fails closed
+        bad = fetch_df(spark, b.bootstrap, [("t", 0)])
+        with pytest.raises(Exception):
+            bad.count()

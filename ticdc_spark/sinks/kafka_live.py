@@ -38,7 +38,8 @@ def start_broker(n_partitions: int = 16):
 
 
 def produce_frame(
-    frame: DataFrame, bootstrap: str, compression: str = "none", max_retry: int = 5
+    frame: DataFrame, bootstrap: str, compression: str = "none", max_retry: int = 5,
+    sasl: tuple[str, str, str] | None = None,
 ) -> None:
     """Distributed produce of a (topic, partition, key, value) frame.
 
@@ -78,7 +79,7 @@ def produce_frame(
             for attempt in range(max_retry + 1):
                 try:
                     if state["conn"] is None:
-                        state["conn"] = KafkaConn.from_bootstrap(bootstrap)
+                        state["conn"] = KafkaConn.from_bootstrap(bootstrap, sasl=sasl)
                     state["conn"].produce(topic, partition, batch,
                                           compression=compression)
                     return
@@ -110,7 +111,8 @@ def produce_frame(
     shaped.foreachPartition(_send)
 
 
-def fetch_df(spark: SparkSession, bootstrap: str, topic_partitions: list[tuple[str, int]]) -> DataFrame:
+def fetch_df(spark: SparkSession, bootstrap: str, topic_partitions: list[tuple[str, int]],
+             sasl: tuple[str, str, str] | None = None) -> DataFrame:
     """Distributed fetch: one task per (topic, partition); verifies offset
     contiguity 0..hw-1 inside the kernel (raises on gaps/dups)."""
     pairs = spark.createDataFrame(topic_partitions, "topic string, partition int").repartition(
@@ -127,7 +129,7 @@ def fetch_df(spark: SparkSession, bootstrap: str, topic_partitions: list[tuple[s
             for pdf in batches:
                 for topic, partition in zip(pdf["topic"], pdf["partition"]):
                     if conn is None:
-                        conn = KafkaConn.from_bootstrap(bootstrap)
+                        conn = KafkaConn.from_bootstrap(bootstrap, sasl=sasl)
                     got = conn.fetch_all(topic, int(partition))
                     offsets = [o for o, _ in got]
                     if offsets != list(range(len(offsets))):
