@@ -194,3 +194,44 @@ def test_long_running_txn_batches_in_commit_order(spark):
     order = sorted(got)
     fbs = [got[k] for k in order]
     assert fbs == sorted(fbs)
+
+
+def test_bank_invariant_through_live_wire(spark):
+    """The reference's bank integration test executed across BOTH live
+    protocol boundaries: balanced transfer txns -> update split -> canal
+    json -> real Kafka wire -> consumer decode -> SQL -> real MySQL wire
+    apply -> balances read back over the socket. Conservation and exact
+    per-account bookkeeping must survive the full path."""
+    from ticdc_spark.codec.canal_json import encode_canal_json
+    from ticdc_spark.codec.open_protocol import open_protocol_key
+    from ticdc_spark.operators.routing import route
+    from ticdc_spark.operators.update_split import split_updates
+    from ticdc_spark.sinks.consumer import decode_canal_json
+    from ticdc_spark.sinks.kafka_live import kafka_live_roundtrip
+    from ticdc_spark.sinks.mysql_live import mysql_live_apply
+
+    cl, final_balances = _bank_changelog(spark)
+    routed = route(split_updates(cl),
+                   [{"matcher": ["bank.*"], "partition": "index-value",
+                     "topic": "cdc_{schema}_{table}"}], 8)
+    frame = (encode_canal_json(routed, tidb_extension=True)
+             .withColumn("key", open_protocol_key())
+             .select("topic", "partition", "key", "value"))
+    fetched = kafka_live_roundtrip(frame, n_partitions=8)
+    d = decode_canal_json(fetched)
+    op = F.col("op")
+    rebuilt = d.select(
+        "schema_name", "table_name", op.alias("op"), "commit_ts",
+        F.when(op != "I", F.struct(
+            F.col("before_id").alias("id"), F.col("before_val").alias("val"),
+            F.col("before_k").alias("k"))).alias("before"),
+        F.when(op != "D", F.struct(
+            F.col("after_id").alias("id"), F.col("after_val").alias("val"),
+            F.col("after_k").alias("k"))).alias("after"),
+        F.when(op == "D", 1).when(op == "U", 2).otherwise(3).alias("dml_order"),
+        F.monotonically_increasing_id().alias("seq"),
+    )
+    state = mysql_live_apply(rebuilt, ["accounts"], schema="bank")
+    rows = {r["id"]: r["val"] for r in state.collect()}
+    assert rows == {a: float(v) for a, v in final_balances.items()}
+    assert sum(rows.values()) == N_ACCOUNTS * INITIAL
