@@ -256,3 +256,56 @@ def test_applier_retry_survives_connection_drops(server):
             assert c.query("SELECT count(*) FROM `test`.`r`").rows == [[20]]
     finally:
         failpoint.disable_all()
+
+
+def test_transaction_batch_atomicity(server):
+    """A batch framed in START TRANSACTION..COMMIT applies all-or-nothing:
+    a mid-batch error rolls back the earlier statements (the reference's
+    transaction-atomicity contract), and concurrent connections never
+    observe or interleave a half-applied transaction."""
+    with _conn(server) as c:
+        c.query("CREATE TABLE `test`.`tx` (`id` BIGINT PRIMARY KEY, `v` BIGINT)")
+        with pytest.raises(mw.MySQLError):
+            c.execute_batch([
+                "START TRANSACTION",
+                "INSERT INTO `test`.`tx` (`id`, `v`) VALUES (1, 1)",
+                "INSERT INTO `test`.`tx` (`id`, `v`) VALUES (2, 2)",
+                "INSERT INTO `test`.`nope` (`id`) VALUES (3)",  # fails
+                "COMMIT",
+            ])
+        assert c.query("SELECT count(*) FROM `test`.`tx`").rows == [[0]]
+        # a clean txn batch applies atomically
+        n = c.execute_batch([
+            "START TRANSACTION",
+            "INSERT INTO `test`.`tx` (`id`, `v`) VALUES (1, 1)",
+            "INSERT INTO `test`.`tx` (`id`, `v`) VALUES (2, 2)",
+            "COMMIT",
+        ])
+        assert c.query("SELECT count(*) FROM `test`.`tx`").rows == [[2]]
+        # connection still healthy for non-txn work after the rollback
+        c.execute_batch(["DELETE FROM `test`.`tx` WHERE `id` = 1"])
+        assert c.query("SELECT count(*) FROM `test`.`tx`").rows == [[1]]
+
+
+def test_transactions_do_not_interleave_across_connections(server):
+    import threading
+
+    with _conn(server) as c:
+        c.query("CREATE TABLE `test`.`txc` (`id` BIGINT PRIMARY KEY, `w` BIGINT)")
+
+    def work(tid):
+        with _conn(server) as c:
+            for i in range(10):
+                c.execute_batch(
+                    ["START TRANSACTION"]
+                    + [f"REPLACE INTO `test`.`txc` (`id`, `w`) VALUES ({tid*100+j}, {i})"
+                       for j in range(5)]
+                    + ["COMMIT"])
+
+    threads = [threading.Thread(target=work, args=(t,)) for t in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    with _conn(server) as c:
+        assert c.query("SELECT count(*) FROM `test`.`txc`").rows == [[30]]

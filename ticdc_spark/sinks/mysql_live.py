@@ -96,10 +96,13 @@ def apply_over_wire(
             for row in rows_iter:
                 buf.append(row["stmt"])
                 if len(buf) >= _BATCH_STMTS:
-                    run_batch(buf)
+                    # each flush batch is one transaction (the reference's
+                    # transaction-atomicity: a mid-batch failure applies
+                    # nothing; the retry re-runs the whole batch)
+                    run_batch(["START TRANSACTION", *buf, "COMMIT"])
                     buf = []
             if buf:
-                run_batch(buf)
+                run_batch(["START TRANSACTION", *buf, "COMMIT"])
         finally:
             if state["conn"] is not None:
                 state["conn"].close()

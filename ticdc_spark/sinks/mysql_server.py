@@ -45,7 +45,11 @@ class MiniMySQLServer:
         self.user = user
         self.password = password
         self.host = host
-        self._db = sqlite3.connect(":memory:", check_same_thread=False)
+        # isolation_level=None = true autocommit with EXPLICIT transaction
+        # control: each DML commits immediately unless a BEGIN is open —
+        # the semantics START TRANSACTION / COMMIT framing needs
+        self._db = sqlite3.connect(":memory:", check_same_thread=False,
+                                   isolation_level=None)
         self._db_lock = threading.Lock()
         for s in schemas:
             self._db.execute(f"ATTACH ':memory:' AS `{s}`")
@@ -153,7 +157,6 @@ class MiniMySQLServer:
                 try:
                     with self._db_lock:
                         cur = self._db.execute(sql, params)
-                        self._db.commit()
                         n = cur.rowcount if cur.rowcount >= 0 else 0
                     mw.write_packet(sock, 1, mw.enc_ok(affected=n))
                 except sqlite3.Error as e:
@@ -169,24 +172,45 @@ class MiniMySQLServer:
             qstmts = text.split(";\n") if multi_ok else [text]
             qstmts = [s for s in (t.strip() for t in qstmts) if s]
             seq_out = 1
-            for i, stmt in enumerate(qstmts):
-                more = mw.SERVER_MORE_RESULTS_EXISTS if i + 1 < len(qstmts) else 0
-                seq_out = self._run_one(sock, seq_out, stmt, more)
-                if seq_out is None:  # error sent — a real server stops the batch
-                    break
+            # a batch opening a transaction holds the db lock for its whole
+            # span, giving per-connection transaction ATOMICITY on the
+            # shared backend: a mid-batch error rolls everything back (the
+            # reference's transaction-atomicity contract); other
+            # connections' statements never interleave inside the txn
+            txn_batch = qstmts and qstmts[0].upper().startswith(
+                ("START TRANSACTION", "BEGIN"))
+            if txn_batch:
+                self._db_lock.acquire()
+            in_error = False
+            try:
+                for i, stmt in enumerate(qstmts):
+                    more = mw.SERVER_MORE_RESULTS_EXISTS if i + 1 < len(qstmts) else 0
+                    seq_out = self._run_one(sock, seq_out, stmt, more,
+                                            locked=txn_batch)
+                    if seq_out is None:  # error sent — stop the batch
+                        in_error = True
+                        break
+            finally:
+                if txn_batch:
+                    if in_error and self._db.in_transaction:
+                        self._db.execute("ROLLBACK")
+                    self._db_lock.release()
 
-    def _run_one(self, sock, seq: int, stmt: str, more_flag: int):
+    def _run_one(self, sock, seq: int, stmt: str, more_flag: int,
+                 locked: bool = False):
+        import contextlib
+
         status = mw.SERVER_STATUS_AUTOCOMMIT | more_flag
         upper = stmt.upper()
         if upper.startswith(("SET ", "SET\t", "FLUSH ")):
             return mw.write_packet(sock, seq, mw.enc_ok(status=status))
         if upper.startswith("START TRANSACTION"):
             stmt = "BEGIN"
+        guard = contextlib.nullcontext() if locked else self._db_lock
         try:
-            with self._db_lock:
+            with guard:
                 cur = self._db.execute(stmt)
                 if cur.description is None:
-                    self._db.commit()
                     n = cur.rowcount if cur.rowcount >= 0 else 0
                     return mw.write_packet(sock, seq, mw.enc_ok(affected=n, status=status))
                 cols = [d[0] for d in cur.description]
