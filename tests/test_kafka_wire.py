@@ -341,3 +341,16 @@ def test_distributed_produce_fetch_under_sasl(spark, sf_dir):
         bad = fetch_df(spark, b.bootstrap, [("t", 0)])
         with pytest.raises(Exception):
             bad.count()
+
+
+def test_list_offsets_earliest_latest(broker):
+    from ticdc_spark.sinks.kafka_client import list_offset
+
+    with KafkaConn.from_bootstrap(broker.bootstrap) as c:
+        c.produce("lo", 0, [Record(b"k", b"v%d" % i) for i in range(7)])
+        assert list_offset(c, "lo", 0, kw.OFFSET_EARLIEST) == 0
+        assert list_offset(c, "lo", 0, kw.OFFSET_LATEST) == 7
+        with pytest.raises(IOError, match="error 3"):
+            list_offset(c, "lo", 9)
+        with pytest.raises(IOError, match="error 35"):
+            list_offset(c, "lo", 0, timestamp=12345)  # ts lookup unsupported

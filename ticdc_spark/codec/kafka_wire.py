@@ -1076,3 +1076,62 @@ def enc_sasl_authenticate_response(error_code: int, error_message: str | None,
 
 def dec_sasl_authenticate_response(r: Reader) -> tuple[int, str | None, bytes]:
     return r.i16(), r.string(), (r.bytes_() or b"")
+
+
+# ---------------------------------------------------------------- offsets
+# ListOffsets v1 (key 2): how consumers seek earliest (-2) / latest (-1)
+# before fetching — sarama's OffsetOldest/OffsetNewest.
+
+API_LIST_OFFSETS = 2
+
+SUPPORTED.update({API_LIST_OFFSETS: (1, 1)})
+
+OFFSET_EARLIEST = -2
+OFFSET_LATEST = -1
+
+
+def enc_list_offsets_request(topic: str, partition: int, timestamp: int) -> bytes:
+    body = struct.pack(">i", -1)  # replica_id
+    body += struct.pack(">i", 1) + enc_str(topic) + struct.pack(">i", 1)
+    body += struct.pack(">iq", partition, timestamp)
+    return body
+
+
+def dec_list_offsets_request(r: Reader) -> list[tuple[str, int, int]]:
+    r.i32()  # replica_id
+    out = []
+    for _ in range(r.i32()):
+        topic = r.string()
+        for _ in range(r.i32()):
+            partition = r.i32()
+            ts = r.i64()
+            out.append((topic, partition, ts))
+    return out
+
+
+def enc_list_offsets_response(results: list[tuple[str, int, int, int, int]]) -> bytes:
+    """results: [(topic, partition, error_code, timestamp, offset)]."""
+    by_topic: dict[str, list] = {}
+    for t, p, err, ts, off in results:
+        by_topic.setdefault(t, []).append((p, err, ts, off))
+    body = struct.pack(">i", len(by_topic))
+    for t, parts in by_topic.items():
+        body += enc_str(t) + struct.pack(">i", len(parts))
+        for p, err, ts, off in parts:
+            body += struct.pack(">ihqq", p, err, ts, off)
+    return body
+
+
+def dec_list_offsets_response(r: Reader) -> dict[tuple[str, int], tuple[int, int]]:
+    out = {}
+    for _ in range(r.i32()):
+        topic = r.string()
+        for _ in range(r.i32()):
+            p = r.i32()
+            err = r.i16()
+            r.i64()  # timestamp
+            off = r.i64()
+            if err:
+                raise IOError(f"ListOffsets error {err} on {topic}/{p}")
+            out[(topic, p)] = (err, off)
+    return out

@@ -292,6 +292,24 @@ class KafkaBroker:
                     except ValueError:
                         results[topic][idx] = (2, -1)  # CORRUPT_MESSAGE
             return kw.frame_response(corr, kw.enc_produce_response(results))
+        if api_key == kw.API_LIST_OFFSETS:
+            wants = kw.dec_list_offsets_request(r)
+            results = []
+            for topic, partition, ts in wants:
+                t = self._get_topic(topic, create=False)
+                if t is None or partition not in t:
+                    results.append((topic, partition, 3, -1, -1))
+                    continue
+                if ts == kw.OFFSET_EARLIEST:
+                    off = 0
+                elif ts == kw.OFFSET_LATEST:
+                    off = t[partition].next_offset
+                else:
+                    # timestamp lookup unsupported in the mini log
+                    results.append((topic, partition, 35, -1, -1))
+                    continue
+                results.append((topic, partition, 0, -1, off))
+            return kw.frame_response(corr, kw.enc_list_offsets_response(results))
         if api_key == kw.API_CREATE_TOPICS:
             topics, validate_only = kw.dec_create_topics_request(r)
             results = {}

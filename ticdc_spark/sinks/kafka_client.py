@@ -349,3 +349,12 @@ def adjust_options(
             create_topic(conn, topic, partition_num, replication_factor)
     return {"max_message_bytes": max_message_bytes,
             "partition_num": partition_num}
+
+
+def list_offset(conn: KafkaConn, topic: str, partition: int,
+                timestamp: int = kw.OFFSET_LATEST) -> int:
+    """Earliest (-2) / latest (-1) offset — the consumer's seek call."""
+    res = kw.dec_list_offsets_response(conn._call(
+        kw.API_LIST_OFFSETS, 1,
+        kw.enc_list_offsets_request(topic, partition, timestamp)))
+    return res[(topic, partition)][1]
