@@ -354,3 +354,38 @@ def test_list_offsets_earliest_latest(broker):
             list_offset(c, "lo", 9)
         with pytest.raises(IOError, match="error 35"):
             list_offset(c, "lo", 0, timestamp=12345)  # ts lookup unsupported
+
+
+# ------------------------------------------------------------------ tls
+
+def test_tls_and_sasl_ssl_listener():
+    """SSL listener with a pinned CA (enable-tls + ca-path semantics):
+    SASL_SSL works end to end, plaintext clients and wrong CAs fail the
+    handshake, and the payload path is byte-identical over TLS."""
+    import ssl
+
+    from ticdc_spark.codec.tlsutil import make_self_signed
+
+    with KafkaBroker(default_partitions=2, tls=True,
+                     sasl_users={"cdc": "pw"}) as b:
+        assert b.ca_pem is not None
+        with KafkaConn.from_bootstrap(
+                b.bootstrap, tls_ca=b.ca_pem,
+                sasl=("SCRAM-SHA-256", "cdc", "pw")) as c:
+            assert c.sock.version() is not None  # real TLS session
+            c.produce("t", 0, [Record(b"k", b"v1"), Record(None, b"v2")],
+                      compression="lz4")
+            got = c.fetch_all("t", 0)
+            assert [(r.key, r.value) for _, r in got] == [
+                (b"k", b"v1"), (None, b"v2")]
+        with pytest.raises(Exception):
+            KafkaConn.from_bootstrap(b.bootstrap)  # plaintext vs TLS
+        other_ca, _ = make_self_signed()
+        with pytest.raises(ssl.SSLError):
+            KafkaConn.from_bootstrap(b.bootstrap, tls_ca=other_ca)
+
+
+def test_tls_without_sasl():
+    with KafkaBroker(default_partitions=1, tls=True) as b:
+        with KafkaConn.from_bootstrap(b.bootstrap, tls_ca=b.ca_pem) as c:
+            assert c.produce("t", 0, [Record(b"a", b"b")]) == 0

@@ -85,7 +85,19 @@ class KafkaBroker:
 
     def __init__(self, host: str = "127.0.0.1", default_partitions: int = 4,
                  sasl_users: dict[str, str] | None = None,
-                 sasl_mechanisms: tuple[str, ...] = ("PLAIN", "SCRAM-SHA-256")):
+                 sasl_mechanisms: tuple[str, ...] = ("PLAIN", "SCRAM-SHA-256"),
+                 tls: bool = False):
+        # tls=True: an SSL (or SASL_SSL, with sasl_users) listener — a
+        # fresh self-signed cert; clients pin it via broker.ca_pem
+        self.tls = tls
+        self.ca_pem = None
+        self._tls_ctx = None
+        if tls:
+            from ticdc_spark.codec.tlsutil import make_self_signed, server_context
+
+            cert_pem, key_pem = make_self_signed(host)
+            self.ca_pem = cert_pem
+            self._tls_ctx = server_context(cert_pem, key_pem)
         self.host = host
         self.default_partitions = default_partitions
         # when sasl_users is set, every API except ApiVersions/SaslHandshake/
@@ -110,6 +122,13 @@ class KafkaBroker:
                 conn_state = {"authenticated": broker.sasl_users is None,
                               "mechanism": None, "scram": None}
                 sock = self.request
+                if broker._tls_ctx is not None:
+                    import ssl as _ssl
+
+                    try:
+                        sock = broker._tls_ctx.wrap_socket(sock, server_side=True)
+                    except (_ssl.SSLError, OSError):
+                        return  # failed handshake (plaintext client, bad ciphers)
                 try:
                     while True:
                         hdr = _recv_exact(sock, 4)
