@@ -309,3 +309,29 @@ def test_transactions_do_not_interleave_across_connections(server):
         t.join()
     with _conn(server) as c:
         assert c.query("SELECT count(*) FROM `test`.`txc`").rows == [[30]]
+
+
+# ------------------------------------------------------------------ tls
+
+def test_ssl_request_upgrade():
+    """Protocol::SSLRequest mid-handshake upgrade: credentials ride the
+    encrypted stream; a server without TLS doesn't advertise CLIENT_SSL
+    and the client fails closed before sending anything sensitive."""
+    with MiniMySQLServer(user="root", password="pw", tls=True) as srv:
+        c = MySQLConn("127.0.0.1", srv.port, "root", "pw", tls_ca=srv.ca_pem)
+        assert c.sock.version() is not None  # real TLS session
+        c.query("CREATE TABLE `test`.`s` (`id` BIGINT PRIMARY KEY)")
+        c.execute_batch(["START TRANSACTION",
+                         "INSERT INTO `test`.`s` (`id`) VALUES (7)", "COMMIT"])
+        assert c.query("SELECT count(*) FROM `test`.`s`").rows == [[1]]
+        c.close()
+        # plaintext remains allowed when the listener merely offers TLS
+        c2 = MySQLConn("127.0.0.1", srv.port, "root", "pw")
+        assert c2.query("SELECT count(*) FROM `test`.`s`").rows == [[1]]
+        c2.close()
+        # wrong password over TLS still rejected by the scramble
+        with pytest.raises(mw.MySQLError):
+            MySQLConn("127.0.0.1", srv.port, "root", "bad", tls_ca=srv.ca_pem)
+    with MiniMySQLServer(user="root", password="pw") as srv:
+        with pytest.raises(IOError, match="does not support SSL"):
+            MySQLConn("127.0.0.1", srv.port, "root", "pw", tls_ca=b"ca")

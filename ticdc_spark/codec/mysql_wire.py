@@ -29,6 +29,7 @@ CLIENT_SECURE_CONNECTION = 0x00008000
 CLIENT_MULTI_STATEMENTS = 0x00010000
 CLIENT_MULTI_RESULTS = 0x00020000
 CLIENT_PLUGIN_AUTH = 0x00080000
+CLIENT_SSL = 0x00000800
 
 SERVER_STATUS_AUTOCOMMIT = 0x0002
 SERVER_MORE_RESULTS_EXISTS = 0x0008
@@ -148,13 +149,26 @@ SERVER_CAPS = (
     | CLIENT_MULTI_STATEMENTS
     | CLIENT_MULTI_RESULTS
     | CLIENT_PLUGIN_AUTH
+    | CLIENT_SSL
 )
 
 
-def enc_handshake_v10(thread_id: int, nonce: bytes, server_version: str) -> bytes:
+def enc_ssl_request(client_caps: int) -> bytes:
+    """Protocol::SSLRequest — the 32-byte HandshakeResponse prefix (caps
+    with CLIENT_SSL, max packet, charset, 23 zeros) sent in the clear;
+    the TLS handshake follows, then the full HandshakeResponse41 rides
+    encrypted."""
+    import struct as _s
+
+    return (_s.pack("<I", client_caps | CLIENT_SSL)
+            + _s.pack("<I", 1 << 24) + bytes([CHARSET_UTF8MB4]) + b"\x00" * 23)
+
+
+def enc_handshake_v10(thread_id: int, nonce: bytes, server_version: str,
+                      caps: int | None = None) -> bytes:
     """nonce: 20 bytes (8-byte part 1, 12-byte part 2 + trailing NUL on wire)."""
     assert len(nonce) == 20
-    caps = SERVER_CAPS
+    caps = SERVER_CAPS if caps is None else caps
     out = bytearray()
     out += b"\x0a" + server_version.encode() + b"\x00"
     out += struct.pack("<I", thread_id)

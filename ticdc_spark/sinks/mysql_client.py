@@ -34,7 +34,8 @@ class Resultset:
 
 
 class MySQLConn:
-    def __init__(self, host: str, port: int, user: str, password: str, timeout: float = 60.0):
+    def __init__(self, host: str, port: int, user: str, password: str,
+                 timeout: float = 60.0, tls_ca: bytes | None = None):
         self.sock = socket.create_connection((host, port), timeout=timeout)
         got = mw.read_packet(self.sock)
         if got is None:
@@ -45,9 +46,22 @@ class MySQLConn:
         hs = mw.dec_handshake_v10(payload)
         if hs["auth_plugin"] not in (b"", mw.AUTH_PLUGIN):
             raise IOError(f"unsupported auth plugin {hs['auth_plugin']}")
+        caps = CLIENT_CAPS
+        if tls_ca is not None:
+            # Protocol::SSLRequest then upgrade — credentials only ever
+            # ride the encrypted stream (the ssl-ca client option)
+            if not hs["capabilities"] & mw.CLIENT_SSL:
+                raise IOError("server does not support SSL")
+            caps |= mw.CLIENT_SSL
+            seq = mw.write_packet(self.sock, seq + 1, mw.enc_ssl_request(caps))
+            from ticdc_spark.codec.tlsutil import client_context
+
+            self.sock = client_context(tls_ca).wrap_socket(
+                self.sock, server_hostname=host)
+            seq -= 1  # the response continues the same packet sequence
         mw.write_packet(
             self.sock, seq + 1,
-            mw.enc_handshake_response41(user, password, hs["nonce"], None, CLIENT_CAPS),
+            mw.enc_handshake_response41(user, password, hs["nonce"], None, caps),
         )
         got = mw.read_packet(self.sock)
         if got is None:

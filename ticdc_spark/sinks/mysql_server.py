@@ -41,7 +41,20 @@ class MiniMySQLServer:
         password: str = "secret",
         schemas: tuple[str, ...] = ("test",),
         host: str = "127.0.0.1",
+        tls: bool = False,
     ):
+        # tls=True advertises CLIENT_SSL; a client may send Protocol::
+        # SSLRequest after the handshake packet and upgrade mid-stream
+        # (the ssl-ca/require-secure-transport deployment shape)
+        self.tls = tls
+        self.ca_pem = None
+        self._tls_ctx = None
+        if tls:
+            from ticdc_spark.codec.tlsutil import make_self_signed, server_context
+
+            cert_pem, key_pem = make_self_signed(host)
+            self.ca_pem = cert_pem
+            self._tls_ctx = server_context(cert_pem, key_pem)
         self.user = user
         self.password = password
         self.host = host
@@ -95,11 +108,34 @@ class MiniMySQLServer:
         next_stmt = [0]
         self._thread_id += 1
         nonce = os.urandom(20).replace(b"\x00", b"\x01")  # NUL-free like a real server
-        seq = mw.write_packet(sock, 0, mw.enc_handshake_v10(self._thread_id, nonce, "8.0.11-ticdc-spark"))
+        caps = mw.SERVER_CAPS if self._tls_ctx is not None \
+            else mw.SERVER_CAPS & ~mw.CLIENT_SSL
+        seq = mw.write_packet(sock, 0, mw.enc_handshake_v10(
+            self._thread_id, nonce, "8.0.11-ticdc-spark", caps=caps))
         got = mw.read_packet(sock)
         if got is None:
             return
-        _, payload = got
+        seq_in, payload = got
+        if len(payload) == 32:
+            caps = int.from_bytes(payload[:4], "little")
+            if caps & mw.CLIENT_SSL:
+                # Protocol::SSLRequest — upgrade the stream, then the
+                # real HandshakeResponse41 arrives over TLS
+                if self._tls_ctx is None:
+                    mw.write_packet(sock, seq_in + 1, mw.enc_err(
+                        3159, "SSL is required but the server doesn't support it",
+                        "HY000"))
+                    return
+                import ssl as _ssl
+
+                try:
+                    sock = self._tls_ctx.wrap_socket(sock, server_side=True)
+                except (_ssl.SSLError, OSError):
+                    return
+                got = mw.read_packet(sock)
+                if got is None:
+                    return
+                _, payload = got
         resp = mw.dec_handshake_response41(payload)
         if resp["user"] != self.user or not mw.verify_native_password(
             self.password, nonce, resp["token"]
