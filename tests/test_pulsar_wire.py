@@ -224,3 +224,21 @@ def test_token_authentication():
     with PulsarBroker() as b:
         with PulsarConn.from_service_url(b.service_url) as c:
             c.create_producer("t")
+
+
+def test_pulsar_ssl_listener_with_token():
+    """pulsar+ssl:// + token auth — real TLS session, pinned CA."""
+    import ssl
+
+    from ticdc_spark.codec.tlsutil import make_self_signed
+
+    with PulsarBroker(tls=True, token="jwt") as b:
+        assert b.service_url.startswith("pulsar+ssl://")
+        with PulsarConn(b.host, b.port, token="jwt", tls_ca=b.ca_pem) as c:
+            assert c.sock.version() is not None
+            pid = c.create_producer("t")
+            c.send(pid, b"enc")
+            assert c.read_all("t")[0]["payload"] == b"enc"
+        other_ca, _ = make_self_signed()
+        with pytest.raises((ssl.SSLError, IOError)):
+            PulsarConn(b.host, b.port, token="jwt", tls_ca=other_ca)

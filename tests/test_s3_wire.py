@@ -106,3 +106,22 @@ def test_tampered_payload_rejected(s3):
     resp = conn.getresponse()
     assert resp.status == 403
     conn.close()
+
+
+def test_https_endpoint_with_pinned_ca():
+    from ticdc_spark.codec.tlsutil import make_self_signed
+
+    with MiniS3Server(tls=True) as srv:
+        assert srv.endpoint.startswith("https://")
+        with S3Client(srv.endpoint, srv.access_key, srv.secret_key,
+                      tls_ca=srv.ca_pem) as c:
+            c.put_object("cdc", "k", b"v")
+            assert c.get_object("cdc", "k") == b"v"
+        # wrong CA fails the handshake; missing CA fails closed
+        other_ca, _ = make_self_signed()
+        with pytest.raises(Exception):
+            with S3Client(srv.endpoint, srv.access_key, srv.secret_key,
+                          tls_ca=other_ca) as c:
+                c.put_object("cdc", "k2", b"v")
+        with pytest.raises(ValueError, match="needs tls_ca"):
+            S3Client(srv.endpoint, srv.access_key, srv.secret_key)

@@ -21,7 +21,18 @@ from ticdc_spark.sinks.kafka_broker import _recv_exact
 
 
 class PulsarBroker:
-    def __init__(self, host: str = "127.0.0.1", token: str | None = None):
+    def __init__(self, host: str = "127.0.0.1", token: str | None = None,
+                 tls: bool = False):
+        # tls=True: a pulsar+ssl:// listener with a fresh self-signed cert
+        self.tls = tls
+        self.ca_pem = None
+        self._tls_ctx = None
+        if tls:
+            from ticdc_spark.codec.tlsutil import make_self_signed, server_context
+
+            cert_pem, key_pem = make_self_signed(host)
+            self.ca_pem = cert_pem
+            self._tls_ctx = server_context(cert_pem, key_pem)
         # token auth (the reference's `authentication-token` pulsar config,
         # `pkg/sink/pulsar/config.go`): CONNECT must carry
         # auth_method_name="token" + the exact credential
@@ -36,8 +47,16 @@ class PulsarBroker:
 
         class Handler(socketserver.BaseRequestHandler):
             def handle(self):
+                sock = self.request
+                if broker._tls_ctx is not None:
+                    import ssl as _ssl
+
+                    try:
+                        sock = broker._tls_ctx.wrap_socket(sock, server_side=True)
+                    except (_ssl.SSLError, OSError):
+                        return
                 try:
-                    broker._serve(self.request)
+                    broker._serve(sock)
                 except (ConnectionResetError, BrokenPipeError):
                     return
 
@@ -65,7 +84,8 @@ class PulsarBroker:
 
     @property
     def service_url(self) -> str:
-        return f"pulsar://{self.host}:{self.port}"
+        scheme = "pulsar+ssl" if self.tls else "pulsar"
+        return f"{scheme}://{self.host}:{self.port}"
 
     def topic_size(self, topic: str) -> int:
         with self._lock:

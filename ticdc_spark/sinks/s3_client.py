@@ -24,7 +24,8 @@ class S3Error(Exception):
 
 class S3Client:
     def __init__(self, endpoint: str, access_key: str, secret_key: str,
-                 region: str = "us-east-1", amz_date: str = "20260101T000000Z"):
+                 region: str = "us-east-1", amz_date: str = "20260101T000000Z",
+                 tls_ca: bytes | None = None):
         u = urllib.parse.urlsplit(endpoint)
         self.host = u.hostname
         self.port = u.port
@@ -34,7 +35,16 @@ class S3Client:
         # deterministic clock: the mini server doesn't enforce skew; a
         # real deployment stamps wall time here
         self.amz_date = amz_date
-        self.conn = http.client.HTTPConnection(self.host, self.port, timeout=60)
+        if u.scheme == "https":
+            from ticdc_spark.codec.tlsutil import client_context
+
+            if tls_ca is None:
+                raise ValueError("https endpoint needs tls_ca (pinned CA)")
+            self.conn = http.client.HTTPSConnection(
+                self.host, self.port, timeout=60,
+                context=client_context(tls_ca))
+        else:
+            self.conn = http.client.HTTPConnection(self.host, self.port, timeout=60)
 
     def close(self):
         self.conn.close()

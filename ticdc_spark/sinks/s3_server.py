@@ -25,7 +25,10 @@ _XMLNS = "http://s3.amazonaws.com/doc/2006-03-01/"
 
 class MiniS3Server:
     def __init__(self, access_key: str = "AKIDTEST", secret_key: str = "s3cr3t",
-                 host: str = "127.0.0.1"):
+                 host: str = "127.0.0.1", tls: bool = False):
+        # tls=True: an https:// endpoint with a fresh self-signed cert
+        self.tls = tls
+        self.ca_pem = None
         self.access_key = access_key
         self.secret_key = secret_key
         self.host = host
@@ -166,6 +169,13 @@ class MiniS3Server:
                     f"{next_tok}{contents}</ListBucketResult>"))
 
         self._server = ThreadingHTTPServer((host, 0), Handler)
+        if tls:
+            from ticdc_spark.codec.tlsutil import make_self_signed, server_context
+
+            cert_pem, key_pem = make_self_signed(host)
+            self.ca_pem = cert_pem
+            self._server.socket = server_context(cert_pem, key_pem).wrap_socket(
+                self._server.socket, server_side=True)
         self.port = self._server.server_address[1]
         self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
 
@@ -185,4 +195,5 @@ class MiniS3Server:
 
     @property
     def endpoint(self) -> str:
-        return f"http://{self.host}:{self.port}"
+        scheme = "https" if self.tls else "http"
+        return f"{scheme}://{self.host}:{self.port}"
