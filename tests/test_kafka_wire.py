@@ -389,3 +389,24 @@ def test_tls_without_sasl():
     with KafkaBroker(default_partitions=1, tls=True) as b:
         with KafkaConn.from_bootstrap(b.bootstrap, tls_ca=b.ca_pem) as c:
             assert c.produce("t", 0, [Record(b"a", b"b")]) == 0
+
+
+def test_distributed_roundtrip_over_sasl_ssl(spark, sf_dir):
+    """The full distributed produce/fetch under SASL_SSL: every executor
+    connection does the TLS handshake + SCRAM exchange."""
+    from pyspark.sql import functions as F
+
+    from ticdc_spark.sinks.kafka_live import fetch_df, produce_frame
+
+    sasl = ("SCRAM-SHA-256", "cdc", "pw")
+    with KafkaBroker(default_partitions=2, tls=True,
+                     sasl_users={"cdc": "pw"}) as b:
+        frame = spark.range(60).select(
+            F.lit("t").alias("topic"),
+            (F.col("id") % 2).cast("int").alias("partition"),
+            F.col("id").cast("string").alias("key"),
+            F.concat(F.lit("v"), F.col("id")).alias("value"))
+        produce_frame(frame, b.bootstrap, sasl=sasl, tls_ca=b.ca_pem)
+        got = fetch_df(spark, b.bootstrap, [("t", 0), ("t", 1)],
+                       sasl=sasl, tls_ca=b.ca_pem)
+        assert got.count() == 60

@@ -39,7 +39,7 @@ def start_broker(n_partitions: int = 16):
 
 def produce_frame(
     frame: DataFrame, bootstrap: str, compression: str = "none", max_retry: int = 5,
-    sasl: tuple[str, str, str] | None = None,
+    sasl: tuple[str, str, str] | None = None, tls_ca: bytes | None = None,
 ) -> None:
     """Distributed produce of a (topic, partition, key, value) frame.
 
@@ -79,7 +79,8 @@ def produce_frame(
             for attempt in range(max_retry + 1):
                 try:
                     if state["conn"] is None:
-                        state["conn"] = KafkaConn.from_bootstrap(bootstrap, sasl=sasl)
+                        state["conn"] = KafkaConn.from_bootstrap(
+                            bootstrap, sasl=sasl, tls_ca=tls_ca)
                     state["conn"].produce(topic, partition, batch,
                                           compression=compression)
                     return
@@ -112,7 +113,8 @@ def produce_frame(
 
 
 def fetch_df(spark: SparkSession, bootstrap: str, topic_partitions: list[tuple[str, int]],
-             sasl: tuple[str, str, str] | None = None) -> DataFrame:
+             sasl: tuple[str, str, str] | None = None,
+             tls_ca: bytes | None = None) -> DataFrame:
     """Distributed fetch: one task per (topic, partition); verifies offset
     contiguity 0..hw-1 inside the kernel (raises on gaps/dups)."""
     pairs = spark.createDataFrame(topic_partitions, "topic string, partition int").repartition(
@@ -129,7 +131,8 @@ def fetch_df(spark: SparkSession, bootstrap: str, topic_partitions: list[tuple[s
             for pdf in batches:
                 for topic, partition in zip(pdf["topic"], pdf["partition"]):
                     if conn is None:
-                        conn = KafkaConn.from_bootstrap(bootstrap, sasl=sasl)
+                        conn = KafkaConn.from_bootstrap(bootstrap, sasl=sasl,
+                                                        tls_ca=tls_ca)
                     got = conn.fetch_all(topic, int(partition))
                     offsets = [o for o, _ in got]
                     if offsets != list(range(len(offsets))):
