@@ -112,3 +112,68 @@ def test_train_deterministic_across_runs(spark):
     v2, o2 = train_unigram(docs, vocab_size=32, n_iters=2, seed_size=48)
     assert v1 == v2
     assert o1 == o2
+
+
+def _brute_expected(word, logp, max_len):
+    """Enumerate every segmentation; posterior-weighted piece counts +
+    marginal log-likelihood — the exhaustive oracle for forward-backward."""
+    import itertools as it
+
+    n = len(word)
+    total = 0.0
+    weighted = {}
+    for cuts in it.product([0, 1], repeat=n - 1):
+        bounds = [0] + [i + 1 for i, c in enumerate(cuts) if c] + [n]
+        prob = 1.0
+        pieces = []
+        ok = True
+        for a, b in zip(bounds, bounds[1:]):
+            if b - a > max_len:
+                ok = False
+                break
+            piece = word[a:b]
+            lp = logp.get(piece)
+            if lp is None:
+                if b - a > 1:
+                    ok = False
+                    break
+                lp = UNK_PENALTY
+            prob *= math.exp(lp)
+            pieces.append(piece)
+        if not ok:
+            continue
+        total += prob
+        for p in pieces:
+            weighted[p] = weighted.get(p, 0.0) + prob
+    return ({p: w / total for p, w in weighted.items()}, math.log(total))
+
+
+def test_forward_backward_matches_enumeration():
+    from ticdc_spark.llm.unigram import forward_backward
+
+    logp = _logp_from_counts({"a": 10, "b": 8, "ab": 6, "ba": 2, "aba": 1})
+    for word in ["ab", "aba", "abab", "bbaa", "abz"]:
+        expected, z = forward_backward(word, logp, 3)
+        want, want_z = _brute_expected(word, logp, 3)
+        assert z == pytest.approx(want_z, abs=1e-9)
+        assert set(expected) == set(want)
+        for p in want:
+            assert expected[p] == pytest.approx(want[p], abs=1e-9)
+
+
+def test_full_em_monotone_and_deterministic(spark):
+    from ticdc_spark.llm.unigram import em_full_pass, seed_pieces, word_counts
+
+    docs = spark.createDataFrame(
+        [(i, "tok en token token aba ab") for i in range(30)],
+        "doc_id long, text string")
+    wc = word_counts(docs).cache()
+    seed = {r["piece"]: int(r["count"]) for r in
+            seed_pieces(wc, 4, 64).collect()}
+    c1, ll1 = em_full_pass(wc, seed)
+    c2, ll2 = em_full_pass(wc, c1)
+    c3, ll3 = em_full_pass(wc, c2)
+    assert ll2 >= ll1 - 1e-6 and ll3 >= ll2 - 1e-6  # EM guarantee
+    # fixed-point counts -> identical reruns
+    c1b, ll1b = em_full_pass(wc, seed)
+    assert c1 == c1b and ll1 == ll1b

@@ -234,3 +234,111 @@ def tokenize_stats(
 
     return docs.select(id_col, text_col).mapInPandas(
         kernel, "doc_id long, n_words long, n_pieces long, n_unk_chars long")
+
+
+# ---------------------------------------------------------------- full EM
+
+FIXED_POINT = 1_000_000  # expected counts quantize to 1e-6 grains (int64)
+
+
+def forward_backward(word: str, logp: dict[str, float], max_piece_len: int):
+    """Expected piece counts over the FULL segmentation lattice (true EM
+    E-step, Kudo 2018 §3.2) plus the word's marginal log-likelihood.
+    Unseen single chars participate at UNK_PENALTY like the Viterbi path."""
+    n = len(word)
+    NEG = -math.inf
+
+    def lp_of(i: int, j: int):
+        piece = word[i:j]
+        v = logp.get(piece)
+        if v is None and j - i == 1:
+            return piece, UNK_PENALTY
+        return piece, v
+
+    def lse(a: float, b: float) -> float:
+        if a == NEG:
+            return b
+        if b == NEG:
+            return a
+        m = a if a > b else b
+        return m + math.log(math.exp(a - m) + math.exp(b - m))
+
+    alpha = [NEG] * (n + 1)
+    alpha[0] = 0.0
+    for j in range(1, n + 1):
+        for i in range(max(0, j - max_piece_len), j):
+            if alpha[i] == NEG:
+                continue
+            _, lp = lp_of(i, j)
+            if lp is not None:
+                alpha[j] = lse(alpha[j], alpha[i] + lp)
+    beta = [NEG] * (n + 1)
+    beta[n] = 0.0
+    for i in range(n - 1, -1, -1):
+        for j in range(i + 1, min(n, i + max_piece_len) + 1):
+            if beta[j] == NEG:
+                continue
+            _, lp = lp_of(i, j)
+            if lp is not None:
+                beta[i] = lse(beta[i], lp + beta[j])
+    z = alpha[n]
+    expected: dict[str, float] = {}
+    if z == NEG:
+        return expected, NEG
+    for i in range(n):
+        if alpha[i] == NEG:
+            continue
+        for j in range(i + 1, min(n, i + max_piece_len) + 1):
+            if beta[j] == NEG:
+                continue
+            piece, lp = lp_of(i, j)
+            if lp is None:
+                continue
+            post = math.exp(alpha[i] + lp + beta[j] - z)
+            if post > 0:
+                expected[piece] = expected.get(piece, 0.0) + post
+    return expected, z
+
+
+def em_full_pass(wc: DataFrame, counts: dict[str, int | float],
+                 max_piece_len: int = 4) -> tuple[dict[str, int], float]:
+    """One full-EM pass over the distinct-word table: expected counts
+    accumulate as FIXED-POINT int64 (1e-6 grains), so the shuffle sum is
+    order-independent and training stays run-to-run deterministic; the
+    marginal log-likelihood likewise rides a fixed-point column."""
+    spark = wc.sparkSession
+    logp = _logp_from_counts({p: c for p, c in counts.items() if c > 0})
+    b_logp = spark.sparkContext.broadcast(logp)
+    mpl = max_piece_len
+
+    def kernel(batches):
+        import pandas as pd
+
+        lp = b_logp.value
+        for pdf in batches:
+            acc: dict[str, int] = {}
+            ll_fp = 0
+            for w, n in zip(pdf["w"], pdf["n"]):
+                expected, z = forward_backward(w, lp, mpl)
+                if z == -math.inf:
+                    continue
+                ll_fp += round(z * int(n) * FIXED_POINT)
+                for piece, e in expected.items():
+                    acc[piece] = acc.get(piece, 0) + round(e * int(n) * FIXED_POINT)
+            out = pd.DataFrame(
+                {"piece": list(acc) + ["\x00ll"],
+                 "cnt_fp": list(acc.values()) + [ll_fp]})
+            yield out
+
+    agg = (
+        wc.mapInPandas(kernel, "piece string, cnt_fp long")
+        .groupBy("piece").agg(F.sum("cnt_fp").alias("cnt_fp"))
+    ).collect()
+    new_counts: dict[str, int] = {}
+    loglik = 0.0
+    for r in agg:
+        if r["piece"] == "\x00ll":
+            loglik = r["cnt_fp"] / FIXED_POINT
+        elif r["cnt_fp"] > 0:
+            new_counts[r["piece"]] = int(r["cnt_fp"])  # fixed-point grains
+    return new_counts, loglik
