@@ -141,3 +141,41 @@ dispatchers = [{{matcher = ["test.tp_*"], partition = "index-value", topic = "cd
                     for t, parts in broker.topics.items() for p in parts)
         assert total > 0
         assert cf.checkpoint_ts() is not None
+
+
+def test_http_api_created_changefeed_streams_to_live_broker(spark, sf_dir, tmp_path):
+    """The full control-plane story: POST /api/v2/changefeeds with a
+    sink-uri naming the live broker, then registry.run streams the
+    changefeed onto the wire — HTTP in, Kafka record batches out."""
+    import urllib.request
+
+    from ticdc_spark.api import ApiServer
+    from ticdc_spark.streaming.registry import ChangefeedRegistry
+
+    with KafkaBroker(default_partitions=16) as broker:
+        reg = ChangefeedRegistry(str(tmp_path), live=True)
+        srv = ApiServer(reg)
+        port = srv.start()
+        try:
+            toml = (
+                '[sink]\n'
+                'dispatchers = [{matcher = ["test.tp_*"], '
+                'partition = "index-value", '
+                'topic = "cdc_{schema}_{table}"}]\n')
+            body = json.dumps({
+                "changefeed_id": "cf-api-live",
+                "sink_uri": f"kafka://{broker.bootstrap}/cdc?protocol=canal-json",
+                "config_toml": toml,
+            }).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/api/v2/changefeeds", data=body,
+                headers={"Content-Type": "application/json"}, method="POST")
+            with urllib.request.urlopen(req) as resp:
+                assert resp.status in (200, 201, 202)
+            reg.run("cf-api-live", spark, sf_dir, timeout_s=240)
+            total = sum(broker.high_watermark(t, p)
+                        for t, parts in broker.topics.items() for p in parts)
+            assert total > 0
+            assert reg.get("cf-api-live").checkpoint_ts() is not None
+        finally:
+            srv.stop()

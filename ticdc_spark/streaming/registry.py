@@ -22,7 +22,11 @@ from ticdc_spark.streaming.changefeed import Changefeed
 
 
 class ChangefeedRegistry:
-    def __init__(self, work_dir: str) -> None:
+    def __init__(self, work_dir: str, live: bool = False) -> None:
+        # live=True: changefeeds whose sink URI names a kafka broker
+        # stream onto that broker's WIRE (bootstrap derived from the URI,
+        # sinks/kafka_live) instead of the filesystem test sink
+        self.live = live
         self.work_dir = work_dir
         self.path = os.path.join(work_dir, "changefeeds.json")
         self._live: dict[str, Changefeed] = {}
@@ -63,9 +67,17 @@ class ChangefeedRegistry:
                                 "config_fmt": fmt,
                                 "sink_uri": cfg.sink_uri}
         self._save(state)
-        cf = Changefeed(changefeed_id, cfg, self.work_dir)
+        cf = Changefeed(changefeed_id, cfg, self.work_dir,
+                        live_bootstrap=self._bootstrap(cfg))
         self._live[changefeed_id] = cf
         return cf
+
+    def _bootstrap(self, cfg) -> str | None:
+        if not self.live:
+            return None
+        from ticdc_spark.streaming.changefeed import bootstrap_from_sink_uri
+
+        return bootstrap_from_sink_uri(cfg)
 
     def list(self) -> dict[str, str]:
         return {k: v["state"] for k, v in self._load().items()}
@@ -83,7 +95,9 @@ class ChangefeedRegistry:
                 from ticdc_spark.config import apply_sink_uri_params
 
                 apply_sink_uri_params(cfg)
-            self._live[changefeed_id] = Changefeed(changefeed_id, cfg, self.work_dir)
+            self._live[changefeed_id] = Changefeed(
+                changefeed_id, cfg, self.work_dir,
+                live_bootstrap=self._bootstrap(cfg))
         return self._live[changefeed_id]
 
     def run(self, changefeed_id: str, spark: SparkSession, sf_dir: str,
