@@ -410,3 +410,59 @@ def test_distributed_roundtrip_over_sasl_ssl(spark, sf_dir):
         got = fetch_df(spark, b.bootstrap, [("t", 0), ("t", 1)],
                        sasl=sasl, tls_ca=b.ca_pem)
         assert got.count() == 60
+
+
+def test_oauthbearer_with_live_token_endpoint():
+    """The reference's OAUTHBEARER flow: client-credentials grant against
+    a real HTTP token endpoint -> HS256 JWT -> RFC 7628 SASL response;
+    the broker verifies signature and expiry."""
+    from ticdc_spark.codec import oauth2
+
+    with oauth2.MiniOAuth2Server("cdc-client", "cdc-secret", "jwt-hs256-key") as idp:
+        with KafkaBroker(default_partitions=1, sasl_users={},
+                         oauth_jwt_secret="jwt-hs256-key") as b:
+            with KafkaConn.from_bootstrap(
+                    b.bootstrap,
+                    sasl=("OAUTHBEARER", idp.token_url,
+                          "cdc-client:cdc-secret")) as c:
+                assert c.produce("t", 0, [Record(b"k", b"v")]) == 0
+            # wrong client secret -> the token endpoint refuses (401)
+            with pytest.raises(Exception):
+                KafkaConn.from_bootstrap(
+                    b.bootstrap,
+                    sasl=("OAUTHBEARER", idp.token_url, "cdc-client:wrong"))
+            # forged token (wrong signing key) -> broker rejects
+            forged = oauth2.jwt_encode(
+                {"sub": "x", "exp": 1_700_003_600}, "other-key")
+            from ticdc_spark.codec import kafka_wire as _kw
+
+            conn = KafkaConn.from_bootstrap(b.bootstrap)
+            _kw.dec_sasl_handshake_response(conn._call(
+                _kw.API_SASL_HANDSHAKE, 1,
+                _kw.enc_sasl_handshake_request("OAUTHBEARER")))
+            err, msg, body = _kw.dec_sasl_authenticate_response(conn._call(
+                _kw.API_SASL_AUTHENTICATE, 0,
+                _kw.enc_sasl_authenticate_request(
+                    oauth2.oauthbearer_initial_response(forged))))
+            assert err == _kw.ERR_SASL_AUTHENTICATION_FAILED
+            assert b"invalid_token" in body
+            conn.close()
+            # expired token rejected too
+            expired = oauth2.jwt_encode(
+                {"sub": "x", "exp": 1_700_000_000}, "jwt-hs256-key")
+            assert oauth2.jwt_verify(expired, "jwt-hs256-key",
+                                     1_700_000_100) is None
+
+
+def test_jwt_roundtrip_and_tamper():
+    from ticdc_spark.codec import oauth2
+
+    tok = oauth2.jwt_encode({"sub": "a", "exp": 2_000_000_000}, "k")
+    claims = oauth2.jwt_verify(tok, "k", 1_900_000_000)
+    assert claims["sub"] == "a"
+    assert oauth2.jwt_verify(tok, "other", 1_900_000_000) is None
+    h, p, s = tok.split(".")
+    assert oauth2.jwt_verify(f"{h}.{p}x.{s}", "k", 1_900_000_000) is None
+    resp = oauth2.oauthbearer_initial_response("T0K")
+    assert oauth2.parse_oauthbearer_response(resp) == "T0K"
+    assert oauth2.parse_oauthbearer_response(b"garbage") is None

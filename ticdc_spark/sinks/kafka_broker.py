@@ -86,7 +86,9 @@ class KafkaBroker:
     def __init__(self, host: str = "127.0.0.1", default_partitions: int = 4,
                  sasl_users: dict[str, str] | None = None,
                  sasl_mechanisms: tuple[str, ...] = ("PLAIN", "SCRAM-SHA-256"),
-                 tls: bool = False):
+                 tls: bool = False,
+                 oauth_jwt_secret: str | None = None,
+                 oauth_now: int = 1_700_000_100):
         # tls=True: an SSL (or SASL_SSL, with sasl_users) listener — a
         # fresh self-signed cert; clients pin it via broker.ca_pem
         self.tls = tls
@@ -105,6 +107,13 @@ class KafkaBroker:
         # connection authenticates — real listener semantics (SASL_PLAINTEXT)
         self.sasl_users = sasl_users
         self.sasl_mechanisms = list(sasl_mechanisms)
+        # OAUTHBEARER: tokens are HS256 JWTs verified against this secret
+        # (the broker side of the reference's oauth2 token provider flow);
+        # oauth_now = deterministic clock for exp checks
+        self.oauth_jwt_secret = oauth_jwt_secret
+        self.oauth_now = oauth_now
+        if oauth_jwt_secret is not None and "OAUTHBEARER" not in self.sasl_mechanisms:
+            self.sasl_mechanisms.append("OAUTHBEARER")
         self.topics: dict[str, dict[int, _Log]] = {}
         self._topics_lock = threading.Lock()
         self.groups: dict[str, "_Group"] = {}
@@ -205,6 +214,24 @@ class KafkaBroker:
         if self.sasl_users is None or mech is None:
             return kw.enc_sasl_authenticate_response(
                 kw.ERR_ILLEGAL_SASL_STATE, "handshake first", b"")
+        if mech == "OAUTHBEARER":
+            from ticdc_spark.codec import oauth2 as _oauth2
+
+            if self.oauth_jwt_secret is None:
+                return kw.enc_sasl_authenticate_response(
+                    kw.ERR_UNSUPPORTED_SASL_MECHANISM, "OAUTHBEARER not configured", b"")
+            token = _oauth2.parse_oauthbearer_response(auth)
+            claims = (None if token is None else _oauth2.jwt_verify(
+                token, self.oauth_jwt_secret, self.oauth_now))
+            if claims is None:
+                # RFC 7628 §3.2.2: failure returns a JSON body; the client
+                # must answer \x01 before the connection fails
+                return kw.enc_sasl_authenticate_response(
+                    kw.ERR_SASL_AUTHENTICATION_FAILED,
+                    "Authentication failed",
+                    b'{"status":"invalid_token"}')
+            conn_state["authenticated"] = True
+            return kw.enc_sasl_authenticate_response(0, None, b"")
         if mech == "PLAIN":
             try:
                 _zid, user, pw = auth.decode("utf-8").split("\x00")

@@ -105,6 +105,17 @@ class KafkaConn:
         if mechanism == "PLAIN":
             authenticate(b"\x00" + username.encode() + b"\x00" + password.encode())
             return
+        if mechanism == "OAUTHBEARER":
+            # username = token URL, password = "client_id:client_secret" —
+            # the provider fetches a bearer token first (oauth2_token_
+            # provider.go: client-credentials grant), then one
+            # SaslAuthenticate round carries the RFC 7628 response
+            from ticdc_spark.codec import oauth2 as _oauth2
+
+            client_id, _, client_secret = password.partition(":")
+            token = _oauth2.fetch_token(username, client_id, client_secret)
+            authenticate(_oauth2.oauthbearer_initial_response(token))
+            return
         if mechanism == "SCRAM-SHA-256":
             from ticdc_spark.codec import scram as _scram
 
