@@ -304,9 +304,16 @@ def test_sasl_gates_apis_and_authenticates():
         for mech in ("PLAIN", "SCRAM-SHA-256"):
             with pytest.raises(IOError, match="failed"):
                 KafkaConn.from_bootstrap(b.bootstrap, sasl=(mech, "cdc", "bad"))
+        # SCRAM-SHA-512 is a supported mechanism too
+        with KafkaConn.from_bootstrap(
+                b.bootstrap, sasl=("SCRAM-SHA-512", "cdc", "pw1")) as c:
+            assert c.produce("t", 0, [Record(b"k3", b"v3")]) >= 0
+        with pytest.raises(IOError, match="failed"):
+            KafkaConn.from_bootstrap(b.bootstrap,
+                                     sasl=("SCRAM-SHA-512", "cdc", "bad"))
         with pytest.raises(IOError, match="rejected"):
             KafkaConn.from_bootstrap(b.bootstrap,
-                                     sasl=("SCRAM-SHA-512", "cdc", "pw1"))
+                                     sasl=("GSSAPI", "cdc", "pw1"))
         with pytest.raises(IOError, match="failed"):
             KafkaConn.from_bootstrap(b.bootstrap,
                                      sasl=("PLAIN", "nobody", "pw1"))

@@ -13,21 +13,25 @@ import base64
 import hashlib
 import hmac
 
+# SCRAM-SHA-512 is the same algebra over sha512 (RFC 5802 §3 is
+# hash-agnostic); every entry point takes algo="sha256"|"sha512"
 
-def _h(data: bytes) -> bytes:
-    return hashlib.sha256(data).digest()
+
+def _h(data: bytes, algo: str = "sha256") -> bytes:
+    return hashlib.new(algo, data).digest()
 
 
-def _hmac(key: bytes, msg: bytes) -> bytes:
-    return hmac.new(key, msg, hashlib.sha256).digest()
+def _hmac(key: bytes, msg: bytes, algo: str = "sha256") -> bytes:
+    return hmac.new(key, msg, algo).digest()
 
 
 def _xor(a: bytes, b: bytes) -> bytes:
     return bytes(x ^ y for x, y in zip(a, b))
 
 
-def salted_password(password: str, salt: bytes, iterations: int) -> bytes:
-    return hashlib.pbkdf2_hmac("sha256", password.encode("utf-8"), salt, iterations)
+def salted_password(password: str, salt: bytes, iterations: int,
+                    algo: str = "sha256") -> bytes:
+    return hashlib.pbkdf2_hmac(algo, password.encode("utf-8"), salt, iterations)
 
 
 def client_first_message(username: str, client_nonce: str) -> str:
@@ -52,41 +56,42 @@ def _auth_message(client_first: str, server_first: str, channel_binding: str) ->
 
 
 def client_final_message(client_first: str, server_first: str,
-                         password: str) -> tuple[str, bytes]:
+                         password: str, algo: str = "sha256") -> tuple[str, bytes]:
     """-> (client-final-message, expected ServerSignature)."""
     attrs = dict(p.split("=", 1) for p in server_first.split(","))
     salt = base64.b64decode(attrs["s"])
     iterations = int(attrs["i"])
-    sp = salted_password(password, salt, iterations)
-    client_key = _hmac(sp, b"Client Key")
-    stored_key = _h(client_key)
+    sp = salted_password(password, salt, iterations, algo)
+    client_key = _hmac(sp, b"Client Key", algo)
+    stored_key = _h(client_key, algo)
     cb = base64.b64encode(b"n,,").decode()
     auth_msg = _auth_message(client_first, server_first, cb).encode("utf-8")
-    proof = _xor(client_key, _hmac(stored_key, auth_msg))
-    server_key = _hmac(sp, b"Server Key")
-    server_sig = _hmac(server_key, auth_msg)
+    proof = _xor(client_key, _hmac(stored_key, auth_msg, algo))
+    server_key = _hmac(sp, b"Server Key", algo)
+    server_sig = _hmac(server_key, auth_msg, algo)
     final = (f"c={cb},r={attrs['r']},p={base64.b64encode(proof).decode()}")
     return final, server_sig
 
 
 def server_verify_final(client_first: str, server_first: str,
-                        client_final: str, password: str) -> tuple[bool, str]:
+                        client_final: str, password: str,
+                        algo: str = "sha256") -> tuple[bool, str]:
     """Server side: verify the proof; -> (ok, server-final-message)."""
     attrs = dict(p.split("=", 1) for p in server_first.split(","))
     salt = base64.b64decode(attrs["s"])
     iterations = int(attrs["i"])
     fattrs = dict(p.split("=", 1) for p in client_final.split(",", 2)
                   if "=" in p)
-    sp = salted_password(password, salt, iterations)
-    client_key = _hmac(sp, b"Client Key")
-    stored_key = _h(client_key)
+    sp = salted_password(password, salt, iterations, algo)
+    client_key = _hmac(sp, b"Client Key", algo)
+    stored_key = _h(client_key, algo)
     auth_msg = _auth_message(client_first, server_first, fattrs["c"]).encode("utf-8")
-    expect_proof = _xor(client_key, _hmac(stored_key, auth_msg))
+    expect_proof = _xor(client_key, _hmac(stored_key, auth_msg, algo))
     ok = hmac.compare_digest(expect_proof, base64.b64decode(fattrs["p"]))
     # nonce must match what the server issued
     ok = ok and fattrs["r"] == attrs["r"]
-    server_key = _hmac(sp, b"Server Key")
-    server_sig = _hmac(server_key, auth_msg)
+    server_key = _hmac(sp, b"Server Key", algo)
+    server_sig = _hmac(server_key, auth_msg, algo)
     return ok, "v=" + base64.b64encode(server_sig).decode()
 
 

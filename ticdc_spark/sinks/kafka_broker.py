@@ -85,7 +85,8 @@ class KafkaBroker:
 
     def __init__(self, host: str = "127.0.0.1", default_partitions: int = 4,
                  sasl_users: dict[str, str] | None = None,
-                 sasl_mechanisms: tuple[str, ...] = ("PLAIN", "SCRAM-SHA-256"),
+                 sasl_mechanisms: tuple[str, ...] = ("PLAIN", "SCRAM-SHA-256",
+                                                     "SCRAM-SHA-512"),
                  tls: bool = False,
                  oauth_jwt_secret: str | None = None,
                  oauth_now: int = 1_700_000_100):
@@ -243,7 +244,8 @@ class KafkaBroker:
                     kw.ERR_SASL_AUTHENTICATION_FAILED, "Authentication failed", b"")
             conn_state["authenticated"] = True
             return kw.enc_sasl_authenticate_response(0, None, b"")
-        # SCRAM-SHA-256: two SaslAuthenticate rounds
+        # SCRAM-SHA-256/512: two SaslAuthenticate rounds
+        algo = "sha512" if mech == "SCRAM-SHA-512" else "sha256"
         if conn_state["scram"] is None:
             client_first = auth.decode("utf-8")
             try:
@@ -265,7 +267,7 @@ class KafkaBroker:
         user, client_first, server_first = conn_state["scram"]
         ok, server_final = _scram.server_verify_final(
             client_first, server_first, auth.decode("utf-8"),
-            self.sasl_users[user])
+            self.sasl_users[user], algo=algo)
         if not ok:
             conn_state["scram"] = None
             return kw.enc_sasl_authenticate_response(

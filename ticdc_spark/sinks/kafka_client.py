@@ -116,14 +116,15 @@ class KafkaConn:
             token = _oauth2.fetch_token(username, client_id, client_secret)
             authenticate(_oauth2.oauthbearer_initial_response(token))
             return
-        if mechanism == "SCRAM-SHA-256":
+        if mechanism in ("SCRAM-SHA-256", "SCRAM-SHA-512"):
             from ticdc_spark.codec import scram as _scram
 
+            algo = "sha512" if mechanism == "SCRAM-SHA-512" else "sha256"
             client_first = _scram.client_first_message(
                 username, base64.b64encode(_os.urandom(12)).decode())
             server_first = authenticate(client_first.encode()).decode()
             final, expect_sig = _scram.client_final_message(
-                client_first, server_first, password)
+                client_first, server_first, password, algo=algo)
             server_final = authenticate(final.encode()).decode()
             if not _scram.client_check_server_final(server_final, expect_sig):
                 raise IOError("SCRAM server signature mismatch (MITM?)")
