@@ -104,10 +104,29 @@ def minhash_signature(docs: DataFrame, _shingles: DataFrame | None = None) -> Da
     return sh.select(*cols)
 
 
-def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+#: Band buckets holding more than this many documents are excluded from
+#: candidate generation.  A bucket of occupancy n produces n·(n-1)/2
+#: candidate pairs on a single shuffle key — one boilerplate mega-cluster
+#: (all docs sharing a band hash) turns the self-join quadratic on that
+#: key at 100 TB.  Buckets above the cap are near-certainly such clusters;
+#: each doc in one still has N_BANDS-1 other bands to collide on, so the
+#: recall loss is bounded (and accounted for by
+#: :func:`minhash_lsh_hot_buckets`).
+MAX_BUCKET_OCCUPANCY = 64
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8,
+                      max_bucket: int = MAX_BUCKET_OCCUPANCY) -> DataFrame:
     """Candidate pairs via LSH band-bucket equi-join, verified with exact
     Jaccard. Output identical shape to ngram_jaccard_pairs (the LSH is a
     recall-optimizing candidate generator, not a different metric).
+
+    Skew guard (the 100 TB shape, same pattern as
+    :func:`ngram_jaccard_pairs_pruned`): band buckets with occupancy
+    above ``max_bucket`` are dropped from candidate generation via a
+    broadcast anti-join against the (tiny) hot-bucket set, so the
+    self-join is skew-free by construction — no single (band, bucket)
+    key can exceed max_bucket²/2 pairs.
 
     The shingle table feeds three subtrees (signatures + both sides of
     the verify join) — cache it so the split/slice work runs once."""
@@ -122,6 +141,16 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
             ])
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+    # hot-bucket guard: occupancy is one linear shuffle on (band, bucket);
+    # the >cap survivors are by definition few (each represents >cap docs)
+    # so the anti-join side broadcasts
+    hot = (
+        bands.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") > max_bucket)
+        .select("band", "bucket")
+    )
+    bands = bands.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -150,6 +179,35 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
         .select("a_id", "b_id", "n_inter", "jaccard")
     )
     return verified
+
+
+def minhash_lsh_hot_buckets(docs: DataFrame,
+                            max_bucket: int = MAX_BUCKET_OCCUPANCY) -> DataFrame:
+    """Recall accounting for the :func:`minhash_lsh_pairs` skew guard:
+    the (band, bucket, occupancy) rows that the guard drops, plus how
+    many candidate pairs each would have generated.  Empty at healthy
+    data distributions; at 100 TB this is the audit trail for what the
+    guard excluded."""
+    sig = minhash_signature(docs)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
+                for b in range(N_BANDS)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    return (
+        bands.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") > max_bucket)
+        .select(
+            "band", "bucket", "occ",
+            (F.col("occ") * (F.col("occ") - 1) / 2)
+            .cast("long").alias("dropped_pairs"),
+        )
+    )
 
 
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:

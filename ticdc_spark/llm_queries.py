@@ -9,9 +9,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ticdc_spark.llm.dedup import (
     BAND_SIZE,
+    MAX_BUCKET_OCCUPANCY,
     N_BANDS,
     NUM_PERM,
     exact_dedup,
+    minhash_lsh_hot_buckets,
     minhash_lsh_pairs,
     minhash_signature,
     ngram_jaccard_pairs,
@@ -139,12 +141,18 @@ mh AS (
        {_MH_COLS}
     FROM sh
 ),
-bands AS (
+bands_all AS (
     SELECT doc_id, band, bucket FROM (
         SELECT doc_id,
            {_BAND_COLS}
         FROM mh
     ) UNPIVOT (bucket FOR band IN ({', '.join(f'band{b}' for b in range(N_BANDS))}))
+),
+-- hot-bucket guard mirror: buckets above MAX_BUCKET_OCCUPANCY are
+-- excluded from candidate generation (llm/dedup.py minhash_lsh_pairs)
+bands AS (
+    SELECT doc_id, band, bucket FROM bands_all
+    QUALIFY count(*) OVER (PARTITION BY band, bucket) <= {MAX_BUCKET_OCCUPANCY}
 ),
 cand AS (
     SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
@@ -168,6 +176,36 @@ SELECT * FROM verified WHERE jaccard >= 0.8
 @register("dedup_minhash_lsh", _LSH_PAIRS_ORACLE)
 def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+_LSH_HOT_BUCKETS_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+mh AS (
+    SELECT doc_id,
+       {_MH_COLS}
+    FROM sh
+),
+bands AS (
+    SELECT doc_id, band, bucket FROM (
+        SELECT doc_id,
+           {_BAND_COLS}
+        FROM mh
+    ) UNPIVOT (bucket FOR band IN ({', '.join(f'band{b}' for b in range(N_BANDS))}))
+)
+SELECT CAST(substr(band, 5) AS INTEGER) AS band, bucket, count(*) AS occ,
+       CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS dropped_pairs
+FROM bands
+GROUP BY band, bucket
+HAVING count(*) > {MAX_BUCKET_OCCUPANCY}
+"""
+
+
+@register("dedup_minhash_lsh_hot_buckets", _LSH_HOT_BUCKETS_ORACLE)
+def q_dedup_minhash_lsh_hot_buckets(spark, sf_dir):
+    """Recall-accounting side of the minhash LSH skew guard: the
+    dropped (band, bucket) keys and how many pairs each would have
+    produced (empty on healthy distributions)."""
+    return minhash_lsh_hot_buckets(_docs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
