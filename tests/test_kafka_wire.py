@@ -473,3 +473,58 @@ def test_jwt_roundtrip_and_tamper():
     resp = oauth2.oauthbearer_initial_response("T0K")
     assert oauth2.parse_oauthbearer_response(resp) == "T0K"
     assert oauth2.parse_oauthbearer_response(b"garbage") is None
+
+
+def test_truncated_tail_batch_keeps_log_consistent(broker):
+    """A record set whose trailing batch is truncated mid-header must not
+    corrupt the log: complete batches append once with contiguous base
+    offsets, next_offset advances, and the connection stays alive."""
+    with KafkaConn.from_bootstrap(broker.bootstrap) as c:
+        good = kw.encode_record_batch([Record(b"k0", b"v0"), Record(b"k1", b"v1")])
+        tail = kw.encode_record_batch([Record(b"k2", b"v2")])
+        # cut the second batch inside its header (<12 bytes of tail left
+        # after the first batch) — decode_record_batches tolerates this
+        rs = good + tail[:8]
+        resp = kw.dec_produce_response(
+            c._call(kw.API_PRODUCE, 3, kw.enc_produce_request({"tt": {0: rs}})))
+        assert resp["tt"][0] == (0, 0)
+        # a follow-up produce must get base offset 2, not a duplicate 0
+        base = c.produce("tt", 0, [Record(b"k2", b"v2")])
+        assert base == 2
+        got = c.fetch_all("tt", 0)
+        assert [o for o, _ in got] == [0, 1, 2]
+
+
+def test_produce_acks0_sends_no_response(broker):
+    """acks=0 is fire-and-forget: the broker appends but must NOT reply,
+    or a spec-conforming client's correlation ids desynchronize."""
+    with KafkaConn.from_bootstrap(broker.bootstrap) as c:
+        rs = kw.encode_record_batch([Record(b"a", b"b")])
+        c._corr += 1
+        c.sock.sendall(kw.frame_request(
+            kw.API_PRODUCE, 3, c._corr, c.client_id,
+            kw.enc_produce_request({"t0": {0: rs}}, acks=0)))
+        # next call reuses the same socket; any stray produce response
+        # would surface as a correlation-id mismatch here
+        md = c.metadata(["t0"])
+        assert "t0" in md["topics"]
+        assert broker.high_watermark("t0", 0) == 1
+
+
+def test_scram_saslname_escaping():
+    """RFC 5802 §5.1: ',' and '=' in usernames travel as =2C/=3D; a
+    username containing both authenticates end-to-end over SCRAM."""
+    from ticdc_spark.codec import scram as s
+    assert s.saslname_escape("a,b=c") == "a=2Cb=3Dc"
+    assert s.saslname_unescape("a=2Cb=3Dc") == "a,b=c"
+    with pytest.raises(ValueError):
+        s.saslname_unescape("bad=4Dname")
+    assert "n=we=2Cird=3Du," in s.client_first_message("we,ird=u", "nonce")
+
+    users = {"we,ird=u": "pw"}
+    with KafkaBroker(sasl_users=users) as b:
+        with KafkaConn.from_bootstrap(
+                b.bootstrap,
+                sasl=("SCRAM-SHA-256", "we,ird=u", "pw")) as c:
+            c.produce("t", 0, [Record(b"k", b"v")])
+            assert len(c.fetch_all("t", 0)) == 1

@@ -423,7 +423,13 @@ def test_vector_float32_value_codec():
     assert b.hex() == "03000000" + "0000c03f" + "000010c0" + "0000003e"
     assert decode_value(b, "vector") == "[1.5,-2.25,0.125]"
     assert decode_value(encode_value("[]", "vector"), "vector") == "[]"
-    assert decode_value(encode_value([0.5, 2.0], "vector"), "vector") == "[0.5,2.0]"
+    # strconv.FormatFloat(f, 'f', -1, 32) semantics: shortest positional
+    # text at f32 precision — 2.0 renders "2", not "2.0"
+    assert decode_value(encode_value([0.5, 2.0], "vector"), "vector") == "[0.5,2]"
+    # non-dyadic: f32(0.1) must render back as "0.1", not the widened
+    # f64 repr 0.10000000149011612 — text round-trip idempotence
+    assert decode_value(encode_value("[0.1,0.3]", "vector"), "vector") == "[0.1,0.3]"
+    assert render_vector([0.1]) == "[0.1]"
     assert parse_vector_text("[1.5, -2.0]") == [1.5, -2.0]
     assert render_vector([]) == "[]"
 

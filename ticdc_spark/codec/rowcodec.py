@@ -36,6 +36,8 @@ from __future__ import annotations
 
 import struct
 
+import numpy as _np
+
 CODEC_VER = 0x80
 
 # -- varint (protobuf zigzag, util/codec) -----------------------------------
@@ -206,8 +208,14 @@ def parse_vector_text(text: str) -> list[float]:
 
 def render_vector(vals) -> str:
     """TiDB VectorFloat32 String() shape: comma-joined, no spaces;
-    shortest float text (f32 values widen exactly to f64 first)."""
-    return "[" + ",".join(repr(float(v)) for v in vals) + "]"
+    each element rendered like strconv.FormatFloat(f, 'f', -1, 32) —
+    the shortest positional decimal that round-trips at FLOAT32
+    precision (0.1 -> "0.1", 2.0 -> "2"), NOT the f64-widened repr
+    ("0.10000000149011612")."""
+    return "[" + ",".join(
+        _np.format_float_positional(_np.float32(v), unique=True, trim="-")
+        for v in vals
+    ) + "]"
 
 
 _INT_TYPES = {"tinyint", "smallint", "int", "bigint", "year", "bool"}

@@ -34,9 +34,27 @@ def salted_password(password: str, salt: bytes, iterations: int,
     return hashlib.pbkdf2_hmac(algo, password.encode("utf-8"), salt, iterations)
 
 
+def saslname_escape(name: str) -> str:
+    """RFC 5802 §5.1 saslname encoding: ',' -> =2C, '=' -> =3D (in that
+    attribute-value position a raw ',' or '=' would break parsing)."""
+    return name.replace("=", "=3D").replace(",", "=2C")
+
+
+def saslname_unescape(name: str) -> str:
+    """Inverse of :func:`saslname_escape`; a '=' not starting =2C/=3D is
+    a protocol error per RFC 5802."""
+    rest = name
+    while "=" in rest:
+        i = rest.index("=")
+        if rest[i:i + 3] not in ("=2C", "=3D"):
+            raise ValueError(f"malformed saslname: {name!r}")
+        rest = rest[i + 3:]
+    return name.replace("=2C", ",").replace("=3D", "=")
+
+
 def client_first_message(username: str, client_nonce: str) -> str:
     # gs2 header "n,," = no channel binding
-    return f"n,,n={username},r={client_nonce}"
+    return f"n,,n={saslname_escape(username)},r={client_nonce}"
 
 
 def server_first_message(client_first: str, server_nonce_ext: str,

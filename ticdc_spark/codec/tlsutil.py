@@ -1,10 +1,22 @@
 """TLS material + contexts for the live wire endpoints.
 
-The reference's connectors all take TLS options (kafka `enable-tls` +
-ca/cert/key paths in the sink URI, `pkg/security`); the in-process
-endpoints accept an `ssl.SSLContext` built here from a freshly generated
-self-signed certificate (SECP256R1, IP SAN), so SSL and SASL_SSL
-listener shapes are exercised over real TLS handshakes.
+The reference's connectors all take a full credential triple —
+`Credential{CAPath, CertPath, KeyPath}` (pkg/security/credential.go) —
+meaning: verify the peer against CAPath, and present CertPath/KeyPath
+as our own identity (mutual TLS when the server demands it).  This
+module mirrors that shape with in-memory PEMs:
+
+- :func:`make_ca` — a self-signed CA.
+- :func:`issue_cert` — a CA-signed leaf (server leaf carries an IP/DNS
+  SAN; client leaf carries clientAuth EKU).
+- :func:`server_context` — server side; pass ``client_ca_pem`` to
+  require and verify client certificates (mTLS).
+- :func:`client_context` — client side; hostname verification is ON
+  (the server leafs carry a proper IP SAN); pass cert/key to present a
+  client identity.
+
+:func:`make_self_signed` (a leaf that is its own CA) is kept for the
+single-sided listeners.
 """
 
 from __future__ import annotations
@@ -16,33 +28,13 @@ import ssl
 import tempfile
 
 
-def make_self_signed(hostname: str = "127.0.0.1") -> tuple[bytes, bytes]:
-    """-> (cert_pem, key_pem) for a self-signed server cert with an IP SAN."""
-    from cryptography import x509
-    from cryptography.hazmat.primitives import hashes, serialization
+def _ec_key():
     from cryptography.hazmat.primitives.asymmetric import ec
-    from cryptography.x509.oid import NameOID
+    return ec.generate_private_key(ec.SECP256R1())
 
-    key = ec.generate_private_key(ec.SECP256R1())
-    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, hostname)])
-    try:
-        san = x509.SubjectAlternativeName(
-            [x509.IPAddress(ipaddress.ip_address(hostname))])
-    except ValueError:
-        san = x509.SubjectAlternativeName([x509.DNSName(hostname)])
-    cert = (
-        x509.CertificateBuilder()
-        .subject_name(name)
-        .issuer_name(name)
-        .public_key(key.public_key())
-        .serial_number(x509.random_serial_number())
-        .not_valid_before(datetime.datetime(2020, 1, 1))
-        .not_valid_after(datetime.datetime(2050, 1, 1))
-        .add_extension(san, critical=False)
-        .add_extension(x509.BasicConstraints(ca=True, path_length=None),
-                       critical=True)
-        .sign(key, hashes.SHA256())
-    )
+
+def _pem(cert, key) -> tuple[bytes, bytes]:
+    from cryptography.hazmat.primitives import serialization
     cert_pem = cert.public_bytes(serialization.Encoding.PEM)
     key_pem = key.private_bytes(
         serialization.Encoding.PEM,
@@ -52,25 +44,144 @@ def make_self_signed(hostname: str = "127.0.0.1") -> tuple[bytes, bytes]:
     return cert_pem, key_pem
 
 
-def server_context(cert_pem: bytes, key_pem: bytes) -> ssl.SSLContext:
-    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
-    # load_cert_chain wants files; park them in a private tempdir
+_NOT_BEFORE = datetime.datetime(2020, 1, 1)
+_NOT_AFTER = datetime.datetime(2050, 1, 1)
+
+
+def _san_for(hostname: str):
+    from cryptography import x509
+    try:
+        return x509.SubjectAlternativeName(
+            [x509.IPAddress(ipaddress.ip_address(hostname))])
+    except ValueError:
+        return x509.SubjectAlternativeName([x509.DNSName(hostname)])
+
+
+def make_self_signed(hostname: str = "127.0.0.1") -> tuple[bytes, bytes]:
+    """-> (cert_pem, key_pem) for a self-signed server cert with an IP SAN
+    (the cert doubles as its own CA for pin-style verification)."""
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes
+    from cryptography.x509.oid import NameOID
+
+    key = _ec_key()
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, hostname)])
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name)
+        .issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(_NOT_BEFORE)
+        .not_valid_after(_NOT_AFTER)
+        .add_extension(_san_for(hostname), critical=False)
+        .add_extension(x509.BasicConstraints(ca=True, path_length=None),
+                       critical=True)
+        .sign(key, hashes.SHA256())
+    )
+    return _pem(cert, key)
+
+
+def make_ca(common_name: str = "ticdc-spark-test-ca") -> tuple[bytes, bytes]:
+    """-> (ca_cert_pem, ca_key_pem): a self-signed signing CA."""
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes
+    from cryptography.x509.oid import NameOID
+
+    key = _ec_key()
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, common_name)])
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name)
+        .issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(_NOT_BEFORE)
+        .not_valid_after(_NOT_AFTER)
+        .add_extension(x509.BasicConstraints(ca=True, path_length=0),
+                       critical=True)
+        .add_extension(x509.KeyUsage(
+            digital_signature=True, key_cert_sign=True, crl_sign=True,
+            content_commitment=False, key_encipherment=False,
+            data_encipherment=False, key_agreement=False,
+            encipher_only=False, decipher_only=False), critical=True)
+        .sign(key, hashes.SHA256())
+    )
+    return _pem(cert, key)
+
+
+def issue_cert(ca_cert_pem: bytes, ca_key_pem: bytes,
+               hostname: str = "127.0.0.1",
+               client: bool = False) -> tuple[bytes, bytes]:
+    """CA-signed leaf. ``client=False`` -> server cert with an IP/DNS SAN
+    and serverAuth EKU; ``client=True`` -> client cert with clientAuth EKU
+    (CN = hostname arg, which then names the client identity)."""
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.x509.oid import ExtendedKeyUsageOID, NameOID
+
+    ca_cert = x509.load_pem_x509_certificate(ca_cert_pem)
+    ca_key = serialization.load_pem_private_key(ca_key_pem, password=None)
+    key = _ec_key()
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, hostname)])
+    eku = (ExtendedKeyUsageOID.CLIENT_AUTH if client
+           else ExtendedKeyUsageOID.SERVER_AUTH)
+    b = (
+        x509.CertificateBuilder()
+        .subject_name(name)
+        .issuer_name(ca_cert.subject)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(_NOT_BEFORE)
+        .not_valid_after(_NOT_AFTER)
+        .add_extension(x509.BasicConstraints(ca=False, path_length=None),
+                       critical=True)
+        .add_extension(x509.ExtendedKeyUsage([eku]), critical=False)
+    )
+    if not client:
+        b = b.add_extension(_san_for(hostname), critical=False)
+    cert = b.sign(ca_key, hashes.SHA256())
+    return _pem(cert, key)
+
+
+def _park(*pems: bytes) -> list[str]:
+    """ssl's load_* APIs want files; park PEMs in a private tempdir."""
     d = tempfile.mkdtemp(prefix="tls-")
-    cert_path = os.path.join(d, "cert.pem")
-    key_path = os.path.join(d, "key.pem")
-    with open(cert_path, "wb") as f:
-        f.write(cert_pem)
-    with open(key_path, "wb") as f:
-        f.write(key_pem)
+    paths = []
+    for i, pem in enumerate(pems):
+        p = os.path.join(d, f"{i}.pem")
+        with open(p, "wb") as f:
+            f.write(pem)
+        paths.append(p)
+    return paths
+
+
+def server_context(cert_pem: bytes, key_pem: bytes,
+                   client_ca_pem: bytes | None = None) -> ssl.SSLContext:
+    """Server context.  With ``client_ca_pem``, the listener demands and
+    verifies a client certificate chained to that CA (mutual TLS — the
+    CertPath/KeyPath half of the reference's Credential)."""
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    cert_path, key_path = _park(cert_pem, key_pem)
     ctx.load_cert_chain(cert_path, key_path)
+    if client_ca_pem is not None:
+        ctx.load_verify_locations(cadata=client_ca_pem.decode())
+        ctx.verify_mode = ssl.CERT_REQUIRED
     return ctx
 
 
-def client_context(ca_pem: bytes) -> ssl.SSLContext:
+def client_context(ca_pem: bytes, cert_pem: bytes | None = None,
+                   key_pem: bytes | None = None) -> ssl.SSLContext:
     """Verifying client context pinned to the given CA — the `ca-path`
-    option's semantics (no system trust store)."""
+    option's semantics (no system trust store).  Hostname verification
+    stays ON: server leafs carry a real IP/DNS SAN, so a CA-signed cert
+    for a different identity is rejected.  Pass cert/key to present a
+    client certificate for mTLS listeners."""
     ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
     ctx.load_verify_locations(cadata=ca_pem.decode())
-    ctx.check_hostname = False  # IP SAN verified via cert match below
+    ctx.check_hostname = True
     ctx.verify_mode = ssl.CERT_REQUIRED
+    if cert_pem is not None:
+        cert_path, key_path = _park(cert_pem, key_pem or b"")
+        ctx.load_cert_chain(cert_path, key_path)
     return ctx

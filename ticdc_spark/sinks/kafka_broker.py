@@ -43,20 +43,29 @@ class _Log:
         kw.decode_record_batches(record_set)  # raises on bad CRC/magic
         with self.lock:
             # rewrite each batch's baseOffset (first 8 bytes) to its assigned
-            # offset — CRC stays valid because it doesn't cover baseOffset
+            # offset — CRC stays valid because it doesn't cover baseOffset.
+            # Stage into a local list and commit only after the whole set
+            # parses: a truncated trailing batch (tolerated by decode above,
+            # which ignores partial tails) must not leave earlier batches
+            # appended with next_offset never advanced — that assigns
+            # duplicate base offsets to the next append and corrupts the log.
             out_base = self.next_offset
             pos = 0
             assigned = self.next_offset
-            while pos < len(record_set):
+            staged: list[bytes] = []
+            while pos + 12 <= len(record_set):
                 batch_len = struct.unpack_from(">i", record_set, pos + 8)[0]
                 end = pos + 12 + batch_len
+                if batch_len < 0 or end > len(record_set):
+                    break  # partial tail — mirror decode's tolerance
                 body = record_set[pos + 8 : end]
                 n_records = struct.unpack_from(">i", record_set, pos + 57)[0]
-                self.batches.append(struct.pack(">q", assigned) + body)
+                staged.append(struct.pack(">q", assigned) + body)
                 assigned += n_records
                 pos = end
             if assigned == out_base:
                 raise ValueError("empty record set")
+            self.batches.extend(staged)
             self.next_offset = assigned
             return out_base
 
@@ -249,8 +258,13 @@ class KafkaBroker:
         if conn_state["scram"] is None:
             client_first = auth.decode("utf-8")
             try:
-                user = dict(p.split("=", 1)
-                            for p in client_first.split(",")[2:])["n"]
+                # the saslname is escaped per RFC 5802 §5.1 (',' -> =2C,
+                # '=' -> =3D), so the comma/equals split is unambiguous;
+                # unescape recovers the real username (and rejects any
+                # stray '=' sequence as malformed)
+                user = _scram.saslname_unescape(
+                    dict(p.split("=", 1)
+                         for p in client_first.split(",")[2:])["n"])
             except (KeyError, ValueError):
                 return kw.enc_sasl_authenticate_response(
                     kw.ERR_SASL_AUTHENTICATION_FAILED, "malformed client-first", b"")
@@ -337,8 +351,13 @@ class KafkaBroker:
                     try:
                         base = t[idx].append(record_set)
                         results[topic][idx] = (0, base)
-                    except ValueError:
+                    except (ValueError, struct.error):
                         results[topic][idx] = (2, -1)  # CORRUPT_MESSAGE
+            if acks == 0:
+                # fire-and-forget: the protocol sends NO response for
+                # acks=0 — replying would desynchronize correlation ids
+                # on a spec-conforming client (sendall(b"") is a no-op)
+                return b""
             return kw.frame_response(corr, kw.enc_produce_response(results))
         if api_key == kw.API_LIST_OFFSETS:
             wants = kw.dec_list_offsets_request(r)
