@@ -170,6 +170,17 @@ def server_context(cert_pem: bytes, key_pem: bytes,
     return ctx
 
 
+def mutual_server_material(host: str) -> tuple[bytes, bytes, ssl.SSLContext]:
+    """One-call mTLS listener setup: a fresh CA, a CA-signed server leaf,
+    and a server context that REQUIRES client certs chained to that CA.
+    -> (ca_cert_pem, ca_key_pem, ctx); mint client identities with
+    issue_cert(ca_cert, ca_key, name, client=True)."""
+    ca_cert, ca_key = make_ca()
+    cert_pem, key_pem = issue_cert(ca_cert, ca_key, host)
+    return ca_cert, ca_key, server_context(cert_pem, key_pem,
+                                           client_ca_pem=ca_cert)
+
+
 def client_context(ca_pem: bytes, cert_pem: bytes | None = None,
                    key_pem: bytes | None = None) -> ssl.SSLContext:
     """Verifying client context pinned to the given CA — the `ca-path`

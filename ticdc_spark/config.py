@@ -307,7 +307,11 @@ def apply_sink_uri_params(cfg) -> None:
     """Mutates ``cfg`` with the modeled sink-URI query parameters."""
     from urllib.parse import parse_qs, urlsplit
 
-    query = urlsplit(cfg.sink_uri).query
+    u = urlsplit(cfg.sink_uri)
+    # an +ssl scheme implies TLS even without query params
+    if u.scheme.lower().endswith("+ssl") or u.scheme.lower() == "https":
+        cfg.enable_tls = True
+    query = u.query
     if not query:
         return
     q = {k: v[-1] for k, v in parse_qs(query).items()}
@@ -373,3 +377,21 @@ def apply_sink_uri_params(cfg) -> None:
             q["avro-bigint-unsigned-handling-mode"])
     if q.get("schema-registry"):
         cfg.schema_registry = q["schema-registry"]
+    # TLS credential triple (`pkg/security/credential.go:107-110`):
+    # kafka spells it ca/cert/key + enable-tls (`pkg/sink/kafka/
+    # options.go`), mysql ssl-ca/ssl-cert/ssl-key (`pkg/sink/mysql/
+    # config.go`); both normalize to the same Credential
+    if "enable-tls" in q:
+        cfg.enable_tls = q["enable-tls"].lower() == "true"
+    ca = q.get("ca") or q.get("ssl-ca") or ""
+    cert = q.get("cert") or q.get("ssl-cert") or ""
+    key = q.get("key") or q.get("ssl-key") or ""
+    if bool(cert) != bool(key):
+        raise ValueError(
+            "TLS client credential needs BOTH cert and key "
+            f"(got cert={cert!r}, key={key!r})")
+    if ca:
+        cfg.tls_ca_path = ca
+        cfg.enable_tls = True
+    cfg.tls_cert_path = cert or cfg.tls_cert_path
+    cfg.tls_key_path = key or cfg.tls_key_path

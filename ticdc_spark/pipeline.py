@@ -198,6 +198,14 @@ class ChangefeedConfig:
     # [sink.cloud-storage-config] — normalized + validated by
     # config.parse_cloud_storage_config (None = defaults)
     cloud_storage_config: dict | None = None
+    # --- TLS credential triple (`pkg/security/credential.go:107-110`;
+    # sink-URI params `ca`/`cert`/`key`, mysql aliases
+    # `ssl-ca`/`ssl-cert`/`ssl-key`, kafka `enable-tls`): ca verifies
+    # the endpoint, cert+key present a client identity (mutual TLS) ---
+    enable_tls: bool = False
+    tls_ca_path: str = ""
+    tls_cert_path: str = ""
+    tls_key_path: str = ""
 
 
 def apply_replication_window(cl: DataFrame,

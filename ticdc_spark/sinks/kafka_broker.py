@@ -97,19 +97,29 @@ class KafkaBroker:
                  sasl_mechanisms: tuple[str, ...] = ("PLAIN", "SCRAM-SHA-256",
                                                      "SCRAM-SHA-512"),
                  tls: bool = False,
+                 mutual_tls: bool = False,
                  oauth_jwt_secret: str | None = None,
                  oauth_now: int = 1_700_000_100):
         # tls=True: an SSL (or SASL_SSL, with sasl_users) listener — a
-        # fresh self-signed cert; clients pin it via broker.ca_pem
+        # fresh self-signed cert; clients pin it via broker.ca_pem.
+        # mutual_tls=True additionally demands a client certificate
+        # chained to the broker's CA (the reference Credential's
+        # cert-path/key-path half); mint one via issue_client_cert().
         self.tls = tls
+        self.mutual_tls = mutual_tls
         self.ca_pem = None
         self._tls_ctx = None
+        self._ca_key = None
         if tls:
-            from ticdc_spark.codec.tlsutil import make_self_signed, server_context
+            from ticdc_spark.codec import tlsutil
 
-            cert_pem, key_pem = make_self_signed(host)
-            self.ca_pem = cert_pem
-            self._tls_ctx = server_context(cert_pem, key_pem)
+            if mutual_tls:
+                self.ca_pem, self._ca_key, self._tls_ctx = (
+                    tlsutil.mutual_server_material(host))
+            else:
+                cert_pem, key_pem = tlsutil.make_self_signed(host)
+                self.ca_pem = cert_pem
+                self._tls_ctx = tlsutil.server_context(cert_pem, key_pem)
         self.host = host
         self.default_partitions = default_partitions
         # when sasl_users is set, every API except ApiVersions/SaslHandshake/
@@ -195,6 +205,15 @@ class KafkaBroker:
     @property
     def bootstrap(self) -> str:
         return f"{self.host}:{self.port}"
+
+    def issue_client_cert(self, name: str = "client") -> tuple[bytes, bytes]:
+        """Mint a client certificate the mTLS listener accepts
+        (-> (cert_pem, key_pem), chained to broker.ca_pem)."""
+        from ticdc_spark.codec import tlsutil
+
+        if self._ca_key is None:
+            raise ValueError("broker is not in mutual_tls mode")
+        return tlsutil.issue_cert(self.ca_pem, self._ca_key, name, client=True)
 
     # -- log access
 

@@ -23,16 +23,20 @@ from ticdc_spark.sinks.kafka_broker import _recv_exact
 class KafkaConn:
     def __init__(self, host: str, port: int, client_id: str = "ticdc-spark",
                  timeout: float = 30.0, sasl: tuple[str, str, str] | None = None,
-                 tls_ca: bytes | None = None):
+                 tls_ca: bytes | None = None,
+                 tls_client_cert: tuple[bytes, bytes] | None = None):
         """``sasl``: (mechanism, username, password) — PLAIN or
         SCRAM-SHA-256, run after the ApiVersions probe like sarama's
         SASL_PLAINTEXT dialer. ``tls_ca``: PEM to pin for an SSL/SASL_SSL
-        listener (the enable-tls + ca-path sink-URI options)."""
+        listener (the enable-tls + ca-path sink-URI options);
+        ``tls_client_cert``: (cert_pem, key_pem) presented to an mTLS
+        listener (the cert-path/key-path options)."""
         self.sock = socket.create_connection((host, port), timeout=timeout)
         if tls_ca is not None:
             from ticdc_spark.codec.tlsutil import client_context
 
-            self.sock = client_context(tls_ca).wrap_socket(
+            cert, key = tls_client_cert or (None, None)
+            self.sock = client_context(tls_ca, cert, key).wrap_socket(
                 self.sock, server_hostname=host)
         self.client_id = client_id
         self._corr = 0

@@ -35,7 +35,8 @@ class Resultset:
 
 class MySQLConn:
     def __init__(self, host: str, port: int, user: str, password: str,
-                 timeout: float = 60.0, tls_ca: bytes | None = None):
+                 timeout: float = 60.0, tls_ca: bytes | None = None,
+                 tls_client_cert: tuple[bytes, bytes] | None = None):
         self.sock = socket.create_connection((host, port), timeout=timeout)
         got = mw.read_packet(self.sock)
         if got is None:
@@ -56,7 +57,8 @@ class MySQLConn:
             seq = mw.write_packet(self.sock, seq + 1, mw.enc_ssl_request(caps))
             from ticdc_spark.codec.tlsutil import client_context
 
-            self.sock = client_context(tls_ca).wrap_socket(
+            cert, key = tls_client_cert or (None, None)
+            self.sock = client_context(tls_ca, cert, key).wrap_socket(
                 self.sock, server_hostname=host)
             seq -= 1  # the response continues the same packet sequence
         mw.write_packet(

@@ -42,19 +42,29 @@ class MiniMySQLServer:
         schemas: tuple[str, ...] = ("test",),
         host: str = "127.0.0.1",
         tls: bool = False,
+        mutual_tls: bool = False,
     ):
         # tls=True advertises CLIENT_SSL; a client may send Protocol::
         # SSLRequest after the handshake packet and upgrade mid-stream
-        # (the ssl-ca/require-secure-transport deployment shape)
+        # (the ssl-ca/require-secure-transport deployment shape).
+        # mutual_tls=True makes the upgrade demand a client certificate
+        # chained to the server's CA (ssl-cert/ssl-key client options);
+        # mint one with issue_client_cert().
         self.tls = tls
+        self.mutual_tls = mutual_tls
         self.ca_pem = None
         self._tls_ctx = None
+        self._ca_key = None
         if tls:
-            from ticdc_spark.codec.tlsutil import make_self_signed, server_context
+            from ticdc_spark.codec import tlsutil
 
-            cert_pem, key_pem = make_self_signed(host)
-            self.ca_pem = cert_pem
-            self._tls_ctx = server_context(cert_pem, key_pem)
+            if mutual_tls:
+                self.ca_pem, self._ca_key, self._tls_ctx = (
+                    tlsutil.mutual_server_material(host))
+            else:
+                cert_pem, key_pem = tlsutil.make_self_signed(host)
+                self.ca_pem = cert_pem
+                self._tls_ctx = tlsutil.server_context(cert_pem, key_pem)
         self.user = user
         self.password = password
         self.host = host
@@ -83,6 +93,15 @@ class MiniMySQLServer:
         self._server = Server((host, 0), Handler)
         self.port = self._server.server_address[1]
         self._accept_thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+
+    def issue_client_cert(self, name: str = "client") -> tuple[bytes, bytes]:
+        """Mint a client certificate the mTLS upgrade accepts
+        (-> (cert_pem, key_pem), chained to server.ca_pem)."""
+        from ticdc_spark.codec import tlsutil
+
+        if self._ca_key is None:
+            raise ValueError("server is not in mutual_tls mode")
+        return tlsutil.issue_cert(self.ca_pem, self._ca_key, name, client=True)
 
     # -- lifecycle
 

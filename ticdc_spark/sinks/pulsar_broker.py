@@ -22,17 +22,25 @@ from ticdc_spark.sinks.kafka_broker import _recv_exact
 
 class PulsarBroker:
     def __init__(self, host: str = "127.0.0.1", token: str | None = None,
-                 tls: bool = False):
-        # tls=True: a pulsar+ssl:// listener with a fresh self-signed cert
+                 tls: bool = False, mutual_tls: bool = False):
+        # tls=True: a pulsar+ssl:// listener with a fresh self-signed cert;
+        # mutual_tls=True demands a client certificate chained to the
+        # broker's CA (pulsar's tlsRequireTrustedClientCertOnConnect shape)
         self.tls = tls
+        self.mutual_tls = mutual_tls
         self.ca_pem = None
         self._tls_ctx = None
+        self._ca_key = None
         if tls:
-            from ticdc_spark.codec.tlsutil import make_self_signed, server_context
+            from ticdc_spark.codec import tlsutil
 
-            cert_pem, key_pem = make_self_signed(host)
-            self.ca_pem = cert_pem
-            self._tls_ctx = server_context(cert_pem, key_pem)
+            if mutual_tls:
+                self.ca_pem, self._ca_key, self._tls_ctx = (
+                    tlsutil.mutual_server_material(host))
+            else:
+                cert_pem, key_pem = tlsutil.make_self_signed(host)
+                self.ca_pem = cert_pem
+                self._tls_ctx = tlsutil.server_context(cert_pem, key_pem)
         # token auth (the reference's `authentication-token` pulsar config,
         # `pkg/sink/pulsar/config.go`): CONNECT must carry
         # auth_method_name="token" + the exact credential
@@ -86,6 +94,15 @@ class PulsarBroker:
     def service_url(self) -> str:
         scheme = "pulsar+ssl" if self.tls else "pulsar"
         return f"{scheme}://{self.host}:{self.port}"
+
+    def issue_client_cert(self, name: str = "client") -> tuple[bytes, bytes]:
+        """Mint a client certificate the mTLS listener accepts
+        (-> (cert_pem, key_pem), chained to broker.ca_pem)."""
+        from ticdc_spark.codec import tlsutil
+
+        if self._ca_key is None:
+            raise ValueError("broker is not in mutual_tls mode")
+        return tlsutil.issue_cert(self.ca_pem, self._ca_key, name, client=True)
 
     def topic_size(self, topic: str) -> int:
         with self._lock:

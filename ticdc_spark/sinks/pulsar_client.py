@@ -20,12 +20,14 @@ _NEG_ONE = (1 << 64) - 1
 
 class PulsarConn:
     def __init__(self, host: str, port: int, timeout: float = 60.0,
-                 token: str | None = None, tls_ca: bytes | None = None):
+                 token: str | None = None, tls_ca: bytes | None = None,
+                 tls_client_cert: tuple[bytes, bytes] | None = None):
         self.sock = socket.create_connection((host, port), timeout=timeout)
         if tls_ca is not None:
             from ticdc_spark.codec.tlsutil import client_context
 
-            self.sock = client_context(tls_ca).wrap_socket(
+            cert, key = tls_client_cert or (None, None)
+            self.sock = client_context(tls_ca, cert, key).wrap_socket(
                 self.sock, server_hostname=host)
         self._ids = 0
         self._producer_topics: dict[int, int] = {}  # producer_id -> next sequence_id

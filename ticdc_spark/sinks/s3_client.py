@@ -25,7 +25,8 @@ class S3Error(Exception):
 class S3Client:
     def __init__(self, endpoint: str, access_key: str, secret_key: str,
                  region: str = "us-east-1", amz_date: str = "20260101T000000Z",
-                 tls_ca: bytes | None = None):
+                 tls_ca: bytes | None = None,
+                 tls_client_cert: tuple[bytes, bytes] | None = None):
         u = urllib.parse.urlsplit(endpoint)
         self.host = u.hostname
         self.port = u.port
@@ -40,9 +41,10 @@ class S3Client:
 
             if tls_ca is None:
                 raise ValueError("https endpoint needs tls_ca (pinned CA)")
+            cert, key = tls_client_cert or (None, None)
             self.conn = http.client.HTTPSConnection(
                 self.host, self.port, timeout=60,
-                context=client_context(tls_ca))
+                context=client_context(tls_ca, cert, key))
         else:
             self.conn = http.client.HTTPConnection(self.host, self.port, timeout=60)
 

@@ -25,10 +25,15 @@ _XMLNS = "http://s3.amazonaws.com/doc/2006-03-01/"
 
 class MiniS3Server:
     def __init__(self, access_key: str = "AKIDTEST", secret_key: str = "s3cr3t",
-                 host: str = "127.0.0.1", tls: bool = False):
-        # tls=True: an https:// endpoint with a fresh self-signed cert
+                 host: str = "127.0.0.1", tls: bool = False,
+                 mutual_tls: bool = False):
+        # tls=True: an https:// endpoint with a fresh self-signed cert;
+        # mutual_tls=True demands a client certificate chained to the
+        # server's CA (mint one with issue_client_cert())
         self.tls = tls
+        self.mutual_tls = mutual_tls
         self.ca_pem = None
+        self._ca_key = None
         self.access_key = access_key
         self.secret_key = secret_key
         self.host = host
@@ -170,11 +175,16 @@ class MiniS3Server:
 
         self._server = ThreadingHTTPServer((host, 0), Handler)
         if tls:
-            from ticdc_spark.codec.tlsutil import make_self_signed, server_context
+            from ticdc_spark.codec import tlsutil
 
-            cert_pem, key_pem = make_self_signed(host)
-            self.ca_pem = cert_pem
-            self._server.socket = server_context(cert_pem, key_pem).wrap_socket(
+            if mutual_tls:
+                self.ca_pem, self._ca_key, ctx = (
+                    tlsutil.mutual_server_material(host))
+            else:
+                cert_pem, key_pem = tlsutil.make_self_signed(host)
+                self.ca_pem = cert_pem
+                ctx = tlsutil.server_context(cert_pem, key_pem)
+            self._server.socket = ctx.wrap_socket(
                 self._server.socket, server_side=True)
         self.port = self._server.server_address[1]
         self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
@@ -197,3 +207,12 @@ class MiniS3Server:
     def endpoint(self) -> str:
         scheme = "https" if self.tls else "http"
         return f"{scheme}://{self.host}:{self.port}"
+
+    def issue_client_cert(self, name: str = "client") -> tuple[bytes, bytes]:
+        """Mint a client certificate the mTLS listener accepts
+        (-> (cert_pem, key_pem), chained to server.ca_pem)."""
+        from ticdc_spark.codec import tlsutil
+
+        if self._ca_key is None:
+            raise ValueError("server is not in mutual_tls mode")
+        return tlsutil.issue_cert(self.ca_pem, self._ca_key, name, client=True)
