@@ -18,6 +18,7 @@ All from the public spec — no reference code consulted for bytes.
 from __future__ import annotations
 
 import hashlib
+import hmac
 import struct
 
 # capability flags (protocol constants from the public docs)
@@ -43,6 +44,7 @@ MYSQL_TYPE_VAR_STRING = 0xFD
 CHARSET_UTF8MB4 = 45  # utf8mb4_general_ci
 
 AUTH_PLUGIN = b"mysql_native_password"
+AUTH_PLUGIN_CACHING_SHA2 = b"caching_sha2_password"
 
 MAX_PACKET = 0xFFFFFF
 
@@ -138,6 +140,88 @@ def verify_native_password(password: str, nonce: bytes, token: bytes) -> bool:
     return native_password_scramble(password, nonce) == token
 
 
+def caching_sha2_scramble(password: str, nonce: bytes) -> bytes:
+    """caching_sha2_password token:
+    XOR(SHA256(pwd), SHA256(SHA256(SHA256(pwd)) || nonce)) — MySQL 8's
+    default plugin (the go-sql-driver path the reference rides)."""
+    if not password:
+        return b""
+    p1 = hashlib.sha256(password.encode("utf-8")).digest()
+    p2 = hashlib.sha256(p1).digest()
+    p3 = hashlib.sha256(p2 + nonce).digest()
+    return bytes(a ^ b for a, b in zip(p1, p3))
+
+
+def caching_sha2_digest(password: str) -> bytes:
+    """What the server-side cache stores: SHA256(SHA256(pwd)).  The raw
+    password never needs to be resident for the fast path."""
+    return hashlib.sha256(
+        hashlib.sha256(password.encode("utf-8")).digest()).digest()
+
+
+def verify_caching_sha2_cached(digest: bytes, nonce: bytes,
+                               token: bytes) -> bool:
+    """Fast-path verify against the cached double hash only:
+    unmask SHA256(pwd) out of the token, re-hash, compare to digest."""
+    if len(token) != 32:
+        return False
+    mask = hashlib.sha256(digest + nonce).digest()
+    p1 = bytes(a ^ b for a, b in zip(token, mask))
+    return hmac.compare_digest(hashlib.sha256(p1).digest(), digest)
+
+
+# caching_sha2 full-auth sub-protocol bytes (inside AuthMoreData 0x01)
+SHA2_FAST_AUTH_SUCCESS = 3
+SHA2_PERFORM_FULL_AUTH = 4
+SHA2_REQUEST_PUBLIC_KEY = 2
+
+
+def enc_auth_more_data(data: bytes) -> bytes:
+    """Protocol::AuthMoreData — 0x01 status + plugin-specific payload."""
+    return b"\x01" + data
+
+
+def enc_auth_switch_request(plugin: bytes, nonce: bytes) -> bytes:
+    """Protocol::AuthSwitchRequest — 0xFE + plugin NUL + data NUL."""
+    return b"\xfe" + plugin + b"\x00" + nonce + b"\x00"
+
+
+def dec_auth_switch_request(payload: bytes) -> tuple[bytes, bytes]:
+    plugin, pos = _nul_str(payload, 1)
+    return plugin, payload[pos:].rstrip(b"\x00")
+
+
+def xor_password(password: str, nonce: bytes) -> bytes:
+    """Full-auth RSA payload: (pwd || NUL) XOR repeating nonce — what
+    the client encrypts with the server public key."""
+    pw = password.encode("utf-8") + b"\x00"
+    return bytes(b ^ nonce[i % len(nonce)] for i, b in enumerate(pw))
+
+
+def rsa_encrypt_password(pub_pem: bytes, password: str, nonce: bytes) -> bytes:
+    """RSA-OAEP(SHA-1) over the XOR-masked password, per the plugin's
+    RSA_PKCS1_OAEP_PADDING full-auth leg."""
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import padding
+
+    pub = serialization.load_pem_public_key(pub_pem)
+    return pub.encrypt(
+        xor_password(password, nonce),
+        padding.OAEP(mgf=padding.MGF1(hashes.SHA1()),
+                     algorithm=hashes.SHA1(), label=None))
+
+
+def rsa_decrypt_password(priv, data: bytes, nonce: bytes) -> str:
+    from cryptography.hazmat.primitives import hashes
+    from cryptography.hazmat.primitives.asymmetric import padding
+
+    masked = priv.decrypt(
+        data, padding.OAEP(mgf=padding.MGF1(hashes.SHA1()),
+                           algorithm=hashes.SHA1(), label=None))
+    pw = bytes(b ^ nonce[i % len(nonce)] for i, b in enumerate(masked))
+    return pw.rstrip(b"\x00").decode("utf-8")
+
+
 # ---------------------------------------------------------------- handshake
 
 SERVER_CAPS = (
@@ -165,10 +249,12 @@ def enc_ssl_request(client_caps: int) -> bytes:
 
 
 def enc_handshake_v10(thread_id: int, nonce: bytes, server_version: str,
-                      caps: int | None = None) -> bytes:
+                      caps: int | None = None,
+                      plugin: bytes | None = None) -> bytes:
     """nonce: 20 bytes (8-byte part 1, 12-byte part 2 + trailing NUL on wire)."""
     assert len(nonce) == 20
     caps = SERVER_CAPS if caps is None else caps
+    plugin = AUTH_PLUGIN if plugin is None else plugin
     out = bytearray()
     out += b"\x0a" + server_version.encode() + b"\x00"
     out += struct.pack("<I", thread_id)
@@ -180,7 +266,7 @@ def enc_handshake_v10(thread_id: int, nonce: bytes, server_version: str,
     out += bytes([21])  # auth plugin data total length (8 + 12 + NUL)
     out += b"\x00" * 10
     out += nonce[8:] + b"\x00"
-    out += AUTH_PLUGIN + b"\x00"
+    out += plugin + b"\x00"
     return bytes(out)
 
 
@@ -221,21 +307,31 @@ def dec_handshake_v10(payload: bytes) -> dict:
     }
 
 
+def scramble_for(plugin: bytes, password: str, nonce: bytes) -> bytes:
+    if plugin == AUTH_PLUGIN_CACHING_SHA2:
+        return caching_sha2_scramble(password, nonce)
+    if plugin in (b"", AUTH_PLUGIN):
+        return native_password_scramble(password, nonce)
+    raise IOError(f"unsupported auth plugin {plugin!r}")
+
+
 def enc_handshake_response41(
-    user: str, password: str, nonce: bytes, database: str | None, client_caps: int
+    user: str, password: str, nonce: bytes, database: str | None,
+    client_caps: int, plugin: bytes | None = None
 ) -> bytes:
+    plugin = AUTH_PLUGIN if plugin is None else plugin
     out = bytearray()
     out += struct.pack("<I", client_caps)
     out += struct.pack("<I", 1 << 24)  # max packet size
     out += bytes([CHARSET_UTF8MB4])
     out += b"\x00" * 23
     out += user.encode() + b"\x00"
-    token = native_password_scramble(password, nonce)
+    token = scramble_for(plugin, password, nonce)
     out += bytes([len(token)]) + token  # CLIENT_SECURE_CONNECTION form
     if client_caps & CLIENT_CONNECT_WITH_DB:
         out += (database or "").encode() + b"\x00"
     if client_caps & CLIENT_PLUGIN_AUTH:
-        out += AUTH_PLUGIN + b"\x00"
+        out += plugin + b"\x00"
     return bytes(out)
 
 

@@ -45,7 +45,8 @@ class MySQLConn:
         if payload[:1] == b"\xff":
             raise mw.dec_err(payload)
         hs = mw.dec_handshake_v10(payload)
-        if hs["auth_plugin"] not in (b"", mw.AUTH_PLUGIN):
+        plugin = hs["auth_plugin"] or mw.AUTH_PLUGIN
+        if plugin not in (mw.AUTH_PLUGIN, mw.AUTH_PLUGIN_CACHING_SHA2):
             raise IOError(f"unsupported auth plugin {hs['auth_plugin']}")
         caps = CLIENT_CAPS
         if tls_ca is not None:
@@ -61,18 +62,67 @@ class MySQLConn:
             self.sock = client_context(tls_ca, cert, key).wrap_socket(
                 self.sock, server_hostname=host)
             seq -= 1  # the response continues the same packet sequence
-        mw.write_packet(
+        seq = mw.write_packet(
             self.sock, seq + 1,
-            mw.enc_handshake_response41(user, password, hs["nonce"], None, caps),
+            mw.enc_handshake_response41(user, password, hs["nonce"], None,
+                                        caps, plugin=plugin),
         )
-        got = mw.read_packet(self.sock)
-        if got is None:
-            raise IOError("server closed during auth")
-        _, payload = got
-        if payload[:1] == b"\xff":
-            raise mw.dec_err(payload)
+        self._auth_loop(password, hs["nonce"], plugin,
+                        secure=tls_ca is not None)
         self.server_version = hs["version"]
         self.thread_id = hs["thread_id"]
+
+    def _auth_loop(self, password: str, nonce: bytes, plugin: bytes,
+                   secure: bool) -> None:
+        """Drive the post-HandshakeResponse auth conversation: OK/ERR,
+        AuthSwitchRequest (0xFE), and caching_sha2's AuthMoreData (0x01)
+        fast/full legs — cleartext over TLS, RSA public key otherwise
+        (the stock MySQL 8 + go-sql-driver exchange)."""
+        while True:
+            got = mw.read_packet(self.sock)
+            if got is None:
+                raise IOError("server closed during auth")
+            seq_in, payload = got
+            if payload[:1] == b"\xff":
+                raise mw.dec_err(payload)
+            if payload[:1] == b"\x00":
+                return  # OK
+            if payload[:1] == b"\xfe":  # AuthSwitchRequest
+                plugin, nonce = mw.dec_auth_switch_request(payload)
+                if plugin not in (mw.AUTH_PLUGIN,
+                                  mw.AUTH_PLUGIN_CACHING_SHA2):
+                    raise IOError(f"unsupported auth switch to {plugin!r}")
+                mw.write_packet(self.sock, seq_in + 1,
+                                mw.scramble_for(plugin, password, nonce))
+                continue
+            if payload[:1] == b"\x01":  # AuthMoreData
+                status = payload[1] if len(payload) > 1 else -1
+                if status == mw.SHA2_FAST_AUTH_SUCCESS:
+                    continue  # OK packet follows
+                if status == mw.SHA2_PERFORM_FULL_AUTH:
+                    if secure:
+                        # TLS stream: cleartext password, NUL-terminated
+                        mw.write_packet(self.sock, seq_in + 1,
+                                        password.encode("utf-8") + b"\x00")
+                    else:
+                        # request the server RSA public key, then send
+                        # OAEP(xor-masked password)
+                        seq = mw.write_packet(
+                            self.sock, seq_in + 1,
+                            bytes([mw.SHA2_REQUEST_PUBLIC_KEY]))
+                        got = mw.read_packet(self.sock)
+                        if got is None:
+                            raise IOError("server closed during full auth")
+                        s_in, key_payload = got
+                        if key_payload[:1] != b"\x01":
+                            raise IOError("expected AuthMoreData public key")
+                        mw.write_packet(
+                            self.sock, s_in + 1,
+                            mw.rsa_encrypt_password(
+                                key_payload[1:], password, nonce))
+                    continue
+                raise IOError(f"unexpected AuthMoreData status {status}")
+            raise IOError(f"unexpected auth packet {payload[:1]!r}")
 
     def close(self):
         try:

@@ -43,6 +43,7 @@ class MiniMySQLServer:
         host: str = "127.0.0.1",
         tls: bool = False,
         mutual_tls: bool = False,
+        auth_plugin: str = "caching_sha2_password",
     ):
         # tls=True advertises CLIENT_SSL; a client may send Protocol::
         # SSLRequest after the handshake packet and upgrade mid-stream
@@ -68,6 +69,26 @@ class MiniMySQLServer:
         self.user = user
         self.password = password
         self.host = host
+        # default auth plugin, like MySQL 8's default_authentication_plugin.
+        # caching_sha2_password keeps only the double-SHA256 digest cache
+        # (populated on the first FULL auth, hit by the fast path after);
+        # the RSA keypair serves the non-TLS full-auth leg.
+        if auth_plugin not in ("caching_sha2_password",
+                               "mysql_native_password"):
+            raise ValueError(f"unknown auth plugin {auth_plugin!r}")
+        self.auth_plugin = auth_plugin.encode()
+        self._sha2_cache: dict[str, bytes] = {}
+        self._rsa_priv = None
+        self._rsa_pub_pem = None
+        if self.auth_plugin == mw.AUTH_PLUGIN_CACHING_SHA2:
+            from cryptography.hazmat.primitives import serialization
+            from cryptography.hazmat.primitives.asymmetric import rsa
+
+            self._rsa_priv = rsa.generate_private_key(
+                public_exponent=65537, key_size=2048)
+            self._rsa_pub_pem = self._rsa_priv.public_key().public_bytes(
+                serialization.Encoding.PEM,
+                serialization.PublicFormat.SubjectPublicKeyInfo)
         # isolation_level=None = true autocommit with EXPLICIT transaction
         # control: each DML commits immediately unless a BEGIN is open —
         # the semantics START TRANSACTION / COMMIT framing needs
@@ -120,6 +141,81 @@ class MiniMySQLServer:
     def __exit__(self, *exc):
         self.stop()
 
+    # -- auth
+
+    def _authenticate(self, sock, resp: dict, nonce: bytes, seq: int,
+                      secure: bool) -> bool:
+        """Plugin-aware auth after HandshakeResponse41; ends with OK (True)
+        or ERR 1045 (False).  caching_sha2_password: fast path against the
+        double-SHA256 cache, else perform_full_authentication — cleartext
+        over TLS, or the RSA public-key leg over plaintext (exactly the
+        stock MySQL 8 flow go-sql-driver negotiates)."""
+        def deny() -> bool:
+            mw.write_packet(sock, seq, mw.enc_err(
+                1045, f"Access denied for user '{resp['user']}'", "28000"))
+            return False
+
+        token = resp["token"]
+        if resp["user"] != self.user:
+            return deny()
+        # client answered with a different plugin -> Protocol::
+        # AuthSwitchRequest to the server default, same nonce
+        if resp["auth_plugin"] and resp["auth_plugin"] != self.auth_plugin:
+            seq = mw.write_packet(
+                sock, seq, mw.enc_auth_switch_request(self.auth_plugin, nonce))
+            got = mw.read_packet(sock)
+            if got is None:
+                return False
+            s_in, token = got
+            seq = s_in + 1
+        if self.auth_plugin == mw.AUTH_PLUGIN:
+            if not mw.verify_native_password(self.password, nonce, token):
+                return deny()
+            mw.write_packet(sock, seq, mw.enc_ok())
+            return True
+        # caching_sha2_password
+        if not token and not self.password:
+            mw.write_packet(sock, seq, mw.enc_ok())
+            return True
+        digest = self._sha2_cache.get(resp["user"])
+        if digest is not None and mw.verify_caching_sha2_cached(
+                digest, nonce, token):
+            seq = mw.write_packet(sock, seq, mw.enc_auth_more_data(
+                bytes([mw.SHA2_FAST_AUTH_SUCCESS])))
+            mw.write_packet(sock, seq, mw.enc_ok())
+            return True
+        # cache miss (or stale): perform_full_authentication
+        seq = mw.write_packet(sock, seq, mw.enc_auth_more_data(
+            bytes([mw.SHA2_PERFORM_FULL_AUTH])))
+        got = mw.read_packet(sock)
+        if got is None:
+            return False
+        s_in, data = got
+        seq = s_in + 1
+        if data == bytes([mw.SHA2_REQUEST_PUBLIC_KEY]):
+            seq = mw.write_packet(
+                sock, seq, mw.enc_auth_more_data(self._rsa_pub_pem))
+            got = mw.read_packet(sock)
+            if got is None:
+                return False
+            s_in, blob = got
+            seq = s_in + 1
+            try:
+                pwd = mw.rsa_decrypt_password(self._rsa_priv, blob, nonce)
+            except Exception:  # cryptography raises several decrypt errors
+                return deny()
+        else:
+            # cleartext password — a real server only accepts this over
+            # a secure transport
+            if not secure:
+                return deny()
+            pwd = data.rstrip(b"\x00").decode("utf-8", "replace")
+        if pwd != self.password:
+            return deny()
+        self._sha2_cache[resp["user"]] = mw.caching_sha2_digest(self.password)
+        mw.write_packet(sock, seq, mw.enc_ok())
+        return True
+
     # -- one connection
 
     def _serve(self, sock):
@@ -130,10 +226,12 @@ class MiniMySQLServer:
         caps = mw.SERVER_CAPS if self._tls_ctx is not None \
             else mw.SERVER_CAPS & ~mw.CLIENT_SSL
         seq = mw.write_packet(sock, 0, mw.enc_handshake_v10(
-            self._thread_id, nonce, "8.0.11-ticdc-spark", caps=caps))
+            self._thread_id, nonce, "8.0.11-ticdc-spark", caps=caps,
+            plugin=self.auth_plugin))
         got = mw.read_packet(sock)
         if got is None:
             return
+        secure = False
         seq_in, payload = got
         if len(payload) == 32:
             caps = int.from_bytes(payload[:4], "little")
@@ -154,15 +252,12 @@ class MiniMySQLServer:
                 got = mw.read_packet(sock)
                 if got is None:
                     return
-                _, payload = got
+                seq_in, payload = got
+                secure = True
         resp = mw.dec_handshake_response41(payload)
-        if resp["user"] != self.user or not mw.verify_native_password(
-            self.password, nonce, resp["token"]
-        ):
-            mw.write_packet(sock, seq, mw.enc_err(1045, f"Access denied for user '{resp['user']}'", "28000"))
+        if not self._authenticate(sock, resp, nonce, seq_in + 1, secure):
             return
         multi_ok = bool(resp["capabilities"] & mw.CLIENT_MULTI_STATEMENTS)
-        mw.write_packet(sock, seq, mw.enc_ok())
 
         while True:
             got = mw.read_packet(sock)
