@@ -359,8 +359,11 @@ def test_list_offsets_earliest_latest(broker):
         assert list_offset(c, "lo", 0, kw.OFFSET_LATEST) == 7
         with pytest.raises(IOError, match="error 3"):
             list_offset(c, "lo", 9)
-        with pytest.raises(IOError, match="error 35"):
-            list_offset(c, "lo", 0, timestamp=12345)  # ts lookup unsupported
+        # timestamp lookup: all 7 records carry base_timestamp 0, so a
+        # future ts finds nothing (-1) and ts<=0 finds offset 0
+        from ticdc_spark.sinks.kafka_client import offset_for_timestamp
+        assert offset_for_timestamp(c, "lo", 0, 12345) == (-1, -1)
+        assert offset_for_timestamp(c, "lo", 0, 0) == (0, 0)
 
 
 # ------------------------------------------------------------------ tls
@@ -528,3 +531,85 @@ def test_scram_saslname_escaping():
                 sasl=("SCRAM-SHA-256", "we,ird=u", "pw")) as c:
             c.produce("t", 0, [Record(b"k", b"v")])
             assert len(c.fetch_all("t", 0)) == 1
+
+
+# --------------------------------------------------- flexible versions
+
+
+def test_flexible_primitives_roundtrip():
+    assert kw.enc_uvarint(0) == b"\x00"
+    assert kw.enc_uvarint(127) == b"\x7f"
+    assert kw.enc_uvarint(300) == b"\xac\x02"
+    r = Reader(kw.enc_uvarint(300))
+    assert r.uvarint() == 300
+    assert kw.enc_compact_str(None) == b"\x00"
+    assert kw.enc_compact_str("") == b"\x01"
+    r = Reader(kw.enc_compact_str("topic-a") + kw.enc_compact_bytes(b"xyz"))
+    assert r.compact_string() == "topic-a"
+    assert r.compact_bytes() == b"xyz"
+    # tagged fields: unknown tags must be skipped cleanly
+    tagged = kw.enc_uvarint(2) + kw.enc_uvarint(5) + kw.enc_uvarint(3) + b"abc" \
+        + kw.enc_uvarint(9) + kw.enc_uvarint(1) + b"z" + b"\xde\xad"
+    r = Reader(tagged)
+    r.skip_tags()
+    assert r.raw(2) == b"\xde\xad"
+
+
+def test_produce_v9_fetch_v12_codec_roundtrip():
+    rs = kw.encode_record_batch([Record(b"k", b"v")])
+    body = kw.enc_produce_request_v9({"t": {0: rs}}, acks=-1)
+    txn, acks, _, data = kw.dec_produce_request_v9(Reader(body))
+    assert txn is None and acks == -1 and data == {"t": {0: rs}}
+    resp = kw.enc_produce_response_v9({"t": {0: (0, 42)}})
+    assert kw.dec_produce_response_v9(Reader(resp)) == {"t": {0: (0, 42)}}
+
+    fbody = kw.enc_fetch_request_v12("t", 1, 5)
+    assert kw.dec_fetch_request_v12(Reader(fbody)) == [("t", 1, 5, 1 << 26)]
+    fresp = kw.enc_fetch_response_v12([("t", 1, 0, 9, rs)])
+    assert kw.dec_fetch_response_v12(Reader(fresp)) == [("t", 1, 0, 9, rs)]
+
+
+def test_apiversions_v3_negotiation_and_flexible_live():
+    """ApiVersions v3 exchange picks Produce v9 / Fetch v12; the live
+    roundtrip runs entirely on flexible frames."""
+    with KafkaBroker() as b:
+        with KafkaConn.from_bootstrap(b.bootstrap) as c:
+            assert c._ver[kw.API_PRODUCE] == 9
+            assert c._ver[kw.API_FETCH] == 12
+            assert c._ver[kw.API_LIST_OFFSETS] == 7
+            base = c.produce("t", 0, [Record(b"k%d" % i, b"v%d" % i)
+                                      for i in range(4)])
+            assert base == 0
+            got = c.fetch_all("t", 0)
+            assert [o for o, _ in got] == [0, 1, 2, 3]
+            assert got[3][1].value == b"v3"
+
+
+def test_flexible_only_broker_rejects_classic_versions():
+    """A modern broker advertising only Produce>=9 / Fetch>=12: the
+    client negotiates up and everything works; a classic-version call is
+    answered UNSUPPORTED_VERSION."""
+    with KafkaBroker(flexible_only=True) as b:
+        with KafkaConn.from_bootstrap(b.bootstrap) as c:
+            assert c._ver[kw.API_PRODUCE] == 9 and c._ver[kw.API_FETCH] == 12
+            c.produce("t", 0, [Record(b"k", b"v")], compression="lz4")
+            assert len(c.fetch_all("t", 0)) == 1
+            # hand-rolled classic Produce v3 -> error 35
+            rs = kw.encode_record_batch([Record(b"a", b"b")])
+            r = c._call(kw.API_PRODUCE, 3,
+                        kw.enc_produce_request({"t": {0: rs}}))
+            assert r.i16() == kw.ERR_UNSUPPORTED_VERSION
+
+
+def test_list_offsets_by_timestamp_live(broker):
+    from ticdc_spark.sinks.kafka_client import offset_for_timestamp
+
+    with KafkaConn.from_bootstrap(broker.bootstrap) as c:
+        # two batches at distinct base timestamps
+        c.produce("ts", 0, [Record(b"k", b"v0"), Record(b"k", b"v1")],
+                  base_timestamp=1000)
+        c.produce("ts", 0, [Record(b"k", b"v2")], base_timestamp=2000)
+        assert offset_for_timestamp(c, "ts", 0, 500) == (1000, 0)
+        assert offset_for_timestamp(c, "ts", 0, 1000) == (1000, 0)
+        assert offset_for_timestamp(c, "ts", 0, 1001) == (2000, 2)
+        assert offset_for_timestamp(c, "ts", 0, 2001) == (-1, -1)

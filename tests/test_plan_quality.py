@@ -313,6 +313,7 @@ def test_live_wire_query_shuffle_budgets(spark, sf_dir):
         ("mysql_live_apply_prepared", 0),  # readback rows are a local scan
         ("avro_live_registry_roundtrip", 1),  # (topic, partition) fan-out
         ("redo_live_s3_replay", 4),  # key fan-out + split/materialize aggs
+        ("kafka_list_offsets_by_ts", 1),  # 8-row probe repartition(1)
     ]:
         plan = _plan(QUERIES[name](spark, sf_dir))
         n = plan.count("Exchange")

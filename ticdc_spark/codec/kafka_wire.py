@@ -150,6 +150,46 @@ class Reader:
     def remaining(self) -> int:
         return len(self.buf) - self.pos
 
+    # -- flexible-version (KIP-482) primitives
+
+    def uvarint(self) -> int:
+        shift = 0
+        result = 0
+        while True:
+            b = self.buf[self.pos]
+            self.pos += 1
+            result |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return result
+            shift += 7
+
+    def compact_string(self) -> str | None:
+        n = self.uvarint() - 1
+        if n < 0:
+            return None
+        s = self.buf[self.pos : self.pos + n].decode("utf-8")
+        self.pos += n
+        return s
+
+    def compact_bytes(self) -> bytes | None:
+        n = self.uvarint() - 1
+        if n < 0:
+            return None
+        b = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return b
+
+    def compact_array_len(self) -> int:
+        """-> element count; -1 for a null array."""
+        return self.uvarint() - 1
+
+    def skip_tags(self) -> None:
+        """Skip a tagged-fields block (we define none)."""
+        for _ in range(self.uvarint()):
+            self.uvarint()  # tag
+            size = self.uvarint()
+            self.pos += size
+
 
 def enc_varint(v: int) -> bytes:
     v = (v << 1) ^ (v >> 63) if v < 0 else (v << 1)  # zigzag (python ints: use arithmetic form)
@@ -386,11 +426,16 @@ def frame_request(api_key: int, api_version: int, correlation_id: int, client_id
 
 
 def parse_request_header(buf: bytes) -> tuple[int, int, int, str | None, Reader]:
+    """Header v1, or v2 (same + tagged fields) when (api_key, version)
+    is flexible — the header version is derivable from those two i16s,
+    which is why the protocol put them first."""
     r = Reader(buf)
     api_key = r.i16()
     api_version = r.i16()
     corr = r.i32()
     client_id = r.string()
+    if is_flexible(api_key, api_version):
+        r.skip_tags()
     return api_key, api_version, corr, client_id, r
 
 
@@ -399,13 +444,21 @@ def frame_response(correlation_id: int, body: bytes) -> bytes:
     return struct.pack(">i", len(msg)) + msg
 
 
+def frame_response_flex(correlation_id: int, body: bytes) -> bytes:
+    """Response header v1: correlation id + tagged fields (ApiVersions
+    responses are the exception — always header v0)."""
+    msg = struct.pack(">i", correlation_id) + b"\x00" + body
+    return struct.pack(">i", len(msg)) + msg
+
+
 # --------- ApiVersions v0
 
 
-def enc_api_versions_response() -> bytes:
+def enc_api_versions_response(supported: dict[int, tuple[int, int]] | None = None) -> bytes:
+    supported = SUPPORTED if supported is None else supported
     body = struct.pack(">h", 0)  # error_code
-    body += struct.pack(">i", len(SUPPORTED))
-    for key, (lo, hi) in sorted(SUPPORTED.items()):
+    body += struct.pack(">i", len(supported))
+    for key, (lo, hi) in sorted(supported.items()):
         body += struct.pack(">hhh", key, lo, hi)
     return body
 
@@ -1134,4 +1187,371 @@ def dec_list_offsets_response(r: Reader) -> dict[tuple[str, int], tuple[int, int
             if err:
                 raise IOError(f"ListOffsets error {err} on {topic}/{p}")
             out[(topic, p)] = (err, off)
+    return out
+
+
+# ---------------------------------------------------------------- flexible
+# KIP-482 flexible versions: compact (uvarint-length+1) strings/arrays/
+# bytes and tagged-field blocks, request header v2 / response header v1.
+# One modern version pair per hot API — Produce v9, Fetch v12,
+# ListOffsets v7, negotiated via a real ApiVersions v3 exchange — which
+# is what any post-2.4 broker speaks with the reference's sarama
+# configuration (`pkg/sink/kafka/sarama_config.go`). Layouts from the
+# public protocol guide (kafka.apache.org/protocol); no reference code
+# consulted for bytes.
+
+ERR_UNSUPPORTED_VERSION = 35
+
+# first flexible version per api key (from the protocol guide's
+# "flexibleVersions" in each message spec)
+FLEXIBLE_SINCE = {
+    API_PRODUCE: 9,
+    API_FETCH: 12,
+    API_LIST_OFFSETS: 6,
+    API_METADATA: 9,
+    API_API_VERSIONS: 3,
+}
+
+
+def is_flexible(api_key: int, api_version: int) -> bool:
+    lo = FLEXIBLE_SINCE.get(api_key)
+    return lo is not None and api_version >= lo
+
+
+def enc_uvarint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def enc_compact_str(s: str | None) -> bytes:
+    if s is None:
+        return b"\x00"
+    b = s.encode("utf-8")
+    return enc_uvarint(len(b) + 1) + b
+
+
+def enc_compact_bytes(b: bytes | None) -> bytes:
+    if b is None:
+        return b"\x00"
+    return enc_uvarint(len(b) + 1) + b
+
+
+def enc_compact_array_len(n: int) -> bytes:
+    """n = element count; -1 encodes a null array."""
+    return enc_uvarint(n + 1)
+
+
+def enc_tags() -> bytes:
+    return b"\x00"  # zero tagged fields
+
+
+def frame_request_flex(api_key: int, api_version: int, correlation_id: int,
+                       client_id: str, body: bytes) -> bytes:
+    """Request header v2: like v1 (client_id stays a NON-compact nullable
+    string) plus a trailing tagged-fields block."""
+    hdr = (struct.pack(">hhi", api_key, api_version, correlation_id)
+           + enc_str(client_id) + enc_tags())
+    msg = hdr + body
+    return struct.pack(">i", len(msg)) + msg
+
+
+# --------- ApiVersions v3 (flexible; response header stays v0 — the
+# protocol's bootstrap special case so old clients can parse the error)
+
+
+def enc_api_versions_request_v3(name: str = "ticdc-spark",
+                                version: str = "4") -> bytes:
+    return enc_compact_str(name) + enc_compact_str(version) + enc_tags()
+
+
+def dec_api_versions_request_v3(r: Reader) -> tuple[str, str]:
+    name = r.compact_string()
+    ver = r.compact_string()
+    r.skip_tags()
+    return name, ver
+
+
+def enc_api_versions_response_v3(supported: dict[int, tuple[int, int]],
+                                 error_code: int = 0) -> bytes:
+    body = struct.pack(">h", error_code)
+    body += enc_compact_array_len(len(supported))
+    for key, (lo, hi) in sorted(supported.items()):
+        body += struct.pack(">hhh", key, lo, hi) + enc_tags()
+    body += struct.pack(">i", 0)  # throttle_time_ms
+    body += enc_tags()
+    return body
+
+
+def dec_api_versions_response_v3(r: Reader) -> dict[int, tuple[int, int]]:
+    err = r.i16()
+    if err:
+        raise IOError(f"ApiVersions error {err}")
+    out = {}
+    for _ in range(r.compact_array_len()):
+        key, lo, hi = r.i16(), r.i16(), r.i16()
+        r.skip_tags()
+        out[key] = (lo, hi)
+    r.i32()  # throttle
+    r.skip_tags()
+    return out
+
+
+# --------- Produce v9 (flexible)
+
+
+def enc_produce_request_v9(
+    topic_data: dict[str, dict[int, bytes]], acks: int = -1,
+    timeout_ms: int = 30000, txn_id: str | None = None
+) -> bytes:
+    body = enc_compact_str(txn_id)
+    body += struct.pack(">hi", acks, timeout_ms)
+    body += enc_compact_array_len(len(topic_data))
+    for topic, parts in topic_data.items():
+        body += enc_compact_str(topic) + enc_compact_array_len(len(parts))
+        for idx, record_set in parts.items():
+            body += struct.pack(">i", idx) + enc_compact_bytes(record_set)
+            body += enc_tags()
+        body += enc_tags()
+    body += enc_tags()
+    return body
+
+
+def dec_produce_request_v9(r: Reader) -> tuple[str | None, int, int, dict[str, dict[int, bytes]]]:
+    txn_id = r.compact_string()
+    acks = r.i16()
+    timeout = r.i32()
+    topic_data: dict[str, dict[int, bytes]] = {}
+    for _ in range(r.compact_array_len()):
+        topic = r.compact_string()
+        parts = {}
+        for _ in range(r.compact_array_len()):
+            idx = r.i32()
+            parts[idx] = r.compact_bytes()
+            r.skip_tags()
+        r.skip_tags()
+        topic_data[topic] = parts
+    r.skip_tags()
+    return txn_id, acks, timeout, topic_data
+
+
+def enc_produce_response_v9(results: dict[str, dict[int, tuple[int, int]]]) -> bytes:
+    """results: topic -> partition -> (error_code, base_offset)."""
+    body = enc_compact_array_len(len(results))
+    for topic, parts in results.items():
+        body += enc_compact_str(topic) + enc_compact_array_len(len(parts))
+        for idx, (err, base_offset) in parts.items():
+            body += struct.pack(">ihqqq", idx, err, base_offset, -1, 0)
+            body += enc_compact_array_len(0)  # record_errors
+            body += enc_compact_str(None)  # error_message
+            body += enc_tags()
+        body += enc_tags()
+    body += struct.pack(">i", 0)  # throttle
+    body += enc_tags()
+    return body
+
+
+def dec_produce_response_v9(r: Reader) -> dict[str, dict[int, tuple[int, int]]]:
+    out: dict[str, dict[int, tuple[int, int]]] = {}
+    for _ in range(r.compact_array_len()):
+        topic = r.compact_string()
+        parts = {}
+        for _ in range(r.compact_array_len()):
+            idx = r.i32()
+            err = r.i16()
+            base_offset = r.i64()
+            r.i64()  # log_append_time
+            r.i64()  # log_start_offset
+            for _ in range(r.compact_array_len()):  # record_errors
+                r.i32()
+                r.compact_string()
+                r.skip_tags()
+            r.compact_string()  # error_message
+            r.skip_tags()
+            parts[idx] = (err, base_offset)
+        r.skip_tags()
+        out[topic] = parts
+    r.i32()  # throttle
+    r.skip_tags()
+    return out
+
+
+# --------- Fetch v12 (flexible)
+
+
+def enc_fetch_request_v12(
+    topic: str, partition: int, fetch_offset: int, max_bytes: int = 1 << 26
+) -> bytes:
+    body = struct.pack(">iiii", -1, 100, 1, max_bytes)
+    body += b"\x00"  # isolation_level
+    body += struct.pack(">ii", 0, -1)  # session_id, session_epoch
+    body += enc_compact_array_len(1)
+    body += enc_compact_str(topic)
+    body += enc_compact_array_len(1)
+    body += struct.pack(">iiqiqi", partition, -1, fetch_offset, -1, -1, max_bytes)
+    body += enc_tags()  # partition
+    body += enc_tags()  # topic
+    body += enc_compact_array_len(0)  # forgotten_topics_data
+    body += enc_compact_str("")  # rack_id
+    body += enc_tags()
+    return body
+
+
+def dec_fetch_request_v12(r: Reader) -> list[tuple[str, int, int, int]]:
+    r.i32()  # replica_id
+    r.i32()  # max_wait
+    r.i32()  # min_bytes
+    r.i32()  # max_bytes
+    r.i8()  # isolation
+    r.i32()  # session_id
+    r.i32()  # session_epoch
+    out = []
+    for _ in range(r.compact_array_len()):
+        topic = r.compact_string()
+        for _ in range(r.compact_array_len()):
+            partition = r.i32()
+            r.i32()  # current_leader_epoch
+            offset = r.i64()
+            r.i32()  # last_fetched_epoch
+            r.i64()  # log_start_offset
+            pmax = r.i32()
+            r.skip_tags()
+            out.append((topic, partition, offset, pmax))
+        r.skip_tags()
+    for _ in range(r.compact_array_len()):  # forgotten topics
+        r.compact_string()
+        for _ in range(r.compact_array_len()):
+            r.i32()
+        r.skip_tags()
+    r.compact_string()  # rack_id
+    r.skip_tags()
+    return out
+
+
+def enc_fetch_response_v12(
+    parts: list[tuple[str, int, int, int, bytes]]
+) -> bytes:
+    """parts: [(topic, partition, error_code, high_watermark, record_set)]."""
+    by_topic: dict[str, list] = {}
+    for topic, idx, err, hw, rs in parts:
+        by_topic.setdefault(topic, []).append((idx, err, hw, rs))
+    body = struct.pack(">ihi", 0, 0, 0)  # throttle, error_code, session_id
+    body += enc_compact_array_len(len(by_topic))
+    for topic, plist in by_topic.items():
+        body += enc_compact_str(topic) + enc_compact_array_len(len(plist))
+        for idx, err, hw, rs in plist:
+            body += struct.pack(">ihqqq", idx, err, hw, hw, 0)
+            body += enc_compact_array_len(0)  # aborted_transactions
+            body += struct.pack(">i", -1)  # preferred_read_replica
+            body += enc_compact_bytes(rs)
+            body += enc_tags()
+        body += enc_tags()
+    body += enc_tags()
+    return body
+
+
+def dec_fetch_response_v12(r: Reader) -> list[tuple[str, int, int, int, bytes]]:
+    r.i32()  # throttle
+    top_err = r.i16()
+    if top_err:
+        raise IOError(f"fetch error {top_err}")
+    r.i32()  # session_id
+    out = []
+    for _ in range(r.compact_array_len()):
+        topic = r.compact_string()
+        for _ in range(r.compact_array_len()):
+            idx = r.i32()
+            err = r.i16()
+            hw = r.i64()
+            r.i64()  # last_stable_offset
+            r.i64()  # log_start_offset
+            n_aborted = r.compact_array_len()
+            for _ in range(max(n_aborted, 0)):
+                r.i64()
+                r.i64()
+                r.skip_tags()
+            r.i32()  # preferred_read_replica
+            rs = r.compact_bytes() or b""
+            r.skip_tags()
+            out.append((topic, idx, err, hw, rs))
+        r.skip_tags()
+    r.skip_tags()
+    return out
+
+
+# --------- ListOffsets v7 (flexible) — adds real timestamp lookup
+
+
+def enc_list_offsets_request_v7(topic: str, partition: int,
+                                timestamp: int) -> bytes:
+    body = struct.pack(">ib", -1, 0)  # replica_id, isolation_level
+    body += enc_compact_array_len(1)
+    body += enc_compact_str(topic)
+    body += enc_compact_array_len(1)
+    body += struct.pack(">iiq", partition, -1, timestamp)
+    body += enc_tags()  # partition
+    body += enc_tags()  # topic
+    body += enc_tags()
+    return body
+
+
+def dec_list_offsets_request_v7(r: Reader) -> list[tuple[str, int, int]]:
+    r.i32()  # replica_id
+    r.i8()  # isolation
+    out = []
+    for _ in range(r.compact_array_len()):
+        topic = r.compact_string()
+        for _ in range(r.compact_array_len()):
+            partition = r.i32()
+            r.i32()  # current_leader_epoch
+            ts = r.i64()
+            r.skip_tags()
+            out.append((topic, partition, ts))
+        r.skip_tags()
+    r.skip_tags()
+    return out
+
+
+def enc_list_offsets_response_v7(
+    results: list[tuple[str, int, int, int, int]]
+) -> bytes:
+    """results: [(topic, partition, error_code, timestamp, offset)]."""
+    by_topic: dict[str, list] = {}
+    for t, p, err, ts, off in results:
+        by_topic.setdefault(t, []).append((p, err, ts, off))
+    body = struct.pack(">i", 0)  # throttle
+    body += enc_compact_array_len(len(by_topic))
+    for t, parts in by_topic.items():
+        body += enc_compact_str(t) + enc_compact_array_len(len(parts))
+        for p, err, ts, off in parts:
+            body += struct.pack(">ihqqi", p, err, ts, off, -1)
+            body += enc_tags()
+        body += enc_tags()
+    body += enc_tags()
+    return body
+
+
+def dec_list_offsets_response_v7(r: Reader) -> dict[tuple[str, int], tuple[int, int]]:
+    r.i32()  # throttle
+    out = {}
+    for _ in range(r.compact_array_len()):
+        topic = r.compact_string()
+        for _ in range(r.compact_array_len()):
+            p = r.i32()
+            err = r.i16()
+            ts = r.i64()
+            off = r.i64()
+            r.i32()  # leader_epoch
+            r.skip_tags()
+            if err:
+                raise IOError(f"ListOffsets error {err} on {topic}/{p}")
+            out[(topic, p)] = (ts, off)
+        r.skip_tags()
+    r.skip_tags()
     return out

@@ -3953,6 +3953,31 @@ def q_kafka_live_roundtrip(spark, sf_dir):
     return kafka_live_roundtrip(frame, n_partitions=16, compression="lz4")
 
 
+# Timestamp-based ListOffsets (sarama Client.GetOffset(ts)) over the
+# live wire: records produced in commit_ts order with real timestamps,
+# then ListOffsets v7 probes 8 evenly spaced instants.  Oracle: the
+# first record at-or-after each probe is min(commit_ts >= probe); its
+# offset is the count of strictly-older records (ts-order rank), which
+# is tie-order independent.
+@register(
+    "kafka_list_offsets_by_ts",
+    f"WITH {CHANGELOG_SQL}, "
+    "b AS (SELECT min(commit_ts) AS mn, max(commit_ts) AS mx FROM changelog), "
+    "probes AS (SELECT CAST(mn + (mx - mn) * k // 7 AS BIGINT) AS probe_ts "
+    "FROM b CROSS JOIN (SELECT unnest(range(8)) AS k)), "
+    "hits AS (SELECT p.probe_ts, coalesce(min(c.commit_ts) "
+    "FILTER (WHERE c.commit_ts >= p.probe_ts), -1) AS found_ts "
+    "FROM probes p CROSS JOIN changelog c GROUP BY p.probe_ts) "
+    "SELECT probe_ts, found_ts, CASE WHEN found_ts = -1 THEN CAST(-1 AS BIGINT) "
+    "ELSE (SELECT count(*) FROM changelog c2 WHERE c2.commit_ts < h.found_ts) "
+    "END AS log_offset FROM hits h",
+)
+def q_kafka_list_offsets_by_ts(spark, sf_dir):
+    from ticdc_spark.sinks.kafka_live import kafka_list_offsets_by_ts
+
+    return kafka_list_offsets_by_ts(events_changelog(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # K1 live — the MySQL writer path against a REAL wire-protocol endpoint
 # (`pkg/sink/mysql` per-worker connections; server = sinks/mysql_server.py

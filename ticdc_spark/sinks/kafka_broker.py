@@ -69,6 +69,29 @@ class _Log:
             self.next_offset = assigned
             return out_base
 
+    def offset_for_timestamp(self, ts: int) -> tuple[int, int]:
+        """ListOffsets timestamp lookup: the first record whose timestamp
+        is >= ts -> (that record's timestamp, its offset); (-1, -1) when
+        every record is older.  Scans batches in offset order (the mini
+        log has no .timeindex); skips a batch early via its header
+        maxTimestamp, so the record decode only runs on the containing
+        batch — the same shape as an index-segment probe."""
+        with self.lock:
+            batches = list(self.batches)
+        for b in batches:
+            # baseOffset 8 | len 4 | epoch 4 | magic 1 | crc 4 | attrs 2 |
+            # lastOffsetDelta 4 | baseTs 8 | maxTs @35
+            max_ts = struct.unpack_from(">q", b, 35)[0]
+            if max_ts < ts:
+                continue
+            for base_off, records in kw.decode_record_batches(b):
+                for rec in records:
+                    # decode stores the ABSOLUTE timestamp in
+                    # timestamp_delta (base_ts folded in)
+                    if rec.timestamp_delta >= ts:
+                        return rec.timestamp_delta, base_off + rec.offset_delta
+        return -1, -1
+
     def read_from(self, offset: int, max_bytes: int) -> tuple[bytes, int]:
         with self.lock:
             out = bytearray()
@@ -99,7 +122,8 @@ class KafkaBroker:
                  tls: bool = False,
                  mutual_tls: bool = False,
                  oauth_jwt_secret: str | None = None,
-                 oauth_now: int = 1_700_000_100):
+                 oauth_now: int = 1_700_000_100,
+                 flexible_only: bool = False):
         # tls=True: an SSL (or SASL_SSL, with sasl_users) listener — a
         # fresh self-signed cert; clients pin it via broker.ca_pem.
         # mutual_tls=True additionally demands a client certificate
@@ -122,6 +146,18 @@ class KafkaBroker:
                 self._tls_ctx = tlsutil.server_context(cert_pem, key_pem)
         self.host = host
         self.default_partitions = default_partitions
+        # advertised version ranges: classic fixed versions PLUS the
+        # flexible pair (Produce v9 / Fetch v12 / ListOffsets v7,
+        # ApiVersions v3).  flexible_only=True drops the non-flexible
+        # produce/fetch/list-offsets floors — the modern-broker shape a
+        # post-2.4 cluster presents to sarama
+        # (`pkg/sink/kafka/sarama_config.go` negotiates past v9/v12)
+        self.supported = dict(kw.SUPPORTED)
+        self.supported[kw.API_PRODUCE] = (9, 9) if flexible_only else (3, 9)
+        self.supported[kw.API_FETCH] = (12, 12) if flexible_only else (4, 12)
+        self.supported[kw.API_LIST_OFFSETS] = ((7, 7) if flexible_only
+                                               else (1, 7))
+        self.supported[kw.API_API_VERSIONS] = (0, 3)
         # when sasl_users is set, every API except ApiVersions/SaslHandshake/
         # SaslAuthenticate is rejected with ILLEGAL_SASL_STATE until the
         # connection authenticates — real listener semantics (SASL_PLAINTEXT)
@@ -322,12 +358,23 @@ class KafkaBroker:
     def _dispatch(self, payload: bytes, conn_state: dict | None = None) -> bytes:
         conn_state = conn_state if conn_state is not None else {"authenticated": True}
         api_key, api_version, corr, _client, r = kw.parse_request_header(payload)
-        lo_hi = kw.SUPPORTED.get(api_key)
+        lo_hi = self.supported.get(api_key)
         if lo_hi is None or not (lo_hi[0] <= api_version <= lo_hi[1]):
+            if api_key == kw.API_API_VERSIONS:
+                # a real broker answers an unknown ApiVersions version
+                # with error 35 IN v0 FORMAT plus its ranges, so the
+                # client can down-negotiate instead of disconnecting
+                return kw.frame_response(corr, struct.pack(">h", 35) + kw.enc_api_versions_response(self.supported)[2:])
             # UNSUPPORTED_VERSION (35) shaped as an ApiVersions v0 response
             return kw.frame_response(corr, struct.pack(">hi", 35, 0))
         if api_key == kw.API_API_VERSIONS:
-            return kw.frame_response(corr, kw.enc_api_versions_response())
+            # response header stays v0 even for v3 (bootstrap special case)
+            if api_version >= 3:
+                kw.dec_api_versions_request_v3(r)
+                return kw.frame_response(
+                    corr, kw.enc_api_versions_response_v3(self.supported))
+            return kw.frame_response(
+                corr, kw.enc_api_versions_response(self.supported))
         if api_key == kw.API_SASL_HANDSHAKE:
             mech = kw.dec_sasl_handshake_request(r)
             if self.sasl_users is None or mech not in self.sasl_mechanisms:
@@ -358,7 +405,10 @@ class KafkaBroker:
                 corr, kw.enc_metadata_response(self.host, self.port, listing)
             )
         if api_key == kw.API_PRODUCE:
-            _txn, acks, _timeout, topic_data = kw.dec_produce_request(r)
+            flex = api_version >= 9
+            _txn, acks, _timeout, topic_data = (
+                kw.dec_produce_request_v9(r) if flex
+                else kw.dec_produce_request(r))
             results: dict[str, dict[int, tuple[int, int]]] = {}
             for topic, parts in topic_data.items():
                 t = self._get_topic(topic)
@@ -377,9 +427,14 @@ class KafkaBroker:
                 # acks=0 — replying would desynchronize correlation ids
                 # on a spec-conforming client (sendall(b"") is a no-op)
                 return b""
+            if flex:
+                return kw.frame_response_flex(
+                    corr, kw.enc_produce_response_v9(results))
             return kw.frame_response(corr, kw.enc_produce_response(results))
         if api_key == kw.API_LIST_OFFSETS:
-            wants = kw.dec_list_offsets_request(r)
+            flex = api_version >= kw.FLEXIBLE_SINCE[kw.API_LIST_OFFSETS]
+            wants = (kw.dec_list_offsets_request_v7(r) if flex
+                     else kw.dec_list_offsets_request(r))
             results = []
             for topic, partition, ts in wants:
                 t = self._get_topic(topic, create=False)
@@ -387,14 +442,19 @@ class KafkaBroker:
                     results.append((topic, partition, 3, -1, -1))
                     continue
                 if ts == kw.OFFSET_EARLIEST:
-                    off = 0
+                    results.append((topic, partition, 0, -1, 0))
                 elif ts == kw.OFFSET_LATEST:
-                    off = t[partition].next_offset
+                    results.append(
+                        (topic, partition, 0, -1, t[partition].next_offset))
                 else:
-                    # timestamp lookup unsupported in the mini log
-                    results.append((topic, partition, 35, -1, -1))
-                    continue
-                results.append((topic, partition, 0, -1, off))
+                    # timestamp lookup: first record with ts >= target
+                    # (a real broker consults the .timeindex; the mini
+                    # log scans its batches)
+                    found_ts, off = t[partition].offset_for_timestamp(ts)
+                    results.append((topic, partition, 0, found_ts, off))
+            if flex:
+                return kw.frame_response_flex(
+                    corr, kw.enc_list_offsets_response_v7(results))
             return kw.frame_response(corr, kw.enc_list_offsets_response(results))
         if api_key == kw.API_CREATE_TOPICS:
             topics, validate_only = kw.dec_create_topics_request(r)
@@ -493,7 +553,9 @@ class KafkaBroker:
                         out[(t, p)] = g.offsets.get((t, p), -1)
             return kw.frame_response(corr, kw.enc_offset_fetch_response(out))
         if api_key == kw.API_FETCH:
-            wants = kw.dec_fetch_request(r)
+            flex = api_version >= kw.FLEXIBLE_SINCE[kw.API_FETCH]
+            wants = (kw.dec_fetch_request_v12(r) if flex
+                     else kw.dec_fetch_request(r))
             parts = []
             for topic, partition, offset, pmax in wants:
                 t = self._get_topic(topic, create=False)
@@ -502,6 +564,9 @@ class KafkaBroker:
                     continue
                 data, hw = t[partition].read_from(offset, pmax)
                 parts.append((topic, partition, 0, hw, data))
+            if flex:
+                return kw.frame_response_flex(
+                    corr, kw.enc_fetch_response_v12(parts))
             return kw.frame_response(corr, kw.enc_fetch_response(parts))
         raise AssertionError("unreachable")
 

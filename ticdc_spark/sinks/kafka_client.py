@@ -66,7 +66,9 @@ class KafkaConn:
     def _call(self, api_key: int, api_version: int, body: bytes) -> kw.Reader:
         self._corr += 1
         corr = self._corr
-        self.sock.sendall(kw.frame_request(api_key, api_version, corr, self.client_id, body))
+        flex = kw.is_flexible(api_key, api_version)
+        frame = kw.frame_request_flex if flex else kw.frame_request
+        self.sock.sendall(frame(api_key, api_version, corr, self.client_id, body))
         hdr = _recv_exact(self.sock, 4)
         if hdr is None:
             raise IOError("broker closed connection")
@@ -78,14 +80,46 @@ class KafkaConn:
         got_corr = r.i32()
         if got_corr != corr:
             raise IOError(f"correlation id mismatch: sent {corr}, got {got_corr}")
+        if flex and api_key != kw.API_API_VERSIONS:
+            # response header v1 (ApiVersions responses stay header v0)
+            r.skip_tags()
         return r
 
     def _handshake(self) -> dict[int, tuple[int, int]]:
-        versions = kw.dec_api_versions_response(self._call(kw.API_API_VERSIONS, 0, b""))
-        for key, ver in ((kw.API_PRODUCE, 3), (kw.API_FETCH, 4), (kw.API_METADATA, 1)):
-            lo, hi = versions.get(key, (-1, -2))
-            if not (lo <= ver <= hi):
-                raise IOError(f"broker doesn't support api {key} v{ver} (offers {lo}..{hi})")
+        """ApiVersions negotiation like a modern client: lead with v3
+        (flexible); a broker that caps lower answers UNSUPPORTED_VERSION
+        in v0 format with its ranges, and we re-probe with v0.  Then pin
+        the highest implemented version per hot API."""
+        r = self._call(kw.API_API_VERSIONS, 3,
+                       kw.enc_api_versions_request_v3())
+        err = r.i16()
+        if err == kw.ERR_UNSUPPORTED_VERSION:
+            versions = kw.dec_api_versions_response(
+                self._call(kw.API_API_VERSIONS, 0, b""))
+        elif err:
+            raise IOError(f"ApiVersions error {err}")
+        else:
+            r.pos -= 2  # rewind the peeked error code
+            versions = kw.dec_api_versions_response_v3(r)
+
+        def pick(api: int, prefer: int, floor: int) -> int:
+            lo, hi = versions.get(api, (-1, -2))
+            if lo <= prefer <= hi:
+                return prefer
+            if lo <= floor <= hi:
+                return floor
+            raise IOError(
+                f"broker doesn't support api {api} v{floor} or v{prefer} "
+                f"(offers {lo}..{hi})")
+
+        self._ver = {
+            kw.API_PRODUCE: pick(kw.API_PRODUCE, 9, 3),
+            kw.API_FETCH: pick(kw.API_FETCH, 12, 4),
+            kw.API_LIST_OFFSETS: pick(kw.API_LIST_OFFSETS, 7, 1),
+        }
+        lo, hi = versions.get(kw.API_METADATA, (-1, -2))
+        if not (lo <= 1 <= hi):
+            raise IOError(f"broker doesn't support metadata v1 (offers {lo}..{hi})")
         return versions
 
     def _sasl_auth(self, mechanism: str, username: str, password: str) -> None:
@@ -152,9 +186,15 @@ class KafkaConn:
         record_set = kw.encode_record_batch(
             records, base_timestamp=base_timestamp, compression=compression
         )
-        resp = kw.dec_produce_response(
-            self._call(kw.API_PRODUCE, 3, kw.enc_produce_request({topic: {partition: record_set}}))
-        )
+        ver = self._ver[kw.API_PRODUCE]
+        if ver >= 9:
+            resp = kw.dec_produce_response_v9(self._call(
+                kw.API_PRODUCE, ver,
+                kw.enc_produce_request_v9({topic: {partition: record_set}})))
+        else:
+            resp = kw.dec_produce_response(self._call(
+                kw.API_PRODUCE, ver,
+                kw.enc_produce_request({topic: {partition: record_set}})))
         err, base = resp[topic][partition]
         if err:
             raise IOError(f"produce to {topic}/{partition} failed: error_code={err}")
@@ -164,10 +204,16 @@ class KafkaConn:
         """Fetch every record in [from_offset, high watermark) -> [(offset, record)]."""
         out: list[tuple[int, kw.Record]] = []
         offset = from_offset
+        ver = self._ver[kw.API_FETCH]
         while True:
-            resp = kw.dec_fetch_response(
-                self._call(kw.API_FETCH, 4, kw.enc_fetch_request(topic, partition, offset))
-            )
+            if ver >= 12:
+                resp = kw.dec_fetch_response_v12(self._call(
+                    kw.API_FETCH, ver,
+                    kw.enc_fetch_request_v12(topic, partition, offset)))
+            else:
+                resp = kw.dec_fetch_response(self._call(
+                    kw.API_FETCH, ver,
+                    kw.enc_fetch_request(topic, partition, offset)))
             (_, _, err, hw, record_set) = resp[0]
             if err:
                 raise IOError(f"fetch {topic}/{partition}@{offset}: error_code={err}")
@@ -377,7 +423,24 @@ def adjust_options(
 def list_offset(conn: KafkaConn, topic: str, partition: int,
                 timestamp: int = kw.OFFSET_LATEST) -> int:
     """Earliest (-2) / latest (-1) offset — the consumer's seek call."""
-    res = kw.dec_list_offsets_response(conn._call(
-        kw.API_LIST_OFFSETS, 1,
-        kw.enc_list_offsets_request(topic, partition, timestamp)))
+    ver = conn._ver[kw.API_LIST_OFFSETS]
+    if ver >= 6:
+        res = kw.dec_list_offsets_response_v7(conn._call(
+            kw.API_LIST_OFFSETS, ver,
+            kw.enc_list_offsets_request_v7(topic, partition, timestamp)))
+    else:
+        res = kw.dec_list_offsets_response(conn._call(
+            kw.API_LIST_OFFSETS, ver,
+            kw.enc_list_offsets_request(topic, partition, timestamp)))
     return res[(topic, partition)][1]
+
+
+def offset_for_timestamp(conn: KafkaConn, topic: str, partition: int,
+                         timestamp: int) -> tuple[int, int]:
+    """Timestamp-based seek (sarama's Client.GetOffset(ts) shape):
+    -> (timestamp of the first record >= ts, its offset); (-1, -1) when
+    everything in the log is older."""
+    res = kw.dec_list_offsets_response_v7(conn._call(
+        kw.API_LIST_OFFSETS, 7,
+        kw.enc_list_offsets_request_v7(topic, partition, timestamp)))
+    return res[(topic, partition)]

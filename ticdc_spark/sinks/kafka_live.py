@@ -29,10 +29,15 @@ _LIVE_BROKERS: list = []
 _BATCH_RECORDS = 512
 
 
-def start_broker(n_partitions: int = 16):
+def start_broker(n_partitions: int = 16, flexible_only: bool = True):
+    """flexible_only=True (default): the broker advertises only the
+    modern Produce v9 / Fetch v12 / ListOffsets v7 — so every live
+    query's traffic is pinned to flexible frames (compact encodings +
+    tagged fields), the post-2.4 broker shape sarama negotiates."""
     from ticdc_spark.sinks.kafka_broker import KafkaBroker
 
-    broker = KafkaBroker(default_partitions=n_partitions).start()
+    broker = KafkaBroker(default_partitions=n_partitions,
+                         flexible_only=flexible_only).start()
     _LIVE_BROKERS.append(broker)
     return broker
 
@@ -224,3 +229,83 @@ def kafka_live_roundtrip(
     produce_frame(frame, broker.bootstrap, compression=compression)
     pairs = [(t, p) for t, parts in broker.topics.items() for p in parts]
     return fetch_df(spark, broker.bootstrap, pairs)
+
+
+def kafka_list_offsets_by_ts(cl: DataFrame, n_probes: int = 8) -> DataFrame:
+    """Timestamp-based ListOffsets over the live wire (sarama's
+    Client.GetOffset(ts) — the consumer's "start from time T" seek).
+
+    Construction: the changelog is produced to a single-partition topic
+    in commit_ts order, each record stamped with its commit_ts (batch
+    base_timestamp + per-record deltas).  The returned plan probes
+    ``n_probes`` evenly spaced timestamps through ListOffsets v7 and
+    yields (probe_ts, found_ts, log_offset) — first record at-or-after
+    each probe.  Offsets are ts-order ranks, so the result is exact
+    regardless of equal-timestamp tie order.
+
+    Scale note: single partition by design — a time index is per
+    partition in Kafka; probing is O(n_probes) metadata calls."""
+    spark = cl.sparkSession
+    broker = start_broker(1)
+    bootstrap = broker.bootstrap
+    topic = "cdc_ts_index"
+
+    rows = (
+        cl.select(F.col("commit_ts").cast("long").alias("ts"))
+        .repartition(1)
+        .sortWithinPartitions("ts")
+    )
+
+    def _produce(it):
+        from ticdc_spark.codec.kafka_wire import Record
+        from ticdc_spark.sinks.kafka_client import KafkaConn
+
+        batch: list = []
+        conn = KafkaConn.from_bootstrap(bootstrap)
+        try:
+            def flush():
+                if not batch:
+                    return
+                base = batch[0]
+                conn.produce(topic, 0, [
+                    Record(None, b"%d" % ts, timestamp_delta=ts - base)
+                    for ts in batch], base_timestamp=base)
+                batch.clear()
+
+            for row in it:
+                batch.append(row.ts)
+                if len(batch) >= _BATCH_RECORDS:
+                    flush()
+            flush()
+        finally:
+            conn.close()
+
+    rows.foreachPartition(_produce)
+
+    # probe bounds: a 1-row aggregate (metadata, not a data collect)
+    mn, mx = cl.agg(F.min("commit_ts"), F.max("commit_ts")).first()
+    mn, mx = int(mn), int(mx)
+    probes = [mn + (mx - mn) * k // (n_probes - 1) for k in range(n_probes)]
+    probe_df = spark.createDataFrame(
+        [(p,) for p in probes], "probe_ts long").repartition(1)
+
+    def _lookup(batches):
+        import pandas as pd
+
+        from ticdc_spark.sinks.kafka_client import (KafkaConn,
+                                                    offset_for_timestamp)
+
+        with KafkaConn.from_bootstrap(bootstrap) as conn:
+            for pdf in batches:
+                found, offs = [], []
+                for p in pdf["probe_ts"]:
+                    ts, off = offset_for_timestamp(conn, topic, 0, int(p))
+                    found.append(ts)
+                    offs.append(off)
+                pdf = pdf.copy()
+                pdf["found_ts"] = pd.Series(found, dtype="int64")
+                pdf["log_offset"] = pd.Series(offs, dtype="int64")
+                yield pdf
+
+    return probe_df.mapInPandas(
+        _lookup, "probe_ts long, found_ts long, log_offset long")
