@@ -179,3 +179,67 @@ def test_http_api_created_changefeed_streams_to_live_broker(spark, sf_dir, tmp_p
             assert reg.get("cf-api-live").checkpoint_ts() is not None
         finally:
             srv.stop()
+
+
+def test_live_changefeed_ddl_barrier(spark, sf_dir, tmp_path):
+    """W3 over the live wire: a mid-stream DDL splits the epoch at its
+    commit ts — pre rows produce first, then the canal-json DDL message
+    broadcasts to EVERY partition exactly once, then post rows — and the
+    schema-version registry bumps."""
+    cl = events_changelog(spark, sf_dir)
+    tss = sorted(r[0] for r in cl.select("commit_ts").collect())
+    ddl_ts = tss[len(tss) // 2]
+
+    with KafkaBroker(default_partitions=4) as broker:
+        cfg = ChangefeedConfig(**CFG, n_partitions=4)
+        cf = Changefeed("cf_ddl", cfg, str(tmp_path),
+                        live_bootstrap=broker.bootstrap)
+        cf.ddl_events = [{
+            "commit_ts": ddl_ts, "schema_name": "test",
+            "table_name": "tp_click", "ddl_type": "add-column",
+            "query": "ALTER TABLE tp_click ADD COLUMN note VARCHAR(16)",
+        }]
+        cf.start(spark, sf_dir, available_now=True)
+        cf.wait(240)
+
+        with KafkaConn.from_bootstrap(broker.bootstrap) as c:
+            for topic, parts in broker.topics.items():
+                for p in parts:
+                    msgs = [json.loads(rec.value.decode())
+                            for _, rec in c.fetch_all(topic, p)]
+                    ddls = [i for i, m in enumerate(msgs) if m.get("isDdl")]
+                    # exactly once per partition
+                    assert len(ddls) == 1, f"{topic}/{p}: {len(ddls)} DDLs"
+                    i = ddls[0]
+                    assert msgs[i]["type"] == "ALTER"
+                    assert "ADD COLUMN note" in msgs[i]["sql"]
+                    assert msgs[i]["es"] == ddl_ts // 1000
+                    # barrier ordering: data before the DDL is at-or-below
+                    # the barrier, data after is above it (es = ts//1000;
+                    # compare at ms precision with the boundary excluded)
+                    ddl_es = ddl_ts // 1000
+                    for m in msgs[:i]:
+                        if not m.get("isDdl") and m["type"] != "TIDB_WATERMARK":
+                            assert m["es"] <= ddl_es
+                    for m in msgs[i + 1:]:
+                        if not m.get("isDdl") and m["type"] != "TIDB_WATERMARK":
+                            assert m["es"] >= ddl_es
+
+        # data completeness: the split epoch lost nothing vs the batch plan
+        data, _marks = _drain(broker)
+        data = [d for d in data if '"isDdl":true' not in d[2]]
+        batch = build_pipeline(events_changelog(spark, sf_dir), cfg)
+        expected = {(r["topic"], r["partition"], r["value"])
+                    for r in batch.select("topic", "partition", "value").collect()}
+        assert set(data) == expected and len(data) == len(expected)
+
+        # registry bumped once; the ts book marks it applied
+        import os
+        vpath = os.path.join(str(tmp_path), "schema_versions", "cf_ddl.jsonl")
+        with open(vpath) as f:
+            versions = [json.loads(ln) for ln in f]
+        assert [v["version"] for v in versions] == [1]
+        assert versions[0]["ddl_ts"] == ddl_ts
+        from ticdc_spark.streaming.barrier import DDLTsBook
+        book = DDLTsBook(os.path.join(str(tmp_path), "ddl", "cf_ddl.book.jsonl"))
+        assert not book.should_apply(ddl_ts)

@@ -66,6 +66,15 @@ class Changefeed:
         # the filesystem sink (at-least-once like the reference; replays
         # append duplicates the consumer's idempotent apply absorbs)
         self.live_bootstrap = live_bootstrap
+        # planted DDL events (the logservice/schemastore feed in the
+        # reference; a deployment wires the DDL job fetcher here): each
+        # {"commit_ts", "schema_name", "table_name", "query", "ddl_type"}.
+        # A DDL whose ts falls inside a micro-batch splits it at the
+        # barrier (W3), broadcasts the canal-json DDL message to every
+        # partition on the wire (reference MQ behavior), and bumps the
+        # schema-version registry — exactly once across epoch replays
+        # via the DDLTsBook.
+        self.ddl_events = None
         self.checkpoint_dir = os.path.join(work_dir, "checkpoint", changefeed_id)
         self.sink_dir = os.path.join(work_dir, "sink", changefeed_id)
         self.progress_path = os.path.join(work_dir, "progress", f"{changefeed_id}.jsonl")
@@ -134,14 +143,33 @@ class Changefeed:
         live_mq = self.live_bootstrap is not None and "stmt" not in cols \
             and "path" not in cols
         if live_mq:
-            # real wire produce (Produce v3 record batches from executors);
-            # no filesystem sink — a Kafka changefeed's only artifacts are
-            # the broker log + the progress bookkeeping below
+            # real wire produce (flexible Produce record batches from
+            # executors); no filesystem sink — a Kafka changefeed's only
+            # artifacts are the broker log + the progress bookkeeping below
             from ticdc_spark.sinks.kafka_live import produce_frame
 
             live_cols = [c for c in ("topic", "partition", "key", "value")
                          if c in cols]
-            produce_frame(ordered.select(*live_cols), self.live_bootstrap)
+            barriers = self._pending_ddl_barriers(ordered, cols)
+            if barriers:
+                from ticdc_spark.streaming.barrier import split_batch_at_ddl
+
+                by_ts = {d["commit_ts"]: d for d in (self.ddl_events or [])}
+                topics = [r["topic"] for r in
+                          ordered.select("topic").distinct().collect()]
+                book = self._ddl_book()
+                # cut the epoch at each barrier: pre rows flush, the DDL
+                # message broadcasts to every partition, post rows flush
+                # against the bumped schema version (W3 on the live wire)
+                split_batch_at_ddl(
+                    ordered.select(*live_cols, "commit_ts"),
+                    barriers,
+                    lambda seg, _i: produce_frame(
+                        seg.select(*live_cols), self.live_bootstrap),
+                    lambda ts: self._apply_live_ddl(by_ts[ts], topics, book),
+                )
+            else:
+                produce_frame(ordered.select(*live_cols), self.live_bootstrap)
         # mode=overwrite per epoch dir: foreachBatch retries re-run with
         # the SAME epoch_id, so the write is idempotent under replay —
         # the Spark analog of the reference's replace-mode dedup on
@@ -194,6 +222,71 @@ class Changefeed:
             self._write_syncpoints(stats["min_ts"], stats["resolved_ts"])
         if live_mq and stats["resolved_ts"] is not None:
             self._produce_live_watermarks(batch_df, int(stats["resolved_ts"]))
+
+    def _ddl_book(self):
+        from ticdc_spark.streaming.barrier import DDLTsBook
+
+        return DDLTsBook(os.path.join(
+            self.work_dir, "ddl", f"{self.changefeed_id}.book.jsonl"))
+
+    def _pending_ddl_barriers(self, ordered: DataFrame, cols: set) -> list[int]:
+        """Unapplied DDL commit timestamps at or below this batch's max
+        commit ts (barriers beyond the batch wait for a later epoch)."""
+        if not self.ddl_events or "commit_ts" not in cols:
+            return []
+        book = self._ddl_book()
+        pending = sorted(d["commit_ts"] for d in self.ddl_events
+                         if book.should_apply(d["commit_ts"]))
+        if not pending:
+            return []
+        mx = ordered.agg(F.max("commit_ts")).first()[0]
+        return [t for t in pending if mx is not None and t <= mx]
+
+    def _apply_live_ddl(self, ddl: dict, topics: list[str], book) -> None:
+        """Exactly-once DDL application at the barrier: broadcast the
+        canal-json DDL message (`canal_json_encoder.go:384-399` frame)
+        to EVERY partition of every routed topic — the reference MQ
+        sink's DDL broadcast — then bump the schema-version registry and
+        mark the ts applied.  A crash between broadcast and record
+        re-broadcasts on replay (at-least-once, consumer dedups), the
+        same contract as the data path."""
+        from ticdc_spark.codec.canal_json import CANAL_DDL_EVENT_TYPE
+        from ticdc_spark.codec.kafka_wire import Record
+        from ticdc_spark.sinks.kafka_client import KafkaConn
+
+        etype = CANAL_DDL_EVENT_TYPE.get(ddl.get("ddl_type", ""), "QUERY")
+        value = (
+            '{"id":0,"database":"%s","table":"%s","pkNames":null,'
+            '"isDdl":true,"type":"%s","es":%d,"ts":0,"sql":"%s",'
+            '"sqlType":null,"mysqlType":null,"data":null,"old":null}'
+            % (ddl.get("schema_name", ""), ddl.get("table_name", ""),
+               etype, ddl["commit_ts"] // 1000,
+               ddl.get("query", "").replace('"', '\\"'))
+        ).encode()
+        with KafkaConn.from_bootstrap(self.live_bootstrap) as conn:
+            md = conn.metadata(topics)
+            for topic in topics:
+                for p in [pt["index"]
+                          for pt in md["topics"][topic]["partitions"]]:
+                    conn.produce(topic, p, [Record(None, value)])
+        # schema-version registry bump (the SchemaStore's multi-version
+        # append; file-backed like the rest of the control plane)
+        path = os.path.join(self.work_dir, "schema_versions",
+                            f"{self.changefeed_id}.jsonl")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        version = 1
+        if os.path.exists(path):
+            with open(path) as f:
+                version = sum(1 for _ in f) + 1
+        with open(path, "a") as f:
+            f.write(json.dumps({
+                "version": version,
+                "ddl_ts": ddl["commit_ts"],
+                "schema_name": ddl.get("schema_name", ""),
+                "table_name": ddl.get("table_name", ""),
+                "query": ddl.get("query", ""),
+            }) + "\n")
+        book.record(ddl["commit_ts"])
 
     def _produce_live_watermarks(self, batch_df: DataFrame, resolved_ts: int) -> None:
         """W1 live: after the flush, broadcast the epoch's resolved ts as a
