@@ -160,6 +160,7 @@ def main() -> None:
         # round-4 additions: timestamp ListOffsets over the flexible
         # (v9/v12/v7) wire, LSH hot-bucket recall accounting
         "kafka_list_offsets_by_ts", "dedup_minhash_lsh_hot_buckets",
+        "storage_live_gcs_roundtrip", "storage_live_azblob_roundtrip",
     ]
     # queries whose real work runs at CONSTRUCTION time (iterative
     # trainers that collect control-plane state, like the k-means
@@ -170,7 +171,9 @@ def main() -> None:
                        "kafka_consumer_group_roundtrip",
                        "storage_live_s3_roundtrip",
                        "avro_live_registry_roundtrip",
-                       "kafka_list_offsets_by_ts"}
+                       "kafka_list_offsets_by_ts",
+                       "storage_live_gcs_roundtrip",
+                       "storage_live_azblob_roundtrip"}
     # The live-wire queries round-trip through in-process single-host
     # protocol endpoints (test stand-ins for real clusters); their 10x
     # time measures that endpoint, not the Spark plan, so the scaling

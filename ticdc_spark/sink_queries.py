@@ -4141,6 +4141,27 @@ def q_storage_live_s3_roundtrip(spark, sf_dir):
     return storage_live_s3_roundtrip(cl)
 
 
+# Same storage sink + consumer over the OTHER two advertised URI
+# families (`pkg/config/sink_protocol.go:133-139`): the path layout is
+# scheme-independent; what changes is the live wire dialect — GCS JSON
+# API with Bearer auth and nextPageToken paging, Azure Blob REST with
+# SharedKey HMAC signing and NextMarker paging.
+@register("storage_live_gcs_roundtrip", _REPLAY_STATE_ORACLE)
+def q_storage_live_gcs_roundtrip(spark, sf_dir):
+    from ticdc_spark.sinks.s3_live import storage_live_roundtrip
+
+    cl = split_updates(events_changelog(spark, sf_dir, parallel=True))
+    return storage_live_roundtrip(cl, scheme="gcs")
+
+
+@register("storage_live_azblob_roundtrip", _REPLAY_STATE_ORACLE)
+def q_storage_live_azblob_roundtrip(spark, sf_dir):
+    from ticdc_spark.sinks.s3_live import storage_live_roundtrip
+
+    cl = split_updates(events_changelog(spark, sf_dir, parallel=True))
+    return storage_live_roundtrip(cl, scheme="azblob")
+
+
 # ---------------------------------------------------------------------------
 # K1 live, binary protocol — the writer through COM_STMT_PREPARE/EXECUTE
 # with bound args (go-sql-driver's actual DML path; `pkg/sink/sqlmodel`
@@ -4330,9 +4351,9 @@ def q_redo_live_s3_replay(spark, sf_dir):
 
     cl = scale_out(events_changelog(spark, sf_dir))
     files = redo_log_files(cl).withColumn("path", F.lit("redo/cf"))
-    srv = start_server()
-    put_files(files, srv.endpoint, srv.access_key, srv.secret_key)
-    lines = get_files_df(spark, srv.endpoint, srv.access_key, srv.secret_key)
+    srv, ak, sk = start_server()
+    put_files(files, srv.endpoint, ak, sk)
+    lines = get_files_df(spark, srv.endpoint, ak, sk)
 
     rec = F.from_json("value", _REDO_REC_SCHEMA)
     aft = rec["row"]["columns"].getItem(0)

@@ -19,21 +19,54 @@ _LIVE_SERVERS: list = []
 BUCKET = "cdc"
 
 
-def start_server():
-    from ticdc_spark.sinks.s3_server import MiniS3Server
+def start_server(scheme: str = "s3"):
+    """One live endpoint per storage scheme: s3 (SigV4/XML), gcs (Bearer/
+    JSON API), azblob (SharedKey/XML) — the three URI families the
+    reference's external-storage lib speaks
+    (`pkg/config/sink_protocol.go:133-139`).  Returns (server, cred1,
+    cred2): access-key/secret for s3, token/"" for gcs,
+    account/shared-key for azblob."""
+    if scheme == "s3":
+        from ticdc_spark.sinks.s3_server import MiniS3Server
 
-    srv = MiniS3Server().start()
+        srv = MiniS3Server().start()
+        creds = (srv.access_key, srv.secret_key)
+    elif scheme in ("gcs", "gs"):
+        from ticdc_spark.sinks.gcs_server import MiniGCSServer
+
+        srv = MiniGCSServer().start()
+        creds = (srv.token, "")
+    elif scheme in ("azblob", "azure"):
+        from ticdc_spark.sinks.azblob_server import MiniAzureBlobServer
+
+        srv = MiniAzureBlobServer().start()
+        creds = (srv.account, srv.key_b64)
+    else:
+        raise ValueError(f"unknown storage scheme {scheme!r}")
     _LIVE_SERVERS.append(srv)
-    return srv
+    return srv, creds[0], creds[1]
 
 
-def _client(srv_endpoint: str, access_key: str, secret_key: str):
-    from ticdc_spark.sinks.s3_client import S3Client
+def _client(srv_endpoint: str, cred1: str, cred2: str, scheme: str = "s3"):
+    """Scheme-dispatched wire client; all three share the
+    put_object/get_object/list_objects surface."""
+    if scheme == "s3":
+        from ticdc_spark.sinks.s3_client import S3Client
 
-    return S3Client(srv_endpoint, access_key, secret_key)
+        return S3Client(srv_endpoint, cred1, cred2)
+    if scheme in ("gcs", "gs"):
+        from ticdc_spark.sinks.gcs_server import GCSClient
+
+        return GCSClient(srv_endpoint, token=cred1)
+    if scheme in ("azblob", "azure"):
+        from ticdc_spark.sinks.azblob_server import AzBlobClient
+
+        return AzBlobClient(srv_endpoint, account=cred1, key_b64=cred2)
+    raise ValueError(f"unknown storage scheme {scheme!r}")
 
 
-def put_files(files: DataFrame, endpoint: str, access_key: str, secret_key: str) -> None:
+def put_files(files: DataFrame, endpoint: str, access_key: str,
+              secret_key: str, scheme: str = "s3") -> None:
     """files: rows carrying (path, file_name, value [, ordering cols]).
     One object per (path, file_name), rows joined in replay-key order."""
     cols = files.columns
@@ -54,7 +87,7 @@ def put_files(files: DataFrame, endpoint: str, access_key: str, secret_key: str)
             if cur is None or not buf:
                 return
             if client is None:
-                client = _client(endpoint, access_key, secret_key)
+                client = _client(endpoint, access_key, secret_key, scheme)
             client.put_object(BUCKET, f"{cur[0]}/{cur[1]}",
                               ("\n".join(buf) + "\n").encode("utf-8"))
 
@@ -76,11 +109,11 @@ def put_files(files: DataFrame, endpoint: str, access_key: str, secret_key: str)
 
 def get_files_df(
     spark: SparkSession, endpoint: str, access_key: str, secret_key: str,
-    list_page_size: int = 64,
+    list_page_size: int = 64, scheme: str = "s3",
 ) -> DataFrame:
     """List the bucket (real continuation-token pages) and GET every
     object from executor tasks -> (path, value) rows, one per CSV line."""
-    with _client(endpoint, access_key, secret_key) as c:
+    with _client(endpoint, access_key, secret_key, scheme) as c:
         keys = [k for k, _ in c.list_objects(BUCKET, max_keys=list_page_size)]
     kdf = spark.createDataFrame([(k,) for k in keys], "key string").repartition(
         max(1, min(len(keys), 64)), "key"
@@ -94,7 +127,8 @@ def get_files_df(
             for pdf in batches:
                 for key in pdf["key"]:
                     if client is None:
-                        client = _client(endpoint, access_key, secret_key)
+                        client = _client(endpoint, access_key, secret_key,
+                                         scheme)
                     body = client.get_object(BUCKET, key).decode("utf-8")
                     path = key.rsplit("/", 1)[0]
                     lines = [ln for ln in body.split("\n") if ln]
@@ -107,16 +141,23 @@ def get_files_df(
     return kdf.mapInPandas(_get, "path string, value string")
 
 
-def storage_live_s3_roundtrip(cl_split: DataFrame) -> DataFrame:
-    """CSV-encode -> path layout -> SigV4 PUT -> ListObjectsV2 + GET ->
-    storage-consumer decode -> replayed state."""
+def storage_live_roundtrip(cl_split: DataFrame,
+                           scheme: str = "s3") -> DataFrame:
+    """CSV-encode -> path layout -> authenticated PUT over the scheme's
+    real REST dialect -> paginated list + GET -> storage-consumer decode
+    -> replayed state.  The path layout is scheme-independent; only the
+    wire dialect (SigV4/XML vs Bearer/JSON vs SharedKey/XML) changes."""
     from ticdc_spark.codec.csv_codec import encode_csv
     from ticdc_spark.sinks.consumer import decode_csv_storage, replay_to_state
     from ticdc_spark.sinks.storage import storage_paths
 
     spark = cl_split.sparkSession
-    srv = start_server()
+    srv, cred1, cred2 = start_server(scheme)
     files = storage_paths(encode_csv(cl_split))
-    put_files(files, srv.endpoint, srv.access_key, srv.secret_key)
-    fetched = get_files_df(spark, srv.endpoint, srv.access_key, srv.secret_key)
+    put_files(files, srv.endpoint, cred1, cred2, scheme=scheme)
+    fetched = get_files_df(spark, srv.endpoint, cred1, cred2, scheme=scheme)
     return replay_to_state(decode_csv_storage(fetched), order_col="commit_ts")
+
+
+def storage_live_s3_roundtrip(cl_split: DataFrame) -> DataFrame:
+    return storage_live_roundtrip(cl_split, scheme="s3")
