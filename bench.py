@@ -161,6 +161,7 @@ def main() -> None:
         # (v9/v12/v7) wire, LSH hot-bucket recall accounting
         "kafka_list_offsets_by_ts", "dedup_minhash_lsh_hot_buckets",
         "storage_live_gcs_roundtrip", "storage_live_azblob_roundtrip",
+        "hnsw_recall_at_k",
     ]
     # queries whose real work runs at CONSTRUCTION time (iterative
     # trainers that collect control-plane state, like the k-means

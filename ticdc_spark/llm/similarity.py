@@ -500,3 +500,189 @@ def sq_dot_topk(emb: DataFrame, n_queries: int = 10, k: int = 3) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "dot_i", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# HNSW — graph-based ANN, the high-recall path beside IVF/PQ.
+#
+# Spark shape: HNSW is an inherently pointer-chasing structure, so the
+# distributed form is SHARDED — the corpus hash-partitions by vec_id,
+# each partition builds its own in-memory HNSW graph inside ONE
+# mapInPandas pass (numpy kernels, Arrow-batched), searches the
+# broadcast query set against its local graph, and the per-shard top-k
+# candidates merge with one global rank window.  At 100 TB: the build
+# is a single pass with per-executor memory bounded by the shard, the
+# search fans the (tiny) query set to every shard, and the merge
+# shuffles only |Q|·k·shards candidate rows.  (The same shape faiss/
+# Lucene deployments use: per-segment HNSW + merged results.)
+#
+# Determinism: node levels derive from md5(vec_id) (the repo's seeded
+# convention), neighbor selection breaks distance ties by id, and the
+# emitted candidates carry EXACT squared-L2 distances — so the merged
+# ranking is reproducible regardless of shard layout.
+# ---------------------------------------------------------------------------
+HNSW_M = 8            # max neighbors per node per level
+HNSW_EF_BUILD = 64    # beam width during construction
+
+
+def _hnsw_level(vec_id: int, m: int = HNSW_M) -> int:
+    """Deterministic HNSW level: floor(-ln(U) * 1/ln(M)) with U derived
+    from md5(vec_id) — the paper's exponential distribution with the
+    repo's hash-seeded randomness."""
+    import math
+
+    h = int(hashlib.md5(f"hnsw:{vec_id}".encode()).hexdigest()[:13], 16)
+    u = (h + 1) / float(1 << 52)  # (0, 1]
+    return int(-math.log(u) / math.log(m))
+
+
+class _HnswGraph:
+    """Single-shard HNSW (Malkov & Yashunin 2016, from the paper):
+    exponential levels, greedy descent through upper layers, beam
+    (ef) search at each level <= node level on insert, neighbor lists
+    truncated to M by distance.  numpy distance kernels; ids break
+    ties."""
+
+    def __init__(self, ids, vecs, m: int = HNSW_M,
+                 ef_build: int = HNSW_EF_BUILD):
+        import numpy as np
+
+        self.np = np
+        self.ids = list(ids)
+        self.vecs = np.asarray(vecs, dtype=np.float64)
+        self.m = m
+        self.ef_build = ef_build
+        self.levels = [_hnsw_level(i, m) for i in self.ids]
+        # adjacency: per level, per node index -> list of node indexes
+        self.edges: list[dict[int, list[int]]] = []
+        self.entry: int | None = None
+        for idx in range(len(self.ids)):
+            self._insert(idx)
+
+    def _d2(self, q, idx_list):
+        diff = self.vecs[idx_list] - q
+        return (diff * diff).sum(axis=1)
+
+    def _search_layer(self, q, entry: int, level: int, ef: int) -> list[tuple[float, int]]:
+        """Beam search on one layer -> sorted [(d2, idx)] of <= ef nodes."""
+        import heapq
+
+        d0 = float(self._d2(q, [entry])[0])
+        visited = {entry}
+        cand = [(d0, entry)]            # min-heap by distance
+        best = [(-d0, entry)]           # max-heap of current ef best
+        adj = self.edges[level] if level < len(self.edges) else {}
+        while cand:
+            d, node = heapq.heappop(cand)
+            if d > -best[0][0]:
+                break
+            neigh = [n for n in adj.get(node, ()) if n not in visited]
+            if not neigh:
+                continue
+            visited.update(neigh)
+            for nd, n in zip(self._d2(q, neigh), neigh):
+                nd = float(nd)
+                if len(best) < ef or nd < -best[0][0]:
+                    heapq.heappush(cand, (nd, n))
+                    heapq.heappush(best, (-nd, n))
+                    if len(best) > ef:
+                        heapq.heappop(best)
+        return sorted((-bd, n) for bd, n in best)
+
+    def _insert(self, idx: int) -> None:
+        level = self.levels[idx]
+        while len(self.edges) <= level:
+            self.edges.append({})
+        if self.entry is None:
+            self.entry = idx
+            self.top = level
+            return
+        q = self.vecs[idx]
+        ep = self.entry
+        # greedy descent through layers above the node's level
+        for lvl in range(self.top, level, -1):
+            ep = self._search_layer(q, ep, lvl, 1)[0][1]
+        # beam-connect at each level the node participates in
+        for lvl in range(min(level, self.top), -1, -1):
+            found = self._search_layer(q, ep, lvl, self.ef_build)
+            neighbors = [n for _, n in found[: self.m]]
+            adj = self.edges[lvl]
+            adj[idx] = neighbors
+            for n in neighbors:
+                lst = adj.setdefault(n, [])
+                lst.append(idx)
+                if len(lst) > self.m:
+                    # truncate by distance to n (ties by id)
+                    ds = self._d2(self.vecs[n], lst)
+                    order = sorted(range(len(lst)),
+                                   key=lambda i: (float(ds[i]), self.ids[lst[i]]))
+                    adj[n] = [lst[i] for i in order[: self.m]]
+            ep = found[0][1]
+        if level > self.top:
+            self.top = level
+            self.entry = idx
+
+    def search(self, q, k: int, ef: int) -> list[tuple[float, int]]:
+        """-> [(exact_d2, vec_id)] of the k best reachable nodes."""
+        if self.entry is None:
+            return []
+        ep = self.entry
+        for lvl in range(self.top, 0, -1):
+            ep = self._search_layer(q, ep, lvl, 1)[0][1]
+        found = self._search_layer(q, ep, 0, max(ef, k))
+        return [(d, self.ids[n]) for d, n in found[:k]]
+
+
+def hnsw_knn(emb: DataFrame, n_queries: int = 10, k: int = 3,
+             ef: int = 64, n_shards: int = 4) -> DataFrame:
+    """Sharded-HNSW top-k: per-shard graph build + search in one
+    mapInPandas pass, global merge by exact squared-L2 (rank window).
+    Queries = vec_id < n_queries (the family convention), searched
+    against every shard; q itself excluded like the other knn ops."""
+    from ticdc_spark.operators.routing import hash32_md5
+
+    spark = emb.sparkSession
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding").collect()
+    ]  # |Q| rows — control-plane collect, broadcast via closure
+    shard = (hash32_md5(F.col("vec_id").cast("string")) % n_shards).cast("int")
+    sharded = emb.select("vec_id", "embedding").withColumn(
+        "shard", shard).repartition(n_shards, "shard")
+    per_shard_k = k + ef  # shard candidates beyond k: merge headroom
+
+    def _build_and_search(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids: list[int] = []
+        vecs: list = []
+        for pdf in batches:
+            ids += [int(v) for v in pdf["vec_id"]]
+            vecs += [np.asarray(v, dtype=np.float64)
+                     for v in pdf["embedding"]]
+        if not ids:
+            return
+        # deterministic build order (arrival order varies by scan split)
+        order = sorted(range(len(ids)), key=lambda i: ids[i])
+        g = _HnswGraph([ids[i] for i in order],
+                       np.stack([vecs[i] for i in order]))
+        rows = {"q_id": [], "c_id": [], "d2": []}
+        for q_id, q_emb in queries:
+            for d2, c_id in g.search(np.asarray(q_emb), per_shard_k, ef):
+                if c_id == q_id:
+                    continue
+                rows["q_id"].append(q_id)
+                rows["c_id"].append(c_id)
+                rows["d2"].append(round(d2, 6))
+        yield pd.DataFrame(rows)
+
+    cand = sharded.mapInPandas(
+        _build_and_search, "q_id long, c_id long, d2 double")
+    w = Window.partitionBy("q_id").orderBy("d2", "c_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "d2", "rank")
+    )

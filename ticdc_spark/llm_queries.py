@@ -1487,6 +1487,65 @@ FROM ranked GROUP BY q_id
 """
 
 
+# ---------------------------------------------------------------------------
+# HNSW (graph ANN) recall gauge, same planted-twin convention: the twin
+# is the exact nearest neighbor by construction, so a correct HNSW
+# retrieval ranks it first in the merged shard results.  The oracle is
+# the EXACT squared-L2 ranking — a missed twin (recall failure) or a
+# distance bug surfaces as a rank/NULL mismatch.
+# ---------------------------------------------------------------------------
+_D2_SQL = ("round(list_sum(list_transform(list_zip({a}, {b}), "
+           "p -> (p[1]::DOUBLE - p[2]::DOUBLE) * "
+           "(p[1]::DOUBLE - p[2]::DOUBLE))), 6)")
+
+_HNSW_TWIN_ORACLE = f"""
+WITH emb2 AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(embedding,
+             x -> CAST(x * 1.001::DOUBLE + 0.0001::DOUBLE AS FLOAT))
+  FROM embeddings WHERE vec_id < 10),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM emb2 WHERE vec_id < 10),
+c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM emb2),
+pair AS (
+  SELECT q_id, c_id, {_D2_SQL.format(a='q_emb', b='c_emb')} AS d2
+  FROM q CROSS JOIN c WHERE q_id <> c_id),
+ranked AS (
+  SELECT q_id, c_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rank
+  FROM pair)
+SELECT q_id,
+       CAST(min(CASE WHEN c_id = q_id + 1000000 THEN rank END) AS BIGINT)
+         AS twin_rank,
+       CAST(CASE WHEN min(CASE WHEN c_id = q_id + 1000000 THEN rank END) = 1
+                 THEN 1 ELSE 0 END AS BIGINT) AS twin_first
+FROM ranked GROUP BY q_id
+"""
+
+
+@register("hnsw_recall_at_k", _HNSW_TWIN_ORACLE)
+def q_hnsw_recall_at_k(spark, sf_dir):
+    from ticdc_spark.llm.similarity import hnsw_knn
+
+    emb = _emb(spark, sf_dir)
+    twins = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: (x * F.lit(1.001) + F.lit(0.0001)).cast("float"),
+        ).alias("embedding"),
+    )
+    emb2 = emb.select("vec_id", "embedding").unionByName(twins)
+    found = hnsw_knn(emb2, n_queries=10, k=3, ef=64)
+    twin = F.min(F.when(F.col("c_id") == F.col("q_id") + 1000000,
+                        F.col("rank")))
+    return found.groupBy("q_id").agg(
+        twin.cast("long").alias("twin_rank"),
+        F.when(twin == 1, 1).otherwise(0).cast("long").alias("twin_first"),
+    )
+
+
 @register("pq_recall_at_k", _PQ_TWIN_ORACLE)
 def q_pq_recall_at_k(spark, sf_dir):
     emb = _emb(spark, sf_dir)
