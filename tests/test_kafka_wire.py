@@ -613,3 +613,82 @@ def test_list_offsets_by_timestamp_live(broker):
         assert offset_for_timestamp(c, "ts", 0, 1000) == (1000, 0)
         assert offset_for_timestamp(c, "ts", 0, 1001) == (2000, 2)
         assert offset_for_timestamp(c, "ts", 0, 2001) == (-1, -1)
+
+
+def test_idempotent_producer_dedups_retry(broker):
+    """KIP-98: a retried batch with the same (pid, sequence) appends
+    nothing and answers the ORIGINAL base offset; a sequence gap is
+    rejected OUT_OF_ORDER_SEQUENCE; independent pids don't interact."""
+    with KafkaConn.from_bootstrap(broker.bootstrap) as c:
+        pid = c.init_producer_id()
+        assert pid[0] >= 1000 and pid[1] == 0
+        recs = [Record(b"k", b"v%d" % i) for i in range(3)]
+        base = c.produce("idem", 0, recs, producer=pid, base_sequence=0)
+        assert base == 0
+        # exact retry -> deduped, same offset, nothing appended
+        assert c.produce("idem", 0, recs, producer=pid, base_sequence=0) == 0
+        assert broker.high_watermark("idem", 0) == 3
+        # next in sequence appends
+        assert c.produce("idem", 0, [Record(b"k", b"v3")],
+                         producer=pid, base_sequence=3) == 3
+        # sequence gap -> error 45
+        with pytest.raises(IOError, match="error_code=45"):
+            c.produce("idem", 0, [Record(b"k", b"v9")],
+                      producer=pid, base_sequence=9)
+        # another pid on the same partition is tracked independently
+        pid2 = c.init_producer_id()
+        assert pid2[0] != pid[0]
+        assert c.produce("idem", 0, [Record(b"k", b"w0")],
+                         producer=pid2, base_sequence=0) == 4
+        got = c.fetch_all("idem", 0)
+        assert [r.value for _, r in got] == [b"v0", b"v1", b"v2", b"v3", b"w0"]
+
+
+def test_idempotent_produce_exactly_once_under_drops():
+    """Chaos: connection drops force resends; with idempotent sequences
+    the broker log holds each record EXACTLY once (the plain retry path
+    would duplicate)."""
+    from ticdc_spark import failpoint
+    from ticdc_spark.sinks.kafka_live import produce_frame  # noqa: F401
+
+    failpoint.disable_all()
+    try:
+        with KafkaBroker(default_partitions=1) as b:
+            import time
+
+            state = {"conn": None, "pid": None}
+
+            def send(seq, batch, max_retry=6):
+                for attempt in range(max_retry + 1):
+                    try:
+                        if state["conn"] is None:
+                            state["conn"] = KafkaConn.from_bootstrap(b.bootstrap)
+                            if state["pid"] is None:
+                                state["pid"] = state["conn"].init_producer_id()
+                        state["conn"].produce("t", 0, batch,
+                                              producer=state["pid"],
+                                              base_sequence=seq)
+                        return
+                    except (IOError, OSError):
+                        if state["conn"] is not None:
+                            state["conn"].close()
+                            state["conn"] = None
+                        if attempt == max_retry:
+                            raise
+                        time.sleep(0.02)
+
+            send(0, [Record(b"k", b"a%d" % i) for i in range(4)])
+            # drop the next TWO requests mid-flight: the produce may or
+            # may not have appended before the cut — the resend must not
+            # double-append either way
+            failpoint.enable("kafka/drop-connection", "2*return(1)")
+            send(4, [Record(b"k", b"b%d" % i) for i in range(4)])
+            send(8, [Record(b"k", b"c0")])
+            if state["conn"] is not None:
+                state["conn"].close()
+            with KafkaConn.from_bootstrap(b.bootstrap) as c:
+                vals = [r.value for _, r in c.fetch_all("t", 0)]
+            assert vals == [b"a0", b"a1", b"a2", b"a3",
+                            b"b0", b"b1", b"b2", b"b3", b"c0"]
+    finally:
+        failpoint.disable_all()

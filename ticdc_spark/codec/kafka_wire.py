@@ -324,9 +324,13 @@ def encode_record_batch(
     base_timestamp: int = 0,
     compression: str = "none",
     producer_id: int = -1,
+    producer_epoch: int = -1,
+    base_sequence: int = -1,
 ) -> bytes:
     """One record batch (magic v2). Offsets/timestamps are deltas off the
-    batch base; the broker rewrites base_offset on append."""
+    batch base; the broker rewrites base_offset on append.  A non-negative
+    (producer_id, base_sequence) marks the batch idempotent — the broker
+    dedups retries by sequence (KIP-98)."""
     codec = _CODEC_NAMES[compression]
     recs = []
     max_ts_delta = 0
@@ -344,8 +348,8 @@ def encode_record_batch(
             base_timestamp,
             base_timestamp + max_ts_delta,
             producer_id,
-            -1,  # producerEpoch
-            -1,  # baseSequence
+            producer_epoch,
+            base_sequence,
             len(records),
         )
         + payload
@@ -1555,3 +1559,50 @@ def dec_list_offsets_response_v7(r: Reader) -> dict[tuple[str, int], tuple[int, 
         r.skip_tags()
     r.skip_tags()
     return out
+
+
+# --------- InitProducerId v1 (KIP-98 idempotent producer)
+
+API_INIT_PRODUCER_ID = 22
+SUPPORTED[API_INIT_PRODUCER_ID] = (1, 1)
+
+ERR_OUT_OF_ORDER_SEQUENCE = 45
+ERR_DUPLICATE_SEQUENCE = 46
+ERR_UNKNOWN_PRODUCER_ID = 59
+
+
+def enc_init_producer_id_request(txn_id: str | None = None,
+                                 txn_timeout_ms: int = 60000) -> bytes:
+    return enc_str(txn_id) + struct.pack(">i", txn_timeout_ms)
+
+
+def dec_init_producer_id_request(r: Reader) -> tuple[str | None, int]:
+    return r.string(), r.i32()
+
+
+def enc_init_producer_id_response(producer_id: int,
+                                  producer_epoch: int = 0,
+                                  error_code: int = 0) -> bytes:
+    return struct.pack(">ihqh", 0, error_code, producer_id, producer_epoch)
+
+
+def dec_init_producer_id_response(r: Reader) -> tuple[int, int]:
+    r.i32()  # throttle
+    err = r.i16()
+    if err:
+        raise IOError(f"InitProducerId error {err}")
+    return r.i64(), r.i16()
+
+
+def batch_producer_meta(record_set: bytes) -> tuple[int, int, int, int]:
+    """(producer_id, producer_epoch, base_sequence, record_count) of the
+    FIRST batch in a record set — what the broker's sequence check
+    reads; header-only, no record decode."""
+    # baseOffset 8 | len 4 | epoch 4 | magic 1 | crc 4 | attrs 2 |
+    # lastOffsetDelta 4 | baseTs 8 | maxTs 8 | producerId@43 |
+    # producerEpoch@51 | baseSequence@53 | recordCount@57
+    pid = struct.unpack_from(">q", record_set, 43)[0]
+    pepoch = struct.unpack_from(">h", record_set, 51)[0]
+    base_seq = struct.unpack_from(">i", record_set, 53)[0]
+    n = struct.unpack_from(">i", record_set, 57)[0]
+    return pid, pepoch, base_seq, n

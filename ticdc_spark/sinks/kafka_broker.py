@@ -27,15 +27,24 @@ import time
 from ticdc_spark.codec import kafka_wire as kw
 
 
-class _Log:
-    """One partition's log: raw v2 batches with rewritten base offsets."""
+class OutOfOrderSequence(Exception):
+    """Idempotent-producer sequence gap (error 45 on the wire)."""
 
-    __slots__ = ("batches", "next_offset", "lock")
+
+class _Log:
+    """One partition's log: raw v2 batches with rewritten base offsets.
+    Idempotent producers (KIP-98): per-pid (last base sequence, count,
+    offset) so an exact retry of the last batch dedups to its original
+    offset and a sequence gap rejects with OUT_OF_ORDER_SEQUENCE (a real
+    broker keeps the last 5 batches; the retry case is depth 1)."""
+
+    __slots__ = ("batches", "next_offset", "lock", "producers")
 
     def __init__(self):
         self.batches: list[bytes] = []
         self.next_offset = 0
         self.lock = threading.Lock()
+        self.producers: dict[int, tuple[int, int, int]] = {}
 
     def append(self, record_set: bytes) -> int:
         """Validate + append every batch in the set; returns the base offset
@@ -49,10 +58,11 @@ class _Log:
             # which ignores partial tails) must not leave earlier batches
             # appended with next_offset never advanced — that assigns
             # duplicate base offsets to the next append and corrupts the log.
-            out_base = self.next_offset
+            out_base: int | None = None
             pos = 0
             assigned = self.next_offset
             staged: list[bytes] = []
+            producer_updates: dict[int, tuple[int, int, int]] = {}
             while pos + 12 <= len(record_set):
                 batch_len = struct.unpack_from(">i", record_set, pos + 8)[0]
                 end = pos + 12 + batch_len
@@ -60,13 +70,34 @@ class _Log:
                     break  # partial tail — mirror decode's tolerance
                 body = record_set[pos + 8 : end]
                 n_records = struct.unpack_from(">i", record_set, pos + 57)[0]
+                pid, _pepoch, bseq, _n = kw.batch_producer_meta(
+                    record_set[pos:end])
+                if pid >= 0 and bseq >= 0:
+                    st = producer_updates.get(pid, self.producers.get(pid))
+                    if st is not None:
+                        last_seq, last_n, last_off = st
+                        if bseq == last_seq:
+                            # exact retry of the last batch: dedup to
+                            # its original base offset, append nothing
+                            if out_base is None:
+                                out_base = last_off
+                            pos = end
+                            continue
+                        if bseq != last_seq + last_n:
+                            raise OutOfOrderSequence(
+                                f"pid {pid}: sequence {bseq}, expected "
+                                f"{last_seq + last_n}")
+                    producer_updates[pid] = (bseq, n_records, assigned)
                 staged.append(struct.pack(">q", assigned) + body)
+                if out_base is None:
+                    out_base = assigned
                 assigned += n_records
                 pos = end
-            if assigned == out_base:
+            if out_base is None:
                 raise ValueError("empty record set")
             self.batches.extend(staged)
             self.next_offset = assigned
+            self.producers.update(producer_updates)
             return out_base
 
     def offset_for_timestamp(self, ts: int) -> tuple[int, int]:
@@ -172,6 +203,7 @@ class KafkaBroker:
             self.sasl_mechanisms.append("OAUTHBEARER")
         self.topics: dict[str, dict[int, _Log]] = {}
         self._topics_lock = threading.Lock()
+        self._next_pid = 1000  # InitProducerId allocator (KIP-98)
         self.groups: dict[str, "_Group"] = {}
         self._groups_lock = threading.Lock()
         # broker-level config a real cluster exposes via DescribeConfigs;
@@ -420,6 +452,9 @@ class KafkaBroker:
                     try:
                         base = t[idx].append(record_set)
                         results[topic][idx] = (0, base)
+                    except OutOfOrderSequence:
+                        results[topic][idx] = (
+                            kw.ERR_OUT_OF_ORDER_SEQUENCE, -1)
                     except (ValueError, struct.error):
                         results[topic][idx] = (2, -1)  # CORRUPT_MESSAGE
             if acks == 0:
@@ -431,6 +466,13 @@ class KafkaBroker:
                 return kw.frame_response_flex(
                     corr, kw.enc_produce_response_v9(results))
             return kw.frame_response(corr, kw.enc_produce_response(results))
+        if api_key == kw.API_INIT_PRODUCER_ID:
+            kw.dec_init_producer_id_request(r)
+            with self._topics_lock:
+                pid = self._next_pid
+                self._next_pid += 1
+            return kw.frame_response(
+                corr, kw.enc_init_producer_id_response(pid))
         if api_key == kw.API_LIST_OFFSETS:
             flex = api_version >= kw.FLEXIBLE_SINCE[kw.API_LIST_OFFSETS]
             wants = (kw.dec_list_offsets_request_v7(r) if flex

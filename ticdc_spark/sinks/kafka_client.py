@@ -174,6 +174,12 @@ class KafkaConn:
     def metadata(self, topics: list[str] | None = None) -> dict:
         return kw.dec_metadata_response(self._call(kw.API_METADATA, 1, kw.enc_metadata_request(topics)))
 
+    def init_producer_id(self) -> tuple[int, int]:
+        """KIP-98: acquire a (producer_id, epoch) from the broker for
+        idempotent produces."""
+        return kw.dec_init_producer_id_response(self._call(
+            kw.API_INIT_PRODUCER_ID, 1, kw.enc_init_producer_id_request()))
+
     def produce(
         self,
         topic: str,
@@ -181,10 +187,18 @@ class KafkaConn:
         records: list[kw.Record],
         compression: str = "none",
         base_timestamp: int = 0,
+        producer: tuple[int, int] | None = None,
+        base_sequence: int = -1,
     ) -> int:
-        """Produce one batch with acks=-1; returns the assigned base offset."""
+        """Produce one batch with acks=-1; returns the assigned base offset.
+        ``producer=(pid, epoch)`` + ``base_sequence`` make the batch
+        idempotent: a retry resent with the same sequence dedups broker-
+        side to the original offset (exactly-once produce)."""
+        pid, pepoch = producer if producer is not None else (-1, -1)
         record_set = kw.encode_record_batch(
-            records, base_timestamp=base_timestamp, compression=compression
+            records, base_timestamp=base_timestamp, compression=compression,
+            producer_id=pid, producer_epoch=pepoch,
+            base_sequence=base_sequence,
         )
         ver = self._ver[kw.API_PRODUCE]
         if ver >= 9:

@@ -78,16 +78,29 @@ def produce_frame(
         from ticdc_spark.codec.kafka_wire import Record
         from ticdc_spark.sinks.kafka_client import KafkaConn
 
-        state = {"conn": None}
+        # Idempotent producer (KIP-98): one pid per task, acquired on
+        # the first connection and KEPT across reconnects; per-(topic,
+        # partition) sequence counters advance only after a confirmed
+        # produce, so a retry resends the SAME sequence and the broker
+        # dedups it — the at-least-once drop-retry duplicate becomes
+        # exactly-once on the wire.
+        state = {"conn": None, "pid": None}
+        seqs: dict[tuple[str, int], int] = {}
 
         def produce_with_retry(topic, partition, batch):
+            seq = seqs.get((topic, partition), 0)
             for attempt in range(max_retry + 1):
                 try:
                     if state["conn"] is None:
                         state["conn"] = KafkaConn.from_bootstrap(
                             bootstrap, sasl=sasl, tls_ca=tls_ca)
+                        if state["pid"] is None:
+                            state["pid"] = state["conn"].init_producer_id()
                     state["conn"].produce(topic, partition, batch,
-                                          compression=compression)
+                                          compression=compression,
+                                          producer=state["pid"],
+                                          base_sequence=seq)
+                    seqs[(topic, partition)] = seq + len(batch)
                     return
                 except (IOError, OSError):
                     if state["conn"] is not None:
