@@ -177,3 +177,26 @@ def test_full_em_monotone_and_deterministic(spark):
     # fixed-point counts -> identical reruns
     c1b, ll1b = em_full_pass(wc, seed)
     assert c1 == c1b and ll1 == ll1b
+
+
+def test_train_unigram_full_em_mode(spark):
+    """em_mode='full': the integrated trainer runs forward-backward
+    E-steps — marginal log-likelihood is monotone non-decreasing within
+    an EM block (the EM guarantee, which Viterbi hard-EM lacks), the
+    run is deterministic, and the planted subword still wins."""
+    rows = [(i, "tok" + ("en " * 3) + "token token zzq") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    v1, o1 = train_unigram(docs, vocab_size=24, n_iters=3,
+                           max_piece_len=4, seed_size=64, em_mode="full")
+    for a, b in zip(o1[:2], o1[1:3]):
+        assert b >= a - 1e-6
+    pieces = dict(v1)
+    assert "toke" in pieces or "tok" in pieces
+    for ch in "tokenzq":
+        assert ch in pieces
+    v2, o2 = train_unigram(docs, vocab_size=24, n_iters=3,
+                           max_piece_len=4, seed_size=64, em_mode="full")
+    assert v1 == v2 and o1 == o2
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        train_unigram(docs, em_mode="soft")

@@ -127,9 +127,19 @@ def train_unigram(
     seed_size: int = 512,
     prune_frac: float = 0.25,
     text_col: str = "text",
+    em_mode: str = "viterbi",
 ) -> tuple[list[tuple[str, int]], list[float]]:
     """Train; returns (vocab as [(piece, count)] sorted by (-count, piece),
-    per-iteration Viterbi objectives). Runs jobs at call time (trainer)."""
+    per-iteration objectives). Runs jobs at call time (trainer).
+
+    ``em_mode``: "viterbi" (hard EM — counts from the best segmentation,
+    objective = Viterbi log-score) or "full" (true EM — forward-backward
+    expected counts in int64 fixed-point grains, objective = marginal
+    log-likelihood, SentencePiece's actual E-step).  Full mode keeps the
+    same distributed shape: one Arrow pass over the distinct-word table
+    per iteration, codebook-only collects."""
+    if em_mode not in ("viterbi", "full"):
+        raise ValueError(f"unknown em_mode {em_mode!r}")
     spark = docs.sparkSession
     wc = word_counts(docs, text_col).cache()
     seed = {r["piece"]: int(r["count"]) for r in seed_pieces(
@@ -178,9 +188,19 @@ def train_unigram(
                 new_counts[p] = 1
         return new_counts, objective
 
+    def one_pass(cur):
+        if em_mode == "full":
+            new_counts, ll = em_full_pass(wc, cur, max_piece_len)
+            # coverage: single chars survive even at zero expectation
+            for p in seed:
+                if len(p) == 1 and p not in new_counts:
+                    new_counts[p] = 1
+            return new_counts, ll
+        return em_pass(cur)
+
     while True:
         for _ in range(n_iters):
-            counts, obj = em_pass(counts)
+            counts, obj = one_pass(counts)
             objectives.append(obj)
         multi = sorted(
             ((p, c) for p, c in counts.items() if len(p) > 1),

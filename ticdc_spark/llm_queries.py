@@ -1909,6 +1909,22 @@ def q_unigram_train_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
         "piece string, count long, piece_len int")
 
 
+@register("unigram_train_pieces_full_em", None)
+def q_unigram_train_pieces_full_em(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The integrated full-EM trainer (forward-backward expectations,
+    int64 fixed-point determinism) — oracle-less like the other two
+    trainers, pinned by the exhaustive-posterior tests instead."""
+    from ticdc_spark.llm.unigram import train_unigram
+
+    vocab, _obj = train_unigram(
+        _docs(spark, sf_dir), vocab_size=128, n_iters=2,
+        max_piece_len=4, seed_size=256, em_mode="full")
+    return spark.createDataFrame(
+        [(p, c, len(p)) for p, c in vocab],
+        "piece string, count long, piece_len int")
+
+
 @register("unigram_tokenize_stats", None)
 def q_unigram_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ticdc_spark.llm.unigram import tokenize_stats, train_unigram
