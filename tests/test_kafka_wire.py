@@ -563,10 +563,14 @@ def test_produce_v9_fetch_v12_codec_roundtrip():
     resp = kw.enc_produce_response_v9({"t": {0: (0, 42)}})
     assert kw.dec_produce_response_v9(Reader(resp)) == {"t": {0: (0, 42)}}
 
-    fbody = kw.enc_fetch_request_v12("t", 1, 5)
-    assert kw.dec_fetch_request_v12(Reader(fbody)) == [("t", 1, 5, 1 << 26)]
+    fbody = kw.enc_fetch_request_v12("t", 1, 5, isolation=1)
+    assert kw.dec_fetch_request_v12(Reader(fbody)) == (1, [("t", 1, 5, 1 << 26)])
     fresp = kw.enc_fetch_response_v12([("t", 1, 0, 9, rs)])
-    assert kw.dec_fetch_response_v12(Reader(fresp)) == [("t", 1, 0, 9, rs)]
+    assert kw.dec_fetch_response_v12(Reader(fresp)) == [("t", 1, 0, 9, 9, [], rs)]
+    # 7-tuple form carries lso + aborted ranges through
+    fresp = kw.enc_fetch_response_v12([("t", 1, 0, 9, rs, 4, [(1000, 2)])])
+    assert kw.dec_fetch_response_v12(Reader(fresp)) == [
+        ("t", 1, 0, 9, 4, [(1000, 2)], rs)]
 
 
 def test_apiversions_v3_negotiation_and_flexible_live():
@@ -692,3 +696,71 @@ def test_idempotent_produce_exactly_once_under_drops():
                             b"b0", b"b1", b"b2", b"b3", b"c0"]
     finally:
         failpoint.disable_all()
+
+
+def test_transactions_commit_abort_and_read_committed(broker):
+    """KIP-98 txn half: transactional batches, AddPartitionsToTxn,
+    EndTxn markers, READ_COMMITTED filtering, zombie fencing."""
+    with KafkaConn.from_bootstrap(broker.bootstrap) as c:
+        txn = c.init_producer_id("cf-txn")
+        assert txn[1] == 0
+        # txn 1: produce 2 records, COMMIT
+        c.add_partitions_to_txn("cf-txn", txn, {"tx": [0]})
+        c.produce("tx", 0, [Record(b"k", b"c0"), Record(b"k", b"c1")],
+                  producer=txn, base_sequence=0, transactional=True)
+        c.end_txn("cf-txn", txn, commit=True)
+        # txn 2: produce 2 records, ABORT
+        c.add_partitions_to_txn("cf-txn", txn, {"tx": [0]})
+        c.produce("tx", 0, [Record(b"k", b"a0"), Record(b"k", b"a1")],
+                  producer=txn, base_sequence=2, transactional=True)
+        c.end_txn("cf-txn", txn, commit=False)
+        # txn 3: committed again
+        c.add_partitions_to_txn("cf-txn", txn, {"tx": [0]})
+        c.produce("tx", 0, [Record(b"k", b"c2")],
+                  producer=txn, base_sequence=4, transactional=True)
+        c.end_txn("cf-txn", txn, commit=True)
+
+        # READ_UNCOMMITTED sees all data (markers never surface)
+        vals = [r.value for _, r in c.fetch_all("tx", 0)]
+        assert vals == [b"c0", b"c1", b"a0", b"a1", b"c2"]
+        # READ_COMMITTED hides the aborted transaction
+        vals = [r.value for _, r in
+                c.fetch_all("tx", 0, isolation="read_committed")]
+        assert vals == [b"c0", b"c1", b"c2"]
+
+        # an OPEN transaction stays below the LSO for READ_COMMITTED
+        c.add_partitions_to_txn("cf-txn", txn, {"tx": [0]})
+        c.produce("tx", 0, [Record(b"k", b"open0")],
+                  producer=txn, base_sequence=5, transactional=True)
+        vals = [r.value for _, r in
+                c.fetch_all("tx", 0, isolation="read_committed")]
+        assert vals == [b"c0", b"c1", b"c2"]
+        vals = [r.value for _, r in c.fetch_all("tx", 0)]
+        assert vals[-1] == b"open0"
+        c.end_txn("cf-txn", txn, commit=True)
+        vals = [r.value for _, r in
+                c.fetch_all("tx", 0, isolation="read_committed")]
+        assert vals == [b"c0", b"c1", b"c2", b"open0"]
+
+
+def test_transaction_zombie_fencing(broker):
+    """Re-initializing the same transactional.id bumps the epoch; the
+    old incarnation's produces and EndTxn are fenced (errors 47)."""
+    with KafkaConn.from_bootstrap(broker.bootstrap) as c:
+        old = c.init_producer_id("cf-fence")
+        new = c.init_producer_id("cf-fence")
+        assert new[0] == old[0] and new[1] == old[1] + 1
+        with pytest.raises(IOError, match="error 47"):
+            c.add_partitions_to_txn("cf-fence", old, {"tz": [0]})
+        c.add_partitions_to_txn("cf-fence", new, {"tz": [0]})
+        with pytest.raises(IOError, match="error_code=47"):
+            c.produce("tz", 0, [Record(b"k", b"z")],
+                      producer=old, base_sequence=0, transactional=True)
+        with pytest.raises(IOError, match="error 47"):
+            c.end_txn("cf-fence", old, commit=True)
+        c.produce("tz", 0, [Record(b"k", b"n")],
+                  producer=new, base_sequence=0, transactional=True)
+        c.end_txn("cf-fence", new, commit=True)
+        vals = [r.value for _, r in
+                c.fetch_all("tz", 0, isolation="read_committed")]
+        assert vals == [b"n"]

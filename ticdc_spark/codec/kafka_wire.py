@@ -326,6 +326,8 @@ def encode_record_batch(
     producer_id: int = -1,
     producer_epoch: int = -1,
     base_sequence: int = -1,
+    transactional: bool = False,
+    control: bool = False,
 ) -> bytes:
     """One record batch (magic v2). Offsets/timestamps are deltas off the
     batch base; the broker rewrites base_offset on append.  A non-negative
@@ -339,7 +341,11 @@ def encode_record_batch(
         max_ts_delta = max(max_ts_delta, r.timestamp_delta)
         recs.append(_enc_record(r2))
     payload = _compress(codec, b"".join(recs))
-    attributes = codec  # bits 0-2; no transactional/control bits
+    attributes = codec  # bits 0-2 compression
+    if transactional:
+        attributes |= 0x10  # bit 4 (KIP-98)
+    if control:
+        attributes |= 0x20  # bit 5: txn marker batch
     after_crc = (
         struct.pack(
             ">hiqqqhii",
@@ -594,21 +600,22 @@ def dec_produce_response(r: Reader) -> dict[str, dict[int, tuple[int, int]]]:
 
 
 def enc_fetch_request(
-    topic: str, partition: int, fetch_offset: int, max_bytes: int = 1 << 26
+    topic: str, partition: int, fetch_offset: int, max_bytes: int = 1 << 26,
+    isolation: int = 0
 ) -> bytes:
     body = struct.pack(">iiii", -1, 100, 1, max_bytes)  # replica_id, max_wait, min_bytes, max_bytes
-    body += b"\x00"  # isolation_level READ_UNCOMMITTED
+    body += bytes([isolation])  # 0 READ_UNCOMMITTED | 1 READ_COMMITTED
     body += struct.pack(">i", 1) + enc_str(topic) + struct.pack(">i", 1)
     body += struct.pack(">iqi", partition, fetch_offset, max_bytes)
     return body
 
 
-def dec_fetch_request(r: Reader) -> list[tuple[str, int, int, int]]:
+def dec_fetch_request(r: Reader) -> tuple[int, list[tuple[str, int, int, int]]]:
     r.i32()  # replica_id
     r.i32()  # max_wait
     r.i32()  # min_bytes
     r.i32()  # max_bytes
-    r.i8()  # isolation
+    isolation = r.i8()
     out = []
     for _ in range(r.i32()):
         topic = r.string()
@@ -617,28 +624,34 @@ def dec_fetch_request(r: Reader) -> list[tuple[str, int, int, int]]:
             offset = r.i64()
             pmax = r.i32()
             out.append((topic, partition, offset, pmax))
-    return out
+    return isolation, out
 
 
 def enc_fetch_response(
-    parts: list[tuple[str, int, int, int, bytes]]
+    parts: list
 ) -> bytes:
-    """parts: [(topic, partition, error_code, high_watermark, record_set)]."""
+    """parts: [(topic, partition, error_code, high_watermark, record_set)]
+    or 7-tuples adding (last_stable_offset, aborted:[(pid, first_off)])."""
     by_topic: dict[str, list] = {}
-    for topic, idx, err, hw, rs in parts:
-        by_topic.setdefault(topic, []).append((idx, err, hw, rs))
+    for p in parts:
+        topic, idx, err, hw, rs = p[:5]
+        lso, aborted = (p[5], p[6]) if len(p) > 5 else (hw, [])
+        by_topic.setdefault(topic, []).append((idx, err, hw, lso, aborted, rs))
     body = struct.pack(">i", 0)  # throttle_time_ms (leads in Fetch v1+)
     body += struct.pack(">i", len(by_topic))
     for topic, plist in by_topic.items():
         body += enc_str(topic) + struct.pack(">i", len(plist))
-        for idx, err, hw, rs in plist:
-            body += struct.pack(">ihqq", idx, err, hw, hw)  # last_stable_offset = hw
-            body += struct.pack(">i", 0)  # aborted_transactions: empty
+        for idx, err, hw, lso, aborted, rs in plist:
+            body += struct.pack(">ihqq", idx, err, hw, lso)
+            body += struct.pack(">i", len(aborted))
+            for pid, first in aborted:
+                body += struct.pack(">qq", pid, first)
             body += enc_bytes(rs)
     return body
 
 
-def dec_fetch_response(r: Reader) -> list[tuple[str, int, int, int, bytes]]:
+def dec_fetch_response(r: Reader) -> list[tuple]:
+    """-> [(topic, idx, err, hw, lso, aborted:[(pid, first)], record_set)]."""
     r.i32()  # throttle
     out = []
     for _ in range(r.i32()):
@@ -647,12 +660,10 @@ def dec_fetch_response(r: Reader) -> list[tuple[str, int, int, int, bytes]]:
             idx = r.i32()
             err = r.i16()
             hw = r.i64()
-            r.i64()  # last_stable_offset
-            for _ in range(r.i32()):  # aborted txns
-                r.i64()
-                r.i64()
+            lso = r.i64()
+            aborted = [(r.i64(), r.i64()) for _ in range(r.i32())]
             rs = r.bytes_() or b""
-            out.append((topic, idx, err, hw, rs))
+            out.append((topic, idx, err, hw, lso, aborted, rs))
     return out
 
 
@@ -1390,10 +1401,11 @@ def dec_produce_response_v9(r: Reader) -> dict[str, dict[int, tuple[int, int]]]:
 
 
 def enc_fetch_request_v12(
-    topic: str, partition: int, fetch_offset: int, max_bytes: int = 1 << 26
+    topic: str, partition: int, fetch_offset: int, max_bytes: int = 1 << 26,
+    isolation: int = 0
 ) -> bytes:
     body = struct.pack(">iiii", -1, 100, 1, max_bytes)
-    body += b"\x00"  # isolation_level
+    body += bytes([isolation])  # 0 READ_UNCOMMITTED | 1 READ_COMMITTED
     body += struct.pack(">ii", 0, -1)  # session_id, session_epoch
     body += enc_compact_array_len(1)
     body += enc_compact_str(topic)
@@ -1407,12 +1419,12 @@ def enc_fetch_request_v12(
     return body
 
 
-def dec_fetch_request_v12(r: Reader) -> list[tuple[str, int, int, int]]:
+def dec_fetch_request_v12(r: Reader) -> tuple[int, list[tuple[str, int, int, int]]]:
     r.i32()  # replica_id
     r.i32()  # max_wait
     r.i32()  # min_bytes
     r.i32()  # max_bytes
-    r.i8()  # isolation
+    isolation = r.i8()
     r.i32()  # session_id
     r.i32()  # session_epoch
     out = []
@@ -1435,23 +1447,28 @@ def dec_fetch_request_v12(r: Reader) -> list[tuple[str, int, int, int]]:
         r.skip_tags()
     r.compact_string()  # rack_id
     r.skip_tags()
-    return out
+    return isolation, out
 
 
 def enc_fetch_response_v12(
-    parts: list[tuple[str, int, int, int, bytes]]
+    parts: list
 ) -> bytes:
-    """parts: [(topic, partition, error_code, high_watermark, record_set)]."""
+    """parts: 5-tuples (topic, partition, error_code, hw, record_set) or
+    7-tuples adding (last_stable_offset, aborted:[(pid, first_off)])."""
     by_topic: dict[str, list] = {}
-    for topic, idx, err, hw, rs in parts:
-        by_topic.setdefault(topic, []).append((idx, err, hw, rs))
+    for p in parts:
+        topic, idx, err, hw, rs = p[:5]
+        lso, aborted = (p[5], p[6]) if len(p) > 5 else (hw, [])
+        by_topic.setdefault(topic, []).append((idx, err, hw, lso, aborted, rs))
     body = struct.pack(">ihi", 0, 0, 0)  # throttle, error_code, session_id
     body += enc_compact_array_len(len(by_topic))
     for topic, plist in by_topic.items():
         body += enc_compact_str(topic) + enc_compact_array_len(len(plist))
-        for idx, err, hw, rs in plist:
-            body += struct.pack(">ihqqq", idx, err, hw, hw, 0)
-            body += enc_compact_array_len(0)  # aborted_transactions
+        for idx, err, hw, lso, aborted, rs in plist:
+            body += struct.pack(">ihqqq", idx, err, hw, lso, 0)
+            body += enc_compact_array_len(len(aborted))
+            for pid, first in aborted:
+                body += struct.pack(">qq", pid, first) + enc_tags()
             body += struct.pack(">i", -1)  # preferred_read_replica
             body += enc_compact_bytes(rs)
             body += enc_tags()
@@ -1460,7 +1477,8 @@ def enc_fetch_response_v12(
     return body
 
 
-def dec_fetch_response_v12(r: Reader) -> list[tuple[str, int, int, int, bytes]]:
+def dec_fetch_response_v12(r: Reader) -> list[tuple]:
+    """-> [(topic, idx, err, hw, lso, aborted:[(pid, first)], record_set)]."""
     r.i32()  # throttle
     top_err = r.i16()
     if top_err:
@@ -1473,17 +1491,17 @@ def dec_fetch_response_v12(r: Reader) -> list[tuple[str, int, int, int, bytes]]:
             idx = r.i32()
             err = r.i16()
             hw = r.i64()
-            r.i64()  # last_stable_offset
+            lso = r.i64()
             r.i64()  # log_start_offset
             n_aborted = r.compact_array_len()
+            aborted = []
             for _ in range(max(n_aborted, 0)):
-                r.i64()
-                r.i64()
+                aborted.append((r.i64(), r.i64()))
                 r.skip_tags()
             r.i32()  # preferred_read_replica
             rs = r.compact_bytes() or b""
             r.skip_tags()
-            out.append((topic, idx, err, hw, rs))
+            out.append((topic, idx, err, hw, lso, aborted, rs))
         r.skip_tags()
     r.skip_tags()
     return out
@@ -1606,3 +1624,107 @@ def batch_producer_meta(record_set: bytes) -> tuple[int, int, int, int]:
     base_seq = struct.unpack_from(">i", record_set, 53)[0]
     n = struct.unpack_from(">i", record_set, 57)[0]
     return pid, pepoch, base_seq, n
+
+
+# --------- Transactions (KIP-98 second half: markers + READ_COMMITTED)
+
+API_ADD_PARTITIONS_TO_TXN = 24
+API_END_TXN = 26
+SUPPORTED[API_ADD_PARTITIONS_TO_TXN] = (0, 0)
+SUPPORTED[API_END_TXN] = (1, 1)
+
+ERR_INVALID_PRODUCER_EPOCH = 47
+ERR_INVALID_TXN_STATE = 48
+
+ATTR_TRANSACTIONAL = 0x10  # batch attributes bit 4
+ATTR_CONTROL = 0x20        # batch attributes bit 5
+
+CONTROL_ABORT = 0
+CONTROL_COMMIT = 1
+
+
+def enc_control_record(marker: int, coordinator_epoch: int = 0) -> "Record":
+    """Control record (txn marker): key = version i16 0 | type i16,
+    value = version i16 0 | coordinator_epoch i32."""
+    return Record(struct.pack(">hh", 0, marker),
+                  struct.pack(">hi", 0, coordinator_epoch))
+
+
+def dec_control_record(rec: "Record") -> int:
+    """-> CONTROL_ABORT | CONTROL_COMMIT."""
+    version, marker = struct.unpack_from(">hh", rec.key, 0)
+    if version != 0:
+        raise ValueError(f"unknown control record version {version}")
+    return marker
+
+
+def batch_attributes(record_set: bytes, pos: int = 0) -> int:
+    """attributes i16 of the batch at ``pos`` (offset 21 past the batch
+    start: baseOffset 8 | len 4 | epoch 4 | magic 1 | crc 4)."""
+    return struct.unpack_from(">h", record_set, pos + 21)[0]
+
+
+def enc_add_partitions_to_txn_request(
+    txn_id: str, producer_id: int, producer_epoch: int,
+    topic_partitions: dict[str, list[int]]) -> bytes:
+    body = enc_str(txn_id) + struct.pack(">qh", producer_id, producer_epoch)
+    body += struct.pack(">i", len(topic_partitions))
+    for topic, parts in topic_partitions.items():
+        body += enc_str(topic) + struct.pack(">i", len(parts))
+        for p in parts:
+            body += struct.pack(">i", p)
+    return body
+
+
+def dec_add_partitions_to_txn_request(r: Reader) -> tuple[str, int, int, dict[str, list[int]]]:
+    txn_id = r.string()
+    pid = r.i64()
+    epoch = r.i16()
+    tps: dict[str, list[int]] = {}
+    for _ in range(r.i32()):
+        topic = r.string()
+        tps[topic] = [r.i32() for _ in range(r.i32())]
+    return txn_id, pid, epoch, tps
+
+
+def enc_add_partitions_to_txn_response(
+    results: dict[str, dict[int, int]]) -> bytes:
+    body = struct.pack(">ii", 0, len(results))  # throttle
+    for topic, parts in results.items():
+        body += enc_str(topic) + struct.pack(">i", len(parts))
+        for p, err in parts.items():
+            body += struct.pack(">ih", p, err)
+    return body
+
+
+def dec_add_partitions_to_txn_response(r: Reader) -> dict[str, dict[int, int]]:
+    r.i32()  # throttle
+    out: dict[str, dict[int, int]] = {}
+    for _ in range(r.i32()):
+        topic = r.string()
+        parts = {}
+        for _ in range(r.i32()):
+            p = r.i32()
+            parts[p] = r.i16()
+        out[topic] = parts
+    return out
+
+
+def enc_end_txn_request(txn_id: str, producer_id: int, producer_epoch: int,
+                        committed: bool) -> bytes:
+    return (enc_str(txn_id)
+            + struct.pack(">qh?", producer_id, producer_epoch, committed))
+
+
+def dec_end_txn_request(r: Reader) -> tuple[str, int, int, bool]:
+    return (r.string(), r.i64(), r.i16(),
+            bool(r._unpack(">?", 1)))
+
+
+def enc_end_txn_response(error_code: int = 0) -> bytes:
+    return struct.pack(">ih", 0, error_code)
+
+
+def dec_end_txn_response(r: Reader) -> int:
+    r.i32()  # throttle
+    return r.i16()

@@ -38,13 +38,18 @@ class _Log:
     offset and a sequence gap rejects with OUT_OF_ORDER_SEQUENCE (a real
     broker keeps the last 5 batches; the retry case is depth 1)."""
 
-    __slots__ = ("batches", "next_offset", "lock", "producers")
+    __slots__ = ("batches", "next_offset", "lock", "producers",
+                 "ongoing", "aborted")
 
     def __init__(self):
         self.batches: list[bytes] = []
         self.next_offset = 0
         self.lock = threading.Lock()
         self.producers: dict[int, tuple[int, int, int]] = {}
+        # transactions: pid -> first offset of its open txn; closed
+        # aborted ranges as (pid, first, last-inclusive-of-marker)
+        self.ongoing: dict[int, int] = {}
+        self.aborted: list[tuple[int, int, int]] = []
 
     def append(self, record_set: bytes) -> int:
         """Validate + append every batch in the set; returns the base offset
@@ -72,6 +77,10 @@ class _Log:
                 n_records = struct.unpack_from(">i", record_set, pos + 57)[0]
                 pid, _pepoch, bseq, _n = kw.batch_producer_meta(
                     record_set[pos:end])
+                attrs = kw.batch_attributes(record_set, pos)
+                if (attrs & kw.ATTR_TRANSACTIONAL and pid >= 0
+                        and pid not in self.ongoing):
+                    self.ongoing[pid] = assigned  # txn's first offset
                 if pid >= 0 and bseq >= 0:
                     st = producer_updates.get(pid, self.producers.get(pid))
                     if st is not None:
@@ -99,6 +108,30 @@ class _Log:
             self.next_offset = assigned
             self.producers.update(producer_updates)
             return out_base
+
+    def append_control(self, pid: int, epoch: int, marker: int) -> int:
+        """Write a txn-marker control batch for ``pid``; an ABORT closes
+        the pid's open range into ``aborted``.  -> marker offset."""
+        batch = kw.encode_record_batch(
+            [kw.enc_control_record(marker)], producer_id=pid,
+            producer_epoch=epoch, transactional=True, control=True)
+        with self.lock:
+            off = self.next_offset
+            self.batches.append(struct.pack(">q", off) + batch[8:])
+            self.next_offset = off + 1
+            first = self.ongoing.pop(pid, None)
+            if marker == kw.CONTROL_ABORT and first is not None:
+                self.aborted.append((pid, first, off))
+            return off
+
+    def stable_view(self, fetch_offset: int) -> tuple[int, list[tuple[int, int]]]:
+        """READ_COMMITTED metadata: (last stable offset, aborted ranges
+        whose data could appear at/after ``fetch_offset``)."""
+        with self.lock:
+            lso = min(self.ongoing.values(), default=self.next_offset)
+            ab = [(pid, first) for pid, first, last in self.aborted
+                  if last >= fetch_offset]
+            return lso, ab
 
     def offset_for_timestamp(self, ts: int) -> tuple[int, int]:
         """ListOffsets timestamp lookup: the first record whose timestamp
@@ -204,6 +237,9 @@ class KafkaBroker:
         self.topics: dict[str, dict[int, _Log]] = {}
         self._topics_lock = threading.Lock()
         self._next_pid = 1000  # InitProducerId allocator (KIP-98)
+        # transactional.id -> {"pid", "epoch", "partitions": set}; pid -> epoch
+        self._txns: dict[str, dict] = {}
+        self._pid_epochs: dict[int, int] = {}
         self.groups: dict[str, "_Group"] = {}
         self._groups_lock = threading.Lock()
         # broker-level config a real cluster exposes via DescribeConfigs;
@@ -449,6 +485,13 @@ class KafkaBroker:
                     if idx not in t:
                         results[topic][idx] = (3, -1)  # UNKNOWN_TOPIC_OR_PARTITION
                         continue
+                    pid0, pep0, _, _ = kw.batch_producer_meta(record_set)
+                    known = self._pid_epochs.get(pid0)
+                    if (pid0 >= 0 and known is not None and pep0 < known):
+                        # zombie fencing: an older incarnation's epoch
+                        results[topic][idx] = (
+                            kw.ERR_INVALID_PRODUCER_EPOCH, -1)
+                        continue
                     try:
                         base = t[idx].append(record_set)
                         results[topic][idx] = (0, base)
@@ -467,12 +510,60 @@ class KafkaBroker:
                     corr, kw.enc_produce_response_v9(results))
             return kw.frame_response(corr, kw.enc_produce_response(results))
         if api_key == kw.API_INIT_PRODUCER_ID:
-            kw.dec_init_producer_id_request(r)
+            txn_id, _timeout = kw.dec_init_producer_id_request(r)
             with self._topics_lock:
-                pid = self._next_pid
-                self._next_pid += 1
+                if txn_id is not None:
+                    # transactional: same pid, BUMPED epoch — re-init
+                    # fences the previous incarnation (zombie writer)
+                    st = self._txns.get(txn_id)
+                    if st is None:
+                        st = {"pid": self._next_pid, "epoch": 0,
+                              "partitions": set()}
+                        self._next_pid += 1
+                    else:
+                        st = {"pid": st["pid"], "epoch": st["epoch"] + 1,
+                              "partitions": set()}
+                    self._txns[txn_id] = st
+                    self._pid_epochs[st["pid"]] = st["epoch"]
+                    pid, epoch = st["pid"], st["epoch"]
+                else:
+                    pid, epoch = self._next_pid, 0
+                    self._next_pid += 1
             return kw.frame_response(
-                corr, kw.enc_init_producer_id_response(pid))
+                corr, kw.enc_init_producer_id_response(pid, epoch))
+        if api_key == kw.API_ADD_PARTITIONS_TO_TXN:
+            txn_id, pid, epoch, tps = kw.dec_add_partitions_to_txn_request(r)
+            st = self._txns.get(txn_id)
+            results = {}
+            for topic, parts in tps.items():
+                self._get_topic(topic)  # auto-create like produce
+                err = 0
+                if st is None or st["pid"] != pid:
+                    err = kw.ERR_INVALID_TXN_STATE
+                elif st["epoch"] != epoch:
+                    err = kw.ERR_INVALID_PRODUCER_EPOCH
+                results[topic] = {p: err for p in parts}
+                if not err:
+                    st["partitions"].update((topic, p) for p in parts)
+            return kw.frame_response(
+                corr, kw.enc_add_partitions_to_txn_response(results))
+        if api_key == kw.API_END_TXN:
+            txn_id, pid, epoch, committed = kw.dec_end_txn_request(r)
+            st = self._txns.get(txn_id)
+            if st is None or st["pid"] != pid:
+                return kw.frame_response(
+                    corr, kw.enc_end_txn_response(kw.ERR_INVALID_TXN_STATE))
+            if st["epoch"] != epoch:
+                return kw.frame_response(
+                    corr,
+                    kw.enc_end_txn_response(kw.ERR_INVALID_PRODUCER_EPOCH))
+            marker = kw.CONTROL_COMMIT if committed else kw.CONTROL_ABORT
+            for topic, p in sorted(st["partitions"]):
+                t = self._get_topic(topic)
+                if p in t:
+                    t[p].append_control(pid, epoch, marker)
+            st["partitions"] = set()
+            return kw.frame_response(corr, kw.enc_end_txn_response(0))
         if api_key == kw.API_LIST_OFFSETS:
             flex = api_version >= kw.FLEXIBLE_SINCE[kw.API_LIST_OFFSETS]
             wants = (kw.dec_list_offsets_request_v7(r) if flex
@@ -596,8 +687,8 @@ class KafkaBroker:
             return kw.frame_response(corr, kw.enc_offset_fetch_response(out))
         if api_key == kw.API_FETCH:
             flex = api_version >= kw.FLEXIBLE_SINCE[kw.API_FETCH]
-            wants = (kw.dec_fetch_request_v12(r) if flex
-                     else kw.dec_fetch_request(r))
+            isolation, wants = (kw.dec_fetch_request_v12(r) if flex
+                                else kw.dec_fetch_request(r))
             parts = []
             for topic, partition, offset, pmax in wants:
                 t = self._get_topic(topic, create=False)
@@ -605,7 +696,12 @@ class KafkaBroker:
                     parts.append((topic, partition, 3, 0, b""))
                     continue
                 data, hw = t[partition].read_from(offset, pmax)
-                parts.append((topic, partition, 0, hw, data))
+                if isolation == 1:  # READ_COMMITTED: lso + aborted ranges
+                    lso, aborted = t[partition].stable_view(offset)
+                    parts.append(
+                        (topic, partition, 0, hw, data, lso, aborted))
+                else:
+                    parts.append((topic, partition, 0, hw, data))
             if flex:
                 return kw.frame_response_flex(
                     corr, kw.enc_fetch_response_v12(parts))

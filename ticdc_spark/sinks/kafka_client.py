@@ -174,11 +174,34 @@ class KafkaConn:
     def metadata(self, topics: list[str] | None = None) -> dict:
         return kw.dec_metadata_response(self._call(kw.API_METADATA, 1, kw.enc_metadata_request(topics)))
 
-    def init_producer_id(self) -> tuple[int, int]:
+    def init_producer_id(self, txn_id: str | None = None) -> tuple[int, int]:
         """KIP-98: acquire a (producer_id, epoch) from the broker for
-        idempotent produces."""
+        idempotent produces; with ``txn_id``, register/fence the
+        transactional producer (same pid, bumped epoch on re-init)."""
         return kw.dec_init_producer_id_response(self._call(
-            kw.API_INIT_PRODUCER_ID, 1, kw.enc_init_producer_id_request()))
+            kw.API_INIT_PRODUCER_ID, 1,
+            kw.enc_init_producer_id_request(txn_id)))
+
+    def add_partitions_to_txn(self, txn_id: str, producer: tuple[int, int],
+                              topic_partitions: dict[str, list[int]]) -> None:
+        res = kw.dec_add_partitions_to_txn_response(self._call(
+            kw.API_ADD_PARTITIONS_TO_TXN, 0,
+            kw.enc_add_partitions_to_txn_request(
+                txn_id, producer[0], producer[1], topic_partitions)))
+        for topic, parts in res.items():
+            for p, err in parts.items():
+                if err:
+                    raise IOError(
+                        f"AddPartitionsToTxn {topic}/{p}: error {err}")
+
+    def end_txn(self, txn_id: str, producer: tuple[int, int],
+                commit: bool) -> None:
+        err = kw.dec_end_txn_response(self._call(
+            kw.API_END_TXN, 1,
+            kw.enc_end_txn_request(txn_id, producer[0], producer[1],
+                                   commit)))
+        if err:
+            raise IOError(f"EndTxn: error {err}")
 
     def produce(
         self,
@@ -189,6 +212,7 @@ class KafkaConn:
         base_timestamp: int = 0,
         producer: tuple[int, int] | None = None,
         base_sequence: int = -1,
+        transactional: bool = False,
     ) -> int:
         """Produce one batch with acks=-1; returns the assigned base offset.
         ``producer=(pid, epoch)`` + ``base_sequence`` make the batch
@@ -198,7 +222,7 @@ class KafkaConn:
         record_set = kw.encode_record_batch(
             records, base_timestamp=base_timestamp, compression=compression,
             producer_id=pid, producer_epoch=pepoch,
-            base_sequence=base_sequence,
+            base_sequence=base_sequence, transactional=transactional,
         )
         ver = self._ver[kw.API_PRODUCE]
         if ver >= 9:
@@ -214,8 +238,16 @@ class KafkaConn:
             raise IOError(f"produce to {topic}/{partition} failed: error_code={err}")
         return base
 
-    def fetch_all(self, topic: str, partition: int, from_offset: int = 0) -> list[tuple[int, kw.Record]]:
-        """Fetch every record in [from_offset, high watermark) -> [(offset, record)]."""
+    def fetch_all(self, topic: str, partition: int, from_offset: int = 0,
+                  isolation: str = "read_uncommitted",
+                  ) -> list[tuple[int, kw.Record]]:
+        """Fetch every record in [from_offset, high watermark) ->
+        [(offset, record)].  Control batches (txn markers) are never
+        surfaced; under ``isolation="read_committed"`` data from aborted
+        transactions is filtered using the response's aborted list and
+        the abort markers, and the scan stops at the last stable offset
+        (open transactions stay invisible)."""
+        iso = 1 if isolation == "read_committed" else 0
         out: list[tuple[int, kw.Record]] = []
         offset = from_offset
         ver = self._ver[kw.API_FETCH]
@@ -223,24 +255,63 @@ class KafkaConn:
             if ver >= 12:
                 resp = kw.dec_fetch_response_v12(self._call(
                     kw.API_FETCH, ver,
-                    kw.enc_fetch_request_v12(topic, partition, offset)))
+                    kw.enc_fetch_request_v12(topic, partition, offset,
+                                             isolation=iso)))
             else:
                 resp = kw.dec_fetch_response(self._call(
                     kw.API_FETCH, ver,
-                    kw.enc_fetch_request(topic, partition, offset)))
-            (_, _, err, hw, record_set) = resp[0]
+                    kw.enc_fetch_request(topic, partition, offset,
+                                         isolation=iso)))
+            (_, _, err, hw, lso, aborted, record_set) = resp[0]
             if err:
                 raise IOError(f"fetch {topic}/{partition}@{offset}: error_code={err}")
+            end = lso if iso else hw
             if not record_set:
                 return out
-            for base, records in kw.decode_record_batches(record_set):
-                for rec in records:
-                    off = base + rec.offset_delta
-                    if off >= offset:
-                        out.append((off, rec))
-            if out:
-                offset = out[-1][0] + 1
-            if offset >= hw:
+            # pending aborted ranges per pid (sorted first offsets);
+            # an entry is consumed by that txn's ABORT marker
+            abort_pending: dict[int, list[int]] = {}
+            for pid_a, first in sorted(aborted, key=lambda x: x[1]):
+                abort_pending.setdefault(pid_a, []).append(first)
+            start = offset  # emit only records at/after this position
+            advanced = False
+            pos = 0
+            while pos + 12 <= len(record_set):
+                blen = struct.unpack_from(">i", record_set, pos + 8)[0]
+                bend = pos + 12 + blen
+                if blen < 0 or bend > len(record_set):
+                    break  # partial tail
+                batch = record_set[pos:bend]
+                pos = bend
+                base = struct.unpack_from(">q", batch, 0)[0]
+                attrs = kw.batch_attributes(batch)
+                pid = kw.batch_producer_meta(batch)[0]
+                if base >= end:
+                    continue
+                n = struct.unpack_from(">i", batch, 57)[0]
+                last_off = base + n - 1
+                if last_off >= offset:
+                    advanced = True
+                    offset = max(offset, last_off + 1)
+                if attrs & kw.ATTR_CONTROL:
+                    # markers never surface; an ABORT marker consumes the
+                    # pid's oldest pending abort entry (commits don't)
+                    if iso and abort_pending.get(pid):
+                        [(_, recs0)] = kw.decode_record_batches(batch)
+                        if (kw.dec_control_record(recs0[0])
+                                == kw.CONTROL_ABORT
+                                and base > abort_pending[pid][0]):
+                            abort_pending[pid].pop(0)
+                    continue
+                if (iso and abort_pending.get(pid)
+                        and base >= abort_pending[pid][0]):
+                    continue  # inside an aborted transaction
+                for b2, records in kw.decode_record_batches(batch):
+                    for rec in records:
+                        off = b2 + rec.offset_delta
+                        if start <= off < end:
+                            out.append((off, rec))
+            if not advanced or offset >= end:
                 return out
 
 
