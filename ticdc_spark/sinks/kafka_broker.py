@@ -187,7 +187,8 @@ class KafkaBroker:
                  mutual_tls: bool = False,
                  oauth_jwt_secret: str | None = None,
                  oauth_now: int = 1_700_000_100,
-                 flexible_only: bool = False):
+                 flexible_only: bool = False,
+                 gssapi_service: tuple[str, str, str] | None = None):
         # tls=True: an SSL (or SASL_SSL, with sasl_users) listener — a
         # fresh self-signed cert; clients pin it via broker.ca_pem.
         # mutual_tls=True additionally demands a client certificate
@@ -234,6 +235,20 @@ class KafkaBroker:
         self.oauth_now = oauth_now
         if oauth_jwt_secret is not None and "OAUTHBEARER" not in self.sasl_mechanisms:
             self.sasl_mechanisms.append("OAUTHBEARER")
+        # GSSAPI: (service_principal, password, realm) — the broker's
+        # long-term key (an in-code keytab) for accepting AP-REQs; the
+        # KDC that issued the tickets holds the same principal entry
+        self.gssapi_service = gssapi_service
+        self._gssapi_key = None
+        if gssapi_service is not None:
+            from ticdc_spark.codec import krb5 as _krb5
+            from ticdc_spark.codec import krb5crypto as _kc
+
+            svc, pw, realm = gssapi_service
+            self._gssapi_key = _kc.string_to_key(
+                pw, _krb5.default_salt(realm, svc))
+            if "GSSAPI" not in self.sasl_mechanisms:
+                self.sasl_mechanisms.append("GSSAPI")
         self.topics: dict[str, dict[int, _Log]] = {}
         self._topics_lock = threading.Lock()
         self._next_pid = 1000  # InitProducerId allocator (KIP-98)
@@ -347,6 +362,38 @@ class KafkaBroker:
         if self.sasl_users is None or mech is None:
             return kw.enc_sasl_authenticate_response(
                 kw.ERR_ILLEGAL_SASL_STATE, "handshake first", b"")
+        if mech == "GSSAPI":
+            from ticdc_spark.codec import gssapi as _gss
+
+            if self.gssapi_service is None:
+                return kw.enc_sasl_authenticate_response(
+                    kw.ERR_UNSUPPORTED_SASL_MECHANISM,
+                    "GSSAPI not configured", b"")
+            st = conn_state.setdefault("gss", {"phase": "context"})
+            try:
+                if st["phase"] == "context":
+                    # round 1: AP-REQ in, AP-REP out
+                    session_key, info, reply = _gss.accept_context_token(
+                        auth, self._gssapi_key)
+                    st.update(phase="offer", key=session_key,
+                              client=info["cname"])
+                    return kw.enc_sasl_authenticate_response(0, None, reply)
+                if st["phase"] == "offer":
+                    # round 2 (empty client bytes): RFC 4752 offer out
+                    st["phase"] = "choice"
+                    return kw.enc_sasl_authenticate_response(
+                        0, None, _gss.sec_layer_offer(st["key"]))
+                if st["phase"] == "choice":
+                    _gss.verify_sec_layer_choice(st["key"], auth)
+                    conn_state["authenticated"] = True
+                    st["phase"] = "done"
+                    return kw.enc_sasl_authenticate_response(0, None, b"")
+            except (ValueError, AssertionError, KeyError) as e:
+                conn_state["gss"] = {"phase": "context"}
+                return kw.enc_sasl_authenticate_response(
+                    kw.ERR_SASL_AUTHENTICATION_FAILED, str(e), b"")
+            return kw.enc_sasl_authenticate_response(
+                kw.ERR_ILLEGAL_SASL_STATE, "GSSAPI already complete", b"")
         if mech == "OAUTHBEARER":
             from ticdc_spark.codec import oauth2 as _oauth2
 

@@ -122,7 +122,8 @@ class KafkaConn:
             raise IOError(f"broker doesn't support metadata v1 (offers {lo}..{hi})")
         return versions
 
-    def _sasl_auth(self, mechanism: str, username: str, password: str) -> None:
+    def _sasl_auth(self, mechanism: str, username: str, password: str,
+                   gssapi_opts: dict | None = None) -> None:
         import base64
         import os as _os
 
@@ -140,6 +141,28 @@ class KafkaConn:
                 raise IOError(f"SASL authentication failed: {msg}")
             return out
 
+        if mechanism == "GSSAPI":
+            # RFC 4752 over Kerberos (RFC 4120/4121): kinit at the KDC,
+            # TGS for the broker service principal, AP-REQ/AP-REP
+            # context, then the wrapped security-layer negotiation.
+            # ``username`` = client principal, ``password`` = its
+            # password; gssapi_opts = {"kdc", "realm", "service"}.
+            from ticdc_spark.codec import gssapi as _gss
+            from ticdc_spark.sinks.kdc_server import (get_service_ticket,
+                                                      kinit)
+
+            opts = gssapi_opts or {}
+            kdc, realm = opts["kdc"], opts["realm"]
+            service = opts["service"]
+            tgt, tgt_key = kinit(kdc, realm, username, password)
+            st, skey = get_service_ticket(kdc, realm, username, tgt,
+                                          tgt_key, service)
+            ap_rep = authenticate(
+                _gss.init_context_token(st, skey, realm, username))
+            _gss.check_ap_rep(ap_rep, skey)
+            offer = authenticate(b"")  # solicit the security-layer offer
+            authenticate(_gss.sec_layer_choice(skey, offer))
+            return
         if mechanism == "PLAIN":
             authenticate(b"\x00" + username.encode() + b"\x00" + password.encode())
             return
