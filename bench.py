@@ -161,7 +161,7 @@ def main() -> None:
         # (v9/v12/v7) wire, LSH hot-bucket recall accounting
         "kafka_list_offsets_by_ts", "dedup_minhash_lsh_hot_buckets",
         "storage_live_gcs_roundtrip", "storage_live_azblob_roundtrip",
-        "hnsw_recall_at_k",
+        "hnsw_recall_at_k", "kafka_live_gssapi_roundtrip",
     ]
     # queries whose real work runs at CONSTRUCTION time (iterative
     # trainers that collect control-plane state, like the k-means
@@ -174,7 +174,8 @@ def main() -> None:
                        "avro_live_registry_roundtrip",
                        "kafka_list_offsets_by_ts",
                        "storage_live_gcs_roundtrip",
-                       "storage_live_azblob_roundtrip"}
+                       "storage_live_azblob_roundtrip",
+                       "kafka_live_gssapi_roundtrip"}
     # The live-wire queries round-trip through in-process single-host
     # protocol endpoints (test stand-ins for real clusters); their 10x
     # time measures that endpoint, not the Spark plan, so the scaling

@@ -3953,6 +3953,31 @@ def q_kafka_live_roundtrip(spark, sf_dir):
     return kafka_live_roundtrip(frame, n_partitions=16, compression="lz4")
 
 
+# Same roundtrip with SASL/GSSAPI end to end: an in-process KDC
+# (RFC 4120 AS+TGS) issues tickets, every executor connection runs the
+# RFC 4121 context + RFC 4752 negotiation before touching produce —
+# the sarama sasl-gssapi surface (`pkg/sink/kafka/sarama_config.go:128`)
+# previously unreachable without a KDC.
+@register(
+    "kafka_live_gssapi_roundtrip",
+    f"WITH {CHANGELOG_SQL} SELECT "
+    "'cdc_' || schema_name || '_' || table_name AS topic, "
+    f"CAST({_MD5_32_SQL} % 16 AS INTEGER) AS partition, "
+    f"{_OPEN_KEY_SQL} AS key, {_CANAL_SQL} AS value FROM changelog",
+)
+def q_kafka_live_gssapi_roundtrip(spark, sf_dir):
+    from ticdc_spark.sinks.kafka_live import kafka_live_gssapi_roundtrip
+
+    frame = kafka_messages(
+        scale_out(events_changelog(spark, sf_dir)),
+        [{"matcher": ["test.tp_*"], "partition": "index-value",
+          "topic": "cdc_{schema}_{table}"}],
+        protocol="canal-json",
+        n_partitions=16,
+    )
+    return kafka_live_gssapi_roundtrip(frame, n_partitions=16)
+
+
 # Timestamp-based ListOffsets (sarama Client.GetOffset(ts)) over the
 # live wire: records produced in commit_ts order with real timestamps,
 # then ListOffsets v7 probes 8 evenly spaced instants.  Oracle: the

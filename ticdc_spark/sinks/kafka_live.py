@@ -322,3 +322,29 @@ def kafka_list_offsets_by_ts(cl: DataFrame, n_probes: int = 8) -> DataFrame:
 
     return probe_df.mapInPandas(
         _lookup, "probe_ts long, found_ts long, log_offset long")
+
+
+def kafka_live_gssapi_roundtrip(frame: DataFrame,
+                                n_partitions: int = 16) -> DataFrame:
+    """The live roundtrip with SASL/GSSAPI end to end: an in-process
+    KDC issues tickets, every executor connection runs kinit -> TGS ->
+    RFC 4121 context -> RFC 4752 negotiation before producing, and the
+    fetch-back connections authenticate the same way."""
+    from ticdc_spark.sinks.kafka_broker import KafkaBroker
+    from ticdc_spark.sinks.kdc_server import MiniKDC
+
+    spark = frame.sparkSession
+    realm, svc, svc_pw = "TEST.REALM", "kafka/127.0.0.1", "svc-secret"
+    kdc = MiniKDC(realm=realm, principals={
+        "cdc-client": "client-pw", svc: svc_pw}).start()
+    _LIVE_BROKERS.append(kdc)
+    broker = KafkaBroker(default_partitions=n_partitions,
+                         sasl_users={}, sasl_mechanisms=(),
+                         gssapi_service=(svc, svc_pw, realm),
+                         flexible_only=True).start()
+    _LIVE_BROKERS.append(broker)
+    sasl = ("GSSAPI", "cdc-client", "client-pw",
+            {"kdc": kdc.address, "realm": realm, "service": svc})
+    produce_frame(frame, broker.bootstrap, sasl=sasl)
+    pairs = [(t, p) for t, parts in broker.topics.items() for p in parts]
+    return fetch_df(spark, broker.bootstrap, pairs, sasl=sasl)
