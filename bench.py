@@ -343,11 +343,16 @@ def main() -> None:
             if t is None:
                 continue
             floor_1x = max(timings[name], 0.05)
-            if t > 3 * 10 * floor_1x:
-                # retry once: co-tenant spikes on this host last seconds
-                t2 = time_query_safe(name, tenx_dir)
-                if t2 is not None:
-                    t = min(t, t2)
+            if t > 8 * floor_1x:
+                # above the 8x linear band: re-sample twice — co-tenant
+                # spikes on this host last seconds and a single 10x
+                # sample of a sub-second query reads pure noise (r4
+                # observed dedup_simhash 16.5x single-sample vs 1.5x
+                # min-of-3 on a quiet minute)
+                for _ in range(2):
+                    t2 = time_query_safe(name, tenx_dir)
+                    if t2 is not None:
+                        t = min(t, t2)
             queries_10x[name] = t
             if t > 3 * 10 * floor_1x:
                 blowups_10x.append(name)
