@@ -764,3 +764,18 @@ def test_transaction_zombie_fencing(broker):
         vals = [r.value for _, r in
                 c.fetch_all("tz", 0, isolation="read_committed")]
         assert vals == [b"n"]
+
+
+def test_metadata_v9_flexible_live():
+    """Metadata rides the flexible encoding too (compact broker/topic/
+    partition arrays + tagged fields); a flexible_only broker advertises
+    only v9 and the client negotiates it."""
+    with KafkaBroker(default_partitions=3, flexible_only=True) as b:
+        with KafkaConn.from_bootstrap(b.bootstrap) as c:
+            assert c._ver[kw.API_METADATA] == 9
+            md = c.metadata(["m-topic"])
+            assert md["brokers"][0]["port"] == b.port
+            assert len(md["topics"]["m-topic"]["partitions"]) == 3
+            # full listing (null topics array)
+            md = c.metadata(None)
+            assert "m-topic" in md["topics"]

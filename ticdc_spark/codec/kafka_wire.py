@@ -1728,3 +1728,102 @@ def enc_end_txn_response(error_code: int = 0) -> bytes:
 def dec_end_txn_response(r: Reader) -> int:
     r.i32()  # throttle
     return r.i16()
+
+
+# --------- Metadata v9 (flexible)
+
+
+def enc_metadata_request_v9(topics: list[str] | None) -> bytes:
+    if topics is None:
+        body = enc_compact_array_len(-1)
+    else:
+        body = enc_compact_array_len(len(topics))
+        for t in topics:
+            body += enc_compact_str(t) + enc_tags()
+    body += b"\x01\x00\x00"  # allow_auto_topic_creation, 2x include_*_ops
+    body += enc_tags()
+    return body
+
+
+def dec_metadata_request_v9(r: Reader) -> list[str] | None:
+    n = r.compact_array_len()
+    if n < 0:
+        r.i8()
+        r.i8()
+        r.i8()
+        r.skip_tags()
+        return None
+    out = []
+    for _ in range(n):
+        out.append(r.compact_string())
+        r.skip_tags()
+    r.i8()  # allow_auto_topic_creation
+    r.i8()  # include_cluster_authorized_operations
+    r.i8()  # include_topic_authorized_operations
+    r.skip_tags()
+    return out
+
+
+def enc_metadata_response_v9(
+    host: str, port: int, topics: dict[str, int], node_id: int = 0
+) -> bytes:
+    body = struct.pack(">i", 0)  # throttle
+    body += enc_compact_array_len(1)  # brokers
+    body += struct.pack(">i", node_id) + enc_compact_str(host)
+    body += struct.pack(">i", port) + enc_compact_str(None) + enc_tags()
+    body += enc_compact_str("ticdc-spark-cluster")
+    body += struct.pack(">i", node_id)  # controller_id
+    body += enc_compact_array_len(len(topics))
+    for name, n_parts in sorted(topics.items()):
+        body += struct.pack(">h", 0) + enc_compact_str(name) + b"\x00"
+        body += enc_compact_array_len(n_parts)
+        for p in range(n_parts):
+            body += struct.pack(">hiii", 0, p, node_id, 0)
+            body += enc_compact_array_len(1) + struct.pack(">i", node_id)
+            body += enc_compact_array_len(1) + struct.pack(">i", node_id)
+            body += enc_compact_array_len(0)  # offline_replicas
+            body += enc_tags()
+        body += struct.pack(">i", -2147483648)  # topic_authorized_operations
+        body += enc_tags()
+    body += struct.pack(">i", -2147483648)  # cluster_authorized_operations
+    body += enc_tags()
+    return body
+
+
+def dec_metadata_response_v9(r: Reader) -> dict:
+    r.i32()  # throttle
+    brokers = []
+    for _ in range(r.compact_array_len()):
+        node_id = r.i32()
+        host = r.compact_string()
+        port = r.i32()
+        rack = r.compact_string()
+        r.skip_tags()
+        brokers.append({"node_id": node_id, "host": host, "port": port,
+                        "rack": rack})
+    r.compact_string()  # cluster_id
+    controller = r.i32()
+    topics = {}
+    for _ in range(r.compact_array_len()):
+        err = r.i16()
+        name = r.compact_string()
+        r.i8()  # is_internal
+        parts = []
+        for _ in range(r.compact_array_len()):
+            perr = r.i16()
+            idx = r.i32()
+            leader = r.i32()
+            r.i32()  # leader_epoch
+            replicas = [r.i32() for _ in range(r.compact_array_len())]
+            isr = [r.i32() for _ in range(r.compact_array_len())]
+            for _ in range(r.compact_array_len()):  # offline
+                r.i32()
+            r.skip_tags()
+            parts.append({"error": perr, "index": idx, "leader": leader,
+                          "replicas": replicas, "isr": isr})
+        r.i32()  # topic_authorized_operations
+        r.skip_tags()
+        topics[name] = {"error": err, "partitions": parts}
+    r.i32()  # cluster_authorized_operations
+    r.skip_tags()
+    return {"brokers": brokers, "controller": controller, "topics": topics}

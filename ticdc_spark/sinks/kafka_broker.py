@@ -222,6 +222,7 @@ class KafkaBroker:
         self.supported[kw.API_FETCH] = (12, 12) if flexible_only else (4, 12)
         self.supported[kw.API_LIST_OFFSETS] = ((7, 7) if flexible_only
                                                else (1, 7))
+        self.supported[kw.API_METADATA] = (9, 9) if flexible_only else (1, 9)
         self.supported[kw.API_API_VERSIONS] = (0, 3)
         # when sasl_users is set, every API except ApiVersions/SaslHandshake/
         # SaslAuthenticate is rejected with ILLEGAL_SASL_STATE until the
@@ -507,7 +508,9 @@ class KafkaBroker:
             return kw.frame_response(
                 corr, struct.pack(">hi", kw.ERR_ILLEGAL_SASL_STATE, 0))
         if api_key == kw.API_METADATA:
-            names = kw.dec_metadata_request(r)
+            flex = api_version >= kw.FLEXIBLE_SINCE[kw.API_METADATA]
+            names = (kw.dec_metadata_request_v9(r) if flex
+                     else kw.dec_metadata_request(r))
             if names is None:
                 with self._topics_lock:
                     listing = {t: len(p) for t, p in self.topics.items()}
@@ -516,6 +519,10 @@ class KafkaBroker:
                 for name in names:
                     t = self._get_topic(name)  # auto-create like auto.create.topics
                     listing[name] = len(t)
+            if flex:
+                return kw.frame_response_flex(
+                    corr, kw.enc_metadata_response_v9(
+                        self.host, self.port, listing))
             return kw.frame_response(
                 corr, kw.enc_metadata_response(self.host, self.port, listing)
             )

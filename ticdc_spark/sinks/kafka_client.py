@@ -116,10 +116,8 @@ class KafkaConn:
             kw.API_PRODUCE: pick(kw.API_PRODUCE, 9, 3),
             kw.API_FETCH: pick(kw.API_FETCH, 12, 4),
             kw.API_LIST_OFFSETS: pick(kw.API_LIST_OFFSETS, 7, 1),
+            kw.API_METADATA: pick(kw.API_METADATA, 9, 1),
         }
-        lo, hi = versions.get(kw.API_METADATA, (-1, -2))
-        if not (lo <= 1 <= hi):
-            raise IOError(f"broker doesn't support metadata v1 (offers {lo}..{hi})")
         return versions
 
     def _sasl_auth(self, mechanism: str, username: str, password: str,
@@ -195,7 +193,12 @@ class KafkaConn:
     # -- api calls
 
     def metadata(self, topics: list[str] | None = None) -> dict:
-        return kw.dec_metadata_response(self._call(kw.API_METADATA, 1, kw.enc_metadata_request(topics)))
+        ver = self._ver[kw.API_METADATA]
+        if ver >= 9:
+            return kw.dec_metadata_response_v9(self._call(
+                kw.API_METADATA, ver, kw.enc_metadata_request_v9(topics)))
+        return kw.dec_metadata_response(self._call(
+            kw.API_METADATA, ver, kw.enc_metadata_request(topics)))
 
     def init_producer_id(self, txn_id: str | None = None) -> tuple[int, int]:
         """KIP-98: acquire a (producer_id, epoch) from the broker for
