@@ -766,6 +766,74 @@ def test_transaction_zombie_fencing(broker):
         assert vals == [b"n"]
 
 
+def test_rejected_txn_batch_does_not_pin_lso(broker):
+    """A transactional batch rejected by the sequence check (or deduped
+    as a retry) must leave no open-txn entry behind: the LSO stays at
+    the high watermark and no later ABORT range can swallow other
+    producers' committed data."""
+    with KafkaConn.from_bootstrap(broker.bootstrap) as c:
+        txn = c.init_producer_id("cf-stage")
+        c.add_partitions_to_txn("cf-stage", txn, {"st": [0]})
+        c.produce("st", 0, [Record(b"k", b"c0")],
+                  producer=txn, base_sequence=0, transactional=True)
+        c.end_txn("cf-stage", txn, commit=True)
+        # sequence-gap transactional produce -> rejected, and must NOT
+        # open a txn (pre-fix it pinned the LSO at the reject offset)
+        with pytest.raises(IOError, match="error_code=45"):
+            c.produce("st", 0, [Record(b"k", b"bad")],
+                      producer=txn, base_sequence=9, transactional=True)
+        log = broker.log("st", 0)
+        assert log.ongoing == {}
+        vals = [r.value for _, r in
+                c.fetch_all("st", 0, isolation="read_committed")]
+        assert vals == [b"c0"]
+        # late duplicate retry of the committed batch after EndTxn:
+        # deduped, and must not RE-open ongoing (no marker will ever pop it)
+        c.produce("st", 0, [Record(b"k", b"c0")],
+                  producer=txn, base_sequence=0, transactional=True)
+        assert log.ongoing == {}
+        # another producer's data stays visible under READ_COMMITTED
+        pid2 = c.init_producer_id()
+        c.produce("st", 0, [Record(b"k", b"other")],
+                  producer=pid2, base_sequence=0)
+        vals = [r.value for _, r in
+                c.fetch_all("st", 0, isolation="read_committed")]
+        assert vals == [b"c0", b"other"]
+
+
+def test_aborted_range_filters_only_transactional_batches(broker):
+    """READ_COMMITTED abort filtering applies to transactional batches
+    only: an idempotent (non-transactional) batch from the same pid that
+    lands inside an aborted range stays visible, like a real broker."""
+    with KafkaConn.from_bootstrap(broker.bootstrap) as c:
+        txn = c.init_producer_id("cf-mix")
+        c.add_partitions_to_txn("cf-mix", txn, {"mx": [0]})
+        c.produce("mx", 0, [Record(b"k", b"t0")],
+                  producer=txn, base_sequence=0, transactional=True)
+        # same pid, idempotent-only batch interleaved before the marker
+        c.produce("mx", 0, [Record(b"k", b"plain")],
+                  producer=txn, base_sequence=1)
+        c.end_txn("cf-mix", txn, commit=False)
+        vals = [r.value for _, r in
+                c.fetch_all("mx", 0, isolation="read_committed")]
+        assert vals == [b"plain"]
+
+
+def test_offset_for_timestamp_rejects_classic_negotiation():
+    """offset_for_timestamp follows the negotiated ListOffsets version;
+    against a classic-only broker (v1 ceiling) it raises a clear error
+    instead of sending an unsupported v7 frame."""
+    from ticdc_spark.sinks.kafka_client import offset_for_timestamp
+
+    with KafkaBroker(default_partitions=1) as b:
+        b.supported[kw.API_LIST_OFFSETS] = (1, 1)
+        with KafkaConn.from_bootstrap(b.bootstrap) as c:
+            assert c._ver[kw.API_LIST_OFFSETS] == 1
+            c.produce("t", 0, [Record(b"k", b"v")])
+            with pytest.raises(RuntimeError, match="timestamp lookup"):
+                offset_for_timestamp(c, "t", 0, 0)
+
+
 def test_metadata_v9_flexible_live():
     """Metadata rides the flexible encoding too (compact broker/topic/
     partition arrays + tagged fields); a flexible_only broker advertises

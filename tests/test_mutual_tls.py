@@ -156,3 +156,14 @@ def test_sink_uri_tls_params():
     with pytest.raises(ValueError):
         parse_changefeed_config(
             'sink-uri = "kafka://h:9092/t?cert=/c.pem"')
+
+
+def test_client_context_cert_without_key_raises():
+    """A client cert with no key is a config error — a clear ValueError
+    at context build, not an opaque SSLError from load_cert_chain."""
+    ca, _key, _ctx = tlsutil.mutual_server_material("127.0.0.1")
+    cert, key = tlsutil.issue_cert(ca, _key, "client", client=True)
+    with pytest.raises(ValueError, match="requires key_pem"):
+        tlsutil.client_context(ca, cert_pem=cert, key_pem=None)
+    # the paired call still builds
+    tlsutil.client_context(ca, cert_pem=cert, key_pem=key)

@@ -243,3 +243,26 @@ def test_live_changefeed_ddl_barrier(spark, sf_dir, tmp_path):
         from ticdc_spark.streaming.barrier import DDLTsBook
         book = DDLTsBook(os.path.join(str(tmp_path), "ddl", "cf_ddl.book.jsonl"))
         assert not book.should_apply(ddl_ts)
+
+
+def test_schema_registry_bump_idempotent_per_ddl_ts(tmp_path):
+    """A crash between the registry append and the DDLTsBook record
+    replays the DDL; the replayed bump must not create a phantom schema
+    version (ADVICE r4: version derives from distinct ddl_ts)."""
+    import json as _json
+
+    from ticdc_spark.streaming.changefeed import bump_schema_registry
+
+    path = str(tmp_path / "schema_versions" / "cf.jsonl")
+    d1 = {"commit_ts": 100, "schema_name": "s", "table_name": "t",
+          "query": "alter table t add column c int"}
+    d2 = {"commit_ts": 200, "schema_name": "s", "table_name": "t",
+          "query": "alter table t drop column c"}
+    bump_schema_registry(path, d1)
+    bump_schema_registry(path, d1)  # crash-replay of the same DDL
+    bump_schema_registry(path, d2)
+    bump_schema_registry(path, d2)
+    with open(path) as f:
+        lines = [_json.loads(ln) for ln in f if ln.strip()]
+    assert [(ln["version"], ln["ddl_ts"]) for ln in lines] == [
+        (1, 100), (2, 200)]

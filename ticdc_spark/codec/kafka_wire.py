@@ -1,18 +1,30 @@
 """Kafka wire protocol — byte codec for the subset a producer/consumer needs.
 
-Layouts follow the public Kafka protocol guide (kafka.apache.org/protocol)
-at fixed NON-flexible versions, so framing is plain big-endian primitives:
+Layouts follow the public Kafka protocol guide (kafka.apache.org/protocol).
+TWO header/field families coexist, negotiated per-connection via a real
+ApiVersions exchange (v3 first, v0 down-negotiation on error 35):
 
-- request header v1 (api_key i16 | api_version i16 | correlation_id i32 |
-  client_id nullable-string), response header v0 (correlation_id i32)
-- ApiVersions v0, Metadata v1, Produce v3, Fetch v4
-- record batch magic v2 with CRC32C (Castagnoli) over attributes..end and
-  zigzag-varint record bodies; compression codecs none/gzip/lz4/zstd
-  (lz4 = LZ4 frame, via this repo's pure-Python codec; zstd via pyarrow)
+- CLASSIC (non-flexible) versions — plain big-endian primitives, request
+  header v1, response header v0: ApiVersions v0, Metadata v1, Produce v3,
+  Fetch v4, ListOffsets v0, and the group/txn families' legacy versions.
+- FLEXIBLE (KIP-482) versions — compact (unsigned-varint-length) strings/
+  arrays/bytes + tagged fields, request header v2 / response header v1:
+  ApiVersions v3, Metadata v9, Produce v9, Fetch v12, ListOffsets v7
+  (incl. by-timestamp), FindCoordinator v3, JoinGroup v6, SyncGroup v4,
+  Heartbeat v4, OffsetCommit v8, OffsetFetch v6, LeaveGroup v4,
+  InitProducerId v2, AddPartitionsToTxn v3, EndTxn v3.
+  (ApiVersions responses always carry header v0 — the bootstrap quirk.)
+
+Shared by both families: record batch magic v2 with CRC32C (Castagnoli)
+over attributes..end and zigzag-varint record bodies; compression codecs
+none/gzip/lz4/zstd (lz4 = LZ4 frame, via this repo's pure-Python codec;
+zstd via pyarrow); KIP-98 idempotent/transactional batch attributes and
+control records.
 
 Reference behavior being reproduced: `pkg/sink/kafka/*` drives sarama/franz-go
 producers speaking exactly these frames; this module lets the Spark sink
-exercise a real TCP round-trip in-process (see sinks/kafka_broker.py).
+exercise a real TCP round-trip in-process (see sinks/kafka_broker.py, whose
+default `flexible_only` mode refuses classic versions).
 All from the public spec — no reference code consulted for bytes.
 """
 

@@ -193,6 +193,8 @@ def client_context(ca_pem: bytes, cert_pem: bytes | None = None,
     ctx.check_hostname = True
     ctx.verify_mode = ssl.CERT_REQUIRED
     if cert_pem is not None:
-        cert_path, key_path = _park(cert_pem, key_pem or b"")
+        if key_pem is None:
+            raise ValueError("client cert requires key_pem")
+        cert_path, key_path = _park(cert_pem, key_pem)
         ctx.load_cert_chain(cert_path, key_path)
     return ctx

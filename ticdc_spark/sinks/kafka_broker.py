@@ -68,6 +68,11 @@ class _Log:
             assigned = self.next_offset
             staged: list[bytes] = []
             producer_updates: dict[int, tuple[int, int, int]] = {}
+            # txn-open offsets are staged too: a batch rejected by the
+            # sequence check (or deduped as a retry) must NOT leave a
+            # stale self.ongoing entry, or the LSO pins forever and a
+            # later ABORT marker's range swallows other producers' data.
+            ongoing_updates: dict[int, int] = {}
             while pos + 12 <= len(record_set):
                 batch_len = struct.unpack_from(">i", record_set, pos + 8)[0]
                 end = pos + 12 + batch_len
@@ -78,9 +83,6 @@ class _Log:
                 pid, _pepoch, bseq, _n = kw.batch_producer_meta(
                     record_set[pos:end])
                 attrs = kw.batch_attributes(record_set, pos)
-                if (attrs & kw.ATTR_TRANSACTIONAL and pid >= 0
-                        and pid not in self.ongoing):
-                    self.ongoing[pid] = assigned  # txn's first offset
                 if pid >= 0 and bseq >= 0:
                     st = producer_updates.get(pid, self.producers.get(pid))
                     if st is not None:
@@ -88,6 +90,7 @@ class _Log:
                         if bseq == last_seq:
                             # exact retry of the last batch: dedup to
                             # its original base offset, append nothing
+                            # (and open no txn — the original did)
                             if out_base is None:
                                 out_base = last_off
                             pos = end
@@ -97,6 +100,10 @@ class _Log:
                                 f"pid {pid}: sequence {bseq}, expected "
                                 f"{last_seq + last_n}")
                     producer_updates[pid] = (bseq, n_records, assigned)
+                if (attrs & kw.ATTR_TRANSACTIONAL and pid >= 0
+                        and pid not in self.ongoing
+                        and pid not in ongoing_updates):
+                    ongoing_updates[pid] = assigned  # txn's first offset
                 staged.append(struct.pack(">q", assigned) + body)
                 if out_base is None:
                     out_base = assigned
@@ -107,6 +114,7 @@ class _Log:
             self.batches.extend(staged)
             self.next_offset = assigned
             self.producers.update(producer_updates)
+            self.ongoing.update(ongoing_updates)
             return out_base
 
     def append_control(self, pid: int, epoch: int, marker: int) -> int:
@@ -352,6 +360,10 @@ class KafkaBroker:
     def high_watermark(self, topic: str, partition: int) -> int:
         t = self._get_topic(topic, create=False)
         return t[partition].next_offset if t and partition in t else 0
+
+    def log(self, topic: str, partition: int) -> "_Log":
+        """Test-introspection handle on a partition's log."""
+        return self._get_topic(topic, create=False)[partition]
 
     def _sasl_authenticate(self, auth: bytes, conn_state: dict) -> bytes:
         import base64

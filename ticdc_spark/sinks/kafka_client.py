@@ -329,9 +329,13 @@ class KafkaConn:
                                 and base > abort_pending[pid][0]):
                             abort_pending[pid].pop(0)
                     continue
-                if (iso and abort_pending.get(pid)
+                if (iso and (attrs & kw.ATTR_TRANSACTIONAL)
+                        and abort_pending.get(pid)
                         and base >= abort_pending[pid][0]):
-                    continue  # inside an aborted transaction
+                    # inside an aborted transaction — only transactional
+                    # batches filter; an idempotent-only batch from the
+                    # same pid interleaved in the range stays visible
+                    continue
                 for b2, records in kw.decode_record_batches(batch):
                     for rec in records:
                         off = b2 + rec.offset_delta
@@ -551,7 +555,15 @@ def offset_for_timestamp(conn: KafkaConn, topic: str, partition: int,
     """Timestamp-based seek (sarama's Client.GetOffset(ts) shape):
     -> (timestamp of the first record >= ts, its offset); (-1, -1) when
     everything in the log is older."""
+    ver = conn._ver[kw.API_LIST_OFFSETS]
+    if ver < 6:
+        # the classic (v0) down-negotiation path returns segment base
+        # offsets, not timestamp-indexed lookups — refuse loudly rather
+        # than send an unsupported version
+        raise RuntimeError(
+            "broker negotiated ListOffsets v%d; timestamp lookup needs "
+            "the flexible v6+ semantics" % ver)
     res = kw.dec_list_offsets_response_v7(conn._call(
-        kw.API_LIST_OFFSETS, 7,
+        kw.API_LIST_OFFSETS, ver,
         kw.enc_list_offsets_request_v7(topic, partition, timestamp)))
     return res[(topic, partition)]

@@ -47,6 +47,31 @@ def bootstrap_from_sink_uri(cfg) -> str | None:
     return u.netloc.split(",")[0]
 
 
+def bump_schema_registry(path: str, ddl: dict) -> None:
+    """Append a schema-version line for ``ddl`` — idempotent per ddl_ts.
+
+    A crash between this append and the DDLTsBook record replays the
+    DDL; the replay must not double-bump the version (consumers key on
+    version numbers).  Version derives from distinct ddl_ts entries,
+    and a line with this ddl_ts already present means the bump
+    happened — skip the append."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    seen_ts: set[int] = set()
+    if os.path.exists(path):
+        with open(path) as f:
+            seen_ts = {json.loads(ln)["ddl_ts"] for ln in f if ln.strip()}
+    if ddl["commit_ts"] in seen_ts:
+        return
+    with open(path, "a") as f:
+        f.write(json.dumps({
+            "version": len(seen_ts) + 1,
+            "ddl_ts": ddl["commit_ts"],
+            "schema_name": ddl.get("schema_name", ""),
+            "table_name": ddl.get("table_name", ""),
+            "query": ddl.get("query", ""),
+        }) + "\n")
+
+
 class Changefeed:
     """One changefeed = one Structured Streaming query + checkpoint dir."""
 
@@ -273,19 +298,7 @@ class Changefeed:
         # append; file-backed like the rest of the control plane)
         path = os.path.join(self.work_dir, "schema_versions",
                             f"{self.changefeed_id}.jsonl")
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        version = 1
-        if os.path.exists(path):
-            with open(path) as f:
-                version = sum(1 for _ in f) + 1
-        with open(path, "a") as f:
-            f.write(json.dumps({
-                "version": version,
-                "ddl_ts": ddl["commit_ts"],
-                "schema_name": ddl.get("schema_name", ""),
-                "table_name": ddl.get("table_name", ""),
-                "query": ddl.get("query", ""),
-            }) + "\n")
+        bump_schema_registry(path, ddl)
         book.record(ddl["commit_ts"])
 
     def _produce_live_watermarks(self, batch_df: DataFrame, resolved_ts: int) -> None:
