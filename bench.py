@@ -278,18 +278,26 @@ def main() -> None:
     # scaling cliff (observed: minhash_2x 2.1s -> 15.3s under load).
     from ticdc_spark.operators import compact_changelog
 
-    scale_probes: dict[str, float] = {}
+    # each probe records {"wall_s": min-of-2 seconds, "copies": n, and —
+    # when the 1x run of the same op is in `timings` — "wall_ratio_vs_1x"}
+    # so a reader can't mistake seconds for ratios (VERDICT r4 wrong #3)
+    scale_probes: dict[str, dict] = {}
 
-    def probe(name, fn):
+    def probe(name, fn, copies, base=None):
         t0 = time.perf_counter()
         fn()
         t = time.perf_counter() - t0
         t0 = time.perf_counter()
         fn()
-        scale_probes[name] = round(min(t, time.perf_counter() - t0), 3)
+        wall = round(min(t, time.perf_counter() - t0), 3)
+        entry = {"wall_s": wall, "copies": copies}
+        if base is not None and timings.get(base, 0) > 0:
+            entry["wall_ratio_vs_1x"] = round(wall / timings[base], 2)
+        scale_probes[name] = entry
 
     probe("compaction_10x", lambda: compact_changelog(big)
-          .write.format("noop").mode("overwrite").save())
+          .write.format("noop").mode("overwrite").save(),
+          copies=10, base="compaction")
 
     from ticdc_spark.llm.dedup import minhash_lsh_pairs
 
@@ -299,7 +307,8 @@ def main() -> None:
         for i in range(2)
     ])
     probe("dedup_minhash_lsh_2x", lambda: minhash_lsh_pairs(docs_2x)
-          .write.format("noop").mode("overwrite").save())
+          .write.format("noop").mode("overwrite").save(),
+          copies=2, base="dedup_minhash_lsh")
 
     # bigram LM at 4x docs: the heaviest corpus-op shape (two count
     # tables + per-doc fold over corpus-sized joins) — linearity here
@@ -311,7 +320,8 @@ def main() -> None:
         for i in range(4)
     ])
     probe("bigram_logprob_4x", lambda: bigram_logprob(docs_4x)
-          .write.format("noop").mode("overwrite").save())
+          .write.format("noop").mode("overwrite").save(),
+          copies=4, base="bigram_logprob")
 
     # the full curation stack at 4x docs: paragraph df-count, two
     # reassemblies, the dedup window, and the rollups all scale with
@@ -321,7 +331,8 @@ def main() -> None:
 
     probe("curation_full_4x",
           lambda: curation_pipeline_full(_full_synth(docs_4x))
-          .write.format("noop").mode("overwrite").save())
+          .write.format("noop").mode("overwrite").save(),
+          copies=4, base="curation_pipeline_full")
 
     # -- FULL per-query pass at 10x data (VERDICT r2 #4) ------------------
     # Every headline query runs against a materialized 10x dataset (the
@@ -362,8 +373,15 @@ def main() -> None:
     queries_median = {
         n: round(_stats.median(v), 3) for n, v in samples.items() if v
     }
+    # per-row ratio t10/(10*t1): <=1.0 means sub-linear per row.
+    # floor 0.05s on the 1x side (same floor the blowup check uses) so a
+    # 20ms 1x query doesn't report a fake 30x.
+    queries_10x_per_row_ratio = {
+        n: round(t / (10 * max(timings[n], 0.05)), 2)
+        for n, t in queries_10x.items() if n in timings
+    }
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    result = {
         "metric": "changefeed pipeline + operator suite wall time",
         "value": total,
         "unit": "sec",
@@ -373,6 +391,8 @@ def main() -> None:
         "pipeline_rows_per_s_10x": round(rows_10x / t_10x, 1),
         "scale_probes": scale_probes,
         "queries_10x": queries_10x,
+        "queries_10x_unit": "sec",
+        "queries_10x_per_row_ratio": queries_10x_per_row_ratio,
         "blowups_10x": blowups_10x,
         "failed": failed,
         "changelog_rows": n_rows,
@@ -385,7 +405,18 @@ def main() -> None:
         "loadavg_end": _loadavg(),
         "cpu_steal_jiffies_delta": _cpu_steal_jiffies() - steal_start,
         "wall_clock_s": round(time.perf_counter() - bench_t0, 1),
-    }))
+    }
+    line = json.dumps(result)
+    # the driver's artifact keeps only a stdout tail, and Spark/JVM
+    # noise can land on stdout ahead of us (BENCH_r03/r04 arrived with
+    # parsed=null) — so the JSON is ALSO written to bench_out.json next
+    # to this script, and printed as the single final stdout line.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_out.json")
+    with open(out_path, "w") as f:
+        f.write(line + "\n")
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 def _materialize_10x(spark, sf_dir: str) -> str:
