@@ -162,6 +162,8 @@ def main() -> None:
         "kafka_list_offsets_by_ts", "dedup_minhash_lsh_hot_buckets",
         "storage_live_gcs_roundtrip", "storage_live_azblob_roundtrip",
         "hnsw_recall_at_k", "kafka_live_gssapi_roundtrip",
+        # round-5: forced-multipart storage path
+        "storage_live_multipart_roundtrip",
     ]
     # queries whose real work runs at CONSTRUCTION time (iterative
     # trainers that collect control-plane state, like the k-means
@@ -175,7 +177,8 @@ def main() -> None:
                        "kafka_list_offsets_by_ts",
                        "storage_live_gcs_roundtrip",
                        "storage_live_azblob_roundtrip",
-                       "kafka_live_gssapi_roundtrip"}
+                       "kafka_live_gssapi_roundtrip",
+                       "storage_live_multipart_roundtrip"}
     # The live-wire queries round-trip through in-process single-host
     # protocol endpoints (test stand-ins for real clusters); their 10x
     # time measures that endpoint, not the Spark plan, so the scaling

@@ -316,6 +316,7 @@ def test_live_wire_query_shuffle_budgets(spark, sf_dir):
         ("kafka_list_offsets_by_ts", 1),  # 8-row probe repartition(1)
         ("storage_live_gcs_roundtrip", 3),  # same shape as the s3 replay
         ("storage_live_azblob_roundtrip", 3),
+        ("storage_live_multipart_roundtrip", 3),  # s3 replay, multipart PUT
         ("kafka_live_gssapi_roundtrip", 1),  # (topic, partition) fan-out
     ]:
         plan = _plan(QUERIES[name](spark, sf_dir))

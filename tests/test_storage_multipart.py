@@ -1,0 +1,208 @@
+"""Multipart/staged upload on all three storage schemes (VERDICT r4 #2).
+
+Reference shape: large redo/storage files stream through the external
+storage writer's multipart upload
+(`pkg/redo/writer/memory/file_worker.go:197-203`,
+`ddl_writer.go:165-174`).  Here: S3 CreateMultipartUpload / UploadPart /
+ListParts / Complete / Abort; GCS resumable session (Content-Range
+chunks, 308 progress, ``bytes */T`` crash probe); Azure Put Block /
+Put Block List / Get Block List.  Each scheme covers the happy path,
+a mid-upload crash + resume from the server's part inventory, and an
+invalid-completion error.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ticdc_spark.sinks.azblob_server import AzBlobClient, MiniAzureBlobServer
+from ticdc_spark.sinks.gcs_server import GCSClient, MiniGCSServer
+from ticdc_spark.sinks.s3_client import S3Client, S3Error
+from ticdc_spark.sinks.s3_server import MiniS3Server
+
+BODY = bytes(range(256)) * 5000  # 1.28 MB
+K256 = 256 * 1024
+
+
+# ------------------------------------------------------------------ S3
+
+@pytest.fixture()
+def s3():
+    with MiniS3Server() as srv:
+        with S3Client(srv.endpoint, srv.access_key, srv.secret_key) as c:
+            yield srv, c
+
+
+def test_s3_multipart_roundtrip(s3):
+    srv, c = s3
+    etag = c.put_object_large("b", "big/file.bin", BODY, part_size=300_000)
+    # multipart ETag: md5 of the concatenated part digests, -N suffix
+    assert etag.endswith("-5")
+    assert c.get_object("b", "big/file.bin") == BODY
+    assert ("big/file.bin", len(BODY)) in c.list_objects("b")
+
+
+def test_s3_multipart_crash_resume(s3):
+    """Crash after 2 of 5 parts: a fresh attempt resumes the SAME
+    upload id, re-uploads only the missing parts, and completes."""
+    srv, c = s3
+    uid = c.create_multipart_upload("b", "k")
+    c.upload_part("b", "k", uid, 1, BODY[:300_000])
+    c.upload_part("b", "k", uid, 2, BODY[300_000:600_000])
+    # fresh client = fresh connection, as after a process restart
+    with S3Client(srv.endpoint, srv.access_key, srv.secret_key) as c2:
+        parts = c2.list_parts("b", "k", uid)
+        assert [(p, s) for p, _, s in parts] == [(1, 300_000), (2, 300_000)]
+        c2.put_object_large("b", "k", BODY, part_size=300_000,
+                            upload_id=uid)
+        assert c2.get_object("b", "k") == BODY
+    # completion retired the upload id
+    with pytest.raises(S3Error, match="NoSuchUpload"):
+        c.list_parts("b", "k", uid)
+
+
+def test_s3_multipart_abort_and_errors(s3):
+    srv, c = s3
+    uid = c.create_multipart_upload("b", "k")
+    c.upload_part("b", "k", uid, 1, b"data")
+    c.abort_multipart_upload("b", "k", uid)
+    with pytest.raises(S3Error, match="NoSuchUpload"):
+        c.upload_part("b", "k", uid, 2, b"more")
+    # unknown part / wrong etag in the completion manifest
+    uid2 = c.create_multipart_upload("b", "k2")
+    with pytest.raises(S3Error, match="InvalidPart"):
+        c.complete_multipart_upload("b", "k2", uid2, [(1, "0" * 32)])
+    # parts listed out of order
+    e1 = c.upload_part("b", "k2", uid2, 1, b"a")
+    e2 = c.upload_part("b", "k2", uid2, 2, b"b")
+    with pytest.raises(S3Error, match="InvalidPartOrder"):
+        c.complete_multipart_upload("b", "k2", uid2, [(2, e2), (1, e1)])
+    # aborted/incomplete upload leaves no object behind
+    assert ("k", 4) not in c.list_objects("b")
+
+
+# ------------------------------------------------------------------ GCS
+
+@pytest.fixture()
+def gcs():
+    with MiniGCSServer() as srv:
+        with GCSClient(srv.endpoint, srv.token) as c:
+            yield srv, c
+
+
+def test_gcs_resumable_roundtrip(gcs):
+    srv, c = gcs
+    c.put_object_large("b", "big.bin", BODY, part_size=K256)
+    assert c.get_object("b", "big.bin") == BODY
+    # empty object finalizes via the */0 probe
+    c.put_object_large("b", "empty.bin", b"", part_size=K256)
+    assert c.get_object("b", "empty.bin") == b""
+
+
+def test_gcs_resumable_crash_resume(gcs):
+    """Crash after one chunk: a fresh client probes ``bytes */T``,
+    learns the server's byte count, and resumes from there."""
+    srv, c = gcs
+    sess = c.create_resumable("b", "k")
+    assert c.put_chunk(sess, BODY[:K256], 0, len(BODY)) == K256
+    with GCSClient(srv.endpoint, srv.token) as c2:
+        assert c2.resumable_status(sess, len(BODY)) == K256
+        c2.put_object_large("b", "k", BODY, part_size=K256, session=sess)
+        assert c2.get_object("b", "k") == BODY
+        # probe on a completed session re-answers 200, not 404 (a
+        # client whose final-chunk response was lost must not wedge)
+        assert c2.resumable_status(sess, len(BODY)) == len(BODY)
+
+
+def test_gcs_resumable_rules(gcs):
+    srv, c = gcs
+    sess = c.create_resumable("b", "k")
+    # non-final chunks must be 256 KiB multiples, like real GCS
+    with pytest.raises(IOError, match="256 KiB"):
+        c.put_chunk(sess, b"x" * 1000, 0, 10_000_000)
+    with pytest.raises(ValueError, match="256 KiB"):
+        c.put_object_large("b", "k2", BODY, part_size=1000)
+    # unknown session -> clear error
+    with pytest.raises(IOError, match="no such upload session"):
+        c.resumable_status(
+            "/upload/storage/v1/b/b/o?uploadType=resumable"
+            "&upload_id=nope", 10)
+    # a chunk past the server's byte count reports progress (308) and
+    # does not corrupt the object
+    got = c.put_chunk(sess, BODY[K256:2 * K256], 2 * K256, len(BODY))
+    assert got == 0
+
+
+# ---------------------------------------------------------------- Azure
+
+@pytest.fixture()
+def az():
+    with MiniAzureBlobServer() as srv:
+        with AzBlobClient(srv.endpoint, srv.account, srv.key_b64) as c:
+            yield srv, c
+
+
+def test_azblob_block_roundtrip(az):
+    srv, c = az
+    c.put_object_large("ct", "big.bin", BODY, part_size=300_000)
+    assert c.get_object("ct", "big.bin") == BODY
+    com, unc = c.get_block_list("ct", "big.bin")
+    assert len(com) == 5 and unc == []
+    assert sum(s for _, s in com) == len(BODY)
+
+
+def test_azblob_block_crash_resume(az):
+    """Crash after staging 2 of 5 blocks: a fresh client reads the
+    uncommitted list and re-stages only the missing blocks."""
+    srv, c = az
+    c.put_block("ct", "k", c.block_id(0), BODY[:300_000])
+    c.put_block("ct", "k", c.block_id(1), BODY[300_000:600_000])
+    with AzBlobClient(srv.endpoint, srv.account, srv.key_b64) as c2:
+        com, unc = c2.get_block_list("ct", "k")
+        assert com == [] and len(unc) == 2
+        c2.put_object_large("ct", "k", BODY, part_size=300_000,
+                            resume=True)
+        assert c2.get_object("ct", "k") == BODY
+        # commit moved the blocks: committed 5, uncommitted drained
+        com, unc = c2.get_block_list("ct", "k")
+        assert len(com) == 5 and unc == []
+
+
+def test_azblob_block_errors(az):
+    srv, c = az
+    # committing a block id that was never staged
+    with pytest.raises(IOError, match="put block list"):
+        c.put_block_list("ct", "k", [c.block_id(7)])
+    # a single-shot Put Blob resets staged blocks
+    c.put_block("ct", "k2", c.block_id(0), b"staged")
+    c.put_object("ct", "k2", b"direct")
+    com, unc = c.get_block_list("ct", "k2")
+    assert com == [] and unc == []
+    assert c.get_object("ct", "k2") == b"direct"
+
+
+# ---------------------------------------------- sink threshold switch
+
+def test_put_files_multipart_threshold(spark):
+    """put_files routes objects above the threshold through the
+    multipart path and below it through single-shot PUT; bytes land
+    identically either way."""
+    from ticdc_spark.sinks import s3_live
+
+    rows = [("p1", "CDC1.csv", f"row-{i:04d},{'x' * 100}")
+            for i in range(2000)]  # ~200 KB object
+    rows += [("p2", "CDC2.csv", "small")]
+    df = spark.createDataFrame(
+        rows, "path string, file_name string, value string")
+    with MiniS3Server() as srv:
+        s3_live.put_files(df, srv.endpoint, srv.access_key,
+                          srv.secret_key, scheme="s3",
+                          multipart_threshold=64 * 1024,
+                          part_size=64 * 1024)
+        with S3Client(srv.endpoint, srv.access_key,
+                      srv.secret_key) as c:
+            big = c.get_object(s3_live.BUCKET, "p1/CDC1.csv")
+            assert big.decode().splitlines() == [v for _, _, v in rows[:2000]]
+            assert c.get_object(s3_live.BUCKET, "p2/CDC2.csv") == b"small\n"
+        # nothing left half-open
+        assert srv.uploads == {}

@@ -4187,6 +4187,24 @@ def q_storage_live_azblob_roundtrip(spark, sf_dir):
     return storage_live_roundtrip(cl, scheme="azblob")
 
 
+# Multipart path: every object is forced above the threshold and rides
+# S3 CreateMultipartUpload/UploadPart/Complete in 64 KiB parts (the
+# reference streams large redo/storage files through a multipart
+# writer — `pkg/redo/writer/memory/file_worker.go:197-203`; a real S3
+# caps single PUT at 5 GiB, so file-size rotation at 100 TB crosses
+# it).  Same replayed-state oracle as the single-shot roundtrips: the
+# assembled bytes must be indistinguishable.  GCS-resumable and Azure
+# block-list multiparts are pinned in tests/test_storage_multipart.py.
+@register("storage_live_multipart_roundtrip", _REPLAY_STATE_ORACLE)
+def q_storage_live_multipart_roundtrip(spark, sf_dir):
+    from ticdc_spark.sinks.s3_live import storage_live_roundtrip
+
+    cl = split_updates(events_changelog(spark, sf_dir, parallel=True))
+    return storage_live_roundtrip(cl, scheme="s3",
+                                  multipart_threshold=0,
+                                  part_size=64 * 1024)
+
+
 # ---------------------------------------------------------------------------
 # K1 live, binary protocol — the writer through COM_STMT_PREPARE/EXECUTE
 # with bound args (go-sql-driver's actual DML path; `pkg/sink/sqlmodel`

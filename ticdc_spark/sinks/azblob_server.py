@@ -3,6 +3,12 @@ a storage sink needs (learn.microsoft.com/rest/api/storageservices —
 public spec):
 
 - Put Blob:  PUT /{container}/{blob} with x-ms-blob-type: BlockBlob
+- Put Block: PUT /{container}/{blob}?comp=block&blockid=B64 (staged
+  uncommitted), Put Block List: PUT ?comp=blocklist with the
+  <BlockList> XML (<Latest>/<Uncommitted>/<Committed> entries) commits
+  the listed blocks in order — the large-object path (a single Put Blob
+  caps at 5000 MiB; real sinks stream blocks).  Get Block List:
+  GET ?comp=blocklist&blocklisttype=all — the crash-resume probe.
 - Get Blob:  GET /{container}/{blob}
 - List Blobs: GET /{container}?restype=container&comp=list&prefix=&
   maxresults=&marker=  (XML EnumerationResults with real NextMarker)
@@ -77,6 +83,11 @@ class MiniAzureBlobServer:
             b"azure-test-shared-key-32-bytes!!").decode()
         self.host = host
         self.containers: dict[str, dict[str, bytes]] = {}
+        # staged (uncommitted) blocks: (container, blob) -> {block_id: bytes}
+        self.uncommitted: dict[tuple[str, str], dict[str, bytes]] = {}
+        # committed block composition, kept so <Committed> entries in a
+        # later Put Block List can re-reference them
+        self.committed_blocks: dict[tuple[str, str], dict[str, bytes]] = {}
         self._lock = threading.Lock()
         srv = self
 
@@ -117,16 +128,65 @@ class MiniAzureBlobServer:
                     return
                 body = self.rfile.read(n)
                 u = urlsplit(self.path)
+                q = {k: v[-1] for k, v in
+                     parse_qs(u.query, keep_blank_values=True).items()}
                 container, _, blob = unquote(u.path).strip("/").partition("/")
                 if not blob:
                     return self._send(400, b"<Error><Code>InvalidUri"
                                            b"</Code></Error>")
+                if q.get("comp") == "block":
+                    bid = q.get("blockid", "")
+                    if not bid:
+                        return self._send(400, b"<Error><Code>"
+                                               b"MissingRequiredQueryParameter"
+                                               b"</Code></Error>")
+                    with srv._lock:
+                        srv.uncommitted.setdefault(
+                            (container, blob), {})[bid] = body
+                    return self._send(201)
+                if q.get("comp") == "blocklist":
+                    return self._put_block_list(container, blob, body)
                 if self.headers.get("x-ms-blob-type") != "BlockBlob":
                     return self._send(400, b"<Error><Code>"
                                            b"UnsupportedBlobType"
                                            b"</Code></Error>")
                 with srv._lock:
                     srv.containers.setdefault(container, {})[blob] = body
+                    # a single-shot Put Blob resets any block state
+                    srv.uncommitted.pop((container, blob), None)
+                    srv.committed_blocks.pop((container, blob), None)
+                self._send(201)
+
+            def _put_block_list(self, container: str, blob: str,
+                                body: bytes):
+                import re as _re
+
+                entries = _re.findall(
+                    r"<(Latest|Committed|Uncommitted)>(.*?)</\1>",
+                    body.decode())
+                key = (container, blob)
+                with srv._lock:
+                    unc = srv.uncommitted.get(key, {})
+                    com = srv.committed_blocks.get(key, {})
+                    chunks: list[tuple[str, bytes]] = []
+                    for kind, bid in entries:
+                        # <Latest>: uncommitted wins over committed;
+                        # the others pin one list explicitly
+                        if kind == "Uncommitted":
+                            blk = unc.get(bid)
+                        elif kind == "Committed":
+                            blk = com.get(bid)
+                        else:
+                            blk = unc.get(bid, com.get(bid))
+                        if blk is None:
+                            return self._send(
+                                400, b"<Error><Code>InvalidBlockList"
+                                     b"</Code></Error>")
+                        chunks.append((bid, blk))
+                    srv.containers.setdefault(container, {})[blob] = (
+                        b"".join(b for _, b in chunks))
+                    srv.committed_blocks[key] = dict(chunks)
+                    srv.uncommitted.pop(key, None)
                 self._send(201)
 
             def do_GET(self):
@@ -167,6 +227,27 @@ class MiniAzureBlobServer:
                            f'<EnumerationResults ContainerName='
                            f'"{container}"><Blobs>{blobs}</Blobs>'
                            f"{marker}</EnumerationResults>")
+                    return self._send(200, xml.encode())
+                if blob and q.get("comp") == "blocklist":
+                    key = (container, blob)
+                    with srv._lock:
+                        com = dict(srv.committed_blocks.get(key, {}))
+                        unc = dict(srv.uncommitted.get(key, {}))
+                    want = q.get("blocklisttype", "committed").lower()
+                    com_xml = "".join(
+                        f"<Block><Name>{b}</Name><Size>{len(d)}</Size>"
+                        f"</Block>" for b, d in com.items())
+                    unc_xml = "".join(
+                        f"<Block><Name>{b}</Name><Size>{len(d)}</Size>"
+                        f"</Block>" for b, d in sorted(unc.items()))
+                    inner = ""
+                    if want in ("committed", "all"):
+                        inner += f"<CommittedBlocks>{com_xml}</CommittedBlocks>"
+                    if want in ("uncommitted", "all"):
+                        inner += (f"<UncommittedBlocks>{unc_xml}"
+                                  f"</UncommittedBlocks>")
+                    xml = ('<?xml version="1.0" encoding="utf-8"?>'
+                           f"<BlockList>{inner}</BlockList>")
                     return self._send(200, xml.encode())
                 with srv._lock:
                     body = srv.containers.get(container, {}).get(blob)
@@ -252,6 +333,77 @@ class AzBlobClient:
         if status != 200:
             raise IOError(f"azblob get {key}: {status} {data[:200]!r}")
         return data
+
+    # -- block-blob staged upload (the large-object path: a single Put
+    # Blob caps out; blocks stage independently and commit atomically)
+
+    @staticmethod
+    def block_id(n: int) -> str:
+        """Deterministic base64 block id (all ids of one blob must have
+        equal length, per the service rule)."""
+        return base64.b64encode(f"block-{n:08d}".encode()).decode()
+
+    def put_block(self, container: str, key: str, block_id: str,
+                  body: bytes) -> None:
+        status, data = self._request(
+            "PUT", f"/{container}/{key}",
+            {"comp": "block", "blockid": block_id}, body)
+        if status != 201:
+            raise IOError(f"azblob put block: {status} {data[:200]!r}")
+
+    def put_block_list(self, container: str, key: str,
+                       block_ids: list[str],
+                       kind: str = "Latest") -> None:
+        xml = ("<?xml version=\"1.0\" encoding=\"utf-8\"?><BlockList>"
+               + "".join(f"<{kind}>{b}</{kind}>" for b in block_ids)
+               + "</BlockList>").encode()
+        status, data = self._request(
+            "PUT", f"/{container}/{key}", {"comp": "blocklist"}, xml)
+        if status != 201:
+            raise IOError(f"azblob put block list: {status} {data[:200]!r}")
+
+    def get_block_list(self, container: str, key: str,
+                       blocklisttype: str = "all",
+                       ) -> tuple[list[tuple[str, int]], list[tuple[str, int]]]:
+        """-> (committed, uncommitted) [(block_id, size)] — the
+        crash-resume probe."""
+        import re
+
+        status, data = self._request(
+            "GET", f"/{container}/{key}",
+            {"comp": "blocklist", "blocklisttype": blocklisttype})
+        if status != 200:
+            raise IOError(f"azblob get block list: {status} {data[:200]!r}")
+        xml = data.decode()
+
+        def blocks(section: str) -> list[tuple[str, int]]:
+            m = re.search(f"<{section}>(.*?)</{section}>", xml, re.S)
+            if not m:
+                return []
+            return [(b, int(s)) for b, s in re.findall(
+                r"<Block><Name>(.*?)</Name><Size>(\d+)</Size></Block>",
+                m.group(1))]
+
+        return blocks("CommittedBlocks"), blocks("UncommittedBlocks")
+
+    def put_object_large(self, container: str, key: str, body: bytes,
+                         part_size: int = 8 * 1024 * 1024,
+                         resume: bool = False) -> None:
+        """Staged block upload + atomic commit.  With ``resume=True``,
+        blocks the service already holds uncommitted (matched by id +
+        size) are skipped — the mid-upload crash/retry path."""
+        have: dict[str, int] = {}
+        if resume:
+            _, unc = self.get_block_list(container, key)
+            have = dict(unc)
+        ids: list[str] = []
+        for i in range(0, max(len(body), 1), part_size):
+            chunk = body[i:i + part_size]
+            bid = self.block_id(i // part_size)
+            if have.get(bid) != len(chunk):
+                self.put_block(container, key, bid, chunk)
+            ids.append(bid)
+        self.put_block_list(container, key, ids)
 
     def list_objects(self, container: str,
                      max_keys: int = 5000) -> list[tuple[str, int]]:

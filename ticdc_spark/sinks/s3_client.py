@@ -102,6 +102,82 @@ class S3Client:
     def delete_object(self, bucket: str, key: str) -> None:
         self._request("DELETE", f"/{bucket}/{key}")
 
+    # -- multipart upload (real S3 caps a single PUT at 5 GiB; the
+    # reference streams large redo/storage files through a multipart
+    # writer — `pkg/redo/writer/memory/file_worker.go:197-203`)
+
+    def create_multipart_upload(self, bucket: str, key: str) -> str:
+        _, _, data = self._request("POST", f"/{bucket}/{key}",
+                                   query="uploads=")
+        root = ET.fromstring(data)
+        ns = root.tag.partition("}")[0] + "}" if root.tag.startswith("{") else ""
+        return root.findtext(f"{ns}UploadId")
+
+    def upload_part(self, bucket: str, key: str, upload_id: str,
+                    part_number: int, body: bytes) -> str:
+        q = urllib.parse.urlencode(sorted(
+            {"partNumber": str(part_number), "uploadId": upload_id}.items()))
+        _, headers, _ = self._request("PUT", f"/{bucket}/{key}", query=q,
+                                      body=body)
+        return headers.get("ETag", "").strip('"')
+
+    def list_parts(self, bucket: str, key: str,
+                   upload_id: str) -> list[tuple[int, str, int]]:
+        """-> [(part_number, etag, size)] of parts uploaded so far —
+        the crash-resume probe."""
+        q = urllib.parse.urlencode({"uploadId": upload_id})
+        _, _, data = self._request("GET", f"/{bucket}/{key}", query=q)
+        root = ET.fromstring(data)
+        ns = root.tag.partition("}")[0] + "}" if root.tag.startswith("{") else ""
+        return [(int(p.findtext(f"{ns}PartNumber")),
+                 p.findtext(f"{ns}ETag").strip('"'),
+                 int(p.findtext(f"{ns}Size")))
+                for p in root.findall(f"{ns}Part")]
+
+    def complete_multipart_upload(self, bucket: str, key: str,
+                                  upload_id: str,
+                                  parts: list[tuple[int, str]]) -> str:
+        body = ("<CompleteMultipartUpload>" + "".join(
+            f"<Part><PartNumber>{pn}</PartNumber>"
+            f"<ETag>\"{etag}\"</ETag></Part>" for pn, etag in parts)
+            + "</CompleteMultipartUpload>").encode()
+        q = urllib.parse.urlencode({"uploadId": upload_id})
+        _, _, data = self._request("POST", f"/{bucket}/{key}", query=q,
+                                   body=body)
+        root = ET.fromstring(data)
+        ns = root.tag.partition("}")[0] + "}" if root.tag.startswith("{") else ""
+        return (root.findtext(f"{ns}ETag") or "").strip('"')
+
+    def abort_multipart_upload(self, bucket: str, key: str,
+                               upload_id: str) -> None:
+        q = urllib.parse.urlencode({"uploadId": upload_id})
+        self._request("DELETE", f"/{bucket}/{key}", query=q)
+
+    def put_object_large(self, bucket: str, key: str, body: bytes,
+                         part_size: int = 8 * 1024 * 1024,
+                         upload_id: str | None = None) -> str:
+        """Multipart PUT in ``part_size`` chunks.  Pass the ``upload_id``
+        of an interrupted attempt to resume: parts already on the server
+        (matched by number + ETag) are skipped, only the rest re-upload.
+        """
+        import hashlib
+
+        if upload_id is None:
+            upload_id = self.create_multipart_upload(bucket, key)
+            have: dict[int, str] = {}
+        else:
+            have = {pn: etag for pn, etag, _ in
+                    self.list_parts(bucket, key, upload_id)}
+        parts: list[tuple[int, str]] = []
+        for i in range(0, max(len(body), 1), part_size):
+            pn = i // part_size + 1
+            chunk = body[i:i + part_size]
+            etag = hashlib.md5(chunk).hexdigest()
+            if have.get(pn) != etag:
+                etag = self.upload_part(bucket, key, upload_id, pn, chunk)
+            parts.append((pn, etag))
+        return self.complete_multipart_upload(bucket, key, upload_id, parts)
+
     def list_objects(self, bucket: str, prefix: str = "",
                      max_keys: int = 1000) -> list[tuple[str, int]]:
         """Full listing via ListObjectsV2 continuation pages."""

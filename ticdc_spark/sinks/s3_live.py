@@ -66,9 +66,19 @@ def _client(srv_endpoint: str, cred1: str, cred2: str, scheme: str = "s3"):
 
 
 def put_files(files: DataFrame, endpoint: str, access_key: str,
-              secret_key: str, scheme: str = "s3") -> None:
+              secret_key: str, scheme: str = "s3",
+              multipart_threshold: int = 8 * 1024 * 1024,
+              part_size: int = 8 * 1024 * 1024) -> None:
     """files: rows carrying (path, file_name, value [, ordering cols]).
-    One object per (path, file_name), rows joined in replay-key order."""
+    One object per (path, file_name), rows joined in replay-key order.
+
+    Objects above ``multipart_threshold`` go through the scheme's
+    multi-part path (S3 CreateMultipartUpload/UploadPart/Complete, GCS
+    resumable session, Azure Put Block/Put Block List) in ``part_size``
+    chunks — real S3 caps a single PUT at 5 GiB and the reference
+    streams large redo/storage files through a multipart writer
+    (`pkg/redo/writer/memory/file_worker.go:197-203`), so a 100-TB run
+    with file-size rotation must not single-shot large objects."""
     cols = files.columns
     order = [c for c in ("commit_ts", "dml_order", "seq") if c in cols]
     shaped = (
@@ -88,8 +98,12 @@ def put_files(files: DataFrame, endpoint: str, access_key: str,
                 return
             if client is None:
                 client = _client(endpoint, access_key, secret_key, scheme)
-            client.put_object(BUCKET, f"{cur[0]}/{cur[1]}",
-                              ("\n".join(buf) + "\n").encode("utf-8"))
+            data = ("\n".join(buf) + "\n").encode("utf-8")
+            if len(data) > multipart_threshold:
+                client.put_object_large(BUCKET, f"{cur[0]}/{cur[1]}",
+                                        data, part_size=part_size)
+            else:
+                client.put_object(BUCKET, f"{cur[0]}/{cur[1]}", data)
 
         try:
             for row in rows_iter:
@@ -142,7 +156,9 @@ def get_files_df(
 
 
 def storage_live_roundtrip(cl_split: DataFrame,
-                           scheme: str = "s3") -> DataFrame:
+                           scheme: str = "s3",
+                           multipart_threshold: int = 8 * 1024 * 1024,
+                           part_size: int = 8 * 1024 * 1024) -> DataFrame:
     """CSV-encode -> path layout -> authenticated PUT over the scheme's
     real REST dialect -> paginated list + GET -> storage-consumer decode
     -> replayed state.  The path layout is scheme-independent; only the
@@ -154,7 +170,8 @@ def storage_live_roundtrip(cl_split: DataFrame,
     spark = cl_split.sparkSession
     srv, cred1, cred2 = start_server(scheme)
     files = storage_paths(encode_csv(cl_split))
-    put_files(files, srv.endpoint, cred1, cred2, scheme=scheme)
+    put_files(files, srv.endpoint, cred1, cred2, scheme=scheme,
+              multipart_threshold=multipart_threshold, part_size=part_size)
     fetched = get_files_df(spark, srv.endpoint, cred1, cred2, scheme=scheme)
     return replay_to_state(decode_csv_storage(fetched), order_col="commit_ts")
 

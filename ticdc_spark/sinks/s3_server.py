@@ -1,11 +1,17 @@
 """In-process S3 endpoint speaking the real REST API over HTTP.
 
 PutObject / GetObject / HeadObject / DeleteObject / ListObjectsV2 (with
-prefix, max-keys and real continuation-token pagination), XML responses
-in the S3 shapes, and SigV4 verification on every request (403 +
-SignatureDoesNotMatch on failure) — the surface the reference's
-cloud-storage sink drives through the AWS SDK
-(`downstreamadapter/sink/cloudstorage`, storage URIs `s3://...`).
+prefix, max-keys and real continuation-token pagination), plus the
+multipart-upload family — CreateMultipartUpload (POST ?uploads),
+UploadPart (PUT ?partNumber&uploadId), ListParts (GET ?uploadId),
+CompleteMultipartUpload (POST ?uploadId, multipart ETag
+``md5(concat(part_digests))-N``), AbortMultipartUpload (DELETE
+?uploadId) — XML responses in the S3 shapes, and SigV4 verification on
+every request (403 + SignatureDoesNotMatch on failure) — the surface
+the reference's cloud-storage sink drives through the AWS SDK
+(`downstreamadapter/sink/cloudstorage`, storage URIs `s3://...`; large
+redo/storage files stream through a multipart writer,
+`pkg/redo/writer/memory/file_worker.go:197-203`).
 
 TEST endpoint: production points the same sink at real object storage.
 """
@@ -38,6 +44,9 @@ class MiniS3Server:
         self.secret_key = secret_key
         self.host = host
         self.buckets: dict[str, dict[str, bytes]] = {}
+        # open multipart uploads: upload_id -> {bucket, key, parts{n: bytes}}
+        self.uploads: dict[str, dict] = {}
+        self._upload_seq = 0
         self._lock = threading.Lock()
         srv = self
 
@@ -93,7 +102,9 @@ class MiniS3Server:
                 body = self.rfile.read(n)
                 if not self._authed(body):
                     return
-                bucket, key, _ = self._route()
+                bucket, key, q = self._route()
+                if "partNumber" in q and "uploadId" in q:
+                    return self._upload_part(bucket, key, q, body)
                 with srv._lock:
                     srv.buckets.setdefault(bucket, {})[key] = body
                 etag = hashlib.md5(body).hexdigest()
@@ -102,10 +113,111 @@ class MiniS3Server:
                 self.send_header("Content-Length", "0")
                 self.end_headers()
 
+            def _get_upload(self, bucket: str, key: str, q: dict):
+                uid = q["uploadId"][0]
+                up = srv.uploads.get(uid)
+                if up is None or up["bucket"] != bucket or up["key"] != key:
+                    self._error(404, "NoSuchUpload",
+                                "The specified upload does not exist.")
+                    return None, uid
+                return up, uid
+
+            def _upload_part(self, bucket: str, key: str, q: dict,
+                             body: bytes):
+                pn = int(q["partNumber"][0])
+                if not 1 <= pn <= 10000:
+                    return self._error(400, "InvalidArgument",
+                                       "partNumber must be in 1..10000")
+                with srv._lock:
+                    up, _ = self._get_upload(bucket, key, q)
+                    if up is None:
+                        return
+                    up["parts"][pn] = body
+                self.send_response(200)
+                self.send_header(
+                    "ETag", f'"{hashlib.md5(body).hexdigest()}"')
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                if not self._authed(body):
+                    return
+                bucket, key, q = self._route()
+                if "uploads" in q:
+                    with srv._lock:
+                        srv._upload_seq += 1
+                        uid = f"mpu-{srv._upload_seq:08d}"
+                        srv.uploads[uid] = {"bucket": bucket, "key": key,
+                                            "parts": {}}
+                    return self._xml(200, (
+                        f'<InitiateMultipartUploadResult xmlns="{_XMLNS}">'
+                        f"<Bucket>{bucket}</Bucket><Key>{key}</Key>"
+                        f"<UploadId>{uid}</UploadId>"
+                        "</InitiateMultipartUploadResult>"))
+                if "uploadId" in q:
+                    return self._complete_upload(bucket, key, q, body)
+                self._error(400, "InvalidRequest", "unsupported POST")
+
+            def _complete_upload(self, bucket: str, key: str, q: dict,
+                                 body: bytes):
+                import re as _re
+
+                listed = [(int(m.group(1)), m.group(2).strip().strip('"'))
+                          for m in _re.finditer(
+                              r"<Part>\s*<PartNumber>(\d+)</PartNumber>"
+                              r"\s*<ETag>(?:&quot;)?\"?([0-9a-f]+)"
+                              r"\"?(?:&quot;)?</ETag>\s*</Part>", body.decode())]
+                if not listed:
+                    return self._error(400, "MalformedXML",
+                                       "no parts in CompleteMultipartUpload")
+                if listed != sorted(listed, key=lambda p: p[0]):
+                    return self._error(400, "InvalidPartOrder",
+                                       "parts must be in ascending order")
+                with srv._lock:
+                    up, uid = self._get_upload(bucket, key, q)
+                    if up is None:
+                        return
+                    chunks, digests = [], []
+                    for pn, etag in listed:
+                        part = up["parts"].get(pn)
+                        if part is None or hashlib.md5(part).hexdigest() != etag:
+                            return self._error(
+                                400, "InvalidPart",
+                                f"part {pn} not found or ETag mismatch")
+                        chunks.append(part)
+                        digests.append(hashlib.md5(part).digest())
+                    data = b"".join(chunks)
+                    srv.buckets.setdefault(bucket, {})[key] = data
+                    del srv.uploads[uid]
+                mp_etag = (hashlib.md5(b"".join(digests)).hexdigest()
+                           + f"-{len(listed)}")
+                self._xml(200, (
+                    f'<CompleteMultipartUploadResult xmlns="{_XMLNS}">'
+                    f"<Bucket>{bucket}</Bucket><Key>{key}</Key>"
+                    f"<ETag>&quot;{mp_etag}&quot;</ETag>"
+                    "</CompleteMultipartUploadResult>"))
+
             def do_GET(self):
                 if not self._authed(b""):
                     return
                 bucket, key, q = self._route()
+                if "uploadId" in q:
+                    with srv._lock:
+                        up, uid = self._get_upload(bucket, key, q)
+                        if up is None:
+                            return
+                        parts = "".join(
+                            f"<Part><PartNumber>{pn}</PartNumber>"
+                            f"<ETag>&quot;{hashlib.md5(b).hexdigest()}"
+                            f"&quot;</ETag><Size>{len(b)}</Size></Part>"
+                            for pn, b in sorted(up["parts"].items()))
+                    return self._xml(200, (
+                        f'<ListPartsResult xmlns="{_XMLNS}">'
+                        f"<Bucket>{bucket}</Bucket><Key>{key}</Key>"
+                        f"<UploadId>{uid}</UploadId>{parts}"
+                        "</ListPartsResult>"))
                 with srv._lock:
                     objs = dict(srv.buckets.get(bucket, {}))
                 if key == "" and "list-type" in q:
@@ -139,9 +251,16 @@ class MiniS3Server:
             def do_DELETE(self):
                 if not self._authed(b""):
                     return
-                bucket, key, _ = self._route()
-                with srv._lock:
-                    srv.buckets.get(bucket, {}).pop(key, None)
+                bucket, key, q = self._route()
+                if "uploadId" in q:
+                    with srv._lock:
+                        up, uid = self._get_upload(bucket, key, q)
+                        if up is None:
+                            return
+                        del srv.uploads[uid]
+                else:
+                    with srv._lock:
+                        srv.buckets.get(bucket, {}).pop(key, None)
                 self.send_response(204)
                 self.send_header("Content-Length", "0")
                 self.end_headers()
