@@ -1839,3 +1839,494 @@ def dec_metadata_response_v9(r: Reader) -> dict:
     r.i32()  # cluster_authorized_operations
     r.skip_tags()
     return {"brokers": brokers, "controller": controller, "topics": topics}
+
+
+# --------- KIP-482 flexible versions of the group/txn families.
+# Same logical payloads as the classic codecs above, re-framed with
+# compact strings/arrays/bytes + tagged fields (request header v2 /
+# response header v1): FindCoordinator v3, JoinGroup v6, SyncGroup v4,
+# Heartbeat v4, LeaveGroup v4, OffsetCommit v8, OffsetFetch v6,
+# InitProducerId v2, AddPartitionsToTxn v3, EndTxn v3 — the versions a
+# modern franz-go/sarama client (the reference's target,
+# `pkg/sink/kafka/sarama_config.go`) negotiates against a post-2.4
+# broker.  Layouts from the public protocol guide
+# (kafka.apache.org/protocol), like the rest of this module.
+
+FLEXIBLE_SINCE.update({
+    API_FIND_COORDINATOR: 3, API_JOIN_GROUP: 6, API_SYNC_GROUP: 4,
+    API_HEARTBEAT: 4, API_LEAVE_GROUP: 4, API_OFFSET_COMMIT: 8,
+    API_OFFSET_FETCH: 6, API_INIT_PRODUCER_ID: 2,
+    API_ADD_PARTITIONS_TO_TXN: 3, API_END_TXN: 3,
+})
+
+SUPPORTED.update({
+    API_FIND_COORDINATOR: (1, 3), API_JOIN_GROUP: (2, 6),
+    API_SYNC_GROUP: (1, 4), API_HEARTBEAT: (1, 4),
+    API_LEAVE_GROUP: (1, 4), API_OFFSET_COMMIT: (3, 8),
+    API_OFFSET_FETCH: (3, 6), API_INIT_PRODUCER_ID: (1, 2),
+    API_ADD_PARTITIONS_TO_TXN: (0, 3), API_END_TXN: (1, 3),
+})
+
+
+def enc_find_coordinator_request_v3(key: str, key_type: int = 0) -> bytes:
+    return enc_compact_str(key) + struct.pack(">b", key_type) + enc_tags()
+
+
+def dec_find_coordinator_request_v3(r: Reader) -> tuple[str, int]:
+    key = r.compact_string()
+    key_type = r.i8()
+    r.skip_tags()
+    return key, key_type
+
+
+def enc_find_coordinator_response_v3(node_id: int, host: str,
+                                     port: int) -> bytes:
+    return (struct.pack(">ih", 0, 0) + enc_compact_str(None)
+            + struct.pack(">i", node_id) + enc_compact_str(host)
+            + struct.pack(">i", port) + enc_tags())
+
+
+def dec_find_coordinator_response_v3(r: Reader) -> tuple[str, int]:
+    r.i32()  # throttle
+    err = r.i16()
+    r.compact_string()  # error_message
+    if err:
+        raise IOError(f"FindCoordinator error {err}")
+    r.i32()  # node_id
+    host = r.compact_string()
+    port = r.i32()
+    r.skip_tags()
+    return host, port
+
+
+def enc_join_group_request_v6(
+    group_id: str, member_id: str, topics: list[str],
+    session_timeout_ms: int = 10000, rebalance_timeout_ms: int = 3000,
+) -> bytes:
+    # the embedded "consumer" protocol metadata blob keeps its own
+    # classic framing (it's opaque to the broker, versioned separately)
+    md = struct.pack(">h", 0) + struct.pack(">i", len(topics))
+    for t in topics:
+        md += enc_str(t)
+    md += enc_bytes(b"")
+    body = enc_compact_str(group_id)
+    body += struct.pack(">ii", session_timeout_ms, rebalance_timeout_ms)
+    body += enc_compact_str(member_id)
+    body += enc_compact_str(None)  # group_instance_id
+    body += enc_compact_str("consumer")
+    body += enc_compact_array_len(1)
+    body += enc_compact_str("range") + enc_compact_bytes(md) + enc_tags()
+    return body + enc_tags()
+
+
+def dec_join_group_request_v6(r: Reader) -> dict:
+    group_id = r.compact_string()
+    session_timeout = r.i32()
+    rebalance_timeout = r.i32()
+    member_id = r.compact_string()
+    r.compact_string()  # group_instance_id
+    protocol_type = r.compact_string()
+    protocols = []
+    for _ in range(max(r.compact_array_len(), 0)):
+        name = r.compact_string()
+        md = r.compact_bytes()
+        r.skip_tags()
+        protocols.append((name, md))
+    r.skip_tags()
+    return {"group_id": group_id, "session_timeout": session_timeout,
+            "rebalance_timeout": rebalance_timeout, "member_id": member_id,
+            "protocol_type": protocol_type, "protocols": protocols}
+
+
+def enc_join_group_response_v6(
+    error_code: int, generation: int, protocol: str, leader: str,
+    member_id: str, members: list[tuple[str, bytes]],
+) -> bytes:
+    body = struct.pack(">ih", 0, error_code)
+    body += struct.pack(">i", generation)
+    body += enc_compact_str(protocol) + enc_compact_str(leader)
+    body += enc_compact_str(member_id)
+    body += enc_compact_array_len(len(members))
+    for mid, md in members:
+        body += (enc_compact_str(mid) + enc_compact_str(None)
+                 + enc_compact_bytes(md) + enc_tags())
+    return body + enc_tags()
+
+
+def dec_join_group_response_v6(r: Reader) -> dict:
+    r.i32()  # throttle
+    err = r.i16()
+    generation = r.i32()
+    protocol = r.compact_string()
+    leader = r.compact_string()
+    member_id = r.compact_string()
+    members = []
+    for _ in range(max(r.compact_array_len(), 0)):
+        mid = r.compact_string()
+        r.compact_string()  # group_instance_id
+        md = r.compact_bytes()
+        r.skip_tags()
+        members.append((mid, md))
+    r.skip_tags()
+    return {"error": err, "generation": generation, "protocol": protocol,
+            "leader": leader, "member_id": member_id, "members": members}
+
+
+def enc_sync_group_request_v4(
+    group_id: str, generation: int, member_id: str,
+    assignments: list[tuple[str, bytes]],
+) -> bytes:
+    body = enc_compact_str(group_id) + struct.pack(">i", generation)
+    body += enc_compact_str(member_id)
+    body += enc_compact_str(None)  # group_instance_id
+    body += enc_compact_array_len(len(assignments))
+    for mid, a in assignments:
+        body += enc_compact_str(mid) + enc_compact_bytes(a) + enc_tags()
+    return body + enc_tags()
+
+
+def dec_sync_group_request_v4(r: Reader) -> dict:
+    group_id = r.compact_string()
+    generation = r.i32()
+    member_id = r.compact_string()
+    r.compact_string()  # group_instance_id
+    assignments = []
+    for _ in range(max(r.compact_array_len(), 0)):
+        mid = r.compact_string()
+        a = r.compact_bytes()
+        r.skip_tags()
+        assignments.append((mid, a))
+    r.skip_tags()
+    return {"group_id": group_id, "generation": generation,
+            "member_id": member_id, "assignments": assignments}
+
+
+def enc_sync_group_response_v4(error_code: int, assignment: bytes) -> bytes:
+    return (struct.pack(">ih", 0, error_code)
+            + enc_compact_bytes(assignment) + enc_tags())
+
+
+def dec_sync_group_response_v4(r: Reader) -> tuple[int, bytes]:
+    r.i32()
+    err = r.i16()
+    a = r.compact_bytes() or b""
+    r.skip_tags()
+    return err, a
+
+
+def enc_heartbeat_request_v4(group_id: str, generation: int,
+                             member_id: str) -> bytes:
+    return (enc_compact_str(group_id) + struct.pack(">i", generation)
+            + enc_compact_str(member_id) + enc_compact_str(None)
+            + enc_tags())
+
+
+def dec_heartbeat_request_v4(r: Reader) -> tuple[str, int, str]:
+    group_id = r.compact_string()
+    generation = r.i32()
+    member_id = r.compact_string()
+    r.compact_string()  # group_instance_id
+    r.skip_tags()
+    return group_id, generation, member_id
+
+
+def enc_error_only_response_flex(error_code: int) -> bytes:
+    return struct.pack(">ih", 0, error_code) + enc_tags()
+
+
+def dec_error_only_response_flex(r: Reader) -> int:
+    r.i32()
+    err = r.i16()
+    r.skip_tags()
+    return err
+
+
+def enc_leave_group_request_v4(group_id: str, member_id: str) -> bytes:
+    # v3+ switched the single member field to a members array
+    return (enc_compact_str(group_id) + enc_compact_array_len(1)
+            + enc_compact_str(member_id) + enc_compact_str(None)
+            + enc_tags() + enc_tags())
+
+
+def dec_leave_group_request_v4(r: Reader) -> tuple[str, list[str]]:
+    group_id = r.compact_string()
+    members = []
+    for _ in range(max(r.compact_array_len(), 0)):
+        mid = r.compact_string()
+        r.compact_string()  # group_instance_id
+        r.skip_tags()
+        members.append(mid)
+    r.skip_tags()
+    return group_id, members
+
+
+def enc_leave_group_response_v4(error_code: int,
+                                members: list[str]) -> bytes:
+    body = struct.pack(">ih", 0, error_code)
+    body += enc_compact_array_len(len(members))
+    for mid in members:
+        body += (enc_compact_str(mid) + enc_compact_str(None)
+                 + struct.pack(">h", 0) + enc_tags())
+    return body + enc_tags()
+
+
+def dec_leave_group_response_v4(r: Reader) -> int:
+    r.i32()
+    err = r.i16()
+    for _ in range(max(r.compact_array_len(), 0)):
+        r.compact_string()
+        r.compact_string()
+        member_err = r.i16()
+        r.skip_tags()
+        err = err or member_err
+    r.skip_tags()
+    return err
+
+
+def enc_offset_commit_request_v8(
+    group_id: str, generation: int, member_id: str,
+    offsets: dict[tuple[str, int], int],
+) -> bytes:
+    body = enc_compact_str(group_id) + struct.pack(">i", generation)
+    body += enc_compact_str(member_id)
+    body += enc_compact_str(None)  # group_instance_id
+    by_topic: dict[str, list[tuple[int, int]]] = {}
+    for (t, p), off in offsets.items():
+        by_topic.setdefault(t, []).append((p, off))
+    body += enc_compact_array_len(len(by_topic))
+    for t, parts in by_topic.items():
+        body += enc_compact_str(t) + enc_compact_array_len(len(parts))
+        for p, off in parts:
+            body += struct.pack(">iqi", p, off, -1)  # leader_epoch -1
+            body += enc_compact_str(None) + enc_tags()
+        body += enc_tags()
+    return body + enc_tags()
+
+
+def dec_offset_commit_request_v8(r: Reader) -> dict:
+    group_id = r.compact_string()
+    generation = r.i32()
+    member_id = r.compact_string()
+    r.compact_string()  # group_instance_id
+    offsets: dict[tuple[str, int], int] = {}
+    for _ in range(max(r.compact_array_len(), 0)):
+        t = r.compact_string()
+        for _ in range(max(r.compact_array_len(), 0)):
+            p = r.i32()
+            off = r.i64()
+            r.i32()  # leader_epoch
+            r.compact_string()  # metadata
+            r.skip_tags()
+            offsets[(t, p)] = off
+        r.skip_tags()
+    r.skip_tags()
+    return {"group_id": group_id, "generation": generation,
+            "member_id": member_id, "offsets": offsets}
+
+
+def enc_offset_commit_response_v8(
+        results: dict[tuple[str, int], int]) -> bytes:
+    by_topic: dict[str, list[tuple[int, int]]] = {}
+    for (t, p), err in results.items():
+        by_topic.setdefault(t, []).append((p, err))
+    body = struct.pack(">i", 0)
+    body += enc_compact_array_len(len(by_topic))
+    for t, parts in by_topic.items():
+        body += enc_compact_str(t) + enc_compact_array_len(len(parts))
+        for p, err in parts:
+            body += struct.pack(">ih", p, err) + enc_tags()
+        body += enc_tags()
+    return body + enc_tags()
+
+
+def dec_offset_commit_response_v8(r: Reader) -> dict[tuple[str, int], int]:
+    r.i32()
+    out = {}
+    for _ in range(max(r.compact_array_len(), 0)):
+        t = r.compact_string()
+        for _ in range(max(r.compact_array_len(), 0)):
+            p = r.i32()
+            out[(t, p)] = r.i16()
+            r.skip_tags()
+        r.skip_tags()
+    r.skip_tags()
+    return out
+
+
+def enc_offset_fetch_request_v6(
+        group_id: str, topic_partitions: dict[str, list[int]]) -> bytes:
+    body = enc_compact_str(group_id)
+    body += enc_compact_array_len(len(topic_partitions))
+    for t, parts in topic_partitions.items():
+        body += enc_compact_str(t) + enc_compact_array_len(len(parts))
+        for p in parts:
+            body += struct.pack(">i", p)
+        body += enc_tags()
+    return body + enc_tags()
+
+
+def dec_offset_fetch_request_v6(
+        r: Reader) -> tuple[str, dict[str, list[int]]]:
+    group_id = r.compact_string()
+    out: dict[str, list[int]] = {}
+    for _ in range(max(r.compact_array_len(), 0)):
+        t = r.compact_string()
+        out[t] = [r.i32() for _ in range(max(r.compact_array_len(), 0))]
+        r.skip_tags()
+    r.skip_tags()
+    return group_id, out
+
+
+def enc_offset_fetch_response_v6(
+        offsets: dict[tuple[str, int], int]) -> bytes:
+    by_topic: dict[str, list[tuple[int, int]]] = {}
+    for (t, p), off in offsets.items():
+        by_topic.setdefault(t, []).append((p, off))
+    body = struct.pack(">i", 0)
+    body += enc_compact_array_len(len(by_topic))
+    for t, parts in by_topic.items():
+        body += enc_compact_str(t) + enc_compact_array_len(len(parts))
+        for p, off in parts:
+            body += struct.pack(">iqi", p, off, -1)  # leader_epoch -1
+            body += enc_compact_str(None) + struct.pack(">h", 0)
+            body += enc_tags()
+        body += enc_tags()
+    body += struct.pack(">h", 0)  # top-level error
+    return body + enc_tags()
+
+
+def dec_offset_fetch_response_v6(r: Reader) -> dict[tuple[str, int], int]:
+    r.i32()
+    out = {}
+    for _ in range(max(r.compact_array_len(), 0)):
+        t = r.compact_string()
+        for _ in range(max(r.compact_array_len(), 0)):
+            p = r.i32()
+            off = r.i64()
+            r.i32()  # leader_epoch
+            r.compact_string()  # metadata
+            err = r.i16()
+            r.skip_tags()
+            if err:
+                raise IOError(f"OffsetFetch error {err} on {t}/{p}")
+            out[(t, p)] = off
+        r.skip_tags()
+    r.i16()  # top-level error
+    r.skip_tags()
+    return out
+
+
+def enc_init_producer_id_request_v2(txn_id: str | None = None,
+                                    txn_timeout_ms: int = 60000) -> bytes:
+    return (enc_compact_str(txn_id) + struct.pack(">i", txn_timeout_ms)
+            + enc_tags())
+
+
+def dec_init_producer_id_request_v2(r: Reader) -> tuple[str | None, int]:
+    txn_id = r.compact_string()
+    timeout = r.i32()
+    r.skip_tags()
+    return txn_id, timeout
+
+
+def enc_init_producer_id_response_v2(producer_id: int,
+                                     producer_epoch: int = 0,
+                                     error_code: int = 0) -> bytes:
+    return (struct.pack(">ihqh", 0, error_code, producer_id,
+                        producer_epoch) + enc_tags())
+
+
+def dec_init_producer_id_response_v2(r: Reader) -> tuple[int, int]:
+    r.i32()  # throttle
+    err = r.i16()
+    pid = r.i64()
+    epoch = r.i16()
+    r.skip_tags()
+    if err:
+        raise IOError(f"InitProducerId error {err}")
+    return pid, epoch
+
+
+def enc_add_partitions_to_txn_request_v3(
+    txn_id: str, producer_id: int, producer_epoch: int,
+    topic_partitions: dict[str, list[int]],
+) -> bytes:
+    body = enc_compact_str(txn_id)
+    body += struct.pack(">qh", producer_id, producer_epoch)
+    body += enc_compact_array_len(len(topic_partitions))
+    for t, parts in topic_partitions.items():
+        body += enc_compact_str(t) + enc_compact_array_len(len(parts))
+        for p in parts:
+            body += struct.pack(">i", p)
+        body += enc_tags()
+    return body + enc_tags()
+
+
+def dec_add_partitions_to_txn_request_v3(
+        r: Reader) -> tuple[str, int, int, dict[str, list[int]]]:
+    txn_id = r.compact_string()
+    pid = r.i64()
+    epoch = r.i16()
+    tps: dict[str, list[int]] = {}
+    for _ in range(max(r.compact_array_len(), 0)):
+        t = r.compact_string()
+        tps[t] = [r.i32() for _ in range(max(r.compact_array_len(), 0))]
+        r.skip_tags()
+    r.skip_tags()
+    return txn_id, pid, epoch, tps
+
+
+def enc_add_partitions_to_txn_response_v3(
+        results: dict[str, dict[int, int]]) -> bytes:
+    body = struct.pack(">i", 0)
+    body += enc_compact_array_len(len(results))
+    for t, parts in results.items():
+        body += enc_compact_str(t) + enc_compact_array_len(len(parts))
+        for p, err in parts.items():
+            body += struct.pack(">ih", p, err) + enc_tags()
+        body += enc_tags()
+    return body + enc_tags()
+
+
+def dec_add_partitions_to_txn_response_v3(
+        r: Reader) -> dict[str, dict[int, int]]:
+    r.i32()
+    out: dict[str, dict[int, int]] = {}
+    for _ in range(max(r.compact_array_len(), 0)):
+        t = r.compact_string()
+        parts: dict[int, int] = {}
+        for _ in range(max(r.compact_array_len(), 0)):
+            p = r.i32()
+            parts[p] = r.i16()
+            r.skip_tags()
+        r.skip_tags()
+        out[t] = parts
+    r.skip_tags()
+    return out
+
+
+def enc_end_txn_request_v3(txn_id: str, producer_id: int,
+                           producer_epoch: int, committed: bool) -> bytes:
+    return (enc_compact_str(txn_id)
+            + struct.pack(">qh?", producer_id, producer_epoch, committed)
+            + enc_tags())
+
+
+def dec_end_txn_request_v3(r: Reader) -> tuple[str, int, int, bool]:
+    txn_id = r.compact_string()
+    pid = r.i64()
+    epoch = r.i16()
+    committed = r.i8() != 0
+    r.skip_tags()
+    return txn_id, pid, epoch, committed
+
+
+def enc_end_txn_response_v3(error_code: int = 0) -> bytes:
+    return struct.pack(">ih", 0, error_code) + enc_tags()
+
+
+def dec_end_txn_response_v3(r: Reader) -> int:
+    r.i32()
+    err = r.i16()
+    r.skip_tags()
+    return err

@@ -232,6 +232,16 @@ class KafkaBroker:
                                                else (1, 7))
         self.supported[kw.API_METADATA] = (9, 9) if flexible_only else (1, 9)
         self.supported[kw.API_API_VERSIONS] = (0, 3)
+        if flexible_only:
+            # the group/txn families floor at their KIP-482 versions too
+            # — a flexible_only broker serves NO classic frames at all
+            for api in (kw.API_FIND_COORDINATOR, kw.API_JOIN_GROUP,
+                        kw.API_SYNC_GROUP, kw.API_HEARTBEAT,
+                        kw.API_LEAVE_GROUP, kw.API_OFFSET_COMMIT,
+                        kw.API_OFFSET_FETCH, kw.API_INIT_PRODUCER_ID,
+                        kw.API_ADD_PARTITIONS_TO_TXN, kw.API_END_TXN):
+                flex = kw.FLEXIBLE_SINCE[api]
+                self.supported[api] = (flex, self.supported[api][1])
         # when sasl_users is set, every API except ApiVersions/SaslHandshake/
         # SaslAuthenticate is rejected with ILLEGAL_SASL_STATE until the
         # connection authenticates — real listener semantics (SASL_PLAINTEXT)
@@ -576,7 +586,9 @@ class KafkaBroker:
                     corr, kw.enc_produce_response_v9(results))
             return kw.frame_response(corr, kw.enc_produce_response(results))
         if api_key == kw.API_INIT_PRODUCER_ID:
-            txn_id, _timeout = kw.dec_init_producer_id_request(r)
+            flex = api_version >= kw.FLEXIBLE_SINCE[kw.API_INIT_PRODUCER_ID]
+            txn_id, _timeout = (kw.dec_init_producer_id_request_v2(r) if flex
+                                else kw.dec_init_producer_id_request(r))
             with self._topics_lock:
                 if txn_id is not None:
                     # transactional: same pid, BUMPED epoch — re-init
@@ -595,10 +607,17 @@ class KafkaBroker:
                 else:
                     pid, epoch = self._next_pid, 0
                     self._next_pid += 1
+            if flex:
+                return kw.frame_response_flex(
+                    corr, kw.enc_init_producer_id_response_v2(pid, epoch))
             return kw.frame_response(
                 corr, kw.enc_init_producer_id_response(pid, epoch))
         if api_key == kw.API_ADD_PARTITIONS_TO_TXN:
-            txn_id, pid, epoch, tps = kw.dec_add_partitions_to_txn_request(r)
+            flex = (api_version
+                    >= kw.FLEXIBLE_SINCE[kw.API_ADD_PARTITIONS_TO_TXN])
+            txn_id, pid, epoch, tps = (
+                kw.dec_add_partitions_to_txn_request_v3(r) if flex
+                else kw.dec_add_partitions_to_txn_request(r))
             st = self._txns.get(txn_id)
             results = {}
             for topic, parts in tps.items():
@@ -611,25 +630,35 @@ class KafkaBroker:
                 results[topic] = {p: err for p in parts}
                 if not err:
                     st["partitions"].update((topic, p) for p in parts)
+            if flex:
+                return kw.frame_response_flex(
+                    corr, kw.enc_add_partitions_to_txn_response_v3(results))
             return kw.frame_response(
                 corr, kw.enc_add_partitions_to_txn_response(results))
         if api_key == kw.API_END_TXN:
-            txn_id, pid, epoch, committed = kw.dec_end_txn_request(r)
+            flex = api_version >= kw.FLEXIBLE_SINCE[kw.API_END_TXN]
+            txn_id, pid, epoch, committed = (
+                kw.dec_end_txn_request_v3(r) if flex
+                else kw.dec_end_txn_request(r))
+
+            def _end_txn_res(err: int) -> bytes:
+                if flex:
+                    return kw.frame_response_flex(
+                        corr, kw.enc_end_txn_response_v3(err))
+                return kw.frame_response(corr, kw.enc_end_txn_response(err))
+
             st = self._txns.get(txn_id)
             if st is None or st["pid"] != pid:
-                return kw.frame_response(
-                    corr, kw.enc_end_txn_response(kw.ERR_INVALID_TXN_STATE))
+                return _end_txn_res(kw.ERR_INVALID_TXN_STATE)
             if st["epoch"] != epoch:
-                return kw.frame_response(
-                    corr,
-                    kw.enc_end_txn_response(kw.ERR_INVALID_PRODUCER_EPOCH))
+                return _end_txn_res(kw.ERR_INVALID_PRODUCER_EPOCH)
             marker = kw.CONTROL_COMMIT if committed else kw.CONTROL_ABORT
             for topic, p in sorted(st["partitions"]):
                 t = self._get_topic(topic)
                 if p in t:
                     t[p].append_control(pid, epoch, marker)
             st["partitions"] = set()
-            return kw.frame_response(corr, kw.enc_end_txn_response(0))
+            return _end_txn_res(0)
         if api_key == kw.API_LIST_OFFSETS:
             flex = api_version >= kw.FLEXIBLE_SINCE[kw.API_LIST_OFFSETS]
             wants = (kw.dec_list_offsets_request_v7(r) if flex
@@ -699,38 +728,70 @@ class KafkaBroker:
                 results.append((0, None, rtype, name, cfg))
             return kw.frame_response(corr, kw.enc_describe_configs_response(results))
         if api_key == kw.API_FIND_COORDINATOR:
+            flex = api_version >= kw.FLEXIBLE_SINCE[kw.API_FIND_COORDINATOR]
+            if flex:
+                kw.dec_find_coordinator_request_v3(r)
+                # single-node: this broker coordinates every group
+                return kw.frame_response_flex(
+                    corr, kw.enc_find_coordinator_response_v3(
+                        0, self.host, self.port))
             kw.dec_find_coordinator_request(r)
-            # single-node: this broker coordinates every group
             return kw.frame_response(
                 corr, kw.enc_find_coordinator_response(0, self.host, self.port))
         if api_key == kw.API_JOIN_GROUP:
-            req = kw.dec_join_group_request(r)
+            flex = api_version >= kw.FLEXIBLE_SINCE[kw.API_JOIN_GROUP]
+            req = (kw.dec_join_group_request_v6(r) if flex
+                   else kw.dec_join_group_request(r))
             g = self._get_group(req["group_id"])
             res = g.join(req["member_id"], req["protocols"][0][1])
+            enc = (kw.enc_join_group_response_v6 if flex
+                   else kw.enc_join_group_response)
             if res["error"]:
-                body = kw.enc_join_group_response(
-                    res["error"], -1, "", "", res["member_id"], [])
+                body = enc(res["error"], -1, "", "", res["member_id"], [])
             else:
-                body = kw.enc_join_group_response(
-                    0, res["generation"], "range", res["leader"],
-                    res["member_id"], res["members"])
+                body = enc(0, res["generation"], "range", res["leader"],
+                           res["member_id"], res["members"])
+            if flex:
+                return kw.frame_response_flex(corr, body)
             return kw.frame_response(corr, body)
         if api_key == kw.API_SYNC_GROUP:
-            req = kw.dec_sync_group_request(r)
+            flex = api_version >= kw.FLEXIBLE_SINCE[kw.API_SYNC_GROUP]
+            req = (kw.dec_sync_group_request_v4(r) if flex
+                   else kw.dec_sync_group_request(r))
             g = self._get_group(req["group_id"])
             err, assignment = g.sync(
                 req["member_id"], req["generation"], req["assignments"])
+            if flex:
+                return kw.frame_response_flex(
+                    corr, kw.enc_sync_group_response_v4(err, assignment))
             return kw.frame_response(corr, kw.enc_sync_group_response(err, assignment))
         if api_key == kw.API_HEARTBEAT:
-            group_id, generation, member_id = kw.dec_heartbeat_request(r)
+            flex = api_version >= kw.FLEXIBLE_SINCE[kw.API_HEARTBEAT]
+            group_id, generation, member_id = (
+                kw.dec_heartbeat_request_v4(r) if flex
+                else kw.dec_heartbeat_request(r))
             err = self._get_group(group_id).heartbeat(member_id, generation)
+            if flex:
+                return kw.frame_response_flex(
+                    corr, kw.enc_error_only_response_flex(err))
             return kw.frame_response(corr, kw.enc_error_only_response(err))
         if api_key == kw.API_LEAVE_GROUP:
+            flex = api_version >= kw.FLEXIBLE_SINCE[kw.API_LEAVE_GROUP]
+            if flex:
+                group_id, members = kw.dec_leave_group_request_v4(r)
+                g = self._get_group(group_id)
+                errs = [(mid, g.leave(mid)) for mid in members]
+                top = next((e for _, e in errs if e), 0)
+                return kw.frame_response_flex(
+                    corr, kw.enc_leave_group_response_v4(
+                        top, [mid for mid, _ in errs]))
             group_id, member_id = kw.dec_leave_group_request(r)
             err = self._get_group(group_id).leave(member_id)
             return kw.frame_response(corr, kw.enc_error_only_response(err))
         if api_key == kw.API_OFFSET_COMMIT:
-            req = kw.dec_offset_commit_request(r)
+            flex = api_version >= kw.FLEXIBLE_SINCE[kw.API_OFFSET_COMMIT]
+            req = (kw.dec_offset_commit_request_v8(r) if flex
+                   else kw.dec_offset_commit_request(r))
             g = self._get_group(req["group_id"])
             results = {}
             with g.lock:
@@ -741,15 +802,23 @@ class KafkaBroker:
                     else:
                         g.offsets[tp] = off
                         results[tp] = 0
+            if flex:
+                return kw.frame_response_flex(
+                    corr, kw.enc_offset_commit_response_v8(results))
             return kw.frame_response(corr, kw.enc_offset_commit_response(results))
         if api_key == kw.API_OFFSET_FETCH:
-            group_id, wants = kw.dec_offset_fetch_request(r)
+            flex = api_version >= kw.FLEXIBLE_SINCE[kw.API_OFFSET_FETCH]
+            group_id, wants = (kw.dec_offset_fetch_request_v6(r) if flex
+                               else kw.dec_offset_fetch_request(r))
             g = self._get_group(group_id)
             out = {}
             with g.lock:
                 for t, parts in wants.items():
                     for p in parts:
                         out[(t, p)] = g.offsets.get((t, p), -1)
+            if flex:
+                return kw.frame_response_flex(
+                    corr, kw.enc_offset_fetch_response_v6(out))
             return kw.frame_response(corr, kw.enc_offset_fetch_response(out))
         if api_key == kw.API_FETCH:
             flex = api_version >= kw.FLEXIBLE_SINCE[kw.API_FETCH]

@@ -112,11 +112,34 @@ class KafkaConn:
                 f"broker doesn't support api {api} v{floor} or v{prefer} "
                 f"(offers {lo}..{hi})")
 
+        def pick_opt(api: int, prefer: int, floor: int) -> int:
+            # group/txn family: a broker whose ApiVersions map omits the
+            # api (minimal test stand-ins) is assumed classic-floor
+            lo, hi = versions.get(api, (-1, -2))
+            if lo <= prefer <= hi:
+                return prefer
+            if lo <= floor <= hi:
+                return floor
+            return floor
+
         self._ver = {
             kw.API_PRODUCE: pick(kw.API_PRODUCE, 9, 3),
             kw.API_FETCH: pick(kw.API_FETCH, 12, 4),
             kw.API_LIST_OFFSETS: pick(kw.API_LIST_OFFSETS, 7, 1),
             kw.API_METADATA: pick(kw.API_METADATA, 9, 1),
+            # KIP-482 flexible group/txn families, negotiated the same
+            # way a modern sarama/franz-go client does
+            kw.API_FIND_COORDINATOR: pick_opt(kw.API_FIND_COORDINATOR, 3, 1),
+            kw.API_JOIN_GROUP: pick_opt(kw.API_JOIN_GROUP, 6, 2),
+            kw.API_SYNC_GROUP: pick_opt(kw.API_SYNC_GROUP, 4, 1),
+            kw.API_HEARTBEAT: pick_opt(kw.API_HEARTBEAT, 4, 1),
+            kw.API_LEAVE_GROUP: pick_opt(kw.API_LEAVE_GROUP, 4, 1),
+            kw.API_OFFSET_COMMIT: pick_opt(kw.API_OFFSET_COMMIT, 8, 3),
+            kw.API_OFFSET_FETCH: pick_opt(kw.API_OFFSET_FETCH, 6, 3),
+            kw.API_INIT_PRODUCER_ID: pick_opt(kw.API_INIT_PRODUCER_ID, 2, 1),
+            kw.API_ADD_PARTITIONS_TO_TXN: pick_opt(
+                kw.API_ADD_PARTITIONS_TO_TXN, 3, 0),
+            kw.API_END_TXN: pick_opt(kw.API_END_TXN, 3, 1),
         }
         return versions
 
@@ -204,16 +227,28 @@ class KafkaConn:
         """KIP-98: acquire a (producer_id, epoch) from the broker for
         idempotent produces; with ``txn_id``, register/fence the
         transactional producer (same pid, bumped epoch on re-init)."""
+        ver = self._ver[kw.API_INIT_PRODUCER_ID]
+        if ver >= kw.FLEXIBLE_SINCE[kw.API_INIT_PRODUCER_ID]:
+            return kw.dec_init_producer_id_response_v2(self._call(
+                kw.API_INIT_PRODUCER_ID, ver,
+                kw.enc_init_producer_id_request_v2(txn_id)))
         return kw.dec_init_producer_id_response(self._call(
-            kw.API_INIT_PRODUCER_ID, 1,
+            kw.API_INIT_PRODUCER_ID, ver,
             kw.enc_init_producer_id_request(txn_id)))
 
     def add_partitions_to_txn(self, txn_id: str, producer: tuple[int, int],
                               topic_partitions: dict[str, list[int]]) -> None:
-        res = kw.dec_add_partitions_to_txn_response(self._call(
-            kw.API_ADD_PARTITIONS_TO_TXN, 0,
-            kw.enc_add_partitions_to_txn_request(
-                txn_id, producer[0], producer[1], topic_partitions)))
+        ver = self._ver[kw.API_ADD_PARTITIONS_TO_TXN]
+        if ver >= kw.FLEXIBLE_SINCE[kw.API_ADD_PARTITIONS_TO_TXN]:
+            res = kw.dec_add_partitions_to_txn_response_v3(self._call(
+                kw.API_ADD_PARTITIONS_TO_TXN, ver,
+                kw.enc_add_partitions_to_txn_request_v3(
+                    txn_id, producer[0], producer[1], topic_partitions)))
+        else:
+            res = kw.dec_add_partitions_to_txn_response(self._call(
+                kw.API_ADD_PARTITIONS_TO_TXN, ver,
+                kw.enc_add_partitions_to_txn_request(
+                    txn_id, producer[0], producer[1], topic_partitions)))
         for topic, parts in res.items():
             for p, err in parts.items():
                 if err:
@@ -222,10 +257,17 @@ class KafkaConn:
 
     def end_txn(self, txn_id: str, producer: tuple[int, int],
                 commit: bool) -> None:
-        err = kw.dec_end_txn_response(self._call(
-            kw.API_END_TXN, 1,
-            kw.enc_end_txn_request(txn_id, producer[0], producer[1],
-                                   commit)))
+        ver = self._ver[kw.API_END_TXN]
+        if ver >= kw.FLEXIBLE_SINCE[kw.API_END_TXN]:
+            err = kw.dec_end_txn_response_v3(self._call(
+                kw.API_END_TXN, ver,
+                kw.enc_end_txn_request_v3(txn_id, producer[0],
+                                          producer[1], commit)))
+        else:
+            err = kw.dec_end_txn_response(self._call(
+                kw.API_END_TXN, ver,
+                kw.enc_end_txn_request(txn_id, producer[0], producer[1],
+                                       commit)))
         if err:
             raise IOError(f"EndTxn: error {err}")
 
@@ -361,9 +403,17 @@ class ConsumerGroupMember:
         # FindCoordinator names the group's coordinator; dial it (here the
         # same single broker, but the redirect is honored like a client)
         with KafkaConn.from_bootstrap(bootstrap) as bootconn:
-            host, port = kw.dec_find_coordinator_response(
-                bootconn._call(kw.API_FIND_COORDINATOR, 1,
-                               kw.enc_find_coordinator_request(group_id)))
+            ver = bootconn._ver[kw.API_FIND_COORDINATOR]
+            if ver >= kw.FLEXIBLE_SINCE[kw.API_FIND_COORDINATOR]:
+                host, port = kw.dec_find_coordinator_response_v3(
+                    bootconn._call(
+                        kw.API_FIND_COORDINATOR, ver,
+                        kw.enc_find_coordinator_request_v3(group_id)))
+            else:
+                host, port = kw.dec_find_coordinator_response(
+                    bootconn._call(
+                        kw.API_FIND_COORDINATOR, ver,
+                        kw.enc_find_coordinator_request(group_id)))
         self.conn = KafkaConn(host, port, client_id=f"cg-{group_id}")
 
     def close(self):
@@ -378,10 +428,20 @@ class ConsumerGroupMember:
     # -- join/sync with rejoin-on-rebalance
 
     def join_and_sync(self, max_rejoins: int = 5) -> dict[str, list[int]]:
+        jver = self.conn._ver[kw.API_JOIN_GROUP]
+        jflex = jver >= kw.FLEXIBLE_SINCE[kw.API_JOIN_GROUP]
+        sver = self.conn._ver[kw.API_SYNC_GROUP]
+        sflex = sver >= kw.FLEXIBLE_SINCE[kw.API_SYNC_GROUP]
         for _ in range(max_rejoins):
-            resp = kw.dec_join_group_response(self.conn._call(
-                kw.API_JOIN_GROUP, 2,
-                kw.enc_join_group_request(self.group_id, self.member_id, self.topics)))
+            if jflex:
+                resp = kw.dec_join_group_response_v6(self.conn._call(
+                    kw.API_JOIN_GROUP, jver,
+                    kw.enc_join_group_request_v6(
+                        self.group_id, self.member_id, self.topics)))
+            else:
+                resp = kw.dec_join_group_response(self.conn._call(
+                    kw.API_JOIN_GROUP, jver,
+                    kw.enc_join_group_request(self.group_id, self.member_id, self.topics)))
             self.member_id = resp["member_id"]
             if resp["error"] == kw.ERR_REBALANCE_IN_PROGRESS:
                 continue
@@ -391,10 +451,17 @@ class ConsumerGroupMember:
             assignments: list[tuple[str, bytes]] = []
             if resp["member_id"] == resp["leader"]:
                 assignments = self._range_assign(resp["members"])
-            err, blob = kw.dec_sync_group_response(self.conn._call(
-                kw.API_SYNC_GROUP, 1,
-                kw.enc_sync_group_request(self.group_id, self.generation,
-                                          self.member_id, assignments)))
+            if sflex:
+                err, blob = kw.dec_sync_group_response_v4(self.conn._call(
+                    kw.API_SYNC_GROUP, sver,
+                    kw.enc_sync_group_request_v4(
+                        self.group_id, self.generation,
+                        self.member_id, assignments)))
+            else:
+                err, blob = kw.dec_sync_group_response(self.conn._call(
+                    kw.API_SYNC_GROUP, sver,
+                    kw.enc_sync_group_request(self.group_id, self.generation,
+                                              self.member_id, assignments)))
             if err in (kw.ERR_REBALANCE_IN_PROGRESS, kw.ERR_ILLEGAL_GENERATION):
                 continue
             if err:
@@ -428,23 +495,42 @@ class ConsumerGroupMember:
     # -- offsets + heartbeat + leave
 
     def heartbeat(self) -> int:
+        ver = self.conn._ver[kw.API_HEARTBEAT]
+        if ver >= kw.FLEXIBLE_SINCE[kw.API_HEARTBEAT]:
+            return kw.dec_error_only_response_flex(self.conn._call(
+                kw.API_HEARTBEAT, ver,
+                kw.enc_heartbeat_request_v4(
+                    self.group_id, self.generation, self.member_id)))
         return kw.dec_error_only_response(self.conn._call(
-            kw.API_HEARTBEAT, 1,
+            kw.API_HEARTBEAT, ver,
             kw.enc_heartbeat_request(self.group_id, self.generation, self.member_id)))
 
     def commit_offsets(self, offsets: dict[tuple[str, int], int]) -> None:
-        res = kw.dec_offset_commit_response(self.conn._call(
-            kw.API_OFFSET_COMMIT, 3,
-            kw.enc_offset_commit_request(self.group_id, self.generation,
-                                         self.member_id, offsets)))
+        ver = self.conn._ver[kw.API_OFFSET_COMMIT]
+        if ver >= kw.FLEXIBLE_SINCE[kw.API_OFFSET_COMMIT]:
+            res = kw.dec_offset_commit_response_v8(self.conn._call(
+                kw.API_OFFSET_COMMIT, ver,
+                kw.enc_offset_commit_request_v8(
+                    self.group_id, self.generation,
+                    self.member_id, offsets)))
+        else:
+            res = kw.dec_offset_commit_response(self.conn._call(
+                kw.API_OFFSET_COMMIT, ver,
+                kw.enc_offset_commit_request(self.group_id, self.generation,
+                                             self.member_id, offsets)))
         bad = {tp: e for tp, e in res.items() if e}
         if bad:
             raise IOError(f"OffsetCommit errors: {bad}")
 
     def fetch_committed(self) -> dict[tuple[str, int], int]:
         wants = {t: ps for t, ps in self.assignment.items()}
+        ver = self.conn._ver[kw.API_OFFSET_FETCH]
+        if ver >= kw.FLEXIBLE_SINCE[kw.API_OFFSET_FETCH]:
+            return kw.dec_offset_fetch_response_v6(self.conn._call(
+                kw.API_OFFSET_FETCH, ver,
+                kw.enc_offset_fetch_request_v6(self.group_id, wants)))
         return kw.dec_offset_fetch_response(self.conn._call(
-            kw.API_OFFSET_FETCH, 3,
+            kw.API_OFFSET_FETCH, ver,
             kw.enc_offset_fetch_request(self.group_id, wants)))
 
     def poll_assigned(self) -> dict[tuple[str, int], list]:
@@ -466,6 +552,13 @@ class ConsumerGroupMember:
         return out
 
     def leave(self) -> None:
+        ver = self.conn._ver[kw.API_LEAVE_GROUP]
+        if ver >= kw.FLEXIBLE_SINCE[kw.API_LEAVE_GROUP]:
+            kw.dec_leave_group_response_v4(self.conn._call(
+                kw.API_LEAVE_GROUP, ver,
+                kw.enc_leave_group_request_v4(self.group_id,
+                                              self.member_id)))
+            return
         kw.dec_error_only_response(self.conn._call(
             kw.API_LEAVE_GROUP, 1,
             kw.enc_leave_group_request(self.group_id, self.member_id)))
