@@ -242,3 +242,59 @@ def test_pulsar_ssl_listener_with_token():
         other_ca, _ = make_self_signed()
         with pytest.raises((ssl.SSLError, IOError)):
             PulsarConn(b.host, b.port, token="jwt", tls_ca=other_ca)
+
+
+def test_pulsar_oauth2_auth():
+    """Pulsar OAuth2 (reference `pkg/config/sink.go:581-597` wired in
+    `pkg/sink/pulsar/factory.go:110-118`): client-credentials exchange
+    against the issuer, access token presented as token auth on
+    CONNECT; broker verifies HS256 signature, expiry, and audience."""
+    from ticdc_spark.codec.oauth2 import MiniOAuth2Server, fetch_token, jwt_encode
+
+    aud = "urn:pulsar:cluster-a"
+    with MiniOAuth2Server("cid", "csec", jwt_secret="sek",
+                          audience=aud) as issuer:
+        with PulsarBroker(oauth2_jwt_secret="sek",
+                          oauth2_audience=aud) as b:
+            conf = {"issuer_url": issuer.token_url, "client_id": "cid",
+                    "client_secret": "csec", "audience": aud,
+                    "scope": "produce"}
+            with PulsarConn.from_service_url(b.service_url,
+                                             oauth2=conf) as c:
+                pid = c.create_producer("t")
+                c.send(pid, b"via-oauth2")
+                assert c.read_all("t")[0]["payload"] == b"via-oauth2"
+
+            # wrong audience: the issuer refuses the token request
+            # (400 invalid_target, RFC 8707)
+            import urllib.error
+
+            bad = dict(conf, audience="urn:pulsar:other")
+            with pytest.raises(urllib.error.HTTPError):
+                PulsarConn.from_service_url(b.service_url, oauth2=bad)
+
+            # a token minted for another audience (forged issuer) is
+            # rejected by the BROKER's aud check
+            forged = jwt_encode(
+                {"iss": "mini-oauth2", "sub": "cid", "iat": 1_700_000_000,
+                 "exp": 1_700_003_600, "aud": "urn:pulsar:other"}, "sek")
+            with pytest.raises(IOError, match="oauth2"):
+                PulsarConn.from_service_url(b.service_url, token=forged)
+
+            # wrong signature rejected
+            wrong_sig = jwt_encode(
+                {"iss": "x", "sub": "cid", "iat": 1_700_000_000,
+                 "exp": 1_700_003_600, "aud": aud}, "other-secret")
+            with pytest.raises(IOError, match="oauth2"):
+                PulsarConn.from_service_url(b.service_url, token=wrong_sig)
+
+            # expired token rejected (exp before the broker's clock)
+            expired = jwt_encode(
+                {"iss": "mini-oauth2", "sub": "cid", "iat": 1, "exp": 2,
+                 "aud": aud}, "sek")
+            with pytest.raises(IOError, match="oauth2"):
+                PulsarConn.from_service_url(b.service_url, token=expired)
+
+        # client secret mismatch is refused at the issuer
+        with pytest.raises(Exception):
+            fetch_token(issuer.token_url, "cid", "wrong", audience=aud)

@@ -75,12 +75,18 @@ class MiniOAuth2Server:
 
     def __init__(self, client_id: str, client_secret: str,
                  jwt_secret: str, issue_now: int = 1_700_000_000,
-                 ttl_s: int = 3600, host: str = "127.0.0.1"):
+                 ttl_s: int = 3600, host: str = "127.0.0.1",
+                 audience: str | None = None):
+        # audience: when set, token requests must name it (RFC 8707
+        # resource-indicator style, the `audience` form field Pulsar's
+        # OAuth2 flow sends) and the issued JWT carries it as `aud` —
+        # a consumer for a different audience is refused invalid_target
         self.client_id = client_id
         self.client_secret = client_secret
         self.jwt_secret = jwt_secret
         self.issue_now = issue_now
         self.ttl_s = ttl_s
+        self.audience = audience
         srv = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -104,10 +110,17 @@ class MiniOAuth2Server:
                         or form.get("client_id") != [srv.client_id]
                         or form.get("client_secret") != [srv.client_secret]):
                     return self._json(401, {"error": "invalid_client"})
-                token = jwt_encode(
-                    {"iss": "mini-oauth2", "sub": srv.client_id,
-                     "iat": srv.issue_now, "exp": srv.issue_now + srv.ttl_s},
-                    srv.jwt_secret)
+                if (srv.audience is not None
+                        and form.get("audience") != [srv.audience]):
+                    return self._json(400, {"error": "invalid_target"})
+                claims = {"iss": "mini-oauth2", "sub": srv.client_id,
+                          "iat": srv.issue_now,
+                          "exp": srv.issue_now + srv.ttl_s}
+                if srv.audience is not None:
+                    claims["aud"] = srv.audience
+                if form.get("scope"):
+                    claims["scope"] = form["scope"][0]
+                token = jwt_encode(claims, srv.jwt_secret)
                 return self._json(200, {
                     "access_token": token, "token_type": "Bearer",
                     "expires_in": srv.ttl_s})
@@ -136,16 +149,24 @@ class MiniOAuth2Server:
         self.stop()
 
 
-def fetch_token(token_url: str, client_id: str, client_secret: str) -> str:
+def fetch_token(token_url: str, client_id: str, client_secret: str,
+                audience: str | None = None,
+                scope: str | None = None) -> str:
     """Client-credentials grant (what the reference's token provider does
-    through the oauth2 library)."""
+    through the oauth2 library; Pulsar's flow adds audience/scope —
+    `pkg/config/sink.go:581-597` OAuth2 fields)."""
     import urllib.parse
     import urllib.request
 
-    body = urllib.parse.urlencode({
+    form = {
         "grant_type": "client_credentials",
         "client_id": client_id, "client_secret": client_secret,
-    }).encode()
+    }
+    if audience is not None:
+        form["audience"] = audience
+    if scope is not None:
+        form["scope"] = scope
+    body = urllib.parse.urlencode(form).encode()
     req = urllib.request.Request(
         token_url, data=body,
         headers={"Content-Type": "application/x-www-form-urlencoded"})

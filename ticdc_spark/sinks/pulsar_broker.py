@@ -22,7 +22,10 @@ from ticdc_spark.sinks.kafka_broker import _recv_exact
 
 class PulsarBroker:
     def __init__(self, host: str = "127.0.0.1", token: str | None = None,
-                 tls: bool = False, mutual_tls: bool = False):
+                 tls: bool = False, mutual_tls: bool = False,
+                 oauth2_jwt_secret: str | None = None,
+                 oauth2_audience: str | None = None,
+                 oauth2_now: int = 1_700_000_100):
         # tls=True: a pulsar+ssl:// listener with a fresh self-signed cert;
         # mutual_tls=True demands a client certificate chained to the
         # broker's CA (pulsar's tlsRequireTrustedClientCertOnConnect shape)
@@ -45,6 +48,16 @@ class PulsarBroker:
         # `pkg/sink/pulsar/config.go`): CONNECT must carry
         # auth_method_name="token" + the exact credential
         self.token = token
+        # OAuth2 (the reference's sink OAuth2 block,
+        # `pkg/config/sink.go:581-597` wired in
+        # `pkg/sink/pulsar/factory.go:110-118`): the client runs a
+        # client-credentials exchange against the issuer and presents
+        # the access token as token auth on the wire (Pulsar's
+        # AuthenticationOAuth2 shape); the broker verifies the HS256
+        # JWT signature, expiry, and `aud` claim
+        self.oauth2_jwt_secret = oauth2_jwt_secret
+        self.oauth2_audience = oauth2_audience
+        self.oauth2_now = oauth2_now
         self.host = host
         # topic -> list of (metadata, payload, crc, checked); index ==
         # entryId. crc/checked cached at append so FLOW re-framing per
@@ -136,7 +149,22 @@ class PulsarBroker:
             cmd_type, sub = pw.parse_base_command(command)
 
             if cmd_type == pw.CONNECT:
-                if self.token is not None:
+                if self.oauth2_jwt_secret is not None:
+                    from ticdc_spark.codec import oauth2 as _oauth2
+
+                    method = pw.pb_str(sub, 5)
+                    data = pw.pb_one(sub, 3, b"")
+                    claims = (_oauth2.jwt_verify(
+                        data.decode("utf-8", "replace"),
+                        self.oauth2_jwt_secret, self.oauth2_now)
+                        if method == "token" else None)
+                    if claims is None or (
+                            self.oauth2_audience is not None
+                            and claims.get("aud") != self.oauth2_audience):
+                        sock.sendall(pw.frame_simple(pw.cmd_error(
+                            0, "AuthenticationError: invalid oauth2 token")))
+                        return
+                elif self.token is not None:
                     method = pw.pb_str(sub, 5)
                     data = pw.pb_one(sub, 3, b"")
                     if method != "token" or data != self.token.encode():

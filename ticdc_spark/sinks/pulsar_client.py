@@ -21,7 +21,22 @@ _NEG_ONE = (1 << 64) - 1
 class PulsarConn:
     def __init__(self, host: str, port: int, timeout: float = 60.0,
                  token: str | None = None, tls_ca: bytes | None = None,
-                 tls_client_cert: tuple[bytes, bytes] | None = None):
+                 tls_client_cert: tuple[bytes, bytes] | None = None,
+                 oauth2: dict | None = None):
+        # oauth2: {"issuer_url" (token endpoint), "client_id",
+        # "client_secret", "audience"?, "scope"?} — the reference's
+        # sink OAuth2 block (`pkg/config/sink.go:581-597`,
+        # `pkg/sink/pulsar/factory.go:110-118`).  Pulsar's
+        # AuthenticationOAuth2 runs the client-credentials exchange and
+        # presents the access token with auth_method_name="token".
+        if oauth2 is not None:
+            from ticdc_spark.codec.oauth2 import fetch_token
+
+            token = fetch_token(
+                oauth2["issuer_url"], oauth2["client_id"],
+                oauth2["client_secret"],
+                audience=oauth2.get("audience"),
+                scope=oauth2.get("scope"))
         self.sock = socket.create_connection((host, port), timeout=timeout)
         if tls_ca is not None:
             from ticdc_spark.codec.tlsutil import client_context

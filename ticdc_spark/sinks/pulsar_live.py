@@ -22,7 +22,29 @@ def start_broker():
     return broker
 
 
-def produce_frame(frame: DataFrame, service_url: str) -> None:
+def start_broker_oauth2():
+    """Broker + in-process OAuth2 issuer: the reference's pulsar sink
+    OAuth2 block (`pkg/config/sink.go:581-597`,
+    `pkg/sink/pulsar/factory.go:110-118`) — client-credentials exchange
+    against the issuer, access token presented on CONNECT, broker
+    verifies signature + audience.  -> (broker, oauth2_conf)."""
+    from ticdc_spark.codec.oauth2 import MiniOAuth2Server
+    from ticdc_spark.sinks.pulsar_broker import PulsarBroker
+
+    audience = "urn:pulsar:cluster-a"
+    issuer = MiniOAuth2Server("cdc-client", "cdc-secret",
+                              jwt_secret="pulsar-oauth2-jwt",
+                              audience=audience).start()
+    broker = PulsarBroker(oauth2_jwt_secret="pulsar-oauth2-jwt",
+                          oauth2_audience=audience).start()
+    _LIVE_BROKERS.extend([issuer, broker])
+    conf = {"issuer_url": issuer.token_url, "client_id": "cdc-client",
+            "client_secret": "cdc-secret", "audience": audience}
+    return broker, conf
+
+
+def produce_frame(frame: DataFrame, service_url: str,
+                  oauth2: dict | None = None) -> None:
     """Distributed produce: tasks register one producer per topic they see
     and send each row as a payload frame, awaiting receipts."""
     shaped = frame.select(
@@ -46,7 +68,8 @@ def produce_frame(frame: DataFrame, service_url: str) -> None:
             for attempt in range(max_retry + 1):
                 try:
                     if state["conn"] is None:
-                        state["conn"] = PulsarConn.from_service_url(service_url)
+                        state["conn"] = PulsarConn.from_service_url(
+                            service_url, oauth2=oauth2)
                         producer_ids.clear()  # producers die with the conn
                     pid = producer_ids.get(topic)
                     if pid is None:
@@ -80,7 +103,8 @@ def produce_frame(frame: DataFrame, service_url: str) -> None:
     shaped.foreachPartition(_send)
 
 
-def read_df(spark: SparkSession, service_url: str, topics: list[str]) -> DataFrame:
+def read_df(spark: SparkSession, service_url: str, topics: list[str],
+            oauth2: dict | None = None) -> DataFrame:
     """Distributed read-back: one task per topic, reader earliest->last."""
     tdf = spark.createDataFrame([(t,) for t in topics], "topic string").repartition(
         max(1, min(len(topics), 64)), "topic"
@@ -96,7 +120,8 @@ def read_df(spark: SparkSession, service_url: str, topics: list[str]) -> DataFra
             for pdf in batches:
                 for topic in pdf["topic"]:
                     if conn is None:
-                        conn = PulsarConn.from_service_url(service_url)
+                        conn = PulsarConn.from_service_url(service_url,
+                                                           oauth2=oauth2)
                     msgs = conn.read_all(topic)
                     # batch members share an entry id; entries must be
                     # non-decreasing and cover 0..max with no gaps
@@ -121,8 +146,12 @@ def read_df(spark: SparkSession, service_url: str, topics: list[str]) -> DataFra
 
 
 def pulsar_live_roundtrip(frame: DataFrame) -> DataFrame:
+    """The roundtrip rides OAuth2 auth end-to-end: every executor task's
+    connection runs its own client-credentials exchange against the
+    in-process issuer, and the broker verifies signature + audience on
+    every CONNECT — no unauthenticated path remains in this query."""
     spark = frame.sparkSession
-    broker = start_broker()
-    produce_frame(frame, broker.service_url)
+    broker, oauth2 = start_broker_oauth2()
+    produce_frame(frame, broker.service_url, oauth2=oauth2)
     topics = list(broker.topics)
-    return read_df(spark, broker.service_url, topics)
+    return read_df(spark, broker.service_url, topics, oauth2=oauth2)
