@@ -454,3 +454,30 @@ def test_create_refuses_ineligible_tables(tmp_path):
         assert st == 200
     finally:
         srv.stop()
+
+
+def test_resume_with_overwrite_checkpoint_ts_http(api, spark, sf_dir):
+    """POST /resume with overwrite_checkpoint_ts in the body
+    (`api/v2/changefeed.go:785-790` ResumeChangefeedConfig) rewinds the
+    changefeed; bad values answer 400."""
+    base, reg = api
+    toml = '[sink]\nprotocol = "canal-json"\n'
+    st, _ = _req(f"{base}/api/v2/changefeeds", "POST",
+                 {"changefeed_id": "cf-rw", "config_toml": toml})
+    assert st == 200
+    reg.run("cf-rw", spark, sf_dir, timeout_s=240)
+    ckpt = reg.get("cf-rw").checkpoint_ts()
+    assert ckpt
+    st, _ = _req(f"{base}/api/v2/changefeeds/cf-rw/pause", "POST")
+    assert st == 200
+    # invalid ts -> 400
+    st, err = _req(f"{base}/api/v2/changefeeds/cf-rw/resume", "POST",
+                   {"overwrite_checkpoint_ts": -5})
+    assert st == 400 and "overwrite_checkpoint_ts" in err["error_msg"]
+    # rewind to half the checkpoint
+    st, doc = _req(f"{base}/api/v2/changefeeds/cf-rw/resume", "POST",
+                   {"overwrite_checkpoint_ts": ckpt // 2})
+    assert st == 200 and doc["state"] == "normal"
+    reg.run("cf-rw", spark, sf_dir, timeout_s=240)
+    # the rewound run re-checkpoints at the head
+    assert reg.get("cf-rw").checkpoint_ts() == ckpt

@@ -684,11 +684,21 @@ class ApiServer:
                     if verb == "/pause":
                         registry.pause(cid)
                     else:
-                        registry.resume(cid)
+                        # ResumeChangefeedConfig.OverwriteCheckpointTs
+                        # (`api/v2/changefeed.go:785-790`): body field
+                        # rewinds the changefeed before restarting
+                        body = self._body()
+                        ts = body.get("overwrite_checkpoint_ts")
+                        registry.resume(
+                            cid,
+                            overwrite_checkpoint_ts=(
+                                int(ts) if ts else None))
                 except KeyError:
                     return self._send(
                         400, {"error_msg": f"changefeed not found: {cid}"}
                     )
+                except ValueError as e:
+                    return self._send(400, {"error_msg": str(e)})
                 return self._send(200, registry.describe(cid))
 
             # -- PUT ------------------------------------------------------

@@ -51,9 +51,16 @@ class _Changefeeds(_Group):
         return self._c._call(
             f"/api/v2/changefeeds/{changefeed_id}/pause", "POST", {})
 
-    def resume(self, changefeed_id: str) -> dict:
+    def resume(self, changefeed_id: str,
+               overwrite_checkpoint_ts: int | None = None) -> dict:
+        """cli `changefeed resume [--overwrite-checkpoint-ts]`
+        (`api/v2/changefeed.go:785-790`): the optional ts rewinds the
+        changefeed before restarting."""
+        body: dict = {}
+        if overwrite_checkpoint_ts is not None:
+            body["overwrite_checkpoint_ts"] = overwrite_checkpoint_ts
         return self._c._call(
-            f"/api/v2/changefeeds/{changefeed_id}/resume", "POST", {})
+            f"/api/v2/changefeeds/{changefeed_id}/resume", "POST", body)
 
     def delete(self, changefeed_id: str) -> None:
         self._c._call(f"/api/v2/changefeeds/{changefeed_id}", "DELETE")

@@ -82,11 +82,18 @@ class Changefeed:
         work_dir: str,
         compression: str | None = None,
         live_bootstrap: str | None = None,
+        epoch_offset: int = 0,
     ) -> None:
         self.changefeed_id = changefeed_id
         self.cfg = cfg
         self.work_dir = work_dir
         self.compression = compression
+        # epoch-id namespace shift: a resume with overwrite_checkpoint_ts
+        # deletes the stream checkpoint (fresh offsets restart epoch ids
+        # at 0), so the rewound run writes epoch={offset+id} dirs and
+        # cannot clobber the epochs the pre-rewind run already delivered
+        # (`api/v2/changefeed.go:785-790` ResumeChangefeed overwrite)
+        self.epoch_offset = epoch_offset
         # live MQ mode: produce epochs to a Kafka wire endpoint instead of
         # the filesystem sink (at-least-once like the reference; replays
         # append duplicates the consumer's idempotent apply absorbs)
@@ -117,6 +124,7 @@ class Changefeed:
         """
         if batch_df.isEmpty():
             return
+        epoch_id += self.epoch_offset  # rewind-generation namespace
         # chaos hook: crash BEFORE any sink effect — a restart must
         # re-deliver this epoch from the stream checkpoint with no loss
         failpoint.inject("changefeed/before-flush", {"epoch": epoch_id})

@@ -95,9 +95,14 @@ class ChangefeedRegistry:
                 from ticdc_spark.config import apply_sink_uri_params
 
                 apply_sink_uri_params(cfg)
+            if state[changefeed_id].get("overwrite_checkpoint_ts"):
+                # a rewound changefeed starts from the overwritten ts:
+                # rows with commit_ts <= ts count as already replicated
+                cfg.start_ts = state[changefeed_id]["overwrite_checkpoint_ts"]
             self._live[changefeed_id] = Changefeed(
                 changefeed_id, cfg, self.work_dir,
-                live_bootstrap=self._bootstrap(cfg))
+                live_bootstrap=self._bootstrap(cfg),
+                epoch_offset=state[changefeed_id].get("epoch_offset", 0))
         return self._live[changefeed_id]
 
     def run(self, changefeed_id: str, spark: SparkSession, sf_dir: str,
@@ -147,10 +152,50 @@ class ChangefeedRegistry:
         self.get(changefeed_id).stop()
         self._set_state(changefeed_id, "stopped")
 
-    def resume(self, changefeed_id: str) -> None:
+    def resume(self, changefeed_id: str,
+               overwrite_checkpoint_ts: int | None = None) -> None:
+        """ResumeChangefeed (`api/v2/changefeed.go:785-790`): plain
+        resume continues from the kept checkpoint; with
+        ``overwrite_checkpoint_ts`` the changefeed REWINDS — the stream
+        checkpoint is dropped (fresh scan), the restart replicates
+        exactly the rows with ``commit_ts > ts`` (start-ts semantics,
+        `pkg/config/changefeed.go` StartTs), and the rewound run's
+        epochs land in a fresh epoch-id namespace so the pre-rewind
+        deliveries stay intact.  Replay is idempotent downstream: the
+        per-epoch overwrite sink plus key-based state replay absorb the
+        re-delivered range; DDLs inside the rewound range re-broadcast
+        exactly once (their DDLTsBook entries are pruned)."""
         state = self._load()
         if changefeed_id not in state:
             raise KeyError(changefeed_id)
+        if overwrite_checkpoint_ts is not None:
+            import glob
+            import shutil
+
+            if overwrite_checkpoint_ts <= 0:
+                raise ValueError("overwrite_checkpoint_ts must be > 0")
+            cf = self.get(changefeed_id)
+            cf.stop()
+            shutil.rmtree(cf.checkpoint_dir, ignore_errors=True)
+            # next epoch namespace: past every epoch dir already written
+            existing = [
+                int(os.path.basename(p).split("=", 1)[1])
+                for p in glob.glob(os.path.join(cf.sink_dir, "epoch=*"))
+            ]
+            state[changefeed_id]["epoch_offset"] = (
+                max(existing) + 1 if existing else 0)
+            state[changefeed_id]["overwrite_checkpoint_ts"] = (
+                overwrite_checkpoint_ts)
+            # DDLs beyond the rewind point must re-apply on replay
+            book_path = os.path.join(
+                self.work_dir, "ddl", f"{changefeed_id}.book.jsonl")
+            if os.path.exists(book_path):
+                with open(book_path) as f:
+                    kept = [ln for ln in f if ln.strip() and json.loads(
+                        ln)["ddl_ts"] <= overwrite_checkpoint_ts]
+                with open(book_path, "w") as f:
+                    f.writelines(kept)
+            self._live.pop(changefeed_id, None)  # rebuild with new cfg
         state[changefeed_id]["state"] = "normal"
         state[changefeed_id].pop("error", None)  # retry clears the error
         state[changefeed_id].pop("error_code", None)
