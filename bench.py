@@ -162,8 +162,11 @@ def main() -> None:
         "kafka_list_offsets_by_ts", "dedup_minhash_lsh_hot_buckets",
         "storage_live_gcs_roundtrip", "storage_live_azblob_roundtrip",
         "hnsw_recall_at_k", "kafka_live_gssapi_roundtrip",
-        # round-5: forced-multipart storage path
+        # round-5: forced-multipart storage path; VECTOR-through-the-
+        # changefeed ANN flagship (binary rowcodec mount -> replay ->
+        # sharded HNSW)
         "storage_live_multipart_roundtrip",
+        "vector_changefeed_ann",
     ]
     # queries whose real work runs at CONSTRUCTION time (iterative
     # trainers that collect control-plane state, like the k-means
@@ -178,12 +181,16 @@ def main() -> None:
                        "storage_live_gcs_roundtrip",
                        "storage_live_azblob_roundtrip",
                        "kafka_live_gssapi_roundtrip",
-                       "storage_live_multipart_roundtrip"}
+                       "storage_live_multipart_roundtrip",
+                       # query-set collect at construction triggers the
+                       # mount chain; the HNSW build runs at action
+                       "vector_changefeed_ann"}
     # The live-wire queries round-trip through in-process single-host
     # protocol endpoints (test stand-ins for real clusters); their 10x
     # time measures that endpoint, not the Spark plan, so the scaling
     # block skips them — noted here so the cap isn't silent.
-    tenx_skip = set(construct_timed) - {"bpe_train_merges"}
+    tenx_skip = set(construct_timed) - {"bpe_train_merges",
+                                        "vector_changefeed_ann"}
 
     failed: list[str] = []
     samples: dict[str, list[float]] = {}  # every 1x sample, for medians

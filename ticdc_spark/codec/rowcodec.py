@@ -247,8 +247,10 @@ def encode_value(value, typ: str, prec: int = 0, frac: int = 0,
         return bytes(value)
     if typ == "vector":
         # TiDB VectorFloat32 (types/vector.go ZeroCopySerialize):
-        # u32 LE element count + count x f32 LE
-        vals = value if isinstance(value, (list, tuple)) else parse_vector_text(value)
+        # u32 LE element count + count x f32 LE.  Accepts the canonical
+        # text form or any float sequence (list/tuple/ndarray).
+        vals = (parse_vector_text(value) if isinstance(value, str)
+                else [float(x) for x in value])
         return struct.pack("<I", len(vals)) + struct.pack(f"<{len(vals)}f", *vals)
     if typ.startswith("decimal"):
         return encode_mydecimal(str(value), prec, frac)

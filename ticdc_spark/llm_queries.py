@@ -1546,6 +1546,123 @@ def q_hnsw_recall_at_k(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Cross-family flagship: VECTOR column -> changefeed -> ANN ("CDC into a
+# vector store", the user story the reference's VECTOR e2e gestures at —
+# `tests/integration_tests/vector/data/*.sql:7`).  Every embedding rides
+# the REAL TiDB binary row codec as a VECTOR(float32) column
+# (`types/vector.go` u32-count + f32 elements, text rendered
+# strconv-f32; `pkg/common/event/codec.go:212` mounts it like any
+# datum): base rows enter the changelog as a stale INSERT (reversed
+# vector) followed by the true UPDATE, twins as single INSERTs — so the
+# replay step is load-bearing: serving pre-compaction rows would index
+# the stale vectors and the exact-L2 twin ranks would mismatch.  The
+# mounted state (latest image per pk, the consumer's replay_to_state
+# convention) feeds the sharded-HNSW index; output = planted-twin
+# recall accounting + the mounted dimensionality (proves the wire
+# carried full vectors, not truncations).
+# ---------------------------------------------------------------------------
+_VEC_CF_ANN_ORACLE = f"""
+WITH emb2 AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(embedding,
+             x -> CAST(x * 1.001::DOUBLE + 0.0001::DOUBLE AS FLOAT))
+  FROM embeddings WHERE vec_id < 10),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb, len(embedding) AS vd
+      FROM emb2 WHERE vec_id < 10),
+c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM emb2),
+pair AS (
+  SELECT q_id, c_id, {_D2_SQL.format(a='q_emb', b='c_emb')} AS d2
+  FROM q CROSS JOIN c WHERE q_id <> c_id),
+ranked AS (
+  SELECT q_id, c_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rank
+  FROM pair)
+SELECT r.q_id,
+       CAST(min(CASE WHEN r.c_id = r.q_id + 1000000 THEN r.rank END)
+            AS BIGINT) AS twin_rank,
+       CAST(CASE WHEN min(CASE WHEN r.c_id = r.q_id + 1000000
+                          THEN r.rank END) = 1
+                 THEN 1 ELSE 0 END AS BIGINT) AS twin_first,
+       CAST(min(q.vd) AS BIGINT) AS vec_dim
+FROM ranked r JOIN q ON q.q_id = r.q_id GROUP BY r.q_id
+"""
+
+
+@register("vector_changefeed_ann", _VEC_CF_ANN_ORACLE)
+def q_vector_changefeed_ann(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ticdc_spark.llm.similarity import hnsw_knn
+    from ticdc_spark.sources.binary_mount import (
+        mount_binary_rows,
+        synthesize_binary_changelog,
+    )
+
+    emb = _emb(spark, sf_dir)
+    twins = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: (x * F.lit(1.001) + F.lit(0.0001)).cast("float"),
+        ).alias("embedding"),
+    )
+    base = emb.select("vec_id", "embedding")
+    nil = F.lit(None).cast("array<float>")
+
+    def _cl_rows(df, op, ts, before, after):
+        return df.select(
+            F.lit(77).alias("table_id"),
+            F.col("vec_id").alias("pk"),
+            F.lit(op).alias("op"),
+            F.lit(ts).alias("commit_ts"),
+            F.lit(ts - 1).alias("start_ts"),
+            (F.col("vec_id") + ts).alias("seq"),
+            before.alias("before_vec"),
+            after.alias("after_vec"),
+        )
+
+    changelog = (
+        # stale insert: reversed vector — must NOT survive replay
+        _cl_rows(base, "I", 1_000, nil, F.reverse("embedding"))
+        .unionByName(_cl_rows(base, "U", 2_000,
+                              F.reverse("embedding"), F.col("embedding")))
+        .unionByName(_cl_rows(twins, "I", 1_000, nil, F.col("embedding")))
+    )
+    cols = ({"id": 1, "name": "vec", "type": "vector"},)
+    mounted = mount_binary_rows(
+        synthesize_binary_changelog(changelog, cols), cols)
+    # changefeed materialization: latest image per pk (replay_to_state)
+    w = Window.partitionBy("pk").orderBy(
+        F.desc("commit_ts"), F.desc("seq"))
+    state = (
+        mounted.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+    )
+    # strconv-f32 text -> float32 array (exact: shortest-repr round-trip)
+    emb_state = state.select(
+        F.col("pk").alias("vec_id"),
+        F.expr("transform(split(substring(after_vec, 2, "
+               "length(after_vec) - 2), ','), x -> cast(x AS float))"
+               ).alias("embedding"),
+    )
+    found = hnsw_knn(emb_state, n_queries=10, k=3, ef=64)
+    dims = emb_state.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.size("embedding").alias("vec_dim"))
+    twin = F.min(F.when(F.col("c_id") == F.col("q_id") + 1000000,
+                        F.col("rank")))
+    out = found.groupBy("q_id").agg(
+        twin.cast("long").alias("twin_rank"),
+        F.when(twin == 1, 1).otherwise(0).cast("long").alias("twin_first"),
+    )
+    return out.join(F.broadcast(dims), "q_id").select(
+        "q_id", "twin_rank", "twin_first",
+        F.col("vec_dim").cast("long").alias("vec_dim"))
+
+
 @register("pq_recall_at_k", _PQ_TWIN_ORACLE)
 def q_pq_recall_at_k(spark, sf_dir):
     emb = _emb(spark, sf_dir)
