@@ -42,6 +42,9 @@ def main() -> None:
     steal_start = _cpu_steal_jiffies()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # UI on: the scale probes read shuffle-write bytes from the status
+    # REST API (the Python StatusTracker doesn't expose byte counters)
+    os.environ.setdefault("SPARK_GRAFT_UI", "1")
     spark = get_spark("ticdc_spark_bench")
 
     from ticdc_spark.pipeline import ChangefeedConfig, build_pipeline
@@ -112,6 +115,7 @@ def main() -> None:
         "redo_apply_state", "span_split_write_bytes",
         "storage_consumer_roundtrip", "txn_flush_batches", "tfidf_keywords",
         "unigram_logprob", "dedup_chunks", "scheduler_balance",
+        "dedup_clusters",
         # round-2 additions: binary mounter, charset wire, registry wire
         # protocol, DDL job fetch, table progress, semantic + substring
         # dedup
@@ -380,6 +384,86 @@ def main() -> None:
 
     import statistics as _stats
 
+    # -- 30x scale probes (VERDICT r4 #1) -------------------------------
+    # One more decade of scale evidence for the five highest-risk
+    # families: headline pipeline, minhash-LSH (post hot-bucket guard),
+    # substring excision, dup clusters (CC round count), sharded HNSW.
+    # Medians of 3 samples, per-row ratio t_nx/(n*t_1x), and the probe's
+    # shuffle-write byte delta (from the Spark status REST API) so a
+    # plan that starts re-shuffling super-linearly is visible in bytes,
+    # not just wall.  SPARK_GRAFT_SCALE_FACTOR overrides n (e.g. 100).
+    scale_probes_nx: dict[str, dict] = {}
+    nx = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "30"))
+    if os.environ.get("SPARK_GRAFT_SKIP_30X", "") != "1":
+        nx_dir = _materialize_nx(spark, sf_dir, nx)
+
+        def _shuffle_write_bytes() -> int | None:
+            # sum of shuffle-write bytes over completed stages, via the
+            # local UI's REST API (status tracker doesn't expose bytes)
+            try:
+                import json as _json
+                import urllib.request as _rq
+
+                ui = spark.sparkContext.uiWebUrl
+                if not ui:
+                    return None
+                with _rq.urlopen(f"{ui}/api/v1/applications", timeout=5) as r:
+                    app = _json.loads(r.read())[0]["id"]
+                with _rq.urlopen(
+                        f"{ui}/api/v1/applications/{app}/stages"
+                        f"?status=complete", timeout=10) as r:
+                    stages = _json.loads(r.read())
+                return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+            except Exception:  # noqa: BLE001 — probes must not kill bench
+                return None
+
+        def probe_nx(name, fn, base_key, rows_factor=nx):
+            walls, sh_deltas = [], []
+            for _ in range(3):
+                sh0 = _shuffle_write_bytes()
+                t0 = time.perf_counter()
+                try:
+                    fn()
+                except Exception as exc:  # noqa: BLE001
+                    print(f"bench: 30x probe {name} failed: {exc}",
+                          file=sys.stderr)
+                    if name not in failed:
+                        failed.append(f"{name}@{nx}x")
+                    return
+                walls.append(time.perf_counter() - t0)
+                sh1 = _shuffle_write_bytes()
+                if sh0 is not None and sh1 is not None and sh1 >= sh0:
+                    # a negative delta means the UI store evicted
+                    # stages between reads — skip the sample
+                    sh_deltas.append(sh1 - sh0)
+            med = _stats.median(walls)
+            entry = {
+                "wall_s_median": round(med, 3),
+                "wall_s_min": round(min(walls), 3),
+                "samples": len(walls),
+                "copies": rows_factor,
+            }
+            if base_key in timings and timings[base_key] > 0:
+                entry["per_row_ratio_vs_1x"] = round(
+                    med / (rows_factor * max(timings[base_key], 0.05)), 3)
+            if sh_deltas:
+                entry["shuffle_write_bytes_median"] = int(
+                    _stats.median(sh_deltas))
+            scale_probes_nx[name] = entry
+
+        pipe_nx_out = build_pipeline(events_changelog(spark, nx_dir), cfg)
+        probe_nx(
+            "pipeline_canal_json", lambda: pipe_nx_out.select("value")
+            .write.format("noop").mode("overwrite").save(),
+            base_key="pipeline_canal_json")
+        for qname in ("dedup_minhash_lsh", "substring_excise",
+                      "dedup_clusters", "hnsw_recall_at_k"):
+            probe_nx(
+                qname,
+                lambda qn=qname: QUERIES[qn](spark, nx_dir)
+                .write.format("noop").mode("overwrite").save(),
+                base_key=qname)
+
     queries_median = {
         n: round(_stats.median(v), 3) for n, v in samples.items() if v
     }
@@ -400,6 +484,8 @@ def main() -> None:
         "pipeline_rows_per_s": pipeline_rows_per_s,
         "pipeline_rows_per_s_10x": round(rows_10x / t_10x, 1),
         "scale_probes": scale_probes,
+        "scale_probes_nx": scale_probes_nx,
+        "scale_probes_nx_factor": nx,
         "queries_10x": queries_10x,
         "queries_10x_unit": "sec",
         "queries_10x_per_row_ratio": queries_10x_per_row_ratio,
@@ -427,6 +513,79 @@ def main() -> None:
         f.write(line + "\n")
     sys.stdout.flush()
     print(line, flush=True)
+
+
+def _materialize_nx(spark, sf_dir: str, n: int) -> str:
+    """Write an n-x dataset for the scale-probe families: documents
+    (two-ring vowel/consonant rotation so every shingle differs across
+    copies — the 10x single-ring trick caps at 10 distinct transforms),
+    embeddings (id-shifted + per-copy epsilon so no distance-0 clones),
+    events (key/ts-shifted copies).  Only the three tables the probes
+    read; lives under spark-warehouse/ (gitignored)."""
+    import sys as _sys
+    from functools import reduce as _r
+
+    from pyspark.sql import DataFrame as _D
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from ticdc_spark.sources.changelog import read_table
+
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "spark-warehouse", f"bench_{n}x")
+    t0 = time.perf_counter()
+
+    docs = read_table(spark, sf_dir, "documents")
+    ring10, ring3 = "aeiounsrtl", "bdg"
+    copies = []
+    for i in range(n):
+        c = docs.withColumn("doc_id", F.col("doc_id")
+                            + F.lit(i * 10_000_000))
+        if i > 0:
+            r10 = ring10[i % 10:] + ring10[:i % 10]
+            r3 = ring3[(i // 10) % 3:] + ring3[:(i // 10) % 3]
+            # shingles containing none of ring3's consonants can still
+            # collide across same-i%10 copies — a bounded subset the
+            # hot-shingle guards absorb; noted, not silent
+            c = c.withColumn(
+                "text",
+                F.concat(F.translate(F.translate("text", ring10, r10),
+                                     ring3, r3),
+                         F.lit(f" copy{i}")))
+        copies.append(c)
+    _r(_D.unionByName, copies).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet"))
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    _r(_D.unionByName, [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+        .withColumn("embedding", F.transform(
+            "embedding",
+            lambda x, i=i: (x + F.lit(i * 1e-4)).cast("float")))
+        for i in range(n)
+    ]).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet"))
+
+    ev = read_table(spark, sf_dir, "events")
+    ev_copies = []
+    for i in range(n):
+        c = (ev.withColumn("event_id", F.col("event_id")
+                           + F.lit(i * 100_000_000))
+             .withColumn("user_id", F.col("user_id")
+                         + F.lit(i * 1_000_000)))
+        if isinstance(ev.schema["ts"].dataType, LongType):
+            c = c.withColumn("ts", F.col("ts") + F.lit(i * 1000))
+        else:
+            c = c.withColumn("ts",
+                             F.expr(f"ts + INTERVAL {i} MICROSECOND"))
+        ev_copies.append(c)
+    _r(_D.unionByName, ev_copies).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "events.parquet"))
+
+    print(f"materialized {n}x probe dataset in "
+          f"{time.perf_counter() - t0:.1f}s at {out_dir}",
+          file=_sys.stderr)
+    return out_dir
 
 
 def _materialize_10x(spark, sf_dir: str) -> str:

@@ -26,7 +26,14 @@ def get_spark(app_name: str = "ticdc_spark", shuffle_partitions: int | None = No
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (port + thread cost in tests); bench enables
+        # it to read shuffle-write bytes from the status REST API
+        .config("spark.ui.enabled",
+                "true" if os.environ.get("SPARK_GRAFT_UI") == "1"
+                else "false")
+        # keep byte counters stable across a whole bench probe (the
+        # default store evicts at 1000 stages and deltas go negative)
+        .config("spark.ui.retainedStages", "100000")
         .config("spark.sql.parquet.filterPushdown", "true")
         # local mode defaults to task maxFailures=1: one transient Python
         # worker death (co-tenant memory spike on this host) aborts the
