@@ -188,13 +188,20 @@ def main() -> None:
                        "storage_live_multipart_roundtrip",
                        # query-set collect at construction triggers the
                        # mount chain; the HNSW build runs at action
-                       "vector_changefeed_ann"}
+                       "vector_changefeed_ann",
+                       # the CC label-propagation loop (joins + counts)
+                       # runs at construction; the returned frame is the
+                       # final labeled join only — timing just the tail
+                       # under-reports 1x ~30x and fakes a super-linear
+                       # scale ratio (observed in the first r5 30x run)
+                       "dedup_clusters"}
     # The live-wire queries round-trip through in-process single-host
     # protocol endpoints (test stand-ins for real clusters); their 10x
     # time measures that endpoint, not the Spark plan, so the scaling
     # block skips them — noted here so the cap isn't silent.
     tenx_skip = set(construct_timed) - {"bpe_train_merges",
-                                        "vector_changefeed_ann"}
+                                        "vector_changefeed_ann",
+                                        "dedup_clusters"}
 
     failed: list[str] = []
     samples: dict[str, list[float]] = {}  # every 1x sample, for medians
