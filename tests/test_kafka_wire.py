@@ -847,3 +847,68 @@ def test_metadata_v9_flexible_live():
             # full listing (null topics array)
             md = c.metadata(None)
             assert "m-topic" in md["topics"]
+
+
+def test_fetch_session_incremental(broker):
+    """KIP-227: full request opens a session; incremental polls list no
+    partitions, the broker serves from cached state and OMITS unchanged
+    partitions; new data arrives without re-listing."""
+    from ticdc_spark.sinks.kafka_client import FetchSession
+
+    with KafkaConn.from_bootstrap(broker.bootstrap) as c:
+        c.produce("fs", 0, [Record(b"k", b"a0"), Record(b"k", b"a1")])
+        c.produce("fs", 1, [Record(b"k", b"b0")])
+        fs = FetchSession(c, {("fs", 0): 0, ("fs", 1): 0})
+        got = fs.poll()
+        assert [r.value for _, r in got[("fs", 0)]] == [b"a0", b"a1"]
+        assert [r.value for _, r in got[("fs", 1)]] == [b"b0"]
+        assert fs.session_id > 0 and fs.epoch == 1
+        # nothing new: the incremental response carries NO partitions
+        assert fs.poll() == {}
+        assert fs.epoch == 2
+        # new data on one partition only -> only that partition returns
+        c.produce("fs", 1, [Record(b"k", b"b1")])
+        got = fs.poll()
+        assert list(got) == [("fs", 1)]
+        assert [r.value for _, r in got[("fs", 1)]] == [b"b1"]
+
+
+def test_fetch_session_seek_forget_and_recovery(broker):
+    from ticdc_spark.codec import kafka_wire as kw2
+    from ticdc_spark.sinks.kafka_client import FetchSession
+
+    with KafkaConn.from_bootstrap(broker.bootstrap) as c:
+        c.produce("fz", 0, [Record(b"k", b"v%d" % i) for i in range(4)])
+        c.produce("fz", 1, [Record(b"k", b"w0")])
+        fs = FetchSession(c, {("fz", 0): 0, ("fz", 1): 0})
+        fs.poll()
+        # seek partition 0 back to offset 2: replays v2, v3 exactly
+        fs.seek("fz", 0, 2)
+        got = fs.poll()
+        assert [r.value for _, r in got[("fz", 0)]] == [b"v2", b"v3"]
+        assert ("fz", 1) not in got
+        # forget partition 0: new data there no longer surfaces
+        fs.forget("fz", 0)
+        c.produce("fz", 0, [Record(b"k", b"v4")])
+        c.produce("fz", 1, [Record(b"k", b"w1")])
+        got = fs.poll()
+        assert list(got) == [("fz", 1)]
+        # broker loses the session (cache eviction/restart): the next
+        # poll transparently re-opens a full session and misses nothing
+        old_sid = fs.session_id
+        broker._fetch_sessions.clear()
+        c.produce("fz", 1, [Record(b"k", b"w2")])
+        got = fs.poll()
+        assert [r.value for _, r in got[("fz", 1)]] == [b"w2"]
+        assert fs.session_id != old_sid and fs.session_id > 0
+        # a stale epoch on a LIVE session answers error 71; the client
+        # rule (reset to full) also covers it
+        fs.epoch = 99
+        c.produce("fz", 1, [Record(b"k", b"w3")])
+        got = fs.poll()
+        assert [r.value for _, r in got[("fz", 1)]] == [b"w3"]
+        # raw-frame check: unknown session id -> top-level error 69
+        body = kw2.enc_fetch_request_v12_session(424242, 5, [])
+        r = c._call(kw2.API_FETCH, 12, body)
+        err, sid, parts = kw2.dec_fetch_response_v12_session(r)
+        assert err == kw2.ERR_FETCH_SESSION_ID_NOT_FOUND

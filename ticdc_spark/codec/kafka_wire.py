@@ -1416,33 +1416,71 @@ def enc_fetch_request_v12(
     topic: str, partition: int, fetch_offset: int, max_bytes: int = 1 << 26,
     isolation: int = 0
 ) -> bytes:
+    """Sessionless single-partition fetch (session_id=0, epoch=-1)."""
+    return enc_fetch_request_v12_session(
+        0, -1, [(topic, partition, fetch_offset, max_bytes)],
+        isolation=isolation, max_bytes=max_bytes)
+
+
+def enc_fetch_request_v12_session(
+    session_id: int, session_epoch: int,
+    wants: list[tuple[str, int, int, int]],
+    forgotten: list[tuple[str, list[int]]] | None = None,
+    isolation: int = 0, max_bytes: int = 1 << 26,
+) -> bytes:
+    """KIP-227 fetch: epoch -1 = sessionless, 0 = full request opening a
+    session, >0 = incremental (``wants`` lists only CHANGED partitions,
+    ``forgotten`` removes partitions from the session)."""
     body = struct.pack(">iiii", -1, 100, 1, max_bytes)
     body += bytes([isolation])  # 0 READ_UNCOMMITTED | 1 READ_COMMITTED
-    body += struct.pack(">ii", 0, -1)  # session_id, session_epoch
-    body += enc_compact_array_len(1)
-    body += enc_compact_str(topic)
-    body += enc_compact_array_len(1)
-    body += struct.pack(">iiqiqi", partition, -1, fetch_offset, -1, -1, max_bytes)
-    body += enc_tags()  # partition
-    body += enc_tags()  # topic
-    body += enc_compact_array_len(0)  # forgotten_topics_data
+    body += struct.pack(">ii", session_id, session_epoch)
+    by_topic: dict[str, list[tuple[int, int, int]]] = {}
+    for topic, partition, offset, pmax in wants:
+        by_topic.setdefault(topic, []).append((partition, offset, pmax))
+    body += enc_compact_array_len(len(by_topic))
+    for topic, plist in by_topic.items():
+        body += enc_compact_str(topic)
+        body += enc_compact_array_len(len(plist))
+        for partition, offset, pmax in plist:
+            body += struct.pack(">iiqiqi", partition, -1, offset, -1, -1,
+                                pmax)
+            body += enc_tags()  # partition
+        body += enc_tags()  # topic
+    forgotten = forgotten or []
+    body += enc_compact_array_len(len(forgotten))
+    for topic, parts in forgotten:
+        body += enc_compact_str(topic)
+        body += enc_compact_array_len(len(parts))
+        for p in parts:
+            body += struct.pack(">i", p)
+        body += enc_tags()
     body += enc_compact_str("")  # rack_id
     body += enc_tags()
     return body
 
 
 def dec_fetch_request_v12(r: Reader) -> tuple[int, list[tuple[str, int, int, int]]]:
+    isolation, _sid, _epoch, wants, _forgotten = (
+        dec_fetch_request_v12_session(r))
+    return isolation, wants
+
+
+def dec_fetch_request_v12_session(
+    r: Reader,
+) -> tuple[int, int, int, list[tuple[str, int, int, int]],
+           list[tuple[str, list[int]]]]:
+    """-> (isolation, session_id, session_epoch, wants, forgotten)."""
     r.i32()  # replica_id
     r.i32()  # max_wait
     r.i32()  # min_bytes
     r.i32()  # max_bytes
     isolation = r.i8()
-    r.i32()  # session_id
-    r.i32()  # session_epoch
+    session_id = r.i32()
+    session_epoch = r.i32()
     out = []
-    for _ in range(r.compact_array_len()):
+    for _ in range(max(r.compact_array_len(), 0)):
         topic = r.compact_string()
-        for _ in range(r.compact_array_len()):
+        for _ in range(max(r.compact_array_len(), 0)):
             partition = r.i32()
             r.i32()  # current_leader_epoch
             offset = r.i64()
@@ -1452,27 +1490,30 @@ def dec_fetch_request_v12(r: Reader) -> tuple[int, list[tuple[str, int, int, int
             r.skip_tags()
             out.append((topic, partition, offset, pmax))
         r.skip_tags()
-    for _ in range(r.compact_array_len()):  # forgotten topics
-        r.compact_string()
-        for _ in range(r.compact_array_len()):
-            r.i32()
+    forgotten: list[tuple[str, list[int]]] = []
+    for _ in range(max(r.compact_array_len(), 0)):
+        topic = r.compact_string()
+        parts = [r.i32() for _ in range(max(r.compact_array_len(), 0))]
         r.skip_tags()
+        forgotten.append((topic, parts))
     r.compact_string()  # rack_id
     r.skip_tags()
-    return isolation, out
+    return isolation, session_id, session_epoch, out, forgotten
 
 
 def enc_fetch_response_v12(
-    parts: list
+    parts: list, session_id: int = 0, error_code: int = 0
 ) -> bytes:
     """parts: 5-tuples (topic, partition, error_code, hw, record_set) or
-    7-tuples adding (last_stable_offset, aborted:[(pid, first_off)])."""
+    7-tuples adding (last_stable_offset, aborted:[(pid, first_off)]).
+    ``session_id``/``error_code``: KIP-227 session fields (error 69 =
+    FETCH_SESSION_ID_NOT_FOUND, 71 = INVALID_FETCH_SESSION_EPOCH)."""
     by_topic: dict[str, list] = {}
     for p in parts:
         topic, idx, err, hw, rs = p[:5]
         lso, aborted = (p[5], p[6]) if len(p) > 5 else (hw, [])
         by_topic.setdefault(topic, []).append((idx, err, hw, lso, aborted, rs))
-    body = struct.pack(">ihi", 0, 0, 0)  # throttle, error_code, session_id
+    body = struct.pack(">ihi", 0, error_code, session_id)
     body += enc_compact_array_len(len(by_topic))
     for topic, plist in by_topic.items():
         body += enc_compact_str(topic) + enc_compact_array_len(len(plist))
@@ -1491,11 +1532,20 @@ def enc_fetch_response_v12(
 
 def dec_fetch_response_v12(r: Reader) -> list[tuple]:
     """-> [(topic, idx, err, hw, lso, aborted:[(pid, first)], record_set)]."""
-    r.i32()  # throttle
-    top_err = r.i16()
+    top_err, _sid, out = dec_fetch_response_v12_session(r)
     if top_err:
         raise IOError(f"fetch error {top_err}")
-    r.i32()  # session_id
+    return out
+
+
+def dec_fetch_response_v12_session(
+        r: Reader) -> tuple[int, int, list[tuple]]:
+    """-> (top_error_code, session_id, parts) — the session-aware shape
+    (KIP-227 errors 69/71 surface instead of raising, so a client can
+    fall back to a full request)."""
+    r.i32()  # throttle
+    top_err = r.i16()
+    session_id = r.i32()
     out = []
     for _ in range(r.compact_array_len()):
         topic = r.compact_string()
@@ -1516,7 +1566,12 @@ def dec_fetch_response_v12(r: Reader) -> list[tuple]:
             out.append((topic, idx, err, hw, lso, aborted, rs))
         r.skip_tags()
     r.skip_tags()
-    return out
+    return top_err, session_id, out
+
+
+# KIP-227 session error codes
+ERR_FETCH_SESSION_ID_NOT_FOUND = 69
+ERR_INVALID_FETCH_SESSION_EPOCH = 71
 
 
 # --------- ListOffsets v7 (flexible) — adds real timestamp lookup

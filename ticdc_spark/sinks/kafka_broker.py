@@ -276,6 +276,11 @@ class KafkaBroker:
         self._pid_epochs: dict[int, int] = {}
         self.groups: dict[str, "_Group"] = {}
         self._groups_lock = threading.Lock()
+        # KIP-227 incremental fetch sessions: session_id -> {"epoch",
+        # "parts": {(topic, partition): [fetch_offset, max_bytes]}}
+        self._fetch_sessions: dict[int, dict] = {}
+        self._next_fetch_session = 1
+        self._fetch_sessions_lock = threading.Lock()
         # broker-level config a real cluster exposes via DescribeConfigs;
         # new topics inherit max.message.bytes from it like a real broker
         self.broker_configs = {"message.max.bytes": "1048588"}
@@ -822,26 +827,102 @@ class KafkaBroker:
             return kw.frame_response(corr, kw.enc_offset_fetch_response(out))
         if api_key == kw.API_FETCH:
             flex = api_version >= kw.FLEXIBLE_SINCE[kw.API_FETCH]
-            isolation, wants = (kw.dec_fetch_request_v12(r) if flex
-                                else kw.dec_fetch_request(r))
+            if flex:
+                (isolation, sid, epoch, wants,
+                 forgotten) = kw.dec_fetch_request_v12_session(r)
+            else:
+                isolation, wants = kw.dec_fetch_request(r)
+                sid, epoch, forgotten = 0, -1, []
+            # KIP-227 session resolution (epoch -1 = sessionless,
+            # 0 = full request opening a session, >0 = incremental)
+            resp_sid = 0
+            incremental = False
+            if flex and epoch == 0:
+                with self._fetch_sessions_lock:
+                    resp_sid = self._next_fetch_session
+                    self._next_fetch_session += 1
+                    self._fetch_sessions[resp_sid] = {
+                        "epoch": 1,
+                        "parts": {(t, p): [off, pmax]
+                                  for t, p, off, pmax in wants},
+                    }
+            elif flex and epoch > 0:
+                with self._fetch_sessions_lock:
+                    sess = self._fetch_sessions.get(sid)
+                    if sess is None:
+                        return kw.frame_response_flex(
+                            corr, kw.enc_fetch_response_v12(
+                                [], error_code=(
+                                    kw.ERR_FETCH_SESSION_ID_NOT_FOUND)))
+                    if epoch != sess["epoch"]:
+                        return kw.frame_response_flex(
+                            corr, kw.enc_fetch_response_v12(
+                                [], session_id=sid, error_code=(
+                                    kw.ERR_INVALID_FETCH_SESSION_EPOCH)))
+                    sess["epoch"] += 1
+                    for t, p, off, pmax in wants:  # add/update
+                        sess["parts"][(t, p)] = [off, pmax]
+                    for t, plist in forgotten:
+                        for p in plist:
+                            sess["parts"].pop((t, p), None)
+                    wants = [(t, p, off, pmax) for (t, p), (off, pmax)
+                             in sess["parts"].items()]
+                    resp_sid = sid
+                    incremental = True
             parts = []
+            consumed: dict[tuple[str, int], int] = {}
             for topic, partition, offset, pmax in wants:
                 t = self._get_topic(topic, create=False)
                 if t is None or partition not in t:
                     parts.append((topic, partition, 3, 0, b""))
                     continue
                 data, hw = t[partition].read_from(offset, pmax)
+                if incremental and not data and hw <= offset:
+                    # incremental responses omit unchanged partitions —
+                    # the bandwidth win KIP-227 exists for
+                    continue
+                if data:
+                    consumed[(topic, partition)] = max(
+                        base + n for base, n in self._batch_spans(data))
                 if isolation == 1:  # READ_COMMITTED: lso + aborted ranges
                     lso, aborted = t[partition].stable_view(offset)
                     parts.append(
                         (topic, partition, 0, hw, data, lso, aborted))
                 else:
                     parts.append((topic, partition, 0, hw, data))
+            if resp_sid and consumed:
+                # advance the session's cached positions past the data
+                # just returned, like a real broker's cached fetch
+                # offsets — the client only re-lists a partition to SEEK
+                with self._fetch_sessions_lock:
+                    sess = self._fetch_sessions.get(resp_sid)
+                    if sess is not None:
+                        for key, new_off in consumed.items():
+                            if key in sess["parts"]:
+                                sess["parts"][key][0] = new_off
             if flex:
                 return kw.frame_response_flex(
-                    corr, kw.enc_fetch_response_v12(parts))
+                    corr, kw.enc_fetch_response_v12(
+                        parts, session_id=resp_sid))
             return kw.frame_response(corr, kw.enc_fetch_response(parts))
         raise AssertionError("unreachable")
+
+    @staticmethod
+    def _batch_spans(record_set: bytes) -> list[tuple[int, int]]:
+        """[(base_offset, record_count)] per batch in a record set —
+        the offsets a fetch response covered (session cache advance)."""
+        spans = []
+        pos = 0
+        while pos + 61 <= len(record_set):
+            base = struct.unpack_from(">q", record_set, pos)[0]
+            batch_len = struct.unpack_from(">i", record_set, pos + 8)[0]
+            end = pos + 12 + batch_len
+            if batch_len < 0 or end > len(record_set):
+                break
+            n = struct.unpack_from(">i", record_set, pos + 57)[0]
+            spans.append((base, n))
+            pos = end
+        return spans
 
 
 def _recv_exact(sock: socket.socket, n: int) -> bytes | None:

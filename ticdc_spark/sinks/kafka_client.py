@@ -387,6 +387,99 @@ class KafkaConn:
                 return out
 
 
+class FetchSession:
+    """KIP-227 incremental fetch session — the steady-state fetch loop a
+    modern sarama/franz-go consumer (the reference's client family,
+    `pkg/sink/kafka/sarama_config.go`) runs against a post-1.1 broker:
+    the FIRST poll sends a full request (session_epoch=0, every
+    partition listed) and learns a session id; every later poll is an
+    incremental frame that lists NO partitions (the broker serves from
+    its cached session state and omits unchanged partitions from the
+    response).  ``seek()`` re-lists one partition to move its position;
+    ``forget()`` removes one.  Session errors 69/71 (broker restart,
+    cache eviction, epoch desync) transparently fall back to a new full
+    request at the current positions.  Requires the flexible Fetch v12.
+    """
+
+    def __init__(self, conn: KafkaConn,
+                 assignments: dict[tuple[str, int], int],
+                 isolation: str = "read_uncommitted"):
+        if conn._ver[kw.API_FETCH] < 12:
+            raise RuntimeError("fetch sessions need the flexible "
+                               "Fetch v12 (broker negotiated "
+                               f"v{conn._ver[kw.API_FETCH]})")
+        self.conn = conn
+        self.iso = 1 if isolation == "read_committed" else 0
+        self.positions = dict(assignments)  # (topic, p) -> next offset
+        self.session_id = 0
+        self.epoch = 0  # 0 = next request is full
+        self._pending: dict[tuple[str, int], int] = {}  # seeks to send
+        self._forgotten: list[tuple[str, int]] = []
+
+    def seek(self, topic: str, partition: int, offset: int) -> None:
+        self.positions[(topic, partition)] = offset
+        self._pending[(topic, partition)] = offset
+
+    def forget(self, topic: str, partition: int) -> None:
+        self.positions.pop((topic, partition), None)
+        self._pending.pop((topic, partition), None)
+        self._forgotten.append((topic, partition))
+
+    def poll(self) -> dict[tuple[str, int], list[tuple[int, kw.Record]]]:
+        """One fetch round -> {(topic, partition): [(offset, record)]}
+        holding only partitions with new data."""
+        if self.epoch == 0:
+            wants = [(t, p, off, 1 << 26)
+                     for (t, p), off in self.positions.items()]
+            forgotten: list = []
+        else:
+            wants = [(t, p, off, 1 << 26)
+                     for (t, p), off in self._pending.items()]
+            by_topic: dict[str, list[int]] = {}
+            for t, p in self._forgotten:
+                by_topic.setdefault(t, []).append(p)
+            forgotten = sorted(by_topic.items())
+        body = kw.enc_fetch_request_v12_session(
+            self.session_id, self.epoch, wants, forgotten,
+            isolation=self.iso)
+        top_err, sid, parts = kw.dec_fetch_response_v12_session(
+            self._reader(body))
+        if top_err in (kw.ERR_FETCH_SESSION_ID_NOT_FOUND,
+                       kw.ERR_INVALID_FETCH_SESSION_EPOCH):
+            # session lost: retry as a full request (KIP-227 client rule)
+            self.session_id, self.epoch = 0, 0
+            self._pending.clear()
+            self._forgotten.clear()
+            return self.poll()
+        if top_err:
+            raise IOError(f"fetch session error {top_err}")
+        if self.epoch == 0 and sid:
+            self.session_id = sid
+        self.epoch += 1
+        self._pending.clear()
+        self._forgotten.clear()
+        out: dict[tuple[str, int], list[tuple[int, kw.Record]]] = {}
+        for topic, idx, err, _hw, _lso, _aborted, rs in parts:
+            if err:
+                raise IOError(f"fetch {topic}/{idx}: error {err}")
+            if not rs:
+                continue
+            recs: list[tuple[int, kw.Record]] = []
+            for base, records in kw.decode_record_batches(rs):
+                for rec in records:
+                    off = base + rec.offset_delta
+                    if off >= self.positions.get((topic, idx), 0):
+                        recs.append((off, rec))
+            if recs:
+                out[(topic, idx)] = recs
+                self.positions[(topic, idx)] = recs[-1][0] + 1
+        return out
+
+    def _reader(self, body: bytes) -> kw.Reader:
+        return self.conn._call(kw.API_FETCH,
+                               self.conn._ver[kw.API_FETCH], body)
+
+
 class ConsumerGroupMember:
     """Consumer-group membership — the coordination loop the reference's
     `cmd/kafka-consumer` gets from sarama: FindCoordinator, JoinGroup,
