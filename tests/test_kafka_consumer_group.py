@@ -195,3 +195,59 @@ def test_group_plane_all_flexible_only():
             assert sum(len(v) for v in polled.values()) == 13  # 12 + tx0
             assert m.fetch_committed()[("t", 1)] == 3
             m.leave()
+
+
+def test_static_membership_rejoin_without_rebalance():
+    """KIP-345: a restarted consumer carrying the same group.instance.id
+    takes its seat back — same generation, same assignment, NO rebalance
+    — and the displaced member id is fenced (error 82)."""
+    with KafkaBroker(flexible_only=True) as broker:
+        _fill(broker, "t", 4, 2)
+        m1 = ConsumerGroupMember(broker.bootstrap, "gs", ["t"],
+                                 group_instance_id="worker-1")
+        m2 = ConsumerGroupMember(broker.bootstrap, "gs", ["t"],
+                                 group_instance_id="worker-2")
+        try:
+            a1 = {}
+            t = threading.Thread(
+                target=lambda: a1.update(m1.join_and_sync()))
+            t.start()
+            a2 = m2.join_and_sync()
+            t.join(30)
+            gen = m2.generation
+            old_member = m1.member_id
+            parts1 = sorted(a1.get("t", []))
+            assert sorted(parts1 + a2["t"]) == [0, 1, 2, 3]
+            m1.poll_assigned()
+
+            # "process restart": a NEW member object, same instance id
+            m1.close()
+            m1b = ConsumerGroupMember(broker.bootstrap, "gs", ["t"],
+                                      group_instance_id="worker-1")
+            try:
+                a1b = m1b.join_and_sync()
+                # same generation (no rebalance), same partitions, and a
+                # fresh member id displacing the old one
+                assert m1b.generation == gen
+                assert sorted(a1b["t"]) == parts1
+                assert m1b.member_id != old_member
+                # committed offsets survived the restart
+                committed = m1b.fetch_committed()
+                assert all(v == 2 for v in committed.values())
+                # the displaced incarnation is fenced on heartbeat
+                m_zombie = ConsumerGroupMember(
+                    broker.bootstrap, "gz-conn", ["t"])  # fresh socket
+                try:
+                    m_zombie.group_id = "gs"
+                    m_zombie.generation = gen
+                    m_zombie.member_id = old_member
+                    m_zombie.instance_id = "worker-1"
+                    assert m_zombie.heartbeat() == 82  # FENCED_INSTANCE_ID
+                finally:
+                    m_zombie.conn.close()
+                # the live seat still heartbeats clean
+                assert m1b.heartbeat() == 0 and m2.heartbeat() == 0
+            finally:
+                m1b.close()
+        finally:
+            m2.close()

@@ -160,19 +160,22 @@ def test_join_group_v6_response_roundtrip(gen, proto, leader, mid, members):
        st.lists(st.tuples(_member, st.binary(max_size=100)), max_size=4),
        st.binary(max_size=200))
 def test_sync_group_v4_roundtrip(gid, gen, mid, assignments, blob):
-    body = kw.enc_sync_group_request_v4(gid, gen, mid, assignments)
+    body = kw.enc_sync_group_request_v4(gid, gen, mid, assignments,
+                                        group_instance_id=None)
     req = kw.dec_sync_group_request_v4(Reader(body))
     assert req == {"group_id": gid, "generation": gen, "member_id": mid,
-                   "assignments": assignments}
+                   "group_instance_id": None, "assignments": assignments}
     rbody = kw.enc_sync_group_response_v4(0, blob)
     assert kw.dec_sync_group_response_v4(Reader(rbody)) == (0, blob)
 
 
 @settings(max_examples=50, deadline=None)
-@given(_topic, st.integers(-1, 1 << 30), _member)
-def test_heartbeat_v4_roundtrip(gid, gen, mid):
-    body = kw.enc_heartbeat_request_v4(gid, gen, mid)
-    assert kw.dec_heartbeat_request_v4(Reader(body)) == (gid, gen, mid)
+@given(_topic, st.integers(-1, 1 << 30), _member,
+       st.one_of(st.none(), _member))
+def test_heartbeat_v4_roundtrip(gid, gen, mid, iid):
+    body = kw.enc_heartbeat_request_v4(gid, gen, mid,
+                                       group_instance_id=iid)
+    assert kw.dec_heartbeat_request_v4(Reader(body)) == (gid, gen, mid, iid)
     assert kw.dec_error_only_response_flex(
         Reader(kw.enc_error_only_response_flex(27))) == 27
 

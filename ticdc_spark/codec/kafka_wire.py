@@ -1573,6 +1573,9 @@ def dec_fetch_response_v12_session(
 ERR_FETCH_SESSION_ID_NOT_FOUND = 69
 ERR_INVALID_FETCH_SESSION_EPOCH = 71
 
+# KIP-345 static membership
+ERR_FENCED_INSTANCE_ID = 82
+
 
 # --------- ListOffsets v7 (flexible) — adds real timestamp lookup
 
@@ -1957,6 +1960,7 @@ def dec_find_coordinator_response_v3(r: Reader) -> tuple[str, int]:
 def enc_join_group_request_v6(
     group_id: str, member_id: str, topics: list[str],
     session_timeout_ms: int = 10000, rebalance_timeout_ms: int = 3000,
+    group_instance_id: str | None = None,
 ) -> bytes:
     # the embedded "consumer" protocol metadata blob keeps its own
     # classic framing (it's opaque to the broker, versioned separately)
@@ -1967,7 +1971,7 @@ def enc_join_group_request_v6(
     body = enc_compact_str(group_id)
     body += struct.pack(">ii", session_timeout_ms, rebalance_timeout_ms)
     body += enc_compact_str(member_id)
-    body += enc_compact_str(None)  # group_instance_id
+    body += enc_compact_str(group_instance_id)  # KIP-345 static member
     body += enc_compact_str("consumer")
     body += enc_compact_array_len(1)
     body += enc_compact_str("range") + enc_compact_bytes(md) + enc_tags()
@@ -1979,7 +1983,7 @@ def dec_join_group_request_v6(r: Reader) -> dict:
     session_timeout = r.i32()
     rebalance_timeout = r.i32()
     member_id = r.compact_string()
-    r.compact_string()  # group_instance_id
+    group_instance_id = r.compact_string()
     protocol_type = r.compact_string()
     protocols = []
     for _ in range(max(r.compact_array_len(), 0)):
@@ -1990,6 +1994,7 @@ def dec_join_group_request_v6(r: Reader) -> dict:
     r.skip_tags()
     return {"group_id": group_id, "session_timeout": session_timeout,
             "rebalance_timeout": rebalance_timeout, "member_id": member_id,
+            "group_instance_id": group_instance_id,
             "protocol_type": protocol_type, "protocols": protocols}
 
 
@@ -2030,10 +2035,11 @@ def dec_join_group_response_v6(r: Reader) -> dict:
 def enc_sync_group_request_v4(
     group_id: str, generation: int, member_id: str,
     assignments: list[tuple[str, bytes]],
+    group_instance_id: str | None = None,
 ) -> bytes:
     body = enc_compact_str(group_id) + struct.pack(">i", generation)
     body += enc_compact_str(member_id)
-    body += enc_compact_str(None)  # group_instance_id
+    body += enc_compact_str(group_instance_id)
     body += enc_compact_array_len(len(assignments))
     for mid, a in assignments:
         body += enc_compact_str(mid) + enc_compact_bytes(a) + enc_tags()
@@ -2044,7 +2050,7 @@ def dec_sync_group_request_v4(r: Reader) -> dict:
     group_id = r.compact_string()
     generation = r.i32()
     member_id = r.compact_string()
-    r.compact_string()  # group_instance_id
+    group_instance_id = r.compact_string()
     assignments = []
     for _ in range(max(r.compact_array_len(), 0)):
         mid = r.compact_string()
@@ -2053,7 +2059,9 @@ def dec_sync_group_request_v4(r: Reader) -> dict:
         assignments.append((mid, a))
     r.skip_tags()
     return {"group_id": group_id, "generation": generation,
-            "member_id": member_id, "assignments": assignments}
+            "member_id": member_id,
+            "group_instance_id": group_instance_id,
+            "assignments": assignments}
 
 
 def enc_sync_group_response_v4(error_code: int, assignment: bytes) -> bytes:
@@ -2070,19 +2078,20 @@ def dec_sync_group_response_v4(r: Reader) -> tuple[int, bytes]:
 
 
 def enc_heartbeat_request_v4(group_id: str, generation: int,
-                             member_id: str) -> bytes:
+                             member_id: str,
+                             group_instance_id: str | None = None) -> bytes:
     return (enc_compact_str(group_id) + struct.pack(">i", generation)
-            + enc_compact_str(member_id) + enc_compact_str(None)
-            + enc_tags())
+            + enc_compact_str(member_id)
+            + enc_compact_str(group_instance_id) + enc_tags())
 
 
-def dec_heartbeat_request_v4(r: Reader) -> tuple[str, int, str]:
+def dec_heartbeat_request_v4(r: Reader) -> tuple[str, int, str, str | None]:
     group_id = r.compact_string()
     generation = r.i32()
     member_id = r.compact_string()
-    r.compact_string()  # group_instance_id
+    group_instance_id = r.compact_string()
     r.skip_tags()
-    return group_id, generation, member_id
+    return group_id, generation, member_id, group_instance_id
 
 
 def enc_error_only_response_flex(error_code: int) -> bytes:

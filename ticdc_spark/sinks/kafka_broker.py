@@ -748,7 +748,8 @@ class KafkaBroker:
             req = (kw.dec_join_group_request_v6(r) if flex
                    else kw.dec_join_group_request(r))
             g = self._get_group(req["group_id"])
-            res = g.join(req["member_id"], req["protocols"][0][1])
+            res = g.join(req["member_id"], req["protocols"][0][1],
+                         instance_id=req.get("group_instance_id"))
             enc = (kw.enc_join_group_response_v6 if flex
                    else kw.enc_join_group_response)
             if res["error"]:
@@ -764,18 +765,28 @@ class KafkaBroker:
             req = (kw.dec_sync_group_request_v4(r) if flex
                    else kw.dec_sync_group_request(r))
             g = self._get_group(req["group_id"])
-            err, assignment = g.sync(
-                req["member_id"], req["generation"], req["assignments"])
+            err = g.fence_check(req["member_id"],
+                                req.get("group_instance_id"))
+            assignment = b""
+            if not err:
+                err, assignment = g.sync(
+                    req["member_id"], req["generation"],
+                    req["assignments"])
             if flex:
                 return kw.frame_response_flex(
                     corr, kw.enc_sync_group_response_v4(err, assignment))
             return kw.frame_response(corr, kw.enc_sync_group_response(err, assignment))
         if api_key == kw.API_HEARTBEAT:
             flex = api_version >= kw.FLEXIBLE_SINCE[kw.API_HEARTBEAT]
-            group_id, generation, member_id = (
-                kw.dec_heartbeat_request_v4(r) if flex
-                else kw.dec_heartbeat_request(r))
-            err = self._get_group(group_id).heartbeat(member_id, generation)
+            if flex:
+                (group_id, generation, member_id,
+                 instance_id) = kw.dec_heartbeat_request_v4(r)
+            else:
+                group_id, generation, member_id = kw.dec_heartbeat_request(r)
+                instance_id = None
+            g = self._get_group(group_id)
+            err = (g.fence_check(member_id, instance_id)
+                   or g.heartbeat(member_id, generation))
             if flex:
                 return kw.frame_response_flex(
                     corr, kw.enc_error_only_response_flex(err))
@@ -955,10 +966,18 @@ class _Group:
         self.sync_generation = -1
         self.offsets: dict[tuple[str, int], int] = {}
         self._next_member = 0
+        # KIP-345 static membership: group.instance.id -> member_id
+        self.static: dict[str, str] = {}
 
-    def join(self, member_id: str, metadata: bytes) -> dict:
+    def join(self, member_id: str, metadata: bytes,
+             instance_id: str | None = None) -> dict:
         with self.cond:
-            if not member_id:
+            if instance_id is not None:
+                fast = self._join_static(member_id, metadata, instance_id)
+                if fast is not None:
+                    return fast
+                member_id = self.static[instance_id]
+            elif not member_id:
                 self._next_member += 1
                 member_id = f"member-{self._next_member}"
             if not self.rebalancing:
@@ -992,6 +1011,61 @@ class _Group:
                 "leader": self.leader,
                 "members": sorted(self.members.items()) if member_id == self.leader else [],
             }
+
+    def _join_static(self, member_id: str, metadata: bytes,
+                     instance_id: str) -> dict | None:
+        """KIP-345 static join (caller holds the lock).  A known
+        instance rejoining a STABLE group takes over its seat with a
+        fresh member id and NO rebalance — the whole point of static
+        membership; the displaced member id is fenced.  A non-empty
+        member id that doesn't match the instance's registration is a
+        zombie — FENCED_INSTANCE_ID.  Returns None to fall through to
+        the normal join barrier (first join of this instance, or the
+        group is mid-rebalance) with ``self.static[instance_id]``
+        resolved."""
+        known = self.static.get(instance_id)
+        if member_id and known is not None and member_id != known:
+            return {"error": 82, "member_id": member_id}  # FENCED
+        if (known is not None and known in self.members
+                and not self.rebalancing):
+            # takeover: swap the seat to a fresh member id (the old id
+            # is now fenced), keep generation and assignment
+            self._next_member += 1
+            new_id = f"member-{self._next_member}"
+            self.members[new_id] = metadata
+            del self.members[known]
+            if known in self.assignments:
+                self.assignments[new_id] = self.assignments.pop(known)
+            if self.leader == known:
+                self.leader = new_id
+            self.static[instance_id] = new_id
+            return {
+                "error": 0,
+                "generation": self.generation,
+                "member_id": new_id,
+                # the rejoin must get the CACHED assignment, not compute
+                # a new one: report the old leader id and no member list
+                # so the client takes the follower SyncGroup path
+                # (KIP-345: "the leader rejoin will not trigger
+                # rebalance")
+                "leader": known if self.leader == new_id else self.leader,
+                "members": [],
+            }
+        if known is None or known not in self.members:
+            # first join of this instance (or its seat was evicted):
+            # register, then take the normal barrier path
+            self._next_member += 1
+            self.static[instance_id] = f"member-{self._next_member}"
+        return None
+
+    def fence_check(self, member_id: str,
+                    instance_id: str | None) -> int:
+        """0, or FENCED_INSTANCE_ID when the (instance, member) pairing
+        is stale (another incarnation took the seat)."""
+        if (instance_id is not None
+                and self.static.get(instance_id) != member_id):
+            return 82
+        return 0
 
     def _complete(self):
         if not self.rebalancing:

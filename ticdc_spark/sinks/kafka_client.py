@@ -487,9 +487,14 @@ class ConsumerGroupMember:
     heartbeats, offset commit/fetch, LeaveGroup. One TCP connection; the
     group protocol rides the same wire as produce/fetch."""
 
-    def __init__(self, bootstrap: str, group_id: str, topics: list[str]):
+    def __init__(self, bootstrap: str, group_id: str, topics: list[str],
+                 group_instance_id: str | None = None):
+        # group_instance_id: KIP-345 static membership — a restarted
+        # process with the same instance id takes its seat back with NO
+        # rebalance (needs the flexible JoinGroup v6+ wire)
         self.group_id = group_id
         self.topics = topics
+        self.instance_id = group_instance_id
         self.member_id = ""
         self.generation = -1
         self.assignment: dict[str, list[int]] = {}
@@ -530,7 +535,8 @@ class ConsumerGroupMember:
                 resp = kw.dec_join_group_response_v6(self.conn._call(
                     kw.API_JOIN_GROUP, jver,
                     kw.enc_join_group_request_v6(
-                        self.group_id, self.member_id, self.topics)))
+                        self.group_id, self.member_id, self.topics,
+                        group_instance_id=self.instance_id)))
             else:
                 resp = kw.dec_join_group_response(self.conn._call(
                     kw.API_JOIN_GROUP, jver,
@@ -549,7 +555,8 @@ class ConsumerGroupMember:
                     kw.API_SYNC_GROUP, sver,
                     kw.enc_sync_group_request_v4(
                         self.group_id, self.generation,
-                        self.member_id, assignments)))
+                        self.member_id, assignments,
+                        group_instance_id=self.instance_id)))
             else:
                 err, blob = kw.dec_sync_group_response(self.conn._call(
                     kw.API_SYNC_GROUP, sver,
@@ -593,7 +600,8 @@ class ConsumerGroupMember:
             return kw.dec_error_only_response_flex(self.conn._call(
                 kw.API_HEARTBEAT, ver,
                 kw.enc_heartbeat_request_v4(
-                    self.group_id, self.generation, self.member_id)))
+                    self.group_id, self.generation, self.member_id,
+                    group_instance_id=self.instance_id)))
         return kw.dec_error_only_response(self.conn._call(
             kw.API_HEARTBEAT, ver,
             kw.enc_heartbeat_request(self.group_id, self.generation, self.member_id)))
