@@ -39,6 +39,7 @@ SERVER_MORE_RESULTS_EXISTS = 0x0008
 MYSQL_TYPE_DOUBLE = 0x05
 MYSQL_TYPE_NULL = 0x06
 MYSQL_TYPE_LONGLONG = 0x08
+MYSQL_TYPE_BLOB = 0xFC
 MYSQL_TYPE_VAR_STRING = 0xFD
 
 CHARSET_UTF8MB4 = 45  # utf8mb4_general_ci
@@ -475,7 +476,9 @@ def dec_text_row(payload: bytes, n_cols: int) -> list[bytes | None]:
 COM_QUERY = 0x03
 COM_STMT_PREPARE = 0x16
 COM_STMT_EXECUTE = 0x17
+COM_STMT_SEND_LONG_DATA = 0x18
 COM_STMT_CLOSE = 0x19
+COM_STMT_RESET = 0x1A
 
 
 def enc_stmt_prepare_ok(stmt_id: int, num_columns: int, num_params: int) -> bytes:
@@ -486,6 +489,20 @@ def enc_stmt_prepare_ok(stmt_id: int, num_columns: int, num_params: int) -> byte
 def dec_stmt_prepare_ok(payload: bytes) -> tuple[int, int, int]:
     stmt_id, num_columns, num_params = struct.unpack_from("<IHH", payload, 1)
     return stmt_id, num_columns, num_params
+
+
+def enc_stmt_send_long_data(stmt_id: int, param_id: int,
+                            chunk: bytes) -> bytes:
+    """COM_STMT_SEND_LONG_DATA: streams one chunk of one parameter
+    ahead of COM_STMT_EXECUTE (the go-sql-driver path for values above
+    maxAllowedPacket).  NO server response, per protocol."""
+    return (bytes([COM_STMT_SEND_LONG_DATA])
+            + struct.pack("<IH", stmt_id, param_id) + chunk)
+
+
+def dec_stmt_send_long_data(payload: bytes) -> tuple[int, int, bytes]:
+    stmt_id, param_id = struct.unpack_from("<IH", payload, 1)
+    return stmt_id, param_id, payload[7:]
 
 
 def _param_type(v) -> int:
@@ -500,9 +517,13 @@ def _param_type(v) -> int:
     return MYSQL_TYPE_VAR_STRING
 
 
-def enc_stmt_execute(stmt_id: int, params: list) -> bytes:
+def enc_stmt_execute(stmt_id: int, params: list,
+                     long_data_params: set[int] | None = None) -> bytes:
     """Binary execute: null bitmap, new-params-bound=1, 2-byte type per
-    param, then values (i64/f64 LE, lenenc strings)."""
+    param, then values (i64/f64 LE, lenenc strings).
+    ``long_data_params``: indices already streamed through
+    COM_STMT_SEND_LONG_DATA — typed MYSQL_TYPE_BLOB, no value bytes."""
+    long_data_params = long_data_params or set()
     out = bytearray()
     out += bytes([COM_STMT_EXECUTE])
     out += struct.pack("<IBI", stmt_id, 0, 1)  # flags=0, iteration_count=1
@@ -510,14 +531,15 @@ def enc_stmt_execute(stmt_id: int, params: list) -> bytes:
     if n:
         bitmap = bytearray((n + 7) // 8)
         for i, v in enumerate(params):
-            if v is None:
+            if v is None and i not in long_data_params:
                 bitmap[i // 8] |= 1 << (i % 8)
         out += bytes(bitmap)
         out += b"\x01"  # new_params_bound_flag
-        for v in params:
-            out += bytes([_param_type(v), 0x00])
-        for v in params:
-            if v is None:
+        for i, v in enumerate(params):
+            out += bytes([MYSQL_TYPE_BLOB if i in long_data_params
+                          else _param_type(v), 0x00])
+        for i, v in enumerate(params):
+            if v is None or i in long_data_params:
                 continue
             if isinstance(v, bool):
                 out += struct.pack("<q", int(v))
@@ -531,10 +553,16 @@ def enc_stmt_execute(stmt_id: int, params: list) -> bytes:
     return bytes(out)
 
 
-def dec_stmt_execute(payload: bytes, n_params: int) -> tuple[int, list]:
+def dec_stmt_execute(payload: bytes, n_params: int,
+                     long_data: dict[int, bytes] | None = None,
+                     ) -> tuple[int, list]:
+    """``long_data``: accumulated COM_STMT_SEND_LONG_DATA per param
+    index — those params carry NO value bytes in the execute packet
+    (per protocol); the accumulated bytes are their values."""
     stmt_id, _flags, _iter = struct.unpack_from("<IBI", payload, 1)
     pos = 10
     params: list = []
+    long_data = long_data or {}
     if n_params:
         nb = (n_params + 7) // 8
         bitmap = payload[pos : pos + nb]
@@ -549,6 +577,9 @@ def dec_stmt_execute(payload: bytes, n_params: int) -> tuple[int, list]:
         else:
             raise ValueError("re-bound executes without types unsupported")
         for i in range(n_params):
+            if i in long_data:
+                params.append(long_data[i].decode("utf-8", "surrogateescape"))
+                continue
             if bitmap[i // 8] & (1 << (i % 8)):
                 params.append(None)
                 continue

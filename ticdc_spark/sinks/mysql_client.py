@@ -230,9 +230,46 @@ def prepare(conn: MySQLConn, sql: str) -> tuple[int, int]:
     return stmt_id, n_params
 
 
-def execute_prepared(conn: MySQLConn, stmt_id: int, params: list) -> int:
-    """COM_STMT_EXECUTE with binary-bound args -> affected rows."""
-    mw.write_packet(conn.sock, 0, mw.enc_stmt_execute(stmt_id, params))
+def send_long_data(conn: MySQLConn, stmt_id: int, param_id: int,
+                   data: bytes | str, chunk_size: int = 256 * 1024) -> None:
+    """COM_STMT_SEND_LONG_DATA: stream one parameter's value in chunks
+    ahead of the execute — the go-sql-driver path for args above
+    maxAllowedPacket.  No responses to read (per protocol)."""
+    b = data.encode("utf-8") if isinstance(data, str) else bytes(data)
+    for i in range(0, max(len(b), 1), chunk_size):
+        mw.write_packet(conn.sock, 0, mw.enc_stmt_send_long_data(
+            stmt_id, param_id, b[i:i + chunk_size]))
+
+
+def reset_prepared(conn: MySQLConn, stmt_id: int) -> None:
+    """COM_STMT_RESET: drop accumulated long data -> OK."""
+    mw.write_packet(conn.sock, 0, bytes([mw.COM_STMT_RESET])
+                    + stmt_id.to_bytes(4, "little"))
+    got = mw.read_packet(conn.sock)
+    if got is None:
+        raise IOError("connection closed during reset")
+    _, payload = got
+    if payload[:1] == b"\xff":
+        raise mw.dec_err(payload)
+
+
+def execute_prepared(conn: MySQLConn, stmt_id: int, params: list,
+                     long_data_threshold: int | None = None) -> int:
+    """COM_STMT_EXECUTE with binary-bound args -> affected rows.
+
+    With ``long_data_threshold``, string/bytes params at or above the
+    threshold are streamed through COM_STMT_SEND_LONG_DATA first and
+    omitted from the execute packet's value list (typed BLOB), exactly
+    like a real driver keeps each packet under maxAllowedPacket."""
+    long_idx: set[int] = set()
+    if long_data_threshold is not None:
+        for i, v in enumerate(params):
+            if (isinstance(v, (str, bytes, bytearray))
+                    and len(v) >= long_data_threshold):
+                send_long_data(conn, stmt_id, i, v)
+                long_idx.add(i)
+    mw.write_packet(conn.sock, 0, mw.enc_stmt_execute(
+        stmt_id, params, long_data_params=long_idx))
     got = mw.read_packet(conn.sock)
     if got is None:
         raise IOError("connection closed during execute")

@@ -221,6 +221,8 @@ class MiniMySQLServer:
     def _serve(self, sock):
         stmts: dict[int, tuple[str, int]] = {}  # stmt_id -> (sql, n_params)
         next_stmt = [0]
+        # COM_STMT_SEND_LONG_DATA accumulation: stmt_id -> {param: bytes}
+        long_data: dict[int, dict[int, bytearray]] = {}
         self._thread_id += 1
         nonce = os.urandom(20).replace(b"\x00", b"\x01")  # NUL-free like a real server
         caps = mw.SERVER_CAPS if self._tls_ctx is not None \
@@ -293,14 +295,38 @@ class MiniMySQLServer:
                 if n_params:
                     mw.write_packet(sock, seq_out, mw.enc_eof())
                 continue
+            if cmd == mw.COM_STMT_SEND_LONG_DATA:
+                # streams one chunk of one parameter ahead of EXECUTE;
+                # chunks APPEND, and there is NO response (per protocol —
+                # errors surface at the next EXECUTE)
+                sid, pid, chunk = mw.dec_stmt_send_long_data(payload)
+                if sid in stmts:
+                    long_data.setdefault(sid, {}).setdefault(
+                        pid, bytearray()).extend(chunk)
+                continue
+            if cmd == mw.COM_STMT_RESET:
+                # drops accumulated long data for the statement -> OK
+                sid = int.from_bytes(payload[1:5], "little")
+                if sid not in stmts:
+                    mw.write_packet(sock, 1, mw.enc_err(
+                        1243,
+                        f"Unknown prepared statement handler ({sid})",
+                        "HY000"))
+                    continue
+                long_data.pop(sid, None)
+                mw.write_packet(sock, 1, mw.enc_ok())
+                continue
             if cmd == mw.COM_STMT_EXECUTE:
                 stmt_id = int.from_bytes(payload[1:5], "little")
                 if stmt_id not in stmts:
                     mw.write_packet(sock, 1, mw.enc_err(1243, f"Unknown prepared statement handler ({stmt_id})", "HY000"))
                     continue
                 sql, n_params = stmts[stmt_id]
+                acc = {pid: bytes(b) for pid, b in
+                       long_data.get(stmt_id, {}).items()}
                 try:
-                    _, params = mw.dec_stmt_execute(payload, n_params)
+                    _, params = mw.dec_stmt_execute(payload, n_params,
+                                                    long_data=acc)
                 except (ValueError, IndexError, KeyError) as e:
                     mw.write_packet(sock, 1, mw.enc_err(1210, str(e), "HY000"))
                     continue
@@ -308,12 +334,17 @@ class MiniMySQLServer:
                     with self._db_lock:
                         cur = self._db.execute(sql, params)
                         n = cur.rowcount if cur.rowcount >= 0 else 0
+                    # accumulated long data is consumed by the execute
+                    # (clients re-send per statement execution)
+                    long_data.pop(stmt_id, None)
                     mw.write_packet(sock, 1, mw.enc_ok(affected=n))
                 except sqlite3.Error as e:
                     mw.write_packet(sock, 1, mw.enc_err(1064, str(e), "42000"))
                 continue
             if cmd == mw.COM_STMT_CLOSE:
-                stmts.pop(int.from_bytes(payload[1:5], "little"), None)
+                sid = int.from_bytes(payload[1:5], "little")
+                stmts.pop(sid, None)
+                long_data.pop(sid, None)
                 continue  # no response, per protocol
             if cmd != 0x03:  # COM_QUERY only
                 mw.write_packet(sock, 1, mw.enc_err(1047, f"unsupported command {cmd:#x}", "08S01"))
