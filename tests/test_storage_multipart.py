@@ -206,3 +206,64 @@ def test_put_files_multipart_threshold(spark):
             assert c.get_object(s3_live.BUCKET, "p2/CDC2.csv") == b"small\n"
         # nothing left half-open
         assert srv.uploads == {}
+
+
+# ------------------------------------------------- sink chaos (failpoints)
+
+def test_put_files_multipart_survives_dropped_parts(spark):
+    """Chaos: the endpoint kills connections mid-UploadPart (parts
+    unrecorded); the sink's retry reconnects, ListParts-resumes the SAME
+    upload id, and every byte lands exactly once."""
+    from ticdc_spark import failpoint
+    from ticdc_spark.sinks import s3_live
+
+    failpoint.disable_all()
+    rows = [("p", "CDC1.csv", f"row-{i:05d},{'y' * 120}")
+            for i in range(3000)]  # ~380 KB -> 6 parts at 64 KiB
+    df = spark.createDataFrame(
+        rows, "path string, file_name string, value string").coalesce(1)
+    try:
+        with MiniS3Server() as srv:
+            failpoint.enable("storage/drop-upload-part", "2*return(1)")
+            s3_live.put_files(df, srv.endpoint, srv.access_key,
+                              srv.secret_key, scheme="s3",
+                              multipart_threshold=64 * 1024,
+                              part_size=64 * 1024)
+            assert failpoint.active()["storage/drop-upload-part"] == 2
+            with S3Client(srv.endpoint, srv.access_key,
+                          srv.secret_key) as c:
+                got = c.get_object(s3_live.BUCKET, "p/CDC1.csv")
+            assert got.decode().splitlines() == [v for _, _, v in rows]
+            assert srv.uploads == {}  # nothing left half-open
+    finally:
+        failpoint.disable_all()
+
+
+def test_put_files_multipart_survives_lost_complete_response(spark):
+    """Chaos: CompleteMultipartUpload COMMITS but its response is lost;
+    the retry sees NoSuchUpload and must verify the landed object
+    instead of erroring (idempotent completion)."""
+    from ticdc_spark import failpoint
+    from ticdc_spark.sinks import s3_live
+
+    failpoint.disable_all()
+    rows = [("p", "CDC2.csv", f"r{i},{'z' * 100}")
+            for i in range(2000)]
+    df = spark.createDataFrame(
+        rows, "path string, file_name string, value string").coalesce(1)
+    try:
+        with MiniS3Server() as srv:
+            failpoint.enable("storage/drop-complete-response",
+                             "1*return(1)")
+            s3_live.put_files(df, srv.endpoint, srv.access_key,
+                              srv.secret_key, scheme="s3",
+                              multipart_threshold=64 * 1024,
+                              part_size=64 * 1024)
+            assert failpoint.active()[
+                "storage/drop-complete-response"] == 1
+            with S3Client(srv.endpoint, srv.access_key,
+                          srv.secret_key) as c:
+                got = c.get_object(s3_live.BUCKET, "p/CDC2.csv")
+            assert got.decode().splitlines() == [v for _, _, v in rows]
+    finally:
+        failpoint.disable_all()

@@ -88,22 +88,62 @@ def put_files(files: DataFrame, endpoint: str, access_key: str,
     )
 
     def _put(rows_iter):
+        import time as _time
+
         client = None
         cur: tuple[str, str] | None = None
         buf: list[str] = []
+        max_retry = 5  # connector retry budget (kafka/pulsar parity)
 
         def flush():
             nonlocal client
             if cur is None or not buf:
                 return
-            if client is None:
-                client = _client(endpoint, access_key, secret_key, scheme)
             data = ("\n".join(buf) + "\n").encode("utf-8")
-            if len(data) > multipart_threshold:
-                client.put_object_large(BUCKET, f"{cur[0]}/{cur[1]}",
-                                        data, part_size=part_size)
-            else:
-                client.put_object(BUCKET, f"{cur[0]}/{cur[1]}", data)
+            key = f"{cur[0]}/{cur[1]}"
+            upload_id = None  # survives reconnects: multipart RESUMES
+            for attempt in range(max_retry + 1):
+                try:
+                    if client is None:
+                        client = _client(endpoint, access_key, secret_key,
+                                         scheme)
+                    if len(data) > multipart_threshold:
+                        if scheme == "s3":
+                            if upload_id is None:
+                                upload_id = client.create_multipart_upload(
+                                    BUCKET, key)
+                            client.put_object_large(
+                                BUCKET, key, data, part_size=part_size,
+                                upload_id=upload_id)
+                        else:
+                            client.put_object_large(
+                                BUCKET, key, data, part_size=part_size)
+                    else:
+                        client.put_object(BUCKET, key, data)
+                    return
+                except Exception as exc:  # noqa: BLE001 — reconnect+retry
+                    from ticdc_spark.sinks.s3_client import S3Error
+
+                    if (isinstance(exc, S3Error)
+                            and exc.code == "NoSuchUpload"):
+                        # the Complete committed but its response was
+                        # lost: verify the object landed whole instead
+                        # of failing (idempotent completion)
+                        try:
+                            fresh = _client(endpoint, access_key,
+                                            secret_key, scheme)
+                            if fresh.head_object(BUCKET, key) == len(data):
+                                fresh.close()
+                                return
+                            fresh.close()
+                        except Exception:  # noqa: BLE001
+                            pass
+                    if client is not None:
+                        client.close()
+                        client = None
+                    if attempt == max_retry:
+                        raise
+                    _time.sleep(min(0.05 * (2 ** attempt), 1.0))
 
         try:
             for row in rows_iter:

@@ -124,6 +124,14 @@ class MiniS3Server:
 
             def _upload_part(self, bucket: str, key: str, q: dict,
                              body: bytes):
+                from ticdc_spark import failpoint
+
+                if failpoint.inject("storage/drop-upload-part"):
+                    # chaos: kill the connection mid-upload with the
+                    # part UNRECORDED — the client must reconnect,
+                    # ListParts, and resume
+                    self.connection.close()
+                    return
                 pn = int(q["partNumber"][0])
                 if not 1 <= pn <= 10000:
                     return self._error(400, "InvalidArgument",
@@ -164,6 +172,10 @@ class MiniS3Server:
                                  body: bytes):
                 import re as _re
 
+                from ticdc_spark import failpoint
+
+                drop_after = failpoint.inject("storage/drop-complete-response")
+
                 listed = [(int(m.group(1)), m.group(2).strip().strip('"'))
                           for m in _re.finditer(
                               r"<Part>\s*<PartNumber>(\d+)</PartNumber>"
@@ -191,6 +203,12 @@ class MiniS3Server:
                     data = b"".join(chunks)
                     srv.buckets.setdefault(bucket, {})[key] = data
                     del srv.uploads[uid]
+                if drop_after:
+                    # chaos: the completion COMMITTED but the response
+                    # is lost — the client's retry sees NoSuchUpload and
+                    # must verify the object instead of failing
+                    self.connection.close()
+                    return
                 mp_etag = (hashlib.md5(b"".join(digests)).hexdigest()
                            + f"-{len(listed)}")
                 self._xml(200, (
