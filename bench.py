@@ -115,7 +115,7 @@ def main() -> None:
         "redo_apply_state", "span_split_write_bytes",
         "storage_consumer_roundtrip", "txn_flush_batches", "tfidf_keywords",
         "unigram_logprob", "dedup_chunks", "scheduler_balance",
-        "dedup_clusters",
+        "dedup_clusters", "dedup_clusters_keep_best",
         # round-2 additions: binary mounter, charset wire, registry wire
         # protocol, DDL job fetch, table progress, semantic + substring
         # dedup
@@ -194,14 +194,14 @@ def main() -> None:
                        # final labeled join only — timing just the tail
                        # under-reports 1x ~30x and fakes a super-linear
                        # scale ratio (observed in the first r5 30x run)
-                       "dedup_clusters"}
+                       "dedup_clusters", "dedup_clusters_keep_best"}
     # The live-wire queries round-trip through in-process single-host
     # protocol endpoints (test stand-ins for real clusters); their 10x
     # time measures that endpoint, not the Spark plan, so the scaling
     # block skips them — noted here so the cap isn't silent.
     tenx_skip = set(construct_timed) - {"bpe_train_merges",
                                         "vector_changefeed_ann",
-                                        "dedup_clusters"}
+                                        "dedup_clusters", "dedup_clusters_keep_best"}
 
     failed: list[str] = []
     samples: dict[str, list[float]] = {}  # every 1x sample, for medians

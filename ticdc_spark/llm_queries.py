@@ -681,6 +681,63 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters_star(_docs(spark, sf_dir), threshold=0.8)
 
 
+# Quality-ranked canonical selection: what a real curation pipeline
+# keeps from each near-dup cluster is its BEST member (highest quality
+# score), not the min-id one — min-id is an arbitrary survivor.  One
+# broadcast-sized join + a per-cluster window on top of the CC labels;
+# ties broken on the ROUNDED score by doc_id so the choice is
+# deterministic on both engines.
+_QUALITY_EXPR = (
+    "round(0.3 * least(len(toks)::DOUBLE / 100.0, 1.0) "
+    f"+ 0.4 * ({_marker_ratio_sql(_ALL_MARKERS)}) "
+    "+ 0.3 * (len(list_distinct(toks))::DOUBLE / len(toks)), 6)"
+)
+_KEEP_BEST_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_LSH_PAIRS_ORACLE}),
+edges AS (
+    SELECT a_id AS src, b_id AS dst FROM pairs
+    UNION ALL
+    SELECT b_id AS src, a_id AS dst FROM pairs
+),
+verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach(doc_id, label) AS (
+    SELECT doc_id, doc_id AS label FROM verts
+    UNION
+    SELECT e.dst AS doc_id, r.label
+    FROM reach r JOIN edges e ON e.src = r.doc_id
+    WHERE r.label < e.dst
+),
+lab AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
+clus AS (
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM lab),
+tq AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+q AS (SELECT doc_id, {_QUALITY_EXPR} AS quality FROM tq)
+SELECT c.doc_id, c.cluster_id, c.cluster_size, q.quality,
+       row_number() OVER (PARTITION BY c.cluster_id
+                          ORDER BY q.quality DESC, c.doc_id) = 1 AS keep
+FROM clus c JOIN q ON q.doc_id = c.doc_id
+"""
+
+
+@register("dedup_clusters_keep_best", _KEEP_BEST_ORACLE)
+def q_dedup_clusters_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ticdc_spark.llm.text import quality_score
+
+    clusters = dedup_clusters(_docs(spark, sf_dir), threshold=0.8)
+    q = quality_score(_docs(spark, sf_dir)).select("doc_id", "quality")
+    j = clusters.select("doc_id", "cluster_id", "cluster_size").join(
+        q, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id"))
+    return j.select(
+        "doc_id", "cluster_id", "cluster_size", "quality",
+        (F.row_number().over(w) == 1).alias("keep"))
+
+
 # ---------------------------------------------------------------------------
 # deterministic stratified sampling + the composed training-set manifest
 # ---------------------------------------------------------------------------
