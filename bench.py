@@ -402,6 +402,14 @@ def main() -> None:
     scale_probes_nx: dict[str, dict] = {}
     nx = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "30"))
     if os.environ.get("SPARK_GRAFT_SKIP_30X", "") != "1":
+        # insurance against an external wall-clock cut: persist the
+        # artifact WITHOUT the nx block first, overwrite with the full
+        # document at the end — a kill mid-probe loses only the probes
+        _write_result_snapshot(
+            timings, sf, pipeline_rows_per_s, rows_10x, t_10x,
+            scale_probes, {}, nx, queries_10x, blowups_10x, failed,
+            n_rows, samples, loadavg_start, steal_start, bench_t0,
+            final=False)
         nx_dir = _materialize_nx(spark, sf_dir, nx)
 
         def _shuffle_write_bytes() -> int | None:
@@ -471,6 +479,24 @@ def main() -> None:
                 .write.format("noop").mode("overwrite").save(),
                 base_key=qname)
 
+    _write_result_snapshot(
+        timings, sf, pipeline_rows_per_s, rows_10x, t_10x, scale_probes,
+        scale_probes_nx, nx, queries_10x, blowups_10x, failed, n_rows,
+        samples, loadavg_start, steal_start, bench_t0, final=True)
+
+
+def _write_result_snapshot(timings, sf, pipeline_rows_per_s, rows_10x,
+                           t_10x, scale_probes, scale_probes_nx, nx,
+                           queries_10x, blowups_10x, failed, n_rows,
+                           samples, loadavg_start, steal_start, bench_t0,
+                           final: bool) -> None:
+    """Build the result document and persist it to bench_out.json; the
+    final call also prints it as the single last stdout line.  Called
+    once BEFORE the nx probe block and once at the end, so an external
+    wall-clock kill mid-probe still leaves a complete artifact minus
+    only the probes."""
+    import statistics as _stats
+
     queries_median = {
         n: round(_stats.median(v), 3) for n, v in samples.items() if v
     }
@@ -518,8 +544,9 @@ def main() -> None:
                             "bench_out.json")
     with open(out_path, "w") as f:
         f.write(line + "\n")
-    sys.stdout.flush()
-    print(line, flush=True)
+    if final:
+        sys.stdout.flush()
+        print(line, flush=True)
 
 
 def _materialize_nx(spark, sf_dir: str, n: int) -> str:
