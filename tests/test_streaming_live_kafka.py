@@ -266,3 +266,66 @@ def test_schema_registry_bump_idempotent_per_ddl_ts(tmp_path):
         lines = [_json.loads(ln) for ln in f if ln.strip()]
     assert [(ln["version"], ln["ddl_ts"]) for ln in lines] == [
         (1, 100), (2, 200)]
+
+
+def test_live_rewind_rebroadcasts_rewound_ddl(spark, sf_dir, tmp_path):
+    """Resume with overwrite_checkpoint_ts on a LIVE changefeed: the
+    rewound range re-produces (at-least-once, consumer dedups), rows at
+    or below the rewind point do NOT, and a DDL inside the rewound
+    range re-broadcasts exactly once per partition (its DDLTsBook entry
+    was pruned) — the 'rewind a changefeed' operator workflow."""
+    from ticdc_spark.streaming.registry import ChangefeedRegistry
+
+    cl = events_changelog(spark, sf_dir)
+    tss = sorted(r[0] for r in cl.select("commit_ts").collect())
+    ddl_ts = tss[len(tss) // 2]
+    # rewind strictly below the DDL, on a CLEAN ms boundary so the
+    # es-granularity (ms) message check has no boundary ambiguity
+    rewind_ts = (ddl_ts // 1000 - 2) * 1000
+    ddl = {"commit_ts": ddl_ts, "schema_name": "test",
+           "table_name": "tp_click", "ddl_type": "add-column",
+           "query": "ALTER TABLE tp_click ADD COLUMN note VARCHAR(16)"}
+
+    toml = ('[sink]\n'
+            'dispatchers = [{matcher = ["test.tp_*"], '
+            'partition = "index-value", '
+            'topic = "cdc_{schema}_{table}"}]\n')
+    with KafkaBroker(default_partitions=16) as broker:
+        reg = ChangefeedRegistry(str(tmp_path), live=True)
+        reg.create(
+            "cf_rw", toml,
+            sink_uri=f"kafka://{broker.bootstrap}/cdc?protocol=canal-json")
+        reg.get("cf_rw").ddl_events = [ddl]
+        reg.run("cf_rw", spark, sf_dir, timeout_s=240)
+        data1, _ = _drain(broker)
+        assert len([d for d in data1 if '"isDdl":true' not in d[2]]) > 0
+
+        reg.pause("cf_rw")
+        reg.resume("cf_rw", overwrite_checkpoint_ts=rewind_ts)
+        cf2 = reg.get("cf_rw")  # rebuilt: re-attach the DDL feed
+        cf2.ddl_events = [ddl]
+        assert cf2.cfg.start_ts == rewind_ts
+        reg.run("cf_rw", spark, sf_dir, timeout_s=240)
+
+        data2, _ = _drain(broker)
+        msgs = [json.loads(v) for _, _, v in data2]
+        ddls = [m for m in msgs if m.get("isDdl")]
+        rows = [m for m in msgs if not m.get("isDdl")]
+        # the DDL re-broadcast exactly once per partition (book pruned)
+        n_parts = sum(len(parts) for parts in broker.topics.values())
+        assert len(ddls) == 2 * n_parts
+        # every re-delivered row is strictly above the rewind point;
+        # rows at/below it appear exactly once (never re-produced)
+        rewind_es = rewind_ts // 1000
+        from collections import Counter
+
+        by_es = Counter()
+        for m in rows:
+            by_es[m["es"] <= rewind_es] += 1
+        batch = build_pipeline(events_changelog(spark, sf_dir),
+                               ChangefeedConfig(**CFG))
+        n_le = batch.filter(
+            (F.col("commit_ts") / 1000).cast("long") <= rewind_es).count()
+        n_gt = batch.count() - n_le
+        assert by_es[True] == n_le          # delivered once
+        assert by_es[False] == 2 * n_gt     # rewound range re-delivered
