@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import threading
 
+import pytest
+
 from ticdc_spark.codec import kafka_wire as kw
 from ticdc_spark.codec.kafka_wire import Record
 from ticdc_spark.sinks.kafka_broker import KafkaBroker
@@ -243,6 +245,9 @@ def test_static_membership_rejoin_without_rebalance():
                     m_zombie.member_id = old_member
                     m_zombie.instance_id = "worker-1"
                     assert m_zombie.heartbeat() == 82  # FENCED_INSTANCE_ID
+                    # a zombie offset commit is fenced too (KIP-345)
+                    with pytest.raises(IOError, match="82"):
+                        m_zombie.commit_offsets({("t", 0): 1})
                 finally:
                     m_zombie.conn.close()
                 # the live seat still heartbeats clean

@@ -200,7 +200,7 @@ def test_offset_commit_v8_roundtrip(gid, gen, mid, offsets):
     body = kw.enc_offset_commit_request_v8(gid, gen, mid, offsets)
     req = kw.dec_offset_commit_request_v8(Reader(body))
     assert req == {"group_id": gid, "generation": gen, "member_id": mid,
-                   "offsets": offsets}
+                   "group_instance_id": None, "offsets": offsets}
     results = {tp: 0 for tp in offsets}
     rbody = kw.enc_offset_commit_response_v8(results)
     assert kw.dec_offset_commit_response_v8(Reader(rbody)) == results

@@ -2150,10 +2150,11 @@ def dec_leave_group_response_v4(r: Reader) -> int:
 def enc_offset_commit_request_v8(
     group_id: str, generation: int, member_id: str,
     offsets: dict[tuple[str, int], int],
+    group_instance_id: str | None = None,
 ) -> bytes:
     body = enc_compact_str(group_id) + struct.pack(">i", generation)
     body += enc_compact_str(member_id)
-    body += enc_compact_str(None)  # group_instance_id
+    body += enc_compact_str(group_instance_id)
     by_topic: dict[str, list[tuple[int, int]]] = {}
     for (t, p), off in offsets.items():
         by_topic.setdefault(t, []).append((p, off))
@@ -2171,7 +2172,7 @@ def dec_offset_commit_request_v8(r: Reader) -> dict:
     group_id = r.compact_string()
     generation = r.i32()
     member_id = r.compact_string()
-    r.compact_string()  # group_instance_id
+    group_instance_id = r.compact_string()
     offsets: dict[tuple[str, int], int] = {}
     for _ in range(max(r.compact_array_len(), 0)):
         t = r.compact_string()
@@ -2185,7 +2186,8 @@ def dec_offset_commit_request_v8(r: Reader) -> dict:
         r.skip_tags()
     r.skip_tags()
     return {"group_id": group_id, "generation": generation,
-            "member_id": member_id, "offsets": offsets}
+            "member_id": member_id,
+            "group_instance_id": group_instance_id, "offsets": offsets}
 
 
 def enc_offset_commit_response_v8(

@@ -809,10 +809,14 @@ class KafkaBroker:
             req = (kw.dec_offset_commit_request_v8(r) if flex
                    else kw.dec_offset_commit_request(r))
             g = self._get_group(req["group_id"])
+            fence = g.fence_check(req["member_id"],
+                                  req.get("group_instance_id"))
             results = {}
             with g.lock:
                 for tp, off in req["offsets"].items():
-                    if (req["member_id"] not in g.members
+                    if fence:
+                        results[tp] = fence  # FENCED_INSTANCE_ID
+                    elif (req["member_id"] not in g.members
                             or req["generation"] != g.generation):
                         results[tp] = kw.ERR_ILLEGAL_GENERATION
                     else:

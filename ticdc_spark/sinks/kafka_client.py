@@ -613,7 +613,8 @@ class ConsumerGroupMember:
                 kw.API_OFFSET_COMMIT, ver,
                 kw.enc_offset_commit_request_v8(
                     self.group_id, self.generation,
-                    self.member_id, offsets)))
+                    self.member_id, offsets,
+                    group_instance_id=self.instance_id)))
         else:
             res = kw.dec_offset_commit_response(self.conn._call(
                 kw.API_OFFSET_COMMIT, ver,
