@@ -82,3 +82,64 @@ def test_azblob_string_to_sign_shape():
     assert "x-ms-date:D" in lines and "x-ms-version:V" in lines
     assert lines[-3:] == ["/acct/cdc", "comp:list", "restype:container"]
     assert sign("QUJD", sts)  # base64("ABC") key signs without error
+
+
+def test_gcs_tls_and_mutual_tls():
+    """https:// GCS endpoint with pinned CA; mutual_tls demands a
+    chained client certificate (Credential triple shape)."""
+    import ssl
+
+    from ticdc_spark.codec.tlsutil import make_self_signed
+    from ticdc_spark.sinks.gcs_server import GCSClient, MiniGCSServer
+
+    with MiniGCSServer(tls=True) as srv:
+        assert srv.endpoint.startswith("https://")
+        with GCSClient(srv.endpoint, srv.token, tls_ca=srv.ca_pem) as c:
+            c.put_object("b", "k", b"enc")
+            assert c.get_object("b", "k") == b"enc"
+        other_ca, _ = make_self_signed()
+        with pytest.raises((ssl.SSLError, IOError)):
+            with GCSClient(srv.endpoint, srv.token, tls_ca=other_ca) as c:
+                c.put_object("b", "k2", b"x")
+    with MiniGCSServer(tls=True, mutual_tls=True) as srv:
+        cert, key = srv.issue_client_cert()
+        with GCSClient(srv.endpoint, srv.token, tls_ca=srv.ca_pem,
+                       tls_client_cert=(cert, key)) as c:
+            c.put_object("b", "k", b"m")
+            assert c.get_object("b", "k") == b"m"
+        # no client cert -> handshake refused
+        with pytest.raises((ssl.SSLError, IOError, ConnectionError)):
+            with GCSClient(srv.endpoint, srv.token,
+                           tls_ca=srv.ca_pem) as c:
+                c.put_object("b", "k3", b"x")
+
+
+def test_azblob_tls_and_mutual_tls():
+    import ssl
+
+    from ticdc_spark.codec.tlsutil import make_self_signed
+    from ticdc_spark.sinks.azblob_server import (AzBlobClient,
+                                                 MiniAzureBlobServer)
+
+    with MiniAzureBlobServer(tls=True) as srv:
+        assert srv.endpoint.startswith("https://")
+        with AzBlobClient(srv.endpoint, srv.account, srv.key_b64,
+                          tls_ca=srv.ca_pem) as c:
+            c.put_object("ct", "k", b"enc")
+            assert c.get_object("ct", "k") == b"enc"
+        other_ca, _ = make_self_signed()
+        with pytest.raises((ssl.SSLError, IOError)):
+            with AzBlobClient(srv.endpoint, srv.account, srv.key_b64,
+                              tls_ca=other_ca) as c:
+                c.put_object("ct", "k2", b"x")
+    with MiniAzureBlobServer(tls=True, mutual_tls=True) as srv:
+        cert, key = srv.issue_client_cert()
+        with AzBlobClient(srv.endpoint, srv.account, srv.key_b64,
+                          tls_ca=srv.ca_pem,
+                          tls_client_cert=(cert, key)) as c:
+            c.put_object("ct", "k", b"m")
+            assert c.get_object("ct", "k") == b"m"
+        with pytest.raises((ssl.SSLError, IOError, ConnectionError)):
+            with AzBlobClient(srv.endpoint, srv.account, srv.key_b64,
+                              tls_ca=srv.ca_pem) as c:
+                c.put_object("ct", "k3", b"x")

@@ -77,7 +77,25 @@ def sign(key_b64: str, sts: str) -> str:
 
 class MiniAzureBlobServer:
     def __init__(self, account: str = "cdcaccount",
-                 key_b64: str | None = None, host: str = "127.0.0.1"):
+                 key_b64: str | None = None, host: str = "127.0.0.1",
+                 tls: bool = False, mutual_tls: bool = False):
+        # tls=True: an https:// endpoint (fresh self-signed cert, pinned
+        # via server.ca_pem); mutual_tls demands a chained client cert
+        self.tls = tls
+        self.mutual_tls = mutual_tls
+        self.ca_pem = None
+        self._ca_key = None
+        self._tls_ctx = None
+        if tls:
+            from ticdc_spark.codec import tlsutil
+
+            if mutual_tls:
+                self.ca_pem, self._ca_key, self._tls_ctx = (
+                    tlsutil.mutual_server_material(host))
+            else:
+                cert_pem, key_pem = tlsutil.make_self_signed(host)
+                self.ca_pem = cert_pem
+                self._tls_ctx = tlsutil.server_context(cert_pem, key_pem)
         self.account = account
         self.key_b64 = key_b64 or base64.b64encode(
             b"azure-test-shared-key-32-bytes!!").decode()
@@ -257,13 +275,26 @@ class MiniAzureBlobServer:
                 self._send(200, body, ctype="application/octet-stream")
 
         self._server = ThreadingHTTPServer((host, 0), Handler)
+        if self._tls_ctx is not None:
+            self._server.socket = self._tls_ctx.wrap_socket(
+                self._server.socket, server_side=True)
         self.port = self._server.server_address[1]
         self._thread = threading.Thread(
             target=self._server.serve_forever, daemon=True)
 
     @property
     def endpoint(self) -> str:
-        return f"http://{self.host}:{self.port}"
+        scheme = "https" if self.tls else "http"
+        return f"{scheme}://{self.host}:{self.port}"
+
+    def issue_client_cert(self, name: str = "client") -> tuple[bytes, bytes]:
+        """Mint a client certificate the mTLS listener accepts."""
+        from ticdc_spark.codec import tlsutil
+
+        if self._ca_key is None:
+            raise ValueError("server is not in mutual_tls mode")
+        return tlsutil.issue_cert(self.ca_pem, self._ca_key, name,
+                                  client=True)
 
     def start(self) -> "MiniAzureBlobServer":
         self._thread.start()
@@ -285,7 +316,9 @@ class AzBlobClient:
     so the storage sink is scheme-generic."""
 
     def __init__(self, endpoint: str, account: str, key_b64: str,
-                 x_ms_date: str = "Thu, 01 Jan 2026 00:00:00 GMT"):
+                 x_ms_date: str = "Thu, 01 Jan 2026 00:00:00 GMT",
+                 tls_ca: bytes | None = None,
+                 tls_client_cert: tuple[bytes, bytes] | None = None):
         import http.client
 
         u = urlsplit(endpoint)
@@ -294,8 +327,18 @@ class AzBlobClient:
         self.key_b64 = key_b64
         # deterministic clock, like the S3 client's amz_date
         self.x_ms_date = x_ms_date
-        self.conn = http.client.HTTPConnection(self.host, self.port,
-                                               timeout=60)
+        if u.scheme == "https":
+            from ticdc_spark.codec.tlsutil import client_context
+
+            if tls_ca is None:
+                raise ValueError("https endpoint needs tls_ca (pinned CA)")
+            cert, key = tls_client_cert or (None, None)
+            self.conn = http.client.HTTPSConnection(
+                self.host, self.port, timeout=60,
+                context=client_context(tls_ca, cert, key))
+        else:
+            self.conn = http.client.HTTPConnection(self.host, self.port,
+                                                   timeout=60)
 
     def _request(self, method: str, path: str, query: dict[str, str],
                  body: bytes = b"",

@@ -35,7 +35,26 @@ from urllib.parse import parse_qs, quote, unquote, urlsplit
 
 class MiniGCSServer:
     def __init__(self, token: str = "gcs-test-token",
-                 host: str = "127.0.0.1"):
+                 host: str = "127.0.0.1", tls: bool = False,
+                 mutual_tls: bool = False):
+        # tls=True: an https:// endpoint with a fresh self-signed cert
+        # (clients pin it via server.ca_pem); mutual_tls additionally
+        # demands a client certificate chained to the server's CA
+        self.tls = tls
+        self.mutual_tls = mutual_tls
+        self.ca_pem = None
+        self._ca_key = None
+        self._tls_ctx = None
+        if tls:
+            from ticdc_spark.codec import tlsutil
+
+            if mutual_tls:
+                self.ca_pem, self._ca_key, self._tls_ctx = (
+                    tlsutil.mutual_server_material(host))
+            else:
+                cert_pem, key_pem = tlsutil.make_self_signed(host)
+                self.ca_pem = cert_pem
+                self._tls_ctx = tlsutil.server_context(cert_pem, key_pem)
         self.token = token
         self.host = host
         self.buckets: dict[str, dict[str, bytes]] = {}
@@ -253,13 +272,26 @@ class MiniGCSServer:
                 self._err(404, "unknown path")
 
         self._server = ThreadingHTTPServer((host, 0), Handler)
+        if self._tls_ctx is not None:
+            self._server.socket = self._tls_ctx.wrap_socket(
+                self._server.socket, server_side=True)
         self.port = self._server.server_address[1]
         self._thread = threading.Thread(
             target=self._server.serve_forever, daemon=True)
 
     @property
     def endpoint(self) -> str:
-        return f"http://{self.host}:{self.port}"
+        scheme = "https" if self.tls else "http"
+        return f"{scheme}://{self.host}:{self.port}"
+
+    def issue_client_cert(self, name: str = "client") -> tuple[bytes, bytes]:
+        """Mint a client certificate the mTLS listener accepts."""
+        from ticdc_spark.codec import tlsutil
+
+        if self._ca_key is None:
+            raise ValueError("server is not in mutual_tls mode")
+        return tlsutil.issue_cert(self.ca_pem, self._ca_key, name,
+                                  client=True)
 
     def start(self) -> "MiniGCSServer":
         self._thread.start()
@@ -280,14 +312,26 @@ class GCSClient:
     """JSON-API client for the subset above: put/get/list with Bearer
     auth — the S3Client surface so the storage sink is scheme-generic."""
 
-    def __init__(self, endpoint: str, token: str):
+    def __init__(self, endpoint: str, token: str,
+                 tls_ca: bytes | None = None,
+                 tls_client_cert: tuple[bytes, bytes] | None = None):
         import http.client
 
         u = urlsplit(endpoint)
         self.host, self.port = u.hostname, u.port
         self.token = token
-        self.conn = http.client.HTTPConnection(self.host, self.port,
-                                               timeout=60)
+        if u.scheme == "https":
+            from ticdc_spark.codec.tlsutil import client_context
+
+            if tls_ca is None:
+                raise ValueError("https endpoint needs tls_ca (pinned CA)")
+            cert, key = tls_client_cert or (None, None)
+            self.conn = http.client.HTTPSConnection(
+                self.host, self.port, timeout=60,
+                context=client_context(tls_ca, cert, key))
+        else:
+            self.conn = http.client.HTTPConnection(self.host, self.port,
+                                                   timeout=60)
 
     def _request(self, method: str, path: str,
                  body: bytes = b"") -> tuple[int, bytes]:
