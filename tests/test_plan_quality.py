@@ -293,6 +293,11 @@ def test_round3_wire_query_shuffle_budgets(spark, sf_dir):
         ("dml_event_chunk_typed", 1),      # keyed txn spread only
         ("avro_confluent_roundtrip", 1),   # scale_out spread only
         ("mount_binary_json", 1),          # synthesize spread
+        # round-5: the materialized-state fan-out keeps the tail at 6
+        # (shard spread + rank window + agg + dims broadcast; the mount
+        # chain runs once behind the localCheckpoint)
+        ("vector_changefeed_ann", 6),
+        ("dedup_clusters_keep_best", 6),   # CC tail joins + quality window
     ]:
         plan = _plan(QUERIES[name](spark, sf_dir))
         n = plan.count("Exchange")

@@ -1704,7 +1704,10 @@ def q_vector_changefeed_ann(spark, sf_dir):
         F.expr("transform(split(substring(after_vec, 2, "
                "length(after_vec) - 2), ','), x -> cast(x AS float))"
                ).alias("embedding"),
-    )
+    ).localCheckpoint()  # materialize the replayed state ONCE: the
+    # query-set collect, the shard build, and the dim audit all reuse
+    # it instead of re-running the mount chain (the vector-store shape:
+    # state is materialized, then indexed and served from it)
     found = hnsw_knn(emb_state, n_queries=10, k=3, ef=64)
     dims = emb_state.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"),
