@@ -536,17 +536,52 @@ def _write_result_snapshot(timings, sf, pipeline_rows_per_s, rows_10x,
         "wall_clock_s": round(time.perf_counter() - bench_t0, 1),
     }
     line = json.dumps(result)
-    # the driver's artifact keeps only a stdout tail, and Spark/JVM
-    # noise can land on stdout ahead of us (BENCH_r03/r04 arrived with
-    # parsed=null) — so the JSON is ALSO written to bench_out.json next
-    # to this script, and printed as the single final stdout line.
+    # the driver's artifact keeps only the last ~2000 chars of stdout,
+    # and the full document is ~10 KB (BENCH_r05 arrived tail-only,
+    # parsed=null) — so the FULL JSON goes to bench_out.json next to
+    # this script, and the single final stdout line is a COMPACT
+    # (<2 KB) document: headline metrics, a small headline-query map,
+    # counts, and a pointer to the full file.
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "bench_out.json")
     with open(out_path, "w") as f:
         f.write(line + "\n")
     if final:
+        headline = [
+            "pipeline_canal_json", "compaction", "dedup_minhash_lsh",
+            "dedup_clusters", "substring_excise", "hnsw_recall_at_k",
+            "vector_changefeed_ann", "storage_live_multipart_roundtrip",
+        ]
+        compact = {
+            "metric": result["metric"],
+            "value": total,
+            "unit": "sec",
+            "sf": float(sf),
+            "queries": {q: timings[q] for q in headline if q in timings},
+            "n_queries": len(timings),
+            "n_failed": len(failed),
+            "pipeline_rows_per_s": pipeline_rows_per_s,
+            "pipeline_rows_per_s_10x": round(rows_10x / t_10x, 1),
+            "blowups_10x": blowups_10x,
+            "scale_probes_nx_factor": nx,
+            "scale_probes_nx_per_row_ratio": {
+                k: v.get("per_row_ratio_vs_1x")
+                for k, v in (scale_probes_nx or {}).items()
+                if isinstance(v, dict)},
+            "loadavg_start": loadavg_start,
+            "loadavg_end": _loadavg(),
+            "cpu_steal_jiffies_delta": (_cpu_steal_jiffies()
+                                        - steal_start),
+            "wall_clock_s": round(time.perf_counter() - bench_t0, 1),
+            "full": "bench_out.json",
+        }
+        cline = json.dumps(compact)
+        if len(cline) > 1900:  # hard cap: never overflow the tail again
+            compact["queries"] = {}
+            compact["scale_probes_nx_per_row_ratio"] = {}
+            cline = json.dumps(compact)
         sys.stdout.flush()
-        print(line, flush=True)
+        print(cline, flush=True)
 
 
 def _materialize_nx(spark, sf_dir: str, n: int) -> str:

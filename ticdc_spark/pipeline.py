@@ -329,7 +329,20 @@ def build_pipeline(cl: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
         if opt == "claim-check":
             from ticdc_spark.operators.large_message import with_claim_check
 
-            df = with_claim_check(df, max_bytes)
+            # `pkg/config/large_message.go:84-91` AdjustAndValidate:
+            # claim-check demands a storage URI, and raw-value (park the
+            # bare encoded value, no ClaimCheckMessage envelope) is
+            # prohibited for the open protocol — its messages are
+            # key/value PAIRS, so a bare value is not reconstructible.
+            raw_value = bool(lm.get("claim-check-raw-value", False))
+            if raw_value and cfg.protocol == "open":
+                raise ValueError(
+                    "large message handle is set to claim-check, raw "
+                    "value is not supported for the open protocol")
+            uri = lm.get("claim-check-storage-uri", "")
+            df = with_claim_check(df, max_bytes, raw_value=raw_value,
+                                  **({"claim_store_uri": uri} if uri
+                                     else {}))
         elif opt == "handle-key-only":
             # oversized rows re-encode with only the handle columns —
             # both encodes inline on one frame + a `when`, NOT a

@@ -4034,6 +4034,32 @@ def q_mysql_live_apply(spark, sf_dir):
     return mysql_live_apply(cl, _TP_TABLES)
 
 
+# K1 — generated-column tables (`pkg/sink/sqlmodel/multi_row.go:124-127`,
+# e2e `tests/integration_tests/generate_column`): downstream tables carry
+# `val2 DOUBLE AS (val * 2) STORED`; the endpoint answers error 3105 to
+# any DML that names val2, so the query only passes if the SQL builders
+# skip it. The oracle recomputes val2 exactly like the downstream does:
+# from the %.2f-rendered val the wire carried.
+@register(
+    "mysql_live_apply_generated_column",
+    f"WITH {CHANGELOG_SQL}, {_SPLIT_CTE}, "
+    "keyed AS (SELECT *, coalesce(after_id, before_id) AS k_id, "
+    "commit_ts * 4 + dml_order AS ord FROM split), "
+    "g AS (SELECT table_name, k_id, arg_max(op, ord) AS last_op, "
+    "arg_max(after_val, ord) AS last_val, arg_max(after_k, ord) AS last_k "
+    "FROM keyed GROUP BY 1, 2) "
+    "SELECT table_name, k_id AS id, "
+    "CAST(printf('%.2f', last_val) AS DOUBLE) AS val, last_k AS k, "
+    "CAST(printf('%.2f', last_val) AS DOUBLE) * 2 AS val2 "
+    "FROM g WHERE last_op <> 'D'",
+)
+def q_mysql_live_apply_generated_column(spark, sf_dir):
+    from ticdc_spark.sinks.mysql_live import mysql_live_apply_generated_column
+
+    cl = split_updates(scale_out(events_changelog(spark, sf_dir)))
+    return mysql_live_apply_generated_column(cl, _TP_TABLES)
+
+
 # ---------------------------------------------------------------------------
 # K3 live — the pulsar frame through a REAL binary-protocol endpoint
 # (`pkg/sink/pulsar` produce model; broker = sinks/pulsar_broker.py speaking

@@ -95,10 +95,14 @@ def apply_txn_with_retry(
 
 
 def statements_for_batch(
-    batch_df: DataFrame, safe_mode: bool = True, n_slots: int = 16
+    batch_df: DataFrame, safe_mode: bool = True, n_slots: int = 16,
+    pk_fields: tuple[str, ...] = ("id",),
+    generated_columns: frozenset[str] = frozenset(),
 ) -> DataFrame:
     """(slot, stmt) in per-slot apply order."""
-    stmts = sql_for_rows(with_conflict_slots(batch_df, n_slots), safe_mode=safe_mode)
+    stmts = sql_for_rows(with_conflict_slots(batch_df, n_slots),
+                         safe_mode=safe_mode, pk_fields=pk_fields,
+                         generated_columns=generated_columns)
     return (
         stmts.repartition(n_slots, "slot")
         .sortWithinPartitions("slot", "commit_ts", "dml_order", "seq")

@@ -42,20 +42,44 @@ def _sql_value(col: Column, dtype) -> Column:
     return F.coalesce(rendered, F.lit("NULL"))
 
 
+def batchable_by_handle_key(
+    pk_fields: tuple[str, ...],
+    virtual_generated_columns: frozenset[str] = frozenset(),
+) -> bool:
+    """Mirror of ``shouldGenBatchSQL`` rule 3
+    (`pkg/sink/mysql/mysql_writer_dml.go:128-152`): batch SQL groups rows
+    by pk/uk, but a VIRTUAL generated column's value is computed from
+    other columns and isn't guaranteed stable for the same key — so a
+    handle key containing one disables multirow batching (the writer
+    falls back to the per-row builders)."""
+    return not any(k.lower() in virtual_generated_columns for k in pk_fields)
+
+
 def sql_for_rows(cl: DataFrame, safe_mode: bool = False,
-                 pk_fields: tuple[str, ...] = ("id",)) -> DataFrame:
+                 pk_fields: tuple[str, ...] = ("id",),
+                 generated_columns: frozenset[str] = frozenset()) -> DataFrame:
     """Append a ``stmt`` column with the per-row dialect SQL
     (sql_builder.go:155-258; safe-mode REPLACE per
-    basic_dispatcher.go:156-161)."""
+    basic_dispatcher.go:156-161).
+
+    ``generated_columns`` (lower-cased names) is the target table's
+    generated-column set (`pkg/sink/sqlmodel/utils.go:55`
+    generatedColumnsNameSet): those columns are SKIPPED in INSERT/REPLACE
+    column lists + VALUES (`multi_row.go:124-127`) and in UPDATE SET
+    (`row_change.go:299-304`) — MySQL rejects writing a non-DEFAULT value
+    into one (error 3105) — but they still serve in WHERE: a conflict key
+    over a STORED generated column compares against the mounted image's
+    value (reference e2e ``conflict_key_generated_column``)."""
     schema = cl.schema["after"].dataType
-    fields = [f.name for f in schema.fields]
+    write_fields = [f for f in schema.fields
+                    if f.name.lower() not in generated_columns]
     tbl = F.concat(F.lit("`"), F.col("schema_name"), F.lit("`.`"),
                    F.col("table_name"), F.lit("`"))
-    col_list = ", ".join(f"`{f}`" for f in fields)
+    col_list = ", ".join(f"`{f.name}`" for f in write_fields)
 
     def values(image: str) -> Column:
         parts: list[Column] = []
-        for i, f in enumerate(schema.fields):
+        for i, f in enumerate(write_fields):
             if i:
                 parts.append(F.lit(", "))
             parts.append(_sql_value(F.col(f"{image}.{f.name}"), f.dataType))
@@ -72,7 +96,7 @@ def sql_for_rows(cl: DataFrame, safe_mode: bool = False,
 
     def set_clause() -> Column:
         parts: list[Column] = []
-        for i, f in enumerate(schema.fields):
+        for i, f in enumerate(write_fields):
             if i:
                 parts.append(F.lit(", "))
             parts.append(F.lit(f"`{f.name}` = "))
@@ -103,6 +127,8 @@ def multirow_batches(
     compacted: DataFrame,
     max_txn_row: int = 256,
     pk_fields: tuple[str, ...] = ("id",),
+    generated_columns: frozenset[str] = frozenset(),
+    virtual_generated_columns: frozenset[str] = frozenset(),
 ) -> DataFrame:
     """Cross-event batch SQL (`pkg/sink/sqlmodel/multi_row.go:49-147`,
     reached from the compacted flush in `mysql_writer_dml_batch.go`):
@@ -122,13 +148,27 @@ def multirow_batches(
     final string agg — the same exchange a JDBC writer's
     ``repartition(hash(pk))`` needs anyway.
     """
+    if not batchable_by_handle_key(pk_fields, virtual_generated_columns):
+        # shouldGenBatchSQL rule 3 (mysql_writer_dml.go:139-152): the
+        # caller must fall back to the per-row builders.
+        raise ValueError(
+            "handle key contains a virtual generated column — "
+            "multirow batching by key is unsound; use sql_for_rows")
     schema = compacted.schema["after"].dataType
-    fields = [f.name for f in schema.fields]
+    # generated columns are skipped in the INSERT column list and the
+    # UPDATE CASE lines (multi_row.go:124-127, :305-313); WHERE tuples
+    # (pk_fields) still reference them from the row images.
+    write_fields = [f.name for f in schema.fields
+                    if f.name.lower() not in generated_columns]
+    fields = write_fields
     col_list = ", ".join(f"`{f}`" for f in fields)
+
+    write_schema_fields = [f for f in schema.fields
+                           if f.name.lower() not in generated_columns]
 
     def vals(image: str) -> Column:
         parts: list[Column] = [F.lit("(")]
-        for i, f in enumerate(schema.fields):
+        for i, f in enumerate(write_schema_fields):
             if i:
                 parts.append(F.lit(", "))
             parts.append(_sql_value(F.col(f"{image}.{f.name}"), f.dataType))
@@ -161,7 +201,7 @@ def multirow_batches(
     when_cols = [
         F.concat(F.lit("WHEN "), where("before"), F.lit(" THEN "),
                  _sql_value(F.col(f"after.{f.name}"), f.dataType)).alias(f"_w_{f.name}")
-        for f in schema.fields
+        for f in write_schema_fields
     ]
     from pyspark.sql.window import Window
 

@@ -35,28 +35,41 @@ def start_server(schema: str = "test", user: str = "root", password: str = "cdc-
 
 
 def create_tables(host: str, port: int, user: str, password: str,
-                  tables: list[str], schema: str = "test") -> None:
+                  tables: list[str], schema: str = "test",
+                  extra_cols: str = "") -> None:
+    """``extra_cols`` appends column DDL after the base three — e.g. a
+    STORED generated column (reference e2e ``generate_column``):
+    ``", `val2` DOUBLE AS (`val` * 2) STORED"``. The endpoint enforces
+    the MySQL write prohibition on such columns (error 3105)."""
     from ticdc_spark.sinks.mysql_client import MySQLConn
 
     with MySQLConn(host, port, user, password) as c:
         for t in tables:
             c.query(
                 f"CREATE TABLE `{schema}`.`{t}` "
-                "(`id` BIGINT PRIMARY KEY, `val` DOUBLE, `k` BIGINT)"
+                f"(`id` BIGINT PRIMARY KEY, `val` DOUBLE, `k` BIGINT"
+                f"{extra_cols})"
             )
 
 
 def apply_over_wire(
     cl_split: DataFrame, host: str, port: int, user: str, password: str,
-    n_slots: int = 16,
+    n_slots: int = 16, generated_columns: frozenset[str] = frozenset(),
+    pk_fields: tuple[str, ...] = ("id",),
 ) -> None:
     """Per-slot concurrent distributed apply of the safe-mode statement
     stream; each Spark partition holds one connection, session-init
-    first, then 256-statement multi-statement batches."""
+    first, then 256-statement multi-statement batches.
+    ``generated_columns`` are skipped in the generated DML column lists
+    (multi_row.go:124-127) — the endpoint rejects writes to them.
+    ``pk_fields`` drive the DELETE WHERE; a conflict key over a STORED
+    generated column is legal here (its value rides the row images)."""
     from ticdc_spark.sinks.jdbc import statements_for_batch
     from ticdc_spark.sinks.mysql import session_init_statements
 
-    stmts = statements_for_batch(cl_split, safe_mode=True, n_slots=n_slots)
+    stmts = statements_for_batch(cl_split, safe_mode=True, n_slots=n_slots,
+                                 pk_fields=pk_fields,
+                                 generated_columns=generated_columns)
     init = session_init_statements()
 
     def _apply(rows_iter):
@@ -113,20 +126,26 @@ def apply_over_wire(
 def read_state_df(
     spark: SparkSession, host: str, port: int, user: str, password: str,
     tables: list[str], schema: str = "test",
+    extra_select: tuple[tuple[str, str], ...] = (),
 ) -> DataFrame:
     """Final state (table_name, id, val, k) read back via SELECT over the
     wire — small (one row per live key), so a driver-side collect is the
-    honest shape; a 100 TB deployment diffs downstream with sync-diff."""
+    honest shape; a 100 TB deployment diffs downstream with sync-diff.
+    ``extra_select`` appends (column, spark_type) pairs — e.g. a stored
+    generated column the DOWNSTREAM computed, proving the sink never
+    wrote it."""
     from ticdc_spark.sinks.mysql_client import MySQLConn
 
+    cols = ["id", "val", "k"] + [c for c, _ in extra_select]
+    sel = ", ".join(f"`{c}`" for c in cols)
     rows = []
     with MySQLConn(host, port, user, password) as c:
         for t in tables:
-            rs = c.query(f"SELECT `id`, `val`, `k` FROM `{schema}`.`{t}`")
-            rows.extend((t, r[0], r[1], r[2]) for r in rs.rows)
-    return spark.createDataFrame(
-        rows, "table_name string, id long, val double, k long"
-    )
+            rs = c.query(f"SELECT {sel} FROM `{schema}`.`{t}`")
+            rows.extend((t, *r) for r in rs.rows)
+    ddl = "table_name string, id long, val double, k long" + "".join(
+        f", {c} {tp}" for c, tp in extra_select)
+    return spark.createDataFrame(rows, ddl)
 
 
 def mysql_live_apply(
@@ -144,6 +163,49 @@ def mysql_live_apply(
     create_tables(srv.host, srv.port, user, password, tables, schema)
     apply_over_wire(cl_split, srv.host, srv.port, user, password, n_slots)
     return read_state_df(spark, srv.host, srv.port, user, password, tables, schema)
+
+
+def mysql_live_apply_generated_column(
+    cl_split: DataFrame,
+    tables: list[str],
+    schema: str = "test",
+    n_slots: int = 16,
+    user: str = "root",
+    password: str = "cdc-secret",
+) -> DataFrame:
+    """`mysql_live_apply` against tables carrying a STORED generated
+    column ``val2 DOUBLE AS (val * 2) STORED`` (reference e2e
+    ``tests/integration_tests/generate_column``; skip rule
+    `pkg/sink/sqlmodel/multi_row.go:124-127`). The SQL builders must
+    omit ``val2`` from every REPLACE column list — the endpoint answers
+    error 3105 to any write that names it — and the readback returns the
+    value the DOWNSTREAM computed.
+
+    The changelog images are first WIDENED with the mounted ``val2``
+    (stored generated columns ride the upstream rowcodec, so the mounter
+    surfaces them — `pkg/common/table_info.go:481`: visible when stored);
+    without the skip, every generated REPLACE would name ``val2`` and
+    the first batch dies with 3105."""
+    from pyspark.sql import functions as F
+
+    def widen(image: str):
+        return F.when(
+            F.col(f"{image}.id").isNotNull(),
+            F.struct(F.col(f"{image}.id"), F.col(f"{image}.val"),
+                     F.col(f"{image}.k"),
+                     (F.col(f"{image}.val") * 2).alias("val2")),
+        )
+
+    cl_split = cl_split.withColumn("before", widen("before")).withColumn(
+        "after", widen("after"))
+    spark = cl_split.sparkSession
+    srv = start_server(schema, user, password)
+    create_tables(srv.host, srv.port, user, password, tables, schema,
+                  extra_cols=", `val2` DOUBLE AS (`val` * 2) STORED")
+    apply_over_wire(cl_split, srv.host, srv.port, user, password, n_slots,
+                    generated_columns=frozenset({"val2"}))
+    return read_state_df(spark, srv.host, srv.port, user, password, tables,
+                         schema, extra_select=(("val2", "double"),))
 
 
 def apply_over_wire_prepared(

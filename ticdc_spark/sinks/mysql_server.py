@@ -339,7 +339,15 @@ class MiniMySQLServer:
                     long_data.pop(stmt_id, None)
                     mw.write_packet(sock, 1, mw.enc_ok(affected=n))
                 except sqlite3.Error as e:
-                    mw.write_packet(sock, 1, mw.enc_err(1064, str(e), "42000"))
+                    msg = str(e)
+                    if "generated column" in msg:  # same 3105 mapping as
+                        mw.write_packet(sock, 1, mw.enc_err(  # _run_one
+                            3105,
+                            f"The value specified for {msg} is not allowed.",
+                            "HY000"))
+                    else:
+                        mw.write_packet(sock, 1, mw.enc_err(1064, msg,
+                                                            "42000"))
                 continue
             if cmd == mw.COM_STMT_CLOSE:
                 sid = int.from_bytes(payload[1:5], "little")
@@ -397,7 +405,19 @@ class MiniMySQLServer:
                 cols = [d[0] for d in cur.description]
                 rows = cur.fetchall()
         except sqlite3.Error as e:
-            mw.write_packet(sock, seq, mw.enc_err(1064, str(e), "42000"))
+            msg = str(e)
+            if "generated column" in msg:
+                # MySQL 3105 ER_NON_DEFAULT_VALUE_FOR_GENERATED_COLUMN:
+                # "The value specified for generated column ... is not
+                # allowed." — sqlite enforces the same write prohibition
+                # ("cannot INSERT/UPDATE generated column"), so a sink
+                # that fails to skip generated columns fails the apply
+                # exactly like a real downstream would.
+                mw.write_packet(sock, seq, mw.enc_err(
+                    3105, f"The value specified for {msg} is not allowed.",
+                    "HY000"))
+                return None
+            mw.write_packet(sock, seq, mw.enc_err(1064, msg, "42000"))
             return None
         # text resultset: count, defs, EOF, rows, EOF
         seq = mw.write_packet(sock, seq, mw.enc_lenenc_int(len(cols)))
