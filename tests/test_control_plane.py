@@ -164,6 +164,25 @@ def test_pipeline_all_protocols_and_knobs(spark, sf_dir):
                               "max-message-bytes": 280},
     ))
     assert out.filter(out["value"].contains("claimCheckLocation")).count() > 0
+    # claim-check-raw-value: legal for canal-json, prohibited for the
+    # open protocol (`pkg/config/large_message.go:89`)
+    out = build_pipeline(cl, ChangefeedConfig(
+        protocol="canal-json",
+        large_message_handle={"large-message-handle-option": "claim-check",
+                              "claim-check-raw-value": True,
+                              "max-message-bytes": 280},
+    ))
+    big = out.filter(out["is_large"]).select("payload", "value").collect()
+    assert big and all(r["payload"].startswith("{\"id\"")  # bare canal
+                       for r in big)                       # value, no
+    with pytest.raises(ValueError, match="raw value is not supported"):  # envelope
+        build_pipeline(cl, ChangefeedConfig(
+            protocol="open-protocol",
+            large_message_handle={
+                "large-message-handle-option": "claim-check",
+                "claim-check-raw-value": True,
+                "max-message-bytes": 280},
+        ))
     # compression composes at the very end
     out = build_pipeline(cl, ChangefeedConfig(protocol="csv", compression="zlib"))
     assert dict(out.dtypes)["value"] == "binary"

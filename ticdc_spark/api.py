@@ -167,9 +167,56 @@ class ApiServer:
         registry: ChangefeedRegistry,
         host: str = "127.0.0.1",
         schema_store: SchemaStore | None = None,
+        tls: bool = False,
+        mutual_tls: bool = False,
+        client_user_required: bool = False,
+        client_allowed_user: list[str] | None = None,
+        verify_password=None,
     ) -> None:
+        """Control-plane security (`pkg/config/server.go:112-124`
+        Security; `:251-254` validation; auth middleware
+        `api/middleware/authenticate_middleware.go:33-46`):
+
+        - ``tls=True`` serves the open API over HTTPS (a fresh
+          self-signed leaf, or a CA-signed one under ``mutual_tls``,
+          which additionally REQUIRES client certificates chained to
+          the CA — the Security.MTLS knob, server.go:116-122).
+          ``ca_pem`` is exported for clients to pin.
+        - ``client_user_required`` + ``client_allowed_user`` gate every
+          route behind HTTP Basic auth: the username must be in the
+          allowed list and the password must verify against the
+          UPSTREAM (the reference dials upstream TiDB with the
+          credentials — `authenticate_middleware.go:81-110`;
+          ``verify_password(user, password) -> bool`` is that dial,
+          e.g. a MiniMySQLServer connect). Enabling the gate with an
+          empty allowed list is a config error (server.go:251-254).
+        """
+        if client_user_required and not client_allowed_user:
+            raise ValueError(
+                "client-allowed-user should not be empty when "
+                "client-user-required is true")
         self.registry = registry
         self.host = host
+        self.tls = tls
+        self.mutual_tls = mutual_tls
+        self.client_user_required = client_user_required
+        self.client_allowed_user = list(client_allowed_user or [])
+        self.verify_password = verify_password
+        self.ca_pem = None
+        self._ca_key = None
+        self._tls_ctx = None
+        if tls:
+            from ticdc_spark.codec import tlsutil
+
+            if mutual_tls:
+                self.ca_pem, self._ca_key, self._tls_ctx = (
+                    tlsutil.mutual_server_material(host))
+            else:
+                cert_pem, key_pem = tlsutil.make_self_signed(host)
+                self.ca_pem = cert_pem
+                self._tls_ctx = tlsutil.server_context(cert_pem, key_pem)
+        elif mutual_tls:
+            raise ValueError("mutual_tls requires tls=True")
         self.schema_store = schema_store or default_schema_store()
         self.log_level = "info"
         self.redact_mode = "off"
@@ -211,6 +258,44 @@ class ApiServer:
             def _route(self):
                 path, _, query = self.path.partition("?")
                 return path, parse_qs(query)
+
+            def _authorized(self) -> bool:
+                """`authenticate_middleware.go:33-78` verify(): Basic
+                auth header required, username in the allowed list,
+                password verified against the upstream. On refusal the
+                request BODY is drained first (keep-alive safety) and a
+                401 with the reference's message is sent."""
+                if not server.client_user_required:
+                    return True
+                import base64 as _b64
+
+                def deny(msg: str) -> bool:
+                    n = int(self.headers.get("Content-Length") or 0)
+                    if n:
+                        self.rfile.read(n)
+                    self._send(401, {"error_msg": msg})
+                    return False
+
+                hdr = self.headers.get("Authorization") or ""
+                if not hdr.startswith("Basic "):
+                    return deny("please specify the user and password "
+                                "via authorization header")
+                try:
+                    user, _, password = _b64.b64decode(
+                        hdr[6:]).decode().partition(":")
+                except Exception:
+                    return deny("please specify the user and password "
+                                "via authorization header")
+                if user not in server.client_allowed_user:
+                    msg = ("Empty username is not allowed." if user == ""
+                           else "The user is not allowed.")
+                    return deny(msg)
+                if server.verify_password is not None and not (
+                        server.verify_password(user, password)):
+                    return deny(
+                        "failed to verify the user and password via "
+                        "upstream")
+                return True
 
             def _matched_tables(self, cid: str) -> list:
                 """Tables this changefeed replicates: its F1 filter rules
@@ -259,6 +344,8 @@ class ApiServer:
 
             # -- GET ------------------------------------------------------
             def do_GET(self):
+                if not self._authorized():
+                    return
                 path, _query = self._route()
                 if path == "/api/v2/health":
                     return self._send(200, {"status": "ok"})
@@ -505,6 +592,8 @@ class ApiServer:
 
             # -- POST -----------------------------------------------------
             def do_POST(self):
+                if not self._authorized():
+                    return
                 path, query = self._route()
                 if path == "/api/v2/tso":
                     # A TSO is (physical ms << 18) | logical in TiDB; a
@@ -703,6 +792,8 @@ class ApiServer:
 
             # -- PUT ------------------------------------------------------
             def do_PUT(self):
+                if not self._authorized():
+                    return
                 m = _CF_ROUTE.match(self.path)
                 if not m or m.group("verb"):
                     return self._send(404, {"error_msg": "no such route"})
@@ -719,6 +810,8 @@ class ApiServer:
 
             # -- DELETE ---------------------------------------------------
             def do_DELETE(self):
+                if not self._authorized():
+                    return
                 dpath, dquery = self._route()
                 if dpath == "/debug/failpoints":
                     # DisableFailpoint (`api/v2/failpoint.go:96`): name by
@@ -749,11 +842,24 @@ class ApiServer:
                 return self._send(200, {})
 
         self._httpd = ThreadingHTTPServer((self.host, port), Handler)
+        if self._tls_ctx is not None:
+            self._httpd.socket = self._tls_ctx.wrap_socket(
+                self._httpd.socket, server_side=True)
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, name="ticdc-api", daemon=True
         )
         self._thread.start()
         return self._httpd.server_address[1]
+
+    def issue_client_cert(self, name: str = "client") -> tuple[bytes, bytes]:
+        """Mint a client identity chained to the mTLS CA (cert-allowed
+        clients present these — Credential.CertPath/KeyPath)."""
+        if not self.mutual_tls:
+            raise ValueError("server is not in mutual-TLS mode")
+        from ticdc_spark.codec import tlsutil
+
+        return tlsutil.issue_cert(self.ca_pem, self._ca_key, name,
+                                  client=True)
 
     def stop(self) -> None:
         if self._httpd is not None:

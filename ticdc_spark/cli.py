@@ -32,11 +32,30 @@ import urllib.error
 import urllib.request
 
 
+# transport options bound by main() from --ca/--cert/--key/--user/
+# --password (the reference cli's security flags,
+# `pkg/security/credential.go`; e2e `cli_with_auth`)
+_CALL_OPTS: dict = {}
+
+
 def _call(server: str, path: str, method: str = "GET", body: dict | None = None):
     data = json.dumps(body).encode() if body is not None else None
     req = urllib.request.Request(server.rstrip("/") + path, data=data, method=method)
+    ctx = None
+    if _CALL_OPTS.get("ca"):
+        from ticdc_spark.codec import tlsutil
+
+        ctx = tlsutil.client_context(
+            _CALL_OPTS["ca"], _CALL_OPTS.get("cert"), _CALL_OPTS.get("key"))
+    if _CALL_OPTS.get("user") is not None:
+        import base64
+
+        tok = base64.b64encode(
+            f"{_CALL_OPTS['user']}:{_CALL_OPTS.get('password') or ''}"
+            .encode()).decode()
+        req.add_header("Authorization", f"Basic {tok}")
     try:
-        with urllib.request.urlopen(req) as r:
+        with urllib.request.urlopen(req, context=ctx) as r:
             return r.status, json.loads(r.read())
     except urllib.error.HTTPError as e:
         return e.code, json.loads(e.read())
@@ -52,6 +71,15 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="cdc cli")
     p.add_argument("--server", default="http://127.0.0.1:8300",
                    help="api/v2 server address")
+    p.add_argument("--ca", default=None,
+                   help="CA certificate PEM path for https --server")
+    p.add_argument("--cert", default=None,
+                   help="client certificate PEM path (mTLS)")
+    p.add_argument("--key", default=None,
+                   help="client private key PEM path (mTLS)")
+    p.add_argument("--user", default=None,
+                   help="API username (client-user-required servers)")
+    p.add_argument("--password", default=None, help="API password")
     sub = p.add_subparsers(dest="noun", required=True)
 
     cf = sub.add_parser("changefeed").add_subparsers(dest="verb", required=True)
@@ -110,6 +138,15 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None, out=sys.stdout) -> int:
     a = build_parser().parse_args(argv)
     s = a.server
+    _CALL_OPTS.clear()
+    for flag in ("ca", "cert", "key"):
+        path = getattr(a, flag, None)
+        if path:
+            with open(path, "rb") as f:
+                _CALL_OPTS[flag] = f.read()
+    if getattr(a, "user", None) is not None:
+        _CALL_OPTS["user"] = a.user
+        _CALL_OPTS["password"] = a.password
     if a.noun == "changefeed":
         cid = getattr(a, "changefeed_id", None)
         if a.verb == "create":

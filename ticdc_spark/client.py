@@ -140,9 +140,32 @@ class ApiClient:
         client.changefeeds.pause("cf")
     """
 
-    def __init__(self, base_url: str, timeout_s: float = 10.0) -> None:
+    def __init__(self, base_url: str, timeout_s: float = 10.0,
+                 user: str | None = None, password: str | None = None,
+                 ca_pem: bytes | None = None,
+                 cert_pem: bytes | None = None,
+                 key_pem: bytes | None = None) -> None:
+        """TLS + auth (the cli's --ca/--cert/--key/--user/--password,
+        `pkg/security/credential.go` + `cli_with_auth` e2e): ``ca_pem``
+        pins the server CA for https URLs (no system trust store);
+        cert/key present a client certificate to mTLS listeners;
+        user/password ride every request as HTTP Basic auth for
+        ``client-user-required`` servers."""
         self.base_url = base_url.rstrip("/")
         self.timeout_s = timeout_s
+        self._ssl_ctx = None
+        if ca_pem is not None:
+            from ticdc_spark.codec import tlsutil
+
+            self._ssl_ctx = tlsutil.client_context(ca_pem, cert_pem,
+                                                   key_pem)
+        self._auth_header = None
+        if user is not None:
+            import base64 as _b64
+
+            tok = _b64.b64encode(
+                f"{user}:{password or ''}".encode()).decode()
+            self._auth_header = f"Basic {tok}"
         self.changefeeds = _Changefeeds(self)
         self.captures = _Captures(self)
         self.processors = _Processors(self)
@@ -168,7 +191,10 @@ class ApiClient:
 
     def metrics_text(self) -> str:
         req = urllib.request.Request(self.base_url + "/metrics")
-        with urllib.request.urlopen(req, timeout=self.timeout_s) as r:
+        if self._auth_header:
+            req.add_header("Authorization", self._auth_header)
+        with urllib.request.urlopen(req, timeout=self.timeout_s,
+                                    context=self._ssl_ctx) as r:
             return r.read().decode()
 
     # -- transport -----------------------------------------------------
@@ -176,11 +202,14 @@ class ApiClient:
               body: dict | None = None,
               headers: dict | None = None) -> dict:
         data = json.dumps(body).encode() if body is not None else None
+        hdrs = {"Content-Type": "application/json", **(headers or {})}
+        if self._auth_header:
+            hdrs.setdefault("Authorization", self._auth_header)
         req = urllib.request.Request(
-            self.base_url + path, data=data, method=method,
-            headers={"Content-Type": "application/json", **(headers or {})})
+            self.base_url + path, data=data, method=method, headers=hdrs)
         try:
-            with urllib.request.urlopen(req, timeout=self.timeout_s) as r:
+            with urllib.request.urlopen(req, timeout=self.timeout_s,
+                                        context=self._ssl_ctx) as r:
                 payload = r.read()
         except urllib.error.HTTPError as e:
             try:

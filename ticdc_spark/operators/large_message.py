@@ -42,11 +42,49 @@ def apply_handle_key_only(
     )
 
 
+def claim_store_payload(raw_value: bool = False) -> Column:
+    """The bytes parked at the claim location
+    (`pkg/sink/kafka/claimcheck/claim_check.go:74-93` WriteMessage):
+
+    - default: the ClaimCheckMessage envelope ``{"key":…,"value":…}``
+      with Go's ``[]byte`` JSON marshaling (base64) —
+      `pkg/sink/codec/common/message.go:153-156`;
+    - ``raw_value=True`` (`pkg/config/large_message.go:35`
+      claim-check-raw-value): the BARE encoded value, no envelope — for
+      consumers that read the object directly.
+
+    Expects ``key``/``value`` string columns; key may be absent only in
+    raw mode's caller (raw mode never reads it)."""
+    if raw_value:
+        return F.col("value")
+    return F.concat(
+        F.lit('{"key":"'), F.base64(F.col("key").cast("binary")),
+        F.lit('","value":"'), F.base64(F.col("value").cast("binary")),
+        F.lit('"}'),
+    )
+
+
+def read_claim_store_payload(payload: Column, raw_value: bool = False) -> Column:
+    """Consumer half (`canal/canal_json_decoder.go:188-194`): unwrap the
+    ClaimCheckMessage envelope unless the changefeed wrote raw values."""
+    if raw_value:
+        return payload
+    return F.unbase64(
+        F.get_json_object(payload, "$.value")).cast("string")
+
+
 def with_claim_check(
-    cl_encoded: DataFrame, max_bytes: int, claim_store_uri: str = "s3://claims"
+    cl_encoded: DataFrame, max_bytes: int,
+    claim_store_uri: str = "s3://claims", raw_value: bool = False,
 ) -> DataFrame:
     """Oversized messages become pointers: ``{"claimCheckLocation": …}``;
-    the payload rows are flagged for the external write."""
+    the payload rows are flagged for the external write. ``payload`` is
+    the exact bytes to park — the ClaimCheckMessage envelope by default,
+    the bare value under ``claim-check-raw-value``
+    (`pkg/config/large_message.go:35`; the open-protocol prohibition at
+    `:89` is enforced by the pipeline/config layer). When no ``key``
+    column rides the frame (a value-only stream), the payload stays
+    bare either way."""
     location = F.concat(
         F.lit(claim_store_uri + "/"),
         F.col("schema_name"), F.lit("/"), F.col("table_name"), F.lit("/"),
@@ -54,12 +92,15 @@ def with_claim_check(
         F.col("seq").cast("string"), F.lit(".json"),
     )
     is_large = F.length("value") > max_bytes
+    parked = (claim_store_payload(raw_value)
+              if (raw_value or "key" in cl_encoded.columns)
+              else F.col("value"))
     return (
         cl_encoded.withColumn("is_large", is_large)
         .withColumn("claim_location", F.when(is_large, location))
-        # the original message body for oversized rows — what foreachBatch
-        # writes to the claim store at `claim_location`
-        .withColumn("payload", F.when(is_large, F.col("value")))
+        # the bytes for oversized rows — what foreachBatch writes to the
+        # claim store at `claim_location`
+        .withColumn("payload", F.when(is_large, parked))
         .withColumn(
             "value",
             F.when(
@@ -70,7 +111,8 @@ def with_claim_check(
     )
 
 
-def resolve_claim_check(msgs: DataFrame, claim_store: DataFrame) -> DataFrame:
+def resolve_claim_check(msgs: DataFrame, claim_store: DataFrame,
+                        enveloped: bool = False) -> DataFrame:
     """Consumer-side claim-check re-fetch (J3, `pkg/sink/kafka/claimcheck/`
     consumed by `cmd/kafka-consumer`): pointer messages look up the
     externally-stored payload by location and the original value is
@@ -79,7 +121,15 @@ def resolve_claim_check(msgs: DataFrame, claim_store: DataFrame) -> DataFrame:
 
     Only oversized rows ever reach the store, so the lookup side is
     small — ``broadcast()`` makes the re-fetch a map-side join (no
-    shuffle of the message stream)."""
+    shuffle of the message stream).
+
+    ``enveloped=True`` when the store holds ClaimCheckMessage envelopes
+    (the non-raw-value default of the WRITER): the value is unwrapped
+    from the ``{"key":…,"value":…}`` JSON
+    (`canal_json_decoder.go:188-194`)."""
+    if enveloped:
+        claim_store = claim_store.withColumn(
+            "payload", read_claim_store_payload(F.col("payload")))
     store = F.broadcast(
         claim_store.select(
             F.col("claim_location").alias("_cc_loc"),

@@ -335,7 +335,7 @@ def build_pipeline(cl: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
             # prohibited for the open protocol — its messages are
             # key/value PAIRS, so a bare value is not reconstructible.
             raw_value = bool(lm.get("claim-check-raw-value", False))
-            if raw_value and cfg.protocol == "open":
+            if raw_value and cfg.protocol == "open-protocol":
                 raise ValueError(
                     "large message handle is set to claim-check, raw "
                     "value is not supported for the open protocol")

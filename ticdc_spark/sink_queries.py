@@ -3647,30 +3647,70 @@ def q_claim_check_storage_roundtrip(spark, sf_dir):
     enc = enc.withColumn(
         "key", F.concat_ws(".", "schema_name", "table_name",
                            F.col("seq").cast("string")))
+    # the operator parks ClaimCheckMessage envelopes (payload column)
+    # because a key column rides the frame and raw_value is off
     ptrs = with_claim_check(enc, max_bytes=_LM_MAX)
-    # producer side: park ClaimCheckMessage objects in the claim store
     ptrs.filter(F.col("is_large")).select(
-        "claim_location",
-        F.base64(F.col("key").cast("binary")).alias("key"),
-        F.base64(F.col("payload").cast("binary")).alias("value"),
+        "claim_location", "payload",
     ).write.mode("overwrite").json(claim_dir)
-    # consumer side: read the store back and restore by location
-    store = spark.read.json(claim_dir).select(
-        "claim_location",
-        F.unbase64("key").cast("string").alias("store_key"),
-        F.unbase64("value").cast("string").alias("payload"),
-    )
-    resolved = resolve_claim_check(
-        ptrs.drop("payload"),
-        store.select("claim_location", "payload"))
-    keyed = resolved.join(
-        F.broadcast(store.select(
-            F.col("claim_location").alias("_k_loc"), "store_key")),
-        resolved["claim_location"] == F.col("_k_loc"), "left")
+    # consumer side: read the store back, unwrap the envelope, restore
+    store = spark.read.json(claim_dir).select("claim_location", "payload")
+    resolved = resolve_claim_check(ptrs.drop("payload"), store,
+                                   enveloped=True)
+    store_keys = store.select(
+        F.col("claim_location").alias("_k_loc"),
+        F.unbase64(F.get_json_object("payload", "$.key"))
+        .cast("string").alias("store_key"))
+    keyed = resolved.join(F.broadcast(store_keys),
+                          resolved["claim_location"] == F.col("_k_loc"),
+                          "left")
     return keyed.select(
         "seq", "is_large", "value",
         F.when(F.col("is_large"),
                F.col("store_key") == F.col("key")).alias("key_ok"))
+
+
+# ---------------------------------------------------------------------------
+# claim-check-raw-value (`pkg/config/large_message.go:35`; writer branch
+# `pkg/sink/kafka/claimcheck/claim_check.go:74-84`, reader branch
+# `canal/canal_json_decoder.go:188-194`): the claim object is the BARE
+# encoded value — no ClaimCheckMessage envelope — so a plain consumer
+# can read it directly. Prohibited for the open protocol (`:89`,
+# enforced in pipeline.py; test_large_message pins the rejection).
+# ---------------------------------------------------------------------------
+@register(
+    "claim_check_raw_value_roundtrip",
+    f"WITH {CHANGELOG_SQL} SELECT seq, "
+    f"length({_CANAL_SQL}) > {_LM_MAX} AS is_large, "
+    f"{_CANAL_SQL} AS value, "
+    f"CASE WHEN length({_CANAL_SQL}) > {_LM_MAX} "
+    f"THEN {_CANAL_SQL} END AS stored_object FROM changelog",
+)
+def q_claim_check_raw_value_roundtrip(spark, sf_dir):
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    claim_dir = os.path.join(
+        repo_root, "spark-warehouse",
+        f"claim_store_raw_{os.path.basename(os.path.normpath(sf_dir))}")
+    enc = encode_canal_json(scale_out(events_changelog(spark, sf_dir)))
+    enc = enc.withColumn(
+        "key", F.concat_ws(".", "schema_name", "table_name",
+                           F.col("seq").cast("string")))
+    ptrs = with_claim_check(enc, max_bytes=_LM_MAX, raw_value=True)
+    ptrs.filter(F.col("is_large")).select(
+        "claim_location", "payload",
+    ).write.mode("overwrite").json(claim_dir)
+    store = spark.read.json(claim_dir).select("claim_location", "payload")
+    resolved = resolve_claim_check(ptrs.drop("payload"), store)
+    # stored_object proves the parked bytes ARE the bare value (no
+    # envelope): surfaced for oversized rows straight from the store
+    objs = store.select(F.col("claim_location").alias("_o_loc"),
+                        F.col("payload").alias("stored_object"))
+    out = resolved.join(F.broadcast(objs),
+                        resolved["claim_location"] == F.col("_o_loc"),
+                        "left")
+    return out.select("seq", "is_large", "value", "stored_object")
 
 
 # ---------------------------------------------------------------------------
