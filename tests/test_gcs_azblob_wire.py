@@ -97,6 +97,16 @@ def test_gcs_tls_and_mutual_tls():
         with GCSClient(srv.endpoint, srv.token, tls_ca=srv.ca_pem) as c:
             c.put_object("b", "k", b"enc")
             assert c.get_object("b", "k") == b"enc"
+            # the resumable-session Location URI must carry the
+            # server's ACTUAL scheme — a conformant client follows the
+            # absolute URL, so http:// here would downgrade TLS
+            _, headers, _ = c._request_h(
+                "POST", "/upload/storage/v1/b/b/o"
+                        "?uploadType=resumable&name=big")
+            assert headers["Location"].startswith("https://")
+            c.put_object_large("b", "big", b"x" * 262144 * 2,
+                               part_size=262144)
+            assert c.get_object("b", "big") == b"x" * 262144 * 2
         other_ca, _ = make_self_signed()
         with pytest.raises((ssl.SSLError, IOError)):
             with GCSClient(srv.endpoint, srv.token, tls_ca=other_ca) as c:

@@ -819,6 +819,69 @@ def test_aborted_range_filters_only_transactional_batches(broker):
         assert vals == [b"plain"]
 
 
+def test_fetch_session_read_committed(broker):
+    """FetchSession honors isolation=read_committed exactly like
+    KafkaConn.fetch: control batches never surface, aborted
+    transactional data is dropped, open transactions stay invisible
+    (LSO), and committed data appears after its marker."""
+    from ticdc_spark.sinks.kafka_client import FetchSession
+
+    with KafkaConn.from_bootstrap(broker.bootstrap) as c:
+        txn = c.init_producer_id("cf-fsrc")
+        c.add_partitions_to_txn("cf-fsrc", txn, {"frc": [0]})
+        c.produce("frc", 0, [Record(b"k", b"aborted")],
+                  producer=txn, base_sequence=0, transactional=True)
+        # idempotent-only batch from the same pid stays visible
+        c.produce("frc", 0, [Record(b"k", b"plain")],
+                  producer=txn, base_sequence=1)
+        c.end_txn("cf-fsrc", txn, commit=False)
+
+        fs = FetchSession(c, {("frc", 0): 0},
+                          isolation="read_committed")
+        got = fs.poll()
+        assert [r.value for _, r in got[("frc", 0)]] == [b"plain"]
+        # open transaction: invisible until its marker lands (LSO stop)
+        c.add_partitions_to_txn("cf-fsrc", txn, {"frc": [0]})
+        c.produce("frc", 0, [Record(b"k", b"pending")],
+                  producer=txn, base_sequence=2, transactional=True)
+        assert fs.poll() == {}
+        c.end_txn("cf-fsrc", txn, commit=True)
+        got = fs.poll()
+        assert [r.value for _, r in got[("frc", 0)]] == [b"pending"]
+        # control markers never surfaced anywhere above; a second poll
+        # past the COMMIT marker returns nothing and the session stays
+        # healthy
+        assert fs.poll() == {}
+        # read_uncommitted sees the aborted record too (from scratch)
+        fs2 = FetchSession(c, {("frc", 0): 0})
+        vals = [r.value for _, r in fs2.poll()[("frc", 0)]]
+        assert vals == [b"aborted", b"plain", b"pending"]
+
+
+def test_fetch_session_client_relists_consumed_partitions(broker):
+    """KIP-227 conformance: the broker never advances cached fetch
+    offsets; the client re-lists a consumed partition with its new
+    position in the next incremental request — so the broker cache
+    converges to the client position without server-side magic."""
+    from ticdc_spark.sinks.kafka_client import FetchSession
+
+    with KafkaConn.from_bootstrap(broker.bootstrap) as c:
+        c.produce("rl", 0, [Record(b"k", b"x0"), Record(b"k", b"x1")])
+        fs = FetchSession(c, {("rl", 0): 0})
+        got = fs.poll()
+        assert len(got[("rl", 0)]) == 2
+        # the broker cache still holds the ORIGINAL offset (no
+        # auto-advance)...
+        sess = broker._fetch_sessions[fs.session_id]
+        assert sess["parts"][("rl", 0)][0] == 0
+        # ...and the next poll re-lists the partition at position 2,
+        # returning no duplicates
+        assert fs.poll() == {}
+        assert sess["parts"][("rl", 0)][0] == 2
+        # steady state: repeated polls re-read nothing
+        assert fs.poll() == {}
+
+
 def test_offset_for_timestamp_rejects_classic_negotiation():
     """offset_for_timestamp follows the negotiated ListOffsets version;
     against a classic-only broker (v1 ceiling) it raises a clear error

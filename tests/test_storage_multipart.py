@@ -155,8 +155,9 @@ def test_azblob_block_crash_resume(az):
     """Crash after staging 2 of 5 blocks: a fresh client reads the
     uncommitted list and re-stages only the missing blocks."""
     srv, c = az
-    c.put_block("ct", "k", c.block_id(0), BODY[:300_000])
-    c.put_block("ct", "k", c.block_id(1), BODY[300_000:600_000])
+    c.put_block("ct", "k", c.block_id(0, BODY[:300_000]), BODY[:300_000])
+    c.put_block("ct", "k", c.block_id(1, BODY[300_000:600_000]),
+                BODY[300_000:600_000])
     with AzBlobClient(srv.endpoint, srv.account, srv.key_b64) as c2:
         com, unc = c2.get_block_list("ct", "k")
         assert com == [] and len(unc) == 2
@@ -166,6 +167,20 @@ def test_azblob_block_crash_resume(az):
         # commit moved the blocks: committed 5, uncommitted drained
         com, unc = c2.get_block_list("ct", "k")
         assert len(com) == 5 and unc == []
+
+
+def test_azblob_resume_restages_changed_content(az):
+    """A staged block whose CONTENT differs from the retry's bytes (same
+    index, same size) must NOT be committed stale: the content-hashed
+    block id misses, the block re-stages, and the final blob carries
+    the NEW bytes (ADVICE r5: match the S3 resume's ETag comparison)."""
+    srv, c = az
+    stale = bytes([7]) * 300_000  # same size as the real first chunk
+    c.put_block("ct", "kc", c.block_id(0, stale), stale)
+    with AzBlobClient(srv.endpoint, srv.account, srv.key_b64) as c2:
+        c2.put_object_large("ct", "kc", BODY, part_size=300_000,
+                            resume=True)
+        assert c2.get_object("ct", "kc") == BODY  # not the stale bytes
 
 
 def test_azblob_block_errors(az):

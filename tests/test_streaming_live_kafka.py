@@ -258,14 +258,20 @@ def test_schema_registry_bump_idempotent_per_ddl_ts(tmp_path):
           "query": "alter table t add column c int"}
     d2 = {"commit_ts": 200, "schema_name": "s", "table_name": "t",
           "query": "alter table t drop column c"}
+    # two DISTINCT DDLs sharing one commit_ts (a multi-statement batch):
+    # identity is (ddl_ts, query), so BOTH get version lines
+    d2b = {"commit_ts": 200, "schema_name": "s", "table_name": "t2",
+           "query": "alter table t2 add column d int"}
     bump_schema_registry(path, d1)
     bump_schema_registry(path, d1)  # crash-replay of the same DDL
     bump_schema_registry(path, d2)
     bump_schema_registry(path, d2)
+    bump_schema_registry(path, d2b)  # same ts, different DDL -> new line
+    bump_schema_registry(path, d2b)
     with open(path) as f:
         lines = [_json.loads(ln) for ln in f if ln.strip()]
     assert [(ln["version"], ln["ddl_ts"]) for ln in lines] == [
-        (1, 100), (2, 200)]
+        (1, 100), (2, 200), (3, 200)]
 
 
 def test_live_rewind_rebroadcasts_rewound_ddl(spark, sf_dir, tmp_path):
@@ -329,3 +335,87 @@ def test_live_rewind_rebroadcasts_rewound_ddl(spark, sf_dir, tmp_path):
         n_gt = batch.count() - n_le
         assert by_es[True] == n_le          # delivered once
         assert by_es[False] == 2 * n_gt     # rewound range re-delivered
+
+
+def test_crash_between_ddl_broadcast_and_checkpoint_commit(
+        spark, sf_dir, tmp_path):
+    """The checkpoint_race_ddl_crash window (reference e2e): kill the
+    changefeed AFTER the DDL broadcast hits the wire but BEFORE the
+    registry bump + DDLTsBook record + epoch commit.  Restart replays
+    the epoch and re-broadcasts the DDL (at-least-once on the wire —
+    the consumer dedup contract), but the schema-version registry gains
+    exactly ONE line and the DDLTsBook exactly one entry: the DDL
+    applies exactly once downstream."""
+    import json as _json
+    import os
+
+    from ticdc_spark.sinks.consumer import decode_canal_json, replay_to_state
+    from ticdc_spark.streaming.barrier import DDLTsBook
+
+    cl = events_changelog(spark, sf_dir)
+    tss = sorted(r[0] for r in cl.select("commit_ts").collect())
+    ddl_ts = tss[len(tss) // 2]
+    ddl = {"commit_ts": ddl_ts, "schema_name": "test",
+           "table_name": "tp_click", "ddl_type": "add-column",
+           "query": "ALTER TABLE tp_click ADD COLUMN note VARCHAR(16)"}
+
+    with KafkaBroker(default_partitions=16) as broker:
+        cfg = ChangefeedConfig(**CFG)
+        cf = Changefeed("cf_ddl_race", cfg, str(tmp_path),
+                        live_bootstrap=broker.bootstrap)
+        cf.ddl_events = [ddl]
+        failpoint.enable("changefeed/after-ddl-broadcast", "1*panic")
+        with pytest.raises(Exception):
+            cf.start(spark, sf_dir, available_now=True)
+            cf.wait(240)
+            cf.query.processAllAvailable()
+        failpoint.disable_all()
+
+        # the broadcast DID land before the crash...
+        data_mid, _ = _drain(broker)
+        ddls_mid = [v for _, _, v in data_mid if '"isDdl":true' in v]
+        assert ddls_mid, "DDL broadcast missing before the crash point"
+        # ...but neither the version bump nor the book record happened
+        reg_path = os.path.join(str(tmp_path), "schema_versions",
+                                "cf_ddl_race.jsonl")
+        assert not os.path.exists(reg_path)
+        assert DDLTsBook(os.path.join(
+            str(tmp_path), "ddl", "cf_ddl_race.book.jsonl")
+        ).should_apply(ddl_ts)
+
+        # owner restart with the same checkpoint: epoch replays
+        cf2 = Changefeed("cf_ddl_race", cfg, str(tmp_path),
+                         live_bootstrap=broker.bootstrap)
+        cf2.ddl_events = [ddl]
+        cf2.start(spark, sf_dir, available_now=True)
+        cf2.wait(240)
+
+        data, _ = _drain(broker)
+        msgs = [_json.loads(v) for _, _, v in data]
+        ddls = [m for m in msgs if m.get("isDdl")]
+        # re-broadcast happened (2 frames per partition: crashed attempt
+        # + replay) — at-least-once on the wire, like the data path
+        n_parts = sum(len(parts) for parts in broker.topics.values())
+        assert len(ddls) == 2 * n_parts
+
+        # exactly-once downstream apply: ONE registry line, ONE book
+        # entry, and a third run would skip the DDL entirely
+        with open(reg_path) as f:
+            lines = [_json.loads(ln) for ln in f if ln.strip()]
+        assert [(ln["version"], ln["ddl_ts"]) for ln in lines] == [
+            (1, ddl_ts)]
+        book = DDLTsBook(os.path.join(
+            str(tmp_path), "ddl", "cf_ddl_race.book.jsonl"))
+        assert not book.should_apply(ddl_ts)
+
+        # and the data stream dedups to the clean batch state
+        rows = spark.createDataFrame(
+            [(v,) for _, _, v in data if '"isDdl":true' not in v
+             and '"TIDB_WATERMARK"' not in v], "value string")
+        state = replay_to_state(decode_canal_json(rows),
+                                order_col="commit_ts")
+        clean = replay_to_state(
+            decode_canal_json(build_pipeline(cl, cfg)),
+            order_col="commit_ts")
+        assert state.exceptAll(clean).count() == 0
+        assert clean.exceptAll(state).count() == 0

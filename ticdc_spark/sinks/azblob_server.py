@@ -381,10 +381,18 @@ class AzBlobClient:
     # Blob caps out; blocks stage independently and commit atomically)
 
     @staticmethod
-    def block_id(n: int) -> str:
+    def block_id(n: int, chunk: bytes = b"") -> str:
         """Deterministic base64 block id (all ids of one blob must have
-        equal length, per the service rule)."""
-        return base64.b64encode(f"block-{n:08d}".encode()).decode()
+        equal length, per the service rule).  The id embeds the chunk's
+        MD5, so a resumed attempt can only match a staged block whose
+        CONTENT is identical — the Azure analog of the S3 resume's
+        ListParts ETag comparison (a size-only match would silently
+        commit a stale block if the retry's bytes changed)."""
+        import hashlib
+
+        digest = hashlib.md5(chunk).hexdigest()[:16]
+        return base64.b64encode(
+            f"block-{n:08d}-{digest}".encode()).decode()
 
     def put_block(self, container: str, key: str, block_id: str,
                   body: bytes) -> None:
@@ -433,8 +441,12 @@ class AzBlobClient:
                          part_size: int = 8 * 1024 * 1024,
                          resume: bool = False) -> None:
         """Staged block upload + atomic commit.  With ``resume=True``,
-        blocks the service already holds uncommitted (matched by id +
-        size) are skipped — the mid-upload crash/retry path."""
+        blocks the service already holds uncommitted are skipped — the
+        mid-upload crash/retry path.  The match is by id, and the id
+        embeds the chunk's content MD5 (see ``block_id``), so identical
+        id+size means identical bytes — a staged block from an attempt
+        whose content has since changed gets a different id and is
+        simply re-staged."""
         have: dict[str, int] = {}
         if resume:
             _, unc = self.get_block_list(container, key)
@@ -442,7 +454,7 @@ class AzBlobClient:
         ids: list[str] = []
         for i in range(0, max(len(body), 1), part_size):
             chunk = body[i:i + part_size]
-            bid = self.block_id(i // part_size)
+            bid = self.block_id(i // part_size, chunk)
             if have.get(bid) != len(chunk):
                 self.put_block(container, key, bid, chunk)
             ids.append(bid)

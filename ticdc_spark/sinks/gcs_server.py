@@ -122,7 +122,12 @@ class MiniGCSServer:
                             srv.sessions[uid] = {
                                 "bucket": bucket, "name": q["name"],
                                 "data": bytearray(), "total": None}
-                        loc = (f"http://{srv.host}:{srv.port}"
+                        # absolute session URI on the server's ACTUAL
+                        # scheme — a conformant client follows this URL
+                        # verbatim, so a hardcoded http:// would
+                        # downgrade TLS sessions
+                        scheme = "https" if srv.tls else "http"
+                        loc = (f"{scheme}://{srv.host}:{srv.port}"
                                f"/upload/storage/v1/b/{bucket}/o"
                                f"?uploadType=resumable&upload_id={uid}")
                         self.send_response(200)

@@ -885,7 +885,6 @@ class KafkaBroker:
                     resp_sid = sid
                     incremental = True
             parts = []
-            consumed: dict[tuple[str, int], int] = {}
             for topic, partition, offset, pmax in wants:
                 t = self._get_topic(topic, create=False)
                 if t is None or partition not in t:
@@ -896,25 +895,17 @@ class KafkaBroker:
                     # incremental responses omit unchanged partitions —
                     # the bandwidth win KIP-227 exists for
                     continue
-                if data:
-                    consumed[(topic, partition)] = max(
-                        base + n for base, n in self._batch_spans(data))
                 if isolation == 1:  # READ_COMMITTED: lso + aborted ranges
                     lso, aborted = t[partition].stable_view(offset)
                     parts.append(
                         (topic, partition, 0, hw, data, lso, aborted))
                 else:
                     parts.append((topic, partition, 0, hw, data))
-            if resp_sid and consumed:
-                # advance the session's cached positions past the data
-                # just returned, like a real broker's cached fetch
-                # offsets — the client only re-lists a partition to SEEK
-                with self._fetch_sessions_lock:
-                    sess = self._fetch_sessions.get(resp_sid)
-                    if sess is not None:
-                        for key, new_off in consumed.items():
-                            if key in sess["parts"]:
-                                sess["parts"][key][0] = new_off
+            # NOTE: a KIP-227 broker NEVER advances a session's cached
+            # fetch offsets — the CLIENT re-lists any partition whose
+            # position moved in its next incremental request (that is
+            # FetchSession.poll's rule); the cached offset only changes
+            # when a request lists the partition.
             if flex:
                 return kw.frame_response_flex(
                     corr, kw.enc_fetch_response_v12(
@@ -922,22 +913,6 @@ class KafkaBroker:
             return kw.frame_response(corr, kw.enc_fetch_response(parts))
         raise AssertionError("unreachable")
 
-    @staticmethod
-    def _batch_spans(record_set: bytes) -> list[tuple[int, int]]:
-        """[(base_offset, record_count)] per batch in a record set —
-        the offsets a fetch response covered (session cache advance)."""
-        spans = []
-        pos = 0
-        while pos + 61 <= len(record_set):
-            base = struct.unpack_from(">q", record_set, pos)[0]
-            batch_len = struct.unpack_from(">i", record_set, pos + 8)[0]
-            end = pos + 12 + batch_len
-            if batch_len < 0 or end > len(record_set):
-                break
-            n = struct.unpack_from(">i", record_set, pos + 57)[0]
-            spans.append((base, n))
-            pos = end
-        return spans
 
 
 def _recv_exact(sock: socket.socket, n: int) -> bytes | None:

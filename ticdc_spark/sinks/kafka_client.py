@@ -459,20 +459,64 @@ class FetchSession:
         self._pending.clear()
         self._forgotten.clear()
         out: dict[tuple[str, int], list[tuple[int, kw.Record]]] = {}
-        for topic, idx, err, _hw, _lso, _aborted, rs in parts:
+        for topic, idx, err, hw, lso, aborted, rs in parts:
             if err:
                 raise IOError(f"fetch {topic}/{idx}: error {err}")
             if not rs:
                 continue
+            old_pos = self.positions.get((topic, idx), 0)
+            # same READ_COMMITTED fold as KafkaConn.fetch: control
+            # batches (txn markers) never surface; under iso=1 the scan
+            # stops at the LSO and transactional batches inside the
+            # response's aborted ranges are dropped (an ABORT marker
+            # consumes its pid's oldest pending range)
+            end = lso if self.iso else hw
+            abort_pending: dict[int, list[int]] = {}
+            for pid_a, first in sorted(aborted or (),
+                                       key=lambda x: x[1]):
+                abort_pending.setdefault(pid_a, []).append(first)
             recs: list[tuple[int, kw.Record]] = []
-            for base, records in kw.decode_record_batches(rs):
-                for rec in records:
-                    off = base + rec.offset_delta
-                    if off >= self.positions.get((topic, idx), 0):
-                        recs.append((off, rec))
+            new_pos = old_pos
+            pos = 0
+            while pos + 12 <= len(rs):
+                blen = struct.unpack_from(">i", rs, pos + 8)[0]
+                bend = pos + 12 + blen
+                if blen < 0 or bend > len(rs):
+                    break  # partial tail
+                batch = rs[pos:bend]
+                pos = bend
+                base = struct.unpack_from(">q", batch, 0)[0]
+                if base >= end:
+                    continue
+                attrs = kw.batch_attributes(batch)
+                pid = kw.batch_producer_meta(batch)[0]
+                n = struct.unpack_from(">i", batch, 57)[0]
+                new_pos = max(new_pos, base + n)
+                if attrs & kw.ATTR_CONTROL:
+                    if self.iso and abort_pending.get(pid):
+                        [(_, recs0)] = kw.decode_record_batches(batch)
+                        if (kw.dec_control_record(recs0[0])
+                                == kw.CONTROL_ABORT
+                                and base > abort_pending[pid][0]):
+                            abort_pending[pid].pop(0)
+                    continue
+                if (self.iso and (attrs & kw.ATTR_TRANSACTIONAL)
+                        and abort_pending.get(pid)
+                        and base >= abort_pending[pid][0]):
+                    continue  # aborted transaction data
+                for b2, records in kw.decode_record_batches(batch):
+                    for rec in records:
+                        off = b2 + rec.offset_delta
+                        if old_pos <= off < end:
+                            recs.append((off, rec))
             if recs:
                 out[(topic, idx)] = recs
-                self.positions[(topic, idx)] = recs[-1][0] + 1
+            if new_pos != old_pos:
+                # KIP-227 client rule: a partition whose position moved
+                # is RE-LISTED in the next incremental request — the
+                # broker's cached fetch offset never advances by itself
+                self.positions[(topic, idx)] = new_pos
+                self._pending[(topic, idx)] = new_pos
         return out
 
     def _reader(self, body: bytes) -> kw.Reader:

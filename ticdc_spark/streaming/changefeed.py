@@ -48,23 +48,29 @@ def bootstrap_from_sink_uri(cfg) -> str | None:
 
 
 def bump_schema_registry(path: str, ddl: dict) -> None:
-    """Append a schema-version line for ``ddl`` — idempotent per ddl_ts.
+    """Append a schema-version line for ``ddl`` — idempotent per DDL
+    identity ``(ddl_ts, query)``.
 
     A crash between this append and the DDLTsBook record replays the
     DDL; the replay must not double-bump the version (consumers key on
-    version numbers).  Version derives from distinct ddl_ts entries,
-    and a line with this ddl_ts already present means the bump
-    happened — skip the append."""
+    version numbers).  Identity is the (commit_ts, query) PAIR, not
+    commit_ts alone: a multi-statement batch commits several distinct
+    DDLs at one ts, and each must get its own version line.  A line
+    with this identity already present means the bump happened — skip
+    the append; version = distinct identities + 1."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    seen_ts: set[int] = set()
+    seen: set[tuple[int, str]] = set()
     if os.path.exists(path):
         with open(path) as f:
-            seen_ts = {json.loads(ln)["ddl_ts"] for ln in f if ln.strip()}
-    if ddl["commit_ts"] in seen_ts:
+            for ln in f:
+                if ln.strip():
+                    doc = json.loads(ln)
+                    seen.add((doc["ddl_ts"], doc.get("query", "")))
+    if (ddl["commit_ts"], ddl.get("query", "")) in seen:
         return
     with open(path, "a") as f:
         f.write(json.dumps({
-            "version": len(seen_ts) + 1,
+            "version": len(seen) + 1,
             "ddl_ts": ddl["commit_ts"],
             "schema_name": ddl.get("schema_name", ""),
             "table_name": ddl.get("table_name", ""),
@@ -302,6 +308,14 @@ class Changefeed:
                 for p in [pt["index"]
                           for pt in md["topics"][topic]["partitions"]]:
                     conn.produce(topic, p, [Record(None, value)])
+        # chaos hook: crash AFTER the wire broadcast but BEFORE the
+        # registry bump + DDLTsBook record (the reference's
+        # checkpoint_race_ddl_crash window) — restart replays the epoch
+        # and re-broadcasts (at-least-once on the wire, consumer
+        # dedups), but the version bump and the book entry must land
+        # exactly once
+        failpoint.inject("changefeed/after-ddl-broadcast",
+                         {"ts": ddl["commit_ts"]})
         # schema-version registry bump (the SchemaStore's multi-version
         # append; file-backed like the rest of the control plane)
         path = os.path.join(self.work_dir, "schema_versions",
