@@ -478,6 +478,20 @@ def main() -> None:
                 lambda qn=qname: QUERIES[qn](spark, nx_dir)
                 .write.format("noop").mode("overwrite").save(),
                 base_key=qname)
+        # storage-sink throughput probe: the multipart upload path under
+        # LOAD (the *_live_* correctness queries are construction-timed
+        # and excluded from scale blocks, so without this the multipart
+        # path's scaling would be wall-clock untested). Forced multipart
+        # (threshold 0, 64 KiB parts) against a fresh in-process S3
+        # endpoint; reports rows/files/parts and per-row ratio vs its
+        # own 1x leg.
+        try:
+            entry = _storage_sink_probe(spark, sf_dir, nx_dir, nx)
+            scale_probes_nx["storage_sink"] = entry
+        except Exception as exc:  # noqa: BLE001 — probes must not kill bench
+            print(f"bench: storage_sink probe failed: {exc}",
+                  file=sys.stderr)
+            failed.append(f"storage_sink@{nx}x")
 
     _write_result_snapshot(
         timings, sf, pipeline_rows_per_s, rows_10x, t_10x, scale_probes,
@@ -582,6 +596,57 @@ def _write_result_snapshot(timings, sf, pipeline_rows_per_s, rows_10x,
             cline = json.dumps(compact)
         sys.stdout.flush()
         print(cline, flush=True)
+
+
+def _storage_sink_probe(spark, sf_dir: str, nx_dir: str, nx: int) -> dict:
+    """Time the storage sink's distributed multipart upload at 1x and
+    nx: changelog -> update-split -> CSV encode -> path layout ->
+    SigV4 multipart PUTs from every partition.  The dataset caches and
+    the layout materializes BEFORE the clock starts, so the wall is the
+    upload itself.  -> scale_probes_nx entry with files/parts counts."""
+    import statistics as _stats
+
+    from ticdc_spark.codec.csv_codec import encode_csv
+    from ticdc_spark.operators.update_split import split_updates
+    from ticdc_spark.sinks import s3_live
+    from ticdc_spark.sinks.storage import storage_paths
+    from ticdc_spark.sources.changelog import events_changelog
+
+    part_size = 64 * 1024
+
+    def leg(sdir: str) -> tuple[float, int, int, int]:
+        cl = split_updates(events_changelog(spark, sdir, parallel=True))
+        files = storage_paths(encode_csv(cl)).localCheckpoint()
+        n_rows = files.count()  # also materializes the checkpoint
+        srv, c1, c2 = s3_live.start_server("s3")
+        walls = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            s3_live.put_files(files, srv.endpoint, c1, c2, scheme="s3",
+                              multipart_threshold=0, part_size=part_size)
+            walls.append(time.perf_counter() - t0)
+        with s3_live._client(srv.endpoint, c1, c2, "s3") as c:
+            objs = c.list_objects(s3_live.BUCKET, max_keys=100000)
+        n_files = len(objs)
+        n_parts = sum((sz + part_size - 1) // part_size for _, sz in objs)
+        srv.stop()
+        s3_live._LIVE_SERVERS.remove(srv)
+        return _stats.median(walls), n_rows, n_files, n_parts
+
+    w1, rows1, files1, parts1 = leg(sf_dir)
+    wn, rowsn, filesn, partsn = leg(nx_dir)
+    return {
+        "wall_s_median_1x": round(w1, 3),
+        "wall_s_median": round(wn, 3),
+        "samples": 3,
+        "copies": nx,
+        "per_row_ratio_vs_1x": round(wn / (nx * max(w1, 0.05)), 3),
+        "rows_1x": rows1, "files_1x": files1, "parts_1x": parts1,
+        "rows_nx": rowsn, "files_nx": filesn, "parts_nx": partsn,
+        "rows_per_s_nx": round(rowsn / wn, 1),
+        "files_per_s_nx": round(filesn / wn, 1),
+        "part_size": part_size,
+    }
 
 
 def _materialize_nx(spark, sf_dir: str, n: int) -> str:

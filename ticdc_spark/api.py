@@ -233,6 +233,8 @@ class ApiServer:
         server = self
 
         class Handler(BaseHTTPRequestHandler):
+            disable_nagle_algorithm = True  # no 40ms delayed-ACK stalls
+
             def log_message(self, *a):  # silence per-request stderr noise
                 pass
 

@@ -90,6 +90,8 @@ class MiniOAuth2Server:
         srv = self
 
         class Handler(BaseHTTPRequestHandler):
+            disable_nagle_algorithm = True  # no 40ms delayed-ACK stalls
+
             def log_message(self, *a):
                 pass
 

@@ -318,6 +318,8 @@ class registry_http_server:
         registry = self.registry
 
         class Handler(BaseHTTPRequestHandler):
+            disable_nagle_algorithm = True  # no 40ms delayed-ACK stalls
+
             def _serve(self, method: str) -> None:
                 n = int(self.headers.get("Content-Length") or 0)
                 body = self.rfile.read(n).decode() if n else None

@@ -66,6 +66,10 @@ class MiniGCSServer:
 
         class Handler(BaseHTTPRequestHandler):
             protocol_version = "HTTP/1.1"
+            # one response can flush in 2 TCP segments (headers,
+            # body); with Nagle on, the second segment waits for the
+            # client's delayed ACK — a flat ~40ms per request.
+            disable_nagle_algorithm = True
 
             def log_message(self, *a):  # quiet
                 pass

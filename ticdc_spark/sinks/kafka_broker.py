@@ -289,7 +289,12 @@ class KafkaBroker:
 
         class Handler(socketserver.BaseRequestHandler):
             def handle(self):
+                import socket as _s
+
                 from ticdc_spark import failpoint
+
+                # multi-frame responses must not wait out delayed ACKs
+                self.request.setsockopt(_s.IPPROTO_TCP, _s.TCP_NODELAY, 1)
 
                 conn_state = {"authenticated": broker.sasl_users is None,
                               "mechanism": None, "scram": None}

@@ -32,6 +32,7 @@ class KafkaConn:
         ``tls_client_cert``: (cert_pem, key_pem) presented to an mTLS
         listener (the cert-path/key-path options)."""
         self.sock = socket.create_connection((host, port), timeout=timeout)
+        self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         if tls_ca is not None:
             from ticdc_spark.codec.tlsutil import client_context
 

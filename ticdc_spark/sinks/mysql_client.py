@@ -38,6 +38,7 @@ class MySQLConn:
                  timeout: float = 60.0, tls_ca: bytes | None = None,
                  tls_client_cert: tuple[bytes, bytes] | None = None):
         self.sock = socket.create_connection((host, port), timeout=timeout)
+        self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         got = mw.read_packet(self.sock)
         if got is None:
             raise IOError("server closed during handshake")

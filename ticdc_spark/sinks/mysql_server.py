@@ -102,6 +102,9 @@ class MiniMySQLServer:
 
         class Handler(socketserver.BaseRequestHandler):
             def handle(self):
+                import socket as _s
+
+                self.request.setsockopt(_s.IPPROTO_TCP, _s.TCP_NODELAY, 1)
                 try:
                     srv._serve(self.request)
                 except (ConnectionResetError, BrokenPipeError):

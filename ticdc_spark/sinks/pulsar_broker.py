@@ -68,7 +68,10 @@ class PulsarBroker:
 
         class Handler(socketserver.BaseRequestHandler):
             def handle(self):
+                import socket as _s
+
                 sock = self.request
+                sock.setsockopt(_s.IPPROTO_TCP, _s.TCP_NODELAY, 1)
                 if broker._tls_ctx is not None:
                     import ssl as _ssl
 

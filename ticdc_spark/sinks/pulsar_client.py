@@ -38,6 +38,7 @@ class PulsarConn:
                 audience=oauth2.get("audience"),
                 scope=oauth2.get("scope"))
         self.sock = socket.create_connection((host, port), timeout=timeout)
+        self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         if tls_ca is not None:
             from ticdc_spark.codec.tlsutil import client_context
 
