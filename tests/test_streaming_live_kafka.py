@@ -419,3 +419,60 @@ def test_crash_between_ddl_broadcast_and_checkpoint_commit(
             order_col="commit_ts")
         assert state.exceptAll(clean).count() == 0
         assert clean.exceptAll(state).count() == 0
+
+
+def test_overwrite_resume_forward_with_syncpoint(spark, sf_dir, tmp_path):
+    """e2e `overwrite_resume_with_syncpoint`: a SYNC-POINT changefeed is
+    paused and resumed with a FORWARD overwrite_checkpoint_ts (skip
+    ahead).  Rows at/below the new ts never re-deliver (here: the whole
+    corpus — zero new data messages), the changefeed stays healthy with
+    a fresh checkpoint, and the syncpoint ledger keeps its monotone
+    primary-ts sequence across the resume."""
+    import json as _json
+    import os
+
+    from ticdc_spark.streaming.registry import ChangefeedRegistry
+
+    toml = ('enable-sync-point = true\n'
+            'sync-point-interval = "10m"\n'
+            '[sink]\n'
+            'dispatchers = [{matcher = ["test.tp_*"], '
+            'partition = "index-value", '
+            'topic = "cdc_{schema}_{table}"}]\n')
+    with KafkaBroker(default_partitions=16) as broker:
+        reg = ChangefeedRegistry(str(tmp_path), live=True)
+        reg.create(
+            "cf_fwd", toml,
+            sink_uri=f"kafka://{broker.bootstrap}/cdc?protocol=canal-json")
+        reg.run("cf_fwd", spark, sf_dir, timeout_s=240)
+        data1, _ = _drain(broker)
+        assert data1
+        cf1 = reg.get("cf_fwd")
+        ckpt = cf1.checkpoint_ts()
+        assert ckpt is not None
+
+        sp_path = os.path.join(str(tmp_path), "syncpoint", "cf_fwd.jsonl")
+        with open(sp_path) as f:
+            sp1 = [_json.loads(ln)["primary_ts"] for ln in f if ln.strip()]
+        assert sp1 == sorted(set(sp1))  # monotone, no dups
+
+        # skip AHEAD of everything delivered so far (+1s like the e2e's
+        # checkpoint1 + 1000000 in tso units)
+        reg.pause("cf_fwd")
+        reg.resume("cf_fwd", overwrite_checkpoint_ts=ckpt + 1_000_000)
+        cf2 = reg.get("cf_fwd")
+        assert cf2.cfg.start_ts == ckpt + 1_000_000
+        reg.run("cf_fwd", spark, sf_dir, timeout_s=240)
+
+        # forward skip: nothing re-delivers (rows <= start_ts count as
+        # already replicated)
+        data2, _ = _drain(broker)
+        assert len(data2) == len(data1)
+        # changefeed is healthy (normal state, no error)
+        assert reg.list()["cf_fwd"] in ("normal", "finished")
+        # syncpoint ledger still monotone after the resume; no rewound
+        # duplicate boundaries
+        with open(sp_path) as f:
+            sp2 = [_json.loads(ln)["primary_ts"] for ln in f if ln.strip()]
+        assert sp2[:len(sp1)] == sp1
+        assert sp2 == sorted(set(sp2))
