@@ -171,6 +171,9 @@ def main() -> None:
         # sharded HNSW)
         "storage_live_multipart_roundtrip",
         "vector_changefeed_ann",
+        # round-6: generated-column MySQL apply; raw-value claim check
+        "mysql_live_apply_generated_column",
+        "claim_check_raw_value_roundtrip",
     ]
     # queries whose real work runs at CONSTRUCTION time (iterative
     # trainers that collect control-plane state, like the k-means
@@ -186,6 +189,7 @@ def main() -> None:
                        "storage_live_azblob_roundtrip",
                        "kafka_live_gssapi_roundtrip",
                        "storage_live_multipart_roundtrip",
+                       "mysql_live_apply_generated_column",
                        # query-set collect at construction triggers the
                        # mount chain; the HNSW build runs at action
                        "vector_changefeed_ann",
