@@ -316,6 +316,9 @@ def test_live_wire_query_shuffle_budgets(spark, sf_dir):
         ("kafka_consumer_group_roundtrip", 2),  # seat fan-out + dedup exchange
         ("storage_live_s3_roundtrip", 3),  # key fan-out + replay agg (2 AQE-planned)
         ("mysql_live_apply_prepared", 0),  # readback rows are a local scan
+        ("mysql_live_apply_generated_column", 0),  # same local readback
+        # spread + store broadcast-join tails (store side is tiny)
+        ("claim_check_raw_value_roundtrip", 3),
         ("avro_live_registry_roundtrip", 1),  # (topic, partition) fan-out
         ("redo_live_s3_replay", 4),  # key fan-out + split/materialize aggs
         ("kafka_list_offsets_by_ts", 1),  # 8-row probe repartition(1)
