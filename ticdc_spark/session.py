@@ -26,6 +26,12 @@ def get_spark(app_name: str = "ticdc_spark", shuffle_partitions: int | None = No
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # default 1g fails any full-result collect past ~2.5M rows — the
+        # sf1 differential sweep collects whole changelog-sized outputs
+        # into the oracle compare (correctness tooling, not a data-path
+        # collect; the engine's own operators never collect at scale)
+        .config("spark.driver.maxResultSize",
+                os.environ.get("SPARK_GRAFT_MAX_RESULT", "8g"))
         # UI off by default (port + thread cost in tests); bench enables
         # it to read shuffle-write bytes from the status REST API
         .config("spark.ui.enabled",
