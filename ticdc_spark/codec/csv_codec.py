@@ -25,18 +25,23 @@ _QUOTE = '"'
 BINARY_ENCODING_METHODS = ("base64", "hex")
 
 
-def _escape_unquoted(col: Column) -> Column:
+def _escape_unquoted(col: Column, delimiter: str = _DELIM) -> Column:
     """Quote-less mode (`csv_message.go:209-243` formatWithEscapes):
     backslash, CR, LF, and the delimiter are backslash-escaped.
-    Backslash is doubled FIRST so later escapes aren't re-escaped."""
+    Backslash is doubled FIRST so later escapes aren't re-escaped.
+    A multi-character delimiter escapes each of its characters, and only
+    where the FULL delimiter occurs (`csv_message.go:215,230-236` —
+    a lone '|' with delimiter '||' stays bare)."""
     out = F.replace(col, F.lit("\\"), F.lit("\\\\"))
     out = F.replace(out, F.lit("\r"), F.lit("\\r"))
     out = F.replace(out, F.lit("\n"), F.lit("\\n"))
-    return F.replace(out, F.lit(_DELIM), F.lit("\\" + _DELIM))
+    escaped = "".join("\\" + ch for ch in delimiter)
+    return F.replace(out, F.lit(delimiter), F.lit(escaped))
 
 
 def _csv_field(col: Column, dtype, binary_encoding: str = "base64",
-               quote: str | None = _QUOTE) -> Column:
+               quote: str | None = _QUOTE, delimiter: str = _DELIM,
+               null_token: str = NULL_TOKEN) -> Column:
     if isinstance(dtype, BinaryType):
         # binary-encoding-method per `pkg/config/sink.go:283` /
         # `csv_message.go:276-323`: base64 or hex text rendering.
@@ -45,7 +50,7 @@ def _csv_field(col: Column, dtype, binary_encoding: str = "base64",
         rendered = (
             F.base64(col) if binary_encoding == "base64" else F.hex(col)
         )
-        return F.coalesce(rendered, F.lit(NULL_TOKEN))
+        return F.coalesce(rendered, F.lit(null_token))
     rendered = render_scalar(col, dtype)
     # vector (float array) renders to ``[v1,v2,...]`` text — a string
     # datum on the wire, so it takes string quoting/escaping (its commas
@@ -58,9 +63,9 @@ def _csv_field(col: Column, dtype, binary_encoding: str = "base64",
                 F.lit(quote),
             )
         else:
-            txt = _escape_unquoted(rendered)
-        return F.coalesce(txt, F.lit(NULL_TOKEN))
-    return F.coalesce(rendered, F.lit(NULL_TOKEN))
+            txt = _escape_unquoted(rendered, delimiter)
+        return F.coalesce(txt, F.lit(null_token))
+    return F.coalesce(rendered, F.lit(null_token))
 
 
 def encode_csv(
@@ -70,6 +75,8 @@ def encode_csv(
     quote: str | None = _QUOTE,
     terminator: str | None = None,
     output_old_value: bool = False,
+    delimiter: str = _DELIM,
+    null_token: str = NULL_TOKEN,
 ) -> DataFrame:
     """Append a ``value`` column holding the csv message.
 
@@ -84,7 +91,11 @@ def encode_csv(
     column follows commit-ts, and each UPDATE encodes as TWO lines in
     one message — the old image as a "D" row then the new image as an
     "I" row, both with is-updated=true (the reference builds both rows
-    into one strings.Builder message)."""
+    into one strings.Builder message).
+
+    ``delimiter`` ([sink.csv] delimiter, 1-3 chars,
+    `pkg/config/sink.go:275,311-324`) and ``null_token`` ([sink.csv]
+    null, `sink.go:279`) follow the reference's CSVConfig."""
     schema: StructType = cl.schema["after"].dataType
 
     def line_for(op_col: Column, img: str, updated: Column | None):
@@ -92,9 +103,11 @@ def encode_csv(
         # (`csv_message.go:97-126` encodeMeta field order; the decoder
         # reads datums[1] as tableName, datums[2] as schemaName)
         fields: list[Column] = [
-            _csv_field(op_col, StringType(), quote=quote),
-            _csv_field(F.col("table_name"), StringType(), quote=quote),
-            _csv_field(F.col("schema_name"), StringType(), quote=quote),
+            _csv_field(op_col, StringType(), quote=quote, delimiter=delimiter),
+            _csv_field(F.col("table_name"), StringType(), quote=quote,
+                       delimiter=delimiter),
+            _csv_field(F.col("schema_name"), StringType(), quote=quote,
+                       delimiter=delimiter),
         ]
         if include_commit_ts:
             fields.append(F.col("commit_ts").cast("string"))
@@ -103,10 +116,11 @@ def encode_csv(
             fields.append(updated)
         fields += [
             _csv_field(F.col(f"{img}.{f.name}"), f.dataType,
-                       binary_encoding, quote=quote)
+                       binary_encoding, quote=quote, delimiter=delimiter,
+                       null_token=null_token)
             for f in schema.fields
         ]
-        return F.concat_ws(_DELIM, *fields)
+        return F.concat_ws(delimiter, *fields)
 
     if not output_old_value:
         image = F.when(F.col("op") == "D",
@@ -130,3 +144,24 @@ def encode_csv(
     if terminator:
         value = F.concat(value, F.lit(terminator))
     return tmp.withColumn("value", value).drop("_img")
+
+
+def csv_header(
+    schema: StructType,
+    include_commit_ts: bool = True,
+    output_old_value: bool = False,
+    delimiter: str = _DELIM,
+    terminator: str = "\r\n",
+) -> str:
+    """[sink.csv] output-field-header line (`csv_message.go:417-446`
+    encodeHeader): meta columns then the payload column names, written
+    once as the first line of each storage file
+    (`csv_encoder.go:46-48` — emitted when the batch is empty).
+    Plan-time string: the schema is known when the sink DAG compiles."""
+    fields = ["ticdc-meta$operation", "ticdc-meta$table", "ticdc-meta$schema"]
+    if include_commit_ts:
+        fields.append("ticdc-meta$commit-ts")
+    if output_old_value:
+        fields.append("ticdc-meta$is-update")
+    fields += [f.name for f in schema.fields]
+    return delimiter.join(fields) + terminator

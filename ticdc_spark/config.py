@@ -172,7 +172,11 @@ def parse_changefeed_config(text: str, fmt: str = "toml") -> ChangefeedConfig:
         encoding_format=(sink.get("codec") or {}).get(
             "encoding-format", "json"),
         only_output_updated_columns=sink.get("only-output-updated-columns", False),
-        delete_only_output_handle_key=sink.get("delete-only-output-handle-key", False),
+        # reference spelling is `delete-only-output-handle-key-columns`
+        # (pkg/config/sink.go:167); the short form is kept for back-compat
+        delete_only_output_handle_key=sink.get(
+            "delete-only-output-handle-key-columns",
+            sink.get("delete-only-output-handle-key", False)),
         case_sensitive=doc.get("case-sensitive", False),
         force_replicate=doc.get("force-replicate", False),
         memory_quota=doc.get("memory-quota", 1024 * 1024 * 1024),
@@ -239,6 +243,36 @@ def parse_changefeed_config(text: str, fmt: str = "toml") -> ChangefeedConfig:
         raise ValueError(
             "avro-bigint-unsigned-handling-mode must be 'long' or "
             f"'string', got {cfg.avro_bigint_unsigned_handling_mode!r}")
+    # CSV always renders all delete columns (`pkg/config/sink.go:867-871`)
+    if cfg.delete_only_output_handle_key and cfg.protocol == "csv":
+        raise ValueError(
+            "CSV protocol always output all columns for the delete event, "
+            "do not set `delete-only-output-handle-key-columns` to true")
+    # [sink.csv] validation (`pkg/config/sink.go:292-345`
+    # CSVConfig.validateAndAdjust)
+    if cfg.csv_config is not None:
+        c = cfg.csv_config
+        cquote = c.get("quote", '"')
+        if len(cquote) > 1:
+            raise ValueError("csv config quote contains more than one character")
+        if cquote in ("\r", "\n"):
+            raise ValueError("csv config quote cannot be line break character")
+        delim = c.get("delimiter", ",")
+        if not delim:
+            raise ValueError("csv config delimiter cannot be empty")
+        if len(delim) > 3:
+            raise ValueError(
+                "csv config delimiter contains more than three characters")
+        if "\r" in delim or "\n" in delim:
+            raise ValueError(
+                "csv config delimiter contains line break characters")
+        if cquote and any(ch in cquote for ch in delim):
+            raise ValueError(
+                "csv config quote and delimiter has common characters "
+                "which is not allowed")
+        if c.get("binary-encoding-method", "base64") not in ("base64", "hex"):
+            raise ValueError(
+                "csv config binary-encoding-method can only be hex or base64")
     # [sink.kafka-config] large-message-handle
     # (`pkg/config/large_message.go:22-35`)
     lm = (sink.get("kafka-config") or {}).get("large-message-handle")

@@ -238,6 +238,8 @@ def _encode(df: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
             quote=c.get("quote", '"') or None,  # "" selects escape mode
             terminator=cfg.terminator,  # per-message, csv/txt only
             output_old_value=c.get("output-old-value", False),
+            delimiter=c.get("delimiter", ","),
+            null_token=c.get("null", "\\N"),
         )
     if cfg.protocol == "canal-json" and (
             cfg.tidb_extension or cfg.content_compatible):

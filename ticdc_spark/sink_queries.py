@@ -1439,6 +1439,57 @@ def q_codec_csv_escape(spark, sf_dir):
     return encode_csv(cl, quote=None).select("seq", "value")
 
 
+# [sink.csv] delimiter + null (`pkg/config/sink.go:275-279,311-324`):
+# multi-char delimiter '||' in escape mode — the FULL delimiter escapes
+# per char ('\|\|'), a lone '|' stays bare (`csv_message.go:215,230-236`)
+# — and a custom NULL representation.
+_ESC_D = (
+    "replace(replace(replace(replace({v}, chr(92), chr(92)||chr(92)), "
+    "chr(13), chr(92)||'r'), chr(10), chr(92)||'n'), '||', "
+    "chr(92)||'|'||chr(92)||'|')"
+)
+
+
+def _escd_or_null(v: str) -> str:
+    return f"coalesce({_ESC_D.format(v=v)}, 'NULLV')"
+
+
+@register(
+    "codec_csv_delimiter",
+    f"WITH {_DOCS_CTE} SELECT seq, "
+    "op || '||' || table_name || '||' || schema_name || '||' "
+    "|| commit_ts::VARCHAR || '||' || "
+    "coalesce((CASE WHEN op = 'D' THEN before_id ELSE after_id "
+    "END)::VARCHAR, 'NULLV') || '||' || "
+    + _escd_or_null(
+        "CASE WHEN seq % 7 = 0 THEN NULL ELSE "
+        "(CASE WHEN op = 'D' THEN before_text ELSE after_text END) "
+        "|| '|x||y' END"
+    )
+    + " || '||' || "
+    + _escd_or_null("CASE WHEN op = 'D' THEN before_src ELSE after_src END")
+    + " AS value FROM doc_changelog",
+)
+def q_codec_csv_delimiter(spark, sf_dir):
+    cl = _documents_changelog(spark, sf_dir)
+
+    def inject(img: str):
+        return F.when(
+            F.col(img).isNotNull(),
+            F.struct(
+                F.col(f"{img}.id").alias("id"),
+                F.when(F.col("seq") % 7 == 0, F.lit(None).cast("string"))
+                .otherwise(F.concat(F.col(f"{img}.text"), F.lit("|x||y")))
+                .alias("text"),
+                F.col(f"{img}.src").alias("src"),
+            ),
+        )
+
+    cl = cl.withColumn("before", inject("before")).withColumn("after", inject("after"))
+    return encode_csv(cl, quote=None, delimiter="||",
+                      null_token="NULLV").select("seq", "value")
+
+
 # ---------------------------------------------------------------------------
 # S6/O2 — event-scanner scan+merge: DML and DDL streams interleave in
 # commit-ts order with DML BEFORE DDL at equal ts (`event_scanner.go:74-96`)

@@ -68,7 +68,8 @@ def _client(srv_endpoint: str, cred1: str, cred2: str, scheme: str = "s3"):
 def put_files(files: DataFrame, endpoint: str, access_key: str,
               secret_key: str, scheme: str = "s3",
               multipart_threshold: int = 8 * 1024 * 1024,
-              part_size: int = 8 * 1024 * 1024) -> None:
+              part_size: int = 8 * 1024 * 1024,
+              header: str | None = None) -> None:
     """files: rows carrying (path, file_name, value [, ordering cols]).
     One object per (path, file_name), rows joined in replay-key order.
 
@@ -99,7 +100,9 @@ def put_files(files: DataFrame, endpoint: str, access_key: str,
             nonlocal client
             if cur is None or not buf:
                 return
-            data = ("\n".join(buf) + "\n").encode("utf-8")
+            # output-field-header (`csv_encoder.go:46-48`): the header
+            # line opens every file, before the first record
+            data = ((header or "") + "\n".join(buf) + "\n").encode("utf-8")
             key = f"{cur[0]}/{cur[1]}"
             upload_id = None  # survives reconnects: multipart RESUMES
             for attempt in range(max_retry + 1):
