@@ -589,6 +589,35 @@ class _HnswGraph:
                         heapq.heappop(best)
         return sorted((-bd, n) for bd, n in best)
 
+    def _select_heuristic(self, q_vec, cand: list[int], m: int) -> list[int]:
+        """Algorithm 4 (Malkov & Yashunin 2016, SELECT-NEIGHBORS-
+        HEURISTIC with keepPrunedConnections): walk candidates nearest-
+        first, keep one only if it is closer to q than to every already-
+        kept neighbor, then backfill with the nearest pruned.  Plain
+        by-distance truncation links only intra-cluster on clustered
+        data — greedy descent then can't cross clusters and recall
+        collapses (observed: 6/10 planted twins missed on a 10-gaussian
+        corpus).  The diversity rule builds the inter-cluster bridges."""
+        ds = self._d2(q_vec, cand)
+        order = sorted(range(len(cand)),
+                       key=lambda i: (float(ds[i]), self.ids[cand[i]]))
+        kept: list[int] = []
+        pruned: list[int] = []
+        for i in order:
+            if len(kept) >= m:
+                break
+            e = cand[i]
+            de = float(ds[i])
+            if not kept or de < float(self._d2(self.vecs[e], kept).min()):
+                kept.append(e)
+            else:
+                pruned.append(e)
+        for e in pruned:
+            if len(kept) >= m:
+                break
+            kept.append(e)
+        return kept
+
     def _insert(self, idx: int) -> None:
         level = self.levels[idx]
         while len(self.edges) <= level:
@@ -605,18 +634,20 @@ class _HnswGraph:
         # beam-connect at each level the node participates in
         for lvl in range(min(level, self.top), -1, -1):
             found = self._search_layer(q, ep, lvl, self.ef_build)
-            neighbors = [n for _, n in found[: self.m]]
+            neighbors = self._select_heuristic(
+                q, [n for _, n in found], self.m)
             adj = self.edges[lvl]
             adj[idx] = neighbors
+            # layer 0 allows 2M links (the paper's M_max0) — extra
+            # capacity where every node lives, fewer forced prunes
+            max_m = 2 * self.m if lvl == 0 else self.m
             for n in neighbors:
                 lst = adj.setdefault(n, [])
-                lst.append(idx)
-                if len(lst) > self.m:
-                    # truncate by distance to n (ties by id)
-                    ds = self._d2(self.vecs[n], lst)
-                    order = sorted(range(len(lst)),
-                                   key=lambda i: (float(ds[i]), self.ids[lst[i]]))
-                    adj[n] = [lst[i] for i in order[: self.m]]
+                if idx not in lst:
+                    lst.append(idx)
+                if len(lst) > max_m:
+                    adj[n] = self._select_heuristic(
+                        self.vecs[n], lst, max_m)
             ep = found[0][1]
         if level > self.top:
             self.top = level
