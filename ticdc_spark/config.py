@@ -233,6 +233,14 @@ def parse_changefeed_config(text: str, fmt: str = "toml") -> ChangefeedConfig:
         advance_timeout_s=sink.get("advance-timeout-in-sec", 150),
         cloud_storage_config=parse_cloud_storage_config(
             sink.get("cloud-storage-config")),
+        # connector sub-configs (`pkg/config/sink.go` KafkaConfig /
+        # PulsarConfig / MySQLConfig TOML tables)
+        kafka_config=(dict(sink["kafka-config"])
+                      if sink.get("kafka-config") else None),
+        pulsar_config=(dict(sink["pulsar-config"])
+                       if sink.get("pulsar-config") else None),
+        mysql_config=(dict(sink["mysql-config"])
+                      if sink.get("mysql-config") else None),
     )
     # avro handling-mode validation (`codec/common/config.go:414-421`)
     if cfg.avro_decimal_handling_mode not in ("precise", "string"):
@@ -429,3 +437,77 @@ def apply_sink_uri_params(cfg) -> None:
         cfg.enable_tls = True
     cfg.tls_cert_path = cert or cfg.tls_cert_path
     cfg.tls_key_path = key or cfg.tls_key_path
+
+    # kafka SASL family (`pkg/sink/kafka/options.go:123-135` form tags;
+    # mechanism set `pkg/security/sasl.go:43-58`) — URI params override
+    # the [sink.kafka-config] TOML section, like the reference's Apply
+    sasl_keys = [k for k in q if k.startswith("sasl-")]
+    if sasl_keys:
+        kc = dict(cfg.kafka_config or {})
+        for k in sasl_keys:
+            kc[k] = q[k]
+        cfg.kafka_config = kc
+    mech = (cfg.kafka_config or {}).get("sasl-mechanism")
+    if mech and mech.lower() not in SASL_MECHANISMS:
+        raise ValueError(f"unknown {mech} SASL mechanism")
+
+    # mysql sink knobs (`pkg/sink/mysql/config.go:277-283,624-700`):
+    # durations validated, invalid tidb-txn-mode ignored with the
+    # reference's warning semantics (default kept)
+    mc = dict(cfg.mysql_config or {})
+    mc_changed = False
+    for k in ("read-timeout", "write-timeout", "timeout"):
+        if k in q:
+            parse_duration_us(q[k])  # raises on bad duration
+            mc[k] = q[k]
+            mc_changed = True
+    if q.get("tidb-txn-mode"):
+        if q["tidb-txn-mode"] in ("pessimistic", "optimistic"):
+            mc["tidb-txn-mode"] = q["tidb-txn-mode"]
+            mc_changed = True
+        # else: reference logs "invalid tidb-txn-mode, should be
+        # pessimistic or optimistic" and keeps the default
+    if "time-zone" in q:
+        mc["time-zone"] = q["time-zone"]
+        mc_changed = True
+    if mc_changed:
+        cfg.mysql_config = mc
+
+
+#: `pkg/security/sasl.go:43-58` SASLMechanismFromString
+SASL_MECHANISMS = ("plain", "scram-sha-256", "scram-sha-512", "gssapi",
+                   "oauthbearer")
+
+
+def kafka_sasl(cfg) -> tuple[str, str, str] | None:
+    """(mechanism, user, password) for ``KafkaConn`` from the merged
+    kafka sub-config, mechanism in the broker's upper-case spelling
+    (`pkg/sink/kafka/options.go:63-71`); None when SASL is off."""
+    kc = cfg.kafka_config or {}
+    mech = kc.get("sasl-mechanism")
+    if not mech:
+        return None
+    return (mech.upper(), kc.get("sasl-user", ""),
+            kc.get("sasl-password", ""))
+
+
+def pulsar_auth(cfg) -> dict:
+    """Pulsar client auth kwargs from [sink.pulsar-config]
+    (`pkg/config/sink.go` PulsarConfig: authentication-token /
+    token-from-file / oauth2 sub-table)."""
+    pc = cfg.pulsar_config or {}
+    if pc.get("authentication-token"):
+        return {"token": pc["authentication-token"]}
+    if pc.get("token-from-file"):
+        with open(pc["token-from-file"], encoding="utf-8") as f:
+            return {"token": f.read().strip()}
+    oauth = pc.get("oauth2") or {}
+    if oauth.get("oauth2-issuer-url"):
+        return {"oauth2": {
+            "issuer_url": oauth["oauth2-issuer-url"],
+            "client_id": oauth.get("oauth2-client-id", ""),
+            "client_secret": oauth.get("oauth2-private-key", ""),
+            "audience": oauth.get("oauth2-audience", ""),
+            "scope": oauth.get("oauth2-scope", ""),
+        }}
+    return {}

@@ -198,6 +198,13 @@ class ChangefeedConfig:
     # [sink.cloud-storage-config] — normalized + validated by
     # config.parse_cloud_storage_config (None = defaults)
     cloud_storage_config: dict | None = None
+    # --- connector sub-configs ([sink.kafka-config]/[sink.pulsar-config]/
+    # [sink.mysql-config], `pkg/config/sink.go` KafkaConfig/PulsarConfig/
+    # MySQLConfig): normalized TOML sections; sink-URI params override
+    # matching keys (the reference's Apply order) ---
+    kafka_config: dict | None = None
+    pulsar_config: dict | None = None
+    mysql_config: dict | None = None
     # --- TLS credential triple (`pkg/security/credential.go:107-110`;
     # sink-URI params `ca`/`cert`/`key`, mysql aliases
     # `ssl-ca`/`ssl-cert`/`ssl-key`, kafka `enable-tls`): ca verifies
