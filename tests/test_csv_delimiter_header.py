@@ -109,3 +109,86 @@ def test_csv_protocol_rejects_delete_only_handle_key():
 def test_csv_config_validation(toml, msg):
     with pytest.raises(ValueError, match=msg):
         parse_changefeed_config(f'[sink]\nprotocol = "csv"\n{toml}')
+
+
+# ---------------------------------------------------------------- round 7
+
+
+def test_backslash_delimiter_single_pass_escape(spark):
+    """ADVICE r6: a backslash-containing delimiter must not re-match
+    inside already-escaped text.  Reference single-pass semantics
+    (`csv_message.go:209-243`): data 'a\\b' with delimiter '\\' encodes
+    'a\\\\b' (ONE escape), not quadruple."""
+    out = encode_csv(_one_row(spark, "a\\b"), quote=None,
+                     delimiter="\\").select("value").collect()[0].value
+    assert out == "I\\t\\s\\100\\7\\a\\\\b"
+
+
+def test_delimiter_colliding_with_escape_output(spark):
+    """Delimiter 'rn' must match only RAW text: a literal CR followed
+    by 'n' escapes to \\r + n with the delimiter untouched (the
+    reference scans the raw value; a chained replace would re-match
+    the escaped output)."""
+    out = encode_csv(_one_row(spark, "\rn"), quote=None,
+                     delimiter=";").select("value").collect()[0].value
+    assert out == "I;t;s;100;7;\\rn"
+    out2 = encode_csv(_one_row(spark, "\rn"), quote=None,
+                      delimiter="rn").select("value").collect()[0].value
+    # the precise reference rendering: raw CR+'n' has no 'rn' substring
+    # (CR is \x0D), so only the CR escapes — the escaped output "\rn"
+    # must NOT be re-matched as a delimiter
+    assert out2 == "Irntrnsrn100rn7rn" + "\\rn"
+
+
+def test_literal_rn_data_with_rn_delimiter(spark):
+    # literal "rn" IS the delimiter in raw text -> per-char escape
+    out = encode_csv(_one_row(spark, "arnb"), quote=None,
+                     delimiter="rn").select("value").collect()[0].value
+    assert out == "Irntrnsrn100rn7rna\\r\\nb"
+
+
+def test_output_field_header_from_toml_to_live_storage(spark):
+    """ADVICE r6 (medium): [sink.csv] output-field-header = true in the
+    TOML must reach the storage files — pipeline-level test over the
+    live S3 endpoint: every data file opens with the header line, and
+    the consumer replay still matches."""
+    from ticdc_spark.pipeline import storage_file_header
+    from ticdc_spark.sinks.s3_client import S3Client
+    from ticdc_spark.sinks.s3_live import BUCKET, storage_live_roundtrip
+
+    cfg = parse_changefeed_config(
+        'sink-uri = "s3://bucket/prefix?protocol=csv"\n'
+        "[sink]\nprotocol = \"csv\"\n[sink.csv]\n"
+        "output-field-header = true\n")
+    cl = _one_row(spark, "hello").withColumn(
+        "commit_ts", F.lit(1 << 18).cast("long"))
+    # payload schema of this fixture
+    hdr = storage_file_header(cfg, SCHEMA, line_terminator="\n")
+    assert hdr == ("ticdc-meta$operation,ticdc-meta$table,"
+                   "ticdc-meta$schema,ticdc-meta$commit-ts,id,txt\n")
+
+    from ticdc_spark.sinks import s3_live as s3l
+
+    n_before = len(s3l._LIVE_SERVERS)
+    state = storage_live_roundtrip(cl, cfg=cfg)
+    rows = state.collect()
+    assert len(rows) == 1  # header line skipped by the consumer
+    srv = s3l._LIVE_SERVERS[n_before]
+    c = S3Client(srv.endpoint, srv.access_key, srv.secret_key)
+    keys = [k for k, _ in c.list_objects(BUCKET)]
+    assert keys, "no data files written"
+    for k in keys:
+        body = c.get_object(BUCKET, k).decode()
+        assert body.startswith(hdr), f"{k} missing header: {body[:80]!r}"
+    c.close()
+
+
+def test_output_field_header_off_by_default(spark):
+    from ticdc_spark.pipeline import storage_file_header
+
+    cfg = parse_changefeed_config('sink-uri = "s3://b/p?protocol=csv"\n')
+    assert storage_file_header(cfg, SCHEMA) is None
+    cfg2 = parse_changefeed_config(
+        'sink-uri = "s3://b/p"\n[sink]\nprotocol = "canal-json"\n'
+        "[sink.csv]\noutput-field-header = true\n")
+    assert storage_file_header(cfg2, SCHEMA) is None  # not csv

@@ -25,18 +25,33 @@ _QUOTE = '"'
 BINARY_ENCODING_METHODS = ("base64", "hex")
 
 
+#: sentinel for the single-pass delimiter rewrite below — a Unicode
+#: private-use codepoint no SQL text datum legitimately carries
+_SENTINEL = "\ue000"
+
+
 def _escape_unquoted(col: Column, delimiter: str = _DELIM) -> Column:
     """Quote-less mode (`csv_message.go:209-243` formatWithEscapes):
     backslash, CR, LF, and the delimiter are backslash-escaped.
-    Backslash is doubled FIRST so later escapes aren't re-escaped.
-    A multi-character delimiter escapes each of its characters, and only
-    where the FULL delimiter occurs (`csv_message.go:215,230-236` —
-    a lone '|' with delimiter '||' stays bare)."""
-    out = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+
+    The reference scans the RAW value once, left-to-right, matching the
+    full delimiter at each position before the single-char escapes.  A
+    chained-replace that escapes backslash first diverges when the
+    delimiter contains a backslash (`a\\b` with delimiter ``\\`` must
+    encode ``a\\\\b``, not quadruple) or when the delimiter collides
+    with escape OUTPUT (delimiter ``rn`` must not re-match an escaped
+    CR).  Equivalent single-pass construction: swap the full delimiter
+    for a sentinel on the raw text FIRST (same greedy left-to-right,
+    non-overlapping semantics as the reference loop), escape the
+    single chars, then expand the sentinel to the per-char-escaped
+    delimiter (`csv_message.go:215,230-236` — a lone '|' with
+    delimiter '||' stays bare)."""
+    out = F.replace(col, F.lit(delimiter), F.lit(_SENTINEL))
+    out = F.replace(out, F.lit("\\"), F.lit("\\\\"))
     out = F.replace(out, F.lit("\r"), F.lit("\\r"))
     out = F.replace(out, F.lit("\n"), F.lit("\\n"))
     escaped = "".join("\\" + ch for ch in delimiter)
-    return F.replace(out, F.lit(delimiter), F.lit(escaped))
+    return F.replace(out, F.lit(_SENTINEL), F.lit(escaped))
 
 
 def _csv_field(col: Column, dtype, binary_encoding: str = "base64",

@@ -515,12 +515,16 @@ def dec_metadata_request(r: Reader) -> list[str] | None:
 def enc_metadata_response(
     host: str, port: int, topics: dict[str, int], node_id: int = 0
 ) -> bytes:
+    """``topics`` values: partition count, or (error_code, 0) for a
+    topic the broker refuses to auto-create (UNKNOWN_TOPIC_OR_PARTITION
+    when auto.create.topics.enable=false)."""
     body = struct.pack(">i", 1)  # one broker
     body += struct.pack(">i", node_id) + enc_str(host) + struct.pack(">i", port) + enc_str(None)
     body += struct.pack(">i", node_id)  # controller_id
     body += struct.pack(">i", len(topics))
-    for name, n_parts in sorted(topics.items()):
-        body += struct.pack(">h", 0) + enc_str(name) + struct.pack(">?", False)
+    for name, spec in sorted(topics.items()):
+        terr, n_parts = spec if isinstance(spec, tuple) else (0, spec)
+        body += struct.pack(">h", terr) + enc_str(name) + struct.pack(">?", False)
         body += struct.pack(">i", n_parts)
         for p in range(n_parts):
             body += struct.pack(">hiii", 0, p, node_id, 1) + struct.pack(">i", node_id)
@@ -1844,8 +1848,9 @@ def enc_metadata_response_v9(
     body += enc_compact_str("ticdc-spark-cluster")
     body += struct.pack(">i", node_id)  # controller_id
     body += enc_compact_array_len(len(topics))
-    for name, n_parts in sorted(topics.items()):
-        body += struct.pack(">h", 0) + enc_compact_str(name) + b"\x00"
+    for name, spec in sorted(topics.items()):
+        terr, n_parts = spec if isinstance(spec, tuple) else (0, spec)
+        body += struct.pack(">h", terr) + enc_compact_str(name) + b"\x00"
         body += enc_compact_array_len(n_parts)
         for p in range(n_parts):
             body += struct.pack(">hiii", 0, p, node_id, 0)

@@ -153,15 +153,17 @@ class MiniOAuth2Server:
 
 def fetch_token(token_url: str, client_id: str, client_secret: str,
                 audience: str | None = None,
-                scope: str | None = None) -> str:
+                scope: str | None = None,
+                grant_type: str = "client_credentials") -> str:
     """Client-credentials grant (what the reference's token provider does
     through the oauth2 library; Pulsar's flow adds audience/scope —
-    `pkg/config/sink.go:581-597` OAuth2 fields)."""
+    `pkg/config/sink.go:581-597` OAuth2 fields; kafka's sasl-oauth
+    family adds grant-type, `pkg/config/sink.go:487`)."""
     import urllib.parse
     import urllib.request
 
     form = {
-        "grant_type": "client_credentials",
+        "grant_type": grant_type or "client_credentials",
         "client_id": client_id, "client_secret": client_secret,
     }
     if audience is not None:

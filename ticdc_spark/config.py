@@ -451,27 +451,87 @@ def apply_sink_uri_params(cfg) -> None:
     if mech and mech.lower() not in SASL_MECHANISMS:
         raise ValueError(f"unknown {mech} SASL mechanism")
 
-    # mysql sink knobs (`pkg/sink/mysql/config.go:277-283,624-700`):
-    # durations validated, invalid tidb-txn-mode ignored with the
-    # reference's warning semantics (default kept)
-    mc = dict(cfg.mysql_config or {})
-    mc_changed = False
-    for k in ("read-timeout", "write-timeout", "timeout"):
-        if k in q:
-            parse_duration_us(q[k])  # raises on bad duration
-            mc[k] = q[k]
+    scheme = u.scheme.lower().split("+")[0]
+    if scheme in ("kafka", "kafkas"):
+        # kafka producer-semantics form tags (`options.go:111-138`):
+        # these route into the kafka sub-config, NOT the mysql knobs —
+        # kafka's read-timeout/write-timeout are legitimate kafka
+        # params (`options.go:120-121`), previously mis-bucketed
+        kc = dict(cfg.kafka_config or {})
+        kc_changed = False
+        for k in ("dial-timeout", "read-timeout", "write-timeout"):
+            if k in q:
+                parse_duration_us(q[k])  # raises on bad duration
+                kc[k] = q[k]
+                kc_changed = True
+        for k in ("kafka-version", "kafka-client-id"):
+            if q.get(k):
+                kc[k] = q[k]
+                kc_changed = True
+        if "auto-create-topic" in q:
+            kc["auto-create-topic"] = q["auto-create-topic"].lower() == "true"
+            kc_changed = True
+        if "replication-factor" in q:
+            rf = int(q["replication-factor"])
+            if rf <= 0:
+                raise ValueError(f"invalid replication-factor {rf}")
+            kc["replication-factor"] = rf
+            kc_changed = True
+        if "required-acks" in q:
+            kc["required-acks"] = int(q["required-acks"])
+            kc_changed = True
+        if kc_changed:
+            cfg.kafka_config = kc
+        validate_required_acks(cfg.kafka_config)
+    elif scheme in ("mysql", "tidb"):
+        # mysql sink knobs (`pkg/sink/mysql/config.go:277-283,624-700`),
+        # gated on the URI scheme like the reference's per-sink option
+        # parsing: durations validated, invalid tidb-txn-mode ignored
+        # with the reference's warning semantics (default kept)
+        mc = dict(cfg.mysql_config or {})
+        mc_changed = False
+        for k in ("read-timeout", "write-timeout", "timeout"):
+            if k in q:
+                parse_duration_us(q[k])  # raises on bad duration
+                mc[k] = q[k]
+                mc_changed = True
+        if q.get("tidb-txn-mode"):
+            if q["tidb-txn-mode"] in ("pessimistic", "optimistic"):
+                mc["tidb-txn-mode"] = q["tidb-txn-mode"]
+                mc_changed = True
+            # else: reference logs "invalid tidb-txn-mode, should be
+            # pessimistic or optimistic" and keeps the default
+        if "time-zone" in q:
+            mc["time-zone"] = q["time-zone"]
             mc_changed = True
-    if q.get("tidb-txn-mode"):
-        if q["tidb-txn-mode"] in ("pessimistic", "optimistic"):
-            mc["tidb-txn-mode"] = q["tidb-txn-mode"]
-            mc_changed = True
-        # else: reference logs "invalid tidb-txn-mode, should be
-        # pessimistic or optimistic" and keeps the default
-    if "time-zone" in q:
-        mc["time-zone"] = q["time-zone"]
-        mc_changed = True
-    if mc_changed:
-        cfg.mysql_config = mc
+        for k in ("max-multi-update-row", "max-multi-update-row-size",
+                  "max-txn-row"):
+            if k in q:
+                v = int(q[k])
+                if v <= 0:
+                    raise ValueError(
+                        f"invalid {k} {v}, which must be greater than 0")
+                mc[k] = v
+                mc_changed = True
+        for k in ("enable-batch-dml", "enable-multi-statement",
+                  "enable-cache-prepared-statement"):
+            if k in q:
+                mc[k] = q[k].lower() == "true"
+                mc_changed = True
+        if mc_changed:
+            cfg.mysql_config = mc
+
+
+def validate_required_acks(kafka_config: dict | None) -> int:
+    """required-acks (`pkg/sink/kafka/options.go:95-108`
+    requireAcksFromString): only -1 (WaitForAll, default), 0
+    (NoResponse) and 1 (WaitForLocal) are legal."""
+    acks = (kafka_config or {}).get("required-acks", -1)
+    if acks not in (-1, 0, 1):
+        raise ValueError(
+            f"invalid required acks {acks}, only support these values: "
+            "0(NoResponse), 1(WaitForLocal) and -1(WaitForAll)")
+    return acks
 
 
 #: `pkg/security/sasl.go:43-58` SASLMechanismFromString
@@ -491,10 +551,137 @@ def kafka_sasl(cfg) -> tuple[str, str, str] | None:
             kc.get("sasl-password", ""))
 
 
+#: `pkg/security/sasl.go:117-127` AuthTypeFromString
+GSSAPI_AUTH_TYPES = ("user", "keytab")
+
+
+def kafka_sasl_spec(cfg) -> dict | None:
+    """The FULL SASL spec from the merged kafka sub-config — the
+    reference's `options.applySASL` (`pkg/sink/kafka/options.go:431-545`)
+    over the TOML spellings `pkg/config/sink.go:475-489`:
+
+    - ``sasl-gssapi-*`` octet → ``spec["gssapi"]`` (auth-type validated
+      via AuthTypeFromString — user|keytab; keytab/krb5-conf paths pass
+      through for the dialer to resolve);
+    - ``sasl-oauth-*`` family → ``spec["oauth2"]`` with the reference's
+      validation: client-id/client-secret/token-url must be non-empty,
+      the secret is base64-decoded (`options.go:495-508`), OAuth2 is
+      only legal with mechanism oauthbearer (`options.go:519-523`), and
+      grant-type defaults to client_credentials (`sasl.go:96-97`
+      SetDefault).
+
+    Returns None when SASL is off; otherwise
+    ``{"mechanism", "user", "password", "gssapi"?, "oauth2"?}``."""
+    import base64 as _b64
+
+    kc = cfg.kafka_config or {}
+    mech = kc.get("sasl-mechanism")
+    if not mech:
+        return None
+    if mech.lower() not in SASL_MECHANISMS:
+        raise ValueError(f"unknown {mech} SASL mechanism")
+    spec: dict = {"mechanism": mech.upper(),
+                  "user": kc.get("sasl-user", ""),
+                  "password": kc.get("sasl-password", "")}
+
+    if any(k.startswith("sasl-gssapi-") for k in kc):
+        auth_type = (kc.get("sasl-gssapi-auth-type") or "user").lower()
+        if auth_type not in GSSAPI_AUTH_TYPES:
+            raise ValueError(f"unknown {auth_type} auth type")
+        spec["gssapi"] = {
+            "auth_type": auth_type,
+            "keytab_path": kc.get("sasl-gssapi-keytab-path", ""),
+            "kerberos_config_path": kc.get(
+                "sasl-gssapi-kerberos-config-path", ""),
+            "service_name": kc.get("sasl-gssapi-service-name", "kafka"),
+            "user": kc.get("sasl-gssapi-user", ""),
+            "password": kc.get("sasl-gssapi-password", ""),
+            "realm": kc.get("sasl-gssapi-realm", ""),
+            "disable_pafxfast": bool(
+                kc.get("sasl-gssapi-disable-pafxfast", False)),
+        }
+
+    oauth_present = any(k.startswith("sasl-oauth-") for k in kc)
+    if oauth_present:
+        client_id = kc.get("sasl-oauth-client-id")
+        if client_id is not None and not client_id:
+            raise ValueError("OAuth2 client ID cannot be empty")
+        secret = kc.get("sasl-oauth-client-secret")
+        if secret is not None:
+            if not secret:
+                raise ValueError("OAuth2 client secret cannot be empty")
+            try:
+                secret = _b64.b64decode(secret, validate=True).decode()
+            except Exception:
+                raise ValueError(
+                    "OAuth2 client secret is not base64 encoded") from None
+        token_url = kc.get("sasl-oauth-token-url")
+        if token_url is not None and not token_url:
+            raise ValueError("OAuth2 token URL cannot be empty")
+        if spec["mechanism"] != "OAUTHBEARER":
+            raise ValueError(
+                "OAuth2 is only supported with SASL mechanism type "
+                f"OAUTHBEARER, but got {spec['mechanism']}")
+        for name, v in (("client id", client_id),
+                        ("client secret", secret),
+                        ("token url", token_url)):
+            if not v:
+                raise ValueError(f"OAuth2 {name} is empty")
+        spec["oauth2"] = {
+            "client_id": client_id,
+            "client_secret": secret,
+            "token_url": token_url,
+            "scopes": list(kc.get("sasl-oauth-scopes", [])),
+            "grant_type": kc.get("sasl-oauth-grant-type",
+                                 "client_credentials"),
+            "audience": kc.get("sasl-oauth-audience", ""),
+        }
+    return spec
+
+
+def parse_krb5_conf(path: str) -> dict[str, str]:
+    """Minimal krb5.conf [realms] parser — realm → kdc address.  The
+    reference hands sasl-gssapi-kerberos-config-path to the kerberos
+    client lib, which resolves the KDC the same way
+    (`pkg/security/sasl.go:131-133` KerberosConfigPath)."""
+    realms: dict[str, str] = {}
+    section = ""
+    cur_realm = ""
+    with open(path, encoding="utf-8") as f:
+        for raw in f:
+            line = raw.split("#")[0].strip()
+            if not line:
+                continue
+            if line.startswith("[") and line.endswith("]"):
+                section = line[1:-1].strip().lower()
+                continue
+            if section != "realms":
+                continue
+            if line.endswith("{"):
+                cur_realm = line[:-1].split("=")[0].strip()
+            elif line == "}":
+                cur_realm = ""
+            elif "=" in line and cur_realm:
+                key, _, val = line.partition("=")
+                if key.strip().lower() == "kdc":
+                    realms[cur_realm] = val.strip()
+    return realms
+
+
 def pulsar_auth(cfg) -> dict:
     """Pulsar client auth kwargs from [sink.pulsar-config]
-    (`pkg/config/sink.go` PulsarConfig: authentication-token /
-    token-from-file / oauth2 sub-table)."""
+    (`pkg/config/sink.go:606-676` PulsarConfig: authentication-token /
+    token-from-file / oauth2 sub-table).
+
+    oauth2-private-key (`sink.go:587-588`) is the PATH of the client's
+    key file — the reference passes it as the pulsar lib's
+    ConfigParamKeyFile (`pkg/sink/pulsar/factory.go:115`), whose JSON
+    carries the client credentials for the client-credentials grant —
+    NOT a literal client secret.  Validation mirrors `OAuth2.validate`
+    (`sink.go:595-603`): issuer-url, audience, private-key and
+    client-id must all be set."""
+    import json as _json
+
     pc = cfg.pulsar_config or {}
     if pc.get("authentication-token"):
         return {"token": pc["authentication-token"]}
@@ -502,11 +689,21 @@ def pulsar_auth(cfg) -> dict:
         with open(pc["token-from-file"], encoding="utf-8") as f:
             return {"token": f.read().strip()}
     oauth = pc.get("oauth2") or {}
-    if oauth.get("oauth2-issuer-url"):
+    if oauth:
+        if not (oauth.get("oauth2-issuer-url")
+                and oauth.get("oauth2-client-id")
+                and oauth.get("oauth2-private-key")
+                and oauth.get("oauth2-audience")):
+            raise ValueError(
+                "issuer-url and audience and private-key and client-id "
+                "not be empty")
+        with open(oauth["oauth2-private-key"], encoding="utf-8") as f:
+            keyfile = _json.load(f)
         return {"oauth2": {
             "issuer_url": oauth["oauth2-issuer-url"],
-            "client_id": oauth.get("oauth2-client-id", ""),
-            "client_secret": oauth.get("oauth2-private-key", ""),
+            "client_id": keyfile.get("client_id",
+                                     oauth.get("oauth2-client-id", "")),
+            "client_secret": keyfile.get("client_secret", ""),
             "audience": oauth.get("oauth2-audience", ""),
             "scope": oauth.get("oauth2-scope", ""),
         }}

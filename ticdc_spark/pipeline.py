@@ -459,6 +459,28 @@ def compile_sink_tail(df: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
     raise ValueError(f"no sink tail for scheme: {scheme} (uri: {cfg.sink_uri})")
 
 
+def storage_file_header(cfg: ChangefeedConfig, payload_schema,
+                        line_terminator: str = "\n") -> str | None:
+    """[sink.csv] ``output-field-header`` (`pkg/config/sink.go:276`;
+    `csv_encoder.go:46-48` — the encoder emits the header once, as the
+    first line of every storage data file).  Returns the header string
+    the storage writer prepends per file, or ``None`` when the key is
+    unset/false or the protocol isn't csv.  ``line_terminator`` matches
+    the writer's line join (the live put path joins with LF)."""
+    c = cfg.csv_config or {}
+    if cfg.protocol != "csv" or not c.get("output-field-header"):
+        return None
+    from ticdc_spark.codec.csv_codec import csv_header
+
+    return csv_header(
+        payload_schema,
+        include_commit_ts=c.get("include-commit-ts", True),
+        output_old_value=c.get("output-old-value", False),
+        delimiter=c.get("delimiter", ","),
+        terminator=line_terminator,
+    )
+
+
 def compile_changefeed(cl: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
     """Sink dispatch on the sink-URI scheme
     (`downstreamadapter/sink/sink.go:53`): the changefeed's one DataFrame

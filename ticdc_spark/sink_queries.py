@@ -4541,3 +4541,175 @@ def q_redo_live_s3_replay(spark, sf_dir):
     )
     return materialize_state(split_updates(decoded)).select(
         "table_name", "id", "val", "k")
+
+
+# ---------------------------------------------------------------------------
+# Config-consumption end-to-end (round 7): the TOML a reference user writes
+# — not test kwargs — carries the credentials, and the live wire accepts
+# them.  [sink.kafka-config] sasl-oauth-* (`pkg/config/sink.go:483-489`)
+# and sasl-gssapi-* (`sink.go:475-482`) compile through
+# config.kafka_sasl_spec + kafka_live.sasl_from_spec into each executor
+# connection; the pulsar variant reads [sink.pulsar-config] oauth2 with
+# oauth2-private-key as the KEY FILE path (`factory.go:115`).
+# ---------------------------------------------------------------------------
+@register(
+    "kafka_live_oauth_from_toml",
+    f"WITH {CHANGELOG_SQL} SELECT "
+    "'cdc_' || schema_name || '_' || table_name AS topic, "
+    f"CAST({_MD5_32_SQL} % 16 AS INTEGER) AS partition, "
+    f"{_OPEN_KEY_SQL} AS key, {_CANAL_SQL} AS value FROM changelog",
+)
+def q_kafka_live_oauth_from_toml(spark, sf_dir):
+    import base64
+
+    from ticdc_spark.codec.oauth2 import MiniOAuth2Server
+    from ticdc_spark.config import parse_changefeed_config
+    from ticdc_spark.sinks.kafka_broker import KafkaBroker
+    from ticdc_spark.sinks.kafka_live import (_LIVE_BROKERS,
+                                              kafka_live_config_roundtrip)
+
+    issuer = MiniOAuth2Server("cdc-client", "cdc-secret",
+                              jwt_secret="kafka-oauth-jwt").start()
+    broker = KafkaBroker(default_partitions=16,
+                         sasl_users={}, sasl_mechanisms=(),
+                         oauth_jwt_secret="kafka-oauth-jwt",
+                         flexible_only=True).start()
+    _LIVE_BROKERS.extend([issuer, broker])
+    secret_b64 = base64.b64encode(b"cdc-secret").decode()
+    toml_text = f'''
+sink-uri = "kafka://{broker.bootstrap}/cdc?protocol=canal-json"
+[sink.kafka-config]
+sasl-mechanism = "oauthbearer"
+sasl-oauth-client-id = "cdc-client"
+sasl-oauth-client-secret = "{secret_b64}"
+sasl-oauth-token-url = "{issuer.token_url}"
+sasl-oauth-grant-type = "client_credentials"
+kafka-client-id = "ticdc-oauth-client"
+'''
+    cfg = parse_changefeed_config(toml_text)
+    frame = kafka_messages(
+        scale_out(events_changelog(spark, sf_dir)),
+        [{"matcher": ["test.tp_*"], "partition": "index-value",
+          "topic": "cdc_{schema}_{table}"}],
+        protocol="canal-json",
+        n_partitions=16,
+    )
+    return kafka_live_config_roundtrip(frame, cfg, broker)
+
+
+@register(
+    "kafka_live_gssapi_from_toml",
+    f"WITH {CHANGELOG_SQL} SELECT "
+    "'cdc_' || schema_name || '_' || table_name AS topic, "
+    f"CAST({_MD5_32_SQL} % 16 AS INTEGER) AS partition, "
+    f"{_OPEN_KEY_SQL} AS key, {_CANAL_SQL} AS value FROM changelog",
+)
+def q_kafka_live_gssapi_from_toml(spark, sf_dir):
+    """GSSAPI with auth-type=keytab: the client's long-term key comes
+    from an MIT keytab at sasl-gssapi-keytab-path, the KDC from the
+    krb5.conf at sasl-gssapi-kerberos-config-path — no password in the
+    config, exactly the reference's KeyTabAuth deployment."""
+    import os
+    import tempfile
+
+    from ticdc_spark.codec import krb5 as _k
+    from ticdc_spark.codec import krb5crypto as _kc
+    from ticdc_spark.config import parse_changefeed_config
+    from ticdc_spark.sinks.kafka_broker import KafkaBroker
+    from ticdc_spark.sinks.kafka_live import (_LIVE_BROKERS,
+                                              kafka_live_config_roundtrip)
+    from ticdc_spark.sinks.kdc_server import MiniKDC, write_keytab
+
+    realm, svc, svc_pw = "TEST.REALM", "kafka/127.0.0.1", "svc-secret"
+    kdc = MiniKDC(realm=realm, principals={
+        "cdc-client": "client-pw", svc: svc_pw}).start()
+    _LIVE_BROKERS.append(kdc)
+    broker = KafkaBroker(default_partitions=16,
+                         sasl_users={}, sasl_mechanisms=(),
+                         gssapi_service=(svc, svc_pw, realm),
+                         flexible_only=True).start()
+    _LIVE_BROKERS.append(broker)
+    tdir = tempfile.mkdtemp(prefix="gssapi_toml_")
+    keytab = os.path.join(tdir, "client.keytab")
+    write_keytab(keytab, realm, "cdc-client", _kc.string_to_key(
+        "client-pw", _k.default_salt(realm, "cdc-client")))
+    krb5_conf = os.path.join(tdir, "krb5.conf")
+    with open(krb5_conf, "w", encoding="utf-8") as f:
+        f.write(f"""[libdefaults]
+  default_realm = {realm}
+
+[realms]
+  {realm} = {{
+    kdc = {kdc.address}
+  }}
+""")
+    toml_text = f'''
+sink-uri = "kafka://{broker.bootstrap}/cdc?protocol=canal-json"
+[sink.kafka-config]
+sasl-mechanism = "gssapi"
+sasl-gssapi-auth-type = "keytab"
+sasl-gssapi-user = "cdc-client"
+sasl-gssapi-realm = "{realm}"
+sasl-gssapi-service-name = "kafka"
+sasl-gssapi-keytab-path = "{keytab}"
+sasl-gssapi-kerberos-config-path = "{krb5_conf}"
+'''
+    cfg = parse_changefeed_config(toml_text)
+    frame = kafka_messages(
+        scale_out(events_changelog(spark, sf_dir)),
+        [{"matcher": ["test.tp_*"], "partition": "index-value",
+          "topic": "cdc_{schema}_{table}"}],
+        protocol="canal-json",
+        n_partitions=16,
+    )
+    return kafka_live_config_roundtrip(frame, cfg, broker)
+
+
+@register(
+    "pulsar_live_from_toml",
+    f"WITH {CHANGELOG_SQL} SELECT "
+    "'persistent://public/default/cdc_' || schema_name || '_' || table_name "
+    f"AS topic, {_OPEN_KEY_SQL} AS key, {_CANAL_SQL} AS value FROM changelog",
+)
+def q_pulsar_live_from_toml(spark, sf_dir):
+    """[sink.pulsar-config] oauth2 from the TOML, with
+    oauth2-private-key as the KEY FILE path carrying the client
+    credentials (`pkg/sink/pulsar/factory.go:110-118`
+    ConfigParamKeyFile; validation `pkg/config/sink.go:595-603`)."""
+    import json
+    import os
+    import tempfile
+
+    from ticdc_spark.config import parse_changefeed_config, pulsar_auth
+    from ticdc_spark.sinks.pulsar_live import (_LIVE_BROKERS, produce_frame,
+                                               read_df, start_broker_oauth2)
+
+    broker, conf = start_broker_oauth2()
+    tdir = tempfile.mkdtemp(prefix="pulsar_toml_")
+    keyfile = os.path.join(tdir, "credentials.json")
+    with open(keyfile, "w", encoding="utf-8") as f:
+        json.dump({"type": "client_credentials",
+                   "client_id": conf["client_id"],
+                   "client_secret": conf["client_secret"],
+                   "issuer_url": conf["issuer_url"]}, f)
+    toml_text = f'''
+sink-uri = "pulsar://{broker.service_url.split("://", 1)[1]}/cdc?protocol=canal-json"
+[sink.pulsar-config]
+[sink.pulsar-config.oauth2]
+oauth2-issuer-url = "{conf["issuer_url"]}"
+oauth2-audience = "{conf["audience"]}"
+oauth2-client-id = "{conf["client_id"]}"
+oauth2-private-key = "{keyfile}"
+'''
+    cfg = parse_changefeed_config(toml_text)
+    auth = pulsar_auth(cfg)
+    frame = pulsar_messages(
+        scale_out(events_changelog(spark, sf_dir)),
+        [{"matcher": ["test.tp_*"], "partition": "index-value",
+          "topic": "cdc_{schema}_{table}"}],
+        protocol="canal-json",
+    )
+    produce_frame(frame, broker.service_url, oauth2=auth["oauth2"])
+    topics = list(broker.topics)
+    return read_df(spark, broker.service_url, topics,
+                   oauth2=auth["oauth2"])

@@ -348,7 +348,12 @@ def decode_csv_storage(
         img = F.col(f"_m.`{name}`")
         cols.append(F.when(is_delete, img).alias(f"before_{name}"))
         cols.append(F.when(~is_delete, img).alias(f"after_{name}"))
-    return parsed.select(*cols)
+    # output-field-header files open with a header line
+    # (`csv_encoder.go:46-48`); its first datum is the literal meta
+    # column name, never an op code — drop it like the reference's
+    # storage consumer skips the header row
+    return (parsed.filter(F.col("_m.op") != "ticdc-meta$operation")
+            .select(*cols))
 
 
 def explode_open_protocol_batch(batches: DataFrame) -> DataFrame:

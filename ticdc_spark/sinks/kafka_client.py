@@ -168,7 +168,9 @@ class KafkaConn:
             # TGS for the broker service principal, AP-REQ/AP-REP
             # context, then the wrapped security-layer negotiation.
             # ``username`` = client principal, ``password`` = its
-            # password; gssapi_opts = {"kdc", "realm", "service"}.
+            # password; gssapi_opts = {"kdc", "realm", "service"} plus
+            # optionally "key" (the long-term key read from a keytab —
+            # sasl-gssapi-auth-type=keytab, `pkg/security/sasl.go:113`).
             from ticdc_spark.codec import gssapi as _gss
             from ticdc_spark.sinks.kdc_server import (get_service_ticket,
                                                       kinit)
@@ -176,7 +178,8 @@ class KafkaConn:
             opts = gssapi_opts or {}
             kdc, realm = opts["kdc"], opts["realm"]
             service = opts["service"]
-            tgt, tgt_key = kinit(kdc, realm, username, password)
+            tgt, tgt_key = kinit(kdc, realm, username, password,
+                                 client_key=opts.get("key"))
             st, skey = get_service_ticket(kdc, realm, username, tgt,
                                           tgt_key, service)
             ap_rep = authenticate(
@@ -189,14 +192,30 @@ class KafkaConn:
             authenticate(b"\x00" + username.encode() + b"\x00" + password.encode())
             return
         if mechanism == "OAUTHBEARER":
-            # username = token URL, password = "client_id:client_secret" —
             # the provider fetches a bearer token first (oauth2_token_
             # provider.go: client-credentials grant), then one
-            # SaslAuthenticate round carries the RFC 7628 response
+            # SaslAuthenticate round carries the RFC 7628 response.
+            # Preferred form: gssapi_opts carries the sasl-oauth-*
+            # family (`pkg/config/sink.go:483-489` via
+            # config.kafka_sasl_spec) — token_url/client_id/
+            # client_secret/scopes/grant_type/audience.  Legacy form:
+            # username = token URL, password = "client_id:client_secret".
             from ticdc_spark.codec import oauth2 as _oauth2
 
-            client_id, _, client_secret = password.partition(":")
-            token = _oauth2.fetch_token(username, client_id, client_secret)
+            opts = gssapi_opts or {}
+            if opts.get("token_url"):
+                token = _oauth2.fetch_token(
+                    opts["token_url"], opts["client_id"],
+                    opts["client_secret"],
+                    audience=opts.get("audience") or None,
+                    scope=(" ".join(opts["scopes"])
+                           if opts.get("scopes") else None),
+                    grant_type=opts.get("grant_type",
+                                        "client_credentials"))
+            else:
+                client_id, _, client_secret = password.partition(":")
+                token = _oauth2.fetch_token(username, client_id,
+                                            client_secret)
             authenticate(_oauth2.oauthbearer_initial_response(token))
             return
         if mechanism in ("SCRAM-SHA-256", "SCRAM-SHA-512"):

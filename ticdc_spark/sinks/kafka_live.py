@@ -45,6 +45,7 @@ def start_broker(n_partitions: int = 16, flexible_only: bool = True):
 def produce_frame(
     frame: DataFrame, bootstrap: str, compression: str = "none", max_retry: int = 5,
     sasl: tuple[str, str, str] | None = None, tls_ca: bytes | None = None,
+    client_id: str = "ticdc-spark",
 ) -> None:
     """Distributed produce of a (topic, partition, key, value) frame.
 
@@ -93,7 +94,8 @@ def produce_frame(
                 try:
                     if state["conn"] is None:
                         state["conn"] = KafkaConn.from_bootstrap(
-                            bootstrap, sasl=sasl, tls_ca=tls_ca)
+                            bootstrap, sasl=sasl, tls_ca=tls_ca,
+                            client_id=client_id)
                         if state["pid"] is None:
                             state["pid"] = state["conn"].init_producer_id()
                     state["conn"].produce(topic, partition, batch,
@@ -132,7 +134,8 @@ def produce_frame(
 
 def fetch_df(spark: SparkSession, bootstrap: str, topic_partitions: list[tuple[str, int]],
              sasl: tuple[str, str, str] | None = None,
-             tls_ca: bytes | None = None) -> DataFrame:
+             tls_ca: bytes | None = None,
+             client_id: str = "ticdc-spark") -> DataFrame:
     """Distributed fetch: one task per (topic, partition); verifies offset
     contiguity 0..hw-1 inside the kernel (raises on gaps/dups)."""
     pairs = spark.createDataFrame(topic_partitions, "topic string, partition int").repartition(
@@ -150,7 +153,8 @@ def fetch_df(spark: SparkSession, bootstrap: str, topic_partitions: list[tuple[s
                 for topic, partition in zip(pdf["topic"], pdf["partition"]):
                     if conn is None:
                         conn = KafkaConn.from_bootstrap(bootstrap, sasl=sasl,
-                                                        tls_ca=tls_ca)
+                                                        tls_ca=tls_ca,
+                                                        client_id=client_id)
                     got = conn.fetch_all(topic, int(partition))
                     offsets = [o for o, _ in got]
                     if offsets != list(range(len(offsets))):
@@ -348,3 +352,62 @@ def kafka_live_gssapi_roundtrip(frame: DataFrame,
     produce_frame(frame, broker.bootstrap, sasl=sasl)
     pairs = [(t, p) for t, parts in broker.topics.items() for p in parts]
     return fetch_df(spark, broker.bootstrap, pairs, sasl=sasl)
+
+
+def sasl_from_spec(spec: dict | None,
+                   broker_host: str = "127.0.0.1"):
+    """``config.kafka_sasl_spec`` output → the ``KafkaConn`` ``sasl``
+    argument — the dialer half of the reference's sarama SASL setup
+    (`pkg/sink/kafka/sarama_config.go:100-140`):
+
+    - GSSAPI: KDC resolved from sasl-gssapi-kerberos-config-path (the
+      krb5.conf [realms] block); auth-type "keytab" loads the client's
+      long-term key from sasl-gssapi-keytab-path (MIT keytab format),
+      "user" authenticates with sasl-gssapi-password; the broker
+      service principal is ``<service-name>/<broker-host>``.
+    - OAUTHBEARER: the sasl-oauth-* family rides as the token-provider
+      options (client-credentials exchange at connect time).
+    - PLAIN/SCRAM: (mechanism, sasl-user, sasl-password)."""
+    if spec is None:
+        return None
+    mech = spec["mechanism"]
+    if mech == "GSSAPI":
+        from ticdc_spark.config import parse_krb5_conf
+
+        g = spec["gssapi"]
+        realm = g["realm"]
+        kdc = parse_krb5_conf(g["kerberos_config_path"])[realm]
+        opts = {"kdc": kdc, "realm": realm,
+                "service": f"{g['service_name']}/{broker_host}"}
+        if g["auth_type"] == "keytab":
+            from ticdc_spark.sinks.kdc_server import read_keytab_key
+
+            opts["key"] = read_keytab_key(
+                g["keytab_path"], realm, g["user"])
+            return (mech, g["user"], "", opts)
+        return (mech, g["user"], g["password"], opts)
+    if mech == "OAUTHBEARER":
+        return (mech, "", "", dict(spec["oauth2"]))
+    return (mech, spec["user"], spec["password"])
+
+
+def kafka_live_config_roundtrip(frame: DataFrame, cfg,
+                                broker) -> DataFrame:
+    """Produce/fetch roundtrip whose authentication comes ENTIRELY from
+    the changefeed config — the TOML's [sink.kafka-config] sasl keys
+    (`pkg/config/sink.go:469-489`) compile through ``kafka_sasl_spec``
+    + ``sasl_from_spec`` into every executor connection's SASL
+    exchange.  The client id also honors kafka-client-id
+    (`sink.go:467`)."""
+    from ticdc_spark.config import kafka_sasl_spec
+
+    spark = frame.sparkSession
+    host = broker.bootstrap.rsplit(":", 1)[0]
+    sasl = sasl_from_spec(kafka_sasl_spec(cfg), broker_host=host)
+    kc = cfg.kafka_config or {}
+    client_id = kc.get("kafka-client-id", "ticdc-spark")
+    produce_frame(frame, broker.bootstrap, sasl=sasl,
+                  client_id=client_id)
+    pairs = [(t, p) for t, parts in broker.topics.items() for p in parts]
+    return fetch_df(spark, broker.bootstrap, pairs, sasl=sasl,
+                    client_id=client_id)

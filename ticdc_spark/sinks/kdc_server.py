@@ -191,9 +191,17 @@ def _kdc_call(kdc_addr: str, req: bytes) -> bytes:
 
 
 def kinit(kdc_addr: str, realm: str, principal: str,
-          password: str) -> tuple[bytes, bytes]:
-    """AS exchange -> (TGT ticket TLV, TGT session key)."""
-    client_key = kc.string_to_key(password, k.default_salt(realm, principal))
+          password: str = "", client_key: bytes | None = None,
+          ) -> tuple[bytes, bytes]:
+    """AS exchange -> (TGT ticket TLV, TGT session key).
+
+    ``client_key`` (sasl-gssapi-auth-type = "keytab",
+    `pkg/security/sasl.go:113-115` KeyTabAuth): authenticate with the
+    long-term key read from a keytab instead of deriving it from a
+    password — sarama's KRB5_KEYTAB_AUTH path."""
+    if client_key is None:
+        client_key = kc.string_to_key(
+            password, k.default_salt(realm, principal))
     req = k.kdc_req(
         k.MSG_AS_REQ, realm, f"krbtgt/{realm}", cname=principal,
         padatas=[(k.PA_ENC_TIMESTAMP, k.pa_enc_ts(client_key))])
@@ -218,3 +226,79 @@ def get_service_ticket(kdc_addr: str, realm: str, principal: str,
     part = k.dec_kdc_rep_part(
         kc.decrypt(tgt_key, kc.KU_TGS_REP_ENC_PART_SESSION, cipher))
     return rep["ticket"], part["key"]
+
+
+# -- MIT keytab file format (public layout: keytab(5) / MIT krb5
+# keytab format version 0x0502) ----------------------------------------------
+# An entry: int32 size | uint16 n_components | counted realm | counted
+# components... | uint32 name_type | uint32 timestamp | uint8 kvno |
+# uint16 enctype | counted key.  All counted strings are uint16-length-
+# prefixed; integers big-endian.  This is what sasl-gssapi-keytab-path
+# points at (`pkg/security/sasl.go:130` KeyTabPath; sarama's
+# KRB5_KEYTAB_AUTH client loads the principal's long-term key from it).
+
+_KEYTAB_MAGIC = 0x0502
+_NT_PRINCIPAL = 1
+
+
+def write_keytab(path: str, realm: str, principal: str, key: bytes,
+                 enctype: int = kc.ETYPE_AES256_CTS_HMAC_SHA1,
+                 kvno: int = 1, timestamp: int = 0) -> None:
+    """Write a single-entry MIT keytab holding ``principal``'s long-term
+    key (components split on '/', e.g. ``kafka/127.0.0.1``)."""
+    import struct
+
+    comps = principal.split("/")
+
+    def counted(s: bytes) -> bytes:
+        return struct.pack(">H", len(s)) + s
+
+    body = struct.pack(">H", len(comps)) + counted(realm.encode())
+    for c in comps:
+        body += counted(c.encode())
+    body += struct.pack(">IIB", _NT_PRINCIPAL, timestamp, kvno)
+    body += struct.pack(">H", enctype) + counted(key)
+    with open(path, "wb") as f:
+        f.write(struct.pack(">HI", _KEYTAB_MAGIC, len(body)) + body)
+
+
+def read_keytab_key(path: str, realm: str, principal: str,
+                    enctype: int = kc.ETYPE_AES256_CTS_HMAC_SHA1) -> bytes:
+    """Find ``principal``'s key in a keytab; raises KeyError if the
+    (realm, principal, enctype) triple isn't present."""
+    import struct
+
+    with open(path, "rb") as f:
+        blob = f.read()
+    (magic,) = struct.unpack(">H", blob[:2])
+    if magic != _KEYTAB_MAGIC:
+        raise ValueError(f"unsupported keytab format 0x{magic:04x}")
+    pos = 2
+    want = principal.split("/")
+    while pos + 4 <= len(blob):
+        (size,) = struct.unpack(">i", blob[pos:pos + 4])
+        pos += 4
+        if size <= 0:  # negative size = deleted-entry hole
+            pos += -size
+            continue
+        entry, pos = blob[pos:pos + size], pos + size
+        off = 0
+
+        def counted(off: int) -> tuple[bytes, int]:
+            (n,) = struct.unpack(">H", entry[off:off + 2])
+            return entry[off + 2:off + 2 + n], off + 2 + n
+
+        (ncomp,) = struct.unpack(">H", entry[:2])
+        off = 2
+        erealm, off = counted(off)
+        comps = []
+        for _ in range(ncomp):
+            c, off = counted(off)
+            comps.append(c.decode())
+        off += 9  # name_type + timestamp + kvno
+        (etype,) = struct.unpack(">H", entry[off:off + 2])
+        key, off = counted(off + 2)
+        if (erealm.decode() == realm and comps == want
+                and etype == enctype):
+            return key
+    raise KeyError(f"{principal}@{realm} (enctype {enctype}) not in {path}")

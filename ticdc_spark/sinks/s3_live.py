@@ -201,20 +201,45 @@ def get_files_df(
 def storage_live_roundtrip(cl_split: DataFrame,
                            scheme: str = "s3",
                            multipart_threshold: int = 8 * 1024 * 1024,
-                           part_size: int = 8 * 1024 * 1024) -> DataFrame:
+                           part_size: int = 8 * 1024 * 1024,
+                           cfg=None) -> DataFrame:
     """CSV-encode -> path layout -> authenticated PUT over the scheme's
     real REST dialect -> paginated list + GET -> storage-consumer decode
     -> replayed state.  The path layout is scheme-independent; only the
-    wire dialect (SigV4/XML vs Bearer/JSON vs SharedKey/XML) changes."""
+    wire dialect (SigV4/XML vs Bearer/JSON vs SharedKey/XML) changes.
+
+    ``cfg`` (a ChangefeedConfig, optional): applies the [sink.csv]
+    options to the encode and — when ``output-field-header`` is set —
+    builds the header line (`csv_encoder.go:46-48`) and threads it to
+    ``put_files`` so every data file opens with it."""
     from ticdc_spark.codec.csv_codec import encode_csv
     from ticdc_spark.sinks.consumer import decode_csv_storage, replay_to_state
     from ticdc_spark.sinks.storage import storage_paths
 
     spark = cl_split.sparkSession
     srv, cred1, cred2 = start_server(scheme)
-    files = storage_paths(encode_csv(cl_split))
+    header = None
+    if cfg is not None:
+        from ticdc_spark.pipeline import storage_file_header
+
+        c = cfg.csv_config or {}
+        encoded = encode_csv(
+            cl_split,
+            include_commit_ts=c.get("include-commit-ts", True),
+            binary_encoding=c.get("binary-encoding-method", "base64"),
+            quote=c.get("quote", '"') or None,
+            output_old_value=c.get("output-old-value", False),
+            delimiter=c.get("delimiter", ","),
+            null_token=c.get("null", "\\N"),
+        )
+        header = storage_file_header(
+            cfg, cl_split.schema["after"].dataType, line_terminator="\n")
+    else:
+        encoded = encode_csv(cl_split)
+    files = storage_paths(encoded)
     put_files(files, srv.endpoint, cred1, cred2, scheme=scheme,
-              multipart_threshold=multipart_threshold, part_size=part_size)
+              multipart_threshold=multipart_threshold, part_size=part_size,
+              header=header)
     fetched = get_files_df(spark, srv.endpoint, cred1, cred2, scheme=scheme)
     return replay_to_state(decode_csv_storage(fetched), order_col="commit_ts")
 
