@@ -993,6 +993,7 @@ RESOURCE_BROKER = 4
 
 ERR_TOPIC_ALREADY_EXISTS = 36
 ERR_INVALID_PARTITIONS = 37
+ERR_INVALID_REPLICATION_FACTOR = 38
 
 
 def enc_create_topics_request(

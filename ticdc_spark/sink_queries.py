@@ -4713,3 +4713,49 @@ oauth2-private-key = "{keyfile}"
     topics = list(broker.topics)
     return read_df(spark, broker.service_url, topics,
                    oauth2=auth["oauth2"])
+
+
+@register(
+    "kafka_live_producer_semantics_from_toml",
+    f"WITH {CHANGELOG_SQL} SELECT "
+    "'cdc_' || schema_name || '_' || table_name AS topic, "
+    f"CAST({_MD5_32_SQL} % 16 AS INTEGER) AS partition, "
+    f"{_OPEN_KEY_SQL} AS key, {_CANAL_SQL} AS value FROM changelog",
+)
+def q_kafka_live_producer_semantics_from_toml(spark, sf_dir):
+    """Producer-semantics keys consumed from the TOML on the live wire
+    (`pkg/sink/kafka/options.go:111-138`): the broker runs with
+    auto.create.topics DISABLED, so the topics exist only because
+    auto-create-topic=true makes the client provision them (CreateTopics
+    with the configured replication-factor); required-acks=1 changes
+    the produce wait mode (asserted broker-side); kafka-version=2.3.1
+    pins CLASSIC request frames (pre-KIP-482) on every connection."""
+    from ticdc_spark.config import parse_changefeed_config
+    from ticdc_spark.sinks.kafka_broker import KafkaBroker
+    from ticdc_spark.sinks.kafka_live import (_LIVE_BROKERS,
+                                              kafka_live_config_roundtrip)
+
+    broker = KafkaBroker(default_partitions=16,
+                         auto_create_topics=False).start()
+    _LIVE_BROKERS.append(broker)
+    toml_text = f'''
+sink-uri = "kafka://{broker.bootstrap}/cdc?protocol=canal-json"
+[sink.kafka-config]
+auto-create-topic = true
+replication-factor = 1
+required-acks = 1
+kafka-client-id = "ticdc-semantics"
+kafka-version = "2.3.1"
+'''
+    cfg = parse_changefeed_config(toml_text)
+    frame = kafka_messages(
+        scale_out(events_changelog(spark, sf_dir)),
+        [{"matcher": ["test.tp_*"], "partition": "index-value",
+          "topic": "cdc_{schema}_{table}"}],
+        protocol="canal-json",
+        n_partitions=16,
+    )
+    out = kafka_live_config_roundtrip(frame, cfg, broker)
+    # acks=1 must be what reached the broker (WaitForLocal on the wire)
+    assert set(broker.seen_produce_acks) == {1}, broker.seen_produce_acks
+    return out

@@ -196,7 +196,8 @@ class KafkaBroker:
                  oauth_jwt_secret: str | None = None,
                  oauth_now: int = 1_700_000_100,
                  flexible_only: bool = False,
-                 gssapi_service: tuple[str, str, str] | None = None):
+                 gssapi_service: tuple[str, str, str] | None = None,
+                 auto_create_topics: bool = True):
         # tls=True: an SSL (or SASL_SSL, with sasl_users) listener — a
         # fresh self-signed cert; clients pin it via broker.ca_pem.
         # mutual_tls=True additionally demands a client certificate
@@ -257,6 +258,15 @@ class KafkaBroker:
         # GSSAPI: (service_principal, password, realm) — the broker's
         # long-term key (an in-code keytab) for accepting AP-REQs; the
         # KDC that issued the tickets holds the same principal entry
+        # auto.create.topics.enable: when False, Metadata/Produce for an
+        # unknown topic answer UNKNOWN_TOPIC_OR_PARTITION instead of
+        # materializing it — the broker side of the reference's
+        # auto-create-topic=false deployment (`options.go:287-289`:
+        # TiCDC must then create the topic itself or error out)
+        self.auto_create_topics = auto_create_topics
+        # acks observability for conformance tests: every Produce
+        # request's acks field in arrival order
+        self.seen_produce_acks: list[int] = []
         self.gssapi_service = gssapi_service
         self._gssapi_key = None
         if gssapi_service is not None:
@@ -549,8 +559,11 @@ class KafkaBroker:
             else:
                 listing = {}
                 for name in names:
-                    t = self._get_topic(name)  # auto-create like auto.create.topics
-                    listing[name] = len(t)
+                    # auto-create like auto.create.topics.enable (gated)
+                    t = self._get_topic(name,
+                                        create=self.auto_create_topics)
+                    listing[name] = ((3, 0) if t is None  # UNKNOWN_TOPIC
+                                     else len(t))
             if flex:
                 return kw.frame_response_flex(
                     corr, kw.enc_metadata_response_v9(
@@ -563,12 +576,13 @@ class KafkaBroker:
             _txn, acks, _timeout, topic_data = (
                 kw.dec_produce_request_v9(r) if flex
                 else kw.dec_produce_request(r))
+            self.seen_produce_acks.append(acks)
             results: dict[str, dict[int, tuple[int, int]]] = {}
             for topic, parts in topic_data.items():
-                t = self._get_topic(topic)
+                t = self._get_topic(topic, create=self.auto_create_topics)
                 results[topic] = {}
                 for idx, record_set in parts.items():
-                    if idx not in t:
+                    if t is None or idx not in t:
                         results[topic][idx] = (3, -1)  # UNKNOWN_TOPIC_OR_PARTITION
                         continue
                     pid0, pep0, _, _ = kw.batch_producer_meta(record_set)
@@ -697,7 +711,7 @@ class KafkaBroker:
         if api_key == kw.API_CREATE_TOPICS:
             topics, validate_only = kw.dec_create_topics_request(r)
             results = {}
-            for name, n_parts, _repl, configs in topics:
+            for name, n_parts, repl, configs in topics:
                 with self._topics_lock:
                     if name in self.topics:
                         results[name] = (kw.ERR_TOPIC_ALREADY_EXISTS,
@@ -706,6 +720,15 @@ class KafkaBroker:
                     if n_parts == 0:
                         results[name] = (kw.ERR_INVALID_PARTITIONS,
                                          "Number of partitions must be larger than 0.")
+                        continue
+                    if repl > 1:
+                        # single-node broker: a replication factor above
+                        # the broker count is refused exactly like a real
+                        # cluster (INVALID_REPLICATION_FACTOR)
+                        results[name] = (
+                            kw.ERR_INVALID_REPLICATION_FACTOR,
+                            f"Replication factor: {repl} larger than "
+                            "available brokers: 1.")
                         continue
                     if not validate_only:
                         n = self.default_partitions if n_parts < 0 else n_parts

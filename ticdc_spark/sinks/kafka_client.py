@@ -24,13 +24,23 @@ class KafkaConn:
     def __init__(self, host: str, port: int, client_id: str = "ticdc-spark",
                  timeout: float = 30.0, sasl: tuple[str, str, str] | None = None,
                  tls_ca: bytes | None = None,
-                 tls_client_cert: tuple[bytes, bytes] | None = None):
+                 tls_client_cert: tuple[bytes, bytes] | None = None,
+                 kafka_version: str | None = None):
         """``sasl``: (mechanism, username, password) — PLAIN or
         SCRAM-SHA-256, run after the ApiVersions probe like sarama's
         SASL_PLAINTEXT dialer. ``tls_ca``: PEM to pin for an SSL/SASL_SSL
         listener (the enable-tls + ca-path sink-URI options);
         ``tls_client_cert``: (cert_pem, key_pem) presented to an mTLS
-        listener (the cert-path/key-path options)."""
+        listener (the cert-path/key-path options).
+
+        ``kafka_version`` ([sink.kafka-config] kafka-version,
+        `pkg/sink/kafka/options.go:253-255` IsAssignedVersion): caps the
+        negotiated request versions the way sarama's version gates do —
+        a version below 2.4.0 (KIP-482) never sends flexible frames,
+        even to a broker that offers them."""
+        self._version_cap = (
+            tuple(int(x) for x in kafka_version.split(".")[:3])
+            if kafka_version else None)
         self.sock = socket.create_connection((host, port), timeout=timeout)
         self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         if tls_ca is not None:
@@ -63,6 +73,17 @@ class KafkaConn:
         self.close()
 
     # -- request/response round trip
+
+    def _send_only(self, api_key: int, api_version: int,
+                   body: bytes) -> None:
+        """Fire-and-forget request: acks=0 produces get NO response on
+        the wire (replying would desynchronize correlation ids), so the
+        sender must not wait — sarama's NoResponse path."""
+        self._corr += 1
+        flex = kw.is_flexible(api_key, api_version)
+        frame = kw.frame_request_flex if flex else kw.frame_request
+        self.sock.sendall(frame(api_key, api_version, self._corr,
+                                self.client_id, body))
 
     def _call(self, api_key: int, api_version: int, body: bytes) -> kw.Reader:
         self._corr += 1
@@ -103,7 +124,15 @@ class KafkaConn:
             r.pos -= 2  # rewind the peeked error code
             versions = kw.dec_api_versions_response_v3(r)
 
+        # kafka-version downgrade: below 2.4.0 there are no flexible
+        # (KIP-482) frames — an assigned old version pins the classic
+        # floors, matching sarama's version-gated request construction
+        classic = (self._version_cap is not None
+                   and self._version_cap < (2, 4, 0))
+
         def pick(api: int, prefer: int, floor: int) -> int:
+            if classic:
+                prefer = floor
             lo, hi = versions.get(api, (-1, -2))
             if lo <= prefer <= hi:
                 return prefer
@@ -116,6 +145,8 @@ class KafkaConn:
         def pick_opt(api: int, prefer: int, floor: int) -> int:
             # group/txn family: a broker whose ApiVersions map omits the
             # api (minimal test stand-ins) is assumed classic-floor
+            if classic:
+                prefer = floor
             lo, hi = versions.get(api, (-1, -2))
             if lo <= prefer <= hi:
                 return prefer
@@ -301,11 +332,17 @@ class KafkaConn:
         producer: tuple[int, int] | None = None,
         base_sequence: int = -1,
         transactional: bool = False,
+        acks: int = -1,
     ) -> int:
-        """Produce one batch with acks=-1; returns the assigned base offset.
+        """Produce one batch; returns the assigned base offset.
         ``producer=(pid, epoch)`` + ``base_sequence`` make the batch
         idempotent: a retry resent with the same sequence dedups broker-
-        side to the original offset (exactly-once produce)."""
+        side to the original offset (exactly-once produce).
+
+        ``acks`` (required-acks, `options.go:80-108`): -1 WaitForAll
+        (default), 1 WaitForLocal, 0 NoResponse — with acks=0 the
+        broker sends NOTHING back; the call returns -1 immediately
+        (fire-and-forget, no delivery guarantee)."""
         pid, pepoch = producer if producer is not None else (-1, -1)
         record_set = kw.encode_record_batch(
             records, base_timestamp=base_timestamp, compression=compression,
@@ -313,14 +350,18 @@ class KafkaConn:
             base_sequence=base_sequence, transactional=transactional,
         )
         ver = self._ver[kw.API_PRODUCE]
+        enc = (kw.enc_produce_request_v9 if ver >= 9
+               else kw.enc_produce_request)
+        body = enc({topic: {partition: record_set}}, acks=acks)
+        if acks == 0:
+            self._send_only(kw.API_PRODUCE, ver, body)
+            return -1
         if ver >= 9:
-            resp = kw.dec_produce_response_v9(self._call(
-                kw.API_PRODUCE, ver,
-                kw.enc_produce_request_v9({topic: {partition: record_set}})))
+            resp = kw.dec_produce_response_v9(
+                self._call(kw.API_PRODUCE, ver, body))
         else:
-            resp = kw.dec_produce_response(self._call(
-                kw.API_PRODUCE, ver,
-                kw.enc_produce_request({topic: {partition: record_set}})))
+            resp = kw.dec_produce_response(
+                self._call(kw.API_PRODUCE, ver, body))
         err, base = resp[topic][partition]
         if err:
             raise IOError(f"produce to {topic}/{partition} failed: error_code={err}")

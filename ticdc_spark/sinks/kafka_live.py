@@ -45,7 +45,8 @@ def start_broker(n_partitions: int = 16, flexible_only: bool = True):
 def produce_frame(
     frame: DataFrame, bootstrap: str, compression: str = "none", max_retry: int = 5,
     sasl: tuple[str, str, str] | None = None, tls_ca: bytes | None = None,
-    client_id: str = "ticdc-spark",
+    client_id: str = "ticdc-spark", acks: int = -1,
+    kafka_version: str | None = None,
 ) -> None:
     """Distributed produce of a (topic, partition, key, value) frame.
 
@@ -95,13 +96,23 @@ def produce_frame(
                     if state["conn"] is None:
                         state["conn"] = KafkaConn.from_bootstrap(
                             bootstrap, sasl=sasl, tls_ca=tls_ca,
-                            client_id=client_id)
-                        if state["pid"] is None:
+                            client_id=client_id,
+                            kafka_version=kafka_version)
+                        if state["pid"] is None and acks == -1:
+                            # KIP-98 idempotence demands acks=all —
+                            # sarama refuses an idempotent producer at
+                            # acks 0/1; those run plain (the reference
+                            # surfaces the same constraint)
                             state["pid"] = state["conn"].init_producer_id()
-                    state["conn"].produce(topic, partition, batch,
-                                          compression=compression,
-                                          producer=state["pid"],
-                                          base_sequence=seq)
+                    if acks == -1:
+                        state["conn"].produce(topic, partition, batch,
+                                              compression=compression,
+                                              producer=state["pid"],
+                                              base_sequence=seq)
+                    else:
+                        state["conn"].produce(topic, partition, batch,
+                                              compression=compression,
+                                              acks=acks)
                     seqs[(topic, partition)] = seq + len(batch)
                     return
                 except (IOError, OSError):
@@ -401,13 +412,55 @@ def kafka_live_config_roundtrip(frame: DataFrame, cfg,
     (`sink.go:467`)."""
     from ticdc_spark.config import kafka_sasl_spec
 
+    from ticdc_spark.config import validate_required_acks
+
     spark = frame.sparkSession
     host = broker.bootstrap.rsplit(":", 1)[0]
     sasl = sasl_from_spec(kafka_sasl_spec(cfg), broker_host=host)
     kc = cfg.kafka_config or {}
     client_id = kc.get("kafka-client-id", "ticdc-spark")
+    acks = validate_required_acks(kc)
+    if not getattr(broker, "auto_create_topics", True):
+        # bounded control-plane collect: |topics| = filtered table count
+        topics = [r.topic for r in frame.select("topic").distinct().collect()]
+        ensure_topics_from_config(broker.bootstrap, cfg, topics,
+                                  sasl=sasl, n_partitions=16)
     produce_frame(frame, broker.bootstrap, sasl=sasl,
-                  client_id=client_id)
+                  client_id=client_id, acks=acks,
+                  kafka_version=kc.get("kafka-version"))
     pairs = [(t, p) for t, parts in broker.topics.items() for p in parts]
     return fetch_df(spark, broker.bootstrap, pairs, sasl=sasl,
                     client_id=client_id)
+
+
+def ensure_topics_from_config(bootstrap: str, cfg, topics: list[str],
+                              sasl=None, n_partitions: int = 16) -> None:
+    """The reference's topic-provisioning step
+    (`pkg/sink/kafka/options.go:555-568` DeriveTopicConfig +
+    `admin.go` CreateTopic): probe Metadata for each sink topic; a
+    missing topic is CREATED when auto-create-topic is true (with the
+    configured partition-num/replication-factor) and is an error when
+    false.  Driver-side: one admin connection, |topics| is the filtered
+    table count (bounded control-plane work)."""
+    from ticdc_spark.config import validate_required_acks
+    from ticdc_spark.sinks.kafka_client import KafkaConn, create_topic
+
+    kc = cfg.kafka_config or {}
+    validate_required_acks(kc)
+    auto = kc.get("auto-create-topic", True)
+    rf = int(kc.get("replication-factor", 1))
+    with KafkaConn.from_bootstrap(
+            bootstrap, sasl=sasl,
+            client_id=kc.get("kafka-client-id", "ticdc-spark"),
+            kafka_version=kc.get("kafka-version")) as conn:
+        md = conn.metadata(list(topics))
+        for t in topics:
+            info = md["topics"].get(t)
+            if info is not None and info.get("error", 0) == 0:
+                continue
+            if not auto:
+                raise IOError(
+                    f"unknown topic {t!r} and auto-create-topic is "
+                    "false — create the topic first "
+                    "(`options.go:287-289`)")
+            create_topic(conn, t, n_partitions, replication_factor=rf)
