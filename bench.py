@@ -717,16 +717,22 @@ def _storage_sink_probe(spark, sf_dir: str, nx_dir: str, nx: int) -> dict:
 
     part_size = 64 * 1024
 
-    def leg(sdir: str) -> tuple[float, int, int, int]:
+    def leg(sdir: str, spool: bool = False) -> tuple[float, int, int, int]:
+        import tempfile
+
         cl = split_updates(events_changelog(spark, sdir, parallel=True))
         files = storage_paths(encode_csv(cl)).localCheckpoint()
         n_rows = files.count()  # also materializes the checkpoint
+        spool_conf = ({"base-dir": tempfile.mkdtemp(prefix="bench_spool_"),
+                       "disk-quota": 256 * 1024 * 1024}
+                      if spool else None)
         srv, c1, c2 = s3_live.start_server("s3")
         walls = []
         for _ in range(3):
             t0 = time.perf_counter()
             s3_live.put_files(files, srv.endpoint, c1, c2, scheme="s3",
-                              multipart_threshold=0, part_size=part_size)
+                              multipart_threshold=0, part_size=part_size,
+                              spool_conf=spool_conf)
             walls.append(time.perf_counter() - t0)
         with s3_live._client(srv.endpoint, c1, c2, "s3") as c:
             objs = c.list_objects(s3_live.BUCKET, max_keys=100000)
@@ -738,9 +744,14 @@ def _storage_sink_probe(spark, sf_dir: str, nx_dir: str, nx: int) -> dict:
 
     w1, rows1, files1, parts1 = leg(sf_dir)
     wn, rowsn, filesn, partsn = leg(nx_dir)
+    # spool-engaged leg at nx: the local-disk enqueue/drain stage in
+    # front of the same upload (spool-base-dir/-disk-quota config)
+    wsp, _, _, _ = leg(nx_dir, spool=True)
     return {
         "wall_s_median_1x": round(w1, 3),
         "wall_s_median": round(wn, 3),
+        "wall_s_median_spool": round(wsp, 3),
+        "spool_overhead_ratio": round(wsp / max(wn, 0.05), 3),
         "samples": 3,
         "copies": nx,
         "per_row_ratio_vs_1x": round(wn / (nx * max(w1, 0.05)), 3),

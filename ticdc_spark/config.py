@@ -122,6 +122,12 @@ def parse_cloud_storage_config(block: dict | None) -> dict:
             f"file-size {c['file-size']} must be in [1024, {512<<20}]")
     if c["file-expiration-days"] < 0:
         raise ValueError("file-expiration-days must be >= 0")
+    # spool-base-dir / spool-disk-quota (`pkg/config/sink.go:736-737`):
+    # pass through; a non-positive quota falls back to the spool
+    # default like the reference's WithDiskQuotaBytes warn-and-default
+    if "spool-disk-quota" in c:
+        q = int(c["spool-disk-quota"])
+        c["spool-disk-quota"] = q if q > 0 else 0
     return c
 
 
@@ -708,3 +714,39 @@ def pulsar_auth(cfg) -> dict:
             "scope": oauth.get("oauth2-scope", ""),
         }}
     return {}
+
+
+# clamps from `pkg/sink/mysql/config.go:59-65`
+_MAX_MULTI_UPDATE_ROW_COUNT_CAP = 256   # maxMaxMultiUpdateRowCount
+_MAX_MULTI_UPDATE_ROW_SIZE_CAP = 8192   # maxMaxMultiUpdateRowSize
+
+
+def mysql_batch_options(cfg) -> dict:
+    """The MySQL writer batching knobs from the merged
+    [sink.mysql-config] + sink-URI params
+    (`pkg/sink/mysql/config.go:49-85,181-191,215-228`), reference
+    defaults applied and the documented clamps enforced (values above
+    the max clamp down with a warning in the reference; <=0 falls back
+    to the default)."""
+    mc = cfg.mysql_config or {}
+
+    def clamped(key: str, default: int, cap: int) -> int:
+        v = mc.get(key, default)
+        if not isinstance(v, int) or v <= 0:
+            return default
+        return min(v, cap)
+
+    return {
+        "max_txn_row": clamped("max-txn-row", getattr(
+            cfg, "max_txn_row", 256) or 256, 2048),
+        "max_multi_update_row": clamped(
+            "max-multi-update-row", 40, _MAX_MULTI_UPDATE_ROW_COUNT_CAP),
+        "max_multi_update_row_size": clamped(
+            "max-multi-update-row-size", 1024,
+            _MAX_MULTI_UPDATE_ROW_SIZE_CAP),
+        "enable_batch_dml": bool(mc.get("enable-batch-dml", True)),
+        "enable_multi_statement": bool(
+            mc.get("enable-multi-statement", True)),
+        "enable_cache_prepared_statement": bool(
+            mc.get("enable-cache-prepared-statement", True)),
+    }

@@ -435,9 +435,22 @@ def compile_sink_tail(df: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
                     df, max_txn_row=cfg.max_txn_row, atomicity="table")
             return sql_for_rows(df, safe_mode=True,
                                 pk_fields=tuple(cfg.handle_key_fields))
-        return multirow_batches(compact_changelog(df),
-                                max_txn_row=cfg.max_txn_row,
+        # [sink.mysql-config] batching knobs (`pkg/sink/mysql/
+        # config.go:49-85`): enable-batch-dml=false selects the
+        # per-row writer (shouldGenBatchSQL rule 1); the multi-update
+        # caps bound batch statement shapes
+        from ticdc_spark.config import mysql_batch_options
+
+        opts = mysql_batch_options(cfg)
+        if not opts["enable_batch_dml"]:
+            return sql_for_rows(df, safe_mode=False,
                                 pk_fields=tuple(cfg.handle_key_fields))
+        return multirow_batches(
+            compact_changelog(df),
+            max_txn_row=cfg.max_txn_row,
+            pk_fields=tuple(cfg.handle_key_fields),
+            max_multi_update_row=opts["max_multi_update_row"],
+            max_multi_update_row_size=opts["max_multi_update_row_size"])
     if scheme in STORAGE_SCHEMES:
         from ticdc_spark.sinks.storage import storage_paths
 

@@ -129,6 +129,8 @@ def multirow_batches(
     pk_fields: tuple[str, ...] = ("id",),
     generated_columns: frozenset[str] = frozenset(),
     virtual_generated_columns: frozenset[str] = frozenset(),
+    max_multi_update_row: int = 40,
+    max_multi_update_row_size: int = 1024,
 ) -> DataFrame:
     """Cross-event batch SQL (`pkg/sink/sqlmodel/multi_row.go:49-147`,
     reached from the compacted flush in `mysql_writer_dml_batch.go`):
@@ -147,6 +149,15 @@ def multirow_batches(
     window shuffle on (table, kind) for row numbering, then a partial+
     final string agg — the same exchange a JDBC writer's
     ``repartition(hash(pk))`` needs anyway.
+
+    UPDATE batching caps ([sink.mysql-config] / sink-URI,
+    `pkg/sink/mysql/config.go:51-65`): UPDATE chunks close at
+    ``max_multi_update_row`` (default 40, vs MaxTxnRow for I/D,
+    `mysql_writer_dml_batch.go:575-607`), and a chunk whose average
+    rendered row size reaches ``max_multi_update_row_size`` (default
+    1 KB) falls back to one independent UPDATE per row
+    (`mysql_writer_dml_batch.go:623-649` genUpdateSQL) — the CASE
+    statement over huge rows is slower downstream than row updates.
     """
     if not batchable_by_handle_key(pk_fields, virtual_generated_columns):
         # shouldGenBatchSQL rule 3 (mysql_writer_dml.go:139-152): the
@@ -205,19 +216,44 @@ def multirow_batches(
     ]
     from pyspark.sql.window import Window
 
+    tbl_frag = F.concat(F.lit("`"), F.col("schema_name"), F.lit("`.`"),
+                        F.col("table_name"), F.lit("`"))
+    row_set = F.concat(*[
+        c
+        for i, f in enumerate(write_schema_fields)
+        for c in ([F.lit(", ")] if i else [])
+        + [F.lit(f"`{f.name}` = "),
+           _sql_value(F.col(f"after.{f.name}"), f.dataType)]
+    ])
+    row_update = F.concat(F.lit("UPDATE "), tbl_frag, F.lit(" SET "),
+                          row_set, F.lit(" WHERE "), where("before"))
     rows = compacted.select(
         "schema_name", "table_name", "pk", kind.alias("stmt_kind"),
         vals("after").alias("_vals"),
         in_tuple("before").alias("_in"),
+        # GetApproximateDataSize proxy: the rendered row payload length
+        F.length(vals("after")).cast("long").alias("_size"),
+        row_update.alias("_row_update"),
         *when_cols,
     )
     w = Window.partitionBy("schema_name", "table_name", "stmt_kind").orderBy("pk")
+    # UPDATE chunks cap at MaxMultiUpdateRowCount; I/D at MaxTxnRow
+    chunk_rows = (F.when(F.col("stmt_kind") == "update",
+                         F.lit(max_multi_update_row))
+                  .otherwise(F.lit(max_txn_row)))
     chunked = rows.withColumn(
-        "batch_seq", ((F.row_number().over(w) - 1) / max_txn_row).cast("int")
+        "batch_seq",
+        ((F.row_number().over(w) - 1) / chunk_rows).cast("int")
     )
     frag_fields = ["_vals", "_in"] + [f"_w_{f}" for f in fields]
     g = chunked.groupBy("schema_name", "table_name", "stmt_kind", "batch_seq").agg(
         F.count(F.lit(1)).alias("n_rows"),
+        F.sum("_size").alias("_total_size"),
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.struct("pk", F.col("_row_update").alias("f")))),
+            lambda s: s["f"],
+        ).alias("_row_updates"),
         *[
             F.array_join(
                 F.transform(
@@ -241,16 +277,33 @@ def multirow_batches(
             [F.lit(", ")] if i else []
         ) + [F.lit(f"`{f}` = CASE "), F.col(f"agg_w_{f}"), F.lit(" END")]
     ])
-    stmt = (
+    # genUpdateSQL size gate: size < cap * len(rows) -> one CASE stmt,
+    # else independent per-row UPDATEs (`mysql_writer_dml_batch.go:629`)
+    update_fits = F.col("_total_size") < (
+        F.lit(max_multi_update_row_size) * F.col("n_rows"))
+    stmt_array = (
         F.when(F.col("stmt_kind") == "insert",
-               F.concat(F.lit("INSERT INTO "), tbl, F.lit(f" ({col_list}) VALUES "),
-                        F.col("agg_vals")))
+               F.array(F.concat(F.lit("INSERT INTO "), tbl,
+                                F.lit(f" ({col_list}) VALUES "),
+                                F.col("agg_vals"))))
         .when(F.col("stmt_kind") == "delete",
-              F.concat(F.lit("DELETE FROM "), tbl, in_list))
-        .otherwise(F.concat(F.lit("UPDATE "), tbl, F.lit(" SET "), set_clause, in_list))
+              F.array(F.concat(F.lit("DELETE FROM "), tbl, in_list)))
+        .when(update_fits,
+              F.array(F.concat(F.lit("UPDATE "), tbl, F.lit(" SET "),
+                               set_clause, in_list)))
+        .otherwise(F.col("_row_updates"))
     )
-    return g.select("schema_name", "table_name", "stmt_kind", "batch_seq",
-                    "n_rows", stmt.alias("stmt"))
+    n_stmts = F.size(stmt_array)
+    exploded = g.select(
+        "schema_name", "table_name", "stmt_kind", "batch_seq",
+        # per-statement row count: the whole chunk for a batched stmt,
+        # one for each per-row fallback UPDATE
+        F.when(n_stmts == 1, F.col("n_rows")).otherwise(F.lit(1))
+        .cast("long").alias("n_rows"),
+        F.posexplode(stmt_array).alias("_stmt_seq", "stmt"),
+    )
+    return exploded.select("schema_name", "table_name", "stmt_kind",
+                           "batch_seq", "n_rows", "stmt")
 
 
 def sink_key() -> Column:

@@ -211,6 +211,7 @@ def mysql_live_apply_generated_column(
 def apply_over_wire_prepared(
     cl_split: DataFrame, host: str, port: int, user: str, password: str,
     n_slots: int = 16, schema: str = "test", batch_rows: int = 64,
+    cache_prepared: bool = True,
 ) -> None:
     """The go-sql-driver shape of the writer: COM_STMT_PREPARE once per
     (table, statement shape), then COM_STMT_EXECUTE with binary-bound
@@ -218,7 +219,12 @@ def apply_over_wire_prepared(
     literal rendering. Consecutive same-(table, op) runs flush as
     multirow REPLACE batches of ``batch_rows`` (arity-64 prepared once,
     remainder via the single-row statement), deletes row-at-a-time —
-    order within a conflict slot is preserved."""
+    order within a conflict slot is preserved.
+
+    ``cache_prepared`` (enable-cache-prepared-statement,
+    `pkg/sink/mysql/config.go:85,139` CachePrepStmts, go-sql-driver's
+    stmt cache): False prepares and CLOSES a statement per execution —
+    the shape a cache-disabled driver puts on the wire."""
     from pyspark.sql import functions as F
 
     from ticdc_spark.operators.conflict import with_conflict_slots
@@ -243,20 +249,30 @@ def apply_over_wire_prepared(
         conn = None
         stmt_cache: dict[tuple[str, str, int], int] = {}
 
+        def _sql(table: str, kind: str, arity: int) -> str:
+            if kind == "replace":
+                row = "(?, ?, ?)"
+                return (f"REPLACE INTO `{schema}`.`{table}` (`id`, `val`, `k`) "
+                        f"VALUES {', '.join([row] * arity)}")
+            return (f"DELETE FROM `{schema}`.`{table}` WHERE `id` IN "
+                    f"({', '.join(['?'] * arity)})")
+
         def stmt(table: str, kind: str, arity: int) -> int:
             key = (table, kind, arity)
             sid = stmt_cache.get(key)
             if sid is None:
-                if kind == "replace":
-                    row = "(?, ?, ?)"
-                    sql = (f"REPLACE INTO `{schema}`.`{table}` (`id`, `val`, `k`) "
-                           f"VALUES {', '.join([row] * arity)}")
-                else:
-                    sql = (f"DELETE FROM `{schema}`.`{table}` WHERE `id` IN "
-                           f"({', '.join(['?'] * arity)})")
-                sid, _ = prepare(conn, sql)
+                sid, _ = prepare(conn, _sql(table, kind, arity))
                 stmt_cache[key] = sid
             return sid
+
+        def run(table: str, kind: str, arity: int, args: list) -> None:
+            if cache_prepared:
+                execute_prepared(conn, stmt(table, kind, arity), args)
+                return
+            # cache off: prepare -> execute -> close, every time
+            sid, _ = prepare(conn, _sql(table, kind, arity))
+            execute_prepared(conn, sid, args)
+            close_prepared(conn, sid)
 
         window: list = []
 
@@ -283,10 +299,10 @@ def apply_over_wire_prepared(
             for table, (reps, dels) in by_table.items():
                 for i in range(0, len(dels), batch_rows):
                     chunk = dels[i : i + batch_rows]
-                    execute_prepared(conn, stmt(table, "delete", len(chunk)), chunk)
+                    run(table, "delete", len(chunk), chunk)
                 for i in range(0, len(reps), 3 * batch_rows):
                     chunk = reps[i : i + 3 * batch_rows]
-                    execute_prepared(conn, stmt(table, "replace", len(chunk) // 3), chunk)
+                    run(table, "replace", len(chunk) // 3, chunk)
             window = []
 
         try:
@@ -313,6 +329,7 @@ def mysql_live_apply_prepared(
     n_slots: int = 16,
     user: str = "root",
     password: str = "cdc-secret",
+    cache_prepared: bool = True,
 ) -> DataFrame:
     """Like mysql_live_apply but through the binary prepared-statement
     protocol — values arrive BIT-EXACT (no text rendering), so the oracle
@@ -320,5 +337,137 @@ def mysql_live_apply_prepared(
     spark = cl_split.sparkSession
     srv = start_server(schema, user, password)
     create_tables(srv.host, srv.port, user, password, tables, schema)
-    apply_over_wire_prepared(cl_split, srv.host, srv.port, user, password, n_slots, schema)
+    apply_over_wire_prepared(cl_split, srv.host, srv.port, user, password,
+                             n_slots, schema,
+                             cache_prepared=cache_prepared)
     return read_state_df(spark, srv.host, srv.port, user, password, tables, schema)
+
+
+def apply_stmt_frame(stmts: DataFrame, host: str, port: int, user: str,
+                     password: str, multi_stmt: bool = True,
+                     batch_stmts: int = 256) -> None:
+    """Apply an arbitrary ``stmt``-column frame (e.g. multirow batch
+    SQL) over the wire.  ``multi_stmt`` mirrors enable-multi-statement
+    (`pkg/sink/mysql/mysql_writer_dml_exec.go:58`): True sends each
+    flush batch as ONE multi-statement COM_QUERY; False executes the
+    statements sequentially inside the transaction (sequenceExecute).
+    Partitioned by table so one connection owns a table's stream."""
+    from ticdc_spark.sinks.mysql import session_init_statements
+
+    init = session_init_statements()
+    shaped = stmts.select("schema_name", "table_name", "stmt").repartition(
+        "schema_name", "table_name")
+
+    def _apply(rows_iter):
+        import time as _time
+
+        from ticdc_spark.codec.mysql_wire import MySQLError
+        from ticdc_spark.sinks.mysql_client import MySQLConn
+
+        state = {"conn": None}
+        max_retry = 5
+
+        def run_batch(batch):
+            for attempt in range(max_retry + 1):
+                try:
+                    if state["conn"] is None:
+                        state["conn"] = MySQLConn(host, port, user, password)
+                        for s in init:
+                            state["conn"].query(s)
+                    if multi_stmt:
+                        state["conn"].execute_batch(batch)
+                    else:
+                        # sequenceExecute: one COM_QUERY per statement
+                        for s in batch:
+                            state["conn"].query(s)
+                    return
+                except MySQLError:
+                    raise
+                except (IOError, OSError):
+                    if state["conn"] is not None:
+                        state["conn"].close()
+                        state["conn"] = None
+                    if attempt == max_retry:
+                        raise
+                    _time.sleep(min(0.1 * (2 ** attempt), 2.0))
+
+        buf: list[str] = []
+        try:
+            for row in rows_iter:
+                buf.append(row["stmt"])
+                if len(buf) >= batch_stmts:
+                    run_batch(["START TRANSACTION", *buf, "COMMIT"])
+                    buf = []
+            if buf:
+                run_batch(["START TRANSACTION", *buf, "COMMIT"])
+        finally:
+            if state["conn"] is not None:
+                state["conn"].close()
+
+    shaped.foreachPartition(_apply)
+
+
+def mysql_live_apply_multirow_from_config(
+    cl: DataFrame,
+    cfg,
+    tables: list[str],
+    schema: str = "test",
+    user: str = "root",
+    password: str = "cdc-secret",
+) -> DataFrame:
+    """The BATCH writer path driven by [sink.mysql-config]: compacted
+    net rows -> multirow batch SQL under the configured caps
+    (max-multi-update-row(-size), `pkg/sink/mysql/config.go:51-65`) ->
+    live wire apply honoring enable-multi-statement; downstream is
+    pre-seeded with the before images of net U/D keys (the reference's
+    batch flow likewise assumes the pre-image rows exist downstream).
+    enable-batch-dml=false falls back to the per-row safe-mode writer
+    (`mysql_writer_dml.go:126-132` shouldGenBatchSQL rule 1)."""
+    from pyspark.sql import functions as F
+
+    from ticdc_spark.config import mysql_batch_options
+    from ticdc_spark.operators.compaction import compact_changelog
+    from ticdc_spark.sinks.mysql import multirow_batches
+
+    spark = cl.sparkSession
+    opts = mysql_batch_options(cfg)
+    srv = start_server(schema, user, password)
+    create_tables(srv.host, srv.port, user, password, tables, schema)
+
+    # the batch writer folds per HANDLE key (the downstream row
+    # identity, `mysql_writer_dml_batch.go` groups by pk/uk args) —
+    # re-key on the payload handle before compaction; the raw source
+    # pk (RawKV key) is not the downstream identity
+    cl = cl.withColumn("pk", F.coalesce(F.col("after.id"),
+                                        F.col("before.id")))
+    compacted = compact_changelog(cl)
+    compacted = compacted.localCheckpoint()  # one materialization: seeds + stream
+    # seed the pre-image rows for net U/D keys as INSERT batches
+    seeds = (compacted.filter(F.col("net_op") != "I")
+             .withColumn("after", F.col("before"))
+             .withColumn("net_op", F.lit("I")))
+    apply_stmt_frame(multirow_batches(seeds), srv.host, srv.port, user,
+                     password, multi_stmt=opts["enable_multi_statement"])
+    if opts["enable_batch_dml"]:
+        stmts = multirow_batches(
+            compacted,
+            max_txn_row=opts["max_txn_row"],
+            max_multi_update_row=opts["max_multi_update_row"],
+            max_multi_update_row_size=opts["max_multi_update_row_size"],
+        )
+        apply_stmt_frame(stmts, srv.host, srv.port, user, password,
+                         multi_stmt=opts["enable_multi_statement"])
+    else:
+        # per-row writer: REPLACE upserts + per-row DELETEs (safe mode)
+        from ticdc_spark.sinks.mysql import sql_for_rows
+
+        per_row = compacted.select(
+            "schema_name", "table_name",
+            F.col("net_op").alias("op"), "before", "after")
+        apply_stmt_frame(
+            sql_for_rows(per_row, safe_mode=True).select(
+                "schema_name", "table_name", "stmt"),
+            srv.host, srv.port, user, password,
+            multi_stmt=opts["enable_multi_statement"])
+    return read_state_df(spark, srv.host, srv.port, user, password,
+                         tables, schema)

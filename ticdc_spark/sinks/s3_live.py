@@ -69,7 +69,8 @@ def put_files(files: DataFrame, endpoint: str, access_key: str,
               secret_key: str, scheme: str = "s3",
               multipart_threshold: int = 8 * 1024 * 1024,
               part_size: int = 8 * 1024 * 1024,
-              header: str | None = None) -> None:
+              header: str | None = None,
+              spool_conf: dict | None = None) -> None:
     """files: rows carrying (path, file_name, value [, ordering cols]).
     One object per (path, file_name), rows joined in replay-key order.
 
@@ -79,7 +80,17 @@ def put_files(files: DataFrame, endpoint: str, access_key: str,
     chunks — real S3 caps a single PUT at 5 GiB and the reference
     streams large redo/storage files through a multipart writer
     (`pkg/redo/writer/memory/file_worker.go:197-203`), so a 100-TB run
-    with file-size rotation must not single-shot large objects."""
+    with file-size rotation must not single-shot large objects.
+
+    ``spool_conf`` ([sink.cloud-storage-config] spool-base-dir /
+    spool-disk-quota, `pkg/config/sink.go:736-737`; package
+    `downstreamadapter/sink/cloudstorage/spool/`): encoded files are
+    ENQUEUED into a per-partition local-disk spool and uploaded from
+    it — under a slow/stalling object store the writer keeps accepting
+    batches (memory below the ratio, disk up to the quota) instead of
+    blocking; a stall error parks the batch and the drain retries.
+    Keys: ``base-dir`` (executor-local root), ``disk-quota`` (bytes),
+    optional ``segment-capacity``/``stall-wait-s``."""
     cols = files.columns
     order = [c for c in ("commit_ts", "dml_order", "seq") if c in cols]
     shaped = (
@@ -96,16 +107,10 @@ def put_files(files: DataFrame, endpoint: str, access_key: str,
         buf: list[str] = []
         max_retry = 5  # connector retry budget (kafka/pulsar parity)
 
-        def flush():
+        def upload(key: str, data: bytes, retry: int = max_retry) -> None:
             nonlocal client
-            if cur is None or not buf:
-                return
-            # output-field-header (`csv_encoder.go:46-48`): the header
-            # line opens every file, before the first record
-            data = ((header or "") + "\n".join(buf) + "\n").encode("utf-8")
-            key = f"{cur[0]}/{cur[1]}"
             upload_id = None  # survives reconnects: multipart RESUMES
-            for attempt in range(max_retry + 1):
+            for attempt in range(retry + 1):
                 try:
                     if client is None:
                         client = _client(endpoint, access_key, secret_key,
@@ -144,9 +149,76 @@ def put_files(files: DataFrame, endpoint: str, access_key: str,
                     if client is not None:
                         client.close()
                         client = None
-                    if attempt == max_retry:
+                    if attempt == retry:
                         raise
                     _time.sleep(min(0.05 * (2 ** attempt), 1.0))
+
+        # ---- spool-backed writer ------------------------------------
+        sp = None
+        queued: list = []  # (key, entry) awaiting upload
+
+        if spool_conf is not None:
+            import os as _os
+
+            from pyspark import TaskContext
+
+            from ticdc_spark.sinks import spool as _spool
+
+            pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+            sp = _spool.Spool(
+                changefeed=f"part-{pid}",
+                root_dir=_os.path.join(
+                    spool_conf.get("base-dir", "/tmp/ticdc-spark-spool"),
+                    "cloudstorage-sink-spool"),
+                disk_quota_bytes=int(spool_conf.get("disk-quota", 0)),
+                segment_capacity=int(
+                    spool_conf.get("segment-capacity", 0)))
+
+        def drain(retry: int = max_retry):
+            """Upload every spooled entry, releasing its quota."""
+            while queued:
+                key, entry = queued[0]
+                msgs = sp.read_messages(entry)
+                for _k, value, _rows in msgs:
+                    upload(key, value, retry=retry)
+                sp.release(entry)
+                queued.pop(0)
+
+        def flush():
+            if cur is None or not buf:
+                return
+            # output-field-header (`csv_encoder.go:46-48`): the header
+            # line opens every file, before the first record
+            data = ((header or "") + "\n".join(buf) + "\n").encode("utf-8")
+            key = f"{cur[0]}/{cur[1]}"
+            if sp is None:
+                upload(key, data)
+                return
+            msgs = [(key.encode(), data, len(buf))]
+            # TrySend shape (`spool.go:406-435` + writer loop): a spill
+            # past the disk quota forces a drain, then waits for room
+            action, entry = sp.try_enqueue(msgs)
+            if action == _spool.WAIT_DISK_QUOTA:
+                drain()
+                if not sp.wait_for_disk_quota(
+                        msgs, timeout=float(
+                            spool_conf.get("stall-wait-s", 60))):
+                    raise IOError(
+                        "spool disk quota exhausted and no room freed "
+                        f"(quota {sp._budget.disk_quota} bytes)")
+                action, entry = sp.try_enqueue(msgs)
+            queued.append((key, entry))
+            if action == _spool.ACCEPTED_OVERSIZED:
+                # an entry bigger than the whole quota flushes NOW
+                drain()
+                return
+            # opportunistic drain: upload when the store is healthy,
+            # but absorb (keep spooling) while it stalls — one attempt,
+            # no backoff; the final drain carries the full retry budget
+            try:
+                drain(retry=0)
+            except Exception:  # noqa: BLE001 — stalled store: park it
+                pass
 
         try:
             for row in rows_iter:
@@ -157,7 +229,11 @@ def put_files(files: DataFrame, endpoint: str, access_key: str,
                     buf = []
                 buf.append(row["value"])
             flush()
+            if sp is not None:
+                drain()  # final drain must succeed (full retry budget)
         finally:
+            if sp is not None:
+                sp.close()
             if client is not None:
                 client.close()
 
@@ -239,10 +315,24 @@ def storage_live_roundtrip(cl_split: DataFrame,
     files = storage_paths(encoded)
     put_files(files, srv.endpoint, cred1, cred2, scheme=scheme,
               multipart_threshold=multipart_threshold, part_size=part_size,
-              header=header)
+              header=header,
+              spool_conf=(spool_conf_from_cfg(cfg)
+                          if cfg is not None else None))
     fetched = get_files_df(spark, srv.endpoint, cred1, cred2, scheme=scheme)
     return replay_to_state(decode_csv_storage(fetched), order_col="commit_ts")
 
 
 def storage_live_s3_roundtrip(cl_split: DataFrame) -> DataFrame:
     return storage_live_roundtrip(cl_split, scheme="s3")
+
+
+def spool_conf_from_cfg(cfg) -> dict | None:
+    """[sink.cloud-storage-config] spool-base-dir/spool-disk-quota
+    (`pkg/config/sink.go:736-737`) → the ``put_files`` spool_conf;
+    None when the spool is not configured."""
+    st = (cfg.cloud_storage_config or {})
+    base = st.get("spool-base-dir")
+    if not base:
+        return None
+    return {"base-dir": base,
+            "disk-quota": int(st.get("spool-disk-quota", 0) or 0)}

@@ -107,6 +107,14 @@ class MiniS3Server:
                 if not self._authed(body):
                     return
                 bucket, key, q = self._route()
+                from ticdc_spark import failpoint
+
+                if failpoint.inject("storage/stall-put"):
+                    # chaos: the object store throttles — S3's 503
+                    # SlowDown; a spool-backed writer parks the batch
+                    # on local disk instead of blocking on this
+                    return self._error(503, "SlowDown",
+                                       "Please reduce your request rate.")
                 if "partNumber" in q and "uploadId" in q:
                     return self._upload_part(bucket, key, q, body)
                 with srv._lock:
