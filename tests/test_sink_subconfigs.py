@@ -317,3 +317,23 @@ def test_live_gssapi_keytab_auth():
         with KafkaConn.from_bootstrap(b.bootstrap, sasl=sasl) as c:
             c.produce("t", 0, [Record(b"k", b"v")])
             assert len(c.fetch_all("t", 0)) == 1
+
+
+def test_output_raw_change_event_gates_update_split():
+    # kafka scheme + [sink.kafka-config]: suppresses the split
+    cfg = parse_changefeed_config(
+        'sink-uri = "kafka://b:9092/t"\n'
+        "[sink.kafka-config]\noutput-raw-change-event = true\n")
+    assert cfg.split_updates is False
+    # cloud-storage spelling (dispatcher_manager.go:317)
+    cfg2 = parse_changefeed_config(
+        'sink-uri = "s3://b/p?protocol=csv"\n'
+        "[sink.cloud-storage-config]\noutput-raw-change-event = true\n")
+    assert cfg2.split_updates is False
+    # default stays split; a mysql sink ignores the kafka spelling
+    assert parse_changefeed_config(
+        'sink-uri = "kafka://b:9092/t"\n').split_updates is True
+    cfg3 = parse_changefeed_config(
+        'sink-uri = "mysql://u:p@h:4000/"\n'
+        "[sink.kafka-config]\noutput-raw-change-event = true\n")
+    assert cfg3.split_updates is True

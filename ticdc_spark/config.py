@@ -320,6 +320,27 @@ def parse_changefeed_config(text: str, fmt: str = "toml") -> ChangefeedConfig:
     cfg.synced_checkpoint_interval_s = synced.get(
         "checkpoint-interval", 15)
     apply_sink_uri_params(cfg)
+    # output-raw-change-event (`pkg/config/sink.go:499-500,744-747`;
+    # consumed per sink type in `downstreamadapter/dispatchermanager/
+    # dispatcher_manager.go:313-320`): suppress the pk/uk update split
+    # for the Kafka and cloud-storage sinks.  Pulsar's spelling parses
+    # but is not in the reference's sink-type switch (ignored there
+    # too); the reference's own cloudstorage sink carries a "todo:
+    # this field is not take effects yet" note (`downstreamadapter/
+    # sink/cloudstorage/sink.go:55-56`) yet the dispatcher manager DOES
+    # gate the split on it — we follow the dispatcher manager.
+    from ticdc_spark.pipeline import STORAGE_SCHEMES, sink_scheme
+
+    _scheme = sink_scheme(cfg).split("+")[0]
+    if _scheme == "kafka":
+        raw = (cfg.kafka_config or {}).get("output-raw-change-event", False)
+    elif _scheme in STORAGE_SCHEMES:
+        raw = (cfg.cloud_storage_config or {}).get(
+            "output-raw-change-event", False)
+    else:
+        raw = False
+    if raw:
+        cfg.split_updates = False
     if sync_interval:
         cfg.sync_point_interval_us = parse_duration_us(sync_interval)
     if sync_retention:

@@ -4823,3 +4823,65 @@ def q_storage_live_spool_roundtrip(spark, sf_dir):
         "spool-disk-quota = 268435456\n")
     cl = split_updates(scale_out(events_changelog(spark, sf_dir)))
     return storage_live_roundtrip(cl, scheme="s3", cfg=cfg)
+
+
+# output-raw-change-event on the Kafka path (`pkg/config/sink.go:499-500`
+# GetOutputRawChangeEvent; split gate `downstreamadapter/
+# dispatchermanager/dispatcher_manager.go:313-320` + the event scanner's
+# `if !p.outputRawChangeEvent { shouldSplit = IsUKChanged(...) }`,
+# `pkg/eventservice/event_scanner.go:970-975`): with the flag set in
+# [sink.kafka-config], pk/uk-changing updates flow to the MQ sink as
+# RAW single "u"+"p" open-protocol messages instead of d+i pairs.  The
+# result counts message kinds per table off the live fetch-back —
+# 'U_keychange' > 0 only exists because the split was suppressed.
+@register(
+    "kafka_live_raw_change_event",
+    f"WITH {CHANGELOG_SQL}, "
+    "kinds AS ("
+    "  SELECT table_name, 'D' AS kind FROM changelog WHERE op = 'D'"
+    "  UNION ALL"
+    "  SELECT table_name, 'U' AS kind FROM changelog WHERE op <> 'D'"
+    "  UNION ALL"
+    "  SELECT table_name, 'U_keychange' AS kind FROM changelog"
+    "  WHERE op = 'U' AND before_id IS NOT NULL"
+    "    AND before_id <> after_id"
+    ") SELECT table_name, kind, COUNT(*) AS n FROM kinds GROUP BY 1, 2",
+)
+def q_kafka_live_raw_change_event(spark, sf_dir):
+    from ticdc_spark.config import parse_changefeed_config
+    from ticdc_spark.sinks.kafka_live import kafka_live_roundtrip
+
+    cfg = parse_changefeed_config(
+        'sink-uri = "kafka://127.0.0.1:9092/cdc?protocol=open-protocol"\n'
+        "[sink.kafka-config]\n"
+        "output-raw-change-event = true\n")
+    # the knob's entire effect: the pipeline stops splitting updates
+    assert cfg.split_updates is False
+    cl = scale_out(events_changelog(spark, sf_dir))
+    if cfg.split_updates:  # (kept to show the gated stage)
+        cl = split_updates(cl)
+    frame = kafka_messages(
+        cl,
+        [{"matcher": ["test.tp_*"], "partition": "index-value",
+          "topic": "cdc_{schema}_{table}"}],
+        protocol="open-protocol",
+        n_partitions=16,
+    )
+    fetched = kafka_live_roundtrip(frame, n_partitions=16)
+    v = F.from_json("value", "u map<string,struct<t:int,v:string>>, "
+                             "p map<string,struct<t:int,v:string>>, "
+                             "d map<string,struct<t:int,v:string>>")
+    parsed = fetched.select(
+        F.regexp_extract("topic", r"^cdc_test_(.*)$", 1).alias("table_name"),
+        v.alias("_v"))
+    kind = (
+        F.when(F.col("_v.d").isNotNull(), F.lit("D"))
+        .otherwise(F.lit("U")))
+    base = parsed.select("table_name", kind.alias("kind"))
+    keychange = parsed.filter(
+        F.col("_v.p").isNotNull() & F.col("_v.u").isNotNull()
+        & (F.col("_v.p")["id"]["v"] != F.col("_v.u")["id"]["v"])
+    ).select("table_name", F.lit("U_keychange").alias("kind"))
+    return (base.unionAll(keychange)
+            .groupBy("table_name", "kind")
+            .agg(F.count(F.lit(1)).alias("n")))
