@@ -317,6 +317,56 @@ def pq_codebooks(m: int = PQ_M, ks: int = PQ_KS,
     return books
 
 
+def pq_codebooks_trained(emb: DataFrame, m: int = PQ_M, ks: int = PQ_KS,
+                         sub_dim: int = PQ_SUB_DIM,
+                         sample: int = 4096,
+                         iters: int = 12) -> list[list[list[float]]]:
+    """Data-trained PQ codebooks — per-subspace Lloyd k-means over a
+    bounded training sample (the FAISS ProductQuantizer::train shape).
+
+    Why this exists (round-7 hostile-fixture find, the IVF-PQ analog of
+    the r6 HNSW Algorithm-4 episode): the fixed md5-seeded codebooks
+    have NO resolution at sub-cluster scale on a CLUSTERED corpus — all
+    members of a tight gaussian cluster quantize to the same code, ADC
+    distances tie, and a planted near-exact twin drops out of the
+    top-k (measured 3/10 rank-1 on a 10-gaussian corpus; 10/10 with
+    trained books).  Training on the data is what every production PQ
+    does; the fixed books remain the default for the DuckDB-oracled
+    queries (their SQL inlines those literals).
+
+    Bounded control-plane work: ``min(sample, n)`` vectors collected
+    in vec_id order for training (deterministic); the k-means init is
+    evenly spaced sample points, ties and empty clusters re-seeded
+    from the worst-fit points — no RNG, same books every run."""
+    import numpy as np
+
+    rows = (emb.select("vec_id", "embedding").orderBy("vec_id")
+            .limit(sample).collect())
+    x = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    n = len(x)
+    books: list[list[list[float]]] = []
+    for s_i in range(m):
+        sub = x[:, s_i * sub_dim:(s_i + 1) * sub_dim]
+        # deterministic init: evenly spaced sample points
+        idx = np.linspace(0, n - 1, ks).round().astype(int)
+        cents = sub[idx].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            worst = d2[np.arange(n), assign].argsort()[::-1]
+            spare = 0
+            for c in range(ks):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = sub[mask].mean(axis=0)
+                else:
+                    # re-seed an empty cluster from the worst-fit point
+                    cents[c] = sub[worst[spare]]
+                    spare += 1
+        books.append([[round(float(v), 6) for v in row] for row in cents])
+    return books
+
+
 def _sub_slice(emb: Column, s: int) -> Column:
     return F.slice(emb, s * PQ_SUB_DIM + 1, PQ_SUB_DIM)
 
@@ -394,13 +444,54 @@ def _adc_udf(books: list[list[list[float]]]):
     return adc
 
 
+def _exact_rerank(shortlist: DataFrame, emb: DataFrame,
+                  k: int) -> DataFrame:
+    """Exact-L2 re-rank of an ADC shortlist — the standard IVF-PQ
+    recipe (FAISS's refine/rerank stage): the quantized distance only
+    SELECTS candidates; the final ordering uses the raw vectors.
+
+    Why it's load-bearing (round-7 hostile fixture): on a clustered
+    corpus PQ codes collapse within tight clusters, ADC distances TIE,
+    and the deterministic c_id tie-break can rank an arbitrary
+    cluster-mate above a planted near-exact twin.  Re-ranking the
+    shortlist by exact distance restores the true order at k*R exact
+    distances per query — still far below brute force.
+
+    Plan shape: the shortlist (n_queries * R rows) re-joins the corpus
+    on c_id for the raw vectors; the query vectors ride a broadcast."""
+    q_emb = emb.select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("_qv"))
+    c_emb = emb.select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").alias("_cv"))
+    j = (shortlist.join(c_emb, "c_id")
+         .join(F.broadcast(
+             q_emb.join(shortlist.select("q_id").distinct(), "q_id")),
+             "q_id"))
+    exact = F.aggregate(
+        F.zip_with("_qv", "_cv",
+                   lambda a, b: (a.cast("double") - b.cast("double"))
+                   * (a.cast("double") - b.cast("double"))),
+        F.lit(0.0), lambda acc, x: acc + x)
+    w = Window.partitionBy("q_id").orderBy("exact_d2", "c_id")
+    return (j.withColumn("exact_d2", F.round(exact, 6))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "c_id", F.col("exact_d2").alias("approx_d2"),
+                    "rank"))
+
+
 def pq_adc_knn(emb: DataFrame, n_queries: int = 10, k: int = 3,
-               books: list[list[list[float]]] | None = None) -> DataFrame:
+               books: list[list[list[float]]] | None = None,
+               rerank: int = 0) -> DataFrame:
     """Asymmetric-distance top-k: query slices vs code-named centroids.
 
     The corpus side carries only its codes (the compressed form); the
     query side keeps the raw vector; the distance is one Arrow-batched
     numpy kernel over the joined pairs.
+
+    ``rerank=R`` keeps the ADC top-R as a shortlist and re-orders it by
+    EXACT distance (see :func:`_exact_rerank`) — required for reliable
+    recall on clustered corpora where codes collapse and tie.
     """
     books = books or pq_codebooks()
     coded = pq_codes(emb, books)
@@ -417,15 +508,19 @@ def pq_adc_knn(emb: DataFrame, n_queries: int = 10, k: int = 3,
                     *[F.col(f"code{s}") for s in range(PQ_M)]), 6),
     )
     w = Window.partitionBy("q_id").orderBy("approx_d2", "c_id")
-    return (
+    short = (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
+        .filter(F.col("rank") <= max(k, rerank))
         .select("q_id", "c_id", "approx_d2", "rank")
     )
+    if rerank:
+        return _exact_rerank(short.drop("rank"), emb, k)
+    return short
 
 
 def ivf_pq_knn(emb: DataFrame, n_queries: int = 10, k: int = 3,
-               books: list[list[list[float]]] | None = None) -> DataFrame:
+               books: list[list[list[float]]] | None = None,
+               rerank: int = 0) -> DataFrame:
     """The full IVF-PQ composition: coarse cell routing (nprobe=1)
     restricts candidates to the query's cell, ADC ranks inside it —
     candidate volume drops by ~|cells| AND each candidate costs code
@@ -449,11 +544,14 @@ def ivf_pq_knn(emb: DataFrame, n_queries: int = 10, k: int = 3,
                     *[F.col(f"code{s}") for s in range(PQ_M)]), 6),
     )
     w = Window.partitionBy("q_id").orderBy("approx_d2", "c_id")
-    return (
+    short = (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
+        .filter(F.col("rank") <= max(k, rerank))
         .select("q_id", "c_id", "approx_d2", "rank")
     )
+    if rerank:
+        return _exact_rerank(short.drop("rank"), emb, k)
+    return short
 
 
 # ---------------------------------------------------------------------------
