@@ -2110,3 +2110,31 @@ def q_unigram_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab, _ = train_unigram(docs, vocab_size=192, n_iters=2,
                              max_piece_len=4, seed_size=384)
     return tokenize_stats(docs, vocab, max_piece_len=4)
+
+
+# Trained-codebook PQ with exact rerank finds the planted twins the
+# fixed codebooks may tie away (round-7 hostile-fixture fix; suite
+# tests pin the clustered-corpus behavior in
+# tests/test_hostile_fixtures.py).  Oracle: exact brute-force twin
+# rank — the ADC-shortlist + exact-rerank pipeline must agree with it.
+@register("pq_trained_rerank_recall", _HNSW_TWIN_ORACLE)
+def q_pq_trained_rerank_recall(spark, sf_dir):
+    from ticdc_spark.llm.similarity import pq_adc_knn, pq_codebooks_trained
+
+    emb = _emb(spark, sf_dir)
+    twins = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: (x * F.lit(1.001) + F.lit(0.0001)).cast("float"),
+        ).alias("embedding"),
+    )
+    emb2 = emb.select("vec_id", "embedding").unionByName(twins)
+    books = pq_codebooks_trained(emb2)
+    found = pq_adc_knn(emb2, n_queries=10, k=3, books=books, rerank=64)
+    twin = F.min(F.when(F.col("c_id") == F.col("q_id") + 1000000,
+                        F.col("rank")))
+    return found.groupBy("q_id").agg(
+        twin.cast("long").alias("twin_rank"),
+        F.when(twin == 1, 1).otherwise(0).cast("long").alias("twin_first"),
+    )
