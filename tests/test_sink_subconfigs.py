@@ -286,10 +286,10 @@ def test_keytab_roundtrip_and_krb5_conf(tmp_path):
     conf = tmp_path / "krb5.conf"
     conf.write_text(
         "[libdefaults]\n  default_realm = R.TEST\n\n"
-        "[realms]\n  R.TEST = {\n    kdc = 10.0.0.9:88\n  }\n"
-        "  OTHER = {\n    kdc = 10.0.0.8:88\n  }\n")
+        "[realms]\n  R.TEST = {\n    kdc = 127.0.0.1:10088\n  }\n"
+        "  OTHER = {\n    kdc = 127.0.0.2:10088\n  }\n")
     realms = parse_krb5_conf(str(conf))
-    assert realms == {"R.TEST": "10.0.0.9:88", "OTHER": "10.0.0.8:88"}
+    assert realms == {"R.TEST": "127.0.0.1:10088", "OTHER": "127.0.0.2:10088"}
 
 
 def test_live_gssapi_keytab_auth():
