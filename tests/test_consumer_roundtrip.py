@@ -121,3 +121,23 @@ def test_csv_old_value_storage_roundtrip(spark, sf_dir):
     decoded = decode_csv_storage(lines, output_old_value=True)
     replayed = replay_to_state(decoded, order_col="commit_ts")
     assert _state_key(direct) == _state_key(replayed)
+
+
+def test_csv_consumer_header_dropped_null_op_survives(spark):
+    """ADVICE r7: the header filter must be null-safe — only the
+    output-field-header line is dropped; a malformed line (op parses
+    as NULL) surfaces as a null row instead of silently vanishing."""
+    import pyspark.sql.functions as F
+
+    from ticdc_spark.sinks.consumer import decode_csv_storage
+
+    files = spark.createDataFrame(
+        [("s/t/1/CDC000001.csv", "ticdc-meta$operation,ticdc-meta$table,"
+          "ticdc-meta$schema,ticdc-meta$commit-ts,id,val,k"),
+         ("s/t/1/CDC000001.csv", "I,t,s,100,7,2.5,1"),
+         ("s/t/1/CDC000001.csv", "")],
+        "path string, value string")
+    out = decode_csv_storage(files).collect()
+    assert len(out) == 2  # header dropped, malformed line kept
+    ops = sorted((r.op or "NULL") for r in out)
+    assert ops == ["I", "NULL"]

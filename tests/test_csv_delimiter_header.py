@@ -192,3 +192,20 @@ def test_output_field_header_off_by_default(spark):
         'sink-uri = "s3://b/p"\n[sink]\nprotocol = "canal-json"\n'
         "[sink.csv]\noutput-field-header = true\n")
     assert storage_file_header(cfg2, SCHEMA) is None  # not csv
+
+
+def test_private_use_codepoint_survives_escape(spark):
+    """ADVICE r7: the old U+E000-sentinel rewrite corrupted a datum
+    that legitimately contains that private-use codepoint ('ab'
+    with delimiter '|' round-tripped as 'a|b').  The sentinel-free
+    split/array_join construction leaves it untouched."""
+    out = encode_csv(_one_row(spark, "ab|c"), quote=None,
+                     delimiter="|").select("value").collect()[0].value
+    assert out == "I|t|s|100|7|ab\\|c"
+
+
+def test_regex_metachar_delimiter_split_is_literal(spark):
+    # delimiter '.' must split literally, not as regex any-char
+    out = encode_csv(_one_row(spark, "a.b cd"), quote=None,
+                     delimiter=".").select("value").collect()[0].value
+    assert out == "I.t.s.100.7.a\\.b cd"

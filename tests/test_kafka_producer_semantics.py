@@ -113,3 +113,40 @@ def test_client_id_reaches_wire():
                 client_id=cfg.kafka_config["kafka-client-id"]) as c:
             assert c.client_id == "my-cdc-42"
             c.produce("t", 0, [Record(b"k", b"v")])
+
+
+def test_txn_apis_honor_auto_create_topics():
+    """ADVICE r7: AddPartitionsToTxn must not materialize unknown
+    topics on a broker with auto-create disabled — it answers
+    UNKNOWN_TOPIC_OR_PARTITION (3) like Metadata/Produce."""
+    with KafkaBroker(auto_create_topics=False) as b:
+        with KafkaConn.from_bootstrap(b.bootstrap) as c:
+            producer = c.init_producer_id(txn_id="tx-1")
+            with pytest.raises(IOError, match="error 3"):
+                c.add_partitions_to_txn("tx-1", producer, {"ghost": [0]})
+            assert "ghost" not in b.topics  # not created as a side effect
+            create_topic(c, "ghost", 1)
+            c.add_partitions_to_txn("tx-1", producer, {"ghost": [0]})
+            c.end_txn("tx-1", producer, commit=True)
+
+
+def test_acks_0_produce_frame_then_immediate_fetch(spark):
+    """ADVICE r7: an acks=0 produce_frame used to race the fetch —
+    the broker might not have appended buffered fire-and-forget
+    requests yet.  produce_frame now sends one request/response
+    barrier per connection before closing, so an immediate fetch is
+    deterministic."""
+    import pyspark.sql.functions as F
+
+    from ticdc_spark.sinks.kafka_live import fetch_df, produce_frame
+
+    with KafkaBroker(default_partitions=2) as b:
+        frame = spark.range(500).select(
+            F.lit("t0").alias("topic"),
+            (F.col("id") % 2).cast("int").alias("partition"),
+            F.col("id").cast("string").alias("key"),
+            F.concat(F.lit("v"), F.col("id")).cast("string").alias("value"))
+        produce_frame(frame, b.bootstrap, acks=0)
+        got = fetch_df(spark, b.bootstrap, [("t0", 0), ("t0", 1)])
+        assert got.count() == 500
+        assert 0 in b.seen_produce_acks

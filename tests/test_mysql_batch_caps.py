@@ -146,3 +146,33 @@ def test_prepared_cache_disabled_still_correct(spark):
     exp = materialize_state(cl).select("table_name", "id", "val", "k")
     assert (got.exceptAll(exp).count() == 0
             and exp.exceptAll(got).count() == 0)
+
+
+def test_size_zero_disables_multirow_update_end_to_end(spark):
+    """ADVICE r7: getMaxMultiUpdateRowSize accepts 0 — multi-row
+    UPDATE off (`pkg/sink/mysql/config.go:599-621` rejects only <0);
+    0 must survive the URI parse AND mysql_batch_options so the
+    size*len gate forces per-row UPDATEs."""
+    cfg = parse_changefeed_config(
+        'sink-uri = "mysql://u:p@h:4000/?max-multi-update-row-size=0"\n')
+    o = mysql_batch_options(cfg)
+    assert o["max_multi_update_row_size"] == 0
+    out = multirow_batches(
+        _compacted(spark, 4), max_multi_update_row=2,
+        max_multi_update_row_size=o["max_multi_update_row_size"])
+    rows = out.collect()
+    assert len(rows) == 4 and all(r.n_rows == 1 for r in rows)
+    assert all(" CASE " not in r.stmt for r in rows)
+
+
+def test_size_negative_rejected_zero_accepted_in_uri():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="greater than or equal to 0"):
+        parse_changefeed_config(
+            'sink-uri = "mysql://u:p@h:4000/?max-multi-update-row-size=-1"\n')
+    # TOML path: explicit 0 also passes through (merge semantics)
+    cfg = parse_changefeed_config(
+        'sink-uri = "mysql://u:p@h:4000/"\n'
+        '[sink.mysql-config]\nmax-multi-update-row-size = 0\n')
+    assert mysql_batch_options(cfg)["max_multi_update_row_size"] == 0

@@ -25,9 +25,10 @@ _QUOTE = '"'
 BINARY_ENCODING_METHODS = ("base64", "hex")
 
 
-#: sentinel for the single-pass delimiter rewrite below — a Unicode
-#: private-use codepoint no SQL text datum legitimately carries
-_SENTINEL = "\ue000"
+def _regex_literal(text: str) -> str:
+    """Quote ``text`` as a Java regex literal (\\Q...\\E, with any
+    embedded \\E sequence stitched through)."""
+    return "\\Q" + text.replace("\\E", "\\E\\\\E\\Q") + "\\E"
 
 
 def _escape_unquoted(col: Column, delimiter: str = _DELIM) -> Column:
@@ -40,18 +41,26 @@ def _escape_unquoted(col: Column, delimiter: str = _DELIM) -> Column:
     delimiter contains a backslash (`a\\b` with delimiter ``\\`` must
     encode ``a\\\\b``, not quadruple) or when the delimiter collides
     with escape OUTPUT (delimiter ``rn`` must not re-match an escaped
-    CR).  Equivalent single-pass construction: swap the full delimiter
-    for a sentinel on the raw text FIRST (same greedy left-to-right,
-    non-overlapping semantics as the reference loop), escape the
-    single chars, then expand the sentinel to the per-char-escaped
-    delimiter (`csv_message.go:215,230-236` — a lone '|' with
-    delimiter '||' stays bare)."""
-    out = F.replace(col, F.lit(delimiter), F.lit(_SENTINEL))
-    out = F.replace(out, F.lit("\\"), F.lit("\\\\"))
-    out = F.replace(out, F.lit("\r"), F.lit("\\r"))
-    out = F.replace(out, F.lit("\n"), F.lit("\\n"))
-    escaped = "".join("\\" + ch for ch in delimiter)
-    return F.replace(out, F.lit(_SENTINEL), F.lit(escaped))
+    CR).  Equivalent single-pass construction WITHOUT a sentinel
+    codepoint (a U+E000 sentinel corrupts a datum that legitimately
+    contains it): ``split`` the RAW text on the full delimiter (regex
+    split = the same greedy left-to-right, non-overlapping matching as
+    the reference loop — `csv_message.go:215,230-236`, a lone '|' with
+    delimiter '||' stays bare), backslash-escape the single chars
+    inside each segment, then ``array_join`` with the per-char-escaped
+    delimiter; escape OUTPUT is never rescanned for delimiter
+    matches."""
+    segments = F.split(col, _regex_literal(delimiter), -1)
+    escaped_segments = F.transform(
+        segments,
+        lambda s: F.replace(
+            F.replace(
+                F.replace(s, F.lit("\\"), F.lit("\\\\")),
+                F.lit("\r"), F.lit("\\r")),
+            F.lit("\n"), F.lit("\\n")),
+    )
+    escaped_delim = "".join("\\" + ch for ch in delimiter)
+    return F.array_join(escaped_segments, escaped_delim)
 
 
 def _csv_field(col: Column, dtype, binary_encoding: str = "base64",

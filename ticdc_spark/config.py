@@ -531,8 +531,7 @@ def apply_sink_uri_params(cfg) -> None:
         if "time-zone" in q:
             mc["time-zone"] = q["time-zone"]
             mc_changed = True
-        for k in ("max-multi-update-row", "max-multi-update-row-size",
-                  "max-txn-row"):
+        for k in ("max-multi-update-row", "max-txn-row"):
             if k in q:
                 v = int(q[k])
                 if v <= 0:
@@ -540,6 +539,18 @@ def apply_sink_uri_params(cfg) -> None:
                         f"invalid {k} {v}, which must be greater than 0")
                 mc[k] = v
                 mc_changed = True
+        if "max-multi-update-row-size" in q:
+            # getMaxMultiUpdateRowSize (`pkg/sink/mysql/config.go:599-621`)
+            # accepts 0 — "multi-row UPDATE off": the size gate
+            # size < 0*len(rows) never passes, forcing per-row UPDATEs.
+            # Only negatives are invalid.
+            v = int(q["max-multi-update-row-size"])
+            if v < 0:
+                raise ValueError(
+                    f"invalid max-multi-update-row-size {v}, which must "
+                    "be greater than or equal to 0")
+            mc["max-multi-update-row-size"] = v
+            mc_changed = True
         for k in ("enable-batch-dml", "enable-multi-statement",
                   "enable-cache-prepared-statement"):
             if k in q:
@@ -742,6 +753,15 @@ _MAX_MULTI_UPDATE_ROW_COUNT_CAP = 256   # maxMaxMultiUpdateRowCount
 _MAX_MULTI_UPDATE_ROW_SIZE_CAP = 8192   # maxMaxMultiUpdateRowSize
 
 
+def _clamped_size(v) -> int:
+    """max-multi-update-row-size clamp: 0 is a VALID value (disable
+    multi-row UPDATE); negatives/non-ints fall back to the 1024 default;
+    values above maxMaxMultiUpdateRowSize clamp down."""
+    if not isinstance(v, int) or v < 0:
+        return 1024
+    return min(v, _MAX_MULTI_UPDATE_ROW_SIZE_CAP)
+
+
 def mysql_batch_options(cfg) -> dict:
     """The MySQL writer batching knobs from the merged
     [sink.mysql-config] + sink-URI params
@@ -762,9 +782,11 @@ def mysql_batch_options(cfg) -> dict:
             cfg, "max_txn_row", 256) or 256, 2048),
         "max_multi_update_row": clamped(
             "max-multi-update-row", 40, _MAX_MULTI_UPDATE_ROW_COUNT_CAP),
-        "max_multi_update_row_size": clamped(
-            "max-multi-update-row-size", 1024,
-            _MAX_MULTI_UPDATE_ROW_SIZE_CAP),
+        # size accepts 0 = disable multi-row UPDATE (getMaxMultiUpdateRowSize
+        # rejects only <0, `pkg/sink/mysql/config.go:609-613`): 0 must pass
+        # through so the writer's size*len gate forces per-row UPDATEs
+        "max_multi_update_row_size": _clamped_size(
+            mc.get("max-multi-update-row-size", 1024)),
         "enable_batch_dml": bool(mc.get("enable-batch-dml", True)),
         "enable_multi_statement": bool(
             mc.get("enable-multi-statement", True)),

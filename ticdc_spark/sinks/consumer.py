@@ -351,8 +351,11 @@ def decode_csv_storage(
     # output-field-header files open with a header line
     # (`csv_encoder.go:46-48`); its first datum is the literal meta
     # column name, never an op code — drop it like the reference's
-    # storage consumer skips the header row
-    return (parsed.filter(F.col("_m.op") != "ticdc-meta$operation")
+    # storage consumer skips the header row.  Null-safe compare: a
+    # malformed line parses op as NULL and must surface as a null row,
+    # not silently vanish through three-valued logic.
+    return (parsed.filter(
+                ~F.col("_m.op").eqNullSafe(F.lit("ticdc-meta$operation")))
             .select(*cols))
 
 

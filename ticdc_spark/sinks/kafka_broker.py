@@ -645,9 +645,16 @@ class KafkaBroker:
             st = self._txns.get(txn_id)
             results = {}
             for topic, parts in tps.items():
-                self._get_topic(topic)  # auto-create like produce
+                # honor auto_create_topics here too: a broker with
+                # auto-create disabled must not materialize unknown
+                # topics through the transactional APIs — answer
+                # UNKNOWN_TOPIC_OR_PARTITION like the Metadata/Produce
+                # paths do
+                t = self._get_topic(topic, create=self.auto_create_topics)
                 err = 0
-                if st is None or st["pid"] != pid:
+                if t is None:
+                    err = 3  # UNKNOWN_TOPIC_OR_PARTITION
+                elif st is None or st["pid"] != pid:
                     err = kw.ERR_INVALID_TXN_STATE
                 elif st["epoch"] != epoch:
                     err = kw.ERR_INVALID_PRODUCER_EPOCH
@@ -678,8 +685,11 @@ class KafkaBroker:
                 return _end_txn_res(kw.ERR_INVALID_PRODUCER_EPOCH)
             marker = kw.CONTROL_COMMIT if committed else kw.CONTROL_ABORT
             for topic, p in sorted(st["partitions"]):
-                t = self._get_topic(topic)
-                if p in t:
+                # registered partitions always exist (AddPartitionsToTxn
+                # gates on auto_create_topics), but never re-create a
+                # topic deleted since registration
+                t = self._get_topic(topic, create=False)
+                if t is not None and p in t:
                     t[p].append_control(pid, epoch, marker)
             st["partitions"] = set()
             return _end_txn_res(0)

@@ -136,6 +136,15 @@ def produce_frame(
             for (topic, partition), batch in pending.items():
                 if batch:
                     produce_with_retry(topic, partition, batch)
+            if acks == 0 and state["conn"] is not None:
+                # acks=0 produces are fire-and-forget: the broker may not
+                # have processed buffered requests when this task returns,
+                # and an immediate fetch could miss tail records.  One
+                # request/response barrier on the SAME connection suffices
+                # — the broker handles a connection's requests in order,
+                # so the Metadata response implies every earlier produce
+                # was appended.
+                state["conn"].metadata([])
         finally:
             if state["conn"] is not None:
                 state["conn"].close()
