@@ -83,17 +83,46 @@ def _type_maps(
     return "{" + sql_t + "}", "{" + mysql_t + "}"
 
 
+_SIGN_MASK = -(1 << 63)  # int64 sign bit, the memcomparable flip
+
+
+def _record_key_hex(table_id, handle):
+    """Hex of the TiKV record key ``t{tableID}_r{handle}`` — column
+    twin of ``rowcodec.encode_record_key`` (tablecodec's
+    ``t`` 0x74 prefix, ``_r`` 0x5f72, EncodeInt = big-endian uint64 of
+    value XOR sign bit)."""
+
+    def cmp_hex(c):
+        return F.lpad(F.hex(c.cast("long").bitwiseXOR(
+            F.lit(_SIGN_MASK).cast("long"))), 16, "0")
+
+    return F.concat(F.lit("74"), cmp_hex(table_id),
+                    F.lit("5F72"), cmp_hex(handle))
+
+
 def encode_canal_json(
     cl: DataFrame,
     pk_names: tuple[str, ...] = ("id",),
     tidb_extension: bool = False,
     type_overrides: dict[str, tuple[int, str]] | None = None,
+    output_row_key: bool = False,
 ) -> DataFrame:
     """Append a ``value`` column holding the canal-json message.
 
     ``tidb_extension``: the reference's ``enable-tidb-extension`` option
     appends ``"_tidb":{"commitTs":<ts>}`` so consumers see the exact
     TiDB commit timestamp (canal's ``es`` is only milliseconds).
+
+    ``output_row_key`` ([sink.kafka-config.codec-config] output-row-key,
+    `pkg/config/sink.go:457` / form tag `codec/common/config.go:190-192`):
+    the tidb-extension object additionally carries
+    ``"rowkey":"<base64 record key>"`` —
+    `canal_json_encoder.go:340-345`, emitted ONLY when
+    ``enable-tidb-extension`` is also on.  The record key is the TiKV
+    row key ``t{tableID}_r{handle}`` in the memcomparable int codec
+    (same bytes as ``rowcodec.encode_record_key``); requires a
+    ``table_id`` column on the frame, handle = the data image's
+    first pk (int handles, the mounter's model).
 
     ``type_overrides``: {column: (java_sql_type, mysql_type)} for MySQL
     types the Spark dtype can't express (enum/set/bit/vector) — on the
@@ -117,12 +146,25 @@ def encode_canal_json(
     old_json = F.when(F.col("op") == "U", _image_json("before", schema)).otherwise(
         F.lit("null")
     )
-    ext = (
-        [F.lit(',"_tidb":{"commitTs":'), F.col("commit_ts").cast("string"),
-         F.lit("}")]
-        if tidb_extension
-        else []
-    )
+    ext: list = []
+    if tidb_extension:
+        ext = [F.lit(',"_tidb":{"commitTs":'),
+               F.col("commit_ts").cast("string")]
+        # Only when both enable-tidb-extension AND output-row-key are
+        # true is the rowkey output (`canal_json_encoder.go:340-345`).
+        if output_row_key:
+            if "table_id" not in cl.columns:
+                raise ValueError(
+                    "output-row-key needs a table_id column on the frame "
+                    "to build the TiKV record key")
+            pk = pk_names[0]
+            handle = F.when(F.col("op") == "D", F.col(f"before.{pk}")) \
+                .otherwise(F.col(f"after.{pk}"))
+            ext += [F.lit(',"rowkey":"'),
+                    F.base64(F.unhex(_record_key_hex(
+                        F.col("table_id"), handle))),
+                    F.lit('"')]
+        ext.append(F.lit("}"))
     value = F.concat(
         F.lit('{"id":0,"database":"'),
         F.col("schema_name"),

@@ -170,6 +170,31 @@ def encode_csv(
     return tmp.withColumn("value", value).drop("_img")
 
 
+def csv_encode_kwargs(csv_config: dict | None) -> dict:
+    """[sink.csv] dict -> ``encode_csv`` keyword arguments — ONE place
+    that consumes every CSVConfig field (`pkg/config/sink.go:270-290`).
+
+    ``output-handle-key`` (`sink.go:287`) is parsed but NOT emitted —
+    exactly the reference encoder, whose emit line is commented out
+    behind log.Warn("not support output handle key")
+    (`csv/csv_message.go:136-141,344-347`); parity is accept + warn +
+    unchanged output.  ``output-field-header`` is consumed separately
+    by the storage writer (``pipeline.storage_file_header``)."""
+    import warnings
+
+    c = csv_config or {}
+    if c.get("output-handle-key"):
+        warnings.warn("not support output handle key", stacklevel=2)
+    return {
+        "include_commit_ts": c.get("include-commit-ts", True),
+        "binary_encoding": c.get("binary-encoding-method", "base64"),
+        "quote": c.get("quote", '"') or None,  # "" selects escape mode
+        "output_old_value": c.get("output-old-value", False),
+        "delimiter": c.get("delimiter", ","),
+        "null_token": c.get("null", "\\N"),
+    }
+
+
 def csv_header(
     schema: StructType,
     include_commit_ts: bool = True,

@@ -319,6 +319,20 @@ def parse_changefeed_config(text: str, fmt: str = "toml") -> ChangefeedConfig:
     cfg.synced_check_interval_s = synced.get("synced-check-interval", 300)
     cfg.synced_checkpoint_interval_s = synced.get(
         "checkpoint-interval", 15)
+    # [sink.kafka-config.codec-config] (`pkg/config/sink.go:449-458`
+    # CodecConfig), merged BEFORE the URI params so URL values override
+    # the file like the reference's mergeConfig+Apply
+    # (`codec/common/config.go:195-212`)
+    cc = (sink.get("kafka-config") or {}).get("codec-config") or {}
+    if "enable-tidb-extension" in cc:
+        cfg.tidb_extension = bool(cc["enable-tidb-extension"])
+    if "output-row-key" in cc:
+        cfg.output_row_key = bool(cc["output-row-key"])
+    if "encoding-format" in cc:
+        if cc["encoding-format"] not in ("json", "avro"):
+            raise ValueError(
+                f"invalid encoding-format {cc['encoding-format']!r}")
+        cfg.encoding_format = cc["encoding-format"]
     apply_sink_uri_params(cfg)
     # output-raw-change-event (`pkg/config/sink.go:499-500,744-747`;
     # consumed per sink type in `downstreamadapter/dispatchermanager/
@@ -423,6 +437,9 @@ def apply_sink_uri_params(cfg) -> None:
         cfg.safe_mode = q["safe-mode"].lower() == "true"
     if "enable-tidb-extension" in q:
         cfg.tidb_extension = q["enable-tidb-extension"].lower() == "true"
+    if "output-row-key" in q:
+        # canal-json only (`codec/common/config.go:190-192` form tag)
+        cfg.output_row_key = q["output-row-key"].lower() == "true"
     if "transaction-atomicity" in q:
         cfg.transaction_atomicity = q["transaction-atomicity"]
     # avro form params (`codec/common/config.go:173-181,224-229`)

@@ -137,6 +137,10 @@ class ChangefeedConfig:
     # — consumed by the open-protocol batch framer
     max_batch_size: int = 16
     tidb_extension: bool = False  # enable-tidb-extension
+    # output-row-key (`pkg/config/sink.go:457` CodecConfig / form tag
+    # `codec/common/config.go:190-192`): canal-json only; the rowkey is
+    # emitted iff tidb_extension is also on
+    output_row_key: bool = False
     # --- remaining ReplicaConfig top level (`replica_config.go:51-128`
     # defaults; validation `:288-385`) ---
     # throughput | low-latency (`replica_config.go:35-36`)
@@ -237,16 +241,12 @@ def _encode(df: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
             f"unknown protocol: {cfg.protocol} (known: {sorted(ENCODERS)})"
         )
     if cfg.protocol == "csv":
-        c = cfg.csv_config or {}
+        from ticdc_spark.codec.csv_codec import csv_encode_kwargs
+
         return encode_csv(
             df,
-            include_commit_ts=c.get("include-commit-ts", True),
-            binary_encoding=c.get("binary-encoding-method", "base64"),
-            quote=c.get("quote", '"') or None,  # "" selects escape mode
             terminator=cfg.terminator,  # per-message, csv/txt only
-            output_old_value=c.get("output-old-value", False),
-            delimiter=c.get("delimiter", ","),
-            null_token=c.get("null", "\\N"),
+            **csv_encode_kwargs(cfg.csv_config),
         )
     if cfg.protocol == "canal-json" and (
             cfg.tidb_extension or cfg.content_compatible):
@@ -259,7 +259,8 @@ def _encode(df: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
             df.schema["after"].dataType) if cfg.content_compatible
             else None)
         return encode_canal_json(df, tidb_extension=cfg.tidb_extension,
-                                 type_overrides=overrides)
+                                 type_overrides=overrides,
+                                 output_row_key=cfg.output_row_key)
     if cfg.protocol == "open-protocol":
         return encode_open_protocol(
             df, output_old_value=cfg.open_output_old_value)

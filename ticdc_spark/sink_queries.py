@@ -4885,3 +4885,72 @@ def q_kafka_live_raw_change_event(spark, sf_dir):
     return (base.unionAll(keychange)
             .groupBy("table_name", "kind")
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# canal-json output-row-key from TOML (`pkg/config/sink.go:457` CodecConfig;
+# `canal_json_encoder.go:340-345`: only when BOTH enable-tidb-extension and
+# output-row-key are on, `_tidb` carries "rowkey": base64(TiKV record key)).
+# The query compiles the changefeed from TOML text, DECODES every message's
+# rowkey back off the wire (t{tableID}_r{handle}, memcomparable ints) and
+# groups by the decoded values — any encode defect lands in the group keys
+# and fails the oracle hash.
+# ---------------------------------------------------------------------------
+@register(
+    "canal_rowkey_from_toml",
+    f"WITH {CHANGELOG_SQL}, sp AS ("
+    "  SELECT table_name, table_id, op,"
+    "         CASE WHEN op = 'D' THEN before_id ELSE after_id END AS handle"
+    "  FROM changelog WHERE NOT (op = 'U' AND before_id <> after_id)"
+    "  UNION ALL"
+    "  SELECT table_name, table_id, 'D', before_id"
+    "  FROM changelog WHERE op = 'U' AND before_id <> after_id"
+    "  UNION ALL"
+    "  SELECT table_name, table_id, 'I', after_id"
+    "  FROM changelog WHERE op = 'U' AND before_id <> after_id"
+    ") SELECT table_name, op, table_id AS rk_table_id, handle AS rk_handle, "
+    "COUNT(*) AS n FROM sp GROUP BY 1, 2, 3, 4",
+)
+def q_canal_rowkey_from_toml(spark, sf_dir):
+    from ticdc_spark.config import parse_changefeed_config
+    from ticdc_spark.pipeline import build_pipeline
+
+    cfg = parse_changefeed_config(
+        'sink-uri = "kafka://h:9092/cdc?protocol=canal-json"\n'
+        "[sink.kafka-config.codec-config]\n"
+        "enable-tidb-extension = true\n"
+        "output-row-key = true\n")
+    frame = build_pipeline(events_changelog(spark, sf_dir), cfg)
+    h = F.hex(F.unbase64(F.get_json_object("value", "$._tidb.rowkey")))
+    sign = F.lit("9223372036854775808").cast("decimal(20,0)")
+
+    def dec(pos: int) -> F.Column:
+        # memcomparable int64: unsigned BE minus the sign-bit offset
+        u = F.conv(F.substring(h, pos, 16), 16, 10).cast("decimal(20,0)")
+        return (u - sign).cast("long")
+
+    return (frame.groupBy(
+                "table_name", "op",
+                dec(3).alias("rk_table_id"), dec(23).alias("rk_handle"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+# CSV output-handle-key from TOML (`pkg/config/sink.go:287`): the reference
+# encoder PARSES the key but emits nothing — log.Warn("not support output
+# handle key"), emit line commented out (`csv/csv_message.go:136-141,
+# 344-347`).  Parity = the storage round-trip is byte-identical with the
+# key set; output-field-header rides along so the header path is exercised
+# under the same config.
+@register("storage_live_csv_handle_key_from_toml", _REPLAY_STATE_ORACLE)
+def q_storage_live_csv_handle_key_from_toml(spark, sf_dir):
+    from ticdc_spark.config import parse_changefeed_config
+    from ticdc_spark.sinks.s3_live import storage_live_roundtrip
+
+    cfg = parse_changefeed_config(
+        'sink-uri = "s3://bucket/prefix?protocol=csv"\n'
+        '[sink]\nprotocol = "csv"\n'
+        "[sink.csv]\n"
+        "output-handle-key = true\n"
+        "output-field-header = true\n")
+    cl = split_updates(scale_out(events_changelog(spark, sf_dir)))
+    return storage_live_roundtrip(cl, scheme="s3", cfg=cfg)

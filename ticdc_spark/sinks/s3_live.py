@@ -296,18 +296,10 @@ def storage_live_roundtrip(cl_split: DataFrame,
     srv, cred1, cred2 = start_server(scheme)
     header = None
     if cfg is not None:
+        from ticdc_spark.codec.csv_codec import csv_encode_kwargs
         from ticdc_spark.pipeline import storage_file_header
 
-        c = cfg.csv_config or {}
-        encoded = encode_csv(
-            cl_split,
-            include_commit_ts=c.get("include-commit-ts", True),
-            binary_encoding=c.get("binary-encoding-method", "base64"),
-            quote=c.get("quote", '"') or None,
-            output_old_value=c.get("output-old-value", False),
-            delimiter=c.get("delimiter", ","),
-            null_token=c.get("null", "\\N"),
-        )
+        encoded = encode_csv(cl_split, **csv_encode_kwargs(cfg.csv_config))
         header = storage_file_header(
             cfg, cl_split.schema["after"].dataType, line_terminator="\n")
     else:
