@@ -726,7 +726,12 @@ def parse_krb5_conf(path: str) -> dict[str, str]:
 def pulsar_auth(cfg) -> dict:
     """Pulsar client auth kwargs from [sink.pulsar-config]
     (`pkg/config/sink.go:606-676` PulsarConfig: authentication-token /
-    token-from-file / oauth2 sub-table).
+    token-from-file / basic-user-name+basic-password / oauth2 sub-table /
+    auth-tls-certificate-path+auth-tls-private-key-path).
+
+    Provider PRIORITY follows the reference's setupAuthentication
+    (`pkg/sink/pulsar/factory.go:95-125`, first match wins):
+    token > token-from-file > basic > oauth2 > mTLS.
 
     oauth2-private-key (`sink.go:587-588`) is the PATH of the client's
     key file — the reference passes it as the pulsar lib's
@@ -743,6 +748,12 @@ def pulsar_auth(cfg) -> dict:
     if pc.get("token-from-file"):
         with open(pc["token-from-file"], encoding="utf-8") as f:
             return {"token": f.read().strip()}
+    # basic (`factory.go:105-109`, keys `sink.go:649-652`): BOTH fields
+    # must be present, matching the reference's nil-pointer guard
+    if pc.get("basic-user-name") is not None \
+            and pc.get("basic-password") is not None:
+        return {"basic": {"user": pc["basic-user-name"],
+                          "password": pc["basic-password"]}}
     oauth = pc.get("oauth2") or {}
     if oauth:
         if not (oauth.get("oauth2-issuer-url")
@@ -762,6 +773,13 @@ def pulsar_auth(cfg) -> dict:
             "audience": oauth.get("oauth2-audience", ""),
             "scope": oauth.get("oauth2-scope", ""),
         }}
+    # mTLS auth (`factory.go:122-125`, keys `sink.go:654-657`): the
+    # authentication IS the client certificate — the factory returns
+    # isTLS=true so the dialer loads the cert/key pair
+    if pc.get("auth-tls-certificate-path") is not None \
+            and pc.get("auth-tls-private-key-path") is not None:
+        return {"tls": {"certificate_path": pc["auth-tls-certificate-path"],
+                        "private_key_path": pc["auth-tls-private-key-path"]}}
     return {}
 
 

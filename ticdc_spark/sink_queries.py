@@ -4954,3 +4954,91 @@ def q_storage_live_csv_handle_key_from_toml(spark, sf_dir):
         "output-field-header = true\n")
     cl = split_updates(scale_out(events_changelog(spark, sf_dir)))
     return storage_live_roundtrip(cl, scheme="s3", cfg=cfg)
+
+
+_PULSAR_FRAME_ORACLE = (
+    f"WITH {CHANGELOG_SQL} SELECT "
+    "'persistent://public/default/cdc_' || schema_name || '_' || table_name "
+    f"AS topic, {_OPEN_KEY_SQL} AS key, {_CANAL_SQL} AS value FROM changelog"
+)
+
+
+# K3 — pulsar BASIC auth from TOML (`pkg/config/sink.go:649-652`
+# basic-user-name/basic-password; provider `pkg/sink/pulsar/
+# factory.go:105-109` — "the second priority authentication method").
+# Every executor connection CONNECTs with method "basic" and
+# "user:password" data; the broker refuses anything else.
+@register("pulsar_live_basic_from_toml", _PULSAR_FRAME_ORACLE)
+def q_pulsar_live_basic_from_toml(spark, sf_dir):
+    from ticdc_spark.config import parse_changefeed_config, pulsar_auth
+    from ticdc_spark.sinks.pulsar_live import (produce_frame, read_df,
+                                               start_broker_basic)
+
+    broker = start_broker_basic({"cdc-user": "cdc-pass"})
+    toml_text = f'''
+sink-uri = "pulsar://{broker.service_url.split("://", 1)[1]}/cdc?protocol=canal-json"
+[sink.pulsar-config]
+basic-user-name = "cdc-user"
+basic-password = "cdc-pass"
+'''
+    cfg = parse_changefeed_config(toml_text)
+    auth = pulsar_auth(cfg)
+    frame = pulsar_messages(
+        scale_out(events_changelog(spark, sf_dir)),
+        [{"matcher": ["test.tp_*"], "partition": "index-value",
+          "topic": "cdc_{schema}_{table}"}],
+        protocol="canal-json",
+    )
+    produce_frame(frame, broker.service_url, basic=auth["basic"])
+    topics = list(broker.topics)
+    return read_df(spark, broker.service_url, topics, basic=auth["basic"])
+
+
+# K3 — pulsar mTLS AUTHENTICATION from TOML (`pkg/config/sink.go:654-657`
+# auth-tls-certificate-path/auth-tls-private-key-path; provider
+# `factory.go:122-125` AuthenticationTLS, the last-priority provider —
+# the identity IS the client certificate, so the broker runs a
+# mutual-TLS listener and additionally requires CONNECT method "tls").
+@register("pulsar_live_authtls_from_toml", _PULSAR_FRAME_ORACLE)
+def q_pulsar_live_authtls_from_toml(spark, sf_dir):
+    import os
+    import tempfile
+
+    from ticdc_spark.config import parse_changefeed_config, pulsar_auth
+    from ticdc_spark.sinks.pulsar_live import (produce_frame, read_df,
+                                               start_broker_authtls)
+
+    broker = start_broker_authtls()
+    cert_pem, key_pem = broker.issue_client_cert("cdc-authtls")
+    tdir = tempfile.mkdtemp(prefix="pulsar_authtls_")
+    cert_path = os.path.join(tdir, "client.crt")
+    key_path = os.path.join(tdir, "client.key")
+    with open(cert_path, "wb") as f:
+        f.write(cert_pem)
+    with open(key_path, "wb") as f:
+        f.write(key_pem)
+    toml_text = f'''
+sink-uri = "pulsar+ssl://{broker.service_url.split("://", 1)[1]}/cdc?protocol=canal-json"
+[sink.pulsar-config]
+auth-tls-certificate-path = "{cert_path}"
+auth-tls-private-key-path = "{key_path}"
+'''
+    cfg = parse_changefeed_config(toml_text)
+    auth = pulsar_auth(cfg)
+    # the dialer loads the configured files, like the pulsar lib's
+    # AuthenticationTLS(certificatePath, privateKeyPath)
+    with open(auth["tls"]["certificate_path"], "rb") as f:
+        cert = f.read()
+    with open(auth["tls"]["private_key_path"], "rb") as f:
+        key = f.read()
+    kw = {"tls_ca": broker.ca_pem, "tls_client_cert": (cert, key),
+          "tls_auth": True}
+    frame = pulsar_messages(
+        scale_out(events_changelog(spark, sf_dir)),
+        [{"matcher": ["test.tp_*"], "partition": "index-value",
+          "topic": "cdc_{schema}_{table}"}],
+        protocol="canal-json",
+    )
+    produce_frame(frame, broker.service_url, **kw)
+    topics = list(broker.topics)
+    return read_df(spark, broker.service_url, topics, **kw)

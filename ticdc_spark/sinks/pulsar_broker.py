@@ -25,7 +25,9 @@ class PulsarBroker:
                  tls: bool = False, mutual_tls: bool = False,
                  oauth2_jwt_secret: str | None = None,
                  oauth2_audience: str | None = None,
-                 oauth2_now: int = 1_700_000_100):
+                 oauth2_now: int = 1_700_000_100,
+                 basic_users: dict[str, str] | None = None,
+                 require_tls_auth: bool = False):
         # tls=True: a pulsar+ssl:// listener with a fresh self-signed cert;
         # mutual_tls=True demands a client certificate chained to the
         # broker's CA (pulsar's tlsRequireTrustedClientCertOnConnect shape)
@@ -58,6 +60,18 @@ class PulsarBroker:
         self.oauth2_jwt_secret = oauth2_jwt_secret
         self.oauth2_audience = oauth2_audience
         self.oauth2_now = oauth2_now
+        # basic auth (the reference's basic-user-name/basic-password,
+        # `pkg/sink/pulsar/factory.go:105-109`): Pulsar's
+        # AuthenticationBasic presents method "basic" with
+        # "user:password" auth data (AuthenticationProviderBasic shape)
+        self.basic_users = basic_users
+        # mTLS *authentication* (factory.go:122-125): on top of the
+        # mutual-TLS transport, CONNECT must declare method "tls"
+        # (AuthenticationProviderTls — identity comes from the verified
+        # client certificate, auth data is empty)
+        self.require_tls_auth = require_tls_auth
+        if require_tls_auth and not mutual_tls:
+            raise ValueError("require_tls_auth needs mutual_tls=True")
         self.host = host
         # topic -> list of (metadata, payload, crc, checked); index ==
         # entryId. crc/checked cached at append so FLOW re-framing per
@@ -173,6 +187,27 @@ class PulsarBroker:
                     if method != "token" or data != self.token.encode():
                         sock.sendall(pw.frame_simple(
                             pw.cmd_error(0, "AuthenticationError: invalid token")))
+                        return
+                elif self.basic_users is not None:
+                    method = pw.pb_str(sub, 5)
+                    data = pw.pb_one(sub, 3, b"")
+                    user, _, password = data.decode(
+                        "utf-8", "replace").partition(":")
+                    if (method != "basic"
+                            or self.basic_users.get(user) != password
+                            or not password):
+                        sock.sendall(pw.frame_simple(pw.cmd_error(
+                            0, "AuthenticationError: invalid basic "
+                               "credentials")))
+                        return
+                elif self.require_tls_auth:
+                    # transport already proved the client cert (the
+                    # mTLS wrap rejects untrusted chains); the provider
+                    # additionally demands the declared method
+                    if pw.pb_str(sub, 5) != "tls":
+                        sock.sendall(pw.frame_simple(pw.cmd_error(
+                            0, "AuthenticationError: tls authentication "
+                               "required")))
                         return
                 connected = True
                 sock.sendall(pw.frame_simple(pw.cmd_connected()))

@@ -22,13 +22,19 @@ class PulsarConn:
     def __init__(self, host: str, port: int, timeout: float = 60.0,
                  token: str | None = None, tls_ca: bytes | None = None,
                  tls_client_cert: tuple[bytes, bytes] | None = None,
-                 oauth2: dict | None = None):
+                 oauth2: dict | None = None,
+                 basic: dict | None = None,
+                 tls_auth: bool = False):
         # oauth2: {"issuer_url" (token endpoint), "client_id",
         # "client_secret", "audience"?, "scope"?} — the reference's
         # sink OAuth2 block (`pkg/config/sink.go:581-597`,
         # `pkg/sink/pulsar/factory.go:110-118`).  Pulsar's
         # AuthenticationOAuth2 runs the client-credentials exchange and
         # presents the access token with auth_method_name="token".
+        # basic: {"user", "password"} — AuthenticationBasic
+        # (`factory.go:105-109`), method "basic" + "user:password" data.
+        # tls_auth: AuthenticationTLS (`factory.go:122-125`) — the
+        # identity is the client cert; CONNECT declares method "tls".
         if oauth2 is not None:
             from ticdc_spark.codec.oauth2 import fetch_token
 
@@ -47,9 +53,17 @@ class PulsarConn:
                 self.sock, server_hostname=host)
         self._ids = 0
         self._producer_topics: dict[int, int] = {}  # producer_id -> next sequence_id
-        connect = (pw.cmd_connect(auth_method_name="token",
-                                  auth_data=token.encode())
-                   if token is not None else pw.cmd_connect())
+        if token is not None:
+            connect = pw.cmd_connect(auth_method_name="token",
+                                     auth_data=token.encode())
+        elif basic is not None:
+            connect = pw.cmd_connect(
+                auth_method_name="basic",
+                auth_data=f"{basic['user']}:{basic['password']}".encode())
+        elif tls_auth:
+            connect = pw.cmd_connect(auth_method_name="tls", auth_data=b"")
+        else:
+            connect = pw.cmd_connect()
         resp = self._call(pw.frame_simple(connect))
         cmd_type, _ = pw.parse_base_command(resp[0])
         if cmd_type != pw.CONNECTED:

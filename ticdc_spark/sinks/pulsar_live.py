@@ -44,7 +44,8 @@ def start_broker_oauth2():
 
 
 def produce_frame(frame: DataFrame, service_url: str,
-                  oauth2: dict | None = None) -> None:
+                  oauth2: dict | None = None,
+                  **conn_kw) -> None:
     """Distributed produce: tasks register one producer per topic they see
     and send each row as a payload frame, awaiting receipts."""
     shaped = frame.select(
@@ -69,7 +70,7 @@ def produce_frame(frame: DataFrame, service_url: str,
                 try:
                     if state["conn"] is None:
                         state["conn"] = PulsarConn.from_service_url(
-                            service_url, oauth2=oauth2)
+                            service_url, oauth2=oauth2, **conn_kw)
                         producer_ids.clear()  # producers die with the conn
                     pid = producer_ids.get(topic)
                     if pid is None:
@@ -104,7 +105,7 @@ def produce_frame(frame: DataFrame, service_url: str,
 
 
 def read_df(spark: SparkSession, service_url: str, topics: list[str],
-            oauth2: dict | None = None) -> DataFrame:
+            oauth2: dict | None = None, **conn_kw) -> DataFrame:
     """Distributed read-back: one task per topic, reader earliest->last."""
     tdf = spark.createDataFrame([(t,) for t in topics], "topic string").repartition(
         max(1, min(len(topics), 64)), "topic"
@@ -120,8 +121,8 @@ def read_df(spark: SparkSession, service_url: str, topics: list[str],
             for pdf in batches:
                 for topic in pdf["topic"]:
                     if conn is None:
-                        conn = PulsarConn.from_service_url(service_url,
-                                                           oauth2=oauth2)
+                        conn = PulsarConn.from_service_url(
+                            service_url, oauth2=oauth2, **conn_kw)
                     msgs = conn.read_all(topic)
                     # batch members share an entry id; entries must be
                     # non-decreasing and cover 0..max with no gaps
@@ -155,3 +156,24 @@ def pulsar_live_roundtrip(frame: DataFrame) -> DataFrame:
     produce_frame(frame, broker.service_url, oauth2=oauth2)
     topics = list(broker.topics)
     return read_df(spark, broker.service_url, topics, oauth2=oauth2)
+
+
+def start_broker_basic(users: dict[str, str]):
+    """Broker demanding basic auth (`pkg/sink/pulsar/factory.go:105-109`
+    AuthenticationBasic: method "basic", data "user:password")."""
+    from ticdc_spark.sinks.pulsar_broker import PulsarBroker
+
+    broker = PulsarBroker(basic_users=users).start()
+    _LIVE_BROKERS.append(broker)
+    return broker
+
+
+def start_broker_authtls():
+    """Broker demanding mTLS *authentication* (`factory.go:122-125`
+    AuthenticationTLS): mutual-TLS transport plus CONNECT method "tls"."""
+    from ticdc_spark.sinks.pulsar_broker import PulsarBroker
+
+    broker = PulsarBroker(tls=True, mutual_tls=True,
+                          require_tls_auth=True).start()
+    _LIVE_BROKERS.append(broker)
+    return broker
