@@ -388,3 +388,61 @@ def test_sql_mode_adjustment():
     stmts = session_init_statements("ANSI_QUOTES")
     assert stmts == ["SET sql_mode = 'ANSI_QUOTES,IGNORE_SPACE,"
                      "NO_AUTO_VALUE_ON_ZERO,ALLOW_INVALID_DATES'"]
+
+
+def test_enable_partition_separator_parses_and_applies(spark):
+    """[sink] enable-partition-separator (`pkg/config/sink.go:157`,
+    default true): partitioned tables carry the physical table id as a
+    path segment — `pkg/cloudstorage/generator.go:435-437`."""
+    import pyspark.sql.functions as F
+
+    from ticdc_spark.config import parse_changefeed_config
+    from ticdc_spark.sinks.storage import storage_paths
+
+    on = parse_changefeed_config('sink-uri = "s3://b/p?protocol=csv"\n')
+    off = parse_changefeed_config(
+        'sink-uri = "s3://b/p?protocol=csv"\n'
+        "[sink]\nenable-partition-separator = false\n")
+    assert on.enable_partition_separator is True
+    assert off.enable_partition_separator is False
+    cl = spark.createDataFrame(
+        [("s", "t", 101, 0, 77, True), ("s", "t2", 102, 1, 78, False)],
+        "schema_name string, table_name string, commit_ts long, "
+        "seq long, table_id long, is_partition boolean")
+    p_on = {r.table_name: r.path for r in storage_paths(
+        cl, enable_partition_separator=True).collect()}
+    p_off = {r.table_name: r.path for r in storage_paths(
+        cl, enable_partition_separator=False).collect()}
+    assert p_on["t"] == "s/t/1/77/1970-01-01"   # partition segment
+    assert p_on["t2"] == "s/t2/1/1970-01-01"    # non-partition: none
+    assert p_off["t"] == "s/t/1/1970-01-01"     # knob off: none
+    # frames with no is_partition column are untouched either way
+    bare = cl.drop("is_partition")
+    assert storage_paths(bare).collect()[0].path.count("/") == 3
+
+
+def test_lm_compression_validation():
+    import pytest as _pytest
+
+    from ticdc_spark.config import (large_message_compression,
+                                    parse_changefeed_config)
+
+    with _pytest.raises(ValueError, match="compression is not supported"):
+        parse_changefeed_config(
+            'sink-uri = "kafka://h:9092/cdc"\n'
+            "[sink.kafka-config.large-message-handle]\n"
+            'large-message-handle-compression = "zstd"\n')
+    # compression is independent of the handle option
+    # (`large_message.go:52-59`)
+    cfg = parse_changefeed_config(
+        'sink-uri = "kafka://h:9092/cdc"\n'
+        "[sink.kafka-config.large-message-handle]\n"
+        'large-message-handle-compression = "snappy"\n')
+    assert large_message_compression(cfg) == "snappy"
+    cfg_lz4 = parse_changefeed_config(
+        'sink-uri = "kafka://h:9092/cdc"\n'
+        "[sink.kafka-config.large-message-handle]\n"
+        'large-message-handle-compression = "lz4"\n')
+    assert large_message_compression(cfg_lz4) == "lz4-frame"
+    none = parse_changefeed_config('sink-uri = "kafka://h:9092/cdc"\n')
+    assert large_message_compression(none) is None

@@ -167,3 +167,49 @@ def test_client_context_cert_without_key_raises():
         tlsutil.client_context(ca, cert_pem=cert, key_pem=None)
     # the paired call still builds
     tlsutil.client_context(ca, cert_pem=cert, key_pem=key)
+
+
+def test_insecure_skip_verify_kafka_roundtrip(spark):
+    """insecure-skip-verify (`pkg/config/sink.go:494`; honored only
+    with enable-tls, `options.go:423-425`; sarama sets
+    tls.Config.InsecureSkipVerify, `sarama_config.go:112`): against a
+    TLS broker whose CA the client does NOT trust, the verifying
+    dialer refuses and the insecure dialer round-trips."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from ticdc_spark.codec import tlsutil
+    from ticdc_spark.config import parse_changefeed_config
+    from ticdc_spark.sinks.kafka_broker import KafkaBroker
+    from ticdc_spark.sinks.kafka_client import KafkaConn
+    from ticdc_spark.sinks.kafka_live import fetch_df, produce_frame
+
+    cfg = parse_changefeed_config(
+        'sink-uri = "kafka://h:9093/cdc?protocol=canal-json"\n'
+        "[sink.kafka-config]\n"
+        "enable-tls = true\n"
+        "insecure-skip-verify = true\n")
+    assert cfg.enable_tls and cfg.insecure_skip_verify
+    # URI overrides the file
+    cfg2 = parse_changefeed_config(
+        'sink-uri = "kafka://h:9093/cdc?enable-tls=true'
+        '&insecure-skip-verify=false"\n'
+        "[sink.kafka-config]\ninsecure-skip-verify = true\n")
+    assert cfg2.insecure_skip_verify is False
+
+    with KafkaBroker(tls=True, default_partitions=1) as b:
+        # a verifying client pinned to an UNRELATED CA refuses
+        other_ca, _ = tlsutil.make_self_signed("127.0.0.1")
+        import ssl as _ssl
+        with _pytest.raises((_ssl.SSLError, OSError)):
+            KafkaConn.from_bootstrap(b.bootstrap, tls_ca=other_ca)
+        # the insecure dialer connects without any pinned CA
+        insecure = cfg.enable_tls and cfg.insecure_skip_verify
+        frame = spark.range(20).select(
+            F.lit("t0").alias("topic"), F.lit(0).alias("partition"),
+            F.col("id").cast("string").alias("key"),
+            F.concat(F.lit("v"), F.col("id")).cast("string").alias("value"))
+        produce_frame(frame, b.bootstrap, tls_insecure=insecure)
+        got = fetch_df(spark, b.bootstrap, [("t0", 0)],
+                       tls_insecure=insecure)
+        assert got.count() == 20

@@ -198,3 +198,23 @@ def client_context(ca_pem: bytes, cert_pem: bytes | None = None,
         cert_path, key_path = _park(cert_pem, key_pem)
         ctx.load_cert_chain(cert_path, key_path)
     return ctx
+
+
+def insecure_client_context(cert_pem: bytes | None = None,
+                            key_pem: bytes | None = None) -> ssl.SSLContext:
+    """insecure-skip-verify client context (`pkg/config/sink.go:494`;
+    sarama's tls.Config.InsecureSkipVerify, `sarama_config.go:112`):
+    TLS transport with NO chain or hostname verification — the
+    reference only honors the knob when enable-tls is already on
+    (`pkg/sink/kafka/options.go:423-425`).  Still presents a client
+    certificate when given (mTLS listeners verify the CLIENT even if
+    the client skips verifying the server)."""
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+    ctx.check_hostname = False
+    ctx.verify_mode = ssl.CERT_NONE
+    if cert_pem is not None:
+        if key_pem is None:
+            raise ValueError("client cert requires key_pem")
+        cert_path, key_path = _park(cert_pem, key_pem)
+        ctx.load_cert_chain(cert_path, key_path)
+    return ctx

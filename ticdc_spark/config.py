@@ -190,6 +190,8 @@ def parse_changefeed_config(text: str, fmt: str = "toml") -> ChangefeedConfig:
         safe_mode=sink.get("safe-mode", False),
         terminator=sink.get("terminator", "\r\n"),
         date_separator=sink.get("date-separator", "day"),
+        enable_partition_separator=sink.get(
+            "enable-partition-separator", True),
         file_index_width=sink.get("file-index-width", 20),
         csv_config=sink.get("csv") or None,
         integrity_check_level=integrity.get("integrity-check-level", "none"),
@@ -292,6 +294,14 @@ def parse_changefeed_config(text: str, fmt: str = "toml") -> ChangefeedConfig:
     lm = (sink.get("kafka-config") or {}).get("large-message-handle")
     if lm:
         cfg.large_message_handle = dict(lm)
+        # AdjustAndValidate (`large_message.go:52-59`): compression can
+        # be enabled INDEPENDENTLY of the handle option; the supported
+        # set is compression.Supported = none/snappy/lz4
+        comp = lm.get("large-message-handle-compression", "none") or "none"
+        if comp not in ("none", "snappy", "lz4"):
+            raise ValueError(
+                "large message handle compression is not supported, "
+                f"got {comp}")
     # ErrTargetTsBeforeStartTs (`api/v2/changefeed.go` verification)
     if cfg.target_ts and cfg.start_ts and cfg.target_ts < cfg.start_ts:
         raise ValueError(
@@ -323,7 +333,14 @@ def parse_changefeed_config(text: str, fmt: str = "toml") -> ChangefeedConfig:
     # CodecConfig), merged BEFORE the URI params so URL values override
     # the file like the reference's mergeConfig+Apply
     # (`codec/common/config.go:195-212`)
-    cc = (sink.get("kafka-config") or {}).get("codec-config") or {}
+    kc_toml = sink.get("kafka-config") or {}
+    # TLS knobs from the TOML kafka block (`pkg/config/sink.go:490-494`
+    # EnableTLS / InsecureSkipVerify; URI params override below)
+    if "enable-tls" in kc_toml:
+        cfg.enable_tls = bool(kc_toml["enable-tls"])
+    if "insecure-skip-verify" in kc_toml:
+        cfg.insecure_skip_verify = bool(kc_toml["insecure-skip-verify"])
+    cc = kc_toml.get("codec-config") or {}
     if "enable-tidb-extension" in cc:
         cfg.tidb_extension = bool(cc["enable-tidb-extension"])
     if "output-row-key" in cc:
@@ -469,6 +486,12 @@ def apply_sink_uri_params(cfg) -> None:
     # config.go`); both normalize to the same Credential
     if "enable-tls" in q:
         cfg.enable_tls = q["enable-tls"].lower() == "true"
+    if "insecure-skip-verify" in q:
+        # "Only set InsecureSkipVerify when enable the TLS"
+        # (`pkg/sink/kafka/options.go:423-425`) — the knob is parsed
+        # here and gated on enable_tls at the dialer
+        cfg.insecure_skip_verify = (
+            q["insecure-skip-verify"].lower() == "true")
     ca = q.get("ca") or q.get("ssl-ca") or ""
     cert = q.get("cert") or q.get("ssl-cert") or ""
     key = q.get("key") or q.get("ssl-key") or ""
@@ -828,3 +851,23 @@ def mysql_batch_options(cfg) -> dict:
         "enable_cache_prepared_statement": bool(
             mc.get("enable-cache-prepared-statement", True)),
     }
+
+
+# large-message-handle-compression -> internal codec name: the reference
+# compresses with snappy BLOCK encoding (klauspost snappy.Encode) and the
+# LZ4 FRAME format (pierrec lz4.NewWriter) — `pkg/compression/compress.go`
+_LM_COMPRESSION_CODECS = {"snappy": "snappy", "lz4": "lz4-frame"}
+
+
+def large_message_compression(cfg) -> str | None:
+    """The value-compression codec from [sink.kafka-config.
+    large-message-handle] large-message-handle-compression
+    (`pkg/config/large_message.go:33`), or None when off.  The
+    reference applies it to EVERY encoded message value (canal/open/
+    simple encoders call common.Compress unconditionally), so the
+    max-message-bytes gates measure compressed sizes."""
+    comp = (cfg.large_message_handle or {}).get(
+        "large-message-handle-compression", "none") or "none"
+    if comp == "none":
+        return None
+    return _LM_COMPRESSION_CODECS[comp]

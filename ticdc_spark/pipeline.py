@@ -101,6 +101,10 @@ class ChangefeedConfig:
     safe_mode: bool = False
     terminator: str = "\r\n"  # CRLF default (`pkg/config/sink.go`)
     date_separator: str = "day"
+    # [sink] enable-partition-separator (`pkg/config/sink.go:157`,
+    # default true `replica_config.go:77`): partitioned tables get the
+    # physical table id as a path segment on the storage sink
+    enable_partition_separator: bool = True
     # DefaultFileIndexWidth=20, clamp [6, 20] (`pkg/config/sink.go:68-73`)
     file_index_width: int = 20
     csv_config: dict | None = None  # [sink.csv]: delimiter/quote/...
@@ -217,6 +221,9 @@ class ChangefeedConfig:
     tls_ca_path: str = ""
     tls_cert_path: str = ""
     tls_key_path: str = ""
+    # insecure-skip-verify (`pkg/config/sink.go:494`): only honored
+    # when enable-tls is on (`pkg/sink/kafka/options.go:423-425`)
+    insecure_skip_verify: bool = False
 
 
 def apply_replication_window(cl: DataFrame,
@@ -332,6 +339,16 @@ def build_pipeline(cl: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
             f"unknown integrity-check-level: {cfg.integrity_check_level}"
         )
     df = _encode(df, cfg)
+    # large-message-handle-compression (`pkg/config/large_message.go:33`):
+    # the reference encoders call common.Compress on EVERY value, so it
+    # applies before (and its output feeds) the max-message-bytes gates
+    from ticdc_spark.config import large_message_compression
+
+    lm_codec = large_message_compression(cfg)
+    if lm_codec:
+        from ticdc_spark.operators.large_message import compress_values
+
+        df = compress_values(df, codec=lm_codec)
     if cfg.large_message_handle:
         lm = cfg.large_message_handle
         opt = lm.get("large-message-handle-option", "handle-key-only")
@@ -369,6 +386,15 @@ def build_pipeline(cl: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
                 select_columns_physical(full, hk,
                                         pk_fields=tuple(hk))
             )
+            if lm_codec:
+                # the handle-key re-encode is compressed too (the
+                # reference's encoder compresses the fallback message
+                # through the same common.Compress call)
+                from ticdc_spark.operators.large_message import (
+                    compress_values,
+                )
+
+                small = compress_values(small, codec=lm_codec)
             df = (
                 small.withColumn(
                     "is_large", F.length("_value_full") > max_bytes)
@@ -469,6 +495,7 @@ def compile_sink_tail(df: DataFrame, cfg: ChangefeedConfig) -> DataFrame:
             extension=ext,
             rows_per_file=rows_per_file,
             file_index_width=cfg.file_index_width,
+            enable_partition_separator=cfg.enable_partition_separator,
         )
     raise ValueError(f"no sink tail for scheme: {scheme} (uri: {cfg.sink_uri})")
 

@@ -5042,3 +5042,84 @@ auth-tls-private-key-path = "{key_path}"
     produce_frame(frame, broker.service_url, **kw)
     topics = list(broker.topics)
     return read_df(spark, broker.service_url, topics, **kw)
+
+
+# K4 — [sink] enable-partition-separator (`pkg/config/sink.go:157`;
+# applied `pkg/cloudstorage/generator.go:435-437`, layout
+# `path_key.go:198-217`: <schema>/<table>/<version>[/partition][/date]).
+# Rows whose table is a physical PARTITION (is_partition) carry the
+# physical table id as a path segment when the key is on (the default);
+# a TOML with the key off drops the segment.  Both modes run from
+# parsed TOML through compile-time config and union labeled.
+@register(
+    "storage_partition_separator_from_toml",
+    f"WITH {CHANGELOG_SQL}, marked AS ("
+    "  SELECT *, (table_id % 2 = 1) AS is_partition FROM changelog"
+    "), both_modes AS ("
+    "  SELECT 'on' AS mode, schema_name || '/' || table_name || '/1' ||"
+    "    CASE WHEN is_partition THEN '/' || table_id::VARCHAR ELSE '' END"
+    "    || '/' || strftime(make_timestamp(commit_ts), '%Y-%m-%d') AS path"
+    "  FROM marked"
+    "  UNION ALL"
+    "  SELECT 'off', schema_name || '/' || table_name || '/1/' ||"
+    "    strftime(make_timestamp(commit_ts), '%Y-%m-%d')"
+    "  FROM marked"
+    ") SELECT mode, path, COUNT(*) AS n FROM both_modes GROUP BY 1, 2",
+)
+def q_storage_partition_separator_from_toml(spark, sf_dir):
+    from ticdc_spark.config import parse_changefeed_config
+
+    marked = events_changelog(spark, sf_dir).withColumn(
+        "is_partition", F.col("table_id") % 2 == 1)
+    outs = []
+    for mode, toml_line in (("on", ""),
+                            ("off", "enable-partition-separator = false\n")):
+        cfg = parse_changefeed_config(
+            'sink-uri = "s3://bucket/prefix?protocol=csv"\n'
+            '[sink]\nprotocol = "csv"\n' + toml_line)
+        assert cfg.enable_partition_separator == (mode == "on")
+        out = storage_paths(
+            marked,
+            enable_partition_separator=cfg.enable_partition_separator)
+        outs.append(out.select(F.lit(mode).alias("mode"), "path"))
+    return (outs[0].unionAll(outs[1])
+            .groupBy("mode", "path").agg(F.count(F.lit(1)).alias("n")))
+
+
+# enc — large-message-handle-compression (`pkg/config/large_message.go:33`;
+# applied by the canal/open/simple encoders via common.Compress on EVERY
+# value — `canal_json_encoder.go:433-435,454-456`; codecs =
+# compression.Supported: snappy BLOCK + LZ4 FRAME, `pkg/compression/
+# compress.go`).  The changefeed compiles from TOML with lz4 enabled and
+# the handle-key-only option armed; the consumer half decompresses every
+# value and decodes the canal message — counts per (table, type) must
+# equal the split changelog's.
+@register(
+    "lm_compression_from_toml",
+    f"WITH {CHANGELOG_SQL}, {_SPLIT_CTE} "
+    "SELECT table_name, "
+    "CASE op WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE' "
+    "ELSE 'DELETE' END AS canal_type, COUNT(*) AS n "
+    "FROM split GROUP BY 1, 2",
+)
+def q_lm_compression_from_toml(spark, sf_dir):
+    from ticdc_spark.config import (large_message_compression,
+                                    parse_changefeed_config)
+    from ticdc_spark.operators.large_message import decompress_values
+    from ticdc_spark.pipeline import build_pipeline
+
+    cfg = parse_changefeed_config(
+        'sink-uri = "kafka://h:9092/cdc?protocol=canal-json'
+        '&enable-tidb-extension=true"\n'
+        "[sink.kafka-config.large-message-handle]\n"
+        'large-message-handle-option = "handle-key-only"\n'
+        'large-message-handle-compression = "lz4"\n'
+        "max-message-bytes = 1048576\n")
+    codec = large_message_compression(cfg)
+    assert codec == "lz4-frame"  # reference lz4 = the FRAME format
+    frame = build_pipeline(events_changelog(spark, sf_dir), cfg)
+    plain = decompress_values(frame, codec=codec)
+    return (plain.groupBy(
+                F.get_json_object("value", "$.table").alias("table_name"),
+                F.get_json_object("value", "$.type").alias("canal_type"))
+            .agg(F.count(F.lit(1)).alias("n")))

@@ -25,7 +25,8 @@ class KafkaConn:
                  timeout: float = 30.0, sasl: tuple[str, str, str] | None = None,
                  tls_ca: bytes | None = None,
                  tls_client_cert: tuple[bytes, bytes] | None = None,
-                 kafka_version: str | None = None):
+                 kafka_version: str | None = None,
+                 tls_insecure: bool = False):
         """``sasl``: (mechanism, username, password) — PLAIN or
         SCRAM-SHA-256, run after the ApiVersions probe like sarama's
         SASL_PLAINTEXT dialer. ``tls_ca``: PEM to pin for an SSL/SASL_SSL
@@ -43,7 +44,17 @@ class KafkaConn:
             if kafka_version else None)
         self.sock = socket.create_connection((host, port), timeout=timeout)
         self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-        if tls_ca is not None:
+        if tls_insecure:
+            # insecure-skip-verify (`pkg/config/sink.go:494`; only when
+            # EnableTLS, `options.go:423-425`; sarama sets
+            # tls.Config.InsecureSkipVerify, `sarama_config.go:112`):
+            # TLS transport WITHOUT chain or hostname verification
+            from ticdc_spark.codec.tlsutil import insecure_client_context
+
+            cert, key = tls_client_cert or (None, None)
+            self.sock = insecure_client_context(cert, key).wrap_socket(
+                self.sock, server_hostname=host)
+        elif tls_ca is not None:
             from ticdc_spark.codec.tlsutil import client_context
 
             cert, key = tls_client_cert or (None, None)

@@ -46,7 +46,7 @@ def produce_frame(
     frame: DataFrame, bootstrap: str, compression: str = "none", max_retry: int = 5,
     sasl: tuple[str, str, str] | None = None, tls_ca: bytes | None = None,
     client_id: str = "ticdc-spark", acks: int = -1,
-    kafka_version: str | None = None,
+    kafka_version: str | None = None, tls_insecure: bool = False,
 ) -> None:
     """Distributed produce of a (topic, partition, key, value) frame.
 
@@ -97,7 +97,8 @@ def produce_frame(
                         state["conn"] = KafkaConn.from_bootstrap(
                             bootstrap, sasl=sasl, tls_ca=tls_ca,
                             client_id=client_id,
-                            kafka_version=kafka_version)
+                            kafka_version=kafka_version,
+                            tls_insecure=tls_insecure)
                         if state["pid"] is None and acks == -1:
                             # KIP-98 idempotence demands acks=all —
                             # sarama refuses an idempotent producer at
@@ -155,7 +156,8 @@ def produce_frame(
 def fetch_df(spark: SparkSession, bootstrap: str, topic_partitions: list[tuple[str, int]],
              sasl: tuple[str, str, str] | None = None,
              tls_ca: bytes | None = None,
-             client_id: str = "ticdc-spark") -> DataFrame:
+             client_id: str = "ticdc-spark",
+             tls_insecure: bool = False) -> DataFrame:
     """Distributed fetch: one task per (topic, partition); verifies offset
     contiguity 0..hw-1 inside the kernel (raises on gaps/dups)."""
     pairs = spark.createDataFrame(topic_partitions, "topic string, partition int").repartition(
@@ -172,9 +174,9 @@ def fetch_df(spark: SparkSession, bootstrap: str, topic_partitions: list[tuple[s
             for pdf in batches:
                 for topic, partition in zip(pdf["topic"], pdf["partition"]):
                     if conn is None:
-                        conn = KafkaConn.from_bootstrap(bootstrap, sasl=sasl,
-                                                        tls_ca=tls_ca,
-                                                        client_id=client_id)
+                        conn = KafkaConn.from_bootstrap(
+                            bootstrap, sasl=sasl, tls_ca=tls_ca,
+                            client_id=client_id, tls_insecure=tls_insecure)
                     got = conn.fetch_all(topic, int(partition))
                     offsets = [o for o, _ in got]
                     if offsets != list(range(len(offsets))):

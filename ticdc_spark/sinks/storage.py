@@ -26,8 +26,18 @@ def storage_paths(
     extension: str = "csv",
     rows_per_file: int = 4096,
     file_index_width: int = 20,
+    enable_partition_separator: bool = True,
 ) -> DataFrame:
-    """Append ``path`` (directory) and ``file_name`` columns."""
+    """Append ``path`` (directory) and ``file_name`` columns.
+
+    ``enable_partition_separator`` ([sink] enable-partition-separator,
+    `pkg/config/sink.go:157`, default true per `replica_config.go:77`):
+    when on AND the row's table is a physical partition (frame carries
+    ``is_partition`` + ``table_id``), the physical table id becomes a
+    path segment between table version and date —
+    ``<schema>/<table>/<version>[/partition][/date]``
+    (`pkg/cloudstorage/generator.go:435-437`,
+    `path_key.go:198-217` generateDMLDataDirPath)."""
     if date_separator == "day":
         date_fmt = "yyyy-MM-dd"
     elif date_separator == "month":
@@ -40,6 +50,11 @@ def storage_paths(
         F.col("schema_name"), F.lit("/"), F.col("table_name"),
         F.lit(f"/{table_version}"),
     ]
+    if enable_partition_separator and "is_partition" in cl.columns:
+        parts.append(
+            F.when(F.col("is_partition"),
+                   F.concat(F.lit("/"), F.col("table_id").cast("string")))
+            .otherwise(F.lit("")))
     if date_fmt:
         parts += [
             F.lit("/"),
