@@ -238,3 +238,186 @@ def test_winnowing_on_boilerplate_heavy_docs(spark):
     # the boilerplate fingerprints are hot (df=100%) and pruned: no
     # boilerplate-only pair may survive — the quadratic flood is gone
     assert got == want, f"boilerplate flood: {len(got - want)} extra pairs"
+
+
+# ================================================================ round 8
+# VERDICT-r7 ask #6: the remaining geometry-sensitive families with only
+# uniform evidence — int8 SQ, random-hyperplane LSH, and the
+# threshold-boundary behavior of decontaminate / embedding near-dup.
+
+
+@pytest.fixture(scope="module")
+def sq_clustered(spark):
+    """10 tight gaussian clusters projected to the UNIT SPHERE (so dot
+    order == cosine order == nearest-neighbor order and the planted
+    twin is the true top-1) + 10 near-exact twins at 1e-3."""
+    rng = np.random.RandomState(7)
+    centers = rng.randn(10, EMB_DIM)
+
+    def unit(v):
+        return v / np.linalg.norm(v)
+
+    rows = []
+    vid = 100
+    for c in range(10):
+        pts = centers[c] + rng.randn(60, EMB_DIM) * 0.05
+        q = unit(pts[0])
+        for p in pts[1:]:
+            rows.append((vid, unit(p).tolist()))
+            vid += 1
+        rows.append((c, q.tolist()))
+        rows.append((TWIN + c,
+                     unit(q + 1e-3 * rng.randn(EMB_DIM)).tolist()))
+    df = (spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+          .repartition(8).cache())
+    df.count()
+    return df
+
+
+def test_sq_int8_noise_beats_twin_gap_on_clusters(sq_clustered):
+    """The EXHIBIT: on tight clusters the int8 rounding noise exceeds
+    the true dot gap between a near-exact twin and its cluster-mates,
+    so bare integer top-k INVERTS ranks (measured 7/10 rank-1) — the
+    same failure class as the r7 fixed-codebook PQ defect.  If this
+    starts passing at full recall, the bare path changed; re-examine
+    sq_dot_topk's oracle."""
+    from ticdc_spark.llm.similarity import sq_dot_topk
+
+    got = sq_dot_topk(sq_clustered, n_queries=10, k=3).collect()
+    rank1 = {r.q_id for r in got
+             if r.c_id == r.q_id + TWIN and r.rank == 1}
+    assert len(rank1) < 10, "bare int8 unexpectedly resolves clusters"
+
+
+def test_sq_exact_rerank_full_recall(sq_clustered):
+    """The FIX (FAISS IndexScalarQuantizer + IndexRefineFlat shape):
+    int8 shortlist, exact float dot re-rank — all ten twins rank 1."""
+    from ticdc_spark.llm.similarity import sq_dot_topk
+
+    got = sq_dot_topk(sq_clustered, n_queries=10, k=3,
+                      rerank=64).collect()
+    rank1 = {r.q_id for r in got
+             if r.c_id == r.q_id + TWIN and r.rank == 1}
+    assert rank1 == set(range(10)), sorted(rank1)
+
+
+def test_lsh_knn_recall_is_exactly_same_bucket_fraction(sq_clustered):
+    """Random-hyperplane LSH at one probed bucket structurally cannot
+    reach a twin whose sign pattern differs — recall must equal the
+    same-bucket fraction EXACTLY (no additional silent loss), the
+    IVF-nprobe=1 gauge applied to the sign-bucket family."""
+    from ticdc_spark.llm.similarity import lsh_buckets, lsh_knn
+
+    buckets = {r.vec_id: r.bucket for r in lsh_buckets(sq_clustered)
+               .filter((F.col("vec_id") < 10) | (F.col("vec_id") >= TWIN))
+               .collect()}
+    same = {q for q in range(10) if buckets[q] == buckets[TWIN + q]}
+    assert same, "fixture degenerated: every planted pair bucket-split"
+    got = lsh_knn(sq_clustered, n_queries=10, k=3).collect()
+    rank1 = {r.q_id for r in got
+             if r.c_id == r.q_id + TWIN and r.rank == 1}
+    assert rank1 == same, (sorted(rank1), sorted(same))
+
+
+def test_lsh_boundary_pair_is_structurally_split(spark):
+    """A true near-dup pair straddling ONE hyperplane lands in two
+    buckets: sign-blocking misses it by construction.  Pins the
+    blocking geometry (and the perturbation not flipping OTHER bits)."""
+    from ticdc_spark.llm.similarity import hyperplanes, lsh_buckets
+
+    planes = np.array(hyperplanes(), dtype=np.float64)
+    p0 = planes[0] / np.linalg.norm(planes[0])
+    rng = np.random.RandomState(11)
+    for _ in range(50):  # deterministic scan for a clean base point
+        u = rng.randn(EMB_DIM)
+        u -= (u @ p0) * p0
+        u /= np.linalg.norm(u)
+        others = planes[1:] @ u
+        if np.abs(others).min() > 0.05:
+            break
+    else:
+        raise AssertionError("no clean base point found")
+    hi = (u + 1e-4 * p0).tolist()
+    lo = (u - 1e-4 * p0).tolist()
+    df = spark.createDataFrame(
+        [(1, hi), (2, lo)], "vec_id long, embedding array<float>")
+    b = {r.vec_id: r.bucket for r in lsh_buckets(df).collect()}
+    assert b[1] != b[2]
+    # exactly one bit differs — the plane the pair straddles
+    assert sum(x != y for x, y in zip(b[1], b[2])) == 1
+
+
+def test_embedding_cosine_threshold_boundary(spark):
+    """dedup_embedding_cosine's >= 0.9 gate on pairs planted at
+    cos = 0.9005 and cos = 0.8995 (margins far above float32 noise and
+    the 6-dp round): the above pair is flagged, the below pair is not,
+    and a 0.9999-cosine pair straddling a hyperplane is missed by the
+    sign-blocking — exactly and only that one."""
+    from ticdc_spark.llm.similarity import hyperplanes, lsh_buckets
+    from ticdc_spark.llm_queries import _emb_near_dup
+
+    planes = np.array(hyperplanes(), dtype=np.float64)
+    p0 = planes[0] / np.linalg.norm(planes[0])
+    rng = np.random.RandomState(3)
+
+    def unit(v):
+        return v / np.linalg.norm(v)
+
+    def rotated_same_bucket(u, cos_target):
+        """v with <u, v> == cos_target and bucket(v) == bucket(u) —
+        deterministic scan over rotation directions."""
+        want = np.sign(planes @ u)
+        s = np.sqrt(1 - cos_target ** 2)
+        for _ in range(200):
+            w = rng.randn(EMB_DIM)
+            w -= (w @ u) * u
+            w = unit(w)
+            v = cos_target * u + s * w
+            if (np.sign(planes @ v) == want).all():
+                return v
+        raise AssertionError("no same-bucket rotation found")
+
+    u1 = unit(rng.randn(EMB_DIM))
+    above = rotated_same_bucket(u1, 0.9005)
+    u2 = unit(rng.randn(EMB_DIM))
+    below = rotated_same_bucket(u2, 0.8995)
+    # boundary near-dup: cos ~ 1 but one sign bit apart
+    ub = rng.randn(EMB_DIM)
+    ub -= (ub @ p0) * p0
+    ub = unit(ub)
+    rows = [(10, u1.tolist()), (11, above.tolist()),
+            (20, u2.tolist()), (21, below.tolist()),
+            (30, (ub + 1e-4 * p0).tolist()),
+            (31, (ub - 1e-4 * p0).tolist())]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    b = {r.vec_id: r.bucket for r in lsh_buckets(df).collect()}
+    assert b[10] == b[11] and b[20] == b[21] and b[30] != b[31]
+    pairs = {(r.a_id, r.b_id): r.cos_sim
+             for r in _emb_near_dup(df).collect()}
+    assert (10, 11) in pairs and pairs[(10, 11)] >= 0.9
+    assert (20, 21) not in pairs          # below threshold
+    assert (30, 31) not in pairs          # structural blocking miss
+
+
+def test_decontaminate_threshold_is_inclusive(spark):
+    """Contamination EXACTLY at the 0.2 threshold flags (>= gate);
+    one shingle less does not.  Word-run construction keeps the
+    shingle counts exact: 12 words -> 10 distinct 3-gram shingles."""
+    from ticdc_spark.llm.dedup import decontaminate
+
+    bench = "alpha beta gamma delta epsilon"
+    at = ("alpha beta gamma delta " +
+          "f1 f2 f3 f4 f5 f6 f7 f8")          # 2/10 = 0.200000
+    under = ("alpha beta gamma " +
+             "g1 g2 g3 g4 g5 g6 g7 g8 g9")    # 1/10 = 0.1
+    over = ("alpha beta gamma delta epsilon " +
+            "h1 h2 h3 h4 h5 h6 h7")           # 3/10 = 0.3
+    docs = spark.createDataFrame(
+        [(0, bench), (1, at), (2, under), (3, over)],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in decontaminate(docs).collect()}
+    assert out[1].n_shingles == 10 and out[1].n_contaminated == 2
+    assert out[1].contamination == pytest.approx(0.2)
+    assert out[1].flagged is True             # inclusive >=
+    assert out[2].flagged is False
+    assert out[3].flagged is True

@@ -578,9 +578,21 @@ def sq_encode(emb: DataFrame) -> DataFrame:
     )
 
 
-def sq_dot_topk(emb: DataFrame, n_queries: int = 10, k: int = 3) -> DataFrame:
+def sq_dot_topk(emb: DataFrame, n_queries: int = 10, k: int = 3,
+                rerank: int = 0) -> DataFrame:
     """Top-k by integer dot product of the int8 codes (descending —
-    cosine order for same-norm-ish vectors); pure BIGINT arithmetic."""
+    cosine order for same-norm-ish vectors); pure BIGINT arithmetic.
+
+    ``rerank`` > 0 selects the production SQ shape (FAISS
+    IndexScalarQuantizer wrapped in IndexRefineFlat): the int8 dot
+    picks a ``rerank``-sized shortlist per query, then an EXACT float
+    dot on the original embeddings re-ranks it to the final top-k.
+    The round-8 clustered planted-twin fixture measured why: on tight
+    gaussian clusters the int8 rounding noise exceeds the true dot gap
+    between a near-exact twin and its cluster-mates (7/10 rank-1
+    without re-rank), the same failure class as the r7 fixed-codebook
+    PQ defect.  Cost: shortlist-sized exact pass — n_queries×rerank
+    rows, no new corpus-side shuffle."""
     coded = sq_encode(emb)
     q = coded.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("q8").alias("q_q8"))
@@ -592,11 +604,26 @@ def sq_dot_topk(emb: DataFrame, n_queries: int = 10, k: int = 3) -> DataFrame:
     )
     pair = q.crossJoin(c).filter(F.col("q_id") != F.col("c_id"))
     w = Window.partitionBy("q_id").orderBy(F.desc("dot_i"), "c_id")
-    return (
+    ranked = (
         pair.withColumn("dot_i", dot)
         .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+    if not rerank:
+        return ranked.filter(F.col("rank") <= k).select(
+            "q_id", "c_id", "dot_i", "rank")
+    shortlist = ranked.filter(F.col("rank") <= rerank).select("q_id", "c_id")
+    q_emb = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    c_emb = emb.select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").alias("c_emb"))
+    exact = F.round(_dot(F.col("q_emb"), F.col("c_emb")), 6)
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("dot_x"), "c_id")
+    return (
+        shortlist.join(F.broadcast(q_emb), "q_id").join(c_emb, "c_id")
+        .withColumn("dot_x", exact)
+        .withColumn("rank", F.row_number().over(w2).cast("long"))
         .filter(F.col("rank") <= k)
-        .select("q_id", "c_id", "dot_i", "rank")
+        .select("q_id", "c_id", "dot_x", "rank")
     )
 
 

@@ -1818,6 +1818,50 @@ def q_sq_dot_topk(spark, sf_dir):
     return sq_dot_topk(_emb(spark, sf_dir))
 
 
+# SQ + exact re-rank — the production scalar-quantizer shape (FAISS
+# IndexScalarQuantizer + IndexRefineFlat): the round-8 clustered
+# planted-twin fixture measured int8 rounding noise EXCEEDING the true
+# dot gap between a near-exact twin and its cluster-mates (7/10 rank-1
+# without re-rank, tests/test_hostile_fixtures.py) — the same failure
+# class as the r7 fixed-codebook PQ defect.  The shortlist is int8; the
+# final top-k is an exact float dot over shortlist-sized joins only.
+_SQ_RERANK_ORACLE = f"""
+WITH {_SQ_ENC},
+q AS (SELECT vec_id AS q_id, q8 AS q_q8 FROM coded WHERE vec_id < 10),
+c AS (SELECT vec_id AS c_id, q8 AS c_q8 FROM coded),
+pair AS (
+  SELECT q_id, c_id,
+         CAST(list_sum(list_transform(list_zip(q_q8, c_q8),
+              p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT)))
+              AS BIGINT) AS dot_i
+  FROM q CROSS JOIN c WHERE q_id <> c_id),
+shortlist AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY dot_i DESC, c_id) AS r
+    FROM pair) WHERE r <= 64),
+exact AS (
+  SELECT s.q_id, s.c_id,
+         round({_DOT.format(a='qe.embedding', b='ce.embedding')}, 6)
+         AS dot_x
+  FROM shortlist s
+  JOIN embeddings qe ON qe.vec_id = s.q_id
+  JOIN embeddings ce ON ce.vec_id = s.c_id),
+ranked AS (
+  SELECT q_id, c_id, dot_x,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY dot_x DESC, c_id) AS rank
+  FROM exact)
+SELECT q_id, c_id, dot_x, rank FROM ranked WHERE rank <= 3
+"""
+
+
+@register("sq_rerank_topk", _SQ_RERANK_ORACLE)
+def q_sq_rerank_topk(spark, sf_dir):
+    return sq_dot_topk(_emb(spark, sf_dir), rerank=64)
+
+
 # ---------------------------------------------------------------------------
 # Dataset card: the per-source datasheet (docs, tokens, dup rate,
 # quality, dominant language) every corpus release ships with
