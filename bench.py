@@ -174,6 +174,18 @@ def main() -> None:
         # round-6: generated-column MySQL apply; raw-value claim check
         "mysql_live_apply_generated_column",
         "claim_check_raw_value_roundtrip",
+        # round-7: trained-PQ + exact rerank; disk-spool storage leg;
+        # suppressed-update-split live path (the from_toml auth
+        # variants duplicate already-benched wire paths and stay out)
+        "pq_trained_rerank_recall",
+        "storage_live_spool_roundtrip",
+        "kafka_live_raw_change_event",
+        # round-8: SQ exact rerank; canal rowkey decode; partition-
+        # separator path layout; large-message compression roundtrip
+        "sq_rerank_topk",
+        "canal_rowkey_from_toml",
+        "storage_partition_separator_from_toml",
+        "lm_compression_from_toml",
     ]
     # queries whose real work runs at CONSTRUCTION time (iterative
     # trainers that collect control-plane state, like the k-means
@@ -190,6 +202,10 @@ def main() -> None:
                        "kafka_live_gssapi_roundtrip",
                        "storage_live_multipart_roundtrip",
                        "mysql_live_apply_generated_column",
+                       "storage_live_spool_roundtrip",
+                       "kafka_live_raw_change_event",
+                       # the PQ training sample collects at construction
+                       "pq_trained_rerank_recall",
                        # query-set collect at construction triggers the
                        # mount chain; the HNSW build runs at action
                        "vector_changefeed_ann",
@@ -205,6 +221,7 @@ def main() -> None:
     # block skips them — noted here so the cap isn't silent.
     tenx_skip = set(construct_timed) - {"bpe_train_merges",
                                         "vector_changefeed_ann",
+                                        "pq_trained_rerank_recall",
                                         "dedup_clusters", "dedup_clusters_keep_best"}
 
     failed: list[str] = []

@@ -330,3 +330,30 @@ def test_live_wire_query_shuffle_budgets(spark, sf_dir):
         plan = _plan(QUERIES[name](spark, sf_dir))
         n = plan.count("Exchange")
         assert n <= budget, f"{name}: {n} exchanges (budget {budget})"
+
+
+def test_round7_8_query_shuffle_budgets(spark, sf_dir):
+    """Round-7/8 registrations (VERDICT-r7 ask #7): plan budgets for the
+    new data-path queries and read-back tails.  The trained-PQ and
+    SQ-rerank paths pay bounded control-plane collects (4096-vector
+    training sample / n_queries×rerank shortlist) — their PLANS stay at
+    a handful of exchanges, most of them broadcasts of the tiny query
+    side."""
+    for name, budget in [
+        # trained codebooks + exact rerank: shard spread + rank window +
+        # shortlist joins; 5 of the exchanges are query-side broadcasts
+        ("pq_trained_rerank_recall", 8),
+        ("sq_rerank_topk", 9),        # int8 rank + shortlist exact joins
+        ("canal_rowkey_from_toml", 3),   # split spread + decode group agg
+        ("storage_partition_separator_from_toml", 2),  # one mode-union agg
+        ("lm_compression_from_toml", 3),  # spread + decode group agg
+        # live-wire read-back tails (produce ran at construction)
+        ("storage_live_spool_roundtrip", 3),     # the s3-replay shape
+        ("storage_live_csv_handle_key_from_toml", 3),
+        ("pulsar_live_basic_from_toml", 2),      # topic fan-out
+        ("pulsar_live_authtls_from_toml", 2),
+        ("kafka_live_raw_change_event", 4),      # fetch + kind-union agg
+    ]:
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        n = plan.count("Exchange")
+        assert n <= budget, f"{name}: {n} exchanges (budget {budget})"
