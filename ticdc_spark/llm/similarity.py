@@ -295,7 +295,14 @@ def kmeans_refine(
 # ---------------------------------------------------------------------------
 PQ_M = 8          # subvectors
 PQ_SUB_DIM = EMB_DIM // PQ_M
-PQ_KS = 16        # centroids per sub-codebook
+PQ_KS = 16        # centroids per sub-codebook (fixed/oracled books)
+#: trained-book resolution — the round-8 sf1 sweep caught ks=16 trained
+#: books losing planted twins at 20k vectors (7/10 rank-1, and the twin
+#: absent even from a 256-deep ADC shortlist: the books are too coarse,
+#: not the shortlist too small).  64 centroids/subspace restores 10/10;
+#: the fixed ks=16 books stay as-is (their literals are inlined in the
+#: DuckDB oracles of the fixed-book queries).
+PQ_KS_TRAINED = 64
 
 
 def pq_codebooks(m: int = PQ_M, ks: int = PQ_KS,
@@ -317,7 +324,8 @@ def pq_codebooks(m: int = PQ_M, ks: int = PQ_KS,
     return books
 
 
-def pq_codebooks_trained(emb: DataFrame, m: int = PQ_M, ks: int = PQ_KS,
+def pq_codebooks_trained(emb: DataFrame, m: int = PQ_M,
+                         ks: int = PQ_KS_TRAINED,
                          sub_dim: int = PQ_SUB_DIM,
                          sample: int = 4096,
                          iters: int = 12) -> list[list[list[float]]]:
