@@ -352,6 +352,7 @@ def test_round7_8_query_shuffle_budgets(spark, sf_dir):
         ("storage_live_csv_handle_key_from_toml", 3),
         ("pulsar_live_basic_from_toml", 2),      # topic fan-out
         ("pulsar_live_authtls_from_toml", 2),
+        ("pulsar_live_tuning_from_toml", 2),
         ("kafka_live_raw_change_event", 4),      # fetch + kind-union agg
     ]:
         plan = _plan(QUERIES[name](spark, sf_dir))

@@ -109,3 +109,33 @@ def test_live_authtls_roundtrip_and_refusals():
 def test_require_tls_auth_demands_mutual_tls():
     with pytest.raises(ValueError, match="mutual_tls"):
         PulsarBroker(require_tls_auth=True)
+
+
+def test_pulsar_tuning_options_parse_and_reach_the_wire():
+    """[sink.pulsar-config] client tuning (`pkg/config/sink.go:615-643`;
+    defaults `pkg/sink/pulsar/config.go:25-38`): batching-max-messages
+    caps the per-SEND batch (one broker entry each), the timeouts land
+    on the socket, and invalid values are refused."""
+    from ticdc_spark.config import pulsar_client_options
+
+    opts = pulsar_client_options(parse_changefeed_config(_cfg(
+        "batching-max-messages = 3\nsend-timeout = 7\n"
+        'pulsar-version = "3.0"\n')))
+    assert opts["batching_max_messages"] == 3
+    assert opts["send_timeout"] == 7
+    assert opts["connection_timeout"] == 5      # reference default
+    assert opts["operation_timeout"] == 30
+    assert opts["batching_max_publish_delay"] == 10
+    assert opts["pulsar_version"] == "3.0"
+    with pytest.raises(ValueError, match="batching-max-messages"):
+        pulsar_client_options(parse_changefeed_config(_cfg(
+            "batching-max-messages = 0\n")))
+    with PulsarBroker() as b:
+        conn = PulsarConn.from_service_url(
+            b.service_url, connect_timeout=5, send_timeout=7)
+        assert conn.sock.gettimeout() == 7
+        pid = conn.create_producer("t")
+        msgs = [(f"v{i}".encode(), None) for i in range(10)]
+        assert conn.send_pipelined(pid, msgs, batch_size=3) == 10
+        assert b.topic_size("t") == 4  # ceil(10/3) entries
+        conn.close()

@@ -871,3 +871,33 @@ def large_message_compression(cfg) -> str | None:
     if comp == "none":
         return None
     return _LM_COMPRESSION_CODECS[comp]
+
+
+# [sink.pulsar-config] client tuning defaults
+# (`pkg/sink/pulsar/config.go:25-38` NewPulsarConfig)
+_PULSAR_TUNING_DEFAULTS = {
+    "connection-timeout": 5,           # seconds, TCP establishment
+    "operation-timeout": 30,           # seconds, producer-create etc.
+    "batching-max-messages": 1000,     # messages per batch
+    "batching-max-publish-delay": 10,  # milliseconds
+    "send-timeout": 30,                # seconds, unacked-message limit
+}
+
+
+def pulsar_client_options(cfg) -> dict:
+    """Pulsar client/producer tuning from [sink.pulsar-config]
+    (`pkg/config/sink.go:615-643` PulsarConfig; defaults
+    `pkg/sink/pulsar/config.go:25-38`; consumed into
+    pulsar.ClientOptions at `factory.go:31-40`).  ``pulsar-version``
+    parses and passes through — the reference only logs it
+    (`sink.go:615-616` "print the version of pulsar")."""
+    pc = cfg.pulsar_config or {}
+    out = {}
+    for key, default in _PULSAR_TUNING_DEFAULTS.items():
+        v = pc.get(key, default)
+        if not isinstance(v, int) or v <= 0:
+            raise ValueError(f"invalid pulsar {key}: {v!r} "
+                             "(must be a positive integer)")
+        out[key.replace("-", "_")] = v
+    out["pulsar_version"] = pc.get("pulsar-version")
+    return out

@@ -5123,3 +5123,52 @@ def q_lm_compression_from_toml(spark, sf_dir):
                 F.get_json_object("value", "$.table").alias("table_name"),
                 F.get_json_object("value", "$.type").alias("canal_type"))
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+# K3 — pulsar client tuning keys from TOML (`pkg/config/sink.go:615-643`
+# PulsarConfig: connection-timeout / operation-timeout / send-timeout /
+# batching-max-messages / batching-max-publish-delay / pulsar-version;
+# defaults `pkg/sink/pulsar/config.go:25-38`, consumed into
+# pulsar.ClientOptions at `factory.go:31-40`).  batching-max-messages
+# caps every SEND frame's batch (one broker ENTRY each — asserted
+# against the broker's entry log); the timeout pair bounds the dialer's
+# TCP establishment and unacked-request wait.
+@register("pulsar_live_tuning_from_toml", _PULSAR_FRAME_ORACLE)
+def q_pulsar_live_tuning_from_toml(spark, sf_dir):
+    import math
+
+    from ticdc_spark.config import (parse_changefeed_config,
+                                    pulsar_client_options)
+    from ticdc_spark.sinks.pulsar_live import (produce_frame, read_df,
+                                               start_broker)
+
+    broker = start_broker()
+    toml_text = f'''
+sink-uri = "pulsar://{broker.service_url.split("://", 1)[1]}/cdc?protocol=canal-json"
+[sink.pulsar-config]
+batching-max-messages = 64
+connection-timeout = 5
+send-timeout = 9
+pulsar-version = "3.0"
+'''
+    cfg = parse_changefeed_config(toml_text)
+    opts = pulsar_client_options(cfg)
+    frame = pulsar_messages(
+        scale_out(events_changelog(spark, sf_dir)),
+        [{"matcher": ["test.tp_*"], "partition": "index-value",
+          "topic": "cdc_{schema}_{table}"}],
+        protocol="canal-json",
+    )
+    produce_frame(frame, broker.service_url,
+                  batching_max_messages=opts["batching_max_messages"],
+                  connect_timeout=opts["connection_timeout"],
+                  send_timeout=opts["send_timeout"])
+    # the cap is observable in the broker's entry log: every produce
+    # task sent ceil(n_i/64) entries of <=64 messages each
+    n_msgs = frame.count()
+    total_entries = sum(broker.topic_size(t) for t in broker.topics)
+    assert total_entries >= math.ceil(n_msgs / 64), (total_entries, n_msgs)
+    topics = list(broker.topics)
+    return read_df(spark, broker.service_url, topics,
+                   connect_timeout=opts["connection_timeout"],
+                   send_timeout=opts["send_timeout"])

@@ -24,7 +24,9 @@ class PulsarConn:
                  tls_client_cert: tuple[bytes, bytes] | None = None,
                  oauth2: dict | None = None,
                  basic: dict | None = None,
-                 tls_auth: bool = False):
+                 tls_auth: bool = False,
+                 connect_timeout: float | None = None,
+                 send_timeout: float | None = None):
         # oauth2: {"issuer_url" (token endpoint), "client_id",
         # "client_secret", "audience"?, "scope"?} — the reference's
         # sink OAuth2 block (`pkg/config/sink.go:581-597`,
@@ -43,7 +45,12 @@ class PulsarConn:
                 oauth2["client_secret"],
                 audience=oauth2.get("audience"),
                 scope=oauth2.get("scope"))
-        self.sock = socket.create_connection((host, port), timeout=timeout)
+        # connection-timeout bounds the TCP establishment, send-timeout
+        # the wait for any unacknowledged request (`pkg/config/sink.go:
+        # 624-625,640-643`; pulsar.ClientOptions at factory.go:38)
+        self.sock = socket.create_connection(
+            (host, port), timeout=connect_timeout or timeout)
+        self.sock.settimeout(send_timeout or timeout)
         self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         if tls_ca is not None:
             from ticdc_spark.codec.tlsutil import client_context

@@ -45,6 +45,7 @@ def start_broker_oauth2():
 
 def produce_frame(frame: DataFrame, service_url: str,
                   oauth2: dict | None = None,
+                  batching_max_messages: int = 500,
                   **conn_kw) -> None:
     """Distributed produce: tasks register one producer per topic they see
     and send each row as a payload frame, awaiting receipts."""
@@ -76,7 +77,9 @@ def produce_frame(frame: DataFrame, service_url: str,
                     if pid is None:
                         pid = state["conn"].create_producer(topic)
                         producer_ids[topic] = pid
-                    state["conn"].send_pipelined(pid, buffers[topic])
+                    state["conn"].send_pipelined(
+                        pid, buffers[topic],
+                        batch_size=batching_max_messages)
                     buffers[topic] = []
                     return
                 except (IOError, OSError):
