@@ -55,9 +55,19 @@ def _make_tables(n: int = 8) -> list[list[int]]:
 
 _T = _make_tables(8)
 
+try:  # C kernel (byte-exact — see native_accel.py); optional
+    from ticdc_spark.codec import native_accel as _na
+
+    _NATIVE = _na.LIB is not None
+except Exception:  # noqa: BLE001 — accelerator only, never required
+    _na = None
+    _NATIVE = False
+
 
 def crc32c(data: bytes, crc: int = 0) -> int:
     """CRC-32C (Castagnoli), slicing-by-8. crc32c(b"123456789") == 0xE3069283."""
+    if _NATIVE:  # C kernel (exact function — see native_accel.py)
+        return _na.crc32c(data, crc)
     crc = crc ^ 0xFFFFFFFF
     n = len(data)
     i = 0

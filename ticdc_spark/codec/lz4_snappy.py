@@ -26,6 +26,14 @@ independently of the encoders.
 
 from __future__ import annotations
 
+try:  # C kernels (byte-exact ports — see native_accel.py); optional
+    from ticdc_spark.codec import native_accel as _na
+
+    _NATIVE = _na.LIB is not None
+except Exception:  # noqa: BLE001 — accelerator only, never required
+    _na = None
+    _NATIVE = False
+
 _MIN_MATCH = 4
 _HASH_LOG = 16
 
@@ -40,6 +48,10 @@ def _hash4(b: bytes, i: int) -> int:
 # ---------------------------------------------------------------------------
 def lz4_block_compress(src: bytes) -> bytes:
     """Compress to LZ4 block format (no frame header/checksum)."""
+    if _NATIVE:
+        out = _na.lz4_block_compress(src)
+        if out is not None:
+            return out
     n = len(src)
     out = bytearray()
     if n == 0:
@@ -96,6 +108,12 @@ def lz4_block_compress(src: bytes) -> bytes:
 
 
 def lz4_block_decompress(src: bytes) -> bytes:
+    if _NATIVE:
+        res = _na.lz4_block_decompress(src)
+        if res is not None:
+            return res
+        # else: malformed stream — fall through so the pure-Python
+        # decoder raises the pinned error message
     out = bytearray()
     i = 0
     n = len(src)
@@ -182,6 +200,10 @@ def _snappy_literal(out: bytearray, data: bytes) -> None:
 
 
 def snappy_compress(src: bytes) -> bytes:
+    if _NATIVE:
+        out_n = _na.snappy_compress(src)
+        if out_n is not None:
+            return out_n
     out = bytearray(_uvarint(len(src)))
     n = len(src)
     table: dict[int, int] = {}
@@ -219,6 +241,12 @@ def snappy_compress(src: bytes) -> bytes:
 
 def snappy_decompress(src: bytes) -> bytes:
     expected, i = _read_uvarint(src, 0)
+    if _NATIVE:
+        res = _na.snappy_decompress(src, expected, i)
+        if res is not None:
+            return res
+        # else: malformed/mismatched stream — fall through so the
+        # pure-Python decoder raises the pinned error message
     out = bytearray()
     n = len(src)
     while i < n:
@@ -278,6 +306,9 @@ _FRAME_BLOCK_MAX = 64 * 1024  # BD code 4
 
 
 def xxh32(data: bytes, seed: int = 0) -> int:
+    if _NATIVE:
+        return _na.xxh32(data, seed)
+
     def rotl(x: int, r: int) -> int:
         return ((x << r) | (x >> (32 - r))) & _M32
 

@@ -63,6 +63,16 @@ def write_packet(sock, seq: int, payload: bytes) -> int:
 
 
 def read_packet(sock) -> tuple[int, bytes] | None:
+    read_exact = getattr(sock, "read_exact", None)
+    if read_exact is not None:  # buffered fast path (mysql_client)
+        hdr = read_exact(4)
+        if hdr is None:
+            return None
+        length = hdr[0] | (hdr[1] << 8) | (hdr[2] << 16)
+        payload = read_exact(length) if length else b""
+        if payload is None:
+            return None
+        return hdr[3], payload
     hdr = _recv_exact(sock, 4)
     if hdr is None:
         return None

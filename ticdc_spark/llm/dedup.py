@@ -285,21 +285,21 @@ def dedup_clusters(
             edges.join(labels, edges["dst"] == labels["doc_id"])
             .groupBy("src").agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # carry the changed flag through the SAME join instead of
+        # re-joining old vs new labels afterwards: the convergence probe
+        # becomes a filter over the already-checkpointed round output —
+        # one equi-join (+ its exchange) less per round (guide §2.4)
+        new_with_flag = (
             labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
             .select(
                 "doc_id",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                (F.coalesce("nbr_label", "label") < F.col("label")).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1).count()
-        )
-        labels = new_labels
+        changed = new_with_flag.filter("chg").limit(1).count()
+        labels = new_with_flag.select("doc_id", "label")
         if changed == 0:
             break
     sized = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
@@ -395,9 +395,16 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 10) -> DataFrame
             .distinct()
             .localCheckpoint()
         )
+        # set-equality probe in ONE full-outer join instead of two
+        # subtract anti-joins (both edge sets are distinct by
+        # construction, so "symmetric difference empty" == "no row with
+        # a null side") — one exchange less per round (guide §2.4)
         changed = (
-            new_edges.subtract(edges).limit(1).count()
-            or edges.subtract(new_edges).limit(1).count()
+            new_edges.withColumn("_n", F.lit(1))
+            .join(edges.withColumn("_o", F.lit(1)), ["src", "dst"],
+                  "full_outer")
+            .filter(F.col("_n").isNull() | F.col("_o").isNull())
+            .limit(1).count()
         )
         edges = new_edges
         if changed == 0:

@@ -33,6 +33,66 @@ class Resultset:
         self.rows = rows
 
 
+class _BufferedRecvSock:
+    """Read-buffered socket adapter: one 64 KiB recv services many
+    packet reads.  Draining a 256-statement batch's OK chain costs 2
+    recv syscalls per packet otherwise (header + payload) — the
+    dominant client-side cost of the applier loop.  Writes pass
+    through unbuffered (the protocol is request→response; every write
+    happens with the read buffer drained)."""
+
+    __slots__ = ("_sock", "_buf", "_pos")
+
+    def __init__(self, sock):
+        self._sock = sock
+        self._buf = b""
+        self._pos = 0
+
+    def recv(self, n: int) -> bytes:
+        if self._pos >= len(self._buf):
+            self._buf = self._sock.recv(65536)
+            self._pos = 0
+            if not self._buf:
+                return b""
+        take = self._buf[self._pos:self._pos + n]
+        self._pos += len(take)
+        return take
+
+    def read_exact(self, n: int) -> bytes | None:
+        """Exactly-n read (fast path used by mysql_wire.read_packet —
+        one call per packet instead of a recv loop per field)."""
+        buf, pos = self._buf, self._pos
+        if pos + n <= len(buf):
+            self._pos = pos + n
+            return buf[pos:pos + n]
+        parts = [buf[pos:]]
+        need = n - (len(buf) - pos)
+        self._buf = b""
+        self._pos = 0
+        while need > 0:
+            chunk = self._sock.recv(65536)
+            if not chunk:
+                return None
+            if len(chunk) > need:
+                parts.append(chunk[:need])
+                self._buf = chunk
+                self._pos = need
+                need = 0
+                break
+            parts.append(chunk)
+            need -= len(chunk)
+        return b"".join(parts)
+
+    def sendall(self, data) -> None:
+        self._sock.sendall(data)
+
+    def close(self) -> None:
+        self._sock.close()
+
+    def __getattr__(self, name):  # e.g. .version() on a TLS socket
+        return getattr(self._sock, name)
+
+
 class MySQLConn:
     def __init__(self, host: str, port: int, user: str, password: str,
                  timeout: float = 60.0, tls_ca: bytes | None = None,
@@ -72,6 +132,9 @@ class MySQLConn:
                         secure=tls_ca is not None)
         self.server_version = hs["version"]
         self.thread_id = hs["thread_id"]
+        # post-auth the conversation is strict request→response:
+        # buffer reads so a batch's OK chain drains in O(1) syscalls
+        self.sock = _BufferedRecvSock(self.sock)
 
     def _auth_loop(self, password: str, nonce: bytes, plugin: bytes,
                    secure: bool) -> None:

@@ -34,6 +34,29 @@ from ticdc_spark.codec import mysql_wire as mw
 _FLOAT_RE = re.compile(r"^-?\d+\.\d+$")
 
 
+class _BufSock:
+    """Accumulates response packets for one multi-statement batch and
+    flushes them with a single sendall — a 256-statement batch otherwise
+    costs 256 tiny sendall syscalls serialized under the GIL (the
+    per-statement OK packets are what the applier's throughput is made
+    of).  Protocol-transparent: the client reads the same byte stream,
+    just delivered in one segment."""
+
+    __slots__ = ("_sock", "_buf")
+
+    def __init__(self, sock):
+        self._sock = sock
+        self._buf = bytearray()
+
+    def sendall(self, data) -> None:
+        self._buf += data
+
+    def flush(self) -> None:
+        if self._buf:
+            self._sock.sendall(bytes(self._buf))
+            self._buf.clear()
+
+
 class MiniMySQLServer:
     def __init__(
         self,
@@ -374,10 +397,11 @@ class MiniMySQLServer:
             if txn_batch:
                 self._db_lock.acquire()
             in_error = False
+            bsock = _BufSock(sock)
             try:
                 for i, stmt in enumerate(qstmts):
                     more = mw.SERVER_MORE_RESULTS_EXISTS if i + 1 < len(qstmts) else 0
-                    seq_out = self._run_one(sock, seq_out, stmt, more,
+                    seq_out = self._run_one(bsock, seq_out, stmt, more,
                                             locked=txn_batch)
                     if seq_out is None:  # error sent — stop the batch
                         in_error = True
@@ -387,26 +411,34 @@ class MiniMySQLServer:
                     if in_error and self._db.in_transaction:
                         self._db.execute("ROLLBACK")
                     self._db_lock.release()
+                bsock.flush()
 
     def _run_one(self, sock, seq: int, stmt: str, more_flag: int,
                  locked: bool = False):
-        import contextlib
-
         status = mw.SERVER_STATUS_AUTOCOMMIT | more_flag
-        upper = stmt.upper()
-        if upper.startswith(("SET ", "SET\t", "FLUSH ")):
-            return mw.write_packet(sock, seq, mw.enc_ok(status=status))
-        if upper.startswith("START TRANSACTION"):
-            stmt = "BEGIN"
-        guard = contextlib.nullcontext() if locked else self._db_lock
+        # first-char gate: the hot DML statements (REPLACE/DELETE/
+        # INSERT/UPDATE/COMMIT...) can't match SET/FLUSH/START, so skip
+        # the full upper() copy for them (per-statement cost in the
+        # applier loop); behavior for matching statements is unchanged
+        if stmt[:1] in "SsFf":
+            upper = stmt.upper()
+            if upper.startswith(("SET ", "SET\t", "FLUSH ")):
+                return mw.write_packet(sock, seq, mw.enc_ok(status=status))
+            if upper.startswith("START TRANSACTION"):
+                stmt = "BEGIN"
         try:
-            with guard:
+            if not locked:
+                self._db_lock.acquire()
+            try:
                 cur = self._db.execute(stmt)
                 if cur.description is None:
                     n = cur.rowcount if cur.rowcount >= 0 else 0
                     return mw.write_packet(sock, seq, mw.enc_ok(affected=n, status=status))
                 cols = [d[0] for d in cur.description]
                 rows = cur.fetchall()
+            finally:
+                if not locked:
+                    self._db_lock.release()
         except sqlite3.Error as e:
             msg = str(e)
             if "generated column" in msg:
