@@ -272,24 +272,30 @@ def encode_avro_binary_df(cl, tidb_extension: bool = True,
             mgr = ConfluentSchemaManager(
                 "http://registry.local",
                 transport=InMemoryTransport(InMemoryConfluentRegistry()))
-            cols = (c_id, c_val, c_k)
+            # plain lists once per batch instead of .iloc per cell —
+            # the 14 Series.iloc calls per row otherwise cost more than
+            # the avro encode itself (guide §4.2: keep the per-row loop
+            # over native containers)
+            sn_l, tn_l = schema_name.tolist(), table_name.tolist()
+            op_l, cts_l = op.tolist(), commit_ts.tolist()
+            cols_l = [c.tolist() for c in (c_id, c_val, c_k)]
             out = []
-            for i in range(len(op)):
+            for i in range(len(op_l)):
                 row = {}
                 for j, n in enumerate(names):
-                    v = cols[j].iloc[i]
+                    v = cols_l[j][i]
                     row[n] = None if pd.isna(v) else (
                         float(v) if n == "val" else int(v))
-                topic = f"{schema_name.iloc[i]}.{table_name.iloc[i]}"
+                topic = f"{sn_l[i]}.{tn_l[i]}"
                 if mode == "key":
                     out.append(encode_row_key(
-                        mgr, topic, schema_name.iloc[i],
-                        table_name.iloc[i], row, keyspace=keyspace))
+                        mgr, topic, sn_l[i],
+                        tn_l[i], row, keyspace=keyspace))
                 else:
                     out.append(encode_row_value(
-                        mgr, topic, schema_name.iloc[i],
-                        table_name.iloc[i], row, op.iloc[i],
-                        int(commit_ts.iloc[i]),
+                        mgr, topic, sn_l[i],
+                        tn_l[i], row, op_l[i],
+                        int(cts_l[i]),
                         tidb_extension=tidb_extension,
                         avro_enable_watermark=avro_enable_watermark,
                         keyspace=keyspace))

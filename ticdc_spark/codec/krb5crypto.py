@@ -14,6 +14,7 @@ sasl-gssapi kafka params at `pkg/sink/kafka/sarama_config.go:128`.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import hmac
 import os
@@ -142,9 +143,15 @@ def pbkdf2_sha1(password: bytes, salt: bytes, iterations: int,
     return hashlib.pbkdf2_hmac("sha1", password, salt, iterations, nbytes)
 
 
+@functools.lru_cache(maxsize=4096)
 def dk(key: bytes, constant: bytes) -> bytes:
     """RFC 3961 §5.1 DK: derive a key from ``key`` and a usage constant
-    (DR via n-fold + chained AES-ECB encryption for simplified profile)."""
+    (DR via n-fold + chained AES-ECB encryption for simplified profile).
+
+    Memoized: DK is a pure function and every wire message re-derives
+    the same (key, usage) triples — without the cache the per-message
+    derivation dominates the SASL/GSSAPI handshake wall (guide §4.5:
+    heavyweight init once)."""
     if len(constant) != AES_BLOCK:
         constant = nfold(constant, AES_BLOCK)
     out = b""
@@ -159,9 +166,14 @@ def dk(key: bytes, constant: bytes) -> bytes:
     return out[: len(key)]
 
 
+@functools.lru_cache(maxsize=256)
 def string_to_key(password: str, salt: str, iterations: int = 4096,
                   keylen: int = 32) -> bytes:
-    """RFC 3962 §4: PBKDF2-HMAC-SHA1 then DK with constant "kerberos"."""
+    """RFC 3962 §4: PBKDF2-HMAC-SHA1 then DK with constant "kerberos".
+
+    Memoized (pure function): the KDC re-derives the same principal
+    keys on every AS/TGS request and each client connection re-derives
+    its own — 4096 PBKDF2 iterations per call otherwise."""
     tkey = pbkdf2_sha1(password.encode("utf-8"), salt.encode("utf-8"),
                        iterations, keylen)
     return dk(tkey, b"kerberos")

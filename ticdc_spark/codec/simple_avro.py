@@ -523,19 +523,19 @@ def encode_simple_avro_values(cl: DataFrame) -> DataFrame:
     n = len(fields)
 
     def _impl(*cols):
-        op, db, tbl, tid, cts = cols[:5]
-        before = cols[5:5 + n]
-        after = cols[5 + n:]
+        # plain lists once per batch instead of .iloc per cell — the
+        # per-row Series.iloc chain otherwise costs more than the
+        # compiled avro encode itself (guide §4.2)
+        op, db, tbl, tid, cts = (c.tolist() for c in cols[:5])
+        before = [[None if pd.isna(v) else v for v in c.tolist()]
+                  for c in cols[5:5 + n]]
+        after = [[None if pd.isna(v) else v for v in c.tolist()]
+                 for c in cols[5 + n:]]
         out = []
         for i in range(len(op)):
-
-            def img(series_list):
-                return [None if pd.isna(s.iloc[i]) else s.iloc[i]
-                        for s in series_list]
-
-            out.append(enc(op.iloc[i], db.iloc[i], tbl.iloc[i],
-                           int(tid.iloc[i]), int(cts.iloc[i]),
-                           img(after), img(before)))
+            out.append(enc(op[i], db[i], tbl[i],
+                           int(tid[i]), int(cts[i]),
+                           [c[i] for c in after], [c[i] for c in before]))
         return pd.Series(out, dtype=object)
 
     # pandas_udf needs a fixed named signature; generate one of the
