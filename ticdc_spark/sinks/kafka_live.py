@@ -74,7 +74,7 @@ def produce_frame(
         .repartition("topic", "partition")
     )
 
-    def _send(rows_iter):
+    def _send(batches):
         import time as _time
 
         from ticdc_spark.codec.kafka_wire import Record
@@ -125,15 +125,25 @@ def produce_frame(
                     _time.sleep(min(0.1 * (2 ** attempt), 2.0))
 
         pending: dict[tuple[str, int], list] = {}
+        n_sent = 0
         try:
-            for row in rows_iter:
-                tp = (row["topic"], row["partition"])
-                batch = pending.setdefault(tp, [])
-                batch.append(Record(bytes(row["key"]) if row["key"] is not None else None,
-                                    bytes(row["value"]) if row["value"] is not None else None))
-                if len(batch) >= _BATCH_RECORDS:
-                    produce_with_retry(tp[0], tp[1], batch)
-                    pending[tp] = []
+            # rows arrive as Arrow/pandas batches (guide §4.1: batch the
+            # boundary, not the rows); binary cells come through as
+            # bytes already — same Record payloads as the pickled path
+            for pdf in batches:
+                n_sent += len(pdf)
+                for t, p, k, v in zip(pdf["topic"].tolist(),
+                                      pdf["partition"].tolist(),
+                                      pdf["key"].tolist(),
+                                      pdf["value"].tolist()):
+                    tp = (t, int(p))
+                    batch = pending.setdefault(tp, [])
+                    batch.append(Record(
+                        bytes(k) if k is not None else None,
+                        bytes(v) if v is not None else None))
+                    if len(batch) >= _BATCH_RECORDS:
+                        produce_with_retry(tp[0], tp[1], batch)
+                        pending[tp] = []
             for (topic, partition), batch in pending.items():
                 if batch:
                     produce_with_retry(topic, partition, batch)
@@ -149,8 +159,12 @@ def produce_frame(
         finally:
             if state["conn"] is not None:
                 state["conn"].close()
+        import pandas as _pd
 
-    shaped.foreachPartition(_send)
+        yield _pd.DataFrame({"n_sent": [n_sent]})
+
+    shaped.mapInPandas(_send, "n_sent long").write.format("noop").mode(
+        "overwrite").save()
 
 
 def fetch_df(spark: SparkSession, bootstrap: str, topic_partitions: list[tuple[str, int]],
@@ -295,11 +309,14 @@ def kafka_list_offsets_by_ts(cl: DataFrame, n_probes: int = 8) -> DataFrame:
         .sortWithinPartitions("ts")
     )
 
-    def _produce(it):
+    def _produce(batches):
+        import pandas as _pd
+
         from ticdc_spark.codec.kafka_wire import Record
         from ticdc_spark.sinks.kafka_client import KafkaConn
 
         batch: list = []
+        n = 0
         conn = KafkaConn.from_bootstrap(bootstrap)
         try:
             def flush():
@@ -311,15 +328,19 @@ def kafka_list_offsets_by_ts(cl: DataFrame, n_probes: int = 8) -> DataFrame:
                     for ts in batch], base_timestamp=base)
                 batch.clear()
 
-            for row in it:
-                batch.append(row.ts)
-                if len(batch) >= _BATCH_RECORDS:
-                    flush()
+            for pdf in batches:
+                n += len(pdf)
+                for ts in pdf["ts"].tolist():
+                    batch.append(ts)
+                    if len(batch) >= _BATCH_RECORDS:
+                        flush()
             flush()
         finally:
             conn.close()
+        yield _pd.DataFrame({"n": [n]})
 
-    rows.foreachPartition(_produce)
+    rows.mapInPandas(_produce, "n long").write.format("noop").mode(
+        "overwrite").save()
 
     # probe bounds: a 1-row aggregate (metadata, not a data collect)
     mn, mx = cl.agg(F.min("commit_ts"), F.max("commit_ts")).first()

@@ -72,7 +72,7 @@ def apply_over_wire(
                                  generated_columns=generated_columns)
     init = session_init_statements()
 
-    def _apply(rows_iter):
+    def _apply(batches):
         import time as _time
 
         from ticdc_spark.codec.mysql_wire import MySQLError
@@ -105,22 +105,32 @@ def apply_over_wire(
                     _time.sleep(min(0.1 * (2 ** attempt), 2.0))
 
         buf: list[str] = []
+        n_stmts = 0
         try:
-            for row in rows_iter:
-                buf.append(row["stmt"])
-                if len(buf) >= _BATCH_STMTS:
-                    # each flush batch is one transaction (the reference's
-                    # transaction-atomicity: a mid-batch failure applies
-                    # nothing; the retry re-runs the whole batch)
-                    run_batch(["START TRANSACTION", *buf, "COMMIT"])
-                    buf = []
+            # statement strings cross as Arrow batches (guide §4.1),
+            # not pickled Rows; batching/transaction shape unchanged
+            for pdf in batches:
+                for s in pdf["stmt"].tolist():
+                    buf.append(s)
+                    n_stmts += 1
+                    if len(buf) >= _BATCH_STMTS:
+                        # each flush batch is one transaction (the
+                        # reference's transaction-atomicity: a mid-batch
+                        # failure applies nothing; the retry re-runs the
+                        # whole batch)
+                        run_batch(["START TRANSACTION", *buf, "COMMIT"])
+                        buf = []
             if buf:
                 run_batch(["START TRANSACTION", *buf, "COMMIT"])
         finally:
             if state["conn"] is not None:
                 state["conn"].close()
+        import pandas as _pd
 
-    stmts.foreachPartition(_apply)
+        yield _pd.DataFrame({"n_stmts": [n_stmts]})
+
+    stmts.mapInPandas(_apply, "n_stmts long").write.format("noop").mode(
+        "overwrite").save()
 
 
 def read_state_df(
@@ -358,7 +368,7 @@ def apply_stmt_frame(stmts: DataFrame, host: str, port: int, user: str,
     shaped = stmts.select("schema_name", "table_name", "stmt").repartition(
         "schema_name", "table_name")
 
-    def _apply(rows_iter):
+    def _apply(batches):
         import time as _time
 
         from ticdc_spark.codec.mysql_wire import MySQLError
@@ -392,19 +402,27 @@ def apply_stmt_frame(stmts: DataFrame, host: str, port: int, user: str,
                     _time.sleep(min(0.1 * (2 ** attempt), 2.0))
 
         buf: list[str] = []
+        n_stmts = 0
         try:
-            for row in rows_iter:
-                buf.append(row["stmt"])
-                if len(buf) >= batch_stmts:
-                    run_batch(["START TRANSACTION", *buf, "COMMIT"])
-                    buf = []
+            # Arrow batches across the boundary (guide §4.1)
+            for pdf in batches:
+                for s in pdf["stmt"].tolist():
+                    buf.append(s)
+                    n_stmts += 1
+                    if len(buf) >= batch_stmts:
+                        run_batch(["START TRANSACTION", *buf, "COMMIT"])
+                        buf = []
             if buf:
                 run_batch(["START TRANSACTION", *buf, "COMMIT"])
         finally:
             if state["conn"] is not None:
                 state["conn"].close()
+        import pandas as _pd
 
-    shaped.foreachPartition(_apply)
+        yield _pd.DataFrame({"n_stmts": [n_stmts]})
+
+    shaped.mapInPandas(_apply, "n_stmts long").write.format("noop").mode(
+        "overwrite").save()
 
 
 def mysql_live_apply_multirow_from_config(

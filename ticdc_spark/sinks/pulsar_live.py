@@ -55,7 +55,7 @@ def produce_frame(frame: DataFrame, service_url: str,
         F.col("value").cast("binary").alias("value"),
     ).repartition("topic")
 
-    def _send(rows_iter):
+    def _send(batches):
         import time as _time
 
         from ticdc_spark.sinks.pulsar_client import PulsarConn
@@ -90,21 +90,31 @@ def produce_frame(frame: DataFrame, service_url: str,
                         raise
                     _time.sleep(min(0.1 * (2 ** attempt), 2.0))
 
+        n_sent = 0
         try:
-            for row in rows_iter:
-                buf = buffers.setdefault(row["topic"], [])
-                buf.append((bytes(row["value"]) if row["value"] is not None else b"",
-                            row["key"]))
-                if len(buf) >= flush_at:
-                    flush(row["topic"])
+            # Arrow/pandas batches across the boundary (guide §4.1),
+            # not pickled Rows; payload tuples identical
+            for pdf in batches:
+                n_sent += len(pdf)
+                for t, k, v in zip(pdf["topic"].tolist(),
+                                   pdf["key"].tolist(),
+                                   pdf["value"].tolist()):
+                    buf = buffers.setdefault(t, [])
+                    buf.append((bytes(v) if v is not None else b"", k))
+                    if len(buf) >= flush_at:
+                        flush(t)
             for topic in list(buffers):
                 if buffers[topic]:
                     flush(topic)
         finally:
             if state["conn"] is not None:
                 state["conn"].close()
+        import pandas as _pd
 
-    shaped.foreachPartition(_send)
+        yield _pd.DataFrame({"n_sent": [n_sent]})
+
+    shaped.mapInPandas(_send, "n_sent long").write.format("noop").mode(
+        "overwrite").save()
 
 
 def read_df(spark: SparkSession, service_url: str, topics: list[str],

@@ -99,7 +99,7 @@ def put_files(files: DataFrame, endpoint: str, access_key: str,
         .select("path", "file_name", "value")
     )
 
-    def _put(rows_iter):
+    def _put(batches):
         import time as _time
 
         client = None
@@ -220,15 +220,26 @@ def put_files(files: DataFrame, endpoint: str, access_key: str,
             except Exception:  # noqa: BLE001 — stalled store: park it
                 pass
 
+        n_files = 0
         try:
-            for row in rows_iter:
-                key = (row["path"], row["file_name"])
-                if key != cur:
-                    flush()
-                    cur = key
-                    buf = []
-                buf.append(row["value"])
+            # rows arrive as Arrow/pandas batches (not pickled Row
+            # objects — guide §4.1: the boundary crossing scales with
+            # row count, Arrow is the cheap way across); group
+            # boundaries carry over between batches via cur/buf
+            for pdf in batches:
+                vals = pdf["value"].tolist()
+                paths = pdf["path"].tolist()
+                fnames = pdf["file_name"].tolist()
+                for p, fn, v in zip(paths, fnames, vals):
+                    key = (p, fn)
+                    if key != cur:
+                        flush()
+                        n_files += cur is not None
+                        cur = key
+                        buf = []
+                    buf.append(v)
             flush()
+            n_files += cur is not None
             if sp is not None:
                 drain()  # final drain must succeed (full retry budget)
         finally:
@@ -236,8 +247,15 @@ def put_files(files: DataFrame, endpoint: str, access_key: str,
                 sp.close()
             if client is not None:
                 client.close()
+        import pandas as _pd
 
-    shaped.foreachPartition(_put)
+        yield _pd.DataFrame({"n_files": [n_files]})
+
+    # the summary count materializes every partition (the upload is the
+    # side effect, exactly as foreachPartition ran it — but rows cross
+    # the JVM→Python boundary as Arrow batches instead of pickled Rows)
+    shaped.mapInPandas(_put, "n_files long").write.format("noop").mode(
+        "overwrite").save()
 
 
 def get_files_df(
@@ -248,8 +266,13 @@ def get_files_df(
     object from executor tasks -> (path, value) rows, one per CSV line."""
     with _client(endpoint, access_key, secret_key, scheme) as c:
         keys = [k for k, _ in c.list_objects(BUCKET, max_keys=list_page_size)]
+    # fan-out follows the cluster, not a constant: one task wave (each
+    # task = one connection + a few GETs); a hard-coded 64 ran TWO
+    # waves of worker+connection setup on 32 cores and under-splits a
+    # big cluster (guide §2 — derive partitioning from the env)
+    par = spark.sparkContext.defaultParallelism
     kdf = spark.createDataFrame([(k,) for k in keys], "key string").repartition(
-        max(1, min(len(keys), 64)), "key"
+        max(1, min(len(keys), par)), "key"
     )
 
     def _get(batches):
