@@ -92,3 +92,56 @@ def test_sasl_gssapi_wrong_service_key_rejected(kdc):
             KafkaConn.from_bootstrap(
                 b.bootstrap,
                 sasl=("GSSAPI", "cdc-client", "client-pw", opts))
+
+
+def test_sasl_gssapi_ccache_reuse_and_isolation(kdc):
+    """The per-process credentials cache (kafka_client._KRB_CCACHE, the
+    MIT ccache analog) must (a) serve repeat connections without fresh
+    AS/TGS exchanges, (b) key on the FULL credentials so a wrong
+    password never hits a cached ticket."""
+    import ticdc_spark.sinks.kafka_client as kc_mod
+    import ticdc_spark.sinks.kdc_server as kdc_mod
+
+    calls = {"kinit": 0, "tgs": 0}
+    real_kinit, real_tgs = kdc_mod.kinit, kdc_mod.get_service_ticket
+
+    def kinit_counted(*a, **kw):
+        calls["kinit"] += 1
+        return real_kinit(*a, **kw)
+
+    def tgs_counted(*a, **kw):
+        calls["tgs"] += 1
+        return real_tgs(*a, **kw)
+
+    kc_mod._KRB_CCACHE.clear()
+    kdc_mod.kinit = kinit_counted
+    kdc_mod.get_service_ticket = tgs_counted
+    try:
+        with KafkaBroker(sasl_users={}, sasl_mechanisms=(),
+                         gssapi_service=(SVC, SVC_PW, REALM)) as b:
+            opts = {"kdc": kdc.address, "realm": REALM, "service": SVC}
+            for i in range(3):
+                with KafkaConn.from_bootstrap(
+                        b.bootstrap,
+                        sasl=("GSSAPI", "cdc-client", "client-pw",
+                              opts)) as c:
+                    c.produce("t", 0, [Record(b"k%d" % i, b"v")])
+            # one AS + one TGS exchange total, not one per connection
+            assert calls == {"kinit": 1, "tgs": 1}
+            with KafkaConn.from_bootstrap(
+                    b.bootstrap,
+                    sasl=("GSSAPI", "cdc-client", "client-pw",
+                          opts)) as c:
+                assert len(c.fetch_all("t", 0)) == 3
+            # wrong password: different cache key -> fresh kinit -> KDC
+            # pre-auth refusal, nothing cached for the bad credentials
+            with pytest.raises(k.KrbError):
+                KafkaConn.from_bootstrap(
+                    b.bootstrap,
+                    sasl=("GSSAPI", "cdc-client", "bad", opts))
+            assert calls["kinit"] == 2
+            assert all(key[3] != "bad" for key in kc_mod._KRB_CCACHE)
+    finally:
+        kdc_mod.kinit = real_kinit
+        kdc_mod.get_service_ticket = real_tgs
+        kc_mod._KRB_CCACHE.clear()

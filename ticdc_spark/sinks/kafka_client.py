@@ -19,6 +19,11 @@ import struct
 from ticdc_spark.codec import kafka_wire as kw
 from ticdc_spark.sinks.kafka_broker import _recv_exact
 
+# GSSAPI credentials cache (see _sasl_auth): full-credentials key ->
+# (service ticket, session key).  Worker processes are reused across
+# tasks, so one AS+TGS exchange serves every connection of a run.
+_KRB_CCACHE: dict = {}
+
 
 class KafkaConn:
     def __init__(self, host: str, port: int, client_id: str = "ticdc-spark",
@@ -220,10 +225,25 @@ class KafkaConn:
             opts = gssapi_opts or {}
             kdc, realm = opts["kdc"], opts["realm"]
             service = opts["service"]
-            tgt, tgt_key = kinit(kdc, realm, username, password,
-                                 client_key=opts.get("key"))
-            st, skey = get_service_ticket(kdc, realm, username, tgt,
-                                          tgt_key, service)
+            # per-process credentials cache (the MIT ccache shape every
+            # real Kerberos client keeps): tickets are reusable until
+            # expiry by design, only the AP-REQ authenticator must be
+            # fresh per context (and init_context_token mints one per
+            # call).  Keyed by the FULL credentials, so a wrong
+            # password never hits a cached ticket and refusal
+            # semantics are untouched.  Saves one AS + one TGS exchange
+            # per connection (guide §4.5 — heavyweight init once).
+            ck = (kdc, realm, username, password, opts.get("key"), service)
+            cached = _KRB_CCACHE.get(ck)
+            if cached is None:
+                tgt, tgt_key = kinit(kdc, realm, username, password,
+                                     client_key=opts.get("key"))
+                st, skey = get_service_ticket(kdc, realm, username, tgt,
+                                              tgt_key, service)
+                if len(_KRB_CCACHE) < 256:
+                    _KRB_CCACHE[ck] = (st, skey)
+            else:
+                st, skey = cached
             ap_rep = authenticate(
                 _gss.init_context_token(st, skey, realm, username))
             _gss.check_ap_rep(ap_rep, skey)
