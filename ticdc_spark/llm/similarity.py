@@ -849,8 +849,17 @@ def hnsw_knn(emb: DataFrame, n_queries: int = 10, k: int = 3,
             return
         # deterministic build order (arrival order varies by scan split)
         order = sorted(range(len(ids)), key=lambda i: ids[i])
-        g = _HnswGraph([ids[i] for i in order],
-                       np.stack([vecs[i] for i in order]))
+        sids = [ids[i] for i in order]
+        svecs = np.stack([vecs[i] for i in order])
+        # native C build+search kernel when available (guide §4.2: the
+        # honest O(n log n) build cost, ~11x off the numpy loop); levels
+        # stay Python-derived (the md5 convention), and the fallback is
+        # the reference _HnswGraph — tests/test_hnsw_native.py pins
+        # exact adjacency + search equality between the two.
+        from ticdc_spark.llm.hnsw_native import try_build
+
+        g = try_build(sids, svecs, [_hnsw_level(i) for i in sids],
+                      HNSW_M, HNSW_EF_BUILD) or _HnswGraph(sids, svecs)
         rows = {"q_id": [], "c_id": [], "d2": []}
         for q_id, q_emb in queries:
             for d2, c_id in g.search(np.asarray(q_emb), per_shard_k, ef):
