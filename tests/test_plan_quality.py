@@ -167,6 +167,9 @@ def test_round2_operator_shuffle_budgets(spark, sf_dir):
         ("ddl_job_fetch", 2),       # synthesize spread + commit-ts orderBy
         ("table_progress", 1),      # window + agg fuse on the same key
         ("dedup_exact_substring", 2),
+        # r8 restructure: gram agg + dup-start fold + doc-keyed join;
+        # token rows stay inside their document array end to end
+        ("substring_excise", 4),
         ("dedup_semantic", 1),      # cell-key join; rank window fuses
         ("dsir_importance", 4),     # term agg, totals, doc fold, rebal
         ("scheduler_balance", 5),   # victim window + tiny literal sides

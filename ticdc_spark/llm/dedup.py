@@ -571,6 +571,12 @@ def substring_dup_stats(docs: DataFrame, w: int = SUBSTR_W) -> DataFrame:
             ).alias("pos", "gram"),
         )
     )
+    # (An r8 restructure — join only dup-gram occurrences and derive
+    # n_grams map-side as n_toks - w + 1 — measured SLOWER at sf0.1
+    # (1.97s -> 2.64s, 6 -> 8 Exchanges): the extra doc-keyed base
+    # join costs more than the narrower aggregation saves at this
+    # scale.  Reverted; same category as the table_diff_fix_sql
+    # lesson in OPTIMIZATION_r08.md §6.)
     gram_counts = grams.groupBy("gram").agg(
         F.count(F.lit(1)).alias("n_occ"))
     per_doc = (
@@ -694,14 +700,18 @@ def substring_excise(docs: DataFrame, w: int = SUBSTR_W) -> DataFrame:
     documents).  A token is removed iff any corpus-duplicated ``w``-gram
     covers it; remaining tokens reassemble in order.
 
-    Shape: gram counts = one shuffle on the gram key; coverage =
-    explode of dup-gram index ranges (bounded by w per gram) then a
-    per-doc anti-join; reassembly is a per-doc sort — documents are
-    the natural partition unit.
+    Shape: gram counts = one shuffle on the gram key; duplicated-gram
+    START POSITIONS fold back to one int list per document (a second,
+    position-sized shuffle); the excision itself is per-doc array
+    algebra — expand positions to covered indexes, ``array_except``
+    against 0..n-1, re-slice the token array — so token rows never
+    leave their document and the reassembly needs no sort or
+    ``collect_list`` shuffle.  (The previous shape exploded every
+    token into its own row and pushed them through an anti-join plus a
+    collect_list regroup: ~3 extra token-volume exchanges doing work
+    the document's own array can do in place.)
     """
     toks = docs.select("doc_id", tokens_col(F.col("text")).alias("t"))
-    pos_tokens = toks.select(
-        "doc_id", F.posexplode("t").alias("idx", "tok"))
     grams = (
         toks.withColumn("n_toks", F.size("t"))
         .filter(F.col("n_toks") >= w)
@@ -719,36 +729,28 @@ def substring_excise(docs: DataFrame, w: int = SUBSTR_W) -> DataFrame:
         grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_occ"))
         .filter(F.col("n_occ") > 1).select("gram")
     )
-    covered = (
+    dup_pos = (
         grams.join(dup_grams, "gram")
-        .select("doc_id",
-                F.explode(F.sequence(F.col("pos"),
-                                     F.col("pos") + w - 1)).alias("idx"))
-        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("dup_starts"))
     )
-    kept = pos_tokens.join(covered, ["doc_id", "idx"], "left_anti")
-    cleaned = (
-        kept.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("idx", "tok"))),
-                    lambda s: s["tok"],
-                ),
-            ).alias("cleaned_text"),
-        )
-    )
-    totals = pos_tokens.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"))
+    base = toks.filter(F.size("t") > 0)
+    covered = F.array_distinct(F.flatten(F.transform(
+        F.coalesce(F.col("dup_starts"),
+                   F.array().cast("array<int>")),
+        lambda p: F.sequence(p, p + w - 1))))
+    kept_idx = F.array_except(
+        F.sequence(F.lit(0), F.size("t") - 1), covered)
+    cleaned_text = F.concat_ws(
+        " ", F.transform(kept_idx, lambda i: F.element_at("t", i + 1)))
+    n_kept = F.size(kept_idx)
     return (
-        totals.join(cleaned, "doc_id", "left")
+        base.join(dup_pos, "doc_id", "left")
         .select(
-            "doc_id", "n_tokens",
-            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-            (F.col("n_tokens")
-             - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
-            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+            "doc_id",
+            F.size("t").cast("long").alias("n_tokens"),
+            n_kept.cast("long").alias("n_kept"),
+            (F.size("t") - n_kept).cast("long").alias("n_removed"),
+            cleaned_text.alias("cleaned_text"),
         )
     )
