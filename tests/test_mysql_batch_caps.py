@@ -176,3 +176,31 @@ def test_size_negative_rejected_zero_accepted_in_uri():
         'sink-uri = "mysql://u:p@h:4000/"\n'
         '[sink.mysql-config]\nmax-multi-update-row-size = 0\n')
     assert mysql_batch_options(cfg)["max_multi_update_row_size"] == 0
+
+
+def test_prepared_arrow_boundary_keeps_exact_param_types(spark):
+    """The prepared writer's executor boundary is mapInArrow (opt r8):
+    nullable long/double columns must cross as exact Python ints /
+    floats / None — a pandas boundary would NaN-promote int64 to
+    float64 and flip the COM_STMT_EXECUTE arg tags (_param_type tags
+    by Python type).  Pin the extraction the writer uses."""
+    df = spark.createDataFrame(
+        [("t", "I", None, 7, 1.5, 9), ("t", "D", 3, None, None, None)],
+        "table_name string, op string, b_id long, a_id long, "
+        "a_val double, a_k long")
+
+    def probe(batches):
+        import pyarrow as pa
+        seen = []
+        for b in batches:
+            cols = [b.column(nm).to_pylist()
+                    for nm in ("table_name", "op", "b_id", "a_id",
+                               "a_val", "a_k")]
+            seen.extend(zip(*cols))
+        names = [",".join(type(v).__name__ for v in row) for row in seen]
+        yield pa.RecordBatch.from_pydict({"types": names})
+
+    got = {r.types for r in
+           df.repartition(1).mapInArrow(probe, "types string").collect()}
+    assert got == {"str,str,NoneType,int,float,int",
+                   "str,str,int,NoneType,NoneType,NoneType"}

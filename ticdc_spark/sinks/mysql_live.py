@@ -252,7 +252,7 @@ def apply_over_wire_prepared(
         )
     )
 
-    def _apply(rows_iter):
+    def _apply(batches):
         from ticdc_spark.sinks.mysql_client import (
             MySQLConn, close_prepared, execute_prepared, prepare)
 
@@ -297,15 +297,15 @@ def apply_over_wire_prepared(
                 return
             last: dict[tuple[str, int], tuple] = {}
             for row in window:
-                key_id = row["b_id"] if row["op"] == "D" else row["a_id"]
-                last[(row["table_name"], key_id)] = row
+                table, op, b_id, a_id, _, _ = row
+                last[(table, b_id if op == "D" else a_id)] = row
             by_table: dict[str, tuple[list, list]] = {}
-            for (table, _), row in last.items():
+            for (table, _), (_, op, b_id, a_id, a_val, a_k) in last.items():
                 reps, dels = by_table.setdefault(table, ([], []))
-                if row["op"] == "D":
-                    dels.append(row["b_id"])
+                if op == "D":
+                    dels.append(b_id)
                 else:
-                    reps.extend((row["a_id"], row["a_val"], row["a_k"]))
+                    reps.extend((a_id, a_val, a_k))
             for table, (reps, dels) in by_table.items():
                 for i in range(0, len(dels), batch_rows):
                     chunk = dels[i : i + batch_rows]
@@ -315,21 +315,39 @@ def apply_over_wire_prepared(
                     run(table, "replace", len(chunk) // 3, chunk)
             window = []
 
+        n_rows = 0
         try:
-            for row in rows_iter:
+            # pyarrow batches across the boundary (guide §4.1) instead
+            # of pickled Rows; .to_pylist() hands back EXACT Python
+            # ints/floats/None for the nullable long/double columns —
+            # the pandas route would NaN-promote int64 to float64 and
+            # flip the binary-protocol arg tags (_param_type), which is
+            # why this path stayed pickled until now.
+            for b in batches:
+                if b.num_rows == 0:
+                    continue
                 if conn is None:
                     conn = MySQLConn(host, port, user, password)
-                window.append(row)
-                if len(window) >= 4 * batch_rows:
-                    flush()
+                cols = [b.column(name).to_pylist()
+                        for name in ("table_name", "op", "b_id", "a_id",
+                                     "a_val", "a_k")]
+                n_rows += b.num_rows
+                for row in zip(*cols):
+                    window.append(row)
+                    if len(window) >= 4 * batch_rows:
+                        flush()
             flush()
         finally:
             if conn is not None:
                 for sid in stmt_cache.values():
                     close_prepared(conn, sid)
                 conn.close()
+        import pyarrow as pa
 
-    shaped.foreachPartition(_apply)
+        yield pa.RecordBatch.from_pydict({"n_rows": [n_rows]})
+
+    shaped.mapInArrow(_apply, "n_rows long").write.format("noop").mode(
+        "overwrite").save()
 
 
 def mysql_live_apply_prepared(
