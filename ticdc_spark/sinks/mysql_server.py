@@ -115,8 +115,14 @@ class MiniMySQLServer:
         # isolation_level=None = true autocommit with EXPLICIT transaction
         # control: each DML commits immediately unless a BEGIN is open —
         # the semantics START TRANSACTION / COMMIT framing needs
+        # cached_statements: the prepared-statement writer produces a
+        # distinct SQL string per (table, kind, chunk arity) — hundreds
+        # of shapes at real batch sizes — and the sqlite3 default cache
+        # of 128 thrashes, re-parsing ~2 KB multirow REPLACEs on every
+        # execute.  Size it to hold the whole shape population.
         self._db = sqlite3.connect(":memory:", check_same_thread=False,
-                                   isolation_level=None)
+                                   isolation_level=None,
+                                   cached_statements=4096)
         self._db_lock = threading.Lock()
         for s in schemas:
             self._db.execute(f"ATTACH ':memory:' AS `{s}`")
@@ -312,14 +318,23 @@ class MiniMySQLServer:
                 next_stmt[0] += 1
                 n_params = sql.count("?")
                 stmts[next_stmt[0]] = (sql, n_params)
+                # one sendall for the whole response: an arity-64
+                # multirow REPLACE has 192 params, and 192 individual
+                # param-def sendalls per prepare (x hundreds of
+                # prepares per apply) syscall-thrash under the GIL —
+                # same batching as _BufSock on the COM_QUERY path.
+                # The param-def body is identical for every param;
+                # encode it once and repeat with advancing seq.
+                bsock = _BufSock(sock)
                 seq_out = mw.write_packet(
-                    sock, 1, mw.enc_stmt_prepare_ok(next_stmt[0], 0, n_params))
+                    bsock, 1, mw.enc_stmt_prepare_ok(next_stmt[0], 0, n_params))
                 # param definition packets + EOF (classic, non-DEPRECATE_EOF)
-                for _ in range(n_params):
-                    seq_out = mw.write_packet(
-                        sock, seq_out, mw.enc_column_def("?", mw.MYSQL_TYPE_VAR_STRING))
                 if n_params:
-                    mw.write_packet(sock, seq_out, mw.enc_eof())
+                    pdef = mw.enc_column_def("?", mw.MYSQL_TYPE_VAR_STRING)
+                    for _ in range(n_params):
+                        seq_out = mw.write_packet(bsock, seq_out, pdef)
+                    mw.write_packet(bsock, seq_out, mw.enc_eof())
+                bsock.flush()
                 continue
             if cmd == mw.COM_STMT_SEND_LONG_DATA:
                 # streams one chunk of one parameter ahead of EXECUTE;
