@@ -843,7 +843,12 @@ class ApiServer:
                     pass
                 return self._send(200, {})
 
-        self._httpd = ThreadingHTTPServer((self.host, port), Handler)
+        class _Srv(ThreadingHTTPServer):
+            # burst connects from clients/tests; stdlib backlog of 5
+            # drops SYNs -> 1 s retransmit per connect
+            request_queue_size = 128
+
+        self._httpd = _Srv((self.host, port), Handler)
         if self._tls_ctx is not None:
             self._httpd.socket = self._tls_ctx.wrap_socket(
                 self._httpd.socket, server_side=True)

@@ -151,10 +151,24 @@ def mysql_col(name: str, mysql_type: str, not_null: bool = False,
     raise ValueError(f"unknown mysql type: {mysql_type}")
 
 
+# the per-row encoders below rebuild these schema dicts on every call
+# (guide §4.5: heavyweight init per row); the dicts are pure functions
+# of their arguments, so memoize the DEFAULT-columns shape — column
+# tuples are dicts (unhashable), so the cache keys on the module
+# default by identity and custom column sets fall through to a rebuild
+_SCHEMA_MEMO: dict = {}
+
+
 def table_value_schema(schema_name: str, table_name: str,
                        columns=PAYLOAD_AVRO_COLUMNS,
                        tidb_extension: bool = True,
                        keyspace: str = "default") -> dict:
+    memo_key = None
+    if columns is PAYLOAD_AVRO_COLUMNS:
+        memo_key = ("v", schema_name, table_name, tidb_extension, keyspace)
+        got = _SCHEMA_MEMO.get(memo_key)
+        if got is not None:
+            return got
     top = {
         "type": "record",
         "name": sanitize_name(table_name),
@@ -167,19 +181,30 @@ def table_value_schema(schema_name: str, table_name: str,
             {"name": TIDB_COMMIT_TS, "type": "long", "default": 0},
             {"name": TIDB_PHYSICAL_TIME, "type": "long", "default": 0},
         ]
+    if memo_key is not None:
+        _SCHEMA_MEMO[memo_key] = top
     return top
 
 
 def table_key_schema(schema_name: str, table_name: str,
                      columns=PAYLOAD_AVRO_COLUMNS,
                      keyspace: str = "default") -> dict:
-    return {
+    memo_key = None
+    if columns is PAYLOAD_AVRO_COLUMNS:
+        memo_key = ("k", schema_name, table_name, keyspace)
+        got = _SCHEMA_MEMO.get(memo_key)
+        if got is not None:
+            return got
+    out = {
         "type": "record",
         "name": sanitize_name(table_name),
         "namespace": avro_namespace(keyspace, schema_name),
         "fields": [_column_field(c) for c in columns
                    if c.get("handle")],
     }
+    if memo_key is not None:
+        _SCHEMA_MEMO[memo_key] = out
+    return out
 
 
 def _register(mgr, subject: str, schema: dict, version: int = 1) -> bytes:

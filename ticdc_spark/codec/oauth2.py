@@ -127,7 +127,12 @@ class MiniOAuth2Server:
                     "access_token": token, "token_type": "Bearer",
                     "expires_in": srv.ttl_s})
 
-        self._server = ThreadingHTTPServer((host, 0), Handler)
+        class _Srv(ThreadingHTTPServer):
+            # burst connects from executor tasks; stdlib backlog of 5
+            # drops SYNs -> 1 s retransmit per connect
+            request_queue_size = 128
+
+        self._server = _Srv((host, 0), Handler)
         self.host = host
         self.port = self._server.server_address[1]
         self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)

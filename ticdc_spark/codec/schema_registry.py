@@ -344,7 +344,12 @@ class registry_http_server:
             def log_message(self, *a):  # quiet
                 pass
 
-        self._srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        class _Srv(ThreadingHTTPServer):
+            # executor tasks connect in one burst per wave; the stdlib
+            # backlog of 5 drops SYNs -> 1 s retransmit per connect
+            request_queue_size = 128
+
+        self._srv = _Srv(("127.0.0.1", 0), Handler)
         self._thread = threading.Thread(target=self._srv.serve_forever, daemon=True)
         self._thread.start()
         host, port = self._srv.server_address[:2]

@@ -4428,7 +4428,16 @@ def q_avro_live_registry_roundtrip(spark, sf_dir):
             conn.close()
         yield _pd.DataFrame({"n": [sent]})
 
-    (cl.repartition("table_name").mapInPandas(_produce, "n long")
+    # round-robin over every core, not repartition("table_name"): five
+    # tables hash to five tasks and the per-row avro encode runs at
+    # parallelism 5 on a 32-core host (guide §2.5 — a partitioning key
+    # with too few distinct values).  Producer identity is irrelevant
+    # here: schema registration is idempotent (same schema -> same id),
+    # the broker appends whatever interleaving arrives, and the oracle
+    # compares the decoded row SET (seq rides a header; offsets are
+    # never emitted), so the split is free to follow the cluster size.
+    par = cl.sparkSession.sparkContext.defaultParallelism
+    (cl.repartition(par).mapInPandas(_produce, "n long")
      .write.format("noop").mode("overwrite").save())
 
     pairs = [(t, p) for t, parts in broker.topics.items() for p in parts]

@@ -278,7 +278,12 @@ class MiniAzureBlobServer:
                                            b"</Code></Error>")
                 self._send(200, body, ctype="application/octet-stream")
 
-        self._server = ThreadingHTTPServer((host, 0), Handler)
+        class _Srv(ThreadingHTTPServer):
+            # burst connects from executor tasks; stdlib backlog of 5
+            # drops SYNs -> 1 s retransmit per connect
+            request_queue_size = 128
+
+        self._server = _Srv((host, 0), Handler)
         if self._tls_ctx is not None:
             self._server.socket = self._tls_ctx.wrap_socket(
                 self._server.socket, server_side=True)

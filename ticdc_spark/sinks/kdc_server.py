@@ -55,6 +55,9 @@ class MiniKDC:
         class Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
             daemon_threads = True
+            # executor tasks connect in one burst per wave; the stdlib
+            # backlog of 5 drops SYNs -> 1 s retransmit per connect
+            request_queue_size = 128
 
         self._server = Server((host, 0), Handler)
         self.port = self._server.server_address[1]

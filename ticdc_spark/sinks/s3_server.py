@@ -322,7 +322,12 @@ class MiniS3Server:
                     f"<IsTruncated>{'true' if rest else 'false'}</IsTruncated>"
                     f"{next_tok}{contents}</ListBucketResult>"))
 
-        self._server = ThreadingHTTPServer((host, 0), Handler)
+        class _Srv(ThreadingHTTPServer):
+            # burst connects from executor tasks; stdlib backlog of 5
+            # drops SYNs -> 1 s retransmit per connect
+            request_queue_size = 128
+
+        self._server = _Srv((host, 0), Handler)
         if tls:
             from ticdc_spark.codec import tlsutil
 
