@@ -36,10 +36,24 @@ def _cpu_steal_jiffies() -> int:
         return 0
 
 
+def _native_kernels() -> dict:
+    """Observable native-accelerator state (VERDICT r08 what's-wrong #3):
+    without a compiler the pure-Python fallbacks are 1-2 orders of
+    magnitude slower with nothing but speed to tell you."""
+    try:
+        from ticdc_spark.codec import native_accel
+        from ticdc_spark.llm import hnsw_native
+        return {"codec": native_accel.LIB is not None,
+                "hnsw": hnsw_native.LIB is not None}
+    except Exception:  # noqa: BLE001 — never let introspection kill a bench
+        return {"codec": False, "hnsw": False}
+
+
 def main() -> None:
     bench_t0 = time.perf_counter()
     loadavg_start = _loadavg()
     steal_start = _cpu_steal_jiffies()
+    print(f"native kernels: {_native_kernels()}", flush=True)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     # UI on: the scale probes read shuffle-write bytes from the status
@@ -580,6 +594,7 @@ def _write_result_snapshot(timings, sf, pipeline_rows_per_s, rows_10x,
         "loadavg_end": _loadavg(),
         "cpu_steal_jiffies_delta": _cpu_steal_jiffies() - steal_start,
         "wall_clock_s": round(time.perf_counter() - bench_t0, 1),
+        "native_kernels": _native_kernels(),
     }
     line = json.dumps(result)
     # the driver's artifact keeps only the last ~2000 chars of stdout,
@@ -619,6 +634,7 @@ def _write_result_snapshot(timings, sf, pipeline_rows_per_s, rows_10x,
             "cpu_steal_jiffies_delta": (_cpu_steal_jiffies()
                                         - steal_start),
             "wall_clock_s": round(time.perf_counter() - bench_t0, 1),
+            "native_kernels": _native_kernels(),
             "full": "bench_out.json",
         }
         cline = json.dumps(compact)

@@ -155,7 +155,11 @@ def mysql_col(name: str, mysql_type: str, not_null: bool = False,
 # (guide §4.5: heavyweight init per row); the dicts are pure functions
 # of their arguments, so memoize the DEFAULT-columns shape — column
 # tuples are dicts (unhashable), so the cache keys on the module
-# default by identity and custom column sets fall through to a rebuild
+# default by identity and custom column sets fall through to a rebuild.
+# FROZEN CONTRACT: table_value_schema/table_key_schema return the
+# memoized dict ITSELF — callers must treat it as immutable (mutating
+# it would corrupt every later encode of that table).  Callers that
+# need to extend a schema must copy.deepcopy it first.
 _SCHEMA_MEMO: dict = {}
 
 

@@ -397,10 +397,14 @@ def _build_lib() -> ctypes.CDLL | None:
         return None  # A/B kill switch: forces the pure-Python paths
     try:
         src_hash = hashlib.sha256(_C_SOURCE.encode()).hexdigest()[:16]
-        cache_dir = os.path.join(tempfile.gettempdir(), "ticdc_spark_accel")
+        # per-user, 0o700: a world-writable shared dir would let another
+        # local user pre-plant a .so at the predictable path
+        cache_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"ticdc_spark_accel_{getattr(os, 'getuid', lambda: 0)()}")
         so_path = os.path.join(cache_dir, f"accel_{src_hash}.so")
         if not os.path.exists(so_path):
-            os.makedirs(cache_dir, exist_ok=True)
+            os.makedirs(cache_dir, mode=0o700, exist_ok=True)
             c_path = os.path.join(cache_dir, f"accel_{src_hash}.c")
             tmp_so = os.path.join(
                 cache_dir, f".accel_{src_hash}.{os.getpid()}.so")

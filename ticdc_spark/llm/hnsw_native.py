@@ -67,6 +67,7 @@ typedef struct {
     int64_t *h_ordkey_i;    /* candidate order after sort */
     int32_t *h_kept; int32_t *h_pruned; int32_t *h_cbuf; int32_t *h_tmp;
     int64_t heur_cap;
+    int oom;   /* set when a scratch realloc fails; poisons the graph */
 } hnsw_t;
 
 static inline double ddot_n(const double *a, const double *b, int64_t n) {
@@ -140,10 +141,15 @@ static int cmp_hkey(const void *pa, const void *pb) {
 /* beam search on one layer; results sorted in g->found, count returned */
 static int64_t search_layer(hnsw_t *g, const double *q, double qq,
                             int64_t entry, int64_t level, int64_t ef) {
+    if (g->oom) return 0;
     if (ef + 1 > g->best_cap) {
-        g->best_cap = 2 * (ef + 1);
-        g->best = (hp_t *)realloc(g->best, g->best_cap * sizeof(hp_t));
-        g->found = (hp_t *)realloc(g->found, g->best_cap * sizeof(hp_t));
+        int64_t ncap = 2 * (ef + 1);
+        hp_t *nb = (hp_t *)realloc(g->best, ncap * sizeof(hp_t));
+        if (nb) g->best = nb;
+        hp_t *nf = (hp_t *)realloc(g->found, ncap * sizeof(hp_t));
+        if (nf) g->found = nf;
+        if (!nb || !nf) { g->oom = 1; return 0; }
+        g->best_cap = ncap;
     }
     g->vis_gen++;
     if (g->vis_gen == 0) { memset(g->vis, 0, g->n * sizeof(uint32_t)); g->vis_gen = 1; }
@@ -173,8 +179,11 @@ static int64_t search_layer(hnsw_t *g, const double *q, double qq,
             double nd = d2_one(g, q, qq, nn);
             if (bcnt < ef || nd < g->best[0].d) {
                 if (ccnt + 1 > g->cand_cap) {
+                    hp_t *ncand = (hp_t *)realloc(
+                        g->cand, 2 * g->cand_cap * sizeof(hp_t));
+                    if (!ncand) { g->oom = 1; return 0; }
+                    g->cand = ncand;
                     g->cand_cap *= 2;
-                    g->cand = (hp_t *)realloc(g->cand, g->cand_cap * sizeof(hp_t));
                 }
                 hp_t nv; nv.d = nd; nv.node = nn;
                 mn_push(g->cand, &ccnt, nv);
@@ -250,6 +259,7 @@ static int64_t select_heuristic(hnsw_t *g, const double *qv, double qq,
 }
 
 static void insert_node(hnsw_t *g, int64_t idx) {
+    if (g->oom) return;
     int64_t level = g->levels[idx];
     if (g->entry < 0) { g->entry = idx; g->top = level; return; }
     const double *q = g->vecs + idx * g->dim;
@@ -257,11 +267,13 @@ static void insert_node(hnsw_t *g, int64_t idx) {
     int64_t ep = g->entry;
     for (int64_t lvl = g->top; lvl > level; lvl--) {
         search_layer(g, q, qq, ep, lvl, 1);
+        if (g->oom) return;
         ep = g->found[0].node;
     }
     int64_t start = (level < g->top) ? level : g->top;
     for (int64_t lvl = start; lvl >= 0; lvl--) {
         int64_t fc = search_layer(g, q, qq, ep, lvl, g->ef_build);
+        if (g->oom) return;
         int64_t ep_next = g->found[0].node;
         for (int64_t i = 0; i < fc; i++) g->h_cbuf[i] = (int32_t)g->found[i].node;
         int64_t nc = select_heuristic(g, q, qq, g->h_cbuf, fc, g->m, g->h_tmp);
@@ -381,6 +393,7 @@ int64_t ticdc_hnsw_build(int64_t n, int64_t dim, const double *vecs,
         !g->h_pair || !g->h_vbuf || !g->h_vt || !g->h_ordkey_i || !g->h_kept ||
         !g->h_pruned || !g->h_cbuf || !g->h_tmp) { ticdc_hnsw_free(g); return -2; }
     for (int64_t i = 0; i < n; i++) insert_node(g, i);
+    if (g->oom) { ticdc_hnsw_free(g); return -3; }  /* scratch realloc failed */
     *out = g;
     return 0;
 }
@@ -389,14 +402,17 @@ int64_t ticdc_hnsw_search(void *vh, const double *q, int64_t k, int64_t ef,
                           double *out_d, int64_t *out_id) {
     hnsw_t *g = (hnsw_t *)vh;
     if (!g || g->entry < 0) return 0;
+    if (g->oom) return -1;
     double qq = ddot_n(q, q, g->dim);
     int64_t ep = g->entry;
     for (int64_t lvl = g->top; lvl > 0; lvl--) {
         search_layer(g, q, qq, ep, lvl, 1);
+        if (g->oom) return -1;
         ep = g->found[0].node;
     }
     int64_t beam = (ef > k) ? ef : k;
     int64_t fc = search_layer(g, q, qq, ep, 0, beam);
+    if (g->oom) return -1;
     int64_t cnt = (fc < k) ? fc : k;
     for (int64_t i = 0; i < cnt; i++) {
         out_d[i] = g->found[i].d;
@@ -439,10 +455,14 @@ def _build_lib() -> ctypes.CDLL | None:
                      ["-O3", "-ffp-contract=off"])
         src_hash = hashlib.sha256(
             (_C_SOURCE + repr(flag_sets)).encode()).hexdigest()[:16]
-        cache_dir = os.path.join(tempfile.gettempdir(), "ticdc_spark_accel")
+        # per-user, 0o700: a world-writable shared dir would let another
+        # local user pre-plant a .so at the predictable path
+        cache_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"ticdc_spark_accel_{getattr(os, 'getuid', lambda: 0)()}")
         so_path = os.path.join(cache_dir, f"hnsw_{src_hash}.so")
         if not os.path.exists(so_path):
-            os.makedirs(cache_dir, exist_ok=True)
+            os.makedirs(cache_dir, mode=0o700, exist_ok=True)
             c_path = os.path.join(cache_dir, f"hnsw_{src_hash}.c")
             tmp_so = os.path.join(
                 cache_dir, f".hnsw_{src_hash}.{os.getpid()}.so")
@@ -539,6 +559,8 @@ class NativeHnsw:
         n = LIB.ticdc_hnsw_search(self._h, qv.ctypes.data_as(dp), k, ef,
                                   out_d.ctypes.data_as(dp),
                                   out_i.ctypes.data_as(lp))
+        if n < 0:  # OOM poisoned the graph: fail loudly, never truncate
+            raise MemoryError("hnsw native search: scratch realloc failed")
         return [(float(out_d[i]), int(out_i[i])) for i in range(n)]
 
     def neighbors(self, level: int, node_idx: int) -> list[int] | None:

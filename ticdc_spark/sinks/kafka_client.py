@@ -233,20 +233,40 @@ class KafkaConn:
             # password never hits a cached ticket and refusal
             # semantics are untouched.  Saves one AS + one TGS exchange
             # per connection (guide §4.5 — heavyweight init once).
+            # NOTE: the cache key holds the plaintext password for the
+            # process lifetime — acceptable for this in-process test
+            # KDC, do NOT lift the pattern into a real client (key on a
+            # digest and store tickets in a real ccache instead).
             ck = (kdc, realm, username, password, opts.get("key"), service)
-            cached = _KRB_CCACHE.get(ck)
-            if cached is None:
+
+            def fresh_ticket():
                 tgt, tgt_key = kinit(kdc, realm, username, password,
                                      client_key=opts.get("key"))
                 st, skey = get_service_ticket(kdc, realm, username, tgt,
                                               tgt_key, service)
                 if len(_KRB_CCACHE) < 256:
                     _KRB_CCACHE[ck] = (st, skey)
-            else:
-                st, skey = cached
-            ap_rep = authenticate(
-                _gss.init_context_token(st, skey, realm, username))
-            _gss.check_ap_rep(ap_rep, skey)
+                return st, skey
+
+            cached = _KRB_CCACHE.get(ck)
+            st, skey = cached if cached is not None else fresh_ticket()
+            try:
+                ap_rep = authenticate(
+                    _gss.init_context_token(st, skey, realm, username))
+                _gss.check_ap_rep(ap_rep, skey)
+            except Exception:
+                # a cached service ticket can go stale (KDC/broker
+                # restarted with a rotated service key in a long-lived
+                # worker): evict and retry ONCE with a fresh kinit so
+                # the process has a path back; a genuinely bad
+                # credential fails the retry the same way it always did
+                if cached is None:
+                    raise
+                _KRB_CCACHE.pop(ck, None)
+                st, skey = fresh_ticket()
+                ap_rep = authenticate(
+                    _gss.init_context_token(st, skey, realm, username))
+                _gss.check_ap_rep(ap_rep, skey)
             offer = authenticate(b"")  # solicit the security-layer offer
             authenticate(_gss.sec_layer_choice(skey, offer))
             return
