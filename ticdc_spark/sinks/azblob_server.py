@@ -328,7 +328,7 @@ class AzBlobClient:
                  x_ms_date: str = "Thu, 01 Jan 2026 00:00:00 GMT",
                  tls_ca: bytes | None = None,
                  tls_client_cert: tuple[bytes, bytes] | None = None):
-        import http.client
+        from ticdc_spark.sinks.http_wire import HttpWire
 
         u = urlsplit(endpoint)
         self.host, self.port = u.hostname, u.port
@@ -342,19 +342,17 @@ class AzBlobClient:
             if tls_ca is None:
                 raise ValueError("https endpoint needs tls_ca (pinned CA)")
             cert, key = tls_client_cert or (None, None)
-            self.conn = http.client.HTTPSConnection(
-                self.host, self.port, timeout=60,
-                context=client_context(tls_ca, cert, key))
+            self.conn = HttpWire(self.host, self.port, timeout=60,
+                                 context=client_context(tls_ca, cert, key))
         else:
-            self.conn = http.client.HTTPConnection(self.host, self.port,
-                                                   timeout=60)
+            self.conn = HttpWire(self.host, self.port, timeout=60)
 
-    def _request(self, method: str, path: str, query: dict[str, str],
-                 body: bytes = b"",
-                 extra: dict[str, str] | None = None) -> tuple[int, bytes]:
+    def _build_req(self, method: str, path: str, query: dict[str, str],
+                   body: bytes = b"",
+                   extra: dict[str, str] | None = None):
         """``path`` is the DECODED resource path — it signs as-is (both
         sides canonicalize the decoded form) and percent-encodes only
-        on the request line."""
+        on the request line.  -> (method, url, body, headers)."""
         headers = {
             "x-ms-date": self.x_ms_date,
             "x-ms-version": "2021-08-06",
@@ -368,9 +366,54 @@ class AzBlobClient:
         qs = "&".join(f"{k}={quote(str(v), safe='')}"
                       for k, v in query.items())
         url = quote(path) + (f"?{qs}" if qs else "")
+        return method, url, body, headers
+
+    def _request(self, method: str, path: str, query: dict[str, str],
+                 body: bytes = b"",
+                 extra: dict[str, str] | None = None) -> tuple[int, bytes]:
+        method, url, body, headers = self._build_req(
+            method, path, query, body, extra)
         self.conn.request(method, url, body=body or None, headers=headers)
         resp = self.conn.getresponse()
         return resp.status, resp.read()
+
+    def get_objects(self, container: str, keys: list,
+                    max_in_flight: int = 16) -> list:
+        """Pipelined GETs -> bodies in ``keys`` order (http_wire)."""
+        out: list = []
+        for i in range(0, len(keys), max_in_flight):
+            chunk = keys[i:i + max_in_flight]
+            reqs = [self._build_req("GET", f"/{container}/{k}", {})
+                    for k in chunk]
+            for k, resp in zip(chunk, self.conn.pipeline(reqs)):
+                data = resp.read()
+                if resp.status != 200:
+                    raise IOError(f"azblob get {k}: {resp.status} "
+                                  f"{data[:200]!r}")
+                out.append(data)
+        return out
+
+    def put_objects(self, container: str, items: list,
+                    max_in_flight: int = 16,
+                    max_bytes: int = 4 * 1024 * 1024) -> None:
+        """Pipelined single-shot Put Blob for ``[(key, body)]``."""
+        i = 0
+        while i < len(items):
+            reqs, j, nbytes = [], i, 0
+            while (j < len(items) and len(reqs) < max_in_flight
+                   and (not reqs or nbytes < max_bytes)):
+                k, b = items[j]
+                reqs.append(self._build_req(
+                    "PUT", f"/{container}/{k}", {}, b,
+                    extra={"x-ms-blob-type": "BlockBlob"}))
+                nbytes += len(b)
+                j += 1
+            for (k, _b), resp in zip(items[i:j], self.conn.pipeline(reqs)):
+                data = resp.read()
+                if resp.status != 201:
+                    raise IOError(f"azblob put {k}: {resp.status} "
+                                  f"{data[:200]!r}")
+            i = j
 
     def put_object(self, container: str, key: str, body: bytes) -> None:
         status, data = self._request(

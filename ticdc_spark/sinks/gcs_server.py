@@ -329,7 +329,7 @@ class GCSClient:
     def __init__(self, endpoint: str, token: str,
                  tls_ca: bytes | None = None,
                  tls_client_cert: tuple[bytes, bytes] | None = None):
-        import http.client
+        from ticdc_spark.sinks.http_wire import HttpWire
 
         u = urlsplit(endpoint)
         self.host, self.port = u.hostname, u.port
@@ -340,12 +340,10 @@ class GCSClient:
             if tls_ca is None:
                 raise ValueError("https endpoint needs tls_ca (pinned CA)")
             cert, key = tls_client_cert or (None, None)
-            self.conn = http.client.HTTPSConnection(
-                self.host, self.port, timeout=60,
-                context=client_context(tls_ca, cert, key))
+            self.conn = HttpWire(self.host, self.port, timeout=60,
+                                 context=client_context(tls_ca, cert, key))
         else:
-            self.conn = http.client.HTTPConnection(self.host, self.port,
-                                                   timeout=60)
+            self.conn = HttpWire(self.host, self.port, timeout=60)
 
     def _request(self, method: str, path: str,
                  body: bytes = b"") -> tuple[int, bytes]:
@@ -446,6 +444,50 @@ class GCSClient:
         if status != 200:
             raise IOError(f"gcs get {key}: {status} {data[:200]!r}")
         return data
+
+    def get_objects(self, bucket: str, keys: list,
+                    max_in_flight: int = 16) -> list:
+        """Pipelined GETs -> bodies in ``keys`` order (http_wire)."""
+        out: list = []
+        hdrs = {"Authorization": f"Bearer {self.token}",
+                "Content-Length": "0"}
+        for i in range(0, len(keys), max_in_flight):
+            chunk = keys[i:i + max_in_flight]
+            reqs = [("GET",
+                     f"/storage/v1/b/{bucket}/o/{quote(k, safe='')}"
+                     "?alt=media", b"", hdrs) for k in chunk]
+            for k, resp in zip(chunk, self.conn.pipeline(reqs)):
+                data = resp.read()
+                if resp.status != 200:
+                    raise IOError(f"gcs get {k}: {resp.status} "
+                                  f"{data[:200]!r}")
+                out.append(data)
+        return out
+
+    def put_objects(self, bucket: str, items: list,
+                    max_in_flight: int = 16,
+                    max_bytes: int = 4 * 1024 * 1024) -> None:
+        """Pipelined single-shot media uploads for ``[(key, body)]``."""
+        i = 0
+        while i < len(items):
+            reqs, j, nbytes = [], i, 0
+            while (j < len(items) and len(reqs) < max_in_flight
+                   and (not reqs or nbytes < max_bytes)):
+                k, b = items[j]
+                reqs.append((
+                    "POST",
+                    f"/upload/storage/v1/b/{bucket}/o?uploadType=media"
+                    f"&name={quote(k, safe='')}", b,
+                    {"Authorization": f"Bearer {self.token}",
+                     "Content-Length": str(len(b))}))
+                nbytes += len(b)
+                j += 1
+            for (k, _b), resp in zip(items[i:j], self.conn.pipeline(reqs)):
+                data = resp.read()
+                if resp.status != 200:
+                    raise IOError(f"gcs put {k}: {resp.status} "
+                                  f"{data[:200]!r}")
+            i = j
 
     def list_objects(self, bucket: str,
                      max_keys: int = 1000) -> list[tuple[str, int]]:

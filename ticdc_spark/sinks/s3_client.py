@@ -8,11 +8,11 @@ ListObjectsV2 follows real continuation-token pagination.
 
 from __future__ import annotations
 
-import http.client
 import urllib.parse
 import xml.etree.ElementTree as ET
 
 from ticdc_spark.codec import awssig
+from ticdc_spark.sinks.http_wire import HttpWire
 
 
 class S3Error(Exception):
@@ -42,11 +42,10 @@ class S3Client:
             if tls_ca is None:
                 raise ValueError("https endpoint needs tls_ca (pinned CA)")
             cert, key = tls_client_cert or (None, None)
-            self.conn = http.client.HTTPSConnection(
-                self.host, self.port, timeout=60,
-                context=client_context(tls_ca, cert, key))
+            self.conn = HttpWire(self.host, self.port, timeout=60,
+                                 context=client_context(tls_ca, cert, key))
         else:
-            self.conn = http.client.HTTPConnection(self.host, self.port, timeout=60)
+            self.conn = HttpWire(self.host, self.port, timeout=60)
 
     def close(self):
         self.conn.close()
@@ -57,33 +56,83 @@ class S3Client:
     def __exit__(self, *exc):
         self.close()
 
-    def _request(self, method: str, path: str, query: str = "",
-                 body: bytes = b"") -> tuple[int, dict, bytes]:
+    def _headers_for(self, method: str, path: str, query: str,
+                     body: bytes) -> dict:
         host_hdr = f"{self.host}:{self.port}"
         auth, payload_hash = awssig.sign(
             method, path, query, {"host": host_hdr}, body,
             self.access_key, self.secret_key, self.amz_date, self.region)
-        url = path + (f"?{query}" if query else "")
-        headers = {
+        return {
             "Host": host_hdr,
             "x-amz-date": self.amz_date,
             "x-amz-content-sha256": payload_hash,
             "Authorization": auth,
             "Content-Length": str(len(body)),
         }
+
+    @staticmethod
+    def _raise_s3(status: int, data: bytes):
+        code, msg = "Unknown", data.decode("utf-8", "replace")
+        try:
+            root = ET.fromstring(data)
+            code = root.findtext("Code", code)
+            msg = root.findtext("Message", msg)
+        except ET.ParseError:
+            pass
+        raise S3Error(status, code, msg)
+
+    def _request(self, method: str, path: str, query: str = "",
+                 body: bytes = b"") -> tuple[int, dict, bytes]:
+        headers = self._headers_for(method, path, query, body)
+        url = path + (f"?{query}" if query else "")
         self.conn.request(method, url, body=body, headers=headers)
         resp = self.conn.getresponse()
         data = resp.read()
         if resp.status >= 400:
-            code, msg = "Unknown", data.decode("utf-8", "replace")
-            try:
-                root = ET.fromstring(data)
-                code = root.findtext("Code", code)
-                msg = root.findtext("Message", msg)
-            except ET.ParseError:
-                pass
-            raise S3Error(resp.status, code, msg)
+            self._raise_s3(resp.status, data)
         return resp.status, dict(resp.getheaders()), data
+
+    # -- pipelined batch ops (http_wire.pipeline): one round trip per
+    # in-flight window instead of one per object — removes the
+    # request/response convoy against the single-GIL test endpoint
+
+    def get_objects(self, bucket: str, keys: list,
+                    max_in_flight: int = 16) -> list:
+        """Pipelined GETs -> bodies in ``keys`` order."""
+        out: list = []
+        for i in range(0, len(keys), max_in_flight):
+            chunk = keys[i:i + max_in_flight]
+            reqs = [("GET", f"/{bucket}/{k}", b"",
+                     self._headers_for("GET", f"/{bucket}/{k}", "", b""))
+                    for k in chunk]
+            for resp in self.conn.pipeline(reqs):
+                data = resp.read()
+                if resp.status >= 400:
+                    self._raise_s3(resp.status, data)
+                out.append(data)
+        return out
+
+    def put_objects(self, bucket: str, items: list,
+                    max_in_flight: int = 16,
+                    max_bytes: int = 4 * 1024 * 1024) -> None:
+        """Pipelined single-shot PUTs for ``[(key, body)]``; the window
+        is bounded by count AND bytes so huge objects don't buffer."""
+        i = 0
+        while i < len(items):
+            reqs, j, nbytes = [], i, 0
+            while (j < len(items) and len(reqs) < max_in_flight
+                   and (not reqs or nbytes < max_bytes)):
+                k, b = items[j]
+                path = f"/{bucket}/{k}"
+                reqs.append(("PUT", path, b,
+                             self._headers_for("PUT", path, "", b)))
+                nbytes += len(b)
+                j += 1
+            for resp in self.conn.pipeline(reqs):
+                data = resp.read()
+                if resp.status >= 400:
+                    self._raise_s3(resp.status, data)
+            i = j
 
     # -- object ops
 

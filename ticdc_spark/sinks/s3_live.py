@@ -65,6 +65,42 @@ def _client(srv_endpoint: str, cred1: str, cred2: str, scheme: str = "s3"):
     raise ValueError(f"unknown storage scheme {scheme!r}")
 
 
+# per-worker connection pool (guide §4.5: heavyweight init once per
+# task, cached across tasks via worker reuse).  Keyed by pid so a
+# forked worker never inherits a parent's socket; endpoints are unique
+# per server instance (ephemeral port), so a stale entry is at worst
+# reconnected by the caller's retry path.
+_CLIENT_POOL: dict = {}
+
+
+def _pooled_client(endpoint: str, cred1: str, cred2: str, scheme: str):
+    import os as _os
+
+    key = (_os.getpid(), endpoint, cred1, cred2, scheme)
+    c = _CLIENT_POOL.get(key)
+    if c is None:
+        if len(_CLIENT_POOL) > 64:  # bound sockets held by a long worker
+            _, old = _CLIENT_POOL.popitem()
+            try:
+                old.close()
+            except Exception:  # noqa: BLE001
+                pass
+        c = _client(endpoint, cred1, cred2, scheme)
+        _CLIENT_POOL[key] = c
+    return c
+
+
+def _drop_pooled(endpoint: str, cred1: str, cred2: str, scheme: str) -> None:
+    import os as _os
+
+    c = _CLIENT_POOL.pop((_os.getpid(), endpoint, cred1, cred2, scheme), None)
+    if c is not None:
+        try:
+            c.close()
+        except Exception:  # noqa: BLE001
+            pass
+
+
 def put_files(files: DataFrame, endpoint: str, access_key: str,
               secret_key: str, scheme: str = "s3",
               multipart_threshold: int = 8 * 1024 * 1024,
@@ -102,19 +138,16 @@ def put_files(files: DataFrame, endpoint: str, access_key: str,
     def _put(batches):
         import time as _time
 
-        client = None
         cur: tuple[str, str] | None = None
         buf: list[str] = []
         max_retry = 5  # connector retry budget (kafka/pulsar parity)
 
         def upload(key: str, data: bytes, retry: int = max_retry) -> None:
-            nonlocal client
             upload_id = None  # survives reconnects: multipart RESUMES
             for attempt in range(retry + 1):
                 try:
-                    if client is None:
-                        client = _client(endpoint, access_key, secret_key,
-                                         scheme)
+                    client = _pooled_client(endpoint, access_key,
+                                            secret_key, scheme)
                     if len(data) > multipart_threshold:
                         if scheme == "s3":
                             if upload_id is None:
@@ -146,9 +179,7 @@ def put_files(files: DataFrame, endpoint: str, access_key: str,
                             fresh.close()
                         except Exception:  # noqa: BLE001
                             pass
-                    if client is not None:
-                        client.close()
-                        client = None
+                    _drop_pooled(endpoint, access_key, secret_key, scheme)
                     if attempt == retry:
                         raise
                     _time.sleep(min(0.05 * (2 ** attempt), 1.0))
@@ -184,7 +215,30 @@ def put_files(files: DataFrame, endpoint: str, access_key: str,
                 sp.release(entry)
                 queued.pop(0)
 
+        # single-shot objects batch up and go out PIPELINED (one round
+        # trip per window) — the per-request convoy against the single-
+        # GIL endpoint measured 3x slower than the pipelined wire;
+        # multipart/spool objects keep the per-object path
+        pending: list = []  # [(key, data)] awaiting a pipelined PUT
+        pending_bytes = 0
+
+        def flush_pending():
+            nonlocal pending, pending_bytes
+            if not pending:
+                return
+            items, pending, pending_bytes = pending, [], 0
+            try:
+                client = _pooled_client(endpoint, access_key, secret_key,
+                                        scheme)
+                client.put_objects(BUCKET, items)
+            except Exception:  # noqa: BLE001 — fall back per item with
+                # the full reconnect+retry budget
+                _drop_pooled(endpoint, access_key, secret_key, scheme)
+                for key, data in items:
+                    upload(key, data)
+
         def flush():
+            nonlocal pending_bytes
             if cur is None or not buf:
                 return
             # output-field-header (`csv_encoder.go:46-48`): the header
@@ -192,7 +246,14 @@ def put_files(files: DataFrame, endpoint: str, access_key: str,
             data = ((header or "") + "\n".join(buf) + "\n").encode("utf-8")
             key = f"{cur[0]}/{cur[1]}"
             if sp is None:
-                upload(key, data)
+                if len(data) > multipart_threshold:
+                    flush_pending()  # keep object order within the task
+                    upload(key, data)
+                else:
+                    pending.append((key, data))
+                    pending_bytes += len(data)
+                    if len(pending) >= 64 or pending_bytes >= 8 * 1024 * 1024:
+                        flush_pending()
                 return
             msgs = [(key.encode(), data, len(buf))]
             # TrySend shape (`spool.go:406-435` + writer loop): a spill
@@ -240,13 +301,12 @@ def put_files(files: DataFrame, endpoint: str, access_key: str,
                     buf.append(v)
             flush()
             n_files += cur is not None
+            flush_pending()
             if sp is not None:
                 drain()  # final drain must succeed (full retry budget)
         finally:
             if sp is not None:
                 sp.close()
-            if client is not None:
-                client.close()
         import pandas as _pd
 
         yield _pd.DataFrame({"n_files": [n_files]})
@@ -269,30 +329,39 @@ def get_files_df(
     # fan-out follows the cluster, not a constant: one task wave (each
     # task = one connection + a few GETs); a hard-coded 64 ran TWO
     # waves of worker+connection setup on 32 cores and under-splits a
-    # big cluster (guide §2 — derive partitioning from the env)
-    par = spark.sparkContext.defaultParallelism
-    kdf = spark.createDataFrame([(k,) for k in keys], "key string").repartition(
-        max(1, min(len(keys), par)), "key"
-    )
+    # big cluster (guide §2 — derive partitioning from the env).
+    # A bare LocalRelation already splits its rows round-robin over
+    # leafNodeDefaultParallelism slices — balanced, and one Exchange
+    # less than the old repartition("key") (guide §2.4), which hashed
+    # ~150 keys into 32 buckets leaving some tasks with 2-3x the median.
+    kdf = spark.createDataFrame([(k,) for k in keys], "key string")
 
     def _get(batches):
         import pandas as pd
 
-        client = None
-        try:
-            for pdf in batches:
-                for key in pdf["key"]:
-                    if client is None:
-                        client = _client(endpoint, access_key, secret_key,
-                                         scheme)
-                    body = client.get_object(BUCKET, key).decode("utf-8")
-                    path = key.rsplit("/", 1)[0]
-                    lines = [ln for ln in body.split("\n") if ln]
-                    if lines:
-                        yield pd.DataFrame({"path": path, "value": lines})
-        finally:
-            if client is not None:
-                client.close()
+        for pdf in batches:
+            batch_keys = list(pdf["key"])
+            if not batch_keys:
+                continue
+            try:
+                client = _pooled_client(endpoint, access_key, secret_key,
+                                        scheme)
+                bodies = client.get_objects(BUCKET, batch_keys)
+            except Exception:  # noqa: BLE001 — stale pooled socket:
+                # reconnect once with a fresh client
+                _drop_pooled(endpoint, access_key, secret_key, scheme)
+                client = _pooled_client(endpoint, access_key, secret_key,
+                                        scheme)
+                bodies = client.get_objects(BUCKET, batch_keys)
+            paths, values = [], []
+            for key, body in zip(batch_keys, bodies):
+                path = key.rsplit("/", 1)[0]
+                for ln in body.decode("utf-8").split("\n"):
+                    if ln:
+                        paths.append(path)
+                        values.append(ln)
+            if values:
+                yield pd.DataFrame({"path": paths, "value": values})
 
     return kdf.mapInPandas(_get, "path string, value string")
 
