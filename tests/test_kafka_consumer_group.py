@@ -256,3 +256,46 @@ def test_static_membership_rejoin_without_rebalance():
                 m1b.close()
         finally:
             m2.close()
+
+
+def test_group_size_rides_assignor_user_data():
+    """The leader embeds the generation's member count in the
+    assignment user_data (the event-driven settle fast path); every
+    member of a fully-formed group reads it back."""
+    with KafkaBroker() as broker:
+        _fill(broker, "t", 4, 1)
+        with ConsumerGroupMember(broker.bootstrap, "gsize", ["t"]) as m:
+            m.join_and_sync()
+            assert m.group_size == 1
+        members = {}
+
+        def run(name):
+            m = ConsumerGroupMember(broker.bootstrap, "gsize2", ["t"])
+            members[name] = m
+            m.join_and_sync()
+
+        threads = [threading.Thread(target=run, args=(n,))
+                   for n in ("a", "b")]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        _stabilize(members)
+        for m in members.values():
+            assert m.group_size == 2
+        for m in members.values():
+            m.close()
+
+
+def test_assignment_user_data_roundtrip_codec():
+    from ticdc_spark.codec import kafka_wire as kw
+
+    blob = kw.enc_consumer_assignment({"t": [0, 2]}, user_data=b"\x00\x00\x00\x07")
+    tp, user = kw.dec_consumer_assignment_full(blob)
+    assert tp == {"t": [0, 2]} and user == b"\x00\x00\x00\x07"
+    # legacy decode path ignores user_data
+    assert kw.dec_consumer_assignment(blob) == {"t": [0, 2]}
+    # empty user_data stays empty
+    _, user2 = kw.dec_consumer_assignment_full(
+        kw.enc_consumer_assignment({"t": [1]}))
+    assert user2 == b""

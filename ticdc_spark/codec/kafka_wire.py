@@ -805,25 +805,38 @@ def dec_join_group_response(r: Reader) -> dict:
             "leader": leader, "member_id": member_id, "members": members}
 
 
-def enc_consumer_assignment(topic_partitions: dict[str, list[int]]) -> bytes:
+def enc_consumer_assignment(topic_partitions: dict[str, list[int]],
+                            user_data: bytes = b"") -> bytes:
+    """``user_data`` is the consumer protocol's assignor-metadata field
+    (what sticky/cooperative assignors use); this repo's range assignor
+    carries the generation's member count in it so followers can detect
+    a fully-formed group without polling."""
     out = struct.pack(">h", 0) + struct.pack(">i", len(topic_partitions))
     for t, parts in sorted(topic_partitions.items()):
         out += enc_str(t) + struct.pack(">i", len(parts))
         for p in parts:
             out += struct.pack(">i", p)
-    return out + enc_bytes(b"")
+    return out + enc_bytes(user_data)
 
 
 def dec_consumer_assignment(buf: bytes) -> dict[str, list[int]]:
+    out, _ = dec_consumer_assignment_full(buf)
+    return out
+
+
+def dec_consumer_assignment_full(
+        buf: bytes) -> tuple[dict[str, list[int]], bytes]:
+    """-> (assignment, user_data)."""
     if not buf:
-        return {}
+        return {}, b""
     r = Reader(buf)
     r.i16()  # version
     out: dict[str, list[int]] = {}
     for _ in range(r.i32()):
         t = r.string()
         out[t] = [r.i32() for _ in range(r.i32())]
-    return out
+    user = r.bytes_() if r.remaining() else b""
+    return out, user or b""
 
 
 def enc_sync_group_request(

@@ -654,6 +654,7 @@ class ConsumerGroupMember:
         self.member_id = ""
         self.generation = -1
         self.assignment: dict[str, list[int]] = {}
+        self.group_size: int | None = None  # from assignor user_data
         # FindCoordinator names the group's coordinator; dial it (here the
         # same single broker, but the redirect is honored like a client)
         with KafkaConn.from_bootstrap(bootstrap) as bootconn:
@@ -722,7 +723,11 @@ class ConsumerGroupMember:
                 continue
             if err:
                 raise IOError(f"SyncGroup error {err}")
-            self.assignment = kw.dec_consumer_assignment(blob)
+            self.assignment, user = kw.dec_consumer_assignment_full(blob)
+            # group size from the leader's assignor user_data (absent
+            # when the leader is a foreign assignor -> None)
+            self.group_size = (struct.unpack(">i", user)[0]
+                               if len(user) == 4 else None)
             return self.assignment
         raise IOError("rebalance did not settle")
 
@@ -746,7 +751,12 @@ class ConsumerGroupMember:
                 if take:
                     plan[mid][topic] = parts[start : start + take]
                 start += take
-        return [(mid, kw.enc_consumer_assignment(tp)) for mid, tp in plan.items()]
+        # assignor user_data carries the generation's member count so
+        # every follower can see when the group is fully formed (the
+        # event-driven settle fast path) without extra wire calls
+        user = struct.pack(">i", len(members))
+        return [(mid, kw.enc_consumer_assignment(tp, user_data=user))
+                for mid, tp in plan.items()]
 
     # -- offsets + heartbeat + leave
 

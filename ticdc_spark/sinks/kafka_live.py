@@ -242,14 +242,23 @@ def consumer_group_fetch_df(
                     # brief stabilization so concurrently-scheduled seats
                     # join the same generation (late seats still converge:
                     # they either split the range or fetch overlap the
-                    # distinct removes)
+                    # distinct removes).  Event-driven fast path: the
+                    # leader's assignor user_data carries the member
+                    # count, so once THIS member's generation contains
+                    # every seat the group cannot rebalance again and
+                    # the settle wall is pure wait — skip it.  When
+                    # seats exceed cores the group never fully forms
+                    # concurrently and the timeout semantics below are
+                    # unchanged (the low-core case that made a pure
+                    # event wait a deadlock).
                     settle_until = _time.monotonic() + 0.5
-                    while _time.monotonic() < settle_until:
+                    while (m.group_size != n_members
+                           and _time.monotonic() < settle_until):
                         if m.heartbeat() != 0:
                             m.join_and_sync()
                             settle_until = _time.monotonic() + 0.5
                         else:
-                            _time.sleep(0.05)
+                            _time.sleep(0.02)
                     rows = {"topic": [], "partition": [], "offset": [],
                             "key": [], "value": []}
                     for topic, parts in m.assignment.items():
