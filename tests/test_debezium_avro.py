@@ -357,3 +357,78 @@ def test_avro_watermark_gating_and_roundtrip(spark):
     back = decode_debezium_avro_payload(blob, mgr, subject)
     assert back["payload"]["op"] == "m"
     assert back["payload"]["source"]["commit_ts"] == 1704067200000000
+
+
+def test_compiled_codecs_match_interpreters_exactly():
+    """The per-schema compiled closures (guide §4.5) must be
+    byte/value-identical to the reference interpreters on every branch:
+    unions, records, arrays, decimals, bytes, all primitives."""
+    from decimal import Decimal
+
+    from ticdc_spark.codec.debezium_avro import (
+        ConnectToAvro,
+        avro_decode,
+        avro_encode,
+        avro_native_to_connect_payload,
+        collect_named_schemas,
+        compile_avro_decoder,
+        compile_avro_encoder,
+        compile_connect_to_native,
+    )
+
+    schema = {
+        "type": "record", "name": "T", "namespace": "ns", "fields": [
+            {"name": "i", "type": "long"},
+            {"name": "s", "type": ["null", "string"], "default": None},
+            {"name": "f", "type": ["null", "double"], "default": None},
+            {"name": "b", "type": ["null", "boolean"], "default": None},
+            {"name": "raw", "type": ["null", "bytes"], "default": None},
+            {"name": "dec", "type": ["null", {
+                "type": "bytes", "logicalType": "decimal",
+                "precision": 10, "scale": 2}], "default": None},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+        ],
+    }
+    named = collect_named_schemas(schema)
+    enc_c = compile_avro_encoder(schema, named)
+    dec_c = compile_avro_decoder(schema, named)
+    dec_connect = compile_avro_decoder(schema, named, to_connect=True)
+    values = [
+        {"i": 7, "s": "héllo", "f": 2.5, "b": True, "raw": b"\x00\xff",
+         "dec": Decimal("12.34"), "arr": [1, -2, 3]},
+        {"i": -1, "s": None, "f": None, "b": False, "raw": None,
+         "dec": None, "arr": []},
+        {"i": 0, "s": "", "f": -0.0, "b": None, "raw": b"",
+         "dec": Decimal("-0.05"), "arr": [0]},
+    ]
+    for v in values:
+        ref = avro_encode(v, schema, named)
+        assert enc_c(v) == ref  # byte-exact
+        ref_native, ref_pos = avro_decode(ref, 0, schema, named)
+        got_native, got_pos = dec_c(ref, 0)
+        assert (got_native, got_pos) == (ref_native, ref_pos)
+        # fused connect view == interpreter pipeline
+        ref_payload = avro_native_to_connect_payload(schema, ref_native,
+                                                     named)
+        got_payload, _ = dec_connect(ref, 0)
+        assert got_payload == ref_payload
+
+    # compiled to_native == ConnectToAvro().to_native
+    cschema = {
+        "type": "struct", "fields": [
+            {"field": "a-b", "type": "int64"},
+            {"field": "s", "type": "string", "optional": True},
+            {"field": "d", "type": "bytes", "optional": True,
+             "name": "org.apache.kafka.connect.data.Decimal",
+             "parameters": {"scale": "2"}},
+            {"field": "xs", "type": "array",
+             "items": {"type": "int32"}, "optional": True},
+        ],
+    }
+    to_native_c = compile_connect_to_native(cschema)
+    for payload in [
+        {"a-b": 5, "s": "x", "d": "1.25", "xs": [1, 2]},
+        {"a-b": 5, "s": None, "d": None, "xs": None},
+    ]:
+        assert (to_native_c(payload)
+                == ConnectToAvro().to_native(cschema, payload))

@@ -33,8 +33,29 @@ import json
 from ticdc_spark.codec.debezium_avro import (
     avro_decode,
     avro_encode,
+    compile_avro_decoder,
+    compile_avro_encoder,
     sanitize_name,
 )
+
+_ = (avro_decode, avro_encode)  # re-exported reference interpreters
+
+# compiled encoders keyed by schema-dict identity (sound because the
+# entry holds a strong ref to the schema, so its id cannot be reused
+# while the entry lives; the memoized default-column schemas above are
+# stable objects, customs recompile after an eviction)
+_ENCODER_MEMO: dict = {}
+
+
+def _compiled_encoder(schema: dict):
+    hit = _ENCODER_MEMO.get(id(schema))
+    if hit is not None and hit[0] is schema:
+        return hit[1]
+    enc = compile_avro_encoder(schema, {})
+    if len(_ENCODER_MEMO) > 1024:
+        _ENCODER_MEMO.clear()
+    _ENCODER_MEMO[id(schema)] = (schema, enc)
+    return enc
 
 TIDB_OP = "_tidb_op"
 TIDB_COMMIT_TS = "_tidb_commit_ts"
@@ -240,7 +261,7 @@ def encode_row_value(mgr, topic: str, schema_name: str, table_name: str,
         native[TIDB_COMMIT_TS] = int(commit_ts)
         # oracle.ExtractPhysical: TSO physical millis = ts >> 18
         native[TIDB_PHYSICAL_TIME] = int(commit_ts) >> 18
-    return header + avro_encode(native, schema, {})
+    return header + _compiled_encoder(schema)(native)
 
 
 def encode_row_key(mgr, topic: str, schema_name: str, table_name: str,
@@ -250,7 +271,7 @@ def encode_row_key(mgr, topic: str, schema_name: str, table_name: str,
     header = _register(mgr, topic + "-key", schema)
     native = {sanitize_name(c["name"]): row.get(c["name"])
               for c in columns if c.get("handle")}
-    return header + avro_encode(native, schema, {})
+    return header + _compiled_encoder(schema)(native)
 
 
 def decode_message(mgr, subject: str, data: bytes) -> dict | None:
@@ -267,11 +288,11 @@ def decode_message(mgr, subject: str, data: bytes) -> dict | None:
     parsed = getattr(mgr, "_parsed_schemas", None)
     if parsed is None:
         parsed = mgr._parsed_schemas = {}
-    schema = parsed.get(schema_id)
-    if schema is None:
+    dec = parsed.get(schema_id)
+    if dec is None:
         schema = json.loads(mgr.lookup(subject, schema_id))
-        parsed[schema_id] = schema
-    native, pos = avro_decode(data, 5, schema, {})
+        dec = parsed[schema_id] = compile_avro_decoder(schema, {})
+    native, pos = dec(data, 5)
     if pos != len(data):
         raise ValueError(f"trailing bytes: {len(data) - pos}")
     return native

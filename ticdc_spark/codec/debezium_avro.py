@@ -336,6 +336,249 @@ def avro_decode(buf: bytes, pos: int, schema, named: dict):
     raise ValueError(f"unknown avro schema: {schema!r}")
 
 
+# -- compiled per-schema codecs (guide §4.5: pay the schema dispatch
+# once per table version, not once per value).  Each compiler walks the
+# schema tree a single time and returns a closure tree; outputs are
+# byte/value-identical to the interpreters above (pinned by tests).
+
+
+def compile_avro_encoder(schema, named: dict):
+    """avro_encode specialized to ``schema`` -> fn(value) -> bytes."""
+    schema = _resolve(schema, named)
+    if isinstance(schema, list):  # union — all are ["null", T] here
+        null_tag = zigzag_encode(schema.index("null"))
+        bi, branch = next((i, b) for i, b in enumerate(schema)
+                          if b != "null")
+        tag = zigzag_encode(bi)
+        enc = compile_avro_encoder(branch, named)
+        return lambda v: null_tag if v is None else tag + enc(v)
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            fields = [(f["name"], compile_avro_encoder(f["type"], named))
+                      for f in schema["fields"]]
+
+            def _record(v, _fields=fields):
+                return b"".join(e(v.get(n)) for n, e in _fields)
+
+            return _record
+        if t == "array":
+            item = compile_avro_encoder(schema["items"], named)
+            zero = zigzag_encode(0)
+
+            def _array(v, _item=item, _zero=zero):
+                if not v:
+                    return _zero
+                return (zigzag_encode(len(v))
+                        + b"".join(_item(x) for x in v) + _zero)
+
+            return _array
+        if t == "bytes" and schema.get("logicalType") == "decimal":
+            scale = schema["scale"]
+
+            def _decimal(v, _scale=scale):
+                raw = _decimal_to_bytes(Decimal(str(v)), _scale)
+                return zigzag_encode(len(raw)) + raw
+
+            return _decimal
+        schema = t  # annotated primitive
+    if schema == "null":
+        return lambda v: b""
+    if schema == "boolean":
+        return lambda v: b"\x01" if v else b"\x00"
+    if schema in ("int", "long"):
+        return lambda v: zigzag_encode(int(v))
+    if schema == "float":
+        return lambda v: struct.pack("<f", float(v))
+    if schema == "double":
+        return lambda v: struct.pack("<d", float(v))
+    if schema == "string":
+
+        def _string(v):
+            raw = v.encode("utf-8")
+            return zigzag_encode(len(raw)) + raw
+
+        return _string
+    if schema == "bytes":
+
+        def _bytes(v):
+            raw = bytes(v)
+            return zigzag_encode(len(raw)) + raw
+
+        return _bytes
+    raise ValueError(f"unknown avro schema: {schema!r}")
+
+
+def compile_avro_decoder(schema, named: dict, to_connect: bool = False):
+    """avro_decode specialized to ``schema`` -> fn(buf, pos) ->
+    (value, pos).  With ``to_connect`` the closure fuses
+    avro_native_to_connect_payload in (record keys use connect.field,
+    bytes come back base64) so no intermediate native tree is built."""
+    schema = _resolve(schema, named)
+    if isinstance(schema, list):
+        branches = [compile_avro_decoder(b, named, to_connect)
+                    for b in schema]
+
+        def _union(buf, pos, _branches=branches):
+            i, pos = zigzag_decode(buf, pos)
+            return _branches[i](buf, pos)
+
+        return _union
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            fields = [(f.get("connect.field", f["name"]) if to_connect
+                       else f["name"],
+                       compile_avro_decoder(f["type"], named, to_connect))
+                      for f in schema["fields"]]
+
+            def _record(buf, pos, _fields=fields):
+                out = {}
+                for name, dec in _fields:
+                    out[name], pos = dec(buf, pos)
+                return out, pos
+
+            return _record
+        if t == "array":
+            item = compile_avro_decoder(schema["items"], named, to_connect)
+
+            def _array(buf, pos, _item=item):
+                items = []
+                while True:
+                    n, pos = zigzag_decode(buf, pos)
+                    if n == 0:
+                        break
+                    if n < 0:
+                        _, pos = zigzag_decode(buf, pos)
+                        n = -n
+                    for _ in range(n):
+                        v, pos = _item(buf, pos)
+                        items.append(v)
+                return items, pos
+
+            return _array
+        if t == "bytes" and schema.get("logicalType") == "decimal":
+            scale = schema["scale"]
+
+            def _decimal(buf, pos, _scale=scale):
+                n, pos = zigzag_decode(buf, pos)
+                return (_bytes_to_decimal_str(buf[pos:pos + n], _scale),
+                        pos + n)
+
+            return _decimal
+        schema = t
+    if schema == "null":
+        return lambda buf, pos: (None, pos)
+    if schema == "boolean":
+        return lambda buf, pos: (buf[pos] == 1, pos + 1)
+    if schema in ("int", "long"):
+        return zigzag_decode
+    if schema == "float":
+        return lambda buf, pos: (struct.unpack_from("<f", buf, pos)[0],
+                                 pos + 4)
+    if schema == "double":
+        return lambda buf, pos: (struct.unpack_from("<d", buf, pos)[0],
+                                 pos + 8)
+    if schema == "string":
+
+        def _string(buf, pos):
+            n, pos = zigzag_decode(buf, pos)
+            return buf[pos:pos + n].decode("utf-8"), pos + n
+
+        return _string
+    if schema == "bytes":
+        if to_connect:  # payload view renders bytes as base64 text
+
+            def _bytes_b64(buf, pos):
+                n, pos = zigzag_decode(buf, pos)
+                return (base64.standard_b64encode(
+                    buf[pos:pos + n]).decode("ascii"), pos + n)
+
+            return _bytes_b64
+
+        def _bytes(buf, pos):
+            n, pos = zigzag_decode(buf, pos)
+            return bytes(buf[pos:pos + n]), pos + n
+
+        return _bytes
+    raise ValueError(f"unknown avro schema: {schema!r}")
+
+
+def compile_connect_to_native(schema: dict):
+    """ConnectToAvro().to_native specialized to ``schema`` -> fn(payload)
+    -> native tree (sanitize_name and field dispatch paid once)."""
+    typ = schema.get("type")
+    if typ == "struct":
+        fields = []
+        for fs in schema.get("fields") or []:
+            orig = fs.get("field", "")
+            fname = sanitize_name(orig)
+            fields.append((orig, fname, compile_connect_to_native(fs)))
+
+        def _struct(value, _fields=fields):
+            if value is None:
+                return None
+            if not isinstance(value, dict):
+                raise ValueError("struct payload is not an object")
+            out = {}
+            for orig, fname, sub in _fields:
+                raw = value.get(orig)
+                if raw is None and orig != fname:
+                    raw = value.get(fname)
+                out[fname] = sub(raw)
+            return out
+
+        return _struct
+    if typ == "array":
+        item = compile_connect_to_native(schema["items"])
+
+        def _array(value, _item=item):
+            if value is None:
+                return None
+            if not isinstance(value, (list, tuple)):
+                raise ValueError("array payload is not an array")
+            return [_item(v) for v in value]
+
+        return _array
+    if _is_decimal_schema(schema):
+        return lambda v: None if v is None else Decimal(str(v))
+    if typ == "bytes":
+
+        def _bytes(v):
+            if v is None:
+                return None
+            if isinstance(v, (bytes, bytearray)):
+                return bytes(v)
+            return base64.b64decode(v)
+
+        return _bytes
+    if typ in ("int8", "int16", "int32", "int64"):
+        return lambda v: None if v is None else int(v)
+    if typ in ("float", "double"):
+        return lambda v: None if v is None else float(v)
+    if typ == "boolean":
+
+        def _bool(v):
+            if v is None:
+                return None
+            if not isinstance(v, bool):
+                raise ValueError("boolean payload is invalid")
+            return v
+
+        return _bool
+    if typ == "string":
+
+        def _str(v):
+            if v is None:
+                return None
+            if not isinstance(v, str):
+                raise ValueError("string payload is invalid")
+            return v
+
+        return _str
+    raise ValueError(f"unsupported connect type: {typ}")
+
+
 # -- decoder side: Avro schema → Connect schema + payload --------------------
 # (`avro_decoder.go:233-436` — the Connect view is rebuilt from the
 # registered Avro schema's connect.* metadata, so a consumer needs
@@ -615,9 +858,8 @@ class DebeziumAvroCodecCache:
         if schema is None:
             raise ValueError("schema is missing")
         ent = self._entry(schema, topic, suffix, schema_version)
-        connect, avro_schema, named, header = ent
-        native = ConnectToAvro().to_native(schema, message.get("payload"))
-        return header + avro_encode(native, avro_schema, named)
+        _connect, _avro, header, to_native, enc = ent
+        return header + enc(to_native(message.get("payload")))
 
     def _entry(self, schema, topic, suffix, schema_version):
         subject = subject_for(topic, suffix,
@@ -629,8 +871,13 @@ class DebeziumAvroCodecCache:
             _, header = self.mgr.get_cached_or_register(
                 subject, schema_version,
                 lambda: json.dumps(avro_schema, separators=(",", ":")))
-            ent = (schema, avro_schema,
-                   collect_named_schemas(avro_schema), header)
+            named = collect_named_schemas(avro_schema)
+            # compiled per-schema codecs (guide §4.5): the schema walk,
+            # name sanitizing and type dispatch happen HERE, once per
+            # table version — the per-row work is two closure calls
+            ent = (schema, avro_schema, header,
+                   compile_connect_to_native(schema),
+                   compile_avro_encoder(avro_schema, named))
             self._enc[key] = ent
         return ent
 
@@ -649,9 +896,8 @@ class DebeziumAvroCodecCache:
             return self.encode(json.loads(message_json), topic, suffix,
                                schema_version)
         payload = json.loads(message_json[11:i])
-        connect, avro_schema, named, header = ent
-        native = ConnectToAvro().to_native(connect, payload)
-        return header + avro_encode(native, avro_schema, named)
+        _connect, _avro, header, to_native, enc = ent
+        return header + enc(to_native(payload))
 
     def decode(self, data: bytes, subject: str) -> dict:
         if len(data) < 5 or data[0] != 0:
@@ -661,14 +907,15 @@ class DebeziumAvroCodecCache:
         if ent is None:
             avro_schema = json.loads(self.mgr.lookup(subject, schema_id))
             named = collect_named_schemas(avro_schema)
-            ent = (avro_schema, named,
-                   avro_to_connect_schema(avro_schema, named))
+            # fused decoder: wire bytes -> Connect payload directly (no
+            # intermediate native tree), compiled once per schema id
+            ent = (avro_to_connect_schema(avro_schema, named),
+                   compile_avro_decoder(avro_schema, named,
+                                        to_connect=True))
             self._dec[(subject, schema_id)] = ent
-        avro_schema, named, connect = ent
-        native, pos = avro_decode(data, 5, avro_schema, named)
+        connect, dec = ent
+        payload, pos = dec(data, 5)
         if pos != len(data):
             raise ValueError(f"trailing bytes after avro value: "
                              f"{len(data) - pos}")
-        return {"schema": connect,
-                "payload": avro_native_to_connect_payload(
-                    avro_schema, native, named)}
+        return {"schema": connect, "payload": payload}
