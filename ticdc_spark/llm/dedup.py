@@ -21,7 +21,7 @@ reproduce results exactly; no Python UDFs anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ticdc_spark.llm.text import shingles_col, tokens_col
@@ -368,30 +368,31 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 10) -> DataFrame
         .distinct()
         .localCheckpoint()
     )
+    w_src = Window.partitionBy("src")
     for _ in range(max_iter):
         # large-star: every node u connects its strictly-larger
         # neighbors to min(Γ(u) ∪ {u}); output stays oriented
-        # large→small because m ≤ src < dst.
+        # large→small because m ≤ src < dst.  min-over-window instead
+        # of groupBy+join-back: the per-round aggregate and its
+        # re-attachment share ONE exchange by src (guide §2.4) — the
+        # r8 shape shuffled sym twice (groupBy, then join) per star.
         sym = edges.union(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        lmin = sym.groupBy("src").agg(
-            F.least(F.min("dst"), F.first("src")).alias("mn")
-        )
+        lw = sym.withColumn(
+            "mn", F.least(F.min("dst").over(w_src), F.col("src")))
         ls = (
-            sym.join(lmin, "src")
-            .filter(F.col("dst") > F.col("src"))
+            lw.filter(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
             .distinct()
         )
         # small-star: every node u re-points its (all-smaller) neighbors
         # and itself at min(N(u)); m < src for every emitted edge.
-        smin = ls.groupBy("src").agg(F.min("dst").alias("mn"))
-        j = ls.join(smin, "src")
+        sw = ls.withColumn("mn", F.min("dst").over(w_src))
         new_edges = (
-            j.filter(F.col("dst") != F.col("mn"))
+            sw.filter(F.col("dst") != F.col("mn"))
             .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
-            .union(j.select("src", F.col("mn").alias("dst")))
+            .union(sw.select("src", F.col("mn").alias("dst")))
             .distinct()
             .localCheckpoint()
         )
