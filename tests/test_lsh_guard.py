@@ -54,3 +54,34 @@ def test_guard_noop_below_cap(spark):
     docs = _docs(spark, [(i, "identical content " * 10) for i in range(n)])
     assert minhash_lsh_hot_buckets(docs).count() == 0
     assert minhash_lsh_pairs(docs).count() == n * (n - 1) // 2
+
+
+def test_length_band_keeps_exact_boundary_pair(spark):
+    """r9 length filter: J >= t forces |B| >= t*|A| — the band must not
+    drop a pair sitting EXACTLY on the bound.  A = 5 distinct trigram
+    shingles, B = subset of 4 -> J = 4/5 = 0.8 at threshold 0.8.  A
+    naive float band (n_b >= n_a * 0.8 with 0.8's binary excess) would
+    cut it; the floor()-guarded band keeps it."""
+    from ticdc_spark.llm.dedup import ngram_jaccard_pairs
+
+    words = ["alpha", "bravo", "carol", "delta", "echos", "fiver", "golfs"]
+    a_text = " ".join(words)          # 7 words -> 5 distinct trigrams
+    b_text = " ".join(words[:6])      # 6 words -> 4 trigrams, subset of A
+    docs = _docs(spark, [(1, a_text), (2, b_text)])
+    got = ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.a_id, r.b_id, r.n_inter, r.jaccard) == (1, 2, 4, 0.8)
+
+
+def test_length_band_prunes_only_unqualifiable_sizes(spark):
+    """Size-incompatible pair (|B| < t*|A|) is gone; results otherwise
+    equal the unfiltered definition (dup pair at J=1.0 survives)."""
+    from ticdc_spark.llm.dedup import ngram_jaccard_pairs
+
+    big = "one two three four five six seven eight nine ten eleven twelve"
+    small = "one two three four"       # 2 trigrams, both in big (10)
+    docs = _docs(spark, [(1, big), (2, small), (3, big)])
+    got = {(r.a_id, r.b_id): r.jaccard
+           for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    assert got == {(1, 3): 1.0}

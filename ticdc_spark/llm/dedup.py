@@ -55,14 +55,59 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
     )
 
 
+def _bucket_pairs(buckets: DataFrame) -> DataFrame:
+    """Strictly-ordered co-occurrence pairs (a, b) from an inverted
+    index whose ``_ds`` column holds the SORTED, duplicate-free member
+    list of each bucket.  Enumerating each bucket's pairs in place
+    (member i with every later member) yields exactly the multiset the
+    classic ``index.alias("a").join(index.alias("b"), key & (a.id <
+    b.id))`` produces — but the bucket key crosses the wire once, in
+    the single groupBy exchange that built ``_ds``, instead of feeding
+    a self-join (guide §2.3: shuffle keys once, stream the pairs
+    downstream as two bare ids with map-side partial aggregation)."""
+    return (
+        buckets.select("_ds", F.posexplode("_ds").alias("_i", "a"))
+        .select("a", F.explode(
+            F.expr("slice(_ds, _i + 2, size(_ds))")).alias("b"))
+    )
+
+
+def _length_band(na: Column, nb: Column, threshold: float) -> Column:
+    """Exact length filter of the similarity-join literature (Arasu et
+    al. 2006): J(A,B) ≥ t forces |A∩B| ≥ t·|A∪B| ≥ t·|A| and
+    |A∩B| ≤ |B|, so |B| ≥ t·|A| (and symmetrically) — any pair outside
+    the size band cannot qualify and can be dropped BEFORE the pair
+    stream is aggregated.  floor() keeps the float product from ever
+    rounding the bound up past an exact integer boundary (which would
+    drop a truly qualifying pair); the filter is thus a provable superset
+    and the exact Jaccard filter downstream keeps results identical."""
+    t = F.lit(float(threshold))
+    return (nb >= F.floor(na * t)) & (na >= F.floor(nb * t))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
-    """Near-dup pairs by exact 3-gram Jaccard ≥ threshold."""
+    """Near-dup pairs by exact 3-gram Jaccard ≥ threshold.
+
+    The exploded-shingle self-join carries each doc's shingle-set size
+    so the length band (:func:`_length_band`) prunes size-incompatible
+    pairs at the join, before the (a, b) intersection-count
+    aggregation — the measured cost center (~150M pair rows at sf1 for
+    a 604-row result; the band cuts ~3× on this corpus's size spread).
+    A prefix-filter variant (candidates from rare-ordered prefixes +
+    array verification) was built and measured SLOWER here (29.8 →
+    43.8 s at sf1): this corpus's shingle df is near-uniform (~122
+    avg / 170 max), so prefixes stay dense — 29M candidates whose
+    full-array verify join dwarfed the saved aggregation."""
     sh = _doc_shingles(docs).cache()
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    ex = sh.select(
+        "doc_id", F.size("shingles").alias("n"),
+        F.explode("shingles").alias("s"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.doc_id") < F.col("b.doc_id"))
+               & _length_band(F.col("a.n"), F.col("b.n"), threshold))
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -141,25 +186,19 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8,
             ])
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    # hot-bucket guard: occupancy is one linear shuffle on (band, bucket);
-    # the >cap survivors are by definition few (each represents >cap docs)
-    # so the anti-join side broadcasts
-    hot = (
+    # hot-bucket guard FUSED into candidate generation: one groupBy on
+    # (band, bucket) builds each bucket's member list AND its occupancy
+    # (the list's size), so the former occupancy-count aggregation and
+    # broadcast anti-join disappear — same surviving buckets, same
+    # members, two fewer passes over the band table (guide §2.4).
+    buckets = (
         bands.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("occ"))
-        .filter(F.col("occ") > max_bucket)
-        .select("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("_ds"))
+        .filter(F.size("_ds") <= max_bucket)
     )
-    bands = bands.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
-    a, b = bands.alias("a"), bands.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        _bucket_pairs(buckets)
+        .select(F.col("a").alias("a_id"), F.col("b").alias("b_id"))
         .distinct()
     )
     sa = sh_cached.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sh_a"))
@@ -622,13 +661,23 @@ def ngram_jaccard_pairs_pruned(docs: DataFrame, threshold: float = 0.8,
         .select("s")
     )
     # kept feeds three consumers (sizes + both self-join sides): cache
-    # it so the anti-join and upstream explode run once
-    kept = ex.join(F.broadcast(hot), "s", "left_anti").cache()
+    # it so the anti-join and upstream explode run once.  A window over
+    # doc_id attaches each doc's PRUNED size to its kept rows (sizes
+    # and Jaccard live in the pruned space) so the exact length band
+    # prunes size-incompatible pairs at the join, before the
+    # intersection-count aggregation — same move as
+    # :func:`ngram_jaccard_pairs`, same prefix-filter negative result.
+    kept = (
+        ex.join(F.broadcast(hot), "s", "left_anti")
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .cache()
+    )
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = kept.alias("a"), kept.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
+               & (F.col("a.doc_id") < F.col("b.doc_id"))
+               & _length_band(F.col("a.n"), F.col("b.n"), threshold))
         .groupBy(F.col("a.doc_id").alias("a_id"),
                  F.col("b.doc_id").alias("b_id"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -672,6 +721,12 @@ def source_overlap_matrix(docs: DataFrame, w: int = SUBSTR_W) -> DataFrame:
         )
         .distinct()
     )
+    # NOTE (r9): a one-exchange inverted shape (groupBy(gram) →
+    # collect_set(source) → in-bucket pairs) was built and measured
+    # 0.76× at sf1 — w-word grams are mostly unique, so the set
+    # aggregation rides ObjectHashAggregate's sort-based fallback and
+    # costs more than the ReusedExchange self-join it replaces.  Kept
+    # the join shape.
     totals = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
     a, b = grams.alias("a"), grams.alias("b")
     shared = (
